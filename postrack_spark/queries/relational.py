@@ -1,0 +1,521 @@
+"""Relational operator coverage: join types, set ops, grouping sets,
+pivot, exact/distinct aggregation, scalar function surface.
+
+The reference has none of these (SURVEY.md §2b — postrack.go contains no
+relational operators beyond source-side projection/filter); they are the
+consumer surface its HandleFunc delegates to user code, here expressed
+as Catalyst built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+
+# ---------------------------------------------------------------- joins
+
+
+@query(
+    "join_inner_orders_per_nation",
+    oracle="""
+    SELECT n_name, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_inner_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain; nation broadcast (25 rows at any SF)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_left_customer_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_semi_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+)
+def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS; no row multiplication, build side pruned."""
+    t = load_tables(spark, sf_dir)
+    open_orders = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"].select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer_part_lineitem",
+    oracle="""
+    SELECT coalesce(p_partkey, l_partkey) AS partkey,
+           count(l_orderkey)              AS n_lineitems,
+           max(CASE WHEN p_partkey IS NULL THEN 0 ELSE 1 END) AS has_part
+    FROM part FULL OUTER JOIN lineitem ON p_partkey = l_partkey
+    GROUP BY coalesce(p_partkey, l_partkey)
+    ORDER BY partkey
+    """,
+)
+def join_full_outer_part_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: parts never ordered + lineitems of unknown parts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"), "full_outer")
+        .groupBy(F.coalesce("p_partkey", "l_partkey").alias("partkey"))
+        .agg(
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.max(F.when(F.col("p_partkey").isNull(), 0).otherwise(1)).alias("has_part"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@query(
+    "join_range_price_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                            ('high', 150000.0, 1e18)) AS b(band, lo, hi)
+    )
+    SELECT band, count(*) AS n_orders
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join → BroadcastNestedLoopJoin on a tiny
+    bands table — the only sane physical plan for a 3-row build side."""
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@query(
+    "setops_customer_segments",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                    WHERE o_totalprice > 100000),
+         auto  AS (SELECT c_custkey AS custkey FROM customer
+                   WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT custkey FROM buyers UNION SELECT custkey FROM auto)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM auto)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM auto)
+    ORDER BY op
+    """,
+)
+def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two customer-key sets."""
+    t = load_tables(spark, sf_dir)
+    buyers = (
+        t["orders"].filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+    auto = t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    rows = [
+        ("union", buyers.union(auto).distinct()),
+        ("intersect", buyers.intersect(auto)),
+        ("except", buyers.exceptAll(auto.distinct()).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        piece = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = piece if out is None else out.union(piece)
+    return out.orderBy("op")
+
+
+# ---------------------------------------------------------------- grouping
+
+
+@query(
+    "agg_distinct_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase under the hood)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale path for
+    cardinality; rows-only check (sketch values are engine-specific)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_linestatus,
+           round(min(l_quantity), 2)         AS min_qty,
+           round(max(l_quantity), 2)         AS max_qty,
+           round(avg(l_quantity), 4)         AS avg_qty,
+           round(stddev_samp(l_quantity), 4) AS std_qty,
+           round(var_samp(l_quantity), 4)    AS var_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: min/max/avg/stddev/variance."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT coalesce(r_name, '__ALL__') AS region,
+           coalesce(CASE WHEN GROUPING(n_name) = 1 THEN NULL ELSE n_name END, '__ALL__') AS nation,
+           count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (customer counts by region→nation→all)."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("__ALL__")).alias("region"),
+            F.coalesce("n_name", F.lit("__ALL__")).alias("nation"),
+            "n_customers",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT coalesce(l_returnflag, '__ALL__') AS returnflag,
+           coalesce(l_linestatus, '__ALL__') AS linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list (no extra pass)."""
+    t = load_tables(spark, sf_dir)
+    pivoted = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return (
+        pivoted.select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+        ).orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "unpivot_stack_measures",
+    oracle="""
+    SELECT measure, round(sum(val), 2) AS total
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'discount' AS measure, l_discount AS val FROM lineitem
+      UNION ALL
+      SELECT 'tax' AS measure, l_tax AS val FROM lineitem
+    )
+    GROUP BY measure
+    ORDER BY measure
+    """,
+)
+def unpivot_stack_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack()."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .selectExpr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+            " AS (measure, val)"
+        )
+        .groupBy("measure")
+        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .orderBy("measure")
+    )
+
+
+# ---------------------------------------------------------------- scalars
+
+
+@query(
+    "scalar_string_functions",
+    oracle="""
+    SELECT upper(substr(p_brand, 1, 5))                     AS brand5,
+           count(*)                                         AS n_parts,
+           round(avg(length(p_name)), 4)                    AS avg_name_len,
+           sum(CASE WHEN regexp_matches(p_type, '^PROMO') THEN 1 ELSE 0 END) AS n_promo
+    FROM part
+    GROUP BY upper(substr(p_brand, 1, 5))
+    ORDER BY brand5
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: upper/substr/length/regexp — all codegen'd."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .groupBy(F.upper(F.substring("p_brand", 1, 5)).alias("brand5"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg(F.length("p_name")), 4).alias("avg_name_len"),
+            F.sum(F.when(F.col("p_type").rlike("^PROMO"), 1).otherwise(0)).alias("n_promo"),
+        )
+        .orderBy("brand5")
+    )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)   AS order_year,
+           CAST(month(o_orderdate) AS INT)  AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2
+    ORDER BY order_year, order_month
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: year/month extraction + grouping."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("order_year", "order_month")
+    )
+
+
+@query(
+    "scalar_case_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def scalar_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + per-bucket extremes."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "sort_multi_key_limit",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_orderstatus ASC, price DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort + limit → TakeOrderedAndProject (no full sort)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.asc("o_orderstatus"), F.desc("price"), F.asc("o_orderkey"))
+        .limit(50)
+    )

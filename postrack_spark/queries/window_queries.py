@@ -1,0 +1,266 @@
+"""Window-function coverage: ranking, analytic (lag/lead), frames,
+top-k per group, sessionization.
+
+SURVEY.md §2b: absent in the reference; in this engine window-over-lsn is
+also the CDC materialization primitive (see cdc_queries / cdc module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY c_custkey, rn
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number — the scalable top-k pattern
+    (single shuffle on the partition key; no global sort)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn",
+        )
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(max(rnk) AS BIGINT)  AS max_rank,
+           CAST(max(drnk) AS BIGINT) AS max_dense_rank,
+           CAST(count(DISTINCT tile) AS BIGINT) AS n_tiles
+    FROM (
+      SELECT o_orderstatus,
+             rank()       OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, 0)) AS rnk,
+             dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, 0)) AS drnk,
+             ntile(4)     OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, 0), o_orderkey) AS tile
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile, summarized per partition for a stable
+    comparison (tie order inside rank is value-deterministic)."""
+    t = load_tables(spark, sf_dir)
+    by_price = W.partitionBy("o_orderstatus").orderBy(F.round("o_totalprice", 0))
+    by_price_key = W.partitionBy("o_orderstatus").orderBy(
+        F.round("o_totalprice", 0), F.asc("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_orderstatus",
+            F.rank().over(by_price).alias("rnk"),
+            F.dense_rank().over(by_price).alias("drnk"),
+            F.ntile(4).over(by_price_key).alias("tile"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max("rnk").cast("bigint").alias("max_rank"),
+            F.max("drnk").cast("bigint").alias("max_dense_rank"),
+            F.countDistinct("tile").alias("n_tiles"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "window_running_sum_frame",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           round(running_total, 2) AS running_total
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey,
+             sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      FROM orders
+    )
+    WHERE c_custkey <= 50
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def window_running_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t["orders"]
+        .withColumn("running_total", F.sum("o_totalprice").over(w))
+        .filter(F.col("o_custkey") <= 50)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("running_total", 2).alias("running_total"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_lag_lead_deltas",
+    oracle="""
+    SELECT c_custkey,
+           count(*) AS n_gaps,
+           CAST(sum(gap_days) AS BIGINT) AS total_gap_days,
+           round(avg(price_delta), 4) AS avg_price_delta
+    FROM (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days,
+             o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_delta
+      FROM orders
+    )
+    WHERE gap_days IS NOT NULL
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def window_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytics: inter-order gap days + price delta per customer."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+            (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_delta"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+            F.round(F.avg("price_delta"), 4).alias("avg_price_delta"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "window_first_last_range",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           round(sum(first_price), 2) AS sum_first,
+           round(sum(last_price), 2)  AS sum_last
+    FROM (
+      SELECT o_orderstatus,
+             first_value(o_totalprice) OVER (PARTITION BY o_custkey, o_orderstatus
+                                             ORDER BY o_orderdate, o_orderkey) AS first_price,
+             last_value(o_totalprice) OVER (PARTITION BY o_custkey, o_orderstatus
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+)
+def window_first_last_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with full-partition frame."""
+    t = load_tables(spark, sf_dir)
+    w_order = W.partitionBy("o_custkey", "o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_order.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        t["orders"]
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.first("o_totalprice").over(w_order).alias("first_price"),
+            F.last("o_totalprice").over(w_full).alias("last_price"),
+        )
+        .groupBy("status")
+        .agg(
+            F.round(F.sum("first_price"), 2).alias("sum_first"),
+            F.round(F.sum("last_price"), 2).alias("sum_last"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "sessionize_user_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap>30min starts a new session (lag + running sum).
+
+    The batch twin of streaming session_window(ts, gap) — see
+    postrack_spark.streaming. Scales: one shuffle on user_id.
+    """
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = t["events"].select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

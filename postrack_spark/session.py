@@ -1,0 +1,104 @@
+"""SparkSession factory and table loading.
+
+Scale notes (100 TB design): every query in this engine receives its
+inputs from :func:`load_tables`, which registers plain parquet scans —
+Catalyst handles column pruning / predicate pushdown / partition pruning
+against them. On a real cluster the same code runs against a catalog
+table or an object-store path; nothing here assumes local mode except
+the defaults in :func:`get_spark` (which are only used by tests/bench —
+the driver may hand us its own session).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "postrack-spark", cpus: int | None = None) -> SparkSession:
+    """Local session tuned per the public Spark docs for local[N] mode."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_session(spark: SparkSession) -> None:
+    """Pin runtime-settable confs that correctness/perf depend on.
+
+    Called by every query entry point because the driver may hand us a
+    session it built itself. All of these are runtime-settable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # The driver's events.parquet stores ts as TIMESTAMP(NANOS) which the
+    # Spark parquet reader rejects; read nanos as long and rebuild the
+    # timestamp at micro precision in load_tables (matches DuckDB, which
+    # truncates ns -> us).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver parquet table and register temp views.
+
+    Plain `spark.read.parquet` scans so Catalyst's pushdown/pruning apply;
+    do NOT cache here — the engine's queries must plan against the scan
+    (a 100 TB table cannot be cached).
+    """
+    configure_session(spark)
+    tables: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for col in _nanos_timestamp_columns(path):
+            # long nanos -> micro-precision timestamp (DuckDB-equivalent)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+            )
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (read by Spark as long
+    under spark.sql.legacy.parquet.nanosAsLong)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
