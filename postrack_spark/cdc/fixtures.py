@@ -1,0 +1,149 @@
+"""Deterministic synthetic change streams derived from the driver
+tables (FIXTURES.md §B) — exercise the reference's event semantics
+(postrack.go:368-411) without a live Postgres.
+
+Generation rules are simple arithmetic on o_orderkey so the DuckDB
+oracle can re-derive the same stream in pure SQL (see
+queries/cdc_queries.py) — the Spark side goes through the full
+map-envelope machinery, the oracle computes the flat equivalent, and
+the comparison validates the envelope round-trip.
+
+B.1 orders_changes script (keyed by o_orderkey % 10):
+  every order      -> INSERT  at lsn = key*10+1, after = full image
+  key%10 in {1,2,3}-> UPDATE  at lsn = key*10+5, status->'F',
+                      price *= 1.1; before = full old image (REPLICA
+                      IDENTITY FULL flavor, postrack.go:385-398)
+  key%10 == 4      -> UPDATE  at lsn = key*10+5, price += 10;
+                      before = EMPTY map (default replica identity,
+                      postrack.go:388-392)
+  key%10 == 5      -> DELETE  at lsn = key*10+7, before = old image,
+                      after = null (postrack.go:399-406)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.cdc.envelope import (
+    CHANGE_SCHEMA,
+    empty_map,
+    null_map,
+    str_map,
+)
+from postrack_spark.session import load_tables
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _envelope(df: DataFrame, lsn, op: str, table: str, after, before) -> DataFrame:
+    return df.select(
+        lsn.cast("long").alias("lsn"),
+        F.col("o_orderkey").cast("long").alias("txid"),
+        F.col("o_orderdate").cast("timestamp").alias("commit_ts"),
+        F.lit("public").alias("schema"),
+        F.lit(table).alias("table"),
+        F.lit(op).alias("op"),
+        after.alias("after"),
+        before.alias("before"),
+    )
+
+
+def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B.1: the scripted INSERT/UPDATE/DELETE stream over orders."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    key = F.col("o_orderkey")
+    mod = key % 10
+
+    inserts = _envelope(
+        orders, key * 10 + 1, "INSERT", "orders", str_map(_ORDER_COLS), null_map()
+    )
+
+    upd_full = _envelope(
+        orders.filter(mod.isin(1, 2, 3)),
+        key * 10 + 5,
+        "UPDATE",
+        "orders",
+        str_map(
+            _ORDER_COLS,
+            {
+                "o_orderstatus": F.lit("F"),
+                "o_totalprice": F.round(F.col("o_totalprice") * 1.1, 2),
+            },
+        ),
+        str_map(_ORDER_COLS),
+    )
+
+    upd_defid = _envelope(
+        orders.filter(mod == 4),
+        key * 10 + 5,
+        "UPDATE",
+        "orders",
+        str_map(_ORDER_COLS, {"o_totalprice": F.round(F.col("o_totalprice") + 10, 2)}),
+        empty_map(),
+    )
+
+    deletes = _envelope(
+        orders.filter(mod == 5), key * 10 + 7, "DELETE", "orders", null_map(), str_map(_ORDER_COLS)
+    )
+
+    out = inserts.unionByName(upd_full).unionByName(upd_defid).unionByName(deletes)
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    want = [(f.name, f.dataType) for f in CHANGE_SCHEMA.fields]
+    assert got == want, got
+    return out
+
+
+def lineitem_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B.2: INSERT-only volume stream of lineitem rows.
+
+    (l_orderkey, l_linenumber) is NOT unique in the driver data, so the
+    lsn is l_orderkey*1000 + a deterministic per-order row_number —
+    partitioned by orderkey, so the window scales (no global sort).
+    """
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cols = [f.name for f in li.schema.fields]
+    w = W.partitionBy("l_orderkey").orderBy(*cols)
+    li = li.withColumn("__seq", F.row_number().over(w))
+    return li.select(
+        (F.col("l_orderkey") * 1000 + F.col("__seq")).cast("long").alias("lsn"),
+        F.col("l_orderkey").cast("long").alias("txid"),
+        F.col("l_shipdate").cast("timestamp").alias("commit_ts"),
+        F.lit("public").alias("schema"),
+        F.lit("lineitem").alias("table"),
+        F.lit("INSERT").alias("op"),
+        str_map(cols).alias("after"),
+        null_map().alias("before"),
+    )
+
+
+def mixed_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B.3: orders stream + a TRUNCATE for table 'orders' at the mean
+    orderkey's lsn — tests multi-op demux and TRUNCATE semantics with
+    the correct table name (fixes reference bug q2: postrack.go:407-410
+    looks up tables[RelationNum] with the relation *count* as key, so
+    the name is almost always "")."""
+    oc = orders_changes(spark, sf_dir)
+    orders = load_tables(spark, sf_dir)["orders"]
+    trunc = orders.agg(
+        F.floor(F.avg("o_orderkey") * 10).cast("long").alias("lsn")
+    ).select(
+        "lsn",
+        F.lit(None).cast("long").alias("txid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        F.lit("TRUNCATE").alias("op"),
+        null_map().alias("after"),
+        null_map().alias("before"),
+    )
+    return oc.unionByName(trunc)

@@ -1,0 +1,64 @@
+"""Materialization: turn a change stream back into a table.
+
+The single most important derived operator for a CDC engine
+(SURVEY.md §2b "Window functions"): latest row per key =
+row_number() over (partition by pk order by lsn desc) = 1, then drop
+DELETE images. The reference leaves this entirely to the user callback
+(postrack.go:35); here it is a first-class, scale-aware operator.
+
+Scale: one shuffle on the key; at 100 TB this runs incrementally inside
+foreachBatch (compact the micro-batch first, then MERGE into the base
+table) — see postrack_spark.streaming. TRUNCATE is an epoch barrier:
+rows with lsn <= the table's latest TRUNCATE lsn are discarded before
+per-key compaction, which prunes early (map-side filter after a tiny
+broadcast of per-table truncate watermarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from postrack_spark.cdc.envelope import DELETE, TRUNCATE
+
+
+def latest_per_key(changes: DataFrame, key_cols: list, order_col: str = "lsn") -> DataFrame:
+    """Keep the event with the highest `order_col` per key (WAL order —
+    events are keyed by the WALStart LSN, postrack.go:366-367)."""
+    w = W.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def truncate_watermarks(changes: DataFrame) -> DataFrame:
+    """Per-table high-water LSN of TRUNCATE events (empty if none)."""
+    return (
+        changes.filter(F.col("op") == TRUNCATE)
+        .groupBy("schema", "table")
+        .agg(F.max("lsn").alias("__trunc_lsn"))
+    )
+
+
+def apply_changes(changes: DataFrame, key_expr, key_name: str = "__key") -> DataFrame:
+    """Replay a change stream into its final state.
+
+    1. discard everything at or before each table's last TRUNCATE
+    2. latest event per (schema, table, key)
+    3. drop keys whose final event is DELETE
+
+    `key_expr` extracts the primary key from an envelope row (typically
+    ``typed_column("after", pk, t)`` coalesced with the before image,
+    since DELETE events carry only `before` — postrack.go:399-406).
+    """
+    trunc = truncate_watermarks(changes)
+    keyed = changes.filter(F.col("op") != TRUNCATE).withColumn(key_name, key_expr)
+    survived = (
+        keyed.join(F.broadcast(trunc), ["schema", "table"], "left")
+        .filter(F.col("__trunc_lsn").isNull() | (F.col("lsn") > F.col("__trunc_lsn")))
+        .drop("__trunc_lsn")
+    )
+    latest = latest_per_key(survived, ["schema", "table", key_name])
+    return latest.filter(F.col("op") != DELETE)

@@ -1,1 +1,201 @@
-"""Placeholder — populated in a later wave."""
+"""CDC change-event queries — the reference's domain (postrack.go), as
+batch DataFrames over the deterministic synthetic stream (FIXTURES.md
+§B). The oracle re-derives the same stream in pure SQL (CTE `changes`
+below mirrors fixtures.orders_changes rule-for-rule), so the comparison
+validates the whole envelope round-trip: build map[string]string images
+-> filter/materialize -> typed projection back out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.cdc import (
+    apply_changes,
+    filter_events,
+    mixed_changes,
+    orders_changes,
+    typed_column,
+)
+from postrack_spark.queries.registry import query
+
+# DuckDB CTE mirroring fixtures.orders_changes (B.1 script).
+_CHANGES_CTE = """
+    changes AS (
+      SELECT o_orderkey*10+1 AS lsn, 'INSERT' AS op, o_orderkey AS okey,
+             o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*1.1, 2)
+      FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus, round(o_totalprice+10, 2)
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT o_orderkey*10+7, 'DELETE', o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 5
+    )
+"""
+
+
+@query(
+    "cdc_event_counts",
+    oracle=f"""
+    WITH {_CHANGES_CTE}
+    SELECT op, count(*) AS n_events,
+           min(lsn) AS min_lsn, max(lsn) AS max_lsn,
+           count(DISTINCT okey) AS n_keys
+    FROM changes
+    GROUP BY op
+    ORDER BY op
+    """,
+)
+def cdc_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope integrity: per-op counts and LSN ranges over the stream."""
+    ch = orders_changes(spark, sf_dir)
+    return (
+        ch.groupBy("op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.countDistinct("txid").alias("n_keys"),
+        )
+        .orderBy("op")
+    )
+
+
+@query(
+    "cdc_latest_per_key_materialize",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY okey ORDER BY lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT okey AS o_orderkey, status AS o_orderstatus,
+           round(price, 2) AS o_totalprice
+    FROM ranked
+    WHERE rn = 1 AND op <> 'DELETE'
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_latest_per_key_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CDC materialization operator: replay the stream into final
+    table state (latest event per key, deletes dropped) — what the
+    reference's users hand-build in HandleFunc (postrack.go:35)."""
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    final = apply_changes(ch, key, key_name="o_orderkey")
+    return final.select(
+        "o_orderkey",
+        typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
+        F.round(typed_column("after", "o_totalprice", "double"), 2).alias("o_totalprice"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "cdc_typed_projection_sum",
+    oracle=f"""
+    WITH {_CHANGES_CTE}
+    SELECT status AS o_orderstatus,
+           count(*) AS n_events,
+           round(sum(price), 2) AS total_price
+    FROM changes
+    WHERE op IN ('INSERT', 'UPDATE')
+    GROUP BY status
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_typed_projection_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed projection out of the text envelope (after['col'] CAST t):
+    text-encoded values re-acquire types, per SURVEY.md §1.2 — and the
+    event-kind filter ≡ publish= (postrack.go:202-206)."""
+    ch = filter_events(orders_changes(spark, sf_dir), ["INSERT", "UPDATE"])
+    return (
+        ch.groupBy(typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(typed_column("after", "o_totalprice", "double")), 2).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "cdc_before_image_flavors",
+    oracle="""
+    SELECT op, flavor, count(*) AS n
+    FROM (
+      SELECT 'INSERT' AS op, 'null' AS flavor, o_orderkey FROM orders
+      UNION ALL
+      SELECT 'UPDATE', 'full', o_orderkey FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT 'UPDATE', 'empty', o_orderkey FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT 'DELETE', 'full', o_orderkey FROM orders WHERE o_orderkey % 10 = 5
+    )
+    GROUP BY op, flavor
+    ORDER BY op, flavor
+    """,
+)
+def cdc_before_image_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-identity semantics: before is NULL on INSERT, EMPTY on
+    default-identity UPDATE, FULL on identity-full UPDATE and DELETE —
+    mirroring postrack.go:383-406 (old tuple nil unless REPLICA
+    IDENTITY FULL, guarded at :388)."""
+    ch = orders_changes(spark, sf_dir)
+    flavor = (
+        F.when(F.col("before").isNull(), "null")
+        .when(F.size("before") == 0, "empty")
+        .otherwise("full")
+    )
+    return (
+        ch.groupBy("op", flavor.alias("flavor"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("op", "flavor")
+    )
+
+
+@query(
+    "cdc_truncate_epoch",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    t AS (SELECT CAST(floor(avg(o_orderkey) * 10) AS BIGINT) AS trunc_lsn FROM orders),
+    survived AS (
+      SELECT c.* FROM changes c, t WHERE c.lsn > t.trunc_lsn
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY okey ORDER BY lsn DESC) AS rn
+      FROM survived
+    )
+    SELECT count(*) AS n_rows,
+           round(sum(price), 2) AS total_price,
+           count(DISTINCT status) AS n_statuses
+    FROM ranked
+    WHERE rn = 1 AND op <> 'DELETE'
+    """,
+)
+def cdc_truncate_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE as an epoch barrier: events at or before the table's
+    last TRUNCATE LSN are discarded before per-key compaction. Fixes
+    reference bug q2 (postrack.go:407-410 emits TRUNCATE with a broken
+    table-name lookup); here the name is correct and the semantics are
+    explicit."""
+    ch = mixed_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    final = apply_changes(ch, key, key_name="o_orderkey")
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(typed_column("after", "o_totalprice", "double")), 2).alias("total_price"),
+        F.countDistinct(typed_column("after", "o_orderstatus", "string")).alias("n_statuses"),
+    )

@@ -1,0 +1,75 @@
+"""Envelope invariants mirroring the reference's per-op semantics
+(postrack.go:383-410) + materialization round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postrack_spark.cdc import (
+    CHANGE_SCHEMA,
+    apply_changes,
+    latest_per_key,
+    orders_changes,
+    typed_column,
+)
+
+
+def test_envelope_schema(spark, sf_dir):
+    ch = orders_changes(spark, sf_dir)
+    got = [(f.name, f.dataType) for f in ch.schema.fields]
+    want = [(f.name, f.dataType) for f in CHANGE_SCHEMA.fields]
+    assert got == want
+
+
+def test_op_image_invariants(spark, sf_dir):
+    """INSERT (after, null) / UPDATE (after, before) / DELETE (null,
+    before) — postrack.go:383,385-398,399-406."""
+    ch = orders_changes(spark, sf_dir).cache()
+    bad_insert = ch.filter(
+        (F.col("op") == "INSERT") & (F.col("after").isNull() | F.col("before").isNotNull())
+    ).count()
+    bad_update = ch.filter(
+        (F.col("op") == "UPDATE") & (F.col("after").isNull() | F.col("before").isNull())
+    ).count()
+    bad_delete = ch.filter(
+        (F.col("op") == "DELETE") & (F.col("after").isNotNull() | F.col("before").isNull())
+    ).count()
+    assert (bad_insert, bad_update, bad_delete) == (0, 0, 0)
+    ch.unpersist()
+
+
+def test_lsn_unique_and_ordered(spark, sf_dir):
+    ch = orders_changes(spark, sf_dir)
+    n = ch.count()
+    assert ch.select("lsn").distinct().count() == n
+
+
+def test_materialize_roundtrip_counts(spark, sf_dir):
+    """apply_changes(orders_changes) == orders minus deleted keys."""
+    from postrack_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    n_orders = orders.count()
+    n_deleted = orders.filter(F.col("o_orderkey") % 10 == 5).count()
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    final = apply_changes(ch, key, key_name="o_orderkey")
+    assert final.count() == n_orders - n_deleted
+    # updated keys carry the new status
+    updated = final.filter(
+        (F.col("o_orderkey") % 10).isin(1, 2, 3)
+        & (typed_column("after", "o_orderstatus", "string") != "F")
+    ).count()
+    assert updated == 0
+
+
+def test_latest_per_key_picks_max_lsn(spark, sf_dir):
+    ch = orders_changes(spark, sf_dir)
+    latest = latest_per_key(ch.withColumn("k", F.col("txid")), ["k"])
+    # every surviving row's lsn is the max lsn for its txid
+    expected = ch.groupBy("txid").agg(F.max("lsn").alias("max_lsn"))
+    joined = latest.join(expected, "txid").filter(F.col("lsn") != F.col("max_lsn"))
+    assert joined.count() == 0
