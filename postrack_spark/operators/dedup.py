@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers (north-star extension, BASELINE.json:6):
+  exact            — hash-groupBy on the raw text (or its md5)
+  normalized exact — bag-of-words fingerprint
+  MinHash + LSH    — near-dup candidates at O(n·bands) instead of O(n²)
+  SimHash          — bit-fingerprint + hamming radius
+
+All hashes are md5-based (engine-portable; see functions.text) so the
+DuckDB oracle reproduces candidates bit-for-bit — no Spark-private
+hash functions in semantically-relevant places.
+
+Scale design: every operator is explode -> shuffle-on-key -> aggregate;
+no crossJoin anywhere. MinHash candidate generation shuffles on
+(band_index, band_hash) — the LSH bucket — so 100 TB of documents
+becomes many small per-bucket joins; hot buckets (degenerate docs) are
+bounded by `max_bucket_size`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from postrack_spark.functions.text import (
+    distinct_tokens,
+    exact_fingerprint,
+    minhash_expr,
+    normalized_fingerprint,
+)
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical docs: fingerprint -> (representative =
+    min id, n_docs). Representative choice is deterministic."""
+    return (
+        df.select(F.col(id_col), exact_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("representative"), F.count("*").alias("n_docs"))
+    )
+
+
+def normalized_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups identical up to token order/multiplicity."""
+    return (
+        df.select(F.col(id_col), normalized_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("representative"), F.count("*").alias("n_docs"))
+    )
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct — the exploded form every set-based dedup
+    operator starts from. One wide shuffle, reused downstream."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """One row per doc with columns h0..h{n-1}: per-seed min over
+    distinct tokens of md5(seed|token). Single explode + single
+    groupBy — all lanes computed in one aggregation pass."""
+    toks = doc_tokens(df, id_col, text_col)
+    aggs = [F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(n_hashes)]
+    return toks.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    max_bucket_size: int = 5000,
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any band bucket are candidates.
+
+    Emits distinct (doc_a, doc_b) with doc_a < doc_b. Buckets larger
+    than `max_bucket_size` are dropped (degenerate near-constant text —
+    at 100 TB such buckets would otherwise produce quadratic pairs).
+    """
+    n_bands = n_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        lanes = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*[F.col(c) for c in lanes])).alias("bh"))
+        )
+    buckets = signatures.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    sized = buckets.join(
+        buckets.groupBy("band", "bh").agg(F.count("*").alias("__bsz")),
+        ["band", "bh"],
+    ).filter(F.col("__bsz") <= max_bucket_size)
+
+    left = sized.select("band", "bh", F.col("doc").alias("doc_a"))
+    right = sized.select("band", "bh", F.col("doc").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    tokens_df: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard.
+
+    With candidate `pairs`: join each side's token-set array and take
+    size(array_intersect) — O(candidates · avg_set_size), no blow-up on
+    skewed vocabularies (an inverted-index join degenerates when a few
+    tokens appear in most docs, e.g. the driver data's 31-word vocab).
+    Without `pairs`: inverted-index join over all co-token pairs.
+
+    Returns (doc_a, doc_b, inter, n_a, n_b, jaccard) rows >= threshold.
+    """
+    sets_ = tokens_df.groupBy("doc").agg(
+        F.collect_set("tok").alias("toks"), F.count("*").alias("n_tok")
+    )
+    if pairs is not None:
+        inter = (
+            pairs.join(
+                sets_.select(
+                    F.col("doc").alias("doc_a"),
+                    F.col("toks").alias("toks_a"),
+                    F.col("n_tok").alias("n_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sets_.select(
+                    F.col("doc").alias("doc_b"),
+                    F.col("toks").alias("toks_b"),
+                    F.col("n_tok").alias("n_b"),
+                ),
+                "doc_b",
+            )
+            .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+            .drop("toks_a", "toks_b")
+        )
+    else:
+        sizes = sets_.select("doc", "n_tok")
+        a = tokens_df.select(F.col("doc").alias("doc_a"), "tok")
+        b = tokens_df.select(F.col("doc").alias("doc_b"), "tok")
+        inter = (
+            a.join(b, "tok")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+            .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_tok", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_tok", "n_b"), "doc_b")
+        )
+    out = inter.withColumn(
+        "jaccard",
+        F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+    """SimHash fingerprint as an n_bits '0'/'1' string.
+
+    Bit b of a token = parity of hex digit b of md5(token); bit b of a
+    doc = majority vote over its distinct tokens. Pure arithmetic on
+    md5 hex — identically computable in the oracle.
+    """
+    toks = doc_tokens(df, id_col, text_col).withColumn("h", F.md5(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.instr(F.lit("13579bdf"), F.substring("h", b + 1, 1)) > 0, 1).otherwise(0)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    agg = toks.groupBy("doc").agg(F.count("*").alias("n_tok"), *bit_sums)
+    bits = [
+        F.when(F.col(f"s{b}") * 2 > F.col("n_tok"), F.lit("1")).otherwise(F.lit("0"))
+        for b in range(n_bits)
+    ]
+    return agg.select("doc", F.concat(*bits).alias("simhash"))
+
+
+def hamming(a, b, n_bits: int = 16):
+    """Hamming distance between two equal-length bitstring columns."""
+    terms = [
+        F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
+        for i in range(n_bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

@@ -1,0 +1,74 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(|Q|·|C|·d); fine when the
+query set is small and broadcast. Scale path: IVF-style coarse
+quantization — assign every vector to its nearest centroid, search only
+the probed bucket(s); turns the scan into a bucket-pruned join.
+
+All math is higher-order built-ins (functions.vector) — JVM-side, no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from postrack_spark.functions.vector import as_double_array, cosine
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against the
+    corpus, rank per query. One pass over the corpus, no shuffle of the
+    corpus itself — the 100 TB-safe exact search when |Q| is small."""
+    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "sim", cosine(F.col(q_vec), F.col(c_vec))
+    )
+    if exclude_self:
+        joined = joined.filter(F.col(q_id) != F.col(c_id))
+    w = W.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, F.round("sim", 4).alias("cos_sim"), "rn")
+    )
+
+
+def label_centroids(corpus: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Element-wise mean vector per label — the IVF coarse codebook.
+    posexplode -> groupBy(label, pos) -> avg -> re-assemble sorted by
+    position. Two shuffles, both on small keys."""
+    exploded = corpus.select(
+        F.col(label_col).alias("label"), F.posexplode(as_double_array(vec_col)).alias("pos", "v")
+    )
+    by_pos = exploded.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return (
+        by_pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, out_col: str = "bucket"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid: broadcast codebook,
+    argmax via max_by — a single aggregation, no window, no extra
+    shuffle beyond the groupBy on the id."""
+    sims = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(as_double_array(vec_col), F.col("centroid"))
+    )
+    # deterministic tie-break: higher sim wins, then lower label
+    best = sims.groupBy(id_col).agg(
+        F.max_by("label", F.struct(F.col("__sim"), (-F.col("label")).alias("nl"))).alias(out_col)
+    )
+    return df.join(best, id_col)

@@ -1,1 +1,187 @@
-"""Placeholder — populated in a later wave."""
+"""Event-stream analytics over the events table (batch twins of the
+streaming operators in postrack_spark.streaming): JSON extraction,
+time-bucketed windows, funnels, as-of joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+           CAST(max(json_extract(props, '$.k')::INT) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (get_json_object ≡ typed projection out
+    of a semi-structured payload — same shape as the CDC envelope)."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03'
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of streaming
+    groupBy(window(ts, '1 hour')) — see streaming module)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "events_funnel_view_purchase",
+    oracle="""
+    SELECT count(*) AS n_converting_users,
+           CAST(sum(n_purchases_after) AS BIGINT) AS total_purchases_after
+    FROM (
+      SELECT v.user_id,
+             count(DISTINCT p.event_id) AS n_purchases_after
+      FROM (SELECT user_id, min(ts) AS first_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id) v
+      JOIN events p
+        ON p.user_id = v.user_id AND p.event_type = 'purchase' AND p.ts > v.first_view
+      GROUP BY v.user_id
+    )
+    """,
+)
+def events_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: users whose first view precedes >=1 purchase; join on
+    user_id (single shuffle) then temporal predicate."""
+    t = load_tables(spark, sf_dir)
+    first_view = (
+        t["events"]
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    per_user = (
+        purchases.join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_id").alias("n_purchases_after"))
+    )
+    return per_user.agg(
+        F.count("*").alias("n_converting_users"),
+        F.sum("n_purchases_after").cast("bigint").alias("total_purchases_after"),
+    )
+
+
+@query(
+    "events_asof_last_click",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           count(last_click_value) AS n_with_prior_click,
+           round(coalesce(sum(last_click_value), 0), 2) AS sum_click_value
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join within one stream: for each purchase, the value of the
+    user's most recent strictly-earlier click (last_value IGNORE NULLS
+    over a trailing frame) — the composition-of-built-ins as-of pattern
+    (no pandas merge_asof needed when both sides share the stream)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    enriched = t["events"].withColumn(
+        "last_click_value", F.last(click_val, ignorenulls=True).over(w)
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("last_click_value").alias("n_with_prior_click"),
+            F.round(F.coalesce(F.sum("last_click_value"), F.lit(0.0)), 2).alias(
+                "sum_click_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_top_users_by_value",
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 2) AS total_value,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 20
+    """,
+)
+def events_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by total event value (deterministic tiebreak)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )

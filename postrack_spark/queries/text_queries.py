@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later wave."""
+"""Text-analysis queries over the documents table: token metrics,
+quality scoring, language-ID heuristic, fingerprinting, and the
+multimodal binary-payload profile (north-star extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.functions.text import (
+    STOPWORDS,
+    distinct_token_count,
+    exact_fingerprint,
+    normalized_fingerprint,
+    quality_score,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' '))), 6) AS avg_distinct_ratio,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language: totals + vocabulary-diversity ratio."""
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(txt)).cast("bigint").alias("total_tokens"),
+            F.round(
+                F.avg(distinct_token_count(txt) / token_count(txt)), 6
+            ).alias("avg_distinct_ratio"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(string_split(text, ' ')) * 1.0 AS n,
+             len(list_filter(string_split(text, ' '), t -> t IN ({_SW_LIST}))) * 1.0 AS sw,
+             len(list_filter(string_split(text, ' '), t -> length(t) <= 1)) * 1.0 AS sh
+      FROM documents
+    )
+    SELECT source,
+           round(avg(round(least(n / 100.0, 1.0) * (1 - sw / n) * (1 - sh / n), 6)), 6)
+             AS avg_quality,
+           count(*) AS n_docs
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristic (length × non-stopword × non-short-token) per
+    source — the LLM-pipeline 'filter low-quality docs' primitive."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(F.round(F.avg("q"), 6).alias("avg_quality"), F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+# Marker words per language for the n-gram-free language-ID heuristic.
+_MARKERS = {
+    "en": ["the", "a", "of", "is"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "los", "y"],
+    "fr": ["le", "les", "des", "et"],
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS true_lang,
+             {_marker_sql("en")} AS s_en,
+             {_marker_sql("de")} AS s_de,
+             {_marker_sql("es")} AS s_es,
+             {_marker_sql("fr")} AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT true_lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, count(*) AS n
+    FROM pred
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic, reported as a confusion
+    matrix against the ground-truth lang column. (On real corpora the
+    marker lists would be n-gram profiles; the operator shape — score
+    per language, argmax with deterministic precedence — is the same.)"""
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+
+    def score(lang: str):
+        return F.size(F.filter(tokens(txt), lambda tok: tok.isin(_MARKERS[lang])))
+
+    scored = t["documents"].select(
+        F.col("lang").alias("true_lang"),
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("es").alias("s_es"),
+        score("fr").alias("s_fr"),
+    )
+    best = F.greatest("s_en", "s_de", "s_es", "s_fr")
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("true_lang", pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@query(
+    "text_doc_profile",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_SW_LIST}))) AS INT)
+             AS n_stopwords,
+           md5(text) AS fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS norm_fp
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile row: token counts + both fingerprints."""
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            token_count(txt).alias("n_tokens"),
+            distinct_token_count(txt).alias("n_distinct"),
+            stopword_count(txt).cast("int").alias("n_stopwords"),
+            exact_fingerprint(txt).alias("fp"),
+            normalized_fingerprint(txt).alias("norm_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_binary_profile",
+    oracle="""
+    SELECT source,
+           count(*) AS n_payloads,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           count(DISTINCT sha256(text)) AS n_distinct_payloads
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing tier: treat content as opaque binary —
+    byte length + content digest aggregated per source. The decode /
+    feature-extract stage for real image/audio payloads lives in
+    operators.multimodal (Pandas-UDF pipeline with stubbed codecs)."""
+    t = load_tables(spark, sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        t["documents"]
+        .select("source", payload.alias("payload"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+            F.countDistinct(F.sha2("payload", 256)).alias("n_distinct_payloads"),
+        )
+        .orderBy("source")
+    )

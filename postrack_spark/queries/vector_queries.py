@@ -1,1 +1,181 @@
-"""Placeholder — populated in a later wave."""
+"""Vector similarity-search queries over the embeddings table
+(array<float>, 64-d, ground-truth cluster label).
+
+Spark math is higher-order built-ins over array<double>; the oracle
+uses DuckDB's list_* functions over embedding::DOUBLE[] — both engines
+sum sequentially in double over identical float32 inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.functions.vector import as_double_array, cosine, norm
+from postrack_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    label_centroids,
+)
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+
+@query(
+    "vector_norm_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS avg_norm,
+           round(avg(embedding[1]::DOUBLE), 6) AS avg_first_dim
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster vector statistics (norms via aggregate/zip_with)."""
+    t = load_tables(spark, sf_dir)
+    vec = as_double_array("embedding")
+    return (
+        t["embeddings"]
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(norm(vec)), 4).alias("avg_norm"),
+            F.round(F.avg(F.element_at(vec, 1)), 6).alias("avg_first_dim"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "vector_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings),
+    sims AS (
+      SELECT q_id, c_id, list_cosine_similarity(q_vec, c_vec) AS sim
+      FROM q CROSS JOIN c
+      WHERE q_id <> c_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+      FROM sims
+    )
+    SELECT q_id, c_id, round(sim, 4) AS cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    ORDER BY q_id, rn
+    """,
+)
+def vector_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries ×
+    one corpus pass × per-query window — the ANN correctness baseline."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("c_vec")
+    )
+    return brute_force_topk(queries, corpus, k=10, exclude_self=True).orderBy("q_id", "rn")
+
+
+@query(
+    "vector_ivf_search",
+    oracle="""
+    WITH dims AS (
+      SELECT label, g.i AS pos, avg(embedding[g.i]::DOUBLE) AS m
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY label, g.i
+    ),
+    centroids AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM dims GROUP BY label
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 5),
+    assign AS (
+      SELECT q_id, arg_max(label, list_cosine_similarity(q_vec, centroid)) AS bucket
+      FROM q CROSS JOIN centroids
+      GROUP BY q_id
+    ),
+    cand AS (
+      SELECT a.q_id, e.vec_id AS c_id,
+             list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]) AS sim
+      FROM assign a
+      JOIN q ON q.q_id = a.q_id
+      JOIN embeddings e ON e.label = a.bucket AND e.vec_id <> a.q_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+      FROM cand
+    )
+    SELECT q_id, c_id, round(sim, 4) AS cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY q_id, rn
+    """,
+)
+def vector_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse codebook = per-label centroids; probe the
+    nearest bucket only, exact top-5 within it. The scale path — the
+    corpus is partitioned by bucket, the query touches one partition."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = label_centroids(emb, "embedding", "label")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("q_vec")
+    )
+    assigned = ivf_assign(queries, centroids, "q_id", "q_vec", out_col="bucket")
+    cand = (
+        assigned.join(emb.alias("e"), F.col("e.label") == F.col("bucket"))
+        .filter(F.col("e.vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("e.vec_id").alias("c_id"),
+            cosine(F.col("q_vec"), as_double_array("e.embedding")).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "c_id", F.round("sim", 4).alias("cos_sim"), "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+@query(
+    "vector_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.label, count(*) AS n_pairs,
+           round(avg(list_cosine_similarity(a.v, b.v)), 4) AS avg_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    GROUP BY a.label
+    ORDER BY a.label
+    """,
+)
+def vector_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, label-blocked
+    (the embedding analogue of MinHash dedup: block, then verify).
+    Threshold 0.35 sits in the upper tail of the driver data's
+    intra-cluster cosine distribution (max ≈ 0.55)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "label", as_double_array("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("ida"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("idb"), "label", F.col("v").alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.35)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_pairs"), F.round(F.avg("sim"), 4).alias("avg_sim"))
+        .orderBy("label")
+    )
