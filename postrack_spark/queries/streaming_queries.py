@@ -1,0 +1,164 @@
+"""Streaming queries — real Structured Streaming runs (file source →
+watermarked ops → memory/foreachBatch sink, Trigger.availableNow), with
+batch-SQL oracles: on a finite input the streaming result must equal
+the batch result, so these stay fully hash-checkable.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.cdc import orders_changes, typed_column
+from postrack_spark.queries.registry import query
+from postrack_spark.streaming import (
+    envelope_stream,
+    events_stream,
+    foreach_batch_apply_changes,
+    hourly_window_counts,
+    run_to_memory,
+    session_window_stats,
+    stream_dedup,
+)
+
+
+def _qname(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "streaming_hourly_windows",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows over a real stream; equals the
+    batch rollup on finite input (complete mode emits all windows,
+    including those still open at end-of-input)."""
+    ev = events_stream(spark, sf_dir)
+    agg = hourly_window_counts(ev)
+    out = run_to_memory(agg, _qname("hourly"), output_mode="complete")
+    return out.orderBy("hour", "event_type")
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) on a real stream ≡ the batch
+    lag+cumsum sessionization (same gap semantics: a session extends
+    while consecutive events are <= 30 min apart)."""
+    ev = events_stream(spark, sf_dir)
+    sess = session_window_stats(ev, gap="30 minutes")
+    out = run_to_memory(sess, _qname("sessions"), output_mode="complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids
+    FROM events
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a stream that delivers every
+    event twice (two file-source passes) — output must equal the
+    distinct id count."""
+    from postrack_spark.session import load_tables
+
+    ev_batch = load_tables(spark, sf_dir)["events"]
+    doubled = ev_batch.unionByName(ev_batch)
+    stream = envelope_stream(spark, doubled, name="dedup")
+    deduped = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    out = run_to_memory(deduped.select("event_id"), _qname("dedup"), output_mode="append")
+    return out.agg(
+        F.count("*").alias("n_rows"), F.countDistinct("event_id").alias("n_ids")
+    )
+
+
+@query(
+    "streaming_cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey*10+1 AS lsn, 'INSERT' AS op, o_orderkey AS okey,
+             o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*1.1, 2)
+      FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus, round(o_totalprice+10, 2)
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT o_orderkey*10+7, 'DELETE', o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY okey ORDER BY lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT okey AS o_orderkey, status AS o_orderstatus,
+           round(price, 2) AS o_totalprice
+    FROM ranked
+    WHERE rn = 1 AND op <> 'DELETE'
+    ORDER BY o_orderkey
+    """,
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC pipeline: envelope stream -> foreachBatch
+    compact-then-merge -> materialized parquet table. The streaming
+    twin of cdc_latest_per_key_materialize — MUST produce the exact
+    same final state (the driver hash-checks it does)."""
+    changes = orders_changes(spark, sf_dir)
+    stream = envelope_stream(spark, changes, name="cdc_apply")
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    target, q = foreach_batch_apply_changes(stream, key, key_name="o_orderkey")
+    q.awaitTermination()
+    final = spark.read.parquet(target)
+    return final.select(
+        "o_orderkey",
+        typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
+        F.round(typed_column("after", "o_totalprice", "double"), 2).alias("o_totalprice"),
+    ).orderBy("o_orderkey")

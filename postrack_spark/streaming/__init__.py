@@ -1,0 +1,35 @@
+"""Structured Streaming surface: the Spark-native form of the
+reference's streaming runtime (postrack.go:287-413).
+
+Mapping (SURVEY.md §3.4):
+  Changes/StartReplication  -> readStream + writeStream.start()
+  handler decode loop       -> source decode into CHANGE_SCHEMA rows
+  HandleFunc callback       -> foreachBatch / foreach
+  lsn resume (lsn+1, :297)  -> checkpoint offsets
+  keepAlive 5s ack (:107)   -> commit() after durable micro-batch
+                               (fixes the ref's ack-before-process race)
+"""
+
+from postrack_spark.streaming.ops import (
+    hourly_window_counts,
+    session_window_stats,
+    stream_dedup,
+    stream_static_join,
+)
+from postrack_spark.streaming.runner import (
+    envelope_stream,
+    events_stream,
+    run_to_memory,
+)
+from postrack_spark.streaming.sinks import foreach_batch_apply_changes
+
+__all__ = [
+    "events_stream",
+    "envelope_stream",
+    "run_to_memory",
+    "hourly_window_counts",
+    "session_window_stats",
+    "stream_dedup",
+    "stream_static_join",
+    "foreach_batch_apply_changes",
+]

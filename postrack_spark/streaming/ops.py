@@ -1,0 +1,55 @@
+"""Streaming operators: watermarked event-time windows, session
+windows, stream dedup, stream-static joins.
+
+The reference has NO event-time semantics (events arrive in WAL order,
+postrack.go:366; no watermarks, no windows — SURVEY.md §2b) — these are
+the consumer-side operators its users would hand-roll in HandleFunc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_window_counts(
+    events: DataFrame, watermark: str = "1 hour", window_len: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation. Late rows beyond the
+    watermark are dropped; state is bounded by the watermark horizon —
+    the 100 TB-stream essential (unbounded state = OOM)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (session_window merges events
+    closer than `gap`)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key only within the
+    watermark horizon (vs dropDuplicates whose state grows forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_static_join(stream: DataFrame, static: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream ⋈ static dimension. The static side is re-planned per
+    micro-batch (picks up dim updates); broadcast by Catalyst when
+    small."""
+    return stream.join(static, on, how)
