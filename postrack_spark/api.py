@@ -1,0 +1,271 @@
+"""Name-for-name parity layer for the reference's public API
+(SURVEY.md §2c; postrack.go:17-338), in Pythonic form.
+
+Go surface -> here:
+  New(dsn, opts...)            -> Conn(dsn, events=..., lsn=...)
+  NewTable(schema, name, opts) -> Table(schema, name, selector=...,
+                                        condition=..., keep_existing=...)
+  WithSelector (":45-49")      -> Table(selector=[...]) — column list
+  WithCondition (":51-55")     -> Table(condition="...") — row filter
+  WithOverride (":57-61")      -> Table(keep_existing=True). The Go
+      option is named "Override" but actually means "leave an existing
+      publication table untouched" (it is passed as AlterPublication's
+      noOverride param, postrack.go:195); we keep the capability under
+      an honest name (quirk q1).
+  CreatePublicationId (":63")  -> create_publication_id
+  Bootstrap (":320-338")       -> Conn.bootstrap
+  Changes (":287-310")         -> Conn.changes
+  SetSlot/AddSlot/DropSlot (":258-285")          -> Conn.{set,add,drop}_slot
+  SetPublication/Add/Alter/Drop/Replace (":188-256") -> Conn.*_publication
+  PublicationExists/PublicationTableExists/SlotExists (":119-186")
+                               -> Conn.*_exists
+  SetEvents/SetLSN (":312-318")-> Conn.set_events / Conn.set_lsn
+  INSERT/UPDATE/DELETE/TRUNCATE (":38-43") -> cdc.envelope constants
+
+Postgres I/O goes through an injected `executor` (query/command/
+replication_command) so everything is unit-testable without a server;
+a live psycopg-backed executor can be supplied where available. SQL
+uses identifier quoting rather than the reference's raw interpolation
+(its CREATE PUBLICATION is an injection surface, postrack.go:206).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postrack_spark.cdc.envelope import DELETE, EVENT_KINDS, INSERT, TRUNCATE, UPDATE
+
+__all__ = [
+    "INSERT",
+    "UPDATE",
+    "DELETE",
+    "TRUNCATE",
+    "Table",
+    "Conn",
+    "create_publication_id",
+]
+
+
+def create_publication_id(slot_name: str) -> str:
+    """postrack.go:63-65: slot -> publication_<slot>."""
+    return f"publication_{slot_name}"
+
+
+def _quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+@dataclass
+class Table:
+    """Per-table subscription spec (postrack.go:27-32,76-84)."""
+
+    schema: str
+    name: str
+    selector: list[str] | None = None  # column list -> source-side projection
+    condition: str | None = None  # row filter (WHERE ...) -> source-side predicate
+    keep_existing: bool = False  # Go's WithOverride (inverted semantics, q1)
+
+    def qualified(self) -> str:
+        return f"{_quote_ident(self.schema)}.{_quote_ident(self.name)}"
+
+    def clause(self) -> str:
+        """The publication table clause: name [(cols)] [WHERE (...)] —
+        mirrors how WithSelector/WithCondition text ends up in the DDL
+        (postrack.go:47-48,53-54,206)."""
+        out = self.qualified()
+        if self.selector:
+            out += " (" + ", ".join(_quote_ident(c) for c in self.selector) + ")"
+        if self.condition:
+            cond = self.condition.strip()
+            if cond.upper().startswith("WHERE"):
+                cond = cond[5:].strip()
+            out += f" WHERE ({cond})"
+        return out
+
+
+class Executor(Protocol):
+    """Minimal Postgres access surface. query() runs catalog SQL over a
+    pooled connection (postrack.go:93); command() runs DDL; and
+    replication_command() speaks the replication protocol
+    (postrack.go:98: second conn with ?replication=database)."""
+
+    def query(self, sql: str, params: tuple = ()) -> list[tuple]: ...
+    def command(self, sql: str) -> None: ...
+    def replication_command(self, cmd: str) -> None: ...
+
+
+class Conn:
+    """Connection + subscription state (postrack.go:20-25)."""
+
+    def __init__(
+        self,
+        dsn: str,
+        events: list[str] | None = None,
+        lsn: int = 0,
+        executor: Executor | None = None,
+    ) -> None:
+        self.dsn = dsn
+        self.events = list(events) if events else list(EVENT_KINDS)
+        self.lsn = lsn
+        self.slot: str | None = None
+        self.executor = executor
+
+    # -- setters (postrack.go:312-318) --------------------------------
+    def set_events(self, events: list[str]) -> None:
+        bad = set(events) - set(EVENT_KINDS)
+        if bad:
+            raise ValueError(f"unknown event kinds: {sorted(bad)}")
+        self.events = list(events)
+
+    def set_lsn(self, lsn: int) -> None:
+        self.lsn = lsn
+
+    # -- catalog probes (postrack.go:119-186) -------------------------
+    def publication_exists(self, publication_id: str) -> bool:
+        rows = self.executor.query(
+            "SELECT TRUE FROM pg_publication WHERE pubname = %s", (publication_id,)
+        )
+        return bool(rows)
+
+    def publication_table_exists(self, publication_id: str, table: Table) -> bool:
+        rows = self.executor.query(
+            "SELECT TRUE FROM pg_publication_tables "
+            "WHERE pubname = %s AND schemaname = %s AND tablename = %s",
+            (publication_id, table.schema, table.name),
+        )
+        return bool(rows)
+
+    def slot_exists(self, slot_name: str) -> bool:
+        rows = self.executor.query(
+            "SELECT TRUE FROM pg_replication_slots WHERE slot_name = %s", (slot_name,)
+        )
+        return bool(rows)
+
+    # -- slot management (postrack.go:258-285) ------------------------
+    def set_slot(self, slot_name: str) -> None:
+        """Upsert: adopt an existing slot, else create (durable)."""
+        if not self.slot_exists(slot_name):
+            self.add_slot(slot_name)
+        self.slot = slot_name
+
+    def add_slot(self, slot_name: str) -> None:
+        # durable slot (Temporary: false, postrack.go:272)
+        self.executor.replication_command(
+            f"CREATE_REPLICATION_SLOT {_quote_ident(slot_name)} LOGICAL pgoutput"
+        )
+
+    def drop_slot(self, slot_name: str) -> None:
+        self.executor.replication_command(f"DROP_REPLICATION_SLOT {_quote_ident(slot_name)}")
+
+    # -- publication management (postrack.go:188-256) -----------------
+    def set_publication(self, table: Table) -> None:
+        """Upsert (postrack.go:188-198): create the publication if
+        missing, else reconcile the table into it."""
+        pub = create_publication_id(self.slot)
+        if self.publication_exists(pub):
+            self.alter_publication(table, keep_existing=table.keep_existing)
+        else:
+            self.add_publication(table)
+
+    def add_publication(self, table: Table) -> None:
+        """CREATE PUBLICATION ... WITH (publish=...) — the only place
+        the event-kind filter reaches the server (postrack.go:202-206)."""
+        pub = create_publication_id(self.slot)
+        publish = ", ".join(e.lower() for e in self.events if e != TRUNCATE) + (
+            ", truncate" if TRUNCATE in self.events else ""
+        )
+        self.executor.command(
+            f"CREATE PUBLICATION {_quote_ident(pub)} FOR TABLE {table.clause()} "
+            f"WITH (publish = '{publish}')"
+        )
+
+    def alter_publication(self, table: Table, keep_existing: bool = False) -> None:
+        """postrack.go:213-239 semantics, plus fix for quirk q7: the
+        publish= event list is re-applied on alter (the reference never
+        updates it)."""
+        pub = create_publication_id(self.slot)
+        pub_q = _quote_ident(pub)
+        if self.publication_table_exists(pub, table):
+            if keep_existing:
+                return
+            self.executor.command(f"ALTER PUBLICATION {pub_q} DROP TABLE {table.qualified()}")
+        self.executor.command(f"ALTER PUBLICATION {pub_q} ADD TABLE {table.clause()}")
+        publish = ", ".join(e.lower() for e in self.events if e != TRUNCATE) + (
+            ", truncate" if TRUNCATE in self.events else ""
+        )
+        self.executor.command(f"ALTER PUBLICATION {pub_q} SET (publish = '{publish}')")
+
+    def drop_publication(self) -> None:
+        """Drops the whole publication (the reference's version takes a
+        table arg it ignores — postrack.go:241-248; we drop the arg)."""
+        pub = create_publication_id(self.slot)
+        self.executor.command(f"DROP PUBLICATION IF EXISTS {_quote_ident(pub)}")
+
+    def replace_publication(self, table: Table) -> None:
+        self.drop_publication()
+        self.add_publication(table)
+
+    # -- the stream (postrack.go:287-310, 320-338) --------------------
+    def changes(self, spark: SparkSession, capture_dir: str) -> DataFrame:
+        """The change stream as a Structured Streaming DataFrame.
+
+        Resume semantics: Spark's checkpoint replaces the caller-held
+        LSN (the reference restarts at lsn+1, postrack.go:297; a Spark
+        restart continues after the last committed offset). Capture is
+        external (north star): `capture_dir` receives pgoutput frame
+        files from the capture process.
+        """
+        from postrack_spark.sources.postgres_cdc import register
+
+        register(spark)
+        reader = (
+            spark.readStream.format("postgres_cdc")
+            .option("capture_dir", capture_dir)
+            .option("events", ",".join(self.events))
+            .option("start_lsn", str(self.lsn))
+        )
+        return reader.load()
+
+    def bootstrap(
+        self,
+        spark: SparkSession,
+        slot_name: str,
+        tables: list[Table],
+        events: list[str],
+        lsn: int,
+        handle_func: Callable[[DataFrame, int], None],
+        capture_dir: str | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        """The end-to-end entry point (postrack.go:320-338): configure
+        events+lsn, ensure slot and publications, start the stream and
+        deliver micro-batches to `handle_func(batch_df, batch_id)` —
+        the foreachBatch form of HandleFunc (postrack.go:35).
+
+        Returns the StreamingQuery (caller stops it; the reference
+        returns while its handler goroutine keeps running — same
+        lifecycle shape).
+        """
+        import tempfile
+
+        self.set_events(events)
+        self.set_lsn(lsn)
+        if self.executor is not None:
+            self.set_slot(slot_name)
+            for table in tables:
+                self.set_publication(table)
+        else:
+            self.slot = slot_name
+        stream = self.changes(spark, capture_dir)
+        return (
+            stream.writeStream.foreachBatch(handle_func)
+            .option(
+                "checkpointLocation",
+                checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{slot_name}_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,0 +1,263 @@
+"""Pure-Python pgoutput (logical replication protocol v1) decoder.
+
+Message formats follow the public PostgreSQL documentation
+("Logical Streaming Replication Protocol" / "Logical Replication
+Message Formats"). Functional parity with the reference's handler loop
+(postrack.go:340-413) — decode XLogData frames, maintain the relation
+cache, emit one envelope dict per row change — with the reference's
+defects fixed:
+
+  q2  TRUNCATE emits the real table name(s) (the reference indexes its
+      relation cache with the relation *count*, postrack.go:408, so the
+      name is almost always "")
+  q4  NULL ('n'), unchanged-TOAST ('u') and empty-string text values
+      are distinguished (the reference stringifies raw bytes with no
+      tuple-kind check, postrack.go:381 — all three collapse to "")
+  q5  Begin/Commit are decoded into txid/commit_ts on every event (the
+      reference's switch has no Begin/Commit arms — dropped)
+
+Emitted envelope matches cdc.envelope.CHANGE_SCHEMA keys. Values are
+text-encoded (map[string]string), exactly the reference's data model
+(postrack.go:35); None marks SQL NULL, UNCHANGED marks a TOASTed
+column not present in the new image.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+# Sentinel for 'u' (unchanged TOAST) tuple values — a consumer merging
+# an UPDATE should keep the previous value for these columns.
+UNCHANGED = "__unchanged__"
+
+# Postgres timestamps count microseconds from 2000-01-01 UTC.
+_PG_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
+
+
+@dataclass
+class Relation:
+    oid: int
+    namespace: str
+    name: str
+    replica_identity: int
+    columns: list[str]
+
+
+@dataclass
+class DecoderState:
+    """The decoder's only state: the relation cache (the reference's
+    two maps, postrack.go:341-342) + current transaction context."""
+
+    relations: dict[int, Relation] = field(default_factory=dict)
+    txid: int | None = None
+    commit_ts: datetime | None = None
+
+
+def _cstring(buf: bytes, off: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", off)
+    return buf[off:end].decode("utf-8"), end + 1
+
+
+def _pg_ts(micros: int) -> datetime:
+    return _PG_EPOCH + timedelta(microseconds=micros)
+
+
+def _tuple_data(buf: bytes, off: int) -> tuple[list, int]:
+    """TupleData: int16 ncols, then per column a kind byte:
+    'n' NULL / 'u' unchanged TOAST / 't' text (int32 len + bytes)."""
+    (ncols,) = struct.unpack_from(">h", buf, off)
+    off += 2
+    vals: list = []
+    for _ in range(ncols):
+        kind = buf[off : off + 1]
+        off += 1
+        if kind == b"n":
+            vals.append(None)
+        elif kind == b"u":
+            vals.append(UNCHANGED)
+        elif kind == b"t":
+            (ln,) = struct.unpack_from(">i", buf, off)
+            off += 4
+            vals.append(buf[off : off + ln].decode("utf-8"))
+            off += ln
+        elif kind == b"b":  # binary (proto >=2); not produced at proto 1
+            (ln,) = struct.unpack_from(">i", buf, off)
+            off += 4
+            vals.append(buf[off : off + ln].hex())
+            off += ln
+        else:
+            raise ValueError(f"unknown TupleData kind {kind!r}")
+    return vals, off
+
+
+def _zip_row(rel: Relation, vals: list) -> dict[str, str | None]:
+    return dict(zip(rel.columns, vals))
+
+
+def decode_message(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
+    """Decode one pgoutput logical replication message; returns zero or
+    more envelope rows (Relation/Begin/Commit/Origin/Type yield none).
+    """
+    tag = msg[0:1]
+    out: list[dict] = []
+
+    if tag == b"B":  # Begin: final_lsn int64, commit_ts int64, xid int32
+        _, ts, xid = struct.unpack_from(">qqi", msg, 1)
+        state.txid = xid
+        state.commit_ts = _pg_ts(ts)
+    elif tag == b"C":  # Commit: flags i8, commit_lsn, end_lsn, ts
+        state.txid = None
+        state.commit_ts = None
+    elif tag == b"R":  # Relation
+        (oid,) = struct.unpack_from(">i", msg, 1)
+        off = 5
+        ns, off = _cstring(msg, off)
+        name, off = _cstring(msg, off)
+        replident = msg[off]
+        off += 1
+        (ncols,) = struct.unpack_from(">h", msg, off)
+        off += 2
+        cols = []
+        for _ in range(ncols):
+            off += 1  # per-column flags
+            cname, off = _cstring(msg, off)
+            off += 8  # type oid + typmod
+            cols.append(cname)
+        state.relations[oid] = Relation(oid, ns, name, replident, cols)
+    elif tag == b"I":  # Insert: reloid, 'N', TupleData
+        (oid,) = struct.unpack_from(">i", msg, 1)
+        rel = state.relations[oid]
+        assert msg[5:6] == b"N"
+        vals, _ = _tuple_data(msg, 6)
+        out.append(_envelope(lsn, state, rel, "INSERT", _zip_row(rel, vals), None))
+    elif tag == b"U":  # Update: reloid, optional 'K'/'O'+old, 'N'+new
+        (oid,) = struct.unpack_from(">i", msg, 1)
+        rel = state.relations[oid]
+        off = 5
+        before: dict | None = {}
+        marker = msg[off : off + 1]
+        if marker in (b"K", b"O"):
+            off += 1
+            old_vals, off = _tuple_data(msg, off)
+            before = _zip_row(rel, old_vals)
+            marker = msg[off : off + 1]
+        assert marker == b"N", marker
+        off += 1
+        new_vals, _ = _tuple_data(msg, off)
+        # before stays {} when no old tuple: default replica identity
+        # (mirrors postrack.go:388-392 via an EMPTY map, not NULL)
+        out.append(_envelope(lsn, state, rel, "UPDATE", _zip_row(rel, new_vals), before))
+    elif tag == b"D":  # Delete: reloid, 'K'/'O', TupleData
+        (oid,) = struct.unpack_from(">i", msg, 1)
+        rel = state.relations[oid]
+        assert msg[5:6] in (b"K", b"O")
+        vals, _ = _tuple_data(msg, 6)
+        out.append(_envelope(lsn, state, rel, "DELETE", None, _zip_row(rel, vals)))
+    elif tag == b"T":  # Truncate: int32 nrels, int8 options, oids...
+        (nrels,) = struct.unpack_from(">i", msg, 1)
+        off = 6
+        for _ in range(nrels):
+            (oid,) = struct.unpack_from(">i", msg, off)
+            off += 4
+            rel = state.relations[oid]
+            out.append(_envelope(lsn, state, rel, "TRUNCATE", None, None))
+    # 'O' (Origin), 'Y' (Type), others: no rows
+    return out
+
+
+def _envelope(lsn, state, rel, op, after, before) -> dict:
+    return {
+        "lsn": lsn,
+        "txid": state.txid,
+        "commit_ts": state.commit_ts,
+        "schema": rel.namespace,
+        "table": rel.name,
+        "op": op,
+        "after": after,
+        "before": before,
+    }
+
+
+def decode_xlogdata_stream(frames: list[bytes], state: DecoderState | None = None) -> list[dict]:
+    """Decode a sequence of replication frames the way the reference's
+    handler does (postrack.go:343-367): keep only XLogData ('w') frames
+    — PrimaryKeepalive ('k') is skipped — parse the header, advance the
+    LSN, decode the payload."""
+    state = state or DecoderState()
+    rows: list[dict] = []
+    for frame in frames:
+        if not frame or frame[0:1] != b"w":  # XLogDataByteID
+            continue
+        wal_start, _wal_end, _clock = struct.unpack_from(">qqq", frame, 1)
+        payload = frame[25:]
+        rows.extend(decode_message(payload, wal_start, state))
+    return rows
+
+
+# ---------------------------------------------------------------- encoding
+# (test-fixture synthesis: FIXTURES.md §B.5 golden byte sequences)
+
+
+def encode_begin(final_lsn: int, commit_ts: datetime, xid: int) -> bytes:
+    micros = int((commit_ts - _PG_EPOCH).total_seconds() * 1_000_000)
+    return b"B" + struct.pack(">qqi", final_lsn, micros, xid)
+
+
+def encode_commit(commit_lsn: int, end_lsn: int, commit_ts: datetime) -> bytes:
+    micros = int((commit_ts - _PG_EPOCH).total_seconds() * 1_000_000)
+    return b"C" + struct.pack(">bqqq", 0, commit_lsn, end_lsn, micros)
+
+
+def encode_relation(oid: int, ns: str, name: str, columns: list[str]) -> bytes:
+    out = b"R" + struct.pack(">i", oid)
+    out += ns.encode() + b"\x00" + name.encode() + b"\x00"
+    out += b"d"  # replica identity default
+    out += struct.pack(">h", len(columns))
+    for c in columns:
+        out += b"\x00" + c.encode() + b"\x00" + struct.pack(">ii", 25, -1)  # text type
+    return out
+
+
+def _encode_tuple(values: list) -> bytes:
+    out = struct.pack(">h", len(values))
+    for v in values:
+        if v is None:
+            out += b"n"
+        elif v is UNCHANGED or v == UNCHANGED:
+            out += b"u"
+        else:
+            b = str(v).encode("utf-8")
+            out += b"t" + struct.pack(">i", len(b)) + b
+    return out
+
+
+def encode_insert(oid: int, values: list) -> bytes:
+    return b"I" + struct.pack(">i", oid) + b"N" + _encode_tuple(values)
+
+
+def encode_update(oid: int, new_values: list, old_values: list | None = None) -> bytes:
+    out = b"U" + struct.pack(">i", oid)
+    if old_values is not None:
+        out += b"O" + _encode_tuple(old_values)
+    return out + b"N" + _encode_tuple(new_values)
+
+
+def encode_delete(oid: int, old_values: list) -> bytes:
+    return b"D" + struct.pack(">i", oid) + b"O" + _encode_tuple(old_values)
+
+
+def encode_truncate(oids: list[int]) -> bytes:
+    out = b"T" + struct.pack(">i", len(oids)) + b"\x00"
+    for oid in oids:
+        out += struct.pack(">i", oid)
+    return out
+
+
+def wrap_xlogdata(payload: bytes, wal_start: int) -> bytes:
+    return b"w" + struct.pack(">qqq", wal_start, wal_start, 0) + payload
+
+
+def keepalive_frame(wal_end: int = 0, reply_requested: bool = False) -> bytes:
+    return b"k" + struct.pack(">qqb", wal_end, 0, 1 if reply_requested else 0)

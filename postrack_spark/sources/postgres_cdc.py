@@ -1,0 +1,169 @@
+"""`postgres_cdc` — a PySpark 4 Python DataSource exposing a captured
+pgoutput stream as batch or streaming DataFrames with CHANGE_SCHEMA.
+
+Architecture (north star, BASELINE.json): WAL capture runs OUTSIDE
+Spark — a capture process (the Conn/bootstrap layer + live Postgres)
+appends frame files to `capture_dir`. Spark reads those files, decodes
+pgoutput (sources.pgoutput), and plans the rest declaratively.
+
+Capture-file contract:
+  - files sort lexicographically in stream order (e.g. zero-padded
+    sequence numbers written by the capture process)
+  - each file is a sequence of length-prefixed replication frames
+    (uint32 BE length + frame bytes, XLogData 'w' / keepalive 'k')
+  - each file is self-contained: Relation frames for every table it
+    references precede the first row frame (Postgres re-sends
+    RelationMessages per session the same way; the reference also
+    rebuilds its relation cache per connection, postrack.go:341-342)
+
+Offsets are {"file_index": N}: a micro-batch reads files [start, end)
+— resuming from a checkpoint continues after the last committed file,
+the Spark form of the reference's lsn+1 restart (postrack.go:297).
+commit() appends the acked offset to an ack log — the keepAlive
+StandbyStatusUpdate analog (postrack.go:107-117) but issued only after
+the micro-batch is durably checkpointed (fixes race q3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from postrack_spark.cdc.envelope import CHANGE_SCHEMA
+from postrack_spark.sources.pgoutput import DecoderState, decode_xlogdata_stream
+
+FRAME_FILE_SUFFIX = ".pgout"
+
+
+def write_frame_file(path: str, frames: list[bytes]) -> None:
+    """Capture-side helper: length-prefixed frames, atomic rename."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        for fr in frames:
+            f.write(struct.pack(">I", len(fr)))
+            f.write(fr)
+    os.replace(tmp, path)
+
+
+def read_frame_file(path: str) -> list[bytes]:
+    frames = []
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    while off < len(data):
+        (ln,) = struct.unpack_from(">I", data, off)
+        off += 4
+        frames.append(data[off : off + ln])
+        off += ln
+    return frames
+
+
+def _capture_files(capture_dir: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(capture_dir) if f.endswith(FRAME_FILE_SUFFIX)
+    )
+
+
+def _decode_files(capture_dir: str, names: list[str], events: set[str], start_lsn: int):
+    state = DecoderState()
+    for name in names:
+        frames = read_frame_file(os.path.join(capture_dir, name))
+        for row in decode_xlogdata_stream(frames, state):
+            if row["op"] in events and row["lsn"] > start_lsn:
+                yield (
+                    row["lsn"],
+                    row["txid"],
+                    row["commit_ts"],
+                    row["schema"],
+                    row["table"],
+                    row["op"],
+                    row["after"],
+                    row["before"],
+                )
+
+
+class _Options:
+    def __init__(self, options: dict) -> None:
+        self.capture_dir = options.get("capture_dir") or options.get("path")
+        if not self.capture_dir:
+            raise ValueError("postgres_cdc requires option capture_dir")
+        ev = options.get("events", "INSERT,UPDATE,DELETE,TRUNCATE")
+        self.events = {e.strip().upper() for e in ev.split(",") if e.strip()}
+        self.start_lsn = int(options.get("start_lsn", "0"))
+
+
+class CDCFilePartition(InputPartition):
+    def __init__(self, names: list[str]):
+        self.names = names
+
+
+class PostgresCDCBatchReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.opts = _Options(options)
+
+    def partitions(self):
+        # one partition per capture file: decode parallelism scales with
+        # the capture roll interval, order restored downstream via lsn
+        return [CDCFilePartition([n]) for n in _capture_files(self.opts.capture_dir)] or [
+            CDCFilePartition([])
+        ]
+
+    def read(self, partition: CDCFilePartition):
+        yield from _decode_files(
+            self.opts.capture_dir, partition.names, self.opts.events, self.opts.start_lsn
+        )
+
+
+class PostgresCDCStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.opts = _Options(options)
+
+    def initialOffset(self) -> dict:
+        return {"file_index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"file_index": len(_capture_files(self.opts.capture_dir))}
+
+    def partitions(self, start: dict, end: dict):
+        names = _capture_files(self.opts.capture_dir)[start["file_index"] : end["file_index"]]
+        return [CDCFilePartition(names)]
+
+    def read(self, partition: CDCFilePartition):
+        yield from _decode_files(
+            self.opts.capture_dir, partition.names, self.opts.events, self.opts.start_lsn
+        )
+
+    def commit(self, end: dict) -> None:
+        """Ack AFTER durable processing (the keepAlive analog; a live
+        capture process reads this log and advances the slot's
+        StandbyStatusUpdate)."""
+        ack = os.path.join(self.opts.capture_dir, "_acks.jsonl")
+        with open(ack, "a") as f:
+            f.write(json.dumps(end) + "\n")
+
+
+class PostgresCDCDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "postgres_cdc"
+
+    def schema(self):
+        return CHANGE_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return PostgresCDCBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return PostgresCDCStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PostgresCDCDataSource)

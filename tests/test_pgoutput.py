@@ -1,0 +1,95 @@
+"""Golden pgoutput byte-fixture tests (FIXTURES.md §B.5): the decoder
+must reproduce the reference handler's semantics (postrack.go:340-413)
+with the documented fixes (q2 truncate naming, q4 NULL/TOAST, q5
+txid/commit_ts).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from postrack_spark.sources.pgoutput import (
+    UNCHANGED,
+    DecoderState,
+    decode_xlogdata_stream,
+    encode_begin,
+    encode_commit,
+    encode_delete,
+    encode_insert,
+    encode_relation,
+    encode_truncate,
+    encode_update,
+    keepalive_frame,
+    wrap_xlogdata,
+)
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+ORDERS_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def golden_frames() -> list[bytes]:
+    """Relation(orders) → Begin → Insert → Update(with old) →
+    Update(no old) → Delete → Commit → Relation(scratch) → Truncate,
+    with a keepalive interleaved (must be skipped, postrack.go:355)."""
+    return [
+        wrap_xlogdata(encode_relation(101, "public", "orders", ORDERS_COLS), 10),
+        wrap_xlogdata(encode_begin(100, TS, 777), 11),
+        wrap_xlogdata(encode_insert(101, ["1", "O", "100.5"]), 12),
+        keepalive_frame(wal_end=12, reply_requested=True),
+        wrap_xlogdata(
+            encode_update(101, ["1", "F", "110.0"], old_values=["1", "O", "100.5"]), 13
+        ),
+        wrap_xlogdata(encode_update(101, ["1", "F", None]), 14),
+        wrap_xlogdata(encode_insert(101, ["2", "O", UNCHANGED]), 15),
+        wrap_xlogdata(encode_delete(101, ["1", "F", None]), 16),
+        wrap_xlogdata(encode_commit(17, 17, TS), 17),
+        wrap_xlogdata(encode_relation(102, "public", "scratch", ["x"]), 18),
+        wrap_xlogdata(encode_truncate([102]), 19),
+    ]
+
+
+def test_golden_sequence():
+    rows = decode_xlogdata_stream(golden_frames())
+    assert [r["op"] for r in rows] == [
+        "INSERT", "UPDATE", "UPDATE", "INSERT", "DELETE", "TRUNCATE",
+    ]
+    assert [r["lsn"] for r in rows] == [12, 13, 14, 15, 16, 19]
+
+    ins = rows[0]
+    assert ins["after"] == {"o_orderkey": "1", "o_orderstatus": "O", "o_totalprice": "100.5"}
+    assert ins["before"] is None
+    # q5 fix: transaction context flows onto events
+    assert ins["txid"] == 777 and ins["commit_ts"] == TS
+
+    upd_full = rows[1]
+    assert upd_full["before"]["o_orderstatus"] == "O"
+
+    upd_defid = rows[2]  # no old tuple -> EMPTY map (postrack.go:388-392)
+    assert upd_defid["before"] == {}
+    # q4 fix: SQL NULL decodes to None, not ""
+    assert upd_defid["after"]["o_totalprice"] is None
+
+    toast = rows[3]  # unchanged TOAST column distinguished from NULL/""
+    assert toast["after"]["o_totalprice"] == UNCHANGED
+
+    dele = rows[4]
+    assert dele["after"] is None and dele["before"]["o_orderkey"] == "1"
+
+    trunc = rows[5]  # q2 fix: the real table name, not ""
+    assert trunc["table"] == "scratch"
+    assert trunc["after"] is None and trunc["before"] is None
+    # events outside a Begin/Commit have no tx context
+    assert trunc["txid"] is None
+
+
+def test_relation_cache_survives_across_messages():
+    state = DecoderState()
+    frames = golden_frames()
+    decode_xlogdata_stream(frames[:1], state)
+    assert state.relations[101].columns == ORDERS_COLS
+    rows = decode_xlogdata_stream(frames[1:3], state)
+    assert rows[0]["table"] == "orders"
+
+
+def test_empty_and_non_xlog_frames_skipped():
+    assert decode_xlogdata_stream([b"", keepalive_frame()]) == []
