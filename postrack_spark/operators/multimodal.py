@@ -1,0 +1,144 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched Pandas pipelines over mapInPandas.
+
+The decode step is STUBBED (this environment has no image/audio
+codecs): `decode_media` raises NotImplementedError unless
+`fake_decode=True`, in which case a deterministic pseudo-decode derived
+from the payload bytes stands in. Everything Spark-side — the media
+schema, the mapInPandas batch iteration, the UDF signatures, output
+schemas, partition behavior — is real and tested; swapping the stub
+for PIL/ffmpeg changes one function.
+
+Scale: payloads stay in executor memory one Arrow batch at a time
+(mapInPandas streams batches — never collect a 100 TB binary column);
+feature vectors are small arrays, so downstream similarity search
+(operators.similarity) runs on the extracted features, not the media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Envelope for a multimodal asset column.
+MEDIA_FIELDS = (
+    "payload binary, media_type string, byte_len bigint, content_sha string"
+)
+
+
+def attach_payload(df: DataFrame, content_col: str, media_type: str) -> DataFrame:
+    """Wrap a content column as a typed media payload struct columns:
+    payload (binary) + media_type + byte_len + content digest."""
+    payload = (
+        F.col(content_col)
+        if dict(df.dtypes)[content_col] == "binary"
+        else F.encode(F.col(content_col), "UTF-8")
+    )
+    return df.withColumn("payload", payload).select(
+        "*",
+        F.lit(media_type).alias("media_type"),
+        F.octet_length("payload").cast("bigint").alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("content_sha"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> bytes:
+    """STUB: real deployments plug PIL (image), soundfile (audio) or
+    ffmpeg (video) in here. The deterministic fake 'decodes' a payload
+    into itself so downstream plumbing is exercisable."""
+    if not fake_decode:
+        raise NotImplementedError(
+            f"no codec for {media_type} in this environment; pass fake_decode=True"
+        )
+    return payload
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str,
+    n_features: int = 8,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Per-asset feature vector via mapInPandas (Arrow batches).
+
+    Fake feature = folded byte histogram: feature[j] = mean of payload
+    bytes at positions ≡ j (mod n_features), scaled to [0,1] — a
+    deterministic stand-in with the exact shape of a real embedding
+    extractor (batch in, fixed-width float vector out).
+    """
+    schema = f"{id_col} long, media_type string, features array<double>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                raw = decode_media(bytes(payload), mtype, fake_decode=fake_decode)
+                sums = [0.0] * n_features
+                counts = [0] * n_features
+                for i, b in enumerate(raw):
+                    sums[i % n_features] += b
+                    counts[i % n_features] += 1
+                feats.append(
+                    [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(batches, schema)
+
+
+def resize_media(
+    df: DataFrame, id_col: str, target: int, fake_decode: bool = True
+) -> DataFrame:
+    """Resize stub: truncate/pad the payload to `target` bytes (a real
+    image resize keeps the same batch plumbing, different codec call)."""
+    schema = f"{id_col} long, payload binary, byte_len bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                raw = decode_media(bytes(payload), mtype, fake_decode=fake_decode)
+                out = raw[:target].ljust(target, b"\x00")
+                resized.append(out)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "payload": resized,
+                    "byte_len": [len(r) for r in resized],
+                }
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(batches, schema)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, every: int, fake_decode: bool = True
+) -> DataFrame:
+    """Frame-sampling stub: one output row per `every` bytes ('frames')
+    of the payload — a real video sampler has the same one-to-many
+    mapInPandas shape."""
+    schema = f"{id_col} long, frame_no int, frame binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frame_nos, frames = [], [], []
+            for rid, payload, mtype in zip(pdf[id_col], pdf["payload"], pdf["media_type"]):
+                raw = decode_media(bytes(payload), mtype, fake_decode=fake_decode)
+                for n, start in enumerate(range(0, len(raw), every)):
+                    ids.append(int(rid))
+                    frame_nos.append(n)
+                    frames.append(raw[start : start + every])
+            yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(batches, schema)

@@ -116,6 +116,34 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op (applyInPandasWithState): per-user running
+    totals in explicit group state; the final emission per key must
+    equal the batch aggregate."""
+    from postrack_spark.streaming.stateful import running_user_totals
+
+    ev = events_stream(spark, sf_dir)
+    totals = running_user_totals(ev)
+    out = run_to_memory(totals, _qname("stateful"), output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "streaming_cdc_apply",
     oracle="""
     WITH changes AS (

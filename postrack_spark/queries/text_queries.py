@@ -198,6 +198,28 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_feature_extract", oracle=None)  # Pandas-UDF pipeline; rows-only
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (Arrow
+    batches, stubbed codec) — returns per-asset fixed-width feature
+    vectors plus a norm summary. Rows-only check: the byte-histogram
+    stub is Python-side, not SQL-expressible."""
+    from postrack_spark.functions.vector import norm
+    from postrack_spark.operators.multimodal import attach_payload, extract_features
+
+    t = load_tables(spark, sf_dir)
+    media = attach_payload(t["documents"], "text", "text/plain")
+    feats = extract_features(media, "doc_id", n_features=8)
+    return (
+        feats.select(
+            "doc_id",
+            F.size("features").alias("n_features"),
+            F.round(norm(F.col("features")), 6).alias("feature_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "multimodal_binary_profile",
     oracle="""

