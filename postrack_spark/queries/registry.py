@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
             streaming_queries,
             text_queries,
             tpch,
+            tpch_extra,
             vector_queries,
             window_queries,
         )
