@@ -185,3 +185,59 @@ def events_top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@query(
+    "events_ts_znorm_similarity",
+    oracle="""
+    WITH up AS (SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+                       avg(value) AS v
+                FROM events GROUP BY user_id, h),
+    uz AS (SELECT user_id, h,
+                  (v - avg(v) OVER (PARTITION BY user_id))
+                    / NULLIF(stddev_pop(v) OVER (PARTITION BY user_id), 0) AS z
+           FROM up),
+    gp AS (SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS h, avg(value) AS v
+           FROM events GROUP BY h),
+    gz AS (SELECT h, (v - avg(v) OVER ()) / NULLIF(stddev_pop(v) OVER (), 0) AS z
+           FROM gp)
+    SELECT user_id, round(sum(uz.z * gz.z) / count(*), 4) AS similarity
+    FROM uz JOIN gz ON uz.h = gz.h
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_ts_znorm_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity: each user's hour-of-day activity profile
+    z-normalized and correlated against the global profile (z-normalized
+    Euclidean/Pearson family). All built-ins — two tiny aggregates plus
+    window functions; the 24-row global profile broadcasts."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("h", F.hour("ts"))
+    up = ev.groupBy("user_id", "h").agg(F.avg("value").alias("v"))
+    w_user = Window.partitionBy("user_id")
+    uz = up.select(
+        "user_id",
+        "h",
+        (
+            (F.col("v") - F.avg("v").over(w_user))
+            / F.when(F.stddev_pop("v").over(w_user) != 0, F.stddev_pop("v").over(w_user))
+        ).alias("z"),
+    )
+    gp = ev.groupBy("h").agg(F.avg("value").alias("v"))
+    w_all = Window.partitionBy()
+    gz = gp.select(
+        F.col("h").alias("gh"),
+        (
+            (F.col("v") - F.avg("v").over(w_all))
+            / F.when(F.stddev_pop("v").over(w_all) != 0, F.stddev_pop("v").over(w_all))
+        ).alias("gz"),
+    )
+    return (
+        uz.join(F.broadcast(gz), uz.h == gz.gh)
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.col("z") * F.col("gz")) / F.count("*"), 4).alias("similarity"))
+        .orderBy("user_id")
+    )

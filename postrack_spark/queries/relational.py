@@ -349,6 +349,42 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_priority_status",
+    oracle="""
+    SELECT coalesce(o_orderpriority, '__ALL__') AS priority,
+           coalesce(o_orderstatus, '__ALL__') AS status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY priority, status, g_priority, g_status
+    """,
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube compile to)
+    with GROUPING() markers disambiguating aggregate NULLs from data
+    NULLs. SQL-path entry: Spark has no DataFrame grouping-sets API."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, '__ALL__') AS priority,
+               coalesce(o_orderstatus, '__ALL__') AS status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status, g_priority, g_status
+        """
+    )
+
+
+@query(
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,

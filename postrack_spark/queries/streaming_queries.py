@@ -21,6 +21,8 @@ from postrack_spark.streaming import (
     run_to_memory,
     session_window_stats,
     stream_dedup,
+    stream_static_join,
+    stream_stream_interval_join,
 )
 
 
@@ -140,6 +142,74 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("total_value", "n_events").alias("total_value"),
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_static_join_segments",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension (events stream × customer table,
+    broadcast by Catalyst) then streamed aggregation — equals the batch
+    join on finite input."""
+    from postrack_spark.session import load_tables
+
+    ev = events_stream(spark, sf_dir)
+    cust = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_mktsegment")
+    joined = stream_static_join(ev, cust, ev.user_id == cust.c_custkey)
+    out = run_to_memory(
+        joined.select("c_mktsegment", "value"), _qname("ssj"), output_mode="append"
+    )
+    return (
+        out.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT count(*) AS n_pairs,
+           count(DISTINCT v.user_id) AS n_users,
+           round(sum(p.value), 2) AS purchase_value
+    FROM events v JOIN events p ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ stream: purchases within 1 h of a view by the same
+    user. Watermarks on both sides + the interval condition bound the
+    buffered state; append-mode inner join equals the batch self-join."""
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts", interval="1 hour"
+    )
+    out = run_to_memory(
+        joined.select("user_id", "p_value"), _qname("ssjoin"), output_mode="append"
+    )
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("p_value"), 2).alias("purchase_value"),
     )
 
 

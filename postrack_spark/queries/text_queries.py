@@ -198,6 +198,47 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_fingerprint_shingles",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, md5(concat_ws(' ', w[i], w[i+1], w[i+2])) AS h
+      FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    )
+    SELECT doc_id, min(h) AS fingerprint,
+           count(*) AS n_shingles,
+           count(DISTINCT h) AS n_distinct
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 3-word shingles hashed (md5 — identical
+    hex in Spark and DuckDB), min-hash fingerprint per doc (the
+    winnowing primitive). All JVM-side higher-order array functions —
+    no Python in the hot path; at 100 TB this is a single scan with a
+    per-row array pipeline, no shuffle until the final (tiny) output."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("toks", F.split("text", " "))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(1, size(toks)-2),"
+            " i -> md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.withColumn("sh", shingles)
+        .select(
+            "doc_id",
+            F.array_min("sh").alias("fingerprint"),
+            F.size("sh").cast("bigint").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("multimodal_feature_extract", oracle=None)  # Pandas-UDF pipeline; rows-only
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow

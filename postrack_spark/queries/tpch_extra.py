@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from postrack_spark.queries.registry import query
 from postrack_spark.session import load_tables
 
-_REV = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @query(
@@ -105,7 +106,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -212,7 +213,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            _REV.alias("amount"),
+            _rev().alias("amount"),
         )
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
@@ -311,7 +312,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_REV), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -434,7 +435,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 50)
     )
     return joined.filter(bracket).agg(
-        F.round(F.sum(_REV), 2).alias("revenue"), F.count("*").alias("n_rows")
+        F.round(F.sum(_rev()), 2).alias("revenue"), F.count("*").alias("n_rows")
     )
 
 

@@ -15,6 +15,7 @@ from postrack_spark.streaming.ops import (
     session_window_stats,
     stream_dedup,
     stream_static_join,
+    stream_stream_interval_join,
 )
 from postrack_spark.streaming.runner import (
     envelope_stream,
@@ -31,5 +32,6 @@ __all__ = [
     "session_window_stats",
     "stream_dedup",
     "stream_static_join",
+    "stream_stream_interval_join",
     "foreach_batch_apply_changes",
 ]

@@ -53,3 +53,26 @@ def stream_static_join(stream: DataFrame, static: DataFrame, on, how: str = "inn
     micro-batch (picks up dim updates); broadcast by Catalyst when
     small."""
     return stream.join(static, on, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    interval: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream ⋈ stream equi+interval join: right event within
+    [left_ts, left_ts + interval] for the same key. Watermarks on BOTH
+    sides + the time-range condition bound the join state (without them
+    Spark would buffer both streams forever — the 100 TB killer)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {interval}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])
