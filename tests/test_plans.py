@@ -1,0 +1,96 @@
+"""Physical-plan audits: assert each headline query compiles to the
+plan we designed for 100 TB (broadcasts for small dims, pushdown into
+the parquet scan, column pruning, zero row-at-a-time Python on JVM-able
+paths). A wrong-but-correct plan fails here before it fails at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from postrack_spark.plans import assert_plan, plan_features
+from postrack_spark.queries import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return load_all()
+
+
+def _df(qs, name, spark):
+    return qs[name].fn(spark, SF)
+
+
+def test_q3_broadcasts_both_dims(spark, qs):
+    # customer (filtered) and the order-side both broadcast at test SF;
+    # the only shuffle is the final aggregation.
+    assert_plan(_df(qs, "q3_shipping_priority", spark), min_broadcast_joins=2,
+                python_evals=0, max_exchanges=2)
+
+
+def test_q5_six_way_join_no_python(spark, qs):
+    feats = assert_plan(_df(qs, "q5_local_supplier_volume", spark),
+                        min_broadcast_joins=3, python_evals=0)
+    # no sort-merge join should survive at this scale ratio
+    assert feats["sortmerge_joins"] == 0
+
+
+def test_q6_full_pushdown_and_pruning(spark, qs):
+    feats = plan_features(_df(qs, "q6_forecast_revenue", spark))
+    pushed = ";".join(feats["pushed_filters"])
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # column pruning: the scan must read only the 4 referenced columns
+    assert feats["scan_columns"], "no parquet scan found"
+    cols = feats["scan_columns"][0]
+    assert cols.count(":") == 4 and "l_returnflag" not in cols
+
+
+def test_q1_partial_final_agg_single_shuffle(spark, qs):
+    # partial+final hash aggregate -> exactly one shuffle (plus sort)
+    assert_plan(_df(qs, "q1_pricing_summary", spark), max_exchanges=2, python_evals=0)
+
+
+def test_fingerprint_stays_jvm_side(spark, qs):
+    # higher-order array funcs, not UDFs: zero Python operators
+    assert_plan(_df(qs, "text_fingerprint_shingles", spark), python_evals=0)
+
+
+def test_vector_knn_uses_builtin_dot_product(spark, qs):
+    assert_plan(_df(qs, "vector_knn_bruteforce", spark), python_evals=0)
+
+
+def test_minhash_lsh_no_python(spark, qs):
+    assert_plan(_df(qs, "dedup_minhash_lsh", spark), python_evals=0)
+
+
+def test_multimodal_python_is_arrow_batched(spark, qs):
+    # the stubbed codec is necessarily Python — but must be Arrow-batched
+    # (mapInPandas), never row-at-a-time BatchEvalPython
+    feats = plan_features(_df(qs, "multimodal_feature_extract", spark))
+    assert feats["row_python_evals"] == 0
+    assert feats["arrow_python_evals"] >= 1
+
+
+def test_no_row_python_anywhere(spark, qs):
+    """Hard rule: no row-at-a-time Python UDF in ANY registered batch
+    query plan (streaming queries execute on call, skipped here)."""
+    offenders = []
+    for name, spec in qs.items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            feats = plan_features(spec.fn(spark, SF))
+        except Exception:
+            continue  # queries that run a stream on call
+        if feats["row_python_evals"]:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_tiny_dim_joins_broadcast(spark, qs):
+    for name in ("join_inner_orders_per_nation", "q10_returned_items",
+                 "q7_volume_shipping", "q9_profit_by_nation_year"):
+        feats = plan_features(_df(qs, name, spark))
+        assert feats["broadcast_joins"] >= 1, f"{name}: expected a broadcast join"
