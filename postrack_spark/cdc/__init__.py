@@ -19,7 +19,12 @@ from postrack_spark.cdc.envelope import (
     typed_column,
 )
 from postrack_spark.cdc.fixtures import lineitem_changes, mixed_changes, orders_changes
-from postrack_spark.cdc.materialize import apply_changes, latest_per_key
+from postrack_spark.cdc.materialize import (
+    apply_changes,
+    latest_per_key,
+    snapshot_as_changes,
+    snapshot_with_changes,
+)
 
 __all__ = [
     "CHANGE_SCHEMA",
@@ -35,4 +40,6 @@ __all__ = [
     "mixed_changes",
     "latest_per_key",
     "apply_changes",
+    "snapshot_as_changes",
+    "snapshot_with_changes",
 ]

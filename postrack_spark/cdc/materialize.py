@@ -42,6 +42,48 @@ def truncate_watermarks(changes: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_as_changes(
+    snapshot: DataFrame, table: str, schema: str = "public", snapshot_lsn: int = 0
+) -> DataFrame:
+    """Wrap a batch snapshot as INSERT envelope events at `snapshot_lsn`.
+
+    The 'initial load' half of snapshot+stream (SURVEY.md §2b sources):
+    the reference makes the caller pick a starting LSN
+    (postrack.go:320,337) and offers no snapshot; here a consistent
+    snapshot taken at LSN L becomes INSERTs at L, and the live stream
+    (all events with lsn > L) replays on top — `apply_changes` on the
+    union reconstructs the current table."""
+    from postrack_spark.cdc.envelope import null_map, str_map
+
+    return snapshot.select(
+        F.lit(snapshot_lsn).cast("long").alias("lsn"),
+        F.lit(None).cast("long").alias("txid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit(schema).alias("schema"),
+        F.lit(table).alias("table"),
+        F.lit("INSERT").alias("op"),
+        str_map(snapshot.columns).alias("after"),
+        null_map().alias("before"),
+    )
+
+
+def snapshot_with_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    table: str,
+    key_expr,
+    key_name: str = "__key",
+    snapshot_lsn: int = 0,
+) -> DataFrame:
+    """Initial load + incremental: snapshot (as INSERTs at
+    `snapshot_lsn`) unioned with the change stream restricted to
+    lsn > snapshot_lsn (events at or before the snapshot LSN are
+    already reflected in it), then materialized."""
+    base = snapshot_as_changes(snapshot, table, snapshot_lsn=snapshot_lsn)
+    newer = changes.filter(F.col("lsn") > F.lit(snapshot_lsn))
+    return apply_changes(base.unionByName(newer), key_expr, key_name=key_name)
+
+
 def apply_changes(changes: DataFrame, key_expr, key_name: str = "__key") -> DataFrame:
     """Replay a change stream into its final state.
 

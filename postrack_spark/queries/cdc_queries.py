@@ -199,3 +199,61 @@ def cdc_truncate_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(typed_column("after", "o_totalprice", "double")), 2).alias("total_price"),
         F.countDistinct(typed_column("after", "o_orderstatus", "string")).alias("n_statuses"),
     )
+
+
+@query(
+    "cdc_snapshot_plus_stream",
+    oracle="""
+    WITH snapshot AS (
+      SELECT 0 AS lsn, 'INSERT' AS op, o_orderkey AS okey,
+             o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+    ),
+    stream AS (
+      SELECT o_orderkey*10+5 AS lsn, 'UPDATE' AS op, o_orderkey, 'F',
+             round(o_totalprice*1.1, 2)
+      FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus,
+             round(o_totalprice+10, 2)
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT o_orderkey*10+7, 'DELETE', o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY okey ORDER BY lsn DESC) AS rn
+      FROM (SELECT * FROM snapshot UNION ALL SELECT * FROM stream)
+    )
+    SELECT count(*) AS n_rows,
+           round(sum(price), 2) AS total_price,
+           count(DISTINCT status) AS n_statuses
+    FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+    """,
+)
+def cdc_snapshot_plus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial load + incremental (SURVEY.md §2b 'Snapshot + stream'):
+    a batch snapshot wrapped as INSERTs at LSN 0, unioned with the
+    post-snapshot change stream (lsn > 0, UPDATE/DELETE only), then
+    materialized — must reconstruct exactly the state that full-stream
+    replay produces. The reference has no snapshot path at all (the
+    caller picks a start LSN, postrack.go:320,337)."""
+    from postrack_spark.cdc import INSERT, snapshot_with_changes
+    from postrack_spark.session import load_tables
+
+    snapshot = load_tables(spark, sf_dir)["orders"]
+    stream = orders_changes(spark, sf_dir).filter(F.col("op") != INSERT)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    final = snapshot_with_changes(snapshot, stream, "orders", key, key_name="okey")
+    return final.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(typed_column("after", "o_totalprice", "double")), 2).alias(
+            "total_price"
+        ),
+        F.countDistinct(typed_column("after", "o_orderstatus", "string")).alias(
+            "n_statuses"
+        ),
+    )

@@ -146,6 +146,38 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_topk_per_type",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, round(sum(value), 2) AS topk_sum,
+           count(*) AS k
+    FROM ranked WHERE rn <= 3
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k in bounded state (k pairs per key, ever): the
+    final emission per event_type must equal the batch window-rank
+    top-3."""
+    from postrack_spark.streaming.stateful import streaming_topk_events
+
+    ev = events_stream(spark, sf_dir)
+    topk = streaming_topk_events(ev, k=3)
+    out = run_to_memory(topk, _qname("topk"), output_mode="update")
+    final = out.groupBy("event_type").agg(
+        F.max_by("topk_sum", "n_seen").alias("topk_sum"),
+        F.size(F.max_by("topk_ids", "n_seen")).cast("bigint").alias("k"),
+    )
+    return final.orderBy("event_type")
+
+
+@query(
     "streaming_static_join_segments",
     oracle="""
     SELECT c_mktsegment AS segment,

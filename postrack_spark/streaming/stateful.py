@@ -40,3 +40,47 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_topk_events(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming top-k per event_type: the k highest-value events seen
+    so far, held in explicit group state. State is EXACTLY k
+    (value, event_id) pairs per key — bounded forever, unlike a naive
+    'aggregate then rank' whose state grows with the key space.
+    Deterministic tiebreak: higher value first, then lower event_id."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            vals, ids, n = state.get
+            top = list(zip(list(vals), list(ids)))
+        else:
+            top, n = [], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            top.extend(zip(pdf["value"].astype(float), pdf["event_id"].astype(int)))
+            top.sort(key=lambda p: (-p[0], p[1]))
+            del top[k:]
+        state.update(
+            ([float(v) for v, _ in top], [int(i) for _, i in top], n)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "topk_sum": [round(sum(v for v, _ in top), 2)],
+                "topk_ids": [[i for _, i in top]],
+                "n_seen": [n],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, topk_sum double, topk_ids array<bigint>, n_seen bigint"
+        ),
+        stateStructType="vals array<double>, ids array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
