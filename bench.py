@@ -20,6 +20,7 @@ from postrack_spark.queries import load_all
 from postrack_spark.session import get_spark
 
 HEADLINE = [
+    # batch relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -28,6 +29,12 @@ HEADLINE = [
     "join_inner_orders_per_nation",
     "window_topk_orders_per_customer",
     "sessionize_user_events",
+    # CDC materialization (the reference's domain)
+    "cdc_latest_per_key_materialize",
+    # LLM-pipeline operator families
+    "dedup_minhash_lsh",
+    "vector_knn_bruteforce",
+    "text_language_id",
 ]
 
 

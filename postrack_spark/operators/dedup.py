@@ -57,13 +57,44 @@ def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, k-word-shingle) distinct.
+
+    Shingles, not unigrams, are the right MinHash unit for small
+    vocabularies: with V words a doc's token SET has at most V elements
+    (the driver corpus has V≈31, making unigram signatures collide into
+    thousands-of-docs LSH buckets — measured 11.1M candidate pairs at
+    sf0.1), while the k-gram space is ~V^k so signatures are
+    discriminative and buckets stay near-dup-sized (1.5k candidates)."""
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {k} THEN transform(sequence(1, size(__w)-{k - 1}),"
+        f" i -> concat_ws(' ', {', '.join(f'__w[i+{j}-1]' for j in range(k))}))"
+        " ELSE array() END"
+    )
+    return (
+        df.withColumn("__w", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(grams)).alias("tok"),
+        )
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with columns h0..h{n-1}: per-seed min over
     distinct tokens of md5(seed|token). Single explode + single
-    groupBy — all lanes computed in one aggregation pass."""
-    toks = doc_tokens(df, id_col, text_col)
+    groupBy — all lanes computed in one aggregation pass.
+
+    `tokens_df` overrides the default unigram tokenization with any
+    (doc, tok) set — pass :func:`doc_shingles` output for shingle
+    MinHash (recommended; see doc_shingles on why)."""
+    toks = tokens_df if tokens_df is not None else doc_tokens(df, id_col, text_col)
     aggs = [F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(n_hashes)]
     return toks.groupBy("doc").agg(*aggs)
 
