@@ -225,3 +225,33 @@ def hamming(a, b, n_bits: int = 16):
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def simhash_chunk_blocks(sh: DataFrame, n_bits: int = 16, radius: int = 2) -> DataFrame:
+    """Pigeonhole candidate blocking for hamming-radius search: split
+    the fingerprint into `radius + 1` chunks — two fingerprints within
+    `radius` differing bits MUST agree on at least one chunk (the
+    differing bits can touch at most `radius` chunks). Exploding each
+    doc into its (chunk_id, chunk_value) keys turns the all-pairs
+    hamming scan into an equi-join on small buckets: exact recall,
+    O(n·chunks) candidate generation. Input needs (doc, simhash);
+    output (doc, chunk_id, chunk_val)."""
+    n_chunks = radius + 1
+    base, extra = divmod(n_bits, n_chunks)
+    bounds, start = [], 1
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((c, start, width))
+        start += width
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.substring("simhash", s, w).alias("chunk_val"),
+            )
+            for c, s, w in bounds
+        ]
+    )
+    return sh.select("*", F.explode(chunks).alias("__ck")).select(
+        *sh.columns, F.col("__ck.chunk_id").alias("chunk_id"), F.col("__ck.chunk_val").alias("chunk_val")
+    )

@@ -19,6 +19,7 @@ from postrack_spark.operators.dedup import (
     minhash_signatures,
     normalized_duplicates,
     simhash_bits,
+    simhash_chunk_blocks,
 )
 from postrack_spark.queries.registry import query
 from postrack_spark.session import load_tables
@@ -191,19 +192,35 @@ _HAMMING = " + ".join(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(16-bit, md5-digit-parity) near-dup pairs within the same
-    source at hamming distance <= 2. Same-source blocking bounds the
-    pair space (at scale: block on simhash prefix instead)."""
+    source at hamming distance <= 2.
+
+    Candidates come from pigeonhole chunk blocking (3 chunks; d<=2 bits
+    can disagree on at most 2 of them, so recall is exact) — an
+    equi-join on (source, chunk) buckets instead of the quadratic
+    same-source pair scan, then the hamming predicate verifies. Same
+    output as all-pairs; the oracle computes the quadratic form."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     sh = simhash_bits(docs, "doc_id", "text", n_bits=16).join(
         docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
     )
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "source")
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "source")
-    return (
-        a.join(b, "source")
+    blocks = simhash_chunk_blocks(sh, n_bits=16, radius=2)
+    a = blocks.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "source", "chunk_id", "chunk_val",
+    )
+    b = blocks.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "source", "chunk_id", "chunk_val",
+    )
+    cand = (
+        a.join(b, ["source", "chunk_id", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming_dist", hamming(F.col("sh_a"), F.col("sh_b"), 16).cast("int"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming_dist", hamming(F.col("sh_a"), F.col("sh_b"), 16).cast("int"))
         .filter(F.col("hamming_dist") <= 2)
         .select("doc_a", "doc_b", "hamming_dist")
         .orderBy("doc_a", "doc_b")
