@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
             text_queries,
             tpch,
             tpch_extra,
+            tpch_missing,
             vector_queries,
             window_queries,
         )
