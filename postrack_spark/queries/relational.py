@@ -555,3 +555,38 @@ def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("o_orderstatus"), F.desc("price"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5),  2) AS p50_price,
+           round(quantile_cont(o_totalprice, 0.9),  2) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99_price,
+           round(median(o_totalprice), 2)              AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group: Spark `percentile` (continuous
+    interpolation, matches DuckDB quantile_cont) + median.
+
+    Scale note: exact percentile sorts each group's values in a single
+    reducer per group — fine for bounded group cardinality (5 priority
+    groups); for high-cardinality keys at 100 TB switch to
+    approx_percentile (t-digest, mergeable partial aggregation)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,115 @@
+"""Property-based tests (SURVEY.md §5.2 item 5, hypothesis).
+
+1. Random change sequences -> sequential model dict must equal
+   `apply_changes` (the engine's parallel latest-per-key + truncate +
+   delete-drop replay). This pins the WAL-replay semantics of
+   postrack's consumer contract (events delivered in LSN order,
+   postrack.go:366-367) under Spark's out-of-order parallel execution.
+2. Random filter predicates over lineitem -> Spark row count must
+   equal DuckDB's on the same parquet (mini oracle for the
+   filter/projection surface).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from postrack_spark.cdc.envelope import CHANGE_SCHEMA
+from postrack_spark.cdc.materialize import apply_changes
+
+KEYS = list(range(6))
+OPS = ["INSERT", "UPDATE", "DELETE", "TRUNCATE"]
+
+change_step = st.tuples(
+    st.sampled_from(OPS),
+    st.sampled_from(KEYS),
+    st.integers(min_value=0, max_value=99),
+)
+
+
+def _model_replay(seq):
+    """Sequential reference semantics: latest image per key wins,
+    DELETE removes the key, TRUNCATE clears the table."""
+    state: dict[str, str] = {}
+    for op, key, val in seq:
+        k = str(key)
+        if op in ("INSERT", "UPDATE"):
+            state[k] = str(val)
+        elif op == "DELETE":
+            state.pop(k, None)
+        else:  # TRUNCATE
+            state.clear()
+    return state
+
+
+def _envelope_rows(seq):
+    rows = []
+    for i, (op, key, val) in enumerate(seq):
+        k, v = str(key), str(val)
+        after = {"k": k, "v": v} if op in ("INSERT", "UPDATE") else None
+        before = {"k": k, "v": v} if op == "DELETE" else None
+        rows.append((i + 1, None, None, "public", "t", op, after, before))
+    return rows
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=st.lists(change_step, min_size=0, max_size=40))
+def test_apply_changes_matches_sequential_model(spark, seq):
+    changes = spark.createDataFrame(_envelope_rows(seq), CHANGE_SCHEMA)
+    key_expr = F.coalesce(F.col("after")["k"], F.col("before")["k"])
+    got = {
+        r["__key"]: r["after"]["v"]
+        for r in apply_changes(changes, key_expr).collect()
+    }
+    assert got == _model_replay(seq)
+
+
+NUM_COLS = {
+    "l_quantity": (1.0, 50.0),
+    "l_discount": (0.0, 0.1),
+    "l_linenumber": (1.0, 7.0),
+    "l_extendedprice": (900.0, 105000.0),
+}
+
+comparison = st.tuples(
+    st.sampled_from(sorted(NUM_COLS)),
+    st.sampled_from(["<", "<=", ">", ">=", "="]),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+
+
+def _pred_sql(comps, conj):
+    parts = []
+    for col, op, frac in comps:
+        lo, hi = NUM_COLS[col]
+        parts.append(f"({col} {op} {lo + frac * (hi - lo):.4f})")
+    return f" {conj} ".join(parts)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    comps=st.lists(comparison, min_size=1, max_size=3),
+    conj=st.sampled_from(["AND", "OR"]),
+)
+def test_random_filters_match_duckdb(spark, duck, sf_dir, comps, conj):
+    from postrack_spark.session import load_tables
+
+    pred = _pred_sql(comps, conj)
+    got = load_tables(spark, sf_dir)["lineitem"].filter(F.expr(pred)).count()
+    want = duck.execute(f"SELECT count(*) FROM lineitem WHERE {pred}").fetchone()[0]
+    assert got == want, pred
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
