@@ -122,17 +122,30 @@ def lsh_candidate_pairs(
         "doc", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    sized = buckets.join(
-        buckets.groupBy("band", "bh").agg(F.count("*").alias("__bsz")),
-        ["band", "bh"],
-    ).filter(F.col("__bsz") <= max_bucket_size)
-
-    left = sized.select("band", "bh", F.col("doc").alias("doc_a"))
-    right = sized.select("band", "bh", F.col("doc").alias("doc_b"))
+    # Single-pass pair generation: group each (band, bucket) once and
+    # emit its doc pairs from the collected array (upper triangle,
+    # normalized so doc_a < doc_b). This replaces a bucket-size
+    # self-join + a candidate self-join, each of which recomputed the
+    # whole shingle->signature chain upstream — 3 fewer scans and 2
+    # fewer shuffle joins. The per-bucket pair explosion is quadratic
+    # but bounded by max_bucket_size (<= cap^2/2 array-local structs).
+    bucketed = (
+        buckets.groupBy("band", "bh")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size))
+    )
     return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bucketed.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (a, i) ->"
+                    " filter(transform(docs, (b, j) ->"
+                    " IF(j > i, struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b),"
+                    " NULL)), p -> p IS NOT NULL)))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -154,25 +167,33 @@ def jaccard_pairs(
         F.collect_set("tok").alias("toks"), F.count("*").alias("n_tok")
     )
     if pairs is not None:
+        # One pass over the token sets instead of two: explode each
+        # candidate pair into (doc_a, doc_b, doc) membership rows,
+        # broadcast-join them against sets_ (streamed once — joining
+        # sets_ on each side would recompute the tokenize+collect
+        # chain twice), then regroup the two matched rows per pair.
+        exploded = pairs.select(
+            "doc_a",
+            "doc_b",
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc"),
+        )
+        side = lambda c: F.first(  # noqa: E731
+            F.when(F.col("doc") == F.col("doc_a"), F.col(c)), ignorenulls=True
+        )
+        other = lambda c: F.first(  # noqa: E731
+            F.when(F.col("doc") == F.col("doc_b"), F.col(c)), ignorenulls=True
+        )
         inter = (
-            pairs.join(
-                sets_.select(
-                    F.col("doc").alias("doc_a"),
-                    F.col("toks").alias("toks_a"),
-                    F.col("n_tok").alias("n_a"),
-                ),
-                "doc_a",
+            sets_.join(F.broadcast(exploded), "doc")
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.size(F.array_intersect(side("toks"), other("toks"))).alias("inter"),
+                side("n_tok").alias("n_a"),
+                other("n_tok").alias("n_b"),
+                F.count("*").alias("__matched"),
             )
-            .join(
-                sets_.select(
-                    F.col("doc").alias("doc_b"),
-                    F.col("toks").alias("toks_b"),
-                    F.col("n_tok").alias("n_b"),
-                ),
-                "doc_b",
-            )
-            .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
-            .drop("toks_a", "toks_b")
+            .filter(F.col("__matched") == 2)
+            .drop("__matched")
         )
     else:
         sizes = sets_.select("doc", "n_tok")
