@@ -43,58 +43,74 @@ _ORDER_COLS = [
 ]
 
 
-def _envelope(df: DataFrame, lsn, op: str, table: str, after, before) -> DataFrame:
-    return df.select(
-        lsn.cast("long").alias("lsn"),
-        F.col("o_orderkey").cast("long").alias("txid"),
-        F.col("o_orderdate").cast("timestamp").alias("commit_ts"),
-        F.lit("public").alias("schema"),
-        F.lit(table).alias("table"),
-        F.lit(op).alias("op"),
-        after.alias("after"),
-        before.alias("before"),
-    )
-
-
 def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B.1: the scripted INSERT/UPDATE/DELETE stream over orders."""
+    """B.1: the scripted INSERT/UPDATE/DELETE stream over orders.
+
+    Single-scan generation: each order row emits its 1-3 events as an
+    array of structs exploded in place — one parquet scan instead of
+    the previous 4-branch union that re-scanned the table once per
+    event kind (at 100 TB the source scan dominates, so branch count
+    is the multiplier that matters)."""
     orders = load_tables(spark, sf_dir)["orders"]
     key = F.col("o_orderkey")
     mod = key % 10
 
-    inserts = _envelope(
-        orders, key * 10 + 1, "INSERT", "orders", str_map(_ORDER_COLS), null_map()
-    )
+    def ev(cond, lsn, op: str, kind: int):
+        return F.when(
+            cond,
+            F.struct(
+                lsn.cast("long").alias("lsn"),
+                F.lit(op).alias("op"),
+                F.lit(kind).alias("kind"),
+            ),
+        )
 
-    upd_full = _envelope(
-        orders.filter(mod.isin(1, 2, 3)),
-        key * 10 + 5,
-        "UPDATE",
-        "orders",
-        str_map(
-            _ORDER_COLS,
-            {
-                "o_orderstatus": F.lit("F"),
-                "o_totalprice": F.round(F.col("o_totalprice") * 1.1, 2),
-            },
-        ),
-        str_map(_ORDER_COLS),
+    # The exploded struct carries only (lsn, op, kind); the heavy map
+    # images are built AFTER the explode from the still-present order
+    # columns. Consumers that only need (op, lsn) — e.g. the truncate
+    # watermark pass inside apply_changes — filter before the map
+    # projection, so their pass never constructs a single map.
+    events = F.array_compact(
+        F.array(
+            ev(F.lit(True), key * 10 + 1, "INSERT", 0),
+            ev(mod.isin(1, 2, 3), key * 10 + 5, "UPDATE", 1),
+            ev(mod == 4, key * 10 + 5, "UPDATE", 2),
+            ev(mod == 5, key * 10 + 7, "DELETE", 3),
+        )
     )
-
-    upd_defid = _envelope(
-        orders.filter(mod == 4),
-        key * 10 + 5,
-        "UPDATE",
-        "orders",
-        str_map(_ORDER_COLS, {"o_totalprice": F.round(F.col("o_totalprice") + 10, 2)}),
-        empty_map(),
+    upd_full_after = str_map(
+        _ORDER_COLS,
+        {
+            "o_orderstatus": F.lit("F"),
+            "o_totalprice": F.round(F.col("o_totalprice") * 1.1, 2),
+        },
     )
-
-    deletes = _envelope(
-        orders.filter(mod == 5), key * 10 + 7, "DELETE", "orders", null_map(), str_map(_ORDER_COLS)
+    upd_defid_after = str_map(
+        _ORDER_COLS, {"o_totalprice": F.round(F.col("o_totalprice") + 10, 2)}
     )
-
-    out = inserts.unionByName(upd_full).unionByName(upd_defid).unionByName(deletes)
+    kind = F.col("e.kind")
+    out = orders.select(
+        "*",
+        key.cast("long").alias("txid"),
+        F.col("o_orderdate").cast("timestamp").alias("commit_ts"),
+        F.explode(events).alias("e"),
+    ).select(
+        F.col("e.lsn").alias("lsn"),
+        "txid",
+        "commit_ts",
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        F.col("e.op").alias("op"),
+        F.when(kind == 0, str_map(_ORDER_COLS))
+        .when(kind == 1, upd_full_after)
+        .when(kind == 2, upd_defid_after)
+        .otherwise(null_map())
+        .alias("after"),
+        F.when(kind.isin(1, 3), str_map(_ORDER_COLS))
+        .when(kind == 2, empty_map())
+        .otherwise(null_map())
+        .alias("before"),
+    )
     got = [(f.name, f.dataType) for f in out.schema.fields]
     want = [(f.name, f.dataType) for f in CHANGE_SCHEMA.fields]
     assert got == want, got
