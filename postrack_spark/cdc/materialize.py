@@ -16,7 +16,7 @@ broadcast of per-table truncate watermarks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from postrack_spark.cdc.envelope import DELETE, TRUNCATE
@@ -24,12 +24,26 @@ from postrack_spark.cdc.envelope import DELETE, TRUNCATE
 
 def latest_per_key(changes: DataFrame, key_cols: list, order_col: str = "lsn") -> DataFrame:
     """Keep the event with the highest `order_col` per key (WAL order —
-    events are keyed by the WALStart LSN, postrack.go:366-367)."""
-    w = W.partitionBy(*key_cols).orderBy(F.desc(order_col))
-    return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    events are keyed by the WALStart LSN, postrack.go:366-367).
+
+    Implemented as `max_by(struct(<other cols>), order_col)` rather than
+    a `row_number() over (partition by key order by lsn desc)` window:
+    the aggregate gets map-side partial aggregation, so each task
+    pre-compacts its events to one row per key BEFORE the shuffle —
+    shuffle volume is O(distinct keys per task), not O(events) — and no
+    per-partition sort is needed. At CDC scale (many updates per key)
+    that is the difference between shuffling the WAL and shuffling the
+    table. LSNs are unique per key (WAL positions), so max_by's
+    arbitrary tie-break is unreachable."""
+    others = [c for c in changes.columns if c not in key_cols]
+    agg = changes.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col(order_col)).alias("__latest")
+    )
+    return agg.select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"__latest.{c}").alias(c)
+            for c in changes.columns
+        ]
     )
 
 

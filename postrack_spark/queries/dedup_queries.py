@@ -24,6 +24,24 @@ from postrack_spark.operators.dedup import (
 from postrack_spark.queries.registry import query
 from postrack_spark.session import load_tables
 
+# The MinHash pipeline references the shingle relation from two subtrees
+# (signature build and Jaccard verify); persisting it makes the explode
+# compute once per action instead of twice — the same call a 100 TB run
+# would make (the shingle scan is the dominant cost there). One pinned
+# DF per name: a repeat call unpersists the previous lineage so repeated
+# bench/test invocations don't accumulate cached copies.
+_PINNED: dict = {}
+
+
+def _pin(name: str, df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    old = _PINNED.pop(name, None)
+    if old is not None:
+        old.unpersist()
+    _PINNED[name] = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return _PINNED[name]
+
 
 @query(
     "dedup_exact_groups",
@@ -149,7 +167,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.5k pairs. Bucket cap 100 drops degenerate near-constant text."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    shingles = doc_shingles(docs, "doc_id", "text", k=3)
+    shingles = _pin("minhash_shingles", doc_shingles(docs, "doc_id", "text", k=3))
     sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
     verified = jaccard_pairs(shingles, pairs=cand, threshold=0.5)
