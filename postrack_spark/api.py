@@ -46,12 +46,38 @@ __all__ = [
     "Table",
     "Conn",
     "create_publication_id",
+    "as_row_sink",
 ]
 
 
 def create_publication_id(slot_name: str) -> str:
     """postrack.go:63-65: slot -> publication_<slot>."""
     return f"publication_{slot_name}"
+
+
+def as_row_sink(handle_func: Callable) -> Callable:
+    """Adapt a reference-shaped callback
+    ``fn(lsn, table_name, event, new_values, old_values)``
+    (HandleFunc, postrack.go:35) into a ``writeStream.foreach`` row
+    function — the row-at-a-time form closest to the reference's
+    synchronous per-event dispatch (postrack.go:383,397,405,409).
+
+    foreachBatch (Conn.bootstrap's default) is the idiomatic/faster
+    path; this exists for drop-in parity with consumers written against
+    the reference's one-event-at-a-time contract. Maps arrive as plain
+    dicts (None for absent images, matching INSERT/DELETE semantics).
+    """
+
+    def process(row) -> None:
+        handle_func(
+            row.lsn,
+            row.table,
+            row.op,
+            dict(row.after) if row.after is not None else None,
+            dict(row.before) if row.before is not None else None,
+        )
+
+    return process
 
 
 def _quote_ident(name: str) -> str:
@@ -236,14 +262,18 @@ class Conn:
         tables: list[Table],
         events: list[str],
         lsn: int,
-        handle_func: Callable[[DataFrame, int], None],
+        handle_func: Callable[[DataFrame, int], None] | None = None,
         capture_dir: str | None = None,
         checkpoint_dir: str | None = None,
+        row_handler: Callable | None = None,
     ):
         """The end-to-end entry point (postrack.go:320-338): configure
         events+lsn, ensure slot and publications, start the stream and
         deliver micro-batches to `handle_func(batch_df, batch_id)` —
-        the foreachBatch form of HandleFunc (postrack.go:35).
+        the foreachBatch form of HandleFunc (postrack.go:35). Pass
+        `row_handler=fn(lsn, table, event, new, old)` instead for the
+        reference's literal one-event-at-a-time contract (see
+        :func:`as_row_sink`).
 
         Returns the StreamingQuery (caller stops it; the reference
         returns while its handler goroutine keeps running — same
@@ -251,6 +281,8 @@ class Conn:
         """
         import tempfile
 
+        if (handle_func is None) == (row_handler is None):
+            raise ValueError("pass exactly one of handle_func / row_handler")
         self.set_events(events)
         self.set_lsn(lsn)
         if self.executor is not None:
@@ -260,8 +292,13 @@ class Conn:
         else:
             self.slot = slot_name
         stream = self.changes(spark, capture_dir)
+        writer = (
+            stream.writeStream.foreach(as_row_sink(row_handler))
+            if row_handler is not None
+            else stream.writeStream.foreachBatch(handle_func)
+        )
         return (
-            stream.writeStream.foreachBatch(handle_func)
+            writer
             .option(
                 "checkpointLocation",
                 checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{slot_name}_"),

@@ -1,0 +1,118 @@
+"""Scale-path operators: salting (skew) and bucketed co-located joins,
+plus the row-at-a-time HandleFunc sink adapter.
+
+Salting and bucketing must be semantically invisible — each test checks
+output equality against the plain form — and the bucketing test also
+asserts the plan property that justifies its existence (no Exchange on
+either join side)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from postrack_spark.operators.skew import salted_agg, salted_join, with_salt
+from postrack_spark.session import load_tables
+from postrack_spark.sources.bucketed import cobucketed_join, write_bucketed
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    events = load_tables(spark, sf_dir)["events"]
+    salted = salted_agg(
+        events,
+        ["event_type"],
+        partial_aggs=[F.count("*").alias("__n"), F.sum("value").alias("__s")],
+        final_aggs=[F.sum("__n").alias("n"), F.round(F.sum("__s"), 2).alias("s")],
+        n_salts=16,
+    )
+    plain = events.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salt_distribution_spreads_hot_key(spark, sf_dir):
+    events = load_tables(spark, sf_dir)["events"]
+    n_groups = (
+        with_salt(events, 16)
+        .filter(F.col("event_type") == "click")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_groups > 8  # a hot key occupies most of the 16 salt lanes
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    cust = t["customer"].select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    salted = salted_join(events, cust, on=["user_id"], n_salts=8)
+    plain = events.join(cust, "user_id")
+    assert salted.count() == plain.count()
+    s = salted.groupBy("c_mktsegment").count().collect()
+    p = plain.groupBy("c_mktsegment").count().collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, p))
+
+
+def test_cobucketed_join_has_no_exchange(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    write_bucketed(
+        t["orders"], "b_orders", ["o_orderkey"], n_buckets=4, sort_cols=["o_orderkey"]
+    )
+    write_bucketed(
+        t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        n_buckets=4,
+        sort_cols=["o_orderkey"],
+    )
+    # Force the shuffle-join path (tiny test tables would broadcast,
+    # which hides the property bucketing exists to prove: a fact⋈fact
+    # join too big to broadcast, running with no shuffle on either side).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(spark, "b_orders", "b_lineitem", on=["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        plain = t["orders"].join(
+            t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_row_sink_receives_handlefunc_shape(spark):
+    """foreach row sink: each change event reaches a reference-shaped
+    callback (lsn, table, event, new, old). Executor-side side effects
+    aren't visible to the driver, so the callback appends to files in a
+    temp dir (local mode shares the FS)."""
+    from postrack_spark.api import Conn
+    from postrack_spark.sources.postgres_cdc import write_frame_file
+    from tests.test_pgoutput import golden_frames
+
+    capture = tempfile.mkdtemp(prefix="capture_rows_")
+    write_frame_file(os.path.join(capture, "000001.pgout"), golden_frames())
+    outdir = tempfile.mkdtemp(prefix="rows_out_")
+
+    def handle(lsn, table, event, new, old):
+        with open(os.path.join(outdir, f"{lsn}"), "w") as f:
+            f.write(f"{table}|{event}|{(new or {}).get('o_orderkey', '')}")
+
+    conn = Conn("postgresql://ignored")
+    q = conn.bootstrap(
+        spark, "slot_rows", tables=[], events=["INSERT", "UPDATE", "DELETE", "TRUNCATE"],
+        lsn=0, capture_dir=capture, row_handler=handle,
+    )
+    q.awaitTermination(60)
+    got = sorted(os.listdir(outdir), key=int)
+    assert len(got) == 6
+    first = open(os.path.join(outdir, got[0])).read()
+    assert first == "orders|INSERT|1"
