@@ -89,6 +89,48 @@ def test_cobucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_partitioned_write_prunes_scan(spark, sf_dir):
+    from postrack_spark.operators.skew import with_salt  # noqa: F401  (module import check)
+    from postrack_spark.sources.layout import write_partitioned
+
+    events = load_tables(spark, sf_dir)["events"]
+    out = tempfile.mkdtemp(prefix="part_events_") + "/events"
+    write_partitioned(events, out, ["event_type"])
+    back = spark.read.parquet(out)
+    clicks = back.filter(F.col("event_type") == "click")
+    plan = clicks._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200], plan
+    assert clicks.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_clustered_write_row_group_stats(spark, sf_dir):
+    """Clustered files: each file covers a narrow user_id range, so a
+    point predicate's min/max pruning can skip most files/row-groups.
+    Verified via parquet footer stats (non-overlapping ranges), not
+    timing."""
+    import pyarrow.parquet as pq
+
+    from postrack_spark.sources.layout import write_clustered
+
+    events = load_tables(spark, sf_dir)["events"]
+    out = tempfile.mkdtemp(prefix="clust_events_") + "/events"
+    write_clustered(events, out, ["user_id"], n_files=4)
+    ranges = []
+    for name in os.listdir(out):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, name)).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("user_id")
+        st = md.row_group(0).column(col_idx).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    assert len(ranges) >= 3
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # files cover disjoint key ranges
+    assert spark.read.parquet(out).count() == events.count()
+
+
 def test_row_sink_receives_handlefunc_shape(spark):
     """foreach row sink: each change event reaches a reference-shaped
     callback (lsn, table, event, new, old). Executor-side side effects
