@@ -590,3 +590,54 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "scalar_higher_order_arrays",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey AS orderkey,
+             list_sort(list(l_extendedprice)) AS prices
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT orderkey,
+           len(prices) AS n_items,
+           round(list_aggregate(list_transform(prices, x -> x * 0.9), 'sum'), 2)
+             AS discounted_total,
+           len(list_filter(prices, x -> x > 30000)) AS n_big,
+           round(prices[1], 2) AS cheapest,
+           round(prices[-1], 2) AS priciest
+    FROM per_order
+    WHERE orderkey % 100 = 0
+    ORDER BY orderkey
+    """,
+)
+def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (SURVEY.md §2b scalar surface):
+    transform / filter / aggregate (left fold) / sort over a per-order
+    price array. The fold runs over the SORTED array so the float
+    summation order is identical in both engines (deterministic hash).
+    All JVM-side — higher-order lambdas are Catalyst expressions, not
+    UDFs."""
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.sort_array(F.collect_list("l_extendedprice")).alias("prices"))
+    )
+    return per_order.select(
+        "orderkey",
+        F.size("prices").alias("n_items"),
+        F.round(
+            F.aggregate(
+                F.transform("prices", lambda x: x * 0.9),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            2,
+        ).alias("discounted_total"),
+        F.size(F.filter("prices", lambda x: x > 30000)).alias("n_big"),
+        F.round(F.element_at("prices", 1), 2).alias("cheapest"),
+        F.round(F.element_at("prices", -1), 2).alias("priciest"),
+    ).orderBy("orderkey")
