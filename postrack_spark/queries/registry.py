@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
             dedup_queries,
             events_queries,
             relational,
+            sampling_queries,
             skew_queries,
             streaming_queries,
             text_queries,

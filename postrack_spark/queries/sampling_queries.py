@@ -1,0 +1,152 @@
+"""Deterministic sampling / splitting / decontamination queries — the
+training-data-pipeline surface (BASELINE.json:6 north star).
+
+Membership is a pure function of each row's key hash (operators/
+sampling.py), so the DuckDB oracle reproduces the exact sample — these
+are full hash-match queries, not rows-only, despite being "random"
+samples. `('0x' || substr(md5(k),1,8))::BIGINT` ≡ Spark
+`conv(substr(md5(k),1,8),16,10)` (verified identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.operators.dedup import (
+    doc_shingles,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from postrack_spark.operators.sampling import hash_sample, hash_split
+from postrack_spark.queries.dedup_queries import _BANDS_SQL, _SHINGLES_CTE, _SIG_CTE
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+# DuckDB twin of operators.sampling._hash_unit
+_UNIT = "(('0x' || substring(md5({k}::VARCHAR), 1, 8))::BIGINT / 4294967296.0)"
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE {_UNIT.format(k="o_orderkey")} < 0.2
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% Bernoulli sample of orders by content hash — engine- and
+    partitioning-independent membership (the oracle reproduces the
+    exact sample; df.sample could not be checked this way). Map-side
+    predicate only: no shuffle, no state."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        hash_sample(orders, "o_orderkey", 0.2)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "split_train_test_stats",
+    oracle=f"""
+    SELECT CASE WHEN {_UNIT.format(k="doc_id")} < 0.1 THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def split_train_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/10 train/test split of the documents table by doc_id
+    hash band — disjoint, exhaustive, reproducible across engines and
+    re-partitionings."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        hash_split(docs, "doc_id", test_rate=0.1)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "dedup_cross_split_contamination",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS ({_BANDS_SQL}),
+    sized AS (
+      SELECT b.* FROM buckets b
+      JOIN (SELECT band, bh, count(*) AS bsz FROM buckets GROUP BY band, bh) s
+        USING (band, bh)
+      WHERE s.bsz <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+      FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      JOIN cand c ON c.doc_a = t1.doc AND c.doc_b = t2.doc
+      GROUP BY t1.doc, t2.doc
+    ),
+    splits AS (
+      SELECT doc_id AS doc,
+             CASE WHEN {_UNIT.format(k="doc_id")} < 0.1 THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT i.doc_a, i.doc_b, sp_a.split AS split_a, sp_b.split AS split_b,
+           round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+                 JOIN sizes sb ON sb.doc = i.doc_b
+                 JOIN splits sp_a ON sp_a.doc = i.doc_a
+                 JOIN splits sp_b ON sp_b.doc = i.doc_b
+    WHERE round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) >= 0.5
+      AND sp_a.split <> sp_b.split
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: near-duplicate pairs that CROSS the train/test
+    boundary (evaluation-set leakage). Reuses the MinHash-LSH candidate
+    machinery; the split label joins on afterwards, so candidate
+    generation cost is shared with ordinary dedup, and the pair filter
+    (split_a <> split_b) is the only addition."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    shingles = doc_shingles(docs, "doc_id", "text", k=3)
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
+    verified = jaccard_pairs(shingles, pairs=cand, threshold=0.5)
+    splits = hash_split(
+        docs.select(F.col("doc_id").alias("doc")), "doc", test_rate=0.1
+    ).select("doc", "split")
+    out = (
+        verified.join(
+            F.broadcast(splits).withColumnRenamed("doc", "doc_a").withColumnRenamed("split", "split_a"),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(splits).withColumnRenamed("doc", "doc_b").withColumnRenamed("split", "split_b"),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return out.select("doc_a", "doc_b", "split_a", "split_b", "jaccard").orderBy(
+        "doc_a", "doc_b"
+    )
