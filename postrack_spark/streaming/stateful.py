@@ -84,3 +84,87 @@ def streaming_topk_events(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf at runtime (the
+    state-server protocol is protobuf-encoded); absent in some
+    environments — gate callers (this container lacks it, so
+    latest_state_tws has no queries() entry; applyInPandasWithState
+    covers the arbitrary-state surface there)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def latest_state_tws(changes: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """CDC latest-per-key as a transformWithStateInPandas processor
+    (Spark 4 arbitrary-state API) over a TYPED change stream with
+    columns (o_orderkey, lsn, op, status, price).
+
+    Each key's state is one small value (lsn, op, status, price) — the
+    current row image. Unlike the foreachBatch compact-then-merge sink
+    (sinks.py), state lives in the state store with optional TTL:
+    `ttl_ms` bounds state for key spaces that churn (a key silent for
+    the TTL is forgotten — appropriate when downstream consumes the
+    update stream, not a full snapshot). Emits the post-batch image per
+    key in update mode; DELETE images carry op='DELETE' so the caller
+    can drop or propagate tombstones.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+            StructField("status", StringType()),
+            StructField("price", DoubleType()),
+        ]
+    )
+
+    class LatestProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("latest", state_schema, ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = self._state.get() if self._state.exists() else None
+            for pdf in rows:
+                for row in pdf.itertuples(index=False):
+                    if best is None or int(row.lsn) > int(best[0]):
+                        price = None if pd.isna(row.price) else float(row.price)
+                        status = None if pd.isna(row.status) else str(row.status)
+                        best = (int(row.lsn), str(row.op), status, price)
+            self._state.update(best)
+            (okey,) = key
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": [int(okey)],
+                    "lsn": [best[0]],
+                    "op": [best[1]],
+                    "status": [best[2]],
+                    "price": [best[3]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return changes.groupBy("o_orderkey").transformWithStateInPandas(
+        statefulProcessor=LatestProcessor(),
+        outputStructType="o_orderkey bigint, lsn bigint, op string, status string, price double",
+        outputMode="update",
+        timeMode="none",
+    )

@@ -84,3 +84,52 @@ def test_apply_is_idempotent_on_replay(spark, sf_dir):
 
     final = spark.read.parquet(target)
     assert final.count() == final.select("o_orderkey").distinct().count()
+
+
+def test_latest_state_tws_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas latest-per-key == batch materialization.
+    Skipped where google.protobuf (the TWS state protocol dependency)
+    is absent; latest_state_tws itself is importable everywhere."""
+    import pytest
+
+    from postrack_spark.cdc import orders_changes, typed_column
+    from postrack_spark.streaming import envelope_stream, run_to_memory
+    from postrack_spark.streaming.stateful import latest_state_tws, tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState cannot run here")
+
+    changes = orders_changes(spark, sf_dir)
+    typed = changes.select(
+        F.coalesce(
+            typed_column("after", "o_orderkey", "long"),
+            typed_column("before", "o_orderkey", "long"),
+        ).alias("o_orderkey"),
+        "lsn",
+        "op",
+        typed_column("after", "o_orderstatus", "string").alias("status"),
+        typed_column("after", "o_totalprice", "double").alias("price"),
+    )
+    stream = envelope_stream(spark, typed, name="tws_test")
+    out = run_to_memory(latest_state_tws(stream), "tws_test_sink", output_mode="update")
+    got = {
+        r["o_orderkey"]: (r["status"], round(r["price"], 2))
+        for r in out.filter(F.col("op") != "DELETE").collect()
+    }
+    from postrack_spark.cdc import apply_changes
+
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    want = {
+        r["o_orderkey"]: (r["status"], round(r["price"], 2))
+        for r in apply_changes(changes, key, key_name="o_orderkey")
+        .select(
+            "o_orderkey",
+            typed_column("after", "o_orderstatus", "string").alias("status"),
+            typed_column("after", "o_totalprice", "double").alias("price"),
+        )
+        .collect()
+    }
+    assert got == want
