@@ -150,3 +150,87 @@ def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("doc_a", "doc_b", "split_a", "split_b", "jaccard").orderBy(
         "doc_a", "doc_b"
     )
+
+
+# Quality formula twin (functions.text.quality_score) for oracles.
+def _quality_sql() -> str:
+    from postrack_spark.queries.text_queries import _SW_LIST
+
+    return f"""
+      round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+            * (1 - len(list_filter(string_split(text, ' '), t -> t IN ({_SW_LIST})))
+                   * 1.0 / len(string_split(text, ' ')))
+            * (1 - len(list_filter(string_split(text, ' '), t -> length(t) <= 1))
+                   * 1.0 / len(string_split(text, ' '))), 6)
+    """
+
+
+_Q = _quality_sql()
+
+
+@query(
+    "sample_per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM ranked WHERE rn <= 100
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group capped sampling: at most 100 docs per source, chosen by
+    hash order — the 'balance sources / cap a dominant crawl' pipeline
+    primitive. Hash order (not 'first N in file order') makes the kept
+    set a stable pseudo-random sample, reproducible across engines and
+    partitionings."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_kept,
+           round(avg({_Q}), 4) AS avg_quality
+    FROM documents
+    WHERE {_UNIT.format(k="doc_id")} < {_Q}
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: keep a doc with probability
+    equal to its quality score — deterministically, via hash_unit(key) <
+    quality(text). High-quality docs survive, low-quality mostly drop,
+    membership reproducible anywhere. The LLM-corpus 'soft filter'."""
+    from postrack_spark.functions.text import quality_score
+    from postrack_spark.operators.sampling import _hash_unit
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    q = quality_score(F.col("text"))
+    return (
+        docs.filter(_hash_unit(F.col("doc_id")) < q)
+        .select("source", q.alias("q"))
+        .groupBy("source")
+        # avg rounded to 4 (not 6): the kept-set is identical in both
+        # engines, but their float summation orders differ in the last
+        # ulp, which round(.,6) can surface.
+        .agg(F.count("*").alias("n_kept"), F.round(F.avg("q"), 4).alias("avg_quality"))
+        .orderBy("source")
+    )
