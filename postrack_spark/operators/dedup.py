@@ -276,3 +276,64 @@ def simhash_chunk_blocks(sh: DataFrame, n_bits: int = 16, radius: int = 2) -> Da
     return sh.select("*", F.explode(chunks).alias("__ck")).select(
         *sh.columns, F.col("__ck.chunk_id").alias("chunk_id"), F.col("__ck.chunk_val").alias("chunk_val")
     )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, node_a: str = "doc_a", node_b: str = "doc_b"
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup PAIRS: connected components of
+    the pair graph by iterative min-label propagation.
+
+    Pipelines keep one representative per duplicate group, which needs
+    the transitive closure of the pairwise matches (A~B, B~C => {A,B,C}
+    even if A,C never matched). Each iteration: every node adopts the
+    min label among itself and its neighbors — a broadcast-free
+    aggregation over the (undirected) edge list; converges in O(cluster
+    diameter) rounds, which for dedup graphs is small (near-dup clusters
+    are dense). The label IS the min member id, so the final label
+    doubles as the canonical representative.
+
+    Driver-side loop with a convergence count per round — legitimate
+    iteration (each round is fully distributed); `localCheckpoint`
+    truncates the growing lineage so round N doesn't replay rounds
+    1..N-1. Returns (doc, cluster).
+    """
+    sess = edges.sparkSession
+    bidir = (
+        edges.select(F.col(node_a).alias("src"), F.col(node_b).alias("dst"))
+        .union(edges.select(F.col(node_b).alias("src"), F.col(node_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        bidir.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -289,3 +289,71 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = doc_tokens(docs, "doc_id", "text")
     verified = jaccard_pairs(toks, pairs=blocked, threshold=0.6)
     return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS ({_BANDS_SQL}),
+    sized AS (
+      SELECT b.* FROM buckets b
+      JOIN (SELECT band, bh, count(*) AS bsz FROM buckets GROUP BY band, bh) s
+        USING (band, bh)
+      WHERE s.bsz <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+      FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      JOIN cand c ON c.doc_a = t1.doc AND c.doc_b = t2.doc
+      GROUP BY t1.doc, t2.doc
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+                   JOIN sizes sb ON sb.doc = i.doc_b
+      WHERE round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) >= 0.5
+    ),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT src, src FROM bidir
+      UNION
+      SELECT b.dst, r.root FROM reach r JOIN bidir b ON b.src = r.doc
+    ),
+    labeled AS (SELECT doc, min(root) AS cluster FROM reach GROUP BY doc)
+    SELECT cluster, count(*) AS n_docs, CAST(max(doc) AS BIGINT) AS max_doc
+    FROM labeled
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters (not just pairs): connected components of the
+    MinHash-LSH >= 0.5-Jaccard pair graph via iterative min-label
+    propagation — the 'keep one representative per duplicate group'
+    primitive. The cluster id IS the min member doc_id (canonical
+    representative). The oracle computes the same closure with a
+    recursive CTE."""
+    from postrack_spark.operators.dedup import connected_components
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    shingles = _pin("clusters_shingles", doc_shingles(docs, "doc_id", "text", k=3))
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
+    pairs = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("cluster")
+        .agg(F.count("*").alias("n_docs"), F.max("doc").cast("bigint").alias("max_doc"))
+        .orderBy("cluster")
+    )

@@ -158,3 +158,15 @@ def test_row_sink_receives_handlefunc_shape(spark):
     assert len(got) == 6
     first = open(os.path.join(outdir, got[0])).read()
     assert first == "orders|INSERT|1"
+
+
+def test_connected_components_transitive_closure(spark):
+    from postrack_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 1)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc"]: r["cluster"] for r in connected_components(edges).collect()}
+    # 1-2-3-9-8-7 form one component (via 9-1); 5-6 another
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1, 5: 5, 6: 5}
