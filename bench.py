@@ -29,12 +29,15 @@ HEADLINE = [
     "join_inner_orders_per_nation",
     "window_topk_orders_per_customer",
     "sessionize_user_events",
+    "scalar_higher_order_arrays",
+    "agg_salted_hot_keys",
     # CDC materialization (the reference's domain)
     "cdc_latest_per_key_materialize",
     # LLM-pipeline operator families
     "dedup_minhash_lsh",
     "vector_knn_bruteforce",
     "text_language_id",
+    "sample_hash_deterministic",
 ]
 
 
