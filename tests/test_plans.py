@@ -94,3 +94,41 @@ def test_tiny_dim_joins_broadcast(spark, qs):
                  "q7_volume_shipping", "q9_profit_by_nation_year"):
         feats = plan_features(_df(qs, name, spark))
         assert feats["broadcast_joins"] >= 1, f"{name}: expected a broadcast join"
+
+
+def test_hash_sample_is_scan_local(spark, qs):
+    # membership predicate evaluates inside the scan stage; the only
+    # shuffles are the tiny post-filter aggregation and the final sort
+    assert_plan(
+        _df(qs, "sample_hash_deterministic", spark),
+        python_evals=0,
+        max_exchanges=2,
+    )
+
+
+def test_salted_join_broadcasts_replicated_side(spark, qs):
+    # the n_salts-replicated small side still broadcasts (replication
+    # happens inside the broadcast build, no shuffle of the big side)
+    assert_plan(
+        _df(qs, "join_salted_user_revenue", spark),
+        min_broadcast_joins=1,
+        python_evals=0,
+        max_exchanges=2,  # post-join agg + final sort; the join itself is shuffle-free
+    )
+
+
+def test_higher_order_arrays_stay_jvm(spark, qs):
+    # Catalyst lambda expressions, not UDFs: zero Python operators
+    assert_plan(
+        _df(qs, "scalar_higher_order_arrays", spark),
+        python_evals=0,
+    )
+
+
+def test_contamination_no_python_and_broadcast_splits(spark, qs):
+    # split labels broadcast onto the verified pairs; LSH chain all-JVM
+    assert_plan(
+        _df(qs, "dedup_cross_split_contamination", spark),
+        python_evals=0,
+        min_broadcast_joins=2,
+    )
