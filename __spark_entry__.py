@@ -24,9 +24,11 @@ from postrack_spark.queries import load_all  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: revenue per nation
-    (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier)."""
+    (lineitem ⋈ orders ⋈ customer ⋈ nation, broadcast dims) — one row
+    per nation, a stronger smoke signal than q5's region-filtered
+    variant, which collapses to a single row at sf0.001."""
     specs = load_all()
-    return specs["q5_local_supplier_volume"].fn(spark, "/root/testdata/sf0.001")
+    return specs["join_inner_orders_per_nation"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
