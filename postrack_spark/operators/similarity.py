@@ -72,3 +72,46 @@ def ivf_assign(
         F.max_by("label", F.struct(F.col("__sim"), (-F.col("label")).alias("nl"))).alias(out_col)
     )
     return df.join(best, id_col)
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: DataFrame,
+    n_iters: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means: fixed-iteration distributed refinement.
+
+    Each iteration assigns every vector to its nearest centroid (cosine,
+    broadcast codebook — one corpus pass, no corpus shuffle) and
+    recomputes centroids as element-wise means (posexplode + two
+    small-key aggregations, the label_centroids pattern). Centroids are
+    ROUNDED to `round_to` decimals after each recompute: this pins the
+    iteration trajectory across engines/summation orders (ulp-level avg
+    differences would otherwise compound into diverging assignments),
+    which is what makes the DuckDB oracle exact.
+
+    `init_centroids`: (label, centroid array<double>) — pass a
+    deterministic seed (e.g. vectors with the k smallest ids).
+    Driver-side loop over a FIXED n_iters (no convergence collect) —
+    each iteration is a fully distributed job. Returns (label, centroid)
+    after n_iters.
+    """
+    cents = init_centroids
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, out_col="__b")
+        exploded = assigned.select(
+            F.col("__b").alias("label"),
+            F.posexplode(as_double_array(vec_col)).alias("pos", "v"),
+        )
+        by_pos = exploded.groupBy("label", "pos").agg(
+            F.round(F.avg("v"), round_to).alias("m")
+        )
+        cents = (
+            by_pos.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+    return cents

@@ -179,3 +179,76 @@ def vector_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"), F.round(F.avg("sim"), 4).alias("avg_sim"))
         .orderBy("label")
     )
+
+
+def _kmeans_oracle(n_iters: int = 2, k: int = 8, dims: int = 64) -> str:
+    """CTE chain: seed -> (assign -> recompute)*n -> final assign stats.
+    Mirrors operators.similarity.kmeans_lloyd including the per-
+    iteration centroid rounding that pins the trajectory."""
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS label, v AS centroid FROM e WHERE vec_id < {k})",
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"""a{it} AS (
+              SELECT vec_id, label,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, centroid) DESC, label) AS rn
+              FROM e CROSS JOIN {prev})"""
+        )
+        parts.append(f"b{it} AS (SELECT vec_id, label FROM a{it} WHERE rn = 1)")
+        parts.append(
+            f"""d{it} AS (
+              SELECT b{it}.label, g.i AS pos, round(avg(e.v[g.i]), 6) AS m
+              FROM b{it} JOIN e USING (vec_id)
+              CROSS JOIN generate_series(1, {dims}) g(i)
+              GROUP BY b{it}.label, g.i)"""
+        )
+        parts.append(
+            f"c{it} AS (SELECT label, list(m ORDER BY pos) AS centroid FROM d{it} GROUP BY label)"
+        )
+    last = f"c{n_iters}"
+    return (
+        ",\n".join(parts)
+        + f""",
+    fin AS (
+      SELECT vec_id, label, list_cosine_similarity(v, centroid) AS sim,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(v, centroid) DESC, label) AS rn
+      FROM e CROSS JOIN {last})
+    SELECT label, count(*) AS n_vectors, round(avg(sim), 4) AS avg_sim
+    FROM fin WHERE rn = 1
+    GROUP BY label
+    ORDER BY label
+    """
+    )
+
+
+@query("vector_kmeans_lloyd", oracle=_kmeans_oracle())
+def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, 2 Lloyd iterations from 8 deterministic seed
+    vectors: broadcast-codebook assignment (no corpus shuffle) + small-
+    key centroid recompute per iteration, centroids rounded each pass so
+    the trajectory is bit-stable across engines — the oracle replays the
+    identical iterations in SQL."""
+    from pyspark.sql import Window as W
+
+    from postrack_spark.operators.similarity import kmeans_lloyd
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", as_double_array("embedding").alias("v"))
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("label"), F.col("v").alias("centroid")
+    )
+    cents = kmeans_lloyd(e, "vec_id", "v", seeds, n_iters=2)
+    sims = e.crossJoin(F.broadcast(cents)).withColumn("sim", cosine(F.col("v"), F.col("centroid")))
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("label"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"), F.round(F.avg("sim"), 4).alias("avg_sim"))
+        .orderBy("label")
+    )
