@@ -234,3 +234,56 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"), F.round(F.avg("q"), 4).alias("avg_quality"))
         .orderBy("source")
     )
+
+
+@query(
+    "pack_sequences_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    ordered AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM toks
+    )
+    SELECT source, CAST(floor(start_off / 2048) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM ordered
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+)
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context packing: docs are laid end-to-end in
+    deterministic hash order within each source and cut into
+    2048-token bins (a doc's bin = its start offset / capacity) — the
+    'pack short docs into fixed training sequences' primitive. The
+    window partitions by source, so packing parallelizes across
+    sources at scale (no global sort)."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ordered = toks.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        ordered.select(
+            "source",
+            F.floor(F.col("start_off") / 2048).cast("bigint").alias("bin"),
+            "n_tok",
+        )
+        .groupBy("source", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("total_tokens"))
+        .orderBy("source", "bin")
+    )

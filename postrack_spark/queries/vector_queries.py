@@ -252,3 +252,57 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"), F.round(F.avg("sim"), 4).alias("avg_sim"))
         .orderBy("label")
     )
+
+
+@query(
+    "vector_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, label, v,
+             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, label, v, scale,
+             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qv
+      FROM s
+    ),
+    err AS (
+      SELECT label,
+             list_aggregate(
+               list_transform(list_zip(v, qv),
+                              p -> abs(p[1] - p[2] / scale)), 'sum') / len(v) AS mae
+      FROM q
+    )
+    SELECT label, count(*) AS n_vectors, round(avg(mae), 4) AS avg_mae
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (per-vector absmax scale) with
+    reconstruction-error accounting — the embedding-compression
+    primitive (4x storage cut for ANN at scale). floor(x*scale+0.5)
+    keeps the rounding rule identical across engines; all math is
+    Catalyst lambdas, no Python."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "label", as_double_array("embedding").alias("v"))
+    scale = 127.0 / F.array_max(F.transform("v", F.abs))
+    s = e.withColumn("scale", scale)
+    q = s.withColumn(
+        "qv", F.transform("v", lambda x: F.floor(x * F.col("scale") + 0.5).cast("int"))
+    )
+    mae = (
+        F.aggregate(
+            F.zip_with("v", "qv", lambda x, qx: F.abs(x - qx / F.col("scale"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("v")
+    )
+    return (
+        q.select("label", mae.alias("mae"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vectors"), F.round(F.avg("mae"), 4).alias("avg_mae"))
+        .orderBy("label")
+    )
