@@ -241,3 +241,41 @@ def events_ts_znorm_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("z") * F.col("gz")) / F.count("*"), 4).alias("similarity"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', cohort, d) AS day_offset,
+           count(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    WHERE date_diff('day', cohort, d) <= 7
+    GROUP BY cohort, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; count how
+    many are active again k days later (k <= 7) — the standard
+    engagement matrix. Two aggregations + one equi-join on user_id; the
+    firsts side is per-user (broadcastable at dimension scale)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    joined = activity.join(firsts, "user_id").withColumn(
+        "day_offset", F.datediff("d", "cohort")
+    )
+    return (
+        joined.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

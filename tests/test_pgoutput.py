@@ -93,3 +93,27 @@ def test_relation_cache_survives_across_messages():
 
 def test_empty_and_non_xlog_frames_skipped():
     assert decode_xlogdata_stream([b"", keepalive_frame()]) == []
+
+
+def test_schema_evolution_mid_stream():
+    """ALTER TABLE mid-stream: Postgres re-sends RelationMessage with
+    the new column set; subsequent tuple data must be labeled with the
+    NEW names (the reference rebuilds its cache the same way,
+    postrack.go:369-376 — but per-connection only; ours updates on
+    every RelationMessage)."""
+    frames = [
+        wrap_xlogdata(encode_relation(101, "public", "orders", ["a", "b"]), 10),
+        wrap_xlogdata(encode_insert(101, ["1", "x"]), 11),
+        # ALTER TABLE ADD COLUMN c — relation re-sent with 3 columns
+        wrap_xlogdata(encode_relation(101, "public", "orders", ["a", "b", "c"]), 12),
+        wrap_xlogdata(encode_insert(101, ["2", "y", "z"]), 13),
+        # ALTER TABLE DROP COLUMN b
+        wrap_xlogdata(encode_relation(101, "public", "orders", ["a", "c"]), 14),
+        wrap_xlogdata(encode_insert(101, ["3", "w"]), 15),
+    ]
+    rows = decode_xlogdata_stream(frames)
+    assert [r["after"] for r in rows] == [
+        {"a": "1", "b": "x"},
+        {"a": "2", "b": "y", "c": "z"},
+        {"a": "3", "c": "w"},
+    ]
