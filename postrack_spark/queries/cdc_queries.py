@@ -257,3 +257,39 @@ def cdc_snapshot_plus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_statuses"
         ),
     )
+
+
+@query(
+    "cdc_lineitem_envelope_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_events,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def cdc_lineitem_envelope_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope round-trip at VOLUME width: the full 16-column lineitem
+    table through the map[string]string envelope (fixtures B.2,
+    INSERT-only ≡ the base table) and back out via typed projection —
+    the q1-shaped rollup must match the direct-scan oracle exactly.
+    Exercises the text-encode/CAST path on the widest, largest driver
+    table (600k rows × 16 map entries at sf0.1)."""
+    from postrack_spark.cdc.fixtures import lineitem_changes
+
+    ch = lineitem_changes(spark, sf_dir)
+    return (
+        ch.groupBy(
+            typed_column("after", "l_returnflag", "string").alias("l_returnflag"),
+            typed_column("after", "l_linestatus", "string").alias("l_linestatus"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(typed_column("after", "l_quantity", "double")).cast("bigint").alias("sum_qty"),
+            F.round(F.sum(typed_column("after", "l_extendedprice", "double")), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

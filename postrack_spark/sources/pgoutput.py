@@ -53,6 +53,7 @@ class DecoderState:
     relations: dict[int, Relation] = field(default_factory=dict)
     txid: int | None = None
     commit_ts: datetime | None = None
+    parse_errors: int = 0  # undecodable frames skipped (ref: silent, :359-365)
 
 
 def _cstring(buf: bytes, off: int) -> tuple[str, int]:
@@ -190,9 +191,16 @@ def decode_xlogdata_stream(frames: list[bytes], state: DecoderState | None = Non
     for frame in frames:
         if not frame or frame[0:1] != b"w":  # XLogDataByteID
             continue
-        wal_start, _wal_end, _clock = struct.unpack_from(">qqq", frame, 1)
-        payload = frame[25:]
-        rows.extend(decode_message(payload, wal_start, state))
+        try:
+            wal_start, _wal_end, _clock = struct.unpack_from(">qqq", frame, 1)
+            payload = frame[25:]
+            rows.extend(decode_message(payload, wal_start, state))
+        except (struct.error, KeyError, AssertionError, IndexError):
+            # Undecodable frame: skip and count. The reference silently
+            # `continue`s on any parse error (postrack.go:359-365); we
+            # keep the resilience but surface it — a capture bug that
+            # eats 1% of frames should be visible, not silent.
+            state.parse_errors += 1
     return rows
 
 

@@ -117,3 +117,19 @@ def test_schema_evolution_mid_stream():
         {"a": "2", "b": "y", "c": "z"},
         {"a": "3", "c": "w"},
     ]
+
+
+def test_malformed_frames_skipped_and_counted():
+    """Parse failures skip the frame and count it (the reference
+    silently continues, postrack.go:359-365; we continue visibly).
+    Stream keeps decoding after the bad frame."""
+    good_rel = wrap_xlogdata(encode_relation(101, "public", "orders", ["a"]), 10)
+    bad_truncated = b"w" + b"\x00" * 10  # header too short for >qqq
+    bad_unknown_rel = wrap_xlogdata(encode_insert(999, ["1"]), 11)  # oid not in cache
+    good_insert = wrap_xlogdata(encode_insert(101, ["7"]), 12)
+    state = DecoderState()
+    rows = decode_xlogdata_stream(
+        [good_rel, bad_truncated, bad_unknown_rel, good_insert], state
+    )
+    assert [r["after"] for r in rows] == [{"a": "7"}]
+    assert state.parse_errors == 2
