@@ -40,3 +40,26 @@ def hash_split(df: DataFrame, key, test_rate: float = 0.1, split_col: str = "spl
     """Stable train/test split label from the key's hash band."""
     u = _hash_unit(F.col(key) if isinstance(key, str) else key)
     return df.withColumn(split_col, F.when(u < test_rate, F.lit("test")).otherwise(F.lit("train")))
+
+
+def weighted_resample(
+    df: DataFrame, key, weights: dict[str, float], weight_col: str, copies_col: str = "__copies"
+) -> DataFrame:
+    """Deterministic mixture resampling: each row is emitted
+    floor(w) + (hash_unit(key) < frac(w)) times, where w is its group's
+    weight — so a 2.5× source yields exactly 2 copies for half its rows
+    (by hash) and 3 for the other half, reproducibly. Rows from groups
+    absent in `weights` keep weight 1.0. Emission is an explode of a
+    per-row sequence: map-side only, no shuffle, no driver loop —
+    the 'epochs per data source' primitive for training mixtures."""
+    w = F.lit(1.0)
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(weight_col) == k, F.lit(float(v))).otherwise(w)
+    key_col = F.col(key) if isinstance(key, str) else key
+    n = F.floor(w) + (_hash_unit(key_col) < (w - F.floor(w))).cast("long")
+    return (
+        df.withColumn(copies_col, n)
+        .filter(F.col(copies_col) > 0)
+        .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col(copies_col))))
+        .drop(copies_col, "__copy")
+    )

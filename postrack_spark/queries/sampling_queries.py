@@ -287,3 +287,45 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("bigint").alias("total_tokens"))
         .orderBy("source", "bin")
     )
+
+
+@query(
+    "sample_weighted_mixture",
+    oracle=f"""
+    WITH w AS (
+      SELECT *,
+             CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.5 ELSE 1.0 END AS wt
+      FROM documents
+    ),
+    copies AS (
+      SELECT lang, n_chars,
+             CAST(floor(wt) AS BIGINT)
+               + CASE WHEN {_UNIT.format(k="doc_id")} < wt - floor(wt)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT lang,
+           CAST(sum(n_copies) AS BIGINT) AS n_rows_out,
+           CAST(sum(n_copies * n_chars) AS BIGINT) AS total_chars_out
+    FROM copies
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: en×2.5, de×1.5, others×1 —
+    fractional upsampling resolved deterministically per row by key
+    hash (exactly half the en docs get a 3rd copy). Map-side explode,
+    no shuffle; the oracle recomputes the same copy counts."""
+    from postrack_spark.operators.sampling import weighted_resample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = weighted_resample(docs, "doc_id", {"en": 2.5, "de": 1.5}, weight_col="lang")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows_out"),
+            F.sum("n_chars").cast("bigint").alias("total_chars_out"),
+        )
+        .orderBy("lang")
+    )
