@@ -279,3 +279,60 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "events_asof_next_purchase_latency",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+      FROM events
+    ),
+    lat AS (
+      SELECT user_id,
+             date_diff('second', ts, next_purchase_ts) AS latency_s
+      FROM ordered
+      WHERE event_type = 'view' AND next_purchase_ts IS NOT NULL
+    )
+    SELECT count(*) AS n_matched,
+           CAST(min(latency_s) AS BIGINT) AS min_latency_s,
+           round(quantile_cont(latency_s, 0.5), 2) AS p50_latency_s,
+           round(quantile_cont(latency_s, 0.9), 2) AS p90_latency_s
+    FROM lat
+    """,
+)
+def events_asof_next_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each view, the user's next purchase
+    (first_value IGNORE NULLS over a strictly-following frame) and the
+    view→purchase latency distribution — the mirror of
+    events_asof_last_click's trailing frame. Same one-shuffle window
+    pattern: both sides share the stream, no join at all."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    enriched = t["events"].withColumn(
+        "next_purchase_ts", F.first(purchase_ts, ignorenulls=True).over(w)
+    )
+    lat = (
+        enriched.filter(
+            (F.col("event_type") == "view") & F.col("next_purchase_ts").isNotNull()
+        )
+        .select(
+            (
+                F.unix_timestamp("next_purchase_ts") - F.unix_timestamp("ts")
+            ).alias("latency_s")
+        )
+    )
+    return lat.agg(
+        F.count("*").alias("n_matched"),
+        F.min("latency_s").cast("bigint").alias("min_latency_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 2).alias("p50_latency_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 2).alias("p90_latency_s"),
+    )
