@@ -239,12 +239,31 @@ def text_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract", oracle=None)  # Pandas-UDF pipeline; rows-only
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, (t.i - 1) % 8 AS j,
+             ('0x' || substr(h, 2*t.i - 1, 2))::INT AS v
+      FROM b, unnest(generate_series(1, n)) t(i)
+    ),
+    f AS (SELECT doc_id, j, avg(v) / 255.0 AS fv FROM bytes GROUP BY doc_id, j)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_features,
+           round(sqrt(sum(fv * fv)), 6) AS feature_norm
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow
-    batches, stubbed codec) — returns per-asset fixed-width feature
-    vectors plus a norm summary. Rows-only check: the byte-histogram
-    stub is Python-side, not SQL-expressible."""
+    batches, stubbed codec): per-asset fixed-width vectors + norm. The
+    deterministic fake decode is a folded byte histogram, so the oracle
+    recomputes it byte-for-byte in SQL (hex-slice of the UTF-8 payload)
+    — the Python batch pipeline is hash-checked end to end, not just
+    rows-only."""
     from postrack_spark.functions.vector import norm
     from postrack_spark.operators.multimodal import attach_payload, extract_features
 
