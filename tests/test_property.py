@@ -113,3 +113,22 @@ def test_random_filters_match_duckdb(spark, duck, sf_dir, comps, conj):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_hash_sample_invariant_under_repartition(spark, sf_dir):
+    """Deterministic sampling must be a pure row function: membership
+    identical no matter how the data is partitioned (the property that
+    makes samples reproducible on any cluster layout)."""
+    from postrack_spark.operators.sampling import hash_sample
+    from postrack_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = sorted(
+        r["o_orderkey"] for r in hash_sample(orders, "o_orderkey", 0.2).collect()
+    )
+    for n in (1, 7):
+        re = sorted(
+            r["o_orderkey"]
+            for r in hash_sample(orders.repartition(n), "o_orderkey", 0.2).collect()
+        )
+        assert re == base
