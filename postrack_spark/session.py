@@ -71,14 +71,28 @@ def configure_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# DataFrame handles per (session, sf_dir): building a scan DataFrame
+# costs two footer reads (JVM schema inference + the pyarrow nanos
+# probe) per table; repeated per-query calls were paying that ×10
+# tables every time. The cached values are LAZY plans — no data is
+# cached, Catalyst still plans pushdown/pruning against the raw scan.
+_TABLES_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver parquet table and register temp views.
 
     Plain `spark.read.parquet` scans so Catalyst's pushdown/pruning apply;
-    do NOT cache here — the engine's queries must plan against the scan
-    (a 100 TB table cannot be cached).
+    do NOT cache data here — the engine's queries must plan against the
+    scan (a 100 TB table cannot be cached). Only the DataFrame HANDLES
+    are memoized per session.
     """
-    configure_session(spark)
+    configure_session(spark)  # cheap conf pinning; a driver-owned session
+    # may have reset confs between calls, so run it even on cache hits.
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _TABLES_CACHE.get(key)
+    if cached is not None:
+        return cached
     tables: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -92,6 +106,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             )
         df.createOrReplaceTempView(name)
         tables[name] = df
+    _TABLES_CACHE[key] = tables
     return tables
 
 
