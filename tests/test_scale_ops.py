@@ -170,3 +170,32 @@ def test_connected_components_transitive_closure(spark):
     got = {r["doc"]: r["cluster"] for r in connected_components(edges).collect()}
     # 1-2-3-9-8-7 form one component (via 9-1); 5-6 another
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_minhash_array_path_equals_exploded(spark, sf_dir):
+    """The zero-shuffle array variants must produce identical signatures
+    and verified pairs as the exploded path (they back shuffle-bound
+    deployments; the registered queries use the codegen-friendly
+    exploded form — see operators/dedup.py docstrings)."""
+    from postrack_spark.operators.dedup import (
+        doc_shingle_arrays,
+        doc_shingles,
+        jaccard_pairs,
+        jaccard_pairs_from_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_signatures_from_arrays,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    shingles = doc_shingles(docs, "doc_id", "text", k=3)
+    arrays = doc_shingle_arrays(docs, "doc_id", "text", k=3)
+    sig_a = minhash_signatures(docs, "doc_id", "text", n_hashes=8, tokens_df=shingles)
+    sig_b = minhash_signatures_from_arrays(arrays, n_hashes=8)
+    assert sorted(map(tuple, sig_a.collect())) == sorted(map(tuple, sig_b.collect()))
+    cand = lsh_candidate_pairs(sig_b, n_hashes=8, band_size=2, max_bucket_size=100)
+    va = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select("doc_a", "doc_b", "jaccard")
+    vb = jaccard_pairs_from_arrays(arrays, pairs=cand, threshold=0.5).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    assert sorted(map(tuple, va.collect())) == sorted(map(tuple, vb.collect()))
