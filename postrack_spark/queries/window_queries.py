@@ -264,3 +264,48 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_percentile_rank_dist",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             o_totalprice
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    )
+    SELECT o_orderpriority,
+           round(avg(pr), 6) AS avg_percent_rank,
+           round(avg(cd), 6) AS avg_cume_dist,
+           round(max(CASE WHEN pr <= 0.5 THEN o_totalprice END), 2) AS price_at_median_rank
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def window_percentile_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist (the relative-rank analytic pair) per
+    priority group, folded to group-level checks (avg of percent_rank
+    ≈ 0.5 by construction; price at the median rank)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = t["orders"].select(
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        "o_totalprice",
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("pr"), 6).alias("avg_percent_rank"),
+            F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+            F.round(
+                F.max(F.when(F.col("pr") <= 0.5, F.col("o_totalprice"))), 2
+            ).alias("price_at_median_rank"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -132,3 +132,45 @@ def test_hash_sample_invariant_under_repartition(spark, sf_dir):
             for r in hash_sample(orders.repartition(n), "o_orderkey", 0.2).collect()
         )
         assert re == base
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation over random graphs == classic union-find."""
+    from postrack_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for node in parent:
+        root = find(node)
+        want.setdefault(root, set()).add(node)
+    model = {min(group): group for group in want.values()}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got_rows = connected_components(df).collect()
+    got: dict[int, set] = {}
+    for r in got_rows:
+        got.setdefault(r["cluster"], set()).add(r["doc"])
+    assert got == model
