@@ -31,7 +31,7 @@ from postrack_spark.cdc.envelope import (
     null_map,
     str_map,
 )
-from postrack_spark.session import load_tables
+from postrack_spark.session import fan_out, load_tables
 
 _ORDER_COLS = [
     "o_orderkey",
@@ -51,7 +51,9 @@ def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous 4-branch union that re-scanned the table once per
     event kind (at 100 TB the source scan dominates, so branch count
     is the multiplier that matters)."""
-    orders = load_tables(spark, sf_dir)["orders"]
+    # fan_out: envelope map construction is the CPU-heavy map stage and
+    # the local single-row-group scan would otherwise run it on 1 core.
+    orders = fan_out(load_tables(spark, sf_dir)["orders"])
     key = F.col("o_orderkey")
     mod = key % 10
 
@@ -126,6 +128,9 @@ def lineitem_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    # No fan_out here: the per-order row_number window shuffles BEFORE
+    # the heavy str_map projection, so map construction is already
+    # parallel; a repartition would only add a second full shuffle.
     li = load_tables(spark, sf_dir)["lineitem"]
     cols = [f.name for f in li.schema.fields]
     w = W.partitionBy("l_orderkey").orderBy(*cols)

@@ -22,7 +22,7 @@ from postrack_spark.operators.dedup import (
     simhash_chunk_blocks,
 )
 from postrack_spark.queries.registry import query
-from postrack_spark.session import load_tables
+from postrack_spark.session import fan_out, load_tables
 
 # The MinHash pipeline references the shingle relation from two subtrees
 # (signature build and Jaccard verify); persisting it makes the explode
@@ -166,7 +166,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant measured 11.1M candidate pairs / 320 s at sf0.1; this one
     1.5k pairs. Bucket cap 100 drops degenerate near-constant text."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = fan_out(t["documents"])
     shingles = _pin("minhash_shingles", doc_shingles(docs, "doc_id", "text", k=3))
     sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
@@ -218,7 +218,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-source pair scan, then the hamming predicate verifies. Same
     output as all-pairs; the oracle computes the quadratic form."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = fan_out(t["documents"])
     sh = simhash_bits(docs, "doc_id", "text", n_bits=16).join(
         docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
     )
@@ -275,7 +275,7 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard >= 0.6 over length+source-blocked pairs —
     the exact-verification tier (blocking keeps the pair space linear-ish)."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = fan_out(t["documents"])
     blocked = (
         docs.alias("d1")
         .join(
@@ -346,7 +346,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postrack_spark.operators.dedup import connected_components
 
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = fan_out(t["documents"])
     shingles = _pin("clusters_shingles", doc_shingles(docs, "doc_id", "text", k=3))
     sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)

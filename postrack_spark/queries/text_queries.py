@@ -19,7 +19,7 @@ from postrack_spark.functions.text import (
     tokens,
 )
 from postrack_spark.queries.registry import query
-from postrack_spark.session import load_tables
+from postrack_spark.session import fan_out, load_tables
 
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -43,7 +43,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     txt = F.col("text")
     return (
-        t["documents"]
+        fan_out(t["documents"])
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -81,7 +81,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     source — the LLM-pipeline 'filter low-quality docs' primitive."""
     t = load_tables(spark, sf_dir)
     return (
-        t["documents"]
+        fan_out(t["documents"])
         .select("source", quality_score(F.col("text")).alias("q"))
         .groupBy("source")
         .agg(F.round(F.avg("q"), 6).alias("avg_quality"), F.count("*").alias("n_docs"))
@@ -140,7 +140,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(lang: str):
         return F.size(F.filter(tokens(txt), lambda tok: tok.isin(_MARKERS[lang])))
 
-    scored = t["documents"].select(
+    scored = fan_out(t["documents"]).select(
         F.col("lang").alias("true_lang"),
         score("en").alias("s_en"),
         score("de").alias("s_de"),
@@ -184,7 +184,7 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     txt = F.col("text")
     return (
-        t["documents"]
+        fan_out(t["documents"])
         .filter(F.col("doc_id") < 100)
         .select(
             "doc_id",
@@ -219,7 +219,7 @@ def text_fingerprint_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python in the hot path; at 100 TB this is a single scan with a
     per-row array pipeline, no shuffle until the final (tiny) output."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].withColumn("toks", F.split("text", " "))
+    docs = fan_out(t["documents"]).withColumn("toks", F.split("text", " "))
     shingles = F.when(
         F.size("toks") >= 3,
         F.expr(
@@ -268,7 +268,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postrack_spark.operators.multimodal import attach_payload, extract_features
 
     t = load_tables(spark, sf_dir)
-    media = attach_payload(t["documents"], "text", "text/plain")
+    media = attach_payload(fan_out(t["documents"]), "text", "text/plain")
     feats = extract_features(media, "doc_id", n_features=8)
     return (
         feats.select(
@@ -300,7 +300,7 @@ def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     payload = F.encode(F.col("text"), "UTF-8")
     return (
-        t["documents"]
+        fan_out(t["documents"])
         .select("source", payload.alias("payload"))
         .groupBy("source")
         .agg(

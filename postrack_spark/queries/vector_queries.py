@@ -18,7 +18,7 @@ from postrack_spark.operators.similarity import (
     label_centroids,
 )
 from postrack_spark.queries.registry import query
-from postrack_spark.session import load_tables
+from postrack_spark.session import fan_out, load_tables
 
 
 @query(
@@ -39,7 +39,7 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     vec = as_double_array("embedding")
     return (
-        t["embeddings"]
+        fan_out(t["embeddings"])
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),
@@ -74,7 +74,7 @@ def vector_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 5 query vectors: broadcast queries ×
     one corpus pass × per-query window — the ANN correctness baseline."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = fan_out(t["embeddings"])
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("q_vec")
     )
@@ -123,7 +123,7 @@ def vector_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest bucket only, exact top-5 within it. The scale path — the
     corpus is partitioned by bucket, the query touches one partition."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = fan_out(t["embeddings"])
     centroids = label_centroids(emb, "embedding", "label")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("q_vec")
@@ -167,7 +167,7 @@ def vector_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 0.35 sits in the upper tail of the driver data's
     intra-cluster cosine distribution (max ≈ 0.55)."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select("vec_id", "label", as_double_array("embedding").alias("v"))
+    e = fan_out(t["embeddings"]).select("vec_id", "label", as_double_array("embedding").alias("v"))
     a = e.select(F.col("vec_id").alias("ida"), "label", F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("idb"), "label", F.col("v").alias("vb"))
     return (
@@ -238,7 +238,7 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postrack_spark.operators.similarity import kmeans_lloyd
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select("vec_id", as_double_array("embedding").alias("v"))
+    e = fan_out(t["embeddings"]).select("vec_id", as_double_array("embedding").alias("v"))
     seeds = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("label"), F.col("v").alias("centroid")
     )
@@ -286,7 +286,7 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the rounding rule identical across engines; all math is
     Catalyst lambdas, no Python."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select("vec_id", "label", as_double_array("embedding").alias("v"))
+    e = fan_out(t["embeddings"]).select("vec_id", "label", as_double_array("embedding").alias("v"))
     scale = 127.0 / F.array_max(F.transform("v", F.abs))
     s = e.withColumn("scale", scale)
     q = s.withColumn(

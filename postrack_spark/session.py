@@ -110,6 +110,36 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return tables
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise scan parallelism when a small input underfills the cluster.
+
+    The driver's parquet files are single-row-group (TESTDATA.md), so a
+    scan arrives as ONE partition and everything before the first
+    shuffle — 16-lane minhash md5, CDC envelope map construction,
+    mapInPandas batches — runs on one core. On a 100 TB table the scan
+    already has thousands of splits (spark.sql.files.maxPartitionBytes),
+    `getNumPartitions() >= target` holds, and this is a no-op: it never
+    adds a shuffle to an already-parallel plan, so it is safe to leave
+    in cluster code paths.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    key = (id(df), target)
+    hit = _FANOUT_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    # Keep a ref to the input so id() stays unique for the cache's life.
+    _FANOUT_CACHE[key] = (df, out)
+    return out
+
+
+# (input id, target) -> (input ref, fanned-out plan). The .rdd partition
+# probe costs a plan conversion; memoize it per DataFrame handle (table
+# handles themselves are memoized in _TABLES_CACHE, so ids are stable).
+_FANOUT_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (read by Spark as long
     under spark.sql.legacy.parquet.nanosAsLong)."""
