@@ -115,3 +115,44 @@ def kmeans_lloyd(
             .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
         )
     return cents
+
+
+def sign_lsh_key(vec_col, dims: list[int]):
+    """Random-hyperplane-style LSH bucket key from coordinate signs:
+    bit i = (vec[dims[i]] >= 0). With axis-aligned hyperplanes the key
+    is engine-portable (the oracle recomputes it in SQL) while keeping
+    the LSH property — cosine-similar vectors agree on most signs.
+    `dims` are 1-based (element_at), matching SQL array indexing."""
+    bits = [
+        F.when(F.element_at(vec_col, d) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dims: list[int],
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: equi-join queries to corpus on the sign-LSH
+    bucket, rank by cosine within the bucket. The crossJoin of
+    brute_force_topk becomes a hash join on the bucket key — at 100 TB
+    the corpus shuffles once on ~2^|dims| keys (or stays put with the
+    queries broadcast) and each query scans only its bucket. Recall is
+    tunable via |dims| (fewer bits = bigger buckets = higher recall)."""
+    qb = queries.withColumn("__bk", sign_lsh_key(F.col(q_vec), dims))
+    cb = corpus.withColumn("__bk", sign_lsh_key(F.col(c_vec), dims))
+    joined = cb.join(F.broadcast(qb), "__bk").filter(F.col(q_id) != F.col(c_id))
+    joined = joined.withColumn("sim", cosine(F.col(q_vec), F.col(c_vec)))
+    w = W.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, F.round("sim", 4).alias("cos_sim"), "rn")
+    )

@@ -8,7 +8,7 @@ validates the whole envelope round-trip: build map[string]string images
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postrack_spark.cdc import (
@@ -292,4 +292,83 @@ def cdc_lineitem_envelope_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(typed_column("after", "l_extendedprice", "double")), 2).alias("sum_price"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    seq AS (
+      SELECT *, lead(lsn) OVER (PARTITION BY okey ORDER BY lsn) AS valid_to_lsn
+      FROM changes
+    )
+    SELECT okey AS o_orderkey, lsn AS valid_from_lsn, valid_to_lsn,
+           status AS o_orderstatus, round(price, 2) AS o_totalprice,
+           (valid_to_lsn IS NULL) AS is_current
+    FROM seq
+    WHERE op IN ('INSERT', 'UPDATE')
+    ORDER BY o_orderkey, valid_from_lsn
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) view of the change stream:
+    every INSERT/UPDATE becomes a version row with a [valid_from_lsn,
+    valid_to_lsn) validity interval; a following DELETE closes the last
+    version (its lsn becomes that row's valid_to) without emitting one.
+    This is the standard warehouse consumption of CDC history that the
+    reference leaves entirely to HandleFunc (postrack.go:35). One
+    window per key — shuffles on the key exactly once at any scale."""
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("lsn")
+    return (
+        ch.withColumn("o_orderkey", key)
+        .withColumn("valid_to_lsn", F.lead("lsn").over(w))
+        .filter(F.col("op").isin("INSERT", "UPDATE"))
+        .select(
+            "o_orderkey",
+            F.col("lsn").alias("valid_from_lsn"),
+            "valid_to_lsn",
+            typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
+            F.round(typed_column("after", "o_totalprice", "double"), 2).alias("o_totalprice"),
+            F.col("valid_to_lsn").isNull().alias("is_current"),
+        )
+        .orderBy("o_orderkey", "valid_from_lsn")
+    )
+
+
+@query(
+    "cdc_txn_grouping",
+    oracle=f"""
+    WITH {_CHANGES_CTE}
+    SELECT okey AS txid, count(*) AS n_events,
+           count(DISTINCT op) AS n_ops,
+           min(lsn) AS first_lsn, max(lsn) AS last_lsn
+    FROM changes
+    GROUP BY okey
+    HAVING count(*) > 1
+    ORDER BY txid
+    """,
+)
+def cdc_txn_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-boundary grouping: events rolled up per txid. The
+    reference DROPS Begin/Commit messages (postrack.go:368-411 has no
+    case arms for them), so its consumers cannot reconstruct
+    transactions; the envelope's txid column (quirk q5 fix) makes this
+    a plain aggregation. Multi-event transactions only."""
+    ch = orders_changes(spark, sf_dir)
+    return (
+        ch.groupBy("txid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("op").alias("n_ops"),
+            F.min("lsn").alias("first_lsn"),
+            F.max("lsn").alias("last_lsn"),
+        )
+        .filter(F.col("n_events") > 1)
+        .orderBy("txid")
     )

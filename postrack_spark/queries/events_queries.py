@@ -336,3 +336,36 @@ def events_asof_next_purchase_latency(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.expr("percentile(latency_s, 0.5)"), 2).alias("p50_latency_s"),
         F.round(F.expr("percentile(latency_s, 0.9)"), 2).alias("p90_latency_s"),
     )
+
+
+@query(
+    "events_sliding_window_rollup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts) - g.k * INTERVAL '1 hour',
+                    '%Y-%m-%d %H:00') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events, unnest(generate_series(0, 1)) g(k)
+    WHERE ts < TIMESTAMP '2024-01-02'
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2-hour windows every 1 hour): each
+    event lands in two overlapping windows — the batch twin of
+    streaming groupBy(window(ts, '2 hours', '1 hour')). The oracle
+    reconstructs window membership with generate_series."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )

@@ -641,3 +641,89 @@ def scalar_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("prices", 1), 2).alias("cheapest"),
         F.round(F.element_at("prices", -1), 2).alias("priciest"),
     ).orderBy("orderkey")
+
+
+_STOPLIST_SQL = "['the','a','of','and','to','in','is','it']"
+
+
+@query(
+    "scalar_array_functions",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks,
+             list_sort(list_distinct(str_split(text, ' '))) AS srt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           array_to_string(srt[1:5], ',') AS first5,
+           toks[-1] AS last_tok,
+           list_contains(toks, 'the') AS has_the,
+           CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
+           CAST(len(list_intersect(srt, {_STOPLIST_SQL})) AS INT) AS n_stop,
+           CAST(len(list_filter(srt, x -> NOT list_contains({_STOPLIST_SQL}, x))) AS INT)
+             AS n_nonstop,
+           list_aggregate(toks, 'max') AS max_tok
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (SURVEY §2b scalar functions): slice,
+    sort, distinct, join, element_at (negative index), contains,
+    position, intersect, except, max — all JVM-side built-ins over
+    per-row token arrays, no UDFs."""
+    t = load_tables(spark, sf_dir)
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is", "it"]])
+    toks = F.split(F.col("text"), " ")
+    srt = F.array_sort(F.array_distinct(toks))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.array_join(F.slice(srt, 1, 5), ",").alias("first5"),
+            F.element_at(toks, -1).alias("last_tok"),
+            F.array_contains(toks, "the").alias("has_the"),
+            F.array_position(toks, "the").alias("the_pos"),
+            F.size(F.array_intersect(srt, stop)).alias("n_stop"),
+            F.size(F.array_except(srt, stop)).alias("n_nonstop"),
+            F.array_max(toks).alias("max_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TOPK_SHARE_SQL = """
+    WITH rev AS (
+      SELECT c.c_custkey, n.n_regionkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT r_name, c_custkey, revenue,
+             row_number() OVER (PARTITION BY r_name
+                                ORDER BY revenue DESC, c_custkey) AS rn,
+             sum(revenue) OVER (PARTITION BY r_name) AS region_rev
+      FROM rev JOIN region ON r_regionkey = n_regionkey
+    )
+    SELECT r_name, c_custkey, round(revenue, 2) AS revenue,
+           CAST(rn AS INT) AS rn, round(revenue / region_rev, 6) AS rev_share
+    FROM ranked WHERE rn <= 3
+    ORDER BY r_name, rn
+"""
+
+
+@query("sql_topk_revenue_share", oracle=_TOPK_SHARE_SQL)
+def sql_topk_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: the engine's tables are registered as temp
+    views by load_tables, so users can run ANSI SQL verbatim through
+    spark.sql — this query IS its own oracle (same text both engines),
+    proving the SQL surface end to end (CTEs, multi-join, window
+    ranking + windowed sum, analytic share)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_TOPK_SHARE_SQL)

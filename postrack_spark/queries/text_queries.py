@@ -310,3 +310,60 @@ def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(g.i AS INT) AS frame_no,
+           substr(h, 128 * g.i + 1, 128) AS frame_hex,
+           CAST(length(substr(h, 128 * g.i + 1, 128)) // 2 AS BIGINT) AS frame_len
+    FROM b, unnest(generate_series(0, (n + 63) // 64 - 1)) g(i)
+    ORDER BY doc_id, frame_no
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: one row per 64-byte 'frame'
+    via the one-to-many mapInPandas pipeline (stubbed codec — a real
+    video sampler swaps the decode call, same batch shape). The oracle
+    recomputes every frame byte-for-byte as hex slices, so the
+    Python-side explode is value-checked, not just row-counted."""
+    from postrack_spark.operators.multimodal import attach_payload, sample_frames
+
+    t = load_tables(spark, sf_dir)
+    media = attach_payload(fan_out(t["documents"]), "text", "text/plain")
+    frames = sample_frames(media, "doc_id", every=64)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.hex("frame").alias("frame_hex"),
+        F.octet_length("frame").cast("bigint").alias("frame_len"),
+    ).orderBy("doc_id", "frame_no")
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           rpad(substr(hex(encode(text)), 1, 192), 192, '0') AS resized_hex,
+           CAST(96 AS BIGINT) AS byte_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stub over binary payloads (truncate/zero-pad to 96 bytes
+    through mapInPandas — a real image resize swaps the codec call,
+    same Arrow batch plumbing), value-checked byte-for-byte via hex."""
+    from postrack_spark.operators.multimodal import attach_payload, resize_media
+
+    t = load_tables(spark, sf_dir)
+    media = attach_payload(fan_out(t["documents"]), "text", "text/plain")
+    resized = resize_media(media, "doc_id", target=96)
+    return resized.select(
+        "doc_id", F.hex("payload").alias("resized_hex"), "byte_len"
+    ).orderBy("doc_id")

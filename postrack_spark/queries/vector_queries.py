@@ -306,3 +306,54 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"), F.round(F.avg("mae"), 4).alias("avg_mae"))
         .orderBy("label")
     )
+
+
+_LSH_BITS_SQL = " || ".join(
+    f"CASE WHEN embedding[{d}] >= 0 THEN '1' ELSE '0' END" for d in range(1, 9)
+)
+
+
+@query(
+    "vector_lsh_ann",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec, {_LSH_BITS_SQL} AS bk
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec, {_LSH_BITS_SQL} AS bk
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q_id, c_id, list_cosine_similarity(q_vec, c_vec) AS sim
+      FROM q JOIN c USING (bk) WHERE q_id <> c_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+      FROM sims
+    )
+    SELECT q_id, c_id, round(sim, 4) AS cos_sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    ORDER BY q_id, rn
+    """,
+)
+def vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH bucketing (random-hyperplane family with
+    axis-aligned planes, 8 bits): queries equi-join their bucket
+    instead of cross-joining the corpus — the second scale path next
+    to IVF (vector_ivf_search). Exactly reproducible in SQL, so unlike
+    most ANN implementations this one is value-checked by the oracle."""
+    from postrack_spark.operators.similarity import lsh_bucketed_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = fan_out(t["embeddings"])
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("c_vec")
+    )
+    return lsh_bucketed_topk(queries, corpus, k=10, dims=list(range(1, 9))).orderBy(
+        "q_id", "rn"
+    )

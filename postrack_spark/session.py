@@ -78,6 +78,9 @@ def configure_session(spark: SparkSession) -> None:
 # cached, Catalyst still plans pushdown/pruning against the raw scan.
 _TABLES_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
+# session id -> sf_dir whose temp views are currently registered.
+_CURRENT_VIEWS: dict[int, str] = {}
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver parquet table and register temp views.
@@ -92,6 +95,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), os.path.abspath(sf_dir))
     cached = _TABLES_CACHE.get(key)
     if cached is not None:
+        # Temp views are session-global, so a later load_tables with a
+        # DIFFERENT sf_dir repointed them; re-register if this call's
+        # sf_dir is not the one whose views are current (spark.sql
+        # queries read the views, not the returned handles).
+        if _CURRENT_VIEWS.get(id(spark)) != key[1]:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+            _CURRENT_VIEWS[id(spark)] = key[1]
         return cached
     tables: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
@@ -107,6 +118,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         tables[name] = df
     _TABLES_CACHE[key] = tables
+    _CURRENT_VIEWS[id(spark)] = key[1]
     return tables
 
 
