@@ -73,3 +73,23 @@ def test_latest_per_key_picks_max_lsn(spark, sf_dir):
     expected = ch.groupBy("txid").agg(F.max("lsn").alias("max_lsn"))
     joined = latest.join(expected, "txid").filter(F.col("lsn") != F.col("max_lsn"))
     assert joined.count() == 0
+
+
+def test_scd2_current_slice_equals_materialization(spark, sf_dir):
+    """Cross-operator invariant: the is_current rows of the SCD2
+    history must be exactly the latest-per-key materialization (same
+    keys, same final status/price) — two independent plans over the
+    same stream agreeing on 'current state'."""
+    from postrack_spark.queries import load_all
+
+    specs = load_all()
+    current = (
+        specs["cdc_scd2_history"].fn(spark, sf_dir)
+        .filter(F.col("is_current"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    materialized = specs["cdc_latest_per_key_materialize"].fn(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    assert current.exceptAll(materialized).count() == 0
+    assert materialized.exceptAll(current).count() == 0

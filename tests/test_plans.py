@@ -132,3 +132,31 @@ def test_contamination_no_python_and_broadcast_splits(spark, qs):
         python_evals=0,
         min_broadcast_joins=2,
     )
+
+
+def test_lsh_ann_is_equi_join_not_cartesian(spark, qs):
+    # the whole point of vector_lsh_ann vs brute force: the bucket key
+    # makes it a hash equi-join — no nested-loop/cartesian anywhere,
+    # and all vector math stays JVM-side
+    feats = assert_plan(_df(qs, "vector_lsh_ann", spark), bnl_joins=0, python_evals=0)
+    assert feats["broadcast_joins"] + feats["shuffledhash_joins"] + feats["sortmerge_joins"] >= 1
+
+
+def test_scd2_single_key_shuffle(spark, qs):
+    # one window per key: fan_out repartition + window exchange + final
+    # range-sort exchange — nothing else may shuffle
+    assert_plan(_df(qs, "cdc_scd2_history", spark), max_exchanges=3, python_evals=0)
+
+
+def test_frame_sample_is_arrow_batched(spark, qs):
+    # the codec pipeline crosses into Python exactly once, Arrow-batched
+    feats = assert_plan(_df(qs, "multimodal_frame_sample", spark), row_python_evals=0)
+    assert feats["arrow_python_evals"] == 1
+
+
+def test_sql_entry_plans_like_dataframe(spark, qs):
+    # spark.sql over the registered views gets the same Catalyst
+    # treatment: broadcast dims, no Python, AQE on
+    feats = assert_plan(_df(qs, "sql_topk_revenue_share", spark),
+                        min_broadcast_joins=2, python_evals=0)
+    assert feats["aqe"]
