@@ -372,3 +372,59 @@ def cdc_txn_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > 1)
         .orderBy("txid")
     )
+
+
+@query(
+    "cdc_map_functions",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    rules AS (
+      SELECT op,
+             CASE WHEN op IN ('INSERT', 'UPDATE') THEN 6 END AS after_keys,
+             CASE op
+               WHEN 'UPDATE' THEN CASE WHEN okey % 10 = 4 THEN 0 ELSE 6 END
+               WHEN 'DELETE' THEN 6
+             END AS before_keys
+      FROM changes
+    )
+    SELECT op, count(*) AS n_events,
+           round(avg(after_keys), 4) AS avg_after_keys,
+           round(avg(after_keys), 4) AS avg_after_nonnull,
+           round(avg(before_keys), 4) AS avg_before_keys,
+           CAST(count(after_keys) AS BIGINT) AS n_with_pk,
+           min(CASE WHEN after_keys IS NOT NULL
+               THEN 'o_custkey,o_orderdate,o_orderkey' END) AS first3_keys
+    FROM rules
+    GROUP BY op
+    ORDER BY op
+    """,
+)
+def cdc_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface over the envelope (SURVEY §2b: map_keys /
+    map_values / map_filter / map_contains_key are how consumers work
+    with the reference's map[string]string row images). The oracle
+    re-derives the expected key-set sizes from the stream's generation
+    rules (9 order columns; the default-image UPDATE has an EMPTY
+    before map, DELETE carries only before — postrack.go:383-406)."""
+    ch = orders_changes(spark, sf_dir)
+    return (
+        ch.groupBy("op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(F.size(F.map_keys(F.col("after")))), 4).alias("avg_after_keys"),
+            F.round(
+                F.avg(F.size(F.map_filter(F.col("after"), lambda k, v: v.isNotNull()))), 4
+            ).alias("avg_after_nonnull"),
+            F.round(F.avg(F.size(F.map_values(F.col("before")))), 4).alias("avg_before_keys"),
+            F.sum(
+                F.when(F.map_contains_key(F.col("after"), "o_orderkey"), 1).otherwise(0)
+            ).cast("bigint").alias("n_with_pk"),
+            F.min(
+                F.when(
+                    F.col("after").isNotNull(),
+                    F.array_join(F.slice(F.array_sort(F.map_keys(F.col("after"))), 1, 3), ","),
+                )
+            ).alias("first3_keys"),
+        )
+        .orderBy("op")
+    )

@@ -292,3 +292,26 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
         F.round(typed_column("after", "o_totalprice", "double"), 2).alias("o_totalprice"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "streaming_sliding_windows",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts) - g.k * INTERVAL '1 hour',
+                    '%Y-%m-%d %H:00') AS win_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events, unnest(generate_series(0, 1)) g(k)
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 2-hour/1-hour sliding windows on a real stream —
+    each event counted in both overlapping windows; equals the batch
+    sliding rollup (events_sliding_window_rollup) on finite input."""
+    from postrack_spark.streaming.ops import sliding_window_counts
+
+    ev = events_stream(spark, sf_dir)
+    agg = sliding_window_counts(ev)
+    out = run_to_memory(agg, _qname("sliding"), output_mode="complete")
+    return out.orderBy("win_start", "event_type")

@@ -5,7 +5,7 @@ multimodal binary-payload profile (north-star extension).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postrack_spark.functions.text import (
@@ -367,3 +367,79 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", F.hex("payload").alias("resized_hex"), "byte_len"
     ).orderBy("doc_id")
+
+
+@query(
+    "text_char_bigram_entropy",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id, substr(text, g.i, 2) AS bg
+      FROM documents, unnest(generate_series(1, greatest(length(text) - 1, 0))) g(i)
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS c FROM pairs GROUP BY 1, 2)
+    SELECT doc_id,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS bigram_entropy,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — a perplexity-
+    style quality signal (low entropy = repetitive/degenerate text,
+    the classic pre-training filter next to text_quality_scores).
+    Identity used: -Σ (c/T)·log2(c/T) = log2(T) - Σ c·log2(c) / T, so
+    one aggregation computes it without a second pass for totals."""
+    t = load_tables(spark, sf_dir)
+    pairs = fan_out(t["documents"]).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text)-1, 0)),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    counts = pairs.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+            ).alias("bigram_entropy"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_corpus_token_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+    SELECT tok, n, round(n * 1.0 / sum(n) OVER (), 6) AS share,
+           CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+    FROM c
+    ORDER BY rank LIMIT 20
+    """,
+)
+def text_corpus_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency (Zipf profile): global top-20
+    tokens with corpus share. The explode+groupBy is the map-side-
+    combined wordcount; the global-total window runs on the tiny
+    aggregated vocabulary, never on the corpus."""
+    t = load_tables(spark, sf_dir)
+    toks = fan_out(t["documents"]).select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("share", F.round(F.col("n") / F.sum("n").over(w_all), 6))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .orderBy("rank")
+        .limit(20)
+    )

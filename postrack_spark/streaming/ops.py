@@ -29,6 +29,26 @@ def hourly_window_counts(
             "total_value",
         )
     )
+def sliding_window_counts(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window_len: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SLIDING windows: each event lands in
+    window_len/slide overlapping windows. State per open window is
+    bounded by the watermark, same as tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
 
 
 def session_window_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
