@@ -16,6 +16,7 @@ from postrack_spark.cdc.envelope import (
     TRUNCATE,
     UPDATE,
     filter_events,
+    prune_images,
     typed_column,
 )
 from postrack_spark.cdc.fixtures import lineitem_changes, mixed_changes, orders_changes
@@ -34,6 +35,7 @@ __all__ = [
     "TRUNCATE",
     "EVENT_KINDS",
     "filter_events",
+    "prune_images",
     "typed_column",
     "orders_changes",
     "lineitem_changes",

@@ -83,3 +83,23 @@ def typed_view(changes: DataFrame, image: str, schema: dict[str, str]) -> DataFr
     """Generate a typed per-table view from the envelope map."""
     cols = [typed_column(image, name, dtype).alias(name) for name, dtype in schema.items()]
     return changes.select(*ENVELOPE_COLUMNS, *cols)
+
+
+def prune_images(changes: DataFrame, cols: list[str]) -> DataFrame:
+    """Post-source column-list projection — the engine-side twin of the
+    reference's ``WithSelector`` (postrack.go:45-49, which makes the
+    publication publish only the listed columns). Keeps only `cols` in
+    the after/before images; NULL images stay NULL, empty images stay
+    empty (replica-identity semantics preserved). Applied before a
+    shuffle (e.g. latest-per-key compaction) this cuts shuffle bytes to
+    the selected columns — the same effect the reference achieves
+    server-side, available engine-side when capture is shared."""
+    keep = F.array(*[F.lit(c) for c in cols])
+
+    def prune(img: str) -> Column:
+        return F.when(
+            F.col(img).isNotNull(),
+            F.map_filter(F.col(img), lambda k, _v: F.array_contains(keep, k)),
+        )
+
+    return changes.withColumn("after", prune("after")).withColumn("before", prune("before"))

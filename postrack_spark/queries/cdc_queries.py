@@ -16,6 +16,7 @@ from postrack_spark.cdc import (
     filter_events,
     mixed_changes,
     orders_changes,
+    prune_images,
     typed_column,
 )
 from postrack_spark.queries.registry import query
@@ -84,8 +85,13 @@ def cdc_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_latest_per_key_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE CDC materialization operator: replay the stream into final
     table state (latest event per key, deletes dropped) — what the
-    reference's users hand-build in HandleFunc (postrack.go:35)."""
-    ch = orders_changes(spark, sf_dir)
+    reference's users hand-build in HandleFunc (postrack.go:35).
+    prune_images ≡ WithSelector (postrack.go:45-49): only the three
+    consumed columns cross the compaction shuffle."""
+    ch = prune_images(
+        orders_changes(spark, sf_dir),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
     key = F.coalesce(
         typed_column("after", "o_orderkey", "long"),
         typed_column("before", "o_orderkey", "long"),
@@ -318,8 +324,12 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     version (its lsn becomes that row's valid_to) without emitting one.
     This is the standard warehouse consumption of CDC history that the
     reference leaves entirely to HandleFunc (postrack.go:35). One
-    window per key — shuffles on the key exactly once at any scale."""
-    ch = orders_changes(spark, sf_dir)
+    window per key — shuffles on the key exactly once at any scale;
+    prune_images keeps only the consumed columns in that shuffle."""
+    ch = prune_images(
+        orders_changes(spark, sf_dir),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
     key = F.coalesce(
         typed_column("after", "o_orderkey", "long"),
         typed_column("before", "o_orderkey", "long"),

@@ -93,3 +93,27 @@ def test_scd2_current_slice_equals_materialization(spark, sf_dir):
     )
     assert current.exceptAll(materialized).count() == 0
     assert materialized.exceptAll(current).count() == 0
+
+
+def test_prune_images_preserves_image_flavors(spark, sf_dir):
+    """prune_images (≡ WithSelector) must filter map keys without
+    disturbing replica-identity semantics: NULL images stay NULL,
+    empty images stay empty, full images keep exactly the listed keys."""
+    from postrack_spark.cdc import prune_images
+
+    ch = orders_changes(spark, sf_dir)
+    pruned = prune_images(ch, ["o_orderkey"])
+
+    def flavor_counts(df, img):
+        f = (
+            F.when(F.col(img).isNull(), "null")
+            .when(F.size(img) == 0, "empty")
+            .otherwise("full")
+        )
+        return {r["f"]: r["n"] for r in df.groupBy(f.alias("f")).agg(F.count("*").alias("n")).collect()}
+
+    for img in ("after", "before"):
+        assert flavor_counts(ch, img) == flavor_counts(pruned, img)
+    full = pruned.filter(F.size("after") > 0)
+    assert full.filter(F.size("after") != 1).count() == 0
+    assert full.filter(~F.map_contains_key("after", "o_orderkey")).count() == 0
