@@ -11,7 +11,7 @@ the comparison validates the envelope round-trip.
 B.1 orders_changes script (keyed by o_orderkey % 10):
   every order      -> INSERT  at lsn = key*10+1, after = full image
   key%10 in {1,2,3}-> UPDATE  at lsn = key*10+5, status->'F',
-                      price *= 1.1; before = full old image (REPLICA
+                      price *= 2; before = full old image (REPLICA
                       IDENTITY FULL flavor, postrack.go:385-398)
   key%10 == 4      -> UPDATE  at lsn = key*10+5, price += 10;
                       before = EMPTY map (default replica identity,
@@ -84,7 +84,7 @@ def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ORDER_COLS,
         {
             "o_orderstatus": F.lit("F"),
-            "o_totalprice": F.round(F.col("o_totalprice") * 1.1, 2),
+            "o_totalprice": F.round(F.col("o_totalprice") * 2, 2),
         },
     )
     upd_defid_after = str_map(

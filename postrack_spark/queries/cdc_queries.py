@@ -28,7 +28,7 @@ _CHANGES_CTE = """
              o_orderstatus AS status, o_totalprice AS price
       FROM orders
       UNION ALL
-      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*1.1, 2)
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*2, 2)
       FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
       UNION ALL
       SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus, round(o_totalprice+10, 2)
@@ -217,7 +217,7 @@ def cdc_truncate_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stream AS (
       SELECT o_orderkey*10+5 AS lsn, 'UPDATE' AS op, o_orderkey, 'F',
-             round(o_totalprice*1.1, 2)
+             round(o_totalprice*2, 2)
       FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
       UNION ALL
       SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus,

@@ -253,7 +253,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_orderstatus AS status, o_totalprice AS price
       FROM orders
       UNION ALL
-      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*1.1, 2)
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*2, 2)
       FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
       UNION ALL
       SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus, round(o_totalprice+10, 2)
