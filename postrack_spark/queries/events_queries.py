@@ -369,3 +369,59 @@ def events_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+@query(
+    "events_resample_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, g.h AS hour FROM bounds, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) g(h)
+    ),
+    actual AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS c,
+             round(sum(value), 2) AS v
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT g.user_id, strftime(g.hour, '%Y-%m-%d %H:00') AS hour,
+           CAST(coalesce(a.c, 0) AS BIGINT) AS n,
+           coalesce(a.v, 0.0) AS total_value,
+           (a.c IS NULL) AS is_gap
+    FROM grid g LEFT JOIN actual a ON a.user_id = g.user_id AND a.hour = g.hour
+    ORDER BY g.user_id, hour
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: per-user dense hourly
+    grid (sequence + explode between each user's first and last hour)
+    left-joined to actual hourly rollups, missing hours zero-filled —
+    the standard pre-model regularization for event series. The grid
+    explode is per-key and bounded by the key's own span, so it scales
+    with user activity, not the corpus."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 20)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    actual = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("v")
+    )
+    return (
+        grid.join(actual, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+            F.col("c").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )

@@ -727,3 +727,40 @@ def sql_topk_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking + windowed sum, analytic share)."""
     load_tables(spark, sf_dir)
     return spark.sql(_TOPK_SHARE_SQL)
+
+
+@query(
+    "scalar_regexp_functions",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b[a-z]{6,}\b')) AS INT) AS n_long_words,
+           regexp_extract(text, '\b(s[a-z]+)\b', 1) AS first_s_word,
+           regexp_matches(text, 'join.*merge|merge.*join') AS has_join_merge,
+           length(regexp_replace(text, '\b(the|a)\b\s*', '', 'g')) AS len_no_articles,
+           CAST(len(regexp_extract_all(text, 'batch')) AS INT) AS n_batch
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface (SURVEY §2b scalar functions): extract-all count,
+    first capture group, boolean match, global replace, occurrence
+    count — patterns restricted to the class-and-alternation subset
+    where Java regex (Spark) and RE2 (DuckDB) agree."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(r"\b[a-z]{6,}\b"), 0)).alias(
+                "n_long_words"
+            ),
+            F.regexp_extract("text", r"\b(s[a-z]+)\b", 1).alias("first_s_word"),
+            F.col("text").rlike("join.*merge|merge.*join").alias("has_join_merge"),
+            F.length(F.regexp_replace("text", r"\b(the|a)\b\s*", "")).alias(
+                "len_no_articles"
+            ),
+            F.size(F.regexp_extract_all("text", F.lit("batch"), 0)).alias("n_batch"),
+        )
+        .orderBy("doc_id")
+    )

@@ -199,3 +199,27 @@ def test_minhash_array_path_equals_exploded(spark, sf_dir):
         "doc_a", "doc_b", "jaccard"
     )
     assert sorted(map(tuple, va.collect())) == sorted(map(tuple, vb.collect()))
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """enable_runtime_filters: a selective dim-side filter must inject
+    a bloom filter that pre-prunes the fact side of a shuffle join
+    (validated with the size floor zeroed; in cluster use the 10GB
+    default keeps the extra aggregation off small scans)."""
+    from postrack_spark.plans import explain_string
+    from postrack_spark.session import enable_runtime_filters, load_tables
+
+    t = load_tables(spark, sf_dir)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_filters(spark, application_side_min="0")
+        sel = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        j = t["lineitem"].join(sel, t["lineitem"].l_orderkey == sel.o_orderkey)
+        assert "bloom_filter_agg" in explain_string(j, "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
