@@ -78,10 +78,52 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pgoutput_decode_events_per_sec_1thread": _decode_rate(),
             }
         )
     )
     spark.stop()
+
+
+def _decode_rate(n: int = 100_000) -> int:
+    """Single-thread pgoutput decode throughput (events/s) — the
+    counterpart of the reference's one-goroutine handler loop
+    (postrack.go:343-412). In the Spark DataSource this decoder runs
+    per-partition in parallel Python workers, so aggregate capture
+    throughput scales with partitions; the single-thread number is the
+    honest per-lane comparison."""
+    from datetime import datetime, timezone
+
+    from postrack_spark.sources.pgoutput import (
+        decode_xlogdata_stream,
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+        wrap_xlogdata,
+    )
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    frames = [wrap_xlogdata(encode_relation(1, "public", "orders", list("abcdef")), 0)]
+    lsn = 1
+    for i in range(n):
+        if i % 100 == 0:
+            frames.append(wrap_xlogdata(encode_begin(lsn, ts, i), lsn))
+            lsn += 1
+        frames.append(
+            wrap_xlogdata(
+                encode_insert(1, [str(i), "x" * 10, "3.14", "2024-01-01", "P", str(i * 2)]),
+                lsn,
+            )
+        )
+        lsn += 1
+        if i % 100 == 99:
+            frames.append(wrap_xlogdata(encode_commit(lsn, lsn, ts), lsn))
+            lsn += 1
+    start = time.perf_counter()
+    rows = decode_xlogdata_stream(frames)
+    assert len(rows) == n
+    return int(n / (time.perf_counter() - start))
 
 
 if __name__ == "__main__":
