@@ -443,3 +443,43 @@ def text_corpus_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(20)
     )
+
+
+@query(
+    "text_lexicon_polarity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains(['fast','small','value'], x))) AS INT) AS n_pos,
+           CAST(len(list_filter(toks, x -> list_contains(['slow','big','error','dup'], x))) AS INT) AS n_neg,
+           round((len(list_filter(toks, x -> list_contains(['fast','small','value'], x)))
+                - len(list_filter(toks, x -> list_contains(['slow','big','error','dup'], x))))
+                * 1.0 / len(toks), 6) AS polarity
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_lexicon_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based polarity scoring (the distributed sentiment recipe
+    of the EDBT 2016 Spark sentiment paper, PAPERS.md: tokenize, count
+    lexicon hits, normalize by length) — pure higher-order built-ins,
+    no Python on the hot path; swapping in a real sentiment lexicon is
+    a data change, not a code change."""
+    pos = F.array(*[F.lit(w) for w in ["fast", "small", "value"]])
+    neg = F.array(*[F.lit(w) for w in ["slow", "big", "error", "dup"]])
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_pos = F.size(F.filter(toks, lambda x: F.array_contains(pos, x)))
+    n_neg = F.size(F.filter(toks, lambda x: F.array_contains(neg, x)))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            n_pos.alias("n_pos"),
+            n_neg.alias("n_neg"),
+            F.round((n_pos - n_neg) / F.size(toks), 6).alias("polarity"),
+        )
+        .orderBy("doc_id")
+    )

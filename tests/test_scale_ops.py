@@ -223,3 +223,19 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "10GB",
         )
+
+
+def test_fan_out_raises_parallelism_only_when_needed(spark, sf_dir):
+    """fan_out must repartition a single-partition scan up to the
+    session default parallelism, and leave an already-parallel plan
+    untouched (no extra shuffle on cluster-shaped inputs)."""
+    from postrack_spark.session import fan_out, load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert docs.rdd.getNumPartitions() == 1
+    out = fan_out(docs)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # idempotent via the memo cache: same handle back
+    assert fan_out(docs) is out
+    # already-parallel input: returned as-is, no repartition node
+    assert fan_out(out) is out
