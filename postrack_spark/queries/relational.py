@@ -764,3 +764,58 @@ def scalar_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("agg_hll_sketch_union", oracle=None)  # sketch bytes are engine-specific
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 4 built-ins):
+    per-status sketches built with hll_sketch_agg, then UNIONED across
+    groups with hll_union_agg — the re-aggregatable cardinality pattern
+    (build sketches per partition/day, merge at query time) that plain
+    approx_count_distinct cannot express. Rows-only: sketch estimates
+    are engine-specific by design."""
+    t = load_tables(spark, sf_dir)
+    per_group = (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.count("*").alias("n_rows"))
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_custkeys_union"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    per = per_group.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sk").alias("distinct_custkeys_union"),
+        F.col("n_rows"),
+    )
+    return per.unionByName(
+        merged.select(F.lit("ALL").alias("o_orderstatus"), "distinct_custkeys_union", "n_rows")
+    ).orderBy("o_orderstatus")
+
+
+@query("agg_approx_percentile", oracle=None)  # GK sketch differs from exact quantiles
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) — bounded-memory quantiles
+    for 100 TB inputs where exact percentile_cont's full sort is not an
+    option. Rows-only: rank error <= n/accuracy is by design, so values
+    are sketch-specific (the exact twin agg_percentiles IS oracle-gated)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+                "approx_p50_p95_p99"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("approx_p50_p95_p99", 1), 2).alias("p50"),
+            F.round(F.element_at("approx_p50_p95_p99", 2), 2).alias("p95"),
+            F.round(F.element_at("approx_p50_p95_p99", 3), 2).alias("p99"),
+            "n_rows",
+        )
+    )

