@@ -819,3 +819,48 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS s1,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS s2
+      FROM orders
+    )
+    SELECT coalesce(s1, s2, '?') AS first_nonnull,
+           (s1 IS NOT DISTINCT FROM s2) AS null_safe_eq,
+           (nullif(coalesce(s1, ''), '') IS NULL) AS s1_blankish,
+           count(*) AS n
+    FROM t
+    GROUP BY 1, 2, 3
+    ORDER BY first_nonnull, null_safe_eq, s1_blankish
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: coalesce chains, nullif, and
+    null-safe equality (Spark <=> ≡ SQL IS NOT DISTINCT FROM) — the
+    semantics every CDC consumer hits once NULL-vs-empty matters
+    (quirk q4: the reference collapses NULL, '' and unchanged-TOAST,
+    postrack.go:381; this engine keeps them distinct)."""
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s1"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s2"),
+    )
+    return (
+        base.groupBy(
+            F.coalesce("s1", "s2", F.lit("?")).alias("first_nonnull"),
+            F.col("s1").eqNullSafe(F.col("s2")).alias("null_safe_eq"),
+            F.nullif(F.coalesce("s1", F.lit("")), F.lit("")).isNull().alias("s1_blankish"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("first_nonnull", "null_safe_eq", "s1_blankish")
+    )

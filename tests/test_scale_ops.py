@@ -239,3 +239,33 @@ def test_fan_out_raises_parallelism_only_when_needed(spark, sf_dir):
     assert fan_out(docs) is out
     # already-parallel input: returned as-is, no repartition node
     assert fan_out(out) is out
+
+
+def test_zorder_write_skips_on_both_columns(spark, tmp_path):
+    """write_zordered: after Morton clustering on (a, b), a selective
+    range filter on EITHER column must touch only a minority of files
+    (single-column clustering can only serve one of the two)."""
+    from postrack_spark.sources.layout import write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).selectExpr(
+        "CAST(id % 128 AS LONG) AS a",
+        "CAST(pmod(hash(id), 128) AS LONG) AS b",
+        "id AS payload",
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, "a", "b", n_files=16, bits=7)
+    back = spark.read.parquet(path)
+    total = len(back.inputFiles())
+    assert total >= 8
+
+    def files_touched(pred):
+        rows = back.filter(pred).selectExpr("input_file_name() f").distinct().collect()
+        return len(rows)
+
+    touched_a = files_touched("a < 16")   # 1/8 of the a-range
+    touched_b = files_touched("b < 16")   # 1/8 of the b-range
+    # Morton layout: a 1/8 slab in either dimension intersects ~sqrt
+    # fraction of tiles; assert it's well under all files for BOTH.
+    assert touched_a <= total / 2, (touched_a, total)
+    assert touched_b <= total / 2, (touched_b, total)
