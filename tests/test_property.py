@@ -174,3 +174,30 @@ def test_connected_components_matches_union_find(spark, edges):
     for r in got_rows:
         got.setdefault(r["cluster"], set()).add(r["doc"])
     assert got == model
+
+
+@given(
+    st.integers(min_value=0, max_value=127),
+    st.integers(min_value=0, max_value=127),
+    st.integers(min_value=0, max_value=127),
+    st.integers(min_value=0, max_value=127),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_value_matches_python_morton(spark, a1, b1, a2, b2):
+    """zorder_value must equal the reference Morton interleave, and
+    preserve its locality contract (equal inputs -> equal codes)."""
+    from postrack_spark.sources.layout import zorder_value
+
+    def morton(a, b, bits=7):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame([(a1, b1), (a2, b2)], "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(zorder_value(F.col("a"), F.col("b"), bits=7).alias("z")).collect()
+    ]
+    assert got == [morton(a1, b1), morton(a2, b2)]
