@@ -425,3 +425,77 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@query(
+    "events_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v100
+      FROM events WHERE user_id < 10 GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS t
+      FROM daily
+    ),
+    scaled AS (
+      SELECT *, v100 * CAST(CASE WHEN t = 0 THEN 1 ELSE power(2, t - 1) END AS BIGINT) AS u
+      FROM idx
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, round(v100 / 100.0, 2) AS v,
+           floor(power(0.5, t) * sum(u) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) / 10000.0 AS ewma
+    FROM scaled
+    ORDER BY user_id, day
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily per-user value
+    (alpha = 1/2): the recursion s_t = (v_t + s_{t-1})/2 restated as a
+    single windowed cumsum, s_t = 0.5^t · Σ u_i / 100 with integer
+    u_i = cents(v_i)·2^{i-1} (u_0 = cents(v_0)) — no recursion, no UDF,
+    one window per key, and the accumulation is exact-integer so the
+    result is bit-identical across engines regardless of their window-
+    sum association order."""
+    t = load_tables(spark, sf_dir)
+    # per-event integer cents BEFORE the sum: double summation order
+    # differs across engines (and across partitionings), integer
+    # summation cannot — the whole pipeline stays exact until the final
+    # display division
+    daily = (
+        t["events"]
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v100"))
+    )
+    w_idx = W.partitionBy("user_id").orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(w_idx) - 1)
+    # exact-integer accumulation: cents × powers of two stay within
+    # 2^63, so the cumsum is associativity-independent (DuckDB's
+    # segment-tree window sum vs Spark's sequential sum would otherwise
+    # diverge by an ulp at rounding boundaries)
+    scaled = idx.withColumn(
+        "u",
+        F.col("v100")
+        * F.when(F.col("t") == 0, F.lit(1))
+        .otherwise(F.pow(F.lit(2.0), F.col("t") - 1).cast("bigint")),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return scaled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("v100") / 100.0, 2).alias("v"),
+        # floor, not round: halving cents yields exact .xxxx5 values
+        # where decimal-string HALF_UP (Spark) and binary rounding
+        # (DuckDB) systematically disagree; floor is boundary-free and
+        # every upstream double op here is exact or correctly-rounded
+        # identically in both engines
+        (
+            F.floor(F.pow(F.lit(0.5), F.col("t")) * F.sum("u").over(w_cum) * 100) / 10000.0
+        ).alias("ewma"),
+    ).orderBy("user_id", "day")
