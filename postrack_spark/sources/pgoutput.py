@@ -65,31 +65,42 @@ def _pg_ts(micros: int) -> datetime:
     return _PG_EPOCH + timedelta(microseconds=micros)
 
 
+# Hot path: precompiled Structs skip the per-call format-cache lookup,
+# and kind bytes compare as ints (buf[i]) to avoid a bytes allocation
+# per column. This loop decodes every column of every row change.
+_UNPACK_H = struct.Struct(">h").unpack_from
+_UNPACK_I = struct.Struct(">i").unpack_from
+_UNPACK_QQI = struct.Struct(">qqi").unpack_from
+
+
 def _tuple_data(buf: bytes, off: int) -> tuple[list, int]:
     """TupleData: int16 ncols, then per column a kind byte:
     'n' NULL / 'u' unchanged TOAST / 't' text (int32 len + bytes)."""
-    (ncols,) = struct.unpack_from(">h", buf, off)
+    (ncols,) = _UNPACK_H(buf, off)
     off += 2
     vals: list = []
+    append = vals.append
     for _ in range(ncols):
-        kind = buf[off : off + 1]
+        kind = buf[off]
         off += 1
-        if kind == b"n":
-            vals.append(None)
-        elif kind == b"u":
-            vals.append(UNCHANGED)
-        elif kind == b"t":
-            (ln,) = struct.unpack_from(">i", buf, off)
+        if kind == 116:  # 't' — text, the overwhelmingly common case
+            (ln,) = _UNPACK_I(buf, off)
             off += 4
-            vals.append(buf[off : off + ln].decode("utf-8"))
-            off += ln
-        elif kind == b"b":  # binary (proto >=2); not produced at proto 1
-            (ln,) = struct.unpack_from(">i", buf, off)
+            end = off + ln
+            append(buf[off:end].decode("utf-8"))
+            off = end
+        elif kind == 110:  # 'n' — SQL NULL
+            append(None)
+        elif kind == 117:  # 'u' — unchanged TOAST
+            append(UNCHANGED)
+        elif kind == 98:  # 'b' — binary (proto >=2); not produced at proto 1
+            (ln,) = _UNPACK_I(buf, off)
             off += 4
-            vals.append(buf[off : off + ln].hex())
-            off += ln
+            end = off + ln
+            append(buf[off:end].hex())
+            off = end
         else:
-            raise ValueError(f"unknown TupleData kind {kind!r}")
+            raise ValueError(f"unknown TupleData kind {bytes((kind,))!r}")
     return vals, off
 
 
@@ -105,7 +116,7 @@ def decode_message(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
     out: list[dict] = []
 
     if tag == b"B":  # Begin: final_lsn int64, commit_ts int64, xid int32
-        _, ts, xid = struct.unpack_from(">qqi", msg, 1)
+        _, ts, xid = _UNPACK_QQI(msg, 1)
         state.txid = xid
         state.commit_ts = _pg_ts(ts)
     elif tag == b"C":  # Commit: flags i8, commit_lsn, end_lsn, ts
@@ -128,13 +139,13 @@ def decode_message(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
             cols.append(cname)
         state.relations[oid] = Relation(oid, ns, name, replident, cols)
     elif tag == b"I":  # Insert: reloid, 'N', TupleData
-        (oid,) = struct.unpack_from(">i", msg, 1)
+        (oid,) = _UNPACK_I(msg, 1)
         rel = state.relations[oid]
         assert msg[5:6] == b"N"
         vals, _ = _tuple_data(msg, 6)
         out.append(_envelope(lsn, state, rel, "INSERT", _zip_row(rel, vals), None))
     elif tag == b"U":  # Update: reloid, optional 'K'/'O'+old, 'N'+new
-        (oid,) = struct.unpack_from(">i", msg, 1)
+        (oid,) = _UNPACK_I(msg, 1)
         rel = state.relations[oid]
         off = 5
         before: dict | None = {}
@@ -151,16 +162,16 @@ def decode_message(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
         # (mirrors postrack.go:388-392 via an EMPTY map, not NULL)
         out.append(_envelope(lsn, state, rel, "UPDATE", _zip_row(rel, new_vals), before))
     elif tag == b"D":  # Delete: reloid, 'K'/'O', TupleData
-        (oid,) = struct.unpack_from(">i", msg, 1)
+        (oid,) = _UNPACK_I(msg, 1)
         rel = state.relations[oid]
         assert msg[5:6] in (b"K", b"O")
         vals, _ = _tuple_data(msg, 6)
         out.append(_envelope(lsn, state, rel, "DELETE", None, _zip_row(rel, vals)))
     elif tag == b"T":  # Truncate: int32 nrels, int8 options, oids...
-        (nrels,) = struct.unpack_from(">i", msg, 1)
+        (nrels,) = _UNPACK_I(msg, 1)
         off = 6
         for _ in range(nrels):
-            (oid,) = struct.unpack_from(">i", msg, off)
+            (oid,) = _UNPACK_I(msg, off)
             off += 4
             rel = state.relations[oid]
             out.append(_envelope(lsn, state, rel, "TRUNCATE", None, None))
