@@ -357,3 +357,58 @@ def vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(queries, corpus, k=10, dims=list(range(1, 9))).orderBy(
         "q_id", "rn"
     )
+
+
+@query(
+    "vector_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    ),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT src, src FROM bidir
+      UNION
+      SELECT b.dst, r.root FROM reach r JOIN bidir b ON b.src = r.doc
+    ),
+    labeled AS (SELECT doc, min(root) AS cluster FROM reach GROUP BY doc)
+    SELECT cluster, count(*) AS n_vecs, CAST(max(doc) AS BIGINT) AS max_vec
+    FROM labeled
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
+def vector_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate CLUSTERS: embedding-cosine near-dup pairs
+    (label-blocked, >= 0.35) closed into connected components — the
+    embedding-space analogue of dedup_duplicate_clusters, composing the
+    similarity and graph operators ('keep one representative per
+    semantic group'). Oracle recomputes the closure recursively."""
+    from postrack_spark.operators.dedup import connected_components
+
+    t = load_tables(spark, sf_dir)
+    e = fan_out(t["embeddings"]).select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("doc_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("doc_b"), "label", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"), F.max("doc").cast("bigint").alias("max_vec"))
+        .orderBy("cluster")
+    )
