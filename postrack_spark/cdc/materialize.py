@@ -30,11 +30,16 @@ def latest_per_key(changes: DataFrame, key_cols: list, order_col: str = "lsn") -
     a `row_number() over (partition by key order by lsn desc)` window:
     the aggregate gets map-side partial aggregation, so each task
     pre-compacts its events to one row per key BEFORE the shuffle —
-    shuffle volume is O(distinct keys per task), not O(events) — and no
-    per-partition sort is needed. At CDC scale (many updates per key)
-    that is the difference between shuffling the WAL and shuffling the
-    table. LSNs are unique per key (WAL positions), so max_by's
-    arbitrary tie-break is unreachable."""
+    shuffle volume is O(distinct keys per task), not O(events). At CDC
+    scale (many updates per key) that is the difference between
+    shuffling the WAL and shuffling the table. Physical note: because
+    the payload struct carries map columns, max_by's declarative buffer
+    is not hash-aggregable and Spark plans a SortAggregate (per-
+    partition sort by group key); the partial/final split and the
+    shuffle-volume win are unchanged, and the alternative max(struct)
+    is unavailable (structs with maps are unorderable). LSNs are unique
+    per key (WAL positions), so max_by's arbitrary tie-break is
+    unreachable."""
     others = [c for c in changes.columns if c not in key_cols]
     agg = changes.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.max_by(F.struct(*[F.col(c) for c in others]), F.col(order_col)).alias("__latest")
@@ -101,20 +106,37 @@ def snapshot_with_changes(
 def apply_changes(changes: DataFrame, key_expr, key_name: str = "__key") -> DataFrame:
     """Replay a change stream into its final state.
 
-    1. discard everything at or before each table's last TRUNCATE
-    2. latest event per (schema, table, key)
-    3. drop keys whose final event is DELETE
+    1. latest event per (schema, table, key) — TRUNCATE events ride
+       along with a NULL key, so each table's truncates collapse into
+       one group whose survivor IS the high-water TRUNCATE
+    2. drop keys whose surviving event is at or before the table's
+       last TRUNCATE, and keys whose final event is DELETE
+
+    Compact-then-truncate-filter is equivalent to filtering pre-TRUNCATE
+    events first (pgoutput events carry full row images, so a key's
+    state is its latest event alone: if that event postdates the
+    truncate the key was re-created and survives; if not, the key was
+    wiped) — and it reads the stream ONCE: the watermark branch derives
+    from the same compaction shuffle, which Spark's ReuseExchange shares,
+    instead of re-scanning the source (the previous shape's second scan
+    + shuffle was the dominant cost at volume).
 
     `key_expr` extracts the primary key from an envelope row (typically
     ``typed_column("after", pk, t)`` coalesced with the before image,
     since DELETE events carry only `before` — postrack.go:399-406).
     """
-    trunc = truncate_watermarks(changes)
-    keyed = changes.filter(F.col("op") != TRUNCATE).withColumn(key_name, key_expr)
-    survived = (
-        keyed.join(F.broadcast(trunc), ["schema", "table"], "left")
+    keyed = changes.withColumn(
+        key_name, F.when(F.col("op") != TRUNCATE, key_expr)
+    )
+    latest = latest_per_key(keyed, ["schema", "table", key_name])
+    trunc = (
+        latest.filter(F.col("op") == TRUNCATE)
+        .select("schema", "table", F.col("lsn").alias("__trunc_lsn"))
+    )
+    return (
+        latest.filter(F.col("op") != TRUNCATE)
+        .join(F.broadcast(trunc), ["schema", "table"], "left")
         .filter(F.col("__trunc_lsn").isNull() | (F.col("lsn") > F.col("__trunc_lsn")))
         .drop("__trunc_lsn")
+        .filter(F.col("op") != DELETE)
     )
-    latest = latest_per_key(survived, ["schema", "table", key_name])
-    return latest.filter(F.col("op") != DELETE)
