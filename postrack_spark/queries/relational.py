@@ -864,3 +864,43 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("first_nonnull", "null_safe_eq", "s1_blankish")
     )
+
+
+@query(
+    "scalar_bitwise_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(o_orderkey & 255) AS BIGINT) AS sum_and,
+           CAST(sum(o_orderkey | 15) AS BIGINT) AS sum_or,
+           CAST(sum(xor(o_orderkey, 255)) AS BIGINT) AS sum_xor,
+           CAST(sum(o_orderkey << 2) AS BIGINT) AS sum_shl,
+           CAST(sum(o_orderkey >> 3) AS BIGINT) AS sum_shr,
+           CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS sum_popcount,
+           CAST(sum(greatest(o_orderkey % 7, o_orderkey % 5)) AS BIGINT) AS sum_greatest,
+           CAST(sum(least(o_orderkey % 7, o_orderkey % 5)) AS BIGINT) AS sum_least
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise + comparison scalar surface: & | ^ << >> bit_count,
+    greatest/least — all JVM built-ins, aggregated so the oracle check
+    covers every row's result."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(k.bitwiseAND(F.lit(255))).cast("bigint").alias("sum_and"),
+            F.sum(k.bitwiseOR(F.lit(15))).cast("bigint").alias("sum_or"),
+            F.sum(k.bitwiseXOR(F.lit(255))).cast("bigint").alias("sum_xor"),
+            F.sum(F.shiftleft(k, 2)).cast("bigint").alias("sum_shl"),
+            F.sum(F.shiftright(k, 3)).cast("bigint").alias("sum_shr"),
+            F.sum(F.bit_count(k)).cast("bigint").alias("sum_popcount"),
+            F.sum(F.greatest(k % 7, k % 5)).cast("bigint").alias("sum_greatest"),
+            F.sum(F.least(k % 7, k % 5)).cast("bigint").alias("sum_least"),
+        )
+        .orderBy("o_orderpriority")
+    )
