@@ -160,3 +160,16 @@ def test_sql_entry_plans_like_dataframe(spark, qs):
     feats = assert_plan(_df(qs, "sql_topk_revenue_share", spark),
                         min_broadcast_joins=2, python_evals=0)
     assert feats["aqe"]
+
+
+BATCH_QUERIES = sorted(n for n in load_all() if not n.startswith("streaming_"))
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_row_python_anywhere(name, spark, qs):
+    """Global invariant (README: 'UDFs are the slow path'): NO batch
+    query may plan a row-at-a-time Python operator (BatchEvalPython).
+    Python is allowed only Arrow-batched (mapInPandas etc.). Plan
+    compile only — cheap enough to sweep every registered query."""
+    feats = plan_features(_df(qs, name, spark))
+    assert feats["row_python_evals"] == 0, f"{name} plans BatchEvalPython"
