@@ -499,3 +499,37 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.pow(F.lit(0.5), F.col("t")) * F.sum("u").over(w_cum) * 100) / 10000.0
         ).alias("ewma"),
     ).orderBy("user_id", "day")
+
+
+@query(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(json_extract(props, '$.k')::INT), 4) AS avg_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.k')::INT > 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_k_over_50
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json once
+    into a binary variant, then variant_get typed extraction — the
+    open-format successor to per-access get_json_object string parsing
+    (one parse, many cheap accesses; the right shape for wide sparse
+    JSON at scale)."""
+    t = load_tables(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint").alias("n_k_over_50"),
+        )
+        .orderBy("event_type")
+    )
