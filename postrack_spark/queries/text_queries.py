@@ -483,3 +483,61 @@ def text_lexicon_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks, len(str_split(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, g.c AS chunk_id,
+             toks[g.c * 24 + 1 : least(g.c * 24 + 32, n)] AS chunk
+      FROM t, unnest(generate_series(0, CAST(ceil(greatest(n - 8, 1) / 24.0) AS BIGINT) - 1)) g(c)
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into 32-token chunks
+    with 8-token overlap (stride 24) — the inverse of sequence packing
+    and the standard pre-tokenization step for long documents. Chunk
+    boundaries via sequence + slice (JVM-side), one explode, chunk
+    content value-checked by md5. Chunk count per doc is
+    ceil(max(n-overlap,1)/stride), so a doc shorter than one chunk
+    still yields exactly one (possibly short) chunk."""
+    t = load_tables(spark, sf_dir)
+    size, stride = 32, 24
+    d = fan_out(t["documents"]).select(
+        "doc_id", F.split("text", " ").alias("toks"), F.size(F.split("text", " ")).alias("n")
+    )
+    n_chunks = F.ceil(F.greatest(F.col("n") - (size - stride), F.lit(1)) / F.lit(stride))
+    chunks = d.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("long") - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.slice(
+            F.col("toks"),
+            F.col("chunk_id") * stride + 1,
+            F.least(
+                F.lit(size),
+                F.col("n") - F.col("chunk_id") * stride,
+            ),
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
