@@ -357,3 +357,57 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.max("doc").cast("bigint").alias("max_doc"))
         .orderBy("cluster")
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    blocked AS (
+      SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+      FROM documents d1 JOIN documents d2
+        ON d1.source = d2.source AND d1.doc_id < d2.doc_id
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+      FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      JOIN blocked c ON c.doc_a = t1.doc AND c.doc_b = t2.doc
+      GROUP BY t1.doc, t2.doc
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(inter * 1.0 / least(sa.n_tok, sb.n_tok), 6) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+                 JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE round(inter * 1.0 / least(sa.n_tok, sb.n_tok), 6) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: |A∩B| / min(|A|,|B|) >= 0.9 —
+    catches a document nearly CONTAINED in another (boilerplate
+    prepended/appended, quote inclusion), which symmetric Jaccard
+    misses when sizes differ. Source-blocked candidates, token sets
+    verified exactly — same scale shape as the Jaccard tier."""
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    blocked = (
+        docs.alias("d1")
+        .join(
+            docs.alias("d2"),
+            (F.col("d1.source") == F.col("d2.source"))
+            & (F.col("d1.doc_id") < F.col("d2.doc_id")),
+        )
+        .select(F.col("d1.doc_id").alias("doc_a"), F.col("d2.doc_id").alias("doc_b"))
+    )
+    toks = doc_tokens(docs, "doc_id", "text")
+    verified = jaccard_pairs(toks, pairs=blocked, threshold=0.0)
+    return (
+        verified.withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least(F.col("n_a"), F.col("n_b")), 6),
+        )
+        .filter(F.col("containment") >= 0.9)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
