@@ -309,3 +309,45 @@ def window_percentile_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "window_nth_value_steps",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
+           round(nth_value(o_totalprice, 3) OVER w, 2) AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+       AND o_custkey < 200
+    ORDER BY o_custkey
+    """,
+)
+def window_nth_value_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over an unbounded frame: each customer's 2nd and 3rd
+    order price in date order (NULL when fewer orders) — completes the
+    analytic-function surface next to first/last/lag/lead."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_rn = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            F.count("*").over(w).alias("n_orders"),
+            F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+            F.round(F.nth_value("o_totalprice", 3).over(w), 2).alias("third_price"),
+            F.row_number().over(w_rn).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("o_custkey")
+    )
