@@ -367,6 +367,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
       FROM documents d1 JOIN documents d2
         ON d1.source = d2.source AND d1.doc_id < d2.doc_id
+       AND d1.n_chars <= 3 * d2.n_chars AND d2.n_chars <= 3 * d1.n_chars
     ),
     sizes AS (SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc),
     inter AS (
@@ -387,8 +388,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup detection: |A∩B| / min(|A|,|B|) >= 0.9 —
     catches a document nearly CONTAINED in another (boilerplate
     prepended/appended, quote inclusion), which symmetric Jaccard
-    misses when sizes differ. Source-blocked candidates, token sets
-    verified exactly — same scale shape as the Jaccard tier."""
+    misses when sizes differ. Candidates blocked by source AND a 3x
+    size-ratio band (containment past that ratio is boilerplate, not
+    duplication — and the band keeps the pair space near-linear
+    instead of quadratic-per-source); token sets verified exactly."""
     t = load_tables(spark, sf_dir)
     docs = fan_out(t["documents"])
     blocked = (
@@ -396,7 +399,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             docs.alias("d2"),
             (F.col("d1.source") == F.col("d2.source"))
-            & (F.col("d1.doc_id") < F.col("d2.doc_id")),
+            & (F.col("d1.doc_id") < F.col("d2.doc_id"))
+            & (F.col("d1.n_chars") <= 3 * F.col("d2.n_chars"))
+            & (F.col("d2.n_chars") <= 3 * F.col("d1.n_chars")),
         )
         .select(F.col("d1.doc_id").alias("doc_a"), F.col("d2.doc_id").alias("doc_b"))
     )
