@@ -269,3 +269,45 @@ def test_zorder_write_skips_on_both_columns(spark, tmp_path):
     # fraction of tiles; assert it's well under all files for BOTH.
     assert touched_a <= total / 2, (touched_a, total)
     assert touched_b <= total / 2, (touched_b, total)
+
+
+def test_mllib_minhash_lsh_agrees_with_custom_pipeline(spark, sf_dir):
+    """Cross-validation of the custom MinHash+LSH tier against MLlib's
+    MinHashLSH (SURVEY §2b maps near-dup to it): every >= 0.8-Jaccard
+    pair our exact verifier emits must also be surfaced by MLlib's
+    approxSimilarityJoin at the matching distance threshold. (The
+    custom tier is the registered path because its md5 hashing is
+    oracle-checkable; MLlib's seeded murmur hashes are not.)"""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from postrack_spark.operators.dedup import doc_tokens
+    from postrack_spark.operators.dedup import jaccard_pairs
+    from postrack_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = doc_tokens(docs, "doc_id", "text")
+    exact = (
+        jaccard_pairs(toks, pairs=None, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    want = {(r["doc_a"], r["doc_b"]) for r in exact}
+    if not want:
+        import pytest
+
+        pytest.skip("no >=0.8 unigram-Jaccard pairs at this SF")
+
+    tokened = docs.select("doc_id", F.split("text", " ").alias("words"))
+    cv = CountVectorizer(inputCol="words", outputCol="features", binary=True).fit(tokened)
+    feats = cv.transform(tokened)
+    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(
+        feats
+    )
+    got_rows = (
+        model.approxSimilarityJoin(feats, feats, 0.2 + 1e-9, distCol="jd")
+        .selectExpr("datasetA.doc_id AS a", "datasetB.doc_id AS b")
+        .filter(F.col("a") < F.col("b"))
+        .collect()
+    )
+    got = {(r["a"], r["b"]) for r in got_rows}
+    assert want <= got, f"MLlib missed {sorted(want - got)[:5]}"
