@@ -19,3 +19,32 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level exports of the reference-parity surface (postrack.go's
+# package-level names): `from postrack_spark import Conn, Table, ...`
+# works without importing pyspark until first use.
+_API = {
+    "Conn": "postrack_spark.api",
+    "Table": "postrack_spark.api",
+    "Executor": "postrack_spark.api",
+    "create_publication_id": "postrack_spark.api",
+    "as_row_sink": "postrack_spark.api",
+    "CHANGE_SCHEMA": "postrack_spark.cdc.envelope",
+    "INSERT": "postrack_spark.cdc.envelope",
+    "UPDATE": "postrack_spark.cdc.envelope",
+    "DELETE": "postrack_spark.cdc.envelope",
+    "TRUNCATE": "postrack_spark.cdc.envelope",
+}
+
+
+def __getattr__(name: str):
+    mod = _API.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'postrack_spark' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API))
