@@ -140,3 +140,74 @@ def apply_changes(changes: DataFrame, key_expr, key_name: str = "__key") -> Data
         .drop("__trunc_lsn")
         .filter(F.col("op") != DELETE)
     )
+
+
+def resolve_unchanged(
+    changes: DataFrame,
+    key_expr,
+    key_name: str = "__key",
+    order_col: str = "lsn",
+) -> DataFrame:
+    """Materialize latest-per-key WITH unchanged-TOAST resolution.
+
+    pgoutput marks a TOASTed column that did not change as kind 'u';
+    the decoder surfaces it as the UNCHANGED sentinel (quirk q4 fix —
+    the reference collapses it to "", postrack.go:381). The latest
+    event alone is then NOT the full row: UNCHANGED columns take their
+    value from the most recent earlier event where the column carried a
+    real value. Fold per key, newest image first, filling UNCHANGED
+    entries via map_zip_with — all JVM higher-order expressions.
+
+    State per key is its version list (collect_list) — bounded by
+    per-key churn within the replayed window, the same bound a MERGE
+    into a base table needs. A column UNCHANGED in every captured event
+    stays UNCHANGED (it is unresolvable from the stream alone; only a
+    snapshot read can fill it — see snapshot_with_changes).
+    Returns (schema, table, key, lsn, op, after) with `after` resolved.
+    """
+    from postrack_spark.sources.pgoutput import UNCHANGED
+
+    evs = (
+        changes.filter(F.col("op").isin("INSERT", "UPDATE"))
+        .withColumn(key_name, key_expr)
+        .filter(F.col("after").isNotNull())
+    )
+    # custom comparator: the version structs carry MAP columns, which
+    # are unorderable, so array_sort's default struct ordering is
+    # unavailable — compare the order field alone (descending)
+    newest_first = lambda l, r: (  # noqa: E731
+        F.when(l["o"] < r["o"], F.lit(1))
+        .when(l["o"] > r["o"], F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    per_key = evs.groupBy("schema", "table", key_name).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col("op").alias("op"),
+                    F.col("after").alias("m"),
+                )
+            ),
+            newest_first,
+        ).alias("vs")
+    )
+    fill = lambda acc, v: F.map_zip_with(  # noqa: E731
+        acc,
+        v["m"],
+        lambda _k, a, b: F.when(
+            (a == F.lit(UNCHANGED)) & b.isNotNull() & (b != F.lit(UNCHANGED)), b
+        ).otherwise(a),
+    )
+    return per_key.select(
+        "schema",
+        "table",
+        key_name,
+        F.col("vs")[0]["o"].alias(order_col),
+        F.col("vs")[0]["op"].alias("op"),
+        F.aggregate(
+            F.expr("slice(vs, 2, greatest(size(vs) - 1, 0))"),
+            F.col("vs")[0]["m"],
+            fill,
+        ).alias("after"),
+    )

@@ -117,3 +117,25 @@ def test_prune_images_preserves_image_flavors(spark, sf_dir):
     full = pruned.filter(F.size("after") > 0)
     assert full.filter(F.size("after") != 1).count() == 0
     assert full.filter(~F.map_contains_key("after", "o_orderkey")).count() == 0
+
+
+def test_resolve_unchanged_fills_toast_columns(spark):
+    """UNCHANGED ('u' kind) columns in the latest image must resolve to
+    the most recent earlier real value; columns unchanged in every
+    captured event stay UNCHANGED (only a snapshot can fill them)."""
+    from postrack_spark.cdc.envelope import CHANGE_SCHEMA
+    from postrack_spark.cdc.materialize import resolve_unchanged
+    from postrack_spark.sources.pgoutput import UNCHANGED
+
+    rows = [
+        (1, None, None, "public", "t", "INSERT", {"a": "x", "big": "payload-1"}, None),
+        (2, None, None, "public", "t", "UPDATE", {"a": "y", "big": UNCHANGED}, None),
+        (3, None, None, "public", "t", "UPDATE", {"a": "z", "big": UNCHANGED}, None),
+        # key 2: TOAST column unchanged in every captured event
+        (5, None, None, "public", "t", "UPDATE", {"a": "q", "big": UNCHANGED}, None),
+    ]
+    ch = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    key = F.when(F.col("lsn") <= 3, 1).otherwise(2)  # events 1-3 are key 1
+    out = {r["__key"]: r["after"] for r in resolve_unchanged(ch, key).collect()}
+    assert out[1] == {"a": "z", "big": "payload-1"}
+    assert out[2] == {"a": "q", "big": UNCHANGED}
