@@ -133,3 +133,28 @@ def test_malformed_frames_skipped_and_counted():
     )
     assert [r["after"] for r in rows] == [{"a": "7"}]
     assert state.parse_errors == 2
+
+
+def test_unchanged_toast_decodes_and_resolves(spark):
+    """End-to-end quirk-q4 path: a pgoutput UPDATE with an unchanged
+    ('u') TOAST column decodes to the UNCHANGED sentinel, and
+    resolve_unchanged fills it from the key's earlier full image."""
+    from pyspark.sql import functions as F
+
+    from postrack_spark.cdc.envelope import CHANGE_SCHEMA
+    from postrack_spark.cdc.materialize import resolve_unchanged
+
+    frames = [
+        wrap_xlogdata(encode_relation(7, "public", "docs", ["id", "body"]), 0),
+        wrap_xlogdata(encode_insert(7, ["1", "big-toast-value"]), 10),
+        wrap_xlogdata(encode_update(7, ["1", UNCHANGED]), 20),
+    ]
+    rows = decode_xlogdata_stream(frames)
+    assert rows[1]["after"]["body"] == UNCHANGED
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in CHANGE_SCHEMA.fields) for r in rows], CHANGE_SCHEMA
+    )
+    resolved = resolve_unchanged(df, F.element_at("after", "id").cast("long"))
+    out = resolved.collect()[0]
+    assert out["after"] == {"id": "1", "body": "big-toast-value"}
+    assert out["lsn"] == 20
