@@ -533,3 +533,62 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v100
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, count(*) AS n, sum(v100) AS s1, sum(v100 * v100) AS s2
+      FROM daily GROUP BY user_id
+    )
+    SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+           round(d.v100 / 100.0, 2) AS v,
+           floor((s.n * d.v100 - s.s1)
+                 / sqrt((s.n * s.s2 - s.s1 * s.s1) * s.n / (s.n - 1.0))
+                 * 10000) / 10000.0 AS z
+    FROM daily d JOIN stats s USING (user_id)
+    WHERE s.n > 1 AND s.n * s.s2 - s.s1 * s.s1 > 0
+      AND abs((s.n * d.v100 - s.s1)
+              / sqrt((s.n * s.s2 - s.s1 * s.s1) * s.n / (s.n - 1.0))) >= 2
+    ORDER BY user_id, day
+    """,
+)
+def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: per-user daily totals whose z-score (sample
+    std) exceeds 2. All statistics accumulate as exact integers (cents,
+    sums, sums of squares) so both engines compute the identical
+    doubles only in the final identical-shaped expression — no Welford
+    vs naive variance divergence, no sum-association drift; floor
+    truncation avoids round-half boundaries (cf. events_ewma_daily)."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v100"))
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v100").alias("s1"),
+        F.sum(F.col("v100") * F.col("v100")).alias("s2"),
+    )
+    j = daily.join(stats, "user_id")
+    znum = F.col("n") * F.col("v100") - F.col("s1")
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = znum / F.sqrt(var_num * F.col("n") / (F.col("n") - F.lit(1.0)))
+    return (
+        j.filter((F.col("n") > 1) & (var_num > 0) & (F.abs(z) >= 2))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("v100") / 100.0, 2).alias("v"),
+            (F.floor(z * 10000) / 10000.0).alias("z"),
+        )
+        .orderBy("user_id", "day")
+    )
