@@ -541,3 +541,48 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "text_pii_redaction",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact: u' || doc_id || '@example.com phone 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the standard pre-training redaction pass):
+    detect + replace email/phone patterns, with the redacted text
+    value-checked by md5. The corpus has no organic PII, so
+    deterministic synthetic markers are appended per doc — the
+    detect/redact machinery is what's under test. Patterns stay in the
+    Java-regex/RE2-agreeing subset."""
+    t = load_tables(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email, phone = r"[a-z0-9]+@[a-z]+\.[a-z]+", r"555-[0-9]{4}"
+    d = t["documents"].select("doc_id", aug.alias("t"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone), 0)).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(F.regexp_replace("t", email, "<EMAIL>"), phone, "<PHONE>")
+        ).alias("redacted_md5"),
+    ).orderBy("doc_id")
