@@ -904,3 +904,55 @@ def scalar_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_cross_grid_completion",
+    oracle="""
+    WITH grid AS (
+      SELECT r_name, p.o_orderpriority
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    ),
+    actual AS (
+      SELECT r.r_name, o.o_orderpriority, count(*) AS n
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT g.r_name, g.o_orderpriority,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_orders,
+           (a.n IS NULL) AS is_empty_cell
+    FROM grid g LEFT JOIN actual a
+      ON a.r_name = g.r_name AND a.o_orderpriority = g.o_orderpriority
+    ORDER BY g.r_name, g.o_orderpriority
+    """,
+)
+def join_cross_grid_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crossJoin surface + grid completion: the full region × priority
+    grid (tiny × tiny — the only place a cartesian product belongs)
+    left-joined to actual counts so empty cells appear as zeros — the
+    dense-output pattern reports need and GROUP BY alone cannot give."""
+    t = load_tables(spark, sf_dir)
+    grid = t["region"].select("r_name").crossJoin(
+        t["orders"].select("o_orderpriority").distinct()
+    )
+    actual = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        grid.join(actual, ["r_name", "o_orderpriority"], "left")
+        .select(
+            "r_name",
+            "o_orderpriority",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.col("n").isNull().alias("is_empty_cell"),
+        )
+        .orderBy("r_name", "o_orderpriority")
+    )
