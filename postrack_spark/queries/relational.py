@@ -956,3 +956,41 @@ def join_cross_grid_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "o_orderpriority")
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, CAST(l_quantity AS INT) AS q, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, q AS mode_qty, n AS mode_count
+    FROM ranked WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, smallest wins ties):
+    two-level aggregation with max_by over (count, -value) — unlike
+    F.mode(), whose tie-break is arbitrary, this is oracle-checkable.
+    Both aggregations get map-side partial combine; no window over the
+    fact table."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["lineitem"]
+        .groupBy("l_returnflag", F.col("l_quantity").cast("int").alias("q"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.max_by("q", F.struct(F.col("n"), (-F.col("q")).alias("nq"))).alias("mode_qty"),
+            F.max("n").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
