@@ -412,3 +412,73 @@ def vector_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"), F.max("doc").cast("bigint").alias("max_vec"))
         .orderBy("cluster")
     )
+
+
+@query(
+    "vector_truncated_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 5),
+    full_rank AS (
+      SELECT q_id, e.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(q_vec, e.v) DESC, e.vec_id) AS rn
+      FROM q JOIN e ON e.vec_id <> q_id
+    ),
+    trunc_rank AS (
+      SELECT q_id, e.vec_id AS c_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY list_cosine_similarity(q_vec[1:16], e.v[1:16]) DESC, e.vec_id) AS rn
+      FROM q JOIN e ON e.vec_id <> q_id
+    )
+    SELECT f.q_id,
+           CAST(count(t.c_id) AS BIGINT) AS n_kept,
+           round(count(t.c_id) / 10.0, 2) AS recall_at_10
+    FROM full_rank f
+    LEFT JOIN trunc_rank t ON t.q_id = f.q_id AND t.c_id = f.c_id AND t.rn <= 10
+    WHERE f.rn <= 10
+    GROUP BY f.q_id
+    ORDER BY f.q_id
+    """,
+)
+def vector_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation evaluated in place: recall
+    @10 of 16-dim-prefix cosine search against the full 64-dim ranking
+    — the measurement that decides whether a cheap prefix index can
+    front the full-precision search at scale. Both rankings and their
+    overlap are computed engine-side and oracle-checked."""
+    t = load_tables(spark, sf_dir)
+    e = fan_out(t["embeddings"]).select("vec_id", as_double_array("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+
+    from pyspark.sql import Window
+
+    def ranked(vec_slice):
+        joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+        sim = cosine(vec_slice(F.col("q_vec")), vec_slice(F.col("v")))
+        w = Window.partitionBy("q_id").orderBy(F.desc(sim), F.asc("vec_id"))
+        return joined.select(
+            "q_id", F.col("vec_id").alias("c_id"), F.row_number().over(w).alias("rn")
+        )
+
+    full_rank = ranked(lambda c: c).filter(F.col("rn") <= 10)
+    trunc_rank = (
+        ranked(lambda c: F.slice(c, 1, 16))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("q_id").alias("tq"), F.col("c_id").alias("tc"))
+    )
+    return (
+        full_rank.join(
+            trunc_rank,
+            (F.col("q_id") == F.col("tq")) & (F.col("c_id") == F.col("tc")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("tc").cast("bigint").alias("n_kept"),
+            F.round(F.count("tc") / 10.0, 2).alias("recall_at_10"),
+        )
+        .orderBy("q_id")
+    )
