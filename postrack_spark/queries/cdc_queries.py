@@ -440,3 +440,41 @@ def cdc_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+@query(
+    "cdc_op_transition_matrix",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    seq AS (
+      SELECT okey, op, lag(op) OVER (PARTITION BY okey ORDER BY lsn) AS prev_op
+      FROM changes
+    )
+    SELECT coalesce(prev_op, '<START>') AS from_op, op AS to_op,
+           count(*) AS n
+    FROM seq
+    GROUP BY 1, 2
+    ORDER BY from_op, to_op
+    """,
+)
+def cdc_op_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-integrity analytics: the op-transition matrix per key
+    (INSERT must start every key's history, DELETE must be terminal,
+    UPDATE follows INSERT/UPDATE) — the validation view a CDC consumer
+    runs to detect capture gaps. One lag window per key."""
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    w = Window.partitionBy("__k").orderBy("lsn")
+    return (
+        ch.withColumn("__k", key)
+        .withColumn("prev_op", F.lag("op").over(w))
+        .groupBy(
+            F.coalesce("prev_op", F.lit("<START>")).alias("from_op"),
+            F.col("op").alias("to_op"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("from_op", "to_op")
+    )

@@ -592,3 +592,45 @@ def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: per-user event-type bigrams with
+    row-normalized probabilities (first-order Markov estimate) — one
+    lag window per user, the normalizing window runs on the 25-cell
+    aggregated matrix, never on the event stream."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t["events"]
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_norm = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
