@@ -416,3 +416,76 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "containment")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_corpus_funnel",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS ({_BANDS_SQL}),
+    sized AS (
+      SELECT b.* FROM buckets b
+      JOIN (SELECT band, bh, count(*) AS bsz FROM buckets GROUP BY band, bh) s
+        USING (band, bh)
+      WHERE s.bsz <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+      FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      JOIN cand c ON c.doc_a = t1.doc AND c.doc_b = t2.doc
+      GROUP BY t1.doc, t2.doc
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+                   JOIN sizes sb ON sb.doc = i.doc_b
+      WHERE round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) >= 0.5
+    ),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT src, src FROM bidir
+      UNION
+      SELECT b.dst, r.root FROM reach r JOIN bidir b ON b.src = r.doc
+    ),
+    labeled AS (SELECT doc, min(root) AS cluster FROM reach GROUP BY doc)
+    SELECT (SELECT count(*) FROM documents) AS total_docs,
+           (SELECT count(DISTINCT md5(text)) FROM documents) AS n_exact_groups,
+           (SELECT count(*) FROM labeled) AS n_neardup_docs,
+           (SELECT count(DISTINCT cluster) FROM labeled) AS n_neardup_clusters
+    """,
+)
+def dedup_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-reduction funnel in one row: total docs, exact-dup
+    groups, docs touched by >=0.5-Jaccard near-dup pairs, and their
+    cluster count — the summary a training-data pipeline reports after
+    each dedup tier. Composes exact fingerprinting, shingle MinHash+LSH
+    and connected components over one shared shingle scan."""
+    from postrack_spark.operators.dedup import connected_components
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    shingles = _pin("funnel_shingles", doc_shingles(docs, "doc_id", "text", k=3))
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
+    pairs = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    summary = comp.agg(
+        F.count("*").alias("n_neardup_docs"),
+        F.countDistinct("cluster").alias("n_neardup_clusters"),
+    )
+    base = docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct(F.md5("text")).alias("n_exact_groups"),
+    )
+    return base.crossJoin(summary).select(
+        "total_docs", "n_exact_groups", "n_neardup_docs", "n_neardup_clusters"
+    )
