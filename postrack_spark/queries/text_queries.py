@@ -586,3 +586,65 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.regexp_replace("t", email, "<EMAIL>"), phone, "<PHONE>")
         ).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_bigram_lm_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(w) - 1)) g(i)
+    ),
+    lm AS (
+      SELECT w1, w2, count(*) AS c2, sum(count(*)) OVER (PARTITION BY w1) AS c1
+      FROM bigrams GROUP BY w1, w2
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round((log2(lm.c2) - log2(lm.c1)) * 1000000) AS BIGINT) AS micro
+      FROM bigrams b JOIN lm ON lm.w1 = b.w1 AND lm.w2 = b.w2
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(sum(micro) * 1.0 / count(*) / 100.0) / 10000.0 AS avg_log2p
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring against a corpus bigram LM
+    (the CCNet-recipe filter): per-doc average log2 P(w_i | w_{i-1})
+    where the LM is estimated from the corpus itself. Per-bigram log
+    scores are integerized to micro-units before summation so the
+    aggregate is association-independent across engines (the same
+    exact-integer discipline as events_ewma_daily), and the final
+    average is floor-truncated. The LM table is vocabulary-sized —
+    broadcast-joined, never shuffling the corpus."""
+    t = load_tables(spark, sf_dir)
+    toks = fan_out(t["documents"]).select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    lm = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    )
+    scored = bigrams.join(F.broadcast(lm), ["w1", "w2"]).select(
+        "doc_id",
+        F.round((F.log2("c2") - F.log2("c1")) * 1000000).cast("bigint").alias("micro"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (F.floor(F.sum("micro") * 1.0 / F.count("*") / 100.0) / 10000.0).alias(
+                "avg_log2p"
+            ),
+        )
+        .orderBy("doc_id")
+    )
