@@ -634,3 +634,67 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary100
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, frequency, round(monetary100 / 100.0, 2) AS monetary,
+             ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY monetary100 DESC, user_id) AS m
+      FROM rfm
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(frequency) AS BIGINT) AS total_purchases,
+           round(sum(monetary), 2) AS total_value
+    FROM scored
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary quartiles
+    (ntile with deterministic tie-breaks), rolled up per segment.
+    Monetary sums accumulate as integer cents (exact); the ntile
+    windows run on the per-user aggregate, not the event stream."""
+    t = load_tables(spark, sf_dir)
+    rfm = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("monetary100"),
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        "frequency",
+        F.round(F.col("monetary100") / 100.0, 2).alias("monetary"),
+        F.ntile(4).over(W.orderBy(F.desc("last_ts"), F.asc("user_id"))).alias("r"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary100"), F.asc("user_id"))).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")).alias("segment")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("frequency").cast("bigint").alias("total_purchases"),
+            F.round(F.sum("monetary"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
