@@ -698,3 +698,83 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "events_asof_nearest_click",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+             first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click
+      FROM events
+    ),
+    nearest AS (
+      SELECT user_id,
+             CASE
+               WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+               WHEN next_click IS NULL THEN date_diff('second', prev_click, ts)
+               WHEN prev_click IS NULL THEN date_diff('second', ts, next_click)
+               WHEN date_diff('second', prev_click, ts)
+                    <= date_diff('second', ts, next_click)
+                 THEN date_diff('second', prev_click, ts)
+               ELSE date_diff('second', ts, next_click)
+             END AS gap_s
+      FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(gap_s) AS BIGINT) AS n_with_click,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           round(avg(gap_s), 2) AS avg_gap_s
+    FROM nearest
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (both directions, closest wins, backward on
+    ties): each purchase's temporal distance to the user's nearest
+    click — sensor-alignment semantics composed from the backward and
+    forward as-of windows, still join-free (both frames share one
+    per-user sort)."""
+    t = load_tables(spark, sf_dir)
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    prev_c = F.last(click_ts, ignorenulls=True).over(
+        base.rowsBetween(W.unboundedPreceding, -1)
+    )
+    next_c = F.first(click_ts, ignorenulls=True).over(
+        base.rowsBetween(1, W.unboundedFollowing)
+    )
+    back = F.col("ts").cast("long") - F.col("prev_click").cast("long")
+    fwd = F.col("next_click").cast("long") - F.col("ts").cast("long")
+    gap = (
+        F.when(F.col("prev_click").isNull() & F.col("next_click").isNull(), None)
+        .when(F.col("next_click").isNull(), back)
+        .when(F.col("prev_click").isNull(), fwd)
+        .when(back <= fwd, back)
+        .otherwise(fwd)
+    )
+    nearest = (
+        t["events"]
+        .withColumn("prev_click", prev_c)
+        .withColumn("next_click", next_c)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("gap_s", gap)
+    )
+    return (
+        nearest.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.count("gap_s").cast("bigint").alias("n_with_click"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        )
+        .orderBy("user_id")
+    )
