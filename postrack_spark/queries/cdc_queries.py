@@ -478,3 +478,47 @@ def cdc_op_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("from_op", "to_op")
     )
+
+
+@query(
+    "cdc_changed_columns",
+    oracle=f"""
+    WITH {_CHANGES_CTE}
+    SELECT CASE WHEN okey % 10 IN (1, 2, 3) THEN
+             CASE WHEN (SELECT o_orderstatus FROM orders o WHERE o.o_orderkey = okey) <> 'F'
+                  THEN 'o_orderstatus,o_totalprice' ELSE 'o_totalprice' END
+           END AS changed_cols,
+           count(*) AS n_updates
+    FROM changes
+    WHERE op = 'UPDATE' AND okey % 10 IN (1, 2, 3)
+    GROUP BY 1
+    ORDER BY changed_cols
+    """,
+)
+def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-vector extraction: for each full-identity UPDATE, the
+    sorted set of columns whose after value differs from before
+    (null-safe map comparison via map_filter) — the derived view
+    downstream auditing/conditional-trigger consumers build from the
+    reference's (new, old) images (postrack.go:385-398). Empty-before
+    UPDATEs (default replica identity) are excluded: their change
+    vector is unknowable, exactly the information the reference's
+    REPLICA IDENTITY FULL requirement exists to provide."""
+    ch = orders_changes(spark, sf_dir)
+    changed = F.array_join(
+        F.array_sort(
+            F.map_keys(
+                F.map_filter(
+                    F.col("after"),
+                    lambda k, v: ~v.eqNullSafe(F.element_at(F.col("before"), k)),
+                )
+            )
+        ),
+        ",",
+    )
+    return (
+        ch.filter((F.col("op") == "UPDATE") & (F.size("before") > 0))
+        .groupBy(changed.alias("changed_cols"))
+        .agg(F.count("*").alias("n_updates"))
+        .orderBy("changed_cols")
+    )
