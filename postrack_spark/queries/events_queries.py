@@ -778,3 +778,59 @@ def events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN daily u
+        ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    ORDER BY day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement metrics: daily active users, trailing-7-day active
+    users, and DAU/WAU stickiness. The distinct-users-over-window
+    problem is solved on the (day, user) DEDUPED table — a range join
+    over ~days×7 rows — never with a distinct-over-window on the raw
+    stream (unbounded state at volume)."""
+    t = load_tables(spark, sf_dir)
+    daily = t["events"].select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            daily.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint"),
+            F.col("wau").cast("bigint"),
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
