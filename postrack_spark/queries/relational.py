@@ -994,3 +994,53 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "scalar_url_functions",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=' || (doc_id % 7) AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/docs/)', 1) AS path_prefix,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param,
+           count(*) AS n
+    FROM u
+    GROUP BY 1, 2, 3
+    ORDER BY host, path_prefix, lang_param
+    """,
+)
+def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface via parse_url (HOST / PATH / QUERY param) —
+    the Spark built-in; the oracle mirrors it with regexp extraction.
+    URLs are synthesized deterministically (the corpus has none), so
+    the parser sees real structure: scheme, host, path, query params;
+    paths embed doc_id, so the grouping key is the path PREFIX on both
+    sides."""
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    d = t["documents"].select("doc_id", url.alias("url"))
+    return (
+        d.groupBy(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.regexp_extract(F.parse_url("url", F.lit("PATH")), "^(/docs/)", 1).alias(
+                "path_prefix"
+            ),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("host", "path_prefix", "lang_param")
+    )
