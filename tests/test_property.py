@@ -201,3 +201,47 @@ def test_zorder_value_matches_python_morton(spark, a1, b1, a2, b2):
         for r in df.select(zorder_value(F.col("a"), F.col("b"), bits=7).alias("z")).collect()
     ]
     assert got == [morton(a1, b1), morton(a2, b2)]
+
+
+toast_step = st.tuples(
+    st.sampled_from(["INSERT", "UPDATE"]),
+    st.sampled_from([0, 1, 2]),          # key
+    st.integers(min_value=0, max_value=9),  # value for column 'a'
+    st.booleans(),                        # whether 'big' is UNCHANGED
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(toast_step, min_size=1, max_size=12))
+def test_resolve_unchanged_matches_sequential_model(spark, seq):
+    """resolve_unchanged must equal the sequential consumer that merges
+    each event into per-key state keeping the previous value for
+    UNCHANGED columns — the reference's documented consumer obligation
+    for TOAST ('u') columns, executed here in parallel."""
+    from postrack_spark.cdc.materialize import resolve_unchanged
+    from postrack_spark.sources.pgoutput import UNCHANGED
+
+    # INSERTs always carry a real 'big'; an UPDATE may mark it UNCHANGED
+    model: dict[str, dict] = {}
+    rows = []
+    for i, (op, key, val, toast) in enumerate(seq):
+        k = str(key)
+        big = UNCHANGED if (op == "UPDATE" and toast) else f"big-{i}"
+        after = {"k": k, "a": str(val), "big": big}
+        rows.append((i + 1, None, None, "public", "t", op, after, None))
+        st_row = dict(after)
+        if big is UNCHANGED and k in model:
+            st_row["big"] = model[k]["big"]
+        model[k] = st_row
+    df = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    out = {
+        r["__key"]: r["after"]
+        for r in resolve_unchanged(
+            df, F.element_at("after", "k").cast("long")
+        ).collect()
+    }
+    assert {int(k): v for k, v in model.items()} == out
