@@ -489,3 +489,56 @@ def dedup_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.crossJoin(summary).select(
         "total_docs", "n_exact_groups", "n_neardup_docs", "n_neardup_clusters"
     )
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS ({_BANDS_SQL}),
+    sized AS (
+      SELECT b.* FROM buckets b
+      JOIN (SELECT band, bh, count(*) AS bsz FROM buckets GROUP BY band, bh) s
+        USING (band, bh)
+      WHERE s.bsz <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    exact_pairs AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b
+      FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      GROUP BY t1.doc, t2.doc
+      HAVING round(count(*) * 1.0 /
+             ((SELECT n_tok FROM sizes WHERE doc = t1.doc)
+              + (SELECT n_tok FROM sizes WHERE doc = t2.doc) - count(*)), 6) >= 0.5
+    )
+    SELECT CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM exact_pairs e
+                 JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b) AS BIGINT)
+             AS n_recalled,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation: ground-truth >=0.5-Jaccard pairs from
+    the exact inverted-index join vs the banded candidate set — the
+    recall/candidate-efficiency measurement that justifies the banding
+    geometry (16 hashes × 8 bands of 2 ⇒ P(candidate|J=0.5)≈0.90).
+    Evaluation-only: the exact all-pairs join is the thing LSH exists
+    to avoid at scale, run here to certify the approximation."""
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    shingles = _pin("recall_shingles", doc_shingles(docs, "doc_id", "text", k=3))
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
+    exact = jaccard_pairs(shingles, pairs=None, threshold=0.5).select("doc_a", "doc_b")
+    recalled = exact.join(cand, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+        .crossJoin(recalled.agg(F.count("*").cast("bigint").alias("n_recalled")))
+        .crossJoin(cand.agg(F.count("*").cast("bigint").alias("n_candidates")))
+    )

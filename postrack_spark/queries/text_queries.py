@@ -648,3 +648,50 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_grouped_pandas_profile",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_grouped_pandas_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map surface (groupBy().applyInPandas): per-source stats
+    computed inside an Arrow-batched pandas function — the batch twin
+    of the streaming applyInPandasWithState operators. The md5 of the
+    sorted id list value-checks the Python path byte-for-byte. Use
+    this shape only when per-group logic genuinely needs pandas; the
+    aggregations here COULD be built-ins — the point is certifying the
+    grouped Python path against the same oracle discipline."""
+    import hashlib
+
+    import pandas as pd
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(x) for x in pdf["doc_id"])
+        joined = ",".join(str(i) for i in ids)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "ids_md5": [hashlib.md5(joined.encode()).hexdigest()],
+            }
+        )
+
+    t = load_tables(spark, sf_dir)
+    schema = "source string, n_docs bigint, total_chars bigint, ids_md5 string"
+    return (
+        fan_out(t["documents"])
+        .select("source", "doc_id", "n_chars")
+        .groupBy("source")
+        .applyInPandas(profile, schema)
+        .orderBy("source")
+    )
