@@ -1044,3 +1044,39 @@ def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("host", "path_prefix", "lang_param")
     )
+
+
+@query(
+    "agg_conditional_boolean",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_final,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           bool_and(o_custkey > 0) AS all_have_cust,
+           round(max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+             AS max_final_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_conditional_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean aggregate surface: count_if, bool_or (any),
+    bool_and (every), and a filtered max — the predicate-aggregation
+    vocabulary, all partial-aggregable built-ins."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).cast("bigint").alias("n_big"),
+            F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("n_final"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+            F.bool_and(F.col("o_custkey") > 0).alias("all_have_cust"),
+            F.round(
+                F.max(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+            ).alias("max_final_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
