@@ -133,8 +133,12 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
         return {"file_index": len(_capture_files(self.opts.capture_dir))}
 
     def partitions(self, start: dict, end: dict):
+        # one partition per capture file, like the batch reader: decode
+        # parallelism within a micro-batch scales with the number of
+        # files the batch spans; WAL order is restored downstream via
+        # the lsn column wherever order matters (SURVEY §4.2)
         names = _capture_files(self.opts.capture_dir)[start["file_index"] : end["file_index"]]
-        return [CDCFilePartition(names)]
+        return [CDCFilePartition([n]) for n in names] or [CDCFilePartition([])]
 
     def read(self, partition: CDCFilePartition):
         yield from _decode_files(
