@@ -98,6 +98,16 @@ class _Options:
         ev = options.get("events", "INSERT,UPDATE,DELETE,TRUNCATE")
         self.events = {e.strip().upper() for e in ev.split(",") if e.strip()}
         self.start_lsn = int(options.get("start_lsn", "0"))
+        # micro-batch admission (SURVEY §2b backpressure): cap how many
+        # capture files one trigger may consume; 0 = unbounded. The
+        # reference has NO backpressure - a slow HandleFunc simply
+        # blocks the socket read loop (postrack.go:343,383). Note on
+        # Trigger.AvailableNow: Spark snapshots the first reported
+        # offset for sources without SupportsTriggerAvailableNow, so a
+        # capped source drains one cap per RUN - checkpoint-correct
+        # bounded drains that converge over repeated runs; use
+        # processingTime triggers for continuous pacing.
+        self.max_files_per_trigger = int(options.get("maxFilesPerTrigger", "0"))
 
 
 class CDCFilePartition(InputPartition):
@@ -125,12 +135,45 @@ class PostgresCDCBatchReader(DataSourceReader):
 class PostgresCDCStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.opts = _Options(options)
+        # high-water mark of offsets this reader has handed to Spark,
+        # seeded from the ack log so a fresh reader (new run over an
+        # existing checkpoint) paces from the last COMMITTED offset,
+        # not from zero; floors at commit() thereafter
+        self._emitted = self._last_acked()
+
+    def _last_acked(self) -> int:
+        """Highest offset this source has planned or committed, from
+        the reader-side logs. commit() acks fire lazily (on the NEXT
+        batch's planning), so single-batch runs never write one; the
+        planning log (_progress.json, written in partitions()) covers
+        that case. Seeding from planned-not-yet-committed offsets only
+        affects PACING - Spark replays any uncommitted batch from its
+        checkpoint, so no data is skipped."""
+        best = 0
+        ack = os.path.join(self.opts.capture_dir, "_acks.jsonl")
+        try:
+            with open(ack) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            best = max((json.loads(ln)["file_index"] for ln in lines), default=0)
+        except FileNotFoundError:
+            pass
+        prog = os.path.join(self.opts.capture_dir, "_progress.json")
+        try:
+            with open(prog) as f:
+                best = max(best, json.load(f)["file_index"])
+        except (FileNotFoundError, ValueError, KeyError):
+            pass
+        return best
 
     def initialOffset(self) -> dict:
         return {"file_index": 0}
 
     def latestOffset(self) -> dict:
-        return {"file_index": len(_capture_files(self.opts.capture_dir))}
+        total = len(_capture_files(self.opts.capture_dir))
+        cap = self.opts.max_files_per_trigger
+        nxt = min(total, self._emitted + cap) if cap > 0 else total
+        self._emitted = max(self._emitted, nxt)
+        return {"file_index": self._emitted}
 
     def partitions(self, start: dict, end: dict):
         # one partition per capture file, like the batch reader: decode
@@ -138,6 +181,11 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
         # files the batch spans; WAL order is restored downstream via
         # the lsn column wherever order matters (SURVEY §4.2)
         names = _capture_files(self.opts.capture_dir)[start["file_index"] : end["file_index"]]
+        self._emitted = max(self._emitted, end["file_index"])
+        tmp = os.path.join(self.opts.capture_dir, "_progress.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"file_index": self._emitted}, f)
+        os.replace(tmp, os.path.join(self.opts.capture_dir, "_progress.json"))
         return [CDCFilePartition([n]) for n in names] or [CDCFilePartition([])]
 
     def read(self, partition: CDCFilePartition):
@@ -149,6 +197,7 @@ class PostgresCDCStreamReader(DataSourceStreamReader):
         """Ack AFTER durable processing (the keepAlive analog; a live
         capture process reads this log and advances the slot's
         StandbyStatusUpdate)."""
+        self._emitted = max(self._emitted, end["file_index"])
         ack = os.path.join(self.opts.capture_dir, "_acks.jsonl")
         with open(ack, "a") as f:
             f.write(json.dumps(end) + "\n")

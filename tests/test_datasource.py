@@ -131,3 +131,47 @@ def test_datasource_to_materialization(spark):
     final = apply_changes(df, key, key_name="o_orderkey")
     rows = final.orderBy("o_orderkey").collect()
     assert [r["o_orderkey"] for r in rows] == [2]
+
+
+def test_max_files_per_trigger_bounds_each_batch(spark):
+    """maxFilesPerTrigger (SURVEY §2b backpressure - the admission
+    control the reference lacks): with a cap of 1 file, each
+    AvailableNow RUN drains exactly one capture file (Spark snapshots
+    the first reported offset), and repeated runs over one checkpoint
+    converge to the full unbounded read - bounded, checkpoint-correct
+    drains."""
+    import tempfile
+
+    d = _capture_dir_with_golden()
+    # roll two more capture files so one trigger CAN span several
+    write_frame_file(os.path.join(d, "000002.pgout"), _more_inserts(1000, [31, 32]))
+    write_frame_file(os.path.join(d, "000003.pgout"), _more_inserts(2000, [41]))
+    register(spark)
+    batches: list[int] = []
+    stream = (
+        spark.readStream.format("postgres_cdc")
+        .option("capture_dir", d)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        runs = 0
+        while runs < 6:
+            before = sum(batches)
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda df, bid: batches.append(df.count())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            runs += 1
+            if sum(batches) == before:  # drained
+                break
+    total_unbounded = (
+        spark.read.format("postgres_cdc").option("capture_dir", d).load().count()
+    )
+    assert sum(batches) == total_unbounded
+    assert len([b for b in batches if b > 0]) >= 2, batches
