@@ -834,3 +834,67 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_bot_regularity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+               AS gap_s
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id, count(gap_s) AS n, min(gap_s) AS min_gap,
+             sum(gap_s) AS s1, sum(gap_s * gap_s) AS s2
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           CAST(min_gap AS BIGINT) AS min_gap_s,
+           CAST(s1 // n AS BIGINT) AS mean_gap_s,
+           CAST(n * s2 - s1 * s1 AS BIGINT) AS var_numerator,
+           (min_gap <= 30 AND n >= 20) AS burst_suspect
+    FROM stats
+    WHERE n >= 20 AND (min_gap <= 30 OR n * s2 - s1 * s1 = 0)
+    ORDER BY user_id
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/spam screening on inter-event timing (the behavioral
+    data-quality filter training pipelines run before ingestion):
+    per-user gap statistics — minimum gap, integer mean, and the exact
+    integer variance numerator n·Σx² − (Σx)² (zero ⇔ perfectly regular
+    timing, the automation signature). Users flagged on burstiness
+    (gap ≤ 30 s) or perfect regularity. All arithmetic integer-exact."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        t["events"]
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.col("ts").cast("long") - F.col("prev_ts").cast("long")).alias("gap_s"),
+        )
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.min("gap_s").alias("min_gap"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        stats.filter((F.col("n") >= 20) & ((F.col("min_gap") <= 30) | (var_num == 0)))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.col("min_gap").cast("bigint").alias("min_gap_s"),
+            F.floor(F.col("s1") / F.col("n")).cast("bigint").alias("mean_gap_s"),
+            var_num.cast("bigint").alias("var_numerator"),
+            ((F.col("min_gap") <= 30) & (F.col("n") >= 20)).alias("burst_suspect"),
+        )
+        .orderBy("user_id")
+    )
