@@ -1,1 +1,60 @@
-"""Relational + LLM-data-pipeline operators as DataFrame compositions."""
+"""Relational + LLM-data-pipeline operators as DataFrame compositions.
+
+Public surface (each name re-exported from its module; see the module
+docstrings for scale design notes):
+
+  dedup       exact_duplicates normalized_duplicates minhash_signatures
+              lsh_candidate_pairs jaccard_pairs simhash_bits
+              connected_components
+  similarity  brute_force_topk lsh_bucketed_topk ivf_assign
+              label_centroids kmeans_lloyd
+  sampling    (deterministic hash sampling / splits / caps — see module)
+  multimodal  attach_payload extract_features resize_media sample_frames
+  skew        with_salt salted_agg salted_join
+"""
+
+from postrack_spark.operators.dedup import (
+    connected_components,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalized_duplicates,
+    simhash_bits,
+)
+from postrack_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+from postrack_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    kmeans_lloyd,
+    label_centroids,
+    lsh_bucketed_topk,
+)
+from postrack_spark.operators.skew import salted_agg, salted_join, with_salt
+
+__all__ = [
+    "exact_duplicates",
+    "normalized_duplicates",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash_bits",
+    "connected_components",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "ivf_assign",
+    "label_centroids",
+    "kmeans_lloyd",
+    "attach_payload",
+    "extract_features",
+    "resize_media",
+    "sample_frames",
+    "with_salt",
+    "salted_agg",
+    "salted_join",
+]
