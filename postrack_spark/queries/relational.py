@@ -1080,3 +1080,44 @@ def agg_conditional_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "scalar_try_cast_safety",
+    oracle="""
+    SELECT TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(TRY_CAST(o_orderstatus AS INT)) AS BIGINT) AS n_status_numeric,
+           CAST(count(TRY_CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS n_price_ok
+    FROM orders
+    GROUP BY 1
+    ORDER BY prio_num
+    """,
+)
+def scalar_try_cast_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casting surface: try_cast yields NULL instead of a
+    runtime error on unparseable input — the safety valve for typed
+    projection out of TEXT envelopes (Spark 4 runs ANSI mode by
+    default, where a plain CAST of bad data fails the job). The
+    numeric prefix of o_orderpriority parses; o_orderstatus never
+    does (count 0); o_totalprice always does."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.split(F.col("o_orderpriority"), "-")
+            .getItem(0)
+            .try_cast("int")
+            .alias("prio_num")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.col("o_orderstatus").try_cast("int"))
+            .cast("bigint")
+            .alias("n_status_numeric"),
+            F.count(F.col("o_totalprice").try_cast("double"))
+            .cast("bigint")
+            .alias("n_price_ok"),
+        )
+        .orderBy("prio_num")
+    )
