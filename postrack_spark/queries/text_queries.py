@@ -695,3 +695,40 @@ def text_grouped_pandas_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(profile, schema)
         .orderBy("source")
     )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+                     WHEN n_chars >= 600 THEN 13
+                     ELSE CAST(floor(n_chars / 50.0) AS INT) + 1 END AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profiling: width_bucket histogram of document
+    sizes (12 × 50-char buckets over [0, 600), under/overflow in
+    buckets 0 and 13) — the distribution check run before picking
+    chunking/packing parameters. The oracle mirrors width_bucket with
+    explicit floor arithmetic."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(
+            F.width_bucket(F.col("n_chars"), F.lit(0), F.lit(600), F.lit(12))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
