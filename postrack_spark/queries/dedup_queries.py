@@ -589,3 +589,120 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return blocked.filter(F.col("edit_dist") <= 40).orderBy("doc_a", "doc_b")
+
+
+_QUALITY_SQL = (
+    "round(least(len(string_split(text, ' ')) / 100.0, 1.0)"
+    " * (1 - len(list_filter(string_split(text, ' '), t -> t IN"
+    " ('the','a','of','and','to','in','is','it'))) * 1.0 / len(string_split(text, ' ')))"
+    " * (1 - len(list_filter(string_split(text, ' '), t -> length(t) <= 1)) * 1.0"
+    " / len(string_split(text, ' '))), 6)"
+)
+
+
+@query(
+    "pipeline_training_mixture",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS ({_BANDS_SQL}),
+    sized AS (
+      SELECT b.* FROM buckets b
+      JOIN (SELECT band, bh, count(*) AS bsz FROM buckets GROUP BY band, bh) s
+        USING (band, bh)
+      WHERE s.bsz <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+      FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      JOIN cand c ON c.doc_a = t1.doc AND c.doc_b = t2.doc
+      GROUP BY t1.doc, t2.doc
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+                   JOIN sizes sb ON sb.doc = i.doc_b
+      WHERE round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) >= 0.5
+    ),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT src, src FROM bidir
+      UNION
+      SELECT b.dst, r.root FROM reach r JOIN bidir b ON b.src = r.doc
+    ),
+    labeled AS (SELECT doc, min(root) AS cluster FROM reach GROUP BY doc),
+    gated AS (
+      SELECT d.doc_id, d.source,
+             len(string_split(d.text, ' ')) AS n_tok,
+             {_QUALITY_SQL} AS q,
+             (l.doc IS NOT NULL AND l.cluster <> d.doc_id) AS is_dup
+      FROM documents d LEFT JOIN labeled l ON l.doc = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(q < 0.3) AS BIGINT) AS n_quality_fail,
+           CAST(count_if(q >= 0.3 AND is_dup) AS BIGINT) AS n_dup_dropped,
+           CAST(count_if(q >= 0.3 AND NOT is_dup) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN q >= 0.3 AND NOT is_dup
+                    THEN CAST(ceil(greatest(n_tok - 8, 1) / 24.0) AS BIGINT) END)
+                AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN q >= 0.3 AND NOT is_dup THEN n_tok END) AS BIGINT)
+             AS n_tokens_kept
+    FROM gated
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone pipeline: quality gate -> near-dup representative
+    selection -> chunk accounting, per source — the assembly report of
+    a training-data mixture (what survives filtering, what chunking
+    yields). Composes quality_score, shingle MinHash+LSH, connected
+    components and the chunk-count rule over ONE shared shingle scan;
+    every stage is the same operator the standalone queries certify."""
+    from postrack_spark.functions.text import quality_score
+    from postrack_spark.operators.dedup import connected_components
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    shingles = _pin("mixture_shingles", doc_shingles(docs, "doc_id", "text", k=3))
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
+    pairs = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    gated = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        .join(comp.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .withColumn(
+            "is_dup", F.col("cluster").isNotNull() & (F.col("cluster") != F.col("doc_id"))
+        )
+    )
+    keep = (F.col("q") >= 0.3) & ~F.col("is_dup")
+    chunks = F.ceil(F.greatest(F.col("n_tok") - 8, F.lit(1)) / 24.0).cast("bigint")
+    return (
+        gated.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if(F.col("q") < 0.3).cast("bigint").alias("n_quality_fail"),
+            F.count_if((F.col("q") >= 0.3) & F.col("is_dup"))
+            .cast("bigint")
+            .alias("n_dup_dropped"),
+            F.count_if(keep).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, chunks)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(keep, F.col("n_tok"))).cast("bigint").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
