@@ -20,6 +20,7 @@ from postrack_spark.cdc.envelope import (
     typed_column,
 )
 from postrack_spark.cdc.fixtures import lineitem_changes, mixed_changes, orders_changes
+from postrack_spark.cdc.ivm import delta_rows, incremental_agg, recover_before
 from postrack_spark.cdc.materialize import (
     apply_changes,
     latest_per_key,
@@ -44,4 +45,7 @@ __all__ = [
     "apply_changes",
     "snapshot_as_changes",
     "snapshot_with_changes",
+    "delta_rows",
+    "incremental_agg",
+    "recover_before",
 ]

@@ -522,3 +522,67 @@ def cdc_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_updates"))
         .orderBy("changed_cols")
     )
+
+
+@query(
+    "cdc_incremental_agg",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    hist AS (
+      SELECT *,
+             lag(status) OVER w AS p_status,
+             lag(price)  OVER w AS p_price
+      FROM changes
+      WINDOW w AS (PARTITION BY okey ORDER BY lsn)
+    ),
+    deltas AS (
+      SELECT status   AS s,  1 AS sign, price   AS p FROM hist WHERE op = 'INSERT'
+      UNION ALL
+      SELECT status,          1,        price        FROM hist WHERE op = 'UPDATE'
+      UNION ALL
+      SELECT p_status,       -1,        p_price      FROM hist WHERE op = 'UPDATE'
+      UNION ALL
+      SELECT p_status,       -1,        p_price      FROM hist WHERE op = 'DELETE'
+    )
+    SELECT s AS o_orderstatus,
+           CAST(sum(sign) AS BIGINT) AS n_rows,
+           round(sum(sign * CAST(round(p * 100) AS BIGINT)) / 100.0, 2) AS total_price
+    FROM deltas
+    GROUP BY s
+    HAVING sum(sign) > 0
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-status (count, sum(price))
+    view maintained from the change stream ALONE — no base-table
+    recompute. Each event becomes signed delta rows (+after / -before);
+    sum(sign)/sum(sign*measure) per group equals the aggregate of the
+    materialized table, at O(groups) shuffle cost instead of O(table)
+    (the counting algorithm; see cdc/ivm.py). Default-replica-identity
+    UPDATEs (empty before image, postrack.go:388-392) are first
+    repaired by recover_before — the per-key previous event's after
+    image IS the missing before image. Money sums ride integer cents
+    (cross-engine fp association trap — see CLAUDE.md)."""
+    from postrack_spark.cdc.ivm import incremental_agg, recover_before
+
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    repaired = recover_before(ch, key)
+    view = incremental_agg(
+        repaired,
+        dims={"o_orderstatus": F.element_at(F.col("img"), "o_orderstatus")},
+        measures={
+            "cents": F.round(
+                F.element_at(F.col("img"), "o_totalprice").cast("double") * 100
+            ).cast("long")
+        },
+    )
+    return view.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("cents") / 100.0, 2).alias("total_price"),
+    ).orderBy("o_orderstatus")

@@ -64,11 +64,17 @@ def configure_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    # The driver's events.parquet stores ts as TIMESTAMP(NANOS) which the
-    # Spark parquet reader rejects; read nanos as long and rebuild the
-    # timestamp at micro precision in load_tables (matches DuckDB, which
-    # truncates ns -> us).
+    # The driver's events.parquet has stored ts as TIMESTAMP(NANOS) in
+    # some rounds and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others;
+    # handle both. Nanos: read as long and rebuild micro-precision
+    # timestamps in load_tables (matches DuckDB, which truncates ns->us).
+    # Micros without UTC adjustment: Spark would infer TIMESTAMP_NTZ,
+    # which (a) rejects numeric casts queries rely on and (b) diverges
+    # from the TZ type every other code path produces — infer LTZ
+    # instead (identical wall-clock semantics under the UTC session tz,
+    # and identical to DuckDB's naive reading of the same values).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 # DataFrame handles per (session, sf_dir): building a scan DataFrame

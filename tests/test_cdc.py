@@ -139,3 +139,71 @@ def test_resolve_unchanged_fills_toast_columns(spark):
     out = {r["__key"]: r["after"] for r in resolve_unchanged(ch, key).collect()}
     assert out[1] == {"a": "z", "big": "payload-1"}
     assert out[2] == {"a": "q", "big": UNCHANGED}
+
+
+def test_incremental_agg_equals_recompute(spark, sf_dir):
+    """IVM invariant (the counting algorithm's correctness property):
+    the incrementally-maintained aggregate equals the same aggregate
+    recomputed from the fully materialized table."""
+    from postrack_spark.cdc.ivm import incremental_agg, recover_before
+
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    cents = lambda img: F.round(  # noqa: E731
+        F.element_at(F.col(img), "o_totalprice").cast("double") * 100
+    ).cast("long")
+    ivm = {
+        (r["o_orderstatus"]): (r["n_rows"], r["cents"])
+        for r in incremental_agg(
+            recover_before(ch, key),
+            dims={"o_orderstatus": F.element_at(F.col("img"), "o_orderstatus")},
+            measures={"cents": cents("img")},
+        ).collect()
+    }
+    table = apply_changes(ch, key, key_name="o_orderkey")
+    full = {
+        r["o_orderstatus"]: (r["n_rows"], r["cents"])
+        for r in table.groupBy(
+            typed_column("after", "o_orderstatus", "string").alias("o_orderstatus")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(cents("after")).alias("cents"),
+        )
+        .collect()
+    }
+    assert ivm == full
+
+
+def test_recover_before_fills_empty_update_images(spark, sf_dir):
+    """Default-replica-identity UPDATEs (empty before map) must acquire
+    the per-key previous event's after image; full-identity events are
+    untouched."""
+    from postrack_spark.cdc.ivm import recover_before
+
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    rec = recover_before(ch, key)
+    # kind-2 updates (okey % 10 == 4) had empty before; now every UPDATE
+    # has a full before image whose o_totalprice equals the INSERT's.
+    fixed = rec.filter((F.col("op") == "UPDATE") & (F.size("before") == 0)).count()
+    assert fixed == 0
+    k4 = rec.filter(
+        (F.col("op") == "UPDATE") & (typed_column("after", "o_orderkey", "long") % 10 == 4)
+    )
+    mismatched = k4.filter(
+        typed_column("before", "o_totalprice", "double")
+        != typed_column("after", "o_totalprice", "double") - 10
+    ).count()
+    assert mismatched == 0
+    # full-identity (kind-1) before images unchanged: status differs or
+    # price halves, never the recovered-price shape
+    untouched = ch.filter((F.col("op") == "UPDATE") & (F.size("before") > 0)).count()
+    still = rec.filter((F.col("op") == "UPDATE") & (F.size("before") > 0)).count()
+    assert untouched <= still  # empties were filled, none were emptied
