@@ -706,3 +706,56 @@ def pipeline_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_span_duplication",
+    oracle="""
+    WITH words AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+      SELECT DISTINCT doc,
+             md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                w[i+4], w[i+5], w[i+6], w[i+7])) AS sp
+      FROM words, unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ),
+    dup AS (SELECT sp, count(*) AS nd FROM spans GROUP BY sp HAVING count(*) >= 2)
+    SELECT CAST((SELECT count(*) FROM dup) AS BIGINT) AS n_dup_spans,
+           CAST((SELECT coalesce(sum(nd), 0) FROM dup) AS BIGINT) AS doc_span_pairs,
+           CAST((SELECT count(DISTINCT s.doc) FROM spans s JOIN dup ON dup.sp = s.sp)
+                AS BIGINT) AS n_docs_affected
+    """,
+)
+def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication audit (the fixed-span approximation
+    of suffix-array dedup from "Deduplicating Training Data Makes
+    Language Models Better"): 8-token spans shared verbatim by >= 2
+    distinct docs. One summary row: distinct duplicated spans, (doc,
+    span) instances, docs affected. Spans are md5'd BEFORE the shuffle
+    — constant-width keys instead of raw text crossing the exchange.
+    Scale: explode -> hash agg on span hash; no pair joins anywhere."""
+    t = load_tables(spark, sf_dir)
+    k = 8
+    grams = F.expr(
+        f"CASE WHEN size(__w) >= {k} THEN transform(sequence(1, size(__w) - {k - 1}),"
+        f" i -> md5(concat_ws(' ', {', '.join(f'__w[i+{j}-1]' for j in range(k))})))"
+        " ELSE array() END"
+    )
+    spans = (
+        fan_out(t["documents"])
+        .withColumn("__w", F.split("text", " "))
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.array_distinct(grams)).alias("sp"),
+        )
+    )
+    dup = spans.groupBy("sp").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    summary = dup.agg(
+        F.count("*").cast("bigint").alias("n_dup_spans"),
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("bigint").alias("doc_span_pairs"),
+    )
+    affected = (
+        spans.join(dup.select("sp"), "sp", "left_semi")
+        .agg(F.countDistinct("doc").cast("bigint").alias("n_docs_affected"))
+    )
+    # 1-row x 1-row join — not a data-path crossJoin
+    return summary.crossJoin(affected)

@@ -898,3 +898,118 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_trend_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           round((n_days * sxy - sx * sy) * 1.0 / (n_days * sxx - sx * sx), 6)
+             AS slope_per_day,
+           round((sy * sxx - sx * sxy) * 1.0 / (n_days * sxx - sx * sx), 6)
+             AS intercept
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def events_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume trend: OLS slope/intercept of count-per-day
+    against day index. The moments (n, Σx, Σy, Σxy, Σx²) stay exact
+    integers through both aggregations — slope and intercept are each
+    ONE integer-ratio division, so the doubles are bit-identical
+    cross-engine (the fp-association trap in CLAUDE.md). Scale: two
+    hash aggs, grouped by (type, day) then type; no window, no sort."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    det = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round((F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")) / det, 6)
+            .alias("slope_per_day"),
+        F.round((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / det, 6)
+            .alias("intercept"),
+    ).orderBy("event_type")
+
+
+@query(
+    "events_type_affinity",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM events),
+    singles AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           round(n_both * u * 1.0 / (sa.n * sb.n), 6) AS lift
+    FROM pairs
+    CROSS JOIN tot
+    JOIN singles sa ON sa.event_type = type_a
+    JOIN singles sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between event types: lift = P(a,b) /
+    (P(a)P(b)) over per-user type sets. The numerator and denominator
+    are pure integer products (n_both·U and n_a·n_b) — one final
+    division. Scale: the self-join runs on the DEDUPED (user, type)
+    relation — O(users·types), not O(events²); singles and the user
+    total are broadcast back onto the 10-row pair table."""
+    t = load_tables(spark, sf_dir)
+    ut = t["events"].select("user_id", "event_type").distinct()
+    tot = ut.agg(F.countDistinct("user_id").cast("bigint").alias("u"))
+    singles = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") * F.col("u") / (F.col("n_a") * F.col("n_b")), 6)
+                .alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -732,3 +732,69 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH words AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents),
+    tri AS (
+      SELECT doc, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+      FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    cnt AS (SELECT doc, g, count(*) AS c FROM tri GROUP BY doc, g),
+    per AS (
+      SELECT doc, CAST(sum(c) AS BIGINT) AS n_tri,
+             CAST(count(*) AS BIGINT) AS d_tri,
+             CAST(max(c) AS BIGINT) AS m_tri
+      FROM cnt GROUP BY doc
+    )
+    SELECT doc AS doc_id, n_tri, m_tri,
+           round(m_tri * 1.0 / n_tri, 6) AS top_frac,
+           round(1 - d_tri * 1.0 / n_tri, 6) AS dup_frac,
+           CAST(CASE WHEN m_tri * 1.0 / n_tri <= 0.1
+                      AND 1 - d_tri * 1.0 / n_tri <= 0.2
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screening: per doc, the fraction of
+    trigrams taken by the single most frequent trigram (top_frac) and
+    the duplicate-trigram fraction (dup_frac) — the two strongest
+    boilerplate/spam signals in the Gopher quality rules. `keep` is the
+    filter verdict. Counts stay integers until one final division, so
+    the ratios are bit-identical cross-engine. Scale: explode ->
+    two-level hash agg, partial-agg compacted before each exchange."""
+    t = load_tables(spark, sf_dir)
+    grams = F.expr(
+        "CASE WHEN size(__w) >= 3 THEN transform(sequence(1, size(__w) - 2),"
+        " i -> concat_ws(' ', __w[i-1], __w[i], __w[i+1]))"
+        " ELSE array() END"
+    )
+    tri = (
+        fan_out(t["documents"])
+        .withColumn("__w", F.split("text", " "))
+        .select(F.col("doc_id").alias("doc"), F.explode(grams).alias("g"))
+    )
+    per = (
+        tri.groupBy("doc", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tri"),
+            F.count("*").cast("bigint").alias("d_tri"),
+            F.max("c").cast("bigint").alias("m_tri"),
+        )
+    )
+    top = F.col("m_tri") / F.col("n_tri")
+    dup = F.lit(1) - F.col("d_tri") / F.col("n_tri")
+    return per.select(
+        F.col("doc").alias("doc_id"),
+        "n_tri",
+        "m_tri",
+        F.round(top, 6).alias("top_frac"),
+        F.round(dup, 6).alias("dup_frac"),
+        F.when((top <= 0.1) & (dup <= 0.2), 1).otherwise(0).cast("int").alias("keep"),
+    ).orderBy("doc_id")

@@ -19,8 +19,13 @@ from postrack_spark.session import configure_session
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file-source stream (ts rebuilt from the
-    nanos-encoded long, as in session.load_tables)."""
+    """The events table as a file-source stream, with `ts` normalized
+    the same way session.load_tables does for batch: a nanos-encoded
+    long (TIMESTAMP(NANOS) layout) is rebuilt at micro precision;
+    already-timestamp layouts pass through (the driver has shipped both
+    across rounds)."""
+    from pyspark.sql import types as T
+
     configure_session(spark)
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
@@ -28,9 +33,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return stream
 
 
 def envelope_stream(spark: SparkSession, changes: DataFrame, name: str | None = None) -> DataFrame:
