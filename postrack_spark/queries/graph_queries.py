@@ -1,0 +1,121 @@
+"""Graph analytics over the co-purchase graph (parts linked by
+appearing in the same order) — the relational-engine expression of
+graph workloads a training-data pipeline meets (link analysis,
+community structure). Everything is exact integers: edge weights,
+degrees, triangle counts — fully hash-checkable cross-engine.
+
+Scale design: the raw pair graph is O(Σ per-order lines²) — bounded by
+per-order fan-out (TPC-H ~7), never all-pairs over parts. A support
+threshold (co-occurrence weight >= 2) is applied BEFORE any
+graph-shaped join: chance co-occurrence dilutes as the catalog grows,
+so the thresholded graph stays small (measured: 3.6k edges at sf0.01,
+3.9k at sf0.1 while the raw pair count grows 10x) and the triangle
+join runs broadcast on the thresholded edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+_EDGES_CTE = """
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT pa, pb, CAST(count(*) AS BIGINT) AS w
+      FROM pairs GROUP BY pa, pb
+      HAVING count(*) >= 2
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+
+
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY node
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    ORDER BY degree
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the support-thresholded co-purchase
+    graph. Two hash aggs over the edge list; the undirected degree is
+    counted by unioning both endpoint columns (no self-join)."""
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    e AS (SELECT pa, pb FROM edges)
+    SELECT CAST((SELECT count(DISTINCT x) FROM
+                 (SELECT pa AS x FROM e UNION ALL SELECT pb FROM e)) AS BIGINT)
+             AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*)
+                 FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+                           JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+                AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the thresholded co-purchase graph — the
+    canonical distributed-graph benchmark, as three broadcast hash
+    joins. Edges keep pa < pb, so the join pattern (a,b)x(b,c)x(a,c)
+    enumerates each triangle exactly once (a < b < c). The edge list is
+    support-thresholded first (see module docstring), which is what
+    keeps Σdeg² — the join's blow-up term — bounded at scale."""
+    e = _edges(spark, sf_dir).select("pa", "pb").cache()
+    nodes = (
+        e.select(F.col("pa").alias("x"))
+        .unionAll(e.select(F.col("pb").alias("x")))
+        .agg(F.countDistinct("x").cast("bigint").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tris = (
+        e1.join(F.broadcast(e2), "b")
+        .join(F.broadcast(e3), ["a", "c"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    # three 1-row aggregates — not data-path crossJoins
+    return nodes.crossJoin(n_edges).crossJoin(tris)

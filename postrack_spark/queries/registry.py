@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
             cdc_queries,
             dedup_queries,
             events_queries,
+            graph_queries,
             relational,
             sampling_queries,
             skew_queries,

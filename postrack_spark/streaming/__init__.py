@@ -22,7 +22,10 @@ from postrack_spark.streaming.runner import (
     events_stream,
     run_to_memory,
 )
-from postrack_spark.streaming.sinks import foreach_batch_apply_changes
+from postrack_spark.streaming.sinks import (
+    foreach_batch_apply_changes,
+    foreach_batch_incremental_agg,
+)
 
 __all__ = [
     "events_stream",
@@ -34,4 +37,5 @@ __all__ = [
     "stream_static_join",
     "stream_stream_interval_join",
     "foreach_batch_apply_changes",
+    "foreach_batch_incremental_agg",
 ]

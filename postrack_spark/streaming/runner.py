@@ -40,15 +40,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def envelope_stream(spark: SparkSession, changes: DataFrame, name: str | None = None) -> DataFrame:
+def envelope_stream(
+    spark: SparkSession,
+    changes: DataFrame,
+    name: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
     """Materialize a (batch) change-envelope DataFrame to scratch
     parquet and re-open it as a stream — the harness stand-in for a live
     CDC feed (FIXTURES.md §B; capture is external to Spark per
-    BASELINE.json's north star)."""
+    BASELINE.json's north star). `options` pass through to the file
+    source (e.g. maxFilesPerTrigger=N to force multi-batch admission)."""
     scratch = tempfile.mkdtemp(prefix=f"cdc_stream_{name or uuid.uuid4().hex[:8]}_")
     changes.write.mode("overwrite").parquet(scratch)
     schema = spark.read.parquet(scratch).schema
-    return spark.readStream.schema(schema).parquet(scratch)
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(scratch)
 
 
 def run_to_memory(

@@ -82,3 +82,82 @@ def foreach_batch_apply_changes(
         .start()
     )
     return target, query
+
+
+def foreach_batch_incremental_agg(
+    changes_stream: DataFrame,
+    dims: dict,
+    measures: dict,
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    count_name: str = "n_rows",
+) -> tuple[str, object]:
+    """Maintain a grouped aggregate view incrementally across
+    micro-batches (streaming IVM; see cdc/ivm.py for the batch form).
+
+    Per micro-batch: derive signed delta rows, partially aggregate them
+    to per-group (count, sums), and fold into the running view by
+    union + re-sum — a MERGE INTO on (dims) at warehouse scale. With
+    full before-images the signed-delta aggregate is a commutative
+    monoid: ANY partitioning of the stream into batches yields the same
+    view, so no cross-batch ordering is required. (Missing-before
+    repair — recover_before — is the one order-sensitive step; it
+    belongs capture-side or pre-stream, mirroring how real connectors
+    resolve REPLICA IDENTITY.) Groups whose running count is zero are
+    KEPT in the stored partials (a negative partial may precede its
+    positive under arbitrary batch splits); readers filter count > 0.
+
+    Shuffle cost per batch: O(groups), never O(events) — map-side
+    partial aggregation compacts the signed rows before the exchange.
+    Returns (target_dir, streaming_query).
+    """
+    from postrack_spark.cdc.ivm import delta_rows
+
+    target = target_dir or tempfile.mkdtemp(prefix="ivm_agg_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ivm_")
+    spark = changes_stream.sparkSession
+    dim_names = list(dims)
+    sum_names = [count_name, *measures]
+
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        d = delta_rows(batch_df)
+        part = (
+            d.select(
+                *[expr.alias(n) for n, expr in dims.items()],
+                "sign",
+                F.col("img").alias("img"),
+            )
+            .groupBy(*[F.col(n) for n in dim_names])
+            .agg(
+                F.sum("sign").cast("bigint").alias(count_name),
+                *[
+                    F.sum(F.col("sign") * expr).cast("bigint").alias(n)
+                    for n, expr in measures.items()
+                ],
+            )
+        )
+        try:
+            base = spark.read.parquet(target)
+            has_base = set(base.columns) == set(part.columns)
+        except Exception:
+            has_base = False
+        if has_base:
+            merged = (
+                base.unionByName(part)
+                .groupBy(*[F.col(n) for n in dim_names])
+                .agg(*[F.sum(n).cast("bigint").alias(n) for n in sum_names])
+            )
+        else:
+            merged = part
+        merged.cache()
+        merged.count()  # materialize before overwriting the dir we read
+        merged.write.mode("overwrite").parquet(target)
+        merged.unpersist()
+
+    query = (
+        changes_stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query
