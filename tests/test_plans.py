@@ -173,3 +173,36 @@ def test_no_row_python_anywhere(name, spark, qs):
     compile only — cheap enough to sweep every registered query."""
     feats = plan_features(_df(qs, name, spark))
     assert feats["row_python_evals"] == 0, f"{name} plans BatchEvalPython"
+
+
+def test_type_affinity_broadcasts_dims(spark, qs):
+    # pair table joins the user total + per-type singles broadcast;
+    # Python never appears; the only exchanges are the distinct and the
+    # pair aggregation.
+    assert_plan(_df(qs, "events_type_affinity", spark),
+                min_broadcast_joins=2, python_evals=0)
+
+
+def test_trend_regression_two_hash_aggs(spark, qs):
+    # (type, day) rollup then type moments: partial+final per level,
+    # no window, no sort-merge join, zero Python.
+    feats = assert_plan(_df(qs, "events_trend_regression", spark),
+                        python_evals=0, max_exchanges=3)
+    assert feats["sortmerge_joins"] == 0
+
+
+def test_triangle_count_broadcasts_edges(spark, qs):
+    # the thresholded edge list must broadcast into the triangle joins
+    # — a shuffled triangle join at 100 TB would re-partition Sum(deg^2)
+    # rows; the support threshold is what makes broadcast legal.
+    assert_plan(_df(qs, "graph_triangle_count", spark),
+                min_broadcast_joins=2, python_evals=0)
+
+
+def test_ivm_delta_is_map_side(spark, qs):
+    # signed-delta derivation must not add a shuffle of its own: the
+    # four exchanges are fan_out, the recover_before key window, the
+    # group-by, and the range partition for the 3-row output sort —
+    # explode and image projection are map-side.
+    assert_plan(_df(qs, "cdc_incremental_agg", spark),
+                python_evals=0, max_exchanges=4)
