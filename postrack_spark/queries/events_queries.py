@@ -1013,3 +1013,57 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "events_funnel_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, day,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id, day
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    """,
+)
+def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the first-3-event journey per (user, day) and how
+    often each journey occurs — the sequence-mining view product teams
+    build on clickstreams. Order inside a path is pinned by (ts,
+    event_id), encoded as a sortable struct array (collect_list alone
+    is order-nondeterministic under parallel merge — the classic Spark
+    trap). Scale: one key window + two hash aggs; paths are
+    fixed-length strings, no blow-up."""
+    t = load_tables(spark, sf_dir)
+    day = F.to_date("ts").alias("day")
+    w = W.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    ranked = (
+        t["events"]
+        .select("user_id", day, "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = ranked.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+    )

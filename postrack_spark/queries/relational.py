@@ -1121,3 +1121,46 @@ def scalar_try_cast_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio_num")
     )
+
+
+@query(
+    "scalar_interval_functions",
+    oracle="""
+    SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           strftime(min(o_orderdate + INTERVAL 3 MONTH), '%Y-%m-%d') AS min_due,
+           strftime(max(last_day(CAST(o_orderdate AS DATE))), '%Y-%m-%d') AS max_month_end,
+           CAST(sum(CASE WHEN strftime(o_orderdate, '%w') IN ('0', '6')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS weekend_orders,
+           CAST(max(dayofyear(o_orderdate)) AS INT) AS max_doy
+    FROM orders
+    GROUP BY 1
+    ORDER BY quarter_start
+    """,
+)
+def scalar_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval surface: quarter truncation, month arithmetic
+    (add_months, with the same end-of-month clamping both engines
+    apply), last_day, weekend detection, day-of-year — grouped so the
+    output stays one row per quarter. Timestamps are stringified in the
+    output (cross-engine comparison rule, CLAUDE.md)."""
+    t = load_tables(spark, sf_dir)
+    is_weekend = F.dayofweek("o_orderdate").isin(1, 7)  # Spark: 1=Sunday, 7=Saturday
+    return (
+        t["orders"]
+        .groupBy(
+            F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd")
+                .alias("quarter_start")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.date_format(F.min(F.add_months("o_orderdate", 3)), "yyyy-MM-dd")
+                .alias("min_due"),
+            F.date_format(F.max(F.last_day("o_orderdate")), "yyyy-MM-dd")
+                .alias("max_month_end"),
+            F.sum(F.when(is_weekend, 1).otherwise(0)).cast("bigint")
+                .alias("weekend_orders"),
+            F.max(F.dayofyear("o_orderdate")).cast("int").alias("max_doy"),
+        )
+        .orderBy("quarter_start")
+    )

@@ -482,3 +482,84 @@ def vector_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@query(
+    "vector_pq_codebook_error",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, (i - 1) AS d, ((i - 1) // 8) AS s,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    cb AS (
+      SELECT label AS cl, s, d, CAST(round(avg(v)) AS BIGINT) AS c
+      FROM q GROUP BY label, s, d
+    ),
+    dist AS (
+      SELECT q.vec_id, q.label, q.s, cb.cl,
+             CAST(sum((q.v - cb.c) * (q.v - cb.c)) AS BIGINT) AS dist2
+      FROM q JOIN cb ON cb.s = q.s AND cb.d = q.d
+      GROUP BY q.vec_id, q.label, q.s, cb.cl
+    ),
+    best AS (
+      SELECT vec_id, label, s,
+             min(struct_pack(d2 := dist2, cl := cl)) AS b
+      FROM dist GROUP BY vec_id, label, s
+    )
+    SELECT CAST(s AS INT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(b.d2) AS BIGINT) AS total_sq_error,
+           CAST(sum(CASE WHEN b.cl = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_label_match
+    FROM best GROUP BY s ORDER BY subspace
+    """,
+)
+def vector_pq_codebook_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64-dim embeddings split into 8 subspaces of
+    8 dims; each subvector encodes as its nearest per-label centroid
+    (supervised codebook — deterministic, no iterative training). The
+    whole pipeline runs on a fixed-point integer grid (milli-units), so
+    centroid assignment and reconstruction error are exact integers and
+    bit-identical cross-engine — no fp-argmin flakiness. Argmin is
+    min(struct(dist2, codeword)) — an aggregate with partial/final
+    split and a deterministic smallest-codeword tie-break, instead of a
+    row_number window (no per-(vec, subspace) sort). Scale: the
+    codebook (labels x dims rows) broadcasts; assignment is O(N·D·K)
+    map-side compute + two hash aggs, the same shape IVF assignment
+    uses."""
+    t = load_tables(spark, sf_dir)
+    q = (
+        fan_out(t["embeddings"])
+        .select("vec_id", "label", F.posexplode("embedding").alias("d", "e"))
+        .select(
+            "vec_id",
+            "label",
+            "d",
+            F.floor(F.col("d") / 8).cast("int").alias("s"),
+            F.round(F.col("e").cast("double") * 1000).cast("bigint").alias("v"),
+        )
+    )
+    cb = q.groupBy(F.col("label").alias("cl"), "s", "d").agg(
+        F.round(F.avg("v")).cast("bigint").alias("c")
+    )
+    diff = F.col("v") - F.col("c")
+    dist = (
+        q.join(F.broadcast(cb), ["s", "d"])
+        .groupBy("vec_id", "label", "s", "cl")
+        .agg(F.sum(diff * diff).cast("bigint").alias("dist2"))
+    )
+    best = dist.groupBy("vec_id", "label", "s").agg(
+        F.min(F.struct(F.col("dist2").alias("d2"), F.col("cl").alias("cl"))).alias("b")
+    )
+    return (
+        best.groupBy(F.col("s").cast("int").alias("subspace"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("b.d2").cast("bigint").alias("total_sq_error"),
+            F.sum(F.when(F.col("b.cl") == F.col("label"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_label_match"),
+        )
+        .orderBy("subspace")
+    )
