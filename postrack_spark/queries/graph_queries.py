@@ -119,3 +119,85 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three 1-row aggregates — not data-path crossJoins
     return nodes.crossJoin(n_edges).crossJoin(tris)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    head = f"""
+    WITH {_EDGES_CTE},
+    bidir AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
+    pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg)
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    pr{i} AS (
+      SELECT d.src AS node,
+             CAST(150000 + (850 * c.s) // 1000 AS BIGINT) AS r
+      FROM deg d JOIN (
+        SELECT b.dst AS dst, sum(p.r // dg.deg) AS s
+        FROM pr{i - 1} p
+        JOIN bidir b ON b.src = p.node
+        JOIN deg dg ON dg.src = p.node
+        GROUP BY b.dst
+      ) c ON c.dst = d.src
+    )""")
+    return (
+        head.rstrip()
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, r AS rank_micros FROM pr{iters}
+    ORDER BY rank_micros DESC, node LIMIT 10
+    """
+    )
+
+
+@query("graph_pagerank_top10", oracle=_pagerank_oracle(5))
+def graph_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 iterations, damping 0.85) on the thresholded
+    co-purchase graph, entirely in FIXED-POINT integer arithmetic
+    (micro-rank units, integer division at every step) — so this
+    iterative algorithm is hash-exact against the oracle, which unrolls
+    the same five steps as chained CTEs. Float PageRank can never be
+    oracle-gated (per-iteration sum association differs); integerizing
+    the recurrence makes convergence deterministic cross-engine.
+
+    Scale design: ranks live keyed by node and join edges on src — on a
+    cluster both sides pre-partition by node so each iteration is one
+    co-partitioned join + one aggregation (the vertex-centric Pregel
+    shape); localCheckpoint truncates lineage so iteration N does not
+    replay 1..N-1. The support threshold bounds the edge list (module
+    docstring)."""
+    e = _edges(spark, sf_dir).select("pa", "pb")
+    bidir = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .cache()
+    )
+    deg = bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("deg")).cache()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(5):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .join(bidir.select(F.col("src").alias("node"), "dst"), "node")
+            .select("dst", F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, deg.src == contrib.dst)
+            .select(
+                F.col("src").alias("node"),
+                (F.lit(150000) + F.expr("(850 * s) DIV 1000")).cast("bigint").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("node", F.col("r").alias("rank_micros"))
+        .orderBy(F.col("rank_micros").desc(), "node")
+        .limit(10)
+    )
