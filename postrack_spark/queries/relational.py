@@ -1164,3 +1164,127 @@ def scalar_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quarter_start")
     )
+
+
+@query(
+    "profile_table_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents',
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+           CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling surface (the engine's ANALYZE/data-profiling
+    pass): per-column null count, distinct count, min/max — ONE scan,
+    all columns' aggregates in a single hash-agg row, then stack() to
+    long form (no per-column rescans). Doubles are profiled in integer
+    cents and timestamps stringified (cross-engine rendering rules)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    n = F.count("*")
+
+    def stats(c, mn, mx):
+        return [
+            (n - F.count(c)).cast("bigint"),
+            F.countDistinct(c).cast("bigint"),
+            mn,
+            mx,
+        ]
+
+    agg = o.agg(
+        *stats("o_custkey", F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+        *stats(
+            "o_orderdate",
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        ),
+        *stats("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+        *stats("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")),
+        *stats(
+            "o_totalprice",
+            F.round(F.min("o_totalprice") * 100).cast("bigint").cast("string"),
+            F.round(F.max("o_totalprice") * 100).cast("bigint").cast("string"),
+        ),
+    )
+    cols = ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus", "o_totalprice_cents"]
+    flat = [c for i, name in enumerate(cols) for c in
+            [f"'{name}'", f"`{agg.columns[i * 4]}`", f"`{agg.columns[i * 4 + 1]}`",
+             f"`{agg.columns[i * 4 + 2]}`", f"`{agg.columns[i * 4 + 3]}`"]]
+    return agg.selectExpr(
+        f"stack({len(cols)}, {', '.join(flat)}) AS (col, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("col")
+
+
+@query(
+    "quality_fk_violations",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        AS orphan_orders,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS orphan_lineitems,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        AS orphan_lineitem_parts,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+        AS orphan_customers
+    """,
+)
+def quality_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for each FK edge of
+    the star schema via anti-joins — the constraint-checking pass a
+    warehouse runs after loads. At scale each anti-join is a broadcast
+    (dim side) or shuffled semi/anti on the join key; counts reduce to
+    one row."""
+    t = load_tables(spark, sf_dir)
+
+    def orphans(fact, dim, fk, pk, name):
+        return (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    a = orphans(t["orders"], t["customer"], "o_custkey", "c_custkey", "orphan_orders")
+    b = orphans(t["lineitem"], t["orders"], "l_orderkey", "o_orderkey", "orphan_lineitems")
+    c = orphans(t["lineitem"], t["part"], "l_partkey", "p_partkey", "orphan_lineitem_parts")
+    d = orphans(t["customer"], t["nation"], "c_nationkey", "n_nationkey", "orphan_customers")
+    # 1-row x 1-row combines — not data-path crossJoins
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)

@@ -351,3 +351,50 @@ def window_nth_value_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "window_cumulative_distinct_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    fs AS (
+      SELECT day, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM du
+    ),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM fs GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_active, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_distinct_users
+    FROM daily ORDER BY day
+    """,
+)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the exact running-distinct
+    that a naive count(distinct) over an expanding window would need
+    O(n) state for. First-seen flags (row_number = 1 per user) reduce
+    it to a daily sum + a tiny cumulative window over days: shuffles
+    are on (day, user) dedup and per-user first-seen, both partial-agg
+    friendly; the final running sum runs over one row per day."""
+    from postrack_spark.session import load_tables as _lt
+
+    t = _lt(spark, sf_dir)
+    du = t["events"].select(F.to_date("ts").alias("day"), "user_id").distinct()
+    fs = du.withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    )
+    daily = fs.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_new"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_distinct_users"),
+    ).orderBy("day")
