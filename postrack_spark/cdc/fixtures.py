@@ -43,19 +43,33 @@ _ORDER_COLS = [
 ]
 
 
-def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_changes(
+    spark: SparkSession, sf_dir: str, columns: list[str] | None = None
+) -> DataFrame:
     """B.1: the scripted INSERT/UPDATE/DELETE stream over orders.
 
     Single-scan generation: each order row emits its 1-3 events as an
     array of structs exploded in place — one parquet scan instead of
     the previous 4-branch union that re-scanned the table once per
     event kind (at 100 TB the source scan dominates, so branch count
-    is the multiplier that matters)."""
+    is the multiplier that matters).
+
+    `columns` is the capture-side column list — the fixture's
+    ``WithSelector`` (postrack.go:45-49): with a publication column
+    list the SERVER publishes only those columns, so the stream's
+    images are narrow from birth. Passing it here means the envelope
+    maps are never built wider than the subscription, exactly like the
+    reference; ``cdc.prune_images`` remains the post-source twin for
+    shared-capture deployments. The key column is always included
+    (Postgres requires the replica identity in the column list)."""
     # fan_out: envelope map construction is the CPU-heavy map stage and
     # the local single-row-group scan would otherwise run it on 1 core.
     orders = fan_out(load_tables(spark, sf_dir)["orders"])
     key = F.col("o_orderkey")
     mod = key % 10
+    img_cols = _ORDER_COLS
+    if columns is not None:
+        img_cols = [c for c in _ORDER_COLS if c in set(columns) | {"o_orderkey"}]
 
     def ev(cond, lsn, op: str, kind: int):
         return F.when(
@@ -81,14 +95,14 @@ def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     upd_full_after = str_map(
-        _ORDER_COLS,
+        img_cols,
         {
             "o_orderstatus": F.lit("F"),
             "o_totalprice": F.round(F.col("o_totalprice") * 2, 2),
         },
     )
     upd_defid_after = str_map(
-        _ORDER_COLS, {"o_totalprice": F.round(F.col("o_totalprice") + 10, 2)}
+        img_cols, {"o_totalprice": F.round(F.col("o_totalprice") + 10, 2)}
     )
     kind = F.col("e.kind")
     out = orders.select(
@@ -103,12 +117,12 @@ def orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("public").alias("schema"),
         F.lit("orders").alias("table"),
         F.col("e.op").alias("op"),
-        F.when(kind == 0, str_map(_ORDER_COLS))
+        F.when(kind == 0, str_map(img_cols))
         .when(kind == 1, upd_full_after)
         .when(kind == 2, upd_defid_after)
         .otherwise(null_map())
         .alias("after"),
-        F.when(kind.isin(1, 3), str_map(_ORDER_COLS))
+        F.when(kind.isin(1, 3), str_map(img_cols))
         .when(kind == 2, empty_map())
         .otherwise(null_map())
         .alias("before"),

