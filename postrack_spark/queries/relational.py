@@ -1288,3 +1288,60 @@ def quality_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = orphans(t["customer"], t["nation"], "c_nationkey", "n_nationkey", "orphan_customers")
     # 1-row x 1-row combines — not data-path crossJoins
     return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
+@query(
+    "source_csv_json_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_csv,
+           CAST(count(*) AS BIGINT) AS n_rows_json,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_csv,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_json,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders
+    """,
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-format surface: orders written to CSV (header, explicit
+    timestamp format) and JSON-lines, read back with an explicit
+    schema, and checksummed — the round-trip must be lossless, so the
+    oracle computes the same checksums straight from the parquet.
+    Money is checksummed in integer cents (text round-trip of doubles
+    is shortest-repr exact, but summing as integers removes association
+    order from the comparison entirely). Scale: format choice is a
+    storage-layer concern — the plan over a CSV/JSON scan is the same
+    declarative pipeline, minus parquet's pushdown/pruning (documented
+    trade-off; schema is mandatory to avoid the inference scan)."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    csv_dir, json_dir = f"{base}/csv", f"{base}/json"
+    tsfmt = "yyyy-MM-dd HH:mm:ss"
+    o.write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", tsfmt
+    ).csv(csv_dir)
+    o.write.mode("overwrite").option("timestampFormat", tsfmt).json(json_dir)
+    schema = o.schema
+    csv = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", tsfmt)
+        .csv(csv_dir)
+    )
+    js = spark.read.schema(schema).option("timestampFormat", tsfmt).json(json_dir)
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint")
+    a = csv.agg(
+        F.count("*").cast("bigint").alias("n_rows_csv"), cents.alias("cents_csv")
+    )
+    b = js.agg(
+        F.count("*").cast("bigint").alias("n_rows_json"), cents.alias("cents_json")
+    )
+    c = csv.agg(F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"))
+    # 1-row combines — not data-path crossJoins
+    return a.crossJoin(b).crossJoin(c).select(
+        "n_rows_csv", "n_rows_json", "cents_csv", "cents_json", "n_status"
+    )
