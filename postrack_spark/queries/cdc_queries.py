@@ -589,3 +589,56 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round(F.col("cents") / 100.0, 2).alias("total_price"),
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "cdc_continuous_aggregate",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY ship_month
+    """,
+)
+def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (the hypertable-rollup shape): a
+    time-bucketed revenue/quantity view maintained from the change
+    stream by the same signed-delta IVM machinery as
+    cdc_incremental_agg — on an INSERT-only stream every delta is
+    +after, so the maintained view IS the hourly/monthly rollup,
+    updated at O(buckets) shuffle per batch rather than recomputed.
+    The time dimension comes out of the image (commit-ts-bucketing on
+    text envelopes casts back through typed projection)."""
+    from postrack_spark.cdc.fixtures import lineitem_changes
+    from postrack_spark.cdc.ivm import incremental_agg
+
+    ch = lineitem_changes(spark, sf_dir)
+    view = incremental_agg(
+        ch,
+        dims={
+            "ship_month": F.date_format(
+                F.date_trunc(
+                    "month", F.element_at(F.col("img"), "l_shipdate").cast("timestamp")
+                ),
+                "yyyy-MM",
+            )
+        },
+        measures={
+            "total_qty": F.round(
+                F.element_at(F.col("img"), "l_quantity").cast("double")
+            ).cast("long"),
+            "cents": F.round(
+                F.element_at(F.col("img"), "l_extendedprice").cast("double") * 100
+            ).cast("long"),
+        },
+    )
+    return view.select(
+        "ship_month",
+        "n_rows",
+        F.col("total_qty").cast("bigint").alias("total_qty"),
+        F.round(F.col("cents") / 100.0, 2).alias("total_price"),
+    ).orderBy("ship_month")
