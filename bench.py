@@ -38,7 +38,14 @@ HEADLINE = [
     "vector_knn_bruteforce",
     "text_language_id",
     "sample_hash_deterministic",
+    # round-2 additions: IVM, graph, repetition screening. BASELINE.md
+    # records the round-1-comparable subtotal (the first 15) separately
+    # from the full total so cross-round numbers stay comparable.
+    "cdc_incremental_agg",
+    "graph_triangle_count",
+    "text_repetition_filter",
 ]
+R1_COMPARABLE = 15  # first N entries = round-1 headline set
 
 
 def main() -> None:
@@ -70,6 +77,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
+    r1_names = [n for n in HEADLINE[:R1_COMPARABLE] if n in timings]
     print(
         json.dumps(
             {
@@ -77,6 +85,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r1_comparable_subtotal": round(sum(timings[n] for n in r1_names), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pgoutput_decode_events_per_sec_1thread": _decode_rate(),
             }

@@ -569,7 +569,11 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cross-engine fp association trap — see CLAUDE.md)."""
     from postrack_spark.cdc.ivm import incremental_agg, recover_before
 
-    ch = orders_changes(spark, sf_dir)
+    # capture-side column list (WithSelector): the view consumes only
+    # status + price, so images are narrow from the source on.
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
     key = F.coalesce(
         typed_column("after", "o_orderkey", "long"),
         typed_column("before", "o_orderkey", "long"),

@@ -165,12 +165,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep signatures discriminative on small vocabularies — the unigram
     variant measured 11.1M candidate pairs / 320 s at sf0.1; this one
     1.5k pairs. Bucket cap 100 drops degenerate near-constant text."""
+    from postrack_spark.functions.text import minhash_expr
+    from postrack_spark.operators.dedup import jaccard_pairs_from_arrays
+
     t = load_tables(spark, sf_dir)
     docs = fan_out(t["documents"])
-    shingles = _pin("minhash_shingles", doc_shingles(docs, "doc_id", "text", k=3))
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    shingles = doc_shingles(docs, "doc_id", "text", k=3)
+    # ONE aggregation computes the 16 signature lanes AND the exact
+    # shingle set per doc — the signature build and the Jaccard verify
+    # previously each shuffled the full shingle relation; fusing them
+    # halves the passes over the widest intermediate (the dominant cost
+    # at 100 TB, where the shingle relation is corpus-sized). The
+    # persisted per-doc frame is |docs| rows, not |shingles|.
+    per_doc = _pin(
+        "minhash_perdoc",
+        shingles.groupBy("doc").agg(
+            F.collect_set("tok").alias("toks"),
+            *[F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(16)],
+        ),
+    )
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
-    verified = jaccard_pairs(shingles, pairs=cand, threshold=0.5)
+    verified = jaccard_pairs_from_arrays(per_doc.select("doc", "toks"), cand, threshold=0.5)
     return verified.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
 

@@ -22,9 +22,10 @@ from postrack_spark.queries.registry import query
 from postrack_spark.session import load_tables
 
 _EDGES_CTE = """
+    po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM lineitem a JOIN lineitem b
+      FROM po a JOIN po b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
     edges AS (
@@ -36,13 +37,30 @@ _EDGES_CTE = """
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edges WITHOUT a self-join: collect each order's
+    distinct part set (bounded by per-order fan-out, ~7), expand its
+    C(n,2) pairs inside the array, then count pair multiplicity across
+    orders. One groupBy(order) + one groupBy(pair) — the self-join
+    formulation sort-merge-joined the full lineitem against itself
+    (two 600k-row sorts at sf0.1, measured ~4s); this shape is 2
+    partial-agg-friendly shuffles and the pair expansion is array-local
+    (the same pattern as the LSH bucket pair generator). Co-occurrence
+    is per distinct (order, part) — duplicate lines of the same part
+    don't inflate weights."""
     li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    per_order = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) ->"
+                " filter(transform(ps, (b, j) ->"
+                " IF(j > i, struct(least(a, b) AS pa, greatest(a, b) AS pb),"
+                " NULL)), p -> p IS NOT NULL)))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     return (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count("*").cast("bigint").alias("w"))
         .filter(F.col("w") >= 2)
     )
