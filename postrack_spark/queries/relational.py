@@ -1345,3 +1345,51 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).crossJoin(c).select(
         "n_rows_csv", "n_rows_json", "cents_csv", "cents_json", "n_status"
     )
+
+
+@query(
+    "join_not_in_null_semantics",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderstatus = 'F')) AS BIGINT)
+        AS n_not_in_clean,
+      CAST((SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P'
+                                                THEN NULL ELSE o_custkey END
+                                    FROM orders)) AS BIGINT)
+        AS n_not_in_with_nulls,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+        AS n_not_exists
+    """,
+)
+def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic corner every engine must get right: NOT IN
+    against a subquery that CONTAINS a NULL matches nothing (x <> NULL
+    is UNKNOWN), while NOT EXISTS ignores NULLs — the classic silent
+    data-loss trap in migration code. Expressed through spark.sql so
+    Catalyst plans its null-aware anti join for the NOT IN arm; the
+    clean arm and the NOT EXISTS arm plan as ordinary anti joins. One
+    audit row with all three counts."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                        WHERE o_orderstatus = 'F')) AS BIGINT)
+            AS n_not_in_clean,
+          CAST((SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderstatus = 'P'
+                                                    THEN NULL ELSE o_custkey END
+                                        FROM orders)) AS BIGINT)
+            AS n_not_in_with_nulls,
+          CAST((SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+            AS n_not_exists
+        """
+    )

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""10x scale stress: run the heavy operator families on a synthetic
+10x union of the sf0.1 tables and print one JSON line of wall times.
+
+The sf gates verify correctness; this script probes the SCALING SHAPE —
+does wall time grow ~linearly when the input grows 10x with the
+partition count held at local[32]? Super-linear growth flags an
+operator whose plan degrades (quadratic candidate growth, a shuffle
+that stops fitting, a broadcast that silently becomes a shuffle).
+
+Inputs are built by unioning 10 key-shifted copies of the driver
+tables (deterministic — no RNG), so dedup density and join fan-out are
+preserved rather than diluted. Usage:
+
+    python scripts/stress_10x.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from postrack_spark.session import get_spark, load_tables
+
+
+def shifted_union(df, key_cols: dict[str, int], copies: int = 10):
+    """Union `copies` key-shifted replicas: integer keys shift by
+    copy_index * stride so per-copy key spaces stay disjoint (join
+    fan-out and per-key event counts are preserved, not multiplied)."""
+    parts = []
+    for i in range(copies):
+        d = df
+        for col, stride in key_cols.items():
+            d = d.withColumn(col, F.col(col) + F.lit(i * stride).cast("long"))
+        parts.append(d)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("stress-10x")
+    t = load_tables(spark, sf_dir)
+    timings: dict[str, float] = {}
+
+    def run(name: str, df) -> None:
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    # 1. CDC envelope + latest-per-key over 10x orders (~1.5M orders,
+    #    ~2.2M events at sf0.1 base): the materialization path.
+    from postrack_spark.cdc import apply_changes, typed_column
+    from postrack_spark.cdc.envelope import null_map, str_map
+
+    orders10 = shifted_union(
+        t["orders"], {"o_orderkey": 10_000_000, "o_custkey": 10_000_000}
+    )
+    # same generation rules as fixtures.orders_changes, applied to the
+    # unioned frame (capture-side 3-column list)
+
+    key = F.col("o_orderkey")
+    mod = key % 10
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def ev(cond, lsn, op, kind):
+        return F.when(
+            cond,
+            F.struct(
+                lsn.cast("long").alias("lsn"), F.lit(op).alias("op"), F.lit(kind).alias("kind")
+            ),
+        )
+
+    events = F.array_compact(
+        F.array(
+            ev(F.lit(True), key * 10 + 1, "INSERT", 0),
+            ev(mod.isin(1, 2, 3), key * 10 + 5, "UPDATE", 1),
+            ev(mod == 4, key * 10 + 5, "UPDATE", 2),
+            ev(mod == 5, key * 10 + 7, "DELETE", 3),
+        )
+    )
+    kind = F.col("e.kind")
+    upd_full = str_map(cols, {"o_orderstatus": F.lit("F"),
+                              "o_totalprice": F.round(F.col("o_totalprice") * 2, 2)})
+    ch10 = orders10.select(
+        "*", F.explode(events).alias("e")
+    ).select(
+        F.col("e.lsn").alias("lsn"),
+        F.lit(None).cast("long").alias("txid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        F.col("e.op").alias("op"),
+        F.when(kind == 0, str_map(cols)).when(kind == 1, upd_full)
+         .when(kind == 2, str_map(cols, {"o_totalprice": F.round(F.col("o_totalprice") + 10, 2)}))
+         .otherwise(null_map()).alias("after"),
+        F.when(kind.isin(1, 3), str_map(cols)).otherwise(null_map()).alias("before"),
+    )
+    k = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    run("cdc_latest_per_key_10x", apply_changes(ch10, k, key_name="o_orderkey"))
+
+    # 2. Shingle MinHash + LSH over 10x documents (every doc gains 10
+    #    shifted clones -> pathological duplicate density).
+    from postrack_spark.functions.text import minhash_expr
+    from postrack_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs_from_arrays,
+        lsh_candidate_pairs,
+    )
+
+    docs10 = shifted_union(t["documents"], {"doc_id": 10_000_000})
+    shingles = doc_shingles(docs10, "doc_id", "text", k=3)
+    per_doc = shingles.groupBy("doc").agg(
+        F.collect_set("tok").alias("toks"),
+        *[F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(16)],
+    ).persist()
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=200)
+    run("minhash_lsh_10x", jaccard_pairs_from_arrays(per_doc.select("doc", "toks"), cand, 0.5))
+    per_doc.unpersist()
+
+    # 3. Graph edges + triangles over 10x lineitem (disjoint key spaces:
+    #    10x orders AND 10x parts -> edge count ~10x, not 100x).
+    li10 = shifted_union(
+        t["lineitem"], {"l_orderkey": 10_000_000, "l_partkey": 10_000_000}
+    )
+    per_order = li10.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) -> filter(transform(ps, (b, j) ->"
+                " IF(j > i, struct(least(a, b) AS pa, greatest(a, b) AS pb), NULL)),"
+                " p -> p IS NOT NULL)))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    edges = pairs.groupBy("pa", "pb").agg(F.count("*").alias("w")).filter(F.col("w") >= 2)
+    e = edges.select("pa", "pb")
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tris = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"], "left_semi")
+    run("triangles_10x", tris.agg(F.count("*").alias("n")))
+
+    print(json.dumps({"metric": "stress_10x_wall", "unit": "sec",
+                      "base_sf_dir": sf_dir, "copies": 10, "timings": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
