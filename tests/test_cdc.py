@@ -207,3 +207,26 @@ def test_recover_before_fills_empty_update_images(spark, sf_dir):
     untouched = ch.filter((F.col("op") == "UPDATE") & (F.size("before") > 0)).count()
     still = rec.filter((F.col("op") == "UPDATE") & (F.size("before") > 0)).count()
     assert untouched <= still  # empties were filled, none were emptied
+
+
+def test_apply_changes_is_delivery_order_invariant(spark, sf_dir):
+    """Materialization must not depend on DELIVERY order, only on LSN
+    (real capture pipelines reorder across partitions): applying the
+    stream repartitioned by an order-destroying hash yields the exact
+    same final state. Holds because latest_per_key reduces with max_by
+    over the LSN — a commutative/associative fold."""
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    shuffled = ch.repartition(17, F.md5(F.col("lsn").cast("string")))
+    a = {
+        r["o_orderkey"]: r["after"]
+        for r in apply_changes(ch, key, key_name="o_orderkey").collect()
+    }
+    b = {
+        r["o_orderkey"]: r["after"]
+        for r in apply_changes(shuffled, key, key_name="o_orderkey").collect()
+    }
+    assert a == b
