@@ -48,12 +48,19 @@ class Relation:
 @dataclass
 class DecoderState:
     """The decoder's only state: the relation cache (the reference's
-    two maps, postrack.go:341-342) + current transaction context."""
+    two maps, postrack.go:341-342) + current transaction context +
+    the per-transaction buffers protocol v2 streaming needs."""
 
     relations: dict[int, Relation] = field(default_factory=dict)
     txid: int | None = None
     commit_ts: datetime | None = None
     parse_errors: int = 0  # undecodable frames skipped (ref: silent, :359-365)
+    # --- protocol v2 (streaming of in-progress transactions) ---
+    # xid of the stream segment currently open ('S'..'E'), else None
+    in_stream: int | None = None
+    # toplevel xid -> [(subxid, envelope_row)] buffered until
+    # StreamCommit emits them / StreamAbort drops a subtransaction
+    pending: dict[int, list[tuple[int, dict]]] = field(default_factory=dict)
 
 
 def _cstring(buf: bytes, off: int) -> tuple[str, int]:
@@ -111,7 +118,61 @@ def _zip_row(rel: Relation, vals: list) -> dict[str, str | None]:
 def decode_message(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
     """Decode one pgoutput logical replication message; returns zero or
     more envelope rows (Relation/Begin/Commit/Origin/Type yield none).
+
+    Handles BOTH protocol v1 (the reference's hardcoded version,
+    postrack.go:300) and v2's streaming of large in-progress
+    transactions (PG14+): 'S' opens a stream segment for a toplevel
+    xid, data messages inside a segment carry a subtransaction-xid
+    prefix and are BUFFERED rather than emitted, 'E' closes the
+    segment (segments of different transactions interleave), 'A' drops
+    one subtransaction's buffered rows, and 'c' (StreamCommit) emits
+    the surviving buffer in order with txid/commit_ts stamped. Memory
+    note: the buffer is bounded by the size of in-flight streamed
+    transactions — the same bound the server's reorder buffer already
+    imposed pre-v2; a production source would spill past a threshold.
     """
+    tag = msg[0:1]
+
+    if tag == b"S":  # StreamStart: xid int32, first_segment int8
+        (xid,) = _UNPACK_I(msg, 1)
+        state.in_stream = xid
+        state.pending.setdefault(xid, [])
+        return []
+    if tag == b"E":  # StreamStop
+        state.in_stream = None
+        return []
+    if tag == b"c":  # StreamCommit: xid, flags i8, commit_lsn, end_lsn, ts
+        (xid,) = _UNPACK_I(msg, 1)
+        (_flags,) = struct.unpack_from(">b", msg, 5)
+        _clsn, _elsn, ts = struct.unpack_from(">qqq", msg, 6)
+        commit_ts = _pg_ts(ts)
+        rows = [row for _sub, row in state.pending.pop(xid, [])]
+        for row in rows:
+            row["txid"] = xid
+            row["commit_ts"] = commit_ts
+        return rows
+    if tag == b"A":  # StreamAbort: xid int32, subxid int32
+        (xid,) = _UNPACK_I(msg, 1)
+        (subxid,) = _UNPACK_I(msg, 5)
+        if subxid == xid:
+            state.pending.pop(xid, None)  # whole transaction aborted
+        elif xid in state.pending:
+            state.pending[xid] = [
+                (s, r) for s, r in state.pending[xid] if s != subxid
+            ]
+        return []
+    if state.in_stream is not None and tag in (b"R", b"I", b"U", b"D", b"T", b"Y", b"O"):
+        # streamed data message: tag, subxid int32, then the normal body
+        (subxid,) = _UNPACK_I(msg, 1)
+        rows = _decode_plain(tag + msg[5:], lsn, state)
+        state.pending.setdefault(state.in_stream, []).extend(
+            (subxid, row) for row in rows
+        )
+        return []
+    return _decode_plain(msg, lsn, state)
+
+
+def _decode_plain(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
     tag = msg[0:1]
     out: list[dict] = []
 
@@ -272,6 +333,29 @@ def encode_truncate(oids: list[int]) -> bytes:
     for oid in oids:
         out += struct.pack(">i", oid)
     return out
+
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">ib", xid, 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(xid: int, commit_lsn: int, end_lsn: int, commit_ts: datetime) -> bytes:
+    micros = int((commit_ts - _PG_EPOCH).total_seconds() * 1_000_000)
+    return b"c" + struct.pack(">ibqqq", xid, 0, commit_lsn, end_lsn, micros)
+
+
+def encode_stream_abort(xid: int, subxid: int) -> bytes:
+    return b"A" + struct.pack(">ii", xid, subxid)
+
+
+def with_stream_xid(payload: bytes, subxid: int) -> bytes:
+    """Prefix a data message with the subtransaction xid, as the server
+    does for every message inside a stream segment (protocol v2)."""
+    return payload[0:1] + struct.pack(">i", subxid) + payload[1:]
 
 
 def wrap_xlogdata(payload: bytes, wal_start: int) -> bytes:

@@ -158,3 +158,75 @@ def test_unchanged_toast_decodes_and_resolves(spark):
     out = resolved.collect()[0]
     assert out["after"] == {"id": "1", "body": "big-toast-value"}
     assert out["lsn"] == 20
+
+
+def test_streamed_transaction_v2_interleaved_commit_and_abort():
+    """Protocol v2 streaming (beyond the reference, which hardcodes
+    proto v1 — postrack.go:300): segments of a large in-progress
+    transaction interleave with ordinary transactions; streamed rows
+    buffer until StreamCommit (then carry the toplevel txid and commit
+    ts) and an aborted SUBtransaction's rows are dropped while sibling
+    rows survive."""
+    from postrack_spark.sources.pgoutput import (
+        encode_stream_abort,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    w = wrap_xlogdata
+    frames = [
+        w(encode_relation(1, "public", "orders", ORDERS_COLS), 0),
+        # segment 1 of streamed txn 900 (row in toplevel xid)
+        w(encode_stream_start(900, True), 10),
+        w(with_stream_xid(encode_insert(1, ["1", "O", "10.00"]), 900), 11),
+        w(encode_stream_stop(), 12),
+        # an ORDINARY small transaction interleaves between segments
+        w(encode_begin(20, TS, 555), 20),
+        w(encode_insert(1, ["7", "F", "70.00"]), 21),
+        w(encode_commit(22, 23, TS), 22),
+        # segment 2: a subtransaction (xid 901) writes a row...
+        w(encode_stream_start(900, False), 30),
+        w(with_stream_xid(encode_insert(1, ["2", "O", "20.00"]), 901), 31),
+        w(encode_stream_stop(), 32),
+        # ...and is rolled back
+        w(encode_stream_abort(900, 901), 33),
+        # segment 3: another toplevel row, then commit
+        w(encode_stream_start(900, False), 40),
+        w(with_stream_xid(encode_insert(1, ["3", "O", "30.00"]), 900), 41),
+        w(encode_stream_stop(), 42),
+        w(encode_stream_commit(900, 43, 44, TS), 43),
+    ]
+    rows = decode_xlogdata_stream(frames)
+    # the interleaved small txn emits immediately; streamed rows emit at
+    # StreamCommit, so delivery order is: key 7, then keys 1 and 3
+    assert [r["after"]["o_orderkey"] for r in rows] == ["7", "1", "3"]
+    streamed = [r for r in rows if r["txid"] == 900]
+    assert len(streamed) == 2  # subtxn 901's row was dropped
+    assert all(r["commit_ts"] is not None for r in streamed)
+    assert {r["after"]["o_orderkey"] for r in streamed} == {"1", "3"}
+    assert rows[0]["txid"] == 555
+
+
+def test_streamed_transaction_full_abort_drops_everything():
+    from postrack_spark.sources.pgoutput import (
+        encode_stream_abort,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    w = wrap_xlogdata
+    frames = [
+        w(encode_relation(1, "public", "orders", ORDERS_COLS), 0),
+        w(encode_stream_start(77, True), 10),
+        w(with_stream_xid(encode_insert(1, ["1", "O", "10.00"]), 77), 11),
+        w(with_stream_xid(encode_insert(1, ["2", "O", "20.00"]), 77), 12),
+        w(encode_stream_stop(), 13),
+        w(encode_stream_abort(77, 77), 14),  # toplevel abort
+    ]
+    state = DecoderState()
+    rows = decode_xlogdata_stream(frames, state)
+    assert rows == []
+    assert state.pending == {}  # buffer reclaimed
