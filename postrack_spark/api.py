@@ -306,3 +306,45 @@ class Conn:
             .trigger(availableNow=True)
             .start()
         )
+
+    def incremental_view(
+        self,
+        spark: SparkSession,
+        slot_name: str,
+        tables: list[Table],
+        dims: dict,
+        measures: dict,
+        lsn: int = 0,
+        capture_dir: str | None = None,
+        target_dir: str | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        """Maintain a grouped aggregate view from the change stream —
+        the consumer the reference's users hand-write inside HandleFunc
+        (postrack.go:35), packaged: subscribe (slot + publications,
+        with each table's column list/row filter compiled capture-side
+        exactly like WithSelector/WithCondition), stream, and fold
+        signed deltas into the view per micro-batch (cdc/ivm.py;
+        O(groups) shuffle per batch). `dims`/`measures` are expressions
+        over the image map column ``img``. Returns (target_dir,
+        StreamingQuery); read the view with
+        ``spark.read.parquet(target_dir).filter("n_rows > 0")``.
+        """
+        from postrack_spark.streaming.sinks import foreach_batch_incremental_agg
+
+        self.set_events(["INSERT", "UPDATE", "DELETE"])
+        self.set_lsn(lsn)
+        if self.executor is not None:
+            self.set_slot(slot_name)
+            for table in tables:
+                self.set_publication(table)
+        else:
+            self.slot = slot_name
+        stream = self.changes(spark, capture_dir)
+        return foreach_batch_incremental_agg(
+            stream,
+            dims=dims,
+            measures=measures,
+            target_dir=target_dir,
+            checkpoint_dir=checkpoint_dir,
+        )

@@ -175,3 +175,56 @@ def test_max_files_per_trigger_bounds_each_batch(spark):
     )
     assert sum(batches) == total_unbounded
     assert len([b for b in batches if b > 0]) >= 2, batches
+
+
+def test_incremental_view_via_conn(spark):
+    """Conn.incremental_view: the packaged IVM consumer over the
+    golden capture stream — the view equals the aggregate of the
+    decoded events' signed deltas."""
+    from pyspark.sql import functions as F
+
+    d = _capture_dir_with_golden()
+    conn = Conn("postgres://ignored", executor=None)
+    target, q = conn.incremental_view(
+        spark,
+        "slot_ivm",
+        [Table("public", "orders")],
+        dims={"o_orderstatus": F.element_at(F.col("img"), "o_orderstatus")},
+        # try_cast: the golden stream carries an UNCHANGED-TOAST sentinel
+        # (resolve_unchanged is the full fix; IVM measures must tolerate it)
+        measures={
+            "cents": F.round(
+                F.expr("try_cast(element_at(img, 'o_totalprice') AS DOUBLE)") * 100
+            ).cast("long")
+        },
+        capture_dir=d,
+    )
+    q.awaitTermination()
+    view = {
+        r["o_orderstatus"]: (r["n_rows"], r["cents"])
+        for r in spark.read.parquet(target).filter("n_rows > 0").collect()
+    }
+    # golden stream (test_golden_sequence): after replay the live rows
+    # and their prices determine the maintained view; recompute the
+    # expectation from the decoded envelope directly.
+    from postrack_spark.cdc.envelope import CHANGE_SCHEMA
+    from postrack_spark.cdc.ivm import incremental_agg
+    from postrack_spark.sources.pgoutput import DecoderState, decode_xlogdata_stream
+
+    rows = decode_xlogdata_stream(golden_frames(), DecoderState())
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in CHANGE_SCHEMA.fields) for r in rows], CHANGE_SCHEMA
+    )
+    expect = {
+        r["o_orderstatus"]: (r["n_rows"], r["cents"])
+        for r in incremental_agg(
+            df,
+            dims={"o_orderstatus": F.element_at(F.col("img"), "o_orderstatus")},
+            measures={
+                "cents": F.round(
+                    F.expr("try_cast(element_at(img, 'o_totalprice') AS DOUBLE)") * 100
+                ).cast("long")
+            },
+        ).collect()
+    }
+    assert view == expect and view
