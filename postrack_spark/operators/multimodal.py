@@ -142,3 +142,38 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
 
     return df.select(id_col, "payload", "media_type").mapInPandas(batches, schema)
+
+
+def audio_window_energy(
+    df: DataFrame, id_col: str, window: int = 16, fake_decode: bool = True
+) -> DataFrame:
+    """Audio-shaped stub: treat decoded bytes as unsigned 8-bit samples
+    and compute per-window energy (sum of squared samples) — the
+    windowed-RMS pass an audio quality filter runs, with the same
+    mapInPandas batch shape a real PCM decode would feed. Energies are
+    exact integers, so the whole Python path is value-checkable."""
+    schema = f"{id_col} long, n_windows int, total_energy bigint, peak_energy bigint"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, counts, totals, peaks = [], [], [], []
+            for rid, payload, mtype in zip(pdf[id_col], pdf["payload"], pdf["media_type"]):
+                raw = decode_media(bytes(payload), mtype, fake_decode=fake_decode)
+                energies = [
+                    sum(b * b for b in raw[s : s + window])
+                    for s in range(0, len(raw), window)
+                ]
+                ids.append(int(rid))
+                counts.append(len(energies))
+                totals.append(sum(energies))
+                peaks.append(max(energies, default=0))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_windows": counts,
+                    "total_energy": totals,
+                    "peak_energy": peaks,
+                }
+            )
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(batches, schema)

@@ -798,3 +798,36 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup, 6).alias("dup_frac"),
         F.when((top <= 0.1) & (dup <= 0.2), 1).otherwise(0).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, ((t.i - 1) // 16) AS win,
+             ('0x' || substr(h, 2*t.i - 1, 2))::BIGINT AS v
+      FROM b, unnest(generate_series(1, n)) t(i)
+    ),
+    w AS (SELECT doc_id, win, sum(v * v) AS e FROM bytes GROUP BY doc_id, win)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+           CAST(sum(e) AS BIGINT) AS total_energy,
+           CAST(max(e) AS BIGINT) AS peak_energy
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal pass: decoded bytes as u8 samples,
+    16-sample windowed energy (sum of squares) per asset via
+    mapInPandas — exact integers end to end, so the Arrow-batched
+    Python path is hash-checked against the oracle's hex-slice
+    recomputation (like the image/video stubs, the real codec slots
+    into decode_media without changing the Spark plumbing)."""
+    from postrack_spark.operators.multimodal import attach_payload, audio_window_energy
+
+    t = load_tables(spark, sf_dir)
+    media = attach_payload(fan_out(t["documents"]), "text", "text/plain")
+    return audio_window_energy(media, "doc_id", window=16).orderBy("doc_id")
