@@ -1067,3 +1067,76 @@ def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
     )
+
+
+@query(
+    "events_attribution_clicks",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, value,
+             CAST(epoch(ts) AS BIGINT) AS sec, ts, event_id
+      FROM events
+    ),
+    k AS (
+      SELECT user_id, event_type, value,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS n_clicks
+      FROM e
+    ),
+    p AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             coalesce(n_clicks, 0) AS nc
+      FROM k WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           CAST(sum(CASE WHEN nc > 0 THEN cents // nc ELSE 0 END) AS BIGINT)
+             AS per_click_share_cents,
+           CAST(sum(CASE WHEN nc > 0 THEN cents % nc ELSE 0 END) AS BIGINT)
+             AS remainder_cents
+    FROM p GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution with EXACT money math: each purchase's value
+    (integer cents) splits evenly across the user's clicks in the
+    preceding hour — integer division plus an explicit remainder, so
+    allocation is auditable to the cent (float splits never re-add to
+    the original). The click count per purchase is one RANGE-frame
+    window over epoch seconds; no join. Scale: per-user window +
+    per-user aggregate, both on the same key partitioning."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", "event_type", "value",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, -1)
+    )
+    k = e.withColumn(
+        "n_clicks",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w),
+    )
+    p = k.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("nc"),
+    )
+    nc_pos = F.col("nc") > 0
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(F.when(nc_pos, 1).otherwise(0)).cast("bigint").alias("n_attributed"),
+            F.sum(F.when(nc_pos, F.expr("cents DIV nc")).otherwise(0))
+                .cast("bigint").alias("per_click_share_cents"),
+            F.sum(F.when(nc_pos, F.col("cents") % F.col("nc")).otherwise(0))
+                .cast("bigint").alias("remainder_cents"),
+        )
+        .orderBy("user_id")
+    )
