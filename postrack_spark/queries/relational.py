@@ -1393,3 +1393,66 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_exists
         """
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice) AS BIGINT) AS x,
+             CAST(round(c.c_acctbal) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    m AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM j GROUP BY seg
+    )
+    SELECT seg, n,
+           round((n * sxy - sx * sy) * 1.0
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_xy,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+             AS regr_slope_yx
+    FROM m ORDER BY seg
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / regression-slope aggregates computed from EXACT
+    integer moments (n, Σx, Σy, Σxy, Σx², Σy² on rounded-dollar
+    values) so the only doubles are one sqrt and one division with a
+    pinned evaluation shape — the built-in corr()/regr_slope() are
+    fp-accumulation-order-dependent and can never hash-match across
+    engines. Per-segment order/customer price-balance correlation;
+    the customer side broadcasts."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round("o_totalprice").cast("bigint").alias("x"),
+            F.round("c_acctbal").cast("bigint").alias("y"),
+        )
+    )
+    m = j.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "seg",
+        "n",
+        F.round(num / F.sqrt(dx.cast("double") * dy.cast("double")), 6).alias("corr_xy"),
+        F.round(num / dx, 6).alias("regr_slope_yx"),
+    ).orderBy("seg")
