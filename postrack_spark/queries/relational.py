@@ -1400,8 +1400,8 @@ def join_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH j AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(round(o.o_totalprice) AS BIGINT) AS x,
-             CAST(round(c.c_acctbal) AS BIGINT) AS y
+             CAST(round(o.o_totalprice / 100) AS BIGINT) AS x,
+             CAST(round(c.c_acctbal / 10) AS BIGINT) AS y
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     ),
     m AS (
@@ -1427,16 +1427,20 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     values) so the only doubles are one sqrt and one division with a
     pinned evaluation shape — the built-in corr()/regr_slope() are
     fp-accumulation-order-dependent and can never hash-match across
-    engines. Per-segment order/customer price-balance correlation;
-    the customer side broadcasts."""
+    engines. Units are coarsened (price/100, balance/10) so n*Σx² stays
+    inside int64 at every SF — DuckDB silently widens sums to HUGEINT
+    while Spark's ANSI mode overflows, the nastiest kind of
+    cross-engine divergence (caught by the sf0.1 verification this
+    repo mandates). Per-segment order/customer price-balance
+    correlation; the customer side broadcasts."""
     t = load_tables(spark, sf_dir)
     j = (
         t["orders"]
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             F.col("c_mktsegment").alias("seg"),
-            F.round("o_totalprice").cast("bigint").alias("x"),
-            F.round("c_acctbal").cast("bigint").alias("y"),
+            F.round(F.col("o_totalprice") / 100).cast("bigint").alias("x"),
+            F.round(F.col("c_acctbal") / 10).cast("bigint").alias("y"),
         )
     )
     m = j.groupBy("seg").agg(
