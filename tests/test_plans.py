@@ -206,3 +206,19 @@ def test_ivm_delta_is_map_side(spark, qs):
     # explode and image projection are map-side.
     assert_plan(_df(qs, "cdc_incremental_agg", spark),
                 python_evals=0, max_exchanges=4)
+
+
+def test_corr_exact_broadcasts_customer(spark, qs):
+    # integer-moment correlation: customer broadcasts into the join,
+    # one partial+final agg, no Python, no sort-merge join.
+    feats = assert_plan(_df(qs, "agg_corr_exact", spark),
+                        min_broadcast_joins=1, python_evals=0)
+    assert feats["sortmerge_joins"] == 0
+
+
+def test_attribution_single_key_partitioning(spark, qs):
+    # RANGE-frame click window and the per-user aggregate share the
+    # user_id partitioning; no join anywhere in the plan.
+    feats = assert_plan(_df(qs, "events_attribution_clicks", spark),
+                        python_evals=0)
+    assert feats["sortmerge_joins"] == 0 and feats["bnl_joins"] == 0
