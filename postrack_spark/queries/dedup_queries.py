@@ -775,3 +775,99 @@ def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1-row x 1-row join — not a data-path crossJoin
     return summary.crossJoin(affected)
+
+
+def _bands_sql(band_size: int) -> str:
+    n_bands = 16 // band_size
+    return " UNION ALL ".join(
+        "SELECT doc, {b} AS band, md5({lanes}) AS bh FROM sigs".format(
+            b=b,
+            lanes=" || ".join(f"h{b * band_size + i}" for i in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+
+
+def _geometry_cte(name: str, band_size: int) -> str:
+    return f"""
+    buckets_{name} AS ({_bands_sql(band_size)}),
+    sized_{name} AS (
+      SELECT b.* FROM buckets_{name} b
+      JOIN (SELECT band, bh, count(*) AS bsz FROM buckets_{name} GROUP BY band, bh) s
+        USING (band, bh)
+      WHERE s.bsz <= 100
+    ),
+    cand_{name} AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM sized_{name} a JOIN sized_{name} b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    ver_{name} AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand_{name} c
+      JOIN sizes sa ON sa.doc = c.doc_a
+      JOIN sizes sb ON sb.doc = c.doc_b
+      JOIN (
+        SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+        FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+        GROUP BY t1.doc, t2.doc
+      ) i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      WHERE round(i.inter * 1.0 / (sa.n_tok + sb.n_tok - i.inter), 6) >= 0.5
+    ),
+    row_{name} AS (
+      SELECT '{name}' AS geometry,
+             CAST((SELECT count(*) FROM cand_{name}) AS BIGINT) AS n_candidates,
+             CAST((SELECT count(*) FROM ver_{name}) AS BIGINT) AS n_verified,
+             round((SELECT count(*) FROM ver_{name}) * 1.0
+                   / greatest((SELECT count(*) FROM cand_{name}), 1), 6) AS precision_at_050
+    )"""
+
+
+@query(
+    "dedup_lsh_band_geometry",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_SIG_CTE},
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    {_geometry_cte("b8r2", 2)},
+    {_geometry_cte("b4r4", 4)}
+    SELECT * FROM row_b8r2 UNION ALL SELECT * FROM row_b4r4
+    ORDER BY geometry
+    """,
+)
+def dedup_lsh_band_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-geometry parameter sweep over the SAME 16 signature lanes:
+    8 bands x 2 rows (P(candidate|J=0.5) ~ 0.90, looser) vs 4 bands x
+    4 rows (~0.23, stricter) — candidate volume, survivors of the exact
+    Jaccard >= 0.5 verify, and precision per geometry. This is the
+    measurement that justified the main query's 8x2 choice; at 100 TB
+    the knob trades shuffle volume (candidates) against recall, and the
+    sweep runs on one shared signature build (the expensive pass)."""
+    from postrack_spark.functions.text import minhash_expr
+    from postrack_spark.operators.dedup import jaccard_pairs_from_arrays
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    shingles = doc_shingles(docs, "doc_id", "text", k=3)
+    per_doc = _pin(
+        "geometry_perdoc",
+        shingles.groupBy("doc").agg(
+            F.collect_set("tok").alias("toks"),
+            *[F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(16)],
+        ),
+    )
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
+    sets_ = per_doc.select("doc", "toks")
+
+    def row(name: str, band_size: int) -> DataFrame:
+        cand = lsh_candidate_pairs(
+            sigs, n_hashes=16, band_size=band_size, max_bucket_size=100
+        )
+        n_cand = cand.count()
+        n_ver = jaccard_pairs_from_arrays(sets_, cand, threshold=0.5).count()
+        return spark.createDataFrame(
+            [(name, n_cand, n_ver, round(n_ver / max(n_cand, 1), 6))],
+            "geometry string, n_candidates bigint, n_verified bigint, precision_at_050 double",
+        )
+
+    return row("b8r2", 2).unionByName(row("b4r4", 4)).orderBy("geometry")

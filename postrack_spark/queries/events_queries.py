@@ -1140,3 +1140,72 @@ def events_attribution_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_ordered_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_buy
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT p.user_id,
+             (epoch_us(p.t_buy) // 1000000) - (epoch_us(v.t_view) // 1000000) AS s
+      FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_then_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel,
+           CAST((SELECT sum(s) FROM d) AS BIGINT) AS total_funnel_seconds
+    """,
+)
+def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT ordered funnel: first view -> first click AFTER that view
+    -> first purchase AFTER that click (order enforced between stages,
+    unlike the co-occurrence funnel events_funnel_view_purchase). Each
+    stage is one aggregate + one conditional join on user_id — the
+    min-timestamp-per-stage formulation product analytics engines
+    compile funnels to. Duration reported as an exact integer seconds
+    sum. Scale: per-stage frames shrink monotonically; every join is on
+    the user key with the smaller (later-stage) side broadcastable."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    d = p.join(F.broadcast(v), "user_id").select(
+        (F.col("t_buy").cast("long") - F.col("t_view").cast("long")).alias("s")
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("n_view"))
+    nc = c.agg(F.count("*").cast("bigint").alias("n_view_then_click"))
+    np_ = p.agg(F.count("*").cast("bigint").alias("n_full_funnel"))
+    ns = d.agg(F.sum("s").cast("bigint").alias("total_funnel_seconds"))
+    # 1-row combines — not data-path crossJoins
+    return nv.crossJoin(nc).crossJoin(np_).crossJoin(ns)
