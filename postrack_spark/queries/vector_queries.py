@@ -563,3 +563,118 @@ def vector_pq_codebook_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+@query(
+    "vector_ivf_recall_probes",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 20),
+    dims AS (
+      SELECT label, g.i AS pos, avg(embedding[g.i]::DOUBLE) AS m
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY label, g.i
+    ),
+    centroids AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM dims GROUP BY label
+    ),
+    branks AS (
+      SELECT q_id, c.label AS bucket,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY list_cosine_similarity(q_vec, centroid) DESC, c.label
+             ) AS brn
+      FROM q CROSS JOIN centroids c
+    ),
+    truth AS (
+      SELECT q_id, vec_id, lab FROM (
+        SELECT q.q_id, e.vec_id, e.label AS lab,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.q_vec, e.v) DESC, e.vec_id
+               ) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT kk.k AS nprobe, count(*) AS n_hit
+      FROM (VALUES (1), (2), (4)) kk(k)
+      JOIN truth t ON TRUE
+      JOIN branks b ON b.q_id = t.q_id AND b.bucket = t.lab AND b.brn <= kk.k
+      GROUP BY kk.k
+    )
+    SELECT kk.k AS nprobe,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS total_hits,
+           round(coalesce(h.n_hit, 0) * 1.0 / (SELECT count(*) FROM truth), 6)
+             AS recall_at_10
+    FROM (VALUES (1), (2), (4)) kk(k)
+    LEFT JOIN hits h ON h.nprobe = kk.k
+    ORDER BY nprobe
+    """,
+)
+def vector_ivf_recall_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-probes sweep: fraction of the exact cosine top-10
+    that lives inside the 1 / 2 / 4 nearest coarse buckets — the
+    tuning curve that picks nprobe at scale (more probes = more
+    partitions scanned = higher recall; the knob trades scan volume
+    for recall exactly like LSH band geometry trades shuffle volume).
+    Truth and bucket rankings tie-break deterministically; recall is an
+    integer hit count over the fixed 200 truth rows, one division."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    e = fan_out(t["embeddings"]).select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    centroids = label_centroids(t["embeddings"], "embedding", "label")
+    branks = (
+        q.join(F.broadcast(centroids))
+        .withColumn("bsim", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "brn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("bsim"), F.asc("label"))
+            ),
+        )
+        .select("q_id", F.col("label").alias("bucket"), "brn")
+    )
+    truth = (
+        q.join(e, e.vec_id != q.q_id)
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("v")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("q_id", F.col("label").alias("lab"))
+    )
+    n_truth = truth.count()
+    probes = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+    # truth x probes is a bounded 200x3 grid (not a data-path crossJoin)
+    hits = (
+        truth.crossJoin(F.broadcast(probes))
+        .alias("t")
+        .join(
+            F.broadcast(branks).alias("b"),
+            F.expr("t.q_id = b.q_id AND t.lab = b.bucket AND b.brn <= t.nprobe"),
+        )
+        .groupBy("t.nprobe")
+        .agg(F.count("*").alias("n_hit"))
+        .toDF("np", "n_hit")
+    )
+    return (
+        probes.join(hits, probes.nprobe == F.col("np"), "left")
+        .select(
+            probes.nprobe.alias("nprobe"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("total_hits"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(n_truth), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("nprobe")
+    )
