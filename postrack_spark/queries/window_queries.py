@@ -398,3 +398,56 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         "n_new",
         F.sum("n_new").over(w).cast("bigint").alias("cum_distinct_users"),
     ).orderBy("day")
+
+
+@query(
+    "window_activity_streaks",
+    oracle="""
+    WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    idx AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', day) AS d,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM du
+    ),
+    islands AS (
+      SELECT user_id, d - rn AS grp, CAST(count(*) AS BIGINT) AS len
+      FROM idx GROUP BY user_id, d - rn
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the day-index-minus-row-number trick — consecutive days share a
+    constant difference, so islands fall out of one window + one
+    groupBy (no self-join, no recursion). All integers. Scale: the
+    window and both aggregations share the user_id partitioning."""
+    from postrack_spark.session import load_tables as _lt
+
+    t = _lt(spark, sf_dir)
+    du = t["events"].select("user_id", F.to_date("ts").alias("day")).distinct()
+    idx = du.select(
+        "user_id",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).alias("d"),
+        F.row_number().over(W.partitionBy("user_id").orderBy("day")).alias("rn"),
+    )
+    islands = (
+        idx.groupBy("user_id", (F.col("d") - F.col("rn")).alias("grp"))
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
