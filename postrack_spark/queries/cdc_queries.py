@@ -646,3 +646,53 @@ def cdc_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_qty").cast("bigint").alias("total_qty"),
         F.round(F.col("cents") / 100.0, 2).alias("total_price"),
     ).orderBy("ship_month")
+
+
+@query(
+    "cdc_multi_table_demux",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    li AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    per_stream AS (
+      SELECT 'orders' AS tbl, op,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(lsn) AS BIGINT) AS min_lsn,
+             CAST(max(lsn) AS BIGINT) AS max_lsn
+      FROM changes GROUP BY op
+      UNION ALL
+      SELECT 'lineitem', 'INSERT',
+             CAST((SELECT sum(n_lines) FROM li) AS BIGINT),
+             CAST((SELECT min(l_orderkey * 1000 + 1) FROM li) AS BIGINT),
+             CAST((SELECT max(l_orderkey * 1000 + n_lines) FROM li) AS BIGINT)
+    )
+    SELECT tbl, op, n_events, min_lsn, max_lsn
+    FROM per_stream
+    ORDER BY tbl, op
+    """,
+)
+def cdc_multi_table_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table subscription demux: one combined change stream
+    (orders script + lineitem volume stream) split back per (table,
+    op) with event counts and LSN ranges — the `filter(col("table"))`
+    fan-out a consumer of a multi-table publication runs. The lineitem
+    LSN range is derived order-independently in the oracle (min/max of
+    the per-order arithmetic), so the check does not depend on replay
+    order. Scale: a single groupBy on (table, op); the unioned stream
+    is never re-scanned per table."""
+    from postrack_spark.cdc.fixtures import lineitem_changes
+
+    combined = orders_changes(spark, sf_dir).unionByName(
+        lineitem_changes(spark, sf_dir)
+    )
+    return (
+        combined.groupBy(F.col("table").alias("tbl"), "op")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("lsn").cast("bigint").alias("min_lsn"),
+            F.max("lsn").cast("bigint").alias("max_lsn"),
+        )
+        .orderBy("tbl", "op")
+    )

@@ -1209,3 +1209,75 @@ def events_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = d.agg(F.sum("s").cast("bigint").alias("total_funnel_seconds"))
     # 1-row combines — not data-path crossJoins
     return nv.crossJoin(nc).crossJoin(np_).crossJoin(ns)
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id,
+             min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    wk AS (
+      SELECT e.user_id, f.cohort_week,
+             (date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7)
+               - f.cohort_week AS age_weeks,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN fw f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT cohort_week, age_weeks,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM wk GROUP BY cohort_week, age_weeks
+    )
+    SELECT CAST(cohort_week AS INT) AS cohort_week,
+           CAST(age_weeks AS INT) AS age_weeks,
+           n_buyers,
+           round(cents / 100.0, 2) AS revenue,
+           round(sum(cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                                  ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+             AS cumulative_revenue
+    FROM cell
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users cohorted by first-activity
+    week, purchase revenue per (cohort, weeks-since) cell, plus the
+    running LTV per cohort. Money rides integer cents through the
+    windowed cumsum (the cross-engine association trap) and converts
+    once at the output. Scale: first-activity is a per-user aggregate
+    (broadcastable), cells are a small matrix, and the cumulative
+    window runs over one row per (cohort, age)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7).cast("int")
+    fw = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(fw), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("age_weeks"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    cell = wk.groupBy("cohort_week", "age_weeks").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    cum = W.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return cell.select(
+        F.col("cohort_week").cast("int").alias("cohort_week"),
+        F.col("age_weeks").cast("int").alias("age_weeks"),
+        "n_buyers",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("cents").over(cum) / 100.0, 2).alias("cumulative_revenue"),
+    ).orderBy("cohort_week", "age_weeks")

@@ -451,3 +451,44 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_centered_moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(sum(n) OVER w AS BIGINT) AS win_sum,
+           CAST(count(*) OVER w AS BIGINT) AS win_days,
+           round(sum(n) OVER w * 1.0 / count(*) OVER w, 6) AS centered_ma7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ORDER BY day
+    """,
+)
+def window_centered_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day moving average of daily volume — the smoothing
+    pass behind seasonality charts, with the edge-shrinking window made
+    explicit (win_days < 7 at the boundaries, and the average divides
+    by the REAL window size, not a constant). Integer sum / integer
+    count, one division. The single-partition window runs over one row
+    per day — an already-aggregated tiny frame (CLAUDE.md rule)."""
+    from postrack_spark.session import load_tables as _lt
+
+    t = _lt(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("win_sum"),
+        F.count("*").over(w).cast("bigint").alias("win_days"),
+        F.round(F.sum("n").over(w) / F.count("*").over(w), 6).alias("centered_ma7"),
+    ).orderBy("day")
