@@ -696,3 +696,43 @@ def cdc_multi_table_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "op")
     )
+
+
+@query(
+    "cdc_idempotent_replay",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY okey ORDER BY lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT okey AS o_orderkey, status AS o_orderstatus,
+           round(price, 2) AS o_totalprice
+    FROM ranked
+    WHERE rn = 1 AND op <> 'DELETE'
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once resilience: the stream UNIONED WITH ITSELF
+    (simulating full redelivery, the failure mode of the reference's
+    delivery semantics — its ack can fire before processing,
+    postrack.go:366-367 vs :107-117) materializes to EXACTLY the state
+    of the single stream: latest-per-key reduces duplicate (lsn, image)
+    events to one survivor regardless of multiplicity, so replayed
+    WAL segments are harmless. Same oracle as the clean materialization
+    — that equality IS the assertion."""
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    redelivered = ch.unionByName(ch)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    final = apply_changes(redelivered, key, key_name="o_orderkey")
+    return final.select(
+        "o_orderkey",
+        typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
+        F.round(typed_column("after", "o_totalprice", "double"), 2).alias("o_totalprice"),
+    )

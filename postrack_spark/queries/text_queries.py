@@ -831,3 +831,77 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     media = attach_payload(fan_out(t["documents"]), "text", "text/plain")
     return audio_window_energy(media, "doc_id", window=16).orderBy("doc_id")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH words AS (SELECT doc_id AS doc, string_split(text, ' ') AS w FROM documents),
+    tri AS (
+      SELECT DISTINCT doc, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+      FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    first_seen AS (SELECT g, min(doc) AS first_doc FROM tri GROUP BY g),
+    per_doc AS (
+      SELECT t.doc,
+             CAST(count(*) AS BIGINT) AS n_tri,
+             CAST(sum(CASE WHEN f.first_doc = t.doc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM tri t JOIN first_seen f ON f.g = t.g
+      GROUP BY t.doc
+    ),
+    deciles AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY doc) AS INT) AS decile, n_tri, n_novel
+      FROM per_doc
+    )
+    SELECT decile,
+           CAST(sum(n_tri) AS BIGINT) AS n_trigrams,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           round(sum(n_novel) * 1.0 / sum(n_tri), 6) AS novelty_rate
+    FROM deciles
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: processing docs in id order, what fraction
+    of each decile's distinct trigrams was never seen in any earlier
+    doc — the saturation diagnostic for data collection (novelty decay
+    means new data stops adding information). first-seen attribution is
+    a min-per-trigram aggregate joined back (no ordered scan state);
+    integer counts, one division per decile row. Scale: two hash aggs
+    on trigram / doc keys plus one small ntile window over per-doc
+    rows."""
+    t = load_tables(spark, sf_dir)
+    grams = F.expr(
+        "CASE WHEN size(__w) >= 3 THEN transform(sequence(1, size(__w) - 2),"
+        " i -> concat_ws(' ', __w[i-1], __w[i], __w[i+1]))"
+        " ELSE array() END"
+    )
+    tri = (
+        fan_out(t["documents"])
+        .withColumn("__w", F.split("text", " "))
+        .select(F.col("doc_id").alias("doc"), F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    first_seen = tri.groupBy("g").agg(F.min("doc").alias("first_doc"))
+    per_doc = (
+        tri.join(first_seen, "g")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tri"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0))
+                .cast("bigint").alias("n_novel"),
+        )
+    )
+    deciles = per_doc.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("doc")).cast("int")
+    )
+    return (
+        deciles.groupBy("decile")
+        .agg(
+            F.sum("n_tri").cast("bigint").alias("n_trigrams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(F.sum("n_novel") / F.sum("n_tri"), 6).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
