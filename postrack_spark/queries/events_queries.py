@@ -1281,3 +1281,46 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         F.round(F.sum("cents").over(cum) / 100.0, 2).alias("cumulative_revenue"),
     ).orderBy("cohort_week", "age_weeks")
+
+
+@query(
+    "events_wow_change",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type,
+             (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7) AS week,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, week, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      FROM wk
+    )
+    SELECT event_type, CAST(week AS INT) AS week, n,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           round((n - prev_n) * 1.0 / prev_n, 6) AS wow_change
+    FROM lagged
+    ORDER BY event_type, week
+    """,
+)
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume change per event type — the growth-metric
+    staple. Integer weekly counts, one division per row against the
+    lagged count (NULL on each type's first week, in both engines).
+    Scale: one hash agg + a per-type lag window over one row per
+    week."""
+    t = load_tables(spark, sf_dir)
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7).cast("int")
+    wk = t["events"].groupBy("event_type", week.alias("week")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    lagged = wk.withColumn("prev_n", F.lag("n").over(w))
+    return lagged.select(
+        "event_type",
+        F.col("week").cast("int").alias("week"),
+        "n",
+        F.col("prev_n").cast("bigint").alias("prev_n"),
+        F.round((F.col("n") - F.col("prev_n")) / F.col("prev_n"), 6).alias("wow_change"),
+    ).orderBy("event_type", "week")
