@@ -219,3 +219,43 @@ def graph_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_micros").desc(), "node")
         .limit(10)
     )
+
+
+_REACH_SQL = """
+    WITH RECURSIVE
+    po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM po a JOIN po b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+    bidir AS (SELECT pa AS src, pb AS dst FROM edges
+              UNION ALL SELECT pb, pa FROM edges),
+    deg AS (SELECT src, count(*) AS d FROM bidir GROUP BY src),
+    start AS (SELECT src FROM deg ORDER BY d DESC, src LIMIT 1),
+    reach(node, depth) AS (
+      SELECT src, 0 FROM start
+      UNION ALL
+      SELECT b.dst, r.depth + 1
+      FROM reach r JOIN bidir b ON b.src = r.node
+      WHERE r.depth < 3
+    )
+    SELECT CAST((SELECT src FROM start) AS BIGINT) AS start_node,
+           CAST(count(DISTINCT node) AS BIGINT) AS n_reachable_3hops
+    FROM reach
+"""
+
+
+@query("sql_recursive_reachability", oracle=_REACH_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE transitive closure (Spark 4's WITH RECURSIVE):
+    nodes reachable within 3 hops of the highest-degree node of the
+    thresholded co-purchase graph. The SQL text runs VERBATIM on both
+    engines — the query IS its own oracle, pinning that Spark's
+    recursive-CTE semantics (UNION ALL step, bounded by the depth
+    predicate) agree with DuckDB's. Path explosion is bounded by the
+    depth guard and the support-thresholded edge list; the final
+    count(DISTINCT) collapses duplicate paths."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(_REACH_SQL)
