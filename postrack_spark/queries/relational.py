@@ -1460,3 +1460,32 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / F.sqrt(dx.cast("double") * dy.cast("double")), 6).alias("corr_xy"),
         F.round(num / dx, 6).alias("regr_slope_yx"),
     ).orderBy("seg")
+
+
+_CORRELATED_SQL = """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM customer c
+       WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) >
+         (SELECT avg(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey))
+        AS n_above_nation_avg,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) >
+         (SELECT 2 * avg(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey))
+        AS n_twice_own_avg
+"""
+
+
+@query("sql_correlated_subqueries", oracle=_CORRELATED_SQL)
+def sql_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries — the decorrelation workload:
+    Catalyst rewrites each per-row subquery into an aggregate joined
+    back on the correlation key (customers above their nation's average
+    balance; orders above twice their customer's average). The SQL text
+    runs verbatim on both engines. Comparisons happen on integer cents,
+    and the averages divide an EXACT integer sum by a count, so the
+    compared doubles are bit-identical cross-engine — a float avg would
+    make the > boundary engine-dependent."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(_CORRELATED_SQL)
