@@ -1,0 +1,107 @@
+"""Distributed exact global ranking — no single-partition window.
+
+``row_number()`` / ``ntile(k)`` over an UNPARTITIONED window force the
+whole frame through one task (Spark's ``WindowExec: No Partition
+Defined`` warning): correct at sf0.1, dead at 100 TB. The reference has
+no window analogue (postrack.go is a CDC client); this operator exists for
+the analytics surface the engine adds on top.
+
+The classic scalable replacement (same trick Spark's own
+``zipWithIndex`` uses, lifted to DataFrames):
+
+1. ``repartitionByRange`` on the sort key — range partitions are
+   totally ordered ACROSS partitions (partition 0 holds the smallest
+   keys), and the shuffle is the only data-sized cost: O(n) with no
+   single-task stage.
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — mid
+   encodes (partition id << 33) | row-offset-in-partition, assigned in
+   iterator (= sorted) order. Per-row we recover (pid, seq) with bit
+   ops, all JVM-side.
+3. Per-partition row counts (tiny frame: one row per range partition,
+   P = a *configuration* constant — spark.sql.shuffle.partitions — not
+   a function of data size).
+4. Offsets = exclusive prefix sum over those P rows, computed as a
+   broadcast non-equi self-join (O(P²) comparisons, config-bounded,
+   ~10⁸ even on a 10⁴-partition cluster) — deliberately NOT a window,
+   so plans using this operator contain zero WindowExec nodes.
+5. rank = offset(pid) + seq + 1, joined back via broadcast (P rows).
+
+Correctness requires the sort key to be a TOTAL order (add a unique
+tie-break column); ties that cross a range boundary would otherwise
+get nondeterministic ranks. The range exchange is referenced by both
+the count path and the rank path; Catalyst's ReuseExchange (and AQE
+stage reuse) dedupes it into one physical shuffle, so both paths see
+identical partition boundaries — asserted by tests/test_ranking.py,
+which also value-checks against window row_number over many runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MID_BITS = 33  # monotonically_increasing_id: pid in the upper bits
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + a 1-based exact global row number over ``order_cols``.
+
+    ``order_cols`` must define a total order (unique composite key).
+    Plan shape: one range exchange over the data + two tiny broadcast
+    joins; no WindowExec, no collect.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(*order_cols)
+    mid = part.withColumn("__mid", F.monotonically_increasing_id())
+    keyed = mid.withColumn(
+        "__pid", F.shiftrightunsigned("__mid", _MID_BITS)
+    ).withColumn("__seq", F.col("__mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)))
+
+    counts = keyed.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__offset") + F.col("__seq") + F.lit(1)))
+        .drop("__mid", "__pid", "__seq", "__offset")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: list[Column | str],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + SQL-exact ``ntile(k) OVER (ORDER BY order_cols)`` — same
+    position-based semantics (first n%k buckets get one extra row),
+    computed from the distributed global row number plus one tiny
+    total-count broadcast. Zero WindowExec nodes in the plan."""
+    ranked = global_row_number(df, order_cols, rank_col="__rn",
+                               num_partitions=num_partitions)
+    total = ranked.groupBy().agg(F.count("*").alias("__n"))
+    rn, n = F.col("__rn"), F.col("__n")
+    q = F.floor(n / k)  # base bucket size
+    r = n % k           # first r buckets hold q+1 rows
+    big = r * (q + 1)   # rows covered by the oversized buckets
+    bucket = (
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - big - 1) / q) + 1)
+        .cast("int")
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(out_col, bucket)
+        .drop("__rn", "__n")
+    )

@@ -73,8 +73,45 @@ def plan_features(df: DataFrame) -> dict:
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", text),
         "scan_columns": re.findall(r"ReadSchema: struct<([^>]*)>", text),
         "aqe": "AdaptiveSparkPlan" in text,
+        "windows": op("Window"),
+        "unpartitioned_windows": _unpartitioned_windows(text),
     }
     return feats
+
+
+def _unpartitioned_windows(formatted: str) -> int:
+    """Count Window operators with an EMPTY partition spec — the
+    single-task scale-killer (`WindowExec: No Partition Defined`).
+
+    The formatted Arguments line carries up to three top-level bracket
+    groups: [exprs], then partitionSpec and/or orderSpec, each omitted
+    when empty. Order-spec groups always contain sort directions
+    (``ASC``/``DESC``); partition specs never do, which disambiguates
+    the two-group case (partitioned-unordered vs ordered-unpartitioned).
+    Groups are counted with a depth scanner because window expressions
+    may themselves contain brackets (lambdas, array indexing)."""
+    n = 0
+    for block in re.findall(r"^\(\d+\) Window\b.*?(?=^\(\d+\)|\Z)", formatted,
+                            re.MULTILINE | re.DOTALL):
+        m = re.search(r"^Arguments: (.*)$", block, re.MULTILINE)
+        if not m:
+            continue
+        depth, groups, spans, start = 0, 0, [], 0
+        for i, ch in enumerate(m.group(1)):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    spans.append(m.group(1)[start : i + 1])
+        if groups == 1:  # neither partition nor order spec
+            n += 1
+        elif groups == 2 and re.search(r"\b(ASC|DESC)\b", spans[1]):
+            n += 1  # second group is an order spec -> no partition spec
+    return n
 
 
 def assert_plan(df: DataFrame, **expect) -> dict:

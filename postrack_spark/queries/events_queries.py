@@ -665,9 +665,15 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary quartiles
-    (ntile with deterministic tie-breaks), rolled up per segment.
-    Monetary sums accumulate as integer cents (exact); the ntile
-    windows run on the per-user aggregate, not the event stream."""
+    (ntile semantics with deterministic tie-breaks), rolled up per
+    segment. Monetary sums accumulate as integer cents (exact). The
+    per-user frame is one row per user — corpus-sized at 100 TB — so
+    the quartiles come from operators/ranking.exact_ntile (range-
+    partitioned distributed rank), NOT an unpartitioned ntile window:
+    the plan has zero single-partition WindowExec nodes (asserted by
+    tests/test_plans.py::test_rfm_no_unpartitioned_window)."""
+    from postrack_spark.operators.ranking import exact_ntile
+
     t = load_tables(spark, sf_dir)
     rfm = (
         t["events"]
@@ -679,13 +685,17 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("monetary100"),
         )
     )
-    scored = rfm.select(
+    scored = rfm
+    scored = exact_ntile(scored, 4, [F.desc("last_ts"), F.asc("user_id")], "r")
+    scored = exact_ntile(scored, 4, [F.desc("frequency"), F.asc("user_id")], "f")
+    scored = exact_ntile(scored, 4, [F.desc("monetary100"), F.asc("user_id")], "m")
+    scored = scored.select(
         "user_id",
         "frequency",
         F.round(F.col("monetary100") / 100.0, 2).alias("monetary"),
-        F.ntile(4).over(W.orderBy(F.desc("last_ts"), F.asc("user_id"))).alias("r"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id"))).alias("f"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary100"), F.asc("user_id"))).alias("m"),
+        "r",
+        "f",
+        "m",
     )
     return (
         scored.groupBy(
@@ -1074,7 +1084,7 @@ def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_type, value,
-             CAST(epoch(ts) AS BIGINT) AS sec, ts, event_id
+             epoch_us(ts) // 1000000 AS sec, ts, event_id
       FROM events
     ),
     k AS (

@@ -430,18 +430,37 @@ def text_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_corpus_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency (Zipf profile): global top-20
     tokens with corpus share. The explode+groupBy is the map-side-
-    combined wordcount; the global-total window runs on the tiny
-    aggregated vocabulary, never on the corpus."""
+    combined wordcount. Web-scale vocabulary is billions of distinct
+    tokens, so no unpartitioned window anywhere: the corpus total is a
+    scalar aggregate broadcast back (1-row crossJoin), the top-20 is
+    ``orderBy().limit(20)`` (plans as TakeOrderedAndProject), and the
+    rank INSIDE the 20 survivors is a 20x20 broadcast self-comparison
+    (count of strictly-better rows + 1) — deterministic because the
+    (n DESC, tok ASC) order is total. Zero WindowExec in the plan."""
     t = load_tables(spark, sf_dir)
     toks = fan_out(t["documents"]).select(F.explode(F.split("text", " ")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
-    w_all = Window.partitionBy()
-    w_rank = Window.partitionBy().orderBy(F.desc("n"), F.asc("tok"))
-    return (
-        counts.withColumn("share", F.round(F.col("n") / F.sum("n").over(w_all), 6))
-        .withColumn("rank", F.row_number().over(w_rank))
-        .orderBy("rank")
+    total = counts.groupBy().agg(F.sum("n").alias("__total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))  # 1-row summary combine
+        .withColumn("share", F.round(F.col("n") / F.col("__total"), 6))
+        .drop("__total")
+        .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
+    )
+    better = (F.col("b.n") > F.col("a.n")) | (
+        (F.col("b.n") == F.col("a.n")) & (F.col("b.tok") < F.col("a.tok"))
+    )
+    return (
+        top.alias("a")
+        .join(F.broadcast(top.alias("b")), better, "left")
+        .groupBy(
+            F.col("a.tok").alias("tok"),
+            F.col("a.n").alias("n"),
+            F.col("a.share").alias("share"),
+        )
+        .agg((F.count(F.col("b.tok")) + 1).cast("int").alias("rank"))
+        .orderBy("rank")
     )
 
 
@@ -870,8 +889,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     means new data stops adding information). first-seen attribution is
     a min-per-trigram aggregate joined back (no ordered scan state);
     integer counts, one division per decile row. Scale: two hash aggs
-    on trigram / doc keys plus one small ntile window over per-doc
-    rows."""
+    on trigram / doc keys; deciles via operators/ranking.exact_ntile
+    (range-partitioned distributed rank — the per-doc frame is
+    corpus-sized at 100 TB, so no unpartitioned ntile window; zero
+    WindowExec in the plan, asserted by tests/test_plans.py)."""
     t = load_tables(spark, sf_dir)
     grams = F.expr(
         "CASE WHEN size(__w) >= 3 THEN transform(sequence(1, size(__w) - 2),"
@@ -893,9 +914,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint").alias("n_novel"),
         )
     )
-    deciles = per_doc.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("doc")).cast("int")
-    )
+    from postrack_spark.operators.ranking import exact_ntile
+
+    deciles = exact_ntile(per_doc, 10, [F.asc("doc")], "decile")
     return (
         deciles.groupBy("decile")
         .agg(

@@ -1,0 +1,71 @@
+"""operators/ranking: distributed exact rank/ntile vs the window
+implementations they replace (VERDICT r2: the three global-ntile
+scale-killers). Value-equality is checked repeatedly because the
+operator's correctness rests on Catalyst exchange reuse giving both
+internal paths identical range boundaries — a silent-break risk worth
+re-testing every run."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from postrack_spark.operators.ranking import exact_ntile, global_row_number
+from postrack_spark.plans import plan_features
+
+
+def _frame(spark, n=5003, parts=8):
+    # deterministic, collision-heavy v (ties broken by id)
+    rows = [(i, (i * 37) % 97) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v long").repartition(parts)
+
+
+def test_global_row_number_matches_window(spark):
+    df = _frame(spark)
+    order = [F.desc("v"), F.asc("id")]
+    for _ in range(3):  # repeated: boundary-consistency must hold every run
+        got = global_row_number(df, order, "rn")
+        exp = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+        assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+
+
+def test_exact_ntile_matches_window_all_remainders(spark):
+    # n=5003: k in (4, 7, 10) exercises every remainder-class branch of
+    # the oversized-first-buckets formula
+    df = _frame(spark)
+    order = [F.desc("v"), F.asc("id")]
+    for k in (4, 7, 10):
+        got = exact_ntile(df, k, order, "b")
+        exp = df.withColumn("b", F.ntile(k).over(Window.orderBy(*order)))
+        assert got.select("id", "b").exceptAll(exp.select("id", "b")).count() == 0
+
+
+def test_exact_ntile_fewer_rows_than_buckets(spark):
+    small = spark.createDataFrame([(i,) for i in range(3)], "id int")
+    got = {
+        (r.id, r.b)
+        for r in exact_ntile(small, 10, [F.asc("id")], "b").collect()
+    }
+    assert got == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_ranking_plan_has_no_window(spark):
+    # the whole point: zero WindowExec, one data-sized range exchange
+    # (reused), tiny broadcast joins for offsets/total
+    df = _frame(spark)
+    feats = plan_features(global_row_number(df, [F.asc("v"), F.asc("id")], "rn"))
+    assert feats["windows"] == 0
+    assert feats["unpartitioned_windows"] == 0
+    assert feats["python_evals"] == 0
+    feats = plan_features(exact_ntile(df, 4, [F.asc("v"), F.asc("id")], "b"))
+    assert feats["windows"] == 0
+
+
+def test_ranking_skewed_keys(spark):
+    # pareto-ish skew: range boundaries land inside hot keys; the
+    # unique (v, id) composite keeps the total order and exactness
+    rows = [(i, min(int(1000 / (1 + (i * 7919) % 100)), 500)) for i in range(20011)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+    order = [F.asc("v"), F.asc("id")]
+    got = global_row_number(df, order, "rn")
+    exp = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
