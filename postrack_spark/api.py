@@ -328,7 +328,9 @@ class Conn:
         O(groups) shuffle per batch). `dims`/`measures` are expressions
         over the image map column ``img``. Returns (target_dir,
         StreamingQuery); read the view with
-        ``spark.read.parquet(target_dir).filter("n_rows > 0")``.
+        ``postrack_spark.streaming.read_view(spark, target_dir)
+        .filter("n_rows > 0")`` (the sink keeps atomically-swapped
+        versioned snapshots under target_dir).
         """
         from postrack_spark.streaming.sinks import foreach_batch_incremental_agg
 

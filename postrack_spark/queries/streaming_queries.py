@@ -18,6 +18,7 @@ from postrack_spark.streaming import (
     events_stream,
     foreach_batch_apply_changes,
     hourly_window_counts,
+    read_view,
     run_to_memory,
     session_window_stats,
     stream_dedup,
@@ -286,7 +287,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target, q = foreach_batch_apply_changes(stream, key, key_name="o_orderkey")
     q.awaitTermination()
-    final = spark.read.parquet(target)
+    final = read_view(spark, target)
     return final.select(
         "o_orderkey",
         typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
@@ -382,7 +383,7 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     q.awaitTermination()
-    view = spark.read.parquet(target).filter(F.col("n_rows") > 0)
+    view = read_view(spark, target).filter(F.col("n_rows") > 0)
     return view.select(
         "o_orderstatus",
         "n_rows",

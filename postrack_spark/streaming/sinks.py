@@ -3,17 +3,112 @@ the reference's HandleFunc (postrack.go:35), with stronger semantics:
 offsets commit AFTER the batch is durably applied (checkpoint), fixing
 the reference's ack-before-process race (conn.lsn advanced at :367,
 read by keepAlive at :110 with no ordering w.r.t. the callback).
+
+Durability model (round 3): foreachBatch is AT-LEAST-ONCE — a crash
+between applying a batch and committing the checkpoint re-delivers the
+same (batch_id, data) on restart. Both sinks therefore write through a
+tiny versioned-table layout::
+
+    target/
+      _CURRENT        # "<checkpoint>\\n<batch_id>\\n<version dir>",
+                      # swapped atomically (tmp file + os.replace)
+      v00000007/      # parquet written by batch 7 (fresh dir per batch)
+
+which yields exactly-once EFFECTS from at-least-once DELIVERY:
+
+* A re-delivered batch (same checkpoint lineage, batch_id <= applied)
+  is SKIPPED — the signed-delta double-apply flaw is gone.
+* Each batch writes a FRESH version directory and only then swaps the
+  pointer: the base being read is never the directory being written,
+  so there is no read-modify-overwrite window (the old cache()+count()
+  barrier could recompute mid-delete under memory pressure).
+* Crash before the pointer swap -> restart recomputes from the old
+  version and rewrites the same vN dir. Crash after the swap -> the
+  replayed batch is skipped. Either way the view is correct.
+* A DIFFERENT checkpoint (fresh stream lineage) intentionally does NOT
+  skip: batch ids restart from 0 in a new lineage, so skipping on ids
+  alone would silently drop real data. Replaying the same source with
+  a fresh checkpoint into a live incremental-agg view double-counts by
+  construction — that is a pipeline-wiring error, not a sink property.
+
+Read failures and schema drift on the base RAISE (they used to reset
+the view to empty); only a missing pointer means "first batch".
+
+At warehouse scale the same protocol is MERGE INTO + transactional
+snapshot pinning in Delta/Iceberg; the pointer file is the moral
+equivalent of their metadata-log tip on plain parquet.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postrack_spark.cdc.envelope import DELETE, TRUNCATE
 from postrack_spark.cdc.materialize import latest_per_key, truncate_watermarks
+
+_POINTER = "_CURRENT"
+
+
+def _read_pointer(target: str) -> tuple[str | None, int, str | None]:
+    """(checkpoint lineage, applied batch id, version path) or
+    (None, -1, None) when the view has no committed version yet."""
+    path = os.path.join(target, _POINTER)
+    if not os.path.exists(path):
+        return None, -1, None
+    lineage, batch_id, version = open(path).read().splitlines()[:3]
+    return lineage, int(batch_id), os.path.join(target, version)
+
+
+def _swap_pointer(target: str, lineage: str, batch_id: int, version: str) -> None:
+    """Atomically repoint _CURRENT (POSIX rename within the dir)."""
+    tmp = os.path.join(target, f".{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{lineage}\n{batch_id}\n{version}\n")
+    os.replace(tmp, os.path.join(target, _POINTER))
+
+
+def _gc_versions(target: str, keep: set[str]) -> None:
+    """Drop version dirs other than the live one and its predecessor
+    (kept so a concurrent read_view started pre-swap finishes clean)."""
+    for name in os.listdir(target):
+        if name.startswith("v") and name not in keep:
+            shutil.rmtree(os.path.join(target, name), ignore_errors=True)
+
+
+def read_view(spark: SparkSession, target: str) -> DataFrame:
+    """Read the live version of a sink-maintained view."""
+    _, _, version = _read_pointer(target)
+    if version is None:
+        raise FileNotFoundError(f"no committed version under {target}")
+    return spark.read.parquet(version)
+
+
+def _versioned_batch(target: str, lineage: str, merge):
+    """Wrap ``merge(base_df_or_None, batch_df) -> merged_df`` in the
+    versioned skip/write/swap protocol. Exposed for direct unit tests
+    of replay idempotence (tests/test_streaming.py)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(target, exist_ok=True)
+        applied_lineage, applied_id, version = _read_pointer(target)
+        if applied_lineage == lineage and batch_id <= applied_id:
+            return  # at-least-once re-delivery of an applied batch
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(version) if version is not None else None
+        merged = merge(base, batch_df)
+        vname = f"v{batch_id:08d}"
+        vpath = os.path.join(target, vname)
+        merged.write.mode("overwrite").parquet(vpath)
+        prev = os.path.basename(version) if version is not None else None
+        _swap_pointer(target, lineage, batch_id, vname)
+        _gc_versions(target, {vname} | ({prev} if prev else set()))
+
+    return apply_batch
 
 
 def foreach_batch_apply_changes(
@@ -23,24 +118,25 @@ def foreach_batch_apply_changes(
     key_name: str = "__key",
     checkpoint_dir: str | None = None,
 ) -> tuple[str, object]:
-    """Incrementally materialize a CDC stream into a parquet table.
+    """Incrementally materialize a CDC stream into a parquet view.
 
     Per micro-batch (the compact-then-merge pattern, SURVEY.md §4.3):
       1. compact the batch: latest event per key within the batch,
          KEEPING delete tombstones (they must out-compete base rows)
       2. apply the batch's TRUNCATE watermarks to the base (epoch cut)
       3. merge base ∪ compacted via latest-per-key, then drop deletes
-      4. atomically replace the base table
+      4. commit as a fresh version + atomic pointer swap (see module
+         docstring — replayed batches are skipped, base never
+         overwritten in place)
 
-    At warehouse scale steps 2-4 become MERGE INTO (Delta/Iceberg); the
-    union+window emulation has identical semantics on parquet.
-    Returns (target_dir, streaming_query).
+    Per-key compaction additionally makes apply idempotent under
+    re-delivery of the DATA itself (new lineage replays converge).
+    Returns (target_dir, streaming_query); read with ``read_view``.
     """
     target = target_dir or tempfile.mkdtemp(prefix="cdc_materialized_")
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_apply_")
-    spark = changes_stream.sparkSession
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def merge(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         trunc = truncate_watermarks(batch_df)
         keyed = (
             batch_df.filter(F.col("op") != TRUNCATE)
@@ -50,14 +146,12 @@ def foreach_batch_apply_changes(
             .drop("__trunc_lsn")
         )
         compacted = latest_per_key(keyed, ["schema", "table", key_name])
-
-        try:
-            base = spark.read.parquet(target)
-            has_base = "lsn" in base.columns
-        except Exception:
-            has_base = False
-
-        if has_base:
+        if base is not None:
+            if set(base.columns) != set(compacted.columns):
+                raise ValueError(
+                    f"view schema drift under {target}: "
+                    f"base={sorted(base.columns)} batch={sorted(compacted.columns)}"
+                )
             base = (
                 base.join(F.broadcast(trunc), ["schema", "table"], "left")
                 .filter(F.col("__trunc_lsn").isNull() | (F.col("lsn") > F.col("__trunc_lsn")))
@@ -68,15 +162,12 @@ def foreach_batch_apply_changes(
             )
         else:
             merged = compacted
-        merged = merged.filter(F.col("op") != DELETE)
-        # materialize before overwriting the directory we just read
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target)
-        merged.unpersist()
+        return merged.filter(F.col("op") != DELETE)
 
     query = (
-        changes_stream.writeStream.foreachBatch(apply_batch)
+        changes_stream.writeStream.foreachBatch(
+            _versioned_batch(target, checkpoint, merge)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -107,19 +198,24 @@ def foreach_batch_incremental_agg(
     KEPT in the stored partials (a negative partial may precede its
     positive under arbitrary batch splits); readers filter count > 0.
 
+    Signed deltas are NOT idempotent under re-application, so the
+    versioned-batch protocol (module docstring) is what makes this
+    sink safe under at-least-once foreachBatch: a crash-replayed batch
+    is detected by (lineage, batch_id) and skipped instead of
+    double-counted.
+
     Shuffle cost per batch: O(groups), never O(events) — map-side
     partial aggregation compacts the signed rows before the exchange.
-    Returns (target_dir, streaming_query).
+    Returns (target_dir, streaming_query); read with ``read_view``.
     """
     from postrack_spark.cdc.ivm import delta_rows
 
     target = target_dir or tempfile.mkdtemp(prefix="ivm_agg_")
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ivm_")
-    spark = changes_stream.sparkSession
     dim_names = list(dims)
     sum_names = [count_name, *measures]
 
-    def upd(batch_df: DataFrame, batch_id: int) -> None:
+    def merge(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         d = delta_rows(batch_df)
         part = (
             d.select(
@@ -136,26 +232,23 @@ def foreach_batch_incremental_agg(
                 ],
             )
         )
-        try:
-            base = spark.read.parquet(target)
-            has_base = set(base.columns) == set(part.columns)
-        except Exception:
-            has_base = False
-        if has_base:
-            merged = (
-                base.unionByName(part)
-                .groupBy(*[F.col(n) for n in dim_names])
-                .agg(*[F.sum(n).cast("bigint").alias(n) for n in sum_names])
+        if base is None:
+            return part
+        if set(base.columns) != set(part.columns):
+            raise ValueError(
+                f"view schema drift under {target}: "
+                f"base={sorted(base.columns)} batch={sorted(part.columns)}"
             )
-        else:
-            merged = part
-        merged.cache()
-        merged.count()  # materialize before overwriting the dir we read
-        merged.write.mode("overwrite").parquet(target)
-        merged.unpersist()
+        return (
+            base.unionByName(part)
+            .groupBy(*[F.col(n) for n in dim_names])
+            .agg(*[F.sum(n).cast("bigint").alias(n) for n in sum_names])
+        )
 
     query = (
-        changes_stream.writeStream.foreachBatch(upd)
+        changes_stream.writeStream.foreachBatch(
+            _versioned_batch(target, checkpoint, merge)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -9,6 +9,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from postrack_spark.streaming.sinks import read_view
 from postrack_spark.api import Conn, Table
 from postrack_spark.cdc import typed_column
 from postrack_spark.sources.postgres_cdc import register, write_frame_file
@@ -202,7 +203,7 @@ def test_incremental_view_via_conn(spark):
     q.awaitTermination()
     view = {
         r["o_orderstatus"]: (r["n_rows"], r["cents"])
-        for r in spark.read.parquet(target).filter("n_rows > 0").collect()
+        for r in read_view(spark, target).filter("n_rows > 0").collect()
     }
     # golden stream (test_golden_sequence): after replay the live rows
     # and their prices determine the maintained view; recompute the

@@ -11,7 +11,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from postrack_spark.cdc import orders_changes, typed_column
-from postrack_spark.streaming.sinks import foreach_batch_apply_changes
+from postrack_spark.streaming.sinks import foreach_batch_apply_changes, read_view
 
 
 def _key():
@@ -45,11 +45,11 @@ def test_incremental_apply_across_batches(spark, sf_dir):
         q.awaitTermination()
 
     run_once()
-    assert spark.read.parquet(target).count() == inserts.count()
+    assert read_view(spark, target).count() == inserts.count()
 
     rest.write.mode("append").parquet(src)
     run_once()
-    final = spark.read.parquet(target)
+    final = read_view(spark, target)
 
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     expected = orders.count() - orders.filter(F.col("o_orderkey") % 10 == 5).count()
@@ -82,7 +82,7 @@ def test_apply_is_idempotent_on_replay(spark, sf_dir):
         )
         q.awaitTermination()
 
-    final = spark.read.parquet(target)
+    final = read_view(spark, target)
     assert final.count() == final.select("o_orderkey").distinct().count()
 
 
@@ -156,3 +156,60 @@ def test_rate_source_smoke(spark):
     assert out["n"] >= 0
     if out["n"]:
         assert out["hi"] - out["lo"] == out["n"] - 1
+
+
+def test_versioned_batch_skips_replayed_batch(spark):
+    """At-least-once crash-replay (ADVICE r2): re-delivering an applied
+    (lineage, batch_id) must be a no-op — signed deltas would otherwise
+    double-count. Drives the versioned protocol directly with fake
+    micro-batches."""
+    from postrack_spark.streaming.sinks import _versioned_batch
+
+    target = tempfile.mkdtemp(prefix="vb_")
+
+    def merge(base, batch_df):
+        part = batch_df.groupBy("k").agg(F.sum("x").cast("bigint").alias("x"))
+        if base is None:
+            return part
+        return base.unionByName(part).groupBy("k").agg(
+            F.sum("x").cast("bigint").alias("x")
+        )
+
+    apply = _versioned_batch(target, "ckpt-A", merge)
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, x int")
+    b1 = spark.createDataFrame([("a", 10)], "k string, x int")
+
+    apply(b0, 0)
+    apply(b0, 0)  # crash-replay of batch 0: must be skipped
+    apply(b1, 1)
+    apply(b1, 1)  # crash-replay of batch 1: must be skipped
+    view = {r["k"]: r["x"] for r in read_view(spark, target).collect()}
+    assert view == {"a": 11, "b": 2}
+
+    # a FRESH lineage is a new stream: batch ids restart, no skipping
+    apply2 = _versioned_batch(target, "ckpt-B", merge)
+    apply2(b1, 0)
+    view = {r["k"]: r["x"] for r in read_view(spark, target).collect()}
+    assert view == {"a": 21, "b": 2}
+
+
+def test_versioned_batch_schema_drift_raises(spark):
+    """Schema drift on the base must RAISE, not silently reset the view
+    (the old bare-except + column check discarded all prior state)."""
+    import pytest as _pytest
+
+    from postrack_spark.streaming.sinks import _versioned_batch
+
+    target = tempfile.mkdtemp(prefix="vb2_")
+
+    def merge(base, batch_df):
+        if base is not None and set(base.columns) != set(batch_df.columns):
+            raise ValueError("view schema drift")
+        return batch_df
+
+    apply = _versioned_batch(target, "ckpt-A", merge)
+    apply(spark.createDataFrame([("a", 1)], "k string, x int"), 0)
+    with _pytest.raises(ValueError, match="schema drift"):
+        apply(spark.createDataFrame([(1.5,)], "y double"), 1)
+    # the committed view is untouched by the failed batch
+    assert read_view(spark, target).count() == 1
