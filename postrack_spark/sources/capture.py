@@ -1,0 +1,266 @@
+"""External WAL capture: the reference's connect + StartReplication +
+receive loop (postrack.go:86-105, 287-310, 340-413), packaged as the
+process that PRODUCES the ``.pgout`` frame-file contract that
+sources/postgres_cdc.py consumes (contract at postgres_cdc.py:10-27).
+
+The north-star architecture keeps capture OUTSIDE Spark: this module is
+plain Python (no Spark imports) so ``scripts/capture_daemon.py`` can
+run it next to Postgres while the cluster reads the files. Everything
+psycopg-shaped is import-gated and injectable, so the loop, the file
+writer, and the ack policy are fully unit-tested without a server
+(tests/test_capture.py); a live round-trip test runs when
+``POSTRACK_TEST_DSN`` points at a real Postgres.
+
+Semantics vs the reference:
+
+* Frame pump ≡ postrack.go:340-367 — every replication message is
+  re-framed as XLogData ('w' + wal_start/wal_end/clock + payload), the
+  exact byte layout pglogrepl hands its handler, so the Spark-side
+  decoder sees what a Go-side consumer would.
+* Ack cadence ≡ keepAlive every 5 s (postrack.go:103,107-117) — but
+  the LSN acked is the last one DURABLY renamed into a completed
+  ``.pgout`` file, never the last one merely received. The reference
+  acks ``conn.lsn`` which its handler advances BEFORE the callback
+  runs (race q3, SURVEY.md §1.1): crash after ack, lose the event.
+  Ack-after-durable closes that hole end to end, matching the
+  Spark-side rule (offsets commit after the checkpoint).
+* File rolling prefers COMMIT boundaries ('C' payloads) and re-sends
+  cached Relation/Type frames at the start of every new file, the way
+  Postgres re-sends RelationMessages per session (postrack.go:341-342
+  rebuilds its cache per connection for the same reason) — each file
+  stays self-contained per the contract.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import time
+
+from postrack_spark.sources.postgres_cdc import FRAME_FILE_SUFFIX, write_frame_file
+
+_XLOG_HEADER = struct.Struct(">qqq")  # wal_start, wal_end, server clock
+
+
+def make_xlogdata_frame(payload: bytes, data_start: int, wal_end: int = 0,
+                        clock_us: int = 0) -> bytes:
+    """Re-frame a replication message payload as the XLogData bytes
+    the decoder expects ('w' + header + pgoutput message)."""
+    return b"w" + _XLOG_HEADER.pack(data_start, wal_end or data_start, clock_us) + payload
+
+
+class FrameFileWriter:
+    """Accumulate replication frames and roll them into zero-padded,
+    lexicographically ordered, SELF-CONTAINED ``.pgout`` files.
+
+    Self-containment: the latest Relation ('R') and Type ('Y') frame
+    per OID is cached and replayed at the head of every new file, so a
+    reader starting at any file can decode it (the contract's third
+    clause). Rolling happens when the buffered frame/byte budget is
+    exceeded, but is DEFERRED until a safe boundary — a Commit payload
+    or a point outside any transaction — so a transaction's Begin and
+    rows never straddle a file ack'd as durable while its Commit is
+    still buffered.
+    """
+
+    def __init__(self, out_dir: str, max_frames: int = 4096,
+                 max_bytes: int = 16 << 20) -> None:
+        self.out_dir = out_dir
+        self.max_frames = max_frames
+        self.max_bytes = max_bytes
+        os.makedirs(out_dir, exist_ok=True)
+        existing = sorted(
+            int(f[: -len(FRAME_FILE_SUFFIX)])
+            for f in os.listdir(out_dir)
+            if f.endswith(FRAME_FILE_SUFFIX)
+            and f[: -len(FRAME_FILE_SUFFIX)].isdigit()
+        )
+        self.seq = (existing[-1] + 1) if existing else 0
+        self._schema_cache: dict[tuple[bytes, int], bytes] = {}  # (kind, oid) -> frame
+        self._pending: list[bytes] = []
+        self._pending_bytes = 0
+        self._pending_last_lsn = 0
+        self._in_tx = False
+        self._roll_requested = False
+        self.durable_lsn = 0
+
+    @staticmethod
+    def _payload_kind(frame: bytes) -> bytes:
+        return frame[25:26] if len(frame) > 25 and frame[:1] == b"w" else b""
+
+    def append(self, frame: bytes) -> None:
+        kind = self._payload_kind(frame)
+        if kind in (b"R", b"Y"):
+            oid = struct.unpack_from(">i", frame, 26)[0]
+            self._schema_cache[(kind, oid)] = frame
+        elif kind == b"B":
+            self._in_tx = True
+        if self._pending or kind != b"":  # skip leading keepalive-only files
+            self._pending.append(frame)
+            self._pending_bytes += len(frame) + 4
+            if kind != b"":
+                self._pending_last_lsn = struct.unpack_from(">q", frame, 1)[0]
+        if (len(self._pending) >= self.max_frames
+                or self._pending_bytes >= self.max_bytes):
+            self._roll_requested = True
+        if kind == b"C":
+            self._in_tx = False
+        if self._roll_requested and not self._in_tx:
+            self.flush()
+
+    def flush(self) -> None:
+        """Write buffered frames as the next file (atomic rename) and
+        advance durable_lsn. No-op when nothing is buffered."""
+        if not self._pending:
+            self._roll_requested = False
+            return
+        path = os.path.join(self.out_dir, f"{self.seq:012d}{FRAME_FILE_SUFFIX}")
+        write_frame_file(path, self._pending)
+        self.seq += 1
+        self.durable_lsn = max(self.durable_lsn, self._pending_last_lsn)
+        # seed the NEXT file with the current schema frames (re-sent
+        # relation cache — self-containment clause of the contract)
+        self._pending = list(self._schema_cache.values())
+        self._pending_bytes = sum(len(f) + 4 for f in self._pending)
+        self._roll_requested = False
+
+    def close(self) -> None:
+        # a final file holding only re-sent schema frames is useless —
+        # drop the seed if no data frame followed it
+        if any(self._payload_kind(f) not in (b"R", b"Y")
+               for f in self._pending):
+            self.flush()
+        self._pending = []
+
+
+def capture_loop(source, writer: FrameFileWriter, ack,
+                 ack_interval_s: float = 5.0, clock=time.monotonic,
+                 stop=lambda: False) -> None:
+    """The receive loop (postrack.go:340-367 shape).
+
+    ``source`` yields message objects with ``payload`` / ``data_start``
+    / ``wal_end`` / ``send_time_us`` attributes (or None on a read
+    timeout); ``ack(lsn)`` sends StandbyStatusUpdate. Every
+    ``ack_interval_s`` the buffered frames are flushed to a durable
+    file FIRST and only the durable LSN is acked (see module
+    docstring). The loop exits when ``source`` is exhausted or
+    ``stop()`` turns true; a final flush+ack runs on exit.
+    """
+    last_ack = clock()
+    for msg in source:
+        if stop():
+            break
+        if msg is not None:
+            writer.append(
+                make_xlogdata_frame(msg.payload, msg.data_start,
+                                    msg.wal_end, msg.send_time_us)
+            )
+        if clock() - last_ack >= ack_interval_s:
+            writer.flush()
+            if writer.durable_lsn:
+                ack(writer.durable_lsn)
+            last_ack = clock()
+    writer.close()
+    if writer.durable_lsn:
+        ack(writer.durable_lsn)
+
+
+# ---------------------------------------------------------------- psycopg
+# Everything below needs a live Postgres + psycopg2; import-gated so the
+# rest of the module (and its tests) run without either.
+
+
+def _require_psycopg2():
+    try:
+        import psycopg2
+        import psycopg2.extras
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "capture daemon needs psycopg2 (pip install psycopg2-binary) "
+            "next to a live Postgres; the Spark side never does"
+        ) from e
+    return psycopg2
+
+
+class PsycopgExecutor:
+    """api.Executor backed by psycopg2: catalog SQL over a regular
+    connection (postrack.go:93 pool), replication commands over a
+    logical-replication connection (postrack.go:98 second conn with
+    ``?replication=database``)."""
+
+    def __init__(self, dsn: str) -> None:
+        pg = _require_psycopg2()
+        self._conn = pg.connect(dsn)
+        self._conn.autocommit = True
+        self._repl = pg.connect(
+            dsn, connection_factory=pg.extras.LogicalReplicationConnection
+        )
+
+    def query(self, sql: str, params: tuple = ()) -> list[tuple]:
+        with self._conn.cursor() as cur:
+            cur.execute(sql, params or None)
+            return cur.fetchall()
+
+    def command(self, sql: str) -> None:
+        with self._conn.cursor() as cur:
+            cur.execute(sql)
+
+    def replication_command(self, cmd: str) -> None:
+        with self._repl.cursor() as cur:
+            cur.execute(cmd)
+
+
+class _PsycopgMessage:
+    """Adapt psycopg2's ReplicationMessage to the loop's duck type."""
+
+    __slots__ = ("payload", "data_start", "wal_end", "send_time_us")
+
+    def __init__(self, msg) -> None:
+        self.payload = msg.payload
+        self.data_start = msg.data_start
+        self.wal_end = msg.wal_end
+        self.send_time_us = int(msg.send_time.timestamp() * 1_000_000)
+
+
+def run_daemon(dsn: str, slot: str, out_dir: str, publication: str,
+               start_lsn: int = 0, proto_version: int = 1,
+               ack_interval_s: float = 5.0, max_frames: int = 4096,
+               max_bytes: int = 16 << 20, stop=lambda: False) -> None:
+    """connect + StartReplication + pump (postrack.go:86-105 + 287-310).
+
+    Starts at ``start_lsn + 1`` like the reference (postrack.go:297's
+    ``pglogrepl.LSN(lsn+1)``); pass the last durable LSN to resume.
+    """
+    pg = _require_psycopg2()
+    repl = pg.connect(dsn, connection_factory=pg.extras.LogicalReplicationConnection)
+    cur = repl.cursor()
+    cur.start_replication(
+        slot_name=slot,
+        decode=False,
+        start_lsn=start_lsn + 1,
+        options={
+            "proto_version": str(proto_version),
+            "publication_names": publication,
+        },
+    )
+    writer = FrameFileWriter(out_dir, max_frames=max_frames, max_bytes=max_bytes)
+
+    def source():
+        import select as _select
+
+        while not stop():
+            msg = cur.read_message()  # non-blocking; None when idle
+            if msg is None:
+                # park on the socket (≡ ReceiveMessage's blocking read,
+                # postrack.go:344) but wake ≤1 s for the ack cadence
+                _select.select([repl], [], [], 1.0)
+            yield _PsycopgMessage(msg) if msg is not None else None
+
+    def ack(lsn: int) -> None:
+        cur.send_feedback(flush_lsn=lsn)
+
+    try:
+        capture_loop(source(), writer, ack, ack_interval_s=ack_interval_s,
+                     stop=stop)
+    finally:
+        repl.close()
