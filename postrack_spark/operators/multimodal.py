@@ -2,13 +2,14 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched Pandas pipelines over mapInPandas.
 
-The decode step is STUBBED (this environment has no image/audio
-codecs): `decode_media` raises NotImplementedError unless
-`fake_decode=True`, in which case a deterministic pseudo-decode derived
-from the payload bytes stands in. Everything Spark-side — the media
-schema, the mapInPandas batch iteration, the UDF signatures, output
-schemas, partition behavior — is real and tested; swapping the stub
-for PIL/ffmpeg changes one function.
+Codec availability (round 3): WAV audio decodes FOR REAL via stdlib
+``wave`` (no deps); images decode via PIL when importable (absent in
+this container -> NotImplementedError); video still needs ffmpeg and
+stays stubbed. `fake_decode=True` keeps the deterministic identity
+stand-in that the driver-facing queries oracle against byte-exactly.
+Everything Spark-side — the media schema, the mapInPandas batch
+iteration, the UDF signatures, output schemas, partition behavior — is
+identical across stub and real codec paths (tested both ways).
 
 Scale: payloads stay in executor memory one Arrow batch at a time
 (mapInPandas streams batches — never collect a 100 TB binary column);
@@ -48,14 +49,44 @@ def attach_payload(df: DataFrame, content_col: str, media_type: str) -> DataFram
 
 
 def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> bytes:
-    """STUB: real deployments plug PIL (image), soundfile (audio) or
-    ffmpeg (video) in here. The deterministic fake 'decodes' a payload
-    into itself so downstream plumbing is exercisable."""
-    if not fake_decode:
-        raise NotImplementedError(
-            f"no codec for {media_type} in this environment; pass fake_decode=True"
-        )
-    return payload
+    """Decode a media payload to raw bytes (PCM samples / RGB pixels).
+
+    Real codecs, seamed by availability (round 3):
+      * ``audio/wav`` — stdlib ``wave``: always available, returns the
+        raw PCM frame bytes. A genuinely real decode, no deps.
+      * ``image/*`` — PIL when importable (absent in this container),
+        returns packed RGB bytes.
+      * anything else (video needs ffmpeg) — NotImplementedError.
+
+    ``fake_decode=True`` keeps the deterministic identity stand-in the
+    driver-facing queries oracle against byte-exactly; the Spark-side
+    plumbing (mapInPandas batches, schemas, signatures) is identical
+    either way, so swapping stub -> codec changes nothing upstream.
+    """
+    if fake_decode:
+        return payload
+    mt = media_type.lower()
+    if mt in ("audio/wav", "audio/x-wav", "audio/wave"):
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return w.readframes(w.getnframes())
+    if mt.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                f"decoding {media_type} needs PIL (absent here); "
+                "pass fake_decode=True for the deterministic stub"
+            ) from e
+        with Image.open(io.BytesIO(payload)) as img:
+            return img.convert("RGB").tobytes()
+    raise NotImplementedError(
+        f"no codec for {media_type} in this environment; pass fake_decode=True"
+    )
 
 
 def extract_features(
