@@ -61,6 +61,14 @@ class DecoderState:
     # toplevel xid -> [(subxid, envelope_row)] buffered until
     # StreamCommit emits them / StreamAbort drops a subtransaction
     pending: dict[int, list[tuple[int, dict]]] = field(default_factory=dict)
+    # --- side channels (no envelope rows) ---
+    # replication origin of the current session's changes ('O' frames;
+    # set by cascading replication / logical failover setups)
+    origin: str | None = None
+    # pg_logical_emit_message payloads ('M' frames): dicts with
+    # lsn/prefix/content/transactional/txid — an out-of-band signal
+    # channel (schema markers, app checkpoints) a consumer can drain
+    messages: list[dict] = field(default_factory=list)
 
 
 def _cstring(buf: bytes, off: int) -> tuple[str, int]:
@@ -100,11 +108,16 @@ def _tuple_data(buf: bytes, off: int) -> tuple[list, int]:
             append(None)
         elif kind == 117:  # 'u' — unchanged TOAST
             append(UNCHANGED)
-        elif kind == 98:  # 'b' — binary (proto >=2); not produced at proto 1
+        elif kind == 98:  # 'b' — binary-format column (server sends it
+            # when the subscription negotiates binary; proto-version
+            # independent). Surface as Postgres's text-mode bytea form
+            # ("\\x<hex>") so a binary-negotiated stream yields the
+            # SAME envelope values a text stream would for bytea —
+            # typed projection downstream is protocol-agnostic.
             (ln,) = _UNPACK_I(buf, off)
             off += 4
             end = off + ln
-            append(buf[off:end].hex())
+            append("\\x" + buf[off:end].hex())
             off = end
         else:
             raise ValueError(f"unknown TupleData kind {bytes((kind,))!r}")
@@ -161,7 +174,7 @@ def decode_message(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
                 (s, r) for s, r in state.pending[xid] if s != subxid
             ]
         return []
-    if state.in_stream is not None and tag in (b"R", b"I", b"U", b"D", b"T", b"Y", b"O"):
+    if state.in_stream is not None and tag in (b"R", b"I", b"U", b"D", b"T", b"Y", b"O", b"M"):
         # streamed data message: tag, subxid int32, then the normal body
         (subxid,) = _UNPACK_I(msg, 1)
         rows = _decode_plain(tag + msg[5:], lsn, state)
@@ -236,7 +249,24 @@ def _decode_plain(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
             off += 4
             rel = state.relations[oid]
             out.append(_envelope(lsn, state, rel, "TRUNCATE", None, None))
-    # 'O' (Origin), 'Y' (Type), others: no rows
+    elif tag == b"O":  # Origin: commit_lsn int64, origin name cstring
+        name, _ = _cstring(msg, 9)
+        state.origin = name
+    elif tag == b"M":  # Message (pg_logical_emit_message): flags int8,
+        # lsn int64, prefix cstring, int32 length, content bytes
+        flags = msg[1]
+        (mlsn,) = struct.unpack_from(">q", msg, 2)
+        prefix, off = _cstring(msg, 10)
+        (ln,) = _UNPACK_I(msg, off)
+        off += 4
+        state.messages.append({
+            "lsn": mlsn,
+            "prefix": prefix,
+            "content": "\\x" + msg[off : off + ln].hex(),
+            "transactional": bool(flags & 1),
+            "txid": state.txid,
+        })
+    # 'Y' (Type), others: no rows
     return out
 
 
@@ -307,6 +337,8 @@ def _encode_tuple(values: list) -> bytes:
             out += b"n"
         elif v is UNCHANGED or v == UNCHANGED:
             out += b"u"
+        elif isinstance(v, (bytes, bytearray)):  # binary-format column
+            out += b"b" + struct.pack(">i", len(v)) + bytes(v)
         else:
             b = str(v).encode("utf-8")
             out += b"t" + struct.pack(">i", len(b)) + b
@@ -333,6 +365,17 @@ def encode_truncate(oids: list[int]) -> bytes:
     for oid in oids:
         out += struct.pack(">i", oid)
     return out
+
+
+def encode_origin(commit_lsn: int, name: str) -> bytes:
+    return b"O" + struct.pack(">q", commit_lsn) + name.encode() + b"\x00"
+
+
+def encode_logical_message(prefix: str, content: bytes, lsn: int = 0,
+                           transactional: bool = True) -> bytes:
+    return (b"M" + struct.pack(">bq", 1 if transactional else 0, lsn)
+            + prefix.encode() + b"\x00"
+            + struct.pack(">i", len(content)) + content)
 
 
 def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:

@@ -230,3 +230,101 @@ def test_streamed_transaction_full_abort_drops_everything():
     rows = decode_xlogdata_stream(frames, state)
     assert rows == []
     assert state.pending == {}  # buffer reclaimed
+
+
+def test_binary_tuple_kind_decodes_as_bytea_text():
+    """Round 3: TupleData kind 'b' (binary-format column, sent when the
+    subscription negotiates binary=on) decodes to Postgres's text-mode
+    bytea form "\\x<hex>" — a binary-negotiated stream yields the SAME
+    envelope values a text stream yields for bytea, so downstream typed
+    projection is protocol-agnostic."""
+    frames = [
+        wrap_xlogdata(encode_relation(300, "public", "blobs", ["id", "data"]), 1),
+        wrap_xlogdata(encode_begin(10, TS, 42), 2),
+        # bytes value -> encoder emits kind 'b'
+        wrap_xlogdata(encode_insert(300, ["7", b"\x01\xff\x00A"]), 3),
+        wrap_xlogdata(encode_commit(10, 10, TS), 4),
+    ]
+    state = DecoderState()
+    rows = decode_xlogdata_stream(frames, state)
+    assert state.parse_errors == 0
+    assert rows[0]["after"] == {"id": "7", "data": "\\x01ff0041"}
+
+
+def test_origin_frame_tracked_no_rows():
+    """'O' (Origin) frames carry the upstream node name in cascaded
+    setups: tracked on the decoder state, no envelope rows (matching
+    the reference, which ignores them entirely, postrack.go:368+)."""
+    from postrack_spark.sources.pgoutput import encode_origin
+
+    frames = [
+        wrap_xlogdata(encode_relation(101, "public", "orders", ORDERS_COLS), 1),
+        wrap_xlogdata(encode_begin(10, TS, 42), 2),
+        wrap_xlogdata(encode_origin(9, "upstream_node_a"), 3),
+        wrap_xlogdata(encode_insert(101, ["1", "O", "5.0"]), 4),
+        wrap_xlogdata(encode_commit(10, 10, TS), 5),
+    ]
+    state = DecoderState()
+    rows = decode_xlogdata_stream(frames, state)
+    assert state.parse_errors == 0
+    assert [r["op"] for r in rows] == ["INSERT"]
+    assert state.origin == "upstream_node_a"
+
+
+def test_logical_message_frame_drained_out_of_band():
+    """'M' (pg_logical_emit_message) frames surface on the decoder's
+    message side channel with prefix/content/txid — no envelope rows
+    (they have no table), but not silently dropped either."""
+    from postrack_spark.sources.pgoutput import encode_logical_message
+
+    frames = [
+        wrap_xlogdata(encode_relation(101, "public", "orders", ORDERS_COLS), 1),
+        wrap_xlogdata(encode_begin(10, TS, 42), 2),
+        wrap_xlogdata(encode_logical_message("app.ckpt", b"v7", lsn=11), 3),
+        wrap_xlogdata(encode_insert(101, ["1", "O", "5.0"]), 4),
+        wrap_xlogdata(encode_commit(10, 10, TS), 5),
+        # non-transactional message outside any tx
+        wrap_xlogdata(
+            encode_logical_message("app.beacon", b"\x00\x01", lsn=12,
+                                   transactional=False), 6
+        ),
+    ]
+    state = DecoderState()
+    rows = decode_xlogdata_stream(frames, state)
+    assert state.parse_errors == 0
+    assert [r["op"] for r in rows] == ["INSERT"]
+    assert state.messages == [
+        {"lsn": 11, "prefix": "app.ckpt", "content": "\\x7637",
+         "transactional": True, "txid": 42},
+        {"lsn": 12, "prefix": "app.beacon", "content": "\\x0001",
+         "transactional": False, "txid": None},
+    ]
+
+
+def test_streamed_logical_message_v2():
+    """'M' inside a v2 stream segment carries the subxid prefix like
+    every other streamed message; it must still land on the side
+    channel (not crash, not pollute the row buffer)."""
+    from postrack_spark.sources.pgoutput import (
+        encode_logical_message,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    frames = [
+        wrap_xlogdata(encode_relation(101, "public", "orders", ORDERS_COLS), 1),
+        wrap_xlogdata(encode_stream_start(900), 2),
+        wrap_xlogdata(
+            with_stream_xid(encode_logical_message("s.mark", b"z", lsn=21), 900), 3
+        ),
+        wrap_xlogdata(with_stream_xid(encode_insert(101, ["3", "O", "1.0"]), 900), 4),
+        wrap_xlogdata(encode_stream_stop(), 5),
+        wrap_xlogdata(encode_stream_commit(900, 30, 30, TS), 6),
+    ]
+    state = DecoderState()
+    rows = decode_xlogdata_stream(frames, state)
+    assert state.parse_errors == 0
+    assert [(r["op"], r["txid"]) for r in rows] == [("INSERT", 900)]
+    assert [(m["prefix"], m["content"]) for m in state.messages] == [("s.mark", "\\x7a")]
