@@ -5,6 +5,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query executes fully via the noop sink (no driver collect skew).
+Timing is the PER-QUERY MEDIAN of three full passes (round 3): single
+runs moved +-25% on machine noise between rounds (BENCH_r01 vs r02's
+sample_hash_deterministic), drowning real regressions; three
+round-robin passes (full set each pass, so repetitions of one query
+are spread across the wall-clock of the whole bench) give a median
+that is stable under transient load while still costing <1 minute.
 """
 
 from __future__ import annotations
@@ -70,11 +76,17 @@ def main() -> None:
     # One run at the timed SF so its parquet footers are cached too.
     specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    passes: list[dict[str, float]] = []
+    for _ in range(3):
+        one: dict[str, float] = {}
+        for name in names:
+            start = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            one[name] = time.perf_counter() - start
+        passes.append(one)
+    timings = {
+        name: round(sorted(p[name] for p in passes)[1], 3) for name in names
+    }
 
     total = round(sum(timings.values()), 3)
     r1_names = [n for n in HEADLINE[:R1_COMPARABLE] if n in timings]
@@ -86,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "r1_comparable_subtotal": round(sum(timings[n] for n in r1_names), 3),
+                "timing": "median_of_3_round_robin_passes",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pgoutput_decode_events_per_sec_1thread": _decode_rate(),
             }
