@@ -492,3 +492,56 @@ def window_centered_moving_average(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").over(w).cast("bigint").alias("win_days"),
         F.round(F.sum("n").over(w) / F.count("*").over(w), 6).alias("centered_ma7"),
     ).orderBy("day")
+
+
+@query(
+    "window_revenue_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT cents,
+             CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS INT) AS decile
+      FROM rev
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(cents) / 100.0, 2) AS revenue,
+           round(min(cents) / 100.0, 2) AS min_revenue,
+           round(max(cents) / 100.0, 2) AS max_revenue
+    FROM scored GROUP BY decile ORDER BY decile
+    """,
+)
+def window_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue deciles (the classic concentration report:
+    'the top decile holds X% of revenue'). The per-customer frame is
+    one row per customer — data-sized at 100 TB — so the decile
+    assignment uses operators/ranking.exact_ntile (range-partitioned
+    distributed rank; SQL-exact ntile semantics with deterministic
+    tie-breaks), NOT an unpartitioned ntile window: zero WindowExec in
+    the plan (audited). Money as integer cents end to end; one range
+    shuffle + two hash aggs."""
+    from postrack_spark.operators.ranking import exact_ntile
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    scored = exact_ntile(rev, 10, [F.desc("cents"), F.asc("o_custkey")], "decile")
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.min("cents") / 100.0, 2).alias("min_revenue"),
+            F.round(F.max("cents") / 100.0, 2).alias("max_revenue"),
+        )
+        .orderBy("decile")
+    )

@@ -254,3 +254,9 @@ def test_attribution_single_key_partitioning(spark, qs):
     feats = assert_plan(_df(qs, "events_attribution_clicks", spark),
                         python_evals=0)
     assert feats["sortmerge_joins"] == 0 and feats["bnl_joins"] == 0
+
+
+def test_revenue_deciles_no_window(spark, qs):
+    # round-3 exact_ntile showcase: data-sized per-customer frame,
+    # decile assignment with zero WindowExec anywhere in the plan
+    assert_plan(_df(qs, "window_revenue_deciles", spark), windows=0, python_evals=0)
