@@ -153,6 +153,22 @@ def main() -> None:
     tris = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"], "left_semi")
     run("triangles_10x", tris.agg(F.count("*").alias("n")))
 
+    # 4. Distributed exact ranking over 10x customers: the round-3
+    #    no-window ntile path (range shuffle + offsets joins). Growth
+    #    should track the range shuffle, i.e. ~linear in rows.
+    from postrack_spark.operators.ranking import exact_ntile
+
+    ord10 = shifted_union(t["orders"], {"o_custkey": 10_000_000})
+    rev10 = ord10.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    run(
+        "exact_ntile_10x",
+        exact_ntile(rev10, 10, [F.desc("cents"), F.asc("o_custkey")], "decile")
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents")),
+    )
+
     print(json.dumps({"metric": "stress_10x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": 10, "timings": timings}))
     spark.stop()

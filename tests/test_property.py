@@ -245,3 +245,43 @@ def test_resolve_unchanged_matches_sequential_model(spark, seq):
         ).collect()
     }
     assert {int(k): v for k, v in model.items()} == out
+
+
+# 5. Random frames + random bucket counts -> operators/ranking must
+#    equal the SQL window semantics it replaces (round 3: the
+#    no-single-partition-window path). A pure-Python ntile model checks
+#    the formula; the Spark window is the engine cross-check.
+
+
+def _model_ntile(n: int, k: int) -> list[int]:
+    """SQL ntile: first n%k buckets get ceil(n/k) rows."""
+    q, r = divmod(n, k)
+    out = []
+    for b in range(1, k + 1):
+        out.extend([b] * (q + 1 if b <= r else q))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50),
+                  min_size=1, max_size=120),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_exact_ntile_matches_sql_semantics(spark, vals, k):
+    from postrack_spark.operators.ranking import exact_ntile, global_row_number
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+    order = [F.asc("v"), F.asc("id")]  # unique tie-break -> total order
+    got = {
+        r["id"]: (r["rn"], r["b"])
+        for r in exact_ntile(
+            global_row_number(df, order, "rn"), k, order, "b"
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    model = _model_ntile(len(vals), k)
+    for pos, (rid, _v) in enumerate(ordered):
+        assert got[rid] == (pos + 1, model[pos])
