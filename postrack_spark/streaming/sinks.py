@@ -72,23 +72,54 @@ def _swap_pointer(target: str, lineage: str, batch_id: int, version: str) -> Non
     os.replace(tmp, os.path.join(target, _POINTER))
 
 
-def _gc_versions(target: str, keep: set[str]) -> None:
-    """Drop version dirs other than the live one and its predecessor
-    (kept so a concurrent read_view started pre-swap finishes clean)."""
-    for name in os.listdir(target):
-        if name.startswith("v") and name not in keep:
+def _gc_versions(target: str, keep_depth: int, live: str) -> None:
+    """Retain the LIVE version unconditionally plus the newest
+    ``keep_depth`` dirs (predecessor kept so a concurrent read_view
+    started pre-swap finishes clean; extra depth = time-travel
+    window). The live dir is pinned by name, not by sort order: a
+    fresh lineage restarts batch ids at 0, so the live version can be
+    lexicographically OLDEST."""
+    versions = sorted(
+        name for name in os.listdir(target)
+        if name.startswith("v") and name[1:].isdigit()
+    )
+    keep = set(versions[-keep_depth:]) if keep_depth else set()
+    keep.add(live)
+    for name in versions:
+        if name not in keep:
             shutil.rmtree(os.path.join(target, name), ignore_errors=True)
 
 
-def read_view(spark: SparkSession, target: str) -> DataFrame:
-    """Read the live version of a sink-maintained view."""
-    _, _, version = _read_pointer(target)
-    if version is None:
+def read_view(spark: SparkSession, target: str,
+              version: int | None = None) -> DataFrame:
+    """Read a sink-maintained view: the live version by default, or a
+    specific retained ``version`` (batch id) — parquet-native time
+    travel over the version directories the sink keeps (``keep_depth``
+    of them; the moral equivalent of a Delta/Iceberg snapshot read)."""
+    if version is not None:
+        path = os.path.join(target, f"v{version:08d}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {version} not retained under {target}; "
+                f"available: {list_versions(target)}"
+            )
+        return spark.read.parquet(path)
+    _, _, live = _read_pointer(target)
+    if live is None:
         raise FileNotFoundError(f"no committed version under {target}")
-    return spark.read.parquet(version)
+    return spark.read.parquet(live)
 
 
-def _versioned_batch(target: str, lineage: str, merge):
+def list_versions(target: str) -> list[int]:
+    """Batch ids of the retained version snapshots (ascending)."""
+    return sorted(
+        int(name[1:])
+        for name in os.listdir(target)
+        if name.startswith("v") and name[1:].isdigit()
+    )
+
+
+def _versioned_batch(target: str, lineage: str, merge, keep_depth: int = 2):
     """Wrap ``merge(base_df_or_None, batch_df) -> merged_df`` in the
     versioned skip/write/swap protocol. Exposed for direct unit tests
     of replay idempotence (tests/test_streaming.py)."""
@@ -104,9 +135,8 @@ def _versioned_batch(target: str, lineage: str, merge):
         vname = f"v{batch_id:08d}"
         vpath = os.path.join(target, vname)
         merged.write.mode("overwrite").parquet(vpath)
-        prev = os.path.basename(version) if version is not None else None
         _swap_pointer(target, lineage, batch_id, vname)
-        _gc_versions(target, {vname} | ({prev} if prev else set()))
+        _gc_versions(target, keep_depth, vname)
 
     return apply_batch
 
@@ -117,6 +147,7 @@ def foreach_batch_apply_changes(
     target_dir: str | None = None,
     key_name: str = "__key",
     checkpoint_dir: str | None = None,
+    keep_depth: int = 2,
 ) -> tuple[str, object]:
     """Incrementally materialize a CDC stream into a parquet view.
 
@@ -166,7 +197,7 @@ def foreach_batch_apply_changes(
 
     query = (
         changes_stream.writeStream.foreachBatch(
-            _versioned_batch(target, checkpoint, merge)
+            _versioned_batch(target, checkpoint, merge, keep_depth)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -182,6 +213,7 @@ def foreach_batch_incremental_agg(
     target_dir: str | None = None,
     checkpoint_dir: str | None = None,
     count_name: str = "n_rows",
+    keep_depth: int = 2,
 ) -> tuple[str, object]:
     """Maintain a grouped aggregate view incrementally across
     micro-batches (streaming IVM; see cdc/ivm.py for the batch form).
@@ -247,7 +279,7 @@ def foreach_batch_incremental_agg(
 
     query = (
         changes_stream.writeStream.foreachBatch(
-            _versioned_batch(target, checkpoint, merge)
+            _versioned_batch(target, checkpoint, merge, keep_depth)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from postrack_spark.cdc import orders_changes, typed_column
@@ -213,3 +214,40 @@ def test_versioned_batch_schema_drift_raises(spark):
         apply(spark.createDataFrame([(1.5,)], "y double"), 1)
     # the committed view is untouched by the failed batch
     assert read_view(spark, target).count() == 1
+
+
+def test_versioned_time_travel_and_lineage_restart_gc(spark):
+    """read_view(version=N) reads a retained snapshot; and when a FRESH
+    lineage restarts batch ids at 0, GC must never delete the live
+    version even though it sorts lexicographically oldest."""
+    from postrack_spark.streaming.sinks import (
+        _versioned_batch,
+        list_versions,
+        read_view,
+    )
+
+    target = tempfile.mkdtemp(prefix="vt_")
+
+    def merge(base, batch_df):
+        part = batch_df.groupBy("k").agg(F.sum("x").cast("bigint").alias("x"))
+        if base is None:
+            return part
+        return base.unionByName(part).groupBy("k").agg(
+            F.sum("x").cast("bigint").alias("x")
+        )
+
+    apply = _versioned_batch(target, "ckpt-A", merge, keep_depth=3)
+    for i in range(4):
+        apply(spark.createDataFrame([("a", 1)], "k string, x int"), i)
+    # keep_depth=3: versions 1,2,3 retained, 0 collected
+    assert list_versions(target) == [1, 2, 3]
+    assert read_view(spark, target).collect()[0]["x"] == 4      # live (v3)
+    assert read_view(spark, target, version=2).collect()[0]["x"] == 3
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        read_view(spark, target, version=0)
+
+    # fresh lineage restarts at batch 0 -> v0 is live but sorts oldest
+    apply_b = _versioned_batch(target, "ckpt-B", merge, keep_depth=2)
+    apply_b(spark.createDataFrame([("a", 10)], "k string, x int"), 0)
+    assert 0 in list_versions(target), "GC deleted the live version"
+    assert read_view(spark, target).collect()[0]["x"] == 14
