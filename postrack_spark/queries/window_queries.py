@@ -545,3 +545,83 @@ def window_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "agg_exact_percentile_rank",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM v
+    )
+    SELECT
+      CAST(max(n) AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN ((n-1)*50) % 100 = 0 AND rn = 1 + ((n-1)*50) // 100
+                      THEN cents * 100
+                    WHEN rn = 1 + ((n-1)*50) // 100
+                      THEN cents * (100 - ((n-1)*50) % 100)
+                    WHEN ((n-1)*50) % 100 > 0 AND rn = 2 + ((n-1)*50) // 100
+                      THEN cents * (((n-1)*50) % 100)
+               END) AS BIGINT) AS p50_cents_x100,
+      CAST(sum(CASE WHEN ((n-1)*90) % 100 = 0 AND rn = 1 + ((n-1)*90) // 100
+                      THEN cents * 100
+                    WHEN rn = 1 + ((n-1)*90) // 100
+                      THEN cents * (100 - ((n-1)*90) % 100)
+                    WHEN ((n-1)*90) % 100 > 0 AND rn = 2 + ((n-1)*90) // 100
+                      THEN cents * (((n-1)*90) % 100)
+               END) AS BIGINT) AS p90_cents_x100,
+      CAST(sum(CASE WHEN ((n-1)*99) % 100 = 0 AND rn = 1 + ((n-1)*99) // 100
+                      THEN cents * 100
+                    WHEN rn = 1 + ((n-1)*99) // 100
+                      THEN cents * (100 - ((n-1)*99) % 100)
+                    WHEN ((n-1)*99) % 100 > 0 AND rn = 2 + ((n-1)*99) // 100
+                      THEN cents * (((n-1)*99) % 100)
+               END) AS BIGINT) AS p99_cents_x100
+    FROM r
+    """,
+)
+def agg_exact_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles at scale: rank-based selection instead
+    of a value-buffering percentile aggregate. Spark's `percentile`
+    holds every (value, count) in the final reducer's buffer —
+    agg_percentiles documents that limit; THIS query is the
+    100 TB-correct exact path: one distributed global rank
+    (operators/ranking, range shuffle, no window), the boundary ranks
+    for each requested p computed from the broadcast row count, and
+    continuous interpolation done in INTEGER hundredth-of-cent space
+    (quantile_cont semantics, zero float divergence cross-engine).
+    One O(n) conditional-sum pass selects and interpolates the <=6
+    boundary rows; everything else contributes NULL."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    v = t["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_row_number(v, [F.asc("cents"), F.asc("o_orderkey")], "rn")
+    total = v.groupBy().agg(F.count("*").alias("n"))
+    j = ranked.join(F.broadcast(total))
+
+    def interp(k: int):
+        pos = (F.col("n") - 1) * k  # hundredths above rank 1
+        lo = 1 + F.floor(pos / 100)
+        frac = pos % 100
+        c = F.col("cents")
+        return F.sum(
+            F.when((frac == 0) & (F.col("rn") == lo), c * 100)
+            .when(F.col("rn") == lo, c * (100 - frac))
+            .when((frac > 0) & (F.col("rn") == lo + 1), c * frac)
+        ).cast("bigint")
+
+    return j.agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        interp(50).alias("p50_cents_x100"),
+        interp(90).alias("p90_cents_x100"),
+        interp(99).alias("p99_cents_x100"),
+    )

@@ -260,3 +260,14 @@ def test_revenue_deciles_no_window(spark, qs):
     # round-3 exact_ntile showcase: data-sized per-customer frame,
     # decile assignment with zero WindowExec anywhere in the plan
     assert_plan(_df(qs, "window_revenue_deciles", spark), windows=0, python_evals=0)
+
+
+def test_exact_percentile_rank_no_window_no_value_buffer(spark, qs):
+    # the 100TB-correct exact-percentile path: distributed rank + one
+    # conditional-sum pass; no WindowExec, no Python, and crucially NO
+    # `percentile` aggregate (whose final buffer holds all values)
+    feats = assert_plan(_df(qs, "agg_exact_percentile_rank", spark),
+                        windows=0, python_evals=0)
+    assert "percentile" not in explain_string(
+        _df(qs, "agg_exact_percentile_rank", spark), "simple"
+    ).lower()
