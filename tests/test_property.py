@@ -285,3 +285,60 @@ def test_exact_ntile_matches_sql_semantics(spark, vals, k):
     model = _model_ntile(len(vals), k)
     for pos, (rid, _v) in enumerate(ordered):
         assert got[rid] == (pos + 1, model[pos])
+
+
+# 6. Random at-least-once delivery schedules -> the versioned sink must
+#    produce exactly-once effects (round 3). The model applies each
+#    batch once in order; the sink sees arbitrary re-deliveries (crash
+#    replays of earlier batch ids) interleaved with progress.
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    batches=st.lists(
+        st.lists(st.tuples(st.sampled_from("abcd"), st.integers(-5, 5)),
+                 min_size=1, max_size=4),
+        min_size=1, max_size=5,
+    ),
+    replays=st.lists(st.integers(0, 4), max_size=6),
+)
+def test_versioned_sink_exactly_once_under_replay(spark, batches, replays):
+    import tempfile
+
+    from postrack_spark.streaming.sinks import _versioned_batch, read_view
+
+    target = tempfile.mkdtemp(prefix="prop_sink_")
+
+    def merge(base, batch_df):
+        part = batch_df.groupBy("k").agg(F.sum("x").cast("bigint").alias("x"))
+        if base is None:
+            return part
+        return base.unionByName(part).groupBy("k").agg(
+            F.sum("x").cast("bigint").alias("x")
+        )
+
+    apply = _versioned_batch(target, "lineage-1", merge)
+
+    def df_of(batch):
+        return spark.createDataFrame(batch, "k string, x int")
+
+    # delivery schedule: each batch in order, with random re-deliveries
+    # of any ALREADY-DELIVERED batch id injected before/afterwards
+    delivered = 0
+    for bid, batch in enumerate(batches):
+        for r in replays:
+            if r < delivered:
+                apply(df_of(batches[r]), r)  # crash replay: must no-op
+        apply(df_of(batch), bid)
+        delivered = bid + 1
+        for r in replays:
+            if r < delivered:
+                apply(df_of(batches[r]), r)
+
+    model: dict[str, int] = {}
+    for batch in batches:  # exactly-once model
+        for k, x in batch:
+            model[k] = model.get(k, 0) + x
+    got = {r["k"]: r["x"] for r in read_view(spark, target).collect()}
+    assert got == model
