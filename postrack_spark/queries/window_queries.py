@@ -625,3 +625,86 @@ def agg_exact_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp(90).alias("p90_cents_x100"),
         interp(99).alias("p99_cents_x100"),
     )
+
+
+@query(
+    "agg_group_percentile_rank",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM v
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN ((n-1)*50) % 100 = 0 AND rn = 1 + ((n-1)*50) // 100
+                           THEN cents * 100
+                         WHEN rn = 1 + ((n-1)*50) // 100
+                           THEN cents * (100 - ((n-1)*50) % 100)
+                         WHEN ((n-1)*50) % 100 > 0 AND rn = 2 + ((n-1)*50) // 100
+                           THEN cents * (((n-1)*50) % 100)
+                    END) AS BIGINT) AS p50_cents_x100,
+           CAST(sum(CASE WHEN ((n-1)*95) % 100 = 0 AND rn = 1 + ((n-1)*95) // 100
+                           THEN cents * 100
+                         WHEN rn = 1 + ((n-1)*95) // 100
+                           THEN cents * (100 - ((n-1)*95) % 100)
+                         WHEN ((n-1)*95) % 100 > 0 AND rn = 2 + ((n-1)*95) // 100
+                           THEN cents * (((n-1)*95) % 100)
+                    END) AS BIGINT) AS p95_cents_x100
+    FROM r
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_group_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PER-GROUP percentiles without value buffering — the
+    grouped companion of agg_exact_percentile_rank. Here the rank is an
+    ordinary PARTITIONED window (one shuffle on the group key, state =
+    one counter per task), the group sizes ride along as a partitioned
+    count window, and the same integer-space interpolation picks the
+    boundary rows in one grouped conditional-sum. Unlike the exact
+    `percentile` aggregate (buffer = every distinct value per group,
+    the limit agg_percentiles documents), per-task state here is O(1):
+    this shape survives both many groups AND huge groups."""
+    t = load_tables(spark, sf_dir)
+    v = t["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    r = v.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def interp(k: int):
+        pos = (F.col("n") - 1) * k
+        lo = 1 + F.floor(pos / 100)
+        frac = pos % 100
+        c = F.col("cents")
+        return F.sum(
+            F.when((frac == 0) & (F.col("rn") == lo), c * 100)
+            .when(F.col("rn") == lo, c * (100 - frac))
+            .when((frac > 0) & (F.col("rn") == lo + 1), c * frac)
+        ).cast("bigint")
+
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            interp(50).alias("p50_cents_x100"),
+            interp(95).alias("p95_cents_x100"),
+        )
+        .orderBy("o_orderpriority")
+    )
