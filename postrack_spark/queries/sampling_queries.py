@@ -10,7 +10,7 @@ samples. `('0x' || substr(md5(k),1,8))::BIGINT` ≡ Spark
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from postrack_spark.operators.dedup import (
@@ -328,4 +328,68 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars_out"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    tagged AS (
+      SELECT source, doc_id, n,
+             CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+                  WHEN rn <= (n * 9) // 10 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM tagged
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test split with EXACT per-stratum
+    proportions: hash-membership splits (sample_split_train_eval) hit
+    the target fractions only in expectation, which skews small or
+    skewed strata; here each stratum is ranked in deterministic md5
+    order (engine-portable, seedless) by a PARTITIONED window and cut
+    at exact floor(n*8/10) / floor(n*9/10) boundaries — per-stratum
+    counts are exactly reproducible, every stratum is represented in
+    every split (n >= 3), and the order is stable across engines and
+    runs. One shuffle on the stratum key; O(1) window state."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wn = W.partitionBy("source")
+    ranked = t["documents"].select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    tagged = ranked.withColumn(
+        "split",
+        F.when(F.col("rn") <= F.floor(F.col("n") * 8 / 10), "train")
+        .when(F.col("rn") <= F.floor(F.col("n") * 9 / 10), "val")
+        .otherwise("test"),
+    )
+    return (
+        tagged.groupBy("source", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("source", "split")
     )

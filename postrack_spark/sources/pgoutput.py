@@ -69,6 +69,10 @@ class DecoderState:
     # lsn/prefix/content/transactional/txid — an out-of-band signal
     # channel (schema markers, app checkpoints) a consumer can drain
     messages: list[dict] = field(default_factory=list)
+    # Type ('Y') messages: custom/composite type oid -> qualified name
+    # (the server sends one per non-builtin column type; builtin types
+    # never get a Type message, so absence here means "builtin")
+    types: dict[int, str] = field(default_factory=dict)
 
 
 def _cstring(buf: bytes, off: int) -> tuple[str, int]:
@@ -266,7 +270,12 @@ def _decode_plain(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
             "transactional": bool(flags & 1),
             "txid": state.txid,
         })
-    # 'Y' (Type), others: no rows
+    elif tag == b"Y":  # Type: oid int32, namespace cstring, name cstring
+        (toid,) = _UNPACK_I(msg, 1)
+        ns, off = _cstring(msg, 5)
+        tname, _ = _cstring(msg, off)
+        state.types[toid] = f"{ns}.{tname}" if ns else tname
+    # others: no rows
     return out
 
 
@@ -365,6 +374,11 @@ def encode_truncate(oids: list[int]) -> bytes:
     for oid in oids:
         out += struct.pack(">i", oid)
     return out
+
+
+def encode_type(oid: int, namespace: str, name: str) -> bytes:
+    return (b"Y" + struct.pack(">i", oid)
+            + namespace.encode() + b"\x00" + name.encode() + b"\x00")
 
 
 def encode_origin(commit_lsn: int, name: str) -> bytes:

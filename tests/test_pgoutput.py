@@ -328,3 +328,23 @@ def test_streamed_logical_message_v2():
     assert state.parse_errors == 0
     assert [(r["op"], r["txid"]) for r in rows] == [("INSERT", 900)]
     assert [(m["prefix"], m["content"]) for m in state.messages] == [("s.mark", "\\x7a")]
+
+
+def test_type_message_populates_type_cache():
+    """'Y' (Type) frames name non-builtin column types; the decoder
+    caches oid -> qualified name (absence = builtin) — the capture
+    writer already re-sends them per file for self-containment."""
+    from postrack_spark.sources.pgoutput import encode_type
+
+    frames = [
+        wrap_xlogdata(encode_type(16385, "public", "order_status_enum"), 1),
+        wrap_xlogdata(encode_relation(101, "public", "orders", ORDERS_COLS), 2),
+        wrap_xlogdata(encode_begin(10, TS, 42), 3),
+        wrap_xlogdata(encode_insert(101, ["1", "O", "5.0"]), 4),
+        wrap_xlogdata(encode_commit(10, 10, TS), 5),
+    ]
+    state = DecoderState()
+    rows = decode_xlogdata_stream(frames, state)
+    assert state.parse_errors == 0
+    assert [r["op"] for r in rows] == ["INSERT"]
+    assert state.types == {16385: "public.order_status_enum"}
