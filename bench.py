@@ -50,6 +50,9 @@ HEADLINE = [
     "cdc_incremental_agg",
     "graph_triangle_count",
     "text_repetition_filter",
+    # round-3 additions: distributed exact ranking family
+    "window_revenue_deciles",
+    "agg_exact_percentile_rank",
 ]
 R1_COMPARABLE = 15  # first N entries = round-1 headline set
 
