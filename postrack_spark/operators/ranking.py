@@ -62,7 +62,13 @@ def global_row_number(
     joins; no WindowExec, no collect.
     """
     spark = df.sparkSession
-    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions:
+        nparts = num_partitions
+    else:
+        conf = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        # the conf may be "auto" under some AQE setups; fall back to
+        # the cluster's default parallelism
+        nparts = int(conf) if conf.isdigit() else spark.sparkContext.defaultParallelism
     part = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(*order_cols)
     mid = part.withColumn("__mid", F.monotonically_increasing_id())
     keyed = mid.withColumn(
@@ -94,6 +100,8 @@ def exact_ntile(
     position-based semantics (first n%k buckets get one extra row),
     computed from the distributed global row number plus one tiny
     total-count broadcast. Zero WindowExec nodes in the plan."""
+    if k < 1:
+        raise ValueError(f"ntile bucket count must be >= 1, got {k}")
     ranked = global_row_number(df, order_cols, rank_col="__rn",
                                num_partitions=num_partitions)
     total = ranked.groupBy().agg(F.count("*").alias("__n"))
