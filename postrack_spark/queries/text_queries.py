@@ -926,3 +926,70 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             (tf.tf * 1000000 * n.n_docs) // df.df AS score_micro
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tf, df, score_micro,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_micro DESC, tok) AS INT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, df, score_micro, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: top-3 tokens per doc
+    scored tf * N / df, computed ENTIRELY in integer micro-units
+    (score_micro = tf * 1e6 * N // df) — no ln(), so the score is
+    bit-exact cross-engine (libm log differs in the last ulp between
+    engines; a ratio ranking is order-equivalent to log-idf ranking for
+    fixed tf... and exactly reproducible). Scale: two hash aggs (tf per
+    (doc, tok), df per tok), one vocab-keyed shuffle join, a 1-row N
+    broadcast, and a per-doc top-3 window (partitioned — bounded
+    state). Integer headroom: tf * 1e6 * N needs ~60 bits at 1e10 docs
+    with tf <= 1e3; rescale the micro factor at larger corpora."""
+    t = load_tables(spark, sf_dir)
+    toks = fan_out(t["documents"]).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    df = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n = t["documents"].groupBy().agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))  # 1-row corpus size
+        .withColumn(
+            "score_micro",
+            F.expr("(tf * 1000000 * n_docs) div df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score_micro", "rank")
+        .orderBy("doc_id", "rank")
+    )
