@@ -993,3 +993,102 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", "tf", "df", "score_micro", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@query(
+    "text_bm25_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_len
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('fast', 'value', 'error')
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks WHERE tok IN ('fast', 'value', 'error')
+      GROUP BY tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             -- idf_micro = 1e6 * (2N - 2df + 1) // (2df + 1)
+             -- tf-part   = 44*L*tf // (20*L*tf + 6*L + 18*dl*N)  (k1=1.2, b=0.75)
+             ((1000000 * (2*c.n_docs - 2*df.df + 1)) // (2*df.df + 1))
+               * (44 * c.total_len * tf.tf)
+               // (20 * c.total_len * tf.tf + 6 * c.total_len + 18 * dl.dl * c.n_docs)
+               AS term_score_micro
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus c
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT) AS bm25_micro,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_micro, n_terms_hit
+    FROM agg
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for the fixed query
+    {fast, value, error}: top-10 documents by summed per-term score.
+    All arithmetic is STAGED INTEGER math — idf as the rational
+    (N - df + .5)/(df + .5) in micro-units, the tf saturation as
+    44*L*tf / (20*L*tf + 6*L + 18*dl*N) with L = total corpus tokens —
+    so every engine computes the identical bigint (floor divisions are
+    exact; no libm). Scale: the tf/df aggs PRE-FILTER to the query
+    terms (predicate inside the scan stage), the per-doc length table
+    joins on doc_id, corpus stats broadcast as one row, and the top-10
+    is orderBy().limit() = TakeOrderedAndProject. Headroom: the
+    numerator needs ~63 bits when L*tf ~ 1e14; shrink the micro factor
+    for larger corpora."""
+    t = load_tables(spark, sf_dir)
+    terms = ["fast", "value", "error"]
+    docs = fan_out(t["documents"])
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok").isin(terms)
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    corpus = docs.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_len"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    df = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "term_score_micro",
+            F.expr(
+                "((1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1))"
+                " * (44 * total_len * tf)"
+                " div (20 * total_len * tf + 6 * total_len + 18 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score_micro").cast("bigint").alias("bm25_micro"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(10)
+    )
