@@ -11,6 +11,8 @@ docstrings for scale design notes):
   sampling    (deterministic hash sampling / splits / caps — see module)
   multimodal  attach_payload extract_features resize_media sample_frames
   skew        with_salt salted_agg salted_join
+  ranking     global_row_number exact_ntile (distributed exact rank —
+              zero single-partition windows)
 """
 
 from postrack_spark.operators.dedup import (
@@ -22,6 +24,7 @@ from postrack_spark.operators.dedup import (
     normalized_duplicates,
     simhash_bits,
 )
+from postrack_spark.operators.ranking import exact_ntile, global_row_number
 from postrack_spark.operators.multimodal import (
     attach_payload,
     extract_features,
@@ -57,4 +60,6 @@ __all__ = [
     "with_salt",
     "salted_agg",
     "salted_join",
+    "global_row_number",
+    "exact_ntile",
 ]

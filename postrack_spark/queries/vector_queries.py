@@ -678,3 +678,139 @@ def vector_ivf_recall_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+@query(
+    "retrieval_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_len
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('fast', 'value', 'error')
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks WHERE tok IN ('fast', 'value', 'error')
+      GROUP BY tok
+    ),
+    bm25 AS (
+      SELECT tf.doc_id,
+             CAST(sum(((1000000 * (2*c.n_docs - 2*df.df + 1)) // (2*df.df + 1))
+               * (44 * c.total_len * tf.tf)
+               // (20 * c.total_len * tf.tf + 6 * c.total_len + 18 * dl.dl * c.n_docs))
+               AS BIGINT) AS bm25_micro
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus c
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS r_lex
+      FROM bm25
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT vec_id AS id, list_cosine_similarity(embedding::DOUBLE[], q_vec) AS sim
+      FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+    ),
+    vec AS (
+      SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r_vec FROM sims
+    ),
+    fused AS (
+      SELECT coalesce(lex.id, vec.id) AS id,
+             CAST(coalesce(1000000 // (60 + r_lex), 0)
+                + coalesce(1000000 // (60 + r_vec), 0) AS BIGINT) AS rrf_micro,
+             CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec
+      FROM lex FULL OUTER JOIN vec USING (id)
+    )
+    SELECT id, rrf_micro, r_lex, r_vec
+    FROM fused
+    ORDER BY rrf_micro DESC, id
+    LIMIT 10
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval capstone: reciprocal-rank fusion (k=60) of the
+    lexical BM25 ranking (staged-integer scoring over the fixed query
+    {fast, value, error}) and the dense cosine ranking against the
+    vec_id-0 embedding, joined on document id. BOTH rank lists are
+    corpus-sized hit sets at 100 TB, so each is ranked with
+    operators/ranking.global_row_number (range shuffle, zero
+    WindowExec) rather than an unpartitioned row_number; the fusion is
+    integer micro-units (1e6 // (60 + rank)), a full-outer join on id,
+    and a TakeOrderedAndProject top-10. Cross-engine exact: BM25 is
+    all-integer, the cosine doubles are bit-identical to DuckDB's
+    list_cosine_similarity (same fold — proven by the hash-gated
+    vector_knn_bruteforce), and RRF is integer floor division."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    terms = ["fast", "value", "error"]
+    docs = fan_out(t["documents"])
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok").isin(terms)
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
+    corpus = docs.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_len"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    bm25 = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "s",
+            F.expr(
+                "((1000000 * (2*n_docs - 2*df + 1)) div (2*df + 1))"
+                " * (44 * total_len * tf)"
+                " div (20 * total_len * tf + 6 * total_len + 18 * dl * n_docs)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").cast("bigint").alias("bm25_micro"))
+    )
+    lex = global_row_number(
+        bm25, [F.desc("bm25_micro"), F.asc("doc_id")], "r_lex"
+    ).select(F.col("doc_id").alias("id"), "r_lex")
+
+    emb = fan_out(t["embeddings"])
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array("embedding").alias("q_vec")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))  # 1-row query vector
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine(as_double_array("embedding"), F.col("q_vec")).alias("sim"),
+        )
+    )
+    vec = global_row_number(sims, [F.desc("sim"), F.asc("id")], "r_vec").select(
+        "id", "r_vec"
+    )
+    fused = (
+        lex.join(vec, "id", "full_outer")
+        .select(
+            "id",
+            (
+                F.coalesce(F.expr("1000000 div (60 + r_lex)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 div (60 + r_vec)"), F.lit(0))
+            ).cast("bigint").alias("rrf_micro"),
+            F.col("r_lex").cast("bigint").alias("r_lex"),
+            F.col("r_vec").cast("bigint").alias("r_vec"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(10)
