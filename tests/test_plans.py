@@ -271,3 +271,18 @@ def test_exact_percentile_rank_no_window_no_value_buffer(spark, qs):
     assert "percentile" not in explain_string(
         _df(qs, "agg_exact_percentile_rank", spark), "simple"
     ).lower()
+
+
+def test_bm25_prefilter_and_takeordered(spark, qs):
+    # query-term pre-filter must evaluate inside the scan stage (no
+    # full-vocabulary agg) and the top-10 must be TakeOrderedAndProject
+    feats = assert_plan(_df(qs, "text_bm25_retrieval", spark),
+                        windows=0, python_evals=0)
+    simple = explain_string(_df(qs, "text_bm25_retrieval", spark), "simple")
+    assert "TakeOrderedAndProject" in simple
+
+
+def test_rrf_fusion_no_windows(spark, qs):
+    # both corpus-sized rank lists go through global_row_number
+    assert_plan(_df(qs, "retrieval_rrf_fusion", spark),
+                windows=0, python_evals=0)
