@@ -189,3 +189,71 @@ def test_live_postgres_roundtrip(spark):  # pragma: no cover - env-gated
     register(spark)
     df = spark.read.format("postgres_cdc").option("capture_dir", d).load()
     assert df.filter("op = 'INSERT' and `table` = 'postrack_it'").count() >= 1
+
+
+def test_daemon_then_streaming_resume_e2e(spark):
+    """The full capture seam, twice over: daemon run 1 writes files ->
+    Spark streams them (checkpointed); daemon run 2 RESUMES the file
+    sequence (new writer, same dir — a daemon restart) -> the stream
+    restart on the same checkpoint reads ONLY the new files. This is
+    the deployment loop: capture restarts and stream restarts compose
+    without duplicating or dropping events."""
+    import struct
+
+    from postrack_spark.sources.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+        wrap_xlogdata,
+    )
+    from tests.test_pgoutput import ORDERS_COLS, TS
+
+    d = tempfile.mkdtemp(prefix="daemon_e2e_")
+    ckpt = tempfile.mkdtemp(prefix="daemon_e2e_ckpt_")
+    out = tempfile.mkdtemp(prefix="daemon_e2e_out_")
+
+    writer = FrameFileWriter(d, max_frames=4)
+    capture_loop(iter(_golden_messages()), writer, ack=lambda lsn: None)
+
+    from postrack_spark.sources.postgres_cdc import register
+
+    register(spark)
+
+    def run_stream():
+        stream = spark.readStream.format("postgres_cdc").option(
+            "capture_dir", d
+        ).load()
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 6  # the golden sequence's envelope rows
+
+    # daemon restart: fresh writer resumes the file sequence
+    more = [
+        _Msg(wrap_xlogdata(encode_relation(101, "public", "orders", ORDERS_COLS), 50)),
+        _Msg(wrap_xlogdata(encode_begin(50, TS, 901), 51)),
+        _Msg(wrap_xlogdata(encode_insert(101, ["21", "O", "9.0"]), 52)),
+        _Msg(wrap_xlogdata(encode_insert(101, ["22", "O", "9.5"]), 53)),
+        _Msg(wrap_xlogdata(encode_commit(54, 54, TS), 54)),
+    ]
+    w2 = FrameFileWriter(d, max_frames=100)
+    capture_loop(iter(more), w2, ack=lambda lsn: None)
+
+    run_stream()
+    final = spark.read.parquet(out)
+    assert final.count() == n1 + 2  # exactly the two new inserts
+    new_keys = {
+        r["k"]
+        for r in final.selectExpr("after['o_orderkey'] AS k").collect()
+        if r["k"] in ("21", "22")
+    }
+    assert new_keys == {"21", "22"}
