@@ -12,11 +12,7 @@ import tempfile
 
 import pytest
 
-from postrack_spark.sources.capture import (
-    FrameFileWriter,
-    capture_loop,
-    make_xlogdata_frame,
-)
+from postrack_spark.sources.capture import FrameFileWriter, capture_loop
 from postrack_spark.sources.pgoutput import DecoderState, decode_xlogdata_stream
 from postrack_spark.sources.postgres_cdc import read_frame_file
 from tests.test_pgoutput import golden_frames
