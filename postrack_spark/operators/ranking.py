@@ -34,7 +34,17 @@ shuffle, exactly the scaling shape the design predicts.
 
 Correctness requires the sort key to be a TOTAL order (add a unique
 tie-break column); ties that cross a range boundary would otherwise
-get nondeterministic ranks. The range exchange is referenced by both
+get nondeterministic ranks.
+
+CONSUMER WARNING: if you reference this function's OUTPUT in two
+separate subplans (e.g. an aggregate over it AND a join with it), pin
+it with ``localCheckpoint(eager=True)`` first. Re-instantiated copies
+of the rank subplan can disagree: the optimizer may eliminate the
+in-partition sort under an order-insensitive consumer, and then
+monotonically_increasing_id numbers rows in shuffle-fetch order
+(caught live by an oracle sweep on agg_weighted_median_rank —
+window_queries.py shows the pattern). Single-reference pipelines and
+order-independent second references (a bare count) are safe. The range exchange is referenced by both
 the count path and the rank path; Catalyst's ReuseExchange (and AQE
 stage reuse) dedupes it into one physical shuffle, so both paths see
 identical partition boundaries — asserted by tests/test_ranking.py,

@@ -759,8 +759,19 @@ def agg_weighted_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")]
     block_size = 65536
-    ranked = global_row_number(v, order, "rn").withColumn(
-        "blk", F.expr(f"(rn - 1) div {block_size}")
+    # The ranked frame feeds TWO consumers (block totals + the cumsum
+    # join). Unlike a single-reference pipeline, re-instantiating the
+    # rank subplan is NOT safe here: the optimizer may drop the
+    # in-partition sort under the order-insensitive aggregate path,
+    # and then monotonically_increasing_id numbers rows in
+    # shuffle-fetch order — the two paths would disagree on rn.
+    # localCheckpoint(eager=True) pins ONE materialization of the
+    # ranks that both consumers read (caught live by the sf0.01 sweep;
+    # determinism asserted by tests/test_plans.py).
+    ranked = (
+        global_row_number(v, order, "rn")
+        .withColumn("blk", F.expr(f"(rn - 1) div {block_size}"))
+        .localCheckpoint(eager=True)
     )
     blocks = ranked.groupBy("blk").agg(F.sum("w").alias("bw"))
     a, b = blocks.alias("a"), blocks.alias("b")
