@@ -182,3 +182,81 @@ def mixed_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_map().alias("before"),
     )
     return oc.unionByName(trunc)
+
+
+_LI_DELTA_COLS = ["l_orderkey", "l_linenumber", "l_quantity"]
+
+
+def lineitem_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B.4: scripted post-snapshot deltas over lineitem, for join-view
+    IVM (the lineitem side of an orders ⋈ lineitem maintained view).
+
+    Rules (mod = l_orderkey % 10; all three ops, REPLICA IDENTITY FULL
+    flavor so before images are complete):
+
+      mod==6, l_linenumber==1 -> UPDATE: l_quantity += 3
+      mod==7, l_linenumber==1 -> DELETE
+      mod==8, l_linenumber==1 -> INSERT a new line (l_linenumber=99,
+                                 l_quantity=1)
+
+    (l_orderkey, l_linenumber) is NOT unique in the driver data; events
+    are generated PER BASE ROW, so duplicates each emit their own event
+    — signed-multiset delta algebra (cdc/ivm.py) is exact under that,
+    and the DuckDB oracle's row-level WHERE clauses match it. Images
+    carry only the three columns the join view consumes (capture-side
+    column list ≡ WithSelector). lsn is metadata-only here (duplicate
+    base rows share one), documented rather than disambiguated — the
+    delta algebra never orders by it.
+    """
+    li = fan_out(load_tables(spark, sf_dir)["lineitem"])
+    key = F.col("l_orderkey").cast("long")
+    mod = key % 10
+    first = F.col("l_linenumber") == 1
+
+    def ev(cond, lsn, op: str, kind: int):
+        return F.when(
+            cond,
+            F.struct(
+                lsn.cast("long").alias("lsn"),
+                F.lit(op).alias("op"),
+                F.lit(kind).alias("kind"),
+            ),
+        )
+
+    events = F.array_compact(
+        F.array(
+            ev(first & (mod == 6), key * 1000 + 4, "UPDATE", 1),
+            ev(first & (mod == 7), key * 1000 + 6, "DELETE", 2),
+            ev(first & (mod == 8), key * 1000 + 2, "INSERT", 3),
+        )
+    )
+    upd_after = str_map(_LI_DELTA_COLS, {"l_quantity": F.col("l_quantity") + 3})
+    ins_after = str_map(
+        _LI_DELTA_COLS,
+        {"l_linenumber": F.lit(99), "l_quantity": F.lit(1)},
+    )
+    kind = F.col("e.kind")
+    out = li.select(
+        *_LI_DELTA_COLS,
+        key.alias("txid"),
+        F.col("l_shipdate").cast("timestamp").alias("commit_ts"),
+        F.explode(events).alias("e"),
+    ).select(
+        F.col("e.lsn").alias("lsn"),
+        "txid",
+        "commit_ts",
+        F.lit("public").alias("schema"),
+        F.lit("lineitem").alias("table"),
+        F.col("e.op").alias("op"),
+        F.when(kind == 1, upd_after)
+        .when(kind == 3, ins_after)
+        .otherwise(null_map())
+        .alias("after"),
+        F.when(kind.isin(1, 2), str_map(_LI_DELTA_COLS))
+        .otherwise(null_map())
+        .alias("before"),
+    )
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    want = [(f.name, f.dataType) for f in CHANGE_SCHEMA.fields]
+    assert got == want, got
+    return out

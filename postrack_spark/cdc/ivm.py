@@ -127,3 +127,103 @@ def incremental_agg(
         .agg(*aggs)
         .filter(F.col(count_name) > 0)
     )
+
+
+def signed_image_rows(changes: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Project signed delta rows to typed columns: (sign, **cols).
+
+    `cols` are expressions over the image map column ``img`` (use
+    ``F.element_at(F.col("img"), 'c').cast(t)``). The narrow typed frame
+    is what join-view maintenance consumes — map envelopes never cross
+    a join boundary."""
+    d = delta_rows(changes)
+    return d.select(F.col("sign"), *[expr.alias(n) for n, expr in cols.items()])
+
+
+def _signed_join(left: DataFrame, right: DataFrame, on: list[tuple[str, str]]) -> DataFrame:
+    """Inner-join two signed frames; output sign = product of signs.
+
+    Column names of the two sides (beyond `sign`) must be disjoint —
+    the caller aliases them, mirroring how a view definition names its
+    join inputs."""
+    la = left.withColumnRenamed("sign", "__sa")
+    rb = right.withColumnRenamed("sign", "__sb")
+    cond = None
+    for a, b in on:
+        c = F.col(a) == F.col(b)
+        cond = c if cond is None else (cond & c)
+    return (
+        la.join(rb, cond)
+        .withColumn("sign", (F.col("__sa") * F.col("__sb")).cast("int"))
+        .drop("__sa", "__sb")
+    )
+
+
+def delta_join_terms(
+    a0: DataFrame, da: DataFrame, b0: DataFrame, db: DataFrame,
+    on: list[tuple[str, str]],
+) -> DataFrame:
+    """Signed delta of the join view V = A ⋈ B under signed-multiset
+    semantics (the DBSP / classic delta-join rule):
+
+        (A0+ΔA) ⋈ (B0+ΔB) = A0⋈B0 + ΔA⋈B0 + A0⋈ΔB + ΔA⋈ΔB
+
+    so ΔV is the three delta terms, each with sign = sign_a·sign_b.
+
+    Scale design: at steady state the deltas (one micro-batch of WAL)
+    are orders of magnitude smaller than the base tables, so BOTH
+    base-side joins broadcast the delta — maintaining the view costs
+    two base-table scans (partition-prunable on the join key at 100 TB
+    when the base is bucketed/partitioned by it) and ZERO base-table
+    shuffles, versus a full A⋈B shuffle for recompute. ΔA⋈ΔB is
+    delta-sized on both sides."""
+    t1 = _signed_join(F.broadcast(da), b0, on)   # ΔA ⋈ B0
+    t2 = _signed_join(a0, F.broadcast(db), on)   # A0 ⋈ ΔB
+    t3 = _signed_join(F.broadcast(da), db, on)   # ΔA ⋈ ΔB
+    return t1.unionByName(t2).unionByName(t3)
+
+
+def _signed_agg(
+    rows: DataFrame, dims: dict[str, Column], measures: dict[str, Column],
+    count_name: str,
+) -> DataFrame:
+    proj = rows.select(
+        *[expr.alias(n) for n, expr in dims.items()],
+        "sign",
+        *[expr.alias(f"__m_{n}") for n, expr in measures.items()],
+    )
+    return proj.groupBy(*[F.col(n) for n in dims]).agg(
+        F.sum("sign").cast("bigint").alias(count_name),
+        *[F.sum(F.col("sign") * F.col(f"__m_{n}")).alias(n) for n in measures],
+    )
+
+
+def incremental_join_agg(
+    a0: DataFrame, da: DataFrame, b0: DataFrame, db: DataFrame,
+    on: list[tuple[str, str]],
+    dims: dict[str, Column],
+    measures: dict[str, Column],
+    count_name: str = "n_rows",
+) -> DataFrame:
+    """Maintain a grouped SUM/COUNT aggregate over the join A ⋈ B from
+    snapshots (a0, b0) plus signed delta streams (da, db) — the join
+    extension of :func:`incremental_agg`.
+
+    The old view state (here computed once from the snapshots; in a
+    deployed refresh loop it is the STORED view) is combined with the
+    delta-join aggregate by per-group signed addition; groups whose
+    maintained count reaches zero vanish from the view. `dims` and
+    `measures` are expressions over the joined row (disjoint a/b column
+    names). Measures should be integer-typed (cents, not dollars) so
+    signed addition is exact across engines and partitionings."""
+    v_old = _signed_agg(_signed_join(a0, b0, on), dims, measures, count_name)
+    dv = _signed_agg(delta_join_terms(a0, da, b0, db, on), dims, measures, count_name)
+    return (
+        v_old.unionByName(dv)
+        .groupBy(*[F.col(n) for n in dims])
+        .agg(
+            F.sum(count_name).cast("bigint").alias(count_name),
+            *[F.sum(F.col(n)).alias(n) for n in measures],
+        )
+        .filter(F.col(count_name) > 0)
+    )

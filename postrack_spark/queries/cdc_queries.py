@@ -736,3 +736,107 @@ def cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
         F.round(typed_column("after", "o_totalprice", "double"), 2).alias("o_totalprice"),
     )
+
+
+@query(
+    "cdc_join_view_maintenance",
+    oracle="""
+    WITH o_final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 IN (1, 2, 3)
+                  THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+                  WHEN o_orderkey % 10 = 4
+                  THEN CAST(round((o_totalprice + 10) * 100) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS o_cents
+      FROM orders WHERE o_orderkey % 10 <> 5
+    ),
+    l_final AS (
+      SELECT l_orderkey,
+             CAST(round(l_quantity) AS BIGINT)
+               + CASE WHEN l_orderkey % 10 = 6 AND l_linenumber = 1
+                      THEN 3 ELSE 0 END AS l_qty
+      FROM lineitem
+      WHERE NOT (l_orderkey % 10 = 7 AND l_linenumber = 1)
+      UNION ALL
+      SELECT l_orderkey, 1 AS l_qty
+      FROM lineitem WHERE l_orderkey % 10 = 8 AND l_linenumber = 1
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_qty) AS BIGINT) AS sum_qty,
+           CAST(sum(o_cents) AS BIGINT) AS sum_price_cents
+    FROM o_final JOIN l_final ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def cdc_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM (delta joins): a per-priority (rows, qty, revenue)
+    view over orders ⋈ lineitem maintained from BOTH tables' change
+    streams — the join extension of cdc_incremental_agg. The signed
+    delta of the join is ΔA⋈B0 + A0⋈ΔB + ΔA⋈ΔB (sign products), each
+    base-side term broadcasting the delta, so a refresh never shuffles
+    a base table (cdc/ivm.py delta_join_terms). The reference leaves
+    all derived state to the user callback (postrack.go:35); here the
+    maintained view provably equals the direct join-aggregate of the
+    final table states (the oracle). Default-identity UPDATEs (empty
+    before image) are repaired by recover_before first; measures ride
+    integer cents / integer quantities so signed addition is exact
+    cross-engine."""
+    from postrack_spark.cdc.fixtures import lineitem_delta_changes
+    from postrack_spark.cdc.ivm import (
+        incremental_join_agg,
+        recover_before,
+        signed_image_rows,
+    )
+    from postrack_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    img = lambda c: F.element_at(F.col("img"), c)  # noqa: E731
+
+    # A side: orders snapshot + post-snapshot UPDATE/DELETE deltas.
+    a0 = t["orders"].select(
+        F.lit(1).alias("sign"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    och = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    okey = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    da = signed_image_rows(
+        recover_before(och, okey).filter(F.col("op") != "INSERT"),
+        {
+            "o_orderkey": img("o_orderkey").cast("long"),
+            "o_orderpriority": img("o_orderpriority"),
+            "o_cents": F.round(img("o_totalprice").cast("double") * 100).cast("long"),
+        },
+    )
+
+    # B side: lineitem snapshot + the B.4 scripted UPDATE/DELETE/INSERT
+    # deltas (full before images — no recovery needed).
+    b0 = t["lineitem"].select(
+        F.lit(1).alias("sign"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.round(F.col("l_quantity")).cast("long").alias("l_qty"),
+    )
+    db = signed_image_rows(
+        lineitem_delta_changes(spark, sf_dir),
+        {
+            "l_orderkey": img("l_orderkey").cast("long"),
+            "l_qty": F.round(img("l_quantity").cast("double")).cast("long"),
+        },
+    )
+
+    view = incremental_join_agg(
+        a0, da, b0, db,
+        on=[("o_orderkey", "l_orderkey")],
+        dims={"o_orderpriority": F.col("o_orderpriority")},
+        measures={"sum_qty": F.col("l_qty"), "sum_price_cents": F.col("o_cents")},
+    )
+    return view.orderBy("o_orderpriority")

@@ -230,3 +230,85 @@ def test_apply_changes_is_delivery_order_invariant(spark, sf_dir):
         for r in apply_changes(shuffled, key, key_name="o_orderkey").collect()
     }
     assert a == b
+
+
+def test_incremental_join_agg_equals_recompute(spark, sf_dir):
+    """Delta-join IVM invariant: the maintained join-view aggregate
+    equals the same aggregate recomputed from the two FINAL table
+    states joined directly — for all three ops on both sides (orders
+    UPDATE/DELETE incl. empty-before recovery; lineitem
+    UPDATE/DELETE/INSERT from the B.4 script)."""
+    from postrack_spark.queries.registry import load_all
+
+    view = load_all()["cdc_join_view_maintenance"].fn(spark, sf_dir)
+    got = {
+        r["o_orderpriority"]: (r["n_rows"], r["sum_qty"], r["sum_price_cents"])
+        for r in view.collect()
+    }
+
+    # Direct recompute of the final states (mirrors the oracle in Spark).
+    t = __import__("postrack_spark.session", fromlist=["load_tables"]).load_tables(
+        spark, sf_dir
+    )
+    okey = F.col("o_orderkey")
+    o_final = t["orders"].filter(okey % 10 != 5).select(
+        okey.cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+        F.when(
+            (okey % 10).isin(1, 2, 3),
+            F.round(F.col("o_totalprice") * 2 * 100),
+        )
+        .when(okey % 10 == 4, F.round((F.col("o_totalprice") + 10) * 100))
+        .otherwise(F.round(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("o_cents"),
+    )
+    lkey = F.col("l_orderkey")
+    li = t["lineitem"]
+    l_final = li.filter(~((lkey % 10 == 7) & (F.col("l_linenumber") == 1))).select(
+        lkey.cast("long").alias("l_orderkey"),
+        (
+            F.round(F.col("l_quantity")).cast("long")
+            + F.when((lkey % 10 == 6) & (F.col("l_linenumber") == 1), 3).otherwise(0)
+        ).alias("l_qty"),
+    ).unionByName(
+        li.filter((lkey % 10 == 8) & (F.col("l_linenumber") == 1)).select(
+            lkey.cast("long").alias("l_orderkey"), F.lit(1).cast("long").alias("l_qty")
+        )
+    )
+    want = {
+        r["o_orderpriority"]: (r["n_rows"], r["sum_qty"], r["sum_price_cents"])
+        for r in o_final.join(l_final, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("l_qty").alias("sum_qty"),
+            F.sum("o_cents").alias("sum_price_cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_incremental_join_agg_group_vanishes(spark):
+    """A group whose maintained joined-row count reaches zero must drop
+    out of the view (count=0 ≡ nonexistent, the signed-multiset
+    invariant) — exercised with a delta that deletes the only A-side
+    row of one group and leaves another intact."""
+    from postrack_spark.cdc.ivm import incremental_join_agg
+
+    a0 = spark.createDataFrame(
+        [(1, 10, "gone", 5), (1, 20, "stays", 7)], "sign int, ak long, grp string, am long"
+    )
+    da = spark.createDataFrame([(-1, 10, "gone", 5)], "sign int, ak long, grp string, am long")
+    b0 = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 3)], "sign int, bk long, bm long"
+    )
+    db = spark.createDataFrame([], "sign int, bk long, bm long")
+    out = incremental_join_agg(
+        a0, da, b0, db,
+        on=[("ak", "bk")],
+        dims={"grp": F.col("grp")},
+        measures={"m": F.col("am") * F.col("bm")},
+    ).collect()
+    assert {r["grp"]: (r["n_rows"], r["m"]) for r in out} == {"stays": (1, 21)}

@@ -286,3 +286,13 @@ def test_rrf_fusion_no_windows(spark, qs):
     # both corpus-sized rank lists go through global_row_number
     assert_plan(_df(qs, "retrieval_rrf_fusion", spark),
                 windows=0, python_evals=0)
+
+
+def test_join_view_deltas_broadcast(spark, qs):
+    # delta-join IVM: all three delta terms broadcast the delta side —
+    # a view refresh must never shuffle a base table (the whole point
+    # of maintaining instead of recomputing); no Python, no
+    # unpartitioned windows (recover_before partitions by key).
+    assert_plan(_df(qs, "cdc_join_view_maintenance", spark),
+                min_broadcast_joins=3, python_evals=0,
+                unpartitioned_windows=0, max_exchanges=9)
