@@ -389,3 +389,76 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round(F.col("cents") / 100.0, 2).alias("total_price"),
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "streaming_join_view_maintenance",
+    oracle="""
+    WITH o_final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 IN (1, 2, 3)
+                  THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+                  WHEN o_orderkey % 10 = 4
+                  THEN CAST(round((o_totalprice + 10) * 100) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS o_cents
+      FROM orders WHERE o_orderkey % 10 <> 5
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(o_cents) AS BIGINT) AS sum_price_cents
+    FROM o_final JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming join-view IVM: the per-priority view over
+    orders ⋈ lineitem maintained across REAL micro-batches of the
+    orders change stream (maxFilesPerTrigger=4) joined against the
+    static lineitem side — per batch the view delta is exactly
+    ΔA ⋈ B (broadcast delta, O(groups) shuffle), folded into the
+    versioned view. With full before-images the fold is a commutative
+    monoid, so any admission split converges to the batch answer:
+    the direct join-aggregate of the final orders state (the oracle).
+    Before-image repair runs pre-stream (capture-side), as in
+    streaming_incremental_agg."""
+    from postrack_spark.cdc.ivm import recover_before
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming import foreach_batch_incremental_join_agg
+
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    repaired = recover_before(ch, key)
+    stream = envelope_stream(
+        spark, repaired, name="ivmjoin", options={"maxFilesPerTrigger": "4"}
+    )
+    img = lambda c: F.element_at(F.col("img"), c)  # noqa: E731
+    b0 = load_tables(spark, sf_dir)["lineitem"].select(
+        F.lit(1).alias("sign"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.round(F.col("l_quantity")).cast("long").alias("l_qty"),
+    )
+    target, q = foreach_batch_incremental_join_agg(
+        stream,
+        stream_cols={
+            "o_orderkey": img("o_orderkey").cast("long"),
+            "o_orderpriority": img("o_orderpriority"),
+            "o_cents": F.round(img("o_totalprice").cast("double") * 100).cast("long"),
+        },
+        static_signed=b0,
+        on=[("o_orderkey", "l_orderkey")],
+        dims={"o_orderpriority": F.col("o_orderpriority")},
+        measures={"sum_qty": F.col("l_qty"), "sum_price_cents": F.col("o_cents")},
+    )
+    q.awaitTermination()
+    view = read_view(spark, target).filter(F.col("n_rows") > 0)
+    return view.select(
+        "o_orderpriority", "n_rows", "sum_qty", "sum_price_cents"
+    ).orderBy("o_orderpriority")

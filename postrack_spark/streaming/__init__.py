@@ -25,6 +25,7 @@ from postrack_spark.streaming.runner import (
 from postrack_spark.streaming.sinks import (
     foreach_batch_apply_changes,
     foreach_batch_incremental_agg,
+    foreach_batch_incremental_join_agg,
     read_view,
 )
 
@@ -39,5 +40,6 @@ __all__ = [
     "stream_stream_interval_join",
     "foreach_batch_apply_changes",
     "foreach_batch_incremental_agg",
+    "foreach_batch_incremental_join_agg",
     "read_view",
 ]

@@ -286,3 +286,70 @@ def foreach_batch_incremental_agg(
         .start()
     )
     return target, query
+
+
+def foreach_batch_incremental_join_agg(
+    changes_stream: DataFrame,
+    stream_cols: dict,
+    static_signed: DataFrame,
+    on: list,
+    dims: dict,
+    measures: dict,
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    count_name: str = "n_rows",
+    keep_depth: int = 2,
+) -> tuple[str, object]:
+    """Maintain a grouped aggregate over STREAM ⋈ STATIC incrementally —
+    the streaming twin of cdc/ivm.incremental_join_agg for the
+    stream-static case (only A changes): per micro-batch the signed
+    delta of the view is exactly ΔA ⋈ B, so each batch broadcasts its
+    (tiny) signed delta rows into the static side, partially aggregates,
+    and folds into the running view by union + re-sum.
+
+    `stream_cols` projects the batch's image maps to typed signed rows
+    (signed_image_rows expressions over ``img``); `static_signed` is
+    the B side as a (sign=1, **cols) frame; `dims`/`measures` are
+    expressions over the joined row.
+
+    Scale: the per-batch static-side scan is the cost to watch at
+    100 TB — it is partition-prunable on the join key (bucketed/
+    partitioned base, or a runtime bloom filter built from the
+    broadcast delta keys), and the shuffle is O(groups) per batch
+    regardless. Signed deltas are not idempotent, so this rides the
+    same versioned skip/write/swap protocol as the other sinks.
+    Returns (target_dir, streaming_query); read with ``read_view``.
+    """
+    from postrack_spark.cdc.ivm import _signed_agg, _signed_join, signed_image_rows
+
+    target = target_dir or tempfile.mkdtemp(prefix="ivm_join_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ivmj_")
+    dim_names = list(dims)
+    sum_names = [count_name, *measures]
+
+    def merge(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        da = signed_image_rows(batch_df, stream_cols)
+        joined = _signed_join(F.broadcast(da), static_signed, on)
+        part = _signed_agg(joined, dims, measures, count_name)
+        if base is None:
+            return part
+        if set(base.columns) != set(part.columns):
+            raise ValueError(
+                f"view schema drift under {target}: "
+                f"base={sorted(base.columns)} batch={sorted(part.columns)}"
+            )
+        return (
+            base.unionByName(part)
+            .groupBy(*[F.col(n) for n in dim_names])
+            .agg(*[F.sum(n).cast("bigint").alias(n) for n in sum_names])
+        )
+
+    query = (
+        changes_stream.writeStream.foreachBatch(
+            _versioned_batch(target, checkpoint, merge, keep_depth)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query
