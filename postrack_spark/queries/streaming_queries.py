@@ -462,3 +462,82 @@ def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     return view.select(
         "o_orderpriority", "n_rows", "sum_qty", "sum_price_cents"
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "streaming_log_structured_view",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey*10+1 AS lsn, 'INSERT' AS op, o_orderkey AS okey,
+             o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*2, 2)
+      FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus, round(o_totalprice+10, 2)
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT o_orderkey*10+7, 'DELETE', o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    hist AS (
+      SELECT *, lag(status) OVER w AS p_status, lag(price) OVER w AS p_price
+      FROM changes WINDOW w AS (PARTITION BY okey ORDER BY lsn)
+    ),
+    deltas AS (
+      SELECT status AS s,  1 AS sign, price AS p FROM hist WHERE op = 'INSERT'
+      UNION ALL SELECT status,    1, price   FROM hist WHERE op = 'UPDATE'
+      UNION ALL SELECT p_status, -1, p_price FROM hist WHERE op = 'UPDATE'
+      UNION ALL SELECT p_status, -1, p_price FROM hist WHERE op = 'DELETE'
+    )
+    SELECT s AS o_orderstatus,
+           CAST(sum(sign) AS BIGINT) AS n_rows,
+           round(sum(sign * CAST(round(p * 100) AS BIGINT)) / 100.0, 2) AS total_price
+    FROM deltas GROUP BY s
+    HAVING sum(sign) > 0
+    ORDER BY o_orderstatus
+    """,
+)
+def streaming_log_structured_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-status IVM view maintained through the LOG-STRUCTURED
+    sink: each micro-batch persists only its O(batch groups) partial
+    aggregate; compaction (forced mid-run here via compact_every=3,
+    plus an explicit final compact) folds partials into a fresh base —
+    the LSM/Delta-log pattern that keeps per-batch cost independent of
+    view size. Must equal the rewrite-sink view (streaming_incremental
+    _agg's oracle, identical)."""
+    from postrack_spark.cdc.ivm import recover_before
+    from postrack_spark.streaming import (
+        compact_log_view,
+        foreach_batch_incremental_agg_log,
+        read_log_view,
+    )
+
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    repaired = recover_before(ch, key)
+    stream = envelope_stream(
+        spark, repaired, name="ivmlog", options={"maxFilesPerTrigger": "4"}
+    )
+    target, q = foreach_batch_incremental_agg_log(
+        stream,
+        dims={"o_orderstatus": F.element_at(F.col("img"), "o_orderstatus")},
+        measures={
+            "cents": F.round(
+                F.element_at(F.col("img"), "o_totalprice").cast("double") * 100
+            ).cast("long")
+        },
+        compact_every=3,
+    )
+    q.awaitTermination()
+    compact_log_view(spark, target)  # final fold: reader sees one base
+    view = read_log_view(spark, target).filter(F.col("n_rows") > 0)
+    return view.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("cents") / 100.0, 2).alias("total_price"),
+    ).orderBy("o_orderstatus")

@@ -353,3 +353,162 @@ def foreach_batch_incremental_join_agg(
         .start()
     )
     return target, query
+
+
+# ---------------------------------------------------------------------------
+# Log-structured IVM sink: per-batch delta partials + periodic compaction.
+#
+# The rewrite sinks above re-write the WHOLE view every batch — O(view)
+# per micro-batch, fine for small/medium aggregates, wrong at 100 TB
+# when the view itself is large (e.g. per-user rollups). The
+# log-structured protocol writes only the batch's partial aggregate
+# (O(batch groups)) and amortizes the view-sized work into periodic
+# compaction — the LSM / Delta-log pattern on plain parquet:
+#
+#     target/
+#       _CURRENT      # lineage \n batch_id \n base dir or "-" \n
+#                     # sums:<sum col list> \n <delta dir list>
+#       v00000007/    # compacted base (whole view as of batch 7)
+#       d00000009/    # delta partials appended by batch 9
+#
+# Readers fold base ∪ deltas by one groupBy re-sum (read amplification
+# = #deltas, bounded by compact_every). Every mutation writes fresh
+# dirs then swaps the pointer atomically; a replayed batch is detected
+# by (lineage, batch_id) and skipped, and a crash mid-write leaves the
+# pointer on the old state with only an orphaned dir to overwrite on
+# retry — the same exactly-once-effects argument as the rewrite sinks.
+# ---------------------------------------------------------------------------
+
+
+def _read_pointer_log(target: str):
+    path = os.path.join(target, _POINTER)
+    if not os.path.exists(path):
+        return None, -1, None, [], []
+    lines = open(path).read().splitlines()
+    lineage, batch_id, base = lines[0], int(lines[1]), lines[2]
+    sums = lines[3].removeprefix("sums:").split(",") if len(lines) > 3 else []
+    deltas = [d for d in (lines[4].split(",") if len(lines) > 4 else []) if d]
+    return lineage, batch_id, (None if base == "-" else base), sums, deltas
+
+
+def _swap_pointer_log(target, lineage, batch_id, base, sums, deltas):
+    tmp = os.path.join(target, f".{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(
+            f"{lineage}\n{batch_id}\n{base or '-'}\n"
+            f"sums:{','.join(sums)}\n{','.join(deltas)}\n"
+        )
+    os.replace(tmp, os.path.join(target, _POINTER))
+
+
+def read_log_view(spark: SparkSession, target: str) -> DataFrame:
+    """Read a log-structured view: compacted base ∪ delta partials,
+    folded by one groupBy re-sum (dims = every non-sum column)."""
+    _, _, base, sums, deltas = _read_pointer_log(target)
+    if base is None and not deltas:
+        raise FileNotFoundError(f"no committed state under {target}")
+    parts = [os.path.join(target, d) for d in deltas]
+    if base is not None:
+        parts.insert(0, base if os.path.isabs(base) else os.path.join(target, base))
+    df = spark.read.parquet(*parts)
+    dim_names = [c for c in df.columns if c not in sums]
+    return df.groupBy(*[F.col(n) for n in dim_names]).agg(
+        *[F.sum(n).cast("bigint").alias(n) for n in sums]
+    )
+
+
+def compact_log_view(spark: SparkSession, target: str) -> None:
+    """Fold the current base ∪ deltas into a fresh compacted base and
+    swap the pointer to it (empty delta list). Idempotent and crash-
+    safe: the fold is written to a new version dir named after the
+    last applied batch; a crash before the swap leaves the old state
+    live. Dirs unreferenced by the new pointer are GC'd (the previous
+    base is kept one round for concurrent readers)."""
+    lineage, batch_id, base, sums, deltas = _read_pointer_log(target)
+    if not deltas:
+        return
+    merged = read_log_view(spark, target)
+    vname = f"v{batch_id:08d}"
+    merged.write.mode("overwrite").parquet(os.path.join(target, vname))
+    _swap_pointer_log(target, lineage, batch_id, vname, sums, [])
+    keep = {vname, _POINTER}
+    if base is not None:
+        keep.add(os.path.basename(base))  # concurrent pre-swap readers
+    for name in os.listdir(target):
+        if (name.startswith("v") or name.startswith("d")) and name not in keep:
+            shutil.rmtree(os.path.join(target, name), ignore_errors=True)
+
+
+def _log_structured_batch(
+    target: str,
+    lineage: str,
+    dims: dict,
+    measures: dict,
+    count_name: str = "n_rows",
+    compact_every: int = 8,
+):
+    """The log-structured apply function (exposed for direct protocol
+    tests, mirroring _versioned_batch)."""
+    from postrack_spark.cdc.ivm import delta_rows
+
+    dim_names = list(dims)
+    sums = [count_name, *measures]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(target, exist_ok=True)
+        applied_lineage, applied_id, base, _, deltas = _read_pointer_log(target)
+        if applied_lineage == lineage and batch_id <= applied_id:
+            return  # at-least-once re-delivery of an applied batch
+        d = delta_rows(batch_df)
+        part = (
+            d.select(
+                *[expr.alias(n) for n, expr in dims.items()], "sign",
+                F.col("img").alias("img"),
+            )
+            .groupBy(*[F.col(n) for n in dim_names])
+            .agg(
+                F.sum("sign").cast("bigint").alias(count_name),
+                *[
+                    F.sum(F.col("sign") * expr).cast("bigint").alias(n)
+                    for n, expr in measures.items()
+                ],
+            )
+        )
+        dname = f"d{batch_id:08d}"
+        # overwrite: a crash-retried batch rewrites its own dir
+        part.write.mode("overwrite").parquet(os.path.join(target, dname))
+        new_deltas = deltas + [dname]
+        _swap_pointer_log(target, lineage, batch_id, base, sums, new_deltas)
+        if len(new_deltas) >= compact_every:
+            compact_log_view(batch_df.sparkSession, target)
+
+    return apply_batch
+
+
+def foreach_batch_incremental_agg_log(
+    changes_stream: DataFrame,
+    dims: dict,
+    measures: dict,
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    count_name: str = "n_rows",
+    compact_every: int = 8,
+) -> tuple[str, object]:
+    """Log-structured streaming IVM: per micro-batch write ONLY the
+    batch's signed partial aggregate (O(batch groups), not O(view));
+    auto-compact once ``compact_every`` deltas accumulate. Same view
+    semantics as foreach_batch_incremental_agg — readers use
+    :func:`read_log_view` and filter count > 0."""
+    target = target_dir or tempfile.mkdtemp(prefix="ivm_log_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ivml_")
+    query = (
+        changes_stream.writeStream.foreachBatch(
+            _log_structured_batch(
+                target, checkpoint, dims, measures, count_name, compact_every
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query

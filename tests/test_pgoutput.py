@@ -348,3 +348,35 @@ def test_type_message_populates_type_cache():
     assert state.parse_errors == 0
     assert [r["op"] for r in rows] == ["INSERT"]
     assert state.types == {16385: "public.order_status_enum"}
+
+
+def test_schema_evolution_relation_resend():
+    """ALTER TABLE ADD COLUMN mid-stream: Postgres re-sends the Relation
+    message with the new column list before the next DML touching the
+    table (logicalrep protocol — relations are re-described whenever
+    their cached description is stale). The decoder must swap its
+    relation-cache entry in place so later tuples zip against the NEW
+    columns; the map<string,string> envelope absorbs the wider rows
+    with no Spark-side schema change (the reference rebuilds its cache
+    the same way, postrack.go:371-377, modulo its q2 keying bug)."""
+    frames = [
+        wrap_xlogdata(encode_relation(201, "public", "t", ["id", "v"]), 10),
+        wrap_xlogdata(encode_begin(100, TS, 1), 11),
+        wrap_xlogdata(encode_insert(201, ["1", "a"]), 12),
+        wrap_xlogdata(encode_commit(13, 13, TS), 13),
+        # ALTER TABLE t ADD COLUMN extra; next txn re-describes t
+        wrap_xlogdata(encode_relation(201, "public", "t", ["id", "v", "extra"]), 14),
+        wrap_xlogdata(encode_begin(200, TS, 2), 15),
+        wrap_xlogdata(encode_insert(201, ["2", "b", "x"]), 16),
+        wrap_xlogdata(
+            encode_update(201, ["1", "a", "y"], old_values=["1", "a", None]), 17
+        ),
+        wrap_xlogdata(encode_commit(18, 18, TS), 18),
+    ]
+    rows = decode_xlogdata_stream(frames)
+    ops = [(r["op"], r["after"]) for r in rows]
+    assert ops[0] == ("INSERT", {"id": "1", "v": "a"})
+    assert ops[1] == ("INSERT", {"id": "2", "v": "b", "extra": "x"})
+    assert ops[2] == ("UPDATE", {"id": "1", "v": "a", "extra": "y"})
+    # old image decoded against the evolved column list too
+    assert rows[2]["before"] == {"id": "1", "v": "a", "extra": None}

@@ -251,3 +251,56 @@ def test_versioned_time_travel_and_lineage_restart_gc(spark):
     apply_b(spark.createDataFrame([("a", 10)], "k string, x int"), 0)
     assert 0 in list_versions(target), "GC deleted the live version"
     assert read_view(spark, target).collect()[0]["x"] == 14
+
+
+def test_log_structured_sink_protocol(spark):
+    """Log-structured IVM sink: replay skip, O(batch) delta appends,
+    auto-compaction folding deltas into a fresh base, GC of
+    unreferenced dirs, and read-correctness at every point."""
+    import os
+
+    from postrack_spark.streaming.sinks import (
+        _log_structured_batch,
+        _read_pointer_log,
+        compact_log_view,
+        read_log_view,
+    )
+
+    target = tempfile.mkdtemp(prefix="lsb_")
+    dims = {"s": F.element_at(F.col("img"), "s")}
+    measures = {"v": F.element_at(F.col("img"), "v").cast("long")}
+    apply = _log_structured_batch(target, "ckpt-A", dims, measures, compact_every=3)
+
+    def env(rows):
+        return spark.createDataFrame(
+            rows, "lsn long, op string, after map<string,string>, before map<string,string>"
+        )
+
+    b0 = env([(1, "INSERT", {"s": "a", "v": "10"}, None),
+              (2, "INSERT", {"s": "b", "v": "5"}, None)])
+    b1 = env([(3, "UPDATE", {"s": "a", "v": "12"}, {"s": "a", "v": "10"})])
+    b2 = env([(4, "DELETE", None, {"s": "b", "v": "5"})])
+
+    apply(b0, 0)
+    apply(b0, 0)  # crash replay: skipped (no duplicate delta dir entry)
+    assert _read_pointer_log(target)[4] == ["d00000000"]
+    apply(b1, 1)
+    view = {r["s"]: (r["n_rows"], r["v"])
+            for r in read_log_view(spark, target).collect()}
+    assert view == {"a": (1, 12), "b": (1, 5)}
+
+    apply(b2, 2)  # third delta -> auto-compaction fires
+    lineage, bid, base, sums, deltas = _read_pointer_log(target)
+    assert deltas == [] and base == "v00000002" and bid == 2
+    assert sums == ["n_rows", "v"]
+    # deltas GC'd; compacted base (and only protocol dirs) remain
+    names = {n for n in os.listdir(target) if n.startswith(("d", "v"))}
+    assert names == {"v00000002"}
+    view = {r["s"]: (r["n_rows"], r["v"])
+            for r in read_log_view(spark, target)
+            .filter(F.col("n_rows") > 0).collect()}
+    assert view == {"a": (1, 12)}  # b deleted: count 0 filtered
+
+    compact_log_view(spark, target)  # idempotent on empty delta list
+    apply(b1, 1)  # stale replay after compaction: still skipped
+    assert _read_pointer_log(target)[4] == []
