@@ -541,3 +541,82 @@ def streaming_log_structured_view(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_rows",
         F.round(F.col("cents") / 100.0, 2).alias("total_price"),
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "streaming_cascaded_view_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN o_orderkey % 10 IN (1, 2, 3)
+                          THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+                          WHEN o_orderkey % 10 = 4
+                          THEN CAST(round((o_totalprice + 10) * 100) AS BIGINT)
+                          ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                     END) / 100.0, 2) AS total_price
+    FROM orders WHERE o_orderkey % 10 <> 5
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def streaming_cascaded_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading IVM (view-of-a-view): V1 = per-(status, priority)
+    aggregate maintained from the change stream through the
+    log-structured sink, which publishes each batch's signed partial
+    to a CHANGE FEED; V2 = per-priority rollup maintained by folding
+    that feed as its own file stream — V2 never reads the raw change
+    stream. Upstream UPDATE/DELETE corrections flow through as signed
+    partials, so the cascade converges to the direct aggregate of the
+    final table state (the oracle) under any batching on either level
+    — the Materialize/DBSP dataflow-composition shape, on plain
+    parquet + Structured Streaming."""
+    import tempfile as _tf
+
+    from postrack_spark.cdc.ivm import recover_before
+    from postrack_spark.streaming import (
+        foreach_batch_fold,
+        foreach_batch_incremental_agg_log,
+    )
+
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    repaired = recover_before(ch, key)
+    stream = envelope_stream(
+        spark, repaired, name="cascade", options={"maxFilesPerTrigger": "4"}
+    )
+    feed = _tf.mkdtemp(prefix="view_feed_")
+    _, q1 = foreach_batch_incremental_agg_log(
+        stream,
+        dims={
+            "o_orderstatus": F.element_at(F.col("img"), "o_orderstatus"),
+            "o_orderpriority": F.element_at(F.col("img"), "o_orderpriority"),
+        },
+        measures={
+            "cents": F.round(
+                F.element_at(F.col("img"), "o_totalprice").cast("double") * 100
+            ).cast("long")
+        },
+        feed_dir=feed,
+    )
+    q1.awaitTermination()
+
+    feed_stream = (
+        spark.readStream.schema(
+            "o_orderstatus string, o_orderpriority string, n_rows bigint, cents bigint"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(feed)
+    )
+    v2_target, q2 = foreach_batch_fold(
+        feed_stream, group_cols=["o_orderpriority"], sum_cols=["n_rows", "cents"]
+    )
+    q2.awaitTermination()
+    view = read_view(spark, v2_target).filter(F.col("n_rows") > 0)
+    return view.select(
+        "o_orderpriority",
+        "n_rows",
+        F.round(F.col("cents") / 100.0, 2).alias("total_price"),
+    ).orderBy("o_orderpriority")

@@ -446,9 +446,19 @@ def _log_structured_batch(
     measures: dict,
     count_name: str = "n_rows",
     compact_every: int = 8,
+    feed_dir: str | None = None,
 ):
     """The log-structured apply function (exposed for direct protocol
-    tests, mirroring _versioned_batch)."""
+    tests, mirroring _versioned_batch).
+
+    With ``feed_dir`` set, each batch's signed partial is ALSO published
+    there as one parquet file with a deterministic per-batch name — a
+    CHANGE FEED of the view itself, consumable as a plain file stream.
+    Downstream views maintained from this feed never touch the raw
+    stream: IVM composes into cascades (view-of-a-view), the
+    Materialize/DBSP dataflow shape. Publication is idempotent under
+    crash-retry (deterministic name + atomic rename), and a batch
+    skipped by the (lineage, batch_id) check is never republished."""
     from postrack_spark.cdc.ivm import delta_rows
 
     dim_names = list(dims)
@@ -475,8 +485,21 @@ def _log_structured_batch(
             )
         )
         dname = f"d{batch_id:08d}"
+        if feed_dir is not None:
+            part = part.coalesce(1)  # one deterministic feed file per batch
         # overwrite: a crash-retried batch rewrites its own dir
         part.write.mode("overwrite").parquet(os.path.join(target, dname))
+        if feed_dir is not None:
+            os.makedirs(feed_dir, exist_ok=True)
+            dpath = os.path.join(target, dname)
+            src = next(
+                os.path.join(dpath, f)
+                for f in sorted(os.listdir(dpath))
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            tmp = os.path.join(feed_dir, f".{dname}.tmp")
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, os.path.join(feed_dir, f"{dname}.parquet"))
         new_deltas = deltas + [dname]
         _swap_pointer_log(target, lineage, batch_id, base, sums, new_deltas)
         if len(new_deltas) >= compact_every:
@@ -493,19 +516,72 @@ def foreach_batch_incremental_agg_log(
     checkpoint_dir: str | None = None,
     count_name: str = "n_rows",
     compact_every: int = 8,
+    feed_dir: str | None = None,
 ) -> tuple[str, object]:
     """Log-structured streaming IVM: per micro-batch write ONLY the
     batch's signed partial aggregate (O(batch groups), not O(view));
     auto-compact once ``compact_every`` deltas accumulate. Same view
     semantics as foreach_batch_incremental_agg — readers use
-    :func:`read_log_view` and filter count > 0."""
+    :func:`read_log_view` and filter count > 0. ``feed_dir`` publishes
+    each partial as a view change feed (see _log_structured_batch)."""
     target = target_dir or tempfile.mkdtemp(prefix="ivm_log_")
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ivml_")
     query = (
         changes_stream.writeStream.foreachBatch(
             _log_structured_batch(
-                target, checkpoint, dims, measures, count_name, compact_every
+                target, checkpoint, dims, measures, count_name, compact_every,
+                feed_dir=feed_dir,
             )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query
+
+
+def foreach_batch_fold(
+    partials_stream: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    keep_depth: int = 2,
+) -> tuple[str, object]:
+    """Fold a stream of ALREADY-SIGNED partial aggregate rows into a
+    maintained view: per batch, groupBy(group_cols) re-sum(sum_cols)
+    against the stored view (versioned exactly-once protocol).
+
+    This is the downstream half of a view CASCADE: the upstream log
+    sink's ``feed_dir`` emits its per-batch partials; folding those
+    partials — signed, so upstream DELETE/UPDATE corrections flow
+    through — maintains any SUM/COUNT rollup of the upstream view
+    without ever re-reading the raw stream. Commutative monoid ⇒ any
+    feed-file batching converges to the same view.
+    Returns (target_dir, streaming_query); read with ``read_view``."""
+    target = target_dir or tempfile.mkdtemp(prefix="fold_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_fold_")
+
+    def merge(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        part = batch_df.groupBy(*[F.col(c) for c in group_cols]).agg(
+            *[F.sum(c).cast("bigint").alias(c) for c in sum_cols]
+        )
+        if base is None:
+            return part
+        if set(base.columns) != set(part.columns):
+            raise ValueError(
+                f"view schema drift under {target}: "
+                f"base={sorted(base.columns)} batch={sorted(part.columns)}"
+            )
+        return (
+            base.unionByName(part)
+            .groupBy(*[F.col(c) for c in group_cols])
+            .agg(*[F.sum(c).cast("bigint").alias(c) for c in sum_cols])
+        )
+
+    query = (
+        partials_stream.writeStream.foreachBatch(
+            _versioned_batch(target, checkpoint, merge, keep_depth)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -304,3 +304,37 @@ def test_log_structured_sink_protocol(spark):
     compact_log_view(spark, target)  # idempotent on empty delta list
     apply(b1, 1)  # stale replay after compaction: still skipped
     assert _read_pointer_log(target)[4] == []
+
+
+def test_log_sink_change_feed_idempotent_publish(spark):
+    """feed_dir contract: one deterministic parquet file per applied
+    batch; crash-replayed batches republish NOTHING (skip check) and a
+    retried un-committed batch overwrites its own file — downstream
+    consumers never see duplicate partials."""
+    import os
+
+    from postrack_spark.streaming.sinks import _log_structured_batch
+
+    target = tempfile.mkdtemp(prefix="lsbf_")
+    feed = tempfile.mkdtemp(prefix="feed_")
+    apply = _log_structured_batch(
+        target, "ckpt-A",
+        dims={"s": F.element_at(F.col("img"), "s")},
+        measures={"v": F.element_at(F.col("img"), "v").cast("long")},
+        compact_every=100, feed_dir=feed,
+    )
+
+    def env(rows):
+        return spark.createDataFrame(
+            rows, "lsn long, op string, after map<string,string>, before map<string,string>"
+        )
+
+    apply(env([(1, "INSERT", {"s": "a", "v": "10"}, None)]), 0)
+    apply(env([(1, "INSERT", {"s": "a", "v": "10"}, None)]), 0)  # replay
+    apply(env([(2, "DELETE", None, {"s": "a", "v": "10"})]), 1)
+    files = sorted(os.listdir(feed))
+    assert files == ["d00000000.parquet", "d00000001.parquet"]
+    fed = spark.read.parquet(feed).groupBy("s").agg(
+        F.sum("n_rows").alias("n"), F.sum("v").alias("v")
+    ).collect()
+    assert [(r["s"], r["n"], r["v"]) for r in fed] == [("a", 0, 0)]
