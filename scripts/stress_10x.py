@@ -169,6 +169,46 @@ def main() -> None:
         .agg(F.count("*").alias("n"), F.sum("cents").alias("cents")),
     )
 
+    # 5. Delta-join IVM over 10x orders ⋈ 10x lineitem: the maintained
+    #    join view's refresh terms (deltas broadcast into both bases).
+    #    Growth should track the base-table scans, ~linear.
+    from postrack_spark.cdc.ivm import (
+        incremental_join_agg,
+        recover_before,
+        signed_image_rows,
+    )
+
+    img = lambda c: F.element_at(F.col("img"), c)  # noqa: E731
+    a0 = orders10.select(
+        F.lit(1).alias("sign"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    da = signed_image_rows(
+        recover_before(ch10, k).filter(F.col("op") != "INSERT"),
+        {
+            "o_orderkey": img("o_orderkey").cast("long"),
+            "o_orderpriority": F.lit("NA"),
+            "o_cents": F.round(img("o_totalprice").cast("double") * 100).cast("long"),
+        },
+    )
+    b0 = li10.select(
+        F.lit(1).alias("sign"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.round(F.col("l_quantity")).cast("long").alias("l_qty"),
+    )
+    db = b0.limit(0)  # static B side: the ΔA⋈B0 term dominates
+    run(
+        "join_view_ivm_10x",
+        incremental_join_agg(
+            a0, da, b0, db,
+            on=[("o_orderkey", "l_orderkey")],
+            dims={"o_orderpriority": F.col("o_orderpriority")},
+            measures={"qty": F.col("l_qty"), "cents": F.col("o_cents")},
+        ),
+    )
+
     print(json.dumps({"metric": "stress_10x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": 10, "timings": timings}))
     spark.stop()
