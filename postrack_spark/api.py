@@ -350,3 +350,51 @@ class Conn:
             target_dir=target_dir,
             checkpoint_dir=checkpoint_dir,
         )
+
+    def incremental_join_view(
+        self,
+        spark: SparkSession,
+        slot_name: str,
+        tables: list[Table],
+        stream_cols: dict,
+        static_signed,
+        on: list,
+        dims: dict,
+        measures: dict,
+        lsn: int = 0,
+        capture_dir: str | None = None,
+        target_dir: str | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        """Maintain a grouped aggregate over CHANGE STREAM ⋈ STATIC —
+        the join extension of :meth:`incremental_view` (cdc/ivm.py
+        delta-join rule, stream-static case): per micro-batch the
+        view's delta is exactly ΔA ⋈ B, broadcast-joined and folded at
+        O(groups) shuffle. `stream_cols` projects image maps to typed
+        signed rows; `static_signed` is the dimension/base side as a
+        (sign=1, **cols) DataFrame; `on` is [(stream_col, static_col)].
+        Returns (target_dir, StreamingQuery); read with
+        ``streaming.read_view(...).filter("n_rows > 0")``."""
+        from postrack_spark.streaming.sinks import (
+            foreach_batch_incremental_join_agg,
+        )
+
+        self.set_events(["INSERT", "UPDATE", "DELETE"])
+        self.set_lsn(lsn)
+        if self.executor is not None:
+            self.set_slot(slot_name)
+            for table in tables:
+                self.set_publication(table)
+        else:
+            self.slot = slot_name
+        stream = self.changes(spark, capture_dir)
+        return foreach_batch_incremental_join_agg(
+            stream,
+            stream_cols=stream_cols,
+            static_signed=static_signed,
+            on=on,
+            dims=dims,
+            measures=measures,
+            target_dir=target_dir,
+            checkpoint_dir=checkpoint_dir,
+        )

@@ -229,3 +229,45 @@ def test_incremental_view_via_conn(spark):
         ).collect()
     }
     assert view == expect and view
+
+
+def test_incremental_join_view_via_conn(spark):
+    """Conn.incremental_join_view: the packaged stream-static join IVM
+    over the golden capture stream — per-status totals weighted by a
+    static per-key dimension must equal the signed fold computed
+    directly from the decoded envelope joined to the same dimension."""
+    from pyspark.sql import functions as F
+
+    d = _capture_dir_with_golden()
+    static = spark.createDataFrame(
+        [(1, 1, 3), (1, 2, 5)], "sign int, dim_key long, weight long"
+    )
+    conn = Conn("postgres://ignored", executor=None)
+    target, q = conn.incremental_join_view(
+        spark,
+        "slot_ivmj",
+        [Table("public", "orders")],
+        stream_cols={
+            "o_orderkey": F.expr(
+                "try_cast(element_at(img, 'o_orderkey') AS BIGINT)"
+            ),
+            "o_orderstatus": F.element_at(F.col("img"), "o_orderstatus"),
+        },
+        static_signed=static,
+        on=[("o_orderkey", "dim_key")],
+        dims={"o_orderstatus": F.col("o_orderstatus")},
+        measures={"w": F.col("weight")},
+        capture_dir=d,
+    )
+    q.awaitTermination()
+    view = {
+        r["o_orderstatus"]: (r["n_rows"], r["w"])
+        for r in read_view(spark, target).filter("n_rows > 0").collect()
+    }
+    # golden stream: key 1 INSERT(O), UPDATE(O->F, full old image),
+    # UPDATE(F, EMPTY old image - default replica identity), DELETE(F);
+    # key 2 INSERT(O). Without capture-side before-image recovery
+    # (recover_before is documented as pre-stream, order-sensitive) the
+    # empty-before UPDATE contributes +F with no matching -F, so key 1
+    # leaves an F residue; key 2 survives as one O row with weight 5.
+    assert view == {"O": (1, 5), "F": (1, 3)}
