@@ -129,3 +129,61 @@ def exact_ntile(
         .withColumn(out_col, bucket)
         .drop("__rn", "__n")
     )
+
+
+def prefix_sum_by_key(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str,
+    inclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + exact running sum of ``value_col`` over the total order
+    ``order_cols`` — the distributed prefix sum, with NO unpartitioned
+    window.
+
+    Plan shape: one range exchange over the data; per-partition totals
+    (P rows, P = a configuration constant); exclusive offset prefix via
+    the same config-bounded O(P²) broadcast self-join the ranking
+    operator uses; the within-partition running sum is a Window
+    PARTITIONED BY the range-partition id — every window task sees one
+    range partition, never the whole frame. The range exchange is
+    referenced by both the totals path and the window path; ReuseExchange
+    /AQE stage reuse dedupe it so both see identical boundaries (the
+    invariant tests/test_ranking.py re-checks every run).
+
+    ``inclusive=False`` (default) yields the EXCLUSIVE prefix (sum of
+    strictly-preceding rows) — the form cumulative-distribution
+    consumers (exact AUC, CDF, quantile lookup) want."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_partitions:
+        nparts = num_partitions
+    else:
+        conf = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        nparts = int(conf) if conf.isdigit() else spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__tot"), F.lit(0)).alias("__offset"))
+    )
+    upper = -1 if not inclusive else Window.currentRow
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return (
+        part.withColumn("__within", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__offset") + F.col("__within"))
+        .drop("__pid", "__within", "__offset")
+    )

@@ -1092,3 +1092,85 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "quality_auc_exact",
+    oracle="""
+    WITH per_doc AS (
+      SELECT length(text) AS score,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    by_score AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos_s,
+             CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+      FROM per_doc GROUP BY score
+    ),
+    cum AS (
+      SELECT *, CAST(COALESCE(SUM(neg_s) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS neg_below
+      FROM by_score
+    ),
+    tot AS (
+      SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             CAST(sum(neg_s) AS BIGINT) AS n_neg,
+             CAST(sum(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS auc_num2
+      FROM cum
+    )
+    SELECT n_pos, n_neg, auc_num2,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+           CAST((1000000 * auc_num2) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM tot
+    """,
+)
+def quality_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a classifier score against binary labels — the
+    Mann-Whitney U formulation with the standard tie correction
+    (AUC = Σ_s pos_s·(neg_below_s + ½·neg_s) / (P·N)), computed as an
+    exact integer rational (numerator/denominator doubled to stay
+    integral; auc_ppm = floor(1e6·AUC) for a readable scalar). Score =
+    doc length, labels = deterministic doc_id rule — the machinery is
+    what matters: evaluating quality-classifier checkpoints over a
+    full corpus.
+
+    Scale shape: one hash aggregation to per-score (pos, neg) counts
+    (frame bounded by DISTINCT SCORES, but a continuous score makes
+    that corpus-sized, so no global window is allowed) — then the
+    distributed prefix sum (operators/ranking.prefix_sum_by_key: range
+    shuffle, per-partition windows only, config-bounded broadcast
+    offsets) for the cumulative-negatives term, and a scalar agg. All
+    integer arithmetic end to end; at extreme corpus sizes the
+    num/den products need decimal(38) headroom (documented, not hit at
+    driver SFs)."""
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = docs.select(
+        F.length("text").cast("long").alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("pos"),
+    )
+    by_score = per.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("pos_s"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("neg_s"),
+    )
+    cum = prefix_sum_by_key(
+        by_score, [F.asc("score")], "neg_s", "neg_below", inclusive=False
+    )
+    tot = cum.agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum("neg_s").cast("long").alias("n_neg"),
+        F.sum(F.col("pos_s") * (2 * F.col("neg_below") + F.col("neg_s")))
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den2"),
+        F.expr("1000000 * auc_num2 DIV (2 * n_pos * n_neg)")
+        .cast("long")
+        .alias("auc_ppm"),
+    )

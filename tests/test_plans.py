@@ -296,3 +296,13 @@ def test_join_view_deltas_broadcast(spark, qs):
     assert_plan(_df(qs, "cdc_join_view_maintenance", spark),
                 min_broadcast_joins=3, python_evals=0,
                 unpartitioned_windows=0, max_exchanges=9)
+
+
+def test_auc_exact_no_unpartitioned_window(spark, qs):
+    # exact AUC rides the distributed prefix sum: range shuffle +
+    # per-partition windows + broadcast offsets — a global cumsum
+    # window over the by-score frame would be corpus-sized for
+    # continuous scores.
+    assert_plan(_df(qs, "quality_auc_exact", spark),
+                unpartitioned_windows=0, python_evals=0,
+                min_broadcast_joins=1)

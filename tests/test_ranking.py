@@ -69,3 +69,35 @@ def test_ranking_skewed_keys(spark):
     got = global_row_number(df, order, "rn")
     exp = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
     assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
+
+
+def test_prefix_sum_matches_window(spark):
+    """Distributed exclusive/inclusive prefix sums must equal the
+    single-partition window cumsum, across repeated runs (exchange
+    reuse gives both internal paths identical range boundaries)."""
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    rows = [(i, (i * 37) % 101, (i * 13) % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long, v long").repartition(8)
+    order = [F.asc("k"), F.asc("id")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    exp = df.withColumn("ps", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    for _ in range(3):
+        got = prefix_sum_by_key(df, order, "v", "ps", inclusive=False)
+        assert got.select("id", "ps").exceptAll(exp.select("id", "ps")).count() == 0
+    wi = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    expi = df.withColumn("ps", F.sum("v").over(wi))
+    goti = prefix_sum_by_key(df, order, "v", "ps", inclusive=True)
+    assert goti.select("id", "ps").exceptAll(expi.select("id", "ps")).count() == 0
+
+
+def test_prefix_sum_plan_no_unpartitioned_window(spark):
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 11).alias("v")
+    )
+    got = prefix_sum_by_key(df, [F.asc("id")], "v", "ps")
+    feats = plan_features(got)
+    assert feats["unpartitioned_windows"] == 0
+    assert feats["broadcast_joins"] >= 1
