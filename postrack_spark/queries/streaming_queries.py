@@ -620,3 +620,66 @@ def streaming_cascaded_view_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         "n_rows",
         F.round(F.col("cents") / 100.0, 2).alias("total_price"),
     ).orderBy("o_orderpriority")
+
+
+def _dedup_index_oracle() -> str:
+    """Uncapped batch MinHash+LSH as SQL: the streaming index applies
+    degenerate-bucket caps at compaction epochs, not per batch, so its
+    steady-state pair set equals the UNCAPPED banding (the batch
+    query's oracle minus the bucket-size filter)."""
+    from postrack_spark.queries.dedup_queries import (
+        _BANDS_SQL,
+        _SHINGLES_CTE,
+        _SIG_CTE,
+    )
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+      FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      JOIN cand c ON c.doc_a = t1.doc AND c.doc_b = t2.doc
+      GROUP BY t1.doc, t2.doc
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+                 JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("streaming_dedup_index", oracle=_dedup_index_oracle())
+def streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection: documents arrive in micro-batches
+    and a MinHash+LSH index is maintained incrementally — each batch
+    probes the accumulated index by band bucket (new side broadcast),
+    verifies candidates with exact shingle-set Jaccard, and emits each
+    surviving pair exactly once, when its second member arrives. The
+    union of all emitted pairs must equal the one-shot batch LSH over
+    the full corpus (arrival order never matters: candidate membership
+    old-vs-new partitions each pair uniquely). The training-pipeline
+    shape: dedup a growing corpus without ever re-scanning it."""
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming import foreach_batch_dedup_index, read_dedup_pairs
+
+    docs = load_tables(spark, sf_dir)["documents"].repartition(8)
+    stream = envelope_stream(
+        spark, docs, name="dedupidx", options={"maxFilesPerTrigger": "2"}
+    )
+    target, q = foreach_batch_dedup_index(stream)
+    q.awaitTermination()
+    return (
+        read_dedup_pairs(spark, target)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

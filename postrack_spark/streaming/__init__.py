@@ -25,10 +25,12 @@ from postrack_spark.streaming.runner import (
 from postrack_spark.streaming.sinks import (
     foreach_batch_apply_changes,
     foreach_batch_incremental_agg,
+    foreach_batch_dedup_index,
     foreach_batch_fold,
     foreach_batch_incremental_agg_log,
     foreach_batch_incremental_join_agg,
     compact_log_view,
+    read_dedup_pairs,
     read_log_view,
     read_view,
 )
@@ -44,10 +46,12 @@ __all__ = [
     "stream_stream_interval_join",
     "foreach_batch_apply_changes",
     "foreach_batch_incremental_agg",
+    "foreach_batch_dedup_index",
     "foreach_batch_fold",
     "foreach_batch_incremental_agg_log",
     "foreach_batch_incremental_join_agg",
     "compact_log_view",
+    "read_dedup_pairs",
     "read_log_view",
     "read_view",
 ]

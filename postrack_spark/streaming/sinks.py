@@ -588,3 +588,164 @@ def foreach_batch_fold(
         .start()
     )
     return target, query
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup index: MinHash+LSH maintained incrementally.
+# ---------------------------------------------------------------------------
+
+
+def _bands_of(sigs: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    n_bands = n_hashes // band_size
+    cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)])
+            ).alias("bh"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select("doc", F.explode(F.array(*cols)).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
+def _read_pointer_simple(target: str) -> tuple[str | None, int]:
+    path = os.path.join(target, _POINTER)
+    if not os.path.exists(path):
+        return None, -1
+    lines = open(path).read().splitlines()
+    return lines[0], int(lines[1])
+
+
+def _swap_pointer_simple(target: str, lineage: str, batch_id: int) -> None:
+    tmp = os.path.join(target, f".{_POINTER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{lineage}\n{batch_id}\n")
+    os.replace(tmp, os.path.join(target, _POINTER))
+
+
+def _applied_dirs(root: str, applied_id: int) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, n)
+        for n in sorted(os.listdir(root))
+        if n.startswith("d") and n[1:].isdigit() and int(n[1:]) <= applied_id
+    ]
+
+
+def foreach_batch_dedup_index(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> tuple[str, object]:
+    """Streaming near-duplicate detection: a MinHash+LSH index
+    maintained incrementally from a document stream, emitting each
+    verified pair EXACTLY ONCE — when its second member arrives.
+
+    Per micro-batch:
+      1. one fused aggregation per new doc: exact shingle set + the
+         n_hashes signature lanes (written to ``index/d<batch>`` and
+         read back — storage pins the frame for its multiple uses)
+      2. candidates = new-vs-INDEX band-bucket equi-join (new side
+         broadcast — a batch is tiny vs the accumulated index) plus
+         new-vs-new banding; never all-pairs
+      3. exact Jaccard verification over the stored shingle sets;
+         survivors land in ``pairs/d<batch>``
+      4. atomic pointer swap; crash-retried batches overwrite their own
+         deterministic dirs and replayed batches are skipped, so both
+         the index and the emitted pair set are exactly-once.
+
+    A pair is found once because membership (old, new) is disjoint
+    across batches: (a, b) with b arriving later is emitted by b's
+    batch only. At 100 TB the index is stored partitioned by (band,
+    bh) so the per-batch probe prunes to touched buckets, and
+    degenerate-bucket caps are applied at compaction epochs (the batch
+    path's max_bucket_size); the local layout keeps per-batch dirs.
+    Read results with :func:`read_dedup_pairs`."""
+    from postrack_spark.functions.text import minhash_expr
+    from postrack_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs_from_arrays,
+        lsh_candidate_pairs,
+    )
+
+    target = target_dir or tempfile.mkdtemp(prefix="dedup_idx_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_didx_")
+    lanes = [f"h{i}" for i in range(n_hashes)]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(target, exist_ok=True)
+        spark = batch_df.sparkSession
+        applied_lineage, applied_id = _read_pointer_simple(target)
+        if applied_lineage == checkpoint and batch_id <= applied_id:
+            return  # at-least-once re-delivery of an applied batch
+        dname = f"d{batch_id:08d}"
+        shingles = doc_shingles(
+            batch_df.select(id_col, text_col), id_col, text_col, k=shingle_k
+        )
+        per_doc = shingles.groupBy("doc").agg(
+            F.collect_set("tok").alias("toks"),
+            *[F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(n_hashes)],
+        )
+        new_path = os.path.join(target, "index", dname)
+        per_doc.write.mode("overwrite").parquet(new_path)
+        new = spark.read.parquet(new_path)
+
+        cand = lsh_candidate_pairs(
+            new.select("doc", *lanes), n_hashes=n_hashes, band_size=band_size,
+            max_bucket_size=1 << 30,
+        )
+        old_dirs = _applied_dirs(os.path.join(target, "index"), applied_id)
+        sets_ = new.select("doc", "toks")
+        if old_dirs:
+            old = spark.read.parquet(*old_dirs)
+            cross = (
+                _bands_of(old.select("doc", *lanes), n_hashes, band_size)
+                .join(
+                    F.broadcast(
+                        _bands_of(new.select("doc", *lanes), n_hashes, band_size)
+                        .withColumnRenamed("doc", "doc_new")
+                    ),
+                    ["band", "bh"],
+                )
+                .select(
+                    F.least("doc", "doc_new").alias("doc_a"),
+                    F.greatest("doc", "doc_new").alias("doc_b"),
+                )
+                .distinct()
+            )
+            cand = cand.unionByName(cross).distinct()
+            sets_ = sets_.unionByName(old.select("doc", "toks"))
+        verified = jaccard_pairs_from_arrays(sets_, cand, threshold=threshold)
+        verified.select("doc_a", "doc_b", "jaccard").write.mode("overwrite").parquet(
+            os.path.join(target, "pairs", dname)
+        )
+        _swap_pointer_simple(target, checkpoint, batch_id)
+
+    query = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query
+
+
+def read_dedup_pairs(spark: SparkSession, target: str) -> DataFrame:
+    """All near-dup pairs the streaming index has emitted so far
+    (committed batches only — orphan dirs from a crashed batch are
+    excluded by the pointer's applied id)."""
+    _, applied_id = _read_pointer_simple(target)
+    dirs = _applied_dirs(os.path.join(target, "pairs"), applied_id)
+    if not dirs:
+        raise FileNotFoundError(f"no committed pairs under {target}")
+    return spark.read.parquet(*dirs)

@@ -338,3 +338,59 @@ def test_log_sink_change_feed_idempotent_publish(spark):
         F.sum("n_rows").alias("n"), F.sum("v").alias("v")
     ).collect()
     assert [(r["s"], r["n"], r["v"]) for r in fed] == [("a", 0, 0)]
+
+
+def test_dedup_index_replay_and_resume(spark):
+    """Streaming dedup index protocol: a crash-replayed batch neither
+    re-emits pairs nor duplicates index entries, and a resumed stream
+    (same checkpoint lineage) continues finding cross-batch pairs
+    against the accumulated index."""
+    from postrack_spark.streaming.sinks import (
+        _applied_dirs,
+        _read_pointer_simple,
+        foreach_batch_dedup_index,
+        read_dedup_pairs,
+    )
+    import os
+
+    # three docs: 1 and 2 near-identical (share shingles), 3 disjoint
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight nine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tempfile.mkdtemp(prefix="didx_src_")
+    # file per doc -> 1-file batches; doc 2 arrives AFTER doc 1
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i}"))
+    schema = "doc_id long, text string"
+    target = tempfile.mkdtemp(prefix="didx_t_")
+    ckpt = tempfile.mkdtemp(prefix="didx_c_")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    t1, q1 = foreach_batch_dedup_index(
+        stream, target_dir=target, checkpoint_dir=ckpt
+    )
+    q1.awaitTermination()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in read_dedup_pairs(spark, t1).collect()}
+    assert pairs == {(1, 2)}
+    _, applied = _read_pointer_simple(target)
+    n_index_dirs = len(_applied_dirs(os.path.join(target, "index"), applied))
+
+    # resume on the same checkpoint with no new files: nothing replays
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    t2, q2 = foreach_batch_dedup_index(
+        stream2, target_dir=target, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination()
+    assert {(r["doc_a"], r["doc_b"]) for r in read_dedup_pairs(spark, t2).collect()} == {(1, 2)}
+    _, applied2 = _read_pointer_simple(target)
+    assert len(_applied_dirs(os.path.join(target, "index"), applied2)) == n_index_dirs
