@@ -683,3 +683,53 @@ def streaming_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _ann_index_oracle() -> str:
+    from postrack_spark.queries.vector_queries import _LSH_BITS_SQL
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_LSH_BITS_SQL} AS bk
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS sim
+      FROM e a JOIN e b USING (bk) WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(sim, 4) AS cos_sim
+    FROM sims WHERE sim >= 0.35
+    ORDER BY id_a, id_b
+    """
+
+
+@query("streaming_ann_index", oracle=_ann_index_oracle())
+def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming similarity index: embeddings arrive in micro-batches;
+    a sign-LSH bucket index accumulates and each batch probes only its
+    matching buckets (batch side broadcast), emitting cosine-similar
+    pairs (>= 0.35) exactly once, when the second vector arrives. The
+    union of emitted pairs equals the one-shot bucketed similarity
+    join over the full corpus — the vector twin of
+    streaming_dedup_index (embedding near-dup over a growing corpus
+    without re-scanning it)."""
+    from postrack_spark.functions.vector import as_double_array
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming import foreach_batch_ann_index, read_dedup_pairs
+
+    emb = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", as_double_array("embedding").alias("vec"))
+        .repartition(8)
+    )
+    stream = envelope_stream(
+        spark, emb, name="annidx", options={"maxFilesPerTrigger": "2"}
+    )
+    target, q = foreach_batch_ann_index(stream)
+    q.awaitTermination()
+    return (
+        read_dedup_pairs(spark, target)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )

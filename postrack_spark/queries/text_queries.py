@@ -1174,3 +1174,48 @@ def quality_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+@query(
+    "quality_calibration_bins",
+    oracle="""
+    WITH per_doc AS (
+      SELECT (length(text) % 1000) * 1000 AS pred_ppm,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos
+      FROM documents
+    )
+    SELECT CAST(pred_ppm // 100000 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(pred_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+           CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS obs_ppm
+    FROM per_doc
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION (reliability diagram): bucket predicted
+    probabilities into 10 equal-width bins and compare mean predicted
+    vs observed positive rate per bin — the companion diagnostic to
+    quality_auc_exact (AUC measures ranking; calibration measures
+    probability quality). Predictions/labels are deterministic
+    stand-ins; the machinery is per-bin integer-exact rates (ppm via
+    integer floor division — no fp cross-engine drift). One map-side
+    projection + one hash aggregation over 10 groups; embarrassingly
+    scalable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = docs.select(
+        ((F.length("text") % 1000) * 1000).cast("long").alias("pred_ppm"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("pos"),
+    )
+    return (
+        per.groupBy(F.expr("pred_ppm DIV 100000").cast("long").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.expr("sum(pred_ppm) DIV count(*)").cast("long").alias("mean_pred_ppm"),
+            F.expr("(sum(pos) * 1000000) DIV count(*)").cast("long").alias("obs_ppm"),
+        )
+        .orderBy("bin")
+    )

@@ -25,6 +25,7 @@ from postrack_spark.streaming.runner import (
 from postrack_spark.streaming.sinks import (
     foreach_batch_apply_changes,
     foreach_batch_incremental_agg,
+    foreach_batch_ann_index,
     foreach_batch_dedup_index,
     foreach_batch_fold,
     foreach_batch_incremental_agg_log,
@@ -46,6 +47,7 @@ __all__ = [
     "stream_stream_interval_join",
     "foreach_batch_apply_changes",
     "foreach_batch_incremental_agg",
+    "foreach_batch_ann_index",
     "foreach_batch_dedup_index",
     "foreach_batch_fold",
     "foreach_batch_incremental_agg_log",

@@ -749,3 +749,82 @@ def read_dedup_pairs(spark: SparkSession, target: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no committed pairs under {target}")
     return spark.read.parquet(*dirs)
+
+
+def foreach_batch_ann_index(
+    vectors_stream: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    threshold: float = 0.35,
+    lsh_dims: list[int] | None = None,
+) -> tuple[str, object]:
+    """Streaming similarity index: the vector twin of
+    :func:`foreach_batch_dedup_index`. Embeddings arrive in
+    micro-batches; each batch sign-LSH-bucketizes its vectors, probes
+    the accumulated index within matching buckets only (batch side
+    broadcast — never all-pairs), and emits cosine-similar pairs
+    (>= threshold) exactly once, when the second vector arrives.
+    Same exactly-once protocol as the dedup index: deterministic
+    per-batch dirs + atomic pointer swap, replayed batches skipped.
+    At 100 TB the index is stored partitioned by bucket key so the
+    per-batch probe prunes to touched buckets. Read results with
+    :func:`read_dedup_pairs` (same layout: id_a, id_b, cos_sim)."""
+    from postrack_spark.operators.similarity import cosine, sign_lsh_key
+
+    dims = lsh_dims or list(range(1, 9))
+    target = target_dir or tempfile.mkdtemp(prefix="ann_idx_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_aidx_")
+
+    def pairs_of(left: DataFrame, right: DataFrame, same_batch: bool) -> DataFrame:
+        l = left.select(
+            F.col("id").alias("id_l"), F.col("v").alias("v_l"), "bk"
+        )
+        r = right.select(
+            F.col("id").alias("id_r"), F.col("v").alias("v_r"), "bk"
+        )
+        cond = F.col("id_l") < F.col("id_r") if same_batch else F.col("id_l") != F.col("id_r")
+        return (
+            l.join(F.broadcast(r), "bk").filter(cond)
+            .select(
+                F.least("id_l", "id_r").alias("id_a"),
+                F.greatest("id_l", "id_r").alias("id_b"),
+                cosine(F.col("v_l"), F.col("v_r")).alias("sim"),
+            )
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(target, exist_ok=True)
+        spark = batch_df.sparkSession
+        applied_lineage, applied_id = _read_pointer_simple(target)
+        if applied_lineage == checkpoint and batch_id <= applied_id:
+            return
+        dname = f"d{batch_id:08d}"
+        new = batch_df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).withColumn("bk", sign_lsh_key(F.col("v"), dims))
+        new_path = os.path.join(target, "index", dname)
+        new.write.mode("overwrite").parquet(new_path)
+        new = spark.read.parquet(new_path)
+
+        sims = pairs_of(new, new, same_batch=True)
+        old_dirs = _applied_dirs(os.path.join(target, "index"), applied_id)
+        if old_dirs:
+            old = spark.read.parquet(*old_dirs)
+            sims = sims.unionByName(pairs_of(old, new, same_batch=False))
+        out = (
+            sims.filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", F.round("sim", 4).alias("cos_sim"))
+            .distinct()
+        )
+        out.write.mode("overwrite").parquet(os.path.join(target, "pairs", dname))
+        _swap_pointer_simple(target, checkpoint, batch_id)
+
+    query = (
+        vectors_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query
