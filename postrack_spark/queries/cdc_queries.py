@@ -840,3 +840,111 @@ def cdc_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures={"sum_qty": F.col("l_qty"), "sum_price_cents": F.col("o_cents")},
     )
     return view.orderBy("o_orderpriority")
+
+
+@query(
+    "cdc_join_view_three_way",
+    oracle="""
+    WITH o_final AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 IN (1, 2, 3)
+                  THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+                  WHEN o_orderkey % 10 = 4
+                  THEN CAST(round((o_totalprice + 10) * 100) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS o_cents
+      FROM orders WHERE o_orderkey % 10 <> 5
+    ),
+    l_final AS (
+      SELECT l_orderkey,
+             CAST(round(l_quantity) AS BIGINT)
+               + CASE WHEN l_orderkey % 10 = 6 AND l_linenumber = 1
+                      THEN 3 ELSE 0 END AS l_qty
+      FROM lineitem
+      WHERE NOT (l_orderkey % 10 = 7 AND l_linenumber = 1)
+      UNION ALL
+      SELECT l_orderkey, 1 AS l_qty
+      FROM lineitem WHERE l_orderkey % 10 = 8 AND l_linenumber = 1
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_qty) AS BIGINT) AS sum_qty,
+           CAST(sum(o_cents) AS BIGINT) AS sum_price_cents
+    FROM o_final
+    JOIN l_final ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def cdc_join_view_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-WAY join-view IVM by COMPOSITION: the signed-multiset
+    algebra closes under joins, so (snapshot, delta) of A ⋈ B — built
+    by _signed_join / delta_join_terms — is itself a valid signed
+    relation pair, fed unchanged into a second incremental_join_agg
+    against the customer dimension (static here: dimension tables
+    change rarely; an empty delta is the degenerate case). No special
+    n-way machinery: Δ(A⋈B⋈C) falls out of applying the binary rule
+    twice. Same final-state oracle discipline as the two-way view."""
+    from postrack_spark.cdc.fixtures import lineitem_delta_changes
+    from postrack_spark.cdc.ivm import (
+        _signed_join,
+        delta_join_terms,
+        incremental_join_agg,
+        recover_before,
+        signed_image_rows,
+    )
+    from postrack_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    img = lambda c: F.element_at(F.col("img"), c)  # noqa: E731
+
+    a0 = t["orders"].select(
+        F.lit(1).alias("sign"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    och = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    okey = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    da = signed_image_rows(
+        recover_before(och, okey).filter(F.col("op") != "INSERT"),
+        {
+            "o_orderkey": img("o_orderkey").cast("long"),
+            "o_custkey": img("o_custkey").cast("long"),
+            "o_cents": F.round(img("o_totalprice").cast("double") * 100).cast("long"),
+        },
+    )
+    b0 = t["lineitem"].select(
+        F.lit(1).alias("sign"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.round(F.col("l_quantity")).cast("long").alias("l_qty"),
+    )
+    db = signed_image_rows(
+        lineitem_delta_changes(spark, sf_dir),
+        {
+            "l_orderkey": img("l_orderkey").cast("long"),
+            "l_qty": F.round(img("l_quantity").cast("double")).cast("long"),
+        },
+    )
+
+    on_ab = [("o_orderkey", "l_orderkey")]
+    ab0 = _signed_join(a0, b0, on_ab)
+    dab = delta_join_terms(a0, da, b0, db, on_ab)
+    c0 = t["customer"].select(
+        F.lit(1).alias("sign"),
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+    )
+    view = incremental_join_agg(
+        ab0, dab, c0, c0.limit(0),
+        on=[("o_custkey", "c_custkey")],
+        dims={"c_mktsegment": F.col("c_mktsegment")},
+        measures={"sum_qty": F.col("l_qty"), "sum_price_cents": F.col("o_cents")},
+    )
+    return view.orderBy("c_mktsegment")
