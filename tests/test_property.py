@@ -342,3 +342,62 @@ def test_versioned_sink_exactly_once_under_replay(spark, batches, replays):
             model[k] = model.get(k, 0) + x
     got = {r["k"]: r["x"] for r in read_view(spark, target).collect()}
     assert got == model
+
+
+# 3. Delta-join IVM algebra: for random valid (snapshot, final) multiset
+#    pairs on both sides, the incrementally-maintained join aggregate
+#    must equal the direct aggregate of the final states.
+
+row_a = st.tuples(st.integers(0, 3), st.integers(1, 5))  # (key, measure)
+row_b = st.tuples(st.integers(0, 3), st.integers(1, 4))
+
+
+def _signed_diff(old: list, new: list) -> list:
+    """Multiset difference as signed rows: new - old."""
+    from collections import Counter
+
+    delta = Counter(new)
+    delta.subtract(Counter(old))
+    return [(sign, k, m) for (k, m), c in delta.items()
+            for sign in ([1] * c if c > 0 else [-1] * (-c))]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    a0=st.lists(row_a, max_size=6), a1=st.lists(row_a, max_size=6),
+    b0=st.lists(row_b, max_size=6), b1=st.lists(row_b, max_size=6),
+)
+def test_incremental_join_agg_model(spark, a0, a1, b0, b1):
+    from collections import defaultdict
+
+    from postrack_spark.cdc.ivm import incremental_join_agg
+
+    schema_a = "sign int, ak long, am long"
+    schema_b = "sign int, bk long, bm long"
+    mk = lambda rows, schema: spark.createDataFrame(  # noqa: E731
+        [(1, k, m) for k, m in rows] or [], schema
+    )
+    da_rows = _signed_diff(a0, a1)
+    db_rows = _signed_diff(b0, b1)
+    da = spark.createDataFrame(da_rows or [], schema_a)
+    db = spark.createDataFrame(db_rows or [], schema_b)
+
+    got = {
+        r["k"]: (r["n_rows"], r["m"])
+        for r in incremental_join_agg(
+            mk(a0, schema_a), da, mk(b0, schema_b), db,
+            on=[("ak", "bk")],
+            dims={"k": F.col("ak")},
+            measures={"m": F.col("am") * F.col("bm")},
+        ).collect()
+    }
+
+    expect: dict = defaultdict(lambda: [0, 0])
+    for ak, am in a1:
+        for bk, bm in b1:
+            if ak == bk:
+                expect[ak][0] += 1
+                expect[ak][1] += am * bm
+    want = {k: tuple(v) for k, v in expect.items() if v[0] > 0}
+    assert got == want
