@@ -31,6 +31,7 @@ from postrack_spark.streaming.sinks import (
     foreach_batch_incremental_agg_log,
     foreach_batch_incremental_join_agg,
     compact_log_view,
+    compact_pair_index,
     read_dedup_pairs,
     read_log_view,
     read_view,
@@ -53,6 +54,7 @@ __all__ = [
     "foreach_batch_incremental_agg_log",
     "foreach_batch_incremental_join_agg",
     "compact_log_view",
+    "compact_pair_index",
     "read_dedup_pairs",
     "read_log_view",
     "read_view",

@@ -611,29 +611,80 @@ def _bands_of(sigs: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
     )
 
 
-def _read_pointer_simple(target: str) -> tuple[str | None, int]:
+def _read_pointer_simple(target: str) -> tuple[str | None, int, str | None]:
+    """(lineage, applied batch id, compacted base name or None).
+
+    Live state = base dir (if any) plus the per-batch ``d`` dirs with
+    base_id < id <= applied — so compaction is one atomic pointer swap
+    to a freshly-written ``c<id>`` base, never an in-place rewrite."""
     path = os.path.join(target, _POINTER)
     if not os.path.exists(path):
-        return None, -1
+        return None, -1, None
     lines = open(path).read().splitlines()
-    return lines[0], int(lines[1])
+    base = lines[2] if len(lines) > 2 and lines[2] else None
+    return lines[0], int(lines[1]), base
 
 
-def _swap_pointer_simple(target: str, lineage: str, batch_id: int) -> None:
+def _swap_pointer_simple(
+    target: str, lineage: str, batch_id: int, base: str | None = None
+) -> None:
     tmp = os.path.join(target, f".{_POINTER}.tmp")
     with open(tmp, "w") as f:
-        f.write(f"{lineage}\n{batch_id}\n")
+        f.write(f"{lineage}\n{batch_id}\n{base or ''}\n")
     os.replace(tmp, os.path.join(target, _POINTER))
 
 
-def _applied_dirs(root: str, applied_id: int) -> list[str]:
+def _live_dirs(root: str, base: str | None, applied_id: int) -> list[str]:
+    """Compacted base (if any) + delta dirs newer than it, up to the
+    applied id — orphans from a crashed batch (id > applied) and
+    deltas already folded into the base (id <= base_id) excluded."""
     if not os.path.isdir(root):
         return []
-    return [
+    base_id = int(base[1:]) if base else -1
+    out = []
+    if base and os.path.isdir(os.path.join(root, base)):
+        out.append(os.path.join(root, base))
+    out += [
         os.path.join(root, n)
         for n in sorted(os.listdir(root))
-        if n.startswith("d") and n[1:].isdigit() and int(n[1:]) <= applied_id
+        if n.startswith("d") and n[1:].isdigit()
+        and base_id < int(n[1:]) <= applied_id
     ]
+    return out
+
+
+def compact_pair_index(spark: SparkSession, target: str) -> None:
+    """Compact a streaming pair-index target (dedup or ANN): fold the
+    live index and pairs dirs into fresh ``c<applied>`` bases and swap
+    the pointer — the same LSM discipline as compact_log_view, bounding
+    both read amplification and small-file count. Crash-safe: a crash
+    before the swap leaves orphan c-dirs and the old state live; after
+    the swap, superseded dirs are GC'd (a production deployment would
+    retain one epoch for concurrent readers)."""
+    lineage, applied_id, base = _read_pointer_simple(target)
+    if applied_id < 0:
+        return
+    cname = f"c{applied_id:08d}"
+    if base == cname:
+        return  # already compacted to the applied id
+    for sub in ("index", "pairs"):
+        live = _live_dirs(os.path.join(target, sub), base, applied_id)
+        if not live:
+            continue
+        spark.read.parquet(*live).write.mode("overwrite").parquet(
+            os.path.join(target, sub, cname)
+        )
+    _swap_pointer_simple(target, lineage, applied_id, base=cname)
+    for sub in ("index", "pairs"):
+        root = os.path.join(target, sub)
+        if not os.path.isdir(root):
+            continue
+        for n in os.listdir(root):
+            if n != cname and (
+                (n.startswith("d") and n[1:].isdigit() and int(n[1:]) <= applied_id)
+                or (n.startswith("c") and n[1:].isdigit())
+            ):
+                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
 
 
 def foreach_batch_dedup_index(
@@ -685,7 +736,7 @@ def foreach_batch_dedup_index(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(target, exist_ok=True)
         spark = batch_df.sparkSession
-        applied_lineage, applied_id = _read_pointer_simple(target)
+        applied_lineage, applied_id, base = _read_pointer_simple(target)
         if applied_lineage == checkpoint and batch_id <= applied_id:
             return  # at-least-once re-delivery of an applied batch
         dname = f"d{batch_id:08d}"
@@ -704,7 +755,7 @@ def foreach_batch_dedup_index(
             new.select("doc", *lanes), n_hashes=n_hashes, band_size=band_size,
             max_bucket_size=1 << 30,
         )
-        old_dirs = _applied_dirs(os.path.join(target, "index"), applied_id)
+        old_dirs = _live_dirs(os.path.join(target, "index"), base, applied_id)
         sets_ = new.select("doc", "toks")
         if old_dirs:
             old = spark.read.parquet(*old_dirs)
@@ -729,7 +780,7 @@ def foreach_batch_dedup_index(
         verified.select("doc_a", "doc_b", "jaccard").write.mode("overwrite").parquet(
             os.path.join(target, "pairs", dname)
         )
-        _swap_pointer_simple(target, checkpoint, batch_id)
+        _swap_pointer_simple(target, checkpoint, batch_id, base=base)
 
     query = (
         docs_stream.writeStream.foreachBatch(apply_batch)
@@ -744,8 +795,8 @@ def read_dedup_pairs(spark: SparkSession, target: str) -> DataFrame:
     """All near-dup pairs the streaming index has emitted so far
     (committed batches only — orphan dirs from a crashed batch are
     excluded by the pointer's applied id)."""
-    _, applied_id = _read_pointer_simple(target)
-    dirs = _applied_dirs(os.path.join(target, "pairs"), applied_id)
+    _, applied_id, base = _read_pointer_simple(target)
+    dirs = _live_dirs(os.path.join(target, "pairs"), base, applied_id)
     if not dirs:
         raise FileNotFoundError(f"no committed pairs under {target}")
     return spark.read.parquet(*dirs)
@@ -797,7 +848,7 @@ def foreach_batch_ann_index(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         os.makedirs(target, exist_ok=True)
         spark = batch_df.sparkSession
-        applied_lineage, applied_id = _read_pointer_simple(target)
+        applied_lineage, applied_id, base = _read_pointer_simple(target)
         if applied_lineage == checkpoint and batch_id <= applied_id:
             return
         dname = f"d{batch_id:08d}"
@@ -809,7 +860,7 @@ def foreach_batch_ann_index(
         new = spark.read.parquet(new_path)
 
         sims = pairs_of(new, new, same_batch=True)
-        old_dirs = _applied_dirs(os.path.join(target, "index"), applied_id)
+        old_dirs = _live_dirs(os.path.join(target, "index"), base, applied_id)
         if old_dirs:
             old = spark.read.parquet(*old_dirs)
             sims = sims.unionByName(pairs_of(old, new, same_batch=False))
@@ -819,7 +870,7 @@ def foreach_batch_ann_index(
             .distinct()
         )
         out.write.mode("overwrite").parquet(os.path.join(target, "pairs", dname))
-        _swap_pointer_simple(target, checkpoint, batch_id)
+        _swap_pointer_simple(target, checkpoint, batch_id, base=base)
 
     query = (
         vectors_stream.writeStream.foreachBatch(apply_batch)

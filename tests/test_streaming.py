@@ -346,7 +346,7 @@ def test_dedup_index_replay_and_resume(spark):
     (same checkpoint lineage) continues finding cross-batch pairs
     against the accumulated index."""
     from postrack_spark.streaming.sinks import (
-        _applied_dirs,
+        _live_dirs,
         _read_pointer_simple,
         foreach_batch_dedup_index,
         read_dedup_pairs,
@@ -379,8 +379,8 @@ def test_dedup_index_replay_and_resume(spark):
     q1.awaitTermination()
     pairs = {(r["doc_a"], r["doc_b"]) for r in read_dedup_pairs(spark, t1).collect()}
     assert pairs == {(1, 2)}
-    _, applied = _read_pointer_simple(target)
-    n_index_dirs = len(_applied_dirs(os.path.join(target, "index"), applied))
+    _, applied, base = _read_pointer_simple(target)
+    n_index_dirs = len(_live_dirs(os.path.join(target, "index"), base, applied))
 
     # resume on the same checkpoint with no new files: nothing replays
     stream2 = (
@@ -392,5 +392,64 @@ def test_dedup_index_replay_and_resume(spark):
     )
     q2.awaitTermination()
     assert {(r["doc_a"], r["doc_b"]) for r in read_dedup_pairs(spark, t2).collect()} == {(1, 2)}
-    _, applied2 = _read_pointer_simple(target)
-    assert len(_applied_dirs(os.path.join(target, "index"), applied2)) == n_index_dirs
+    _, applied2, base2 = _read_pointer_simple(target)
+    assert len(_live_dirs(os.path.join(target, "index"), base2, applied2)) == n_index_dirs
+
+
+def test_pair_index_compaction(spark):
+    """compact_pair_index folds per-batch index/pairs dirs into c-bases
+    (crash-safe write-then-swap), results unchanged, later batches keep
+    probing the compacted base, and re-compaction is a no-op."""
+    import os
+
+    from postrack_spark.streaming.sinks import (
+        _live_dirs,
+        _read_pointer_simple,
+        compact_pair_index,
+        foreach_batch_dedup_index,
+        read_dedup_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha beta gamma delta epsilon zeta theta iota"),
+    ]
+    schema = "doc_id long, text string"
+    src = tempfile.mkdtemp(prefix="cpi_src_")
+    for i, r in enumerate(rows[:2]):
+        spark.createDataFrame([r], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i}"))
+    target = tempfile.mkdtemp(prefix="cpi_t_")
+    ckpt = tempfile.mkdtemp(prefix="cpi_c_")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    _, q = foreach_batch_dedup_index(stream, target_dir=target, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    before = {(r["doc_a"], r["doc_b"]) for r in read_dedup_pairs(spark, target).collect()}
+    assert before == {(1, 2)}
+
+    compact_pair_index(spark, target)
+    _, applied, base = _read_pointer_simple(target)
+    assert base == f"c{applied:08d}"
+    assert len(_live_dirs(os.path.join(target, "index"), base, applied)) == 1
+    assert {(r["doc_a"], r["doc_b"]) for r in read_dedup_pairs(spark, target).collect()} == before
+    compact_pair_index(spark, target)  # idempotent no-op at same id
+    assert _read_pointer_simple(target)[2] == base
+
+    # doc 3 arrives AFTER compaction: cross-batch pairs still found
+    # against the compacted base
+    spark.createDataFrame([rows[2]], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "f2"))
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    _, q2 = foreach_batch_dedup_index(stream2, target_dir=target, checkpoint_dir=ckpt)
+    q2.awaitTermination()
+    after = {(r["doc_a"], r["doc_b"]) for r in read_dedup_pairs(spark, target).collect()}
+    assert after == {(1, 2), (1, 3), (2, 3)}
