@@ -733,3 +733,56 @@ def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")
     )
+
+
+def _clusters_oracle() -> str:
+    # identical closure to the batch clusters oracle (registered by the
+    # dedup module import above in registry.load_all order; import it
+    # directly here so decoration order doesn't matter)
+    import postrack_spark.queries.dedup_queries  # noqa: F401
+    from postrack_spark.queries.registry import QUERIES
+
+    return QUERIES["dedup_duplicate_clusters"].oracle
+
+
+@query("streaming_dedup_clusters", oracle=_clusters_oracle())
+def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate clusters: near-dup edges arrive in
+    micro-batches and the transitive closure (doc -> min-member
+    cluster label) is maintained by recomputing only AFFECTED
+    components per batch — cross-batch merges included (an edge
+    linking two existing clusters relabels both). The maintained
+    labels must equal the one-shot connected components over all
+    edges (the batch query's recursive-CTE oracle, verbatim). The
+    last stage of streaming dedup: index emits pairs, this keeps the
+    'one representative per duplicate group' mapping current."""
+    from postrack_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from postrack_spark.session import fan_out, load_tables
+    from postrack_spark.streaming import foreach_batch_cluster_maintenance
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    shingles = doc_shingles(docs, "doc_id", "text", k=3)
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
+    pairs = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select("doc_a", "doc_b")
+
+    stream = envelope_stream(
+        spark,
+        pairs.repartition(6),
+        name="ccmaint",
+        options={"maxFilesPerTrigger": "2"},
+    )
+    target, q = foreach_batch_cluster_maintenance(stream)
+    q.awaitTermination()
+    labels = read_view(spark, target)
+    return (
+        labels.groupBy("cluster")
+        .agg(F.count("*").alias("n_docs"), F.max("doc").cast("bigint").alias("max_doc"))
+        .orderBy("cluster")
+    )

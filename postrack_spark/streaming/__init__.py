@@ -26,6 +26,7 @@ from postrack_spark.streaming.sinks import (
     foreach_batch_apply_changes,
     foreach_batch_incremental_agg,
     foreach_batch_ann_index,
+    foreach_batch_cluster_maintenance,
     foreach_batch_dedup_index,
     foreach_batch_fold,
     foreach_batch_incremental_agg_log,
@@ -49,6 +50,7 @@ __all__ = [
     "foreach_batch_apply_changes",
     "foreach_batch_incremental_agg",
     "foreach_batch_ann_index",
+    "foreach_batch_cluster_maintenance",
     "foreach_batch_dedup_index",
     "foreach_batch_fold",
     "foreach_batch_incremental_agg_log",

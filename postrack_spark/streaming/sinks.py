@@ -879,3 +879,65 @@ def foreach_batch_ann_index(
         .start()
     )
     return target, query
+
+
+def foreach_batch_cluster_maintenance(
+    edges_stream: DataFrame,
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    keep_depth: int = 2,
+) -> tuple[str, object]:
+    """Incremental CONNECTED COMPONENTS: maintain duplicate-cluster
+    labels (doc -> cluster = min member id) across micro-batches of
+    near-dup edges — the downstream half of streaming dedup (pair
+    index emits edges; this sink keeps the transitive closure current).
+
+    Per batch, only AFFECTED components are recomputed: the batch
+    edges' endpoints name their current clusters, every member of
+    those clusters joins the batch subgraph (each old cluster enters
+    as member->root star edges, so cross-cluster merges propagate),
+    and min-label propagation runs to convergence on that subgraph
+    alone — O(batch + affected members), never O(graph). Unaffected
+    labels are carried over by anti-join. Versioned exactly-once
+    protocol as the other sinks; read with ``read_view``.
+
+    Correctness: any path in the accumulated graph between two nodes
+    either lies inside carried-over components or crosses a batch
+    edge; every crossed component is affected and fully present in
+    the subgraph, so the subgraph closure equals the true closure."""
+    from postrack_spark.operators.dedup import connected_components
+
+    target = target_dir or tempfile.mkdtemp(prefix="clusters_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_cc_")
+
+    def merge(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        edges = batch_df.select("doc_a", "doc_b").distinct()
+        if base is None:
+            return connected_components(edges)
+        nodes = (
+            edges.select(F.col("doc_a").alias("doc"))
+            .unionByName(edges.select(F.col("doc_b").alias("doc")))
+            .distinct()
+        )
+        touched_roots = (
+            base.join(F.broadcast(nodes), "doc")
+            .select("cluster")
+            .distinct()
+        )
+        affected = base.join(F.broadcast(touched_roots), "cluster")
+        star_edges = affected.select(
+            F.col("doc").alias("doc_a"), F.col("cluster").alias("doc_b")
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+        sub_labels = connected_components(edges.unionByName(star_edges))
+        carried = base.join(sub_labels.select("doc"), "doc", "left_anti")
+        return carried.unionByName(sub_labels)
+
+    query = (
+        edges_stream.writeStream.foreachBatch(
+            _versioned_batch(target, checkpoint, merge, keep_depth)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query

@@ -453,3 +453,35 @@ def test_pair_index_compaction(spark):
     q2.awaitTermination()
     after = {(r["doc_a"], r["doc_b"]) for r in read_dedup_pairs(spark, target).collect()}
     assert after == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_cluster_maintenance_cross_batch_merge(spark):
+    """Incremental connected components: a later batch's edge linking
+    two existing clusters must merge them (both components relabeled
+    to the global min), while untouched clusters carry over."""
+    from postrack_spark.streaming.sinks import (
+        _versioned_batch,  # noqa: F401  (protocol exercised via sink)
+        foreach_batch_cluster_maintenance,
+    )
+
+    import os
+
+    schema = "doc_a long, doc_b long"
+    src = tempfile.mkdtemp(prefix="ccm_src_")
+    batches = [
+        [(1, 2), (10, 11)],   # clusters {1,2}, {10,11}
+        [(20, 21)],           # untouched third cluster
+        [(2, 10)],            # merges {1,2} with {10,11}
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    target, q = foreach_batch_cluster_maintenance(stream)
+    q.awaitTermination()
+    labels = {r["doc"]: r["cluster"] for r in read_view(spark, target).collect()}
+    assert labels == {1: 1, 2: 1, 10: 1, 11: 1, 20: 20, 21: 20}
