@@ -786,3 +786,94 @@ def streaming_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.max("doc").cast("bigint").alias("max_doc"))
         .orderBy("cluster")
     )
+
+
+def _pipeline_clusters_oracle() -> str:
+    # clusters over the UNCAPPED LSH pair graph (the streaming index's
+    # steady-state pair set), closed with the recursive CTE
+    from postrack_spark.queries.dedup_queries import (
+        _BANDS_SQL,
+        _SHINGLES_CTE,
+        _SIG_CTE,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+      FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      JOIN cand c ON c.doc_a = t1.doc AND c.doc_b = t2.doc
+      GROUP BY t1.doc, t2.doc
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+                   JOIN sizes sb ON sb.doc = i.doc_b
+      WHERE round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) >= 0.5
+    ),
+    bidir AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT src, src FROM bidir
+      UNION
+      SELECT b.dst, r.root FROM reach r JOIN bidir b ON b.src = r.doc
+    ),
+    labeled AS (SELECT doc, min(root) AS cluster FROM reach GROUP BY doc)
+    SELECT cluster, count(*) AS n_docs, CAST(max(doc) AS BIGINT) AS max_doc
+    FROM labeled
+    GROUP BY cluster
+    ORDER BY cluster
+    """
+
+
+@query("streaming_dedup_pipeline", oracle=_pipeline_clusters_oracle())
+def streaming_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming dedup: documents stream into the MinHash+
+    LSH pair index, whose per-batch pair FEED (deterministic idempotent
+    files) drives incremental cluster maintenance as a second file
+    stream — three composed stages (docs -> pairs -> clusters), no
+    stage ever re-reads an earlier stage's raw input. The final labels
+    must equal the one-shot closure of the uncapped LSH pair graph
+    over the whole corpus (recursive-CTE oracle). This is the
+    production shape of corpus dedup at 100 TB: ingest keeps the pair
+    index and cluster map current; the training-set builder just reads
+    the representative per cluster."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming import (
+        foreach_batch_cluster_maintenance,
+        foreach_batch_dedup_index,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].repartition(8)
+    stream = envelope_stream(
+        spark, docs, name="dpipe", options={"maxFilesPerTrigger": "2"}
+    )
+    feed = _tf.mkdtemp(prefix="pair_feed_")
+    _, q1 = foreach_batch_dedup_index(stream, feed_dir=feed)
+    q1.awaitTermination()
+
+    feed_stream = (
+        spark.readStream.schema("doc_a long, doc_b long, jaccard double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(feed)
+    )
+    target, q2 = foreach_batch_cluster_maintenance(feed_stream)
+    q2.awaitTermination()
+    labels = read_view(spark, target)
+    return (
+        labels.groupBy("cluster")
+        .agg(F.count("*").alias("n_docs"), F.max("doc").cast("bigint").alias("max_doc"))
+        .orderBy("cluster")
+    )

@@ -697,6 +697,7 @@ def foreach_batch_dedup_index(
     n_hashes: int = 16,
     band_size: int = 2,
     shingle_k: int = 3,
+    feed_dir: str | None = None,
 ) -> tuple[str, object]:
     """Streaming near-duplicate detection: a MinHash+LSH index
     maintained incrementally from a document stream, emitting each
@@ -777,9 +778,24 @@ def foreach_batch_dedup_index(
             cand = cand.unionByName(cross).distinct()
             sets_ = sets_.unionByName(old.select("doc", "toks"))
         verified = jaccard_pairs_from_arrays(sets_, cand, threshold=threshold)
-        verified.select("doc_a", "doc_b", "jaccard").write.mode("overwrite").parquet(
-            os.path.join(target, "pairs", dname)
-        )
+        out = verified.select("doc_a", "doc_b", "jaccard")
+        if feed_dir is not None:
+            out = out.coalesce(1)  # one deterministic feed file per batch
+        pairs_path = os.path.join(target, "pairs", dname)
+        out.write.mode("overwrite").parquet(pairs_path)
+        if feed_dir is not None:
+            # publish the batch's pairs as a change feed (idempotent:
+            # deterministic name + atomic rename) for downstream
+            # consumers — e.g. incremental cluster maintenance
+            os.makedirs(feed_dir, exist_ok=True)
+            src = next(
+                os.path.join(pairs_path, f)
+                for f in sorted(os.listdir(pairs_path))
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            tmp = os.path.join(feed_dir, f".{dname}.tmp")
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, os.path.join(feed_dir, f"{dname}.parquet"))
         _swap_pointer_simple(target, checkpoint, batch_id, base=base)
 
     query = (
