@@ -1489,3 +1489,81 @@ def sql_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the > boundary engine-dependent."""
     load_tables(spark, sf_dir)  # registers temp views
     return spark.sql(_CORRELATED_SQL)
+
+
+@query(
+    "agg_spearman_rank_corr",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rx,
+             row_number() OVER (ORDER BY n_orders, o_custkey) AS ry
+      FROM per_cust
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      FROM ranked
+    )
+    SELECT n, sum_d2,
+           CAST(n * n * n - n - 6 * sum_d2 AS BIGINT) AS rho_num,
+           CAST(n * n * n - n AS BIGINT) AS rho_den
+    FROM agg
+    """,
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Spearman rank correlation between per-customer spend and
+    order count, as an integer rational (rho = rho_num/rho_den =
+    1 - 6·Σd²/(n³-n)) — no fp anywhere, so it hash-matches across
+    engines and is safe on negative correlations (no floor-vs-trunc
+    integer-division divergence).
+
+    Scale shape: both rank assignments ride the distributed exact
+    ranking operator (range shuffle + broadcast offsets, zero
+    unpartitioned windows) over a deterministic TOTAL order (value,
+    custkey); the two ranked pipelines are each SINGLE-reference
+    (joined once on the key), the safe consumption pattern per
+    operators/ranking.py's consumer contract. Ties broken by key
+    identically in both engines — documented variant of Spearman
+    (tie-broken ranks, not midranks; midranks need only the prefix-sum
+    operator if required)."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").cast("long").alias("o_custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    rx = global_row_number(
+        per_cust.select("o_custkey", "cents"),
+        [F.asc("cents"), F.asc("o_custkey")],
+        rank_col="rx",
+    ).select("o_custkey", "rx")
+    ry = global_row_number(
+        per_cust.select("o_custkey", "n_orders"),
+        [F.asc("n_orders"), F.asc("o_custkey")],
+        rank_col="ry",
+    ).select(F.col("o_custkey").alias("ck"), "ry")
+    joined = rx.join(ry, rx.o_custkey == ry.ck)
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    n = F.col("n")
+    return agg.select(
+        "n",
+        "sum_d2",
+        (n * n * n - n - 6 * F.col("sum_d2")).cast("long").alias("rho_num"),
+        (n * n * n - n).cast("long").alias("rho_den"),
+    )
