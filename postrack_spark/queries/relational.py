@@ -1567,3 +1567,135 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * n * n - n - 6 * F.col("sum_d2")).cast("long").alias("rho_num"),
         (n * n * n - n).cast("long").alias("rho_den"),
     )
+
+
+@query(
+    "agg_gini_exact",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM per_cust
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS BIGINT)
+             AS gini_num,
+           CAST(count(*) * sum(cents) AS BIGINT) AS gini_den
+    FROM ranked
+    """,
+)
+def agg_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of per-customer revenue (inequality /
+    concentration — the data-curation shape: how skewed is corpus mass
+    across sources?) as an integer rational: with values ranked
+    ascending, G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). One distributed
+    rank assignment (single-reference), one aggregate; integer cents
+    end to end, zero WindowExec."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").cast("long").alias("o_custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    ranked = global_row_number(
+        per_cust, [F.asc("cents"), F.asc("o_custkey")], rank_col="i"
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("iwx"),
+    )
+    n, sx = F.col("n"), F.col("sum_cents")
+    return agg.select(
+        "n",
+        "sum_cents",
+        (2 * F.col("iwx") - (n + 1) * sx).cast("long").alias("gini_num"),
+        (n * sx).cast("long").alias("gini_den"),
+    )
+
+
+@query(
+    "agg_exact_mad",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+    r1 AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS r
+      FROM per_cust
+    ),
+    med AS (
+      SELECT CAST(sum(cents * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                   THEN 2 ELSE 1 END) AS BIGINT) AS med_x2
+      FROM r1, p WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    dev AS (
+      SELECT o_custkey, abs(2 * cents - med_x2) AS d
+      FROM per_cust, med
+    ),
+    r2 AS (
+      SELECT d, row_number() OVER (ORDER BY d, o_custkey) AS r
+      FROM dev
+    )
+    SELECT (SELECT n FROM p) AS n,
+           (SELECT med_x2 FROM med) AS med_x2,
+           CAST(sum(d * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                             THEN 2 ELSE 1 END) AS BIGINT) AS mad_x4
+    FROM r2, p WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+)
+def agg_exact_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median absolute deviation of per-customer revenue — the
+    robust dispersion statistic (outlier-resistant spread, the quality
+    -screening companion to stddev) — via TWO sequential distributed
+    rank selections: median first (sum of the two middle values =
+    2·median, integers preserved), then the median of |2x − 2·median|
+    (= 4·MAD). Each ranked frame is single-reference (the safe pattern
+    per operators/ranking.py); the selected middle ranks come from a
+    broadcast count scalar; integer cents end to end."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").cast("long").alias("o_custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    nf = per_cust.agg(F.count("*").cast("long").alias("n"))
+
+    def middle_sum(df, value_col, out_name):
+        # sum of the two middle order statistics (the single middle
+        # counted twice when n is odd) = 2 x the interpolated median
+        ranked = global_row_number(
+            df, [F.asc(value_col), F.asc("o_custkey")], rank_col="__r"
+        )
+        k1 = F.floor((F.col("n") + 1) / 2).cast("long")
+        k2 = F.floor((F.col("n") + 2) / 2).cast("long")
+        return (
+            ranked.crossJoin(F.broadcast(nf))  # 1-row scalar combine
+            .filter((F.col("__r") == k1) | (F.col("__r") == k2))
+            .agg(
+                F.sum(F.col(value_col) * F.when(k1 == k2, 2).otherwise(1))
+                .cast("long")
+                .alias(out_name)
+            )
+        )
+
+    med = middle_sum(per_cust, "cents", "med_x2")
+    dev = per_cust.crossJoin(F.broadcast(med)).select(
+        "o_custkey", F.abs(2 * F.col("cents") - F.col("med_x2")).alias("d")
+    )
+    mad = middle_sum(dev, "d", "mad_x4")
+    return (
+        nf.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select("n", "med_x2", "mad_x4")
+    )
