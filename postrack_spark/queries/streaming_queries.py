@@ -877,3 +877,113 @@ def streaming_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.max("doc").cast("bigint").alias("max_doc"))
         .orderBy("cluster")
     )
+
+
+def _ordered_envelope_stream(
+    spark: SparkSession, changes: DataFrame, name: str, files: int = 8,
+    options: dict | None = None,
+) -> DataFrame:
+    """envelope_stream variant with LSN-ORDERED admission: scratch
+    parquet is range-partitioned on lsn (part-00000 = smallest LSNs;
+    the file source lists same-mtime files in path order), so
+    micro-batches arrive in WAL order — the delivery order the real
+    capture contract provides (daemon writes frame files sequentially)
+    and that order-sensitive consumers (SCD2 stitching) require."""
+    import tempfile as _tf
+
+    import os as _os
+    import time as _time
+
+    scratch = _tf.mkdtemp(prefix=f"cdc_ostream_{name}_")
+    (
+        changes.repartitionByRange(files, "lsn")
+        .sortWithinPartitions("lsn")
+        .write.mode("overwrite")
+        .parquet(scratch)
+    )
+    # The file source admits by MODIFICATION TIME, and parallel part
+    # writes finish in arbitrary order — stamp strictly increasing
+    # mtimes in part order (range partition i = i-th LSN range) so
+    # admission follows WAL order. The capture daemon needs no such
+    # fix: it writes frame files one at a time, in order.
+    base_ts = _time.time()
+    parts = sorted(
+        f for f in _os.listdir(scratch)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, f in enumerate(parts):
+        ts = base_ts + i
+        _os.utime(_os.path.join(scratch, f), (ts, ts))
+    schema = spark.read.parquet(scratch).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(scratch)
+
+
+@query(
+    "streaming_scd2_history",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey*10+1 AS lsn, 'INSERT' AS op, o_orderkey AS okey,
+             o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*2, 2)
+      FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus, round(o_totalprice+10, 2)
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT o_orderkey*10+7, 'DELETE', o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    seq AS (
+      SELECT *, lead(lsn) OVER (PARTITION BY okey ORDER BY lsn) AS valid_to_lsn
+      FROM changes
+    )
+    SELECT okey AS o_orderkey, lsn AS valid_from_lsn, valid_to_lsn,
+           status AS o_orderstatus, round(price, 2) AS o_totalprice,
+           (valid_to_lsn IS NULL) AS is_current
+    FROM seq
+    WHERE op IN ('INSERT', 'UPDATE')
+    ORDER BY o_orderkey, valid_from_lsn
+    """,
+)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2: the type-2 history maintained incrementally
+    across LSN-ordered micro-batches — each batch appends its version
+    rows and closes the stored open row of every touched key at the
+    key's first in-batch LSN. Must equal the one-shot lead()-window
+    SCD2 over the full stream (the batch query's oracle, verbatim).
+    Order-sensitive by nature (like before-image recovery), hence the
+    WAL-ordered admission the capture contract guarantees."""
+    from postrack_spark.cdc import prune_images
+    from postrack_spark.streaming import foreach_batch_scd2
+
+    ch = prune_images(
+        orders_changes(spark, sf_dir),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    stream = _ordered_envelope_stream(
+        spark, ch, name="scd2", options={"maxFilesPerTrigger": "2"}
+    )
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    target, q = foreach_batch_scd2(
+        stream,
+        key_expr=key,
+        value_cols={
+            "o_orderstatus": typed_column("after", "o_orderstatus", "string"),
+            "o_totalprice": F.round(
+                typed_column("after", "o_totalprice", "double"), 2
+            ),
+        },
+    )
+    q.awaitTermination()
+    hist = read_view(spark, target)
+    return hist.withColumn(
+        "is_current", F.col("valid_to_lsn").isNull()
+    ).orderBy("o_orderkey", "valid_from_lsn")

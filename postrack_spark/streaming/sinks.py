@@ -957,3 +957,77 @@ def foreach_batch_cluster_maintenance(
         .start()
     )
     return target, query
+
+
+def foreach_batch_scd2(
+    changes_stream: DataFrame,
+    key_expr,
+    value_cols: dict,
+    key_name: str = "o_orderkey",
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    keep_depth: int = 2,
+) -> tuple[str, object]:
+    """Maintain a TYPE-2 slowly-changing-dimension history from the
+    change stream across micro-batches: every INSERT/UPDATE appends a
+    version row with a [valid_from_lsn, valid_to_lsn) interval; the
+    key's next event closes it (DELETE closes without emitting).
+
+    Cross-batch stitching: each batch closes the base's OPEN row of
+    every touched key at that key's first in-batch LSN (one broadcast
+    of the batch's per-key min-LSN frame against the stored history) —
+    so per batch the work is O(batch) plus one pass over the history
+    union, and the merged result equals the one-shot lead()-window
+    SCD2 over the whole stream. REQUIRES per-key LSN-ordered delivery
+    across batches — exactly what the capture contract provides (the
+    daemon writes frame files in WAL order; sources/postgres_cdc.py
+    admits them in order). ``value_cols`` are expressions over the
+    event row (its ``after`` image). Read with ``read_view``;
+    ``is_current`` = valid_to_lsn IS NULL."""
+    target = target_dir or tempfile.mkdtemp(prefix="scd2_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_scd2_")
+    from pyspark.sql import Window
+
+    def merge(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        ev = batch_df.filter(F.col("op") != TRUNCATE).withColumn(key_name, key_expr)
+        w = Window.partitionBy(key_name).orderBy("lsn")
+        vers = (
+            ev.withColumn("valid_to_lsn", F.lead("lsn").over(w))
+            .filter(F.col("op").isin("INSERT", "UPDATE"))
+            .select(
+                key_name,
+                F.col("lsn").alias("valid_from_lsn"),
+                "valid_to_lsn",
+                *[expr.alias(n) for n, expr in value_cols.items()],
+            )
+        )
+        if base is None:
+            return vers
+        if set(base.columns) != set(vers.columns):
+            raise ValueError(
+                f"history schema drift under {target}: "
+                f"base={sorted(base.columns)} batch={sorted(vers.columns)}"
+            )
+        firsts = ev.groupBy(key_name).agg(F.min("lsn").alias("__first_lsn"))
+        closed = (
+            base.join(F.broadcast(firsts), key_name, "left")
+            .withColumn(
+                "valid_to_lsn",
+                F.when(
+                    F.col("valid_to_lsn").isNull() & F.col("__first_lsn").isNotNull(),
+                    F.col("__first_lsn"),
+                ).otherwise(F.col("valid_to_lsn")),
+            )
+            .drop("__first_lsn")
+        )
+        return closed.unionByName(vers)
+
+    query = (
+        changes_stream.writeStream.foreachBatch(
+            _versioned_batch(target, checkpoint, merge, keep_depth)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query
