@@ -1699,3 +1699,69 @@ def agg_exact_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mad))
         .select("n", "med_x2", "mad_x4")
     )
+
+
+@query(
+    "agg_kendall_tau_exact",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY cents, o_custkey) AS rx,
+             row_number() OVER (ORDER BY n_orders, o_custkey) AS ry
+      FROM per_cust
+    ),
+    inv AS (
+      SELECT CAST(count(*) AS BIGINT) AS inversions
+      FROM ranked a JOIN ranked b ON a.rx < b.rx AND a.ry > b.ry
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked)
+    SELECT n, inversions,
+           CAST(n * (n - 1) - 4 * inversions AS BIGINT) AS tau_num,
+           CAST(n * (n - 1) AS BIGINT) AS tau_den
+    FROM nn, inv
+    """,
+)
+def agg_kendall_tau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Kendall's tau (tau-a on tie-broken ranks) between
+    per-customer spend and order count, as an integer rational:
+    tau = (n(n−1) − 4·discordant) / n(n−1). The discordant-pair count
+    is the permutation's inversion count, computed DISTRIBUTED
+    (operators/ranking.count_inversions): per-block and per-bucket
+    merge counts over config-bounded Arrow groups plus a tiny dense
+    (blocks × buckets) matrix term — never the O(n²) pair join the
+    oracle uses (DuckDB's IEJoin makes that fine at oracle scale).
+    Ranks are tie-broken by key identically in both engines."""
+    from postrack_spark.operators.ranking import count_inversions, global_row_number
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").cast("long").alias("o_custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    rx = global_row_number(
+        per_cust.select("o_custkey", "cents"),
+        [F.asc("cents"), F.asc("o_custkey")],
+        rank_col="rx",
+    ).select("o_custkey", "rx")
+    ry = global_row_number(
+        per_cust.select("o_custkey", "n_orders"),
+        [F.asc("n_orders"), F.asc("o_custkey")],
+        rank_col="ry",
+    ).select(F.col("o_custkey").alias("ck"), "ry")
+    ranks = rx.join(ry, rx.o_custkey == ry.ck).select("rx", "ry")
+    out = count_inversions(ranks)
+    n, inv = F.col("n"), F.col("inversions")
+    return out.select(
+        "n",
+        "inversions",
+        (n * (n - 1) - 4 * inv).cast("long").alias("tau_num"),
+        (n * (n - 1)).cast("long").alias("tau_den"),
+    )

@@ -485,3 +485,48 @@ def test_cluster_maintenance_cross_batch_merge(spark):
     q.awaitTermination()
     labels = {r["doc"]: r["cluster"] for r in read_view(spark, target).collect()}
     assert labels == {1: 1, 2: 1, 10: 1, 11: 1, 20: 20, 21: 20}
+
+
+def test_ann_index_compaction(spark):
+    """compact_pair_index works on the ANN layout too (identical
+    protocol): emitted pairs stable across the fold, later batches
+    probe the compacted base."""
+    import os
+
+    from postrack_spark.streaming.sinks import (
+        compact_pair_index,
+        foreach_batch_ann_index,
+        read_dedup_pairs,
+    )
+
+    schema = "vec_id long, vec array<double>"
+    rows1 = [(1, [1.0, 0.5, 0.2, 0.1]), (2, [0.9, 0.55, 0.25, 0.1])]
+    rows2 = [(3, [0.95, 0.5, 0.22, 0.12])]
+    src = tempfile.mkdtemp(prefix="aic_src_")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+    target = tempfile.mkdtemp(prefix="aic_t_")
+    ckpt = tempfile.mkdtemp(prefix="aic_c_")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        _, q = foreach_batch_ann_index(
+            stream, target_dir=target, checkpoint_dir=ckpt,
+            threshold=0.9, lsh_dims=[1, 2, 3, 4],
+        )
+        q.awaitTermination()
+
+    run()
+    assert {(r["id_a"], r["id_b"]) for r in read_dedup_pairs(spark, target).collect()} == {(1, 2)}
+    compact_pair_index(spark, target)
+    assert {(r["id_a"], r["id_b"]) for r in read_dedup_pairs(spark, target).collect()} == {(1, 2)}
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    run()
+    got = {(r["id_a"], r["id_b"]) for r in read_dedup_pairs(spark, target).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
