@@ -1765,3 +1765,67 @@ def agg_kendall_tau_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * (n - 1) - 4 * inv).cast("long").alias("tau_num"),
         (n * (n - 1)).cast("long").alias("tau_den"),
     )
+
+
+@query(
+    "agg_bowley_skewness",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+    r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rn
+      FROM per_cust
+    ),
+    qs AS (
+      SELECT CAST(sum(CASE WHEN rn = (1 * n + 3) // 4 THEN cents END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN rn = (2 * n + 3) // 4 THEN cents END) AS BIGINT) AS q2,
+             CAST(sum(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS BIGINT) AS q3
+      FROM r, p
+    )
+    SELECT (SELECT n FROM p) AS n, q1, q2, q3,
+           CAST(q3 + q1 - 2 * q2 AS BIGINT) AS skew_num,
+           CAST(q3 - q1 AS BIGINT) AS skew_den
+    FROM qs
+    """,
+)
+def agg_bowley_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Bowley (quartile) skewness of per-customer revenue — the
+    robust asymmetry statistic (Q3 + Q1 − 2·Q2)/(Q3 − Q1) as an
+    integer rational on type-1 quartiles (x at rank ⌈i·n/4⌉ — pure
+    rank selection, no interpolation, so integers survive end to end).
+    ONE distributed rank assignment, one 3-rank filter against a
+    broadcast count scalar — the whole statistic costs a range shuffle."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").cast("long").alias("o_custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    nf = per_cust.agg(F.count("*").cast("long").alias("n"))
+    ranked = global_row_number(
+        per_cust, [F.asc("cents"), F.asc("o_custkey")], rank_col="rn"
+    )
+    k = lambda i: F.floor((i * F.col("n") + 3) / 4).cast("long")  # noqa: E731
+    qs = (
+        ranked.crossJoin(F.broadcast(nf))  # 1-row scalar combine
+        .filter((F.col("rn") == k(1)) | (F.col("rn") == k(2)) | (F.col("rn") == k(3)))
+        .agg(
+            F.max("n").alias("n"),
+            *[
+                F.sum(F.when(F.col("rn") == k(i), F.col("cents")))
+                .cast("long")
+                .alias(f"q{i}")
+                for i in (1, 2, 3)
+            ],
+        )
+    )
+    return qs.select(
+        "n", "q1", "q2", "q3",
+        (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast("long").alias("skew_num"),
+        (F.col("q3") - F.col("q1")).cast("long").alias("skew_den"),
+    )

@@ -1219,3 +1219,47 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "text_source_gini",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars) AS BIGINT)
+             AS gini_num,
+           CAST(count(*) * sum(n_chars) AS BIGINT) AS gini_den
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Gini: per-source inequality of document sizes — the
+    curation diagnostic for 'is one crawl source dominated by a few
+    huge documents?'. Within-group ranks ride a PARTITIONED window
+    (one shuffle on source; each window task sees one source), then
+    the same integer-exact Gini identity as agg_gini_exact per group."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "source", F.col("n_chars").cast("long").alias("n_chars"), "doc_id"
+    ).withColumn("i", F.row_number().over(w).cast("long"))
+    agg = r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("i") * F.col("n_chars")).cast("long").alias("iwx"),
+    )
+    n, sx = F.col("n_docs"), F.col("total_chars")
+    return agg.select(
+        "source", "n_docs", "total_chars",
+        (2 * F.col("iwx") - (n + 1) * sx).cast("long").alias("gini_num"),
+        (n * sx).cast("long").alias("gini_den"),
+    ).orderBy("source")
