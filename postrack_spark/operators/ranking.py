@@ -293,3 +293,59 @@ def count_inversions(
         .agg(F.sum("inv").cast("long").alias("inversions"))
     )
     return nf.crossJoin(F.broadcast(total))  # 1-row scalar combine
+
+
+def prefix_sums_by_key(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    values: dict[str, str],
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column :func:`prefix_sum_by_key`: running sums of several
+    value columns over ONE total order, paying the range shuffle once
+    (the two-sample-CDF shape — e.g. Kolmogorov–Smirnov needs both
+    samples' cumulative counts at every distinct value). ``values``
+    maps output column -> input column."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_partitions:
+        nparts = num_partitions
+    else:
+        conf = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        nparts = int(conf) if conf.isdigit() else spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = part.groupBy("__pid").agg(
+        *[F.sum(src).alias(f"__t_{out}") for out, src in values.items()]
+    )
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.__t_{out}"), F.lit(0)).alias(f"__o_{out}")
+                for out in values
+            ]
+        )
+    )
+    upper = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    out_df = part
+    for out, src in values.items():
+        out_df = out_df.withColumn(
+            f"__w_{out}", F.coalesce(F.sum(src).over(w), F.lit(0))
+        )
+    out_df = out_df.join(F.broadcast(offsets), "__pid")
+    for out in values:
+        out_df = out_df.withColumn(
+            out, F.col(f"__o_{out}") + F.col(f"__w_{out}")
+        ).drop(f"__o_{out}", f"__w_{out}")
+    return out_df.drop("__pid")

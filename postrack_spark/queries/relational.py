@@ -1829,3 +1829,82 @@ def agg_bowley_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast("long").alias("skew_num"),
         (F.col("q3") - F.col("q1")).cast("long").alias("skew_den"),
     )
+
+
+@query(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in1
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    by_v AS (
+      SELECT cents, CAST(sum(in1) AS BIGINT) AS cnt1,
+             CAST(count(*) - sum(in1) AS BIGINT) AS cnt2
+      FROM s GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             CAST(sum(cnt1) OVER w AS BIGINT) AS c1,
+             CAST(sum(cnt2) OVER w AS BIGINT) AS c2
+      FROM by_v
+      WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt1) AS BIGINT) AS n1, CAST(sum(cnt2) AS BIGINT) AS n2
+      FROM by_v
+    )
+    SELECT n1, n2,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+           CAST(n1 * n2 AS BIGINT) AS d_den
+    FROM cum, tot
+    GROUP BY n1, n2
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the order
+    -value distributions of URGENT vs LOW priority orders, as an
+    integer rational: D = max over distinct values of
+    |F₁(x) − F₂(x)| = max |c₁·n₂ − c₂·n₁| / (n₁·n₂) on cumulative
+    counts — the distribution-drift detector (train/serve skew, corpus
+    snapshot drift) with no fp anywhere.
+
+    Scale shape: one hash aggregation to per-value counts (frame =
+    distinct values, potentially corpus-sized for continuous data — so
+    no global cumsum window), then BOTH samples' cumulative counts in
+    ONE distributed prefix-sum pass (prefix_sums_by_key: range shuffle
+    + partitioned windows + broadcast offsets), one scalar max."""
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+
+    s = (
+        load_tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("in1"),
+        )
+    )
+    by_v = s.groupBy("cents").agg(
+        F.sum("in1").cast("long").alias("cnt1"),
+        (F.count("*") - F.sum("in1")).cast("long").alias("cnt2"),
+    )
+    cum = prefix_sums_by_key(
+        by_v, [F.asc("cents")], {"c1": "cnt1", "c2": "cnt2"}, inclusive=True
+    )
+    tot = by_v.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum("cnt2").cast("long").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))  # 1-row scalar combine
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+            .cast("long")
+            .alias("d_num"),
+        )
+        .select("n1", "n2", "d_num", (F.col("n1") * F.col("n2")).cast("long").alias("d_den"))
+    )

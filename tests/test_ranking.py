@@ -101,3 +101,22 @@ def test_prefix_sum_plan_no_unpartitioned_window(spark):
     feats = plan_features(got)
     assert feats["unpartitioned_windows"] == 0
     assert feats["broadcast_joins"] >= 1
+
+
+def test_prefix_sums_multi_matches_window(spark):
+    """Multi-column prefix sums (one range shuffle for both columns)
+    must equal the window cumsums, inclusive and exclusive."""
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+
+    rows = [(i, (i * 41) % 97, (i * 7) % 5, (i * 11) % 3) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, k long, u long, v long").repartition(7)
+    order = [F.asc("k"), F.asc("id")]
+    wi = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.withColumn("cu", F.sum("u").over(wi)).withColumn(
+        "cv", F.sum("v").over(wi)
+    )
+    got = prefix_sums_by_key(df, order, {"cu": "u", "cv": "v"}, inclusive=True)
+    assert (
+        got.select("id", "cu", "cv").exceptAll(exp.select("id", "cu", "cv")).count()
+        == 0
+    )
