@@ -1334,3 +1334,76 @@ def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_n").cast("bigint").alias("prev_n"),
         F.round((F.col("n") - F.col("prev_n")) / F.col("prev_n"), 6).alias("wow_change"),
     ).orderBy("event_type", "week")
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+      FROM ev
+    ),
+    ordered AS (
+      SELECT ts,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS c
+      FROM ev
+      WINDOW w AS (ORDER BY ts, event_id)
+    ),
+    stats AS (
+      SELECT i, ts, CAST(abs(n * c - i * t) AS BIGINT) AS s
+      FROM ordered, tot
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT t FROM tot) AS total_cents,
+           s AS max_stat, i AS at_i,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS at_ts
+    FROM stats ORDER BY s DESC, i ASC LIMIT 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT CUSUM changepoint: the time where the event-value series
+    deviates most from its global mean — argmax over i of
+    |n·C_i − i·T| (the mean-centered cumulative sum scaled by n to
+    stay integral; C = running cents, T = total). The drift/level-shift
+    locator for metric streams, bit-exact cross-engine.
+
+    Scale shape: ONE distributed prefix-sum pass produces BOTH the
+    running sum and the position (prefix of a constant-1 column — no
+    separate rank assignment, no join), then a scalar broadcast and
+    TakeOrderedAndProject(1) for the argmax. Zero unpartitioned
+    windows; ts stringified per the cross-engine timestamp trap."""
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+    from postrack_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    tot = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    cum = prefix_sums_by_key(
+        ev,
+        [F.asc("ts"), F.asc("event_id")],
+        {"c": "cents", "i": "one"},
+        inclusive=True,
+    )
+    stats = cum.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.col("t").alias("total_cents"),
+        F.abs(F.col("n") * F.col("c") - F.col("i") * F.col("t"))
+        .cast("long")
+        .alias("max_stat"),
+        F.col("i").cast("long").alias("at_i"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("at_ts"),
+    )
+    return stats.orderBy(F.desc("max_stat"), F.asc("at_i")).limit(1)
