@@ -209,6 +209,28 @@ def main() -> None:
         ),
     )
 
+    # 6. Exact Kendall tau over 10x customers (1.5M ranked rows): the
+    #    inversion-count decomposition — block/bucket merge counts over
+    #    Arrow groups + the dense matrix term. Growth should track the
+    #    two range shuffles, ~linear.
+    from postrack_spark.operators.ranking import (
+        count_inversions,
+        global_row_number,
+    )
+
+    pc10 = ord10.groupBy(F.col("o_custkey").cast("long").alias("ck")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    rx10 = global_row_number(
+        pc10.select("ck", "cents"), [F.asc("cents"), F.asc("ck")], rank_col="rx"
+    ).select("ck", "rx")
+    ry10 = global_row_number(
+        pc10.select("ck", "n_orders"), [F.asc("n_orders"), F.asc("ck")], rank_col="ry"
+    ).select(F.col("ck").alias("ck2"), "ry")
+    ranks10 = rx10.join(ry10, rx10.ck == ry10.ck2).select("rx", "ry")
+    run("kendall_tau_10x", count_inversions(ranks10))
+
     print(json.dumps({"metric": "stress_10x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": 10, "timings": timings}))
     spark.stop()
