@@ -401,3 +401,29 @@ def test_incremental_join_agg_model(spark, a0, a1, b0, b1):
                 expect[ak][1] += am * bm
     want = {k: tuple(v) for k, v in expect.items() if v[0] > 0}
     assert got == want
+
+
+# 4. Distributed inversion count == brute force, over random
+#    permutations (the block/bucket decomposition must neither drop nor
+#    double-count any pair class).
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(perm=st.permutations(list(range(1, 41))))
+def test_count_inversions_model(spark, perm):
+    from postrack_spark.operators.ranking import count_inversions
+
+    rows = [(i + 1, perm[i]) for i in range(len(perm))]
+    brute = sum(
+        1
+        for a in range(len(perm))
+        for b in range(a + 1, len(perm))
+        if perm[a] > perm[b]
+    )
+    out = count_inversions(
+        spark.createDataFrame(rows, "rx long, ry long"),
+        n_parts=5, n_buckets=7,
+    ).collect()[0]
+    assert out["inversions"] == brute
+    assert out["n"] == len(perm)
