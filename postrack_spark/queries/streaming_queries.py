@@ -987,3 +987,78 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.withColumn(
         "is_current", F.col("valid_to_lsn").isNull()
     ).orderBy("o_orderkey", "valid_from_lsn")
+
+
+@query(
+    "streaming_join_view_log",
+    oracle="""
+    WITH o_final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 IN (1, 2, 3)
+                  THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+                  WHEN o_orderkey % 10 = 4
+                  THEN CAST(round((o_totalprice + 10) * 100) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS o_cents
+      FROM orders WHERE o_orderkey % 10 <> 5
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(o_cents) AS BIGINT) AS sum_price_cents
+    FROM o_final JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def streaming_join_view_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static join view maintained through the
+    LOG-STRUCTURED protocol: per batch only the O(groups) join delta
+    lands on disk; compaction (compact_every=3 forces a mid-run fold,
+    plus a final one) folds partials into a fresh base. Same oracle as
+    streaming_join_view_maintenance — the storage protocol must not
+    change the view."""
+    from postrack_spark.cdc.ivm import recover_before
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming import (
+        compact_log_view,
+        foreach_batch_incremental_join_agg_log,
+        read_log_view,
+    )
+
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    repaired = recover_before(ch, key)
+    stream = envelope_stream(
+        spark, repaired, name="ivmjl", options={"maxFilesPerTrigger": "4"}
+    )
+    img = lambda c: F.element_at(F.col("img"), c)  # noqa: E731
+    b0 = load_tables(spark, sf_dir)["lineitem"].select(
+        F.lit(1).alias("sign"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.round(F.col("l_quantity")).cast("long").alias("l_qty"),
+    )
+    target, q = foreach_batch_incremental_join_agg_log(
+        stream,
+        stream_cols={
+            "o_orderkey": img("o_orderkey").cast("long"),
+            "o_orderpriority": img("o_orderpriority"),
+            "o_cents": F.round(img("o_totalprice").cast("double") * 100).cast("long"),
+        },
+        static_signed=b0,
+        on=[("o_orderkey", "l_orderkey")],
+        dims={"o_orderpriority": F.col("o_orderpriority")},
+        measures={"sum_qty": F.col("l_qty"), "sum_price_cents": F.col("o_cents")},
+        compact_every=3,
+    )
+    q.awaitTermination()
+    compact_log_view(spark, target)
+    view = read_log_view(spark, target).filter(F.col("n_rows") > 0)
+    return view.select(
+        "o_orderpriority", "n_rows", "sum_qty", "sum_price_cents"
+    ).orderBy("o_orderpriority")

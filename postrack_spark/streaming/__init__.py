@@ -31,6 +31,7 @@ from postrack_spark.streaming.sinks import (
     foreach_batch_fold,
     foreach_batch_incremental_agg_log,
     foreach_batch_incremental_join_agg,
+    foreach_batch_incremental_join_agg_log,
     foreach_batch_scd2,
     compact_log_view,
     compact_pair_index,
@@ -56,6 +57,7 @@ __all__ = [
     "foreach_batch_fold",
     "foreach_batch_incremental_agg_log",
     "foreach_batch_incremental_join_agg",
+    "foreach_batch_incremental_join_agg_log",
     "foreach_batch_scd2",
     "compact_log_view",
     "compact_pair_index",

@@ -447,6 +447,7 @@ def _log_structured_batch(
     count_name: str = "n_rows",
     compact_every: int = 8,
     feed_dir: str | None = None,
+    partial_fn=None,
 ):
     """The log-structured apply function (exposed for direct protocol
     tests, mirroring _versioned_batch).
@@ -458,19 +459,21 @@ def _log_structured_batch(
     stream: IVM composes into cascades (view-of-a-view), the
     Materialize/DBSP dataflow shape. Publication is idempotent under
     crash-retry (deterministic name + atomic rename), and a batch
-    skipped by the (lineage, batch_id) check is never republished."""
+    skipped by the (lineage, batch_id) check is never republished.
+
+    ``partial_fn(batch_df) -> partial DataFrame`` overrides how a
+    batch's signed partial aggregate is derived (default: signed delta
+    rows of a change-envelope batch) — the seam that lets join-view
+    deltas, or any other signed partial producer, ride the same
+    log-structured protocol."""
     from postrack_spark.cdc.ivm import delta_rows
 
     dim_names = list(dims)
     sums = [count_name, *measures]
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(target, exist_ok=True)
-        applied_lineage, applied_id, base, _, deltas = _read_pointer_log(target)
-        if applied_lineage == lineage and batch_id <= applied_id:
-            return  # at-least-once re-delivery of an applied batch
+    def default_partial(batch_df: DataFrame) -> DataFrame:
         d = delta_rows(batch_df)
-        part = (
+        return (
             d.select(
                 *[expr.alias(n) for n, expr in dims.items()], "sign",
                 F.col("img").alias("img"),
@@ -484,6 +487,13 @@ def _log_structured_batch(
                 ],
             )
         )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(target, exist_ok=True)
+        applied_lineage, applied_id, base, _, deltas = _read_pointer_log(target)
+        if applied_lineage == lineage and batch_id <= applied_id:
+            return  # at-least-once re-delivery of an applied batch
+        part = (partial_fn or default_partial)(batch_df)
         dname = f"d{batch_id:08d}"
         if feed_dir is not None:
             part = part.coalesce(1)  # one deterministic feed file per batch
@@ -1025,6 +1035,49 @@ def foreach_batch_scd2(
     query = (
         changes_stream.writeStream.foreachBatch(
             _versioned_batch(target, checkpoint, merge, keep_depth)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query
+
+
+def foreach_batch_incremental_join_agg_log(
+    changes_stream: DataFrame,
+    stream_cols: dict,
+    static_signed: DataFrame,
+    on: list,
+    dims: dict,
+    measures: dict,
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    count_name: str = "n_rows",
+    compact_every: int = 8,
+) -> tuple[str, object]:
+    """Stream-static JOIN-view IVM through the LOG-STRUCTURED protocol:
+    per micro-batch the view delta (ΔA ⋈ B, delta broadcast) is
+    written as an O(batch groups) delta partial and auto-compacted —
+    the combination of foreach_batch_incremental_join_agg's join
+    maintenance with foreach_batch_incremental_agg_log's storage
+    (right when the maintained join view itself is large). Read with
+    :func:`read_log_view`, filter count > 0."""
+    from postrack_spark.cdc.ivm import _signed_agg, _signed_join, signed_image_rows
+
+    target = target_dir or tempfile.mkdtemp(prefix="ivm_joinlog_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ivmjl_")
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        da = signed_image_rows(batch_df, stream_cols)
+        joined = _signed_join(F.broadcast(da), static_signed, on)
+        return _signed_agg(joined, dims, measures, count_name)
+
+    query = (
+        changes_stream.writeStream.foreachBatch(
+            _log_structured_batch(
+                target, checkpoint, dims, measures, count_name, compact_every,
+                partial_fn=partial,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
