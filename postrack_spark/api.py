@@ -398,3 +398,45 @@ class Conn:
             target_dir=target_dir,
             checkpoint_dir=checkpoint_dir,
         )
+
+    def scd2_history(
+        self,
+        spark: SparkSession,
+        slot_name: str,
+        tables: list[Table],
+        key_expr,
+        value_cols: dict,
+        key_name: str = "key",
+        lsn: int = 0,
+        capture_dir: str | None = None,
+        target_dir: str | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        """Maintain a type-2 slowly-changing-dimension history from the
+        change stream (the warehouse consumption of CDC the reference
+        leaves to HandleFunc): every INSERT/UPDATE appends a version
+        row with a [valid_from_lsn, valid_to_lsn) interval, the key's
+        next event closes it, DELETE closes without emitting. Requires
+        the capture contract's WAL-ordered delivery (the daemon writes
+        frame files sequentially). Returns (target_dir,
+        StreamingQuery); read with ``streaming.read_view`` —
+        ``is_current`` = valid_to_lsn IS NULL."""
+        from postrack_spark.streaming.sinks import foreach_batch_scd2
+
+        self.set_events(["INSERT", "UPDATE", "DELETE"])
+        self.set_lsn(lsn)
+        if self.executor is not None:
+            self.set_slot(slot_name)
+            for table in tables:
+                self.set_publication(table)
+        else:
+            self.slot = slot_name
+        stream = self.changes(spark, capture_dir)
+        return foreach_batch_scd2(
+            stream,
+            key_expr=key_expr,
+            value_cols=value_cols,
+            key_name=key_name,
+            target_dir=target_dir,
+            checkpoint_dir=checkpoint_dir,
+        )

@@ -271,3 +271,40 @@ def test_incremental_join_view_via_conn(spark):
     # empty-before UPDATE contributes +F with no matching -F, so key 1
     # leaves an F residue; key 2 survives as one O row with weight 5.
     assert view == {"O": (1, 5), "F": (1, 3)}
+
+
+def test_scd2_history_via_conn(spark):
+    """Conn.scd2_history: the packaged type-2 history over the golden
+    capture stream — key 1's three versions chain validity intervals
+    and its DELETE closes the last; key 2 stays current."""
+    from pyspark.sql import functions as F
+
+    d = _capture_dir_with_golden()
+    conn = Conn("postgres://ignored", executor=None)
+    target, q = conn.scd2_history(
+        spark,
+        "slot_scd2",
+        [Table("public", "orders")],
+        # DELETE events carry the key only in the before image
+        key_expr=F.coalesce(
+            F.expr("try_cast(element_at(after, 'o_orderkey') AS BIGINT)"),
+            F.expr("try_cast(element_at(before, 'o_orderkey') AS BIGINT)"),
+        ),
+        value_cols={
+            "status": F.element_at(F.col("after"), "o_orderstatus"),
+        },
+        capture_dir=d,
+    )
+    q.awaitTermination()
+    hist = sorted(
+        (r["key"], r["valid_from_lsn"], r["valid_to_lsn"], r["status"])
+        for r in read_view(spark, target).collect()
+    )
+    # golden stream LSNs: key 1 INSERT@12, UPDATE@13, UPDATE@14,
+    # DELETE@16; key 2 INSERT@15
+    assert hist == [
+        (1, 12, 13, "O"),
+        (1, 13, 14, "F"),
+        (1, 14, 16, "F"),
+        (2, 15, None, "O"),
+    ]
