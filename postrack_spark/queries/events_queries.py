@@ -1407,3 +1407,83 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("at_ts"),
     )
     return stats.orderBy(F.desc("max_stat"), F.asc("at_i")).limit(1)
+
+
+@query(
+    "events_acf_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT l.lag, a.x AS xa, b.x AS xb
+      FROM (SELECT unnest(range(1, 8)) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day_idx = a.day_idx + l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+             CAST(sum(xa * xb) AS BIGINT) AS sab,
+             CAST(sum(xa * xa) AS BIGINT) AS saa,
+             CAST(sum(xb * xb) AS BIGINT) AS sbb
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           CAST(floor((1000000.0 * CAST(n * sab - sa * sb AS DOUBLE))
+                      / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                         * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))) AS BIGINT)
+             AS acf_ppm
+    FROM m ORDER BY lag
+    """,
+)
+def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the seasonality probe a time-series pipeline runs before
+    choosing a model. Exact integer moments: days index as
+    epoch-microseconds div 86400e6 (pure integer, no calendar
+    functions), daily counts are BIGINTs, and each lag's Pearson terms
+    (n, Σx, Σy, Σxy, Σx², Σy²) stay integer-exact; the only floating
+    point is the final correctly-rounded sqrt/divide, floored to ppm —
+    IEEE-deterministic cross-engine because both sides evaluate the
+    identical expression shape on identical integers. Scale: the raw
+    scan folds to one row per DAY map-side (O(days) shuffle); the
+    lag-join and moments run on that tiny aggregated frame (the
+    7-lag expansion is a broadcast over ~O(days) rows, not the fact
+    table). At extreme daily volumes the integer moments approach
+    int64 range before the day count does — switch the Σxy terms to
+    DECIMAL(38,0) there; headroom is ample at every test SF."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(F.expr("unix_micros(ts) div 86400000000").alias("day_idx"))
+        .groupBy("day_idx")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day_idx").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day_idx").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))  # tiny aggregated frame x 7 lags
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sa"),
+        F.sum("xb").cast("long").alias("sb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sab"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    dena = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    denb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return m.select(
+        "lag",
+        "n",
+        F.floor(F.lit(1000000.0) * num / (F.sqrt(dena) * F.sqrt(denb)))
+        .cast("long")
+        .alias("acf_ppm"),
+    ).orderBy("lag")

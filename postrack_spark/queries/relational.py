@@ -1908,3 +1908,99 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n1", "n2", "d_num", (F.col("n1") * F.col("n2")).cast("long").alias("d_den"))
     )
+
+
+@query(
+    "quality_constraint_suite",
+    oracle="""
+    SELECT metric, value FROM (
+      SELECT 'orders_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM orders
+      UNION ALL
+      SELECT 'orders_null_custkey', CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders_dup_orderkeys',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders_status_invalid',
+             CAST(count(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_nonpositive',
+             CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'orders_orderdate_out_of_range',
+             CAST(count(*) FILTER (o_orderdate < TIMESTAMP '1992-01-01'
+                                   OR o_orderdate >= TIMESTAMP '2031-01-01') AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_rows', CAST(count(*) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_qty_out_of_range',
+             CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_discount_out_of_range',
+             CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_negative_price',
+             CAST(count(*) FILTER (l_extendedprice < 0) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_dup_line_ids',
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_orphans',
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    ) ORDER BY metric
+    """,
+)
+def quality_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (deequ-style): null
+    rates, key uniqueness, accepted values, numeric ranges, date sanity
+    and referential orphans, evaluated as ONE aggregation pass per
+    table plus one anti-join — the post-load validation gate a 100 TB
+    ingest runs before publishing a partition. Each table's metrics
+    fold map-side into a single row (count + conditional sums +
+    count_distinct), so the shuffle is O(1) rows per table; the orphan
+    check is the same shuffled anti-join quality_fk_violations audits.
+    Output is stacked long-form (metric, value) so downstream alerting
+    joins on metric name."""
+    t = load_tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+
+    def flag(c) -> F.Column:
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    o_agg = o.agg(
+        F.count("*").cast("long").alias("orders_rows"),
+        flag(F.col("o_custkey").isNull()).alias("orders_null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("orders_dup_orderkeys"),
+        flag(~F.col("o_orderstatus").isin("O", "F", "P")).alias("orders_status_invalid"),
+        flag(F.col("o_totalprice") <= 0).alias("orders_totalprice_nonpositive"),
+        flag(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2031-01-01").cast("timestamp"))
+        ).alias("orders_orderdate_out_of_range"),
+    )
+    l_agg = li.agg(
+        F.count("*").cast("long").alias("lineitem_rows"),
+        flag((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "lineitem_qty_out_of_range"
+        ),
+        flag((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "lineitem_discount_out_of_range"
+        ),
+        flag(F.col("l_extendedprice") < 0).alias("lineitem_negative_price"),
+        (F.count("*") - F.countDistinct("l_orderkey", "l_linenumber"))
+        .cast("long")
+        .alias("lineitem_dup_line_ids"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").cast("long").alias("lineitem_orphans"))
+    )
+    # 1-row x 1-row combines, then stack to long form
+    wide = o_agg.crossJoin(l_agg).crossJoin(orphans)
+    cols = wide.columns
+    flat = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return wide.selectExpr(f"stack({len(cols)}, {flat}) AS (metric, value)").orderBy("metric")

@@ -393,3 +393,58 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@query(
+    "sample_stratified_proportional",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    )
+    SELECT source,
+           CAST(max(n_src) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (rn <= (n_src + 3) // 4) AS BIGINT) AS n_sampled,
+           CAST(sum(doc_id) FILTER (rn <= (n_src + 3) // 4) AS BIGINT) AS sampled_id_sum,
+           CAST(sum(n_chars) FILTER (rn <= (n_src + 3) // 4) AS BIGINT) AS sampled_chars
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_stratified_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sampling: EXACTLY ceil(n/4) docs
+    per source stratum (not Bernoulli-approximate like hash_sample),
+    membership a pure function of content hash so every engine and
+    re-partitioning reproduces the identical sample — the per-domain
+    quota draw a training-mixture pipeline uses when fractions must be
+    hit exactly. The hash-order row_number is a PARTITIONED window
+    (never global); ceil is computed in integers ((n+3) div 4, no fp).
+    The sampled_id_sum column value-checks the exact membership set,
+    not just its size. Scale: one shuffle on the stratum key; strata
+    counts ride the same window, and a skewed stratum can pre-split via
+    operators/skew.py salting with per-salt quotas."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wc = W.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_src"),
+    )
+    keep = F.col("rn") <= F.expr("(n_src + 3) div 4")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.sum(F.when(keep, F.col("doc_id"))).cast("long").alias("sampled_id_sum"),
+            F.sum(F.when(keep, F.col("n_chars"))).cast("long").alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1263,3 +1263,131 @@ def text_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("iwx") - (n + 1) * sx).cast("long").alias("gini_num"),
         (n * sx).cast("long").alias("gini_den"),
     ).orderBy("source")
+
+
+_BM25_TERMS = {
+    "q1": ["spark", "join", "window"],
+    "q2": ["hash", "agg", "scan"],
+    "q3": ["stream", "batch", "merge"],
+}
+_BM25_ALL = sorted({t for ts in _BM25_TERMS.values() for t in ts})
+_BM25_QT_VALUES = ", ".join(
+    f"('{q}', '{t}')" for q, ts in sorted(_BM25_TERMS.items()) for t in ts
+)
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_ALL)
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH docs0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS total_tokens
+      FROM docs0
+    ),
+    toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM docs0),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, CAST(max(dl) AS BIGINT) AS dl
+      FROM toks WHERE term IN ({_BM25_IN})
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+    qt AS (SELECT * FROM (VALUES {_BM25_QT_VALUES}) v(query_id, term)),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(floor((1000000.0
+                         * ln((CAST(s.n_docs - d.dfreq AS DOUBLE) + 0.5)
+                              / (CAST(d.dfreq AS DOUBLE) + 0.5) + 1.0))
+                        * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                           / (CAST(tf.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                   / (CAST(s.total_tokens AS DOUBLE)
+                                      / CAST(s.n_docs AS DOUBLE)))))))
+                  AS BIGINT) AS c
+      FROM tf JOIN qt USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
+    ),
+    scores AS (
+      SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rn
+      FROM scores
+    )
+    SELECT query_id, CAST(rn AS INT) AS rn, doc_id, score_micro
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75): three fixed multi-term
+    queries ranked against the corpus — the sparse-retrieval side of a
+    RAG / decontamination pipeline next to the dense ANN family. Scale
+    shape: tokens are filtered to the query vocabulary BEFORE the
+    (doc, term) shuffle, so the tf relation is O(matching tokens) not
+    O(corpus tokens); document frequencies and the query-term list are
+    tiny broadcasts; corpus stats (N, avgdl) are a 1-row broadcast
+    combine; top-5 per query is a window PARTITIONED by query. Each
+    (query, doc, term) contribution is floored to integer micros
+    before summation, so per-(query,doc) scores are exact integers —
+    association order never reaches the comparison (ln() itself is
+    assumed libm-identical cross-engine; a last-ulp disagreement would
+    have to land within 1e-10 of a micro boundary to surface)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("dl"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term").isin(_BM25_ALL))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"), F.max("dl").cast("long").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dfreq"))
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(_BM25_TERMS.items()) for t in ts],
+        "query_id string, term string",
+    )
+    idf = F.log(
+        ((F.col("n_docs") - F.col("dfreq")).cast("double") + F.lit(0.5))
+        / (F.col("dfreq").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * (
+                F.col("dl").cast("double")
+                / (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"))
+            )
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar combine
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(F.lit(1000000.0) * idf * tfn).cast("long").alias("c"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "rn", "doc_id", "score_micro")
+        .orderBy("query_id", "rn")
+    )

@@ -814,3 +814,144 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(10)
+
+
+_Q8 = "SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 8"
+_C_ALL = "SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec FROM embeddings"
+
+
+@query(
+    "vector_ann_mrr_eval",
+    oracle=f"""
+    WITH q AS ({_Q8}),
+    c AS ({_C_ALL}),
+    ex0 AS (
+      SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY list_cosine_similarity(q_vec, c_vec) DESC, c_id) AS rn
+      FROM q CROSS JOIN c WHERE q_id <> c_id
+    ),
+    ex AS (SELECT q_id, c_id, rn FROM ex0 WHERE rn <= 10),
+    qb AS (SELECT q_id, q_vec, {_LSH_BITS_SQL.replace("embedding", "q_vec")} AS bk
+           FROM q),
+    cb AS (SELECT c_id, c_vec, {_LSH_BITS_SQL.replace("embedding", "c_vec")} AS bk
+           FROM c),
+    ann0 AS (
+      SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY list_cosine_similarity(q_vec, c_vec) DESC, c_id) AS arn
+      FROM qb JOIN cb USING (bk) WHERE q_id <> c_id
+    ),
+    ann AS (SELECT q_id, c_id, arn FROM ann0 WHERE arn <= 10)
+    SELECT e.q_id,
+           CAST(count(a.c_id) AS BIGINT) AS hits_at_10,
+           CAST(max(CASE WHEN e.rn = 1 THEN coalesce(2520 // a.arn, 0) END) AS BIGINT)
+             AS rr_x2520
+    FROM ex e LEFT JOIN ann a USING (q_id, c_id)
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+)
+def vector_ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the sign-LSH ANN index against
+    exact brute force: per query, recall@10 (hits_at_10) and the
+    reciprocal rank of the TRUE nearest neighbor inside the ANN list —
+    expressed in 2520ths (lcm of 1..10) so MRR stays an exact integer
+    and never touches cross-engine float division. This is the
+    measurement loop an embedding-dedup pipeline runs when tuning LSH
+    bits vs recall (cf. dedup_lsh_recall_eval for the MinHash side).
+    Scale: exact side is the broadcast-query corpus pass of
+    vector_knn_bruteforce (the evaluation SAMPLE of queries is small by
+    construction); ANN side probes only matching buckets; the final
+    compare joins two O(|queries|*10) frames."""
+    from postrack_spark.operators.similarity import lsh_bucketed_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = fan_out(t["embeddings"])
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), as_double_array("embedding").alias("c_vec")
+    )
+    exact = brute_force_topk(queries, corpus, k=10, exclude_self=True).select(
+        "q_id", "c_id", "rn"
+    )
+    ann = lsh_bucketed_topk(queries, corpus, k=10, dims=list(range(1, 9))).select(
+        "q_id", "c_id", F.col("rn").alias("arn")
+    )
+    joined = exact.join(ann, ["q_id", "c_id"], "left")
+    return (
+        joined.groupBy("q_id")
+        .agg(
+            F.count("arn").cast("long").alias("hits_at_10"),
+            F.max(
+                F.when(
+                    F.col("rn") == 1,
+                    F.coalesce(F.expr("2520 div arn"), F.lit(0)),
+                )
+            )
+            .cast("long")
+            .alias("rr_x2520"),
+        )
+        .orderBy("q_id")
+    )
+
+
+@query(
+    "vector_gram_matrix",
+    oracle="""
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT)
+                    * CAST(floor(embedding[j]::DOUBLE * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS gram
+    FROM embeddings
+    CROSS JOIN generate_series(1, 64) AS gi(i)
+    CROSS JOIN generate_series(1, 64) AS gj(j)
+    WHERE i <= j
+    GROUP BY i, j
+    ORDER BY i, j
+    """,
+)
+def vector_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X'X over the embedding corpus — the
+    communication-optimal building block for exact distributed PCA /
+    covariance / linear regression: each partition reduces its rows to
+    ONE d x d partial (a numpy int64 matmul over the Arrow batch), so
+    shuffle volume is O(partitions * d^2) regardless of corpus size,
+    and the d x d result eigendecomposes on the driver. Values are
+    integerized (floor(x * 1e6), IEEE-identical in numpy float64 and
+    both SQL engines) so the partial sums are EXACT integers — double
+    Gram matrices would hit the cross-engine association trap. Upper
+    triangle only (symmetric): 2080 output rows at d=64. The Python
+    boundary is Arrow-batched mapInPandas (never row-at-a-time); the
+    oracle expands the quadratic form relationally, which is fine at
+    oracle SF and would be the WRONG plan at 100 TB (4096x row
+    expansion vs the map-side reduction here)."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    emb = fan_out(t["embeddings"]).select("embedding")
+
+    def gram_partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * 1000000.0).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {"i": (iu + 1).astype("int32"), "j": (ju + 1).astype("int32"), "gram": acc[iu, ju]}
+            )
+
+    return (
+        emb.mapInPandas(gram_partials, "i int, j int, gram long")
+        .groupBy("i", "j")
+        .agg(F.sum("gram").cast("long").alias("gram"))
+        .orderBy("i", "j")
+    )
