@@ -1487,3 +1487,148 @@ def events_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("acf_ppm"),
     ).orderBy("lag")
+
+
+@query(
+    "events_time_decay_value",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 604800000000 AS wk
+      FROM events
+    ),
+    mx AS (SELECT CAST(max(wk) AS BIGINT) AS max_wk FROM c)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS DOUBLE)
+                    / power(2.0, CAST(least(max_wk - wk, 20) AS DOUBLE)))
+                * 1048576.0 AS BIGINT) AS decayed_x2p20
+    FROM c CROSS JOIN mx
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_time_decay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay aggregate (half-life = one week): each
+    event's integer-cents value is weighted by 2^-age_weeks relative to
+    the corpus's newest week — the recency-weighted score a ranking or
+    feature pipeline maintains. The weights are NEGATIVE POWERS OF TWO
+    on integer cents, so every term and every partial sum is an exactly
+    representable dyadic rational (<= 20 fractional bits, magnitudes
+    well under 2^53): double summation is EXACT and association-free,
+    sidestepping the cross-engine float-sum trap without giving up
+    fractional weights. The age clamp at 20 weeks both bounds the
+    fractional bits and floors vanishing weights. Scale: week index is
+    integer epoch division (no calendar), the max-week scalar is a
+    1-row broadcast, and the weighted fold is a plain hash aggregate —
+    map-side partials included, O(types) shuffle. Headroom: sum*2^20
+    needs ~2^53 at SF ~1000x the tested ones; switch to DECIMAL there."""
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+    )
+    mx = c.agg(F.max("wk").cast("long").alias("max_wk"))
+    return (
+        c.crossJoin(F.broadcast(mx))  # 1-row scalar combine
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (
+                F.sum(
+                    F.col("cents").cast("double")
+                    / F.pow(
+                        F.lit(2.0),
+                        F.least(F.col("max_wk") - F.col("wk"), F.lit(20)).cast("double"),
+                    )
+                )
+                * F.lit(1048576.0)
+            )
+            .cast("long")
+            .alias("decayed_x2p20"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_chi2_type_by_segment",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, user_id % 5 AS seg, CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rtot FROM o GROUP BY 1),
+    c AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS ctot FROM o GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.event_type, o.seg,
+             CAST(floor((1000000.0
+                         * ((CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                             - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE))
+                            * (CAST(o.obs AS DOUBLE) * CAST(t.n AS DOUBLE)
+                               - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE))))
+                        / (CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE)
+                           * CAST(t.n AS DOUBLE))) AS BIGINT) AS cell_ppm
+      FROM o JOIN r USING (event_type) JOIN c USING (seg) CROSS JOIN t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT seg) - 1) AS BIGINT)
+             AS dof,
+           CAST(sum(cell_ppm) AS BIGINT) AS chi2_ppm
+    FROM cells
+    """,
+)
+def events_chi2_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a user
+    segment (contingency-table analysis — the A/B-test / drift-check
+    primitive). The statistic is assembled per CELL as
+    (O*N - R*C)^2 / (R*C*N) — the integer-moment form of (O-E)^2/E —
+    evaluated in identically-shaped correctly-rounded double arithmetic
+    and floored to ppm BEFORE the final sum, so the cross-cell sum is
+    an exact integer and association order never reaches the
+    comparison. Scale: the fact table folds to O(types x segments)
+    cells map-side; marginals and the grand total are aggregates OF THE
+    CELLS (three tiny frames, broadcast back); nothing after the first
+    fold touches corpus-sized data."""
+    ev = load_tables(spark, sf_dir)["events"]
+    o = (
+        ev.select("event_type", (F.col("user_id") % 5).alias("seg"))
+        .groupBy("event_type", "seg")
+        .agg(F.count("*").cast("long").alias("obs"))
+    )
+    r = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("rtot"))
+    c = o.groupBy("seg").agg(F.sum("obs").cast("long").alias("ctot"))
+    t = o.agg(F.sum("obs").cast("long").alias("n"))
+    d = (
+        F.col("obs").cast("double") * F.col("n").cast("double")
+        - F.col("rtot").cast("double") * F.col("ctot").cast("double")
+    )
+    cells = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "seg")
+        .crossJoin(F.broadcast(t))  # 1-row scalar combine
+        .select(
+            "event_type",
+            "seg",
+            F.floor(
+                (F.lit(1000000.0) * (d * d))
+                / (
+                    F.col("rtot").cast("double")
+                    * F.col("ctot").cast("double")
+                    * F.col("n").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("cell_ppm"),
+        )
+    )
+    return cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("seg") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.sum("cell_ppm").cast("long").alias("chi2_ppm"),
+    )

@@ -2004,3 +2004,97 @@ def quality_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = wide.columns
     flat = ", ".join(f"'{c}', `{c}`" for c in cols)
     return wide.selectExpr(f"stack({len(cols)}, {flat}) AS (metric, value)").orderBy("metric")
+
+
+@query(
+    "agg_boxplot_stats",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT flag, cents,
+             row_number() OVER (PARTITION BY flag
+                                ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM c
+    ),
+    quart AS (
+      SELECT flag, CAST(max(n) AS BIGINT) AS n,
+             CAST(max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS BIGINT) AS q1_cents,
+             CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT) AS med_cents,
+             CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS BIGINT) AS q3_cents,
+             CAST(min(cents) AS BIGINT) AS min_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents
+      FROM ranked GROUP BY flag
+    )
+    SELECT q.flag, q.n, q.min_cents, q.q1_cents, q.med_cents, q.q3_cents, q.max_cents,
+           CAST(count(*) FILTER (2 * c.cents < 2 * q.q1_cents - 3 * (q.q3_cents - q.q1_cents)
+                                 OR 2 * c.cents > 2 * q.q3_cents + 3 * (q.q3_cents - q.q1_cents))
+                AS BIGINT) AS n_outliers
+    FROM c JOIN quart q ON c.flag = q.flag
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    ORDER BY q.flag
+    """,
+)
+def agg_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group boxplot statistics: type-1 quartiles of integer
+    cents (rank ceil(p*n) under a TOTAL order with key tie-breaks) plus
+    the Tukey 1.5*IQR outlier count — the distribution profile a data
+    platform computes per partition before anomaly triage. All
+    arithmetic is integer (the 1.5*IQR fences are doubled to stay
+    integral: 2c < 2q1 - 3*IQR), so the oracle matches bit-for-bit.
+    Scale: the rank window is PARTITIONED by group; quartiles reduce to
+    one tiny row per group which broadcast-joins back for the fence
+    count — two passes over the fact, zero global windows. (For global
+    — not per-group — quantiles at corpus scale use
+    operators/ranking.exact_ntile, cf. agg_exact_percentile_rank.)"""
+    from pyspark.sql import Window as W
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("flag").orderBy("cents", "l_orderkey", "l_linenumber")
+    wn = W.partitionBy("flag")
+    ranked = c.select(
+        "flag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def at_rank(r):
+        return F.max(F.when(F.col("rn") == r, F.col("cents"))).cast("long")
+
+    quart = ranked.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        at_rank(F.expr("(n + 3) div 4")).alias("q1_cents"),
+        at_rank(F.expr("(n + 1) div 2")).alias("med_cents"),
+        at_rank(F.expr("(3 * n + 3) div 4")).alias("q3_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+    iqr = F.col("q3_cents") - F.col("q1_cents")
+    out = (
+        c.join(F.broadcast(quart), "flag")
+        .groupBy("flag", "n", "min_cents", "q1_cents", "med_cents", "q3_cents", "max_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    (2 * F.col("cents") < 2 * F.col("q1_cents") - 3 * iqr)
+                    | (2 * F.col("cents") > 2 * F.col("q3_cents") + 3 * iqr),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return out.orderBy("flag")
