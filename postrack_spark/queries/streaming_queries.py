@@ -1062,3 +1062,72 @@ def streaming_join_view_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.select(
         "o_orderpriority", "n_rows", "sum_qty", "sum_price_cents"
     ).orderBy("o_orderpriority")
+
+
+def _bm25_oracle() -> str:
+    from postrack_spark.queries.text_queries import _BM25_ORACLE
+
+    return _BM25_ORACLE
+
+
+@query("streaming_bm25_index", oracle=_bm25_oracle())
+def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 index maintenance: documents arrive in
+    micro-batches and the sparse-retrieval index — term frequencies for
+    the query vocabulary, per-document lengths, corpus totals — is
+    maintained INCREMENTALLY as one long-form folded view ('tf' rows
+    keyed (doc, term), 'doc' rows carrying each document's length),
+    O(batch) work per batch through the versioned exactly-once fold
+    sink. At read time the SAME scorer as the batch text_bm25_search
+    runs against the maintained state: document frequencies are a
+    grouped count OF THE INDEX (each (doc,term) is one stored row) and
+    corpus stats a 1-row fold of the 'doc' rows — so the streaming
+    index must reproduce the batch ranking bit-for-bit, which the
+    shared oracle checks. The training-pipeline shape: keep a
+    retrieval/decontamination index current while the corpus grows,
+    never re-scanning old documents. Scale: stored state is
+    O(docs x |query vocab| + docs) rows; per-batch shuffle O(batch
+    tokens in vocab); commutative fold => admission order free."""
+    from postrack_spark.queries.text_queries import _BM25_ALL, bm25_topk
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    docs = load_tables(spark, sf_dir)["documents"].repartition(8)
+    stream = envelope_stream(
+        spark, docs, name="bm25idx", options={"maxFilesPerTrigger": "2"}
+    )
+    tok_rows = stream.select(
+        F.lit("tf").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.explode(F.split(F.col("text"), " ")).alias("k2"),
+        F.lit(1).cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+    ).filter(F.col("k2").isin(_BM25_ALL))
+    doc_rows = stream.select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.lit(1).cast("long").alias("a"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("b"),
+    )
+    target, q = foreach_batch_fold(
+        tok_rows.unionByName(doc_rows), group_cols=["kind", "k1", "k2"], sum_cols=["a", "b"]
+    )
+    q.awaitTermination()
+
+    view = read_view(spark, target)
+    doclen = view.filter(F.col("kind") == "doc").select(
+        F.col("k1").cast("long").alias("doc_id"), F.col("b").alias("dl")
+    )
+    tf = (
+        view.filter(F.col("kind") == "tf")
+        .select(F.col("k1").cast("long").alias("doc_id"), F.col("k2").alias("term"),
+                F.col("a").alias("tf"))
+        .join(doclen, "doc_id")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dfreq"))
+    stats = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    return bm25_topk(spark, tf, dfreq, stats)

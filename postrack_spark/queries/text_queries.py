@@ -1277,9 +1277,7 @@ _BM25_QT_VALUES = ", ".join(
 _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_ALL)
 
 
-@query(
-    "text_bm25_search",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH docs0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     stats AS (
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -1320,8 +1318,10 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_ALL)
     SELECT query_id, CAST(rn AS INT) AS rn, doc_id, score_micro
     FROM ranked WHERE rn <= 5
     ORDER BY query_id, rn
-    """,
-)
+    """
+
+
+@query("text_bm25_search", oracle=_BM25_ORACLE)
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (k1=1.2, b=0.75): three fixed multi-term
     queries ranked against the corpus — the sparse-retrieval side of a
@@ -1350,6 +1350,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
     )
+    return bm25_topk(spark, tf, dfreq, stats)
+
+
+def bm25_topk(spark, tf, dfreq, stats, k: int = 5) -> DataFrame:
+    """Score the fixed _BM25_TERMS queries against a (tf, dfreq, stats)
+    index triple and return top-k per query — shared by the batch query
+    above and the streaming index twin (streaming_bm25_index), which
+    feeds the SAME scorer from an incrementally maintained view."""
     qt = spark.createDataFrame(
         [(q, t) for q, ts in sorted(_BM25_TERMS.items()) for t in ts],
         "query_id string, term string",
@@ -1387,7 +1395,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return (
         scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .select("query_id", "rn", "doc_id", "score_micro")
         .orderBy("query_id", "rn")
     )

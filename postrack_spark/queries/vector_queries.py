@@ -955,3 +955,119 @@ def vector_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("gram").cast("long").alias("gram"))
         .orderBy("i", "j")
     )
+
+
+def _power_iter_oracle(n_iter: int = 5) -> str:
+    """Unrolled power-iteration oracle (cf. graph_pagerank_top10's
+    unrolled-CTE pattern): each iteration is a matvec over the Gram
+    CTE followed by L-inf normalization, with the vector re-quantized
+    to integer micros every round so the fixpoint trajectory is
+    bit-identical in any engine."""
+    parts = [
+        """gram AS (
+      SELECT i, j,
+             CAST(floor(CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT)
+                                 * CAST(floor(embedding[j]::DOUBLE * 1000000.0) AS BIGINT))
+                             AS DOUBLE) / 1000000.0) AS BIGINT) AS g6
+      FROM embeddings
+      CROSS JOIN generate_series(1, 64) AS gi(i)
+      CROSS JOIN generate_series(1, 64) AS gj(j)
+      GROUP BY i, j
+    ),
+    v0 AS (SELECT i AS j, CAST(1000000 AS BIGINT) AS v
+           FROM generate_series(1, 64) AS s(i))"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""x{t} AS (
+      SELECT gram.i, CAST(sum(gram.g6 * v{t-1}.v) AS BIGINT) AS x
+      FROM gram JOIN v{t-1} ON gram.j = v{t-1}.j
+      GROUP BY gram.i
+    ),
+    m{t} AS (SELECT CAST(max(abs(x)) AS BIGINT) AS m FROM x{t}),
+    v{t} AS (
+      SELECT i AS j,
+             CAST(floor((1000000.0 * CAST(x AS DOUBLE)) / CAST(m AS DOUBLE)) AS BIGINT) AS v
+      FROM x{t} CROSS JOIN m{t}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(j AS INT) AS dim, v AS v_micro FROM v{n_iter} ORDER BY dim
+    """
+    )
+
+
+@query("vector_pca_power_iteration", oracle=_power_iter_oracle(5))
+def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus: 5 rounds of
+    power iteration on the DISTRIBUTED Gram matrix (vector_gram_matrix
+    machinery — one corpus pass, O(partitions * d^2) shuffle), then
+    d x d matvecs on the tiny aggregated frame. Exactness protocol:
+    the Gram is integer micros^2 rescaled by 1e-6 (floored in double —
+    identical cross-engine even where `div` vs `//` would disagree on
+    negatives); each iterate is L-INFINITY normalized and floored back
+    to integer micros, so every matvec input is an exact int64 and the
+    whole 5-round trajectory is bit-identical in any engine — power
+    iteration as exact integer recurrences, like graph_pagerank_top10.
+    L-inf (not L2) normalization keeps the per-round scalar an integer
+    max instead of a 64-term float sum-of-squares; on a PSD Gram the
+    dominant eigenvalue is positive so no sign oscillation. Scale: the
+    corpus is touched ONCE (Gram partials); iterations cost d^2 rows
+    per round regardless of n. Headroom: |x| <= 64 * max|g6| * 1e6 —
+    int64-safe through ~10x the largest test SF, then rescale g6."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    emb = fan_out(t["embeddings"]).select("embedding")
+
+    def gram_partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * 1000000.0).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            ii, jj = np.indices(acc.shape)
+            yield pd.DataFrame(
+                {
+                    "i": (ii.ravel() + 1).astype("int32"),
+                    "j": (jj.ravel() + 1).astype("int32"),
+                    "g": acc.ravel(),
+                }
+            )
+
+    gram = (
+        emb.mapInPandas(gram_partials, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(
+            F.floor(F.sum("g").cast("double") / F.lit(1000000.0))
+            .cast("long")
+            .alias("g6")
+        )
+    )
+    # d x d frame reused every round: materialize once, not per-iteration
+    gram = gram.localCheckpoint(eager=True)
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("j"), F.lit(1000000).cast("long").alias("v")
+    )
+    for _ in range(5):
+        x = (
+            gram.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g6") * F.col("v")).cast("long").alias("x"))
+        )
+        m = x.agg(F.max(F.abs(F.col("x"))).cast("long").alias("m"))
+        v = x.crossJoin(F.broadcast(m)).select(  # 1-row scalar combine
+            F.col("i").alias("j"),
+            F.floor((F.lit(1000000.0) * F.col("x").cast("double")) / F.col("m").cast("double"))
+            .cast("long")
+            .alias("v"),
+        )
+    return v.select(F.col("j").alias("dim"), F.col("v").alias("v_micro")).orderBy("dim")
