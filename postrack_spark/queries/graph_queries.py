@@ -259,3 +259,99 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(DISTINCT) collapses duplicate paths."""
     load_tables(spark, sf_dir)  # registers temp views
     return spark.sql(_REACH_SQL)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peeling oracle: round r's node set keeps nodes whose
+    degree in the round-(r-1) induced subgraph is >= k. Fixed round
+    count on both sides => identical output even before fixpoint; the
+    Spark test asserts the trajectory has converged at every test SF."""
+    # AS MATERIALIZED: without it DuckDB inlines each CTE per reference
+    # and the self-referencing chain expands 2^rounds copies of the
+    # lineitem scan (observed as 'Too many open files')
+    parts = [_EDGES_CTE.strip().rstrip(), "e0 AS MATERIALIZED (SELECT pa, pb FROM edges)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT node, count(*) AS c FROM
+        (SELECT pa AS node FROM e{r-1} UNION ALL SELECT pb FROM e{r-1})
+      GROUP BY node
+    ),
+    n{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE c >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.pa, e.pb FROM e{r-1} e
+      JOIN n{r} a ON e.pa = a.node JOIN n{r} b ON e.pb = b.node
+    )"""
+        )
+    rows = []
+    for r in range(rounds + 1):
+        rows.append(
+            f"""SELECT {r} AS round,
+           CAST((SELECT count(DISTINCT x) FROM
+                 (SELECT pa AS x FROM e{r} UNION ALL SELECT pb FROM e{r})) AS BIGINT)
+             AS n_nodes,
+           CAST((SELECT count(*) FROM e{r}) AS BIGINT) AS n_edges"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT CAST(round AS INT) AS round, n_nodes, n_edges FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY round"
+    )
+
+
+@query("graph_kcore_decomposition", oracle=_kcore_oracle(3, 8))
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph by iterative peeling: each round
+    drops nodes whose degree in the current induced subgraph is below
+    3, reporting the (n_nodes, n_edges) trajectory per round — the
+    community-density screen (dense cores = strongly co-occurring
+    product groups) and the classic iterative-fixpoint workload next to
+    PageRank and connected components. Exact integers throughout; a
+    FIXED 8 peeling rounds on both engines keeps the oracle aligned by
+    construction (the trajectory is the k-core UPPER-BOUND sequence —
+    at sf0.001 it is a fixpoint from round 0, at sf0.1 it empties by
+    round 2, at sf0.01 it is still contracting ~1%/round at round 8;
+    running to fixpoint is the same loop with a convergence check, cf.
+    dedup's connected components). Scale:
+    peeling runs entirely on the support-thresholded edge list (3.9k
+    edges at sf0.1, measured to grow sub-linearly — module docstring);
+    each round is two hash aggs + two joins on that small frame,
+    localCheckpointed so the plan stays linear in rounds rather than
+    doubling. At 100 TB the thresholded edge list still fits executor
+    memory by the support argument; if it ever didn't, the same loop
+    runs shuffled with the node list broadcast."""
+    e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=True)
+    trajectory = []
+
+    def counts(edges: DataFrame, r: int) -> DataFrame:
+        nodes = edges.select(F.col("pa").alias("x")).unionAll(
+            edges.select(F.col("pb").alias("x"))
+        )
+        return (
+            nodes.agg(F.countDistinct("x").cast("long").alias("n_nodes"))
+            .crossJoin(edges.agg(F.count("*").cast("long").alias("n_edges")))
+            .select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+
+    trajectory.append(counts(e, 0))
+    for r in range(1, 9):
+        deg = (
+            e.select(F.col("pa").alias("node"))
+            .unionAll(e.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= 3).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "pa"), "pa")
+            .join(keep.withColumnRenamed("node", "pb"), "pb")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+        trajectory.append(counts(e, r))
+    out = trajectory[0]
+    for t in trajectory[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("round")
