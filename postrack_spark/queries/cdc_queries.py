@@ -948,3 +948,74 @@ def cdc_join_view_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures={"sum_qty": F.col("l_qty"), "sum_price_cents": F.col("o_cents")},
     )
     return view.orderBy("c_mktsegment")
+
+
+@query(
+    "cdc_distinct_minmax_view",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    last AS (
+      SELECT okey,
+             max_by(op, lsn) AS op,
+             max_by(status, lsn) AS status,
+             max_by(price, lsn) AS price
+      FROM changes GROUP BY okey
+    ),
+    live AS (
+      SELECT status, CAST(round(price * 100) AS BIGINT) AS cents
+      FROM last WHERE op <> 'DELETE'
+    )
+    SELECT status AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM live GROUP BY status
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_distinct_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for NON-distributive aggregates: COUNT(DISTINCT), MIN and
+    MAX cannot be maintained from signed scalar partials (a DELETE of
+    the current minimum needs the runner-up), so the view keeps the
+    textbook MULTIPLICITY inner view — per (group, value) live row
+    counts, maintained by the same signed-delta counting machinery as
+    cdc_incremental_agg — and the outer aggregate reads values whose
+    multiplicity is positive. Deletes and updates flow through
+    naturally: a value's count hitting zero removes it, resurfacing the
+    runner-up min/max and shrinking the distinct count, with NO base
+    recompute. State is O(live distinct (group, value)) — bounded by
+    the view's own grain, not the stream; per-batch maintenance stays
+    O(batch) map-side + O(touched groups) shuffle. The outer pass is
+    O(state). Oracle replays the stream to final state (max_by per
+    key) and aggregates directly."""
+    from postrack_spark.cdc.ivm import incremental_agg, recover_before
+
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    repaired = recover_before(ch, key)
+    mult = incremental_agg(
+        repaired,
+        dims={
+            "o_orderstatus": F.element_at(F.col("img"), "o_orderstatus"),
+            "cents": F.round(
+                F.element_at(F.col("img"), "o_totalprice").cast("double") * 100
+            ).cast("long"),
+        },
+        measures={},
+    )
+    return (
+        mult.groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.countDistinct("cents").cast("long").alias("n_distinct_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

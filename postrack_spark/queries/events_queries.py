@@ -1632,3 +1632,66 @@ def events_chi2_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.sum("cell_ppm").cast("long").alias("chi2_ppm"),
     )
+
+
+@query(
+    "events_seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(a.x - b.x)) AS BIGINT) AS sum_abs_err,
+           CAST(floor((1000.0 * CAST(sum(abs(a.x - b.x)) AS DOUBLE))
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mae_milli
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.day_idx = a.day_idx - 7
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def events_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    event count with the count 7 days earlier and report the MAE — the
+    baseline every forecasting pipeline must beat, and the drift alarm
+    when the live MAE departs from it. Errors are integer counts
+    (sum_abs_err exact); the per-day mean is one correctly-rounded
+    divide floored to milli units. Scale: the fact folds to O(types x
+    days) map-side; the 7-day self-join runs on that tiny aggregated
+    frame, never on raw events."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(
+            "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day_idx")
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    a = daily.select("event_type", "day_idx", F.col("x").alias("xa"))
+    b = daily.select(
+        "event_type", (F.col("day_idx") + 7).alias("day_idx"), F.col("x").alias("xb")
+    )
+    err = F.abs(F.col("xa") - F.col("xb"))
+    return (
+        a.join(b, ["event_type", "day_idx"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(err).cast("long").alias("sum_abs_err"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "sum_abs_err",
+            F.floor(
+                (F.lit(1000.0) * F.col("sum_abs_err").cast("double"))
+                / F.col("n_days").cast("double")
+            )
+            .cast("long")
+            .alias("mae_milli"),
+        )
+        .orderBy("event_type")
+    )

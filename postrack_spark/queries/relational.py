@@ -2098,3 +2098,75 @@ def agg_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("flag")
+
+
+@query(
+    "agg_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum_cents,
+             sum(cents) OVER () AS total_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+                  WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    class A = the prefix holding <= 80% of cumulative revenue, B to
+    95%, C the tail — the classic skew summary ('which 20% of the
+    catalog earns 80%'). The global running revenue uses the
+    DISTRIBUTED prefix-sum operator (operators/ranking.py: range-
+    partition on the sort key, per-partition totals broadcast back as
+    offsets) — NOT an unpartitioned window, so the corpus-sized
+    per-part frame never lands on one task; class thresholds compare
+    integer cents cross-multiplied (cum*5 <= total*4) so no division
+    touches the comparison. Scale: one O(parts) shuffle for the
+    aggregate, one range shuffle for the prefix sum, O(1) broadcasts.
+    Headroom: total*20 needs int64 — fine through ~10^17 total cents."""
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    cum = prefix_sums_by_key(
+        rev,
+        [F.desc("cents"), F.asc("l_partkey")],
+        {"cum_cents": "cents"},
+        inclusive=True,
+    )
+    total = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    classed = cum.crossJoin(F.broadcast(total)).select(  # 1-row scalar combine
+        F.when(F.col("cum_cents") * 5 <= F.col("total_cents") * 4, F.lit("A"))
+        .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "cents",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+        )
+        .orderBy("abc_class")
+    )
