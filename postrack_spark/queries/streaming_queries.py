@@ -1131,3 +1131,87 @@ def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").cast("long").alias("total_tokens"),
     )
     return bm25_topk(spark, tf, dfreq, stats)
+
+
+@query(
+    "streaming_distinct_minmax_view",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey*10+1 AS lsn, 'INSERT' AS op, o_orderkey AS okey,
+             o_orderstatus AS status, o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, 'F', round(o_totalprice*2, 2)
+      FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+      UNION ALL
+      SELECT o_orderkey*10+5, 'UPDATE', o_orderkey, o_orderstatus, round(o_totalprice+10, 2)
+      FROM orders WHERE o_orderkey % 10 = 4
+      UNION ALL
+      SELECT o_orderkey*10+7, 'DELETE', o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 5
+    ),
+    last AS (
+      SELECT okey, max_by(op, lsn) AS op, max_by(status, lsn) AS status,
+             max_by(price, lsn) AS price
+      FROM changes GROUP BY okey
+    ),
+    live AS (
+      SELECT status, CAST(round(price * 100) AS BIGINT) AS cents
+      FROM last WHERE op <> 'DELETE'
+    )
+    SELECT status AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM live GROUP BY status
+    ORDER BY o_orderstatus
+    """,
+)
+def streaming_distinct_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cdc_distinct_minmax_view: the MULTIPLICITY
+    inner view — per (status, cents) live counts — is maintained across
+    real micro-batches by the exactly-once incremental-agg sink
+    (O(batch) per batch; zero-count groups kept in the stored partials
+    because a negative partial may precede its positive under
+    arbitrary admission splits, readers filter n_rows > 0), and the
+    non-distributive outer aggregate (COUNT DISTINCT / MIN / MAX) is
+    computed over the maintained state at read time. Deletes arriving
+    in a LATER batch than the insert they cancel still converge — the
+    commutative fold doesn't care where the batch boundary fell."""
+    from postrack_spark.cdc.ivm import recover_before
+    from postrack_spark.streaming import foreach_batch_incremental_agg
+
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    repaired = recover_before(ch, key)
+    stream = envelope_stream(
+        spark, repaired, name="dminmax", options={"maxFilesPerTrigger": "4"}
+    )
+    target, q = foreach_batch_incremental_agg(
+        stream,
+        dims={
+            "o_orderstatus": F.element_at(F.col("img"), "o_orderstatus"),
+            "cents": F.round(
+                F.element_at(F.col("img"), "o_totalprice").cast("double") * 100
+            ).cast("long"),
+        },
+        measures={},
+    )
+    q.awaitTermination()
+    mult = read_view(spark, target).filter(F.col("n_rows") > 0)
+    return (
+        mult.groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.countDistinct("cents").cast("long").alias("n_distinct_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
