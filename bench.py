@@ -53,6 +53,11 @@ HEADLINE = [
     # round-3 additions: distributed exact ranking family
     "window_revenue_deciles",
     "agg_exact_percentile_rank",
+    # round-3 session-3 additions: distributed linear algebra (one-pass
+    # Gram partials + power iteration), prefix-sum ABC, BM25 retrieval
+    "vector_pca_power_iteration",
+    "agg_pareto_abc",
+    "text_bm25_search",
 ]
 R1_COMPARABLE = 15  # first N entries = round-1 headline set
 

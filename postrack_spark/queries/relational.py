@@ -2170,3 +2170,48 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "scalar_decimal_exact_money",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS total_cents,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(0.93 AS DECIMAL(4,2))) * 10000 AS BIGINT)
+             AS discounted_x10k,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS max_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def scalar_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic on the DECIMAL path: doubles round-trip 2-dp
+    prices exactly but their SUMS depend on association order (the
+    documented cross-engine trap), while DECIMAL(18,2) sums are exact
+    by definition in any engine and any partitioning — this is the type
+    a 100 TB revenue pipeline should carry, and this query pins the
+    Spark<->ANSI semantics: sum(DECIMAL(18,2)) widens precision but
+    keeps scale 2, multiplication adds scales (2+2=4), and the exact
+    results surface as integer cents / 1e-4 units so the hash compare
+    never sees engine formatting of decimal literals. Map-side partial
+    aggregation works on decimals exactly as on longs — no shuffle
+    penalty for exactness."""
+    o = load_tables(spark, sf_dir)["orders"]
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum(dec) * 100).cast("long").alias("total_cents"),
+            (F.sum(dec * F.lit("0.93").cast("decimal(4,2)")) * 10000)
+            .cast("long")
+            .alias("discounted_x10k"),
+            (F.max(dec) * 100).cast("long").alias("max_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -231,6 +231,41 @@ def main() -> None:
     ranks10 = rx10.join(ry10, rx10.ck == ry10.ck2).select("rx", "ry")
     run("kendall_tau_10x", count_inversions(ranks10))
 
+    # 7. Distributed Gram over 10x embeddings (~50k x 64 at sf0.1 base):
+    #    the one-pass linear-algebra reduction. Per-partition output is
+    #    a constant d x d partial, so growth should track the scan.
+    import numpy as np
+    import pandas as pd
+
+    emb10 = shifted_union(t["embeddings"], {"vec_id": 10_000_000}).select("embedding")
+
+    def gram_partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * 1000000.0).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            ii, jj = np.indices(acc.shape)
+            yield pd.DataFrame(
+                {"i": (ii.ravel() + 1).astype("int32"),
+                 "j": (jj.ravel() + 1).astype("int32"),
+                 "g": acc.ravel()}
+            )
+
+    from postrack_spark.session import fan_out
+
+    run(
+        "gram_matrix_10x",
+        fan_out(emb10)
+        .mapInPandas(gram_partials, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g")),
+    )
+
     print(json.dumps({"metric": "stress_10x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": 10, "timings": timings}))
     spark.stop()
