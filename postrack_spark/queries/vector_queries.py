@@ -1002,10 +1002,18 @@ def _power_iter_oracle(n_iter: int = 5) -> str:
 
 @query("vector_pca_power_iteration", oracle=_power_iter_oracle(5))
 def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding corpus: 5 rounds of
-    power iteration on the DISTRIBUTED Gram matrix (vector_gram_matrix
-    machinery — one corpus pass, O(partitions * d^2) shuffle), then
-    d x d matvecs on the tiny aggregated frame. Exactness protocol:
+    """Power-iteration protocol on the DISTRIBUTED Gram matrix
+    (vector_gram_matrix machinery — one corpus pass, O(partitions *
+    d^2) shuffle), then d x d matvecs on the tiny aggregated frame: 5
+    fixed rounds of the quantized power map. Honesty note: the
+    synthetic corpus is near-ISOTROPIC (top eigengap ~1.02 measured at
+    every SF), so five rounds of ANY power method cannot isolate the
+    top eigenvector here; what this query pins is the distributed
+    PCA *machinery* — the one-pass Gram reduction and the engine-exact
+    iteration (tests/test_linalg.py proves the Spark trajectory equals
+    a local numpy replica of the same recurrence bit-for-bit; on a
+    gapped spectrum the identical loop with more rounds converges).
+    Exactness protocol:
     the Gram is integer micros^2 rescaled by 1e-6 (floored in double —
     identical cross-engine even where `div` vs `//` would disagree on
     negatives); each iterate is L-INFINITY normalized and floored back

@@ -427,3 +427,72 @@ def test_count_inversions_model(spark, perm):
     ).collect()[0]
     assert out["inversions"] == brute
     assert out["n"] == len(perm)
+
+
+# 5. Multiplicity IVM (non-distributive aggregates): for ANY well-formed
+#    change sequence, COUNT DISTINCT / MIN / MAX read from the
+#    maintained per-(value) multiplicity view must equal the sequential
+#    final state — deletes must resurface runner-up extrema exactly.
+
+mm_step = st.tuples(
+    st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+    st.integers(0, 5),
+    st.integers(0, 9),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seq=st.lists(mm_step, max_size=30))
+def test_multiplicity_ivm_distinct_minmax(spark, seq):
+    from postrack_spark.cdc.ivm import incremental_agg
+
+    live: dict[int, int] = {}
+    rows = []
+    for i, (op, k, v) in enumerate(seq):
+        ks, vs = str(k), str(v)
+        if op == "INSERT":
+            if k in live:
+                continue
+            live[k] = v
+            rows.append((i + 1, None, None, "public", "t", "INSERT", {"k": ks, "v": vs}, None))
+        elif op == "UPDATE":
+            if k not in live:
+                continue
+            prev = str(live[k])
+            live[k] = v
+            rows.append(
+                (i + 1, None, None, "public", "t", "UPDATE",
+                 {"k": ks, "v": vs}, {"k": ks, "v": prev})
+            )
+        else:
+            if k not in live:
+                continue
+            prev = str(live.pop(k))
+            rows.append(
+                (i + 1, None, None, "public", "t", "DELETE", None, {"k": ks, "v": prev})
+            )
+    if not rows:
+        return
+    ch = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    mult = incremental_agg(
+        ch, dims={"v": F.element_at(F.col("img"), "v").cast("int")}, measures={}
+    )
+    got = mult.groupBy().agg(
+        F.sum("n_rows").alias("n"),
+        F.countDistinct("v").alias("nd"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).collect()[0]
+    vals = list(live.values())
+    if not vals:
+        assert got["n"] is None or got["n"] == 0
+        assert got["nd"] == 0
+    else:
+        assert got["n"] == len(vals)
+        assert got["nd"] == len(set(vals))
+        assert got["mn"] == min(vals)
+        assert got["mx"] == max(vals)
