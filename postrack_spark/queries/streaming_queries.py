@@ -1215,3 +1215,60 @@ def streaming_distinct_minmax_view(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _gram_oracle() -> str:
+    from postrack_spark.queries.vector_queries import vector_gram_matrix  # noqa: F401
+    from postrack_spark.queries.registry import QUERIES
+
+    return QUERIES["vector_gram_matrix"].oracle
+
+
+@query("streaming_gram_update", oracle=_gram_oracle())
+def streaming_gram_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Gram-matrix maintenance over an embedding STREAM:
+    each micro-batch reduces to its own d x d int64 partial (the same
+    one-pass mapInPandas reduction as vector_gram_matrix) and the
+    partials fold additively into the maintained view through the
+    exactly-once versioned sink — X'X is a commutative monoid over row
+    blocks, so ANY admission split converges to the batch Gram, which
+    the SHARED oracle checks bit-for-bit. This is the streaming-PCA /
+    online-covariance shape: the model state a 100 TB pipeline keeps
+    current without re-scanning the corpus; downstream power iteration
+    reads the maintained d x d view. Per batch: O(batch) scan work +
+    O(d^2) fold — state never grows with the stream."""
+    import numpy as np
+    import pandas as pd
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("embedding").repartition(8)
+    stream = envelope_stream(
+        spark, emb, name="gramupd", options={"maxFilesPerTrigger": "2"}
+    )
+
+    def gram_partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * 1000000.0).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {"i": (iu + 1).astype("int32"), "j": (ju + 1).astype("int32"),
+                 "gram": acc[iu, ju]}
+            )
+
+    partials = stream.mapInPandas(gram_partials, "i int, j int, gram long")
+    target, q = foreach_batch_fold(partials, group_cols=["i", "j"], sum_cols=["gram"])
+    q.awaitTermination()
+    return (
+        read_view(spark, target)
+        .select("i", "j", F.col("gram").cast("long").alias("gram"))
+        .orderBy("i", "j")
+    )

@@ -1079,3 +1079,92 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v"),
         )
     return v.select(F.col("j").alias("dim"), F.col("v").alias("v_micro")).orderBy("dim")
+
+
+@query(
+    "vector_centroid_drift",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             CASE WHEN ('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                       % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+             embedding
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT label, half, g.i AS dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(embedding[g.i]::DOUBLE * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM q CROSS JOIN generate_series(1, 64) AS g(i)
+      GROUP BY label, half, g.i
+    ),
+    paired AS (
+      SELECT a.label, a.dim, a.n AS na, b.n AS nb,
+             abs(a.s * b.n - b.s * a.n) AS d_num
+      FROM sums a JOIN sums b ON a.label = b.label AND a.dim = b.dim
+      WHERE a.half = 'a' AND b.half = 'b'
+    )
+    SELECT label,
+           CAST(max(na) AS BIGINT) AS na,
+           CAST(max(nb) AS BIGINT) AS nb,
+           CAST(sum(d_num) AS BIGINT) AS l1_num,
+           CAST(max(na) * max(nb) AS BIGINT) AS denom
+    FROM paired
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def vector_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift detection: split each label's
+    vectors into two deterministic hash-halves (the 'reference' vs
+    'candidate' windows of a production drift monitor), compute both
+    centroids, and report the L1 centroid distance as an EXACT integer
+    rational — per dimension |Sa*nb - Sb*na| over the common
+    denominator na*nb, where S are integer-micro coordinate sums. No
+    division or float mean ever happens, so the oracle matches
+    bit-for-bit. Scale: one corpus pass folds to O(labels x 2 x d)
+    sums map-side (the per-row 64-way expansion is array-local in
+    Spark via posexplode of the integerized vector); the pairing join
+    runs on that tiny frame. Headroom: |S| <= n * 5.3e5 micros, so
+    S*n needs int64 at ~10^6 rows per (label, half) — rescale micros
+    at larger per-group cardinalities."""
+    t = load_tables(spark, sf_dir)
+    half = F.when(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2 == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    q = fan_out(t["embeddings"]).select(
+        "label",
+        half.alias("half"),
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        ).alias("pos", "qv"),
+    )
+    sums = q.groupBy("label", "half", (F.col("pos") + 1).alias("dim")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("s"),
+    )
+    a = sums.filter(F.col("half") == "a").select(
+        "label", "dim", F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = sums.filter(F.col("half") == "b").select(
+        "label", "dim", F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    paired = a.join(b, ["label", "dim"]).select(
+        "label",
+        "na",
+        "nb",
+        F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("d_num"),
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.max("na").cast("long").alias("na"),
+            F.max("nb").cast("long").alias("nb"),
+            F.sum("d_num").cast("long").alias("l1_num"),
+            (F.max("na") * F.max("nb")).cast("long").alias("denom"),
+        )
+        .orderBy("label")
+    )
