@@ -1019,3 +1019,148 @@ def cdc_distinct_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "cdc_time_travel_asof",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    cut AS (
+      SELECT CAST(min(lsn) + (max(lsn) - min(lsn)) * 2 // 3 AS BIGINT) AS as_of
+      FROM changes
+    ),
+    upto AS (SELECT c.* FROM changes c CROSS JOIN cut WHERE c.lsn <= cut.as_of),
+    last AS (
+      SELECT okey, max_by(op, lsn) AS op, max_by(status, lsn) AS status,
+             max_by(price, lsn) AS price
+      FROM upto GROUP BY okey
+    )
+    SELECT status AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM last WHERE op <> 'DELETE'
+    GROUP BY status
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) reconstruction: the table state AS
+    OF an LSN two-thirds into the captured WAL — replay only events at
+    or below the cut, then the standard latest-per-key compaction. The
+    capability a CDC-fed warehouse exposes as `FOR SYSTEM_TIME AS OF`:
+    any historical state is a FILTER plus the same O(keys) compaction,
+    no extra storage beyond the retained log. The cut is derived from
+    the stream itself (min/max LSN scalar agg, broadcast back), so the
+    query is self-contained at any SF. Scale: the LSN predicate
+    prunes map-side (and prunes log partitions when the log is stored
+    LSN-partitioned, cf. sources/layout.py); everything after is the
+    audited max_by compaction shape."""
+    from postrack_spark.cdc.materialize import apply_changes
+
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    # `div`/`//`: integer division on both engines (double `/` + CAST
+    # would hit the round-vs-truncate cast trap — see CLAUDE.md)
+    cut = ch.agg(
+        F.expr("min(lsn) + (max(lsn) - min(lsn)) * 2 div 3").cast("long").alias("as_of")
+    )
+    upto = ch.crossJoin(F.broadcast(cut)).filter(F.col("lsn") <= F.col("as_of"))
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    state = apply_changes(upto, key, key_name="o_orderkey")
+    return (
+        state.select(
+            typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
+            F.round(typed_column("after", "o_totalprice", "double") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "cdc_forget_keys_purge",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    last AS (
+      SELECT okey, max_by(op, lsn) AS op, max_by(status, lsn) AS status,
+             max_by(price, lsn) AS price
+      FROM changes GROUP BY okey
+    ),
+    live AS (SELECT * FROM last WHERE op <> 'DELETE'),
+    kept AS (SELECT * FROM live WHERE okey % 7 <> 0),
+    purged AS (SELECT * FROM live WHERE okey % 7 = 0)
+    SELECT status AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST((SELECT count(*) FROM purged) AS BIGINT) AS n_purged
+    FROM kept
+    GROUP BY status
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_forget_keys_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete propagation (right-to-be-forgotten): a purge list —
+    here every 7th key, standing in for a deletion-request table —
+    becomes synthetic DELETE envelopes appended past the head of the
+    captured log; replaying the augmented stream yields the purged
+    state through the SAME latest-per-key machinery users already run,
+    and the audit count of actually-purged live rows rides along. This
+    is how a CDC-fed lake honors erasure without a bespoke code path:
+    deletion is DATA (late DELETE events), so every downstream view,
+    IVM fold, and SCD2 history purges consistently by construction.
+    Scale: the purge list joins map-side against the O(keys) compacted
+    state; the synthetic deletes are O(|purge list|)."""
+    from postrack_spark.cdc.envelope import null_map
+    from postrack_spark.cdc.materialize import apply_changes
+
+    ch = orders_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    head = ch.agg(F.max("lsn").cast("long").alias("head_lsn"))
+    # current live state; purge membership is a pure key predicate
+    live = apply_changes(ch, key, key_name="o_orderkey")
+    purged = live.filter(F.col("o_orderkey") % 7 == 0)
+    n_purged = purged.agg(F.count("*").cast("long").alias("n_purged"))
+    # deletion requests as DATA: synthetic DELETE envelopes past head
+    del_events = purged.crossJoin(F.broadcast(head)).select(
+        (F.col("head_lsn") + F.col("o_orderkey") + 1).cast("long").alias("lsn"),
+        F.lit(None).cast("long").alias("txid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        F.lit("DELETE").alias("op"),
+        null_map().alias("after"),
+        F.col("after").alias("before"),
+    )
+    purged_state = apply_changes(
+        ch.unionByName(del_events), key, key_name="o_orderkey"
+    )
+    return (
+        purged_state.select(
+            typed_column("after", "o_orderstatus", "string").alias("o_orderstatus"),
+            F.round(typed_column("after", "o_totalprice", "double") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .crossJoin(F.broadcast(n_purged))  # 1-row audit combine
+        .orderBy("o_orderstatus")
+    )
