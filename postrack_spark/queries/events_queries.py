@@ -1695,3 +1695,53 @@ def events_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_new_vs_returning_daily",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(epoch_us(ts) // 86400000000) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+      FROM events
+    )
+    SELECT CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(count(*) FILTER (day_idx = first_day) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (day_idx > first_day) AS BIGINT) AS returning_users
+    FROM daily JOIN firsts USING (user_id)
+    GROUP BY day_idx
+    ORDER BY day_idx
+    """,
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user accounting — the growth-accounting
+    split every product dashboard leads with. First-seen day per user
+    is one O(users) aggregate joined back to the deduped (user, day)
+    activity relation (the dedup BEFORE the join keeps the join input
+    O(active user-days), not O(events)); day indexes are integer epoch
+    division, no calendar functions. Scale: two shuffles on user_id
+    (agg + join co-partition under the same key) and one O(days) final
+    fold."""
+    ev = load_tables(spark, sf_dir)["events"]
+    days = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day_idx")
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    return (
+        days.join(firsts, "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.sum(F.when(F.col("day_idx") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day_idx") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .select(F.col("day_idx").cast("long").alias("day_idx"), "new_users", "returning_users")
+        .orderBy("day_idx")
+    )

@@ -448,3 +448,53 @@ def sample_stratified_proportional(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_importance_ess",
+    oracle="""
+    WITH w AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS wt FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(wt) AS BIGINT) AS sum_w,
+           CAST(sum(wt * wt) AS BIGINT) AS sum_w2,
+           CAST(floor((1000.0 * (CAST(sum(wt) AS DOUBLE) * CAST(sum(wt) AS DOUBLE)))
+                      / CAST(sum(wt * wt) AS DOUBLE)) AS BIGINT) AS ess_milli
+    FROM w GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of an importance-weighted draw per source
+    — ESS = (Σw)²/Σw², the diagnostic a mixture designer checks before
+    trusting weighted sampling (ESS << n means a few heavy documents
+    dominate the gradient signal). Weights are integer (char counts
+    standing in for quality scores), so both moments are exact BIGINTs;
+    the ratio is one identically-shaped correctly-rounded double
+    divide floored to milli units. One map-side-combined aggregation,
+    O(sources) shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select("source", F.col("n_chars").cast("long").alias("wt"))
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("wt").cast("long").alias("sum_w"),
+            F.sum(F.col("wt") * F.col("wt")).cast("long").alias("sum_w2"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_w",
+            "sum_w2",
+            F.floor(
+                (F.lit(1000.0) * (F.col("sum_w").cast("double") * F.col("sum_w").cast("double")))
+                / F.col("sum_w2").cast("double")
+            )
+            .cast("long")
+            .alias("ess_milli"),
+        )
+        .orderBy("source")
+    )
