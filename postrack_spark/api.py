@@ -440,3 +440,24 @@ class Conn:
             target_dir=target_dir,
             checkpoint_dir=checkpoint_dir,
         )
+
+
+def time_travel(changes: DataFrame, key_expr, as_of_lsn, key_name: str = "__key") -> DataFrame:
+    """Module-level convenience for point-in-time reconstruction over a
+    captured change DataFrame — see cdc.materialize.apply_changes_asof.
+    (The reference exposes no historical reads; its consumers replay
+    from a saved LSN, postrack.go:297 — this is that capability made
+    first-class.)"""
+    from postrack_spark.cdc.materialize import apply_changes_asof
+
+    return apply_changes_asof(changes, key_expr, as_of_lsn, key_name)
+
+
+def forget(changes: DataFrame, purge_keys: DataFrame, key_expr, key_name: str = "__key") -> DataFrame:
+    """Module-level convenience for erasure propagation — see
+    cdc.materialize.forget_keys. Returns the augmented change stream;
+    replay it through any existing consumer (materialization, IVM,
+    SCD2) to purge consistently."""
+    from postrack_spark.cdc.materialize import forget_keys
+
+    return forget_keys(changes, purge_keys, key_expr, key_name)

@@ -211,3 +211,52 @@ def resolve_unchanged(
             fill,
         ).alias("after"),
     )
+
+
+def apply_changes_asof(changes: DataFrame, key_expr, as_of_lsn, key_name: str = "__key") -> DataFrame:
+    """Point-in-time reconstruction: table state AS OF `as_of_lsn` —
+    the `FOR SYSTEM_TIME AS OF` capability a CDC-fed warehouse gets for
+    free from the retained log. A map-side LSN filter (partition-
+    prunable when the log is stored LSN-partitioned, cf.
+    sources/layout.py) followed by the standard :func:`apply_changes`
+    compaction; any historical state costs one replay, no extra
+    storage. Cf. queries.cdc_queries.cdc_time_travel_asof (oracle-gated
+    at all SFs)."""
+    return apply_changes(changes.filter(F.col("lsn") <= as_of_lsn), key_expr, key_name)
+
+
+def forget_keys(
+    changes: DataFrame, purge_keys: DataFrame, key_expr, key_name: str = "__key"
+) -> DataFrame:
+    """Erasure propagation (right-to-be-forgotten): augment the change
+    stream with synthetic DELETE envelopes — one per currently-live
+    purged key — appended past the log head, so downstream replay,
+    IVM folds and SCD2 histories all purge through their NORMAL delete
+    path (deletion is data, not a bespoke code path). `purge_keys`
+    must expose `key_name`; it is a deletion-request table and
+    therefore small — its global ordering window is O(|requests|).
+    Returns the augmented stream; apply/replay as usual. Cf.
+    queries.cdc_queries.cdc_forget_keys_purge."""
+    from pyspark.sql import Window as W
+
+    from postrack_spark.cdc.envelope import null_map
+
+    live = apply_changes(changes, key_expr, key_name)
+    victims = live.join(
+        F.broadcast(purge_keys.select(key_name).distinct()), key_name, "left_semi"
+    )
+    head = changes.agg(F.max("lsn").cast("long").alias("__head"))
+    seq = F.row_number().over(W.orderBy(key_name))  # purge list is small
+    dels = victims.crossJoin(F.broadcast(head)).select(
+        (F.col("__head") + seq).cast("long").alias("lsn"),
+        F.lit(None).cast("long").alias("txid"),
+        F.lit(None).cast("timestamp").alias("commit_ts"),
+        F.col("schema"),
+        F.col("table"),
+        F.lit(DELETE).alias("op"),
+        null_map().alias("after"),
+        F.col("after").alias("before"),
+    )
+    return changes.select(
+        "lsn", "txid", "commit_ts", "schema", "table", "op", "after", "before"
+    ).unionByName(dels)

@@ -312,3 +312,48 @@ def test_incremental_join_agg_group_vanishes(spark):
         measures={"m": F.col("am") * F.col("bm")},
     ).collect()
     assert {r["grp"]: (r["n_rows"], r["m"]) for r in out} == {"stays": (1, 21)}
+
+
+def test_apply_changes_asof_equals_manual_filter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from postrack_spark.cdc import apply_changes, typed_column
+    from postrack_spark.cdc.fixtures import orders_changes
+    from postrack_spark.cdc.materialize import apply_changes_asof
+
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    cut = ch.agg(F.expr("min(lsn) + (max(lsn) - min(lsn)) div 2")).collect()[0][0]
+    got = apply_changes_asof(ch, key, cut, key_name="k")
+    want = apply_changes(ch.filter(F.col("lsn") <= cut), key, key_name="k")
+    assert got.select("k").subtract(want.select("k")).count() == 0
+    assert want.select("k").subtract(got.select("k")).count() == 0
+    assert got.count() == want.count() > 0
+
+
+def test_forget_keys_purges_exactly_the_requested_live_keys(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from postrack_spark.cdc import apply_changes, typed_column
+    from postrack_spark.cdc.fixtures import orders_changes
+    from postrack_spark.cdc.materialize import forget_keys
+
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    before = apply_changes(ch, key, key_name="k")
+    purge = before.filter(F.col("k") % 3 == 0).select("k")
+    n_purged = purge.count()
+    assert n_purged > 0
+    augmented = forget_keys(ch, purge, key, key_name="k")
+    after = apply_changes(augmented, key, key_name="k")
+    assert after.filter(F.col("k") % 3 == 0).count() == 0
+    assert after.count() == before.count() - n_purged
+    # idempotent: forgetting again changes nothing
+    again = apply_changes(forget_keys(augmented, purge, key, key_name="k"), key, "k")
+    assert again.count() == after.count()
