@@ -1745,3 +1745,77 @@ def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("day_idx").cast("long").alias("day_idx"), "new_users", "returning_users")
         .orderBy("day_idx")
     )
+
+
+@query(
+    "events_ab_welch_ttest",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM c GROUP BY grp
+    )
+    SELECT a.n AS na, b.n AS nb, a.s AS sum_a, b.s AS sum_b,
+           CAST(floor((1000000.0
+                       * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                          - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))
+                      / sqrt((CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE)
+                              - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+                             / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)
+                                * (CAST(a.n AS DOUBLE) - 1.0))
+                             + (CAST(b.n AS DOUBLE) * CAST(b.ss AS DOUBLE)
+                                - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+                               / (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE)
+                                  * (CAST(b.n AS DOUBLE) - 1.0)))) AS BIGINT)
+             AS t_ppm
+    FROM (SELECT * FROM m WHERE grp = 'a') a
+    CROSS JOIN (SELECT * FROM m WHERE grp = 'b') b
+    """,
+)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis: Welch's t-statistic for purchase value
+    between the two user-parity arms — the continuous-metric companion
+    to events_chi2_type_by_segment. Both arms' (n, Σx, Σx²) are exact
+    integer moments from ONE pass; the t-statistic assembles them in
+    an identically-shaped correctly-rounded double expression (variance
+    as (nΣx²-( Σx)²)/(n²(n-1)), the integer-moment form) floored to
+    ppm — IEEE-deterministic cross-engine. Scale: map-side fold to two
+    rows, 1-row-by-1-row combine. Headroom: Σx² with cents ≤ 49k needs
+    int64 at ~4e9 rows per arm; coarsen units past that."""
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("grp"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = c.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    a = m.filter(F.col("grp") == "a").select(
+        F.col("n").alias("na"), F.col("s").alias("sum_a"), F.col("ss").alias("ssa")
+    )
+    b = m.filter(F.col("grp") == "b").select(
+        F.col("n").alias("nb"), F.col("s").alias("sum_b"), F.col("ss").alias("ssb")
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    var_a = (d("na") * d("ssa") - d("sum_a") * d("sum_a")) / (
+        d("na") * d("na") * (d("na") - F.lit(1.0))
+    )
+    var_b = (d("nb") * d("ssb") - d("sum_b") * d("sum_b")) / (
+        d("nb") * d("nb") * (d("nb") - F.lit(1.0))
+    )
+    t_ppm = F.floor(
+        (F.lit(1000000.0) * (d("sum_a") / d("na") - d("sum_b") / d("nb")))
+        / F.sqrt(var_a + var_b)
+    ).cast("long")
+    return (
+        a.crossJoin(b)  # 1-row x 1-row combine
+        .select("na", "nb", "sum_a", "sum_b", t_ppm.alias("t_ppm"))
+    )

@@ -2215,3 +2215,101 @@ def scalar_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "pandas_cogroup_order_audit",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (li.l_orderkey IS NULL) AS BIGINT) AS n_no_lines,
+           CAST(sum(CASE WHEN li.l_orderkey IS NULL THEN 0
+                         ELSE abs(order_cents - line_cents) END) AS BIGINT)
+             AS abs_diff_cents,
+           CAST(max(coalesce(n_lines, 0)) AS BIGINT) AS max_lines
+    FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def pandas_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped pandas (the two-sided Arrow API surface:
+    groupBy().cogroup().applyInPandas): orders and their lineitems
+    arrive as PAIRED pandas frames per key bucket and a reconciliation
+    audit — header-vs-lines money difference, orders with no lines —
+    is computed in Python, then folded relationally. This is the
+    escape hatch for genuinely pairwise-imperative per-key logic
+    (custom matching, per-entity reconciliation) when a join+agg can't
+    express it; here the semantics ARE join-expressible, which is
+    exactly what lets the oracle value-check the Python path
+    (like text_grouped_pandas_profile for the one-sided API). Scale:
+    both sides co-shuffle on the key bucket once; Python sees Arrow
+    batches, never rows. Keys are bucketed (key % 64) so each pandas
+    call gets a BATCH of keys, not one tiny frame per key — the
+    per-group-overhead trap of grouped-map APIs."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("order_cents"),
+        (F.col("o_orderkey") % 64).alias("bucket"),
+    )
+    li = t["lineitem"].select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") % 64).alias("bucket"),
+    )
+
+    def audit(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        lines = ldf.groupby("l_orderkey").agg(
+            n_lines=("cents", "size"), line_cents=("cents", "sum")
+        )
+        m = odf.join(lines, on="o_orderkey", how="left")
+        missing = m["n_lines"].isna()
+        m["abs_diff"] = (m["order_cents"] - m["line_cents"]).abs().where(~missing, 0)
+        g = m.groupby("o_orderstatus")
+        out = pd.DataFrame(
+            {
+                "o_orderstatus": g.size().index,
+                "n_orders": g.size().to_numpy(),
+                "n_no_lines": g["n_lines"].agg(lambda s: int(s.isna().sum())).to_numpy(),
+                "abs_diff_cents": g["abs_diff"].sum().astype("int64").to_numpy(),
+                "max_lines": g["n_lines"].agg(lambda s: int(s.fillna(0).max())).to_numpy(),
+            }
+        )
+        return out
+
+    schema = (
+        "o_orderstatus string, n_orders long, n_no_lines long, "
+        "abs_diff_cents long, max_lines long"
+    )
+    partial = (
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInPandas(audit, schema)
+    )
+    # buckets are disjoint key sets: fold the per-bucket partials
+    return (
+        partial.groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("n_no_lines").cast("long").alias("n_no_lines"),
+            F.sum("abs_diff_cents").cast("long").alias("abs_diff_cents"),
+            F.max("max_lines").cast("long").alias("max_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
