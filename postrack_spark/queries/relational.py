@@ -2313,3 +2313,52 @@ def pandas_cogroup_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_listagg_top_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           string_agg(o_orderkey::VARCHAR, ',' ORDER BY rn) AS top_keys,
+           CAST(sum(cents) AS BIGINT) AS top_cents
+    FROM ranked WHERE rn <= 5
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_listagg_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP,
+    new in Spark 4): the top-5 order keys per status concatenated in
+    rank order — the 'top offenders' cell a report renders. The input
+    is pre-reduced to 5 rows per group by a PARTITIONED rank window
+    (listagg buffers its group in memory, so at 100 TB you bound the
+    group BEFORE aggregating — never listagg raw fact rows); order
+    inside the string is total (price desc, key) so the text compares
+    exactly. DuckDB spells it string_agg(... ORDER BY)."""
+    from pyspark.sql import Window as W
+
+    o = load_tables(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "listagg(CAST(o_orderkey AS STRING), ',') WITHIN GROUP (ORDER BY rn)"
+            ).alias("top_keys"),
+            F.sum("cents").cast("long").alias("top_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
