@@ -1272,3 +1272,138 @@ def streaming_gram_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", F.col("gram").cast("long").alias("gram"))
         .orderBy("i", "j")
     )
+
+
+@query(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mts FROM events),
+    v AS (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT v.user_id, v.v_ts, p.p_ts, p.value
+      FROM v LEFT JOIN p
+        ON v.user_id = p.user_id
+       AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+    )
+    SELECT CAST(count(p_ts) AS BIGINT) AS n_matched,
+           CAST(count(*) FILTER (p_ts IS NULL
+                                 AND v_ts + INTERVAL 2 HOUR < (SELECT mts FROM mx))
+                AS BIGINT) AS n_unmatched_emitted,
+           CAST(sum(CASE WHEN p_ts IS NOT NULL
+                         THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS matched_cents
+    FROM j
+    """,
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream ⋈ stream — the join shape with the subtle
+    state-eviction semantics: matched pairs emit immediately, but a
+    view with NO purchase inside its 1 h window can only emit its null
+    row once the watermark proves no match can still arrive, i.e. when
+    watermark (= max event time - 1 h delay) passes v_ts + 1 h. The
+    oracle REPLICATES that emission rule (v_ts + 2 h < max ts) rather
+    than pretending the streaming result equals a plain batch left
+    join — views too close to end-of-input stay buffered, and on a
+    finite run their nulls are legitimately absent. Scale: watermarks
+    on both sides + the interval condition bound state exactly as in
+    the inner-join case; the outer side adds only the evicted-row
+    emission."""
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    )
+    lw = views.withWatermark("v_ts", "1 hour")
+    rw = purchases.withWatermark("p_ts", "1 hour")
+    cond = (
+        (lw["user_id"] == rw["user_id"])
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 1 hour"))
+    )
+    joined = lw.join(rw, cond, "leftOuter").drop(rw["user_id"])
+    out = run_to_memory(
+        joined.select("user_id", "v_ts", "p_ts", "p_value"),
+        _qname("ssleft"),
+        output_mode="append",
+    )
+    return out.agg(
+        F.count("p_ts").cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched_emitted"),
+        F.sum(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.floor(F.col("p_value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("matched_cents"),
+    )
+
+
+@query(
+    "streaming_throttle_rate_limit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    b AS (SELECT *, us // 5000000 AS bucket FROM e),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                   ORDER BY us, event_id) AS rn
+      FROM b
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_emitted,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM r WHERE rn = 1
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def streaming_throttle_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-user rate limiting over a REAL multi-batch stream:
+    at most one event per user per 5-second epoch bucket, emitted the
+    moment it arrives (streaming/stateful.py streaming_throttle_per_key
+    — O(1) state per key: the last emitted bucket). First-arrival
+    semantics are order-sensitive, so the harness replays the events
+    with sequence-ordered admission (the same WAL-order contract the
+    SCD2 consumer requires; ties inside a microsecond broken by
+    event_id, encoded into one total-order column). The oracle is the
+    event-time formulation: the (ts, event_id)-first event of every
+    (user, bucket) — equal to first-arrival exactly because admission
+    follows that order."""
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.stateful import streaming_throttle_per_key
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        # one int64 total-order key: (epoch micros - epoch-2020) * 2^15
+        # + event_id mod 2^15 — headroom to ~year 2100
+        (
+            (F.expr("unix_micros(ts)") - F.lit(1_577_836_800_000_000)) * 32768
+            + F.col("event_id") % 32768
+        ).alias("lsn"),
+        F.expr("unix_micros(ts) div 5000000").alias("bucket"),
+    )
+    stream = _ordered_envelope_stream(
+        spark, ev, name="throttle", options={"maxFilesPerTrigger": "2"}
+    )
+    emitted = streaming_throttle_per_key(stream)
+    out = run_to_memory(emitted, _qname("throttle"), output_mode="append")
+    return (
+        out.groupBy((F.col("user_id") % 10).cast("long").alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_emitted"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("band")
+    )

@@ -168,3 +168,51 @@ def latest_state_tws(changes: DataFrame, ttl_ms: int | None = None) -> DataFrame
         outputMode="update",
         timeMode="none",
     )
+
+
+def streaming_throttle_per_key(
+    events: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "lsn",
+    bucket_us: int = 5_000_000,
+) -> DataFrame:
+    """Stateful per-key THROTTLE (rate limiter): emit only the first
+    event per key per `bucket_us` epoch bucket, immediately on
+    arrival — the admission-control operator in front of an expensive
+    downstream (re-embedding, re-scoring) that must not fire per
+    burst. State is ONE long per key (last emitted bucket) — bounded
+    forever, never a buffer of events. Order-sensitive by design
+    (first ARRIVAL wins), so it requires ordered admission per key —
+    the capture contract's WAL order; the harness replays with
+    sequence-ordered files. `seq_col` is the total order (ties broken
+    inside it by construction)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        last = state.get[0] if state.exists else -1
+        out_ids, out_buckets = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(seq_col)
+            for eid, b in zip(pdf["event_id"], pdf["bucket"]):
+                if b > last:
+                    last = int(b)
+                    out_ids.append(int(eid))
+                    out_buckets.append(int(b))
+        state.update((int(last),))
+        yield pd.DataFrame(
+            {
+                key_col: [uid] * len(out_ids),
+                "event_id": out_ids,
+                "bucket": out_buckets,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} bigint, event_id bigint, bucket bigint",
+        stateStructType="last_bucket bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
