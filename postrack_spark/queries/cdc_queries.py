@@ -1164,3 +1164,100 @@ def cdc_forget_keys_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_purged))  # 1-row audit combine
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "cdc_temporal_join_scd2",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    seq AS (
+      SELECT *, lead(lsn) OVER (PARTITION BY okey ORDER BY lsn) AS valid_to_lsn
+      FROM changes
+    ),
+    dim AS (
+      SELECT okey, lsn AS valid_from_lsn, valid_to_lsn, status
+      FROM seq WHERE op IN ('INSERT', 'UPDATE')
+    ),
+    facts AS (
+      SELECT l_orderkey,
+             l_orderkey * 10 + CASE l_linenumber % 3
+                                 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 6 END AS obs_lsn,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT d.status AS version_status,
+           CAST(count(*) AS BIGINT) AS n_facts,
+           CAST(sum(f.qty) AS BIGINT) AS total_qty,
+           CAST(count(DISTINCT (d.okey, d.valid_from_lsn)) AS BIGINT) AS n_versions
+    FROM facts f JOIN dim d
+      ON d.okey = f.l_orderkey
+     AND d.valid_from_lsn <= f.obs_lsn
+     AND (d.valid_to_lsn IS NULL OR f.obs_lsn < d.valid_to_lsn)
+    GROUP BY d.status
+    ORDER BY version_status
+    """,
+)
+def cdc_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (AS-OF interval) join of facts against SCD2 dimension
+    VERSIONS: each lineitem observation carries the LSN at which it was
+    seen and joins to the order version valid AT THAT LSN
+    (valid_from <= obs < valid_to) — the bitemporal pattern that makes
+    'revenue by the status the order had WHEN the line shipped' answerable,
+    and the consumption query for cdc_scd2_history / streaming_scd2.
+    Scale: an EQUI join on the dimension key with the interval predicate
+    applied post-probe — each key's version list is short (version count
+    per key, not history length of the table), so the per-row interval
+    scan is O(versions/key); no range-join explosion. The version list
+    shuffles once on the key, the same partitioning the SCD2 build
+    already produced."""
+    from postrack_spark.cdc.fixtures import lineitem_changes  # noqa: F401  (domain doc)
+
+    dim = (
+        prune_images(
+            orders_changes(spark, sf_dir), ["o_orderkey", "o_orderstatus"]
+        )
+    )
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    w = Window.partitionBy("okey").orderBy("lsn")
+    versions = (
+        dim.withColumn("okey", key)
+        .withColumn("valid_to_lsn", F.lead("lsn").over(w))
+        .filter(F.col("op").isin("INSERT", "UPDATE"))
+        .select(
+            "okey",
+            F.col("lsn").alias("valid_from_lsn"),
+            "valid_to_lsn",
+            typed_column("after", "o_orderstatus", "string").alias("version_status"),
+        )
+    )
+    from postrack_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    facts = li.select(
+        "l_orderkey",
+        (
+            F.col("l_orderkey") * 10
+            + F.when(F.col("l_linenumber") % 3 == 0, 2)
+            .when(F.col("l_linenumber") % 3 == 1, 4)
+            .otherwise(6)
+        ).alias("obs_lsn"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    joined = facts.join(
+        versions,
+        (F.col("okey") == F.col("l_orderkey"))
+        & (F.col("valid_from_lsn") <= F.col("obs_lsn"))
+        & (F.col("valid_to_lsn").isNull() | (F.col("obs_lsn") < F.col("valid_to_lsn"))),
+    )
+    return (
+        joined.groupBy("version_status")
+        .agg(
+            F.count("*").cast("long").alias("n_facts"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.countDistinct("okey", "valid_from_lsn").cast("long").alias("n_versions"),
+        )
+        .orderBy("version_status")
+    )

@@ -2362,3 +2362,101 @@ def agg_listagg_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+    member AS (
+      SELECT r.b, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN reps r
+      WHERE ('0x' || substring(md5(o.o_orderkey::VARCHAR || '|' || r.b::VARCHAR), 1, 8))::BIGINT
+            % 2 = 0
+    ),
+    means AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor((1000.0 * CAST(sum(cents) AS DOUBLE)) / CAST(count(*) AS DOUBLE))
+                  AS BIGINT) AS mean_milli
+      FROM member GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_milli, row_number() OVER (ORDER BY mean_milli, b) AS rn FROM means
+    )
+    SELECT CAST((SELECT count(*) FROM means) AS BIGINT) AS n_replicates,
+           CAST((SELECT min(n) FROM means) AS BIGINT) AS min_rows,
+           (SELECT mean_milli FROM ranked WHERE rn = 1) AS lo_milli,
+           (SELECT mean_milli FROM ranked WHERE rn = 2) AS p2_milli,
+           (SELECT mean_milli FROM ranked WHERE rn = 16) AS med_milli,
+           (SELECT mean_milli FROM ranked WHERE rn = 31) AS p97_milli,
+           (SELECT mean_milli FROM ranked WHERE rn = 32) AS hi_milli
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value, fully
+    DETERMINISTIC: 32 half-rate resamples whose membership is
+    md5(key || replicate) — a pure row function, so any engine and any
+    partitioning draws the IDENTICAL 32 subsamples (classic RNG
+    bootstrap can never be oracle-checked). Replicate means land as
+    floored milli-cents; the CI bounds are rank statistics of the 32
+    means (2nd/31st ~ a 94% percentile interval). Scale: the 32x
+    expansion happens MAP-SIDE (broadcast range, one scan), partials
+    combine per replicate, so the shuffle is O(32) rows; at 100 TB
+    the expansion factor, not the shuffle, is the knob — subsample the
+    base first for cheap CIs. Poor-man's half-sampling (m-out-of-n
+    bootstrap) rather than with-replacement draws: portable
+    determinism is the point."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    reps = spark.range(0, 32).select(F.col("id").cast("int").alias("b"))
+    member = (
+        o.crossJoin(F.broadcast(reps))  # map-side replicate expansion
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit("|"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+    )
+    means = member.groupBy("b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.floor(
+            (F.lit(1000.0) * F.sum("cents").cast("double")) / F.count("*").cast("double")
+        )
+        .cast("long")
+        .alias("mean_milli"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = means.select(
+        "n",
+        "mean_milli",
+        F.row_number().over(W.orderBy("mean_milli", "b")).alias("rn"),
+    )  # 32-row frame: the unpartitioned window is on a constant-size replicate set
+
+    def at_rank(r):
+        return F.max(F.when(F.col("rn") == r, F.col("mean_milli"))).cast("long")
+
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_replicates"),
+        F.min("n").cast("long").alias("min_rows"),
+        at_rank(1).alias("lo_milli"),
+        at_rank(2).alias("p2_milli"),
+        at_rank(16).alias("med_milli"),
+        at_rank(31).alias("p97_milli"),
+        at_rank(32).alias("hi_milli"),
+    )

@@ -156,6 +156,7 @@ TINY_FRAME_WINDOW_WHITELIST = {
     "window_centered_moving_average",    # per-day series (window_queries.py)
     "window_cumulative_distinct_users",  # per-day series (window_queries.py)
     "events_ts_znorm_similarity",        # per-(type, hour-of-day) profile
+    "agg_bootstrap_ci",                  # CONSTANT 32-row replicate-means frame
 }
 
 
