@@ -2460,3 +2460,34 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         at_rank(31).alias("p97_milli"),
         at_rank(32).alias("hi_milli"),
     )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l.cents) AS BIGINT) AS top2_cents
+    FROM orders o,
+    LATERAL (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber
+      LIMIT 2
+    ) l
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+"""
+
+
+@query("sql_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    Spark 4): each order's two most expensive lines via a per-row
+    ordered-LIMIT subquery — the 'top-N related rows' idiom users
+    write naturally in SQL. The text runs VERBATIM on both engines
+    (same pattern as sql_topk_revenue_share). Catalyst decorrelates
+    the lateral into a ranked window join rather than executing it
+    per-row — same physical shape as window_topk_orders_per_customer,
+    so the declarative form scales identically."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
