@@ -1819,3 +1819,67 @@ def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)  # 1-row x 1-row combine
         .select("na", "nb", "sum_a", "sum_b", t_ppm.alias("t_ppm"))
     )
+
+
+@query(
+    "events_max_concurrency_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(ts) AS us, CAST(1 AS BIGINT) AS delta, event_id FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + 300000000, CAST(-1 AS BIGINT), event_id FROM events
+    ),
+    cum AS (
+      SELECT us, delta,
+             sum(delta) OVER (ORDER BY us, delta, event_id) AS live
+      FROM bounds
+    )
+    SELECT CAST(us // 86400000000 AS BIGINT) AS day_idx,
+           CAST(max(live) AS BIGINT) AS max_concurrent,
+           CAST(count(*) AS BIGINT) AS n_boundaries
+    FROM cum
+    GROUP BY day_idx
+    ORDER BY day_idx
+    """,
+)
+def events_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — every event opens a 5-minute activity
+    interval [ts, ts+5m) and the question is the maximum number
+    simultaneously open (capacity planning's classic interval-stacking
+    query). Each interval contributes a +1/-1 boundary pair; the live
+    count is a GLOBAL running sum over boundary order, which at scale
+    is exactly what operators/ranking.prefix_sums_by_key distributes
+    (range shuffle + broadcast offsets — never a single-partition
+    window). Tie semantics: the cumulative uses RANGE-frame peers
+    (both engines' default), so all boundaries in one (us, delta)
+    tie-break: the boundary order carries event_id, so the order is
+    TOTAL and the ROWS-frame cumsum the distributed operator computes
+    is identical to any engine's default frame (with a unique order,
+    ROWS == RANGE — never rely on peer semantics across engines).
+    Ends sort before starts at the same instant (delta asc), giving
+    half-open-interval semantics. All integer."""
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.expr("unix_micros(ts)")
+    starts = ev.select(
+        us.alias("us"), F.lit(1).cast("long").alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        (us + 300000000).alias("us"), F.lit(-1).cast("long").alias("delta"), "event_id"
+    )
+    bounds = starts.unionByName(ends)
+    cum = prefix_sums_by_key(
+        bounds,
+        [F.asc("us"), F.asc("delta"), F.asc("event_id")],
+        {"live": "delta"},
+        inclusive=True,
+    )
+    return (
+        cum.groupBy(F.expr("us div 86400000000").cast("long").alias("day_idx"))
+        .agg(
+            F.max("live").cast("long").alias("max_concurrent"),
+            F.count("*").cast("long").alias("n_boundaries"),
+        )
+        .orderBy("day_idx")
+    )
