@@ -1883,3 +1883,63 @@ def events_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+@query(
+    "events_ohlc_daily",
+    oracle="""
+    WITH keyed AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      FROM events
+    )
+    SELECT day, event_type,
+           arg_min(value, ok) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ok) AS close,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS vol_milli
+    FROM keyed
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle resampling (open/high/low/close per day per event
+    type) — the finance-style downsample every time-series store
+    ships. Open/close are exact ROW PICKS via min_by/max_by on a
+    zero-padded (epoch_us, event_id) string key: event_id makes the
+    order TOTAL, so simultaneous events cannot flip the pick across
+    engines or partitionings (the prefix-sum tie-break rule). High/low
+    are plain min/max (comparisons, no arithmetic — doubles compare
+    identically everywhere); volume is quantized by floor(value*1000)
+    BEFORE summing (floor of a double is the same IEEE value on both
+    engines, and integer sums are association-free — the documented
+    double-SUM trap). One map-side-combinable aggregation over the
+    fact scan; group count is days x types (calendar-bounded), so the
+    shuffle is tiny at any SF."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ok = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "value",
+            ok.alias("ok"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.min_by("value", "ok").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ok").alias("close"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("vol_milli"),
+        )
+        .orderBy("day", "event_type")
+    )

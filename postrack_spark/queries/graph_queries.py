@@ -355,3 +355,84 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in trajectory[1:]:
         out = out.unionAll(t)
     return out.orderBy("round")
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    und AS (
+      SELECT pa AS a, pb AS b FROM edges
+      UNION ALL
+      SELECT pb AS a, pa AS b FROM edges
+    ),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+    wedge AS (
+      SELECT e1.b AS x, e2.b AS y, CAST(count(*) AS BIGINT) AS common
+      FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      GROUP BY e1.b, e2.b
+    ),
+    cand AS (
+      SELECT w.x, w.y, w.common FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.pa = w.x AND e.pb = w.y
+      )
+    )
+    SELECT c.x, c.y, c.common, dx.d AS deg_x, dy.d AS deg_y,
+           CAST(c.common * 10000 // (dx.d + dy.d - c.common) AS BIGINT) AS jac_pp10k
+    FROM cand c
+    JOIN deg dx ON dx.node = c.x
+    JOIN deg dy ON dy.node = c.y
+    ORDER BY jac_pp10k DESC, x, y
+    LIMIT 20
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard: score NON-adjacent part
+    pairs by |N(x) ∩ N(y)| / |N(x) ∪ N(y)| and return the 20 most
+    likely missing co-purchase edges. The intersection count comes
+    from WEDGE enumeration (join the undirected adjacency with itself
+    on the shared middle node) — the same bounded fan-out shape as the
+    triangle counter, never a set-similarity cross join; the union
+    size is inclusion-exclusion over broadcast degree counts. Existing
+    edges drop out via an anti-join on the thresholded edge list
+    (small by the support-threshold argument in the module docstring,
+    so it broadcasts). Scores are exact integer parts-per-10000 —
+    floor division agrees across engines for positive operands — and
+    the top-20 plans as TakeOrderedAndProject with a total tie-break
+    (score, x, y)."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
+        edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    e1 = und.select(F.col("a").alias("m"), F.col("b").alias("x"))
+    e2 = und.select(F.col("a").alias("m2"), F.col("b").alias("y"))
+    wedge = (
+        e1.join(e2, (F.col("m") == F.col("m2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    cand = wedge.join(
+        F.broadcast(edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))),
+        ["x", "y"],
+        "left_anti",
+    )
+    dx = deg.select(F.col("a").alias("x"), F.col("d").alias("deg_x"))
+    dy = deg.select(F.col("a").alias("y"), F.col("d").alias("deg_y"))
+    return (
+        cand.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            "deg_x",
+            "deg_y",
+            F.expr(
+                "CAST(common * 10000 DIV (deg_x + deg_y - common) AS BIGINT)"
+            ).alias("jac_pp10k"),
+        )
+        .orderBy(F.desc("jac_pp10k"), "x", "y")
+        .limit(20)
+    )

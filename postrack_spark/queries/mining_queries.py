@@ -1,0 +1,260 @@
+"""Data-mining operators a warehouse grows into once the relational
+surface is saturated: association rules (market-basket), skyline /
+Pareto-frontier selection, and exact proportional apportionment
+(largest-remainder). All outputs are exact integers or exact row
+picks, fully hash-checkable cross-engine.
+
+Scale design notes live on each query; the shared themes:
+* association rules ride the SAME thresholded co-purchase relation as
+  the graph family (support threshold BEFORE any join fan-out);
+* the skyline exploits a bounded dimension (p_size has catalog-bounded
+  cardinality) so the frontier test is two broadcast scalar-per-size
+  aggregates — no self-join over the data, no window;
+* apportionment does one fact-sized aggregation and then runs the
+  rounding ceremony on the nation-sized frame (bounded, 25 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.queries.graph_queries import _EDGES_CTE, _edges
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+
+@query(
+    "assoc_basket_rules",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM po),
+    cnt AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM po GROUP BY l_partkey
+    ),
+    rules AS (
+      SELECT pa AS ante, pb AS cons, w FROM edges
+      UNION ALL
+      SELECT pb AS ante, pa AS cons, w FROM edges
+    )
+    SELECT r.ante, r.cons, r.w AS support,
+           ca.c AS cnt_ante, cb.c AS cnt_cons,
+           CAST(r.w * 10000 // ca.c AS BIGINT) AS conf_pp10k,
+           CAST(r.w * 10000 * n.n_orders // (ca.c * cb.c) AS BIGINT) AS lift_pp10k
+    FROM rules r
+    JOIN cnt ca ON ca.l_partkey = r.ante
+    JOIN cnt cb ON cb.l_partkey = r.cons
+    CROSS JOIN n
+    ORDER BY lift_pp10k DESC, conf_pp10k DESC, ante, cons
+    LIMIT 50
+    """,
+)
+def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    over the co-purchase relation — the classic a-priori output for
+    pair-sized itemsets. Reuses the graph family's thresholded edge
+    builder (support >= 2 applied BEFORE any rule join, so the rule
+    relation is candidate-sized, not O(catalog²)); per-item basket
+    counts are one map-side-combinable groupBy over the distinct
+    (order, part) relation. Confidence and lift are reported in exact
+    integer parts-per-10000 (floor division — identical on both
+    engines for positive operands), so no float division can diverge.
+    Overflow headroom: w*10000*n_orders needs w*n_orders < 9.2e14 —
+    at 100 TB (n_orders ~ 1.5e9) that bounds pair support w < 6e5,
+    satisfied by orders of magnitude since w counts co-occurrences of
+    ONE pair. The rule table is thresholded-small, so it broadcasts
+    into the per-item count relation (the catalog-sized side never
+    shuffles); top-50 by lift plans as TakeOrderedAndProject."""
+    po = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = po.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    cnt = po.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    edges = _edges(spark, sf_dir)
+    rules = edges.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "w"
+    ).unionAll(edges.select(F.col("pb").alias("ante"), F.col("pa").alias("cons"), "w"))
+    joined = (
+        cnt.join(F.broadcast(rules), cnt["l_partkey"] == rules["ante"])
+        .select("ante", "cons", "w", F.col("c").alias("cnt_ante"))
+        .join(F.broadcast(cnt.withColumnRenamed("c", "cnt_cons")),
+              F.col("l_partkey") == F.col("cons"))
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        joined.select(
+            "ante",
+            "cons",
+            F.col("w").alias("support"),
+            "cnt_ante",
+            "cnt_cons",
+            F.expr("CAST(w * 10000 DIV cnt_ante AS BIGINT)").alias("conf_pp10k"),
+            F.expr(
+                "CAST(w * 10000 * n_orders DIV (cnt_ante * cnt_cons) AS BIGINT)"
+            ).alias("lift_pp10k"),
+        )
+        .orderBy(
+            F.desc("lift_pp10k"), F.desc("conf_pp10k"), "ante", "cons"
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "part_skyline_pareto",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY p.p_partkey
+    """,
+)
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on
+    (minimize price, maximize size). The textbook formulation is a
+    quadratic NOT EXISTS self-join (the oracle spells it that way);
+    the distributed plan instead exploits the bounded dimension:
+    p_size has catalog-bounded cardinality (1..50), so per-size
+    minimum prices form a TINY frame, and the two suffix aggregates
+      m_ge(s) = min price over size >= s   (strict-price dominance)
+      m_gt(s) = min price over size >  s   (equal-price dominance)
+    decide dominance for every row. One map-side-combinable groupBy
+    over the catalog, a <=50-row self-join for the suffix mins (never
+    data-sized), and a broadcast probe back — no window, no Python,
+    no O(n²) pair join, and the shape is unchanged at 100 TB because
+    the tiny frame scales with the DOMAIN of size, not with rows.
+    Price comparisons are exact row values (no arithmetic), so ties
+    and strictness agree bit-for-bit with the oracle."""
+    part = load_tables(spark, sf_dir)["part"].select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("mn"))
+    a = per_size.select(F.col("p_size").alias("s"))
+    b = per_size.select(F.col("p_size").alias("s2"), "mn")
+    suffix = (
+        a.join(F.broadcast(b), F.col("s2") >= F.col("s"))
+        .groupBy("s")
+        .agg(
+            F.min("mn").alias("m_ge"),
+            F.min(F.when(F.col("s2") > F.col("s"), F.col("mn"))).alias("m_gt"),
+        )
+    )
+    dominated = (
+        F.col("m_ge") < F.col("p_retailprice")
+    ) | F.coalesce(F.col("m_gt") <= F.col("p_retailprice"), F.lit(False))
+    return (
+        part.join(F.broadcast(suffix), part["p_size"] == suffix["s"])
+        .filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "alloc_largest_remainder",
+    oracle="""
+    WITH pern AS (
+      SELECT c_nationkey AS nk,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ),
+    units AS (SELECT nk, CAST(cents // 100000 AS BIGINT) AS rev_k FROM pern),
+    tot AS (SELECT CAST(sum(rev_k) AS BIGINT) AS t FROM units),
+    base AS (
+      SELECT nk, rev_k,
+             CAST(10000 * rev_k // t AS BIGINT) AS fl,
+             CAST((10000 * rev_k) % t AS BIGINT) AS rem
+      FROM units CROSS JOIN tot
+    ),
+    d AS (SELECT CAST(10000 - sum(fl) AS BIGINT) AS deficit FROM base),
+    rnk AS (
+      SELECT nk, rev_k, fl, rem,
+             CAST(row_number() OVER (ORDER BY rem DESC, nk) AS BIGINT) AS rn
+      FROM base
+    )
+    SELECT n_name, rev_k,
+           CAST(fl + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM rnk CROSS JOIN d
+    JOIN nation ON nk = n_nationkey
+    ORDER BY n_name
+    """,
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional apportionment (Hamilton / largest-remainder):
+    split a budget of 10,000 units across nations proportional to
+    order revenue, floors first, then +1 to the largest remainders so
+    the allocation sums to the budget EXACTLY — the rounding ceremony
+    every finance/capacity allocator needs and naive round() gets
+    wrong. All arithmetic is integer (revenue coarsened to
+    thousand-dollar units so 10000*rev_k stays far inside int64 even
+    at 100 TB totals, the agg_corr_exact headroom rule; %/DIV agree
+    across engines for positive operands). Plan shape: one fact-sized
+    pre-aggregation by customer, a key join to customer, re-agg to the
+    25-row nation frame — every subsequent step (totals, remainder
+    ranking via a tiny self-join count, deficit top-up) runs on
+    bounded frames with broadcast combines, no unpartitioned window.
+    The remainder rank uses (rem DESC, nationkey) — a total order, so
+    the +1 winners are deterministic."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    pern = (
+        per_cust.join(t["customer"].select("c_custkey", "c_nationkey"),
+                      per_cust["o_custkey"] == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.expr("CAST(cents DIV 100000 AS BIGINT)").alias("rev_k"),
+        )
+    )
+    tot = pern.agg(F.sum("rev_k").cast("long").alias("t"))
+    base = pern.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        "rev_k",
+        F.expr("CAST(10000 * rev_k DIV t AS BIGINT)").alias("fl"),
+        F.expr("CAST((10000 * rev_k) % t AS BIGINT)").alias("rem"),
+    )
+    deficit = base.agg((F.lit(10000) - F.sum("fl")).cast("long").alias("deficit"))
+    other = base.select(
+        F.col("nk").alias("nk2"), F.col("rem").alias("rem2")
+    )
+    # rank-by-count over the 25-row frame: rn = 1 + #{j : (rem_j, nk_j)
+    # sorts strictly before (rem_i, nk_i)} — a broadcast tiny self-join,
+    # keeping the registry-wide no-unpartitioned-window invariant.
+    ranked = (
+        base.join(
+            F.broadcast(other),
+            (F.col("rem2") > F.col("rem"))
+            | ((F.col("rem2") == F.col("rem")) & (F.col("nk2") < F.col("nk"))),
+            "left",
+        )
+        .groupBy("nk", "rev_k", "fl", "rem")
+        .agg((F.count("nk2") + F.lit(1)).cast("long").alias("rn"))
+    )
+    nation = load_tables(spark, sf_dir)["nation"].select("n_nationkey", "n_name")
+    return (
+        ranked.crossJoin(F.broadcast(deficit))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "rev_k",
+            (
+                F.col("fl")
+                + F.when(F.col("rn") <= F.col("deficit"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("alloc"),
+        )
+        .orderBy("n_name")
+    )

@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
             dedup_queries,
             events_queries,
             graph_queries,
+            mining_queries,
             relational,
             sampling_queries,
             skew_queries,

@@ -1399,3 +1399,77 @@ def bm25_topk(spark, tf, dfreq, stats, k: int = 5) -> DataFrame:
         .select("query_id", "rn", "doc_id", "score_micro")
         .orderBy("query_id", "rn")
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY token, doc_id
+    ),
+    ranked AS (
+      SELECT token, doc_id, tf,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id) AS rn
+      FROM tf
+    ),
+    stats AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS tf_total
+      FROM tf GROUP BY token
+    )
+    SELECT s.token, s.df, s.tf_total,
+           string_agg(r.doc_id::VARCHAR, ',' ORDER BY r.rn) AS top_docs
+    FROM stats s JOIN ranked r ON r.token = s.token AND r.rn <= 3
+    WHERE s.df >= 5
+    GROUP BY s.token, s.df, s.tf_total
+    ORDER BY s.token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the posting-list build behind
+    every lexical retrieval system (and the precursor the BM25 pair
+    consumes): token -> document frequency, total term frequency, and
+    the head of the posting list (top-3 docs by tf) rendered in rank
+    order. Shape is the classic two-level reduce: explode tokens ->
+    groupBy (token, doc) for tf (map-side combinable — the corpus-
+    sized shuffle), then token-level stats and a PARTITIONED rank
+    window to cap the posting head BEFORE the string aggregation
+    (never listagg an unbounded posting list — the agg_listagg rule).
+    The df >= 5 head filter bounds the output to frequent vocabulary.
+    Rank order is total (tf desc, doc_id), so the rendered string is
+    deterministic cross-engine."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    stats = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    w = W.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    head = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("token")
+        .agg(
+            F.expr(
+                "listagg(CAST(doc_id AS STRING), ',') WITHIN GROUP (ORDER BY rn)"
+            ).alias("top_docs")
+        )
+    )
+    return (
+        stats.filter(F.col("df") >= 5)
+        .join(head, "token")
+        .select("token", "df", "tf_total", "top_docs")
+        .orderBy("token")
+    )

@@ -307,3 +307,41 @@ def test_auc_exact_no_unpartitioned_window(spark, qs):
     assert_plan(_df(qs, "quality_auc_exact", spark),
                 unpartitioned_windows=0, python_evals=0,
                 min_broadcast_joins=1)
+
+
+def test_skyline_no_window_no_selfjoin(spark, qs):
+    # the skyline probes two broadcast suffix-min scalars per size —
+    # never the quadratic NOT EXISTS self-join and never a window. The
+    # suffix build's non-equi join is a BroadcastNestedLoop over the
+    # <=50-row DOMAIN frame (bounded, never data-sized); the probe back
+    # into the catalog is a broadcast hash join.
+    feats = assert_plan(_df(qs, "part_skyline_pareto", spark),
+                        windows=0, python_evals=0, sortmerge_joins=0,
+                        min_broadcast_joins=1)
+    assert feats["bnl_joins"] <= 1
+
+
+def test_assoc_rules_broadcast_rules_side(spark, qs):
+    # thresholded rule table broadcasts into the per-item counts; the
+    # catalog-sized count relation must never shuffle for the join,
+    # and top-50 must not plan a global sort (TakeOrderedAndProject).
+    feats = assert_plan(_df(qs, "assoc_basket_rules", spark),
+                        windows=0, python_evals=0, min_broadcast_joins=2)
+    assert feats["sortmerge_joins"] == 0
+
+
+def test_alloc_largest_remainder_tiny_frames(spark, qs):
+    # after the one fact-sized pre-agg + key join, everything runs on
+    # the 25-row nation frame: no window (rank is a broadcast tiny
+    # self-join count), no Python.
+    assert_plan(_df(qs, "alloc_largest_remainder", spark),
+                windows=0, python_evals=0)
+
+
+def test_ohlc_single_aggregation(spark, qs):
+    # OHLC is ONE map-side-combinable aggregation over the fact scan:
+    # a single shuffle for the groupBy plus the output sort, no joins,
+    # no windows.
+    assert_plan(_df(qs, "events_ohlc_daily", spark),
+                windows=0, python_evals=0, broadcast_joins=0,
+                sortmerge_joins=0, max_exchanges=2)
