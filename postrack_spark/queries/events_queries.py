@@ -1885,9 +1885,9 @@ def events_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_ohlc_daily",
-    oracle="""
+# Shared by events_ohlc_daily and streaming_ohlc_candles (the stream
+# maintains the same view incrementally, so one oracle gates both).
+_OHLC_ORACLE = """
     WITH keyed AS (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, value,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
@@ -1904,8 +1904,10 @@ def events_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM keyed
     GROUP BY day, event_type
     ORDER BY day, event_type
-    """,
-)
+    """
+
+
+@query("events_ohlc_daily", oracle=_OHLC_ORACLE)
 def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candle resampling (open/high/low/close per day per event
     type) — the finance-style downsample every time-series store

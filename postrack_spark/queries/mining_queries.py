@@ -258,3 +258,73 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "quality_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+             AS digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+    SELECT digit, n,
+           CAST(n * 10000 // t AS BIGINT) AS share_pp10k,
+           CAST(CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1761 WHEN '3' THEN 1249
+                           WHEN '4' THEN 969 WHEN '5' THEN 792 WHEN '6' THEN 669
+                           WHEN '7' THEN 580 WHEN '8' THEN 512 ELSE 458 END
+                AS BIGINT) AS benford_pp10k,
+           CAST(abs(n * 10000 // t
+                    - CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1761 WHEN '3' THEN 1249
+                                 WHEN '4' THEN 969 WHEN '5' THEN 792 WHEN '6' THEN 669
+                                 WHEN '7' THEN 580 WHEN '8' THEN 512 ELSE 458 END)
+                AS BIGINT) AS dev_pp10k
+    FROM counts CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the forensic data-quality screen for
+    fabricated or truncated monetary data: observed first-significant-
+    digit distribution of order value against Benford's law, with
+    per-digit deviation. The first digit comes from the DECIMAL STRING
+    of integer cents (integer-to-string is exact on every engine;
+    double-to-string formatting is NOT and is never used), shares are
+    integer parts-per-10000 by floor division, and Benford's
+    log10(1+1/d) expectations are baked as integer constants — so the
+    whole audit is hash-exact. Plan: one map-side-combinable groupBy
+    on a 9-value key + a broadcast total combine; nothing here changes
+    shape at 100 TB."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    benford = (
+        "CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1761 WHEN '3' THEN 1249"
+        " WHEN '4' THEN 969 WHEN '5' THEN 792 WHEN '6' THEN 669"
+        " WHEN '7' THEN 580 WHEN '8' THEN 512 ELSE 458 END"
+    )
+    counts = (
+        orders.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n * 10000 DIV t AS BIGINT)").alias("share_pp10k"),
+            F.expr(f"CAST({benford} AS BIGINT)").alias("benford_pp10k"),
+            F.expr(f"CAST(abs(n * 10000 DIV t - {benford}) AS BIGINT)").alias(
+                "dev_pp10k"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -498,3 +498,49 @@ def sample_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_priority_weighted",
+    oracle="""
+    WITH pri AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                  // CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT) AS priority
+      FROM orders
+    )
+    SELECT o_orderkey, cents, priority
+    FROM pri
+    ORDER BY priority, o_orderkey
+    LIMIT 100
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fully deterministic:
+    priority sampling in the Duffield-Lund-Thorup shape — per row a
+    60-bit uniform hash h = md5(key)[0:15 hex] and priority
+    h DIV weight (weight = order value in cents), select the k=100
+    SMALLEST priorities. Heavier rows divide by a larger weight, so
+    they sink toward the front proportionally — a size-biased sample
+    any engine reproduces bit-for-bit because membership is pure
+    integer row arithmetic (the established md5-membership rule; the
+    classic u^(1/w) exponential-key scheme needs transcendental floats
+    whose last-ulp cross-engine behavior is exactly the trap this repo
+    bans). Ties are impossible in practice (60-bit hash) and broken
+    totally by (priority, key) anyway. Plan: map-side priority compute
+    + TakeOrderedAndProject — no shuffle of the fact table, no window,
+    O(k) driver result at any SF."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT) DIV CAST(round(o_totalprice * 100) AS BIGINT)"
+            ).cast("long").alias("priority"),
+        )
+        .orderBy("priority", "o_orderkey")
+        .limit(100)
+    )

@@ -1407,3 +1407,69 @@ def streaming_throttle_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("band")
     )
+
+
+from postrack_spark.queries.events_queries import _OHLC_ORACLE  # noqa: E402
+
+
+@query("streaming_ohlc_candles", oracle=_OHLC_ORACLE)
+def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained OHLC candles — the streaming twin of
+    events_ohlc_daily, gated by the SAME oracle (registered below).
+    Open/close are argmin/argmax aggregates: NOT invertible, but
+    MERGEABLE once each partial carries its pick's order key, so the
+    view folds through foreach_batch_merge_fold's monoid protocol
+    (min_by over partials == global argmin; the same lift that makes
+    map-side combine legal for min_by in batch). Each micro-batch does
+    O(batch) scan work + O(view groups) merge — group count is days x
+    types, calendar-bounded, so the maintained view never grows with
+    the stream and no raw history is re-read. Admission order cannot
+    matter (commutative monoid), which the multi-batch run exercises
+    and the shared batch oracle checks bit-for-bit."""
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming import foreach_batch_merge_fold
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_id", "ts", "event_type", "value")
+        .repartition(8)
+    )
+    stream = envelope_stream(
+        spark, ev, name="ohlc", options={"maxFilesPerTrigger": "2"}
+    )
+    ok = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    rows = stream.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("value").alias("open"),
+        ok.alias("open_ok"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        ok.alias("close_ok"),
+        F.lit(1).cast("long").alias("n"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vol_milli"),
+    )
+
+    def reagg(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.min_by("open", "open_ok").alias("open"),
+            F.min("open_ok").alias("open_ok"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "close_ok").alias("close"),
+            F.max("close_ok").alias("close_ok"),
+            F.sum("n").cast("long").alias("n"),
+            F.sum("vol_milli").cast("long").alias("vol_milli"),
+        )
+
+    target, q = foreach_batch_merge_fold(rows, ["day", "event_type"], reagg)
+    q.awaitTermination()
+    return (
+        read_view(spark, target)
+        .select("day", "event_type", "open", "high", "low", "close", "n", "vol_milli")
+        .orderBy("day", "event_type")
+    )

@@ -29,6 +29,7 @@ from postrack_spark.streaming.sinks import (
     foreach_batch_cluster_maintenance,
     foreach_batch_dedup_index,
     foreach_batch_fold,
+    foreach_batch_merge_fold,
     foreach_batch_incremental_agg_log,
     foreach_batch_incremental_join_agg,
     foreach_batch_incremental_join_agg_log,
@@ -55,6 +56,7 @@ __all__ = [
     "foreach_batch_cluster_maintenance",
     "foreach_batch_dedup_index",
     "foreach_batch_fold",
+    "foreach_batch_merge_fold",
     "foreach_batch_incremental_agg_log",
     "foreach_batch_incremental_join_agg",
     "foreach_batch_incremental_join_agg_log",

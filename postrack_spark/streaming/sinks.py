@@ -600,6 +600,48 @@ def foreach_batch_fold(
     return target, query
 
 
+def foreach_batch_merge_fold(
+    partials_stream: DataFrame,
+    group_cols: list[str],
+    reagg,
+    target_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    keep_depth: int = 2,
+) -> tuple[str, object]:
+    """Generalization of :func:`foreach_batch_fold` from additive sums
+    to any MERGEABLE aggregate: ``reagg(df) -> DataFrame`` must be a
+    groupBy(group_cols) re-aggregation that is a commutative monoid
+    over row blocks — ``reagg(A ∪ B) == reagg(reagg(A) ∪ reagg(B))``
+    (min/max, argmin/argmax carrying their keys, sums, counts all
+    qualify; averages must be kept as sum+count pairs). Per batch:
+    reagg the batch to its partial, union with the stored view, reagg
+    once more — O(batch) + O(view groups) work, versioned exactly-once
+    protocol, read with ``read_view``."""
+    target = target_dir or tempfile.mkdtemp(prefix="mfold_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_mfold_")
+
+    def merge(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        part = reagg(batch_df)
+        if base is None:
+            return part
+        if set(base.columns) != set(part.columns):
+            raise ValueError(
+                f"view schema drift under {target}: "
+                f"base={sorted(base.columns)} batch={sorted(part.columns)}"
+            )
+        return reagg(base.unionByName(part))
+
+    query = (
+        partials_stream.writeStream.foreachBatch(
+            _versioned_batch(target, checkpoint, merge, keep_depth)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return target, query
+
+
 # ---------------------------------------------------------------------------
 # Streaming near-dup index: MinHash+LSH maintained incrementally.
 # ---------------------------------------------------------------------------

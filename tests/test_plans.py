@@ -345,3 +345,17 @@ def test_ohlc_single_aggregation(spark, qs):
     assert_plan(_df(qs, "events_ohlc_daily", spark),
                 windows=0, python_evals=0, broadcast_joins=0,
                 sortmerge_joins=0, max_exchanges=2)
+
+
+def test_priority_sample_no_shuffle(spark, qs):
+    # priority compute is map-side; top-100 is TakeOrderedAndProject —
+    # no groupBy/window/join shuffle of the fact table.
+    assert_plan(_df(qs, "sample_priority_weighted", spark),
+                windows=0, python_evals=0, exchanges=0,
+                broadcast_joins=0, sortmerge_joins=0)
+
+
+def test_benford_tiny_key_agg(spark, qs):
+    # 9-value key aggregation + broadcast total combine; no window.
+    assert_plan(_df(qs, "quality_benford_digits", spark),
+                windows=0, python_evals=0, sortmerge_joins=0)

@@ -530,3 +530,39 @@ def test_ann_index_compaction(spark):
     run()
     got = {(r["id_a"], r["id_b"]) for r in read_dedup_pairs(spark, target).collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_merge_fold_argminmax_monoid(spark):
+    """foreach_batch_merge_fold's contract is a commutative monoid over
+    row blocks: argmin/argmax partials carrying their keys must merge
+    to the global pick regardless of the batch split, and replays must
+    skip. Drives the versioned protocol directly with the same reagg
+    shape streaming_ohlc_candles uses."""
+    from postrack_spark.streaming.sinks import _versioned_batch, read_view
+
+    target = tempfile.mkdtemp(prefix="mf_")
+
+    def reagg(df):
+        return df.groupBy("g").agg(
+            F.min_by("open", "ok").alias("open"),
+            F.min("ok").alias("ok"),
+            F.max("hi").alias("hi"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+
+    def merge(base, batch_df):
+        part = reagg(batch_df)
+        return part if base is None else reagg(base.unionByName(part))
+
+    apply = _versioned_batch(target, "ckpt-mf", merge)
+    schema = "g string, open double, ok string, hi double, n long"
+    # rows arrive out of event order across batches: the key decides
+    b0 = spark.createDataFrame([("a", 5.0, "t2", 5.0, 1), ("a", 9.0, "t3", 9.0, 1)], schema)
+    b1 = spark.createDataFrame([("a", 7.0, "t1", 7.0, 1), ("b", 1.0, "t9", 1.0, 1)], schema)
+    apply(b0, 0)
+    apply(b0, 0)  # replay: no-op
+    apply(b1, 1)
+    got = {r["g"]: (r["open"], r["ok"], r["hi"], r["n"])
+           for r in read_view(spark, target).collect()}
+    # open for 'a' is the value at the SMALLEST key t1 (arrived last)
+    assert got == {"a": (7.0, "t1", 9.0, 3), "b": (1.0, "t9", 1.0, 1)}
