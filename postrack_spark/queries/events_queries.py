@@ -1945,3 +1945,83 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "events_ccf_views_purchases",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS x,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT l.lag, a.x AS xa, b.y AS yb
+      FROM (SELECT unnest(range(-3, 4)) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.day_idx = a.day_idx + l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+             CAST(sum(xa * yb) AS BIGINT) AS sab,
+             CAST(sum(xa * xa) AS BIGINT) AS saa,
+             CAST(sum(yb * yb) AS BIGINT) AS sbb
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           CAST(floor((1000000.0 * CAST(n * sab - sa * sb AS DOUBLE))
+                      / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                         * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))) AS BIGINT)
+             AS ccf_ppm
+    FROM m ORDER BY lag
+    """,
+)
+def events_ccf_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily VIEW series and the
+    daily PURCHASE series at lags -3..+3 — the lead/lag probe that
+    answers 'do views predict purchases N days out?'. Same exact-
+    integer-moments discipline as events_acf_lags (whose docstring
+    carries the headroom analysis): both series fold out of ONE
+    map-side conditional aggregation per day, the 7-lag expansion is a
+    broadcast over the O(days) frame, and the only floating point is
+    the final correctly-rounded sqrt/divide floored to ppm on
+    identical integers. Negative lags (purchases leading views) come
+    from the same join with the sign flipped — no second scan."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+                  "event_type")
+        .groupBy("day_idx")
+        .agg(
+            F.count_if(F.col("event_type") == "view").cast("long").alias("x"),
+            F.count_if(F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day_idx").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day_idx").alias("db"), F.col("y").alias("yb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))  # O(days) aggregated frame x 7 lags
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sa"),
+        F.sum("yb").cast("long").alias("sb"),
+        F.sum(F.col("xa") * F.col("yb")).cast("long").alias("sab"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).cast("long").alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    dena = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    denb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return m.select(
+        "lag",
+        "n",
+        F.floor(F.lit(1000000.0) * num / (F.sqrt(dena) * F.sqrt(denb)))
+        .cast("long")
+        .alias("ccf_ppm"),
+    ).orderBy("lag")

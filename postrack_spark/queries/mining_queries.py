@@ -328,3 +328,82 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "agg_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.d AS da, b.d AS db,
+             CAST(((b.y - a.y) * 1000 + 10000000000000 * (b.d - a.d)) // (b.d - a.d)
+                  - 10000000000000 AS BIGINT) AS slope_milli
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+      SELECT slope_milli,
+             row_number() OVER (ORDER BY slope_milli, da, db) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM pairs
+    )
+    SELECT max(n) AS n_pairs,
+           CAST(sum(slope_milli * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                       THEN 2 ELSE 1 END) AS BIGINT) AS med2x_milli
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    """,
+)
+def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator — the median of all pairwise
+    slopes of the daily-revenue series, the outlier-immune alternative
+    to the OLS fit (events_trend_regression). Everything is integer:
+    slopes are reported in milli-dollars/day via the POSITIVE-SHIFT
+    floor-division trick — Spark's DIV truncates toward zero while
+    DuckDB's // floors, so they disagree on NEGATIVE quotients; adding
+    S=1e13 per day to the numerator makes every quotient positive
+    (|slope_milli| < S by orders of magnitude at any SF: daily revenue
+    at 100 TB is ~1e10 dollars -> |dy|*1000 < 1e16/dx), where the two
+    semantics coincide, then S is subtracted back. The median is the
+    SUM of the two middle elements (x2 for odd counts) — pure rank
+    selection, no float interpolation. Scale: the pair frame is
+    O(days²) — bounded by the CALENDAR span squared (2405 days -> 2.9M
+    pairs at every SF), not by data volume; ranks come from
+    operators/ranking.global_row_number (range shuffle, zero
+    WindowExec), and the two middle rows reduce to one output row."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    S = 10_000_000_000_000
+    daily = (
+        load_tables(spark, sf_dir)["orders"]
+        .select(
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        "da",
+        "db",
+        F.expr(
+            f"CAST(((yb - ya) * 1000 + {S} * (db - da)) DIV (db - da) - {S} AS BIGINT)"
+        ).alias("slope_milli"),
+    )
+    ranked = global_row_number(pairs, ["slope_milli", "da", "db"])
+    n = pairs.agg(F.count("*").cast("long").alias("n"))
+    mid = ranked.crossJoin(F.broadcast(n)).filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    )
+    return mid.agg(
+        F.max("n").alias("n_pairs"),
+        F.sum(
+            F.col("slope_milli")
+            * F.expr("CASE WHEN (n + 1) DIV 2 = (n + 2) DIV 2 THEN 2 ELSE 1 END")
+        ).cast("long").alias("med2x_milli"),
+    )
