@@ -1261,3 +1261,57 @@ def cdc_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version_status")
     )
+
+
+@query(
+    "cdc_subject_access_export",
+    oracle=f"""
+    WITH {_CHANGES_CTE}
+    SELECT okey,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(
+             CAST(lsn AS VARCHAR) || ':' || op || ':' ||
+             coalesce(status, '-') || ':' ||
+             coalesce(CAST(CAST(round(price * 100) AS BIGINT) AS VARCHAR), '-'),
+             '|' ORDER BY lsn) AS history
+    FROM changes
+    WHERE okey % 1000 = 7
+    GROUP BY okey
+    ORDER BY okey
+    """,
+)
+def cdc_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access export (GDPR right of access) — the governance
+    complement to cdc_forget_keys_purge: assemble each requested key's
+    COMPLETE change history from the log as one ordered text record
+    (lsn:op:status:cents per event). The request set is a sparse
+    deterministic key predicate (okey % 1000 = 7 — stands in for a
+    broadcast request list), so the log scan filters map-side before
+    the per-key fold; the in-group LISTAGG is bounded by per-key event
+    count, never corpus-sized. Money renders as integer cents and all
+    fields are integer/string — double formatting never touches the
+    export, so the text is byte-identical cross-engine. At 100 TB the
+    identical shape serves a million-key request batch: filter
+    pushdown + one O(selected events) shuffle."""
+    ch = orders_changes(spark, sf_dir).filter(F.col("txid") % 1000 == 7)
+    line = F.concat_ws(
+        ":",
+        F.col("lsn").cast("string"),
+        F.col("op"),
+        F.coalesce(typed_column("after", "o_orderstatus", "string"), F.lit("-")),
+        F.coalesce(
+            F.round(typed_column("after", "o_totalprice", "double") * 100)
+            .cast("long")
+            .cast("string"),
+            F.lit("-"),
+        ),
+    )
+    return (
+        ch.select(F.col("txid").alias("okey"), "lsn", line.alias("line"))
+        .groupBy("okey")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr("listagg(line, '|') WITHIN GROUP (ORDER BY lsn)").alias("history"),
+        )
+        .orderBy("okey")
+    )

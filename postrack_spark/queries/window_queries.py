@@ -708,3 +708,80 @@ def agg_group_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "window_clamped_running_balance",
+    oracle="""
+    WITH net AS (
+      SELECT l_suppkey AS supp,
+             epoch_us(l_shipdate) // 86400000000 AS d,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS BIGINT)
+                           ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT supp, d,
+             sum(x) OVER (PARTITION BY supp ORDER BY d) AS s
+      FROM net
+    ),
+    run AS (
+      SELECT supp, d, s,
+             min(s) OVER (PARTITION BY supp ORDER BY d) AS m
+      FROM sums
+    ),
+    bal AS (
+      SELECT supp, d,
+             CAST(s - least(0, m) AS BIGINT) AS b
+      FROM run
+    )
+    SELECT supp,
+           CAST(max_by(b, d) AS BIGINT) AS end_bal,
+           CAST(max(b) AS BIGINT) AS peak_bal,
+           CAST(count(*) FILTER (b = 0) AS BIGINT) AS zero_days
+    FROM bal GROUP BY supp ORDER BY supp
+    """,
+)
+def window_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory balance that cannot go negative — a running sum with a
+    floor at zero, the classic NON-LINEAR recurrence
+    (b_i = max(0, b_{i-1} + x_i)) that naive thinking says needs a
+    sequential scan. It distributes exactly via the prefix identity
+    b_i = S_i - min(0, min_{j<=i} S_j): a plain cumulative sum plus a
+    running minimum OVER that sum — two PARTITIONED windows per
+    supplier, so every per-key series parallelizes and no single-task
+    window appears. Day totals are pre-aggregated (one row per
+    supplier-day; l_quantity is integral so the arithmetic is exact),
+    day is unique within each partition, making the RANGE-default
+    frame semantics identical across engines (the documented peer-row
+    trap). Output folds to one row per supplier (end/peak balance,
+    days pinned at the floor)."""
+    net = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select(
+            F.col("l_suppkey").alias("supp"),
+            F.expr("unix_micros(l_shipdate) div 86400000000").alias("d"),
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast("long"))
+            .otherwise(-F.col("l_quantity").cast("long"))
+            .alias("xi"),
+        )
+        .groupBy("supp", "d")
+        .agg(F.sum("xi").cast("long").alias("x"))
+    )
+    w = W.partitionBy("supp").orderBy("d")
+    run = net.withColumn("s", F.sum("x").over(w)).withColumn(
+        "m", F.min("s").over(w)
+    )
+    bal = run.select(
+        "supp", "d", (F.col("s") - F.least(F.lit(0), F.col("m"))).cast("long").alias("b")
+    )
+    return (
+        bal.groupBy("supp")
+        .agg(
+            F.max_by("b", "d").cast("long").alias("end_bal"),
+            F.max("b").cast("long").alias("peak_bal"),
+            F.count_if(F.col("b") == 0).cast("long").alias("zero_days"),
+        )
+        .orderBy("supp")
+    )
