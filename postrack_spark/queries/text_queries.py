@@ -1473,3 +1473,58 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "df", "tf_total", "top_docs")
         .orderBy("token")
     )
+
+
+@query(
+    "scalar_collation_grouping",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cased AS (
+      SELECT CASE WHEN doc_id % 2 = 1
+                  THEN upper(substring(t, 1, 1)) || substring(t, 2)
+                  ELSE t END AS t
+      FROM tok WHERE t <> ''
+    )
+    SELECT lower(t) AS token, CAST(count(*) AS BIGINT) AS n
+    FROM cased
+    GROUP BY lower(t)
+    HAVING count(*) >= 50
+    ORDER BY token
+    """,
+)
+def scalar_collation_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated string semantics (new in Spark 4): grouping under the
+    UTF8_LCASE collation — the engine-native way to make comparisons,
+    GROUP BY, and joins case-insensitive WITHOUT rewriting every key
+    through lower() (at 100 TB, collation lives in the hash function;
+    a lower() wrapper materializes a second copy of every key). The
+    fixture mixes case deterministically (first letter uppercased on odd doc_ids), the
+    plan groups on collate(t, 'UTF8_LCASE') so case-folding happens
+    inside the aggregate's key comparison, and the output canonicalizes
+    through lower() only for rendering (a collated group's surfaced
+    representative is first-seen, hence not stable — the documented
+    reason the SELECT never exposes the raw representative). The
+    oracle spells the same query with lower() grouping, which is the
+    semantic definition of UTF8_LCASE for ASCII keys."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    cased = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .select(
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.concat(F.upper(F.substring("t", 1, 1)), F.expr("substring(t, 2)")),
+            )
+            .otherwise(F.col("t"))
+            .alias("t")
+        )
+    )
+    return (
+        cased.groupBy(F.expr("collate(t, 'UTF8_LCASE')").alias("k"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 50)
+        .select(F.lower(F.col("k").cast("string")).alias("token"), "n")
+        .orderBy("token")
+    )
