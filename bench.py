@@ -58,6 +58,10 @@ HEADLINE = [
     "vector_pca_power_iteration",
     "agg_pareto_abc",
     "text_bm25_search",
+    # round-3 session-4 additions: mining family (thresholded-relation
+    # association rules) and single-pass OHLC resampling
+    "assoc_basket_rules",
+    "events_ohlc_daily",
 ]
 R1_COMPARABLE = 15  # first N entries = round-1 headline set
 

@@ -133,26 +133,13 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny frame scales with the DOMAIN of size, not with rows.
     Price comparisons are exact row values (no arithmetic), so ties
     and strictness agree bit-for-bit with the oracle."""
+    from postrack_spark.operators.mining import skyline_min_max_bounded
+
     part = load_tables(spark, sf_dir)["part"].select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("mn"))
-    a = per_size.select(F.col("p_size").alias("s"))
-    b = per_size.select(F.col("p_size").alias("s2"), "mn")
-    suffix = (
-        a.join(F.broadcast(b), F.col("s2") >= F.col("s"))
-        .groupBy("s")
-        .agg(
-            F.min("mn").alias("m_ge"),
-            F.min(F.when(F.col("s2") > F.col("s"), F.col("mn"))).alias("m_gt"),
-        )
-    )
-    dominated = (
-        F.col("m_ge") < F.col("p_retailprice")
-    ) | F.coalesce(F.col("m_gt") <= F.col("p_retailprice"), F.lit(False))
     return (
-        part.join(F.broadcast(suffix), part["p_size"] == suffix["s"])
-        .filter(~dominated)
+        skyline_min_max_bounded(part, "p_retailprice", "p_size")
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     )
@@ -220,42 +207,13 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(cents DIV 100000 AS BIGINT)").alias("rev_k"),
         )
     )
-    tot = pern.agg(F.sum("rev_k").cast("long").alias("t"))
-    base = pern.crossJoin(F.broadcast(tot)).select(
-        "nk",
-        "rev_k",
-        F.expr("CAST(10000 * rev_k DIV t AS BIGINT)").alias("fl"),
-        F.expr("CAST((10000 * rev_k) % t AS BIGINT)").alias("rem"),
-    )
-    deficit = base.agg((F.lit(10000) - F.sum("fl")).cast("long").alias("deficit"))
-    other = base.select(
-        F.col("nk").alias("nk2"), F.col("rem").alias("rem2")
-    )
-    # rank-by-count over the 25-row frame: rn = 1 + #{j : (rem_j, nk_j)
-    # sorts strictly before (rem_i, nk_i)} — a broadcast tiny self-join,
-    # keeping the registry-wide no-unpartitioned-window invariant.
-    ranked = (
-        base.join(
-            F.broadcast(other),
-            (F.col("rem2") > F.col("rem"))
-            | ((F.col("rem2") == F.col("rem")) & (F.col("nk2") < F.col("nk"))),
-            "left",
-        )
-        .groupBy("nk", "rev_k", "fl", "rem")
-        .agg((F.count("nk2") + F.lit(1)).cast("long").alias("rn"))
-    )
+    from postrack_spark.operators.mining import largest_remainder_allocation
+
+    alloc = largest_remainder_allocation(pern, "nk", "rev_k", 10000)
     nation = load_tables(spark, sf_dir)["nation"].select("n_nationkey", "n_name")
     return (
-        ranked.crossJoin(F.broadcast(deficit))
-        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
-        .select(
-            "n_name",
-            "rev_k",
-            (
-                F.col("fl")
-                + F.when(F.col("rn") <= F.col("deficit"), F.lit(1)).otherwise(F.lit(0))
-            ).cast("long").alias("alloc"),
-        )
+        alloc.join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select("n_name", "rev_k", "alloc")
         .orderBy("n_name")
     )
 
