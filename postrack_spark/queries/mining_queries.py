@@ -365,3 +365,51 @@ def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.expr("CASE WHEN (n + 1) DIV 2 = (n + 2) DIV 2 THEN 2 ELSE 1 END")
         ).cast("long").alias("med2x_milli"),
     )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS bucket FROM c
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS lo_cents,
+           max(cents) AS hi_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (equal-height) histogram of order value — the
+    optimizer-statistics build every engine runs under ANALYZE, and the
+    binning a feature pipeline uses when equi-width buckets collapse
+    under skew. Bucket membership is SQL-exact ntile(10) computed by
+    operators/ranking.exact_ntile — one range shuffle + broadcast
+    offsets, ZERO WindowExec (a plain ntile() OVER (ORDER BY ...) is
+    the single-partition scale-killer the registry-wide plan audit
+    bans) — over the TOTAL order (cents, o_orderkey), so bucket edges
+    are deterministic cross-engine. Per-bucket stats are integer cents:
+    one map-side-combinable aggregation after the rank."""
+    from postrack_spark.operators.ranking import exact_ntile
+
+    c = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = exact_ntile(c, 10, [F.asc("cents"), F.asc("o_orderkey")], "bucket")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -359,3 +359,10 @@ def test_benford_tiny_key_agg(spark, qs):
     # 9-value key aggregation + broadcast total combine; no window.
     assert_plan(_df(qs, "quality_benford_digits", spark),
                 windows=0, python_evals=0, sortmerge_joins=0)
+
+
+def test_equidepth_histogram_no_window(spark, qs):
+    # bucket assignment rides operators/ranking.exact_ntile: range
+    # shuffle + broadcast offsets, zero WindowExec anywhere.
+    assert_plan(_df(qs, "agg_equidepth_histogram", spark),
+                windows=0, python_evals=0)
