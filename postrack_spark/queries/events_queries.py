@@ -2025,3 +2025,46 @@ def events_ccf_views_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ccf_ppm"),
     ).orderBy("lag")
+
+
+@query(
+    "scalar_timezone_daygroup",
+    oracle="""
+    SELECT strftime(timezone('America/New_York', ts::TIMESTAMPTZ), '%Y-%m-%d') AS ny_day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY ny_day
+    ORDER BY ny_day
+    """,
+)
+def scalar_timezone_daygroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware day bucketing: daily rollup on AMERICA/NEW_YORK
+    wall-clock days from UTC-stored event times — the 'local business
+    day' grouping every multi-region warehouse needs, and a boundary
+    case UTC-only code silently gets wrong (the NY day boundary sits
+    at 04:00/05:00 UTC, so ~20% of events land on a different day than
+    the UTC rollup). Spark converts with from_utc_timestamp under the
+    UTC session timezone; the oracle uses DuckDB's
+    timezone(tz, TIMESTAMPTZ) under its UTC session default — both
+    resolve through the same IANA tzdata, which the match certifies.
+    One map-side conversion + one aggregation; group count is
+    calendar-bounded."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select(
+            F.date_format(
+                F.from_utc_timestamp("ts", "America/New_York"), "yyyy-MM-dd"
+            ).alias("ny_day"),
+            "user_id",
+            "value",
+        )
+        .groupBy("ny_day")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+        )
+        .orderBy("ny_day")
+    )

@@ -785,3 +785,65 @@ def window_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("supp")
     )
+
+
+@query(
+    "window_forward_fill_locf",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM base
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (v IS NULL) AS BIGINT) AS n_gaps,
+           CAST(count(*) FILTER (fv IS NULL) AS BIGINT) AS n_leading,
+           CAST(sum(CAST(floor(fv * 1000) AS BIGINT)) AS BIGINT) AS fill_milli
+    FROM filled GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / last-observation-carried-forward — the gap-repair
+    operator every sensor/ticker pipeline runs, expressed as
+    last_value IGNORE NULLS over a ROWS frame (the SQL:2011 null
+    treatment clause; Spark spells it last(v, ignorenulls=True)).
+    The 'view' rows are the deterministic gap fixture. The window is
+    PARTITIONED per user with a total (epoch_us, event_id) string
+    order key, so fills are deterministic under ties and the plan
+    parallelizes per key; leading nulls (no prior observation) stay
+    null and are counted separately. The checksum quantizes by
+    floor(value*1000) BEFORE summing (exact-row doubles, association-
+    free integer sum). Output folds to one row per user."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ok = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    base = ev.select(
+        "user_id",
+        ok.alias("ok"),
+        F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("ok").rowsBetween(W.unboundedPreceding, 0)
+    filled = base.withColumn("fv", F.last("v", ignorenulls=True).over(w))
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_if(F.col("v").isNull()).cast("long").alias("n_gaps"),
+            F.count_if(F.col("fv").isNull()).cast("long").alias("n_leading"),
+            F.sum(F.floor(F.col("fv") * 1000).cast("long")).cast("long").alias("fill_milli"),
+        )
+        .orderBy("user_id")
+    )
