@@ -871,3 +871,53 @@ def dedup_lsh_band_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row("b8r2", 2).unionByName(row("b4r4", 4)).orderBy("geometry")
+
+
+@query(
+    "dedup_survivorship_golden",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      FROM documents
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(arg_max(doc_id, n_chars * 1000000000000 - doc_id) AS BIGINT)
+             AS survivor_doc,
+           CAST(arg_max(n_chars, n_chars * 1000000000000 - doc_id) AS BIGINT)
+             AS survivor_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM fp
+    GROUP BY fp
+    HAVING count(*) > 1
+    ORDER BY fp
+    """,
+)
+def dedup_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record election) — the MDM step after
+    duplicate grouping: within each normalized-duplicate group, elect
+    ONE record by a deterministic rule cascade (longest document wins,
+    ties broken by the SMALLEST doc id) and carry its attributes
+    forward. The cascade is encoded as a single int64 ordering key
+    (n_chars * 1e12 - doc_id — headroom: chars < 9.2e6 at 1e12-scale
+    ids), so election is one max_by aggregate with map-side partial
+    merge — no window, no per-group sort, and both engines pick the
+    identical survivor because the key is a total order. Same
+    hash-groupBy shuffle as the dedup family; group count is O(dup
+    groups)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), r"\s+")))))
+    key = F.col("n_chars") * F.lit(1_000_000_000_000) - F.col("doc_id")
+    return (
+        docs.select("doc_id", "n_chars", fp.alias("fp"), key.alias("k"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max_by("doc_id", "k").cast("long").alias("survivor_doc"),
+            F.max_by("n_chars", "k").cast("long").alias("survivor_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("fp")
+    )

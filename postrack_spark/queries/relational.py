@@ -2491,3 +2491,41 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the declarative form scales identically."""
     load_tables(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@query(
+    "sql_join_hints",
+    oracle="""
+    WITH j AS (
+      SELECT c_nationkey AS nk, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT nk,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM j GROUP BY nk ORDER BY nk
+    """,
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS — the engine surface an operator needs when
+    Catalyst's size estimates are wrong at 100 TB (a filtered dim the
+    optimizer thinks is big, a skewed probe side it thinks is small):
+    the same orders ⋈ customer rollup executed under an explicit
+    SHUFFLE_HASH hint (customer as the build side — the right call
+    when the dim exceeds the broadcast threshold but fits a hash
+    table per partition, avoiding the sort-merge's two sorts). The
+    hint changes ONLY the physical strategy, never the result — which
+    this oracle certifies; tests/test_plans.py asserts the hinted
+    strategy actually planned (a silently-ignored hint is a perf bug
+    waiting for scale)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_nationkey").hint("shuffle_hash")
+    j = t["orders"].join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"),
+        )
+        .orderBy("nk")
+    )

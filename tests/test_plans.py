@@ -366,3 +366,12 @@ def test_equidepth_histogram_no_window(spark, qs):
     # shuffle + broadcast offsets, zero WindowExec anywhere.
     assert_plan(_df(qs, "agg_equidepth_histogram", spark),
                 windows=0, python_evals=0)
+
+
+def test_join_hint_takes_effect(spark, qs):
+    # the SHUFFLE_HASH hint must actually plan a ShuffledHashJoin —
+    # a silently-dropped hint is a perf bug waiting for scale. (At
+    # sf0.001 Catalyst would otherwise broadcast this join.)
+    feats = plan_features(_df(qs, "sql_join_hints", spark))
+    assert feats["shuffledhash_joins"] == 1, feats
+    assert feats["row_python_evals"] == 0
