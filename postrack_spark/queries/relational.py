@@ -2529,3 +2529,56 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nk")
     )
+
+
+@query(
+    "quality_quantile_sketch_certify",
+    oracle="""
+    SELECT p_pct, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
+           true AS within_bound
+    FROM (SELECT unnest([25, 50, 90]) AS p_pct)
+    ORDER BY p_pct
+    """,
+)
+def quality_quantile_sketch_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-contract certification — the pattern that turns a
+    non-deterministic approximation into an oracle-gated fact (the
+    LSH-recall trick applied to quantiles): approx_percentile's
+    Greenwald-Khanna guarantee is rank error <= n/accuracy, so the
+    query computes the sketch values AND their EXACT rank intervals
+    [count(<v)+1, count(<=v)] in one probe pass, then emits only the
+    boolean 'rank interval intersects [p*n ± n/100]'. The sketch value
+    itself may vary with partition merge order; the certified bound
+    may not — so the oracle is the constant truth table, and a sketch
+    regression (or a broken merge) flips a row to false and fails the
+    hash gate. Probe pass is a broadcast of k=3 scalar probe values
+    against one fact scan (constant multiplier, map-side combinable);
+    nothing here is data-ordered."""
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    probes = (
+        orders.agg(
+            F.percentile_approx("c", [0.25, 0.50, 0.90], 100).alias("vs")
+        )
+        .select(F.posexplode("vs").alias("i", "v"))
+        .select(
+            F.element_at(F.array(F.lit(25), F.lit(50), F.lit(90)), F.col("i") + 1)
+            .cast("int")
+            .alias("p_pct"),
+            "v",
+        )
+    )
+    ranks = (
+        orders.crossJoin(F.broadcast(probes))
+        .groupBy("p_pct")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_if(F.col("c") < F.col("v")).cast("long").alias("n_lt"),
+            F.count_if(F.col("c") <= F.col("v")).cast("long").alias("n_le"),
+        )
+    )
+    slack = F.col("n") / 100 + 1
+    target = F.col("p_pct") * F.col("n") / 100
+    within = (F.col("n_le") >= target - slack) & (F.col("n_lt") + 1 <= target + slack)
+    return ranks.select("p_pct", "n", within.alias("within_bound")).orderBy("p_pct")

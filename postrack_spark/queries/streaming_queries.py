@@ -881,7 +881,7 @@ def streaming_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ordered_envelope_stream(
     spark: SparkSession, changes: DataFrame, name: str, files: int = 8,
-    options: dict | None = None,
+    options: dict | None = None, order_col: str = "lsn",
 ) -> DataFrame:
     """envelope_stream variant with LSN-ORDERED admission: scratch
     parquet is range-partitioned on lsn (part-00000 = smallest LSNs;
@@ -896,8 +896,8 @@ def _ordered_envelope_stream(
 
     scratch = _tf.mkdtemp(prefix=f"cdc_ostream_{name}_")
     (
-        changes.repartitionByRange(files, "lsn")
-        .sortWithinPartitions("lsn")
+        changes.repartitionByRange(files, order_col)
+        .sortWithinPartitions(order_col)
         .write.mode("overwrite")
         .parquet(scratch)
     )
@@ -1473,3 +1473,51 @@ def streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", "open", "high", "low", "close", "n", "vol_milli")
         .orderBy("day", "event_type")
     )
+
+
+from postrack_spark.queries.window_queries import _LOCF_ORACLE  # noqa: E402
+
+
+@query("streaming_forward_fill", oracle=_LOCF_ORACLE)
+def streaming_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING forward fill — the stateful twin of
+    window_forward_fill_locf, gated by the SAME oracle: per-user LOCF
+    where a gap's fill value may live in a PREVIOUS micro-batch, so
+    the operator keeps O(1) explicit state (last observation + running
+    counters) in applyInPandasWithState instead of buffering rows.
+    Admission is time-ordered across batches (the capture-contract
+    delivery order, via the range-partitioned mtime-stamped harness —
+    same as streaming_scd2_history); within a batch the operator
+    sorts its group slice. Counters are monotone, so the final
+    summary per user is the emission with the largest n_rows."""
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.stateful import forward_fill_locf
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ok = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    rows = ev.select(
+        "user_id",
+        ok.alias("ok"),
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    stream = _ordered_envelope_stream(
+        spark, rows, name="locf", options={"maxFilesPerTrigger": "2"},
+        order_col="ok",
+    )
+    out = run_to_memory(
+        forward_fill_locf(stream), _qname("locf"), output_mode="update"
+    )
+    latest = out.groupBy("user_id").agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.max_by("n_gaps", "n_rows").cast("long").alias("n_gaps"),
+        F.max_by("n_leading", "n_rows").cast("long").alias("n_leading"),
+        F.max_by("fill_milli", "n_rows").cast("long").alias("fill_milli"),
+    )
+    return latest.select(
+        "user_id", "n_rows", "n_gaps", "n_leading", "fill_milli"
+    ).orderBy("user_id")

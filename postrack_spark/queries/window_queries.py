@@ -787,9 +787,9 @@ def window_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "window_forward_fill_locf",
-    oracle="""
+# Shared by window_forward_fill_locf and streaming_forward_fill (the
+# stateful streaming twin maintains the same per-user summary).
+_LOCF_ORACLE = """
     WITH base AS (
       SELECT user_id,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
@@ -811,8 +811,10 @@ def window_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(sum(CAST(floor(fv * 1000) AS BIGINT)) AS BIGINT) AS fill_milli
     FROM filled GROUP BY user_id
     ORDER BY user_id
-    """,
-)
+    """
+
+
+@query("window_forward_fill_locf", oracle=_LOCF_ORACLE)
 def window_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward fill / last-observation-carried-forward — the gap-repair
     operator every sensor/ticker pipeline runs, expressed as

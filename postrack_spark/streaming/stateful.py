@@ -216,3 +216,65 @@ def streaming_throttle_per_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def forward_fill_locf(rows: DataFrame) -> DataFrame:
+    """Streaming forward fill (LOCF) per user with O(1) state: the last
+    observed value plus four running counters — state never grows with
+    the stream, unlike buffering rows for a batch window. Requires
+    time-ordered admission across micro-batches (the capture-contract
+    delivery order; rows within a batch are sorted here), because a
+    fill reaches backward to the previous batch's last observation.
+    Input columns: user_id, ok (total order key string), v (nullable
+    double). Emits the per-user running summary each batch (update
+    mode); counters are monotone, so the final summary is the row with
+    the largest n_rows."""
+    import math
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            has, last, n_rows, n_gaps, n_leading, fill = state.get
+        else:
+            has, last, n_rows, n_gaps, n_leading, fill = False, 0.0, 0, 0, 0, 0
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values("ok")
+        for v in pdf["v"]:
+            n_rows += 1
+            if pd.isna(v):
+                n_gaps += 1
+                if has:
+                    fill += math.floor(last * 1000)
+                else:
+                    n_leading += 1
+            else:
+                last = float(v)
+                has = True
+                fill += math.floor(last * 1000)
+        state.update((bool(has), float(last), int(n_rows), int(n_gaps),
+                      int(n_leading), int(fill)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_rows": [n_rows],
+                "n_gaps": [n_gaps],
+                "n_leading": [n_leading],
+                "fill_milli": [fill],
+            }
+        )
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, n_rows bigint, n_gaps bigint, "
+            "n_leading bigint, fill_milli bigint"
+        ),
+        stateStructType=(
+            "has boolean, last double, n_rows bigint, n_gaps bigint, "
+            "n_leading bigint, fill bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
