@@ -2068,3 +2068,151 @@ def scalar_timezone_daygroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ny_day")
     )
+
+
+@query(
+    "events_attribution_position_split",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts AS vts, event_id AS vid
+      FROM events WHERE event_type = 'view'
+    ),
+    touch AS (
+      SELECT p.pid, p.cents, v.vts, v.vid
+      FROM p JOIN v ON v.user_id = p.user_id
+                   AND v.vts >= p.pts - INTERVAL 1 HOUR AND v.vts < p.pts
+    ),
+    ranked AS (
+      SELECT pid, cents, vid,
+             row_number() OVER (PARTITION BY pid ORDER BY vts, vid) AS r,
+             count(*) OVER (PARTITION BY pid) AS n
+      FROM touch
+    ),
+    shares AS (
+      SELECT pid, cents, vid, r, n,
+             CASE WHEN n <= 2 THEN 1
+                  WHEN r = 1 OR r = n THEN 40 * (n - 2)
+                  ELSE 20 END AS share,
+             CASE WHEN n <= 2 THEN n ELSE 100 * (n - 2) END AS tot
+      FROM ranked
+    ),
+    floors AS (
+      SELECT pid, cents, vid, r, n,
+             CAST(cents * share // tot AS BIGINT) AS fl,
+             CAST((cents * share) % tot AS BIGINT) AS rem
+      FROM shares
+    ),
+    topped AS (
+      SELECT pid, vid, r, n, fl, rem,
+             cents - sum(fl) OVER (PARTITION BY pid) AS deficit,
+             row_number() OVER (PARTITION BY pid ORDER BY rem DESC, r) AS rk
+      FROM floors
+    ),
+    alloc AS (
+      SELECT CASE WHEN r = 1 THEN 'first'
+                  WHEN r = n THEN 'last'
+                  ELSE 'middle' END AS position,
+             fl + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS credited
+      FROM topped
+    )
+    SELECT position,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credited) AS BIGINT) AS credited_cents
+    FROM alloc GROUP BY position ORDER BY position
+    """,
+)
+def events_attribution_position_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with EXACT money conservation — the
+    U-shaped (position-based) model: each purchase's cents split
+    40%/20%-pool/40% across its 1-hour view path (first / middles /
+    last; 1-2 touches split evenly), with the integer shortfall
+    distributed by largest remainder INSIDE each purchase, so every
+    purchase's credits sum to its cents exactly — the invariant
+    naive round() violates and finance reconciliation catches.
+    Integer shares make the proportions exact (first = 40*(n-2) of
+    100*(n-2) parts); all windows are PARTITIONED by purchase with
+    total tie-break orders, so the plan parallelizes per conversion
+    and the remainder ranking is deterministic. The touch join is a
+    per-user interval join (equi on user + range filter) — the as-of
+    family's shape, never a cross join."""
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vuser"),
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"),
+    )
+    touch = p.join(
+        v,
+        (F.col("vuser") == F.col("user_id"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") < F.col("pts")),
+    )
+    wseq = W.partitionBy("pid").orderBy("vts", "vid")
+    wall = W.partitionBy("pid")
+    ranked = touch.select(
+        "pid",
+        "cents",
+        "vid",
+        "vts",
+        F.row_number().over(wseq).alias("r"),
+        F.count("*").over(wall).alias("n"),
+    )
+    shares = ranked.select(
+        "pid",
+        "cents",
+        "vid",
+        "r",
+        "n",
+        F.when(F.col("n") <= 2, F.lit(1))
+        .when((F.col("r") == 1) | (F.col("r") == F.col("n")), 40 * (F.col("n") - 2))
+        .otherwise(F.lit(20))
+        .alias("share"),
+        F.when(F.col("n") <= 2, F.col("n")).otherwise(100 * (F.col("n") - 2)).alias("tot"),
+    )
+    floors = shares.select(
+        "pid",
+        "cents",
+        "vid",
+        "r",
+        "n",
+        F.expr("CAST(cents * share DIV tot AS BIGINT)").alias("fl"),
+        F.expr("CAST((cents * share) % tot AS BIGINT)").alias("rem"),
+    )
+    wrk = W.partitionBy("pid").orderBy(F.desc("rem"), F.asc("r"))
+    topped = floors.select(
+        "pid",
+        "vid",
+        "r",
+        "n",
+        "fl",
+        (F.col("cents") - F.sum("fl").over(wall)).alias("deficit"),
+        F.row_number().over(wrk).alias("rk"),
+    )
+    alloc = topped.select(
+        F.when(F.col("r") == 1, F.lit("first"))
+        .when(F.col("r") == F.col("n"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+        .alias("position"),
+        (F.col("fl") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)).alias(
+            "credited"
+        ),
+    )
+    return (
+        alloc.groupBy("position")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credited").cast("long").alias("credited_cents"),
+        )
+        .orderBy("position")
+    )
