@@ -2582,3 +2582,68 @@ def quality_quantile_sketch_certify(spark: SparkSession, sf_dir: str) -> DataFra
     target = F.col("p_pct") * F.col("n") / 100
     within = (F.col("n_le") >= target - slack) & (F.col("n_lt") + 1 <= target + slack)
     return ranks.select("p_pct", "n", within.alias("within_bound")).orderBy("p_pct")
+
+
+@query(
+    "rollup_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, n_name,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    ),
+    reg AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS rcents FROM rev GROUP BY r_name),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev)
+    SELECT rev.r_name, rev.n_name, rev.cents,
+           CAST(rev.cents * 10000 // reg.rcents AS BIGINT) AS share_of_region_pp10k,
+           CAST(reg.rcents * 10000 // tot.t AS BIGINT) AS region_share_pp10k
+    FROM rev JOIN reg ON rev.r_name = reg.r_name CROSS JOIN tot
+    ORDER BY rev.r_name, rev.n_name
+    """,
+)
+def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent in a dimension hierarchy (nation within region,
+    region within total) — the percent-of-parent column every OLAP
+    frontend computes, done WITHOUT a second scan or a window: one
+    fact aggregation to the (region, nation) frame (bounded by the
+    dimension product), then the parent totals are re-aggregations of
+    that tiny frame joined back by broadcast. Shares are integer
+    pp10k (floor division). At 100 TB the single fact-sized
+    aggregation dominates; everything after runs on catalog-bounded
+    frames."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    rev = (
+        per_cust.join(t["customer"].select("c_custkey", "c_nationkey"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    reg = rev.groupBy("r_name").agg(F.sum("cents").cast("long").alias("rcents"))
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    return (
+        rev.join(F.broadcast(reg), "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            "cents",
+            F.expr("CAST(cents * 10000 DIV rcents AS BIGINT)").alias(
+                "share_of_region_pp10k"
+            ),
+            F.expr("CAST(rcents * 10000 DIV t AS BIGINT)").alias("region_share_pp10k"),
+        )
+        .orderBy("r_name", "n_name")
+    )

@@ -1528,3 +1528,98 @@ def scalar_collation_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower(F.col("k").cast("string")).alias("token"), "n")
         .orderBy("token")
     )
+
+
+@query(
+    "text_cooccurrence_lift",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    filtered AS (SELECT doc, tok FROM toks WHERE tok <> ''),
+    dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM filtered GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok, df FROM (
+        SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS rn FROM dfreq
+      ) WHERE rn <= 50
+    ),
+    vt AS (
+      SELECT f.doc, f.tok FROM filtered f JOIN vocab v ON v.tok = f.tok
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM filtered),
+    pairs AS (
+      SELECT a.tok AS ta, b.tok AS tb, CAST(count(*) AS BIGINT) AS n_both
+      FROM vt a JOIN vt b ON a.doc = b.doc AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT p.ta, p.tb, p.n_both, va.df AS df_a, vb.df AS df_b,
+           CAST(p.n_both * n.n_docs * 10000 // (va.df * vb.df) AS BIGINT) AS lift_pp10k
+    FROM pairs p
+    JOIN vocab va ON va.tok = p.ta
+    JOIN vocab vb ON vb.tok = p.tb
+    CROSS JOIN n
+    ORDER BY lift_pp10k DESC, ta, tb
+    LIMIT 20
+    """,
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (the integer-exact stand-in for PMI,
+    whose log is banned by the float-portability rule): which token
+    pairs appear in the same document far more than independence
+    predicts — collocation mining for vocabulary/phrase induction.
+    Blocking makes it scale: pairs are enumerated only among the
+    TOP-50-df vocabulary (deterministic (df DESC, token) cutoff), via
+    per-doc set expansion of the filtered relation (fan-out bounded by
+    50, the co-purchase edge pattern — never a corpus-wide token
+    self-join). Lift is n_both*N*10000 DIV (df_a*df_b): headroom needs
+    n_both*N*1e4 < 9.2e18, i.e. fine while n_both*N < 9e14 — at
+    web scale, cap the vocabulary or coarsen to pp1000. Top-20 plans
+    as TakeOrderedAndProject."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    vocab = dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(50)
+    vt = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    n = toks.select("doc").distinct().agg(F.count("*").cast("long").alias("n_docs"))
+    per_doc = vt.groupBy("doc").agg(F.collect_set("tok").alias("ts"))
+    pairs = (
+        per_doc.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) ->"
+                    " filter(transform(ts, (b, j) ->"
+                    " IF(j > i, struct(least(a, b) AS ta, greatest(a, b) AS tb),"
+                    " NULL)), p -> p IS NOT NULL)))"
+                )
+            ).alias("p")
+        )
+        .select("p.ta", "p.tb")
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    va = vocab.select(F.col("tok").alias("ta"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tb"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(va), "ta")
+        .join(F.broadcast(vb), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta",
+            "tb",
+            "n_both",
+            "df_a",
+            "df_b",
+            F.expr("CAST(n_both * n_docs * 10000 DIV (df_a * df_b) AS BIGINT)").alias(
+                "lift_pp10k"
+            ),
+        )
+        .orderBy(F.desc("lift_pp10k"), "ta", "tb")
+        .limit(20)
+    )
