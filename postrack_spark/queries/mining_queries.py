@@ -413,3 +413,117 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "inventory_abc_xyz_matrix",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      FROM lineitem GROUP BY l_partkey
+    ),
+    wq AS (
+      SELECT l_partkey, epoch_us(l_shipdate) // 604800000000 AS wk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS s2
+      FROM wq GROUP BY l_partkey
+    ),
+    wsp AS (SELECT CAST(count(DISTINCT epoch_us(l_shipdate) // 604800000000) AS BIGINT) AS w
+            FROM lineitem),
+    cum AS (
+      SELECT r.l_partkey, r.cents,
+             sum(r.cents) OVER (ORDER BY r.cents DESC, r.l_partkey) AS cum_cents,
+             sum(r.cents) OVER () AS total_cents
+      FROM rev r
+    ),
+    classed AS (
+      SELECT c.l_partkey, c.cents,
+             CASE WHEN c.cum_cents * 5 <= c.total_cents * 4 THEN 'A'
+                  WHEN c.cum_cents * 20 <= c.total_cents * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             CASE WHEN 4 * wsp.w * m.s2 < 5 * m.s * m.s THEN 'X'
+                  WHEN wsp.w * m.s2 < 2 * m.s * m.s THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM cum c JOIN mom m ON m.l_partkey = c.l_partkey CROSS JOIN wsp
+    )
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS cell_cents
+    FROM classed GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+)
+def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ planning matrix — the inventory-strategy grid: revenue
+    importance (ABC, cumulative-share classes via the DISTRIBUTED
+    prefix sum, as in agg_pareto_abc) crossed with demand variability
+    (XYZ by coefficient of variation of the part's WEEKLY demand,
+    zero-demand weeks included via the global week-span W). The CV
+    thresholds (X: cv<0.5, Y: cv<1) are tested on cv² by integer
+    cross-multiplication — with zero weeks, cv² = (W·Σq² − S²)/S², so
+    X ⇔ 4·W·Σq² < 5·S² and Y ⇔ W·Σq² < 2·S² — no division, no sqrt,
+    no float anywhere. Headroom: W·Σq² and 5·S² stay far inside int64
+    while per-part total quantity < ~10^8. Two fact-sized aggregations
+    (per part, per part-week) + one range shuffle for the prefix sum;
+    the 9-cell matrix is the output."""
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wq = (
+        li.select(
+            "l_partkey",
+            F.expr("unix_micros(l_shipdate) div 604800000000").alias("wk"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_partkey", "wk")
+        .agg(F.sum("q").cast("long").alias("q"))
+    )
+    mom = wq.groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+    )
+    wspan = li.select(
+        F.expr("unix_micros(l_shipdate) div 604800000000").alias("wk")
+    ).agg(F.count_distinct("wk").cast("long").alias("w"))
+    cum = prefix_sums_by_key(
+        rev,
+        [F.desc("cents"), F.asc("l_partkey")],
+        {"cum_cents": "cents"},
+        inclusive=True,
+    )
+    total = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    classed = (
+        cum.crossJoin(F.broadcast(total))
+        .join(mom, "l_partkey")
+        .crossJoin(F.broadcast(wspan))
+        .select(
+            "cents",
+            F.when(F.col("cum_cents") * 5 <= F.col("total_cents") * 4, F.lit("A"))
+            .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            F.when(
+                4 * F.col("w") * F.col("s2") < 5 * F.col("s") * F.col("s"), F.lit("X")
+            )
+            .when(F.col("w") * F.col("s2") < 2 * F.col("s") * F.col("s"), F.lit("Y"))
+            .otherwise(F.lit("Z"))
+            .alias("xyz_class"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("cell_cents"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
