@@ -1521,3 +1521,115 @@ def streaming_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", "n_rows", "n_gaps", "n_leading", "fill_milli"
     ).orderBy("user_id")
+
+
+@query(
+    "streaming_late_data_accounting",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    cls AS (
+      SELECT ts,
+             (('0x' || substring(md5(event_id::VARCHAR), 1, 8))::BIGINT % 20 = 0
+              AND ts < (SELECT m FROM mx) - INTERVAL 1 HOUR) AS is_late
+      FROM events
+    ),
+    wm AS (SELECT m - INTERVAL 30 MINUTE AS w FROM mx),
+    emitted AS (
+      SELECT date_trunc('hour', ts) AS ws, count(*) AS c
+      FROM cls, wm
+      WHERE NOT is_late AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM emitted) AS BIGINT) AS n_windows,
+           CAST((SELECT coalesce(sum(c), 0) FROM emitted) AS BIGINT) AS n_rows,
+           CAST((SELECT count(DISTINCT date_trunc('hour', ts)) FROM cls, wm
+                 WHERE is_late AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= w)
+                AS BIGINT) AS late_windows_dropped
+    """,
+)
+def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data DROP accounting under append-mode watermarking — the
+    semantics every streaming SLA document hand-waves, pinned to an
+    exact oracle: a deterministic 5%-hash straggler cohort (all older
+    than max-1h) is admitted in a FINAL batch after the on-time data,
+    so the watermark (max event time - 30 min, already advanced by the
+    on-time batches) drops every straggler window. The oracle models
+    three engine facts measured empirically (see git history):
+    (1) append emits a window once its END <= watermark, (2) the late
+    filter tests the WINDOW END, not the row's event time, and
+    (3) numRowsDroppedByWatermark counts dropped PARTIAL-AGGREGATE
+    rows — i.e. DISTINCT late windows per batch, not raw rows, because
+    the drop happens after map-side partial aggregation. The reported
+    late_windows_dropped column is REAL engine telemetry
+    (StreamingQueryProgress), hash-checked against the model — a
+    regression in watermark semantics fails the gate. A mid-stream
+    sentinel batch (the single oldest on-time event) sits between
+    bulk and stragglers because the late filter uses the watermark
+    with one extra batch of lag (eventTimeWatermarkForLateEvents vs
+    ForEviction)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "ts")
+    mx = ev.agg(F.max("ts").alias("m"))
+    hsel = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 20 == 0
+    )
+    evm = ev.crossJoin(F.broadcast(mx))
+    is_late = hsel & (F.col("ts") < F.col("m") - F.expr("INTERVAL 1 HOUR"))
+    late = evm.filter(is_late).select("event_id", "ts")
+    ontime = evm.filter(~is_late).select("event_id", "ts")
+    sentinel = ontime.orderBy("ts", "event_id").limit(1)
+    bulk = ontime.join(sentinel.select(F.col("event_id").alias("sid")),
+                       F.col("event_id") == F.col("sid"), "left_anti")
+
+    scratch = _tf.mkdtemp(prefix="late_acct_")
+    dest = _os.path.join(scratch, "all")
+    _os.makedirs(dest)
+    for i, df in enumerate((bulk, sentinel, late)):
+        tmp = _os.path.join(scratch, f"t{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        p = _os.path.join(dest, f"f{i:03d}.parquet")
+        _shutil.copy(src, p)
+        _os.utime(p, (1e9 + i, 1e9 + i))
+
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dest)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    name = _qname("lateacct")
+    ckpt = _tf.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    out = spark.table(name)
+    summary = out.agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("n_rows"),
+    )
+    telemetry = spark.range(1).select(
+        F.lit(int(dropped)).cast("long").alias("late_windows_dropped")
+    )
+    return summary.crossJoin(telemetry)
