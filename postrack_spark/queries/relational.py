@@ -2647,3 +2647,78 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+@query(
+    "sql_topn_with_others",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    ranked AS (
+      SELECT n_name, cents,
+             row_number() OVER (ORDER BY cents DESC, n_name) AS rn
+      FROM rev
+    )
+    SELECT CASE WHEN rn <= 5 THEN n_name ELSE 'OTHERS' END AS bucket,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(min(rn) AS BIGINT) AS best_rank
+    FROM ranked
+    GROUP BY CASE WHEN rn <= 5 THEN n_name ELSE 'OTHERS' END
+    ORDER BY best_rank
+    """,
+)
+def sql_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N plus an OTHERS bucket — the dashboard idiom that needs the
+    FULL total, not just the head (a bare LIMIT silently drops the
+    tail). One fact aggregation to the nation frame (bounded, 25
+    rows), rank on that tiny frame via a broadcast self-join count
+    (the apportionment pattern — no unpartitioned window even though
+    the frame is small), then head rows pass through while the tail
+    folds into one OTHERS row. Output order is by rank with OTHERS
+    last (best_rank carries it)."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    rev = (
+        per_cust.join(t["customer"].select("c_custkey", "c_nationkey"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    other = rev.select(F.col("n_name").alias("n2"), F.col("cents").alias("c2"))
+    ranked = (
+        rev.join(
+            F.broadcast(other),
+            (F.col("c2") > F.col("cents"))
+            | ((F.col("c2") == F.col("cents")) & (F.col("n2") < F.col("n_name"))),
+            "left",
+        )
+        .groupBy("n_name", "cents")
+        .agg((F.count("n2") + F.lit(1)).cast("long").alias("rn"))
+    )
+    return (
+        ranked.select(
+            F.when(F.col("rn") <= 5, F.col("n_name")).otherwise(F.lit("OTHERS")).alias("bucket"),
+            "cents",
+            "rn",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.count("*").cast("long").alias("n_nations"),
+            F.min("rn").cast("long").alias("best_rank"),
+        )
+        .orderBy("best_rank")
+    )

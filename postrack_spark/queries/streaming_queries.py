@@ -1633,3 +1633,154 @@ def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(int(dropped)).cast("long").alias("late_windows_dropped")
     )
     return summary.crossJoin(telemetry)
+
+
+@query(
+    "streaming_session_expiry_timeout",
+    oracle="""
+    WITH ok AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    cut AS (SELECT max(us) AS mx FROM ok),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ok
+      WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             min(us) AS start_us, max(us) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM sess GROUP BY user_id, sid
+    ),
+    emitted AS (
+      SELECT a.user_id, a.start_us, a.end_us, a.n_events
+      FROM agg a CROSS JOIN cut
+      WHERE a.sid < a.last_sid
+         OR (a.end_us + 1800000000) // 1000 < cut.mx // 1000 - 1800000
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum((end_us - start_us) // 1000000) AS BIGINT) AS total_secs
+    FROM emitted
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_session_expiry_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session expiry via GroupStateTimeout.EventTimeTimeout — the
+    timeout half of the arbitrary-stateful API (the NoTimeout
+    operators never exercise it): closed sessions emit from the data
+    path, and each user's TRAILING open session emits only when the
+    watermark passes its end + gap. The oracle replicates the
+    emission rule exactly: admission is deterministic (files = eight
+    equal TIME slices of the event-time span — a pure row function,
+    monotone in ts, so per-user order holds across batches under any
+    partitioning; mtime-stamped, 2 files per trigger), plus a
+    sentinel flush file (dummy key at max+1ms)
+    that forces a final DATA batch whose watermark is global max ts -
+    30 min — the trailing no-data micro-batch that would otherwise
+    fire the timeouts turned out to be a run-to-run RACE under
+    availableNow, measured flipping at sf0.1. A trailing session
+    emits iff its timeout millis lie below that watermark; sessions
+    closer to end-of-input stay buffered — counted by neither side."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "event_id")
+    # File assignment must be a PURE ROW FUNCTION of event time: the
+    # first attempt used exact_ntile octiles, but feeding its output
+    # into an order-insensitive writer re-plans the internal sort and
+    # the rank assignment goes shuffle-fetch-order nondeterministic
+    # (the documented operators/ranking trap — caught here as inverted
+    # sessions on ~1 in 1e5 boundary rows). Eight equal TIME slices of
+    # [min ts, max ts] give the same ordered admission with zero
+    # ranking: monotone in ts, deterministic under any partitioning.
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "ts",
+        (
+            F.lit(1)
+            + F.expr("CAST((unix_micros(ts) - lo) * 8 DIV (hi - lo + 1) AS INT)")
+        ).alias("f"),
+    )
+    scratch = _tf.mkdtemp(prefix="sess_exp_")
+    dest = _os.path.join(scratch, "all")
+    _os.makedirs(dest)
+    tmp = _os.path.join(scratch, "oct")
+    (
+        bucketed.repartition(8, "f")
+        .write.partitionBy("f")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for i in range(1, 9):
+        srcs = _glob.glob(_os.path.join(tmp, f"f={i}", "part-*.parquet"))
+        assert len(srcs) == 1, f"expected one file per octile, got {srcs}"
+        p = _os.path.join(dest, f"f{i:03d}.parquet")
+        _shutil.copy(srcs[0], p)
+        _os.utime(p, (1e9 + i, 1e9 + i))
+    # Deterministic timeout flush: whether availableNow runs a trailing
+    # NO-DATA micro-batch is a race (observed flipping run-to-run at
+    # sf0.1), so the timeouts must fire in a guaranteed DATA batch. A
+    # 9th file holds one sentinel event for a dummy key at max+1ms:
+    # processing it uses watermark = real max - 30min (the one-batch
+    # lag), firing every due timeout; the +1ms keeps any subsequent
+    # racy no-data batch's watermark inside a 1ms band that cannot
+    # change the emission set.
+    flush = (
+        load_tables(spark, sf_dir)["events"]
+        .agg(F.max("ts").alias("mts"))
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.col("mts") + F.expr("INTERVAL 1 MILLISECOND")).alias("ts"),
+        )
+    )
+    ftmp = _os.path.join(scratch, "flush")
+    flush.coalesce(1).write.mode("overwrite").parquet(ftmp)
+    fsrc = _glob.glob(_os.path.join(ftmp, "part-*.parquet"))[0]
+    fp = _os.path.join(dest, "f009.parquet")
+    _shutil.copy(fsrc, fp)
+    _os.utime(fp, (1e9 + 9, 1e9 + 9))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dest)
+        .withWatermark("ts", "30 minutes")
+        .select("user_id", F.unix_micros("ts").alias("us"), "ts")
+    )
+    from postrack_spark.streaming.stateful import session_expiry_sessions
+
+    out = run_to_memory(
+        session_expiry_sessions(stream, gap_minutes=30),
+        _qname("sessexp"),
+        output_mode="append",
+    )
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.expr("(end_us - start_us) DIV 1000000")).cast("long").alias("total_secs"),
+        )
+        .orderBy("user_id")
+    )

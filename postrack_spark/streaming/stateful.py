@@ -278,3 +278,62 @@ def forward_fill_locf(rows: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_expiry_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME TIMEOUT expiry: closed
+    sessions emit from the data path (a row arriving > gap after the
+    open session's end closes it), and each key's trailing open
+    session emits when the WATERMARK passes its end + gap — the
+    GroupStateTimeout.EventTimeTimeout contract, which NoTimeout
+    operators (running totals, top-k) never exercise. State is one
+    open session (start, end, count) per key — O(1) forever. Emission
+    of the trailing session therefore depends on how far the final
+    watermark advanced: sessions ending within (gap + delay) of
+    end-of-input legitimately stay buffered, exactly like the
+    unmatched side of the outer stream-stream join. Requires
+    withWatermark on the input and per-key time-ordered arrival
+    (ordered admission; in-batch rows are sorted here)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            closed.append((s, e, n))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            pdf = pd.concat(list(pdfs)).sort_values("us")
+            for us in pdf["us"]:
+                us = int(us)
+                if cur is None:
+                    cur = (us, us, 1)
+                elif us - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (us, us, 1)
+                else:
+                    cur = (cur[0], us, cur[2] + 1)
+            state.update((int(cur[0]), int(cur[1]), int(cur[2])))
+            # fire when the watermark passes session end + gap
+            state.setTimeoutTimestamp((int(cur[1]) + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, start_us bigint, end_us bigint, n_events bigint",
+        stateStructType="s bigint, e bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
