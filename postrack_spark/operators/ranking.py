@@ -44,7 +44,16 @@ in-partition sort under an order-insensitive consumer, and then
 monotonically_increasing_id numbers rows in shuffle-fetch order
 (caught live by an oracle sweep on agg_weighted_median_rank —
 window_queries.py shows the pattern). Single-reference pipelines and
-order-independent second references (a bare count) are safe. The range exchange is referenced by both
+order-independent second references (a bare count) are safe — with
+ONE measured exception: a SINGLE consumer that imposes its own sort
+can also displace the ranking's in-partition sort. A
+``write.partitionBy(bucket)`` over exact_ntile output (the writer
+sorts each task by the partition column) produced shuffle-fetch-order
+ranks on ~1e-5 of boundary rows (caught round 3 as inverted streaming
+sessions; see streaming_session_expiry_timeout, which now derives its
+buckets from a pure row function instead). groupBy/join consumers of
+the rank VALUE remain safe — value-checked across runs by
+tests/test_ranking.py and the 3-SF sweeps. The range exchange is referenced by both
 the count path and the rank path; Catalyst's ReuseExchange (and AQE
 stage reuse) dedupes it into one physical shuffle, so both paths see
 identical partition boundaries — asserted by tests/test_ranking.py,
