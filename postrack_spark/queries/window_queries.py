@@ -849,3 +849,73 @@ def window_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_winsorized_trimmed_mean",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM v
+    ),
+    sel AS (
+      SELECT max(n) AS n, max(n * 5 // 100) AS t,
+             CAST(sum(CASE WHEN rn = n * 5 // 100 + 1 THEN cents END) AS BIGINT) AS lo_cents,
+             CAST(sum(CASE WHEN rn = n - n * 5 // 100 THEN cents END) AS BIGINT) AS hi_cents,
+             CAST(sum(CASE WHEN rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+                           THEN cents END) AS BIGINT) AS mid_sum
+      FROM ranked
+    )
+    SELECT n, CAST(t AS BIGINT) AS n_trimmed_each_side, lo_cents, hi_cents,
+           CAST(mid_sum * 1000 // (n - 2 * t) AS BIGINT) AS trimmed_mean_milli,
+           CAST((mid_sum + t * (lo_cents + hi_cents)) * 1000 // n AS BIGINT)
+             AS winsor_mean_milli
+    FROM sel
+    """,
+)
+def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means — 5% trimmed (drop each tail) and 5% winsorized
+    (clamp each tail to the boundary order statistics) — the outlier-
+    immune aggregates a metrics platform reports next to the raw mean.
+    Exact at scale: boundary ranks are integer type-1 selections on the
+    DISTRIBUTED global rank (operators/ranking, single-consumer
+    conditional-sum pass — the agg_exact_percentile_rank shape, no
+    WindowExec, no value-buffering percentile aggregate), and both
+    means are integer milli-cents via floor division, so nothing
+    floats. Winsorization is algebra on the same one aggregation row:
+    mid-sum + t*(lo+hi). Headroom: mid_sum*1000 needs total cents <
+    9.2e15 — coarsen units beyond that (the agg_corr_exact rule)."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    v = load_tables(spark, sf_dir)["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_row_number(v, [F.asc("cents"), F.asc("o_orderkey")], "rn")
+    total = v.groupBy().agg(F.count("*").cast("long").alias("n"))
+    j = ranked.join(F.broadcast(total))
+    t = F.expr("n * 5 DIV 100")
+    sel = j.agg(
+        F.max("n").alias("n"),
+        F.max(t).cast("long").alias("t"),
+        F.sum(F.when(F.col("rn") == t + 1, F.col("cents"))).cast("long").alias("lo_cents"),
+        F.sum(F.when(F.col("rn") == F.col("n") - t, F.col("cents"))).cast("long").alias("hi_cents"),
+        F.sum(
+            F.when((F.col("rn") > t) & (F.col("rn") <= F.col("n") - t), F.col("cents"))
+        ).cast("long").alias("mid_sum"),
+    )
+    return sel.select(
+        "n",
+        F.col("t").alias("n_trimmed_each_side"),
+        "lo_cents",
+        "hi_cents",
+        F.expr("CAST(mid_sum * 1000 DIV (n - 2 * t) AS BIGINT)").alias("trimmed_mean_milli"),
+        F.expr(
+            "CAST((mid_sum + t * (lo_cents + hi_cents)) * 1000 DIV n AS BIGINT)"
+        ).alias("winsor_mean_milli"),
+    )
