@@ -921,3 +921,106 @@ def dedup_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") > 1)
         .orderBy("fp")
     )
+
+
+@query(
+    "dedup_method_agreement",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_SIG_CTE},
+    buckets AS ({_BANDS_SQL}),
+    sized AS (
+      SELECT b.* FROM buckets b
+      JOIN (SELECT band, bh, count(*) AS bsz FROM buckets GROUP BY band, bh) s
+        USING (band, bh)
+      WHERE s.bsz <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_tok FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT t1.doc AS doc_a, t2.doc AS doc_b, count(*) AS inter
+      FROM shingles t1 JOIN shingles t2 ON t1.tok = t2.tok AND t1.doc < t2.doc
+      JOIN cand c ON c.doc_a = t1.doc AND c.doc_b = t2.doc
+      GROUP BY t1.doc, t2.doc
+    ),
+    lex AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON sa.doc = i.doc_a
+                   JOIN sizes sb ON sb.doc = i.doc_b
+      WHERE round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) >= 0.5
+    ),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sem AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    ),
+    u AS (
+      SELECT doc_a, doc_b,
+             max(is_lex) AS is_lex, max(is_sem) AS is_sem
+      FROM (
+        SELECT doc_a, doc_b, 1 AS is_lex, 0 AS is_sem FROM lex
+        UNION ALL
+        SELECT doc_a, doc_b, 0, 1 FROM sem
+      )
+      GROUP BY doc_a, doc_b
+    )
+    SELECT CAST(sum(is_lex) AS BIGINT) AS n_lexical,
+           CAST(sum(is_sem) AS BIGINT) AS n_semantic,
+           CAST(sum(is_lex * is_sem) AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CAST(sum(is_lex * is_sem) * 10000 // count(*) AS BIGINT) AS agreement_pp10k
+    FROM u
+    """,
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement audit: how much do the LEXICAL near-dup
+    pipeline (MinHash-LSH candidates verified at Jaccard >= 0.5 on
+    3-shingles) and the SEMANTIC one (label-blocked embedding cosine
+    >= 0.35) agree on WHICH pairs are duplicates? The question every
+    dedup rollout answers before choosing thresholds — reported as
+    pair-set intersection/union with agreement in integer pp10k.
+    Both pipelines are the registry's existing scale shapes reused
+    verbatim (banded candidates + candidates-only verification;
+    blocked cosine join — never all-pairs), so the audit costs one
+    extra pair-set groupBy over their outputs. doc_id and vec_id share
+    the entity id space by fixture construction (TESTDATA.md)."""
+    from postrack_spark.functions.vector import as_double_array, cosine
+    from postrack_spark.session import fan_out
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    shingles = doc_shingles(docs, "doc_id", "text", k=3)
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
+    lex = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_lex"), F.lit(0).alias("is_sem")
+    )
+    e = fan_out(t["embeddings"]).select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("doc_a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("doc_b"), "label", F.col("v").alias("vb"))
+    sem = (
+        a.join(b, "label")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("doc_a", "doc_b", F.lit(0).alias("is_lex"), F.lit(1).alias("is_sem"))
+    )
+    u = (
+        lex.unionByName(sem)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("is_lex").alias("is_lex"), F.max("is_sem").alias("is_sem"))
+    )
+    return u.agg(
+        F.sum("is_lex").cast("long").alias("n_lexical"),
+        F.sum("is_sem").cast("long").alias("n_semantic"),
+        F.sum(F.col("is_lex") * F.col("is_sem")).cast("long").alias("n_both"),
+        F.count("*").cast("long").alias("n_union"),
+        F.expr(
+            "CAST(sum(is_lex * is_sem) * 10000 DIV count(*) AS BIGINT)"
+        ).alias("agreement_pp10k"),
+    )

@@ -436,3 +436,76 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("jac_pp10k"), "x", "y")
         .limit(20)
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    und AS (
+      SELECT pa AS a, pb AS b FROM edges
+      UNION ALL
+      SELECT pb AS a, pa AS b FROM edges
+    ),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+    de AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM de
+    )
+    SELECT n,
+           CAST(floor((1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE))
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+             AS assortativity_ppm
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r): the Pearson correlation of
+    endpoint degrees over the edge list — do hubs link to hubs
+    (assortative, social-network-like) or to leaves (disassortative,
+    catalog-like)? Exact integer moments over the DIRECTED
+    symmetrization of the thresholded co-purchase graph (each
+    undirected edge contributes both orientations, the standard
+    estimator), degrees from one hash aggregate and broadcast back —
+    the bounded-graph argument in the module docstring makes every
+    join broadcastable. The only floating point is the final
+    correctly-rounded sqrt/divide floored to ppm on identical
+    integers (the events_acf_lags rule)."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
+        edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    da = deg.select(F.col("a").alias("ja"), F.col("d").alias("x"))
+    db = deg.select(F.col("a").alias("jb"), F.col("d").alias("y"))
+    de = (
+        und.join(F.broadcast(da), F.col("a") == F.col("ja"))
+        .join(F.broadcast(db), F.col("b") == F.col("jb"))
+        .select("x", "y")
+    )
+    m = de.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "n",
+        F.floor(F.lit(1000000.0) * num / (F.sqrt(dx) * F.sqrt(dy)))
+        .cast("long")
+        .alias("assortativity_ppm"),
+    )
