@@ -527,3 +527,81 @@ def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@query(
+    "quality_distribution_drift",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 2 AS grp
+      FROM orders
+    ),
+    bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM v),
+    bucketed AS (
+      SELECT grp,
+             least(9, CAST((cents - lo) * 10 // (hi - lo + 1) AS BIGINT)) AS bucket
+      FROM v CROSS JOIN bounds
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(count(*) FILTER (grp = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (grp = 1) AS BIGINT) AS n_b
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM counts)
+    SELECT bucket, n_a, n_b,
+           CAST(n_a * 10000 // ta AS BIGINT) AS share_a_pp10k,
+           CAST(n_b * 10000 // tb AS BIGINT) AS share_b_pp10k,
+           CAST(abs(n_a * 10000 // ta - n_b * 10000 // tb) AS BIGINT) AS drift_pp10k
+    FROM counts CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def quality_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serve distribution-drift detector — the ML-ops check that
+    catches a feature shifting between two cohorts before the model
+    quietly degrades: order value bucketed into 10 equal-width bins
+    over the GLOBAL range, per-cohort shares compared bin-by-bin (the
+    cohorts here are a deterministic md5 half-split, standing in for
+    train vs serve). Shares and the per-bin drift are integer pp10k —
+    an L1-style drift profile that, unlike PSI, needs no logarithm and
+    therefore hash-matches cross-engine (sum the drift column for the
+    scalar alarm). Plan: one broadcast min/max combine + one
+    conditional-count aggregation over the fact scan; bin count fixed,
+    so nothing here changes shape at 100 TB."""
+    v = load_tables(spark, sf_dir)["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2
+        ).alias("grp"),
+    )
+    bounds = v.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    bucketed = v.crossJoin(F.broadcast(bounds)).select(
+        "grp",
+        F.least(
+            F.lit(9), F.expr("CAST((cents - lo) * 10 DIV (hi - lo + 1) AS BIGINT)")
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count_if(F.col("grp") == 0).cast("long").alias("n_a"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.expr("CAST(n_a * 10000 DIV ta AS BIGINT)").alias("share_a_pp10k"),
+            F.expr("CAST(n_b * 10000 DIV tb AS BIGINT)").alias("share_b_pp10k"),
+            F.expr(
+                "CAST(abs(n_a * 10000 DIV ta - n_b * 10000 DIV tb) AS BIGINT)"
+            ).alias("drift_pp10k"),
+        )
+        .orderBy("bucket")
+    )

@@ -1623,3 +1623,115 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_pp10k"), "ta", "tb")
         .limit(20)
     )
+
+
+_RAKE_STOPS = "'the','a','of','and','to','in','is','it'"
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ({_RAKE_STOPS}) OR tok = '' THEN 1 ELSE 0 END AS stop
+      FROM tok
+    ),
+    grouped AS (
+      SELECT doc_id, pos, tok, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM marked
+    ),
+    members AS (
+      SELECT doc_id, grp, pos, tok,
+             CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+      FROM grouped WHERE stop = 0
+    ),
+    words AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen) AS BIGINT) AS deg,
+             CAST(100 * sum(plen) // count(*) AS BIGINT) AS score_pp100
+      FROM members GROUP BY tok
+    ),
+    phrases AS (
+      SELECT m.doc_id, m.grp,
+             string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(w.score_pp100) AS BIGINT) AS score_pp100
+      FROM members m JOIN words w ON w.tok = m.tok
+      GROUP BY m.doc_id, m.grp
+    )
+    SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score_pp100) AS BIGINT) AS score_pp100
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY score_pp100 DESC, phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.) — candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = summed length of the phrases it appears in) and a phrase
+    scores the sum of its members — the classic unsupervised keyword
+    extractor. Everything integer: per-word scores floored to pp100
+    BEFORE the phrase sum (fixing an evaluation order the float
+    formulation leaves unspecified), so both engines rank identically.
+    Shape: posexplode -> per-doc PARTITIONED running stopword count
+    segments the phrases (gaps-and-islands, no unpartitioned window),
+    word stats are one hash aggregate over phrase members, phrase
+    scores a broadcast join of that (vocabulary-sized) word table, and
+    top-15 plans as TakeOrderedAndProject."""
+    from postrack_spark.functions.text import STOPWORDS
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(F.col("tok").isin(STOPWORDS) | (F.col("tok") == ""), 1)
+        .otherwise(0)
+        .alias("stop"),
+    )
+    from pyspark.sql import Window as W
+
+    wseq = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    grouped = marked.withColumn("grp", F.sum("stop").over(wseq))
+    members = grouped.filter(F.col("stop") == 0).withColumn(
+        "plen", F.count("*").over(W.partitionBy("doc_id", "grp")).cast("long")
+    )
+    words = members.groupBy("tok").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+        F.expr("CAST(100 * sum(plen) DIV count(*) AS BIGINT)").alias("score_pp100"),
+    )
+    phrases = (
+        members.join(F.broadcast(words.select("tok", "score_pp100")), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)").alias("phrase"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("score_pp100").cast("long").alias("score_pp100"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("score_pp100").cast("long").alias("score_pp100"),
+        )
+        .orderBy(F.desc("score_pp100"), "phrase")
+        .limit(15)
+    )
