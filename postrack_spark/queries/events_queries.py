@@ -2216,3 +2216,45 @@ def events_attribution_position_split(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("position")
     )
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle="""
+    WITH g AS (
+      SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
+    SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hod, n,
+           CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+    FROM g CROSS JOIN tot
+    ORDER BY dow, hod
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap — the seasonality
+    grid behind every ops dashboard. The weekday comes from pure
+    integer epoch arithmetic ((epoch_days + 4) % 7, anchored on
+    1970-01-01 = Thursday) because the engines' calendar dow functions
+    disagree on numbering (Spark dayofweek is 1=Sunday, DuckDB dow is
+    0=Sunday) — integer arithmetic sidesteps the convention entirely.
+    One map-side-combinable aggregation to the fixed 7x24 grid + a
+    broadcast total for integer ppm shares."""
+    ev = load_tables(spark, sf_dir)["events"]
+    g = (
+        ev.select(
+            F.expr("CAST((unix_micros(ts) div 86400000000 + 4) % 7 AS INT)").alias("dow"),
+            F.expr("CAST((unix_micros(ts) % 86400000000) div 3600000000 AS INT)").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select("dow", "hod", "n", F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("share_ppm"))
+        .orderBy("dow", "hod")
+    )

@@ -509,3 +509,64 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("assortativity_ppm"),
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    e1 AS (SELECT pa AS a, pb AS b FROM edges),
+    tris AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e1 x
+      JOIN (SELECT pa AS b, pb AS c FROM edges) y ON x.b = y.b
+      WHERE EXISTS (SELECT 1 FROM edges z WHERE z.pa = x.a AND z.pb = y.c)
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT pa AS node FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY node
+    ),
+    wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+    SELECT t.n_triangles, w.n_wedges,
+           CAST(3 * t.n_triangles * 10000 // w.n_wedges AS BIGINT) AS global_cc_pp10k
+    FROM tris t CROSS JOIN wedges w
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3x triangles over
+    wedges — 'when two products share a co-purchase partner, how often
+    are they co-purchased themselves?'. Triangles reuse the
+    graph_triangle_count broadcast-join enumeration (a<b<c, each
+    triangle once); the wedge count needs no join at all — it is
+    Σ d(d-1)/2 over one degree aggregate. Reported in integer pp10k
+    (floor division); the same support-threshold argument keeps every
+    join broadcastable at any SF."""
+    e = _edges(spark, sf_dir).select("pa", "pb").cache()
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tris = (
+        e1.join(F.broadcast(e2), "b")
+        .join(F.broadcast(e3), ["a", "c"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        tris.crossJoin(wedges)  # two 1-row aggregates
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.expr("CAST(3 * n_triangles * 10000 DIV n_wedges AS BIGINT)").alias(
+                "global_cc_pp10k"
+            ),
+        )
+    )

@@ -605,3 +605,68 @@ def quality_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_hodges_lehmann_location",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.d AS da, b.d AS db, CAST(a.y + b.y AS BIGINT) AS m2
+      FROM daily a JOIN daily b ON b.d >= a.d
+    ),
+    ranked AS (
+      SELECT m2, row_number() OVER (ORDER BY m2, da, db) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM pairs
+    )
+    SELECT max(n) AS n_pairs,
+           CAST(sum(m2 * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                              THEN 2 ELSE 1 END) AS BIGINT) AS hl4x_dollars
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    """,
+)
+def agg_hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator — the median of all Walsh
+    averages (y_i + y_j)/2 over i <= j, the rank-based robust 'center'
+    whose breakdown point beats the mean and whose efficiency beats
+    the median. Same machinery as agg_theil_sen_trend: the pair frame
+    is CALENDAR-bounded (days², not data-sized), pair sums stay
+    integer (no /2 — the output is 4x the estimator: the summed two
+    middle doubled-values, exact), and the middle ranks come from
+    operators/ranking.global_row_number (range shuffle, zero
+    WindowExec) with a (m2, da, db) total order. Consumers divide by 4
+    when they want the float point estimate; the GATE stays integer."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    daily = (
+        load_tables(spark, sf_dir)["orders"]
+        .select(
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("db") >= F.col("da")).select(
+        "da", "db", (F.col("ya") + F.col("yb")).cast("long").alias("m2")
+    )
+    ranked = global_row_number(pairs, ["m2", "da", "db"])
+    n = pairs.agg(F.count("*").cast("long").alias("n"))
+    mid = ranked.crossJoin(F.broadcast(n)).filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    )
+    return mid.agg(
+        F.max("n").alias("n_pairs"),
+        F.sum(
+            F.col("m2")
+            * F.expr("CASE WHEN (n + 1) DIV 2 = (n + 2) DIV 2 THEN 2 ELSE 1 END")
+        ).cast("long").alias("hl4x_dollars"),
+    )
