@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
             relational,
             sampling_queries,
             skew_queries,
+            stats_queries,
             streaming_queries,
             text_queries,
             tpch,

@@ -1,0 +1,341 @@
+"""Robust / nonparametric statistics family (round-3 session 5).
+
+The reference (postrack.go, a 413-line CDC client) has no analytics
+surface; these queries extend the engine's exact-statistics family
+(SURVEY §2b "stats/percentile" rows) with the classical distribution
+comparisons an analyst reaches for next: inequality (Lorenz curve),
+monotone-trend testing (Mann-Kendall), and k-sample rank comparison
+(Kruskal-Wallis). House rules apply throughout: integer moments for
+anything summed across partitions, rank statistics via
+operators/ranking (zero unpartitioned windows), and any final float
+assembled in ONE identically-shaped correctly-rounded double
+expression floored to ppm so the DuckDB oracle hash-matches
+bit-for-bit (the events_ab_welch_ttest pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postrack_spark.queries.registry import query
+from postrack_spark.session import load_tables
+
+
+@query(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS bucket FROM c
+    ),
+    g AS (
+      SELECT CAST(bucket AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(rev) AS BIGINT) AS bucket_cents
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(bucket_cents) AS BIGINT) AS tot FROM g)
+    SELECT g.bucket, g.n_customers, g.bucket_cents,
+           CAST((SELECT sum(h.bucket_cents) FROM g h WHERE h.bucket <= g.bucket)
+                AS BIGINT) AS cum_cents,
+           CAST((SELECT sum(h.bucket_cents) FROM g h WHERE h.bucket <= g.bucket)
+                * 10000 // t.tot AS BIGINT) AS cum_share_pp10k
+    FROM g, t
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve — the decile-resolution companion to the
+    agg_gini_exact scalar: cumulative revenue share of the poorest
+    10%..100% of customers, the curve whose area defect IS the Gini.
+    Deciles come from operators/ranking.exact_ntile over the
+    per-customer aggregate (range shuffle, zero WindowExec; groupBy
+    consumers of the rank value are the documented-safe shape), the
+    cumulative sums from a 10x10 broadcast self-join on the bucket
+    frame (bucket count is a constant, never data-sized), and shares
+    are integer pp10k (positive, so Spark DIV truncation == DuckDB //
+    flooring). Scale: one shuffle for the customer aggregate + one
+    range exchange; everything after is a 10-row frame."""
+    from postrack_spark.operators.ranking import exact_ntile
+
+    rev = (
+        load_tables(spark, sf_dir)["orders"]
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    bucketed = exact_ntile(rev, 10, ["rev", "o_custkey"], "bucket")
+    g = bucketed.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").cast("long").alias("bucket_cents"),
+    )
+    h = g.select(
+        F.col("bucket").alias("hb"), F.col("bucket_cents").alias("hc")
+    )
+    cum = (
+        g.join(F.broadcast(h), F.col("hb") <= F.col("bucket"))
+        .groupBy("bucket", "n_customers", "bucket_cents")
+        .agg(F.sum("hc").cast("long").alias("cum_cents"))
+    )
+    tot = g.agg(F.sum("bucket_cents").cast("long").alias("tot"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_customers",
+        "bucket_cents",
+        "cum_cents",
+        F.expr("CAST(cum_cents * 10000 DIV tot AS BIGINT)").alias("cum_share_pp10k"),
+    )
+
+
+@query(
+    "events_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d > a.d
+      GROUP BY 1
+    ),
+    nd AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT nd.event_type, nd.n_days, s.s_stat,
+           CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tie18
+                AS BIGINT) AS varnum18,
+           CASE WHEN s.s_stat = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000000.0
+                         * CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                                     ELSE s.s_stat + 1 END AS DOUBLE)
+                         / sqrt(CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                                     - ties.tie18 AS DOUBLE) / 18.0)) AS BIGINT)
+           END AS z_ppm
+    FROM nd JOIN s USING (event_type) JOIN ties USING (event_type)
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type — the
+    nonparametric sibling of events_trend_regression (OLS) and
+    agg_theil_sen_trend (the slope this test decides the significance
+    of). S = Σ sign(c_j − c_i) over ordered day pairs, the tie-aware
+    normal-approximation variance 18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5),
+    and the continuity-corrected Z floored to ppm in one
+    IEEE-deterministic expression. The pair frame is CALENDAR-bounded
+    (days² per type, not data-sized — the agg_theil_sen_trend
+    argument), so the self-join broadcasts its right side; everything
+    before it is one map-side-combined daily aggregate. All-tied
+    series have S = 0 and take the CASE arm, so the sqrt is never
+    evaluated on a zero variance."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = daily.select(
+        F.col("event_type"), F.col("d").alias("da"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("et_b") == F.col("event_type")) & (F.col("db") > F.col("da")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long").alias("tie18")
+        )
+    )
+    joined = nd.join(s, "event_type").join(ties, "event_type")
+    varnum18 = F.expr(
+        "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS BIGINT)"
+    )
+    z_ppm = F.expr(
+        """
+        CASE WHEN s_stat = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(1000000.0
+                      * CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                                  ELSE s_stat + 1 END AS DOUBLE)
+                      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                                  - tie18 AS DOUBLE) / 18.0)) AS BIGINT)
+        END
+        """
+    )
+    return joined.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        varnum18.alias("varnum18"),
+        z_ppm.alias("z_ppm"),
+    )
+
+
+@query(
+    "agg_kruskal_wallis",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cells AS (
+      SELECT prio, cents, CAST(count(*) AS BIGINT) AS n_pc
+      FROM c GROUP BY 1, 2
+    ),
+    vals AS (
+      SELECT cents, CAST(sum(n_pc) AS BIGINT) AS cnt FROM cells GROUP BY 1
+    ),
+    mid AS (
+      SELECT cents, cnt,
+             2 * CAST(coalesce(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + cnt + 1 AS mr2
+      FROM vals
+    ),
+    grp AS (
+      SELECT prio,
+             CAST(sum(n_pc * mr2) AS BIGINT) AS r2,
+             CAST(sum(n_pc) AS BIGINT) AS n_j
+      FROM cells JOIN mid USING (cents) GROUP BY 1
+    ),
+    terms AS (
+      SELECT CAST(sum(CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                                 / (4.0 * CAST(n_j AS DOUBLE))) AS BIGINT))
+                  AS BIGINT) AS hnum,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM grp
+    ),
+    tie AS (
+      SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum,
+             CAST(sum(cnt) AS BIGINT) AS n_total
+      FROM vals
+    )
+    SELECT tie.n_total, terms.n_groups, tie.tie_sum,
+           CAST(floor(1000000.0
+                * ((12.0 * CAST(terms.hnum AS DOUBLE)
+                    / (CAST(tie.n_total AS DOUBLE) * (CAST(tie.n_total AS DOUBLE) + 1.0))
+                    - 3.0 * (CAST(tie.n_total AS DOUBLE) + 1.0))
+                   / (1.0 - CAST(tie.tie_sum AS DOUBLE)
+                      / CAST(tie.n_total * tie.n_total * tie.n_total - tie.n_total
+                             AS DOUBLE)))) AS BIGINT) AS h_ppm
+    FROM terms, tie
+    """,
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H — the k-sample generalization of the
+    Mann-Whitney machinery behind quality_auc_exact: does order value
+    differ across the 5 order priorities, by ranks? Midranks come
+    from a distributed prefix sum over the DISTINCT-value frame
+    (operators/ranking.prefix_sum_by_key — vocabulary-sized, range
+    exchange, no unpartitioned window), doubled (mr2 = 2·cumBefore +
+    t + 1) so ties stay integral. Per-group rank sums R2_j = Σ n·mr2
+    are exact int64 (≤ n_j·(2N+1) ≈ 4.5e10 at sf0.1); each group's
+    R_j²/n_j term is ONE IEEE double expression floored to int64
+    BEFORE the cross-group sum (the BM25 floored-contribution trick —
+    integer addition is associative, double addition is not), and H
+    with the tie-correction divisor is assembled in one final
+    identically-shaped expression floored to ppm. Headroom: the tie
+    term Σ(t³−t) needs int64 — fine to ~2M fully-tied rows per value;
+    coarsen value units past that (the agg_corr_exact rule)."""
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    c = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cells = c.groupBy("prio", "cents").agg(F.count("*").cast("long").alias("n_pc"))
+    vals = cells.groupBy("cents").agg(F.sum("n_pc").cast("long").alias("cnt"))
+    mid = prefix_sum_by_key(vals, ["cents"], "cnt", "cumb", inclusive=False).select(
+        "cents",
+        "cnt",
+        (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    )
+    grp = (
+        cells.join(mid.select("cents", "mr2"), "cents")
+        .groupBy("prio")
+        .agg(
+            F.sum(F.col("n_pc") * F.col("mr2")).cast("long").alias("r2"),
+            F.sum("n_pc").cast("long").alias("n_j"),
+        )
+    )
+    terms = grp.agg(
+        F.sum(
+            F.floor(
+                F.col("r2").cast("double")
+                * F.col("r2").cast("double")
+                / (F.lit(4.0) * F.col("n_j").cast("double"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hnum"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+    tie = vals.agg(
+        F.sum(F.expr("cnt * cnt * cnt - cnt")).cast("long").alias("tie_sum"),
+        F.sum("cnt").cast("long").alias("n_total"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    h_ppm = F.floor(
+        F.lit(1000000.0)
+        * (
+            (
+                F.lit(12.0) * d("hnum") / (d("n_total") * (d("n_total") + F.lit(1.0)))
+                - F.lit(3.0) * (d("n_total") + F.lit(1.0))
+            )
+            / (
+                F.lit(1.0)
+                - d("tie_sum")
+                / F.expr(
+                    "CAST(n_total * n_total * n_total - n_total AS DOUBLE)"
+                )
+            )
+        )
+    ).cast("long")
+    return (
+        terms.crossJoin(F.broadcast(tie))  # 1-row x 1-row combine
+        .select("n_total", "n_groups", "tie_sum", h_ppm.alias("h_ppm"))
+    )
