@@ -339,3 +339,224 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.crossJoin(F.broadcast(tie))  # 1-row x 1-row combine
         .select("n_total", "n_groups", "tie_sum", h_ppm.alias("h_ppm"))
     )
+
+
+@query(
+    "window_rolling_median_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT a.d AS d, b.d AS db, b.y AS yb,
+             row_number() OVER (PARTITION BY a.d ORDER BY b.y, b.d) AS rn,
+             CAST(count(*) OVER (PARTITION BY a.d) AS BIGINT) AS n
+      FROM daily a JOIN daily b ON b.d BETWEEN a.d - 6 AND a.d
+    )
+    SELECT d, max(n) AS n_window,
+           CAST(sum(yb * CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 2 ELSE 1 END)
+                AS BIGINT) AS med2x_dollars
+    FROM win
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY d
+    """,
+)
+def window_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily order revenue — the
+    robust twin of the moving average family (a median has no
+    incremental frame update, so SQL's ROWS frame can't express it;
+    engines that try buffer the window). Here the window relation is
+    materialized explicitly as a calendar-bounded range self-join
+    (≤7 rows per day, days² pairs total — the agg_theil_sen_trend
+    argument) and the median is rank-selected with a PARTITIONED
+    row_number (partition = output day, ≤7 rows per partition — never
+    the single-task global window). med2x = the doubled median (sum
+    of the two middle values when even), keeping the gate integer.
+    Scale: the daily aggregate is the only data-sized pass."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_tables(spark, sf_dir)["orders"]
+        .select(
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"))
+    )
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    win = daily.select("d").join(
+        F.broadcast(b),
+        (F.col("db") >= F.col("d") - 6) & (F.col("db") <= F.col("d")),
+    )
+    w = Window.partitionBy("d").orderBy("yb", "db")
+    ranked = win.select(
+        "d",
+        "yb",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("d")).cast("long").alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+        )
+        .groupBy("d")
+        .agg(
+            F.max("n").alias("n_window"),
+            F.sum(
+                F.col("yb")
+                * F.expr("CASE WHEN (n + 1) DIV 2 = (n + 2) DIV 2 THEN 2 ELSE 1 END")
+            )
+            .cast("long")
+            .alias("med2x_dollars"),
+        )
+    )
+
+
+@query(
+    "events_sequence_bigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, user_id
+      FROM seq WHERE prev_type IS NOT NULL
+    ),
+    t AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_total FROM events
+    )
+    SELECT prev_type, next_type,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id) * 10000 // t.n_users_total AS BIGINT)
+             AS support_pp10k
+    FROM pairs, t
+    GROUP BY prev_type, next_type, t.n_users_total
+    """,
+)
+def events_sequence_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining at depth 2: which event-type
+    transitions actually happen, how often, and for what share of the
+    user base — the support table a PrefixSpan-style miner would seed
+    from, and the raw counts behind events_markov_transitions (which
+    normalizes per source state; this keeps corpus-level support).
+    Adjacency comes from lag() over a PER-USER window (partitioned —
+    never global); support is distinct-user counts in integer pp10k of
+    the total user population. Scale: one shuffle to order each user's
+    history + one pair aggregation over a types² result frame."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tot = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users_total"))
+    return (
+        seq.crossJoin(F.broadcast(tot))
+        .groupBy("prev_type", F.col("event_type").alias("next_type"), "n_users_total")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n_occurrences",
+            "n_users",
+            F.expr("CAST(n_users * 10000 DIV n_users_total AS BIGINT)").alias(
+                "support_pp10k"
+            ),
+        )
+    )
+
+
+@query(
+    "events_conversion_latency_quartiles",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY 1
+    ),
+    lat AS (
+      SELECT user_id, CAST((p_us - v_us) // 1000000 AS BIGINT) AS lat_sec
+      FROM firsts WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us > v_us
+    ),
+    ranked AS (
+      SELECT lat_sec, row_number() OVER (ORDER BY lat_sec, user_id) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM lat
+    )
+    SELECT max(n) AS n_users,
+           CAST(max(CASE WHEN rn = (1 * n + 3) // 4 THEN lat_sec END) AS BIGINT)
+             AS q1_sec,
+           CAST(max(CASE WHEN rn = (2 * n + 3) // 4 THEN lat_sec END) AS BIGINT)
+             AS med_sec,
+           CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN lat_sec END) AS BIGINT)
+             AS q3_sec
+    FROM ranked
+    WHERE rn = (1 * n + 3) // 4 OR rn = (2 * n + 3) // 4 OR rn = (3 * n + 3) // 4
+    """,
+)
+def events_conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: quartiles of first-view → first-
+    purchase latency across converting users — the funnel-health
+    number next to events_ordered_funnel's stage counts. Latencies are
+    integer seconds (epoch-micros difference floored — the documented
+    epoch_us//1e6 convention, never a timestamp cast); the three
+    quartiles are type-1 order statistics at ceil(k·n/4) selected via
+    operators/ranking.global_row_number over the user-sized latency
+    frame (range exchange, zero WindowExec — user counts are
+    data-sized at 100 TB, so the global window the textbook query
+    would use is exactly the single-task killer this avoids)."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    ev = load_tables(spark, sf_dir)["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.expr("unix_micros(ts)"))
+        ).alias("v_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.expr("unix_micros(ts)"))
+        ).alias("p_us"),
+    )
+    lat = firsts.filter(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") > F.col("v_us"))
+    ).select(
+        "user_id",
+        F.expr("CAST((p_us - v_us) DIV 1000000 AS BIGINT)").alias("lat_sec"),
+    )
+    ranked = global_row_number(lat, ["lat_sec", "user_id"])
+    n = lat.agg(F.count("*").cast("long").alias("n"))
+    picked = ranked.crossJoin(F.broadcast(n)).filter(
+        (F.col("rn") == F.expr("(1 * n + 3) DIV 4"))
+        | (F.col("rn") == F.expr("(2 * n + 3) DIV 4"))
+        | (F.col("rn") == F.expr("(3 * n + 3) DIV 4"))
+    )
+    return picked.agg(
+        F.max("n").alias("n_users"),
+        F.max(F.when(F.col("rn") == F.expr("(1 * n + 3) DIV 4"), F.col("lat_sec")))
+        .cast("long")
+        .alias("q1_sec"),
+        F.max(F.when(F.col("rn") == F.expr("(2 * n + 3) DIV 4"), F.col("lat_sec")))
+        .cast("long")
+        .alias("med_sec"),
+        F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("lat_sec")))
+        .cast("long")
+        .alias("q3_sec"),
+    )
