@@ -560,3 +560,203 @@ def events_conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> Dat
         .cast("long")
         .alias("q3_sec"),
     )
+
+
+@query(
+    "text_vocabulary_richness",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+                AS BIGINT) AS hapax_share_pp10k,
+           CAST(count(*) * 10000 // sum(f) AS BIGINT) AS ttr_pp10k,
+           CAST((sum(f * f) - sum(f)) * 10000000
+                // (sum(f) * sum(f)) AS BIGINT) AS yule_k_milli
+    FROM freq
+    GROUP BY source
+    """,
+)
+def text_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-richness profile — the corpus-health
+    numbers a data curator reads next to text_corpus_token_freq's Zipf
+    head: token/type totals, hapax legomena (words seen once — the
+    long tail LLM tokenizers choke on), type-token ratio, and Yule's K
+    (the length-robust repetitiveness characteristic, K = 10⁴·(Σf² −
+    N)/N²). Every statistic is an integer rational (shares pp10k, K in
+    milli-units via a single positive DIV — Spark truncation == DuckDB
+    flooring), so the gate is bit-exact. Plan: one explode + wordcount
+    shuffle (map-side combined), then a per-source fold. Headroom:
+    Σf²·10⁷ needs int64 — fine to ~10⁹ tokens per source on this
+    vocabulary; shard the source key past that."""
+    from postrack_spark.functions.text import tokens
+    from postrack_spark.session import fan_out
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"])
+    freq = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    return freq.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.expr(
+            "CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("hapax_share_pp10k"),
+        F.expr("CAST(count(*) * 10000 DIV sum(f) AS BIGINT)").alias("ttr_pp10k"),
+        F.expr(
+            "CAST((sum(f * f) - sum(f)) * 10000000"
+            " DIV (sum(f) * sum(f)) AS BIGINT)"
+        ).alias("yule_k_milli"),
+    )
+
+
+@query(
+    "dedup_record_linkage_scores",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS ntok,
+             array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+               AS prefix3
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.lang,
+             (CASE WHEN a.source = b.source THEN 24 ELSE -8 END
+              + CASE WHEN a.ntok = b.ntok THEN 16 ELSE -6 END
+              + CASE WHEN a.prefix3 = b.prefix3 THEN 30 ELSE -4 END) AS score
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    )
+    SELECT lang,
+           CASE WHEN score >= 50 THEN 'link'
+                WHEN score >= 10 THEN 'possible' ELSE 'non_link' END AS decision,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM pairs
+    GROUP BY 1, 2
+    """,
+)
+def dedup_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage — the
+    field-weighted scoring tier between dedup_exact_groups (all-or-
+    nothing) and dedup_minhash_lsh (content similarity): candidate
+    pairs from (lang, exact length) blocking, per-field agreement /
+    disagreement log-odds weights in integer centibans (source +24/−8,
+    token count +16/−6, 3-token prefix +30/−4 — fixed m/u-probability
+    constants, as a trained FS model would broadcast), summed to a
+    pair score and thresholded into link / possible / non-link. The
+    blocking keeps the pair relation O(Σ block²) with data-sized
+    blocks never forming (length × language is near-unique here;
+    production blocking composes more keys the same way — never a
+    crossJoin). Integer scores, integer counts: bit-exact gate."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), r"\s+")).alias("ntok"),
+        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 3), " ").alias(
+            "prefix3"
+        ),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        (
+            F.when(F.col("a.source") == F.col("b.source"), 24).otherwise(-8)
+            + F.when(F.col("a.ntok") == F.col("b.ntok"), 16).otherwise(-6)
+            + F.when(F.col("a.prefix3") == F.col("b.prefix3"), 30).otherwise(-4)
+        ).alias("score"),
+    )
+    return pairs.groupBy(
+        "lang",
+        F.when(F.col("score") >= 50, "link")
+        .when(F.col("score") >= 10, "possible")
+        .otherwise("non_link")
+        .alias("decision"),
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
+
+
+@query(
+    "events_fano_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n, s,
+           CAST((n * ss - s * s) * 10000 // (n * s) AS BIGINT) AS fano_pp10k,
+           CAST(floor(1000000.0
+                * (sqrt(CAST(n * ss - s * s AS DOUBLE)
+                        / CAST(n * n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / (sqrt(CAST(n * ss - s * s AS DOUBLE)
+                        / CAST(n * n AS DOUBLE)) + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                AS BIGINT) AS burstiness_ppm
+    FROM m
+    """,
+)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion screening per event type: the Fano factor (variance/
+    mean of daily counts — 1 for a Poisson process, >1 overdispersed)
+    and Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1). The Fano
+    factor is EXACT: var/mean = (nΣc²−S²)/(nS), one positive integer
+    DIV in pp10k. Burstiness needs a square root, so it follows the
+    welch-ttest rule: one identically-shaped correctly-rounded double
+    expression, floor()-ed to ppm (floor, not DIV — B can be negative
+    and floor() rounds toward −∞ in both engines). Input is the
+    map-side-combined daily aggregate; the moment fold is O(types)."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    sigma = F.sqrt(
+        F.expr("CAST(n * ss - s * s AS DOUBLE)") / F.expr("CAST(n * n AS DOUBLE)")
+    )
+    mu = F.expr("CAST(s AS DOUBLE)") / F.expr("CAST(n AS DOUBLE)")
+    return m.select(
+        "event_type",
+        "n",
+        "s",
+        F.expr("CAST((n * ss - s * s) * 10000 DIV (n * s) AS BIGINT)").alias(
+            "fano_pp10k"
+        ),
+        F.floor(F.lit(1000000.0) * (sigma - mu) / (sigma + mu))
+        .cast("long")
+        .alias("burstiness_ppm"),
+    )
