@@ -760,3 +760,254 @@ def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("burstiness_ppm"),
     )
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    head = """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    a0 AS (SELECT DISTINCT p AS node, CAST(1000000 AS BIGINT) AS a FROM edges)
+    """
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    h{i}raw AS MATERIALIZED (
+      SELECT e.c AS node, CAST(sum(a.a) AS BIGINT) AS hr
+      FROM edges e JOIN a{i - 1} a ON a.node = e.p GROUP BY e.c
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT node, CAST(hr * 1000000 // (SELECT max(hr) FROM h{i}raw) AS BIGINT) AS h
+      FROM h{i}raw
+    ),
+    a{i}raw AS MATERIALIZED (
+      SELECT e.p AS node, CAST(sum(h.h) AS BIGINT) AS ar
+      FROM edges e JOIN h{i} h ON h.node = e.c GROUP BY e.p
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT node, CAST(ar * 1000000 // (SELECT max(ar) FROM a{i}raw) AS BIGINT) AS a
+      FROM a{i}raw
+    )""")
+    return (
+        head.rstrip()
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT * FROM (
+      SELECT 'hub' AS side, node, h AS score_micros FROM h{iters}
+      ORDER BY score_micros DESC, node LIMIT 10)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'authority' AS side, node, a AS score_micros FROM a{iters}
+      ORDER BY score_micros DESC, node LIMIT 10)
+    """
+    )
+
+
+@query("graph_hits_bipartite", oracle=_hits_oracle(3))
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (3 iterations) on the BIPARTITE
+    customer→part purchase graph — the link-analysis sibling of
+    graph_pagerank_top10, exercising the other classic recurrence
+    (mutual reinforcement across two node classes instead of a single
+    stochastic matrix). Same fixed-point discipline: micro-unit
+    integer scores, L-inf normalization each half-step as one positive
+    integer DIV against the broadcast max (the
+    vector_pca_power_iteration trick), so the trajectory is hash-exact
+    against an oracle that unrolls the identical six half-steps as
+    MATERIALIZED CTEs (materialized — DuckDB would otherwise inline
+    the exponential chain, the documented k-core trap). Scale: each
+    half-step is one co-partitioned edge⋈score join + one aggregation
+    keyed by the opposite node class (vertex-centric Pregel shape);
+    localCheckpoint truncates lineage per round."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(t["lineitem"].select("l_orderkey", "l_partkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .cache()
+    )
+    a = edges.select("p").distinct().select(
+        F.col("p").alias("node"), F.lit(1000000).cast("long").alias("a")
+    )
+    h = None
+    for _ in range(3):
+        hraw = (
+            edges.join(a.withColumnRenamed("node", "p"), "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("hr"))
+        )
+        hmax = hraw.agg(F.max("hr").alias("hmax"))
+        h = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select(
+                F.col("c").alias("node"),
+                F.expr("CAST(hr * 1000000 DIV hmax AS BIGINT)").alias("h"),
+            )
+            .localCheckpoint()
+        )
+        araw = (
+            edges.join(h.withColumnRenamed("node", "c"), "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("ar"))
+        )
+        amax = araw.agg(F.max("ar").alias("amax"))
+        a = (
+            araw.crossJoin(F.broadcast(amax))
+            .select(
+                F.col("p").alias("node"),
+                F.expr("CAST(ar * 1000000 DIV amax AS BIGINT)").alias("a"),
+            )
+            .localCheckpoint()
+        )
+    hubs = (
+        h.select(F.lit("hub").alias("side"), "node", F.col("h").alias("score_micros"))
+        .orderBy(F.col("score_micros").desc(), "node")
+        .limit(10)
+    )
+    auths = (
+        a.select(
+            F.lit("authority").alias("side"), "node", F.col("a").alias("score_micros")
+        )
+        .orderBy(F.col("score_micros").desc(), "node")
+        .limit(10)
+    )
+    return hubs.unionAll(auths)
+
+
+@query(
+    "events_user_survival_table",
+    oracle="""
+    WITH bounds AS (
+      SELECT max(epoch_us(ts) // 86400000000) AS max_d FROM events
+    ),
+    spans AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts) // 86400000000)
+                  - min(epoch_us(ts) // 86400000000) AS BIGINT) AS t,
+             CAST(CASE WHEN max(epoch_us(ts) // 86400000000)
+                            >= (SELECT max_d FROM bounds) - 6
+                       THEN 1 ELSE 0 END AS BIGINT) AS censored
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT t,
+             CAST(sum(1 - censored) AS BIGINT) AS d_churn,
+             CAST(sum(censored) AS BIGINT) AS c_censored
+      FROM spans GROUP BY t
+    ),
+    risk AS (
+      SELECT s.t, s.d_churn, s.c_censored,
+             CAST((SELECT sum(d_churn + c_censored) FROM steps h
+                   WHERE h.t >= s.t) AS BIGINT) AS n_risk
+      FROM steps s
+    )
+    SELECT r.t AS t_days, r.n_risk, r.d_churn, r.c_censored,
+           CAST((SELECT sum((h.d_churn * 1000000) // h.n_risk)
+                 FROM risk h WHERE h.t <= r.t) AS BIGINT) AS na_hazard_ppm
+    FROM risk r
+    """,
+)
+def events_user_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis over user lifetimes: the life table (risk set,
+    churn events, right-censored counts per observed lifetime day) plus
+    the Nelson-Aalen cumulative hazard — the censoring-aware churn
+    statistics behind retention curves. A user's lifetime is last-seen
+    minus first-seen day; users still active in the corpus's final 7
+    days are right-censored, not churned. The Kaplan-Meier SURVIVAL
+    curve is a cumulative float product (never oracle-gateable — see
+    the double-association trap); the life table and the Nelson-Aalen
+    sum ARE gateable: risk sets are suffix sums over the
+    calendar-bounded lifetime frame (days-sized broadcast self-join —
+    the Lorenz pattern), and each hazard increment d/n is floored to
+    ppm BEFORE the cumulative integer sum (the BM25 floored-
+    contribution trick). One data-sized pass (the per-user span
+    aggregate); everything after is day-frame-sized."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
+    )
+    bounds = ev.agg(F.max("d").alias("max_d"))
+    spans = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("last_d") - F.col("first_d")).cast("long").alias("t"),
+            F.when(F.col("last_d") >= F.col("max_d") - 6, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("censored"),
+        )
+    )
+    steps = spans.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d_churn"),
+        F.sum("censored").cast("long").alias("c_censored"),
+    )
+    h = steps.select(
+        F.col("t").alias("ht"),
+        (F.col("d_churn") + F.col("c_censored")).alias("hn"),
+    )
+    risk = (
+        steps.join(F.broadcast(h), F.col("ht") >= F.col("t"))
+        .groupBy("t", "d_churn", "c_censored")
+        .agg(F.sum("hn").cast("long").alias("n_risk"))
+    )
+    inc = risk.select(
+        F.col("t").alias("it"),
+        F.expr("CAST((d_churn * 1000000) DIV n_risk AS BIGINT)").alias("haz"),
+    )
+    return (
+        risk.join(F.broadcast(inc), F.col("it") <= F.col("t"))
+        .groupBy("t", "n_risk", "d_churn", "c_censored")
+        .agg(F.sum("haz").cast("long").alias("na_hazard_ppm"))
+        .select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            "d_churn",
+            "c_censored",
+            "na_hazard_ppm",
+        )
+    )
+
+
+@query(
+    "quality_hll_error_certify",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def quality_hll_error_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-contract certification for HyperLogLog — the
+    quality_quantile_sketch_certify pattern applied to the OTHER
+    workhorse sketch: approx_count_distinct's estimate is
+    engine-specific (never directly gateable), but its ERROR CONTRACT
+    is a deterministic boolean. Each event type's HLL estimate (default
+    rsd 5%) must land within 3σ = 15% of the exact distinct-user count
+    computed alongside; the oracle asserts the exact counts and
+    `within_bound = TRUE`, so a sketch drifting out of contract fails
+    the hash gate. This is how nondeterministic estimators get
+    first-class correctness coverage: gate the certificate, not the
+    estimate. One aggregation pass computes both counts."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id").cast("long").alias("est"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.lit(0.15) * F.col("exact_users").cast("double")
+            ).alias("within_bound"),
+        )
+    )
