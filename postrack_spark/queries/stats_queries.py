@@ -562,9 +562,7 @@ def events_conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
-@query(
-    "text_vocabulary_richness",
-    oracle="""
+RICHNESS_ORACLE = """
     WITH tok AS (
       SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
     ),
@@ -582,8 +580,30 @@ def events_conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> Dat
                 // (sum(f) * sum(f)) AS BIGINT) AS yule_k_milli
     FROM freq
     GROUP BY source
-    """,
-)
+    """
+
+
+def richness_from_freq(freq: DataFrame) -> DataFrame:
+    """Per-source richness statistics from a (source, w, f) term-
+    frequency relation — shared by the batch query and the streaming
+    view twin so both are gated by the SAME oracle."""
+    return freq.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.expr(
+            "CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("hapax_share_pp10k"),
+        F.expr("CAST(count(*) * 10000 DIV sum(f) AS BIGINT)").alias("ttr_pp10k"),
+        F.expr(
+            "CAST((sum(f * f) - sum(f)) * 10000000"
+            " DIV (sum(f) * sum(f)) AS BIGINT)"
+        ).alias("yule_k_milli"),
+    )
+
+
+@query("text_vocabulary_richness", oracle=RICHNESS_ORACLE)
 def text_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary-richness profile — the corpus-health
     numbers a data curator reads next to text_corpus_token_freq's Zipf
@@ -605,20 +625,7 @@ def text_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count("*").cast("long").alias("f"))
     )
-    return freq.groupBy("source").agg(
-        F.sum("f").cast("long").alias("n_tokens"),
-        F.count("*").cast("long").alias("n_types"),
-        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
-        F.expr(
-            "CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 10000"
-            " DIV count(*) AS BIGINT)"
-        ).alias("hapax_share_pp10k"),
-        F.expr("CAST(count(*) * 10000 DIV sum(f) AS BIGINT)").alias("ttr_pp10k"),
-        F.expr(
-            "CAST((sum(f * f) - sum(f)) * 10000000"
-            " DIV (sum(f) * sum(f)) AS BIGINT)"
-        ).alias("yule_k_milli"),
-    )
+    return richness_from_freq(freq)
 
 
 @query(

@@ -1070,6 +1070,52 @@ def _bm25_oracle() -> str:
     return _BM25_ORACLE
 
 
+def _richness_oracle() -> str:
+    from postrack_spark.queries.stats_queries import RICHNESS_ORACLE
+
+    return RICHNESS_ORACLE
+
+
+@query("streaming_vocabulary_richness", oracle=_richness_oracle())
+def streaming_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary-richness maintenance: documents arrive in
+    micro-batches and the per-source term-frequency relation
+    (source, w, f) — the sufficient statistics for hapax counts,
+    type-token ratio, and Yule's K — is folded incrementally through
+    the versioned exactly-once fold sink, O(batch tokens) per batch,
+    never re-scanning old documents. At read time the SAME
+    richness_from_freq aggregation as the batch
+    text_vocabulary_richness runs over the maintained view, so the
+    streaming index must reproduce the batch statistics bit-for-bit
+    (shared oracle). The curation use: hapax share and K drift as a
+    corpus grows are the live data-quality signals; maintaining Σf and
+    Σf² ingredients additively is what makes them streamable — Yule's
+    K itself is NOT additive, its term-frequency relation is. Scale:
+    state is O(sources × vocabulary); the fold is a commutative
+    monoid, so admission batching is free to vary."""
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    docs = load_tables(spark, sf_dir)["documents"].repartition(8)
+    stream = envelope_stream(
+        spark, docs, name="vocab_rich", options={"maxFilesPerTrigger": "2"}
+    )
+    freq_rows = stream.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+        F.lit(1).cast("long").alias("f"),
+    )
+    target, q = foreach_batch_fold(
+        freq_rows, group_cols=["source", "w"], sum_cols=["f"]
+    )
+    q.awaitTermination()
+
+    from postrack_spark.queries.stats_queries import richness_from_freq
+
+    view = read_view(spark, target).filter(F.col("f") > 0)
+    return richness_from_freq(view)
+
+
 @query("streaming_bm25_index", oracle=_bm25_oracle())
 def streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming BM25 index maintenance: documents arrive in
