@@ -769,6 +769,180 @@ def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_good_turing_smoothing",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+    nr AS (
+      SELECT f AS r, CAST(count(*) AS BIGINT) AS n_r FROM freq
+      WHERE f <= 6 GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(coalesce((SELECT n_r FROM nr WHERE r = 1), 0) AS BIGINT) AS n1
+      FROM freq
+    )
+    SELECT a.r, a.n_r,
+           CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+           CAST((a.r + 1) * coalesce(b.n_r, 0) * 1000 // a.n_r AS BIGINT)
+             AS rstar_milli,
+           CAST(t.n1 * 10000 // t.n_tokens AS BIGINT) AS p_unseen_pp10k
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    CROSS JOIN tot t
+    WHERE a.r <= 5
+    """,
+)
+def text_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing frequency smoothing over the corpus
+    vocabulary — the LM-estimation classic: the smoothed count
+    r* = (r+1)·N_{r+1}/N_r for the low-frequency ranks r = 1..5, and
+    the unseen-event mass P₀ = N₁/N that a language model reserves for
+    words it has never seen. N_r (types occurring exactly r times)
+    comes from one wordcount shuffle + one tiny rank histogram;
+    r* is an integer rational in milli-units (positive DIV) and P₀ in
+    pp10k, so the whole table is bit-exact. Ranks with N_r = 0 are
+    excluded (ANSI division); N_{r+1} gaps smooth to 0 — the honest
+    raw-SGT behavior (production SGT regresses Z_r, which needs logs —
+    the documented no-logarithm rule — and changes nothing for
+    r ≤ 5 on a corpus this dense). Scale: the only data-sized stage is
+    the wordcount; the rank histogram is ≤6 rows."""
+    from postrack_spark.functions.text import tokens
+    from postrack_spark.session import fan_out
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"])
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    nr = (
+        freq.filter(F.col("f") <= 6)
+        .groupBy(F.col("f").alias("r"))
+        .agg(F.count("*").cast("long").alias("n_r"))
+    )
+    tot = freq.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") == 1, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n1"),
+    )
+    b = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        nr.filter(F.col("r") <= 5)
+        .join(F.broadcast(b), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("n_r_next"), F.lit(0)).cast("long").alias("n_r_next"),
+            F.expr(
+                "CAST((r + 1) * coalesce(n_r_next, 0) * 1000 DIV n_r AS BIGINT)"
+            ).alias("rstar_milli"),
+            F.expr("CAST(n1 * 10000 DIV n_tokens AS BIGINT)").alias(
+                "p_unseen_pp10k"
+            ),
+        )
+    )
+
+
+@query(
+    "events_local_extrema_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, c,
+             lag(c) OVER (PARTITION BY event_type ORDER BY d) AS pc,
+             lead(c) OVER (PARTITION BY event_type ORDER BY d) AS nc
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                          AND c > pc AND c > nc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_peaks,
+           CAST(sum(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                          AND c < pc AND c < nc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_troughs
+    FROM lagged
+    GROUP BY event_type
+    """,
+)
+def events_local_extrema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-extrema census per event type: strict peaks and troughs
+    in the daily count series (boundary days and plateaus excluded) —
+    the shape statistic a seasonality detector or alert-deduper reads
+    before thresholding (many peaks ⇒ noisy series; few ⇒ regime
+    shifts; pairs with events_fano_burstiness' dispersion numbers).
+    lag/lead run over PER-TYPE partitioned windows on the
+    calendar-bounded daily aggregate — never a global frame. Counts
+    are integers; the gate is bit-exact."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "c",
+        F.lag("c").over(w).alias("pc"),
+        F.lead("c").over(w).alias("nc"),
+    )
+    is_peak = (
+        F.col("pc").isNotNull()
+        & F.col("nc").isNotNull()
+        & (F.col("c") > F.col("pc"))
+        & (F.col("c") > F.col("nc"))
+    )
+    is_trough = (
+        F.col("pc").isNotNull()
+        & F.col("nc").isNotNull()
+        & (F.col("c") < F.col("pc"))
+        & (F.col("c") < F.col("nc"))
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.when(is_peak, 1).otherwise(0)).cast("long").alias("n_peaks"),
+        F.sum(F.when(is_trough, 1).otherwise(0)).cast("long").alias("n_troughs"),
+    )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the modern analyst-SQL sugar
+    (infer grouping keys from the select list), supported by both
+    Spark 4 and DuckDB. The SQL text runs VERBATIM on both engines —
+    the query IS its own oracle, pinning that the two engines resolve
+    the sugar to the same grouping (the sql_recursive_reachability
+    pattern for surface-parity checks). Revenue is integer cents, so
+    the hash gate is bit-exact."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
 def _hits_oracle(iters: int = 3) -> str:
     head = """
     WITH edges AS MATERIALIZED (
