@@ -919,6 +919,264 @@ def events_local_extrema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_cmh_stratified_test",
+    oracle="""
+    WITH base AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 AS k,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm_a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    strata AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(arm_a) AS BIGINT) AS r1,
+             CAST(sum(hit) AS BIGINT) AS c1,
+             CAST(sum(arm_a * hit) AS BIGINT) AS a
+      FROM base GROUP BY k
+    ),
+    terms AS (
+      SELECT k, a,
+             CAST(a * 1000000 - (r1 * c1 * 1000000) // n AS BIGINT) AS da_micro,
+             CAST(floor(CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)
+                        * CAST(c1 AS DOUBLE) * CAST(n - c1 AS DOUBLE) * 1000000.0
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))) AS BIGINT) AS v_micro
+      FROM strata
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(a) AS BIGINT) AS a_total,
+           CAST(sum(da_micro) AS BIGINT) AS sum_da_micro,
+           CAST(sum(v_micro) AS BIGINT) AS sum_v_micro,
+           CAST(floor(1000000.0
+                * (CAST(abs(sum(da_micro)) AS DOUBLE) - 500000.0)
+                * (CAST(abs(sum(da_micro)) AS DOUBLE) - 500000.0)
+                / (CAST(sum(v_micro) AS DOUBLE) * 1000000.0)) AS BIGINT)
+             AS cmh_ppm
+    FROM terms
+    """,
+)
+def events_cmh_stratified_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test — the STRATIFIED 2×2 comparison
+    that guards an A/B readout against Simpson's paradox: arm (user
+    parity) × outcome (purchase) stratified by day-of-week (integer
+    epoch arithmetic — the events_heatmap_dow_hour convention), so a
+    weekday/weekend traffic mix shift can't masquerade as a treatment
+    effect. Per stratum: a − E floored to micro as a pure-integer DIV
+    (r1·c1·10⁶ stays in int64 to ~10⁸ rows per stratum — coarsen units
+    past that), and the hypergeometric variance — whose raw numerator
+    r1·r0·c1·c0 WOULD overflow int64 — evaluated in one IEEE double
+    expression micro-floored per stratum BEFORE the integer sum (the
+    floored-contribution rule). The continuity-corrected statistic
+    assembles the two integer sums in one final ppm-floored
+    expression. One aggregation pass; the stratum frame is 7 rows."""
+    base = load_tables(spark, sf_dir)["events"].select(
+        F.expr("(unix_micros(ts) div 86400000000) % 7").alias("k"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("arm_a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    strata = base.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("arm_a").cast("long").alias("r1"),
+        F.sum("hit").cast("long").alias("c1"),
+        F.sum(F.col("arm_a") * F.col("hit")).cast("long").alias("a"),
+    )
+    terms = strata.select(
+        "k",
+        "a",
+        F.expr("CAST(a * 1000000 - (r1 * c1 * 1000000) DIV n AS BIGINT)").alias(
+            "da_micro"
+        ),
+        F.floor(
+            F.expr("CAST(r1 AS DOUBLE)")
+            * F.expr("CAST(n - r1 AS DOUBLE)")
+            * F.expr("CAST(c1 AS DOUBLE)")
+            * F.expr("CAST(n - c1 AS DOUBLE)")
+            * F.lit(1000000.0)
+            / (
+                F.expr("CAST(n AS DOUBLE)")
+                * F.expr("CAST(n AS DOUBLE)")
+                * (F.expr("CAST(n AS DOUBLE)") - F.lit(1.0))
+            )
+        )
+        .cast("long")
+        .alias("v_micro"),
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("a_total"),
+        F.sum("da_micro").cast("long").alias("sum_da_micro"),
+        F.sum("v_micro").cast("long").alias("sum_v_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.expr("CAST(abs(sum(da_micro)) AS DOUBLE)") - F.lit(500000.0))
+            * (F.expr("CAST(abs(sum(da_micro)) AS DOUBLE)") - F.lit(500000.0))
+            / (F.expr("CAST(sum(v_micro) AS DOUBLE)") * F.lit(1000000.0))
+        )
+        .cast("long")
+        .alias("cmh_ppm"),
+    )
+
+
+@query(
+    "agg_grubbs_outlier_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss,
+             CAST(max(c) AS BIGINT) AS maxc, CAST(min(c) AS BIGINT) AS minc
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(greatest(n * maxc - s, s - n * minc) AS BIGINT) AS m_scaled,
+           CAST(floor(1000000.0
+                * CAST(greatest(n * maxc - s, s - n * minc) AS DOUBLE)
+                / (CAST(n AS DOUBLE)
+                   * sqrt(CAST(n * ss - s * s AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))
+                AS BIGINT) AS g_ppm,
+           CAST(floor(1000000.0
+                * CAST(greatest(n * maxc - s, s - n * minc) AS DOUBLE)
+                / (CAST(n AS DOUBLE)
+                   * sqrt(CAST(n * ss - s * s AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))
+                AS BIGINT) >= 3000000 AS outlier_detected
+    FROM m
+    """,
+)
+def agg_grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate test per event type: is the
+    single most extreme daily count an outlier? The z-score anomaly
+    query flags MANY days against a fixed threshold; Grubbs asks the
+    sharper single-outlier question with the sample sd. The deviate
+    max|c − mean| is computed EXACTLY in scaled integers —
+    max(n·c − S) over days is reached at max(c) or min(c), so
+    greatest(n·max − S, S − n·min) needs only the one moment pass, no
+    second scan. G itself is one IEEE ppm-floored expression;
+    `outlier_detected` compares against 3.0 (the large-n critical
+    value, a fixed documented constant — exact Grubbs critical values
+    need the t-distribution inverse, which neither engine has
+    deterministically). Scale: map-side fold to one row per type."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.max("c").cast("long").alias("maxc"),
+        F.min("c").cast("long").alias("minc"),
+    )
+    g_expr = F.floor(
+        F.lit(1000000.0)
+        * F.expr("CAST(greatest(n * maxc - s, s - n * minc) AS DOUBLE)")
+        / (
+            F.expr("CAST(n AS DOUBLE)")
+            * F.sqrt(
+                F.expr("CAST(n * ss - s * s AS DOUBLE)")
+                / (
+                    F.expr("CAST(n AS DOUBLE)")
+                    * (F.expr("CAST(n AS DOUBLE)") - F.lit(1.0))
+                )
+            )
+        )
+    ).cast("long")
+    return m.select(
+        "event_type",
+        "n",
+        F.expr("CAST(greatest(n * maxc - s, s - n * minc) AS BIGINT)").alias(
+            "m_scaled"
+        ),
+        g_expr.alias("g_ppm"),
+        (g_expr >= F.lit(3000000)).alias("outlier_detected"),
+    )
+
+
+@query(
+    "events_interpurchase_gaps",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id, event_id,
+             CAST((us - lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)) // 1000000
+                  AS BIGINT) AS gap_sec
+      FROM p
+    ),
+    g AS (SELECT user_id, event_id, gap_sec FROM gaps WHERE gap_sec IS NOT NULL),
+    ranked AS (
+      SELECT gap_sec, row_number() OVER (ORDER BY gap_sec, user_id, event_id) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM g
+    )
+    SELECT max(n) AS n_gaps,
+           CAST((SELECT sum(gap_sec) FROM g) // max(n) AS BIGINT) AS mean_gap_sec,
+           CAST(sum(gap_sec * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                   THEN 2 ELSE 1 END) AS BIGINT) AS med2x_gap_sec
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    """,
+)
+def events_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpurchase-time distribution: seconds between a user's
+    consecutive purchases — the repeat-buying cadence behind LTV and
+    churn-window choices (pairs with events_user_survival_table's
+    lifetime view). Gaps come from a PER-USER partitioned lag on
+    epoch-micros (integer floor to seconds, the epoch_us//1e6
+    convention); the mean is a positive integer DIV and the median is
+    rank-selected on the gap frame via
+    operators/ranking.global_row_number (gaps are data-sized — one per
+    purchase — so the global window the textbook writes is the
+    single-task killer; the doubled median keeps the gate integer)."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    p = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("unix_micros(ts)").alias("us"), "event_id")
+    )
+    g = (
+        p.select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "CAST((us - lag(us) OVER (PARTITION BY user_id"
+                " ORDER BY us, event_id)) DIV 1000000 AS BIGINT)"
+            ).alias("gap_sec"),
+        )
+        .filter(F.col("gap_sec").isNotNull())
+    )
+    ranked = global_row_number(g, ["gap_sec", "user_id", "event_id"])
+    tot = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap_sec").cast("long").alias("sum_gap"),
+    )
+    picked = ranked.crossJoin(F.broadcast(tot)).filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    )
+    return picked.agg(
+        F.max("n").alias("n_gaps"),
+        F.expr("CAST(max(sum_gap) DIV max(n) AS BIGINT)").alias("mean_gap_sec"),
+        F.sum(
+            F.col("gap_sec")
+            * F.expr("CASE WHEN (n + 1) DIV 2 = (n + 2) DIV 2 THEN 2 ELSE 1 END")
+        )
+        .cast("long")
+        .alias("med2x_gap_sec"),
+    )
+
+
 _GROUP_BY_ALL_SQL = """
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n_rows,
