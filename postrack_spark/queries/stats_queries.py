@@ -920,6 +920,344 @@ def events_local_extrema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vector_fisher_separation",
+    oracle="""
+    WITH q AS (
+      SELECT label, i AS dim,
+             CAST(floor(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    cell AS (
+      SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+      FROM q GROUP BY 1, 2
+    ),
+    grand AS (
+      SELECT dim, CAST(sum(s) AS BIGINT) AS sd, CAST(sum(n) AS BIGINT) AS nn
+      FROM cell GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.label, c.n,
+             CAST(c.ss - (c.s * c.s) // c.n AS BIGINT) AS w_term,
+             CAST(floor(CAST(g.nn * c.s - c.n * g.sd AS DOUBLE)
+                        * CAST(g.nn * c.s - c.n * g.sd AS DOUBLE)
+                        / (CAST(c.n AS DOUBLE) * CAST(g.nn AS DOUBLE)
+                           * CAST(g.nn AS DOUBLE))) AS BIGINT) AS b_term
+      FROM cell c JOIN grand g USING (dim)
+    )
+    SELECT CAST(label AS INT) AS label, max(n) AS n_vectors,
+           CAST(sum(w_term) AS BIGINT) AS within_ss,
+           CAST(sum(b_term) AS BIGINT) AS between_ss,
+           CAST(sum(b_term) * 1000 // sum(w_term) AS BIGINT)
+             AS fisher_ratio_milli
+    FROM terms GROUP BY label
+    """,
+)
+def vector_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation audit over the embedding corpus — the
+    LDA-readiness numbers an ML engineer checks before trusting the
+    label column: per class, the within-class scatter trace vs the
+    between-class scatter trace (Fisher's criterion, diagonal form).
+    Embeddings are milli-quantized (floor(x·1000), IEEE-identical in
+    numpy and both SQL engines — the vector_gram_matrix protocol at a
+    coarser grid so n·Σx² keeps int64 headroom), making the within
+    term EXACT integer per (class, dim); the between term's raw
+    numerator (N·s − n·S)² would overflow int64, so it is one IEEE
+    double expression floored per (class, dim) BEFORE the integer sum
+    over dims (the floored-contribution rule). Spark side reduces each
+    Arrow batch to per-(label, dim) numpy partials via mapInPandas —
+    shuffle O(partitions·labels·d), corpus touched once; the oracle
+    expands dims relationally (fine at oracle SF, wrong plan at
+    100 TB)."""
+    import numpy as np
+    import pandas as pd
+
+    from postrack_spark.session import fan_out
+
+    emb = fan_out(load_tables(spark, sf_dir)["embeddings"]).select(
+        "label", "embedding"
+    )
+
+    def partials(batches):
+        from collections import defaultdict
+
+        acc = defaultdict(lambda: None)  # label -> [n, s(d), ss(d)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qx = np.floor(x * 1000.0).astype(np.int64)
+            labels = pdf["label"].to_numpy()
+            for lab in np.unique(labels):
+                rows = qx[labels == lab]
+                part = [len(rows), rows.sum(axis=0), (rows * rows).sum(axis=0)]
+                if acc[lab] is None:
+                    acc[lab] = part
+                else:
+                    acc[lab] = [
+                        acc[lab][0] + part[0],
+                        acc[lab][1] + part[1],
+                        acc[lab][2] + part[2],
+                    ]
+        out = {"label": [], "dim": [], "n": [], "s": [], "ss": []}
+        for lab, (n, s, ss) in acc.items():
+            for d0 in range(len(s)):
+                out["label"].append(int(lab))
+                out["dim"].append(d0 + 1)
+                out["n"].append(int(n))
+                out["s"].append(int(s[d0]))
+                out["ss"].append(int(ss[d0]))
+        if out["label"]:
+            yield pd.DataFrame(out)
+
+    cell = (
+        emb.mapInPandas(partials, "label int, dim int, n long, s long, ss long")
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.sum("ss").cast("long").alias("ss"),
+        )
+    )
+    grand = cell.groupBy("dim").agg(
+        F.sum("s").cast("long").alias("sd"), F.sum("n").cast("long").alias("nn")
+    )
+    terms = cell.join(F.broadcast(grand), "dim").select(
+        "label",
+        "n",
+        F.expr("CAST(ss - (s * s) DIV n AS BIGINT)").alias("w_term"),
+        F.floor(
+            F.expr("CAST(nn * s - n * sd AS DOUBLE)")
+            * F.expr("CAST(nn * s - n * sd AS DOUBLE)")
+            / (
+                F.expr("CAST(n AS DOUBLE)")
+                * F.expr("CAST(nn AS DOUBLE)")
+                * F.expr("CAST(nn AS DOUBLE)")
+            )
+        )
+        .cast("long")
+        .alias("b_term"),
+    )
+    return terms.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.max("n").alias("n_vectors"),
+        F.sum("w_term").cast("long").alias("within_ss"),
+        F.sum("b_term").cast("long").alias("between_ss"),
+        F.expr("CAST(sum(b_term) * 1000 DIV sum(w_term) AS BIGINT)").alias(
+            "fisher_ratio_milli"
+        ),
+    )
+
+
+@query(
+    "events_binary_segmentation",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT a.d,
+             CAST((SELECT count(*) FROM daily h WHERE h.d <= a.d) AS BIGINT) AS k,
+             CAST((SELECT sum(h.y) FROM daily h WHERE h.d <= a.d) AS BIGINT) AS cum
+      FROM daily a
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily
+    ),
+    root AS (
+      SELECT p.d, p.k, p.cum, abs(t.n * p.cum - p.k * t.s) AS score
+      FROM pre p, tot t WHERE p.k < t.n
+      ORDER BY score DESC, p.d LIMIT 1
+    ),
+    left_pick AS (
+      SELECT p.d, abs(r.k * p.cum - p.k * r.cum) AS score
+      FROM pre p, root r WHERE p.k < r.k
+      ORDER BY score DESC, p.d LIMIT 1
+    ),
+    right_pick AS (
+      SELECT p.d,
+             abs((t.n - r.k) * (p.cum - r.cum) - (p.k - r.k) * (t.s - r.cum))
+               AS score
+      FROM pre p, root r, tot t WHERE p.k > r.k AND p.k < t.n
+      ORDER BY score DESC, p.d LIMIT 1
+    )
+    SELECT 'root' AS segment, d AS split_day, CAST(score AS BIGINT) AS score
+    FROM root
+    UNION ALL
+    SELECT 'left', d, CAST(score AS BIGINT) FROM left_pick
+    UNION ALL
+    SELECT 'right', d, CAST(score AS BIGINT) FROM right_pick
+    """,
+)
+def events_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection by two-level binary segmentation on the
+    daily event-count series — the multi-changepoint extension of
+    events_cusum_changepoint: pick the day maximizing the scaled CUSUM
+    deviation |n·S_k − k·S_n| over the whole series, then recurse once
+    into each half with segment-relative prefix sums. The statistic is
+    EXACT scaled integers (no n-division), picks break ties by
+    earliest day, and each pick is an orderBy().limit(1) —
+    TakeOrderedAndProject, never a global sort or window. The daily
+    frame is calendar-bounded, so the prefix sums use the broadcast
+    self-join form (days², constant-bounded) and all three picks are
+    tiny-frame ops; the one data-sized stage is the daily aggregate."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    h = daily.select(F.col("d").alias("hd"), F.col("y").alias("hy"))
+    pre = (
+        daily.join(F.broadcast(h), F.col("hd") <= F.col("d"))
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum("hy").cast("long").alias("cum"),
+        )
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    pt = pre.crossJoin(F.broadcast(tot))
+    root = (
+        pt.filter(F.col("k") < F.col("n"))
+        .select(
+            "d",
+            "k",
+            "cum",
+            F.abs(F.col("n") * F.col("cum") - F.col("k") * F.col("s")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "d")
+        .limit(1)
+    )
+    r = F.broadcast(
+        root.select(
+            F.col("d").alias("rd"), F.col("k").alias("rk"), F.col("cum").alias("rcum")
+        )
+    )
+    left_pick = (
+        pt.join(r, F.col("k") < F.col("rk"))
+        .select(
+            "d",
+            F.abs(F.col("rk") * F.col("cum") - F.col("k") * F.col("rcum")).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), "d")
+        .limit(1)
+    )
+    right_pick = (
+        pt.join(r, (F.col("k") > F.col("rk")) & (F.col("k") < F.col("n")))
+        .select(
+            "d",
+            F.abs(
+                (F.col("n") - F.col("rk")) * (F.col("cum") - F.col("rcum"))
+                - (F.col("k") - F.col("rk")) * (F.col("s") - F.col("rcum"))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "d")
+        .limit(1)
+    )
+    return (
+        root.select(F.lit("root").alias("segment"), F.col("d").alias("split_day"),
+                    F.col("score").cast("long").alias("score"))
+        .unionAll(
+            left_pick.select(F.lit("left").alias("segment"),
+                             F.col("d").alias("split_day"),
+                             F.col("score").cast("long").alias("score"))
+        )
+        .unionAll(
+            right_pick.select(F.lit("right").alias("segment"),
+                              F.col("d").alias("split_day"),
+                              F.col("score").cast("long").alias("score"))
+        )
+    )
+
+
+@query(
+    "scalar_fiscal_445_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderdate AS DATE) AS od,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fy AS (
+      SELECT cents,
+             CASE WHEN (month(od), day(od)) >= (2, 1)
+                  THEN year(od) ELSE year(od) - 1 END AS fiscal_year,
+             od
+      FROM base
+    ),
+    wk AS (
+      SELECT fiscal_year, cents,
+             CAST((od - make_date(fiscal_year, 2, 1)) // 7 AS BIGINT) AS w
+      FROM fy
+    ),
+    per AS (
+      SELECT fiscal_year, cents,
+             CAST(least(CAST(w // 13 AS BIGINT), 3) * 3
+                  + CASE WHEN w % 13 < 4 THEN 1
+                         WHEN w % 13 < 8 THEN 2 ELSE 3 END AS BIGINT) AS period
+      FROM wk
+    )
+    SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year, period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM per
+    GROUP BY 1, 2
+    """,
+)
+def scalar_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retail 4-4-5 fiscal-calendar rollup — the BI calendar the
+    Gregorian date functions can't express: fiscal years start Feb 1,
+    quarters split 13 weeks as 4+4+5, and a 53rd week folds into the
+    final period (the least() clamp). The mapping is pure integer
+    date arithmetic — week index = days-since-fiscal-new-year DIV 7,
+    period from two CASE splits — certifying that make_date / year /
+    month / day and date subtraction resolve identically cross-engine
+    (the scalar_timezone_daygroup pattern for calendar seams). One
+    scan, one aggregation; the mapping is map-side."""
+    base = load_tables(spark, sf_dir)["orders"].select(
+        F.to_date("o_orderdate").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    fy = base.select(
+        "cents",
+        "od",
+        F.when(
+            (F.month("od") > 2) | ((F.month("od") == 2) & (F.dayofmonth("od") >= 1)),
+            F.year("od"),
+        )
+        .otherwise(F.year("od") - 1)
+        .alias("fiscal_year"),
+    )
+    wk = fy.select(
+        "fiscal_year",
+        "cents",
+        F.expr(
+            "CAST(datediff(od, make_date(fiscal_year, 2, 1)) DIV 7 AS BIGINT)"
+        ).alias("w"),
+    )
+    per = wk.select(
+        "fiscal_year",
+        "cents",
+        F.expr(
+            "CAST(least(CAST(w DIV 13 AS BIGINT), 3) * 3"
+            " + CASE WHEN w % 13 < 4 THEN 1"
+            "        WHEN w % 13 < 8 THEN 2 ELSE 3 END AS BIGINT)"
+        ).alias("period"),
+    )
+    return per.groupBy(
+        F.col("fiscal_year").cast("long").alias("fiscal_year"), "period"
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
     "events_cmh_stratified_test",
     oracle="""
     WITH base AS (
