@@ -1656,69 +1656,18 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hubs.unionAll(auths)
 
 
-@query(
-    "events_user_survival_table",
-    oracle="""
-    WITH bounds AS (
-      SELECT max(epoch_us(ts) // 86400000000) AS max_d FROM events
-    ),
-    spans AS (
-      SELECT user_id,
-             CAST(max(epoch_us(ts) // 86400000000)
-                  - min(epoch_us(ts) // 86400000000) AS BIGINT) AS t,
-             CAST(CASE WHEN max(epoch_us(ts) // 86400000000)
-                            >= (SELECT max_d FROM bounds) - 6
-                       THEN 1 ELSE 0 END AS BIGINT) AS censored
-      FROM events GROUP BY user_id
-    ),
-    steps AS (
-      SELECT t,
-             CAST(sum(1 - censored) AS BIGINT) AS d_churn,
-             CAST(sum(censored) AS BIGINT) AS c_censored
-      FROM spans GROUP BY t
-    ),
-    risk AS (
-      SELECT s.t, s.d_churn, s.c_censored,
-             CAST((SELECT sum(d_churn + c_censored) FROM steps h
-                   WHERE h.t >= s.t) AS BIGINT) AS n_risk
-      FROM steps s
-    )
-    SELECT r.t AS t_days, r.n_risk, r.d_churn, r.c_censored,
-           CAST((SELECT sum((h.d_churn * 1000000) // h.n_risk)
-                 FROM risk h WHERE h.t <= r.t) AS BIGINT) AS na_hazard_ppm
-    FROM risk r
-    """,
-)
-def events_user_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Survival analysis over user lifetimes: the life table (risk set,
-    churn events, right-censored counts per observed lifetime day) plus
-    the Nelson-Aalen cumulative hazard — the censoring-aware churn
-    statistics behind retention curves. A user's lifetime is last-seen
-    minus first-seen day; users still active in the corpus's final 7
-    days are right-censored, not churned. The Kaplan-Meier SURVIVAL
-    curve is a cumulative float product (never oracle-gateable — see
-    the double-association trap); the life table and the Nelson-Aalen
-    sum ARE gateable: risk sets are suffix sums over the
-    calendar-bounded lifetime frame (days-sized broadcast self-join —
-    the Lorenz pattern), and each hazard increment d/n is floored to
-    ppm BEFORE the cumulative integer sum (the BM25 floored-
-    contribution trick). One data-sized pass (the per-user span
-    aggregate); everything after is day-frame-sized."""
-    ev = load_tables(spark, sf_dir)["events"].select(
-        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
-    )
-    bounds = ev.agg(F.max("d").alias("max_d"))
-    spans = (
-        ev.groupBy("user_id")
-        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            (F.col("last_d") - F.col("first_d")).cast("long").alias("t"),
-            F.when(F.col("last_d") >= F.col("max_d") - 6, 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("censored"),
-        )
+def life_table_from_spans(per_user: DataFrame) -> DataFrame:
+    """Life table + Nelson-Aalen hazard from a per-user
+    (first_d, last_d) day-bounds frame — shared by the batch survival
+    query and its streaming view twin so both gate on the SAME oracle.
+    See events_user_survival_table for the statistical contract."""
+    bounds = per_user.agg(F.max("last_d").alias("max_d"))
+    spans = per_user.crossJoin(F.broadcast(bounds)).select(
+        (F.col("last_d") - F.col("first_d")).cast("long").alias("t"),
+        F.when(F.col("last_d") >= F.col("max_d") - 6, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("censored"),
     )
     steps = spans.groupBy("t").agg(
         F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d_churn"),
@@ -1748,6 +1697,243 @@ def events_user_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_censored",
             "na_hazard_ppm",
         )
+    )
+
+
+SURVIVAL_ORACLE = """
+    WITH bounds AS (
+      SELECT max(epoch_us(ts) // 86400000000) AS max_d FROM events
+    ),
+    spans AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts) // 86400000000)
+                  - min(epoch_us(ts) // 86400000000) AS BIGINT) AS t,
+             CAST(CASE WHEN max(epoch_us(ts) // 86400000000)
+                            >= (SELECT max_d FROM bounds) - 6
+                       THEN 1 ELSE 0 END AS BIGINT) AS censored
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT t,
+             CAST(sum(1 - censored) AS BIGINT) AS d_churn,
+             CAST(sum(censored) AS BIGINT) AS c_censored
+      FROM spans GROUP BY t
+    ),
+    risk AS (
+      SELECT s.t, s.d_churn, s.c_censored,
+             CAST((SELECT sum(d_churn + c_censored) FROM steps h
+                   WHERE h.t >= s.t) AS BIGINT) AS n_risk
+      FROM steps s
+    )
+    SELECT r.t AS t_days, r.n_risk, r.d_churn, r.c_censored,
+           CAST((SELECT sum((h.d_churn * 1000000) // h.n_risk)
+                 FROM risk h WHERE h.t <= r.t) AS BIGINT) AS na_hazard_ppm
+    FROM risk r
+    """
+
+
+@query("events_user_survival_table", oracle=SURVIVAL_ORACLE)
+def events_user_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis over user lifetimes: the life table (risk set,
+    churn events, right-censored counts per observed lifetime day) plus
+    the Nelson-Aalen cumulative hazard — the censoring-aware churn
+    statistics behind retention curves. A user's lifetime is last-seen
+    minus first-seen day; users still active in the corpus's final 7
+    days are right-censored, not churned. The Kaplan-Meier SURVIVAL
+    curve is a cumulative float product (never oracle-gateable — see
+    the double-association trap); the life table and the Nelson-Aalen
+    sum ARE gateable: risk sets are suffix sums over the
+    calendar-bounded lifetime frame (days-sized broadcast self-join —
+    the Lorenz pattern), and each hazard increment d/n is floored to
+    ppm BEFORE the cumulative integer sum (the BM25 floored-
+    contribution trick). One data-sized pass (the per-user span
+    aggregate); everything after is day-frame-sized."""
+    per_user = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+    )
+    return life_table_from_spans(per_user)
+
+
+@query(
+    "agg_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT a.d, a.c,
+             CAST((SELECT count(*) FROM daily h WHERE h.d <= a.d) AS BIGINT) AS k,
+             CAST((SELECT count(*) FROM daily h
+                   WHERE h.c < a.c OR (h.c = a.c AND h.d <= a.d)) AS BIGINT) AS kv
+      FROM daily a
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    med AS (
+      SELECT p.c AS m FROM pre p, tot t WHERE p.kv = (t.n + 1) // 2
+    ),
+    signs AS (
+      SELECT p.k, CASE WHEN p.c > med.m THEN 1 ELSE 0 END AS above
+      FROM pre p, med
+    ),
+    trans AS (
+      SELECT CAST(sum(CASE WHEN a.above <> b.above THEN 1 ELSE 0 END) AS BIGINT)
+               AS flips
+      FROM signs a JOIN signs b ON b.k = a.k + 1
+    ),
+    m2 AS (
+      SELECT CAST(sum(above) AS BIGINT) AS n1,
+             CAST(count(*) - sum(above) AS BIGINT) AS n2
+      FROM signs
+    )
+    SELECT t.n AS n_days, m2.n1 AS n_above, m2.n2 AS n_below,
+           CAST(trans.flips + 1 AS BIGINT) AS runs,
+           CAST(floor(1000000.0
+                * (CAST(trans.flips + 1 AS DOUBLE)
+                   - (1.0 + 2.0 * CAST(m2.n1 AS DOUBLE) * CAST(m2.n2 AS DOUBLE)
+                      / CAST(t.n AS DOUBLE)))
+                / sqrt(2.0 * CAST(m2.n1 AS DOUBLE) * CAST(m2.n2 AS DOUBLE)
+                       * (2.0 * CAST(m2.n1 AS DOUBLE) * CAST(m2.n2 AS DOUBLE)
+                          - CAST(t.n AS DOUBLE))
+                       / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                          * (CAST(t.n AS DOUBLE) - 1.0)))) AS BIGINT) AS z_ppm
+    FROM tot t, med, trans, m2
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily event-count series: are
+    above-median and below-median days randomly interleaved, or does
+    the series trend/cluster? (The randomness sanity check behind
+    events_mann_kendall_trend — a trending series fails both.) The
+    median is the type-1 order statistic picked via a value-rank
+    self-join on the calendar-bounded daily frame (ties-at-median count
+    as 'below', the classical dichotomization); runs come from an
+    ADJACENCY SELF-JOIN on the day index (k+1 = k), not a window — the
+    tiny-frame pattern that keeps the audit window-free; the
+    continuity-free Z assembles integer counts in one ppm-floored IEEE
+    expression. One data-sized aggregate; everything else is
+    days-sized."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    h = daily.select(F.col("d").alias("hd"), F.col("c").alias("hc"))
+    pre = (
+        daily.join(
+            F.broadcast(h),
+            (F.col("hc") < F.col("c"))
+            | ((F.col("hc") == F.col("c")) & (F.col("hd") <= F.col("d"))),
+        )
+        .groupBy("d", "c")
+        .agg(F.count("*").cast("long").alias("kv"))
+    )
+    kidx = (
+        daily.join(F.broadcast(h), F.col("hd") <= F.col("d"))
+        .groupBy("d", "c")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    tot = daily.agg(F.count("*").cast("long").alias("n"))
+    med = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("kv") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("c").alias("m"))
+    )
+    signs = kidx.crossJoin(F.broadcast(med)).select(
+        "k", F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    b = signs.select((F.col("k") - 1).alias("k"), F.col("above").alias("nxt"))
+    trans = (
+        signs.join(b, "k")
+        .agg(
+            F.sum(F.when(F.col("above") != F.col("nxt"), 1).otherwise(0))
+            .cast("long")
+            .alias("flips")
+        )
+    )
+    m2 = signs.agg(
+        F.sum("above").cast("long").alias("n1"),
+        (F.count("*") - F.sum("above")).cast("long").alias("n2"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    z_ppm = F.floor(
+        F.lit(1000000.0)
+        * (
+            (F.col("flips") + F.lit(1)).cast("double")
+            - (F.lit(1.0) + F.lit(2.0) * d("n1") * d("n2") / d("n"))
+        )
+        / F.sqrt(
+            F.lit(2.0)
+            * d("n1")
+            * d("n2")
+            * (F.lit(2.0) * d("n1") * d("n2") - d("n"))
+            / (d("n") * d("n") * (d("n") - F.lit(1.0)))
+        )
+    ).cast("long")
+    return (
+        tot.crossJoin(F.broadcast(m2))  # 1-row combines
+        .crossJoin(F.broadcast(trans))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("n1").alias("n_above"),
+            F.col("n2").alias("n_below"),
+            (F.col("flips") + F.lit(1)).cast("long").alias("runs"),
+            z_ppm.alias("z_ppm"),
+        )
+    )
+
+
+@query(
+    "text_term_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    stats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY 1
+    )
+    SELECT w, tf, df,
+           CAST(tf * 1000 // df AS BIGINT) AS burstiness_milli
+    FROM stats
+    ORDER BY df DESC, w LIMIT 20
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness for the 20 highest-df terms: mean
+    occurrences per CONTAINING document (tf/df, integer milli) — the
+    IR statistic that separates topical terms (bursty: many mentions
+    once a document is about them) from function words (uniform). The
+    (doc, term) relation is one explode + aggregation (map-side
+    combined); the top-20 head is orderBy().limit(20) —
+    TakeOrderedAndProject, the no-window top-k shape
+    (text_corpus_token_freq's re-plan). Integer ratios: bit-exact."""
+    from postrack_spark.functions.text import tokens
+    from postrack_spark.session import fan_out
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"])
+    stats = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.count_distinct("doc_id").cast("long").alias("df"),
+        )
+    )
+    return (
+        stats.select(
+            "w",
+            "tf",
+            "df",
+            F.expr("CAST(tf * 1000 DIV df AS BIGINT)").alias("burstiness_milli"),
+        )
+        .orderBy(F.col("df").desc(), "w")
+        .limit(20)
     )
 
 

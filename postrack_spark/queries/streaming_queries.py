@@ -1076,6 +1076,57 @@ def _richness_oracle() -> str:
     return RICHNESS_ORACLE
 
 
+def _survival_oracle() -> str:
+    from postrack_spark.queries.stats_queries import SURVIVAL_ORACLE
+
+    return SURVIVAL_ORACLE
+
+
+@query("streaming_survival_table", oracle=_survival_oracle())
+def streaming_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming survival-table maintenance: the per-user lifetime
+    bounds (first-seen day, last-seen day) — the sufficient statistics
+    for the censoring-aware life table — are maintained incrementally
+    through foreach_batch_merge_fold (min/max are mergeable, not
+    additive: the OHLC monoid argument), O(batch) + O(users) per
+    micro-batch, never re-reading event history. At read time the SAME
+    life_table_from_spans pipeline as the batch
+    events_user_survival_table runs over the maintained bounds view,
+    so the streaming state must reproduce risk sets, churn counts,
+    censoring, and the Nelson-Aalen hazard bit-for-bit (shared
+    oracle). The ops use: a churn dashboard whose risk sets stay
+    current as events arrive — note censoring is re-derived at READ
+    time from the current corpus horizon, exactly as the batch
+    definition requires (a user censored yesterday can churn today;
+    only the bounds are state, never the classification)."""
+    from postrack_spark.queries.stats_queries import life_table_from_spans
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming import foreach_batch_merge_fold
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .repartition(8)
+    )
+    stream = envelope_stream(
+        spark, ev, name="survival", options={"maxFilesPerTrigger": "2"}
+    )
+    rows = stream.select(
+        "user_id",
+        F.col("d").alias("first_d"),
+        F.col("d").alias("last_d"),
+    )
+
+    def reagg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.min("first_d").alias("first_d"), F.max("last_d").alias("last_d")
+        )
+
+    target, q = foreach_batch_merge_fold(rows, group_cols=["user_id"], reagg=reagg)
+    q.awaitTermination()
+    return life_table_from_spans(read_view(spark, target))
+
+
 @query("streaming_vocabulary_richness", oracle=_richness_oracle())
 def streaming_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming vocabulary-richness maintenance: documents arrive in
