@@ -1758,6 +1758,276 @@ def events_user_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vector_simplified_silhouette",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, i AS dim,
+             CAST(floor(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    cell AS (
+      SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM q GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST((s + n * 1000) // n - 1000 AS BIGINT) AS c
+      FROM cell
+    ),
+    d2 AS (
+      SELECT q.vec_id, q.label, cent.clabel,
+             CAST(sum((q.x - cent.c) * (q.x - cent.c)) AS BIGINT) AS dist2
+      FROM q JOIN cent USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             CAST(max(CASE WHEN clabel = label THEN dist2 END) AS BIGINT) AS a2,
+             CAST(min(CASE WHEN clabel <> label THEN dist2 END) AS BIGINT) AS b2
+      FROM d2 GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT label,
+             CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(1000000.0 * (sqrt(CAST(b2 AS DOUBLE))
+                                               - sqrt(CAST(a2 AS DOUBLE)))
+                            / sqrt(CAST(greatest(a2, b2) AS DOUBLE)))
+                       AS BIGINT)
+             END AS s_micro
+      FROM ab
+    )
+    SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(s_micro) AS BIGINT) AS sum_s_micro,
+           CAST((sum(s_micro) + count(*) * 1000000) // (count(*) * 1000) - 1000
+                AS BIGINT) AS mean_silhouette_milli
+    FROM terms GROUP BY label
+    """,
+)
+def vector_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per class — the
+    clustering-quality companion to vector_fisher_separation: for each
+    vector, a = distance to its own class centroid, b = distance to
+    the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; the full
+    silhouette's O(n²) pairwise distances collapse to O(n·k) centroid
+    distances, the standard big-data approximation. Exactness:
+    embeddings are milli-quantized, centroids use the POSITIVE-SHIFT
+    floor division ((s + n·1000) DIV n − 1000 — Σx can be negative and
+    Spark DIV truncates where DuckDB floors; the agg_theil_sen_trend
+    trick), so every squared distance is an exact int64; each point's
+    s is one IEEE expression micro-floored before the per-class
+    integer sum, and the class mean reuses the positive shift. Scale:
+    one n×k broadcast-centroid join with JVM zip_with dot products —
+    the vector_kmeans_lloyd assignment shape; no crossJoin on data."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+            " AS BIGINT))"
+        ).alias("qe"),
+    )
+    cell = (
+        emb.select(
+            "label", F.posexplode("qe").alias("dim0", "x")
+        )
+        .groupBy("label", "dim0")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s"))
+    )
+    cent = cell.select(
+        F.col("label").alias("clabel"),
+        "dim0",
+        F.expr("CAST((s + n * 1000) DIV n - 1000 AS BIGINT)").alias("c"),
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "c"))), lambda st: st["c"]
+        ).alias("carr")
+    )
+    d2 = emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("carr"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist2"),
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist2")))
+        .cast("long")
+        .alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist2")))
+        .cast("long")
+        .alias("b2"),
+    )
+    s_micro = F.when(F.greatest("a2", "b2") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            F.lit(1000000.0)
+            * (F.sqrt(F.col("b2").cast("double")) - F.sqrt(F.col("a2").cast("double")))
+            / F.sqrt(F.greatest("a2", "b2").cast("double"))
+        ).cast("long")
+    )
+    return (
+        ab.select("label", s_micro.alias("s_micro"))
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("s_micro").cast("long").alias("sum_s_micro"),
+            F.expr(
+                "CAST((sum(s_micro) + count(*) * 1000000)"
+                " DIV (count(*) * 1000) - 1000 AS BIGINT)"
+            ).alias("mean_silhouette_milli"),
+        )
+    )
+
+
+@query(
+    "events_bounce_rate_daily",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             CAST(min(us) // 86400000000 AS BIGINT) AS start_day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT start_day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000 // count(*)
+                AS BIGINT) AS bounce_pp10k
+    FROM per_session GROUP BY start_day
+    """,
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 30-minute-gap sessions that
+    contain exactly one event, attributed to the session's START day —
+    the engagement-health headline next to events_dau_wau_stickiness.
+    Sessionization is the sessionize_user_events recipe on the
+    epoch-micros convention (per-user partitioned lag + running flag
+    sum with an (us, event_id) total order — the ROWS-frame cumsum is
+    per-user, never global); bounce shares are integer pp10k. Note the
+    us-ordered running sum ties are broken by event_id in the FLAG
+    window and the cumsum frame only needs us (flags of equal-us rows
+    commute: both orderings yield the same session ids). Scale: one
+    user shuffle, then a sessions-sized rollup."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.expr("unix_micros(ts)").alias("us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per_session = (
+        flagged.withColumn("sid", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.expr("CAST(min(us) DIV 86400000000 AS BIGINT)").alias("start_day"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    return per_session.groupBy("start_day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("bounce_pp10k"),
+    )
+
+
+@query(
+    "agg_revenue_waterfall",
+    oracle="""
+    WITH lines AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_c,
+             CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT) * l_discount)
+                  AS BIGINT) AS disc_c,
+             CAST(floor((CAST(round(l_extendedprice * 100) AS BIGINT)
+                         - CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                      * l_discount) AS BIGINT)) * l_tax)
+                  AS BIGINT) AS tax_c
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(sum(gross_c) AS BIGINT) AS gross_cents,
+           CAST(sum(disc_c) AS BIGINT) AS discount_cents,
+           CAST(sum(tax_c) AS BIGINT) AS tax_cents,
+           CAST(sum(gross_c) - sum(disc_c) + sum(tax_c) AS BIGINT) AS net_cents
+    FROM lines GROUP BY l_returnflag
+    """,
+)
+def agg_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per return flag: gross → −discount → +tax →
+    net, the finance bridge that explains WHERE the money between list
+    price and invoice total went (the decomposition under TPC-H q1's
+    aggregate expressions). Per line, the discount and tax amounts are
+    floored to integer cents at the LINE level — exactly how invoicing
+    rounds — so the per-flag sums are exact int64 and the bridge
+    reconciles by construction (net = gross − disc + tax, an identity
+    over the integer columns, unlike float-summed q1 where the bridge
+    would drift). The double products (cents × discount rate) are
+    identical IEEE expressions cross-engine before the floor. One
+    map-side pass, one aggregation."""
+    lines = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("gross_c"),
+        F.expr(
+            "CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT) * l_discount)"
+            " AS BIGINT)"
+        ).alias("disc_c"),
+        F.expr(
+            "CAST(floor((CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " - CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " * l_discount) AS BIGINT)) * l_tax) AS BIGINT)"
+        ).alias("tax_c"),
+    )
+    return lines.groupBy("l_returnflag").agg(
+        F.sum("gross_c").cast("long").alias("gross_cents"),
+        F.sum("disc_c").cast("long").alias("discount_cents"),
+        F.sum("tax_c").cast("long").alias("tax_cents"),
+        (F.sum("gross_c") - F.sum("disc_c") + F.sum("tax_c"))
+        .cast("long")
+        .alias("net_cents"),
+    )
+
+
+@query(
     "agg_runs_test",
     oracle="""
     WITH daily AS (
