@@ -1758,6 +1758,193 @@ def events_user_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_time_windowed",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > v.v_us
+        AND epoch_us(e.ts) <= v.v_us + 86400000000
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > c.c_us
+        AND epoch_us(e.ts) <= c.c_us + 86400000000
+      GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_24h,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_24h
+    """,
+)
+def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WINDOWED strict funnel: view → click within 24 h of the
+    first view → purchase within 24 h of that click. The unwindowed
+    events_ordered_funnel overstates conversion (a purchase months
+    later still counts); marketing attribution wants the bounded
+    version, and the bound makes each stage an interval-predicated
+    equi-join on user_id (the as-of family's shape — never a
+    cross-product, the window predicate prunes after the hash probe).
+    Timestamps are epoch-micros integers throughout. Scale: two
+    user-keyed shuffle joins on pre-filtered event subsets, then
+    three 1-row combines."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") > F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + F.lit(86400000000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") > F.col("c_us"))
+            & (F.col("us") <= F.col("c_us") + F.lit(86400000000))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    nv = v.agg(F.count("*").cast("long").alias("n_viewed"))
+    nc = c.agg(F.count("*").cast("long").alias("n_clicked_24h"))
+    np_ = p.agg(F.count("*").cast("long").alias("n_purchased_24h"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+@query(
+    "orders_aging_buckets",
+    oracle="""
+    WITH mx AS (SELECT max(epoch_us(o_orderdate) // 86400000000) AS max_d
+                FROM orders),
+    aged AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             mx.max_d - epoch_us(o_orderdate) // 86400000000 AS age_days
+      FROM orders, mx
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 60 THEN '31-60'
+                WHEN age_days <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM aged
+    GROUP BY 1, 2
+    """,
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-book aging report: orders bucketed by days outstanding
+    relative to the corpus horizon (0-30/31-60/61-90/90+), split by
+    status — the AR-aging shape every finance close reproduces, here
+    as pure integer day arithmetic (epoch-micros day indexes, the
+    horizon broadcast from a 1-row aggregate, CASE bucket edges).
+    One scan + one aggregation; bucket count constant."""
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+    )
+    mx = orders.agg(F.max("d").alias("max_d"))
+    aged = orders.crossJoin(F.broadcast(mx)).select(
+        "o_orderstatus",
+        "cents",
+        (F.col("max_d") - F.col("d")).alias("age_days"),
+    )
+    return aged.groupBy(
+        "o_orderstatus",
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("age_bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH ranked AS (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn,
+             count(*) OVER (PARTITION BY label) AS n_class
+      FROM embeddings
+    ),
+    m AS (SELECT CAST(min(cnt) AS BIGINT) AS m FROM
+          (SELECT count(*) AS cnt FROM embeddings GROUP BY label))
+    SELECT CAST(label AS INT) AS label,
+           CAST(max(n_class) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (rn <= m.m) AS BIGINT) AS n_sampled,
+           CAST(sum(vec_id) FILTER (rn <= m.m) AS BIGINT) AS sampled_id_sum
+    FROM ranked, m
+    GROUP BY label, m.m
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps EXACTLY the
+    minority class's count, membership decided by content-hash order —
+    the rebalancing draw before training a classifier on skewed
+    labels, deterministic across engines and re-partitionings (the
+    sample_stratified_proportional discipline: hash-order PARTITIONED
+    row_number, never Bernoulli, and an id-sum column that
+    value-checks the exact membership set). The minority size is a
+    1-row broadcast; per-class ranks are partitioned windows. Scale:
+    one shuffle on the class key; skewed classes pre-split via
+    operators/skew.py with per-salt quotas."""
+    from pyspark.sql import Window as W
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("label", "vec_id")
+    w = W.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    wc = W.partitionBy("label")
+    ranked = emb.select(
+        "label",
+        "vec_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_class"),
+    )
+    m = (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").cast("long").alias("m"))
+    )
+    keep = F.col("rn") <= F.col("m")
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.max("n_class").cast("long").alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.sum(F.when(keep, F.col("vec_id"))).cast("long").alias("sampled_id_sum"),
+        )
+    )
+
+
+@query(
     "vector_simplified_silhouette",
     oracle="""
     WITH q AS (
