@@ -1757,6 +1757,263 @@ def events_user_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return life_table_from_spans(per_user)
 
 
+def _mmr_oracle(steps: int = 5) -> str:
+    head = """
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(floor(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    q0 AS (SELECT min(vec_id) AS qid FROM embeddings),
+    rel AS MATERIALIZED (
+      SELECT p.vec_id, CAST(sum(p.x * qv.x) AS BIGINT) AS r
+      FROM pts p
+      JOIN (SELECT i, x FROM pts, q0 WHERE vec_id = q0.qid) qv USING (i)
+      WHERE p.vec_id <> (SELECT qid FROM q0)
+      GROUP BY 1
+    ),
+    cand AS MATERIALIZED (
+      SELECT vec_id, r FROM rel ORDER BY r DESC, vec_id LIMIT 50
+    ),
+    cd AS MATERIALIZED (
+      SELECT c.vec_id, p.i, p.x FROM cand c JOIN pts p USING (vec_id)
+    ),
+    sim AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb, CAST(sum(a.x * b.x) AS BIGINT) AS s
+      FROM cd a JOIN cd b ON a.i = b.i AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    pick1 AS MATERIALIZED (
+      SELECT 1 AS k, vec_id, r, CAST(2 * r AS BIGINT) AS score
+      FROM cand ORDER BY r DESC, vec_id LIMIT 1
+    ),
+    sel1 AS (SELECT k, vec_id, r, score FROM pick1)
+    """
+    steps_sql = []
+    for k in range(2, steps + 1):
+        steps_sql.append(f"""
+    pick{k} AS MATERIALIZED (
+      SELECT {k} AS k, c.vec_id, c.r,
+             CAST(2 * c.r - max(sim.s) AS BIGINT) AS score
+      FROM cand c
+      JOIN sim ON sim.va = c.vec_id
+             AND sim.vb IN (SELECT vec_id FROM sel{k - 1})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+      GROUP BY c.vec_id, c.r
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    sel{k} AS (SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM pick{k})""")
+    return (
+        head.rstrip()
+        + ","
+        + ",".join(steps_sql)
+        + f"""
+    SELECT k, vec_id, r AS rel, score FROM sel{steps}
+    """
+    )
+
+
+@query("vector_mmr_rerank", oracle=_mmr_oracle(5))
+def vector_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversification
+    step a RAG retriever runs after ANN recall: greedily pick 5 of the
+    top-50 candidates maximizing 2·relevance − max-similarity-to-
+    already-picked (λ = 2/3 cross-multiplied away so the score stays
+    integer). Everything is exact int64: milli-quantized embeddings
+    make relevance and pairwise similarity integer dot products (the
+    vector family's protocol), the candidate pool is a TakeOrdered
+    head, the 50×50 similarity matrix is a broadcast self-join, and
+    each greedy step is an orderBy().limit(1) pick with vec_id
+    tie-breaks — so the whole greedy trajectory is hash-exact against
+    an oracle that unrolls the identical 5 picks as MATERIALIZED CTEs
+    (the graph_hits_bipartite discipline for iterative algorithms).
+    Scale: one corpus pass for relevance; the greedy loop runs on the
+    constant-size candidate pool."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+            " AS BIGINT))"
+        ).alias("qe"),
+    )
+    qid = emb.agg(F.min("vec_id").alias("qid"))
+    qv = (
+        emb.join(F.broadcast(qid), F.col("vec_id") == F.col("qid"))
+        .select(F.col("qe").alias("qv"))
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(qid))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "vec_id",
+            "qe",
+            F.aggregate(
+                F.zip_with(F.col("qe"), F.col("qv"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("r"),
+        )
+    )
+    cand = rel.orderBy(F.col("r").desc(), "vec_id").limit(50).localCheckpoint()
+    b = cand.select(F.col("vec_id").alias("vb"), F.col("qe").alias("qeb"))
+    sim = (
+        cand.select(F.col("vec_id").alias("va"), "qe")
+        .join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.aggregate(
+                F.zip_with(F.col("qe"), F.col("qeb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    pick = (
+        cand.select(
+            F.lit(1).alias("k"),
+            "vec_id",
+            "r",
+            (F.lit(2) * F.col("r")).cast("long").alias("score"),
+        )
+        .orderBy(F.col("r").desc(), "vec_id")
+        .limit(1)
+    )
+    sel = pick.select("k", "vec_id", "r", "score").localCheckpoint()
+    for k in range(2, 6):
+        sel_ids = sel.select(F.col("vec_id").alias("vb"))
+        maxsim = (
+            sim.join(F.broadcast(sel_ids), "vb")
+            .groupBy("va")
+            .agg(F.max("s").alias("ms"))
+        )
+        pick_k = (
+            cand.join(sel.select(F.col("vec_id")), "vec_id", "left_anti")
+            .join(maxsim, F.col("vec_id") == F.col("va"))
+            .select(
+                F.lit(k).alias("k"),
+                "vec_id",
+                "r",
+                (F.lit(2) * F.col("r") - F.col("ms")).cast("long").alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick_k).localCheckpoint()
+    return sel.select("k", "vec_id", F.col("r").alias("rel"), "score")
+
+
+@query(
+    "vector_prf_rocchio",
+    oracle="""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(floor(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    q0 AS (SELECT min(vec_id) AS qid FROM embeddings),
+    qv AS (SELECT i, x FROM pts, q0 WHERE vec_id = q0.qid),
+    rel AS MATERIALIZED (
+      SELECT p.vec_id, CAST(sum(p.x * qv.x) AS BIGINT) AS r
+      FROM pts p JOIN qv USING (i)
+      WHERE p.vec_id <> (SELECT qid FROM q0)
+      GROUP BY 1
+    ),
+    top1 AS MATERIALIZED (
+      SELECT vec_id FROM rel ORDER BY r DESC, vec_id LIMIT 10
+    ),
+    fb AS (
+      SELECT p.i,
+             CAST((sum(p.x) + 10 * 1000) // 10 - 1000 AS BIGINT) AS c
+      FROM pts p JOIN top1 USING (vec_id) GROUP BY p.i
+    ),
+    q2 AS (SELECT qv.i, CAST(qv.x + fb.c AS BIGINT) AS x
+           FROM qv JOIN fb USING (i)),
+    rel2 AS MATERIALIZED (
+      SELECT p.vec_id, CAST(sum(p.x * q2.x) AS BIGINT) AS r2
+      FROM pts p JOIN q2 USING (i)
+      WHERE p.vec_id <> (SELECT qid FROM q0)
+      GROUP BY 1
+    ),
+    top2 AS MATERIALIZED (
+      SELECT vec_id, r2 FROM rel2 ORDER BY r2 DESC, vec_id LIMIT 10
+    )
+    SELECT t2.vec_id, t2.r2 AS rel2,
+           CASE WHEN t1.vec_id IS NULL THEN 0 ELSE 1 END AS was_in_round1
+    FROM top2 t2 LEFT JOIN top1 t1 ON t1.vec_id = t2.vec_id
+    """,
+)
+def vector_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio, β = 1): retrieve top-10 by
+    integer dot product, move the query toward their centroid
+    (positive-shift floor division — the documented DIV/flooring
+    alignment), re-retrieve, and report the new top-10 with a flag for
+    survivors from round 1 — the classical two-pass expansion a
+    retrieval pipeline layers on the ANN index, with the round-2
+    overlap as the built-in drift diagnostic. All arithmetic is exact
+    int64 on milli-quantized vectors; both retrieval heads are
+    TakeOrdered picks with vec_id tie-breaks. Scale: two corpus passes
+    (one per retrieval round), each a broadcast-query dot product;
+    the feedback centroid is a 10-row aggregate."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+            " AS BIGINT))"
+        ).alias("qe"),
+    )
+    qid = emb.agg(F.min("vec_id").alias("qid"))
+    qv = emb.join(F.broadcast(qid), F.col("vec_id") == F.col("qid")).select(
+        F.col("qe").alias("qv")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rel = (
+        emb.crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(qid))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", "qe", dot("qe", "qv").alias("r"))
+    )
+    top1 = rel.orderBy(F.col("r").desc(), "vec_id").limit(10).localCheckpoint()
+    fb = (
+        top1.select(F.posexplode("qe").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.expr("CAST((sum(x) + 10 * 1000) DIV 10 - 1000 AS BIGINT)").alias("c"))
+    )
+    q2 = (
+        qv.select(F.posexplode("qv").alias("i", "x"))
+        .join(fb, "i")
+        .select("i", (F.col("x") + F.col("c")).cast("long").alias("x2"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "x2"))), lambda st: st["x2"]
+            ).alias("q2")
+        )
+    )
+    rel2 = (
+        emb.crossJoin(F.broadcast(q2))
+        .crossJoin(F.broadcast(qid))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", dot("qe", "q2").alias("r2"))
+    )
+    top2 = rel2.orderBy(F.col("r2").desc(), "vec_id").limit(10)
+    t1_ids = top1.select(F.col("vec_id").alias("t1id"))
+    return (
+        top2.join(F.broadcast(t1_ids), F.col("vec_id") == F.col("t1id"), "left")
+        .select(
+            "vec_id",
+            F.col("r2").alias("rel2"),
+            F.when(F.col("t1id").isNull(), 0).otherwise(1).alias("was_in_round1"),
+        )
+    )
+
+
 @query(
     "events_funnel_time_windowed",
     oracle="""
