@@ -919,9 +919,41 @@ def events_local_extrema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "vector_fisher_separation",
-    oracle="""
+def fisher_from_cells(cell: DataFrame) -> DataFrame:
+    """Fisher separation statistics from a (label, dim, n, s, ss)
+    moment-cell frame — shared by the batch query and the streaming
+    view twin (the cells are ADDITIVE, so they stream through the fold
+    sink even though the Fisher ratio itself does not)."""
+    grand = cell.groupBy("dim").agg(
+        F.sum("s").cast("long").alias("sd"), F.sum("n").cast("long").alias("nn")
+    )
+    terms = cell.join(F.broadcast(grand), "dim").select(
+        "label",
+        "n",
+        F.expr("CAST(ss - (s * s) DIV n AS BIGINT)").alias("w_term"),
+        F.floor(
+            F.expr("CAST(nn * s - n * sd AS DOUBLE)")
+            * F.expr("CAST(nn * s - n * sd AS DOUBLE)")
+            / (
+                F.expr("CAST(n AS DOUBLE)")
+                * F.expr("CAST(nn AS DOUBLE)")
+                * F.expr("CAST(nn AS DOUBLE)")
+            )
+        )
+        .cast("long")
+        .alias("b_term"),
+    )
+    return terms.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.max("n").alias("n_vectors"),
+        F.sum("w_term").cast("long").alias("within_ss"),
+        F.sum("b_term").cast("long").alias("between_ss"),
+        F.expr("CAST(sum(b_term) * 1000 DIV sum(w_term) AS BIGINT)").alias(
+            "fisher_ratio_milli"
+        ),
+    )
+
+
+FISHER_ORACLE = """
     WITH q AS (
       SELECT label, i AS dim,
              CAST(floor(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
@@ -951,8 +983,10 @@ def events_local_extrema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(b_term) * 1000 // sum(w_term) AS BIGINT)
              AS fisher_ratio_milli
     FROM terms GROUP BY label
-    """,
-)
+    """
+
+
+@query("vector_fisher_separation", oracle=FISHER_ORACLE)
 def vector_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-separation audit over the embedding corpus — the
     LDA-readiness numbers an ML engineer checks before trusting the
@@ -1019,33 +1053,7 @@ def vector_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ss").cast("long").alias("ss"),
         )
     )
-    grand = cell.groupBy("dim").agg(
-        F.sum("s").cast("long").alias("sd"), F.sum("n").cast("long").alias("nn")
-    )
-    terms = cell.join(F.broadcast(grand), "dim").select(
-        "label",
-        "n",
-        F.expr("CAST(ss - (s * s) DIV n AS BIGINT)").alias("w_term"),
-        F.floor(
-            F.expr("CAST(nn * s - n * sd AS DOUBLE)")
-            * F.expr("CAST(nn * s - n * sd AS DOUBLE)")
-            / (
-                F.expr("CAST(n AS DOUBLE)")
-                * F.expr("CAST(nn AS DOUBLE)")
-                * F.expr("CAST(nn AS DOUBLE)")
-            )
-        )
-        .cast("long")
-        .alias("b_term"),
-    )
-    return terms.groupBy(F.col("label").cast("int").alias("label")).agg(
-        F.max("n").alias("n_vectors"),
-        F.sum("w_term").cast("long").alias("within_ss"),
-        F.sum("b_term").cast("long").alias("between_ss"),
-        F.expr("CAST(sum(b_term) * 1000 DIV sum(w_term) AS BIGINT)").alias(
-            "fisher_ratio_milli"
-        ),
-    )
+    return fisher_from_cells(cell)
 
 
 @query(
@@ -2087,9 +2095,32 @@ def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
 
 
-@query(
-    "orders_aging_buckets",
-    oracle="""
+def aging_from_daily(daily: DataFrame) -> DataFrame:
+    """Aging report from a (o_orderstatus, d, n, cents) per-day
+    partial frame — shared by the batch query and the streaming view
+    twin (the partials are additive; the horizon and buckets are
+    re-derived at read time, like the survival twin's censoring)."""
+    mx = daily.agg(F.max("d").alias("max_d"))
+    aged = daily.crossJoin(F.broadcast(mx)).select(
+        "o_orderstatus",
+        "n",
+        "cents",
+        (F.col("max_d") - F.col("d")).alias("age_days"),
+    )
+    return aged.groupBy(
+        "o_orderstatus",
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("age_bucket"),
+    ).agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+AGING_ORACLE = """
     WITH mx AS (SELECT max(epoch_us(o_orderdate) // 86400000000) AS max_d
                 FROM orders),
     aged AS (
@@ -2107,37 +2138,32 @@ def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(cents) AS BIGINT) AS total_cents
     FROM aged
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("orders_aging_buckets", oracle=AGING_ORACLE)
 def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-book aging report: orders bucketed by days outstanding
     relative to the corpus horizon (0-30/31-60/61-90/90+), split by
     status — the AR-aging shape every finance close reproduces, here
     as pure integer day arithmetic (epoch-micros day indexes, the
     horizon broadcast from a 1-row aggregate, CASE bucket edges).
-    One scan + one aggregation; bucket count constant."""
-    orders = load_tables(spark, sf_dir)["orders"].select(
-        "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+    One scan + one per-day rollup, then the shared aging_from_daily
+    bucketing; bucket count constant."""
+    daily = (
+        load_tables(spark, sf_dir)["orders"]
+        .select(
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+        )
+        .groupBy("o_orderstatus", "d")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
     )
-    mx = orders.agg(F.max("d").alias("max_d"))
-    aged = orders.crossJoin(F.broadcast(mx)).select(
-        "o_orderstatus",
-        "cents",
-        (F.col("max_d") - F.col("d")).alias("age_days"),
-    )
-    return aged.groupBy(
-        "o_orderstatus",
-        F.when(F.col("age_days") <= 30, "0-30")
-        .when(F.col("age_days") <= 60, "31-60")
-        .when(F.col("age_days") <= 90, "61-90")
-        .otherwise("90+")
-        .alias("age_bucket"),
-    ).agg(
-        F.count("*").cast("long").alias("n_orders"),
-        F.sum("cents").cast("long").alias("total_cents"),
-    )
+    return aging_from_daily(daily)
 
 
 @query(

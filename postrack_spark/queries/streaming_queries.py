@@ -1082,6 +1082,103 @@ def _survival_oracle() -> str:
     return SURVIVAL_ORACLE
 
 
+def _aging_oracle() -> str:
+    from postrack_spark.queries.stats_queries import AGING_ORACLE
+
+    return AGING_ORACLE
+
+
+@query("streaming_aging_buckets", oracle=_aging_oracle())
+def streaming_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming order-book aging: per-(status, order-day) counts and
+    cents fold additively through the exactly-once sink (state is
+    O(statuses × days), calendar-bounded), and the aging report —
+    horizon, age buckets, rollup — is re-derived at READ time from the
+    maintained view via the SAME aging_from_daily as the batch twin
+    (shared oracle). The point the twin pins: bucket membership is a
+    function of the moving horizon, so it can never be part of
+    streaming state — an order's bucket changes as the clock advances
+    with NO new event for that order. Only the day-partial counts are
+    state; everything horizon-relative is read-time."""
+    from postrack_spark.queries.stats_queries import aging_from_daily
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    orders = (
+        load_tables(spark, sf_dir)["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .repartition(8)
+    )
+    stream = envelope_stream(
+        spark, orders, name="aging", options={"maxFilesPerTrigger": "2"}
+    )
+    rows = stream.select(
+        "o_orderstatus",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+        F.lit(1).cast("long").alias("n"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    target, q = foreach_batch_fold(
+        rows, group_cols=["o_orderstatus", "d"], sum_cols=["n", "cents"]
+    )
+    q.awaitTermination()
+    return aging_from_daily(read_view(spark, target))
+
+
+def _fisher_oracle() -> str:
+    from postrack_spark.queries.stats_queries import FISHER_ORACLE
+
+    return FISHER_ORACLE
+
+
+@query("streaming_fisher_separation", oracle=_fisher_oracle())
+def streaming_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Fisher class-separation monitoring: the per-
+    (label, dim) moment cells (n, Σx, Σx²) over milli-quantized
+    embeddings are ADDITIVE, so they fold through the exactly-once
+    sink at O(batch·d) per batch with O(labels·d) state — the
+    streaming Gram update's argument applied to labeled second
+    moments. At read time the SAME fisher_from_cells as the batch twin
+    assembles within/between scatter and the ratio (shared oracle):
+    the Fisher RATIO is nonlinear and could never stream, but its
+    sufficient statistics do — the recurring moral of this engine's
+    streaming family (BM25, richness, survival, aging all factor the
+    same way). Live use: embedding-drift alarms on class overlap as a
+    labeling pipeline runs."""
+    from postrack_spark.queries.stats_queries import fisher_from_cells
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    emb = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", "label", "embedding")
+        .repartition(8)
+    )
+    stream = envelope_stream(
+        spark, emb, name="fisher", options={"maxFilesPerTrigger": "2"}
+    )
+    cells = stream.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+                " AS BIGINT))"
+            )
+        ).alias("dim0", "x"),
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        (F.col("dim0") + 1).alias("dim"),
+        F.lit(1).cast("long").alias("n"),
+        F.col("x").alias("s"),
+        (F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    target, q = foreach_batch_fold(
+        cells, group_cols=["label", "dim"], sum_cols=["n", "s", "ss"]
+    )
+    q.awaitTermination()
+    return fisher_from_cells(read_view(spark, target))
+
+
 @query("streaming_survival_table", oracle=_survival_oracle())
 def streaming_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming survival-table maintenance: the per-user lifetime
