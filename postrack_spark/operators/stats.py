@@ -1,0 +1,221 @@
+"""Distributed exact nonparametric statistics — reusable operator
+forms of the round-3 stats query family (Kruskal-Wallis, Mann-Kendall,
+runs test). The reference (postrack.go) has no analytics surface; these
+exist for the engine's statistical layer and are kept as generic
+DataFrame → DataFrame operators so hypothesis model tests
+(tests/test_stats_models.py) can drive them on arbitrary data,
+independent of the fixture tables.
+
+House rules (see queries/stats_queries.py): integer moments everywhere,
+rank machinery from operators/ranking (zero unpartitioned windows),
+per-group float contributions floored to int64 BEFORE cross-group sums,
+and final statistics assembled in ONE IEEE-deterministic double
+expression floored to ppm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Kruskal-Wallis H over integer values: 1-row DataFrame with
+    (n_total, n_groups, tie_sum, h_ppm). Midranks come from a
+    distributed prefix sum over the DISTINCT-value frame; see
+    agg_kruskal_wallis for the full exactness argument."""
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    c = df.select(F.col(group_col).alias("prio"), F.col(value_col).alias("cents"))
+    cells = c.groupBy("prio", "cents").agg(F.count("*").cast("long").alias("n_pc"))
+    vals = cells.groupBy("cents").agg(F.sum("n_pc").cast("long").alias("cnt"))
+    mid = prefix_sum_by_key(vals, ["cents"], "cnt", "cumb", inclusive=False).select(
+        "cents",
+        "cnt",
+        (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    )
+    grp = (
+        cells.join(mid.select("cents", "mr2"), "cents")
+        .groupBy("prio")
+        .agg(
+            F.sum(F.col("n_pc") * F.col("mr2")).cast("long").alias("r2"),
+            F.sum("n_pc").cast("long").alias("n_j"),
+        )
+    )
+    terms = grp.agg(
+        F.sum(
+            F.floor(
+                F.col("r2").cast("double")
+                * F.col("r2").cast("double")
+                / (F.lit(4.0) * F.col("n_j").cast("double"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hnum"),
+        F.count("*").cast("long").alias("n_groups"),
+    )
+    tie = vals.agg(
+        F.sum(F.expr("cnt * cnt * cnt - cnt")).cast("long").alias("tie_sum"),
+        F.sum("cnt").cast("long").alias("n_total"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    h_ppm = F.floor(
+        F.lit(1000000.0)
+        * (
+            (
+                F.lit(12.0) * d("hnum") / (d("n_total") * (d("n_total") + F.lit(1.0)))
+                - F.lit(3.0) * (d("n_total") + F.lit(1.0))
+            )
+            / (
+                F.lit(1.0)
+                - d("tie_sum")
+                / F.expr("CAST(n_total * n_total * n_total - n_total AS DOUBLE)")
+            )
+        )
+    ).cast("long")
+    return (
+        terms.crossJoin(F.broadcast(tie))  # 1-row x 1-row combine
+        .select("n_total", "n_groups", "tie_sum", h_ppm.alias("h_ppm"))
+    )
+
+
+def mann_kendall(df: DataFrame, key_col: str, time_col: str, value_col: str) -> DataFrame:
+    """Per-key Mann-Kendall trend test over an ordered integer series:
+    (key, n_days, s_stat, varnum18, z_ppm) per key. The pair frame
+    must be bounded per key (calendar-bounded in the query usage); the
+    right side broadcasts. See events_mann_kendall_trend."""
+    daily = df.select(
+        F.col(key_col).alias("event_type"),
+        F.col(time_col).alias("d"),
+        F.col(value_col).cast("long").alias("c"),
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("et_b") == F.col("event_type")) & (F.col("db") > F.col("da")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long").alias("tie18"))
+    )
+    joined = nd.join(s, "event_type").join(ties, "event_type")
+    varnum18 = F.expr(
+        "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS BIGINT)"
+    )
+    z_ppm = F.expr(
+        """
+        CASE WHEN s_stat = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(1000000.0
+                      * CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                                  ELSE s_stat + 1 END AS DOUBLE)
+                      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                                  - tie18 AS DOUBLE) / 18.0)) AS BIGINT)
+        END
+        """
+    )
+    return joined.select(
+        F.col("event_type").alias(key_col),
+        "n_days",
+        "s_stat",
+        varnum18.alias("varnum18"),
+        z_ppm.alias("z_ppm"),
+    )
+
+
+def runs_test(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on one ordered integer series: 1-row
+    (n_days, n_above, n_below, runs, z_ppm). Median dichotomization is
+    the type-1 order statistic; ties-at-median count 'below'; the run
+    count is an adjacency self-join on the rank index (window-free).
+    The frame must be bounded (calendar-bounded in query usage) — the
+    rank/adjacency self-joins broadcast. See agg_runs_test."""
+    daily = df.select(F.col(time_col).alias("d"), F.col(value_col).cast("long").alias("c"))
+    h = daily.select(F.col("d").alias("hd"), F.col("c").alias("hc"))
+    pre = (
+        daily.join(
+            F.broadcast(h),
+            (F.col("hc") < F.col("c"))
+            | ((F.col("hc") == F.col("c")) & (F.col("hd") <= F.col("d"))),
+        )
+        .groupBy("d", "c")
+        .agg(F.count("*").cast("long").alias("kv"))
+    )
+    kidx = (
+        daily.join(F.broadcast(h), F.col("hd") <= F.col("d"))
+        .groupBy("d", "c")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    tot = daily.agg(F.count("*").cast("long").alias("n"))
+    med = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("kv") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("c").alias("m"))
+    )
+    signs = kidx.crossJoin(F.broadcast(med)).select(
+        "k", F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    b = signs.select((F.col("k") - 1).alias("k"), F.col("above").alias("nxt"))
+    trans = signs.join(b, "k").agg(
+        F.sum(F.when(F.col("above") != F.col("nxt"), 1).otherwise(0))
+        .cast("long")
+        .alias("flips")
+    )
+    m2 = signs.agg(
+        F.sum("above").cast("long").alias("n1"),
+        (F.count("*") - F.sum("above")).cast("long").alias("n2"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    # zero-variance dichotomy (2·n1·n2 <= n, e.g. every value ties at the
+    # median) has no normal approximation: NULL, and guard the division
+    # (ANSI Spark throws on /0 even for doubles)
+    z_ppm = F.when(
+        F.lit(2) * F.col("n1") * F.col("n2") <= F.col("n"), F.lit(None).cast("long")
+    ).otherwise(
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                (F.col("flips") + F.lit(1)).cast("double")
+                - (F.lit(1.0) + F.lit(2.0) * d("n1") * d("n2") / d("n"))
+            )
+            / F.sqrt(
+                F.lit(2.0)
+                * d("n1")
+                * d("n2")
+                * (F.lit(2.0) * d("n1") * d("n2") - d("n"))
+                / (d("n") * d("n") * (d("n") - F.lit(1.0)))
+            )
+        ).cast("long")
+    )
+    return (
+        tot.crossJoin(F.broadcast(m2))  # 1-row combines
+        .crossJoin(F.broadcast(trans))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("n1").alias("n_above"),
+            F.col("n2").alias("n_below"),
+            (F.col("flips") + F.lit(1)).cast("long").alias("runs"),
+            z_ppm.alias("z_ppm"),
+        )
+    )

@@ -146,6 +146,8 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it is one map-side-combined daily aggregate. All-tied
     series have S = 0 and take the CASE arm, so the sqrt is never
     evaluated on a zero variance."""
+    from postrack_spark.operators.stats import mann_kendall
+
     daily = (
         load_tables(spark, sf_dir)["events"]
         .select(
@@ -155,61 +157,7 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "d")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    a = daily.select(
-        F.col("event_type"), F.col("d").alias("da"), F.col("c").alias("ca")
-    )
-    b = daily.select(
-        F.col("event_type").alias("et_b"),
-        F.col("d").alias("db"),
-        F.col("c").alias("cb"),
-    )
-    s = (
-        a.join(
-            F.broadcast(b),
-            (F.col("et_b") == F.col("event_type")) & (F.col("db") > F.col("da")),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.when(F.col("cb") > F.col("ca"), 1)
-                .when(F.col("cb") < F.col("ca"), -1)
-                .otherwise(0)
-            )
-            .cast("long")
-            .alias("s_stat")
-        )
-    )
-    nd = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n_days"))
-    ties = (
-        daily.groupBy("event_type", "c")
-        .agg(F.count("*").cast("long").alias("t"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long").alias("tie18")
-        )
-    )
-    joined = nd.join(s, "event_type").join(ties, "event_type")
-    varnum18 = F.expr(
-        "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS BIGINT)"
-    )
-    z_ppm = F.expr(
-        """
-        CASE WHEN s_stat = 0 THEN CAST(0 AS BIGINT)
-             ELSE CAST(floor(1000000.0
-                      * CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
-                                  ELSE s_stat + 1 END AS DOUBLE)
-                      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
-                                  - tie18 AS DOUBLE) / 18.0)) AS BIGINT)
-        END
-        """
-    )
-    return joined.select(
-        "event_type",
-        "n_days",
-        "s_stat",
-        varnum18.alias("varnum18"),
-        z_ppm.alias("z_ppm"),
-    )
+    return mann_kendall(daily, "event_type", "d", "c")
 
 
 @query(
@@ -279,66 +227,13 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically-shaped expression floored to ppm. Headroom: the tie
     term Σ(t³−t) needs int64 — fine to ~2M fully-tied rows per value;
     coarsen value units past that (the agg_corr_exact rule)."""
-    from postrack_spark.operators.ranking import prefix_sum_by_key
+    from postrack_spark.operators.stats import kruskal_wallis
 
     c = load_tables(spark, sf_dir)["orders"].select(
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    cells = c.groupBy("prio", "cents").agg(F.count("*").cast("long").alias("n_pc"))
-    vals = cells.groupBy("cents").agg(F.sum("n_pc").cast("long").alias("cnt"))
-    mid = prefix_sum_by_key(vals, ["cents"], "cnt", "cumb", inclusive=False).select(
-        "cents",
-        "cnt",
-        (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1))
-        .cast("long")
-        .alias("mr2"),
-    )
-    grp = (
-        cells.join(mid.select("cents", "mr2"), "cents")
-        .groupBy("prio")
-        .agg(
-            F.sum(F.col("n_pc") * F.col("mr2")).cast("long").alias("r2"),
-            F.sum("n_pc").cast("long").alias("n_j"),
-        )
-    )
-    terms = grp.agg(
-        F.sum(
-            F.floor(
-                F.col("r2").cast("double")
-                * F.col("r2").cast("double")
-                / (F.lit(4.0) * F.col("n_j").cast("double"))
-            ).cast("long")
-        )
-        .cast("long")
-        .alias("hnum"),
-        F.count("*").cast("long").alias("n_groups"),
-    )
-    tie = vals.agg(
-        F.sum(F.expr("cnt * cnt * cnt - cnt")).cast("long").alias("tie_sum"),
-        F.sum("cnt").cast("long").alias("n_total"),
-    )
-    d = lambda col: F.col(col).cast("double")  # noqa: E731
-    h_ppm = F.floor(
-        F.lit(1000000.0)
-        * (
-            (
-                F.lit(12.0) * d("hnum") / (d("n_total") * (d("n_total") + F.lit(1.0)))
-                - F.lit(3.0) * (d("n_total") + F.lit(1.0))
-            )
-            / (
-                F.lit(1.0)
-                - d("tie_sum")
-                / F.expr(
-                    "CAST(n_total * n_total * n_total - n_total AS DOUBLE)"
-                )
-            )
-        )
-    ).cast("long")
-    return (
-        terms.crossJoin(F.broadcast(tie))  # 1-row x 1-row combine
-        .select("n_total", "n_groups", "tie_sum", h_ppm.alias("h_ppm"))
-    )
+    return kruskal_wallis(c, "prio", "cents")
 
 
 @query(
@@ -2531,7 +2426,8 @@ def agg_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.n AS n_days, m2.n1 AS n_above, m2.n2 AS n_below,
            CAST(trans.flips + 1 AS BIGINT) AS runs,
-           CAST(floor(1000000.0
+           CASE WHEN 2 * m2.n1 * m2.n2 <= t.n THEN CAST(NULL AS BIGINT)
+                ELSE CAST(floor(1000000.0
                 * (CAST(trans.flips + 1 AS DOUBLE)
                    - (1.0 + 2.0 * CAST(m2.n1 AS DOUBLE) * CAST(m2.n2 AS DOUBLE)
                       / CAST(t.n AS DOUBLE)))
@@ -2539,7 +2435,8 @@ def agg_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (2.0 * CAST(m2.n1 AS DOUBLE) * CAST(m2.n2 AS DOUBLE)
                           - CAST(t.n AS DOUBLE))
                        / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
-                          * (CAST(t.n AS DOUBLE) - 1.0)))) AS BIGINT) AS z_ppm
+                          * (CAST(t.n AS DOUBLE) - 1.0)))) AS BIGINT)
+           END AS z_ppm
     FROM tot t, med, trans, m2
     """,
 )
@@ -2556,75 +2453,15 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuity-free Z assembles integer counts in one ppm-floored IEEE
     expression. One data-sized aggregate; everything else is
     days-sized."""
+    from postrack_spark.operators.stats import runs_test
+
     daily = (
         load_tables(spark, sf_dir)["events"]
         .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
         .groupBy("d")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    h = daily.select(F.col("d").alias("hd"), F.col("c").alias("hc"))
-    pre = (
-        daily.join(
-            F.broadcast(h),
-            (F.col("hc") < F.col("c"))
-            | ((F.col("hc") == F.col("c")) & (F.col("hd") <= F.col("d"))),
-        )
-        .groupBy("d", "c")
-        .agg(F.count("*").cast("long").alias("kv"))
-    )
-    kidx = (
-        daily.join(F.broadcast(h), F.col("hd") <= F.col("d"))
-        .groupBy("d", "c")
-        .agg(F.count("*").cast("long").alias("k"))
-    )
-    tot = daily.agg(F.count("*").cast("long").alias("n"))
-    med = (
-        pre.crossJoin(F.broadcast(tot))
-        .filter(F.col("kv") == F.expr("(n + 1) DIV 2"))
-        .select(F.col("c").alias("m"))
-    )
-    signs = kidx.crossJoin(F.broadcast(med)).select(
-        "k", F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("above")
-    )
-    b = signs.select((F.col("k") - 1).alias("k"), F.col("above").alias("nxt"))
-    trans = (
-        signs.join(b, "k")
-        .agg(
-            F.sum(F.when(F.col("above") != F.col("nxt"), 1).otherwise(0))
-            .cast("long")
-            .alias("flips")
-        )
-    )
-    m2 = signs.agg(
-        F.sum("above").cast("long").alias("n1"),
-        (F.count("*") - F.sum("above")).cast("long").alias("n2"),
-    )
-    d = lambda col: F.col(col).cast("double")  # noqa: E731
-    z_ppm = F.floor(
-        F.lit(1000000.0)
-        * (
-            (F.col("flips") + F.lit(1)).cast("double")
-            - (F.lit(1.0) + F.lit(2.0) * d("n1") * d("n2") / d("n"))
-        )
-        / F.sqrt(
-            F.lit(2.0)
-            * d("n1")
-            * d("n2")
-            * (F.lit(2.0) * d("n1") * d("n2") - d("n"))
-            / (d("n") * d("n") * (d("n") - F.lit(1.0)))
-        )
-    ).cast("long")
-    return (
-        tot.crossJoin(F.broadcast(m2))  # 1-row combines
-        .crossJoin(F.broadcast(trans))
-        .select(
-            F.col("n").alias("n_days"),
-            F.col("n1").alias("n_above"),
-            F.col("n2").alias("n_below"),
-            (F.col("flips") + F.lit(1)).cast("long").alias("runs"),
-            z_ppm.alias("z_ppm"),
-        )
-    )
+    return runs_test(daily, "d", "c")
 
 
 @query(

@@ -1,0 +1,166 @@
+"""Property-based tests for operators/stats.py against pure-Python
+brute-force models — the nonparametric-test algebra behind
+agg_kruskal_wallis, events_mann_kendall_trend, and agg_runs_test,
+checked on arbitrary hypothesis-generated data independent of the
+fixture tables (the tests/test_mining.py discipline). Python floats
+ARE IEEE doubles, so the models reproduce the engines' ppm-floored
+expressions bit-for-bit when given the same integers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _model_kruskal(pairs):
+    """(group, value) pairs -> (n_total, n_groups, tie_sum, h_ppm)."""
+    from collections import Counter
+
+    vals = Counter(v for _, v in pairs)
+    n = len(pairs)
+    # doubled midrank per distinct value
+    mr2 = {}
+    cum = 0
+    for v in sorted(vals):
+        mr2[v] = 2 * cum + vals[v] + 1
+        cum += vals[v]
+    groups = {}
+    for g, v in pairs:
+        r2, nj = groups.get(g, (0, 0))
+        groups[g] = (r2 + mr2[v], nj + 1)
+    hnum = sum(math.floor(r2 * r2 / (4.0 * nj)) for r2, nj in groups.values())
+    tie_sum = sum(t * t * t - t for t in vals.values())
+    h_ppm = math.floor(
+        1000000.0
+        * (
+            (12.0 * hnum / (n * (n + 1.0)) - 3.0 * (n + 1.0))
+            / (1.0 - tie_sum / float(n * n * n - n))
+        )
+    )
+    return (n, len(groups), tie_sum, h_ppm)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=4,
+        max_size=40,
+    ).filter(
+        lambda ps: len({g for g, _ in ps}) >= 2
+        and len({v for _, v in ps}) >= 2  # tie correction defined
+    )
+)
+def test_kruskal_wallis_matches_model(spark, pairs):
+    from postrack_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [(g, v) for g, v in pairs], "grp string, x long"
+    )
+    row = kruskal_wallis(df, "grp", "x").collect()[0]
+    assert (
+        row["n_total"],
+        row["n_groups"],
+        row["tie_sum"],
+        row["h_ppm"],
+    ) == _model_kruskal(pairs)
+
+
+def _model_mann_kendall(series):
+    """[(t, v)] ordered pairs -> (n, s, varnum18, z_ppm)."""
+    from collections import Counter
+
+    n = len(series)
+    vs = [v for _, v in sorted(series)]
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (vs[j] > vs[i]) - (vs[j] < vs[i])
+    tie18 = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(vs).values()
+    )
+    varnum18 = n * (n - 1) * (2 * n + 5) - tie18
+    if s == 0:
+        z = 0
+    else:
+        adj = s - 1 if s > 0 else s + 1
+        z = math.floor(1000000.0 * float(adj) / math.sqrt(varnum18 / 18.0))
+    return (n, s, varnum18, z)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=3, max_size=25)
+)
+def test_mann_kendall_matches_model(spark, values):
+    from postrack_spark.operators.stats import mann_kendall
+
+    series = list(enumerate(values))
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in series], "key string, d long, c long"
+    )
+    row = mann_kendall(df, "key", "d", "c").collect()[0]
+    got = (row["n_days"], row["s_stat"], row["varnum18"], row["z_ppm"])
+    want = _model_mann_kendall(series)
+    # all-tied series: varnum18 == 0 and s == 0 -> z defined as 0
+    assert got == want
+
+
+def _model_runs(values):
+    """ordered values -> (n, n_above, n_below, runs, z_ppm or None)."""
+    n = len(values)
+    med = sorted(values)[(n + 1) // 2 - 1]  # type-1 lower median
+    above = [1 if v > med else 0 for v in values]
+    runs = 1 + sum(1 for i in range(n - 1) if above[i] != above[i + 1])
+    n1, n2 = sum(above), n - sum(above)
+    num = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+    den = float(n) * n * (n - 1.0)
+    var = num / den
+    mean = 1.0 + 2.0 * n1 * n2 / n
+    if var > 0:
+        z = math.floor(1000000.0 * (runs - mean) / math.sqrt(var))
+    else:
+        z = None  # sqrt(<=0) -> NaN/inf path; skip exact compare
+    return (n, n1, n2, runs, z)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=3, max_size=30)
+)
+def test_runs_test_matches_model(spark, values):
+    from postrack_spark.operators.stats import runs_test
+
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(values)], "d long, c long"
+    )
+    row = runs_test(df, "d", "c").collect()[0]
+    n, n1, n2, runs, z = _model_runs(values)
+    assert (row["n_days"], row["n_above"], row["n_below"], row["runs"]) == (
+        n,
+        n1,
+        n2,
+        runs,
+    )
+    if z is not None:
+        assert row["z_ppm"] == z
+    else:
+        assert row["z_ppm"] is None  # degenerate dichotomy -> NULL
