@@ -266,6 +266,64 @@ def main() -> None:
         .agg(F.sum("g").alias("g")),
     )
 
+    # 8. Kruskal-Wallis over 10x orders: the distributed-midrank path
+    #    (distinct-value prefix sum + cells join). Value space is shared
+    #    across copies (prices unshifted), so the distinct-value frame
+    #    stays fixed while cell counts grow 10x — the midrank machinery's
+    #    favorable case, and the realistic one (value domains don't grow
+    #    linearly with row count).
+    from postrack_spark.operators.stats import kruskal_wallis
+
+    kw10 = shifted_union(t["orders"], {"o_orderkey": 10_000_000}).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    run("kruskal_wallis_10x", kruskal_wallis(kw10, "prio", "cents"))
+
+    # 9. Simplified silhouette over 10x embeddings: the O(n*k)
+    #    centroid-assignment shape (broadcast 10-row centroid frame,
+    #    zip_with dot products) — should track the scan like kmeans.
+    emb10q = shifted_union(t["embeddings"], {"vec_id": 10_000_000}).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+            " AS BIGINT))"
+        ).alias("qe"),
+    )
+    cell10 = (
+        emb10q.select("label", F.posexplode("qe").alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s"))
+    )
+    cent10 = cell10.select(
+        F.col("label").alias("clabel"),
+        "dim0",
+        F.expr("CAST((s + n * 1000) DIV n - 1000 AS BIGINT)").alias("c"),
+    )
+    carr10 = cent10.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "c"))), lambda st: st["c"]
+        ).alias("carr")
+    )
+    d2_10 = emb10q.crossJoin(F.broadcast(carr10)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("carr"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist2"),
+    )
+    run(
+        "silhouette_10x",
+        d2_10.groupBy("vec_id", "label").agg(
+            F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist2"))).alias("a2"),
+            F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist2"))).alias("b2"),
+        ),
+    )
+
     print(json.dumps({"metric": "stress_10x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": 10, "timings": timings}))
     spark.stop()
