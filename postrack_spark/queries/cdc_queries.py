@@ -484,6 +484,82 @@ def cdc_op_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_sequence_integrity",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    per_key AS (
+      SELECT okey, min(lsn) AS min_lsn,
+             min(CASE WHEN op = 'DELETE' THEN lsn END) AS del_lsn
+      FROM changes GROUP BY okey
+    ),
+    firsts AS (
+      SELECT c.okey, c.op FROM changes c
+      JOIN per_key p ON p.okey = c.okey AND c.lsn = p.min_lsn
+    )
+    SELECT CAST((SELECT count(*) FROM per_key) AS BIGINT) AS n_keys,
+           CAST((SELECT count(*) FROM changes) AS BIGINT) AS n_events,
+           CAST((SELECT count(*) FROM firsts WHERE op <> 'INSERT') AS BIGINT)
+             AS first_not_insert,
+           CAST((SELECT count(*) FROM changes c JOIN per_key p ON p.okey = c.okey
+                 WHERE p.del_lsn IS NOT NULL AND c.lsn > p.del_lsn) AS BIGINT)
+             AS ops_after_delete,
+           CAST((SELECT count(*) FROM (SELECT lsn FROM changes
+                                       GROUP BY lsn HAVING count(*) > 1)) AS BIGINT)
+             AS dup_lsns
+    """,
+)
+def cdc_sequence_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-integrity CERTIFICATION: the boolean-grade counts a CDC
+    consumer alarms on — keys whose history does not start with
+    INSERT, operations sequenced after a key's DELETE, duplicate LSNs.
+    cdc_op_transition_matrix describes the transition structure; this
+    query certifies the three invariants are exactly zero on the
+    captured stream (and the oracle recomputes them from the scripted
+    generation rules, so a decode or replay bug that forges ops or
+    reorders LSNs fails the hash gate, not just an eyeball check).
+    Plan: one per-key aggregate + two broadcast-key probes + one LSN
+    duplicate count — all O(events) shuffles on the key/lsn."""
+    ch = orders_changes(spark, sf_dir)
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+    ev = ch.select(key.alias("k"), "lsn", "op")
+    per_key = ev.groupBy("k").agg(
+        F.min("lsn").alias("min_lsn"),
+        F.min(F.when(F.col("op") == "DELETE", F.col("lsn"))).alias("del_lsn"),
+    )
+    firsts = ev.join(
+        per_key.select("k", "min_lsn"),
+        (ev.k == per_key.k) & (ev.lsn == per_key.min_lsn),
+    ).select(ev.op)
+    n_keys = per_key.agg(F.count("*").cast("long").alias("n_keys"))
+    n_events = ev.agg(F.count("*").cast("long").alias("n_events"))
+    fni = firsts.agg(
+        F.sum(F.when(F.col("op") != "INSERT", 1).otherwise(0))
+        .cast("long")
+        .alias("first_not_insert")
+    )
+    oad = (
+        ev.join(per_key.select("k", "del_lsn"), "k")
+        .filter(F.col("del_lsn").isNotNull() & (F.col("lsn") > F.col("del_lsn")))
+        .agg(F.count("*").cast("long").alias("ops_after_delete"))
+    )
+    dups = (
+        ev.groupBy("lsn")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").cast("long").alias("dup_lsns"))
+    )
+    return (
+        n_keys.crossJoin(F.broadcast(n_events))  # 1-row combines
+        .crossJoin(F.broadcast(fni))
+        .crossJoin(F.broadcast(oad))
+        .crossJoin(F.broadcast(dups))
+    )
+
+
+@query(
     "cdc_changed_columns",
     oracle=f"""
     WITH {_CHANGES_CTE}

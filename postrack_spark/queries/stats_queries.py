@@ -2551,3 +2551,174 @@ def quality_hll_error_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    rm AS (
+      SELECT a.d, a.y,
+             CAST((SELECT max(h.y) FROM daily h WHERE h.d <= a.d) AS BIGINT) AS peak
+      FROM daily a
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           d AS trough_day, peak AS peak_dollars, y AS level_dollars,
+           CAST(peak - y AS BIGINT) AS max_drawdown_dollars
+    FROM rm
+    ORDER BY peak - y DESC, d LIMIT 1
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series: the worst decline
+    from a running peak to the current level, and the day it bottoms —
+    the risk statistic a finance reviewer asks for right after the
+    trend queries (a cumulative-revenue series is monotone, so the
+    classical definition applies to the LEVEL series). The running
+    peak is a suffix-free prefix max over the calendar-bounded daily
+    frame (broadcast self-join, the Lorenz pattern — not a global
+    window), the pick is orderBy().limit(1) with earliest-day
+    tie-break, and everything is integer dollars. One data-sized
+    aggregate; days-sized everything else."""
+    daily = (
+        load_tables(spark, sf_dir)["orders"]
+        .select(
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"))
+    )
+    h = daily.select(F.col("d").alias("hd"), F.col("y").alias("hy"))
+    rm = (
+        daily.join(F.broadcast(h), F.col("hd") <= F.col("d"))
+        .groupBy("d", "y")
+        .agg(F.max("hy").cast("long").alias("peak"))
+    )
+    n = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        rm.crossJoin(F.broadcast(n))
+        .select(
+            "n_days",
+            F.col("d").alias("trough_day"),
+            F.col("peak").alias("peak_dollars"),
+            F.col("y").alias("level_dollars"),
+            (F.col("peak") - F.col("y")).cast("long").alias("max_drawdown_dollars"),
+        )
+        .orderBy(F.col("max_drawdown_dollars").desc(), "trough_day")
+        .limit(1)
+    )
+
+
+@query(
+    "events_ljung_box_q",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily
+    ),
+    den AS (
+      SELECT CAST(sum((m.n * daily.y - m.s) * (m.n * daily.y - m.s)) AS BIGINT)
+               AS den
+      FROM daily, mom m
+    ),
+    lags AS (
+      SELECT k.k,
+             CAST(sum((m.n * a.y - m.s) * (m.n * b.y - m.s)) AS BIGINT) AS num,
+             CAST(count(*) AS BIGINT) AS m_k
+      FROM generate_series(1, 7) AS k(k)
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + k.k
+      CROSS JOIN mom m
+      GROUP BY k.k
+    ),
+    terms AS (
+      SELECT CAST(sum(CAST(floor(1000000.0
+                   * (CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE))
+                   * (CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE))
+                   / CAST(m_k AS DOUBLE)) AS BIGINT)) AS BIGINT) AS tsum,
+             CAST(count(*) AS BIGINT) AS n_lags
+      FROM lags, den
+    )
+    SELECT m.n AS n_days, t.n_lags,
+           CAST(m.n * (m.n + 2) * t.tsum // 1000 AS BIGINT) AS q_milli
+    FROM mom m, terms t
+    """,
+)
+def events_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily event counts: is the series
+    white noise across lags 1..7 jointly? — the formal conclusion the
+    events_acf_lags profile eyeballs. Autocorrelations use n-scaled
+    integer deviations (n·y − S, exact int64 — daily counts keep
+    headroom where revenue cents would not), each lag's r²/m term is
+    ONE IEEE expression micro-floored BEFORE the cross-lag integer sum
+    (the floored-contribution rule), and Q = n(n+2)·Σ lands via a
+    single positive DIV in milli-units. Lag pairs join on the calendar
+    day index, so m_k is the realized pair count (= n−k on contiguous
+    calendars — documented deviation from the textbook's n−k on gapped
+    ones). All frames after the daily aggregate are days-sized."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    dm = daily.crossJoin(F.broadcast(mom))
+    den = dm.agg(
+        F.sum(
+            (F.col("n") * F.col("y") - F.col("s"))
+            * (F.col("n") * F.col("y") - F.col("s"))
+        )
+        .cast("long")
+        .alias("den")
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    lags = (
+        dm.crossJoin(F.broadcast(ks))
+        .join(F.broadcast(b), F.col("db") == F.col("d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("y") - F.col("s"))
+                * (F.col("n") * F.col("yb") - F.col("s"))
+            )
+            .cast("long")
+            .alias("num"),
+            F.count("*").cast("long").alias("m_k"),
+        )
+    )
+    terms = (
+        lags.crossJoin(F.broadcast(den))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(1000000.0)
+                    * (F.col("num").cast("double") / F.col("den").cast("double"))
+                    * (F.col("num").cast("double") / F.col("den").cast("double"))
+                    / F.col("m_k").cast("double")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("tsum"),
+            F.count("*").cast("long").alias("n_lags"),
+        )
+    )
+    return (
+        mom.crossJoin(F.broadcast(terms))  # 1-row combine
+        .select(
+            F.col("n").alias("n_days"),
+            "n_lags",
+            F.expr("CAST(n * (n + 2) * tsum DIV 1000 AS BIGINT)").alias("q_milli"),
+        )
+    )
