@@ -2722,3 +2722,161 @@ def events_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n * (n + 2) * tsum DIV 1000 AS BIGINT)").alias("q_milli"),
         )
     )
+
+
+@query(
+    "events_dwell_time_by_type",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(nxt) AS BIGINT) AS n_dwells,
+           CAST(sum((nxt - us) // 1000000) AS BIGINT) AS total_dwell_sec,
+           CAST(sum((nxt - us) // 1000000) // count(nxt) AS BIGINT)
+             AS mean_dwell_sec
+    FROM seq
+    WHERE nxt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event type: how long a user stays on an event
+    before their NEXT action (lead over the per-user timeline) —
+    the engagement metric that ranks screens by attention, attributed
+    to the event being dwelt on. Per-row dwell is an integer-seconds
+    floor of the epoch-micros difference (positive — lead is later by
+    the window order); the per-type mean is one positive DIV. The
+    lead window is per-user partitioned with an (us, event_id) total
+    order. One user shuffle + one per-type fold."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "event_type", "us", F.lead("us").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_dwells"),
+        F.sum(F.expr("(nxt - us) DIV 1000000")).cast("long").alias("total_dwell_sec"),
+        F.expr(
+            "CAST(sum((nxt - us) DIV 1000000) DIV count(*) AS BIGINT)"
+        ).alias("mean_dwell_sec"),
+    )
+
+
+@query(
+    "vector_centroid_distances",
+    oracle="""
+    WITH q AS (
+      SELECT label, i AS dim,
+             CAST(floor(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+    ),
+    cell AS (
+      SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM q GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label, dim, CAST((s + n * 1000) // n - 1000 AS BIGINT) AS c
+      FROM cell
+    )
+    SELECT CAST(a.label AS INT) AS label_a, CAST(b.label AS INT) AS label_b,
+           CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2_milli2
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+)
+def vector_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-centroid distance matrix (upper triangle): which label
+    pairs sit closest in embedding space — the confusion-risk map that
+    vector_simplified_silhouette summarizes per class, exposed
+    pairwise. Centroids reuse the milli-quantized positive-shift
+    division; squared distances are exact int64 sums over dims. The
+    corpus is touched once for the per-(label, dim) sums; the k²·d
+    pair frame is constant-bounded. At 100 TB this is the cheap daily
+    report you run INSTEAD of any pairwise-vector scan."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+            " AS BIGINT))"
+        ).alias("qe"),
+    )
+    cell = (
+        emb.select("label", F.posexplode("qe").alias("dim0", "x"))
+        .groupBy("label", "dim0")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s"))
+    )
+    cent = cell.select(
+        "label",
+        "dim0",
+        F.expr("CAST((s + n * 1000) DIV n - 1000 AS BIGINT)").alias("c"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("dim0").alias("bdim"),
+        F.col("c").alias("cb"),
+    )
+    return (
+        cent.join(
+            F.broadcast(b),
+            (F.col("dim0") == F.col("bdim")) & (F.col("label") < F.col("label_b")),
+        )
+        .groupBy(
+            F.col("label").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+        )
+        .agg(
+            F.sum((F.col("c") - F.col("cb")) * (F.col("c") - F.col("cb")))
+            .cast("long")
+            .alias("dist2_milli2")
+        )
+    )
+
+
+_TRY_ARITH_SQL_SPARK = """
+    SELECT l_linenumber,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN try_divide(CAST(round(l_extendedprice * 100) AS BIGINT),
+                                         CAST(l_quantity AS BIGINT))
+                          IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_safe,
+           CAST(sum(CASE WHEN try_add(9223372036854775807,
+                                      CAST(round(l_extendedprice * 100) AS BIGINT))
+                          IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_null
+    FROM lineitem
+    GROUP BY l_linenumber
+"""
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_safe,
+           CAST(count(*) AS BIGINT) AS n_overflow_null
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface (try_divide / try_add): under ANSI
+    mode, arithmetic that would error returns NULL through the try_*
+    family instead — the scalar_try_cast_safety pattern extended to
+    arithmetic. The query CERTIFIES the semantics: every per-line
+    try_divide succeeds (quantities are nonzero, so n_safe = n_rows)
+    and every deliberately-overflowed try_add(int64max, cents) yields
+    NULL (n_overflow_null = n_rows) — the oracle asserts both counts
+    equal the row count, so a semantics change in either function
+    fails the gate. DuckDB has no try_* family; the oracle states the
+    CONTRACT rather than re-running the ops — the
+    quality_hll_error_certify certification pattern."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(_TRY_ARITH_SQL_SPARK)
