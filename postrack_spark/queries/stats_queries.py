@@ -2880,3 +2880,153 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_hll_error_certify certification pattern."""
     load_tables(spark, sf_dir)  # registers temp views
     return spark.sql(_TRY_ARITH_SQL_SPARK)
+
+
+@query(
+    "quality_xmr_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    mr AS (
+      SELECT CAST(sum(abs(a.y - b.y)) AS BIGINT) AS smr,
+             CAST(count(*) AS BIGINT) AS nr
+      FROM daily a JOIN daily b ON b.d = a.d - 1
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s FROM daily
+    )
+    SELECT m.n AS n_days, r.nr AS n_ranges,
+           CAST(r.smr * 1000 // r.nr AS BIGINT) AS mr_bar_milli,
+           CAST((SELECT sum(CASE WHEN 100 * daily.y * m.n * r.nr
+                                      > 100 * m.s * r.nr + 266 * r.smr * m.n
+                                 THEN 1 ELSE 0 END)
+                 FROM daily) AS BIGINT) AS n_above_ucl,
+           CAST((SELECT sum(CASE WHEN 100 * daily.y * m.n * r.nr
+                                      < 100 * m.s * r.nr - 266 * r.smr * m.n
+                                 THEN 1 ELSE 0 END)
+                 FROM daily) AS BIGINT) AS n_below_lcl
+    FROM mom m, mr r
+    """,
+)
+def quality_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals/moving-range) control chart on daily event
+    volume — classical SPC: control limits mean ± 2.66·mR̄, out-of-
+    control days counted on each side. The entire chart is EXACT
+    integer arithmetic: the 2.66 constant and both rational means
+    cross-multiply away (flag y when 100·y·n·nR > 100·S·nR +
+    266·SmR·n), so no floats exist anywhere — the strongest gate shape
+    this engine has. Moving ranges come from a calendar-adjacency
+    self-join (d−1 = d; calendar gaps simply contribute no range — the
+    runs-test convention), never a window. One data-sized aggregate;
+    days-sized everything else."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    b = daily.select((F.col("d") + 1).alias("d"), F.col("y").alias("yb"))
+    mr = (
+        daily.join(F.broadcast(b), "d")
+        .agg(
+            F.sum(F.abs(F.col("y") - F.col("yb"))).cast("long").alias("smr"),
+            F.count("*").cast("long").alias("nr"),
+        )
+    )
+    mom = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    flags = (
+        daily.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(mr))
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(100) * F.col("y") * F.col("n") * F.col("nr")
+                    > F.lit(100) * F.col("s") * F.col("nr")
+                    + F.lit(266) * F.col("smr") * F.col("n"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above_ucl"),
+            F.sum(
+                F.when(
+                    F.lit(100) * F.col("y") * F.col("n") * F.col("nr")
+                    < F.lit(100) * F.col("s") * F.col("nr")
+                    - F.lit(266) * F.col("smr") * F.col("n"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_below_lcl"),
+        )
+    )
+    return (
+        mom.crossJoin(F.broadcast(mr))  # 1-row combines
+        .crossJoin(F.broadcast(flags))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("nr").alias("n_ranges"),
+            F.expr("CAST(smr * 1000 DIV nr AS BIGINT)").alias("mr_bar_milli"),
+            "n_above_ucl",
+            "n_below_lcl",
+        )
+    )
+
+
+@query(
+    "agg_herfindahl_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    shares AS (
+      SELECT p_brand, CAST(cents * 10000 // tot.t AS BIGINT) AS share_pp10k
+      FROM rev, tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(max(share_pp10k) AS BIGINT) AS top_share_pp10k,
+           CAST(sum(share_pp10k * share_pp10k) AS BIGINT) AS hhi_pp10k2
+    FROM shares
+    """,
+)
+def agg_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of brand revenue — the
+    antitrust-grade market-structure scalar next to agg_pareto_abc's
+    classes: HHI = Σ share², here with shares floored to integer
+    pp10k BEFORE squaring (a defined statistic, the floored-
+    contribution rule — the float HHI can never hash cross-engine).
+    10000² = monopoly; < 1.5e6 in these units ≈ the 'unconcentrated'
+    DOJ threshold. Plan: one broadcast dim join (part is the small
+    side), one brand rollup, a 1-row total combine."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    shares = rev.crossJoin(F.broadcast(tot)).select(
+        "p_brand", F.expr("CAST(cents * 10000 DIV t AS BIGINT)").alias("share_pp10k")
+    )
+    return shares.agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.max("share_pp10k").cast("long").alias("top_share_pp10k"),
+        F.sum(F.col("share_pp10k") * F.col("share_pp10k"))
+        .cast("long")
+        .alias("hhi_pp10k2"),
+    )
