@@ -3030,3 +3030,168 @@ def agg_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hhi_pp10k2"),
     )
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    cells AS (
+      SELECT r.r,
+             ('0x' || substr(md5(r.r::VARCHAR || ':' || ev.k), 1, 8))::BIGINT % 256
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev CROSS JOIN generate_series(0, 3) AS r(r)
+      GROUP BY 1, 2
+    ),
+    top10 AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS true_count
+      FROM ev GROUP BY k ORDER BY true_count DESC, k LIMIT 10
+    ),
+    probes AS (
+      SELECT t.k, t.true_count, r.r,
+             ('0x' || substr(md5(r.r::VARCHAR || ':' || t.k), 1, 8))::BIGINT % 256
+               AS bucket
+      FROM top10 t CROSS JOIN generate_series(0, 3) AS r(r)
+    )
+    SELECT p.k AS user_key, max(p.true_count) AS true_count,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           CAST(min(c.c) - max(p.true_count) AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.k
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with PORTABLE determinism: 4 hash rows × 256
+    buckets over per-user event counts, probed for the 10 heaviest
+    users. Engine-native sketches (HLL, GK) are nondeterministic and
+    get certificate gates (quality_hll_error_certify); this CMS
+    instead derives its hash rows from md5 — the engine-portable hash
+    (functions/text.py rule) — so the ENTIRE sketch, estimates
+    included, is bit-reproducible cross-engine and hash-gates
+    directly. The estimate ≥ truth invariant surfaces as a
+    non-negative overcount column. Scale: the sketch is a groupBy onto
+    1024 cells regardless of key cardinality — the point of CMS — and
+    the probe side is a constant 40-row broadcast join."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    rs = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    cells = (
+        ev.select("k", rs)
+        .select("k", "r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top10 = (
+        ev.groupBy("k")
+        .agg(F.count("*").cast("long").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "k")
+        .limit(10)
+    )
+    probes = top10.select("k", "true_count", rs).select(
+        "k", "true_count", "r", bucket.alias("bucket")
+    )
+    return (
+        cells.join(F.broadcast(probes), ["r", "bucket"])
+        .groupBy(F.col("k").alias("user_key"))
+        .agg(
+            F.max("true_count").alias("true_count"),
+            F.min("c").cast("long").alias("cms_estimate"),
+            (F.min("c") - F.max("true_count")).cast("long").alias("overcount"),
+        )
+    )
+
+
+@query(
+    "events_haar_wavelet_energy",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT a.d, a.y,
+             CAST((SELECT count(*) FROM daily h WHERE h.d <= a.d) AS BIGINT) AS k
+      FROM daily a
+    ),
+    l1 AS (
+      SELECT (a.k + 1) // 2 AS k, a.y + b.y AS s, a.y - b.y AS dd
+      FROM idx a JOIN idx b ON b.k = a.k + 1 AND a.k % 2 = 1
+    ),
+    l2 AS (
+      SELECT (a.k + 1) // 2 AS k, a.s + b.s AS s, a.s - b.s AS dd
+      FROM l1 a JOIN l1 b ON b.k = a.k + 1 AND a.k % 2 = 1
+    ),
+    l3 AS (
+      SELECT (a.k + 1) // 2 AS k, a.s + b.s AS s, a.s - b.s AS dd
+      FROM l2 a JOIN l2 b ON b.k = a.k + 1 AND a.k % 2 = 1
+    )
+    SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(dd * dd) AS BIGINT) AS energy FROM l1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(dd * dd) AS BIGINT) FROM l2
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(dd * dd) AS BIGINT) FROM l3
+    """,
+)
+def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution (Haar wavelet) energy decomposition of the
+    daily event-count series: detail energy at 2-day, 4-day, and 8-day
+    scales — where the variance LIVES across time scales (daily noise
+    vs weekly structure), the question ACF answers pointwise and this
+    answers band-wise. The UNNORMALIZED Haar transform (s = a+b,
+    d = a−b, no √2) keeps every coefficient an exact integer; each
+    level is an even/odd adjacency self-join on the rank index
+    (calendar-bounded frames, broadcast — no window), odd tails drop
+    (the standard dyadic truncation). Energies are Σd² in int64. One
+    data-sized aggregate; three days-sized join rounds."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    h = daily.select(F.col("d").alias("hd"))
+    idx = (
+        daily.join(F.broadcast(h), F.col("hd") <= F.col("d"))
+        .groupBy("d", "y")
+        .agg(F.count("*").cast("long").alias("k"))
+        .select("k", F.col("y").alias("s"))
+    )
+
+    def level_up(frame: DataFrame) -> DataFrame:
+        b = frame.select((F.col("k") - 1).alias("k"), F.col("s").alias("sb"))
+        return (
+            frame.filter(F.col("k") % 2 == 1)
+            .join(F.broadcast(b), "k")
+            .select(
+                F.expr("CAST((k + 1) DIV 2 AS BIGINT)").alias("k"),
+                (F.col("s") + F.col("sb")).cast("long").alias("s"),
+                (F.col("s") - F.col("sb")).cast("long").alias("dd"),
+            )
+        )
+
+    out = None
+    frame = idx
+    for level in (1, 2, 3):
+        frame = level_up(frame).localCheckpoint()
+        e = frame.agg(
+            F.lit(level).alias("level"),
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("dd") * F.col("dd")).cast("long").alias("energy"),
+        )
+        out = e if out is None else out.unionByName(e)
+    return out
