@@ -3032,9 +3032,7 @@ def agg_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_count_min_sketch",
-    oracle="""
+CMS_ORACLE = """
     WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
     cells AS (
       SELECT r.r,
@@ -3059,8 +3057,45 @@ def agg_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(c.c) - max(p.true_count) AS BIGINT) AS overcount
     FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
     GROUP BY p.k
-    """,
-)
+    """
+
+
+def cms_report(cells: DataFrame, user_counts: DataFrame) -> DataFrame:
+    """CMS probe report from a (r, bucket, c) cell relation and a
+    (k, true_count) per-user count relation — shared by the batch
+    query and the streaming maintenance twin (both relations are
+    additive)."""
+    top10 = (
+        user_counts.orderBy(F.col("true_count").desc(), "k").limit(10)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    rs = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    probes = top10.select("k", "true_count", rs).select(
+        "k", "true_count", "r", bucket.alias("bucket")
+    )
+    return (
+        cells.join(F.broadcast(probes), ["r", "bucket"])
+        .groupBy(F.col("k").alias("user_key"))
+        .agg(
+            F.max("true_count").alias("true_count"),
+            F.min("c").cast("long").alias("cms_estimate"),
+            (F.min("c") - F.max("true_count")).cast("long").alias("overcount"),
+        )
+    )
+
+
+@query("agg_count_min_sketch", oracle=CMS_ORACLE)
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch with PORTABLE determinism: 4 hash rows × 256
     buckets over per-user event counts, probed for the 10 heaviest
@@ -3095,24 +3130,10 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    top10 = (
-        ev.groupBy("k")
-        .agg(F.count("*").cast("long").alias("true_count"))
-        .orderBy(F.col("true_count").desc(), "k")
-        .limit(10)
+    user_counts = ev.groupBy("k").agg(
+        F.count("*").cast("long").alias("true_count")
     )
-    probes = top10.select("k", "true_count", rs).select(
-        "k", "true_count", "r", bucket.alias("bucket")
-    )
-    return (
-        cells.join(F.broadcast(probes), ["r", "bucket"])
-        .groupBy(F.col("k").alias("user_key"))
-        .agg(
-            F.max("true_count").alias("true_count"),
-            F.min("c").cast("long").alias("cms_estimate"),
-            (F.min("c") - F.max("true_count")).cast("long").alias("overcount"),
-        )
-    )
+    return cms_report(cells, user_counts)
 
 
 @query(
@@ -3195,3 +3216,124 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = e if out is None else out.unionByName(e)
     return out
+
+
+@query(
+    "events_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    dows AS (
+      SELECT d % 7 AS dow, d, y FROM daily
+    ),
+    seas AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(1000 * sum(y) // count(*) AS BIGINT) AS seasonal_milli
+      FROM dows GROUP BY dow
+    )
+    SELECT s.dow, s.n_days, s.seasonal_milli,
+           CAST(sum((1000 * w.y - s.seasonal_milli)
+                    * (1000 * w.y - s.seasonal_milli)) AS BIGINT)
+             AS ss_remainder_milli2
+    FROM dows w JOIN seas s ON s.dow = w.dow
+    GROUP BY s.dow, s.n_days, s.seasonal_milli
+    """,
+)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition of daily volume by day-of-week: the
+    additive model y = seasonal(dow) + remainder with the seasonal
+    component as per-dow means (milli-floored via positive DIV — the
+    poor-man's STL whose moving-average seasonality would need float
+    smoothing) and the remainder's sum-of-squares reported per dow —
+    how much variance the weekly profile fails to explain, the number
+    that justifies (or kills) the seasonal-naive forecast
+    (events_seasonal_naive_error). Day-of-week is integer epoch
+    arithmetic (the heatmap convention). One data-sized aggregate;
+    the dow join is a 7-row broadcast."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    dows = daily.select((F.col("d") % 7).alias("dow"), "y")
+    seas = dows.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("CAST(1000 * sum(y) DIV count(*) AS BIGINT)").alias("seasonal_milli"),
+    )
+    return (
+        dows.join(F.broadcast(seas), "dow")
+        .groupBy("dow", "n_days", "seasonal_milli")
+        .agg(
+            F.sum(
+                (F.lit(1000) * F.col("y") - F.col("seasonal_milli"))
+                * (F.lit(1000) * F.col("y") - F.col("seasonal_milli"))
+            )
+            .cast("long")
+            .alias("ss_remainder_milli2")
+        )
+    )
+
+
+@query(
+    "orders_sequence_gap_audit",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn FROM keys),
+    adj AS (
+      SELECT a.k AS ka, CAST(b.k - a.k - 1 AS BIGINT) AS gap
+      FROM r a JOIN r b ON b.rn = a.rn + 1
+    )
+    SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST((SELECT max(k) - min(k) + 1 - count(*) FROM keys) AS BIGINT)
+             AS missing_total,
+           CAST((SELECT max(gap) FROM adj) AS BIGINT) AS largest_gap,
+           CAST((SELECT min(ka) FROM adj
+                 WHERE gap = (SELECT max(gap) FROM adj)) AS BIGINT)
+             AS gap_after_key
+    """,
+)
+def orders_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit on the order-key space: total missing keys
+    in [min, max] and the largest contiguous hole (with the key it
+    follows) — the invoice-numbering completeness check an auditor
+    runs (and a CDC consumer runs on LSN-like sequences to spot
+    capture gaps; cdc_sequence_integrity's per-key cousin at the
+    keyspace level). Adjacency on the DATA-SIZED key frame comes from
+    operators/ranking.global_row_number (range shuffle, zero
+    WindowExec) self-joined on rn+1 — the ranked frame is pinned with
+    localCheckpoint first because BOTH subplans reference the rank
+    output (the documented two-consumer trap in ranking.py). The
+    equi-join on rn is hash-co-partitioned. Totals are exact integers."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    keys = (
+        load_tables(spark, sf_dir)["orders"]
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    ranked = global_row_number(keys, ["k"]).localCheckpoint()
+    b = ranked.select((F.col("rn") - 1).alias("rn"), F.col("k").alias("kb"))
+    adj = ranked.join(b, "rn").select(
+        F.col("k").alias("ka"),
+        (F.col("kb") - F.col("k") - 1).cast("long").alias("gap"),
+    )
+    stats = keys.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        (F.max("k") - F.min("k") + 1 - F.count("*")).cast("long").alias(
+            "missing_total"
+        ),
+    )
+    mx = adj.agg(F.max("gap").cast("long").alias("largest_gap"))
+    where_ = (
+        adj.crossJoin(F.broadcast(mx))
+        .filter(F.col("gap") == F.col("largest_gap"))
+        .agg(F.min("ka").cast("long").alias("gap_after_key"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(mx))  # 1-row combines
+        .crossJoin(F.broadcast(where_))
+        .select("n_keys", "missing_total", "largest_gap", "gap_after_key")
+    )

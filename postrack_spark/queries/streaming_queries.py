@@ -1131,6 +1131,82 @@ def _fisher_oracle() -> str:
     return FISHER_ORACLE
 
 
+def _cms_oracle() -> str:
+    from postrack_spark.queries.stats_queries import CMS_ORACLE
+
+    return CMS_ORACLE
+
+
+@query("streaming_cms_maintenance", oracle=_cms_oracle())
+def streaming_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch maintenance: the 4×256 md5-derived
+    cell grid AND the per-user exact counts (for probe selection) fold
+    additively through the exactly-once sink as one long-form view —
+    O(batch) per batch, cell state CONSTANT (1024 rows) no matter how
+    many keys stream past, which is the entire reason CMS exists. At
+    read time the SAME cms_report as agg_count_min_sketch probes the
+    maintained grid for the heaviest users (shared oracle — and since
+    the hash rows are md5-portable, the streamed sketch's ESTIMATES
+    hash-gate bit-for-bit, not just its error contract). The live use:
+    heavy-hitter telemetry over an unbounded event stream with fixed
+    memory."""
+    from postrack_spark.queries.stats_queries import cms_report
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select(F.col("event_id"), F.col("user_id").cast("string").alias("k"))
+        .repartition(8)
+    )
+    stream = envelope_stream(
+        spark, ev, name="cms", options={"maxFilesPerTrigger": "2"}
+    )
+    rs = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    cell_rows = (
+        stream.select("k", rs)
+        .select(
+            F.lit("cell").alias("kind"),
+            F.col("r").cast("string").alias("k1"),
+            bucket.cast("string").alias("k2"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+    user_rows = stream.select(
+        F.lit("user").alias("kind"),
+        F.col("k").alias("k1"),
+        F.lit("").alias("k2"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    target, q = foreach_batch_fold(
+        cell_rows.unionByName(user_rows), group_cols=["kind", "k1", "k2"], sum_cols=["c"]
+    )
+    q.awaitTermination()
+
+    view = read_view(spark, target)
+    cells = view.filter(F.col("kind") == "cell").select(
+        F.col("k1").cast("int").alias("r"),
+        F.col("k2").cast("long").alias("bucket"),
+        F.col("c"),
+    )
+    user_counts = view.filter(F.col("kind") == "user").select(
+        F.col("k1").alias("k"), F.col("c").alias("true_count")
+    )
+    return cms_report(cells, user_counts)
+
+
 @query("streaming_fisher_separation", oracle=_fisher_oracle())
 def streaming_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Fisher class-separation monitoring: the per-
