@@ -3337,3 +3337,127 @@ def orders_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(where_))
         .select("n_keys", "missing_total", "largest_gap", "gap_after_key")
     )
+
+
+@query(
+    "events_retention_day_n",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+    ),
+    firsts AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY 1),
+    flags AS (
+      SELECT f.user_id,
+             max(CASE WHEN u.d = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN u.d = f.d0 + 7 THEN 1 ELSE 0 END) AS r7,
+             max(CASE WHEN u.d = f.d0 + 30 THEN 1 ELSE 0 END) AS r30
+      FROM firsts f JOIN ud u ON u.user_id = f.user_id
+      GROUP BY f.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS d1_retained,
+           CAST(sum(r7) AS BIGINT) AS d7_retained,
+           CAST(sum(r30) AS BIGINT) AS d30_retained,
+           CAST(sum(r1) * 10000 // count(*) AS BIGINT) AS d1_pp10k,
+           CAST(sum(r7) * 10000 // count(*) AS BIGINT) AS d7_pp10k,
+           CAST(sum(r30) * 10000 // count(*) AS BIGINT) AS d30_pp10k
+    FROM flags
+    """,
+)
+def events_retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention (D1/D7/D30): the growth-team headline —
+    of all users, what share came back exactly N days after their
+    first-seen day. events_cohort_retention gives the weekly
+    triangle; this is the bounded-offset scalar view investors ask
+    for. One deduped (user, day) relation feeds both the first-seen
+    frame and the return probe (user-keyed equi-join, offset
+    predicates after the hash probe — the as-of family's shape);
+    shares are integer pp10k. Two user-keyed shuffles total."""
+    ud = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .distinct()
+    )
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    flags = (
+        ud.join(firsts, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("d") == F.col("d0") + 1, 1).otherwise(0)).alias("r1"),
+            F.max(F.when(F.col("d") == F.col("d0") + 7, 1).otherwise(0)).alias("r7"),
+            F.max(F.when(F.col("d") == F.col("d0") + 30, 1).otherwise(0)).alias(
+                "r30"
+            ),
+        )
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("r1").cast("long").alias("d1_retained"),
+        F.sum("r7").cast("long").alias("d7_retained"),
+        F.sum("r30").cast("long").alias("d30_retained"),
+        F.expr("CAST(sum(r1) * 10000 DIV count(*) AS BIGINT)").alias("d1_pp10k"),
+        F.expr("CAST(sum(r7) * 10000 DIV count(*) AS BIGINT)").alias("d7_pp10k"),
+        F.expr("CAST(sum(r30) * 10000 DIV count(*) AS BIGINT)").alias("d30_pp10k"),
+    )
+
+
+@query(
+    "orders_duplicate_payment_candidates",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) // 86400000000 AS d
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey, a.cents, CAST(abs(a.d - b.d) AS BIGINT) AS day_diff
+      FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+       AND a.o_orderkey < b.o_orderkey
+       AND abs(a.d - b.d) <= 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents_at_risk,
+           CAST(min(day_diff) AS BIGINT) AS min_day_diff,
+           CAST(max(day_diff) AS BIGINT) AS max_day_diff
+    FROM pairs
+    """,
+)
+def orders_duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection: order pairs from the same customer
+    for the EXACT same amount within 3 days — the accounts-payable
+    fraud/error screen (the dedup_record_linkage_scores discipline
+    applied to transactions: equality blocking on (customer, amount)
+    makes the pair relation O(Σ block²) with near-unique blocks, the
+    day-window predicate prunes after the hash probe; never a
+    crossJoin). Amounts are integer cents; the at-risk total sums the
+    duplicated amount once per candidate pair. One shuffle on the
+    block key."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("cents").alias("cb"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("d").alias("db"),
+    )
+    pairs = o.join(
+        b,
+        (F.col("o_custkey") == F.col("ck"))
+        & (F.col("cents") == F.col("cb"))
+        & (F.col("o_orderkey") < F.col("kb"))
+        & (F.abs(F.col("d") - F.col("db")) <= 3),
+    ).select("o_custkey", "cents", F.abs(F.col("d") - F.col("db")).alias("day_diff"))
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents_at_risk"),
+        F.min("day_diff").cast("long").alias("min_day_diff"),
+        F.max("day_diff").cast("long").alias("max_day_diff"),
+    )

@@ -1735,3 +1735,152 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_pp100"), "phrase")
         .limit(15)
     )
+
+
+@query(
+    "text_langid_prf_metrics",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS true_lang,
+             {_marker_sql("en")} AS s_en,
+             {_marker_sql("de")} AS s_de,
+             {_marker_sql("es")} AS s_es,
+             {_marker_sql("fr")} AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT true_lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    ),
+    langs AS (SELECT DISTINCT true_lang AS lang FROM pred),
+    m AS (
+      SELECT l.lang,
+             CAST((SELECT count(*) FROM pred p
+                   WHERE p.true_lang = l.lang AND p.pred_lang = l.lang) AS BIGINT)
+               AS tp,
+             CAST((SELECT count(*) FROM pred p
+                   WHERE p.true_lang <> l.lang AND p.pred_lang = l.lang) AS BIGINT)
+               AS fp,
+             CAST((SELECT count(*) FROM pred p
+                   WHERE p.true_lang = l.lang AND p.pred_lang <> l.lang) AS BIGINT)
+               AS fn
+      FROM langs l
+    )
+    SELECT lang, tp, fp, fn,
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+                     ELSE tp * 10000 // (tp + fp) END AS BIGINT) AS precision_pp10k,
+           CAST(CASE WHEN tp + fn = 0 THEN 0
+                     ELSE tp * 10000 // (tp + fn) END AS BIGINT) AS recall_pp10k,
+           CAST(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0
+                                ELSE tp * 10000 // (tp + fp) END)
+                        + (CASE WHEN tp + fn = 0 THEN 0
+                                ELSE tp * 10000 // (tp + fn) END) = 0 THEN 0
+                     ELSE 2 * (CASE WHEN tp + fp = 0 THEN 0
+                                    ELSE tp * 10000 // (tp + fp) END)
+                            * (CASE WHEN tp + fn = 0 THEN 0
+                                    ELSE tp * 10000 // (tp + fn) END)
+                          // ((CASE WHEN tp + fp = 0 THEN 0
+                                    ELSE tp * 10000 // (tp + fp) END)
+                              + (CASE WHEN tp + fn = 0 THEN 0
+                                      ELSE tp * 10000 // (tp + fn) END))
+                END AS BIGINT) AS f1_pp10k
+    FROM m
+    """,
+)
+def text_langid_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 for the marker language-ID
+    classifier — the scalar quality summary of text_language_id's
+    confusion matrix (TP/FP/FN per true language; 'unknown' and 'zh'
+    predictions count as misses, never as a scored class). All three
+    metrics are integer pp10k with the F1 harmonic mean computed on
+    the FLOORED precision/recall (a defined statistic — the floored-
+    contribution rule; float F1 would never hash cross-engine), with
+    explicit zero-denominator guards. Plan: one scoring pass over the
+    corpus, a languages-sized broadcast matrix, constant-size output."""
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+
+    def score(lang: str):
+        return F.size(F.filter(tokens(txt), lambda tok: tok.isin(_MARKERS[lang])))
+
+    scored = fan_out(t["documents"]).select(
+        F.col("lang").alias("true_lang"),
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("es").alias("s_es"),
+        score("fr").alias("s_fr"),
+    )
+    best = F.greatest("s_en", "s_de", "s_es", "s_fr")
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    p = scored.select("true_lang", pred.alias("pred_lang"))
+    langs = p.select(F.col("true_lang").alias("lang")).distinct()
+    m = (
+        p.crossJoin(F.broadcast(langs))
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("true_lang") == F.col("lang"))
+                    & (F.col("pred_lang") == F.col("lang")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("true_lang") != F.col("lang"))
+                    & (F.col("pred_lang") == F.col("lang")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("true_lang") == F.col("lang"))
+                    & (F.col("pred_lang") != F.col("lang")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    prec = F.expr(
+        "CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 10000 DIV (tp + fp) END"
+    )
+    rec = F.expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 10000 DIV (tp + fn) END")
+    return m.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        prec.cast("long").alias("precision_pp10k"),
+        rec.cast("long").alias("recall_pp10k"),
+        F.when(prec + rec == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(2 * (CASE WHEN tp + fp = 0 THEN 0"
+                " ELSE tp * 10000 DIV (tp + fp) END)"
+                " * (CASE WHEN tp + fn = 0 THEN 0"
+                " ELSE tp * 10000 DIV (tp + fn) END)"
+                " DIV ((CASE WHEN tp + fp = 0 THEN 0"
+                " ELSE tp * 10000 DIV (tp + fp) END)"
+                " + (CASE WHEN tp + fn = 0 THEN 0"
+                " ELSE tp * 10000 DIV (tp + fn) END)) AS BIGINT)"
+            )
+        )
+        .alias("f1_pp10k"),
+    )
