@@ -3461,3 +3461,297 @@ def orders_duplicate_payment_candidates(spark: SparkSession, sf_dir: str) -> Dat
         F.min("day_diff").cast("long").alias("min_day_diff"),
         F.max("day_diff").cast("long").alias("max_day_diff"),
     )
+
+
+@query(
+    "events_alert_episodes",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ),
+    flagged AS (
+      SELECT daily.event_type, daily.d
+      FROM daily JOIN m ON m.event_type = daily.event_type
+      WHERE 10 * daily.c * m.n > 12 * m.s
+    ),
+    islands AS (
+      SELECT event_type, d,
+             d - row_number() OVER (PARTITION BY event_type ORDER BY d) AS grp
+      FROM flagged
+    ),
+    episodes AS (
+      SELECT event_type, grp, CAST(count(*) AS BIGINT) AS len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(sum(len) AS BIGINT) AS n_flagged_days,
+           CAST(max(len) AS BIGINT) AS longest_episode
+    FROM episodes GROUP BY event_type
+    """,
+)
+def events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing: days whose volume exceeds 1.2× the type's
+    mean (cross-multiplied — 10·c·n > 12·S, no floats) collapse into
+    consecutive-day EPISODES via gaps-and-islands (day minus
+    partitioned row_number — the window_activity_streaks identity),
+    reporting episode counts and the longest run per type. This is
+    what turns a noisy daily anomaly feed into pageable incidents —
+    the operational layer above events_anomaly_daily_zscore. Windows
+    are per-type partitioned on the calendar-bounded flagged frame."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    )
+    flagged = (
+        daily.join(F.broadcast(m), "event_type")
+        .filter(F.lit(10) * F.col("c") * F.col("n") > F.lit(12) * F.col("s"))
+        .select("event_type", "d")
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    episodes = (
+        flagged.withColumn("grp", F.col("d") - F.row_number().over(w))
+        .groupBy("event_type", "grp")
+        .agg(F.count("*").cast("long").alias("len"))
+    )
+    return episodes.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_episodes"),
+        F.sum("len").cast("long").alias("n_flagged_days"),
+        F.max("len").cast("long").alias("longest_episode"),
+    )
+
+
+@query(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ),
+    terms AS (
+      SELECT daily.event_type, m.n,
+             CAST(floor((CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                        * (CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                  AS BIGINT) AS t2,
+             CAST(floor((CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                        * (CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                        * (CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                  AS BIGINT) AS t3,
+             CAST(floor((CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                        * (CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                        * (CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                        * (CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE)))
+                  AS BIGINT) AS t4
+      FROM daily JOIN m ON m.event_type = daily.event_type
+    )
+    SELECT event_type, max(n) AS n_days,
+           CAST(sum(t2) AS BIGINT) AS m2_sum,
+           CAST(sum(t3) AS BIGINT) AS m3_sum,
+           CAST(sum(t4) AS BIGINT) AS m4_sum,
+           CAST(floor(1000000.0 * (CAST(sum(t3) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+                / pow(CAST(sum(t2) AS DOUBLE) / CAST(max(n) AS DOUBLE), 1.5))
+                AS BIGINT) AS skewness_ppm,
+           CAST(floor(1000000.0 * (CAST(sum(t4) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+                / (CAST(sum(t2) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                   * (CAST(sum(t2) AS DOUBLE) / CAST(max(n) AS DOUBLE)))
+                - 3000000.0) AS BIGINT) AS excess_kurtosis_ppm
+    FROM terms GROUP BY event_type
+    """,
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment shape statistics per event type: skewness g1 and
+    excess kurtosis g2 of the daily-count distribution — the tails
+    story the mean/variance queries can't tell. Raw integer moment
+    sums Σ(nc−S)³ would overflow int64, so each day's centered
+    deviation (an exact-integer ratio evaluated in double) is raised
+    to the power and FLOORED per day before the integer sum (the
+    floored-contribution rule — with deviations ~10³ the flooring
+    noise is ppm-scale while int64 headroom extends to ~10⁴× current
+    volume); g1/g2 then assemble in one ppm-floored IEEE expression
+    (pow(x, 1.5) is correctly rounded on both engines for these
+    magnitudes). Note kurtosis is reported EXCESS (−3). Map-side
+    daily aggregate + a 5-row broadcast join."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    )
+    dev = F.expr("CAST(n * c - s AS DOUBLE)") / F.expr("CAST(n AS DOUBLE)")
+    terms = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "n",
+        F.floor(dev * dev).cast("long").alias("t2"),
+        F.floor(dev * dev * dev).cast("long").alias("t3"),
+        F.floor(dev * dev * dev * dev).cast("long").alias("t4"),
+    )
+    d = lambda e: e.cast("double")  # noqa: E731
+    g = terms.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.sum("t2").cast("long").alias("m2_sum"),
+        F.sum("t3").cast("long").alias("m3_sum"),
+        F.sum("t4").cast("long").alias("m4_sum"),
+    )
+    m2n = d(F.col("m2_sum")) / d(F.col("n_days"))
+    return g.select(
+        "event_type",
+        "n_days",
+        "m2_sum",
+        "m3_sum",
+        "m4_sum",
+        F.floor(
+            F.lit(1000000.0)
+            * (d(F.col("m3_sum")) / d(F.col("n_days")))
+            / F.pow(m2n, F.lit(1.5))
+        )
+        .cast("long")
+        .alias("skewness_ppm"),
+        F.floor(
+            F.lit(1000000.0)
+            * (d(F.col("m4_sum")) / d(F.col("n_days")))
+            / (m2n * m2n)
+            - F.lit(3000000.0)
+        )
+        .cast("long")
+        .alias("excess_kurtosis_ppm"),
+    )
+
+
+@query(
+    "agg_two_way_anova",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    cell AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM c GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s
+           FROM cell GROUP BY 1),
+    rb AS (SELECT b, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s
+           FROM cell GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s
+          FROM cell),
+    ssa AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(ra.s AS DOUBLE) / CAST(ra.n AS DOUBLE)
+                - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+               * (CAST(ra.s AS DOUBLE) / CAST(ra.n AS DOUBLE)
+                  - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+               * CAST(ra.n AS DOUBLE) / 1000000.0) AS BIGINT)) AS BIGINT) AS v
+      FROM ra, g
+    ),
+    ssb AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(rb.s AS DOUBLE) / CAST(rb.n AS DOUBLE)
+                - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+               * (CAST(rb.s AS DOUBLE) / CAST(rb.n AS DOUBLE)
+                  - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+               * CAST(rb.n AS DOUBLE) / 1000000.0) AS BIGINT)) AS BIGINT) AS v
+      FROM rb, g
+    ),
+    sscell AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(cell.s AS DOUBLE) / CAST(cell.n AS DOUBLE)
+                - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+               * (CAST(cell.s AS DOUBLE) / CAST(cell.n AS DOUBLE)
+                  - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+               * CAST(cell.n AS DOUBLE) / 1000000.0) AS BIGINT)) AS BIGINT) AS v
+      FROM cell, g
+    )
+    SELECT CAST((SELECT count(*) FROM cell) AS BIGINT) AS n_cells,
+           CAST(g.n AS BIGINT) AS n_total,
+           ssa.v AS ssa_dollars2,
+           ssb.v AS ssb_dollars2,
+           CAST(sscell.v - ssa.v - ssb.v AS BIGINT) AS ssab_dollars2
+    FROM g, ssa, ssb, sscell
+    """,
+)
+def agg_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA decomposition of order value over priority ×
+    status: main-effect sums of squares for each factor and their
+    interaction (SS_cells − SS_A − SS_B) — does the priority effect
+    depend on status? Cell/marginal/grand moments are exact integer
+    (n, Σ) pairs from ONE aggregation; each group's n·(mean −
+    grand)² term is a single IEEE expression floored to square-DOLLAR
+    units per group BEFORE the integer sums (cents² would waste the
+    headroom the flooring exists to protect). The factor frames are
+    constant-size (5×3 cells), so everything after the first
+    aggregation is broadcast combines."""
+    c = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("a"),
+        F.col("o_orderstatus").alias("b"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    cell = c.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    ra = cell.groupBy("a").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").cast("long").alias("s")
+    )
+    rb = cell.groupBy("b").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").cast("long").alias("s")
+    )
+    g = cell.agg(
+        F.sum("n").cast("long").alias("gn"), F.sum("s").cast("long").alias("gs")
+    )
+
+    def ss(frame: DataFrame, alias: str) -> DataFrame:
+        mean_dev = F.expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)") - F.expr(
+            "CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)"
+        )
+        return (
+            frame.crossJoin(F.broadcast(g))
+            .select(
+                F.floor(mean_dev * mean_dev * F.expr("CAST(n AS DOUBLE)") / F.lit(1000000.0))
+                .cast("long")
+                .alias("t")
+            )
+            .agg(F.sum("t").cast("long").alias(alias))
+        )
+
+    ssa = ss(ra, "ssa_dollars2")
+    ssb = ss(rb, "ssb_dollars2")
+    sscell = ss(cell, "sscell")
+    ncells = cell.agg(F.count("*").cast("long").alias("n_cells"))
+    return (
+        ncells.crossJoin(F.broadcast(g))  # constant-size combines
+        .crossJoin(F.broadcast(ssa))
+        .crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(sscell))
+        .select(
+            "n_cells",
+            F.col("gn").alias("n_total"),
+            "ssa_dollars2",
+            "ssb_dollars2",
+            (F.col("sscell") - F.col("ssa_dollars2") - F.col("ssb_dollars2"))
+            .cast("long")
+            .alias("ssab_dollars2"),
+        )
+    )
