@@ -3755,3 +3755,155 @@ def agg_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ssab_dollars2"),
         )
     )
+
+
+@query(
+    "events_lifecycle_stages_weekly",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events
+    ),
+    lagged AS (
+      SELECT user_id, w,
+             lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw
+      FROM uw
+    ),
+    staged AS (
+      SELECT w,
+             CASE WHEN pw IS NULL THEN 'new'
+                  WHEN w - pw = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+      FROM lagged
+    )
+    SELECT w AS week, stage, CAST(count(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY 1, 2
+    """,
+)
+def events_lifecycle_stages_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user-lifecycle staging: each active (user, week) is
+    'new' (first week ever), 'retained' (active last week too), or
+    'resurrected' (returning after a gap) — the growth-accounting
+    decomposition whose week-over-week deltas ARE the famous
+    acquisition/retention/resurrection ledger
+    (events_new_vs_returning_daily's weekly, gap-aware big sibling).
+    Week indexes are integer epoch arithmetic (epoch_us // 604800e6);
+    staging is one per-user partitioned lag over the deduped
+    user-week relation. One shuffle on user, one stage rollup."""
+    from pyspark.sql import Window as W
+
+    uw = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", F.expr("unix_micros(ts) div 604800000000").alias("w"))
+        .distinct()
+    )
+    w_ = W.partitionBy("user_id").orderBy("w")
+    staged = uw.select(
+        "w",
+        F.when(F.lag("w").over(w_).isNull(), "new")
+        .when(F.col("w") - F.lag("w").over(w_) == 1, "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    return staged.groupBy(F.col("w").alias("week"), "stage").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+@query(
+    "dedup_blocking_quality",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS fp FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    cand AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    ),
+    true_pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(CASE WHEN a.lang = b.lang AND a.n_chars = b.n_chars
+                       THEN 1 ELSE 0 END AS BIGINT) AS blocked
+      FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    tp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(coalesce(sum(blocked), 0) AS BIGINT) AS n_true_blocked
+      FROM true_pairs
+    )
+    SELECT n.n AS n_docs, cand.n_candidates, tp.n_true, tp.n_true_blocked,
+           CAST(10000 - cand.n_candidates * 10000 * 2 // (n.n * (n.n - 1))
+                AS BIGINT) AS reduction_ratio_pp10k,
+           CAST(CASE WHEN tp.n_true = 0 THEN 10000
+                     ELSE tp.n_true_blocked * 10000 // tp.n_true END AS BIGINT)
+             AS pair_completeness_pp10k
+    FROM n, cand, tp
+    """,
+)
+def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation — the two numbers every record-
+    linkage/dedup pipeline must publish before anyone trusts its
+    blocking: REDUCTION RATIO (how much of the n(n−1)/2 pair space the
+    (lang, length) blocking discards) and PAIR COMPLETENESS (what
+    share of TRUE duplicate pairs — exact md5-fingerprint matches, the
+    ground truth dedup_exact_groups uses — the blocking still
+    co-blocks). Candidate counting aggregates the SAME blocked join
+    dedup_record_linkage_scores runs; true pairs join on the
+    fingerprint (O(Σ dup-group²), tiny). Both metrics are integer
+    pp10k with positive DIVs; empty truth degenerates to complete
+    (10000) by convention. This is the query that would have caught a
+    too-tight blocking key before it silently dropped recall at
+    100 TB."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("fp")
+    )
+    n = d.agg(F.count("*").cast("long").alias("n"))
+    b = d.select(
+        F.col("doc_id").alias("ib"),
+        F.col("lang").alias("lb"),
+        F.col("n_chars").alias("cb"),
+        F.col("fp").alias("fpb"),
+    )
+    cand = (
+        d.join(
+            b,
+            (F.col("lang") == F.col("lb"))
+            & (F.col("n_chars") == F.col("cb"))
+            & (F.col("doc_id") < F.col("ib")),
+        )
+        .agg(F.count("*").cast("long").alias("n_candidates"))
+    )
+    tp = (
+        d.join(b, (F.col("fp") == F.col("fpb")) & (F.col("doc_id") < F.col("ib")))
+        .select(
+            F.when(
+                (F.col("lang") == F.col("lb")) & (F.col("n_chars") == F.col("cb")), 1
+            )
+            .otherwise(0)
+            .alias("blocked")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.coalesce(F.sum("blocked"), F.lit(0)).cast("long").alias(
+                "n_true_blocked"
+            ),
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(cand))  # 1-row combines
+        .crossJoin(F.broadcast(tp))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_candidates",
+            "n_true",
+            "n_true_blocked",
+            F.expr(
+                "CAST(10000 - n_candidates * 10000 * 2 DIV (n * (n - 1)) AS BIGINT)"
+            ).alias("reduction_ratio_pp10k"),
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 10000"
+                " ELSE n_true_blocked * 10000 DIV n_true END AS BIGINT)"
+            ).alias("pair_completeness_pp10k"),
+        )
+    )
