@@ -3757,9 +3757,7 @@ def agg_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_lifecycle_stages_weekly",
-    oracle="""
+LIFECYCLE_ORACLE = """
     WITH uw AS (
       SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events
     ),
@@ -3777,25 +3775,14 @@ def agg_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w AS week, stage, CAST(count(*) AS BIGINT) AS n_users
     FROM staged GROUP BY 1, 2
-    """,
-)
-def events_lifecycle_stages_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly user-lifecycle staging: each active (user, week) is
-    'new' (first week ever), 'retained' (active last week too), or
-    'resurrected' (returning after a gap) — the growth-accounting
-    decomposition whose week-over-week deltas ARE the famous
-    acquisition/retention/resurrection ledger
-    (events_new_vs_returning_daily's weekly, gap-aware big sibling).
-    Week indexes are integer epoch arithmetic (epoch_us // 604800e6);
-    staging is one per-user partitioned lag over the deduped
-    user-week relation. One shuffle on user, one stage rollup."""
+    """
+
+
+def lifecycle_from_user_weeks(uw: DataFrame) -> DataFrame:
+    """Weekly lifecycle staging from a deduped (user_id, w) relation —
+    shared by the batch query and the streaming view twin."""
     from pyspark.sql import Window as W
 
-    uw = (
-        load_tables(spark, sf_dir)["events"]
-        .select("user_id", F.expr("unix_micros(ts) div 604800000000").alias("w"))
-        .distinct()
-    )
     w_ = W.partitionBy("user_id").orderBy("w")
     staged = uw.select(
         "w",
@@ -3807,6 +3794,25 @@ def events_lifecycle_stages_weekly(spark: SparkSession, sf_dir: str) -> DataFram
     return staged.groupBy(F.col("w").alias("week"), "stage").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+@query("events_lifecycle_stages_weekly", oracle=LIFECYCLE_ORACLE)
+def events_lifecycle_stages_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user-lifecycle staging: each active (user, week) is
+    'new' (first week ever), 'retained' (active last week too), or
+    'resurrected' (returning after a gap) — the growth-accounting
+    decomposition whose week-over-week deltas ARE the famous
+    acquisition/retention/resurrection ledger
+    (events_new_vs_returning_daily's weekly, gap-aware big sibling).
+    Week indexes are integer epoch arithmetic (epoch_us // 604800e6);
+    staging is one per-user partitioned lag over the deduped
+    user-week relation. One shuffle on user, one stage rollup."""
+    uw = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", F.expr("unix_micros(ts) div 604800000000").alias("w"))
+        .distinct()
+    )
+    return lifecycle_from_user_weeks(uw)
 
 
 @query(
@@ -3907,3 +3913,49 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_completeness_pp10k"),
         )
     )
+
+
+@query(
+    "profile_fk_fanout",
+    oracle="""
+    WITH opc AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS fanout FROM orders GROUP BY 1
+    ),
+    lpo AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS fanout FROM lineitem GROUP BY 1
+    )
+    SELECT 'orders_per_customer' AS edge, fanout,
+           CAST(count(*) AS BIGINT) AS n_parents
+    FROM opc GROUP BY fanout
+    UNION ALL
+    SELECT 'lineitems_per_order', fanout, CAST(count(*) AS BIGINT)
+    FROM lpo GROUP BY fanout
+    """,
+)
+def profile_fk_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key fan-out profile: the full histogram of children per
+    parent for the two fact edges (orders→customer, lineitem→order) —
+    the cardinality distribution a query optimizer's join estimates
+    and a skew-mitigation plan (operators/skew.py) both start from;
+    profile_table_stats gives per-column stats, this gives the JOIN
+    shape. Two aggregations per edge (parent rollup, then fanout
+    histogram), stacked long-form like the profiling family. The
+    histogram domain is bounded by the max fan-out, not data size."""
+    t = load_tables(spark, sf_dir)
+    opc = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("fanout"))
+        .groupBy("fanout")
+        .agg(F.count("*").cast("long").alias("n_parents"))
+        .select(F.lit("orders_per_customer").alias("edge"), "fanout", "n_parents")
+    )
+    lpo = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("long").alias("fanout"))
+        .groupBy("fanout")
+        .agg(F.count("*").cast("long").alias("n_parents"))
+        .select(F.lit("lineitems_per_order").alias("edge"), "fanout", "n_parents")
+    )
+    return opc.unionByName(lpo)

@@ -1137,6 +1137,47 @@ def _cms_oracle() -> str:
     return CMS_ORACLE
 
 
+def _lifecycle_oracle() -> str:
+    from postrack_spark.queries.stats_queries import LIFECYCLE_ORACLE
+
+    return LIFECYCLE_ORACLE
+
+
+@query("streaming_lifecycle_stages", oracle=_lifecycle_oracle())
+def streaming_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming growth-accounting: the deduped (user, week) activity
+    relation is itself the sufficient state — maintained as a fold
+    view (counts fold additively; the view's KEYS are the distinct
+    relation), O(batch) per batch, and the staging lag + rollup run at
+    READ time via the code shared with events_lifecycle_stages_weekly
+    (same oracle). The subtle point the twin pins: a week's stage can
+    CHANGE retroactively as late user-weeks arrive (a 'new' user-week
+    becomes 'resurrected' if an earlier week shows up late), so
+    staging can never be streamed state — only the projection can,
+    the aging-buckets moral in lifecycle form."""
+    from postrack_spark.queries.stats_queries import lifecycle_from_user_weeks
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_id", "user_id", "ts")
+        .repartition(8)
+    )
+    stream = envelope_stream(
+        spark, ev, name="lifecycle", options={"maxFilesPerTrigger": "2"}
+    )
+    rows = stream.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("w"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    target, q = foreach_batch_fold(rows, group_cols=["user_id", "w"], sum_cols=["c"])
+    q.awaitTermination()
+    uw = read_view(spark, target).select("user_id", "w")
+    return lifecycle_from_user_weeks(uw)
+
+
 @query("streaming_cms_maintenance", oracle=_cms_oracle())
 def streaming_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min sketch maintenance: the 4×256 md5-derived
