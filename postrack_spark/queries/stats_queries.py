@@ -3959,3 +3959,172 @@ def profile_fk_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitems_per_order").alias("edge"), "fanout", "n_parents")
     )
     return opc.unionByName(lpo)
+
+
+@query(
+    "orders_ship_latency_profile",
+    oracle="""
+    WITH lat AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(epoch_us(l.l_shipdate) // 86400000000
+                  - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ranked AS (
+      SELECT days,
+             row_number() OVER (ORDER BY days, l_orderkey, l_linenumber) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM lat
+    )
+    SELECT max(n) AS n_lines,
+           CAST((SELECT min(days) FROM lat) AS BIGINT) AS min_days,
+           CAST((SELECT max(days) FROM lat) AS BIGINT) AS max_days,
+           CAST(max(CASE WHEN rn = (1 * n + 3) // 4 THEN days END) AS BIGINT)
+             AS q1_days,
+           CAST(max(CASE WHEN rn = (2 * n + 3) // 4 THEN days END) AS BIGINT)
+             AS med_days,
+           CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN days END) AS BIGINT)
+             AS q3_days
+    FROM ranked
+    WHERE rn = (1 * n + 3) // 4 OR rn = (2 * n + 3) // 4 OR rn = (3 * n + 3) // 4
+    """,
+)
+def orders_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution: integer day gaps between a
+    line's ship date and its order's date — the fulfillment-SLA
+    profile (min/max plus type-1 quartiles). The dates join on the
+    order key (fact-to-fact equi-join, orders side narrow); quartiles
+    rank-select over the LINE-sized latency frame via
+    operators/ranking.global_row_number with a (days, orderkey,
+    linenumber) total order (the conversion-latency pattern — a global
+    window here is the single-task killer). All integers."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    lat = (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("unix_micros(l_shipdate) div 86400000000").alias("sd"),
+        )
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey"),
+                F.expr("unix_micros(o_orderdate) div 86400000000").alias("od"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("sd") - F.col("od")).cast("long").alias("days"),
+        )
+    )
+    ranked = global_row_number(lat, ["days", "l_orderkey", "l_linenumber"])
+    stats = lat.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+    picked = ranked.crossJoin(F.broadcast(stats)).filter(
+        (F.col("rn") == F.expr("(1 * n + 3) DIV 4"))
+        | (F.col("rn") == F.expr("(2 * n + 3) DIV 4"))
+        | (F.col("rn") == F.expr("(3 * n + 3) DIV 4"))
+    )
+    return picked.agg(
+        F.max("n").alias("n_lines"),
+        F.max("min_days").alias("min_days"),
+        F.max("max_days").alias("max_days"),
+        F.max(F.when(F.col("rn") == F.expr("(1 * n + 3) DIV 4"), F.col("days")))
+        .cast("long")
+        .alias("q1_days"),
+        F.max(F.when(F.col("rn") == F.expr("(2 * n + 3) DIV 4"), F.col("days")))
+        .cast("long")
+        .alias("med_days"),
+        F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("days")))
+        .cast("long")
+        .alias("q3_days"),
+    )
+
+
+@query(
+    "events_attribution_model_compare",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    conv AS (
+      SELECT user_id, min(epoch_us(ts)) AS p_us
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touches AS (
+      SELECT s.user_id, s.event_type, s.us, s.event_id
+      FROM seq s JOIN conv c ON c.user_id = s.user_id AND s.us < c.p_us
+    ),
+    ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS rn_first,
+             row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC)
+               AS rn_last,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_touch
+      FROM touches
+    )
+    SELECT event_type AS channel,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch_conversions,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch_conversions,
+           CAST(sum(1000 // n_touch) AS BIGINT) AS linear_credit_milli
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def events_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-model comparison: the same converting journeys
+    credited three ways — first-touch, last-touch, and linear
+    (1000/n_touch milli-credits per touch, floored) — per channel
+    (view vs click touches before the user's first purchase). This is
+    the side-by-side a marketing analyst uses to argue about model
+    choice; events_attribution_position_split then takes the U-shaped
+    compromise with exact money conservation. Touch ranking is
+    per-user PARTITIONED both directions; the linear credits floor
+    per touch (documented — conserving remainders is the
+    position-split query's job). Scale: one user-keyed join + one
+    channel rollup."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(ts)")).alias("p_us"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id", "event_type", F.expr("unix_micros(ts)").alias("us"), "event_id"
+        )
+        .join(conv, "user_id")
+        .filter(F.col("us") < F.col("p_us"))
+    )
+    wf = W.partitionBy("user_id").orderBy("us", "event_id")
+    wl = W.partitionBy("user_id").orderBy(F.col("us").desc(), F.col("event_id").desc())
+    wc = W.partitionBy("user_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count("*").over(wc).cast("long").alias("n_touch"),
+    )
+    return ranked.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("first_touch_conversions"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("last_touch_conversions"),
+        F.sum(F.expr("1000 DIV n_touch")).cast("long").alias("linear_credit_milli"),
+    )
