@@ -570,3 +570,56 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "graph_triangle_participation",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    e AS (SELECT pa, pb FROM edges),
+    tris AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    part AS (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM part GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 10
+    """,
+)
+def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation: which parts sit in the most
+    co-purchase triangles — the local-clustering hot list that
+    graph_triangle_count aggregates away and
+    graph_clustering_coefficient averages away (a node in many
+    triangles is a 'bundle anchor'; the ranking feeds
+    recommendation/assortment work). Same support-thresholded
+    broadcast triangle join as the count query (a < b < c enumerates
+    each triangle once), then each triangle credits its three corners
+    via a 3-way union and the head is a TakeOrderedAndProject. The
+    threshold bounds Σdeg² exactly as the count query documents."""
+    e = _edges(spark, sf_dir).select("pa", "pb").cache()
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tris = (
+        e1.join(F.broadcast(e2), "b")
+        .join(F.broadcast(e3), ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )
+    part = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return (
+        part.groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(10)
+    )

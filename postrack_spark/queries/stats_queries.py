@@ -4128,3 +4128,82 @@ def events_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("last_touch_conversions"),
         F.sum(F.expr("1000 DIV n_touch")).cast("long").alias("linear_credit_milli"),
     )
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+            FROM freq),
+    head AS (
+      SELECT w, f FROM freq ORDER BY f DESC, w LIMIT 50
+    ),
+    ranked AS (
+      SELECT a.w, a.f,
+             CAST((SELECT count(*) FROM head h
+                   WHERE h.f > a.f OR (h.f = a.f AND h.w <= a.w)) AS BIGINT) AS rk
+      FROM head a
+    )
+    SELECT k.k AS vocab_size,
+           CAST(sum(r.f) AS BIGINT) AS covered_tokens,
+           CAST(sum(r.f) * 10000 // max(tot.t) AS BIGINT) AS coverage_pp10k,
+           CAST(max(tot.v) AS BIGINT) AS full_vocab
+    FROM (SELECT unnest([10, 20, 50]) AS k) k
+    JOIN ranked r ON r.rk <= k.k
+    CROSS JOIN tot
+    GROUP BY k.k
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of the corpus token mass
+    the top-10/20/50 most frequent words cover — the first number a
+    tokenizer-budget decision reads (with text_good_turing_smoothing's
+    unseen mass as its tail-side complement). The head is a TakeOrdered
+    limit-50 (no vocabulary-wide window); ranks WITHIN the 50-row head
+    come from a broadcast self-join on that constant frame (frequency
+    desc, word asc — total order), and each curve point is a
+    broadcast join against the 3-row k list. Shares are integer
+    pp10k. One wordcount shuffle is the only data-sized stage."""
+    from postrack_spark.functions.text import tokens
+    from postrack_spark.session import fan_out
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"])
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    tot = freq.agg(
+        F.sum("f").cast("long").alias("t"), F.count("*").cast("long").alias("v")
+    )
+    head = freq.orderBy(F.col("f").desc(), "w").limit(50).localCheckpoint()
+    h2 = head.select(F.col("w").alias("hw"), F.col("f").alias("hf"))
+    ranked = (
+        head.join(
+            F.broadcast(h2),
+            (F.col("hf") > F.col("f"))
+            | ((F.col("hf") == F.col("f")) & (F.col("hw") <= F.col("w"))),
+        )
+        .groupBy("w", "f")
+        .agg(F.count("*").cast("long").alias("rk"))
+    )
+    ks = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(10), F.lit(20), F.lit(50)), (F.col("id") + 1).cast("int")).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").alias("vocab_size"))
+        .agg(
+            F.sum("f").cast("long").alias("covered_tokens"),
+            F.expr("CAST(sum(f) * 10000 DIV max(t) AS BIGINT)").alias(
+                "coverage_pp10k"
+            ),
+            F.max("v").cast("long").alias("full_vocab"),
+        )
+    )
