@@ -4207,3 +4207,203 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").cast("long").alias("full_vocab"),
         )
     )
+
+
+@query(
+    "events_slo_burn_alerts",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS e
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT a.h,
+             CAST(sum(CASE WHEN b.h = a.h THEN b.n ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN b.h = a.h THEN b.e ELSE 0 END) AS BIGINT) AS e1,
+             CAST(sum(b.n) AS BIGINT) AS n6,
+             CAST(sum(b.e) AS BIGINT) AS e6
+      FROM hourly a JOIN hourly b ON b.h BETWEEN a.h - 5 AND a.h
+      GROUP BY a.h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN e1 * 50 > n1 * 7 AND e6 * 100 > n6 * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_page_alerts,
+           CAST(max(e1 * 10000 // n1) AS BIGINT) AS worst_fast_rate_pp10k,
+           CAST(max(e6 * 10000 // n6) AS BIGINT) AS worst_slow_rate_pp10k
+    FROM win
+    """,
+)
+def events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    recipe): page when BOTH the fast window (1 h) and the slow window
+    (trailing 6 h) burn error budget too fast — the fast window gives
+    detection speed, the slow one suppresses blips. With a 1% error
+    SLO, the 14x fast / 3x slow burn thresholds cross-multiply to pure
+    integers (e1·50 > n1·7 ⟺ e1/n1 > 14%, e6·100 > n6·3 ⟺ 3%), so the
+    alert predicate has no floats at all (the XmR discipline). The
+    trailing windows are calendar-bounded broadcast self-joins over
+    the hourly frame — the rolling-median pattern. One data-sized
+    hourly aggregate."""
+    hourly = (
+        load_tables(spark, sf_dir)["events"]
+        .select(
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("is_err").cast("long").alias("e"),
+        )
+    )
+    b = hourly.select(
+        F.col("h").alias("hb"), F.col("n").alias("nb"), F.col("e").alias("eb")
+    )
+    win = (
+        hourly.select("h")
+        .join(
+            F.broadcast(b),
+            (F.col("hb") >= F.col("h") - 5) & (F.col("hb") <= F.col("h")),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum(F.when(F.col("hb") == F.col("h"), F.col("nb")).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("hb") == F.col("h"), F.col("eb")).otherwise(0))
+            .cast("long")
+            .alias("e1"),
+            F.sum("nb").cast("long").alias("n6"),
+            F.sum("eb").cast("long").alias("e6"),
+        )
+    )
+    return win.agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(
+            F.when(
+                (F.col("e1") * 50 > F.col("n1") * 7)
+                & (F.col("e6") * 100 > F.col("n6") * 3),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_page_alerts"),
+        F.max(F.expr("e1 * 10000 DIV n1")).cast("long").alias(
+            "worst_fast_rate_pp10k"
+        ),
+        F.max(F.expr("e6 * 10000 DIV n6")).cast("long").alias(
+            "worst_slow_rate_pp10k"
+        ),
+    )
+
+
+@query(
+    "agg_laspeyres_price_index",
+    oracle="""
+    WITH mid AS (
+      SELECT (min(epoch_us(l_shipdate)) + max(epoch_us(l_shipdate))) // 2 AS m
+      FROM lineitem
+    ),
+    lines AS (
+      SELECT l_partkey,
+             CAST(epoch_us(l_shipdate) < mid.m AS INT) AS base,
+             CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        / l_quantity) AS BIGINT) AS unit_cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem, mid
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CASE WHEN base = 1 THEN unit_cents ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN base = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN base = 1 THEN qty ELSE 0 END) AS BIGINT) AS q0,
+             CAST(sum(CASE WHEN base = 0 THEN unit_cents ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN base = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM lines GROUP BY 1
+    ),
+    both_sides AS (SELECT * FROM per_part WHERE n0 > 0 AND n1 > 0),
+    terms AS (
+      SELECT CAST(sum(CAST(floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                 * CAST(q0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS num,
+             CAST(sum(CAST(floor(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                                 * CAST(q0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS den,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM both_sides
+    )
+    SELECT n_parts, num AS basket_p1_cents, den AS basket_p0_cents,
+           CAST(num * 10000 // den AS BIGINT) AS laspeyres_pp10k
+    FROM terms
+    """,
+)
+def agg_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index between the corpus's two ship-date
+    halves: the base-period basket (first-half quantities) re-priced
+    at second-half average unit prices, over its base-period cost —
+    the CPI construction, restricted to parts traded in BOTH periods.
+    Per-line unit prices floor to integer cents (identical IEEE
+    division first — quantity is a double); each part's
+    mean-price × base-quantity term is one IEEE expression floored to
+    cents BEFORE the cross-part integer sums (the floored-contribution
+    rule), and the index is a single positive DIV in pp10k (10000 =
+    flat prices). Plan: one scan, one part rollup, a 1-row combine."""
+    mid = load_tables(spark, sf_dir)["lineitem"].agg(
+        F.expr(
+            "CAST((min(unix_micros(l_shipdate)) + max(unix_micros(l_shipdate)))"
+            " DIV 2 AS BIGINT)"
+        ).alias("m")
+    )
+    lines = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "l_partkey",
+            F.expr("CAST(unix_micros(l_shipdate) < m AS INT)").alias("base"),
+            F.expr(
+                "CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " / l_quantity) AS BIGINT)"
+            ).alias("unit_cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    per_part = lines.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("base") == 1, F.col("unit_cents")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("base") == 1, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("base") == 1, F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("q0"),
+        F.sum(F.when(F.col("base") == 0, F.col("unit_cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("base") == 0, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    both_sides = per_part.filter((F.col("n0") > 0) & (F.col("n1") > 0))
+    terms = both_sides.agg(
+        F.sum(
+            F.floor(
+                F.expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)")
+                * F.expr("CAST(q0 AS DOUBLE)")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("num"),
+        F.sum(
+            F.floor(
+                F.expr("CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)")
+                * F.expr("CAST(q0 AS DOUBLE)")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("den"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    return terms.select(
+        "n_parts",
+        F.col("num").alias("basket_p1_cents"),
+        F.col("den").alias("basket_p0_cents"),
+        F.expr("CAST(num * 10000 DIV den AS BIGINT)").alias("laspeyres_pp10k"),
+    )
