@@ -72,9 +72,16 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("long").alias("rev"))
     )
     bucketed = exact_ntile(rev, 10, ["rev", "o_custkey"], "bucket")
-    g = bucketed.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
-        F.count("*").cast("long").alias("n_customers"),
-        F.sum("rev").cast("long").alias("bucket_cents"),
+    # pinned: h/cum/tot all reference this aggregate — localCheckpoint
+    # keeps the ranking subplan single-execution (ranking.py CONSUMER
+    # WARNING; the orders_sequence_gap_audit discipline)
+    g = (
+        bucketed.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("rev").cast("long").alias("bucket_cents"),
+        )
+        .localCheckpoint()
     )
     h = g.select(
         F.col("bucket").alias("hb"), F.col("bucket_cents").alias("hc")
@@ -454,6 +461,39 @@ def events_conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> Dat
         F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("lat_sec")))
         .cast("long")
         .alias("q3_sec"),
+    )
+
+
+QUANTIZE_MILLI_EXPR = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+    " AS BIGINT))"
+)
+"""Milli-quantization of an embedding array — the vector family's
+shared exactness grid (floor(x*1000), IEEE-identical in numpy and both
+SQL engines). Every query pairing with a floor(embedding[i]*1000.0)
+oracle MUST use this one string; a one-site edit desynchronizes the
+rest (review finding)."""
+
+
+def quantized_embeddings(df, out_col: str = "qe"):
+    """df.embedding milli-quantized into ``out_col`` (array<long>)."""
+    return df.withColumn(out_col, F.expr(QUANTIZE_MILLI_EXPR))
+
+
+def cms_bucket(r, k):
+    """Portable CMS row-hash bucket: md5-derived (engine-portable),
+    shared by cms_report, agg_count_min_sketch, and the streaming
+    maintenance twin — all three MUST stay bit-identical (review
+    finding)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(r.cast("string"), F.lit(":"), k)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
     )
 
 
@@ -1100,9 +1140,11 @@ def events_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per AS (
       SELECT fiscal_year, cents,
-             CAST(least(CAST(w // 13 AS BIGINT), 3) * 3
-                  + CASE WHEN w % 13 < 4 THEN 1
-                         WHEN w % 13 < 8 THEN 2 ELSE 3 END AS BIGINT) AS period
+             CAST(CASE WHEN w >= 52 THEN 12
+                       ELSE (w // 13) * 3
+                            + CASE WHEN w % 13 < 4 THEN 1
+                                   WHEN w % 13 < 8 THEN 2 ELSE 3 END
+                  END AS BIGINT) AS period
       FROM wk
     )
     SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year, period,
@@ -1115,8 +1157,10 @@ def events_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retail 4-4-5 fiscal-calendar rollup — the BI calendar the
     Gregorian date functions can't express: fiscal years start Feb 1,
-    quarters split 13 weeks as 4+4+5, and a 53rd week folds into the
-    final period (the least() clamp). The mapping is pure integer
+    quarters split 13 weeks as 4+4+5, and week indexes >= 52 (the 53rd
+    week) fold into the FINAL period 12 explicitly — a least() clamp on
+    the quarter alone would wrap w % 13 back to Q4's first month, the
+    bug a review pass caught here. The mapping is pure integer
     date arithmetic — week index = days-since-fiscal-new-year DIV 7,
     period from two CASE splits — certifying that make_date / year /
     month / day and date subtraction resolve identically cross-engine
@@ -1147,9 +1191,10 @@ def scalar_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fiscal_year",
         "cents",
         F.expr(
-            "CAST(least(CAST(w DIV 13 AS BIGINT), 3) * 3"
+            "CAST(CASE WHEN w >= 52 THEN 12"
+            " ELSE (w DIV 13) * 3"
             " + CASE WHEN w % 13 < 4 THEN 1"
-            "        WHEN w % 13 < 8 THEN 2 ELSE 3 END AS BIGINT)"
+            "        WHEN w % 13 < 8 THEN 2 ELSE 3 END END AS BIGINT)"
         ).alias("period"),
     )
     return per.groupBy(
@@ -1734,10 +1779,7 @@ def vector_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size candidate pool."""
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
-            " AS BIGINT))"
-        ).alias("qe"),
+        F.expr(QUANTIZE_MILLI_EXPR).alias("qe"),
     )
     qid = emb.agg(F.min("vec_id").alias("qid"))
     qv = (
@@ -1862,10 +1904,7 @@ def vector_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feedback centroid is a 10-row aggregate."""
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
-            " AS BIGINT))"
-        ).alias("qe"),
+        F.expr(QUANTIZE_MILLI_EXPR).alias("qe"),
     )
     qid = emb.agg(F.min("vec_id").alias("qid"))
     qv = emb.join(F.broadcast(qid), F.col("vec_id") == F.col("qid")).select(
@@ -2187,10 +2226,7 @@ def vector_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id",
         "label",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
-            " AS BIGINT))"
-        ).alias("qe"),
+        F.expr(QUANTIZE_MILLI_EXPR).alias("qe"),
     )
     cell = (
         emb.select(
@@ -2252,7 +2288,7 @@ def vector_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_bounce_rate_daily",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, epoch_us(ts) AS us,
+      SELECT user_id, epoch_us(ts) AS us, event_id,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_session
@@ -2261,7 +2297,7 @@ def vector_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS sid
       FROM flagged
@@ -2288,11 +2324,13 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sessionization is the sessionize_user_events recipe on the
     epoch-micros convention (per-user partitioned lag + running flag
     sum with an (us, event_id) total order — the ROWS-frame cumsum is
-    per-user, never global); bounce shares are integer pp10k. Note the
-    us-ordered running sum ties are broken by event_id in the FLAG
-    window and the cumsum frame only needs us (flags of equal-us rows
-    commute: both orderings yield the same session ids). Scale: one
-    user shuffle, then a sessions-sized rollup."""
+    per-user, never global); bounce shares are integer pp10k. BOTH the
+    flag window AND the running-sum frame carry the (us, event_id)
+    tie-break: a ROWS cumsum over a non-total order is shuffle-order
+    nondeterministic when timestamps tie (the prefix_sums_by_key rule
+    in CLAUDE.md — flags of equal-us rows do NOT commute when one of
+    them opens the session). Scale: one user shuffle, then a
+    sessions-sized rollup."""
     from pyspark.sql import Window as W
 
     ev = load_tables(spark, sf_dir)["events"].select(
@@ -2302,6 +2340,7 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "us",
+        "event_id",
         F.when(
             F.lag("us").over(w).isNull()
             | (F.col("us") - F.lag("us").over(w) > 1800000000),
@@ -2312,7 +2351,7 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         W.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     per_session = (
@@ -2804,10 +2843,7 @@ def vector_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     report you run INSTEAD of any pairwise-vector scan."""
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         "label",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
-            " AS BIGINT))"
-        ).alias("qe"),
+        F.expr(QUANTIZE_MILLI_EXPR).alias("qe"),
     )
     cell = (
         emb.select("label", F.posexplode("qe").alias("dim0", "x"))
@@ -3068,21 +3104,9 @@ def cms_report(cells: DataFrame, user_counts: DataFrame) -> DataFrame:
     top10 = (
         user_counts.orderBy(F.col("true_count").desc(), "k").limit(10)
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("k"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 256
-    )
     rs = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
     probes = top10.select("k", "true_count", rs).select(
-        "k", "true_count", "r", bucket.alias("bucket")
+        "k", "true_count", "r", cms_bucket(F.col("r"), F.col("k")).alias("bucket")
     )
     return (
         cells.join(F.broadcast(probes), ["r", "bucket"])
@@ -3112,21 +3136,9 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("k")
     )
     rs = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("k"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 256
-    )
     cells = (
         ev.select("k", rs)
-        .select("k", "r", bucket.alias("bucket"))
+        .select("k", "r", cms_bucket(F.col("r"), F.col("k")).alias("bucket"))
         .groupBy("r", "bucket")
         .agg(F.count("*").cast("long").alias("c"))
     )

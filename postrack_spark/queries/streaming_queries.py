@@ -1203,25 +1203,15 @@ def streaming_cms_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = envelope_stream(
         spark, ev, name="cms", options={"maxFilesPerTrigger": "2"}
     )
+    from postrack_spark.queries.stats_queries import cms_bucket
+
     rs = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("k"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 256
-    )
     cell_rows = (
         stream.select("k", rs)
         .select(
             F.lit("cell").alias("kind"),
             F.col("r").cast("string").alias("k1"),
-            bucket.cast("string").alias("k2"),
+            cms_bucket(F.col("r"), F.col("k")).cast("string").alias("k2"),
             F.lit(1).cast("long").alias("c"),
         )
     )
@@ -1274,14 +1264,11 @@ def streaming_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = envelope_stream(
         spark, emb, name="fisher", options={"maxFilesPerTrigger": "2"}
     )
+    from postrack_spark.queries.stats_queries import QUANTIZE_MILLI_EXPR
+
     cells = stream.select(
         "label",
-        F.posexplode(
-            F.expr(
-                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
-                " AS BIGINT))"
-            )
-        ).alias("dim0", "x"),
+        F.posexplode(F.expr(QUANTIZE_MILLI_EXPR)).alias("dim0", "x"),
     ).select(
         F.col("label").cast("int").alias("label"),
         (F.col("dim0") + 1).alias("dim"),
@@ -1365,9 +1352,11 @@ def streaming_vocabulary_richness(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = envelope_stream(
         spark, docs, name="vocab_rich", options={"maxFilesPerTrigger": "2"}
     )
+    from postrack_spark.functions.text import tokens
+
     freq_rows = stream.select(
         "source",
-        F.explode(F.split(F.col("text"), " ")).alias("w"),
+        F.explode(tokens(F.col("text"))).alias("w"),
         F.lit(1).cast("long").alias("f"),
     )
     target, q = foreach_batch_fold(

@@ -283,13 +283,10 @@ def main() -> None:
     # 9. Simplified silhouette over 10x embeddings: the O(n*k)
     #    centroid-assignment shape (broadcast 10-row centroid frame,
     #    zip_with dot products) — should track the scan like kmeans.
+    from postrack_spark.queries.stats_queries import QUANTIZE_MILLI_EXPR
+
     emb10q = shifted_union(t["embeddings"], {"vec_id": 10_000_000}).select(
-        "vec_id",
-        "label",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
-            " AS BIGINT))"
-        ).alias("qe"),
+        "vec_id", "label", F.expr(QUANTIZE_MILLI_EXPR).alias("qe")
     )
     cell10 = (
         emb10q.select("label", F.posexplode("qe").alias("dim0", "x"))
