@@ -36,28 +36,43 @@ Correctness requires the sort key to be a TOTAL order (add a unique
 tie-break column); ties that cross a range boundary would otherwise
 get nondeterministic ranks.
 
-CONSUMER WARNING: if you reference this function's OUTPUT in two
-separate subplans (e.g. an aggregate over it AND a join with it), pin
-it with ``localCheckpoint(eager=True)`` first. Re-instantiated copies
-of the rank subplan can disagree: the optimizer may eliminate the
-in-partition sort under an order-insensitive consumer, and then
-monotonically_increasing_id numbers rows in shuffle-fetch order
-(caught live by an oracle sweep on agg_weighted_median_rank —
-window_queries.py shows the pattern). Single-reference pipelines and
-order-independent second references (a bare count) are safe — with
-ONE measured exception: a SINGLE consumer that imposes its own sort
-can also displace the ranking's in-partition sort. A
-``write.partitionBy(bucket)`` over exact_ntile output (the writer
-sorts each task by the partition column) produced shuffle-fetch-order
-ranks on ~1e-5 of boundary rows (caught round 3 as inverted streaming
-sessions; see streaming_session_expiry_timeout, which now derives its
-buckets from a pure row function instead). groupBy/join consumers of
-the rank VALUE remain safe — value-checked across runs by
-tests/test_ranking.py and the 3-SF sweeps. The range exchange is referenced by both
-the count path and the rank path; Catalyst's ReuseExchange (and AQE
-stage reuse) dedupes it into one physical shuffle, so both paths see
-identical partition boundaries — asserted by tests/test_ranking.py,
-which also value-checks against window row_number over many runs.
+DETERMINISTIC BY CONSTRUCTION (round 4): the enumerated
+``(row, pid, seq)`` frame is pinned with ``localCheckpoint(eager=True)``
+INSIDE the operator, at a moment when no downstream consumer exists yet
+— so no consumer plan can ever displace the in-partition sort that
+``monotonically_increasing_id`` numbers. History that forced this:
+rounds 2-3 relied on a manual consumer discipline, and two real
+incidents broke it anyway: (a) referencing the output from two subplans
+let the optimizer drop the in-partition sort under the
+order-insensitive consumer, numbering rows in shuffle-fetch order
+(agg_weighted_median_rank was pulled, now restored —
+window_queries.py); (b) even a SINGLE consumer that imposes its own
+sort (``write.partitionBy`` sorts each task by the partition column)
+displaced the sort and misnumbered ~1e-5 of boundary rows
+(streaming_session_expiry_timeout, round 3). With the internal pin,
+the count path, the rank path, and every consumer — aggregates, joins,
+sort-imposing writers, multi-subplan references — read the SAME frozen
+rows; nothing rides on ReuseExchange or on Catalyst declining to
+eliminate a sort. Adversarial regression: tests/test_ranking.py
+re-runs tied-key frames under a ``write.partitionBy`` consumer plus an
+aggregate+join double reference, 5x each.
+
+Cost of the pin: one O(n) write to executor-local disk (NOT the
+driver; rows are never collected). That is the same shuffle-sized I/O
+class as the range exchange the operator already pays, so the asymptotic
+story at 100 TB is unchanged; measured at sf0.1 the riding queries moved
+<15% (bench.py medians). On a real cluster localCheckpoint blocks live
+in executor storage: an executor loss during the job fails the query
+(retry re-pins) rather than silently recomputing a possibly-different
+enumeration — the correct failure direction for an exactness operator.
+
+``prefix_sum_by_key`` / ``prefix_sums_by_key`` do NOT need the pin:
+their within-partition order comes from an explicit window sort the
+planner cannot eliminate (the window requires it), and their totals
+path is order-insensitive; they rely only on ReuseExchange/AQE stage
+reuse giving both paths identical range boundaries — asserted by
+tests/test_ranking.py, which value-checks against window cumsums over
+repeated runs.
 """
 
 from __future__ import annotations
@@ -90,9 +105,16 @@ def global_row_number(
         nparts = int(conf) if conf.isdigit() else spark.sparkContext.defaultParallelism
     part = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(*order_cols)
     mid = part.withColumn("__mid", F.monotonically_increasing_id())
-    keyed = mid.withColumn(
-        "__pid", F.shiftrightunsigned("__mid", _MID_BITS)
-    ).withColumn("__seq", F.col("__mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)))
+    keyed = (
+        mid.withColumn("__pid", F.shiftrightunsigned("__mid", _MID_BITS))
+        .withColumn("__seq", F.col("__mid").bitwiseAND(F.lit((1 << _MID_BITS) - 1)))
+        .drop("__mid")
+        # Determinism pin — see module docstring. Eager, so the sort →
+        # mid enumeration executes NOW, before any consumer plan exists
+        # that could displace it; every reader below (counts, offsets,
+        # final join) and every caller sees one frozen enumeration.
+        .localCheckpoint(eager=True)
+    )
 
     counts = keyed.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     a, b = counts.alias("a"), counts.alias("b")
@@ -104,7 +126,7 @@ def global_row_number(
     return (
         keyed.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__offset") + F.col("__seq") + F.lit(1)))
-        .drop("__mid", "__pid", "__seq", "__offset")
+        .drop("__pid", "__seq", "__offset")
     )
 
 

@@ -44,6 +44,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 _LOADED = False
 
 
+def _interleave_families() -> None:
+    """Re-order QUERIES in place: round-robin across defining modules.
+
+    Registration order is module import order, so a prefix sample of the
+    registry (the driver hash-checks the FIRST 50 entries against their
+    oracles) used to see only the first ~2 families. Interleaving makes
+    any prefix span every family — cdc, dedup, events, graph, mining,
+    relational, sampling, skew, stats, streaming, text, tpch, vector,
+    window — so the driver's correctness artifact exercises the whole
+    surface (VERDICT r3 §missing #3). Deterministic: stable family
+    order (sorted module names), stable registration order within each.
+    """
+    by_mod: dict[str, list[QuerySpec]] = {}
+    for spec in QUERIES.values():
+        by_mod.setdefault(spec.fn.__module__, []).append(spec)
+    lanes = [by_mod[m] for m in sorted(by_mod)]
+    interleaved: list[QuerySpec] = []
+    i = 0
+    while any(i < len(lane) for lane in lanes):
+        for lane in lanes:
+            if i < len(lane):
+                interleaved.append(lane[i])
+        i += 1
+    QUERIES.clear()
+    QUERIES.update({spec.name: spec for spec in interleaved})
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration)."""
     global _LOADED
@@ -67,5 +94,6 @@ def load_all() -> dict[str, QuerySpec]:
             window_queries,
         )
 
+        _interleave_families()
         _LOADED = True
     return QUERIES

@@ -919,3 +919,90 @@ def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((mid_sum + t * (lo_cents + hi_cents)) * 1000 DIV n AS BIGINT)"
         ).alias("winsor_mean_milli"),
     )
+
+
+@query(
+    "agg_weighted_median_rank",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ordered AS (
+      SELECT cents, w,
+             sum(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(w) OVER () AS total_w
+      FROM v
+    )
+    SELECT CAST(min(total_w) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN cumw * 2 >= total_w THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM ordered
+    """,
+)
+def agg_weighted_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (lower median: smallest value whose
+    cumulative weight reaches half the total) of line-item price
+    weighted by quantity — all integer arithmetic.
+
+    The hard part at 100 TB is the GLOBAL running weight sum: a naive
+    ``sum(w) OVER (ORDER BY ...)`` is a single-partition window. Here
+    it is a TWO-LEVEL prefix sum built on the distributed rank:
+    global_row_number orders the frame (one range shuffle), rows are
+    grouped into fixed-size rank blocks, per-block totals are
+    prefix-summed by the same tiny non-equi broadcast join the ranking
+    operator uses (block count = n / block_size, config-bounded by
+    choosing block_size ~ n/P), and the intra-block running sum is an
+    ordinary PARTITIONED window over <= block_size rows. cumw(row) =
+    block_offset + intra-block cumsum — exact, no unpartitioned
+    window anywhere (audited).
+
+    HISTORY: pulled in round 3 because the ranked frame feeds TWO
+    consumers (block totals + the cumsum join) and re-instantiated rank
+    subplans could disagree (optimizer dropped the in-partition sort
+    under the order-insensitive aggregate — see ranking.py docstring).
+    RESTORED in round 4: global_row_number now pins its enumeration
+    internally (localCheckpoint before any consumer plan exists), so
+    multi-reference consumers are safe by construction; the adversarial
+    replay of this exact shape runs 5x per suite run in
+    tests/test_ranking.py::test_ranking_double_reference_stable."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    v = t["lineitem"].select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = [F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    block_size = 65536
+    ranked = global_row_number(v, order, "rn").withColumn(
+        "blk", F.expr(f"(rn - 1) div {block_size}")
+    )
+    blocks = ranked.groupBy("blk").agg(F.sum("w").alias("bw"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.blk") < F.col("a.blk"), "left")
+        .groupBy(F.col("a.blk").alias("blk"))
+        .agg(F.coalesce(F.sum("b.bw"), F.lit(0)).alias("blk_off"))
+    )
+    w_blk = W.partitionBy("blk").orderBy("rn")
+    cum = (
+        ranked.join(F.broadcast(offsets), "blk")
+        .withColumn("cumw", F.col("blk_off") + F.sum("w").over(w_blk))
+    )
+    total = v.groupBy().agg(F.sum("w").cast("bigint").alias("total_w"))
+    return (
+        cum.join(F.broadcast(total))
+        .groupBy()
+        .agg(
+            F.min("total_w").cast("bigint").alias("total_weight"),
+            F.min(
+                F.when(F.col("cumw") * 2 >= F.col("total_w"), F.col("cents"))
+            ).cast("bigint").alias("weighted_median_cents"),
+        )
+    )

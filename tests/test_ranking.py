@@ -71,6 +71,75 @@ def test_ranking_skewed_keys(spark):
     assert got.select("id", "rn").exceptAll(exp.select("id", "rn")).count() == 0
 
 
+def test_ranking_sort_imposing_consumer_stable(spark, tmp_path):
+    """Adversarial regression for round-3 incident (b): a single
+    ``write.partitionBy(bucket)`` consumer sorts each write task by the
+    partition column, which — before the operator-internal pin — could
+    displace the ranking's in-partition sort so that
+    monotonically_increasing_id numbered rows in shuffle-fetch order
+    (~1e-5 of boundary rows flipped; caught as inverted streaming
+    sessions). With the eager pin the enumeration is frozen before the
+    writer plan exists. Five write → read-back round trips over a
+    tie-heavy frame must reproduce the window ntile exactly."""
+    rows = [(i, (i * 37) % 5) for i in range(20011)]  # 5 values, massive ties
+    df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+    order = [F.asc("v"), F.asc("id")]
+    exp = {
+        (r.id, r.b)
+        for r in df.withColumn(
+            "b", F.ntile(8).over(Window.orderBy(*order))
+        ).collect()
+    }
+    for trial in range(5):
+        out = str(tmp_path / f"trial{trial}")
+        (
+            exact_ntile(df, 8, order, "b")
+            .write.partitionBy("b")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        got = {
+            (r.id, r.b)
+            for r in spark.read.parquet(out).select("id", "b").collect()
+        }
+        assert got == exp, f"trial {trial}: partitionBy consumer perturbed ranks"
+
+
+def test_ranking_double_reference_stable(spark):
+    """Adversarial regression for round-3 incident (a): referencing the
+    rank output from TWO subplans (an order-insensitive aggregate AND a
+    join back) historically let the optimizer eliminate the in-partition
+    sort in one re-instantiation, so the two paths disagreed on rn (the
+    pulled-then-restored agg_weighted_median_rank). This replays that
+    exact two-level prefix-sum shape five times and checks the running
+    weight sum row-for-row against the single-partition window model."""
+    rows = [(i, (i * 37) % 5, (i * 13) % 7 + 1) for i in range(20011)]
+    df = spark.createDataFrame(rows, "id long, v long, w long").repartition(8)
+    order = [F.asc("v"), F.asc("id")]
+    wexp = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    exp = {
+        (r.id, r.cumw)
+        for r in df.withColumn("cumw", F.sum("w").over(wexp)).collect()
+    }
+    for trial in range(5):
+        ranked = global_row_number(df, order, "rn").withColumn(
+            "blk", F.expr("(rn - 1) div 1024")
+        )
+        blocks = ranked.groupBy("blk").agg(F.sum("w").alias("bw"))  # consumer 1
+        a, b = blocks.alias("a"), blocks.alias("b")
+        offs = (
+            a.join(F.broadcast(b), F.col("b.blk") < F.col("a.blk"), "left")
+            .groupBy(F.col("a.blk").alias("blk"))
+            .agg(F.coalesce(F.sum("b.bw"), F.lit(0)).alias("off"))
+        )
+        w_blk = Window.partitionBy("blk").orderBy("rn")
+        cum = ranked.join(F.broadcast(offs), "blk").withColumn(  # consumer 2
+            "cumw", F.col("off") + F.sum("w").over(w_blk)
+        )
+        got = {(r.id, r.cumw) for r in cum.select("id", "cumw").collect()}
+        assert got == exp, f"trial {trial}: double-referenced ranks diverged"
+
+
 def test_prefix_sum_matches_window(spark):
     """Distributed exclusive/inclusive prefix sums must equal the
     single-partition window cumsum, across repeated runs (exchange
