@@ -2,10 +2,11 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched Pandas pipelines over mapInPandas.
 
-Codec availability (round 3): WAV audio decodes FOR REAL via stdlib
-``wave`` (no deps); images decode via PIL when importable (absent in
-this container -> NotImplementedError); video still needs ffmpeg and
-stays stubbed. `fake_decode=True` keeps the deterministic identity
+Codec availability: WAV audio decodes FOR REAL via stdlib ``wave``
+(round 3) and PNG images decode FOR REAL via the pure-stdlib decoder
+in operators/png.py (round 4) — both dep-free; non-PNG images decode
+via PIL when importable (absent in this container ->
+NotImplementedError); video still needs ffmpeg and stays stubbed. `fake_decode=True` keeps the deterministic identity
 stand-in that the driver-facing queries oracle against byte-exactly.
 Everything Spark-side — the media schema, the mapInPandas batch
 iteration, the UDF signatures, output schemas, partition behavior — is
@@ -51,11 +52,14 @@ def attach_payload(df: DataFrame, content_col: str, media_type: str) -> DataFram
 def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> bytes:
     """Decode a media payload to raw bytes (PCM samples / RGB pixels).
 
-    Real codecs, seamed by availability (round 3):
+    Real codecs, seamed by availability:
       * ``audio/wav`` — stdlib ``wave``: always available, returns the
-        raw PCM frame bytes. A genuinely real decode, no deps.
-      * ``image/*`` — PIL when importable (absent in this container),
-        returns packed RGB bytes.
+        raw PCM frame bytes. A genuinely real decode, no deps (round 3).
+      * ``image/png`` — pure-stdlib decoder (operators/png.py: zlib +
+        the five scanline filters), always available, returns packed
+        RGB bytes (round 4 — image decode is now REAL here, like WAV).
+      * other ``image/*`` — PIL when importable (absent in this
+        container), returns packed RGB bytes.
       * anything else (video needs ffmpeg) — NotImplementedError.
 
     ``fake_decode=True`` keeps the deterministic identity stand-in the
@@ -72,6 +76,10 @@ def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> 
 
         with wave.open(io.BytesIO(payload), "rb") as w:
             return w.readframes(w.getnframes())
+    if mt in ("image/png", "image/x-png"):
+        from postrack_spark.operators.png import decode_png
+
+        return decode_png(payload)
     if mt.startswith("image/"):
         try:
             import io

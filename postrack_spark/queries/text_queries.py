@@ -346,6 +346,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_roundtrip_certify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(sum((4 + n_chars % 5) * (3 + n_chars % 7) * 3) AS BIGINT)
+             AS total_rgb_bytes
+    FROM documents
+    """,
+)
+def multimodal_png_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-gated: per document, build a
+    deterministic RGB image (md5-of-text pixel pattern, per-doc
+    dimensions derived from n_chars), encode it as PNG with the scanline
+    filter chosen by doc_id % 5 — so all five filter types run — then
+    decode through the production ``decode_media`` path (pure-stdlib
+    operators/png.py, fake_decode=False) and certify the roundtrip is
+    byte-exact. The oracle is the certification contract: n_roundtrip_ok
+    must equal count(*) (one flipped pixel anywhere fails the hash gate)
+    and total_rgb_bytes — summed from the DECODED payload lengths — must
+    match pure SQL arithmetic over n_chars, pinning decoded geometry to
+    the spec. Same pattern as quality_hll_error_certify: gate the
+    certificate, not an engine-specific artifact (the compressed PNG
+    bytes themselves are zlib-version-dependent).
+
+    Scale: one mapInPandas pass, Arrow-batched; images never leave their
+    executor, output is 3 integers per partition pre-aggregated by the
+    hash agg. 100 TB of images = embarrassingly parallel leaf decode."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).select("doc_id", "text", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from postrack_spark.operators.multimodal import decode_media
+        from postrack_spark.operators.png import encode_png
+
+        for pdf in it:
+            oks, nbytes = [], []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                w = 4 + int(n_chars) % 5
+                h = 3 + int(n_chars) % 7
+                need = w * h * 3
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                pixels = (dig * (need // len(dig) + 1))[:need]
+                payload = encode_png(pixels, w, h, filter_type=int(doc_id) % 5)
+                decoded = decode_media(payload, "image/png", fake_decode=False)
+                oks.append(decoded == pixels)
+                nbytes.append(len(decoded))
+            yield pd.DataFrame({"ok": oks, "rgb_bytes": nbytes})
+
+    per_doc = docs.mapInPandas(batches, "ok boolean, rgb_bytes long")
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_roundtrip_ok"),
+        F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
+    )
+
+
+@query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id,

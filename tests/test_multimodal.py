@@ -32,7 +32,9 @@ def test_attach_payload_schema(media):
 
 
 def test_decode_stub_gate(media):
-    with pytest.raises(NotImplementedError):
+    # non-PNG images need PIL (absent here); PNG is real — garbage
+    # payloads fail its signature check loudly, never silently
+    with pytest.raises(ValueError, match="signature"):
         decode_media(b"xx", "image/png", fake_decode=False)
 
 
@@ -91,7 +93,9 @@ def test_decode_wav_is_real(spark):
     assert len(out) == 2 and all(len(r["features"]) == 4 for r in out)
 
 
-def test_decode_png_when_pil_present():
+def test_decode_png_cross_validates_against_pil():
+    # when PIL exists, its encoder output must decode identically
+    # through the stdlib path (PNG now routes to operators/png.py)
     PIL = pytest.importorskip("PIL.Image")
     import io
 
@@ -101,7 +105,7 @@ def test_decode_png_when_pil_present():
     assert decode_media(buf.getvalue(), "image/png") == bytes((10, 20, 30)) * 4
 
 
-def test_decode_image_without_pil_raises_not_implemented():
+def test_decode_non_png_image_without_pil_raises_not_implemented():
     try:
         import PIL  # noqa: F401
 
@@ -109,7 +113,102 @@ def test_decode_image_without_pil_raises_not_implemented():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_media(b"\x89PNG...", "image/png")
+        decode_media(b"\xff\xd8\xff\xe0jfif-ish", "image/jpeg")
+
+
+def _ref_pixels(w: int, h: int) -> bytes:
+    # deterministic full-range pattern: exercises byte wraparound in
+    # every filter's modular arithmetic
+    return bytes(((x * 7 + y * 13 + c * 29) % 256)
+                 for y in range(h) for x in range(w) for c in range(3))
+
+
+def test_decode_png_is_real():
+    """VERDICT r4 item 3: PNG decode with zero deps, byte-exact, all
+    five scanline filter types, via the public decode_media seam."""
+    from postrack_spark.operators.png import encode_png
+
+    rgb = _ref_pixels(17, 11)  # odd dims: no accidental alignment
+    for filter_type in range(5):
+        payload = encode_png(rgb, 17, 11, filter_type=filter_type)
+        assert decode_media(payload, "image/png", fake_decode=False) == rgb, (
+            f"filter {filter_type} roundtrip not byte-exact"
+        )
+
+
+def test_decode_png_color_types():
+    """Gray, palette, gray+alpha and RGBA payloads all normalize to
+    packed RGB (alpha dropped), built chunk-by-chunk with filter 0."""
+    import struct
+    import zlib
+
+    from postrack_spark.operators.png import _SIGNATURE, _chunk, decode_png
+
+    def build(w, h, color_type, raw_scanlines, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        chunks = _chunk(b"IHDR", ihdr)
+        if plte:
+            chunks += _chunk(b"PLTE", plte)
+        chunks += _chunk(b"IDAT", zlib.compress(raw_scanlines))
+        return _SIGNATURE + chunks + _chunk(b"IEND", b"")
+
+    # gray 2x2 -> replicated channels
+    gray = build(2, 2, 0, b"\x00\x0a\x14" + b"\x00\x1e\x28")
+    assert decode_png(gray) == bytes((10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40))
+    # palette 2x1 -> PLTE lookup
+    pal = build(2, 1, 3, b"\x00\x01\x00", plte=bytes((9, 8, 7, 60, 61, 62)))
+    assert decode_png(pal) == bytes((60, 61, 62, 9, 8, 7))
+    # gray+alpha 1x1 -> alpha dropped
+    ga = build(1, 1, 4, b"\x00\x7f\x01")
+    assert decode_png(ga) == bytes((127, 127, 127))
+    # RGBA 2x1 -> alpha dropped
+    rgba = build(2, 1, 6, b"\x00\x01\x02\x03\xff\x04\x05\x06\x00")
+    assert decode_png(rgba) == bytes((1, 2, 3, 4, 5, 6))
+
+
+def test_decode_png_rejects_corruption_and_interlace():
+    import struct
+    import zlib
+
+    from postrack_spark.operators.png import _SIGNATURE, _chunk, encode_png
+
+    payload = bytearray(encode_png(_ref_pixels(4, 4), 4, 4))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_media(bytes(payload), "image/png", fake_decode=False)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    interlaced = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_media(interlaced, "image/png", fake_decode=False)
+
+
+def test_png_feature_extract_end_to_end(spark):
+    """The real-PNG path through the full Spark pipeline: encode
+    per-row PNGs (filter varies by row), extract_features with
+    fake_decode=False, and check one feature value exactly — a
+    uniform-color image's folded-byte-histogram features are all
+    color/255 by construction."""
+    rows = []
+    for i in range(8):
+        from postrack_spark.operators.png import encode_png
+
+        w, h, color = 3 + i, 2 + i % 3, (i * 31) % 256
+        rows.append((i, encode_png(bytes([color]) * (w * h * 3), w, h,
+                                   filter_type=i % 5), "image/png", color))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, media_type string, color int")
+    out = extract_features(df, "doc_id", n_features=4, fake_decode=False).orderBy(
+        "doc_id"
+    ).collect()
+    assert len(out) == 8
+    for i, r in enumerate(out):
+        color = (i * 31) % 256
+        assert all(abs(f - color / 255.0) < 1e-12 for f in r["features"])
 
 
 def test_decode_video_still_stubbed():
