@@ -72,13 +72,26 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over `n_salts`
-    tasks: big rows get salt = pmod(hash(row), n_salts); the small side
-    is replicated once per salt value (explode of a literal range — a
-    `n_salts`× blow-up of the SMALL side only), and the join key becomes
-    (on…, salt). Join semantics are unchanged for inner/left joins.
+    tasks: big rows get a salt derived from the WHOLE row; the small
+    side is replicated once per salt value (explode of a literal range —
+    a `n_salts`× blow-up of the SMALL side only), and the join key
+    becomes (on…, salt). Join semantics are unchanged for inner/left
+    joins: each big row matches exactly the one small replica carrying
+    its salt.
+
+    The salt MUST NOT be a function of the join key alone — round 4's
+    measured skew harness (scripts/stress_10x.py --skew) caught exactly
+    that bug here: pmod(hash(join_key)) gives every row of a hot key
+    the SAME salt, so the hot key still lands on one reducer and the
+    "salted" join straggles identically to the plain one. Hashing all
+    big-side columns spreads a hot key's rows across salts whenever any
+    non-key attribute varies (duplicate FULL rows still co-locate —
+    acceptable, dedup them upstream if that is the hotness).
     """
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in on], F.lit(7)), F.lit(n_salts)).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit(7)),
+               F.lit(n_salts)).cast("int"),
     )
     replicated_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

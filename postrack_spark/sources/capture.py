@@ -61,6 +61,22 @@ class FrameFileWriter:
     or a point outside any transaction — so a transaction's Begin and
     rows never straddle a file ack'd as durable while its Commit is
     still buffered.
+
+    v2 STREAMED transactions get the same treatment by replay rather
+    than deferral (round 4; caught by the recorded-session e2e fixture,
+    tests/test_capture.py): a streamed transaction is DESIGNED to span
+    many files — deferring the roll until its StreamCommit would
+    unbound file size — so the writer caches every open stream's frames
+    (StreamStart / segment data / StreamStop / subtransaction aborts)
+    and re-seeds them into each new file until the stream commits or
+    fully aborts. A reader decoding any single file therefore sees the
+    whole stream up to that file: the file containing the StreamCommit
+    emits all surviving rows exactly once, files containing only
+    segments emit none (their buffered rows never commit there), so
+    per-file parallel decode (one DataSource partition per file) stays
+    correct with zero cross-file state. Memory: the cache holds open
+    streams only — the same bound the decoder's own commit-time buffer
+    already imposes; both spill classes arrive together.
     """
 
     def __init__(self, out_dir: str, max_frames: int = 4096,
@@ -77,9 +93,12 @@ class FrameFileWriter:
         )
         self.seq = (existing[-1] + 1) if existing else 0
         self._schema_cache: dict[tuple[bytes, int], bytes] = {}  # (kind, oid) -> frame
+        self._stream_cache: dict[int, list[bytes]] = {}  # open v2 stream xid -> frames
+        self._open_segment: int | None = None  # xid between StreamStart/Stop
         self._pending: list[bytes] = []
         self._pending_bytes = 0
         self._pending_last_lsn = 0
+        self._seed_len = 0  # frames in _pending that are replayed seeds
         self._in_tx = False
         self._roll_requested = False
         self.durable_lsn = 0
@@ -95,6 +114,26 @@ class FrameFileWriter:
             self._schema_cache[(kind, oid)] = frame
         elif kind == b"B":
             self._in_tx = True
+        elif kind == b"S":  # v2 StreamStart: open segment of stream xid
+            xid = struct.unpack_from(">i", frame, 26)[0]
+            self._open_segment = xid
+            self._stream_cache.setdefault(xid, []).append(frame)
+        elif kind == b"E":  # StreamStop closes the segment
+            if self._open_segment is not None:
+                self._stream_cache[self._open_segment].append(frame)
+                self._open_segment = None
+        elif kind == b"A":  # StreamAbort: toplevel drops the cache,
+            xid, subxid = struct.unpack_from(">ii", frame, 26)
+            if subxid == xid:
+                self._stream_cache.pop(xid, None)
+            elif xid in self._stream_cache:  # subtxn abort replays too
+                self._stream_cache[xid].append(frame)
+        elif kind == b"c":  # StreamCommit: stream fully delivered
+            xid = struct.unpack_from(">i", frame, 26)[0]
+            self._stream_cache.pop(xid, None)
+        elif self._open_segment is not None and kind != b"":
+            # data/message frame inside an open segment
+            self._stream_cache[self._open_segment].append(frame)
         if self._pending or kind != b"":  # skip leading keepalive-only files
             self._pending.append(frame)
             self._pending_bytes += len(frame) + 4
@@ -118,17 +157,27 @@ class FrameFileWriter:
         write_frame_file(path, self._pending)
         self.seq += 1
         self.durable_lsn = max(self.durable_lsn, self._pending_last_lsn)
-        # seed the NEXT file with the current schema frames (re-sent
-        # relation cache — self-containment clause of the contract)
+        # seed the NEXT file with the current schema frames plus every
+        # open v2 stream's frames so far (self-containment clause —
+        # the file that eventually holds StreamCommit must see the
+        # whole stream even when per-file decoders run in parallel)
         self._pending = list(self._schema_cache.values())
+        for xid in sorted(self._stream_cache):
+            self._pending.extend(self._stream_cache[xid])
+        self._seed_len = len(self._pending)
         self._pending_bytes = sum(len(f) + 4 for f in self._pending)
         self._roll_requested = False
 
     def close(self) -> None:
-        # a final file holding only re-sent schema frames is useless —
-        # drop the seed if no data frame followed it
+        # a final file holding only replayed seed frames (schema +
+        # open-stream replay) is useless — flush only if a real data
+        # frame followed the seed. Daemon-restart note: the stream
+        # cache dies with the process, which is safe because Postgres
+        # pins restart_lsn at the oldest in-progress transaction and
+        # re-streams open transactions from their start on reconnect —
+        # the new writer's cache refills from the re-sent segments.
         if any(self._payload_kind(f) not in (b"R", b"Y")
-               for f in self._pending):
+               for f in self._pending[self._seed_len:]):
             self.flush()
         self._pending = []
 

@@ -1,18 +1,29 @@
 #!/usr/bin/env python
-"""10x scale stress: run the heavy operator families on a synthetic
-10x union of the sf0.1 tables and print one JSON line of wall times.
+"""Scale stress: run the heavy operator families on a synthetic
+key-shifted multiple of the sf0.1 tables and print one JSON line of
+wall times.
 
 The sf gates verify correctness; this script probes the SCALING SHAPE —
-does wall time grow ~linearly when the input grows 10x with the
+does wall time grow ~linearly when the input grows `--factor`x with the
 partition count held at local[32]? Super-linear growth flags an
 operator whose plan degrades (quadratic candidate growth, a shuffle
 that stops fitting, a broadcast that silently becomes a shuffle).
 
-Inputs are built by unioning 10 key-shifted copies of the driver
-tables (deterministic — no RNG), so dedup density and join fan-out are
+Inputs are built from `factor` key-shifted copies of the driver tables
+(deterministic — no RNG), so dedup density and join fan-out are
 preserved rather than diluted. Usage:
 
-    python scripts/stress_10x.py [sf_dir]
+    python scripts/stress_10x.py [sf_dir]              # factor 10, all families
+    python scripts/stress_10x.py [sf_dir] --factor 100 # top-3 heaviest only
+    python scripts/stress_10x.py [sf_dir] --only cdc,minhash
+    python scripts/stress_10x.py [sf_dir] --skew       # salting-vs-plain demo
+
+`--factor 100` defaults to the three heaviest families (cdc, minhash,
+triangles) — two more decades of the sub-linearity the 100 TB claim
+extrapolates. `--skew` runs the Zipf-hot-key join benchmark comparing a
+plain shuffle join (AQE on, but its skew split is SUPPRESSED because
+the downstream groupBy reuses the join's output partitioning —
+SCALE.md) against operators/skew.salted_join on identical data.
 """
 
 from __future__ import annotations
@@ -28,26 +39,100 @@ from pyspark.sql import functions as F
 
 from postrack_spark.session import get_spark, load_tables
 
+FACTOR = 10  # set from --factor in main()
 
-def shifted_union(df, key_cols: dict[str, int], copies: int = 10):
-    """Union `copies` key-shifted replicas: integer keys shift by
-    copy_index * stride so per-copy key spaces stay disjoint (join
-    fan-out and per-key event counts are preserved, not multiplied)."""
-    parts = []
-    for i in range(copies):
-        d = df
-        for col, stride in key_cols.items():
-            d = d.withColumn(col, F.col(col) + F.lit(i * stride).cast("long"))
-        parts.append(d)
-    out = parts[0]
-    for d in parts[1:]:
-        out = out.unionByName(d)
-    return out
+
+def shifted_union(df, key_cols: dict[str, int], copies: int | None = None):
+    """`copies` key-shifted replicas with disjoint per-copy key spaces
+    (join fan-out and per-key event counts are preserved, not
+    multiplied). Built as ONE scan × a broadcast replica frame — a
+    plan-size-O(1) construction that holds to factor 100+, unlike a
+    100-branch union."""
+    copies = copies or FACTOR
+    spark = df.sparkSession
+    rep = F.broadcast(spark.range(copies).select(F.col("id").alias("__copy")))
+    d = df.crossJoin(rep)
+    for col, stride in key_cols.items():
+        d = d.withColumn(col, F.col(col) + F.col("__copy") * F.lit(stride).cast("long"))
+    # The replication happens INSIDE the base scan's partitions, so a
+    # single-row-group local file would put all `copies`x of the
+    # CPU-heavy pre-shuffle work on one core (the union construction
+    # got N partitions for free). Spread by (partition, copy) before
+    # the downstream map stages — an O(n) shuffle, the same cost class
+    # as the range shuffles under test. 4x parallelism bounds the
+    # per-task working set as copies grows.
+    return d.repartition(
+        4 * spark.sparkContext.defaultParallelism, F.spark_partition_id(), "__copy"
+    ).drop("__copy")
+
+
+def skew_bench(spark, t, timings: dict[str, float], run) -> None:
+    """Zipf-skewed join: 40% of the 10x-lineitem rows share ONE hot
+    supplier key; the dim side carries every key. Broadcast is disabled
+    so both paths pay a real shuffle join, and the groupBy on the join
+    key downstream reproduces the AQE-suppression shape (splitting the
+    skewed partition would break the reused output partitioning, so AQE
+    leaves the hot task whole — the documented reason salting exists).
+    Plain vs salted output is identical (test_scale_ops gates it);
+    only the wall time differs."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from postrack_spark.operators.skew import salted_join
+
+        li = shifted_union(
+            t["lineitem"], {"l_orderkey": 10_000_000}, copies=10
+        ).select(
+            # Zipf-ish: 2 of 5 orderkey residues collapse onto hot key 0
+            F.when(F.col("l_orderkey") % 5 < 2, F.lit(0))
+            .otherwise(F.col("l_partkey") % 100_000)
+            .cast("long")
+            .alias("k"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        dim = spark.range(100_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97 + 1).cast("long").alias("rate"),
+        )
+        plain = (
+            li.join(dim, "k")
+            .groupBy("k")
+            .agg(F.sum(F.col("cents") * F.col("rate")).alias("s"),
+                 F.sum("qty").alias("q"))
+        )
+        run("skew_join_plain", plain)
+        salted = (
+            salted_join(li, dim, on=["k"], n_salts=32)
+            .groupBy("k")
+            .agg(F.sum(F.col("cents") * F.col("rate")).alias("s"),
+                 F.sum("qty").alias("q"))
+        )
+        run("skew_join_salted", salted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("stress-10x")
+    global FACTOR
+    args = [a for a in sys.argv[1:]]
+    sf_dir = "/root/testdata/sf0.1"
+    only: set[str] | None = None
+    skew_only = False
+    it = iter(args)
+    for a in it:
+        if a == "--factor":
+            FACTOR = int(next(it))
+        elif a == "--only":
+            only = set(next(it).split(","))
+        elif a == "--skew":
+            skew_only = True
+        else:
+            sf_dir = a
+    if only is None and FACTOR != 10:
+        only = {"cdc", "minhash", "triangles"}  # heaviest three families
+
+    spark = get_spark(f"stress-{FACTOR}x")
     t = load_tables(spark, sf_dir)
     timings: dict[str, float] = {}
 
@@ -55,6 +140,17 @@ def main() -> None:
         start = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+
+    def skip(section: str) -> bool:
+        return only is not None and section not in only
+
+    if skew_only:
+        skew_bench(spark, t, timings, run)
+        print(json.dumps({"metric": "stress_skew_wall", "unit": "sec",
+                          "base_sf_dir": sf_dir, "copies": 10,
+                          "timings": timings}))
+        spark.stop()
+        return
 
     # 1. CDC envelope + latest-per-key over 10x orders (~1.5M orders,
     #    ~2.2M events at sf0.1 base): the materialization path.
@@ -108,7 +204,8 @@ def main() -> None:
         typed_column("after", "o_orderkey", "long"),
         typed_column("before", "o_orderkey", "long"),
     )
-    run("cdc_latest_per_key_10x", apply_changes(ch10, k, key_name="o_orderkey"))
+    if not skip("cdc"):
+        run("cdc_latest_per_key_10x", apply_changes(ch10, k, key_name="o_orderkey"))
 
     # 2. Shingle MinHash + LSH over 10x documents (every doc gains 10
     #    shifted clones -> pathological duplicate density).
@@ -120,6 +217,24 @@ def main() -> None:
     )
 
     docs10 = shifted_union(t["documents"], {"doc_id": 10_000_000})
+    if FACTOR > 10:
+        # Hold duplicate-GROUP size at the base corpus's density: tag
+        # every token with its copy id so copies are mutually distinct.
+        # Without this, factor F gives every doc F exact clones and the
+        # per-bucket candidate verification grows ~quadratically in F
+        # (measured: 150 s at sf0.001 x100 vs 7 s x10) — that measures
+        # DENSITY growth, not scale growth; real corpora grow rows, not
+        # clone-group size. The cap (max_bucket_size) bounds the
+        # blowup either way; the honest scaling number holds density
+        # fixed. (Factor 10 keeps the untagged pathological-density
+        # methodology of the recorded rounds.)
+        tag = F.concat(F.lit("c"), (F.col("doc_id") / 10_000_000).cast("long").cast("string"))
+        docs10 = docs10.withColumn(
+            "text",
+            F.concat(tag, F.lit(" "),
+                     F.regexp_replace(F.col("text"), F.lit(" "),
+                                      F.concat(F.lit(" "), tag, F.lit(" ")))),
+        )
     shingles = doc_shingles(docs10, "doc_id", "text", k=3)
     per_doc = shingles.groupBy("doc").agg(
         F.collect_set("tok").alias("toks"),
@@ -127,7 +242,8 @@ def main() -> None:
     ).persist()
     sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=200)
-    run("minhash_lsh_10x", jaccard_pairs_from_arrays(per_doc.select("doc", "toks"), cand, 0.5))
+    if not skip("minhash"):
+        run("minhash_lsh_10x", jaccard_pairs_from_arrays(per_doc.select("doc", "toks"), cand, 0.5))
     per_doc.unpersist()
 
     # 3. Graph edges + triangles over 10x lineitem (disjoint key spaces:
@@ -151,7 +267,8 @@ def main() -> None:
     e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
     e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
     tris = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"], "left_semi")
-    run("triangles_10x", tris.agg(F.count("*").alias("n")))
+    if not skip("triangles"):
+        run("triangles_10x", tris.agg(F.count("*").alias("n")))
 
     # 4. Distributed exact ranking over 10x customers: the round-3
     #    no-window ntile path (range shuffle + offsets joins). Growth
@@ -162,12 +279,13 @@ def main() -> None:
     rev10 = ord10.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
-    run(
-        "exact_ntile_10x",
-        exact_ntile(rev10, 10, [F.desc("cents"), F.asc("o_custkey")], "decile")
-        .groupBy("decile")
-        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents")),
-    )
+    if not skip("ntile"):
+        run(
+            "exact_ntile_10x",
+            exact_ntile(rev10, 10, [F.desc("cents"), F.asc("o_custkey")], "decile")
+            .groupBy("decile")
+            .agg(F.count("*").alias("n"), F.sum("cents").alias("cents")),
+        )
 
     # 5. Delta-join IVM over 10x orders ⋈ 10x lineitem: the maintained
     #    join view's refresh terms (deltas broadcast into both bases).
@@ -199,15 +317,16 @@ def main() -> None:
         F.round(F.col("l_quantity")).cast("long").alias("l_qty"),
     )
     db = b0.limit(0)  # static B side: the ΔA⋈B0 term dominates
-    run(
-        "join_view_ivm_10x",
-        incremental_join_agg(
-            a0, da, b0, db,
-            on=[("o_orderkey", "l_orderkey")],
-            dims={"o_orderpriority": F.col("o_orderpriority")},
-            measures={"qty": F.col("l_qty"), "cents": F.col("o_cents")},
-        ),
-    )
+    if not skip("ivm"):
+        run(
+            "join_view_ivm_10x",
+            incremental_join_agg(
+                a0, da, b0, db,
+                on=[("o_orderkey", "l_orderkey")],
+                dims={"o_orderpriority": F.col("o_orderpriority")},
+                measures={"qty": F.col("l_qty"), "cents": F.col("o_cents")},
+            ),
+        )
 
     # 6. Exact Kendall tau over 10x customers (1.5M ranked rows): the
     #    inversion-count decomposition — block/bucket merge counts over
@@ -222,14 +341,17 @@ def main() -> None:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
         F.count("*").cast("long").alias("n_orders"),
     )
-    rx10 = global_row_number(
-        pc10.select("ck", "cents"), [F.asc("cents"), F.asc("ck")], rank_col="rx"
-    ).select("ck", "rx")
-    ry10 = global_row_number(
-        pc10.select("ck", "n_orders"), [F.asc("n_orders"), F.asc("ck")], rank_col="ry"
-    ).select(F.col("ck").alias("ck2"), "ry")
-    ranks10 = rx10.join(ry10, rx10.ck == ry10.ck2).select("rx", "ry")
-    run("kendall_tau_10x", count_inversions(ranks10))
+    if not skip("kendall"):
+        # constructed inside the guard: global_row_number pins eagerly
+        # (round 4), so building this section runs jobs
+        rx10 = global_row_number(
+            pc10.select("ck", "cents"), [F.asc("cents"), F.asc("ck")], rank_col="rx"
+        ).select("ck", "rx")
+        ry10 = global_row_number(
+            pc10.select("ck", "n_orders"), [F.asc("n_orders"), F.asc("ck")], rank_col="ry"
+        ).select(F.col("ck").alias("ck2"), "ry")
+        ranks10 = rx10.join(ry10, rx10.ck == ry10.ck2).select("rx", "ry")
+        run("kendall_tau_10x", count_inversions(ranks10))
 
     # 7. Distributed Gram over 10x embeddings (~50k x 64 at sf0.1 base):
     #    the one-pass linear-algebra reduction. Per-partition output is
@@ -258,13 +380,14 @@ def main() -> None:
 
     from postrack_spark.session import fan_out
 
-    run(
-        "gram_matrix_10x",
-        fan_out(emb10)
-        .mapInPandas(gram_partials, "i int, j int, g long")
-        .groupBy("i", "j")
-        .agg(F.sum("g").alias("g")),
-    )
+    if not skip("gram"):
+        run(
+            "gram_matrix_10x",
+            fan_out(emb10)
+            .mapInPandas(gram_partials, "i int, j int, g long")
+            .groupBy("i", "j")
+            .agg(F.sum("g").alias("g")),
+        )
 
     # 8. Kruskal-Wallis over 10x orders: the distributed-midrank path
     #    (distinct-value prefix sum + cells join). Value space is shared
@@ -278,7 +401,8 @@ def main() -> None:
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    run("kruskal_wallis_10x", kruskal_wallis(kw10, "prio", "cents"))
+    if not skip("kruskal"):
+        run("kruskal_wallis_10x", kruskal_wallis(kw10, "prio", "cents"))
 
     # 9. Simplified silhouette over 10x embeddings: the O(n*k)
     #    centroid-assignment shape (broadcast 10-row centroid frame,
@@ -313,16 +437,18 @@ def main() -> None:
             lambda acc, v: acc + v,
         ).alias("dist2"),
     )
-    run(
-        "silhouette_10x",
-        d2_10.groupBy("vec_id", "label").agg(
-            F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist2"))).alias("a2"),
-            F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist2"))).alias("b2"),
-        ),
-    )
+    if not skip("silhouette"):
+        run(
+            "silhouette_10x",
+            d2_10.groupBy("vec_id", "label").agg(
+                F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist2"))).alias("a2"),
+                F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist2"))).alias("b2"),
+            ),
+        )
 
-    print(json.dumps({"metric": "stress_10x_wall", "unit": "sec",
-                      "base_sf_dir": sf_dir, "copies": 10, "timings": timings}))
+    print(json.dumps({"metric": f"stress_{FACTOR}x_wall", "unit": "sec",
+                      "base_sf_dir": sf_dir, "copies": FACTOR,
+                      "timings": timings}))
     spark.stop()
 
 
