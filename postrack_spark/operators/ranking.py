@@ -66,13 +66,23 @@ in executor storage: an executor loss during the job fails the query
 (retry re-pins) rather than silently recomputing a possibly-different
 enumeration — the correct failure direction for an exactness operator.
 
-``prefix_sum_by_key`` / ``prefix_sums_by_key`` do NOT need the pin:
-their within-partition order comes from an explicit window sort the
-planner cannot eliminate (the window requires it), and their totals
-path is order-insensitive; they rely only on ReuseExchange/AQE stage
-reuse giving both paths identical range boundaries — asserted by
-tests/test_ranking.py, which value-checks against window cumsums over
-repeated runs.
+``prefix_sum_by_key`` / ``prefix_sums_by_key`` carry the SAME pin, for
+a subtler reason found in round 4 by reading the executed plan: their
+totals path and window path were assumed to share one range exchange
+via ReuseExchange/AQE stage reuse — but column pruning makes the two
+subtrees structurally UNEQUAL (the totals path prunes the value
+column differently), so neither reuse mechanism fires and the plan
+holds THREE separate range exchanges. Values still matched because
+RangePartitioner's reservoir sampling is seeded per partition index —
+identical boundaries as long as each instantiation's partitions
+arrive in identical ORDER. That holds for deterministic scans in
+local mode and breaks the moment the operator's input is itself a
+shuffle output (fetch order is a network race on a real cluster):
+divergent sampled boundaries would silently mis-join offsets to
+partitions. The eager pin materializes ONE range-partitioned frame
+with its ``spark_partition_id`` frozen as data; both paths and all
+consumers read it. tests/test_ranking.py value-checks against window
+cumsums over repeated runs either way.
 """
 
 from __future__ import annotations
@@ -174,15 +184,15 @@ def prefix_sum_by_key(
     ``order_cols`` — the distributed prefix sum, with NO unpartitioned
     window.
 
-    Plan shape: one range exchange over the data; per-partition totals
+    Plan shape: one range exchange over the data, eagerly pinned (see
+    module docstring — the totals path and the window path must see
+    the SAME partition boundaries, and exchange reuse does not fire
+    across their differently-pruned subtrees); per-partition totals
     (P rows, P = a configuration constant); exclusive offset prefix via
     the same config-bounded O(P²) broadcast self-join the ranking
     operator uses; the within-partition running sum is a Window
     PARTITIONED BY the range-partition id — every window task sees one
-    range partition, never the whole frame. The range exchange is
-    referenced by both the totals path and the window path; ReuseExchange
-    /AQE stage reuse dedupe it so both see identical boundaries (the
-    invariant tests/test_ranking.py re-checks every run).
+    range partition, never the whole frame.
 
     ``inclusive=False`` (default) yields the EXCLUSIVE prefix (sum of
     strictly-preceding rows) — the form cumulative-distribution
@@ -197,7 +207,7 @@ def prefix_sum_by_key(
         nparts = int(conf) if conf.isdigit() else spark.sparkContext.defaultParallelism
     part = df.repartitionByRange(nparts, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=True)
 
     totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     a, b = totals.alias("a"), totals.alias("b")
@@ -337,7 +347,8 @@ def prefix_sums_by_key(
     value columns over ONE total order, paying the range shuffle once
     (the two-sample-CDF shape — e.g. Kolmogorov–Smirnov needs both
     samples' cumulative counts at every distinct value). ``values``
-    maps output column -> input column."""
+    maps output column -> input column. Eagerly pinned like
+    :func:`prefix_sum_by_key` (module docstring)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -348,7 +359,7 @@ def prefix_sums_by_key(
         nparts = int(conf) if conf.isdigit() else spark.sparkContext.defaultParallelism
     part = df.repartitionByRange(nparts, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=True)
     totals = part.groupBy("__pid").agg(
         *[F.sum(src).alias(f"__t_{out}") for out, src in values.items()]
     )
