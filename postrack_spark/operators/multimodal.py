@@ -3,10 +3,14 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched Pandas pipelines over mapInPandas.
 
 Codec availability: WAV audio decodes FOR REAL via stdlib ``wave``
-(round 3) and PNG images decode FOR REAL via the pure-stdlib decoder
-in operators/png.py (round 4) — both dep-free; non-PNG images decode
-via PIL when importable (absent in this container ->
-NotImplementedError); video still needs ffmpeg and stays stubbed. `fake_decode=True` keeps the deterministic identity
+(round 3); PNG, baseline JPEG, and GIF (incl. animation) decode FOR
+REAL via the pure-stdlib codecs in operators/png.py / jpeg.py / gif.py
+(round 4) — all dep-free; other raster formats decode via PIL when
+importable (absent in this container -> NotImplementedError). Video is
+REAL for MJPEG-in-AVI (operators/avi.py container parse + per-frame
+JPEG decode, exposed as ``sample_media_frames``; animated GIF rides
+the same path); other video codecs need ffmpeg and raise.
+`fake_decode=True` keeps the deterministic identity
 stand-in that the driver-facing queries oracle against byte-exactly.
 Everything Spark-side — the media schema, the mapInPandas batch
 iteration, the UDF signatures, output schemas, partition behavior — is
@@ -58,9 +62,17 @@ def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> 
       * ``image/png`` — pure-stdlib decoder (operators/png.py: zlib +
         the five scanline filters), always available, returns packed
         RGB bytes (round 4 — image decode is now REAL here, like WAV).
+      * ``image/jpeg`` — pure-stdlib baseline decoder
+        (operators/jpeg.py), returns packed RGB bytes.
+      * ``image/gif`` — pure-stdlib decoder (operators/gif.py),
+        returns the first composited frame as packed RGB bytes.
+      * ``video/x-msvideo`` / ``video/avi`` — MJPEG poster frame:
+        parse the RIFF container (operators/avi.py) and decode frame 0
+        to RGB. Full frame sampling is ``sample_media_frames``.
       * other ``image/*`` — PIL when importable (absent in this
         container), returns packed RGB bytes.
-      * anything else (video needs ffmpeg) — NotImplementedError.
+      * anything else (non-MJPEG video needs ffmpeg) —
+        NotImplementedError.
 
     ``fake_decode=True`` keeps the deterministic identity stand-in the
     driver-facing queries oracle against byte-exactly; the Spark-side
@@ -80,6 +92,25 @@ def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> 
         from postrack_spark.operators.png import decode_png
 
         return decode_png(payload)
+    if mt in ("image/jpeg", "image/jpg", "image/pjpeg"):
+        from postrack_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)[0]
+    if mt == "image/gif":
+        from postrack_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
+    if mt in ("video/x-msvideo", "video/avi", "video/msvideo"):
+        from postrack_spark.operators.avi import parse_avi
+        from postrack_spark.operators.jpeg import decode_jpeg
+
+        frames, meta = parse_avi(payload)
+        if meta.get("handler", "").upper() not in ("MJPG", "MJPEG", ""):
+            raise NotImplementedError(
+                f"AVI codec {meta['handler']!r} needs ffmpeg; only MJPEG "
+                "decodes here"
+            )
+        return decode_jpeg(frames[0])[0]
     if mt.startswith("image/"):
         try:
             import io
@@ -179,6 +210,87 @@ def sample_frames(
                     frame_nos.append(n)
                     frames.append(raw[start : start + every])
             yield pd.DataFrame({id_col: ids, "frame_no": frame_nos, "frame": frames})
+
+    return df.select(id_col, "payload", "media_type").mapInPandas(batches, schema)
+
+
+def decode_media_frames(payload: bytes, media_type: str) -> tuple[list[bytes], int, int]:
+    """Decode a multi-frame asset to ([RGB frame, ...], width, height).
+
+    REAL decode paths, no stubs: MJPEG-in-AVI (container parse +
+    per-frame JPEG decode) and animated GIF (LZW + canvas compositing).
+    Single-frame image types come back as one frame via decode_media.
+    """
+    mt = media_type.lower()
+    if mt in ("video/x-msvideo", "video/avi", "video/msvideo"):
+        from postrack_spark.operators.avi import parse_avi
+        from postrack_spark.operators.jpeg import decode_jpeg
+
+        payloads, meta = parse_avi(payload)
+        if meta.get("handler", "").upper() not in ("MJPG", "MJPEG", ""):
+            raise NotImplementedError(
+                f"AVI codec {meta['handler']!r} needs ffmpeg; only MJPEG decodes here"
+            )
+        frames = []
+        w = h = 0
+        for p in payloads:
+            rgb, w, h = decode_jpeg(p)
+            frames.append(rgb)
+        return frames, w, h
+    if mt == "image/gif":
+        from postrack_spark.operators.gif import decode_gif_frames
+
+        framed, w, h = decode_gif_frames(payload)
+        return [rgb for rgb, _delay in framed], w, h
+    if mt.startswith("video/"):
+        raise NotImplementedError(
+            f"no container parser for {media_type}; MJPEG-in-AVI and animated "
+            "GIF decode here, other codecs need ffmpeg"
+        )
+    return [decode_media(payload, media_type)], 0, 0
+
+
+def sample_media_frames(df: DataFrame, id_col: str, every: int) -> DataFrame:
+    """REAL video/animation frame sampling: one output row per sampled
+    frame — parse the container, keep frames 0, every, 2*every, ...,
+    decode each to packed RGB. Same one-to-many mapInPandas shape as
+    the ``sample_frames`` stub, now with the genuine codecs underneath
+    (MJPEG-in-AVI via operators/avi.py + jpeg.py; animated GIF via
+    operators/gif.py).
+
+    Scale: frames never leave their executor; a sampled-frame row is
+    small (RGB of one frame), so downstream feature extraction runs on
+    frames, not containers. 100 TB of video = per-asset parallel
+    container parse; split giant assets upstream at chunk boundaries.
+    """
+    schema = (
+        f"{id_col} long, frame_no int, frame_w int, frame_h int, frame binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frame_nos, ws, hs, frames = [], [], [], [], []
+            for rid, payload, mtype in zip(
+                pdf[id_col], pdf["payload"], pdf["media_type"]
+            ):
+                decoded, w, h = decode_media_frames(bytes(payload), mtype)
+                for n, rgb in enumerate(decoded):
+                    if n % every:
+                        continue
+                    ids.append(int(rid))
+                    frame_nos.append(n)
+                    ws.append(w)
+                    hs.append(h)
+                    frames.append(rgb)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_no": frame_nos,
+                    "frame_w": ws,
+                    "frame_h": hs,
+                    "frame": frames,
+                }
+            )
 
     return df.select(id_col, "payload", "media_type").mapInPandas(batches, schema)
 

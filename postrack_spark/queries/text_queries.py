@@ -435,6 +435,303 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_roundtrip_certify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_blockconst_exact,
+           CAST(count(*) AS BIGINT) AS n_noise_ok,
+           CAST(sum(2 * (8 * (1 + n_chars % 3)) * (8 * (1 + n_chars % 2)) * 3)
+                AS BIGINT) AS total_rgb_bytes
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, driver-gated (operators/jpeg.py, pure
+    stdlib — same pattern as multimodal_png_roundtrip_certify). Per
+    document, two grayscale images with md5-derived pixels and
+    per-doc dimensions, alternating 4:4:4 / 4:2:0 by doc_id parity:
+
+    * a BLOCK-CONSTANT image (one md5 byte per 8x8 block): DC-only
+      spectra are integers under unit quant tables, so the roundtrip
+      must be byte-EXACT — a mathematical property, zero tolerance;
+    * a NOISE image (md5 bytes cycled per pixel): full AC Huffman +
+      ZRL/EOB paths; only DCT rounding remains (measured max error 1),
+      certified within an absolute bound of 4.
+
+    The oracle is the contract: both certificate counts must equal
+    count(*), and total_rgb_bytes — summed from DECODED lengths — must
+    match pure SQL arithmetic over n_chars, pinning decoded geometry.
+    Grayscale is what makes both certificates tight: chroma planes are
+    constant 128, so 4:2:0 box-subsampling is exact and the RGB<->YCbCr
+    transform is the identity on gray.
+
+    Scale: one Arrow-batched mapInPandas pass; images never leave their
+    executor; output is 4 integers per partition before the hash agg."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).select("doc_id", "text", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from postrack_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in it:
+            exact_oks, noise_oks, nbytes = [], [], []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                w = 8 * (1 + int(n_chars) % 3)
+                h = 8 * (1 + int(n_chars) % 2)
+                sub = (2, 2) if int(doc_id) % 2 else (1, 1)
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                nbx = w // 8
+                block_rgb = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        v = dig[((y // 8) * nbx + x // 8) % 16]
+                        block_rgb += bytes([v, v, v])
+                dec, dw, dh = decode_jpeg(
+                    encode_jpeg(bytes(block_rgb), w, h, subsample=sub)
+                )
+                exact_oks.append(dec == bytes(block_rgb) and (dw, dh) == (w, h))
+                noise_rgb = bytearray()
+                for i in range(w * h):
+                    v = dig[i % 16]
+                    noise_rgb += bytes([v, v, v])
+                dec2, _, _ = decode_jpeg(
+                    encode_jpeg(bytes(noise_rgb), w, h, subsample=sub)
+                )
+                noise_oks.append(
+                    len(dec2) == len(noise_rgb)
+                    and max(abs(a - b) for a, b in zip(dec2, noise_rgb)) <= 4
+                )
+                nbytes.append(len(dec) + len(dec2))
+            yield pd.DataFrame(
+                {"exact_ok": exact_oks, "noise_ok": noise_oks, "rgb_bytes": nbytes}
+            )
+
+    per_doc = docs.mapInPandas(
+        batches, "exact_ok boolean, noise_ok boolean, rgb_bytes long"
+    )
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("exact_ok").cast("long")).cast("bigint").alias("n_blockconst_exact"),
+        F.sum(F.col("noise_ok").cast("long")).cast("bigint").alias("n_noise_ok"),
+        F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
+    )
+
+
+@query(
+    "multimodal_gif_animation_certify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(2 + doc_id % 3) AS BIGINT) AS n_frames_total,
+           CAST(sum(2 + doc_id % 3) AS BIGINT) AS n_frames_exact,
+           CAST(sum(5 * (2 + doc_id % 3) * (1 + doc_id % 3)) AS BIGINT)
+             AS total_delay_cs,
+           CAST(sum((2 + doc_id % 3) * (4 + n_chars % 5) * (3 + n_chars % 7) * 3)
+                AS BIGINT) AS total_rgb_bytes
+    FROM documents
+    """,
+)
+def multimodal_gif_animation_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode, driver-gated (operators/gif.py, pure
+    stdlib LZW + compositing). Per document, an animation with
+    2 + doc_id % 3 full-canvas frames — md5-derived palette indices,
+    frame f delayed f*10 cs — encoded then decoded through
+    decode_gif_frames. GIF is lossless over palette indices, so every
+    composited frame must be byte-EXACT (strongest certificate class),
+    the frame count and the summed delays must match SQL arithmetic
+    over doc_id (Σ f*10 for f<k is 10*k*(k-1)/2), and total_rgb_bytes
+    pins the decoded canvas geometry to n_chars arithmetic.
+
+    Scale: one Arrow-batched mapInPandas pass, 5 integers per partition
+    into the hash agg; animations never leave their executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).select("doc_id", "text", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from postrack_spark.operators.gif import decode_gif_frames, encode_gif
+
+        palette = [(i * 17 % 256, i * 37 % 256, i * 29 % 256) for i in range(16)]
+        for pdf in it:
+            counts, exacts, delays, nbytes = [], [], [], []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                k = 2 + int(doc_id) % 3
+                w = 4 + int(n_chars) % 5
+                h = 3 + int(n_chars) % 7
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                frames = []
+                expected = []
+                for f in range(k):
+                    idx = bytes(dig[(i + f) % 16] % 16 for i in range(w * h))
+                    frames.append({"indices": idx, "delay_cs": f * 10})
+                    expected.append(
+                        b"".join(bytes(palette[i]) for i in idx)
+                    )
+                payload = encode_gif(frames, w, h, palette)
+                decoded, dw, dh = decode_gif_frames(payload)
+                counts.append(len(decoded))
+                exacts.append(
+                    sum(
+                        1
+                        for (rgb, _d), exp in zip(decoded, expected)
+                        if rgb == exp
+                    )
+                    if (dw, dh) == (w, h)
+                    else 0
+                )
+                delays.append(sum(d for _rgb, d in decoded))
+                nbytes.append(sum(len(rgb) for rgb, _d in decoded))
+            yield pd.DataFrame(
+                {
+                    "n_frames": counts,
+                    "n_exact": exacts,
+                    "delay_cs": delays,
+                    "rgb_bytes": nbytes,
+                }
+            )
+
+    per_doc = docs.mapInPandas(
+        batches, "n_frames long, n_exact long, delay_cs long, rgb_bytes long"
+    )
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_frames").cast("bigint").alias("n_frames_total"),
+        F.sum("n_exact").cast("bigint").alias("n_frames_exact"),
+        F.sum("delay_cs").cast("bigint").alias("total_delay_cs"),
+        F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
+    )
+
+
+@query(
+    "multimodal_video_frame_sample_certify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((4 + doc_id % 4) // 2) AS BIGINT) AS n_frames_sampled,
+           CAST(sum((4 + doc_id % 4) // 2) AS BIGINT) AS n_frames_exact,
+           CAST(sum(((4 + doc_id % 4) // 2)
+                    * (8 * (1 + n_chars % 3)) * (8 * (1 + n_chars % 2)) * 3)
+                AS BIGINT) AS total_frame_bytes
+    FROM documents
+    """,
+)
+def multimodal_video_frame_sample_certify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video frame sampling, driver-gated: per document an MJPEG
+    AVI with 3 + doc_id % 4 frames (operators/avi.py container, each
+    frame a block-constant grayscale JPEG whose 8x8 blocks carry
+    md5(text) bytes offset by frame_no — byte-exact decodable, see
+    multimodal_jpeg_roundtrip_certify), pushed through the PRODUCTION
+    ``sample_media_frames`` operator (every=2: container parse ->
+    frame selection -> per-frame JPEG decode). Sampled frames are
+    joined back to their documents (broadcast) and verified pixel-exact
+    against the md5 recipe. ceil(k/2) sampled frames per doc is
+    (4 + doc_id % 4) // 2 in the oracle (k = 3 + doc_id % 4).
+
+    Scale: media built and decoded inside Arrow-batched mapInPandas
+    stages; the only shuffle-free join is a broadcast of the narrow
+    document columns onto the sampled frames. Payloads never hit the
+    driver."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from postrack_spark.operators.multimodal import sample_media_frames
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).select("doc_id", "text", "n_chars")
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from postrack_spark.operators.avi import encode_avi
+        from postrack_spark.operators.jpeg import encode_jpeg
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                k = 3 + int(doc_id) % 4
+                w = 8 * (1 + int(n_chars) % 3)
+                h = 8 * (1 + int(n_chars) % 2)
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                nbx = w // 8
+                jpegs = []
+                for f in range(k):
+                    rgb = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            v = dig[((y // 8) * nbx + x // 8 + f) % 16]
+                            rgb += bytes([v, v, v])
+                    jpegs.append(encode_jpeg(bytes(rgb), w, h))
+                ids.append(int(doc_id))
+                payloads.append(encode_avi(jpegs, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": ["video/x-msvideo"] * len(ids),
+                }
+            )
+
+    media = docs.mapInPandas(
+        build, "doc_id long, payload binary, media_type string"
+    )
+    frames = sample_media_frames(media, "doc_id", every=2)
+    joined = frames.join(
+        F.broadcast(docs.select("doc_id", "text", "n_chars")), "doc_id"
+    )
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, oks, nbytes = [], [], []
+            for doc_id, frame_no, frame, text, n_chars in zip(
+                pdf["doc_id"], pdf["frame_no"], pdf["frame"],
+                pdf["text"], pdf["n_chars"],
+            ):
+                w = 8 * (1 + int(n_chars) % 3)
+                h = 8 * (1 + int(n_chars) % 2)
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                nbx = w // 8
+                exp = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        v = dig[((y // 8) * nbx + x // 8 + int(frame_no)) % 16]
+                        exp += bytes([v, v, v])
+                ids.append(int(doc_id))
+                oks.append(bytes(frame) == bytes(exp))
+                nbytes.append(len(frame))
+            yield pd.DataFrame(
+                {"doc_id": ids, "ok": oks, "frame_bytes": nbytes}
+            )
+
+    checked = joined.mapInPandas(verify, "doc_id long, ok boolean, frame_bytes long")
+    return checked.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_frames_sampled"),
+        F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_frames_exact"),
+        F.sum("frame_bytes").cast("bigint").alias("total_frame_bytes"),
+    )
+
+
+@query(
     "text_char_bigram_entropy",
     oracle="""
     WITH pairs AS (

@@ -1,0 +1,344 @@
+"""Pure-stdlib JPEG / GIF / AVI codec tests + the real video frame
+sampling path through operators/multimodal.sample_media_frames.
+
+Validation strategy mirrors tests/test_multimodal.py's PNG coverage:
+roundtrips through our own encoder exercise every decoder path, but
+the load-bearing checks are anchored OUTSIDE the codec pair so
+encoder/decoder bugs cannot cancel — the IDCT is compared against an
+independently-constructed numpy DCT basis, block-constant grayscale
+roundtrips are required to be byte-EXACT (a property of the math, not
+of the implementation), GIF compositing is checked against a separate
+in-test reference compositor, and LZW is property-tested with
+hypothesis.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postrack_spark.operators.avi import encode_avi, parse_avi
+from postrack_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+)
+from postrack_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gray(v: int, w: int, h: int) -> bytes:
+    return bytes([v, v, v]) * (w * h)
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_gray_exact_odd_dims():
+    rgb = _gray(77, 13, 9)
+    dec, w, h = decode_jpeg(encode_jpeg(rgb, 13, 9))
+    assert (w, h) == (13, 9)
+    assert dec == rgb
+
+
+def test_jpeg_block_constant_gray_exact_444_and_420():
+    # distinct constant per 8x8 block: DC-only spectra, integer
+    # coefficients with unit quant tables => byte-exact roundtrip is a
+    # mathematical property, not a tuned tolerance
+    w, h = 24, 16
+    vals = [10, 200, 128, 55, 99, 250]
+    rows = []
+    for by in range(h // 8):
+        for y in range(8):
+            row = bytearray()
+            for bx in range(w // 8):
+                v = vals[(by * (w // 8) + bx) % len(vals)]
+                row += bytes([v, v, v]) * 8
+            rows.append(bytes(row))
+    rgb = b"".join(rows)
+    assert decode_jpeg(encode_jpeg(rgb, w, h))[0] == rgb
+    assert decode_jpeg(encode_jpeg(rgb, w, h, subsample=(2, 2)))[0] == rgb
+
+
+def test_jpeg_color_noise_bounded_and_restart_markers():
+    random.seed(7)
+    w, h = 19, 11
+    rgb = bytes(random.randrange(256) for _ in range(w * h * 3))
+    dec, _, _ = decode_jpeg(encode_jpeg(rgb, w, h))
+    # unit quant tables: only DCT + color-transform rounding remains
+    # (measured max 3; assert a 2.5x headroom bound)
+    assert max(abs(a - b) for a, b in zip(rgb, dec)) <= 8
+    # restart markers must not change a single pixel
+    dec_rst, _, _ = decode_jpeg(encode_jpeg(rgb, w, h, restart_interval=2))
+    assert dec_rst == dec
+
+
+def test_jpeg_gray_noise_420_tight():
+    random.seed(8)
+    w, h = 18, 10
+    g = bytes(random.randrange(256) for _ in range(w * h))
+    rgb = b"".join(bytes([v, v, v]) for v in g)
+    dec, _, _ = decode_jpeg(encode_jpeg(rgb, w, h, subsample=(2, 2)))
+    # gray => chroma planes are constant 128: subsampling is exact and
+    # only luma DCT rounding remains
+    assert max(abs(a - b) for a, b in zip(rgb, dec)) <= 2
+
+
+def test_jpeg_idct_matches_independent_numpy_basis():
+    np = pytest.importorskip("numpy")
+    from postrack_spark.operators.jpeg import _idct_block
+
+    # independently build the orthonormal DCT-III (inverse DCT-II)
+    # basis with numpy and compare on random integer coefficients
+    c = np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    c[0, :] *= np.sqrt(0.5)
+    c /= 2.0  # orthonormal scaling for the 8-point JPEG DCT
+    rng = np.random.default_rng(42)
+    coef = rng.integers(-200, 200, size=(8, 8)).astype(float)
+    ref = c.T @ coef @ c
+    ref = np.clip(np.round(ref) + 128, 0, 255).astype(int)
+    got = _idct_block(list(coef.flatten()))
+    assert got == list(ref.flatten())
+
+
+def test_jpeg_single_component_grayscale_scan():
+    # hand-assemble a 1-component baseline stream (the encoder always
+    # writes 3 components, so this exercises the grayscale scan branch)
+    from postrack_spark.operators.jpeg import (
+        _BitWriter,
+        _build_tables,
+        _dht_segment,
+        _encode_block,
+    )
+
+    w = h = 8
+    samples = [((x * 7 + y * 13) % 256) for y in range(8) for x in range(8)]
+    dc_tab, ac_tab = _build_tables()
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, dc_tab) + _dht_segment(1, 0, ac_tab)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    writer = _BitWriter()
+    _encode_block(writer, samples, [1] * 64, 0, dc_tab, ac_tab)
+    writer.flush()
+    out += writer.out + b"\xff\xd9"
+    rgb, dw, dh = decode_jpeg(bytes(out))
+    assert (dw, dh) == (8, 8)
+    # gray replication with <=1 rounding error from the DCT
+    for i, s in enumerate(samples):
+        r, g, b = rgb[3 * i : 3 * i + 3]
+        assert r == g == b
+        assert abs(r - s) <= 1
+
+
+def test_jpeg_progressive_raises():
+    seg = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = b"\xff\xd8\xff\xc2" + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        decode_jpeg(payload)
+
+
+def test_jpeg_bad_signature():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+PALETTE = [(i * 7 % 256, i * 31 % 256, i * 13 % 256) for i in range(16)]
+
+
+def _expand(indices: bytes) -> bytes:
+    return b"".join(bytes(PALETTE[i]) for i in indices)
+
+
+def test_gif_single_frame_roundtrip_and_interlace():
+    random.seed(3)
+    w, h = 21, 13
+    idx = bytes(random.randrange(16) for _ in range(w * h))
+    for interlace in (False, True):
+        g = encode_gif([{"indices": idx, "interlace": interlace}], w, h, PALETTE)
+        frames, dw, dh = decode_gif_frames(g)
+        assert (dw, dh) == (w, h)
+        assert frames[0][0] == _expand(idx)
+    assert decode_gif(g) == _expand(idx)
+
+
+def test_gif_animation_compositing_all_disposals():
+    random.seed(4)
+    w, h = 21, 13
+    f0 = bytes(random.randrange(16) for _ in range(w * h))
+    sub = bytes(random.randrange(16) for _ in range(5 * 4))
+    g = encode_gif(
+        [
+            {"indices": f0, "delay_cs": 10, "disposal": 1},
+            {
+                "indices": sub, "left": 3, "top": 2, "width": 5, "height": 4,
+                "delay_cs": 20, "transparent": 7, "disposal": 2,
+            },
+            {"indices": f0, "delay_cs": 5, "disposal": 3},
+            {"indices": sub, "left": 0, "top": 0, "width": 5, "height": 4},
+        ],
+        w, h, PALETTE,
+    )
+    frames, _, _ = decode_gif_frames(g)
+    assert [d for _, d in frames] == [10, 20, 5, 0]
+
+    # independent reference compositor
+    def blit(c, indices, left, top, iw, ih, tr=None):
+        for y in range(ih):
+            for x in range(iw):
+                i = indices[y * iw + x]
+                if tr is not None and i == tr:
+                    continue
+                off = 3 * ((top + y) * w + left + x)
+                c[off : off + 3] = bytes(PALETTE[i])
+
+    canvas = bytearray(bytes(PALETTE[0]) * (w * h))
+    blit(canvas, f0, 0, 0, w, h)
+    assert frames[0][0] == bytes(canvas)
+    blit(canvas, sub, 3, 2, 5, 4, tr=7)  # disposal 1: previous left in place
+    assert frames[1][0] == bytes(canvas)
+    for y in range(4):  # disposal 2: frame rect back to background
+        for x in range(5):
+            off = 3 * ((2 + y) * w + 3 + x)
+            canvas[off : off + 3] = bytes(PALETTE[0])
+    saved = bytes(canvas)
+    blit(canvas, f0, 0, 0, w, h)
+    assert frames[2][0] == bytes(canvas)
+    canvas = bytearray(saved)  # disposal 3: restore pre-frame canvas
+    blit(canvas, sub, 0, 0, 5, 4)
+    assert frames[3][0] == bytes(canvas)
+
+
+def test_gif_lzw_dictionary_growth_large_image():
+    random.seed(5)
+    w, h = 120, 90  # enough symbols to grow code width repeatedly
+    idx = bytes(random.randrange(16) for _ in range(w * h))
+    frames, _, _ = decode_gif_frames(encode_gif([{"indices": idx}], w, h, PALETTE))
+    assert frames[0][0] == _expand(idx)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8).flatmap(
+        lambda ncolors: st.lists(
+            st.integers(min_value=0, max_value=ncolors - 1),
+            min_size=1,
+            max_size=400,
+        ).map(lambda xs: (ncolors, bytes(xs)))
+    )
+)
+def test_gif_lzw_roundtrip_property(case):
+    ncolors, indices = case
+    min_code_size = max(2, (ncolors - 1).bit_length())
+    assert _lzw_decode(min_code_size, _lzw_encode(min_code_size, indices)) == indices
+
+
+def test_gif_bad_signature():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_meta_and_frames():
+    w, h = 16, 8
+    jpegs = [encode_jpeg(_gray((k * 37 + 10) % 256, w, h), w, h) for k in range(5)]
+    avi = encode_avi(jpegs, w, h, usec_per_frame=33333)
+    frames, meta = parse_avi(avi)
+    assert frames == jpegs
+    assert meta["width"] == w and meta["height"] == h
+    assert meta["n_frames"] == 5 and meta["handler"] == "MJPG"
+    for k, f in enumerate(frames):
+        assert decode_jpeg(f)[0] == _gray((k * 37 + 10) % 256, w, h)
+
+
+def test_avi_odd_chunk_padding():
+    # a frame with odd byte length forces the even-padding path
+    jpegs = [encode_jpeg(_gray(9, 8, 8), 8, 8) + b""]
+    if len(jpegs[0]) % 2 == 0:
+        # make a second odd-length chunk by appending a comment-free
+        # trailing no-op byte is illegal JPEG; instead assert padding
+        # logic via two frames whose sizes differ in parity
+        jpegs.append(encode_jpeg(_gray(200, 8, 8), 8, 8))
+    avi = encode_avi(jpegs, 8, 8)
+    frames, _ = parse_avi(avi)
+    assert frames == jpegs
+
+
+def test_avi_bad_signature():
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi(b"JUNKJUNKJUNK")
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: the real frame-sampling operator
+# ---------------------------------------------------------------------------
+
+
+def test_sample_media_frames_avi_and_gif(spark):
+    from postrack_spark.operators.multimodal import sample_media_frames
+
+    w, h = 16, 8
+    jpegs = [encode_jpeg(_gray((k * 31 + 5) % 256, w, h), w, h) for k in range(5)]
+    avi = encode_avi(jpegs, w, h)
+    gw, gh = 6, 4
+    gif_frames = [
+        {"indices": bytes([(k + i) % 16 for i in range(gw * gh)])}
+        for k in range(4)
+    ]
+    gif = encode_gif(gif_frames, gw, gh, PALETTE)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi), "video/x-msvideo"), (2, bytearray(gif), "image/gif")],
+        "doc_id long, payload binary, media_type string",
+    )
+    rows = (
+        sample_media_frames(df, "doc_id", every=2)
+        .orderBy("doc_id", "frame_no")
+        .collect()
+    )
+    # AVI: frames 0, 2, 4 of 5; GIF: frames 0, 2 of 4
+    assert [(r["doc_id"], r["frame_no"]) for r in rows] == [
+        (1, 0), (1, 2), (1, 4), (2, 0), (2, 2),
+    ]
+    for r in rows[:3]:
+        assert (r["frame_w"], r["frame_h"]) == (w, h)
+        v = (r["frame_no"] * 31 + 5) % 256
+        assert bytes(r["frame"]) == _gray(v, w, h)
+    for r in rows[3:]:
+        assert (r["frame_w"], r["frame_h"]) == (gw, gh)
+        k = r["frame_no"]
+        exp = b"".join(
+            bytes(PALETTE[(k + i) % 16]) for i in range(gw * gh)
+        )
+        assert bytes(r["frame"]) == exp
+
+
+def test_decode_media_poster_frames():
+    from postrack_spark.operators.multimodal import decode_media
+
+    w, h = 8, 8
+    rgb = _gray(42, w, h)
+    assert decode_media(encode_jpeg(rgb, w, h), "image/jpeg") == rgb
+    avi = encode_avi([encode_jpeg(rgb, w, h), encode_jpeg(_gray(9, w, h), w, h)], w, h)
+    assert decode_media(avi, "video/x-msvideo") == rgb
+    gif = encode_gif(
+        [{"indices": bytes([1] * 16)}], 4, 4, [(0, 0, 0), (10, 20, 30)]
+    )
+    assert decode_media(gif, "image/gif") == bytes([10, 20, 30]) * 16
