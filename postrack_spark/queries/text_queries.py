@@ -731,6 +731,141 @@ def multimodal_video_frame_sample_certify(
     )
 
 
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB oracle for text_bpe_train_merges: n_merges rounds
+    of pair-count -> argmax -> merge, each AS MATERIALIZED (the k-core
+    lesson: without it DuckDB inlines 2^rounds scans)."""
+    parts = [
+        """
+    WITH toks AS MATERIALIZED (
+      SELECT lower(t.tok) AS w, count(*) AS freq
+      FROM documents, unnest(string_split(text, ' ')) t(tok)
+      WHERE regexp_full_match(lower(t.tok), '[a-z]+')
+      GROUP BY 1
+    ),
+    w0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(
+               list_append(list_transform(generate_series(1, length(w)),
+                                          i -> substr(w, i, 1)), '</w>'),
+               '  ') || ' ' AS syms,
+             sum(freq) AS freq
+      FROM toks GROUP BY 1
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+    p{k} AS MATERIALIZED (
+      SELECT arr[i] AS a, arr[i + 1] AS b, sum(freq) AS cnt
+      FROM (SELECT string_split(trim(syms), '  ') AS arr, freq FROM w{k - 1}),
+           unnest(generate_series(1, len(arr) - 1)) g(i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT replace(w.syms, ' ' || b.a || '  ' || b.b || ' ',
+                     ' ' || b.a || b.b || ' ') AS syms,
+             sum(w.freq) AS freq
+      FROM w{k - 1} w, b{k} b GROUP BY 1
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a || ' ' || b AS pair, a || b AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\n    {selects} ORDER BY merge_rank")
+    return "".join(parts)
+
+
+@query("text_bpe_train_merges", oracle=_bpe_oracle_sql(8))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016, public
+    algorithm): 8 merge rounds over the corpus vocabulary — count
+    adjacent symbol pairs weighted by word frequency, pick the argmax
+    (ties broken lexicographically), merge it everywhere, repeat. The
+    centerpiece of an LLM data pipeline's tokenizer stage, next to the
+    BPE-ish regex token counter in text_token_stats.
+
+    Engine-portable merge semantics: words are kept as symbol strings
+    with every symbol wrapped in its own spaces (' s1  s2  s3 '), so a
+    plain left-to-right string replace of ' a  b ' with ' ab ' merges
+    non-overlapping occurrences with restart-after-merge on runs —
+    byte-identical in Spark and DuckDB (verified: ' a  a  a  a ' ->
+    ' aa  aa ' on both), and exactly the reference algorithm's greedy
+    scan. No regex lookarounds (DuckDB's RE2 has none), no UDFs.
+
+    Scale: the corpus is touched ONCE (token count -> vocabulary);
+    every merge round runs on the aggregated (word, freq) frame, which
+    is orders of magnitude smaller than the corpus at any SF (Heaps'
+    law), so 8 rounds = 8 small shuffles + 8 one-row broadcast joins.
+    The argmax is TakeOrdered(1) — never a global sort; the chosen pair
+    reaches the merge step as a broadcast crossJoin (1-row combine),
+    never a driver collect."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        fan_out(t["documents"])
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = (
+        toks.select(
+            F.expr(
+                "' ' || array_join(transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)) || array('</w>'), '  ') || ' '"
+            ).alias("syms"),
+            "freq",
+        )
+        .groupBy("syms")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    pair_expr = (
+        "CASE WHEN size(split(trim(syms), '  ')) >= 2 THEN "
+        "transform(sequence(1, size(split(trim(syms), '  ')) - 1), "
+        "i -> struct(element_at(split(trim(syms), '  '), i) AS a, "
+        "element_at(split(trim(syms), '  '), i + 1) AS b)) "
+        "ELSE array() END"
+    )
+    bests = []
+    for k in range(1, 9):
+        pairs = (
+            words.select(F.explode(F.expr(pair_expr)).alias("p"), "freq")
+            .select("p.a", "p.b", "freq")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        bests.append(
+            best.select(
+                F.lit(k).alias("merge_rank"),
+                F.concat_ws(" ", "a", "b").alias("pair"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(
+                F.broadcast(best.select(F.col("a").alias("_a"), F.col("b").alias("_b")))
+            )
+            .select(
+                F.expr(
+                    "replace(syms, ' ' || _a || '  ' || _b || ' ', "
+                    "' ' || _a || _b || ' ')"
+                ).alias("syms"),
+                "freq",
+            )
+            .groupBy("syms")
+            .agg(F.sum("freq").alias("freq"))
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("merge_rank")
+
+
 @query(
     "text_char_bigram_entropy",
     oracle="""
