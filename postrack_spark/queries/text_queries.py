@@ -731,7 +731,7 @@ def multimodal_video_frame_sample_certify(
     )
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_oracle_sql(n_merges: int, final_select: str | None = None) -> str:
     """Unrolled DuckDB oracle for text_bpe_train_merges: n_merges rounds
     of pair-count -> argmax -> merge, each AS MATERIALIZED (the k-core
     lesson: without it DuckDB inlines 2^rounds scans)."""
@@ -769,12 +769,13 @@ def _bpe_oracle_sql(n_merges: int) -> str:
              sum(w.freq) AS freq
       FROM w{k - 1} w, b{k} b GROUP BY 1
     )""")
-    selects = " UNION ALL ".join(
-        f"SELECT {k} AS merge_rank, a || ' ' || b AS pair, a || b AS merged, "
-        f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
-        for k in range(1, n_merges + 1)
-    )
-    parts.append(f"\n    {selects} ORDER BY merge_rank")
+    if final_select is None:
+        final_select = " UNION ALL ".join(
+            f"SELECT {k} AS merge_rank, a || ' ' || b AS pair, a || b AS merged, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+            for k in range(1, n_merges + 1)
+        ) + " ORDER BY merge_rank"
+    parts.append(f"\n    {final_select}")
     return "".join(parts)
 
 
@@ -802,6 +803,16 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The argmax is TakeOrdered(1) — never a global sort; the chosen pair
     reaches the merge step as a broadcast crossJoin (1-row combine),
     never a driver collect."""
+    _words, bests = _bpe_train(spark, sf_dir, n_merges=8)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
+    """Shared BPE scaffold: returns (post-merge (syms, freq) vocabulary
+    frame, [per-round 1-row best-pair frames with merge_rank])."""
     t = load_tables(spark, sf_dir)
     toks = (
         fan_out(t["documents"])
@@ -830,7 +841,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE array() END"
     )
     bests = []
-    for k in range(1, 9):
+    for k in range(1, n_merges + 1):
         pairs = (
             words.select(F.explode(F.expr(pair_expr)).alias("p"), "freq")
             .select("p.a", "p.b", "freq")
@@ -860,10 +871,42 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("syms")
             .agg(F.sum("freq").alias("freq"))
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out.orderBy("merge_rank")
+    return words, bests
+
+
+@query(
+    "text_bpe_apply_vocabulary",
+    oracle=_bpe_oracle_sql(
+        8,
+        final_select="""
+    SELECT s.sym AS symbol, CAST(sum(freq) AS BIGINT) AS token_count
+    FROM w8, unnest(string_split(trim(syms), '  ')) s(sym)
+    GROUP BY 1 ORDER BY token_count DESC, symbol LIMIT 20
+    """,
+    ),
+)
+def text_bpe_apply_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY stage: segment the corpus vocabulary with the
+    8 learned merges (text_bpe_train_merges) and report the 20 most
+    frequent resulting subword tokens — the vocabulary head a tokenizer
+    build would persist. Shares the trainer's scaffold (_bpe_train), so
+    training and application are one lineage, like the BM25 batch/
+    streaming pair shares one scorer.
+
+    Scale: application is a per-word chain of 8 constant replaces on
+    the aggregated vocabulary frame; the head is TakeOrdered(20), never
+    a global sort."""
+    words, _bests = _bpe_train(spark, sf_dir, n_merges=8)
+    return (
+        words.select(
+            F.explode(F.split(F.trim(F.col("syms")), "  ")).alias("symbol"),
+            "freq",
+        )
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("bigint").alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("symbol"))
+        .limit(20)
+    )
 
 
 @query(
