@@ -289,6 +289,118 @@ def test_live_capture_roundtrip_and_resume(live_pg, spark):
         ex.close()
 
 
+def test_live_streaming_pipeline(live_pg, spark):
+    """The production deployment shape, live: the capture daemon runs
+    CONTINUOUSLY against the server while Structured Streaming drains
+    the frame directory in incremental passes. Two transaction waves
+    land while the daemon stays up; each availableNow pass picks up
+    exactly the new envelopes (checkpointed offsets, no replays), and
+    the materialized latest-per-key state equals the live table."""
+    from pyspark.sql import functions as F
+
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.cdc.materialize import latest_per_key
+    from postrack_spark.sources.pgwire import run_daemon_pgwire
+    from postrack_spark.sources.postgres_cdc import register
+
+    ex = _executor(live_pg)
+    slot = "live_stream_slot"
+    frames = tempfile.mkdtemp(prefix="pglive_sfr_")
+    ckpt = tempfile.mkdtemp(prefix="pglive_sck_")
+    sink = tempfile.mkdtemp(prefix="pglive_ssk_")
+    stop = {"flag": False}
+    t = None
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_stream")
+        ex.command(
+            "CREATE TABLE public.live_stream (id int primary key, qty int)"
+        )
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_publication(Table("public", "live_stream"))
+        pub = create_publication_id(slot)
+
+        t = threading.Thread(
+            target=run_daemon_pgwire,
+            kwargs=dict(
+                **live_pg, slot=slot, out_dir=frames, publication=pub,
+                start_lsn=0, ack_interval_s=0.3, max_frames=8,
+                stop=lambda: stop["flag"],
+            ),
+            daemon=True,
+        )
+        t.start()
+
+        def drain() -> int:
+            """One incremental streaming pass over the frame dir."""
+            register(spark)
+            q = (
+                spark.readStream.format("postgres_cdc")
+                .option("capture_dir", frames)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return (
+                spark.read.parquet(sink).filter("`table` = 'live_stream'").count()
+            )
+
+        # wave 1: the daemon is live while these commit
+        ex.command(
+            "INSERT INTO public.live_stream "
+            "SELECT i, i * 10 FROM generate_series(1, 30) g(i)"
+        )
+        ex.command("DELETE FROM public.live_stream WHERE id > 25")
+        t1 = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _wait_confirmed_flush(ex, slot, t1)
+        n1 = drain()
+        assert n1 == 35  # 30 inserts + 5 deletes
+
+        # wave 2: daemon never restarted; stream resumes from checkpoint
+        ex.command("UPDATE public.live_stream SET qty = qty + 1 WHERE id <= 10")
+        ex.command("INSERT INTO public.live_stream VALUES (200, 0)")
+        t2 = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _wait_confirmed_flush(ex, slot, t2)
+        n2 = drain()
+        assert n2 == n1 + 11  # exactly the new envelopes, no replays
+
+        env = spark.read.parquet(sink).filter("`table` = 'live_stream'")
+        keyed = env.withColumn(
+            "pk", F.coalesce(F.col("after")["id"], F.col("before")["id"])
+        )
+        state = (
+            latest_per_key(keyed, ["pk"])
+            .filter("op <> 'DELETE'")
+            .select(
+                F.col("pk").cast("int").alias("id"),
+                F.col("after")["qty"].cast("int").alias("qty"),
+            )
+        )
+        got = {(r["id"], r["qty"]) for r in state.collect()}
+        want = {
+            (int(i), int(q))
+            for i, q in ex.query("SELECT id, qty FROM public.live_stream")
+        }
+        assert got == want and len(want) == 26
+        conn.drop_publication()
+    finally:
+        stop["flag"] = True
+        if t is not None:
+            t.join(15)
+        # slot drop needs the walsender gone
+        try:
+            Conn("pgwire://local", executor=ex).drop_slot(slot)
+        except Exception:
+            pass
+        ex.close()
+        for d in (frames, ckpt, sink):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_live_v2_streamed_transaction(live_pg, spark):
     """Protocol v2 with streaming: logical_decoding_work_mem=64kB makes
     the server stream a large in-progress transaction (StreamStart /
