@@ -273,6 +273,7 @@ class _PsycopgMessage:
 
 def run_daemon(dsn: str, slot: str, out_dir: str, publication: str,
                start_lsn: int = 0, proto_version: int = 1,
+               streaming: bool = False,
                ack_interval_s: float = 5.0, max_frames: int = 4096,
                max_bytes: int = 16 << 20, stop=lambda: False) -> None:
     """connect + StartReplication + pump (postrack.go:86-105 + 287-310).
@@ -290,6 +291,7 @@ def run_daemon(dsn: str, slot: str, out_dir: str, publication: str,
         options={
             "proto_version": str(proto_version),
             "publication_names": publication,
+            **({"streaming": "on"} if streaming else {}),
         },
     )
     writer = FrameFileWriter(out_dir, max_frames=max_frames, max_bytes=max_bytes)

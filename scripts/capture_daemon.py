@@ -27,6 +27,30 @@ from postrack_spark.api import Conn, Table, create_publication_id
 from postrack_spark.sources.capture import PsycopgExecutor, run_daemon
 
 
+def _dsn_parts(dsn: str) -> dict:
+    """host/port/user/database from a postgres:// DSN (pgwire transport)."""
+    from urllib.parse import urlparse
+
+    u = urlparse(dsn)
+    return {
+        "host": u.hostname or "127.0.0.1",
+        "port": u.port or 5432,
+        "user": u.username or "postgres",
+        "database": (u.path or "/postgres").lstrip("/") or "postgres",
+    }
+
+
+def _pick_transport(requested: str) -> str:
+    if requested != "auto":
+        return requested
+    try:
+        import psycopg2  # noqa: F401
+
+        return "psycopg"
+    except ImportError:
+        return "pgwire"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dsn", required=True)
@@ -38,14 +62,28 @@ def main() -> int:
                     help="provision slot + publications before streaming")
     ap.add_argument("--from-lsn", type=int, default=0)
     ap.add_argument("--proto-version", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--streaming", action="store_true",
+                    help="proto v2 in-progress transaction streaming")
+    ap.add_argument("--transport", default="auto",
+                    choices=("auto", "psycopg", "pgwire"),
+                    help="psycopg2 when installed, else the pure-stdlib "
+                         "wire client (trust-auth servers)")
     ap.add_argument("--ack-interval", type=float, default=5.0,
                     help="seconds between durable-flush + ack (ref: 5)")
     ap.add_argument("--max-frames", type=int, default=4096)
     ap.add_argument("--max-bytes", type=int, default=16 << 20)
     args = ap.parse_args()
 
+    transport = _pick_transport(args.transport)
+
     if args.create:
-        conn = Conn(args.dsn, executor=PsycopgExecutor(args.dsn))
+        if transport == "psycopg":
+            executor = PsycopgExecutor(args.dsn)
+        else:
+            from postrack_spark.sources.pgwire import PgWireExecutor
+
+            executor = PgWireExecutor(**_dsn_parts(args.dsn))
+        conn = Conn(args.dsn, executor=executor)
         conn.set_slot(args.slot)
         for spec in args.table:
             schema, _, name = spec.partition(".")
@@ -59,13 +97,19 @@ def main() -> int:
     signal.signal(signal.SIGINT, handle)
     signal.signal(signal.SIGTERM, handle)
 
-    run_daemon(
-        args.dsn, args.slot, args.out,
-        publication=create_publication_id(args.slot),
+    common = dict(
+        slot=args.slot, publication=create_publication_id(args.slot),
         start_lsn=args.from_lsn, proto_version=args.proto_version,
-        ack_interval_s=args.ack_interval, max_frames=args.max_frames,
-        max_bytes=args.max_bytes, stop=lambda: stopping["flag"],
+        streaming=args.streaming, ack_interval_s=args.ack_interval,
+        max_frames=args.max_frames, max_bytes=args.max_bytes,
+        stop=lambda: stopping["flag"],
     )
+    if transport == "psycopg":
+        run_daemon(args.dsn, out_dir=args.out, **common)
+    else:
+        from postrack_spark.sources.pgwire import run_daemon_pgwire
+
+        run_daemon_pgwire(out_dir=args.out, **_dsn_parts(args.dsn), **common)
     return 0
 
 

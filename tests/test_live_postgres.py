@@ -289,6 +289,86 @@ def test_live_capture_roundtrip_and_resume(live_pg, spark):
         ex.close()
 
 
+def test_live_capture_daemon_cli(live_pg, spark):
+    """The production entrypoint itself: scripts/capture_daemon.py run
+    as a subprocess with --transport pgwire --create (slot +
+    publication provisioning included), SIGTERMed after the ack covers
+    the workload — decoded envelopes must match the committed rows."""
+    import signal as _signal
+
+    from postrack_spark.sources.postgres_cdc import register
+
+    ex = _executor(live_pg)
+    out_dir = tempfile.mkdtemp(prefix="pglive_cli_")
+    slot = "live_cli_slot"
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "capture_daemon.py",
+    )
+    dsn = (
+        f"postgres://{live_pg['user']}@{live_pg['host']}:{live_pg['port']}"
+        f"/{live_pg['database']}"
+    )
+    proc = None
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_cli")
+        ex.command("CREATE TABLE public.live_cli (id int primary key, v int)")
+        proc = subprocess.Popen(
+            [
+                "python", script, "--dsn", dsn, "--slot", slot,
+                "--out", out_dir, "--table", "public.live_cli",
+                "--create", "--transport", "pgwire",
+                "--ack-interval", "0.3", "--max-frames", "8",
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        # wait for provisioning (slot appears), then commit the workload
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            if ex.query(
+                "SELECT 1 FROM pg_replication_slots WHERE slot_name = %s",
+                (slot,),
+            ):
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"daemon exited early: {proc.stderr.read()[-400:]}"
+                )
+            time.sleep(0.2)
+        else:
+            raise AssertionError("slot never provisioned")
+        ex.command(
+            "INSERT INTO public.live_cli "
+            "SELECT i, i * i FROM generate_series(1, 12) g(i)"
+        )
+        ex.command("UPDATE public.live_cli SET v = 0 WHERE id = 1")
+        target = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _wait_confirmed_flush(ex, slot, target)
+        proc.send_signal(_signal.SIGTERM)
+        proc.wait(20)
+
+        register(spark)
+        env = (
+            spark.read.format("postgres_cdc")
+            .option("capture_dir", out_dir)
+            .load()
+            .filter("`table` = 'live_cli'")
+        )
+        assert env.filter("op = 'INSERT'").count() == 12
+        assert env.filter("op = 'UPDATE'").count() == 1
+    finally:
+        if proc is not None and proc.poll() is None:
+            proc.kill()
+        try:
+            from postrack_spark.api import Conn
+
+            Conn(dsn, executor=ex).drop_slot(slot)
+        except Exception:
+            pass
+        ex.close()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def test_live_streaming_pipeline(live_pg, spark):
     """The production deployment shape, live: the capture daemon runs
     CONTINUOUSLY against the server while Structured Streaming drains
