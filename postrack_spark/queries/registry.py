@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
             dedup_queries,
             events_queries,
             graph_queries,
+            layout_queries,
             mining_queries,
             relational,
             sampling_queries,
