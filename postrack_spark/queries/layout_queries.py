@@ -32,8 +32,9 @@ def _sh(e: str, n: int, dialect: str) -> str:
     return f"shiftright({e}, {n})" if dialect == "spark" else f"({e} >> {n})"
 
 
-def _zorder_layout_sql(dialect: str, orders: str) -> str:
-    """The full extent-skipping query in either dialect."""
+def _zone_map_ctes(dialect: str, orders: str) -> str:
+    """Shared CTE chain: scale -> Morton code -> three layout lanes ->
+    per-bucket zone map (min/max of both dims — the parquet footer)."""
     day = (
         "datediff(o_orderdate, DATE '1992-01-01')"
         if dialect == "spark"
@@ -42,8 +43,6 @@ def _zorder_layout_sql(dialect: str, orders: str) -> str:
     zx = scaled_expr("x", "min_x", "max_x", _BITS, dialect)
     zy = scaled_expr("y", "min_y", "max_y", _BITS, dialect)
     z = interleave_expr("zx", "zy", _BITS, dialect)
-    div = "DIV" if dialect == "spark" else "//"
-    domain = 1 << _BITS
     lanes = {
         "zorder": _sh("z", 2 * _BITS - _BUCKET_BITS, dialect),
         "custkey_sort": _sh("zx", _BITS - _BUCKET_BITS, dialect),
@@ -67,20 +66,58 @@ def _zorder_layout_sql(dialect: str, orders: str) -> str:
       SELECT zx, zy, {z} AS z FROM scaled
     ), assigned AS (
 {per_layout}
-    ), extents AS (
+    ), zone_map AS (
       SELECT layout, bucket,
-             max(zx) - min(zx) + 1 AS ext_x,
-             max(zy) - min(zy) + 1 AS ext_y
+             min(zx) AS lo_x, max(zx) AS hi_x,
+             min(zy) AS lo_y, max(zy) AS hi_y
       FROM assigned
       GROUP BY layout, bucket
-    )
+    )"""
+
+
+def _zorder_layout_sql(dialect: str, orders: str) -> str:
+    """Average per-bucket footer extent of each dimension, per layout."""
+    div = "DIV" if dialect == "spark" else "//"
+    domain = 1 << _BITS
+    return f"""{_zone_map_ctes(dialect, orders)}
     SELECT layout,
            count(*) AS n_buckets,
-           CAST((10000 * sum(ext_x)) {div} (count(*) * {domain}) AS BIGINT)
+           CAST((10000 * sum(hi_x - lo_x + 1)) {div} (count(*) * {domain}) AS BIGINT)
              AS custkey_extent_pp10k,
-           CAST((10000 * sum(ext_y)) {div} (count(*) * {domain}) AS BIGINT)
+           CAST((10000 * sum(hi_y - lo_y + 1)) {div} (count(*) * {domain}) AS BIGINT)
              AS date_extent_pp10k
-    FROM extents
+    FROM zone_map
+    GROUP BY layout
+    ORDER BY layout
+    """
+
+
+def _workload_sql(dialect: str, orders: str) -> str:
+    """Bucket-reads for a fixed 4x4 rectangle workload, per layout."""
+    q = 1 << (_BITS - 2)  # domain quarter
+    rects = ", ".join(
+        f"({i * 4 + j}, {i * q}, {(i + 1) * q - 1}, {j * q}, {(j + 1) * q - 1})"
+        for i in range(4)
+        for j in range(4)
+    )
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""{_zone_map_ctes(dialect, orders)}
+    , workload(qid, qx_lo, qx_hi, qy_lo, qy_hi) AS (
+      VALUES {rects}
+    ), reads AS (
+      SELECT layout, qid, count(*) AS buckets_read
+      FROM zone_map CROSS JOIN workload
+      WHERE lo_x <= qx_hi AND hi_x >= qx_lo
+        AND lo_y <= qy_hi AND hi_y >= qy_lo
+      GROUP BY layout, qid
+    )
+    SELECT layout,
+           sum(buckets_read) AS total_bucket_reads,
+           min(buckets_read) AS best_query_reads,
+           max(buckets_read) AS worst_query_reads,
+           CAST((100 * sum(buckets_read)) {div} (16 * {1 << _BUCKET_BITS}) AS BIGINT)
+             AS avg_read_pp100
+    FROM reads
     GROUP BY layout
     ORDER BY layout
     """
@@ -100,3 +137,20 @@ def layout_zorder_extent_skipping(spark: SparkSession, sf_dir: str) -> DataFrame
         "layout_orders_v"
     )
     return spark.sql(_zorder_layout_sql("spark", "layout_orders_v"))
+
+
+@query("layout_zone_map_workload_sim", oracle=_workload_sql("duck", "orders"))
+def layout_zone_map_workload_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulate the scan planner: a fixed 4x4 grid of 16 rectangle
+    predicates (custkey quarter x date quarter) probed against each
+    layout's per-bucket zone map (min/max of both dims — exactly what
+    a parquet footer stores). A bucket is READ when its box intersects
+    the query rectangle; total_bucket_reads is the files-touched bill
+    for the workload. Z-order reads ~a quarter of what either
+    single-key sort reads, because only it bounds both dimensions.
+    The probe is a constant 16-row broadcast combine — no data-path
+    crossJoin."""
+    load_tables(spark, sf_dir)["orders"].createOrReplaceTempView(
+        "layout_orders_v"
+    )
+    return spark.sql(_workload_sql("spark", "layout_orders_v"))
