@@ -154,3 +154,73 @@ def layout_zone_map_workload_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "layout_orders_v"
     )
     return spark.sql(_workload_sql("spark", "layout_orders_v"))
+
+
+@query(
+    "streaming_zone_map_manifest",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_rows,
+           min(user_id) AS lo_user,
+           max(user_id) AS hi_user,
+           CAST(min(floor(value * 1000)) AS BIGINT) AS lo_value_milli,
+           CAST(max(floor(value * 1000)) AS BIGINT) AS hi_value_milli
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def streaming_zone_map_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING zone-map (manifest statistics) maintenance — what a
+    lakehouse keeps per ingestion partition so scans can skip files.
+    Per event day the view holds the min/max footer of every prunable
+    column (user_id, value) plus the row count; all three are
+    mergeable monoids, so the manifest folds through
+    foreach_batch_merge_fold: O(batch) scan work + O(days) merge per
+    micro-batch, never re-reading history, view size calendar-bounded
+    regardless of stream length. Gated by the plain batch GROUP BY
+    oracle — admission splits cannot matter (commutativity), which the
+    multi-batch run exercises. This is the maintained input that
+    layout_zone_map_workload_sim's planner probe reads at scan time."""
+    from pyspark.sql import functions as F
+
+    from postrack_spark.streaming import foreach_batch_merge_fold
+    from postrack_spark.streaming.runner import envelope_stream
+    from postrack_spark.streaming.sinks import read_view
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("ts", "user_id", "value")
+        .repartition(8)
+    )
+    stream = envelope_stream(
+        spark, ev, name="zmap", options={"maxFilesPerTrigger": "2"}
+    )
+    rows = stream.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.lit(1).cast("long").alias("n_rows"),
+        F.col("user_id").alias("lo_user"),
+        F.col("user_id").alias("hi_user"),
+        F.floor(F.col("value") * 1000).cast("long").alias("lo_value_milli"),
+        F.floor(F.col("value") * 1000).cast("long").alias("hi_value_milli"),
+    )
+
+    def reagg(df: DataFrame) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("lo_user").alias("lo_user"),
+            F.max("hi_user").alias("hi_user"),
+            F.min("lo_value_milli").alias("lo_value_milli"),
+            F.max("hi_value_milli").alias("hi_value_milli"),
+        )
+
+    target, q = foreach_batch_merge_fold(rows, ["day"], reagg)
+    q.awaitTermination()
+    return (
+        read_view(spark, target)
+        .select(
+            "day", "n_rows", "lo_user", "hi_user",
+            "lo_value_milli", "hi_value_milli",
+        )
+        .orderBy("day")
+    )
