@@ -9,18 +9,19 @@ wide as the domain; the Morton code gives tight rectangles in both.
 
 The whole computation is integer-exact (fixed 12-bit scaling, shift/
 and/add interleave, floor division on non-negative operands), so the
-identical bit plan is generated for both engines from
-operators/layout.py and the result hash-gates against DuckDB at every
-SF. No Python rows, no window functions, three hash aggregations over
-one scan — scan-dominated at 100 TB exactly like the rewrite it
-certifies.
+identical bit plan generates for both engines (the dialect helpers
+below; the write path they certify is sources/layout.py's
+zorder_value / zorder_repartition, cross-pinned by
+tests/test_layout.py) and the result hash-gates against DuckDB at
+every SF. No Python rows, no window functions, three hash
+aggregations over one scan — scan-dominated at 100 TB exactly like
+the rewrite it certifies.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from postrack_spark.operators.layout import interleave_expr, scaled_expr
 from postrack_spark.queries.registry import query
 from postrack_spark.session import load_tables
 
@@ -30,6 +31,39 @@ _BUCKET_BITS = 6  # 64 buckets per layout
 
 def _sh(e: str, n: int, dialect: str) -> str:
     return f"shiftright({e}, {n})" if dialect == "spark" else f"({e} >> {n})"
+
+
+def scaled_expr(col: str, min_col: str, max_col: str, bits: int,
+                dialect: str) -> str:
+    """``col`` min-max scaled onto [0, 2**bits) as an integer — the
+    SQL text twin of sources/layout.py's write-path quantization
+    (tests/test_layout.py cross-pins the two). Floor division on
+    non-negative operands only: Spark's truncating DIV and DuckDB's
+    flooring // agree there (the Theil-Sen trap)."""
+    top = (1 << bits) - 1
+    span = f"(CAST({max_col} AS BIGINT) - CAST({min_col} AS BIGINT))"
+    off = f"(CAST({col} AS BIGINT) - CAST({min_col} AS BIGINT))"
+    div = "DIV" if dialect == "spark" else "//"
+    return f"(({off} * {top}) {div} GREATEST({span}, 1))"
+
+
+def interleave_expr(x: str, y: str, bits: int, dialect: str) -> str:
+    """Morton interleave of two `bits`-bit non-negative ints — the SQL
+    text twin of sources/layout.py's `zorder_value` Column plan
+    (cross-pinned by tests). Disjoint bit positions, so the parts
+    combine with + (portable; avoids a per-engine bitwise-OR
+    spelling)."""
+    parts = []
+    for i in range(bits):
+        if dialect == "spark":
+            xbit = f"(shiftright({x}, {i}) & 1)"
+            ybit = f"(shiftright({y}, {i}) & 1)"
+            parts.append(f"shiftleft({xbit}, {2 * i})")
+            parts.append(f"shiftleft({ybit}, {2 * i + 1})")
+        else:
+            parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(parts) + ")"
 
 
 def _zone_map_ctes(dialect: str, orders: str) -> str:

@@ -76,6 +76,56 @@ def zorder_value(col_a, col_b, bits: int = 16):
     return out
 
 
+def zorder_repartition(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int = 12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rewrite ``df``'s layout clustered on the Z-curve of (x, y),
+    scaling both columns onto [0, 2**bits) first (broadcast 1-row
+    bounds combine — the only extra pass a layout rewrite needs).
+    Returns the frame range-partitioned on a ``__z`` column so each
+    output file's (x, y) footer ranges are tight rectangles; write
+    with any sink, or use `write_zordered` for pre-quantized columns.
+    Clustering quality is hash-certified by the registry queries
+    `layout_zorder_extent_skipping` / `layout_zone_map_workload_sim`.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        F.min(x).alias("__min_x"), F.max(x).alias("__max_x"),
+        F.min(y).alias("__min_y"), F.max(y).alias("__max_y"),
+    )
+    top = (1 << bits) - 1
+
+    def scaled(col: str, lo: str, hi: str):
+        # exact integer floor division (DIV) — non-negative operands,
+        # so the identical formula is portable to any ANSI engine
+        # (layout_queries generates the matching oracle text)
+        return F.expr(
+            f"((CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) * {top}) DIV "
+            f"GREATEST(CAST({hi} AS BIGINT) - CAST({lo} AS BIGINT), 1)"
+        )
+
+    with_z = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__z",
+            zorder_value(
+                scaled(x, "__min_x", "__max_x"),
+                scaled(y, "__min_y", "__max_y"),
+                bits,
+            ),
+        )
+        .drop("__min_x", "__max_x", "__min_y", "__max_y")
+    )
+    if num_partitions:
+        return with_z.repartitionByRange(num_partitions, "__z")
+    return with_z.repartitionByRange("__z")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

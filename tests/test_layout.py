@@ -1,15 +1,20 @@
-"""Z-order layout operator: bit-plan model checks + rewrite invariants."""
+"""Z-order layout: bit-plan model checks, write-path/oracle-text
+cross-pinning, and rewrite invariants.
+
+Two implementations of the same Morton plan exist on purpose —
+sources/layout.py's Column algebra (the write path) and
+layout_queries.py's dialect text (the engine-parity oracle). These
+tests pin BOTH to one Python reference and to each other, so they
+cannot drift apart.
+"""
 
 from __future__ import annotations
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from postrack_spark.operators.layout import (
-    interleave_expr,
-    scaled_expr,
-    zorder_repartition,
-)
+from postrack_spark.queries.layout_queries import interleave_expr, scaled_expr
+from postrack_spark.sources.layout import zorder_repartition, zorder_value
 
 
 def _morton_py(x: int, y: int, bits: int) -> int:
@@ -28,7 +33,8 @@ def _morton_py(x: int, y: int, bits: int) -> int:
 )
 @settings(max_examples=10, deadline=None)
 def test_interleave_matches_python_model_both_dialects(pairs):
-    """The generated expression IS the Morton code, in both dialects."""
+    """The generated oracle expression IS the Morton code, in both
+    dialects."""
     import duckdb
 
     duck_expr = interleave_expr("x", "y", 12, "duck")
@@ -39,16 +45,19 @@ def test_interleave_matches_python_model_both_dialects(pairs):
     assert [g[0] for g in got] == [_morton_py(x, y, 12) for x, y in pairs]
 
 
-def test_interleave_spark_dialect_matches_model(spark):
-    rows = [(0, 0), (1, 0), (0, 1), (4095, 4095), (2730, 1365)]
+def test_spark_text_and_column_plans_agree(spark):
+    """Cross-pin: the spark-dialect oracle text equals both the Python
+    model and sources/layout.py's zorder_value Column plan."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, 0), (1, 0), (0, 1), (4095, 4095), (2730, 1365), (7, 4000)]
     df = spark.createDataFrame(rows, "x INT, y INT")
-    got = [
-        r[0]
-        for r in df.selectExpr(
-            interleave_expr("x", "y", 12, "spark") + " AS z"
-        ).collect()
-    ]
-    assert got == [_morton_py(x, y, 12) for x, y in rows]
+    got = df.select(
+        F.expr(interleave_expr("x", "y", 12, "spark")).alias("z_text"),
+        zorder_value(F.col("x"), F.col("y"), 12).alias("z_col"),
+    ).collect()
+    for (x, y), r in zip(rows, got):
+        assert r["z_text"] == r["z_col"] == _morton_py(x, y, 12)
 
 
 def test_scaled_expr_endpoints_and_degenerate_span(spark):
