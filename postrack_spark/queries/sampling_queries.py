@@ -544,3 +544,80 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH perlang AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents
+      GROUP BY lang
+    ),
+    weights AS (
+      SELECT lang, chars,
+             CAST(floor(sqrt(chars * 100)) AS BIGINT) AS w
+      FROM perlang
+    ),
+    tot AS (
+      SELECT CAST(sum(chars) AS BIGINT) AS tc, CAST(sum(w) AS BIGINT) AS tw
+      FROM weights
+    ),
+    base AS (
+      SELECT lang, chars, w,
+             CAST(10000 * chars // tc AS BIGINT) AS prop_pp10k,
+             CAST(100000 * w // tw AS BIGINT) AS fl,
+             CAST((100000 * w) % tw AS BIGINT) AS rem
+      FROM weights CROSS JOIN tot
+    ),
+    d AS (SELECT CAST(100000 - sum(fl) AS BIGINT) AS deficit FROM base),
+    rnk AS (
+      SELECT lang, chars, prop_pp10k, fl, rem,
+             CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rn
+      FROM base
+    )
+    SELECT lang, chars, prop_pp10k,
+           CAST(fl + CASE WHEN rn <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS temp_alloc
+    FROM rnk CROSS JOIN d
+    ORDER BY lang
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened training mixture (the multilingual-LM
+    sampling rule, tau = 2): each language's share of a 100,000-unit
+    token budget is proportional to chars^(1/2) instead of chars, so
+    head languages shrink and tail languages grow — then Hamilton
+    largest-remainder apportionment (operators/mining.py) makes the
+    integer allocations sum to the budget EXACTLY. sqrt is the one
+    transcendental-adjacent step and it is safe: IEEE sqrt is
+    correctly rounded in both engines and chars*100 stays far inside
+    2^52 where doubles are integer-exact (coarsen units if a corpus
+    ever exceeds that — the agg_corr_exact headroom rule). prop_pp10k
+    (plain proportional share) rides along so the flattening is
+    visible in the output. Plan: one hash agg over documents to the
+    O(languages) frame; everything after runs on bounded frames with
+    broadcast combines — no unpartitioned window, no Python."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    perlang = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("chars"))
+        .withColumn(
+            "w", F.expr("CAST(floor(sqrt(chars * 100)) AS BIGINT)")
+        )
+    )
+    tot = perlang.agg(F.sum("chars").cast("long").alias("tc"))
+    prop = perlang.crossJoin(F.broadcast(tot)).select(
+        "lang", "chars", "w",
+        F.expr("CAST(10000 * chars DIV tc AS BIGINT)").alias("prop_pp10k"),
+    )
+    from postrack_spark.operators.mining import largest_remainder_allocation
+
+    alloc = largest_remainder_allocation(
+        perlang.select("lang", "w"), "lang", "w", 100000
+    ).select(F.col("lang").alias("lang2"), F.col("alloc").alias("temp_alloc"))
+    return (
+        prop.join(F.broadcast(alloc), prop["lang"] == F.col("lang2"))
+        .select("lang", "chars", "prop_pp10k", "temp_alloc")
+        .orderBy("lang")
+    )
