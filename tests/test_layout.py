@@ -60,6 +60,73 @@ def test_spark_text_and_column_plans_agree(spark):
         assert r["z_text"] == r["z_col"] == _morton_py(x, y, 12)
 
 
+def _hilbert_py(n: int, x: int, y: int) -> int:
+    """Reference xy2d (public algorithm)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_hilbert_ctes_match_python_model(pairs):
+    """The unrolled CTE chain IS the Hilbert index (DuckDB side; the
+    Spark side runs the identical text and is covered by the
+    layout_hilbert_vs_zorder_seams oracle gate)."""
+    import duckdb
+
+    from postrack_spark.queries.layout_queries import hilbert_ctes
+
+    vals = ", ".join(f"({x}, {y})" for x, y in pairs)
+    sql = (
+        f"WITH src AS (SELECT * FROM (VALUES {vals}) t(x, y)),\n"
+        + hilbert_ctes("x", "y", "src", ["x", "y"], 12)
+        + "\nSELECT x, y, hd FROM hfin"
+    )
+    got = duckdb.sql(sql).fetchall()
+    assert all(hd == _hilbert_py(4096, x, y) for x, y, hd in got)
+
+
+def test_hilbert_is_continuous_zorder_jumps():
+    """The structural claim behind the seam query: consecutive Hilbert
+    indexes are ALWAYS adjacent cells (unit Manhattan step), while the
+    Z-curve takes long jumps at quadrant seams."""
+    bits = 5  # 32x32 grid: exhaustive
+    n = 1 << bits
+    _inv = {}
+    for x in range(n):
+        for y in range(n):
+            _inv[_hilbert_py(n, x, y)] = (x, y)
+    assert len(_inv) == n * n  # bijection
+    max_step = 0
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = _inv[d], _inv[d + 1]
+        max_step = max(max_step, abs(x1 - x2) + abs(y1 - y2))
+    assert max_step == 1  # Hilbert: never jumps
+
+    zinv = {_morton_py(x, y, bits): (x, y) for x in range(n) for y in range(n)}
+    zjump = max(
+        abs(zinv[d][0] - zinv[d + 1][0]) + abs(zinv[d][1] - zinv[d + 1][1])
+        for d in range(n * n - 1)
+    )
+    assert zjump >= n  # Z-order: the main seam jump spans the grid side
+
+
 def test_scaled_expr_endpoints_and_degenerate_span(spark):
     """min -> 0, max -> 2**bits - 1; a constant column scales to 0
     (GREATEST guard) instead of dividing by zero."""
