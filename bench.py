@@ -62,6 +62,11 @@ HEADLINE = [
     # association rules) and single-pass OHLC resampling
     "assoc_basket_rules",
     "events_ohlc_daily",
+    # round-4 additions: space-filling-curve layout certification (the
+    # Hilbert chain is 12 unrolled CASE levels — the heaviest of the
+    # layout family) and the temperature-flattened training mixture
+    "layout_hilbert_vs_zorder_seams",
+    "sample_temperature_mixture",
 ]
 R1_COMPARABLE = 15  # first N entries = round-1 headline set
 

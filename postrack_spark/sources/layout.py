@@ -76,22 +76,12 @@ def zorder_value(col_a, col_b, bits: int = 16):
     return out
 
 
-def zorder_repartition(
-    df: DataFrame,
-    x: str,
-    y: str,
-    bits: int = 12,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Rewrite ``df``'s layout clustered on the Z-curve of (x, y),
-    scaling both columns onto [0, 2**bits) first (broadcast 1-row
-    bounds combine — the only extra pass a layout rewrite needs).
-    Returns the frame range-partitioned on a ``__z`` column so each
-    output file's (x, y) footer ranges are tight rectangles; write
-    with any sink, or use `write_zordered` for pre-quantized columns.
-    Clustering quality is hash-certified by the registry queries
-    `layout_zorder_extent_skipping` / `layout_zone_map_workload_sim`.
-    """
+def _with_scaled(df: DataFrame, x: str, y: str, bits: int):
+    """df + __sx/__sy: both columns min-max scaled onto [0, 2**bits)
+    via a broadcast 1-row bounds combine — the only extra pass a
+    layout rewrite needs. Exact integer floor division (DIV) on
+    non-negative operands, so the identical formula is portable to any
+    ANSI engine (layout_queries generates the matching oracle text)."""
     from pyspark.sql import functions as F
 
     bounds = df.agg(
@@ -101,29 +91,110 @@ def zorder_repartition(
     top = (1 << bits) - 1
 
     def scaled(col: str, lo: str, hi: str):
-        # exact integer floor division (DIV) — non-negative operands,
-        # so the identical formula is portable to any ANSI engine
-        # (layout_queries generates the matching oracle text)
         return F.expr(
             f"((CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) * {top}) DIV "
             f"GREATEST(CAST({hi} AS BIGINT) - CAST({lo} AS BIGINT), 1)"
         )
 
-    with_z = (
+    return (
         df.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "__z",
-            zorder_value(
-                scaled(x, "__min_x", "__max_x"),
-                scaled(y, "__min_y", "__max_y"),
-                bits,
-            ),
-        )
+        .withColumns({
+            "__sx": scaled(x, "__min_x", "__max_x"),
+            "__sy": scaled(y, "__min_y", "__max_y"),
+        })
         .drop("__min_x", "__max_x", "__min_y", "__max_y")
+    )
+
+
+def zorder_repartition(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int = 12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rewrite ``df``'s layout clustered on the Z-curve of (x, y).
+    Returns the frame range-partitioned on a ``__z`` column so each
+    output file's (x, y) footer ranges are tight rectangles; write
+    with any sink, or use `write_zordered` for pre-quantized columns.
+    Clustering quality is hash-certified by the registry queries
+    `layout_zorder_extent_skipping` / `layout_zone_map_workload_sim`.
+    """
+    from pyspark.sql import functions as F
+
+    with_z = (
+        _with_scaled(df, x, y, bits)
+        .withColumn("__z", zorder_value(F.col("__sx"), F.col("__sy"), bits))
+        .drop("__sx", "__sy")
     )
     if num_partitions:
         return with_z.repartitionByRange(num_partitions, "__z")
     return with_z.repartitionByRange("__z")
+
+
+def hilbert_value(df: DataFrame, x_col: str, y_col: str, bits: int,
+                  out_col: str = "__h") -> DataFrame:
+    """Add the Hilbert index of two pre-scaled `bits`-bit columns —
+    the public xy2d algorithm, one simultaneous projection per level
+    (quadrant digit from the top bits, then reflect+swap the frame).
+    Unlike the Morton code this cannot be a single expression (the
+    frame transform mutates per level), but each level is still pure
+    codegen'd CASE arithmetic: no Python, no shuffle. The identical
+    unrolled plan generates the layout_queries oracle text
+    (hilbert_ctes), model-pinned in tests/test_layout.py; Hilbert
+    beats Z-order on worst-case footer width under unaligned range
+    buckets (`layout_hilbert_vs_zorder_seams`) because consecutive
+    indexes are always adjacent cells."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    out = df.withColumns({
+        "__hx": F.col(x_col).cast("long"),
+        "__hy": F.col(y_col).cast("long"),
+        out_col: F.lit(0).cast("long"),
+    })
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = f"(CASE WHEN (__hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (__hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        # simultaneous projection: every expression reads the PREVIOUS
+        # level's __hx/__hy (withColumns is one Project node)
+        out = out.withColumns({
+            out_col: F.expr(f"{out_col} + {s * s} * {quad}"),
+            "__hx": F.expr(
+                f"(CASE WHEN {ry} = 1 THEN __hx "
+                f"WHEN {rx} = 1 THEN {n - 1} - __hy ELSE __hy END)"
+            ),
+            "__hy": F.expr(
+                f"(CASE WHEN {ry} = 1 THEN __hy "
+                f"WHEN {rx} = 1 THEN {n - 1} - __hx ELSE __hx END)"
+            ),
+        })
+    return out.drop("__hx", "__hy")
+
+
+def hilbert_repartition(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int = 12,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rewrite ``df``'s layout clustered on the Hilbert curve of
+    (x, y) — like `zorder_repartition` but with no quadrant seams, so
+    equal-frequency range partitions (which never align with quadrant
+    boundaries on real data) keep compact, balanced footers in BOTH
+    dimensions (measured: `layout_hilbert_vs_zorder_seams`)."""
+    with_h = hilbert_value(
+        _with_scaled(df, x, y, bits), "__sx", "__sy", bits
+    ).drop("__sx", "__sy")
+    if num_partitions:
+        return with_h.repartitionByRange(num_partitions, "__h")
+    return with_h.repartitionByRange("__h")
 
 
 def write_zordered(

@@ -146,6 +146,48 @@ def test_scaled_expr_endpoints_and_degenerate_span(spark):
     assert {r["sc"] for r in out} == {0}
 
 
+def test_hilbert_value_column_plan_matches_model(spark):
+    """The write-path Column chain equals the Python xy2d reference
+    (and therefore the oracle text, which the hypothesis test pins to
+    the same model)."""
+    import random
+
+    from postrack_spark.sources.layout import hilbert_value
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(0, 4096), rng.randrange(0, 4096)) for _ in range(64)]
+    rows += [(0, 0), (4095, 4095), (0, 4095), (4095, 0)]
+    df = spark.createDataFrame(rows, "x INT, y INT")
+    got = hilbert_value(df, "x", "y", 12).collect()
+    assert all(r["__h"] == _hilbert_py(4096, r["x"], r["y"]) for r in got)
+
+
+def test_hilbert_repartition_preserves_rows_and_clusters(spark):
+    import random
+
+    from postrack_spark.sources.layout import hilbert_repartition
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(1, 5000), rng.randrange(0, 2400)) for _ in range(1500)]
+    df = spark.createDataFrame(rows, "custkey INT, day INT")
+    out = hilbert_repartition(df, "custkey", "day", bits=12, num_partitions=8)
+    assert set(out.columns) == {"custkey", "day", "__h"}
+    got = sorted((r["custkey"], r["day"]) for r in out.collect())
+    assert got == sorted(rows)
+
+    from pyspark.sql import functions as F
+
+    spans = sorted(
+        (r["lo"], r["hi"])
+        for r in out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("__h").alias("lo"), F.max("__h").alias("hi"))
+        .collect()
+    )
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
 def test_zorder_repartition_preserves_rows_and_clusters(spark):
     """Layout rewrite is a pure reshuffle: same row multiset, __z added;
     range partitions hold contiguous z-ranges (each file's footer is a
