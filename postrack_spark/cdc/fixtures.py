@@ -260,3 +260,97 @@ def lineitem_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     want = [(f.name, f.dataType) for f in CHANGE_SCHEMA.fields]
     assert got == want, got
     return out
+
+
+# B.4: phased stream for version-diff reconstruction. Unlike B.1's
+# per-key clustering (all of a key's events within 10 LSNs), real WAL
+# interleaves keys: here each PHASE is a contiguous LSN band, so an
+# LSN cut between bands lands mid-flight for every key at once —
+# exactly the shape that makes two time-travel states differ in all
+# four ways (added / removed / changed / unchanged).
+PHASE = 100_000_000  # > any o_orderkey at every SF; lsn fits int64
+
+
+def orders_phased_changes(
+    spark: SparkSession, sf_dir: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Phased change script over orders (keyed by o_orderkey % 10):
+
+      phase 1 (lsn =   PHASE+key): INSERT       key%10 not in {8,9}
+      phase 2 (lsn = 2*PHASE+key): UPDATE       key%10 in {1,2}
+                                   status->'F', price*2
+      phase 3 (lsn = 3*PHASE+key): UPDATE       key%10 in {2,3}
+                                   status->'P', price+10
+      phase 4 (lsn = 4*PHASE+key): INSERT       key%10 in {8,9} (late)
+      phase 5 (lsn = 5*PHASE+key): DELETE       key%10 == 5
+
+    A cut at 3*PHASE (end of phase 2) vs the head therefore sees:
+    added = {8,9}, changed = {2,3}, removed = {5}, unchanged = rest.
+    Same single-scan exploded-array generation as B.1."""
+    orders = fan_out(load_tables(spark, sf_dir)["orders"])
+    key = F.col("o_orderkey")
+    mod = key % 10
+    img_cols = _ORDER_COLS
+    if columns is not None:
+        img_cols = [c for c in _ORDER_COLS if c in set(columns) | {"o_orderkey"}]
+
+    def ev(cond, phase: int, op: str, kind: int):
+        return F.when(
+            cond,
+            F.struct(
+                (F.lit(phase) * PHASE + key).cast("long").alias("lsn"),
+                F.lit(op).alias("op"),
+                F.lit(kind).alias("kind"),
+            ),
+        )
+
+    events = F.array_compact(
+        F.array(
+            ev(~mod.isin(8, 9), 1, "INSERT", 0),
+            ev(mod.isin(1, 2), 2, "UPDATE", 1),
+            ev(mod.isin(2, 3), 3, "UPDATE", 2),
+            ev(mod.isin(8, 9), 4, "INSERT", 0),
+            ev(mod == 5, 5, "DELETE", 3),
+        )
+    )
+    upd2_after = str_map(
+        img_cols,
+        {
+            "o_orderstatus": F.lit("F"),
+            "o_totalprice": F.round(F.col("o_totalprice") * 2, 2),
+        },
+    )
+    # phase 3 applies ON TOP of phase 2 for key%10 == 2
+    p3_price = F.when(
+        mod == 2, F.round(F.col("o_totalprice") * 2, 2) + 10
+    ).otherwise(F.round(F.col("o_totalprice") + 10, 2))
+    upd3_after = str_map(
+        img_cols,
+        {"o_orderstatus": F.lit("P"), "o_totalprice": F.round(p3_price, 2)},
+    )
+    kind = F.col("e.kind")
+    out = orders.select(
+        "*",
+        key.cast("long").alias("txid"),
+        F.col("o_orderdate").cast("timestamp").alias("commit_ts"),
+        F.explode(events).alias("e"),
+    ).select(
+        F.col("e.lsn").alias("lsn"),
+        "txid",
+        "commit_ts",
+        F.lit("public").alias("schema"),
+        F.lit("orders").alias("table"),
+        F.col("e.op").alias("op"),
+        F.when(kind == 0, str_map(img_cols))
+        .when(kind == 1, upd2_after)
+        .when(kind == 2, upd3_after)
+        .otherwise(null_map())
+        .alias("after"),
+        F.when(kind.isin(1, 2, 3), str_map(img_cols))
+        .otherwise(null_map())
+        .alias("before"),
+    )
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    want = [(f.name, f.dataType) for f in CHANGE_SCHEMA.fields]
+    assert got == want, got
+    return out

@@ -1391,3 +1391,138 @@ def cdc_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("okey")
     )
+
+
+_PHASED_CTE = """
+    pchanges AS (
+      SELECT 100000000 + o_orderkey AS lsn, 'INSERT' AS op,
+             o_orderkey AS okey, o_orderstatus AS status,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 NOT IN (8, 9)
+      UNION ALL
+      SELECT 200000000 + o_orderkey, 'UPDATE', o_orderkey, 'F',
+             round(o_totalprice * 2, 2)
+      FROM orders WHERE o_orderkey % 10 IN (1, 2)
+      UNION ALL
+      SELECT 300000000 + o_orderkey, 'UPDATE', o_orderkey, 'P',
+             CASE WHEN o_orderkey % 10 = 2
+                  THEN round(round(o_totalprice * 2, 2) + 10, 2)
+                  ELSE round(round(o_totalprice + 10, 2), 2) END
+      FROM orders WHERE o_orderkey % 10 IN (2, 3)
+      UNION ALL
+      SELECT 400000000 + o_orderkey, 'INSERT', o_orderkey, o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 10 IN (8, 9)
+      UNION ALL
+      SELECT 500000000 + o_orderkey, 'DELETE', o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderkey % 10 = 5
+    )
+"""
+
+
+@query(
+    "cdc_version_diff",
+    oracle=f"""
+    WITH {_PHASED_CTE},
+    s1 AS (
+      SELECT okey, max_by(op, lsn) AS op, max_by(status, lsn) AS status,
+             CAST(round(max_by(price, lsn) * 100) AS BIGINT) AS cents
+      FROM pchanges WHERE lsn <= 300000000 GROUP BY okey
+    ),
+    a1 AS (SELECT okey, status, cents FROM s1 WHERE op <> 'DELETE'),
+    s2 AS (
+      SELECT okey, max_by(op, lsn) AS op, max_by(status, lsn) AS status,
+             CAST(round(max_by(price, lsn) * 100) AS BIGINT) AS cents
+      FROM pchanges GROUP BY okey
+    ),
+    a2 AS (SELECT okey, status, cents FROM s2 WHERE op <> 'DELETE'),
+    j AS (
+      SELECT CASE
+               WHEN a1.okey IS NULL THEN 'added'
+               WHEN a2.okey IS NULL THEN 'removed'
+               WHEN a1.status <> a2.status OR a1.cents <> a2.cents
+                 THEN 'changed'
+               ELSE 'unchanged'
+             END AS change_kind,
+             a1.cents AS c1, a2.cents AS c2,
+             CASE WHEN a1.status <> a2.status THEN 1 ELSE 0 END AS st_chg,
+             CASE WHEN a1.cents <> a2.cents THEN 1 ELSE 0 END AS pr_chg
+      FROM a1 FULL OUTER JOIN a2 ON a1.okey = a2.okey
+    )
+    SELECT change_kind,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(coalesce(c1, 0)) AS BIGINT) AS cents_t1,
+           CAST(sum(coalesce(c2, 0)) AS BIGINT) AS cents_t2,
+           CAST(sum(st_chg) AS BIGINT) AS n_status_changed,
+           CAST(sum(pr_chg) AS BIGINT) AS n_price_changed
+    FROM j
+    GROUP BY change_kind
+    ORDER BY change_kind
+    """,
+)
+def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-diff between two time-travel states of the SAME change
+    log: reconstruct the table as-of two LSN cuts, full-outer join on
+    the key, and report added / removed / changed / unchanged key
+    counts with per-column change counts and the value totals on each
+    side — the reconciliation report a CDC-fed warehouse runs to audit
+    what a deploy or backfill changed between two versions, without
+    storing either version (both sides are filters over the retained
+    log). Uses the PHASED fixture (cdc/fixtures.py B.4) whose LSN
+    bands interleave keys like real WAL, so a cut lands mid-flight for
+    every key class at once and all four diff categories are
+    populated. Scale: the two states are the audited O(keys)
+    latest-per-key compactions; the diff join is key-partitioned (one
+    shuffle each side); the report is O(4) rows. All money integer
+    cents."""
+    from postrack_spark.cdc.fixtures import PHASE, orders_phased_changes
+    from postrack_spark.cdc.materialize import apply_changes
+
+    ch = orders_phased_changes(
+        spark, sf_dir, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    key = F.coalesce(
+        typed_column("after", "o_orderkey", "long"),
+        typed_column("before", "o_orderkey", "long"),
+    )
+
+    def state_asof(bounded: DataFrame) -> DataFrame:
+        s = apply_changes(bounded, key, key_name="okey")
+        return s.select(
+            "okey",
+            typed_column("after", "o_orderstatus", "string").alias("status"),
+            F.round(typed_column("after", "o_totalprice", "double") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+
+    a1 = state_asof(ch.filter(F.col("lsn") <= F.lit(3 * PHASE))).withColumnsRenamed(
+        {"okey": "k1", "status": "st1", "cents": "c1"}
+    )
+    a2 = state_asof(ch).withColumnsRenamed(
+        {"okey": "k2", "status": "st2", "cents": "c2"}
+    )
+    j = a1.join(a2, a1["k1"] == a2["k2"], "full_outer").select(
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .when(
+            (F.col("st1") != F.col("st2")) | (F.col("c1") != F.col("c2")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_kind"),
+        "c1", "c2",
+        F.when(F.col("st1") != F.col("st2"), 1).otherwise(0).alias("st_chg"),
+        F.when(F.col("c1") != F.col("c2"), 1).otherwise(0).alias("pr_chg"),
+    )
+    return (
+        j.groupBy("change_kind")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.coalesce("c1", F.lit(0))).cast("long").alias("cents_t1"),
+            F.sum(F.coalesce("c2", F.lit(0))).cast("long").alias("cents_t2"),
+            F.sum("st_chg").cast("long").alias("n_status_changed"),
+            F.sum("pr_chg").cast("long").alias("n_price_changed"),
+        )
+        .orderBy("change_kind")
+    )
