@@ -296,6 +296,7 @@ def test_live_capture_daemon_cli(live_pg, spark):
     the workload — decoded envelopes must match the committed rows."""
     import signal as _signal
 
+    from postrack_spark.api import create_publication_id
     from postrack_spark.sources.postgres_cdc import register
 
     ex = _executor(live_pg)
@@ -322,13 +323,23 @@ def test_live_capture_daemon_cli(live_pg, spark):
             ],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
-        # wait for provisioning (slot appears), then commit the workload
-        deadline = time.monotonic() + 20
+        # Wait until the daemon is fully up BEFORE committing the
+        # workload: the publication must exist (pgoutput decodes with a
+        # historic catalog, so rows committed before CREATE PUBLICATION
+        # are never published) and the walsender must hold the slot
+        # (active = streaming started). Waiting for the slot alone is a
+        # race the suite run caught.
+        deadline = time.monotonic() + 60
         while time.monotonic() < deadline:
-            if ex.query(
-                "SELECT 1 FROM pg_replication_slots WHERE slot_name = %s",
+            active = ex.query(
+                "SELECT active FROM pg_replication_slots WHERE slot_name = %s",
                 (slot,),
-            ):
+            )
+            pub_ok = ex.query(
+                "SELECT 1 FROM pg_publication WHERE pubname = %s",
+                (create_publication_id(slot),),
+            )
+            if active and active[0][0] == "t" and pub_ok:
                 break
             if proc.poll() is not None:
                 raise AssertionError(
@@ -336,7 +347,7 @@ def test_live_capture_daemon_cli(live_pg, spark):
                 )
             time.sleep(0.2)
         else:
-            raise AssertionError("slot never provisioned")
+            raise AssertionError("daemon never became active")
         ex.command(
             "INSERT INTO public.live_cli "
             "SELECT i, i * i FROM generate_series(1, 12) g(i)"
