@@ -105,7 +105,9 @@ def test_decode_png_cross_validates_against_pil():
     assert decode_media(buf.getvalue(), "image/png") == bytes((10, 20, 30)) * 4
 
 
-def test_decode_non_png_image_without_pil_raises_not_implemented():
+def test_decode_exotic_image_without_pil_raises_not_implemented():
+    """PNG/JPEG/GIF decode pure-stdlib now; the PIL seam remains only
+    for formats without a bundled codec (tiff, webp, bmp...)."""
     try:
         import PIL  # noqa: F401
 
@@ -113,6 +115,14 @@ def test_decode_non_png_image_without_pil_raises_not_implemented():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
+        decode_media(b"II*\x00tiff-ish", "image/tiff")
+
+
+def test_decode_malformed_jpeg_refuses_loudly():
+    """The real JPEG decoder rejects a truncated payload instead of
+    decoding wrong-silently (it used to fall through to the PIL seam
+    before the pure-stdlib codec landed)."""
+    with pytest.raises(ValueError, match="JPEG"):
         decode_media(b"\xff\xd8\xff\xe0jfif-ish", "image/jpeg")
 
 
