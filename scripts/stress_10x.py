@@ -466,6 +466,21 @@ def main() -> None:
             ),
         )
 
+    # layout: the Hilbert seam certification over replicated orders —
+    # the 12-level unrolled CASE chain is pure scan-side codegen (no
+    # extra shuffle beyond the two tiny hash aggs), so the wall must
+    # track the scan volume and nothing else.
+    if not skip("layout"):
+        from postrack_spark.queries.layout_queries import _seam_sql
+
+        shifted_union(
+            t["orders"], {"o_orderkey": 10_000_000, "o_custkey": 10_000_000}
+        ).createOrReplaceTempView("stress_layout_orders")
+        run(
+            f"hilbert_seams_{FACTOR}x",
+            spark.sql(_seam_sql("spark", "stress_layout_orders")),
+        )
+
     print(json.dumps({"metric": f"stress_{FACTOR}x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": FACTOR,
                       "timings": timings}))
