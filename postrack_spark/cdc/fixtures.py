@@ -262,7 +262,7 @@ def lineitem_delta_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# B.4: phased stream for version-diff reconstruction. Unlike B.1's
+# B.6: phased stream for version-diff reconstruction. Unlike B.1's
 # per-key clustering (all of a key's events within 10 LSNs), real WAL
 # interleaves keys: here each PHASE is a contiguous LSN band, so an
 # LSN cut between bands lands mid-flight for every key at once —
@@ -274,7 +274,7 @@ PHASE = 100_000_000  # > any o_orderkey at every SF; lsn fits int64
 def orders_phased_changes(
     spark: SparkSession, sf_dir: str, columns: list[str] | None = None
 ) -> DataFrame:
-    """Phased change script over orders (keyed by o_orderkey % 10):
+    """B.6: phased change script over orders (keyed by o_orderkey % 10):
 
       phase 1 (lsn =   PHASE+key): INSERT       key%10 not in {8,9}
       phase 2 (lsn = 2*PHASE+key): UPDATE       key%10 in {1,2}

@@ -1468,7 +1468,7 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     side — the reconciliation report a CDC-fed warehouse runs to audit
     what a deploy or backfill changed between two versions, without
     storing either version (both sides are filters over the retained
-    log). Uses the PHASED fixture (cdc/fixtures.py B.4) whose LSN
+    log). Uses the PHASED fixture (cdc/fixtures.py B.6) whose LSN
     bands interleave keys like real WAL, so a cut lands mid-flight for
     every key class at once and all four diff categories are
     populated. Scale: the two states are the audited O(keys)

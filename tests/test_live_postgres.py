@@ -84,6 +84,7 @@ def live_pg():
                "database": "postgres"}
     finally:
         _sh_as_pg(f"{shutil.which('pg_ctl')} -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _executor(live_pg):
