@@ -493,6 +493,122 @@ def test_live_streaming_pipeline(live_pg, spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_live_ivm_view_maintenance(live_pg, spark):
+    """The reference's reason to exist, live end-to-end: a real
+    PostgreSQL table -> capture daemon -> Structured Streaming ->
+    INCREMENTALLY maintained aggregate view (signed-delta IVM fold,
+    never recomputing from history). REPLICA IDENTITY FULL gives the
+    full before-images that make the fold a commutative monoid; two
+    transaction waves drain through two checkpointed passes into ONE
+    versioned view, which must equal the live GROUP BY at the end."""
+    from pyspark.sql import functions as F
+
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.sources.pgwire import run_daemon_pgwire
+    from postrack_spark.sources.postgres_cdc import register
+    from postrack_spark.streaming import foreach_batch_incremental_agg
+    from postrack_spark.streaming.sinks import read_view
+
+    ex = _executor(live_pg)
+    slot = "live_ivm_slot"
+    frames = tempfile.mkdtemp(prefix="pglive_ivmf_")
+    view_dir = tempfile.mkdtemp(prefix="pglive_ivmv_")
+    ckpt = tempfile.mkdtemp(prefix="pglive_ivmc_")
+    stop = {"flag": False}
+    t = None
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_ivm")
+        ex.command(
+            "CREATE TABLE public.live_ivm "
+            "(id int primary key, status text, cents bigint)"
+        )
+        ex.command("ALTER TABLE public.live_ivm REPLICA IDENTITY FULL")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_publication(Table("public", "live_ivm"))
+        pub = create_publication_id(slot)
+        t = threading.Thread(
+            target=run_daemon_pgwire,
+            kwargs=dict(
+                **live_pg, slot=slot, out_dir=frames, publication=pub,
+                start_lsn=0, ack_interval_s=0.3, max_frames=8,
+                stop=lambda: stop["flag"],
+            ),
+            daemon=True,
+        )
+        t.start()
+
+        def drain() -> None:
+            register(spark)
+            stream = (
+                spark.readStream.format("postgres_cdc")
+                .option("capture_dir", frames)
+                .load()
+                .filter("`table` = 'live_ivm'")
+            )
+            _, q = foreach_batch_incremental_agg(
+                stream,
+                dims={"status": F.element_at(F.col("img"), "status")},
+                measures={
+                    "cents": F.element_at(F.col("img"), "cents").cast("long")
+                },
+                target_dir=view_dir,
+                checkpoint_dir=ckpt,
+            )
+            q.awaitTermination()
+
+        # wave 1: inserts + an update + a delete
+        ex.command(
+            "INSERT INTO public.live_ivm "
+            "SELECT i, CASE WHEN i % 3 = 0 THEN 'open' ELSE 'done' END, "
+            "i * 100 FROM generate_series(1, 40) g(i)"
+        )
+        ex.command(
+            "UPDATE public.live_ivm SET status = 'open', cents = cents + 5 "
+            "WHERE id % 10 = 1"
+        )
+        ex.command("DELETE FROM public.live_ivm WHERE id % 20 = 0")
+        t1 = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _wait_confirmed_flush(ex, slot, t1)
+        drain()
+
+        # wave 2 on the SAME maintained view (no recompute, same ckpt)
+        ex.command("UPDATE public.live_ivm SET status = 'done' WHERE id <= 5")
+        ex.command("INSERT INTO public.live_ivm VALUES (500, 'open', 7)")
+        ex.command("DELETE FROM public.live_ivm WHERE id = 3")
+        t2 = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _wait_confirmed_flush(ex, slot, t2)
+        drain()
+
+        got = {
+            (r["status"], r["n_rows"], r["cents"])
+            for r in read_view(spark, view_dir)
+            .filter("n_rows > 0")
+            .select("status", "n_rows", "cents")
+            .collect()
+        }
+        want = {
+            (s, int(n), int(c))
+            for s, n, c in ex.query(
+                "SELECT status, count(*), sum(cents) FROM public.live_ivm "
+                "GROUP BY status"
+            )
+        }
+        assert got == want and len(want) == 2
+        conn.drop_publication()
+    finally:
+        stop["flag"] = True
+        if t is not None:
+            t.join(15)
+        try:
+            Conn("pgwire://local", executor=ex).drop_slot(slot)
+        except Exception:
+            pass
+        ex.close()
+        for d in (frames, view_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_live_v2_streamed_transaction(live_pg, spark):
     """Protocol v2 with streaming: logical_decoding_work_mem=64kB makes
     the server stream a large in-progress transaction (StreamStart /
