@@ -13,9 +13,13 @@ identical bit plan generates for both engines (the dialect helpers
 below; the write path they certify is sources/layout.py's
 zorder_value / zorder_repartition, cross-pinned by
 tests/test_layout.py) and the result hash-gates against DuckDB at
-every SF. No Python rows, no window functions, three hash
-aggregations over one scan — scan-dominated at 100 TB exactly like
-the rewrite it certifies.
+every SF. No Python rows, no window functions; the lane assignment is
+a single-scan inline() row-explosion on the Spark side (a UNION ALL
+of lane SELECTs re-planned the upstream subtree per lane — measured
+12 parquet scans before the fix, 4 after: the bounds pass plus the
+main pass), so the queries stay scan-dominated at 100 TB exactly like
+the rewrite they certify. Plan audits in tests/test_plans.py pin the
+scan count.
 """
 
 from __future__ import annotations
@@ -131,6 +135,36 @@ def _coded_ctes(dialect: str, orders: str) -> str:
     )"""
 
 
+def _lanes_cte(lanes: dict, src: str, dialect: str,
+               label: str = "layout") -> str:
+    """`assigned AS (...)`: one (label, bucket, zx, zy) row per lane.
+
+    Dialect split for PLAN shape, not semantics: a UNION ALL of
+    SELECTs from the same CTE re-plans the whole upstream subtree per
+    lane in Spark (measured: 12 parquet scans for 3 lanes — a 12x
+    scan bill at 100 TB), so the Spark text emits a single-scan
+    LATERAL VIEW inline(array(struct...)) row-explosion instead.
+    DuckDB keeps the plain UNION ALL (it materializes the CTE; oracle
+    wall time is irrelevant). Both produce the identical row multiset,
+    which the hash gate checks."""
+    if dialect == "duck":
+        body = "\n      UNION ALL\n".join(
+            f"      SELECT '{name}' AS {label}, {expr} AS bucket, zx, zy"
+            f" FROM {src}"
+            for name, expr in lanes.items()
+        )
+        return f"assigned AS (\n{body}\n    )"
+    structs = ", ".join(
+        f"named_struct('{label}', '{name}', 'bucket', CAST({expr} AS BIGINT))"
+        for name, expr in lanes.items()
+    )
+    return (
+        f"assigned AS (\n      SELECT l.{label}, l.bucket, zx, zy\n"
+        f"      FROM {src} LATERAL VIEW inline(array({structs})) l"
+        f" AS {label}, bucket\n    )"
+    )
+
+
 def _zone_map_ctes(dialect: str, orders: str) -> str:
     """Shared CTE chain: scale -> Morton code -> three layout lanes ->
     per-bucket zone map (min/max of both dims — the parquet footer)."""
@@ -139,13 +173,7 @@ def _zone_map_ctes(dialect: str, orders: str) -> str:
         "custkey_sort": _sh("zx", _BITS - _BUCKET_BITS, dialect),
         "date_sort": _sh("zy", _BITS - _BUCKET_BITS, dialect),
     }
-    per_layout = "\n      UNION ALL\n".join(
-        f"      SELECT '{name}' AS layout, {expr} AS bucket, zx, zy FROM coded"
-        for name, expr in lanes.items()
-    )
-    return f"""{_coded_ctes(dialect, orders)}, assigned AS (
-{per_layout}
-    ), zone_map AS (
+    return f"""{_coded_ctes(dialect, orders)}, {_lanes_cte(lanes, "coded", dialect)}, zone_map AS (
       SELECT layout, bucket,
              min(zx) AS lo_x, max(zx) AS hi_x,
              min(zy) AS lo_y, max(zy) AS hi_y
@@ -243,15 +271,13 @@ def _seam_sql(dialect: str, orders: str) -> str:
     """Z-order vs Hilbert under UNALIGNED range buckets."""
     div = "DIV" if dialect == "spark" else "//"
     domain = 1 << _BITS
+    lanes = {
+        "zorder": f"(z {div} {_VALUE_WIDTH})",
+        "hilbert": f"(hd {div} {_VALUE_WIDTH})",
+    }
     return f"""{_coded_ctes(dialect, orders)},
     {hilbert_ctes("zx", "zy", "coded", ["zx", "zy", "z"], _BITS)},
-    assigned AS (
-      SELECT 'zorder' AS curve, z {div} {_VALUE_WIDTH} AS bucket, zx, zy
-      FROM hfin
-      UNION ALL
-      SELECT 'hilbert' AS curve, hd {div} {_VALUE_WIDTH} AS bucket, zx, zy
-      FROM hfin
-    ), ext AS (
+    {_lanes_cte(lanes, "hfin", dialect, label="curve")}, ext AS (
       SELECT curve, bucket,
              max(zx) - min(zx) + 1 AS ext_x,
              max(zy) - min(zy) + 1 AS ext_y

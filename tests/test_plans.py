@@ -138,6 +138,48 @@ def test_frame_sample_is_arrow_batched(spark, qs):
     assert feats["arrow_python_evals"] == 1
 
 
+def test_layout_queries_single_scan_lanes(spark, qs):
+    """Round-4 fix: the layout lane assignment must be the inline()
+    row-explosion (4 scans: bounds pass + main pass), never the
+    UNION-per-lane shape that re-planned the upstream subtree per lane
+    (12 scans for 3 lanes). No Python, no windows; the only joins are
+    the 1-row bounds / constant-frame broadcast combines."""
+    for name, max_scans in (
+        ("layout_zorder_extent_skipping", 4),
+        ("layout_zone_map_workload_sim", 4),
+        ("layout_hilbert_vs_zorder_seams", 4),
+    ):
+        feats = assert_plan(
+            _df(qs, name, spark), python_evals=0, windows=0,
+            sortmerge_joins=0, shuffledhash_joins=0,
+        )
+        text = explain_string(_df(qs, name, spark), "formatted")
+        assert text.count("Scan parquet") <= max_scans, (
+            f"{name}: {text.count('Scan parquet')} scans — the lane "
+            "UNION re-scan regression is back"
+        )
+
+
+def test_version_diff_key_partitioned_join(spark, qs):
+    """cdc_version_diff's two time-travel states meet in ONE key
+    equi-join (SMJ/SHJ, never a nested loop over states) with no
+    Python and no windows."""
+    feats = assert_plan(
+        _df(qs, "cdc_version_diff", spark), python_evals=0, windows=0
+    )
+    assert feats["sortmerge_joins"] + feats["shuffledhash_joins"] >= 1
+
+
+def test_temperature_mixture_bounded_combines(spark, qs):
+    """sample_temperature_mixture reduces documents to the O(languages)
+    frame first; everything after is broadcast/tiny combines — no SMJ,
+    no windows, no Python."""
+    assert_plan(
+        _df(qs, "sample_temperature_mixture", spark),
+        python_evals=0, windows=0, sortmerge_joins=0,
+    )
+
+
 def test_sql_entry_plans_like_dataframe(spark, qs):
     # spark.sql over the registered views gets the same Catalyst
     # treatment: broadcast dims, no Python, AQE on
