@@ -219,7 +219,7 @@ def _workload_sql(dialect: str, orders: str) -> str:
       GROUP BY layout, qid
     )
     SELECT layout,
-           sum(buckets_read) AS total_bucket_reads,
+           CAST(sum(buckets_read) AS BIGINT) AS total_bucket_reads,
            min(buckets_read) AS best_query_reads,
            max(buckets_read) AS worst_query_reads,
            CAST((100 * sum(buckets_read)) {div} (16 * {1 << _BUCKET_BITS}) AS BIGINT)

@@ -454,7 +454,7 @@ def unpivot_stack_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT upper(substr(p_brand, 1, 5))                     AS brand5,
            count(*)                                         AS n_parts,
            round(avg(length(p_name)), 4)                    AS avg_name_len,
-           sum(CASE WHEN regexp_matches(p_type, '^PROMO') THEN 1 ELSE 0 END) AS n_promo
+           CAST(sum(CASE WHEN regexp_matches(p_type, '^PROMO') THEN 1 ELSE 0 END) AS BIGINT) AS n_promo
     FROM part
     GROUP BY upper(substr(p_brand, 1, 5))
     ORDER BY brand5

@@ -94,6 +94,14 @@ class FrameFileWriter:
         self.seq = (existing[-1] + 1) if existing else 0
         self._schema_cache: dict[tuple[bytes, int], bytes] = {}  # (kind, oid) -> frame
         self._stream_cache: dict[int, list[bytes]] = {}  # open v2 stream xid -> frames
+        # De-xid'ed R/Y frames first sent INSIDE a streamed transaction,
+        # staged per toplevel xid. pgoutput marks a relation's schema as
+        # session-sent when the streamed txn COMMITS (cleanup_rel_sync_
+        # cache semantics) — after StreamCommit the server will NOT
+        # re-send the Relation for later plain transactions, so the
+        # writer must promote these into _schema_cache at 'c' (and drop
+        # them at toplevel 'A', when the server re-sends).
+        self._stream_schema: dict[int, dict[tuple[bytes, int], bytes]] = {}
         self._open_segment: int | None = None  # xid between StreamStart/Stop
         self._pending: list[bytes] = []
         self._pending_bytes = 0
@@ -109,7 +117,22 @@ class FrameFileWriter:
 
     def append(self, frame: bytes) -> None:
         kind = self._payload_kind(frame)
-        if kind in (b"R", b"Y"):
+        if self._open_segment is not None and kind in (b"R", b"Y"):
+            # In-stream Relation/Type: payload is kind + xid(int32) +
+            # normal body (decoded at pgoutput.py via tag + msg[5:]), so
+            # the oid sits at offset 30, NOT 26 — caching this frame in
+            # _schema_cache keyed on the xid-as-oid would both corrupt
+            # the key and strand the stream's segments without their
+            # Relation after a roll (ADVICE r4 medium). Cache it with
+            # its segment, and stage a de-xid'ed copy for promotion at
+            # StreamCommit (see _stream_schema comment above).
+            xid = self._open_segment
+            self._stream_cache[xid].append(frame)
+            oid = struct.unpack_from(">i", frame, 30)[0]
+            self._stream_schema.setdefault(xid, {})[(kind, oid)] = (
+                frame[:26] + frame[30:]
+            )
+        elif kind in (b"R", b"Y"):
             oid = struct.unpack_from(">i", frame, 26)[0]
             self._schema_cache[(kind, oid)] = frame
         elif kind == b"B":
@@ -126,11 +149,15 @@ class FrameFileWriter:
             xid, subxid = struct.unpack_from(">ii", frame, 26)
             if subxid == xid:
                 self._stream_cache.pop(xid, None)
+                self._stream_schema.pop(xid, None)  # server re-sends R
             elif xid in self._stream_cache:  # subtxn abort replays too
                 self._stream_cache[xid].append(frame)
-        elif kind == b"c":  # StreamCommit: stream fully delivered
+        elif kind == b"c":  # StreamCommit: stream fully delivered;
+            # promote its staged R/Y frames — the server now considers
+            # their schema sent for the session and will not repeat it
             xid = struct.unpack_from(">i", frame, 26)[0]
             self._stream_cache.pop(xid, None)
+            self._schema_cache.update(self._stream_schema.pop(xid, {}))
         elif self._open_segment is not None and kind != b"":
             # data/message frame inside an open segment
             self._stream_cache[self._open_segment].append(frame)
@@ -144,12 +171,26 @@ class FrameFileWriter:
             self._roll_requested = True
         if kind == b"C":
             self._in_tx = False
-        if self._roll_requested and not self._in_tx:
+        if self._roll_requested and not self._in_tx and self._open_segment is None:
             self.flush()
 
-    def flush(self) -> None:
+    def flush(self, force: bool = False) -> None:
         """Write buffered frames as the next file (atomic rename) and
-        advance durable_lsn. No-op when nothing is buffered."""
+        advance durable_lsn. No-op when nothing is buffered.
+
+        DEFERRED while a stream segment is open (ADVICE r4 high): a file
+        ending mid-segment makes the next file's seed replay an OPEN
+        segment (StreamStart + partial data, no StreamStop); if another
+        cached stream follows in the seed, its StreamStop resets the
+        decoder's in_stream, so the open stream's live continuation
+        frames decode as PLAIN messages and uncommitted rows leak. The
+        ack-interval flush and size rolls both route through here, so
+        the guard covers every flush path; ``close()`` forces (no next
+        file follows, an unterminated trailing segment emits nothing).
+        """
+        if self._open_segment is not None and not force:
+            self._roll_requested = True
+            return
         if not self._pending:
             self._roll_requested = False
             return
@@ -178,7 +219,7 @@ class FrameFileWriter:
         # the new writer's cache refills from the re-sent segments.
         if any(self._payload_kind(f) not in (b"R", b"Y")
                for f in self._pending[self._seed_len:]):
-            self.flush()
+            self.flush(force=True)
         self._pending = []
 
 

@@ -100,29 +100,50 @@ class PgWireConnection:
 
     # -- low-level framing -------------------------------------------
 
-    def _recv_exact(self, n: int, timeout: float | None = None) -> bytes | None:
-        """Read exactly n bytes; with a timeout, return None when no
-        byte arrives before it elapses (never splits a message)."""
+    def _fill(self, n: int, deadline: float | None) -> bool:
+        """Grow the receive buffer to >= n bytes WITHOUT consuming.
+        Returns False when the deadline passes first — the partial
+        bytes stay buffered so a later call resumes mid-message.
+        ADVICE r4 (low): the old code only applied the select() wait
+        while the buffer was EMPTY; once a partial header was buffered,
+        sock.recv blocked indefinitely on a stalled server and the
+        daemon's stop() flag (SIGTERM) was never rechecked."""
         while len(self._buf) < n:
-            if timeout is not None and not self._buf:
-                r, _, _ = select.select([self.sock], [], [], timeout)
+            if deadline is not None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                r, _, _ = select.select([self.sock], [], [], remaining)
                 if not r:
-                    return None
+                    return False
             chunk = self.sock.recv(65536)
             if not chunk:
                 raise PgError({"S": "FATAL", "M": "server closed connection"})
             self._buf += chunk
+        return True
+
+    def _recv_exact(self, n: int, timeout: float | None = None) -> bytes | None:
+        """Read exactly n bytes; with a timeout, return None (consuming
+        nothing) when they don't all arrive before it elapses."""
+        deadline = time.monotonic() + timeout if timeout is not None else None
+        if not self._fill(n, deadline):
+            return None
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
     def _recv_message(self, timeout: float | None = None) -> tuple[bytes, bytes] | tuple[None, None]:
-        head = self._recv_exact(5, timeout=timeout)
-        if head is None:
+        # One deadline spans header + payload, and NOTHING is consumed
+        # until the whole message is buffered — a timeout mid-message
+        # leaves the stream positioned for a clean retry.
+        deadline = time.monotonic() + timeout if timeout is not None else None
+        if not self._fill(5, deadline):
             return None, None
-        mtype = head[:1]
-        (length,) = struct.unpack(">i", head[1:5])
-        payload = self._recv_exact(length - 4) if length > 4 else b""
-        return mtype, payload
+        (length,) = struct.unpack(">i", self._buf[1:5])
+        total = 5 + (length - 4 if length > 4 else 0)
+        if not self._fill(total, deadline):
+            return None, None
+        head, self._buf = self._buf[:total], self._buf[total:]
+        return head[:1], head[5:]
 
     def _send_message(self, mtype: bytes, payload: bytes) -> None:
         self.sock.sendall(mtype + struct.pack(">i", len(payload) + 4) + payload)

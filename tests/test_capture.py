@@ -131,6 +131,138 @@ def test_writer_resumes_sequence():
     assert after == sorted(after)  # still lexicographic stream order
 
 
+def _stream_fixture_tools():
+    from postrack_spark.sources.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+        wrap_xlogdata,
+    )
+    from tests.test_pgoutput import ORDERS_COLS, TS
+
+    return (encode_begin, encode_commit, encode_insert, encode_relation,
+            encode_stream_commit, encode_stream_start, encode_stream_stop,
+            with_stream_xid, wrap_xlogdata, ORDERS_COLS, TS)
+
+
+def _decode_per_file(d: str) -> list[dict]:
+    """Production DataSource semantics: fresh decoder state PER FILE
+    (one partition per file); the union must be exactly-once."""
+    rows = []
+    errors = 0
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".pgout"):
+            state = DecoderState()
+            rows.extend(
+                decode_xlogdata_stream(read_frame_file(os.path.join(d, name)), state)
+            )
+            errors += state.parse_errors
+    assert errors == 0, f"parse errors in per-file decode of {d}"
+    return rows
+
+
+def test_flush_deferred_while_stream_segment_open():
+    """ADVICE r4 (high): an ack-interval flush landing INSIDE an open
+    v2 stream segment must be deferred. Pre-fix, the next file's seed
+    replayed the OPEN segment; a higher-xid cached stream following in
+    the seed reset the decoder's in_stream via its StreamStop, so the
+    open stream's live continuation frames decoded as PLAIN messages —
+    rows from an uncommitted streamed transaction leaked."""
+    (_, _, enc_ins, enc_rel, enc_sc, enc_ss, enc_se,
+     sx, w, COLS, TS) = _stream_fixture_tools()
+    d = tempfile.mkdtemp(prefix="daemon_openseg_")
+    writer = FrameFileWriter(d, max_frames=10_000)
+    frames = [
+        w(enc_rel(101, "public", "orders", COLS), 1),
+        # stream 900 segment 1 (closed)
+        w(enc_ss(900, True), 10),
+        w(sx(enc_ins(101, ["1", "O", "10.00"]), 900), 11),
+        w(enc_se(), 12),
+        # higher-xid stream 950 (closed segment, still open stream)
+        w(enc_ss(950, True), 20),
+        w(sx(enc_ins(101, ["2", "P", "20.00"]), 950), 21),
+        w(enc_se(), 22),
+        # stream 900 segment 2 OPENS ...
+        w(enc_ss(900, False), 30),
+        w(sx(enc_ins(101, ["3", "O", "30.00"]), 900), 31),
+    ]
+    for f in frames:
+        writer.append(f)
+    # ... and the ack cadence fires mid-segment (capture_loop path)
+    writer.flush()
+    tail = [
+        w(sx(enc_ins(101, ["4", "O", "40.00"]), 900), 32),  # live continuation
+        w(enc_se(), 33),
+        w(enc_sc(900, 40, 40, TS), 40),  # 900 commits; 950 never does
+    ]
+    for f in tail:
+        writer.append(f)
+    writer.close()
+
+    rows = _decode_per_file(d)
+    # exactly the committed stream's rows, once each, and NOTHING from
+    # the uncommitted stream 950
+    assert sorted(r["lsn"] for r in rows) == [11, 31, 32]
+    assert all(r["txid"] == 900 for r in rows)
+
+
+def test_in_stream_relation_survives_roll_and_commit_promotion():
+    """ADVICE r4 (medium): a Relation first sent INSIDE a stream
+    segment (protocol v2: kind + xid + body) must be cached with its
+    stream — pre-fix it was mis-keyed into the schema cache via the
+    xid-as-oid and the replayed segments lacked their Relation, so the
+    commit-holding file's decode hit an unregistered relid. And after
+    StreamCommit the server considers the schema session-sent (it will
+    NOT re-send), so the de-xid'ed frame must be promoted into the
+    schema seed for later files."""
+    (enc_b, enc_c, enc_ins, enc_rel, enc_sc, enc_ss, enc_se,
+     sx, w, COLS, TS) = _stream_fixture_tools()
+    d = tempfile.mkdtemp(prefix="daemon_instream_rel_")
+    writer = FrameFileWriter(d, max_frames=10_000)
+    seg1 = [
+        # table 202's FIRST touch is inside the stream: in-stream R
+        w(enc_ss(800, True), 10),
+        w(sx(enc_rel(202, "public", "items", COLS), 800), 11),
+        w(sx(enc_ins(202, ["1", "A", "1.00"]), 800), 12),
+        w(enc_se(), 13),
+    ]
+    for f in seg1:
+        writer.append(f)
+    writer.flush()  # roll between segments (segment closed: allowed)
+    seg2 = [
+        w(enc_ss(800, False), 20),
+        w(sx(enc_ins(202, ["2", "B", "2.00"]), 800), 21),
+        w(enc_se(), 22),
+        w(enc_sc(800, 30, 30, TS), 30),
+    ]
+    for f in seg2:
+        writer.append(f)
+    writer.flush()  # commit-holding file boundary
+    # post-commit PLAIN txn on the same table — the server does NOT
+    # re-send R here (schema marked sent at stream commit)
+    plain = [
+        w(enc_b(40, TS, 801), 40),
+        w(enc_ins(202, ["3", "C", "3.00"]), 41),
+        w(enc_c(42, 42, TS), 42),
+    ]
+    for f in plain:
+        writer.append(f)
+    writer.close()
+
+    files = sorted(f for f in os.listdir(d) if f.endswith(".pgout"))
+    assert len(files) == 3  # the roll points above, no silent merges
+    rows = _decode_per_file(d)
+    assert sorted(r["lsn"] for r in rows) == [12, 21, 41]
+    # schema cache must not contain a garbage xid-keyed entry
+    assert all(oid in (101, 202, 7777) or kind != b"R"
+               for (kind, oid) in writer._schema_cache)
+
+
 def test_daemon_output_via_datasource(spark):
     # the real consumer: daemon-written dir -> postgres_cdc batch read
     from postrack_spark.sources.postgres_cdc import register
