@@ -1,0 +1,190 @@
+"""Independent codec certification against javax.imageio (ADVICE r4 low).
+
+The container has no PIL/libjpeg, but it DOES ship a full JDK: the
+JVM's ImageIO (java.desktop) is a reference implementation of PNG,
+baseline JPEG, and GIF that shares zero code with the pure-stdlib
+codecs in operators/{png,jpeg,gif}.py. The in-repo codec tests were
+closed-loop (decoder consumed sibling-encoder bytes), so complementary
+encoder/decoder bugs — Huffman bit order, LZW code-width increments,
+chunk layout — could cancel. Here every assertion crosses the
+implementation boundary:
+
+* our encoder's bytes must decode correctly in ImageIO, and
+* ImageIO's bytes must decode correctly in our decoder,
+
+with exact pixel equality for the lossless formats (PNG, GIF) and a
+small tolerance for JPEG (both sides implement the ITU-T T.81 IDCT
+with different rounding). ImageIO is reached through the Spark JVM
+gateway — no new dependency, works headless.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from postrack_spark.operators.gif import decode_gif, decode_gif_frames, encode_gif
+from postrack_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from postrack_spark.operators.png import decode_png, encode_png
+
+W, H = 16, 12
+
+
+def _pattern_rgb(w: int = W, h: int = H) -> bytes:
+    # deterministic, busy enough to exercise filters/Huffman/LZW paths
+    return bytes(
+        (x * 37 + y * 11 + c * 53 + (x * y) % 7) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
+class _ImageIO:
+    """Thin py4j bridge to javax.imageio for small test images."""
+
+    def __init__(self, spark):
+        self.jvm = spark._jvm
+        self.gw = spark.sparkContext._gateway
+
+    def decode(self, payload: bytes) -> tuple[bytes, int, int]:
+        img = self.jvm.javax.imageio.ImageIO.read(
+            self.jvm.java.io.ByteArrayInputStream(payload)
+        )
+        assert img is not None, "ImageIO could not parse the bytes at all"
+        w, h = img.getWidth(), img.getHeight()
+        argb = img.getRGB(0, 0, w, h, None, 0, w)
+        out = bytearray()
+        for v in argb:
+            out += bytes(((v >> 16) & 255, (v >> 8) & 255, v & 255))
+        return bytes(out), w, h
+
+    def encode(self, rgb: bytes, w: int, h: int, fmt: str) -> bytes:
+        B = self.jvm.java.awt.image.BufferedImage
+        img = B(w, h, B.TYPE_INT_RGB)
+        arr = self.gw.new_array(self.jvm.int, w * h)
+        for i in range(w * h):
+            v = (rgb[3 * i] << 16) | (rgb[3 * i + 1] << 8) | rgb[3 * i + 2]
+            arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+        img.setRGB(0, 0, w, h, arr, 0, w)
+        baos = self.jvm.java.io.ByteArrayOutputStream()
+        assert self.jvm.javax.imageio.ImageIO.write(img, fmt, baos)
+        return bytes(baos.toByteArray())
+
+
+@pytest.fixture(scope="module")
+def iio(spark):
+    return _ImageIO(spark)
+
+
+def _max_abs_diff(a: bytes, b: bytes) -> int:
+    assert len(a) == len(b)
+    return max((abs(x - y) for x, y in zip(a, b)), default=0)
+
+
+# ----------------------------------------------------------------- PNG
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_our_encoder_decodes_exactly_in_imageio(iio, filter_type):
+    rgb = _pattern_rgb()
+    got, w, h = iio.decode(encode_png(rgb, W, H, filter_type=filter_type))
+    assert (w, h) == (W, H)
+    assert got == rgb
+
+
+def test_png_imageio_bytes_decode_exactly_in_ours(iio):
+    rgb = _pattern_rgb()
+    ref = iio.encode(rgb, W, H, "png")
+    assert decode_png(ref) == rgb
+
+
+# ----------------------------------------------------------------- JPEG
+
+
+def _gray_pattern_rgb(w: int = W, h: int = H) -> bytes:
+    # busy LUMA, constant CHROMA (R=G=B): 4:2:0 chroma upsampling is a
+    # no-op on constant chroma, so decoders that differ only in
+    # upsampling policy (the JDK ports libjpeg's triangular "fancy"
+    # upsampling; ours box-replicates — T.81 standardizes neither)
+    # still must agree tightly, while Huffman/marker bugs stay fatal
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in [(x * 41 + y * 23 + (x * y) % 13) % 256] * 3
+    )
+
+
+def test_jpeg_444_our_encoder_decodes_in_imageio(iio):
+    # 4:4:4, all-ones quant: near-lossless apart from IDCT rounding
+    rgb = _pattern_rgb()
+    payload = encode_jpeg(rgb, W, H, subsample=(1, 1))
+    theirs, w, h = iio.decode(payload)
+    assert (w, h) == (W, H)
+    ours, _, _ = decode_jpeg(payload)
+    # cross-decoder agreement on the SAME bytes: tight (IDCT rounding)
+    assert _max_abs_diff(theirs, ours) <= 4
+    # and both must still resemble the source
+    assert _max_abs_diff(theirs, rgb) <= 6
+
+
+def test_jpeg_420_our_encoder_decodes_in_imageio(iio):
+    rgb = _gray_pattern_rgb()
+    payload = encode_jpeg(rgb, W, H, subsample=(2, 2))
+    theirs, w, h = iio.decode(payload)
+    assert (w, h) == (W, H)
+    ours, _, _ = decode_jpeg(payload)
+    assert _max_abs_diff(theirs, ours) <= 4
+    assert _max_abs_diff(theirs, rgb) <= 6
+
+
+def test_jpeg_imageio_bytes_decode_in_ours(iio):
+    # ImageIO's writer (quality ~0.75, 4:2:0): our decoder must agree
+    # with ImageIO's own decoder on the same reference bytes
+    rgb = _gray_pattern_rgb()
+    ref = iio.encode(rgb, W, H, "jpg")
+    ours, w, h = decode_jpeg(ref)
+    assert (w, h) == (W, H)
+    theirs, _, _ = iio.decode(ref)
+    assert _max_abs_diff(ours, theirs) <= 4
+
+
+def test_jpeg_restart_markers_parse_in_imageio(iio):
+    rgb = _pattern_rgb(24, 16)
+    payload = encode_jpeg(rgb, 24, 16, subsample=(1, 1), restart_interval=2)
+    theirs, w, h = iio.decode(payload)
+    assert (w, h) == (24, 16)
+    ours, _, _ = decode_jpeg(payload)
+    assert _max_abs_diff(theirs, ours) <= 4
+
+
+# ----------------------------------------------------------------- GIF
+
+
+def test_gif_our_encoder_decodes_exactly_in_imageio(iio):
+    palette = [(i * 17 % 256, i * 29 % 256, i * 43 % 256) for i in range(16)]
+    indices = bytes((x + y * 3) % 16 for y in range(H) for x in range(W))
+    payload = encode_gif([{"indices": indices}], W, H, palette)
+    rgb = b"".join(bytes(palette[i]) for i in indices)
+    got, w, h = iio.decode(payload)
+    assert (w, h) == (W, H)
+    assert got == rgb
+    assert decode_gif(payload) == rgb  # and ours agrees, same bytes
+
+
+def test_gif_imageio_bytes_decode_exactly_in_ours(iio):
+    # few distinct colors -> Java's GIF writer quantizes losslessly;
+    # assert cross-decoder EXACT agreement on the same reference bytes
+    rgb = b"".join(
+        bytes([(x % 4) * 80, (y % 3) * 100, ((x + y) % 2) * 200])
+        for y in range(H)
+        for x in range(W)
+    )
+    ref = iio.encode(rgb, W, H, "gif")
+    ours = decode_gif(ref)
+    theirs, w, h = iio.decode(ref)
+    assert (w, h) == (W, H)
+    assert ours == theirs
+    # frame bookkeeping sane on a foreign single-frame file
+    frames, fw, fh = decode_gif_frames(ref)
+    assert (fw, fh) == (W, H) and len(frames) == 1
