@@ -2084,3 +2084,76 @@ def streaming_session_expiry_timeout(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("user_id")
     )
+
+
+from postrack_spark.queries.cdc_queries import _CHANGES_CTE  # noqa: E402
+
+
+@query(
+    "streaming_latest_state_tws",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY okey ORDER BY lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT okey AS o_orderkey, status, round(price, 2) AS price
+    FROM ranked
+    WHERE rn = 1 AND op <> 'DELETE'
+    ORDER BY o_orderkey
+    """,
+)
+def streaming_latest_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-per-key via transformWithStateInPandas — Spark 4's
+    flagship arbitrary-state API, running for real (update-mode value
+    state in RocksDB column families, protobuf state-server protocol).
+    Where the container lacks google.protobuf, the vendored pure-stdlib
+    pbstub runtime (postrack_spark/vendor/pbstub) supplies the wire
+    protocol — certified byte-identical against protobuf-java in
+    tests/test_pbstub.py. Equals the batch latest-per-key oracle on the
+    same synthetic change relation (FIXTURES.md §B); the
+    applyInPandasWithState twin covers the same semantics on the
+    Spark-3 API (streaming_queries siblings).
+
+    Scale: state is one row image per key in the state store (RocksDB,
+    spillable), input shuffles once on the grouping key, per-batch
+    updates stream out in update mode — no global sort, no collect.
+    """
+    from postrack_spark.streaming.stateful import (
+        ensure_protobuf,
+        latest_state_tws,
+        rocksdb_state,
+    )
+
+    if not ensure_protobuf(spark):  # pragma: no cover - shim is stdlib
+        raise RuntimeError("protobuf unavailable and pbstub failed to load")
+    changes = orders_changes(spark, sf_dir)
+    typed = changes.select(
+        F.coalesce(
+            typed_column("after", "o_orderkey", "long"),
+            typed_column("before", "o_orderkey", "long"),
+        ).alias("o_orderkey"),
+        "lsn",
+        "op",
+        typed_column("after", "o_orderstatus", "string").alias("status"),
+        typed_column("after", "o_totalprice", "double").alias("price"),
+    )
+    stream = envelope_stream(spark, typed, name=_qname("tws"))
+    with rocksdb_state(spark):
+        out = run_to_memory(
+            latest_state_tws(stream), _qname("tws_sink"), output_mode="update"
+        )
+    # update mode logs one image per (key, batch-with-input); reduce to
+    # the final image per key (ties on lsn carry identical images)
+    final = out.groupBy("o_orderkey").agg(
+        F.max_by(F.struct("op", "status", "price"), "lsn").alias("s")
+    )
+    return (
+        final.filter(F.col("s.op") != "DELETE")
+        .select(
+            "o_orderkey",
+            F.col("s.status").alias("status"),
+            F.round("s.price", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )

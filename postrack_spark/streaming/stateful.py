@@ -86,17 +86,86 @@ def streaming_topk_events(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def tws_available() -> bool:
-    """transformWithStateInPandas needs google.protobuf at runtime (the
-    state-server protocol is protobuf-encoded); absent in some
-    environments — gate callers (this container lacks it, so
-    latest_state_tws has no queries() entry; applyInPandasWithState
-    covers the arbitrary-state surface there)."""
+def ensure_protobuf(spark=None) -> bool:
+    """Make ``google.protobuf`` importable, vendoring pbstub if needed.
+
+    transformWithStateInPandas needs google.protobuf at runtime (the
+    state-server protocol is protobuf-encoded). When the real package
+    is absent, activate the pure-stdlib subset vendored at
+    ``postrack_spark/vendor/pbstub`` (see its module docstring for
+    scope): insert it into this process's ``sys.path`` and into
+    ``PYTHONPATH`` so Spark's Python WORKERS — where
+    stateful_processor_api_client actually runs — can import it too.
+    Passing the active session also patches ``sc.environment``, which
+    Spark snapshots into every subsequently-created python function's
+    env (the worker daemon is keyed on its env, so a fresh daemon picks
+    the path up mid-session). A real protobuf installation always wins:
+    the vendor path is only added after ``import google.protobuf``
+    fails."""
+    import os
+    import sys
+
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
+        pass
+    vendor = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "vendor", "pbstub")
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    if vendor not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = (
+            vendor + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+    if spark is not None:
+        env = spark.sparkContext.environment
+        if vendor not in env.get("PYTHONPATH", ""):
+            env["PYTHONPATH"] = (
+                vendor + os.pathsep + env.get("PYTHONPATH", "")
+            ).rstrip(os.pathsep)
+    try:
+        from google.protobuf import descriptor  # noqa: F401,F811
+
+        return True
+    except ImportError:  # pragma: no cover - shim always importable
+        return False
+
+
+def tws_available(spark=None) -> bool:
+    """True when transformWithStateInPandas can run here (real protobuf
+    or the vendored pbstub shim — see ensure_protobuf)."""
+    return ensure_protobuf(spark)
+
+
+class rocksdb_state:
+    """Context manager scoping the RocksDB state-store provider around a
+    transformWithState query run. TWS keeps each state variable in its
+    own column family, which the default HDFSBackedStateStoreProvider
+    rejects; RocksDB (bundled with Spark — rocksdbjni jar) supports
+    them. Streaming confs are captured at query START, so setting the
+    provider for the duration of a synchronous availableNow run and
+    restoring afterwards leaves concurrent tests' default untouched."""
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKS = ("org.apache.spark.sql.execution.streaming"
+              ".state.RocksDBStateStoreProvider")
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._saved = None
+
+    def __enter__(self):
+        self._saved = self.spark.conf.get(self._KEY, None)
+        self.spark.conf.set(self._KEY, self._ROCKS)
+        return self
+
+    def __exit__(self, *exc):
+        if self._saved is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self._saved)
         return False
 
 

@@ -95,9 +95,13 @@ def test_latest_state_tws_matches_batch(spark, sf_dir):
 
     from postrack_spark.cdc import orders_changes, typed_column
     from postrack_spark.streaming import envelope_stream, run_to_memory
-    from postrack_spark.streaming.stateful import latest_state_tws, tws_available
+    from postrack_spark.streaming.stateful import (
+        latest_state_tws,
+        rocksdb_state,
+        tws_available,
+    )
 
-    if not tws_available():
+    if not tws_available(spark):
         pytest.skip("google.protobuf unavailable: transformWithState cannot run here")
 
     changes = orders_changes(spark, sf_dir)
@@ -112,7 +116,10 @@ def test_latest_state_tws_matches_batch(spark, sf_dir):
         typed_column("after", "o_totalprice", "double").alias("price"),
     )
     stream = envelope_stream(spark, typed, name="tws_test")
-    out = run_to_memory(latest_state_tws(stream), "tws_test_sink", output_mode="update")
+    with rocksdb_state(spark):
+        out = run_to_memory(
+            latest_state_tws(stream), "tws_test_sink", output_mode="update"
+        )
     got = {
         r["o_orderkey"]: (r["status"], round(r["price"], 2))
         for r in out.filter(F.col("op") != "DELETE").collect()
