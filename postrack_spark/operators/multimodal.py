@@ -242,10 +242,30 @@ def decode_media_frames(payload: bytes, media_type: str) -> tuple[list[bytes], i
 
         framed, w, h = decode_gif_frames(payload)
         return [rgb for rgb, _delay in framed], w, h
+    if mt == "video/mp4":
+        from postrack_spark.operators.jpeg import decode_jpeg
+        from postrack_spark.operators.mp4 import parse_mp4
+
+        samples, meta = parse_mp4(payload)
+        if meta["codec"] != "jpeg":
+            # container parse + per-frame bitstream extraction is real;
+            # an H.264/H.265 entropy decoder needs ffmpeg — raising
+            # beats silently-wrong pixels (same contract as AVI)
+            raise NotImplementedError(
+                f"MP4 codec {meta['codec']!r} needs ffmpeg; only "
+                "MJPEG-in-MP4 ('jpeg' sample entries) decodes here"
+            )
+        frames = []
+        w = h = 0
+        for p in samples:
+            rgb, w, h = decode_jpeg(p)
+            frames.append(rgb)
+        return frames, w, h
     if mt.startswith("video/"):
         raise NotImplementedError(
-            f"no container parser for {media_type}; MJPEG-in-AVI and animated "
-            "GIF decode here, other codecs need ffmpeg"
+            f"no container parser for {media_type}; MJPEG-in-AVI, "
+            "MJPEG-in-MP4 and animated GIF decode here, other codecs "
+            "need ffmpeg"
         )
     return [decode_media(payload, media_type)], 0, 0
 

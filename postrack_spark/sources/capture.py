@@ -82,8 +82,6 @@ class FrameFileWriter:
     def __init__(self, out_dir: str, max_frames: int = 4096,
                  max_bytes: int = 16 << 20) -> None:
         self.out_dir = out_dir
-        self.max_frames = max_frames
-        self.max_bytes = max_bytes
         os.makedirs(out_dir, exist_ok=True)
         existing = sorted(
             int(f[: -len(FRAME_FILE_SUFFIX)])
@@ -91,7 +89,15 @@ class FrameFileWriter:
             if f.endswith(FRAME_FILE_SUFFIX)
             and f[: -len(FRAME_FILE_SUFFIX)].isdigit()
         )
-        self.seq = (existing[-1] + 1) if existing else 0
+        self._init_buffers(max_frames, max_bytes,
+                           (existing[-1] + 1) if existing else 0)
+
+    def _init_buffers(self, max_frames: int, max_bytes: int,
+                      start_seq: int) -> None:
+        """Shared field init for all transports (see _persist seam)."""
+        self.max_frames = max_frames
+        self.max_bytes = max_bytes
+        self.seq = start_seq
         self._schema_cache: dict[tuple[bytes, int], bytes] = {}  # (kind, oid) -> frame
         self._stream_cache: dict[int, list[bytes]] = {}  # open v2 stream xid -> frames
         # De-xid'ed R/Y frames first sent INSIDE a streamed transaction,
@@ -114,6 +120,16 @@ class FrameFileWriter:
     @staticmethod
     def _payload_kind(frame: bytes) -> bytes:
         return frame[25:26] if len(frame) > 25 and frame[:1] == b"w" else b""
+
+    def _persist(self, frames: list[bytes]) -> None:
+        """Transport seam: durably store one self-contained roll as unit
+        ``self.seq``. The rolling/seeding logic above is transport-
+        independent; subclasses (sources/kafka_transport.py) override
+        only this to publish the roll elsewhere. MUST be durable on
+        return — durable_lsn (and therefore the Postgres ack) advances
+        right after."""
+        path = os.path.join(self.out_dir, f"{self.seq:012d}{FRAME_FILE_SUFFIX}")
+        write_frame_file(path, frames)
 
     def append(self, frame: bytes) -> None:
         kind = self._payload_kind(frame)
@@ -194,8 +210,7 @@ class FrameFileWriter:
         if not self._pending:
             self._roll_requested = False
             return
-        path = os.path.join(self.out_dir, f"{self.seq:012d}{FRAME_FILE_SUFFIX}")
-        write_frame_file(path, self._pending)
+        self._persist(self._pending)
         self.seq += 1
         self.durable_lsn = max(self.durable_lsn, self._pending_last_lsn)
         # seed the NEXT file with the current schema frames plus every
@@ -316,11 +331,14 @@ def run_daemon(dsn: str, slot: str, out_dir: str, publication: str,
                start_lsn: int = 0, proto_version: int = 1,
                streaming: bool = False,
                ack_interval_s: float = 5.0, max_frames: int = 4096,
-               max_bytes: int = 16 << 20, stop=lambda: False) -> None:
+               max_bytes: int = 16 << 20, stop=lambda: False,
+               writer: FrameFileWriter | None = None) -> None:
     """connect + StartReplication + pump (postrack.go:86-105 + 287-310).
 
     Starts at ``start_lsn + 1`` like the reference (postrack.go:297's
     ``pglogrepl.LSN(lsn+1)``); pass the last durable LSN to resume.
+    Pass ``writer`` to re-target the sink (kafka_transport.
+    KafkaFrameWriter); default is the ``.pgout`` file contract.
     """
     pg = _require_psycopg2()
     repl = pg.connect(dsn, connection_factory=pg.extras.LogicalReplicationConnection)
@@ -335,7 +353,9 @@ def run_daemon(dsn: str, slot: str, out_dir: str, publication: str,
             **({"streaming": "on"} if streaming else {}),
         },
     )
-    writer = FrameFileWriter(out_dir, max_frames=max_frames, max_bytes=max_bytes)
+    if writer is None:
+        writer = FrameFileWriter(out_dir, max_frames=max_frames,
+                                 max_bytes=max_bytes)
 
     def source():
         import select as _select

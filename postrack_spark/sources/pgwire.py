@@ -281,10 +281,13 @@ def run_daemon_pgwire(host: str, port: int, user: str, database: str,
                       start_lsn: int = 0, proto_version: int = 1,
                       streaming: bool = False,
                       ack_interval_s: float = 5.0, max_frames: int = 4096,
-                      max_bytes: int = 16 << 20, stop=lambda: False) -> None:
+                      max_bytes: int = 16 << 20, stop=lambda: False,
+                      writer=None) -> None:
     """capture.run_daemon with the pure-stdlib transport: connect +
     StartReplication + pump (postrack.go:86-105, 287-310), resuming at
-    ``start_lsn + 1`` like the reference (postrack.go:297)."""
+    ``start_lsn + 1`` like the reference (postrack.go:297). Pass
+    ``writer`` to re-target the sink (e.g. kafka_transport.
+    KafkaFrameWriter); default is the ``.pgout`` file contract."""
     from postrack_spark.sources.capture import FrameFileWriter, capture_loop
 
     repl = PgWireConnection(host, port, user, database, replication=True)
@@ -295,7 +298,9 @@ def run_daemon_pgwire(host: str, port: int, user: str, database: str,
     if streaming:
         options["streaming"] = "on"
     repl.start_replication(slot, start_lsn + 1, options)
-    writer = FrameFileWriter(out_dir, max_frames=max_frames, max_bytes=max_bytes)
+    if writer is None:
+        writer = FrameFileWriter(out_dir, max_frames=max_frames,
+                                 max_bytes=max_bytes)
 
     def source():
         while not stop():

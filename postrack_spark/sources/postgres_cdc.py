@@ -43,20 +43,19 @@ from postrack_spark.sources.pgoutput import DecoderState, decode_xlogdata_stream
 FRAME_FILE_SUFFIX = ".pgout"
 
 
-def write_frame_file(path: str, frames: list[bytes]) -> None:
-    """Capture-side helper: length-prefixed frames, atomic rename."""
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        for fr in frames:
-            f.write(struct.pack(">I", len(fr)))
-            f.write(fr)
-    os.replace(tmp, path)
+def frames_to_blob(frames: list[bytes]) -> bytes:
+    """The ``.pgout`` payload encoding (length-prefixed frames) as one
+    bytes value — shared by the file transport (one blob per file) and
+    the Kafka-shaped transport (one blob per topic message)."""
+    out = bytearray()
+    for fr in frames:
+        out += struct.pack(">I", len(fr))
+        out += fr
+    return bytes(out)
 
 
-def read_frame_file(path: str) -> list[bytes]:
+def blob_to_frames(data: bytes) -> list[bytes]:
     frames = []
-    with open(path, "rb") as f:
-        data = f.read()
     off = 0
     while off < len(data):
         (ln,) = struct.unpack_from(">I", data, off)
@@ -64,6 +63,19 @@ def read_frame_file(path: str) -> list[bytes]:
         frames.append(data[off : off + ln])
         off += ln
     return frames
+
+
+def write_frame_file(path: str, frames: list[bytes]) -> None:
+    """Capture-side helper: length-prefixed frames, atomic rename."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(frames_to_blob(frames))
+    os.replace(tmp, path)
+
+
+def read_frame_file(path: str) -> list[bytes]:
+    with open(path, "rb") as f:
+        return blob_to_frames(f.read())
 
 
 def _capture_files(capture_dir: str) -> list[str]:

@@ -68,6 +68,14 @@ def main() -> int:
                     choices=("auto", "psycopg", "pgwire"),
                     help="psycopg2 when installed, else the pure-stdlib "
                          "wire client (trust-auth servers)")
+    ap.add_argument("--sink", default="file", choices=("file", "kafka"),
+                    help="where rolls go: .pgout files in --out (default) "
+                         "or one message per roll on a Kafka topic "
+                         "(--broker/--topic; needs kafka-python)")
+    ap.add_argument("--broker", default=None,
+                    help="Kafka bootstrap servers (with --sink kafka)")
+    ap.add_argument("--topic", default=None,
+                    help="Kafka topic for WAL rolls (with --sink kafka)")
     ap.add_argument("--ack-interval", type=float, default=5.0,
                     help="seconds between durable-flush + ack (ref: 5)")
     ap.add_argument("--max-frames", type=int, default=4096)
@@ -104,6 +112,19 @@ def main() -> int:
         max_frames=args.max_frames, max_bytes=args.max_bytes,
         stop=lambda: stopping["flag"],
     )
+    if args.sink == "kafka":
+        if not (args.broker and args.topic):
+            ap.error("--sink kafka requires --broker and --topic")
+        from postrack_spark.sources.kafka_transport import (
+            KafkaFrameWriter,
+            KafkaProducerAdapter,
+        )
+
+        common["writer"] = KafkaFrameWriter(
+            KafkaProducerAdapter(args.broker), args.topic,
+            max_frames=args.max_frames, max_bytes=args.max_bytes,
+            resume_seq=0,
+        )
     if transport == "psycopg":
         run_daemon(args.dsn, out_dir=args.out, **common)
     else:
