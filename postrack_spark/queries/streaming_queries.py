@@ -2157,3 +2157,62 @@ def streaming_latest_state_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "streaming_delta_log_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_delta_log_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream events into a Delta-protocol table (streaming/
+    delta_log.py: real _delta_log JSON commits, put-if-absent
+    atomicity, txn-action idempotence under at-least-once foreachBatch)
+    and aggregate the SNAPSHOT READ — on finite input this equals the
+    batch rollup, so the whole sink/reader protocol sits inside the
+    hash gate. Time travel, compaction, vacuum, and the crash-window
+    invisibility of uncommitted files are pinned by
+    tests/test_delta_log.py.
+
+    Scale: the log is O(commits) metadata; the snapshot read plans a
+    distributed parquet scan over exactly the live files. Money sums
+    quantize to integer cents PER ROW before summing (identical IEEE
+    multiply+floor on both engines; a double SUM would differ in
+    association order — the portability trap in CLAUDE.md).
+    """
+    import tempfile
+
+    from postrack_spark.session import fan_out
+    from postrack_spark.streaming.delta_log import (
+        foreach_batch_delta,
+        read_delta,
+    )
+    from postrack_spark.streaming.runner import events_stream
+
+    table = tempfile.mkdtemp(prefix="delta_rollup_")
+    ckpt = tempfile.mkdtemp(prefix="delta_rollup_ckpt_")
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(foreach_batch_delta(table, mode="append"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = fan_out(read_delta(spark, table))
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

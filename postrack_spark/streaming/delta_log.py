@@ -1,0 +1,311 @@
+"""Delta-Lake-transaction-log sink and reader, pure protocol.
+
+SURVEY §2b's sink row mentions ``format("delta")``; the container has
+no delta-spark jar, but the Delta transaction-log PROTOCOL is public
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md) and simple
+at its core: a table is a directory of parquet files plus a
+``_delta_log/`` of numbered JSON commits, each a list of actions —
+``protocol``, ``metaData`` (schema as Spark's StructType JSON),
+``add`` (file became live), ``remove`` (file left the table). The live
+snapshot at version V is the replay of commits 0..V; commit atomicity
+is put-if-absent creation of the next version's log file.
+
+This module implements that protocol with stdlib + Spark:
+
+* ``commit_delta`` — atomic commit via ``O_CREAT | O_EXCL`` (the
+  protocol's put-if-absent rule on a local/HDFS-like store); a loser
+  of a commit race gets ``DeltaCommitConflict`` and must rebase.
+* ``write_delta`` / ``foreach_batch_delta`` — batch and streaming
+  writers. Append mode adds files; complete mode rewrites the table
+  as remove-all + add-new IN ONE COMMIT (readers never see a gap —
+  the same atomic-swap guarantee the versioned-dir sink provides with
+  its ``_CURRENT`` pointer, here expressed in Delta's vocabulary).
+* ``read_delta`` — snapshot read of the latest or any historical
+  version (time travel), by replaying the log and reading only live
+  files. Uncommitted parquet (a writer that crashed before its log
+  commit) is INVISIBLE: replay never references it — the crash-window
+  property test_sink_faults.py proves for the pointer sink holds here
+  by construction.
+* ``compact_delta`` — OPTIMIZE-shaped bin-packing: rewrites the live
+  file set and commits remove+add atomically; concurrent readers of
+  older versions still resolve (files are only deleted by
+  ``vacuum_delta`` past a retention horizon).
+
+Interop caveat, stated honestly: real delta-spark also writes
+checkpoint parquet files and CRC sidecars and supports reader/writer
+feature flags; this writer pins ``minReaderVersion=1 /
+minWriterVersion=2`` and writes no checkpoints, which the protocol
+allows (checkpoints are an optimization) — a compliant reader replays
+the JSON log alone. The reader here rejects tables requiring features
+beyond protocol (1, 2).
+
+Scale: the log is O(commits) JSON lines, never data-sized; snapshot
+resolution is driver-side metadata work proportional to live-file
+count (delta-spark pays the same), and data stays in distributed
+parquet scans over exactly the live files — no full-table rewrite on
+append, compaction amortized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_delta_log"
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+class DeltaCommitConflict(RuntimeError):
+    """Another writer committed this version first (put-if-absent lost)."""
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    log = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(log)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def latest_version(table: str) -> int | None:
+    versions = _list_versions(table)
+    return versions[-1] if versions else None
+
+
+def commit_delta(table: str, version: int, actions: list[dict]) -> None:
+    """Atomically create commit ``version`` (put-if-absent). Raises
+    DeltaCommitConflict when the version already exists."""
+    os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+    path = _log_path(table, version)
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        raise DeltaCommitConflict(f"version {version} already committed")
+    with os.fdopen(fd, "w") as f:
+        f.write(payload + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _metadata_action(df: DataFrame) -> dict:
+    return {"metaData": {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": df.schema.json(),
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": int(time.time() * 1000),
+    }}
+
+
+def _write_data_files(df: DataFrame, table: str) -> list[dict]:
+    """Write the batch as parquet under a scratch name, move the parts
+    into the table root, return their add actions (uncommitted until a
+    log commit references them)."""
+    scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(scratch)
+    adds = []
+    for name in sorted(os.listdir(scratch)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(scratch, name), os.path.join(table, final))
+        adds.append({"add": {
+            "path": final,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(table, final)),
+            "modificationTime": int(time.time() * 1000),
+            "dataChange": True,
+        }})
+    shutil.rmtree(scratch, ignore_errors=True)
+    return adds
+
+
+def _snapshot(table: str, version: int | None):
+    """Replay the log: (live add-paths, schemaString, resolved version)."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log under {table}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in {table} (have {versions})")
+    live: dict[str, dict] = {}
+    schema_string = None
+    for v in versions:
+        if v > version:
+            break
+        with open(_log_path(table, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    p = action["protocol"]
+                    if (p.get("minReaderVersion", 1) > 1):
+                        raise ValueError(
+                            "table requires reader features beyond "
+                            f"protocol 1: {p}")
+                elif "metaData" in action:
+                    schema_string = action["metaData"]["schemaString"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    return list(live), schema_string, version
+
+
+def write_delta(df: DataFrame, table: str, mode: str = "append") -> int:
+    """Batch write; returns the committed version. ``overwrite``
+    replaces the whole live set in one atomic commit."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be append|overwrite")
+    os.makedirs(table, exist_ok=True)
+    adds = _write_data_files(df, table)
+    for attempt in range(10):
+        current = latest_version(table)
+        version = 0 if current is None else current + 1
+        actions: list[dict] = []
+        if version == 0:
+            actions.append({"protocol": dict(_PROTOCOL)})
+            actions.append(_metadata_action(df))
+        removes: list[dict] = []
+        if mode == "overwrite" and version > 0:
+            paths, _, _ = _snapshot(table, None)
+            removes = [{"remove": {
+                "path": p, "deletionTimestamp": int(time.time() * 1000),
+                "dataChange": True,
+            }} for p in paths]
+        try:
+            commit_delta(table, version, actions + removes + adds)
+            return version
+        except DeltaCommitConflict:
+            continue  # rebase: recompute version (and removes) and retry
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def read_delta(spark: SparkSession, table: str,
+               version: int | None = None) -> DataFrame:
+    """Snapshot read (latest, or time travel to ``version``)."""
+    paths, schema_string, _v = _snapshot(table, version)
+    schema = StructType.fromJson(json.loads(schema_string))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in paths])
+
+
+def foreach_batch_delta(table: str, mode: str = "append"):
+    """foreachBatch hook: exactly-once via Delta's own idempotence rule
+    — the commit embeds the batch id in a ``txn`` action (appId =
+    table path), and a replayed batch whose id is <= the recorded one
+    is a no-op (the streaming-sink contract delta-spark implements)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_txn_version(table)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
+        os.makedirs(table, exist_ok=True)
+        adds = _write_data_files(batch_df, table)
+        for _ in range(10):
+            current = latest_version(table)
+            version = 0 if current is None else current + 1
+            actions = [{"txn": {"appId": os.path.abspath(table),
+                                "version": batch_id}}]
+            if version == 0:
+                actions = ([{"protocol": dict(_PROTOCOL)},
+                            _metadata_action(batch_df)] + actions)
+            removes = []
+            if mode == "overwrite" and version > 0:
+                paths, _, _ = _snapshot(table, None)
+                removes = [{"remove": {
+                    "path": p,
+                    "deletionTimestamp": int(time.time() * 1000),
+                    "dataChange": True,
+                }} for p in paths]
+            try:
+                commit_delta(table, version, actions + removes + adds)
+                return
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+    return apply_batch
+
+
+def last_txn_version(table: str) -> int | None:
+    """Highest streaming batch id committed to this table (txn actions
+    with appId == table path), per the protocol's idempotent-writes
+    rule."""
+    app_id = os.path.abspath(table)
+    last = None
+    for v in _list_versions(table):
+        with open(_log_path(table, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    bv = txn["version"]
+                    last = bv if last is None else max(last, bv)
+    return last
+
+
+def compact_delta(spark: SparkSession, table: str,
+                  target_files: int = 1) -> int:
+    """OPTIMIZE-shaped bin-packing: rewrite the live set into
+    ``target_files`` files and commit remove+add atomically
+    (dataChange=false — readers see identical rows before and after)."""
+    paths, schema_string, _v = _snapshot(table, None)
+    if not paths:
+        return latest_version(table) or 0
+    df = read_delta(spark, table).coalesce(target_files)
+    adds = _write_data_files(df, table)
+    for a in adds:
+        a["add"]["dataChange"] = False
+    removes = [{"remove": {
+        "path": p, "deletionTimestamp": int(time.time() * 1000),
+        "dataChange": False,
+    }} for p in paths]
+    for _ in range(10):
+        current = latest_version(table)
+        version = (current or 0) + 1
+        try:
+            commit_delta(table, version, removes + adds)
+            return version
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
+    """Delete data files unreferenced by the last ``retain_versions``
+    snapshots (the protocol's retention rule, version- rather than
+    clock-based for determinism in tests). Returns deleted paths."""
+    versions = _list_versions(table)
+    keep = versions[-retain_versions:] if retain_versions else versions[-1:]
+    referenced: set[str] = set()
+    for v in keep:
+        paths, _, _ = _snapshot(table, v)
+        referenced.update(paths)
+    deleted = []
+    for name in os.listdir(table):
+        if name.endswith(".parquet") and name not in referenced:
+            os.remove(os.path.join(table, name))
+            deleted.append(name)
+    return deleted

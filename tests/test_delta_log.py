@@ -1,0 +1,148 @@
+"""Delta transaction-log sink/reader (streaming/delta_log.py): snapshot
+semantics, time travel, atomic overwrite, OPTIMIZE-shaped compaction,
+vacuum retention, commit races, streaming idempotence, and the
+crash-window property (data files written but never committed are
+invisible and reclaimable) — the same fault matrix test_sink_faults.py
+pins for the pointer sink, expressed in Delta's vocabulary."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from postrack_spark.streaming.delta_log import (
+    DeltaCommitConflict,
+    _log_path,
+    compact_delta,
+    foreach_batch_delta,
+    last_txn_version,
+    latest_version,
+    read_delta,
+    vacuum_delta,
+    write_delta,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+
+def test_append_accumulates_and_reads_back(spark):
+    t = tempfile.mkdtemp(prefix="delta_t_")
+    assert write_delta(_df(spark, 0, 5), t, mode="append") == 0
+    assert write_delta(_df(spark, 5, 8), t, mode="append") == 1
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == list(range(8))
+    # schema came from metaData, not parquet inference
+    assert read_delta(spark, t).columns == ["k", "v"]
+
+
+def test_overwrite_is_atomic_and_time_travel_works(spark):
+    t = tempfile.mkdtemp(prefix="delta_o_")
+    write_delta(_df(spark, 0, 5), t)
+    write_delta(_df(spark, 100, 103), t, mode="overwrite")
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [100, 101, 102]
+    # time travel to version 0: the pre-overwrite snapshot
+    assert sorted(r["k"] for r in read_delta(spark, t, version=0).collect()) == [0, 1, 2, 3, 4]
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, t, version=99)
+
+
+def test_crashed_writer_files_are_invisible_then_vacuumed(spark):
+    t = tempfile.mkdtemp(prefix="delta_c_")
+    write_delta(_df(spark, 0, 4), t)
+    before = sorted(r["k"] for r in read_delta(spark, t).collect())
+    # simulate a writer that died between data write and log commit:
+    # drop an orphan parquet into the table root
+    _df(spark, 50, 60).coalesce(1).write.mode("overwrite").parquet(t + "_x")
+    part = next(f for f in os.listdir(t + "_x") if f.endswith(".parquet"))
+    os.replace(os.path.join(t + "_x", part),
+               os.path.join(t, "part-orphan.parquet"))
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == before
+    deleted = vacuum_delta(t, retain_versions=2)
+    assert "part-orphan.parquet" in deleted
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == before
+
+
+def test_commit_race_rebases_to_next_version(spark):
+    t = tempfile.mkdtemp(prefix="delta_r_")
+    write_delta(_df(spark, 0, 3), t)
+    # a rival writer takes version 1 before our append lands
+    os.makedirs(os.path.dirname(_log_path(t, 1)), exist_ok=True)
+    with open(_log_path(t, 1), "w") as f:
+        f.write(json.dumps({"add": {
+            "path": "missing-but-then-removed.parquet",
+            "partitionValues": {}, "size": 0, "modificationTime": 0,
+            "dataChange": True}}) + "\n")
+        f.write(json.dumps({"remove": {
+            "path": "missing-but-then-removed.parquet",
+            "deletionTimestamp": 0, "dataChange": True}}) + "\n")
+    v = write_delta(_df(spark, 3, 6), t, mode="append")
+    assert v == 2  # rebased past the rival's commit
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(range(6))
+
+
+def test_compaction_preserves_rows_and_vacuum_reclaims(spark):
+    t = tempfile.mkdtemp(prefix="delta_z_")
+    for lo in range(0, 20, 5):
+        write_delta(_df(spark, lo, lo + 5), t)
+    before = sorted(r["k"] for r in read_delta(spark, t).collect())
+    files_before = sum(1 for f in os.listdir(t) if f.endswith(".parquet"))
+    v = compact_delta(spark, t, target_files=1)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == before
+    # pre-compaction snapshot still resolves (time travel)
+    assert sorted(
+        r["k"] for r in read_delta(spark, t, version=v - 1).collect()
+    ) == before
+    vacuum_delta(t, retain_versions=1)
+    files_after = sum(1 for f in os.listdir(t) if f.endswith(".parquet"))
+    assert files_after < files_before
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == before
+
+
+def test_streaming_batches_are_idempotent(spark):
+    t = tempfile.mkdtemp(prefix="delta_s_")
+    hook = foreach_batch_delta(t, mode="append")
+    hook(_df(spark, 0, 5), 0)
+    hook(_df(spark, 5, 8), 1)
+    hook(_df(spark, 5, 8), 1)  # at-least-once replay: must be a no-op
+    hook(_df(spark, 0, 5), 0)  # stale replay after progress: no-op too
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == list(range(8))
+    assert last_txn_version(t) == 1
+
+
+def test_streaming_end_to_end_through_real_foreachbatch(spark, sf_dir):
+    from postrack_spark.streaming.runner import events_stream
+
+    t = tempfile.mkdtemp(prefix="delta_e2e_")
+    ckpt = tempfile.mkdtemp(prefix="delta_ckpt_")
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+    q = (
+        ev.writeStream.foreachBatch(foreach_batch_delta(t, mode="append"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = read_delta(spark, t).count()
+    from postrack_spark.session import load_tables
+
+    assert got == load_tables(spark, sf_dir)["events"].count()
+    assert latest_version(t) is not None
+
+
+def test_protocol_feature_gate(spark):
+    t = tempfile.mkdtemp(prefix="delta_p_")
+    write_delta(_df(spark, 0, 2), t)
+    # a table demanding reader features we don't implement must refuse
+    with open(_log_path(t, 1), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                         "readerFeatures": ["deletionVectors"]}}) + "\n")
+    with pytest.raises(ValueError, match="reader features"):
+        read_delta(spark, t)
