@@ -219,3 +219,63 @@ def runs_test(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
             z_ppm.alias("z_ppm"),
         )
     )
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Two-sample Mann-Whitney U with exact tie-corrected midranks,
+    pure integers: 1-row DataFrame (grp_a, grp_b, n_a, n_b, u_a_x2,
+    u_b_x2, tie_sum).
+
+    Group a is the lexicographically smaller group label (deterministic
+    across engines). Midranks are carried doubled (mr2 = 2*rank) so
+    ties stay integral; therefore U statistics are doubled too:
+    u_a_x2 = 2*R_a - n_a*(n_a+1) where R_a is the (possibly .5-valued)
+    rank sum. Invariant: u_a_x2 + u_b_x2 == 2*n_a*n_b — asserted by the
+    hypothesis model test. tie_sum = Σ(t³-t) feeds the variance
+    correction downstream. Distributed shape: same as kruskal_wallis —
+    one prefix sum over the DISTINCT-value frame (operators/ranking),
+    partial-agg groupBys, 1-row broadcast combines; no windows, no
+    collect.
+    """
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    c = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    cells = c.groupBy("g", "v").agg(F.count("*").cast("long").alias("n_gv"))
+    vals = cells.groupBy("v").agg(F.sum("n_gv").cast("long").alias("cnt"))
+    mid = prefix_sum_by_key(vals, ["v"], "cnt", "cumb", inclusive=False).select(
+        "v",
+        "cnt",
+        (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    )
+    grp = (
+        cells.join(mid.select("v", "mr2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("n_gv") * F.col("mr2")).cast("long").alias("r2"),
+            F.sum("n_gv").cast("long").alias("n_g"),
+        )
+    )
+    labels = grp.agg(F.min("g").alias("grp_a"), F.max("g").alias("grp_b"),
+                     F.count("*").cast("long").alias("n_groups"))
+    joined = grp.crossJoin(F.broadcast(labels))  # grp is 2 rows
+    pivoted = joined.agg(
+        F.first("grp_a").alias("grp_a"),
+        F.first("grp_b").alias("grp_b"),
+        F.first("n_groups").alias("n_groups"),
+        F.sum(F.when(F.col("g") == F.col("grp_a"), F.col("r2"))).cast("long").alias("r2_a"),
+        F.sum(F.when(F.col("g") == F.col("grp_a"), F.col("n_g"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == F.col("grp_b"), F.col("r2"))).cast("long").alias("r2_b"),
+        F.sum(F.when(F.col("g") == F.col("grp_b"), F.col("n_g"))).cast("long").alias("n_b"),
+    )
+    tie = vals.agg(
+        F.sum(F.expr("cnt * cnt * cnt - cnt")).cast("long").alias("tie_sum")
+    )
+    return pivoted.crossJoin(F.broadcast(tie)).select(
+        "grp_a", "grp_b", "n_a", "n_b",
+        (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)).cast("long").alias("u_a_x2"),
+        (F.col("r2_b") - F.col("n_b") * (F.col("n_b") + 1)).cast("long").alias("u_b_x2"),
+        "tie_sum",
+        "n_groups",
+    )

@@ -623,3 +623,81 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(10)
     )
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous label-propagation oracle: r_k is the label
+    assignment after round k (argmax neighbor-label count, ties to the
+    SMALLEST label — fully deterministic). AS MATERIALIZED per round,
+    or DuckDB inlines 2^rounds scans (the k-core/HITS lesson)."""
+    parts = [f"""WITH {_EDGES_CTE},
+    nbr AS MATERIALIZED (
+      SELECT pa AS v, pb AS u FROM edges
+      UNION ALL
+      SELECT pb AS v, pa AS u FROM edges
+    ),
+    r0 AS MATERIALIZED (
+      SELECT DISTINCT v, v AS lbl FROM nbr
+    )"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    r{k} AS MATERIALIZED (
+      SELECT v, lbl FROM (
+        SELECT n.v, l.lbl, count(*) AS c,
+               row_number() OVER (PARTITION BY n.v
+                                  ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM nbr n JOIN r{k - 1} l ON n.u = l.v
+        GROUP BY n.v, l.lbl
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT CAST(comm_size AS BIGINT) AS comm_size,
+           CAST(count(*) AS BIGINT) AS n_communities
+    FROM (
+      SELECT lbl, count(*) AS comm_size FROM r{rounds} GROUP BY lbl
+    )
+    GROUP BY comm_size
+    ORDER BY comm_size""")
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(3))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-purchase graph, made DETERMINISTIC (plain LPA is famously
+    order-dependent): every node updates simultaneously to the most
+    frequent neighbor label, ties broken to the SMALLEST label, for a
+    FIXED 3 rounds on both engines — the k-core fixed-rounds
+    discipline. Output is the community-size histogram (size ->
+    how many communities), exact integers.
+
+    Scale: each round is one groupBy(v,lbl) + one argmax per node on
+    the support-thresholded edge list (sub-linear growth, module
+    docstring), localCheckpointed per round so the plan stays linear in
+    rounds. The argmax is max_by over a (count, -label) struct — no
+    windows, no collect."""
+    e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=True)
+    nbr = e.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionAll(
+        e.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    ).localCheckpoint(eager=True)
+    labels = nbr.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    for _ in range(3):
+        labels = (
+            nbr.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v", "lbl")
+            .agg(F.count("*").cast("long").alias("c"))
+            .groupBy("v")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
+                ).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count("*").cast("long").alias("comm_size"))
+        .groupBy("comm_size")
+        .agg(F.count("*").cast("long").alias("n_communities"))
+        .orderBy("comm_size")
+    )

@@ -621,3 +621,70 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "chars", "prop_pp10k", "temp_alloc")
         .orderBy("lang")
     )
+
+
+@query(
+    "sample_token_budget_mixture",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    budget AS (
+      SELECT CAST(sum(tok) * 2 // 5 AS BIGINT) AS b FROM toks
+    ),
+    ranked AS (
+      SELECT doc_id, source, tok,
+             CAST(sum(tok) OVER (ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM toks
+    ),
+    taken AS (
+      SELECT * FROM ranked CROSS JOIN budget WHERE cum <= b
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_taken,
+           CAST(sum(tok) AS BIGINT) AS tokens_taken
+    FROM taken
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection — the training-mixture primitive
+    where the unit of account is TOKENS, not documents: fill a global
+    budget (40% of corpus tokens) greedily by a deterministic priority
+    (longest-first, doc_id tie-break) and report what each source
+    contributed. The running token total over the priority order comes
+    from the DISTRIBUTED prefix sum (operators/ranking.prefix_sum_by_key
+    — no unpartitioned window), the budget is a 1-row broadcast, and
+    the tie-break column makes the order TOTAL (the running-sum rule:
+    every cumsum needs a total order or shuffle order leaks in)."""
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+    from postrack_spark.functions.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("tok"),
+    )
+    budget = toks.agg(
+        F.expr("CAST(sum(tok) * 2 DIV 5 AS BIGINT)").alias("b")
+    )
+    ranked = prefix_sum_by_key(
+        toks, [F.col("n_chars").desc(), F.col("doc_id")], "tok", "cum",
+        inclusive=True,
+    )
+    taken = ranked.crossJoin(F.broadcast(budget)).filter(F.col("cum") <= F.col("b"))
+    return (
+        taken.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs_taken"),
+            F.sum("tok").cast("long").alias("tokens_taken"),
+        )
+        .orderBy("source")
+    )

@@ -4419,3 +4419,157 @@ def agg_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").alias("basket_p0_cents"),
         F.expr("CAST(num * 10000 DIV den AS BIGINT)").alias("laspeyres_pp10k"),
     )
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    cells AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv FROM c GROUP BY 1, 2
+    ),
+    vals AS (
+      SELECT v, CAST(sum(n_gv) AS BIGINT) AS cnt FROM cells GROUP BY 1
+    ),
+    mid AS (
+      SELECT v, cnt,
+             2 * CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + cnt + 1 AS mr2
+      FROM vals
+    ),
+    grp AS (
+      SELECT g, CAST(sum(n_gv * mr2) AS BIGINT) AS r2,
+             CAST(sum(n_gv) AS BIGINT) AS n_g
+      FROM cells JOIN mid USING (v) GROUP BY 1
+    )
+    SELECT (SELECT min(g) FROM grp) AS grp_a,
+           (SELECT max(g) FROM grp) AS grp_b,
+           CAST((SELECT n_g FROM grp WHERE g = (SELECT min(g) FROM grp)) AS BIGINT) AS n_a,
+           CAST((SELECT n_g FROM grp WHERE g = (SELECT max(g) FROM grp)) AS BIGINT) AS n_b,
+           CAST((SELECT r2 - n_g * (n_g + 1) FROM grp
+                 WHERE g = (SELECT min(g) FROM grp)) AS BIGINT) AS u_a_x2,
+           CAST((SELECT r2 - n_g * (n_g + 1) FROM grp
+                 WHERE g = (SELECT max(g) FROM grp)) AS BIGINT) AS u_b_x2,
+           CAST((SELECT sum(cnt * cnt * cnt - cnt) FROM vals) AS BIGINT) AS tie_sum,
+           CAST((SELECT count(*) FROM grp) AS BIGINT) AS n_groups
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U: do URGENT orders have a
+    different price distribution than LOW-priority ones? Doubled
+    midranks keep everything integral (operators/stats.mann_whitney_u;
+    hypothesis brute-force model in tests/test_stats_models.py,
+    including the U_a + U_b == n_a*n_b identity). Same distributed
+    shape as Kruskal-Wallis: one prefix sum over the DISTINCT-value
+    frame, partial-agg groupBys, 1-row broadcast combines."""
+    from postrack_spark.operators.stats import mann_whitney_u
+
+    t = load_tables(spark, sf_dir)
+    obs = (
+        t["orders"]
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+            .otherwise("b")
+            .alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    return mann_whitney_u(obs, "g", "v")
+
+
+@query(
+    "events_mcnemar_paired_test",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(min(epoch_us(ts)) AS BIGINT) // 1000000
+              + CAST(max(epoch_us(ts)) AS BIGINT) // 1000000) // 2 AS mid_s
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+                       AND CAST(epoch_us(ts) AS BIGINT) // 1000000 <= mid_s
+                      THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN event_type = 'purchase'
+                       AND CAST(epoch_us(ts) AS BIGINT) // 1000000 > mid_s
+                      THEN 1 ELSE 0 END) AS h2
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_halves,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM per_user
+    )
+    SELECT b, c, both_halves, n_users,
+           CAST(CASE WHEN b + c = 0 THEN NULL
+                     ELSE ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) // (b + c)
+                END AS BIGINT) AS mcnemar_chi2_ppm
+    FROM cells
+    """,
+)
+def events_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on purchase behavior: each user is their
+    own control — did they purchase in the first vs the second half of
+    the observation window (epoch midpoint)? The statistic with
+    continuity correction, (|b-c|-1)²/(b+c), is a PURE RATIONAL of
+    integer counts — emitted as ppm via integer division, zero doubles
+    (both engines agree exactly; b+c=0 degenerates to NULL, the
+    three-sided-answer rule from the runs test). Timestamp seconds go
+    through epoch_us // 1e6 on both sides (the cast-rounding trap)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("s"),
+    )
+    bounds = ev.agg(
+        ((F.min("s") + F.max("s")) / 2).cast("long").alias("mid_s")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("s") <= F.col("mid_s")), 1
+                ).otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("s") > F.col("mid_s")), 1
+                ).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("both_halves"),
+        F.count("*").cast("long").alias("n_users"),
+    )
+    stat = F.when(
+        F.col("b") + F.col("c") == 0, F.lit(None).cast("long")
+    ).otherwise(
+        F.expr(
+            "(abs(b - c) - 1) * (abs(b - c) - 1) * 1000000 DIV (b + c)"
+        ).cast("long")
+    )
+    return cells.select(
+        "b", "c", "both_halves", "n_users", stat.alias("mcnemar_chi2_ppm")
+    )

@@ -2424,3 +2424,100 @@ def text_langid_prf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("f1_pp10k"),
     )
+
+
+@query(
+    "quality_cohens_kappa_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS true_lang,
+             {_marker_sql("en")} AS s_en, {_marker_sql("de")} AS s_de,
+             {_marker_sql("es")} AS s_es, {_marker_sql("fr")} AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT true_lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                  WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM pred
+    ),
+    margins AS (
+      SELECT CAST(sum(r.cnt * c.cnt) AS BIGINT) AS chance_x
+      FROM (SELECT true_lang AS k, count(*) AS cnt FROM pred GROUP BY 1) r
+      JOIN (SELECT pred_lang AS k, count(*) AS cnt FROM pred GROUP BY 1) c
+        USING (k)
+    )
+    SELECT n, agree, chance_x,
+           CAST(n * agree - chance_x AS DOUBLE)
+             / CAST(n * n - chance_x AS DOUBLE) AS kappa
+    FROM counts CROSS JOIN margins
+    """,
+)
+def quality_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the marker-word language-ID heuristic and
+    the ground-truth lang column — chance-corrected agreement, the
+    standard complement to the PRF metrics (text_langid_prf_metrics)
+    when class priors are skewed. kappa = (N·agree − Σ r_i·c_i) /
+    (N² − Σ r_i·c_i): every term is an exact integer; the final ratio
+    is ONE double division of identical integers on both engines
+    (IEEE-deterministic), so no floor/shift gymnastics are needed even
+    though kappa can be negative. Margins join on label so classes
+    absent from one marginal contribute zero chance mass."""
+    t = load_tables(spark, sf_dir)
+    txt = F.col("text")
+
+    def score(lang: str):
+        return F.size(F.filter(tokens(txt), lambda tok: tok.isin(_MARKERS[lang])))
+
+    scored = fan_out(t["documents"]).select(
+        F.col("lang").alias("true_lang"),
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("es").alias("s_es"),
+        score("fr").alias("s_fr"),
+    )
+    best = F.greatest("s_en", "s_de", "s_es", "s_fr")
+    pred_col = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") >= F.greatest("s_de", "s_es", "s_fr"), "en")
+        .when(F.col("s_de") >= F.greatest("s_es", "s_fr"), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    pred = scored.select("true_lang", pred_col.alias("pred_lang")).localCheckpoint(
+        eager=True
+    )
+    counts = pred.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("true_lang") == F.col("pred_lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    rows = pred.groupBy(F.col("true_lang").alias("k")).agg(
+        F.count("*").cast("long").alias("rcnt")
+    )
+    cols = pred.groupBy(F.col("pred_lang").alias("k")).agg(
+        F.count("*").cast("long").alias("ccnt")
+    )
+    margins = (
+        rows.join(cols, "k")
+        .agg(F.sum(F.col("rcnt") * F.col("ccnt")).cast("long").alias("chance_x"))
+    )
+    return counts.crossJoin(F.broadcast(margins)).select(
+        "n",
+        "agree",
+        "chance_x",
+        (
+            (F.col("n") * F.col("agree") - F.col("chance_x")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("chance_x")).cast("double")
+        ).alias("kappa"),
+    )

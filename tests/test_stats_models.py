@@ -164,3 +164,54 @@ def test_runs_test_matches_model(spark, values):
         assert row["z_ppm"] == z
     else:
         assert row["z_ppm"] is None  # degenerate dichotomy -> NULL
+
+
+def _model_mann_whitney(pairs):
+    """(group, value) pairs with exactly two groups -> the operator's
+    (grp_a, grp_b, n_a, n_b, u_a_x2, u_b_x2, tie_sum) row."""
+    from collections import Counter
+
+    vals = Counter(v for _, v in pairs)
+    mr2 = {}
+    cum = 0
+    for v in sorted(vals):
+        mr2[v] = 2 * cum + vals[v] + 1
+        cum += vals[v]
+    ga, gb = sorted({g for g, _ in pairs})
+    r2 = {ga: 0, gb: 0}
+    n = {ga: 0, gb: 0}
+    for g, v in pairs:
+        r2[g] += mr2[v]
+        n[g] += 1
+    return (
+        ga, gb, n[ga], n[gb],
+        r2[ga] - n[ga] * (n[ga] + 1),
+        r2[gb] - n[gb] * (n[gb] + 1),
+        sum(t * t * t - t for t in vals.values()),
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 8)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda ps: len({g for g, _ in ps}) == 2)
+)
+def test_mann_whitney_matches_model(spark, pairs):
+    from postrack_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(pairs, "g string, v long")
+    row = mann_whitney_u(df, "g", "v").collect()[0]
+    ga, gb, na, nb, ua, ub, tie = _model_mann_whitney(pairs)
+    assert (row["grp_a"], row["grp_b"]) == (ga, gb)
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert (row["u_a_x2"], row["u_b_x2"]) == (ua, ub)
+    assert row["tie_sum"] == tie
+    # the classic identity, doubled: U_a + U_b == n_a * n_b
+    assert row["u_a_x2"] + row["u_b_x2"] == 2 * na * nb
