@@ -2722,3 +2722,143 @@ def sql_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("best_rank")
     )
+
+
+@query(
+    "source_avro_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_prio
+    FROM orders
+    """,
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink surface, fully distributed: every partition of
+    orders is serialized to an Avro Object Container File blob and
+    parsed back INSIDE mapInPandas (Arrow-batched, one blob per
+    partition — the multimodal-codec execution pattern), then
+    checksummed; the oracle computes the same checksums straight from
+    parquet, so the round-trip must be lossless including the
+    ["null", T] optional-field unions. The codec is the pure-stdlib
+    sources/avro_codec.py, certified against avro-java on the Spark
+    JVM (tests/test_avro.py) with deflate block compression — this
+    lane proves it composes with the engine, not just the unit tests.
+    Scale: no driver-side loops, no collect; blobs live one-per-
+    partition and the decode is partition-parallel."""
+    import pandas as pd
+
+    from postrack_spark.session import fan_out
+    from postrack_spark.sources.avro_codec import (
+        read_avro,
+        spark_schema_to_avro,
+        write_avro,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o = fan_out(
+        t["orders"].select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderstatus",
+            F.when(F.col("o_orderpriority") == "3-MEDIUM", None)
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_prio"),
+        )
+    )
+    avro_schema = spark_schema_to_avro(o.schema, name="orders")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rows.append({
+                    "o_orderkey": int(r.o_orderkey),
+                    "cents": int(r.cents),
+                    "o_orderstatus": None if pd.isna(r.o_orderstatus)
+                    else str(r.o_orderstatus),
+                    "o_prio": None if r.o_prio is None else str(r.o_prio),
+                })
+            if rows:
+                yield pd.DataFrame(
+                    {"blob": [write_avro(rows, avro_schema, codec="deflate")]}
+                )
+
+    blobs = o.mapInPandas(encode, "blob binary")
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                rows, _ = read_avro(bytes(blob))
+                yield pd.DataFrame({
+                    "o_orderkey": [r["o_orderkey"] for r in rows],
+                    "cents": [r["cents"] for r in rows],
+                    "o_orderstatus": [r["o_orderstatus"] for r in rows],
+                    "o_prio": [r["o_prio"] for r in rows],
+                })
+
+    back = blobs.mapInPandas(
+        decode,
+        "o_orderkey long, cents long, o_orderstatus string, o_prio string",
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
+        F.sum(F.when(F.col("o_prio").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_prio"),
+    )
+
+
+@query(
+    "source_iceberg_snapshot_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def source_iceberg_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v1 table-format surface (streaming/iceberg.py): lineitem
+    lands in TWO append snapshots (split by order-key parity — a real
+    multi-snapshot history with manifest carry-forward), then the
+    CURRENT snapshot resolves through version-hint -> metadata.json ->
+    manifest list -> manifests (all real spec files; the Avro layer is
+    certified against avro-java) and must aggregate identically to the
+    source parquet. Time travel / crash-window properties are pinned in
+    tests/test_iceberg.py. Scale: snapshot resolution is O(files)
+    metadata — no directory listings; the read plans one distributed
+    parquet scan over exactly the live files."""
+    import tempfile
+
+    from postrack_spark.streaming.iceberg import append_iceberg, read_iceberg
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    table = tempfile.mkdtemp(prefix="ice_rollup_")
+    append_iceberg(li.filter(F.col("l_orderkey") % 2 == 0), table)
+    append_iceberg(li.filter(F.col("l_orderkey") % 2 == 1), table)
+    snap = read_iceberg(spark, table)
+    return (
+        snap.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("l_returnflag")
+    )

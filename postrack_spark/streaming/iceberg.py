@@ -1,0 +1,242 @@
+"""Iceberg-v1-format table writer/reader, pure protocol.
+
+The Apache Iceberg table spec is public
+(https://iceberg.apache.org/spec/): a table is parquet data files plus
+a ``metadata/`` tree — numbered ``vN.metadata.json`` documents (schema
+with field-ids, snapshot log, current snapshot pointer via
+``version-hint.text``), per-snapshot MANIFEST LIST files and MANIFEST
+files, both Avro Object Container Files. This module implements the
+append-only v1 core with stdlib + Spark + the repo's own
+cross-certified Avro codec (sources/avro_codec.py — certified against
+avro-java, so the binary layer of these manifests is independently
+validated even though no Iceberg implementation ships in this
+container; the honest-certification caveat mirrors operators/mp4.py):
+
+* ``append_iceberg`` — writes data parquet, a manifest (one
+  ``manifest_entry`` per file: status=ADDED, data_file record with
+  path/format/record_count/file_size), a manifest list (previous
+  snapshot's manifests carried forward as EXISTING + the new one),
+  a new metadata.json with the snapshot appended, and finally the
+  ``version-hint.text`` swap — readers resolve through the hint, so
+  the commit point is one atomic rename (the same durability order as
+  the Delta log and the ``_CURRENT`` pointer sinks).
+* ``read_iceberg`` — resolves current (or any historical
+  ``snapshot_id``: time travel) through metadata.json → manifest list
+  → manifests → live parquet, with the schema taken from metadata
+  field definitions, not parquet inference.
+
+Scope honestly stated: append-only (no deletes/rewrites), unpartitioned
+spec, v1 manifests without column stats; schema evolution, position
+deletes, and the v2 sequence-number machinery are out of scope and a
+foreign table using them would not be readable here.
+
+Scale: metadata is O(files) Avro records — the format's whole point is
+that snapshot resolution never lists directories; data stays in
+distributed parquet scans of exactly the live files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from postrack_spark.sources.avro_codec import read_avro, write_avro
+
+_SPARK_TO_ICE = {"long": "long", "bigint": "long", "int": "int",
+                 "integer": "int", "double": "double", "float": "float",
+                 "string": "string", "boolean": "boolean",
+                 "binary": "binary", "date": "date",
+                 "timestamp": "timestamptz"}
+
+_MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": "long", "field-id": 1},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            ]}},
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+    ],
+}
+
+ADDED, EXISTING = 1, 0
+
+
+def _meta_dir(table: str) -> str:
+    return os.path.join(table, "metadata")
+
+
+def _current_metadata(table: str) -> dict | None:
+    hint = os.path.join(_meta_dir(table), "version-hint.text")
+    if not os.path.exists(hint):
+        return None
+    with open(hint) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(_meta_dir(table), f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _ice_schema(schema: StructType) -> dict:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        s = f.dataType.simpleString()
+        if s not in _SPARK_TO_ICE:
+            raise NotImplementedError(f"iceberg mapping for spark type {s!r}")
+        fields.append({"id": i, "name": f.name, "required": not f.nullable,
+                       "type": _SPARK_TO_ICE[s]})
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def append_iceberg(df: DataFrame, table: str) -> int:
+    """Append df as a new snapshot; returns the snapshot id."""
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    os.makedirs(_meta_dir(table), exist_ok=True)
+    current = _current_metadata(table)
+    version = 0 if current is None else current["last-version"] + 1
+    snapshot_id = version + 1  # deterministic, monotone
+
+    # 1. data files
+    scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(scratch)
+    entries = []
+    for name in sorted(os.listdir(scratch)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(scratch, name), os.path.join(table, final))
+        entries.append({
+            "status": ADDED, "snapshot_id": snapshot_id,
+            "data_file": {
+                "file_path": final, "file_format": "PARQUET",
+                # record_count per file needs a footer read; the spec
+                # requires it, so read it (cheap metadata-only)
+                "record_count": _parquet_rows(os.path.join(table, final)),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(table, final)),
+            }})
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    # 2. manifest for this snapshot
+    manifest_rel = os.path.join("metadata",
+                                f"manifest-{snapshot_id:08d}.avro")
+    manifest_blob = write_avro(entries, _MANIFEST_SCHEMA, codec="deflate")
+    with open(os.path.join(table, manifest_rel), "wb") as f:
+        f.write(manifest_blob)
+
+    # 3. manifest list: carry prior manifests forward + the new one
+    prior = []
+    if current is not None:
+        snap = _snapshot(current, current["current-snapshot-id"])
+        prior_list, _ = read_avro(_read_file(table, snap["manifest-list"]))
+        prior = prior_list
+    mlist = prior + [{
+        "manifest_path": manifest_rel,
+        "manifest_length": len(manifest_blob),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+    }]
+    mlist_rel = os.path.join("metadata", f"snap-{snapshot_id:08d}.avro")
+    with open(os.path.join(table, mlist_rel), "wb") as f:
+        f.write(write_avro(mlist, _MANIFEST_LIST_SCHEMA, codec="deflate"))
+
+    # 4. new metadata.json, then the version-hint swap (commit point)
+    now_ms = int(time.time() * 1000)
+    snapshots = (current["snapshots"] if current else []) + [{
+        "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+        "manifest-list": mlist_rel,
+        "summary": {"operation": "append"},
+    }]
+    meta = {
+        "format-version": 1,
+        "table-uuid": (current or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": os.path.abspath(table),
+        "last-updated-ms": now_ms,
+        "last-column-id": len(df.schema.fields),
+        "schema": _ice_schema(df.schema),
+        "partition-spec": [],
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+        "last-version": version,
+    }
+    with open(os.path.join(_meta_dir(table),
+                           f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    tmp = os.path.join(_meta_dir(table), ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
+    return snapshot_id
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _read_file(table: str, rel: str) -> bytes:
+    with open(os.path.join(table, rel), "rb") as f:
+        return f.read()
+
+
+def _snapshot(meta: dict, snapshot_id: int) -> dict:
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise FileNotFoundError(
+        f"snapshot {snapshot_id} not in table "
+        f"(have {[s['snapshot-id'] for s in meta['snapshots']]})")
+
+
+_ICE_TO_SPARK = {"long": "bigint", "int": "int", "double": "double",
+                 "float": "float", "string": "string", "boolean": "boolean",
+                 "binary": "binary", "date": "date",
+                 "timestamptz": "timestamp"}
+
+
+def read_iceberg(spark: SparkSession, table: str,
+                 snapshot_id: int | None = None) -> DataFrame:
+    """Snapshot read (current, or time travel to ``snapshot_id``)."""
+    meta = _current_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    if meta["format-version"] != 1:
+        raise NotImplementedError("only format-version 1 readable here")
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    snap = _snapshot(meta, sid)
+    mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
+    paths = []
+    for m in mlist:
+        entries, _ = read_avro(_read_file(table, m["manifest_path"]))
+        for e in entries:
+            if e["status"] in (ADDED, EXISTING):
+                paths.append(e["data_file"]["file_path"])
+    ddl = ", ".join(
+        f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+        for f in meta["schema"]["fields"])
+    if not paths:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(
+        *[os.path.join(table, p) for p in paths])

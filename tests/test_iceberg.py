@@ -1,0 +1,101 @@
+"""Iceberg-v1 table format (streaming/iceberg.py): snapshot append,
+metadata/manifest structure, time travel, crash-window invisibility —
+plus a cross-implementation check that the manifest and manifest-list
+Avro files parse in avro-java (the reference Avro implementation on
+the Spark classpath), so the binary metadata layer is independently
+validated even though no Iceberg engine ships in this container."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from postrack_spark.streaming.iceberg import (
+    append_iceberg,
+    read_iceberg,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+
+
+def test_append_read_and_structure(spark):
+    t = tempfile.mkdtemp(prefix="ice_t_")
+    s1 = append_iceberg(_df(spark, 0, 5), t)
+    s2 = append_iceberg(_df(spark, 5, 9), t)
+    assert s2 > s1
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == list(range(9))
+    # spec-shaped metadata tree
+    md = os.path.join(t, "metadata")
+    assert os.path.exists(os.path.join(md, "version-hint.text"))
+    with open(os.path.join(md, "version-hint.text")) as f:
+        v = int(f.read())
+    with open(os.path.join(md, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["format-version"] == 1
+    assert meta["current-snapshot-id"] == s2
+    assert len(meta["snapshots"]) == 2
+    assert meta["schema"]["fields"][0]["name"] == "k"
+    # schema comes from metadata, not parquet inference
+    assert read_iceberg(spark, t).columns == ["k", "v"]
+
+
+def test_time_travel(spark):
+    t = tempfile.mkdtemp(prefix="ice_tt_")
+    s1 = append_iceberg(_df(spark, 0, 3), t)
+    s2 = append_iceberg(_df(spark, 3, 6), t)
+    assert sorted(r["k"] for r in read_iceberg(spark, t, snapshot_id=s1).collect()) == [0, 1, 2]
+    assert sorted(r["k"] for r in read_iceberg(spark, t, snapshot_id=s2).collect()) == list(range(6))
+    with pytest.raises(FileNotFoundError, match="snapshot 99"):
+        read_iceberg(spark, t, snapshot_id=99)
+
+
+def test_orphan_data_files_are_invisible(spark):
+    t = tempfile.mkdtemp(prefix="ice_c_")
+    append_iceberg(_df(spark, 0, 4), t)
+    before = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    # crashed writer: parquet landed in data/ but no snapshot commit
+    _df(spark, 90, 95).coalesce(1).write.mode("overwrite").parquet(t + "_x")
+    part = next(f for f in os.listdir(t + "_x") if f.endswith(".parquet"))
+    os.replace(os.path.join(t + "_x", part),
+               os.path.join(t, "data", "orphan.parquet"))
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == before
+
+
+def test_manifests_parse_in_avro_java(spark):
+    t = tempfile.mkdtemp(prefix="ice_j_")
+    append_iceberg(_df(spark, 0, 7), t)
+    md = os.path.join(t, "metadata")
+    jvm = spark._jvm
+    checked = 0
+    for name in sorted(os.listdir(md)):
+        if not name.endswith(".avro"):
+            continue
+        with open(os.path.join(md, name), "rb") as f:
+            blob = f.read()
+        fin = jvm.org.apache.avro.file.SeekableByteArrayInput(blob)
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            fin, jvm.org.apache.avro.generic.GenericDatumReader())
+        n = 0
+        while reader.hasNext():
+            rec = reader.next()
+            assert rec is not None
+            n += 1
+        reader.close()
+        assert n >= 1, name
+        checked += 1
+    assert checked >= 2  # at least one manifest + one manifest list
+
+
+def test_unsupported_spark_type_raises(spark):
+    t = tempfile.mkdtemp(prefix="ice_u_")
+    df = spark.range(1).select(F.array(F.col("id")).alias("a"))
+    with pytest.raises(NotImplementedError, match="iceberg mapping"):
+        append_iceberg(df, t)
