@@ -2216,3 +2216,124 @@ def streaming_delta_log_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cdc_delta_merge_materialize",
+    oracle=f"""
+    WITH {_CHANGES_CTE},
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY okey ORDER BY lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT okey AS o_orderkey, status, round(price, 2) AS price
+    FROM ranked
+    WHERE rn = 1 AND op <> 'DELETE'
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_delta_merge_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse CDC pattern end-to-end: a change stream upserted
+    into a Delta-protocol table by per-batch COPY-ON-WRITE MERGE
+    (streaming/delta_log.merge_delta — only files containing affected
+    keys are rewritten; tombstones retained as rows so batch order
+    cannot resurrect stale images; lsn decides every conflict). The
+    final snapshot read, DELETEs filtered, must equal the batch
+    latest-per-key oracle. Replay idempotence and file-granular rewrite
+    are pinned in tests/test_delta_log.py.
+
+    Scale: merge cost per batch is proportional to AFFECTED files, not
+    table size; the driver handles only metadata file lists; conflict
+    resolution is one key-shuffle max_by."""
+    import tempfile
+
+    from postrack_spark.streaming.delta_log import (
+        foreach_batch_delta_merge,
+        read_delta,
+    )
+
+    changes = orders_changes(spark, sf_dir)
+    typed = changes.select(
+        F.coalesce(
+            typed_column("after", "o_orderkey", "long"),
+            typed_column("before", "o_orderkey", "long"),
+        ).alias("o_orderkey"),
+        "lsn",
+        "op",
+        typed_column("after", "o_orderstatus", "string").alias("status"),
+        typed_column("after", "o_totalprice", "double").alias("price"),
+    )
+    table = tempfile.mkdtemp(prefix="delta_merge_")
+    ckpt = tempfile.mkdtemp(prefix="delta_merge_ckpt_")
+    stream = envelope_stream(spark, typed, name=_qname("dmerge"))
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_delta_merge(table, "o_orderkey", "lsn")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = read_delta(spark, table)
+    return (
+        snap.filter(F.col("op") != "DELETE")
+        .select("o_orderkey", "status", F.round("price", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "streaming_delta_feed_incremental",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_delta_feed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta table as a STREAMING SOURCE (sources/delta_feed.py): the
+    events table lands in the log as three append snapshots, then a
+    stream tails the log with version-range offsets — each micro-batch
+    reads exactly the files its commits added (no listings, no
+    rescans; append-only enforced, rewrites raise). The drained rows
+    aggregate to the batch rollup. Checkpoint-resume increments and
+    admission pacing are pinned in tests/test_delta_feed.py.
+
+    Scale: offset resolution is O(commits) driver-side metadata; each
+    admitted file is an independent input partition."""
+    import tempfile
+
+    from postrack_spark.session import load_tables as _lt
+    from postrack_spark.sources.delta_feed import register
+    from postrack_spark.streaming.delta_log import write_delta
+
+    ev = _lt(spark, sf_dir)["events"].select("user_id", "event_type")
+    table = tempfile.mkdtemp(prefix="delta_feed_q_")
+    ckpt = tempfile.mkdtemp(prefix="delta_feed_q_ckpt_")
+    for bucket in range(3):
+        write_delta(ev.filter(F.pmod(F.col("user_id"), 3) == bucket), table)
+    register(spark)
+    q = (
+        spark.readStream.format("delta_feed")
+        .option("path", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName(_qname("feedq"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(q.name)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -55,6 +55,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
@@ -309,3 +310,114 @@ def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
             os.remove(os.path.join(table, name))
             deleted.append(name)
     return deleted
+
+
+def merge_delta(spark: SparkSession, table: str, images: DataFrame,
+                key_col: str, order_col: str) -> int:
+    """Copy-on-write MERGE — the lakehouse CDC-upsert pattern: fold a
+    batch of change images (rows carrying ``key_col``, an ``order_col``
+    deciding recency, and whatever payload — including op='DELETE'
+    tombstones as ordinary rows) into the table, rewriting ONLY the
+    data files that contain an affected key.
+
+    Per-key winner is max_by(order_col) across the affected files' rows
+    plus the batch — so merges are ORDER-INSENSITIVE across batches
+    (the foreach_batch_apply_changes rule: the order column decides,
+    not arrival). Tombstones are RETAINED as rows: dropping a key
+    outright would let a later batch with an older image resurrect it;
+    readers filter op='DELETE' (exactly the apply_changes contract,
+    cdc/materialize.py).
+
+    Scale: the driver touches only the metadata file list; matching is
+    one semi-join of live data against the (broadcast) batch keys using
+    the scan's ``_metadata.file_path``; rewrite cost is proportional to
+    AFFECTED files, never table size. Returns the committed version.
+    """
+    if latest_version(table) is None:
+        write_delta(images, table, mode="append")
+        return 0
+    paths, schema_string, _v = _snapshot(table, None)
+    schema = StructType.fromJson(json.loads(schema_string))
+    full = [os.path.join(table, p) for p in paths]
+    live = spark.read.schema(schema).parquet(*full).withColumn(
+        "_fp", F.col("_metadata.file_path"))
+    keys = images.select(key_col).distinct()
+    affected_fps = [
+        r["_fp"]
+        for r in live.join(F.broadcast(keys), key_col, "left_semi")
+        .select("_fp").distinct().collect()
+    ]  # metadata-sized (file list), not a data-path collect
+    def _local(fp: str) -> str:
+        # _metadata.file_path is a URI ("file:/tmp/..." or "file:///...")
+        if fp.startswith("file:"):
+            fp = fp[len("file:"):]
+            while fp.startswith("//"):
+                fp = fp[1:]
+        return fp
+
+    rel_affected = {os.path.relpath(_local(fp), os.path.abspath(table))
+                    for fp in affected_fps}
+    survivors = None
+    if rel_affected:
+        survivors = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in sorted(rel_affected)])
+    merged = images if survivors is None else survivors.unionByName(images)
+    cols = [c for c in merged.columns if c != key_col]
+    winner = merged.groupBy(key_col).agg(
+        F.max_by(F.struct(*cols), order_col).alias("_w"))
+    flat = winner.select(key_col, *[F.col(f"_w.{c}").alias(c) for c in cols])
+    adds = _write_data_files(flat, table)
+    removes = [{"remove": {
+        "path": p, "deletionTimestamp": int(time.time() * 1000),
+        "dataChange": True,
+    }} for p in sorted(rel_affected)]
+    for _ in range(10):
+        current = latest_version(table)
+        version = (current or 0) + 1
+        try:
+            commit_delta(table, version, removes + adds)
+            return version
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def foreach_batch_delta_merge(table: str, key_col: str, order_col: str):
+    """foreachBatch hook: per-batch copy-on-write MERGE with the same
+    txn-action idempotence as foreach_batch_delta. Replays are skipped;
+    cross-batch conflicts resolve by ``order_col``, so admission order
+    cannot change the final table."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_txn_version(table)
+        if last is not None and batch_id <= last:
+            return
+        spark = batch_df.sparkSession
+        # fold the batch to one image per key first (cheap pre-shrink)
+        cols = [c for c in batch_df.columns if c != key_col]
+        folded = batch_df.groupBy(key_col).agg(
+            F.max_by(F.struct(*cols), order_col).alias("_w"))
+        folded = folded.select(
+            key_col, *[F.col(f"_w.{c}").alias(c) for c in cols])
+        version = merge_delta(spark, table, folded, key_col, order_col)
+        # stamp the txn action onto the just-committed version
+        _append_txn(table, version, batch_id)
+
+    return apply_batch
+
+
+def _append_txn(table: str, version: int, batch_id: int) -> None:
+    """Record the streaming txn action for ``version``. merge_delta
+    commits data actions itself, so the txn marker rides in a
+    metadata-only follow-up commit (allowed by the protocol; readers
+    ignore txn actions)."""
+    for _ in range(10):
+        current = latest_version(table)
+        v = (current or 0) + 1
+        try:
+            commit_delta(table, v, [{"txn": {
+                "appId": os.path.abspath(table), "version": batch_id}}])
+            return
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")

@@ -146,3 +146,78 @@ def test_protocol_feature_gate(spark):
                                          "readerFeatures": ["deletionVectors"]}}) + "\n")
     with pytest.raises(ValueError, match="reader features"):
         read_delta(spark, t)
+
+
+def _images(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, lsn long, op string, payload string")
+
+
+def test_merge_upserts_deletes_and_keeps_tombstones(spark):
+    from postrack_spark.streaming.delta_log import merge_delta
+
+    t = tempfile.mkdtemp(prefix="delta_m_")
+    merge_delta(spark, t, _images(spark, [
+        (1, 10, "INSERT", "a1"), (2, 11, "INSERT", "b1"),
+        (3, 12, "INSERT", "c1")]), "k", "lsn")
+    merge_delta(spark, t, _images(spark, [
+        (2, 20, "UPDATE", "b2"),        # newer: wins
+        (3, 5, "UPDATE", "c0"),         # OLDER than existing: must lose
+        (4, 21, "INSERT", "d1"),
+        (1, 22, "DELETE", None)]), "k", "lsn")
+    rows = {r["k"]: (r["op"], r["payload"])
+            for r in read_delta(spark, t).collect()}
+    # tombstone retained as a row; live view filters it
+    assert rows[1][0] == "DELETE"
+    assert rows[2] == ("UPDATE", "b2")
+    assert rows[3] == ("INSERT", "c1")  # stale update lost on lsn
+    assert rows[4] == ("INSERT", "d1")
+
+
+def test_merge_rewrites_only_affected_files(spark):
+    from postrack_spark.streaming.delta_log import _snapshot, merge_delta
+
+    t = tempfile.mkdtemp(prefix="delta_cow_")
+    # two appends -> two disjoint-key files
+    write_delta(_images(spark, [(k, 1, "INSERT", f"v{k}") for k in range(5)])
+                .coalesce(1), t)
+    write_delta(_images(spark, [(k, 1, "INSERT", f"v{k}") for k in range(5, 10)])
+                .coalesce(1), t)
+    before_paths, _, _ = _snapshot(t, None)
+    assert len(before_paths) == 2
+    merge_delta(spark, t, _images(spark, [(1, 2, "UPDATE", "new1")]), "k", "lsn")
+    after_paths, _, _ = _snapshot(t, None)
+    untouched = set(before_paths) & set(after_paths)
+    assert len(untouched) == 1  # the 5-9 file survived the merge untouched
+    rows = {r["k"]: r["payload"] for r in read_delta(spark, t).collect()}
+    assert rows[1] == "new1" and rows[7] == "v7" and len(rows) == 10
+
+
+def test_merge_batches_commute_on_order_column(spark):
+    from postrack_spark.streaming.delta_log import merge_delta
+
+    b1 = [(1, 10, "INSERT", "a1"), (2, 30, "UPDATE", "b-late")]
+    b2 = [(1, 20, "UPDATE", "a2"), (2, 15, "INSERT", "b-early")]
+
+    def run(order):
+        t = tempfile.mkdtemp(prefix="delta_comm_")
+        for batch in order:
+            merge_delta(spark, t, _images(spark, batch), "k", "lsn")
+        return sorted(
+            (r["k"], r["lsn"], r["op"], r["payload"])
+            for r in read_delta(spark, t).collect())
+
+    assert run([b1, b2]) == run([b2, b1])
+
+
+def test_foreach_batch_merge_is_idempotent(spark):
+    from postrack_spark.streaming.delta_log import foreach_batch_delta_merge
+
+    t = tempfile.mkdtemp(prefix="delta_fbm_")
+    hook = foreach_batch_delta_merge(t, "k", "lsn")
+    hook(_images(spark, [(1, 10, "INSERT", "a1")]), 0)
+    hook(_images(spark, [(1, 20, "UPDATE", "a2")]), 1)
+    hook(_images(spark, [(1, 20, "UPDATE", "a2")]), 1)  # replay: no-op
+    hook(_images(spark, [(1, 10, "INSERT", "a1")]), 0)  # stale replay
+    rows = read_delta(spark, t).collect()
+    assert len(rows) == 1 and rows[0]["payload"] == "a2"
