@@ -2862,3 +2862,36 @@ def source_iceberg_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC file-format surface (Spark-native columnar alternative to
+    parquet, with its own predicate pushdown path): orders written to
+    ORC and read back with an explicit schema must checksum identically
+    to the parquet source — the CSV/JSON roundtrip discipline. Money
+    checksums in integer cents; the oracle reads the same numbers from
+    parquet, so the round-trip is the thing under test."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    o.write.mode("overwrite").orc(d)
+    back = spark.read.schema(o.schema).orc(d)
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
+    )

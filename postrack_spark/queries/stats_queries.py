@@ -4573,3 +4573,114 @@ def events_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "b", "c", "both_halves", "n_users", stat.alias("mcnemar_chi2_ppm")
     )
+
+
+_JT_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _jt_oracle() -> str:
+    conds = ",\n             ".join(
+        f"CAST(sum(CASE WHEN g = '{p}' THEN n ELSE 0 END) AS BIGINT) AS n{i}"
+        for i, p in enumerate(_JT_PRIOS, start=1)
+    )
+    cums = ",\n             ".join(
+        f"CAST(coalesce(sum(n{i}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+        f"PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c{i}"
+        for i in range(1, 6)
+    )
+    pair_terms = " + ".join(
+        f"n{j} * (2 * c{i} + n{i})"
+        for i in range(1, 6) for j in range(i + 1, 6)
+    )
+    exp_terms = " + ".join(
+        f"t{i} * t{j}" for i in range(1, 6) for j in range(i + 1, 6)
+    )
+    tots = ", ".join(f"CAST(sum(n{i}) AS BIGINT) AS t{i}" for i in range(1, 6))
+    return f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    mat AS (
+      SELECT v,
+             {conds}
+      FROM cells GROUP BY v
+    ),
+    cum AS (
+      SELECT v, n1, n2, n3, n4, n5,
+             {cums}
+      FROM mat
+    ),
+    jt AS (
+      SELECT CAST(sum({pair_terms}) AS BIGINT) AS jt_x2 FROM cum
+    ),
+    tot AS (SELECT {tots}, CAST(sum(n1+n2+n3+n4+n5) AS BIGINT) AS n_total
+            FROM mat)
+    SELECT jt.jt_x2,
+           CAST(({exp_terms}) AS BIGINT) AS e_jt_x2,
+           tot.n_total
+    FROM jt CROSS JOIN tot
+    """
+
+
+@query("agg_jonckheere_trend", oracle=_jt_oracle())
+def agg_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: do order
+    prices trend monotonically across the five priority classes (in
+    their natural order)? JT = sum over ordered group pairs i<j of the
+    Mann-Whitney U_ij; carried DOUBLED so ties stay integral —
+    2*U_ij = sum over distinct values v of n_j(v)*(2*cumlt_i(v) +
+    n_i(v)). Output (jt_x2, e_jt_x2, n_total) where e_jt_x2 is the
+    doubled null expectation sum(t_i*t_j): JT above/below E gives the
+    trend direction exactly, no doubles anywhere.
+
+    Distributed shape: the five per-group cumulative-below counts come
+    from ONE multi-column distributed prefix sum over the distinct-
+    value frame (operators/ranking.prefix_sums_by_key — the two-sample
+    CDF pattern generalized to 5 lanes, one range shuffle total); the
+    pair terms unroll into a single aggregate expression."""
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["orders"]
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    mat = cells.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == p, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, p in enumerate(_JT_PRIOS, start=1)
+        ]
+    )
+    cum = prefix_sums_by_key(
+        mat, ["v"], {f"c{i}": f"n{i}" for i in range(1, 6)}, inclusive=False
+    )
+    pair_terms = " + ".join(
+        f"n{j} * (2 * c{i} + n{i})"
+        for i in range(1, 6) for j in range(i + 1, 6)
+    )
+    jt = cum.agg(F.expr(f"CAST(sum({pair_terms}) AS BIGINT)").alias("jt_x2"))
+    tot = mat.agg(
+        *[F.sum(f"n{i}").cast("long").alias(f"t{i}") for i in range(1, 6)],
+        F.expr("CAST(sum(n1+n2+n3+n4+n5) AS BIGINT)").alias("n_total"),
+    )
+    exp_terms = " + ".join(
+        f"t{i} * t{j}" for i in range(1, 6) for j in range(i + 1, 6)
+    )
+    return (
+        jt.crossJoin(F.broadcast(tot))  # 1-row combines
+        .select(
+            "jt_x2",
+            F.expr(f"CAST({exp_terms} AS BIGINT)").alias("e_jt_x2"),
+            "n_total",
+        )
+    )

@@ -2337,3 +2337,72 @@ def streaming_delta_feed_incremental(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_tws_topk_state",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             user_id % 16 AS bucket
+      FROM events
+    ),
+    topk AS (
+      SELECT event_type, CAST(sum(cents) AS BIGINT) AS topk_cents
+      FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents DESC) AS rn
+        FROM ev
+      ) WHERE rn <= 3
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           t.topk_cents,
+           CAST(count(DISTINCT e.bucket) AS BIGINT) AS n_buckets,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM ev e JOIN topk t USING (event_type)
+    GROUP BY e.event_type, t.topk_cents
+    ORDER BY e.event_type
+    """,
+)
+def streaming_tws_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with ALL THREE state kinds — the
+    protocol legs latest_state_tws (ValueState only) never exercises:
+    ListState put/get paging, MapState getValue/updateValue/containsKey
+    and the Keys iterator with requireNextFetch, all over the pbstub
+    protobuf runtime where google-protobuf is absent. Top-k is a monoid
+    (top-k of a union == top-k of top-k ∪ batch) and counts are
+    additive, so batch admission order cannot change the final images;
+    the monotone n_total picks the final emission per key. Equals the
+    batch rollup on finite input. Ties at the k boundary are safe: the
+    top-k SUM over a value multiset is tie-invariant."""
+    from postrack_spark.streaming.runner import events_stream
+    from postrack_spark.streaming.stateful import (
+        ensure_protobuf,
+        rocksdb_state,
+        tws_topk_profile,
+    )
+
+    if not ensure_protobuf(spark):  # pragma: no cover - shim is stdlib
+        raise RuntimeError("protobuf unavailable and pbstub failed to load")
+    ev = events_stream(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("user_id"), F.lit(16)).cast("long").alias("bucket"),
+    )
+    with rocksdb_state(spark):
+        out = run_to_memory(
+            tws_topk_profile(ev, k=3), _qname("tws_topk"), output_mode="update"
+        )
+    final = out.groupBy("event_type").agg(
+        F.max_by(F.struct("topk_cents", "n_buckets"), "n_total").alias("s"),
+        F.max("n_total").alias("n_total"),
+    )
+    return final.select(
+        "event_type",
+        F.col("s.topk_cents").alias("topk_cents"),
+        F.col("s.n_buckets").alias("n_buckets"),
+        F.col("n_total").cast("long").alias("n_total"),
+    ).orderBy("event_type")

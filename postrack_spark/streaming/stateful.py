@@ -406,3 +406,77 @@ def session_expiry_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def tws_topk_profile(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-event-type profile via transformWithStateInPandas using ALL
+    THREE state variable kinds — exercising the protocol legs the
+    ValueState-only latest_state_tws never touches (ListStateGet
+    paging, ListStatePut, MapState getValue/updateValue/containsKey and
+    the Keys iterator with requireNextFetch):
+
+    * ListState "topv": the top-k cents values seen (top-k of a union
+      is top-k of top-k ∪ batch — a monoid, so batch order is
+      irrelevant);
+    * MapState "bcnt": per user-bucket (user_id % 16) event counts;
+    * ValueState "tot": total event count.
+
+    Emits (event_type, topk_cents, n_buckets, n_total) per batch in
+    update mode; n_total is monotone, so the final image per key is the
+    max_by(n_total) row. Input columns: (event_type, cents, bucket).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topv", "cents bigint")
+            self._buckets = handle.getMapState("bcnt", "b bigint", "n bigint")
+            self._tot = handle.getValueState("tot", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_vals: list[int] = []
+            bucket_add: dict[int, int] = {}
+            n_new = 0
+            for pdf in rows:
+                for row in pdf.itertuples(index=False):
+                    batch_vals.append(int(row.cents))
+                    b = int(row.bucket)
+                    bucket_add[b] = bucket_add.get(b, 0) + 1
+                    n_new += 1
+            current = [t[0] for t in self._top.get()] if self._top.exists() else []
+            merged = sorted(current + batch_vals, reverse=True)[:k]
+            self._top.put([(v,) for v in merged])
+            for b, add in bucket_add.items():
+                if self._buckets.containsKey((b,)):
+                    (old,) = self._buckets.getValue((b,))
+                else:
+                    old = 0
+                self._buckets.updateValue((b,), (old + add,))
+            total = (self._tot.get()[0] if self._tot.exists() else 0) + n_new
+            self._tot.update((total,))
+            n_buckets = sum(1 for _ in self._buckets.keys())
+            (etype,) = key
+            yield pd.DataFrame(
+                {
+                    "event_type": [str(etype)],
+                    "topk_cents": [int(sum(merged))],
+                    "n_buckets": [int(n_buckets)],
+                    "n_total": [int(total)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=TopKProfile(),
+        outputStructType=(
+            "event_type string, topk_cents bigint, n_buckets bigint, n_total bigint"
+        ),
+        outputMode="update",
+        timeMode="none",
+    )
