@@ -279,3 +279,63 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         "tie_sum",
         "n_groups",
     )
+
+
+def jonckheere_trend(df: DataFrame, group_col: str, group_order: list,
+                     value_col: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend statistic, exact
+    integers: 1-row (jt_x2, e_jt_x2, n_total) with jt_x2 = 2*JT =
+    sum over ordered group pairs i<j of the doubled Mann-Whitney U_ij,
+    and e_jt_x2 = 2*E[JT] = sum(t_i*t_j) under the null. 2*U_ij =
+    sum over distinct values v of n_j(v)*(2*cumlt_i(v) + n_i(v)).
+
+    Distributed shape: one multi-column distributed prefix sum over the
+    distinct-value frame gives every group's cumulative-below count in
+    a single range shuffle (operators/ranking.prefix_sums_by_key — the
+    two-sample-CDF pattern, k lanes); the k*(k-1)/2 pair terms unroll
+    into one aggregate expression. Groups absent from ``group_order``
+    are ignored (the caller names the ordered alternative)."""
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+
+    k = len(group_order)
+    cells = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .filter(F.col("g").isin(list(group_order)))
+        .groupBy("g", "v")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    mat = cells.groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("g") == p, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, p in enumerate(group_order, start=1)
+        ]
+    )
+    cum = prefix_sums_by_key(
+        mat, ["v"], {f"c{i}": f"n{i}" for i in range(1, k + 1)},
+        inclusive=False,
+    )
+    pair_terms = " + ".join(
+        f"n{j} * (2 * c{i} + n{i})"
+        for i in range(1, k + 1) for j in range(i + 1, k + 1)
+    )
+    jt = cum.agg(F.expr(f"CAST(sum({pair_terms}) AS BIGINT)").alias("jt_x2"))
+    tot = mat.agg(
+        *[F.sum(f"n{i}").cast("long").alias(f"t{i}") for i in range(1, k + 1)],
+        F.expr(
+            "CAST(sum(" + "+".join(f"n{i}" for i in range(1, k + 1))
+            + ") AS BIGINT)"
+        ).alias("n_total"),
+    )
+    exp_terms = " + ".join(
+        f"t{i} * t{j}" for i in range(1, k + 1) for j in range(i + 1, k + 1)
+    )
+    return (
+        jt.crossJoin(F.broadcast(tot))  # 1-row combines
+        .select(
+            "jt_x2",
+            F.expr(f"CAST({exp_terms} AS BIGINT)").alias("e_jt_x2"),
+            "n_total",
+        )
+    )

@@ -4641,46 +4641,11 @@ def agg_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     value frame (operators/ranking.prefix_sums_by_key — the two-sample
     CDF pattern generalized to 5 lanes, one range shuffle total); the
     pair terms unroll into a single aggregate expression."""
-    from postrack_spark.operators.ranking import prefix_sums_by_key
+    from postrack_spark.operators.stats import jonckheere_trend
 
     t = load_tables(spark, sf_dir)
-    cells = (
-        t["orders"]
-        .select(
-            F.col("o_orderpriority").alias("g"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
-        )
-        .groupBy("g", "v")
-        .agg(F.count("*").cast("long").alias("n"))
+    obs = t["orders"].select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
-    mat = cells.groupBy("v").agg(
-        *[
-            F.sum(F.when(F.col("g") == p, F.col("n")).otherwise(0))
-            .cast("long")
-            .alias(f"n{i}")
-            for i, p in enumerate(_JT_PRIOS, start=1)
-        ]
-    )
-    cum = prefix_sums_by_key(
-        mat, ["v"], {f"c{i}": f"n{i}" for i in range(1, 6)}, inclusive=False
-    )
-    pair_terms = " + ".join(
-        f"n{j} * (2 * c{i} + n{i})"
-        for i in range(1, 6) for j in range(i + 1, 6)
-    )
-    jt = cum.agg(F.expr(f"CAST(sum({pair_terms}) AS BIGINT)").alias("jt_x2"))
-    tot = mat.agg(
-        *[F.sum(f"n{i}").cast("long").alias(f"t{i}") for i in range(1, 6)],
-        F.expr("CAST(sum(n1+n2+n3+n4+n5) AS BIGINT)").alias("n_total"),
-    )
-    exp_terms = " + ".join(
-        f"t{i} * t{j}" for i in range(1, 6) for j in range(i + 1, 6)
-    )
-    return (
-        jt.crossJoin(F.broadcast(tot))  # 1-row combines
-        .select(
-            "jt_x2",
-            F.expr(f"CAST({exp_terms} AS BIGINT)").alias("e_jt_x2"),
-            "n_total",
-        )
-    )
+    return jonckheere_trend(obs, "g", _JT_PRIOS, "v")

@@ -240,3 +240,85 @@ def read_iceberg(spark: SparkSession, table: str,
         return spark.createDataFrame([], ddl)
     return spark.read.schema(ddl).parquet(
         *[os.path.join(table, p) for p in paths])
+
+
+def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
+    """Zero-copy Delta -> Iceberg metadata sync (the Delta UniForm /
+    Apache XTable concept, both public): generate an Iceberg-v1
+    snapshot over the CURRENT Delta snapshot's live parquet files —
+    same bytes on disk, two table formats' metadata side by side
+    (``_delta_log/`` and ``metadata/`` coexist in one directory; the
+    manifest entries point at the very same relative paths the Delta
+    log references). Each sync appends ONE Iceberg snapshot whose
+    manifest list contains exactly that sync's manifest (no
+    carry-forward — the Delta snapshot is already the full live set),
+    so Iceberg time travel steps through sync points. Returns the
+    snapshot id.
+
+    Caveats stated: Delta tombstone rows (op='DELETE' images kept by
+    merge_delta) are ordinary rows in both views — readers of either
+    format filter them identically; and vacuum_delta must retain any
+    file a still-wanted Iceberg snapshot references (version-based
+    retention covers the latest sync by construction since both
+    formats reference the same live set).
+    """
+    import json as _json
+
+    from pyspark.sql.types import StructType as _StructType
+
+    from postrack_spark.streaming.delta_log import _snapshot as _delta_snapshot
+
+    paths, schema_string, _v = _delta_snapshot(table, None)
+    schema = _StructType.fromJson(_json.loads(schema_string))
+    os.makedirs(_meta_dir(table), exist_ok=True)
+    current = _current_metadata(table)
+    version = 0 if current is None else current["last-version"] + 1
+    snapshot_id = version + 1
+
+    entries = [{
+        "status": ADDED, "snapshot_id": snapshot_id,
+        "data_file": {
+            "file_path": p, "file_format": "PARQUET",
+            "record_count": _parquet_rows(os.path.join(table, p)),
+            "file_size_in_bytes": os.path.getsize(os.path.join(table, p)),
+        }} for p in sorted(paths)]
+    manifest_rel = os.path.join("metadata", f"manifest-{snapshot_id:08d}.avro")
+    manifest_blob = write_avro(entries, _MANIFEST_SCHEMA, codec="deflate")
+    with open(os.path.join(table, manifest_rel), "wb") as f:
+        f.write(manifest_blob)
+    mlist_rel = os.path.join("metadata", f"snap-{snapshot_id:08d}.avro")
+    with open(os.path.join(table, mlist_rel), "wb") as f:
+        f.write(write_avro([{
+            "manifest_path": manifest_rel,
+            "manifest_length": len(manifest_blob),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+        }], _MANIFEST_LIST_SCHEMA, codec="deflate"))
+
+    now_ms = int(time.time() * 1000)
+    snapshots = (current["snapshots"] if current else []) + [{
+        "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+        "manifest-list": mlist_rel,
+        "summary": {"operation": "replace", "source": "delta-sync"},
+    }]
+    meta = {
+        "format-version": 1,
+        "table-uuid": (current or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": os.path.abspath(table),
+        "last-updated-ms": now_ms,
+        "last-column-id": len(schema.fields),
+        "schema": _ice_schema(schema),
+        "partition-spec": [],
+        "properties": {"delta.sync": "true"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+        "last-version": version,
+    }
+    with open(os.path.join(_meta_dir(table),
+                           f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    tmp = os.path.join(_meta_dir(table), ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
+    return snapshot_id

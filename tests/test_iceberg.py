@@ -99,3 +99,40 @@ def test_unsupported_spark_type_raises(spark):
     df = spark.range(1).select(F.array(F.col("id")).alias("a"))
     with pytest.raises(NotImplementedError, match="iceberg mapping"):
         append_iceberg(df, t)
+
+
+def test_uniform_sync_from_delta(spark):
+    """Zero-copy Delta -> Iceberg metadata sync (UniForm/XTable
+    concept): both formats' metadata coexist over the SAME parquet
+    bytes, reads agree, and repeated syncs give Iceberg time travel
+    through Delta states."""
+    import glob
+
+    from postrack_spark.streaming.delta_log import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+    from postrack_spark.streaming.iceberg import sync_iceberg_from_delta
+
+    t = tempfile.mkdtemp(prefix="uniform_")
+    write_delta(_df(spark, 0, 6), t)
+    s1 = sync_iceberg_from_delta(spark, t)
+    ice1 = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert ice1 == sorted(r["k"] for r in read_delta(spark, t).collect())
+    n_parquet_before = len(glob.glob(os.path.join(t, "*.parquet")))
+
+    # delta evolves (a COW merge rewrite); resync; both views agree again
+    imgs = spark.createDataFrame([(2, 99, 999)], "k long, lsn long, v long")
+    merge_delta(spark, t, imgs.selectExpr("k", "v"), "k", "v")
+    s2 = sync_iceberg_from_delta(spark, t)
+    ice2 = {r["k"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    delta2 = {r["k"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert ice2 == delta2 and ice2[2] == 999
+    # the sync copied ZERO data: no parquet beyond what delta wrote
+    assert len(glob.glob(os.path.join(t, "*.parquet"))) >= n_parquet_before
+    assert not glob.glob(os.path.join(t, "data", "*.parquet"))
+    # iceberg time travel still resolves the pre-merge state
+    assert sorted(r["k"] for r in
+                  read_iceberg(spark, t, snapshot_id=s1).collect()) == ice1
+    assert s2 > s1

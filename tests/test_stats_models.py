@@ -215,3 +215,52 @@ def test_mann_whitney_matches_model(spark, pairs):
     assert row["tie_sum"] == tie
     # the classic identity, doubled: U_a + U_b == n_a * n_b
     assert row["u_a_x2"] + row["u_b_x2"] == 2 * na * nb
+
+
+def _model_jonckheere(pairs, order):
+    """(group, value) pairs + ordered group list -> (jt_x2, e_jt_x2,
+    n_total), by brute-force pair enumeration."""
+    obs = [(g, v) for g, v in pairs if g in order]
+    idx = {g: i for i, g in enumerate(order)}
+    jt2 = 0
+    for ga, va in obs:
+        for gb, vb in obs:
+            if idx[ga] < idx[gb]:
+                jt2 += 2 if va < vb else (1 if va == vb else 0)
+    sizes = {}
+    for g, _ in obs:
+        sizes[g] = sizes.get(g, 0) + 1
+    e2 = sum(
+        sizes.get(order[i], 0) * sizes.get(order[j], 0)
+        for i in range(len(order))
+        for j in range(i + 1, len(order))
+    )
+    return jt2, e2, len(obs)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 6)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_jonckheere_matches_model(spark, pairs):
+    from postrack_spark.operators.stats import jonckheere_trend
+
+    order = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        pairs or [("z", 0)], "g string, v long")  # 'z' filtered out
+    row = jonckheere_trend(df, "g", order, "v").collect()
+    jt2, e2, n = _model_jonckheere(pairs, order)
+    if not [p for p in pairs if p[0] in order]:
+        # empty observation set: the aggregate yields NULL sums -> treat
+        # the single all-null row as zero
+        assert row == [] or row[0]["n_total"] in (0, None)
+        return
+    assert (row[0]["jt_x2"], row[0]["e_jt_x2"], row[0]["n_total"]) == (jt2, e2, n)
