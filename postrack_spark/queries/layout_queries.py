@@ -25,6 +25,7 @@ scan count.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from postrack_spark.queries.registry import query
 from postrack_spark.session import load_tables
@@ -392,4 +393,60 @@ def streaming_zone_map_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lo_value_milli", "hi_value_milli",
         )
         .orderBy("day")
+    )
+
+
+@query(
+    "layout_delta_stats_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS files_pruned_some
+    FROM orders
+    WHERE o_custkey BETWEEN 40 AND 60
+    """,
+)
+def layout_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping at the TABLE-FORMAT layer — the lakehouse sibling
+    of the zone-map family: orders land in a Delta table
+    range-partitioned on o_custkey (files get tight disjoint custkey
+    extents; every add action carries Delta's per-file stats JSON
+    harvested from parquet footers), and a custkey-range read plans
+    ONLY the files whose [min,max] intersect the predicate. The
+    aggregate over the pruned read must equal the full filtered
+    aggregate (pruning removes provably-disjoint files only), and the
+    certificate column gates that pruning actually FIRED
+    (files_read < files_total) — the 'gate the certificate' pattern:
+    the oracle can't know file counts, but it can demand the boolean.
+
+    Scale: stats ride in O(files) log metadata; skipping cost is a
+    driver-side min/max check per file — at 100 TB this is the
+    difference between scanning a table and scanning a slice, same as
+    the layout family's extent argument."""
+    import tempfile
+
+    from postrack_spark.streaming.delta_log import (
+        pruned_read_delta,
+        write_delta,
+    )
+
+    t = load_tables(spark, sf_dir)
+    table = tempfile.mkdtemp(prefix="delta_skip_q_")
+    write_delta(
+        t["orders"]
+        .select("o_orderkey", "o_custkey",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .repartitionByRange(8, "o_custkey"),
+        table,
+    )
+    pruned, files_read, files_total = pruned_read_delta(
+        spark, table, "o_custkey", 40, 60)
+    return (
+        pruned.filter(F.col("o_custkey").between(40, 60))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .withColumn("files_pruned_some", F.lit(files_read < files_total))
     )

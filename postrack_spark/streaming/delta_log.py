@@ -112,10 +112,51 @@ def _metadata_action(df: DataFrame) -> dict:
     }}
 
 
+def _file_stats_json(path: str) -> str | None:
+    """Per-file column statistics in Delta's ``stats`` JSON shape
+    (numRecords / minValues / maxValues / nullCount), harvested from
+    the parquet footer's row-group statistics — a metadata-only read.
+    Only top-level primitive columns with footer stats participate."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(path)
+    except Exception:
+        return None
+    md = pf.metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested: out of stats scope
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                continue  # binary min/max not representable in JSON
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    stats = {"numRecords": md.num_rows, "minValues": mins,
+             "maxValues": maxs, "nullCount": nulls}
+    try:
+        return json.dumps(stats, default=str, separators=(",", ":"))
+    except TypeError:  # pragma: no cover - unexpected stat type
+        return None
+
+
 def _write_data_files(df: DataFrame, table: str) -> list[dict]:
     """Write the batch as parquet under a scratch name, move the parts
     into the table root, return their add actions (uncommitted until a
-    log commit references them)."""
+    log commit references them). Each add carries Delta's ``stats``
+    JSON so readers can file-prune on predicates (data skipping — the
+    table-format sibling of the zone-map family, sources/layout.py)."""
     scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(scratch)
     adds = []
@@ -124,15 +165,66 @@ def _write_data_files(df: DataFrame, table: str) -> list[dict]:
             continue
         final = f"part-{uuid.uuid4().hex}.parquet"
         os.replace(os.path.join(scratch, name), os.path.join(table, final))
-        adds.append({"add": {
+        add = {
             "path": final,
             "partitionValues": {},
             "size": os.path.getsize(os.path.join(table, final)),
             "modificationTime": int(time.time() * 1000),
             "dataChange": True,
-        }})
+        }
+        stats = _file_stats_json(os.path.join(table, final))
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
     shutil.rmtree(scratch, ignore_errors=True)
     return adds
+
+
+def pruned_read_delta(spark: SparkSession, table: str, column: str,
+                      lo, hi) -> tuple[DataFrame, int, int]:
+    """Data-skipping snapshot read: plan only the live files whose
+    [min, max] stats for ``column`` intersect [lo, hi]. Returns
+    (DataFrame, files_read, files_total). Files without stats for the
+    column are conservatively read. The predicate itself is NOT applied
+    — callers add their own filter; pruning only removes files that
+    cannot contain matches, so the result set is identical to a full
+    read + filter (the zone-map contract)."""
+    paths, schema_string, _v = _snapshot_actions(table, None)
+    schema = StructType.fromJson(json.loads(schema_string))
+    keep = []
+    for p, add in paths:
+        st = add.get("stats")
+        if st:
+            s = json.loads(st)
+            mn = s.get("minValues", {}).get(column)
+            mx = s.get("maxValues", {}).get(column)
+            if mn is not None and mx is not None and (mx < lo or mn > hi):
+                continue  # provably disjoint: skip
+        keep.append(p)
+    if not keep:
+        return spark.createDataFrame([], schema), 0, len(paths)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in keep])
+    return df, len(keep), len(paths)
+
+
+def _snapshot_actions(table: str, version: int | None):
+    """_snapshot variant that returns (path, add_action) pairs."""
+    paths, schema_string, v = _snapshot(table, version)
+    # _snapshot returns only the paths; replay again keeping actions
+    versions = [x for x in _list_versions(table) if x <= v]
+    live: dict[str, dict] = {}
+    for vv in versions:
+        with open(_log_path(table, vv)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+    return list(live.items()), schema_string, v
 
 
 def _snapshot(table: str, version: int | None):
