@@ -136,3 +136,24 @@ def test_uniform_sync_from_delta(spark):
     assert sorted(r["k"] for r in
                   read_iceberg(spark, t, snapshot_id=s1).collect()) == ice1
     assert s2 > s1
+
+
+def test_vacuum_respects_latest_uniform_sync(spark):
+    """vacuum_delta with version-based retention keeps every file the
+    LATEST Iceberg sync references (both formats point at the same
+    live set by construction) — the retention interplay the
+    sync docstring promises."""
+    from postrack_spark.streaming.delta_log import (
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+    from postrack_spark.streaming.iceberg import sync_iceberg_from_delta
+
+    t = tempfile.mkdtemp(prefix="uniform_vac_")
+    write_delta(_df(spark, 0, 5), t)
+    write_delta(_df(spark, 100, 103), t, mode="overwrite")
+    sync_iceberg_from_delta(spark, t)
+    vacuum_delta(t, retain_versions=1)  # drops the pre-overwrite files
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == [100, 101, 102]
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [100, 101, 102]

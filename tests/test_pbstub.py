@@ -224,3 +224,28 @@ def test_java_parses_our_bytes_and_reserializes_identically(jproto, case):
     back = type(msg)()
     back.ParseFromString(bytes(jmsg.toByteArray()))
     assert back == msg
+
+
+def test_malformed_wire_input_raises_cleanly():
+    """Truncated varints, truncated length-delimited fields, and
+    out-of-range union indexes must raise (ValueError-shaped), never
+    hang, loop, or silently mis-parse."""
+    msg = sm.StateRequest()
+    with pytest.raises(Exception):
+        msg.ParseFromString(b"\xff" * 11)  # varint never terminates
+    with pytest.raises(Exception):
+        # field 3 (stateVariableRequest) LEN with length past the end
+        msg.ParseFromString(b"\x1a\x7fABC")
+    vs = sm.ValueStateCall()
+    ok = sm.ValueStateCall(stateName="x", get=sm.Get()).SerializeToString()
+    vs.ParseFromString(ok)  # sanity: well-formed still parses
+    # unknown wire type 7 in a tag
+    with pytest.raises(Exception):
+        sm.StateResponse().ParseFromString(bytes([0x0F]) + b"\x00")
+
+
+def test_unknown_field_name_raises_attribute_error():
+    with pytest.raises(AttributeError):
+        sm.StateResponse(nonexistent=1)
+    with pytest.raises(AttributeError):
+        _ = sm.StateResponse().nonexistent
