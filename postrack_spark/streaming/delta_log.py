@@ -198,8 +198,14 @@ def pruned_read_delta(spark: SparkSession, table: str, column: str,
             s = json.loads(st)
             mn = s.get("minValues", {}).get(column)
             mx = s.get("maxValues", {}).get(column)
-            if mn is not None and mx is not None and (mx < lo or mn > hi):
-                continue  # provably disjoint: skip
+            try:
+                if mn is not None and mx is not None and (mx < lo or mn > hi):
+                    continue  # provably disjoint: skip
+            except TypeError:
+                # stats stored via the default=str fallback (e.g. a
+                # date column) against numeric bounds: incomparable ->
+                # conservative read, never an error (the no-stats rule)
+                pass
         keep.append(p)
     if not keep:
         return spark.createDataFrame([], schema), 0, len(paths)

@@ -265,3 +265,39 @@ def test_stats_data_skipping_prunes_and_stays_correct(spark):
             f.write("\n".join(lines) + "\n")
     _, read3, total3 = pruned_read_delta(spark, t, "k", 100, 180)
     assert (read3, total3) == (4, 4)  # no stats -> no pruning, no loss
+
+
+def test_incomparable_stats_degrade_to_conservative_read(spark):
+    """A column whose footer stats serialized through the default=str
+    fallback (dates/timestamps) must degrade to a conservative read
+    when pruned against numeric bounds — never a TypeError."""
+    import json as _json
+
+    from postrack_spark.streaming.delta_log import (
+        _list_versions,
+        _log_path,
+        pruned_read_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_badstats_")
+    write_delta(_df(spark, 0, 10).coalesce(1), t)
+    # corrupt the stats: stringify k's min/max as a str-fallback would
+    for v in _list_versions(t):
+        path = _log_path(t, v)
+        lines = []
+        with open(path) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                a = _json.loads(ln)
+                if "add" in a and "stats" in a["add"]:
+                    s = _json.loads(a["add"]["stats"])
+                    s["minValues"]["k"] = str(s["minValues"]["k"])
+                    s["maxValues"]["k"] = str(s["maxValues"]["k"])
+                    a["add"]["stats"] = _json.dumps(s)
+                lines.append(_json.dumps(a))
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    df, read, total = pruned_read_delta(spark, t, "k", 2, 4)
+    assert (read, total) == (1, 1)  # conservative: file still read
+    assert df.filter(F.col("k").between(2, 4)).count() == 3
