@@ -301,3 +301,29 @@ def test_incomparable_stats_degrade_to_conservative_read(spark):
     df, read, total = pruned_read_delta(spark, t, "k", 2, 4)
     assert (read, total) == (1, 1)  # conservative: file still read
     assert df.filter(F.col("k").between(2, 4)).count() == 3
+
+
+def test_merge_crash_between_commit_and_txn_marker_converges(spark):
+    """foreach_batch_delta_merge stamps its txn marker in a follow-up
+    commit; a crash between the two leaves the batch unmarked and a
+    replay RE-MERGES it. Re-merging identical images converges by
+    value (per-key max_by over the same multiset), so the crash window
+    is at-least-once with an idempotent effect — pin it."""
+    from postrack_spark.streaming.delta_log import (
+        _append_txn,
+        last_txn_version,
+        merge_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_txncrash_")
+    imgs = _images(spark, [(1, 10, "INSERT", "a1"), (2, 11, "INSERT", "b1")])
+    # simulate the crash: merge committed, txn marker never written
+    merge_delta(spark, t, imgs, "k", "lsn")
+    assert last_txn_version(t) is None  # unmarked -> replay will re-run
+    # replay path: same batch re-merged, then the marker lands
+    v = merge_delta(spark, t, imgs, "k", "lsn")
+    _append_txn(t, v, 0)
+    rows = {r["k"]: (r["lsn"], r["payload"])
+            for r in read_delta(spark, t).collect()}
+    assert rows == {1: (10, "a1"), 2: (11, "b1")}  # converged, no dupes
+    assert last_txn_version(t) == 0
