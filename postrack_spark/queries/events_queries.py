@@ -2258,3 +2258,81 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dow", "hod", "n", F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("share_ppm"))
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "events_permutation_patterns",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    panes AS (
+      SELECT day, day // 30 AS pane, cents FROM daily
+    ),
+    triples AS (
+      SELECT cents AS c0,
+             lead(cents, 1) OVER (PARTITION BY pane ORDER BY day) AS c1,
+             lead(cents, 2) OVER (PARTITION BY pane ORDER BY day) AS c2
+      FROM panes
+    )
+    SELECT CAST(((CASE WHEN c0 > c1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c0 > c2 THEN 1 ELSE 0 END)) * 100
+              + ((CASE WHEN c1 >= c0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c1 > c2 THEN 1 ELSE 0 END)) * 10
+              + ((CASE WHEN c2 >= c0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c2 >= c1 THEN 1 ELSE 0 END)) AS INT) AS pattern,
+           CAST(count(*) AS BIGINT) AS n_triples
+    FROM triples
+    WHERE c2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY pattern
+    """,
+)
+def events_permutation_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern histogram (the engine of permutation entropy,
+    Bandt-Pompe 2002): classify every 3 consecutive days of revenue
+    into one of the 6 rank orderings and count each. A complexity
+    screen for the daily series — white noise spreads mass evenly over
+    patterns, a trending series concentrates on 012/210 — feeding the
+    same anomaly lane as the ACF/Ljung-Box queries but distribution-
+    free.
+
+    Determinism: ties between equal daily totals break to the EARLIER
+    day (the later element of a tied pair counts as larger — the >= vs
+    > asymmetry in the rank expressions), so every triple maps to
+    exactly one full permutation; all logic is integer/boolean.
+    Patterns are encoded as the 3-digit rank string (e.g. 201 = middle
+    day lowest, first day highest... digit = rank of that position).
+
+    Scale: the day series is grouped into 30-day PANES and triples are
+    formed within a pane (lead() over a pane-PARTITIONED window, <= 30
+    rows each — never a global window); pane-boundary triples are the
+    only loss, documented and identical on both engines."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+        .withColumn("pane", F.expr("day DIV 30"))
+    )
+    w = W.partitionBy("pane").orderBy("day")
+    triples = daily.select(
+        F.col("cents").alias("c0"),
+        F.lead("cents", 1).over(w).alias("c1"),
+        F.lead("cents", 2).over(w).alias("c2"),
+    ).filter(F.col("c2").isNotNull())
+    r0 = (F.col("c0") > F.col("c1")).cast("int") + (F.col("c0") > F.col("c2")).cast("int")
+    r1 = (F.col("c1") >= F.col("c0")).cast("int") + (F.col("c1") > F.col("c2")).cast("int")
+    r2 = (F.col("c2") >= F.col("c0")).cast("int") + (F.col("c2") >= F.col("c1")).cast("int")
+    return (
+        triples.select((r0 * 100 + r1 * 10 + r2).cast("int").alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count("*").cast("long").alias("n_triples"))
+        .orderBy("pattern")
+    )

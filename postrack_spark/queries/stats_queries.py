@@ -4649,3 +4649,308 @@ def agg_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
     return jonckheere_trend(obs, "g", _JT_PRIOS, "v")
+
+
+_EV_TYPES = ["click", "error", "purchase", "signup", "view"]
+"""The events table's closed event_type vocabulary (TESTDATA.md), used
+as the FIXED treatment list for the blocked-rank family below — the
+_JT_PRIOS pattern: hardcoding the treatments avoids a tiny
+unpartitioned window (rank over the 5-row type list) and makes the
+complete-block grid deterministic even at an SF that lacks a type."""
+
+
+def _block_rank_cte() -> str:
+    """Shared oracle CTE: the day x type complete-block grid with
+    within-block doubled midranks (mr2 = 2*rank + ties - 1). Missing
+    cells are 0-filled so every block has all k treatments (the
+    complete-design requirement of Friedman/Page)."""
+    type_rows = " UNION ALL ".join(f"SELECT '{t}' AS g" for t in _EV_TYPES)
+    return f"""
+    daily AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             event_type AS g, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS ({type_rows}),
+    grid AS (
+      SELECT d.day, t.g, coalesce(x.c, 0) AS c
+      FROM days d CROSS JOIN types t
+      LEFT JOIN daily x ON x.day = d.day AND x.g = t.g
+    ),
+    rk AS (
+      SELECT day, g, c,
+             CAST(2 * rank() OVER (PARTITION BY day ORDER BY c)
+                  + count(*) OVER (PARTITION BY day, c) - 1 AS BIGINT) AS mr2
+      FROM grid
+    )"""
+
+
+def _block_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _block_rank_cte: (day, g, mr2) with doubled
+    within-block midranks. Windows are PARTITIONED BY day (block size =
+    k = 5), never global; the grid is a broadcast combine of the day
+    list with the 5-row literal type frame."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+            F.col("event_type").alias("g"),
+        )
+        .groupBy("day", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    days = daily.select("day").distinct()
+    types = spark.createDataFrame([(g,) for g in _EV_TYPES], ["g"])
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "g"], "left")
+        .select("day", "g", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    w_rank = Window.partitionBy("day").orderBy("c")
+    w_tie = Window.partitionBy("day", "c")
+    return grid.select(
+        "day",
+        "g",
+        (F.lit(2) * F.rank().over(w_rank) + F.count("*").over(w_tie) - F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    )
+
+
+@query(
+    "agg_friedman_test",
+    oracle=f"""
+    WITH {_block_rank_cte()},
+    per_type AS (
+      SELECT g, CAST(sum(mr2) AS BIGINT) AS r2 FROM rk GROUP BY g
+    ),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS n,
+             CAST({len(_EV_TYPES)} AS BIGINT) AS k,
+             CAST((SELECT sum(r2 * r2) FROM per_type) AS BIGINT) AS s_r2sq,
+             CAST((SELECT sum(mr2 * mr2) FROM rk) AS BIGINT) AS a2
+    )
+    SELECT n AS n_days, k, s_r2sq AS sum_r2_sq, a2 AS sum_mr2_sq,
+           CAST(CASE WHEN a2 - n * k * (k + 1) * (k + 1) = 0 THEN NULL
+                ELSE floor(1000000.0 * (k - 1)
+                           * (s_r2sq - n * n * k * (k + 1) * (k + 1))
+                           / (a2 - n * k * (k + 1) * (k + 1)))
+                END AS BIGINT) AS friedman_ppm
+    FROM m
+    """,
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's test (blocked-rank k-sample): does daily event volume
+    differ systematically across the 5 event types, with each DAY as
+    its own block? Completes the nonparametric ladder next to
+    Kruskal-Wallis (independent groups) and McNemar (paired binary).
+
+    Exactness: within-block doubled midranks (mr2) keep ties integral;
+    Conover's tie-corrected statistic cross-multiplied by 4 is a ratio
+    of two pure-integer terms, (k-1)(SumR2_j^2 - n^2 k (k+1)^2) over
+    (A2 - n k (k+1)^2), emitted as floor-ppm from ONE double division —
+    identical on both engines. An all-tied-ranks day grid degenerates
+    the denominator to 0 -> NULL (the runs-test three-sided rule).
+
+    Scale: blocks are independent — the rank windows are PARTITIONED BY
+    day (k = 5 rows per partition, never a global window) and everything
+    after is two partial-agg groupBys; the day x type grid is a
+    broadcast combine with a 5-row literal frame."""
+    rk = _block_ranks(spark, sf_dir)
+    k = len(_EV_TYPES)
+    per_type = rk.groupBy("g").agg(F.sum("mr2").cast("long").alias("r2"))
+    s1 = per_type.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("s_r2sq")
+    )
+    s2 = rk.agg(
+        F.countDistinct("day").cast("long").alias("n"),
+        F.sum(F.col("mr2") * F.col("mr2")).cast("long").alias("a2"),
+    )
+    m = s2.crossJoin(F.broadcast(s1)).select(
+        "n", F.lit(k).cast("long").alias("k"), "s_r2sq", "a2"
+    )
+    den = F.col("a2") - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+    num = (
+        F.col("s_r2sq")
+        - F.col("n") * F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        "k",
+        F.col("s_r2sq").alias("sum_r2_sq"),
+        F.col("a2").alias("sum_mr2_sq"),
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("k") - 1).cast("double")
+                * num.cast("double")
+                / den.cast("double")
+            ).cast("long")
+        )
+        .alias("friedman_ppm"),
+    )
+
+
+def _page_j_case() -> str:
+    return "CASE g " + " ".join(
+        f"WHEN '{t}' THEN {j}" for j, t in enumerate(_EV_TYPES, start=1)
+    ) + " END"
+
+
+@query(
+    "agg_page_trend_test",
+    oracle=f"""
+    WITH {_block_rank_cte()},
+    per_type AS (
+      SELECT g, CAST(sum(mr2) AS BIGINT) AS r2 FROM rk GROUP BY g
+    ),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS n,
+             CAST({len(_EV_TYPES)} AS BIGINT) AS k,
+             CAST((SELECT sum(({_page_j_case()}) * r2) FROM per_type)
+                  AS BIGINT) AS l2
+    )
+    SELECT n AS n_days, k, l2,
+           CAST(n * k * (k + 1) * (k + 1) / 2 AS BIGINT) AS e_l2,
+           CAST(floor(1000000.0 * (l2 - n * k * (k + 1) * (k + 1) / 2)
+                      / (2.0 * sqrt(n * k * k * (k + 1) * (k * k - 1) / 144.0)))
+                AS BIGINT) AS page_z_ppm
+    FROM m
+    """,
+)
+def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative companion to
+    Friedman (Jonckheere is to Kruskal-Wallis what Page is to
+    Friedman): is daily volume monotonically ordered across the event
+    types in their fixed alphabetical order? L = sum_j j * R_j over the
+    within-day midranks; carried doubled (l2 = 2L) so ties stay
+    integral. e_l2 = n k (k+1)^2 / 2 is the exact integer null
+    expectation (k+1 even here, so /2 is exact); the z-score uses the
+    standard tie-UNCORRECTED null variance n k^2 (k+1)(k^2-1)/144
+    (documented approximation — ties only shrink the variance, so |z|
+    is conservative) with one sqrt + one division in double, floored to
+    ppm, operand-order identical on both engines. Same partitioned-
+    window block-rank frame as Friedman (scale notes there)."""
+    rk = _block_ranks(spark, sf_dir)
+    k = len(_EV_TYPES)
+    j_case = F.expr(_page_j_case())
+    per_type = rk.groupBy("g").agg(F.sum("mr2").cast("long").alias("r2"))
+    l2 = per_type.agg(
+        F.sum(j_case * F.col("r2")).cast("long").alias("l2")
+    )
+    n = rk.agg(F.countDistinct("day").cast("long").alias("n"))
+    m = n.crossJoin(F.broadcast(l2)).select(
+        "n", F.lit(k).cast("long").alias("k"), "l2"
+    )
+    e_l2 = (
+        F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1) / F.lit(2)
+    ).cast("long")
+    var_expr = (
+        F.col("n")
+        * F.col("k")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") * F.col("k") - 1)
+    ).cast("double") / F.lit(144.0)
+    return m.select(
+        F.col("n").alias("n_days"),
+        "k",
+        "l2",
+        e_l2.alias("e_l2"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("l2") - e_l2).cast("double")
+            / (F.lit(2.0) * F.sqrt(var_expr))
+        )
+        .cast("long")
+        .alias("page_z_ppm"),
+    )
+
+
+@query(
+    "events_cochran_q",
+    oracle=f"""
+    WITH pu AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    rows_tot AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS r FROM pu GROUP BY user_id
+    ),
+    cols_tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM pu GROUP BY event_type
+    ),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM rows_tot) AS BIGINT) AS n_users,
+             CAST({len(_EV_TYPES)} AS BIGINT) AS k,
+             CAST((SELECT count(*) FROM pu) AS BIGINT) AS n_succ,
+             CAST((SELECT sum(r * r) FROM rows_tot) AS BIGINT) AS s_rowsq
+    ),
+    numer AS (
+      SELECT CAST(sum((m.k * c.c - m.n_succ) * (m.k * c.c - m.n_succ))
+                  AS BIGINT) AS s_dev
+      FROM cols_tot c CROSS JOIN m
+    )
+    SELECT m.n_users, m.k, m.n_succ, m.s_rowsq,
+           CAST(CASE WHEN m.k * m.n_succ - m.s_rowsq = 0 THEN NULL
+                ELSE floor(1000000.0 * (m.k - 1) * numer.s_dev
+                           / (m.k * (m.k * m.n_succ - m.s_rowsq)))
+                END AS BIGINT) AS cochran_q_ppm
+    FROM m CROSS JOIN numer
+    """,
+)
+def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar: across
+    the 5 event types, do different proportions of users ever perform
+    each action, treating each USER as their own block of 5 binary
+    outcomes? Q = (k-1) sum_j (k C_j - N)^2 / (k (k N - sum_i R_i^2)),
+    the textbook formula cross-multiplied by k^2 so every term is a
+    pure integer (C_j column successes, R_i row successes, N total);
+    one double division floored to ppm. A design where every user did
+    every type (or none) has zero within-block variance -> denominator
+    0 -> NULL. Only SUCCESSES are materialized (the distinct
+    (user, type) pairs); absent cells are zeros by construction, so the
+    blocks x treatments matrix never exists — two partial-agg groupBys
+    over the pair relation and two 1-row broadcast combines, which is
+    what survives a 100 TB event log."""
+    t = load_tables(spark, sf_dir)
+    k = len(_EV_TYPES)
+    pu = t["events"].select("user_id", "event_type").distinct()
+    rows_tot = pu.groupBy("user_id").agg(F.count("*").cast("long").alias("r"))
+    cols_tot = pu.groupBy("event_type").agg(F.count("*").cast("long").alias("c"))
+    m = rows_tot.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s_rowsq"),
+        F.sum("r").cast("long").alias("n_succ"),
+    ).select("n_users", F.lit(k).cast("long").alias("k"), "n_succ", "s_rowsq")
+    numer = (
+        cols_tot.crossJoin(F.broadcast(m))
+        .select(
+            (
+                (F.col("k") * F.col("c") - F.col("n_succ"))
+                * (F.col("k") * F.col("c") - F.col("n_succ"))
+            ).alias("dev")
+        )
+        .agg(F.sum("dev").cast("long").alias("s_dev"))
+    )
+    den = F.col("k") * F.col("n_succ") - F.col("s_rowsq")
+    return m.crossJoin(F.broadcast(numer)).select(
+        "n_users",
+        "k",
+        "n_succ",
+        "s_rowsq",
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("k") - 1).cast("double")
+                * F.col("s_dev").cast("double")
+                / (F.col("k") * den).cast("double")
+            ).cast("long")
+        )
+        .alias("cochran_q_ppm"),
+    )

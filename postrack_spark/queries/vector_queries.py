@@ -1179,3 +1179,140 @@ def vector_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _bitpack_sql(accessor_fmt: str, lo_dim: int) -> str:
+    """32 sign bits of the embedding packed into one BIGINT word:
+    bit (d - lo_dim) is set iff embedding[d] > 0. Generated as a flat
+    literal-power sum so the SAME algorithm emits the Spark text
+    (accessor 'element_at(embedding, {i})') and the DuckDB text
+    ('embedding[{i}]') — the Morton-helper discipline from the layout
+    family. Sign vs zero on the raw float32 parquet value is
+    arithmetic-free, so the packed words are bit-identical
+    cross-engine."""
+    terms = " + ".join(
+        f"(CASE WHEN {accessor_fmt.format(i=d)} > 0 THEN {1 << (d - lo_dim)}"
+        " ELSE 0 END)"
+        for d in range(lo_dim, lo_dim + 32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_MILLI = "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000.0) AS BIGINT))"
+
+
+def _binary_hamming_oracle() -> str:
+    w0 = _bitpack_sql("embedding[{i}]", 1)
+    w1 = _bitpack_sql("embedding[{i}]", 33)
+    return f"""
+    WITH packed AS (
+      SELECT vec_id, {w0} AS w0, {w1} AS w1,
+             {_MILLI}::DOUBLE[] AS mv
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1, mv AS qmv
+          FROM packed WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             CAST(bit_count(xor(q.qw0, c.w0))
+                  + bit_count(xor(q.qw1, c.w1)) AS INT) AS hamming,
+             CAST(list_dot_product(q.qmv, c.mv) AS BIGINT) AS dot_milli
+      FROM q CROSS JOIN packed c
+      WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, hamming,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY hamming, c_id) AS rn,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot_milli DESC, c_id) AS rn_exact
+      FROM scored
+    )
+    SELECT q_id, CAST(rn AS INT) AS rn, c_id, hamming,
+           CAST(CASE WHEN rn_exact <= 10 THEN 1 ELSE 0 END AS INT) AS in_exact10
+    FROM ranked WHERE rn <= 10
+    ORDER BY q_id, rn
+    """
+
+
+@query("vector_binary_hamming_ann", oracle=_binary_hamming_oracle())
+def vector_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization ANN: collapse each 64-d float vector to its
+    64 SIGN BITS packed into two BIGINT words, score candidates by
+    Hamming distance (two xor + two bit_count per pair — the 32x-
+    compressed fast path modern vector stores scan before float
+    rerank), and audit each query's Hamming top-10 against the exact
+    milli-quantized dot-product top-10 (in_exact10 per row = the
+    recall@10 numerator). Ten query vectors broadcast against the
+    corpus — the bounded-frame combine shape shared with
+    vector_knn_bruteforce; ranking windows are partitioned per query.
+
+    Exactness: sign-vs-zero on the raw float32 needs no arithmetic, so
+    packed words match cross-engine bit-for-bit; Hamming is integer;
+    the exact-rank audit uses the shared milli grid (QUANTIZE_MILLI —
+    products <= 2.5e5, sums < 2^53, so DuckDB's double list_dot_product
+    equals Spark's integer fold). At 100 TB the packed words are what
+    you SCAN (16 bytes/vector instead of 256) and the float column is
+    only fetched for the rerank head — the plan here has that shape:
+    the corpus side projects (vec_id, w0, w1, mv) only."""
+    t = load_tables(spark, sf_dir)
+    w0 = _bitpack_sql("element_at(embedding, {i})", 1)
+    w1 = _bitpack_sql("element_at(embedding, {i})", 33)
+    milli = (
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+        " AS BIGINT))"
+    )
+    packed = fan_out(t["embeddings"]).select(
+        "vec_id",
+        F.expr(w0).alias("w0"),
+        F.expr(w1).alias("w1"),
+        F.expr(milli).alias("mv"),
+    )
+    q = (
+        packed.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+            F.col("mv").alias("qmv"),
+        )
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.expr(
+                "CAST(bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) AS INT)"
+            ).alias("hamming"),
+            F.expr(
+                "aggregate(zip_with(qmv, mv, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("dot_milli"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = scored.select(
+        "q_id",
+        "c_id",
+        "hamming",
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy("hamming", "c_id"))
+        .alias("rn"),
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.col("dot_milli").desc(), "c_id"))
+        .alias("rn_exact"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 10)
+        .select(
+            "q_id",
+            F.col("rn").cast("int").alias("rn"),
+            "c_id",
+            "hamming",
+            (F.col("rn_exact") <= 10).cast("int").alias("in_exact10"),
+        )
+        .orderBy("q_id", "rn")
+    )
