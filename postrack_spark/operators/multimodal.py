@@ -100,6 +100,10 @@ def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> 
         from postrack_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if mt in ("image/bmp", "image/x-ms-bmp", "image/x-bmp"):
+        from postrack_spark.operators.bmp import decode_bmp
+
+        return decode_bmp(payload)
     if mt in ("video/x-msvideo", "video/avi", "video/msvideo"):
         from postrack_spark.operators.avi import parse_avi
         from postrack_spark.operators.jpeg import decode_jpeg

@@ -2521,3 +2521,62 @@ def quality_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") - F.col("chance_x")).cast("double")
         ).alias("kappa"),
     )
+
+
+@query(
+    "multimodal_bmp_roundtrip_certify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(sum((3 + n_chars % 6) * (2 + n_chars % 5) * 3) AS BIGINT)
+             AS total_rgb_bytes
+    FROM documents
+    """,
+)
+def multimodal_bmp_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode, driver-gated (pure-stdlib operators/bmp.py —
+    the multimodal_png_roundtrip_certify pattern): per document, build
+    a deterministic RGB image (md5-of-text pixels, per-doc dimensions
+    from n_chars — widths 3-8 exercise every 4-byte row-padding
+    residue), encode as 24-bit BI_RGB, decode through the production
+    ``decode_media`` path and certify byte-exactness. The codec itself
+    is independently certified against javax.imageio both directions
+    (tests/test_codecs_imageio.py); this query certifies the
+    DISTRIBUTED plumbing: n_roundtrip_ok must equal count(*) and
+    total_rgb_bytes — summed from DECODED payload lengths — must match
+    pure SQL arithmetic over n_chars. One Arrow-batched mapInPandas
+    pass; images never leave their executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).select("doc_id", "text", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from postrack_spark.operators.bmp import encode_bmp
+        from postrack_spark.operators.multimodal import decode_media
+
+        for pdf in it:
+            oks, nbytes = [], []
+            for text, n_chars in zip(pdf["text"], pdf["n_chars"]):
+                w = 3 + int(n_chars) % 6
+                h = 2 + int(n_chars) % 5
+                need = w * h * 3
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                pixels = (dig * (need // len(dig) + 1))[:need]
+                decoded = decode_media(
+                    encode_bmp(pixels, w, h), "image/bmp", fake_decode=False
+                )
+                oks.append(decoded == pixels)
+                nbytes.append(len(decoded))
+            yield pd.DataFrame({"ok": oks, "rgb_bytes": nbytes})
+
+    per_doc = docs.mapInPandas(batches, "ok boolean, rgb_bytes long")
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_roundtrip_ok"),
+        F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
+    )

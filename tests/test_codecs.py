@@ -342,3 +342,83 @@ def test_decode_media_poster_frames():
         [{"indices": bytes([1] * 16)}], 4, 4, [(0, 0, 0), (10, 20, 30)]
     )
     assert decode_media(gif, "image/gif") == bytes([10, 20, 30]) * 16
+
+
+# ----------------------------------------------------------------- BMP
+
+
+def test_bmp_roundtrip_24bit():
+    from postrack_spark.operators.bmp import bmp_dimensions, decode_bmp, encode_bmp
+
+    w, h = 6, 4
+    rgb = bytes((x * 37 + y * 11 + c * 53) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    payload = encode_bmp(rgb, w, h)
+    assert bmp_dimensions(payload) == (w, h)
+    assert decode_bmp(payload) == rgb
+
+
+def _bmp_raw(width, height, bpp, compression=0, palette=b"", rows=b"",
+             top_down=False):
+    import struct
+
+    hdr_size = 40
+    data_off = 14 + hdr_size + len(palette)
+    file_size = data_off + len(rows)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", hdr_size, width,
+            -height if top_down else height, 1, bpp, compression,
+            len(rows), 2835, 2835, len(palette) // 4, 0,
+        )
+        + palette
+        + rows
+    )
+
+
+def test_bmp_8bit_palette_and_topdown():
+    from postrack_spark.operators.bmp import decode_bmp
+
+    # 3x2, palette entries are BGRA quads; rows pad to 4 bytes
+    palette = bytes((10, 20, 30, 0)) + bytes((40, 50, 60, 0)) + bytes((70, 80, 90, 0))
+    rows_bu = bytes((2, 1, 0, 0)) + bytes((0, 1, 2, 0))  # bottom-up on disk
+    rgb = decode_bmp(_bmp_raw(3, 2, 8, palette=palette, rows=rows_bu))
+    # top row of the IMAGE is the second row on disk: indices 0,1,2
+    assert rgb[:9] == bytes((30, 20, 10, 60, 50, 40, 90, 80, 70))
+    assert rgb[9:] == bytes((90, 80, 70, 60, 50, 40, 30, 20, 10))
+    # top-down negative height: disk order IS image order
+    rgb_td = decode_bmp(
+        _bmp_raw(3, 2, 8, palette=palette, rows=rows_bu, top_down=True)
+    )
+    assert rgb_td[:9] == bytes((90, 80, 70, 60, 50, 40, 30, 20, 10))
+
+
+def test_bmp_32bit_ignores_alpha_byte():
+    from postrack_spark.operators.bmp import decode_bmp
+
+    rows = bytes((1, 2, 3, 255)) + bytes((4, 5, 6, 0))  # 2x1, BGRx
+    assert decode_bmp(_bmp_raw(2, 1, 32, rows=rows)) == bytes((3, 2, 1, 6, 5, 4))
+
+
+def test_bmp_unsupported_paths_raise():
+    import pytest as _pytest
+
+    from postrack_spark.operators.bmp import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(_bmp_raw(2, 1, 8, compression=1, rows=b"\x00" * 4))  # RLE8
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(_bmp_raw(2, 1, 4, rows=b"\x00" * 4))  # 4-bit
+    with _pytest.raises(ValueError):
+        decode_bmp(_bmp_raw(2, 1, 24, rows=b"\x00"))  # truncated pixels
+
+
+def test_bmp_through_decode_media():
+    from postrack_spark.operators.bmp import encode_bmp
+    from postrack_spark.operators.multimodal import decode_media
+
+    rgb = bytes(range(2 * 2 * 3))
+    assert decode_media(encode_bmp(rgb, 2, 2), "image/bmp") == rgb

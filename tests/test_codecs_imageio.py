@@ -188,3 +188,36 @@ def test_gif_imageio_bytes_decode_exactly_in_ours(iio):
     # frame bookkeeping sane on a foreign single-frame file
     frames, fw, fh = decode_gif_frames(ref)
     assert (fw, fh) == (W, H) and len(frames) == 1
+
+
+# ----------------------------------------------------------------- BMP
+
+
+def test_bmp_our_encoder_decodes_exactly_in_imageio(iio):
+    from postrack_spark.operators.bmp import encode_bmp
+
+    rgb = _pattern_rgb()
+    got, w, h = iio.decode(encode_bmp(rgb, W, H))
+    assert (w, h) == (W, H)
+    assert got == rgb
+
+
+def test_bmp_imageio_bytes_decode_exactly_in_ours(iio):
+    from postrack_spark.operators.bmp import bmp_dimensions, decode_bmp
+
+    rgb = _pattern_rgb()
+    ref = iio.encode(rgb, W, H, "bmp")
+    assert bmp_dimensions(ref) == (W, H)
+    assert decode_bmp(ref) == rgb
+
+
+def test_bmp_odd_width_padding_crosses_exactly(iio):
+    # width 5 -> 15-byte rows pad to 16; padding bugs shift every row
+    from postrack_spark.operators.bmp import decode_bmp, encode_bmp
+
+    w, h = 5, 7
+    rgb = _pattern_rgb(w, h)
+    assert decode_bmp(encode_bmp(rgb, w, h)) == rgb  # closed loop
+    got, gw, gh = iio.decode(encode_bmp(rgb, w, h))  # cross: ours -> JDK
+    assert (gw, gh) == (w, h) and got == rgb
+    assert decode_bmp(iio.encode(rgb, w, h, "bmp")) == rgb  # JDK -> ours
