@@ -2406,3 +2406,77 @@ def streaming_tws_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_buckets").alias("n_buckets"),
         F.col("n_total").cast("long").alias("n_total"),
     ).orderBy("event_type")
+
+
+@query(
+    "cdc_delta_delete_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM base
+                 WHERE o_custkey BETWEEN 40 AND 60) AS BIGINT) AS rows_deleted,
+           CAST((SELECT count(*) FROM base
+                 WHERE o_custkey NOT BETWEEN 40 AND 60) AS BIGINT) AS rows_after,
+           CAST((SELECT sum(cents) FROM base
+                 WHERE o_custkey NOT BETWEEN 40 AND 60) AS BIGINT) AS cents_after,
+           true AS rewrite_was_partial
+    FROM base LIMIT 1
+    """,
+)
+def cdc_delta_delete_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE WHERE on the Delta transaction log
+    (delta_log.delete_delta) with a TIME-TRAVEL audit: orders land in a
+    custkey-range-partitioned Delta table, a custkey-range predicate is
+    deleted, and the output certifies the full contract in one row —
+    rows_before re-read by TIME TRAVEL to the pre-delete version (the
+    deleted rows must still be visible there: a DELETE is a log
+    transition, not history rewriting), rows_deleted/rows_after/
+    cents_after from the post-delete snapshot, and the
+    rewrite_was_partial certificate (0 < files_rewritten < files_total
+    — range partitioning localizes the predicate so COW touches a
+    strict subset; the 'gate the certificate' pattern since the oracle
+    cannot know file counts). Scale notes in delete_delta's docstring:
+    detection is a pushdown scan of file_path only, rewrite cost is
+    match locality, never table size."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = load_tables(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="delta_delete_q_")
+    v_before = write_delta(
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .repartitionByRange(8, "o_custkey"),
+        table,
+    )
+    _version, rewritten, total = delete_delta(
+        spark, table, "o_custkey BETWEEN 40 AND 60"
+    )
+    before = read_delta(spark, table, version=v_before).agg(
+        F.count("*").cast("long").alias("rows_before")
+    )
+    after = read_delta(spark, table).agg(
+        F.count("*").cast("long").alias("rows_after"),
+        F.sum("cents").cast("long").alias("cents_after"),
+    )
+    return before.crossJoin(after).select(
+        "rows_before",
+        (F.col("rows_before") - F.col("rows_after")).alias("rows_deleted"),
+        "rows_after",
+        "cents_after",
+        F.lit(0 < rewritten < total).alias("rewrite_was_partial"),
+    )

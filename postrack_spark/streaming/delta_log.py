@@ -480,6 +480,71 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
+def delete_delta(spark: SparkSession, table: str,
+                 condition: str) -> tuple[int, int, int]:
+    """Copy-on-write DELETE WHERE — the lakehouse point-delete next to
+    merge_delta's CDC fold: physically remove the rows matching
+    ``condition`` (a SQL boolean expression over the table's columns),
+    rewriting ONLY the data files that contain a match. Returns
+    (committed version, files_rewritten, files_total).
+
+    Semantics are SQL DELETE: a row is removed iff the predicate is
+    TRUE — NULL-evaluating rows SURVIVE (the filter keeps
+    ``NOT coalesce(cond, false)``). Unlike merge_delta's retained
+    op='DELETE' tombstones (which defend CDC folds against late stale
+    images), a user DELETE is a state transition at a log version:
+    time travel to the prior version still sees the rows, replay-safety
+    comes from the log itself, and no tombstone rows are needed.
+
+    Scale: affected-file detection is one predicate-pushdown scan
+    projecting only ``_metadata.file_path`` (parquet row-group stats
+    already skip non-matching groups); the rewrite reads and writes
+    only affected files, so cost is proportional to matches' file
+    locality, never table size — the reason engines Z-order before
+    bulk GDPR deletes (layout family)."""
+    paths, schema_string, _v = _snapshot(table, None)
+    schema = StructType.fromJson(json.loads(schema_string))
+    full = [os.path.join(table, p) for p in paths]
+    live = spark.read.schema(schema).parquet(*full).withColumn(
+        "_fp", F.col("_metadata.file_path"))
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    affected_fps = [
+        r["_fp"]
+        for r in live.filter(cond).select("_fp").distinct().collect()
+    ]  # metadata-sized (file list), not a data-path collect
+
+    def _local(fp: str) -> str:
+        if fp.startswith("file:"):
+            fp = fp[len("file:"):]
+            while fp.startswith("//"):
+                fp = fp[1:]
+        return fp
+
+    rel_affected = sorted(
+        os.path.relpath(_local(fp), os.path.abspath(table))
+        for fp in affected_fps
+    )
+    if not rel_affected:
+        return latest_version(table) or 0, 0, len(paths)
+    survivors = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in rel_affected]
+    ).filter(~F.coalesce(F.expr(condition), F.lit(False)))
+    adds = _write_data_files(survivors, table)
+    removes = [{"remove": {
+        "path": p, "deletionTimestamp": int(time.time() * 1000),
+        "dataChange": True,
+    }} for p in rel_affected]
+    for _ in range(10):
+        current = latest_version(table)
+        version = (current or 0) + 1
+        try:
+            commit_delta(table, version, removes + adds)
+            return version, len(rel_affected), len(paths)
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
 def foreach_batch_delta_merge(table: str, key_col: str, order_col: str):
     """foreachBatch hook: per-batch copy-on-write MERGE with the same
     txn-action idempotence as foreach_batch_delta. Replays are skipped;

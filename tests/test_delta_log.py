@@ -327,3 +327,62 @@ def test_merge_crash_between_commit_and_txn_marker_converges(spark):
             for r in read_delta(spark, t).collect()}
     assert rows == {1: (10, "a1"), 2: (11, "b1")}  # converged, no dupes
     assert last_txn_version(t) == 0
+
+
+def test_delete_where_rewrites_only_affected_files(spark):
+    from postrack_spark.streaming.delta_log import _snapshot, delete_delta
+
+    t = tempfile.mkdtemp(prefix="delta_del_")
+    write_delta(_df(spark, 0, 5).coalesce(1), t)
+    write_delta(_df(spark, 5, 10).coalesce(1), t)
+    before_paths, _, _ = _snapshot(t, None)
+    assert len(before_paths) == 2
+    version, rewritten, total = delete_delta(spark, t, "k IN (1, 3)")
+    assert (rewritten, total) == (1, 2)
+    after_paths, _, _ = _snapshot(t, None)
+    assert len(set(before_paths) & set(after_paths)) == 1  # 5-9 untouched
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
+        0, 2, 4, 5, 6, 7, 8, 9]
+    # time travel to the pre-delete version still sees the deleted keys
+    assert sorted(
+        r["k"] for r in read_delta(spark, t, version=version - 1).collect()
+    ) == list(range(10))
+
+
+def test_delete_where_null_predicate_rows_survive(spark):
+    from postrack_spark.streaming.delta_log import delete_delta
+
+    t = tempfile.mkdtemp(prefix="delta_deln_")
+    df = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 30)], "k long, v long")
+    write_delta(df.coalesce(1), t)
+    delete_delta(spark, t, "v > 15")  # NULL > 15 is NULL, not TRUE
+    got = sorted((r["k"], r["v"]) for r in read_delta(spark, t).collect())
+    assert got == [(0, 10), (1, None)]
+
+
+def test_delete_where_no_match_is_a_no_op(spark):
+    from postrack_spark.streaming.delta_log import (
+        _snapshot,
+        delete_delta,
+        latest_version,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_del0_")
+    write_delta(_df(spark, 0, 5).coalesce(1), t)
+    v = latest_version(t)
+    version, rewritten, total = delete_delta(spark, t, "k > 100")
+    assert (version, rewritten, total) == (v, 0, 1)
+    assert latest_version(t) == v  # no commit happened
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_delete_where_can_empty_a_file(spark):
+    from postrack_spark.streaming.delta_log import delete_delta
+
+    t = tempfile.mkdtemp(prefix="delta_delall_")
+    write_delta(_df(spark, 0, 5).coalesce(1), t)
+    write_delta(_df(spark, 5, 10).coalesce(1), t)
+    delete_delta(spark, t, "k < 5")
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
+        5, 6, 7, 8, 9]
