@@ -450,3 +450,84 @@ def layout_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("files_pruned_some", F.lit(files_read < files_total))
     )
+
+
+@query(
+    "layout_bucketed_join_no_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS join_planned_shuffle_free
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def layout_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join — the layout family's answer to
+    the BIG-x-BIG join that broadcast can't save: orders and lineitem
+    are written as 16-bucket tables hash-bucketed on the order key
+    (one file per bucket), and the merge-hinted join then plans as a
+    SortMergeJoin with ZERO shuffle exchanges — bucket i of orders
+    zips with bucket i of lineitem straight off disk. At 100 TB this
+    is the difference between re-shuffling both fact tables on every
+    join and paying the layout cost ONCE at ingest (the canonical
+    warehouse trick bucketing exists for); the only exchange left in
+    the whole plan is the final small groupBy on priority.
+
+    The certificate column is audited from the join's physical plan
+    (SortMergeJoin present, no Exchange anywhere under it, both scans
+    bucketed) — the 'gate the certificate' pattern; the oracle can
+    only demand the boolean plus the join's arithmetic, which is
+    layout-independent. In-partition Sorts remain planned: Spark only
+    trusts bucket sortBy metadata under the legacy outputOrdering
+    flag, and a per-bucket sort of pre-sorted runs is a linear merge —
+    documented, not hidden. Bucket tables are session-scoped catalog
+    entries over temp-dir paths, unique per invocation."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    t = load_tables(spark, sf_dir)
+    d = _tf.mkdtemp(prefix="bucket_join_q_")
+    sfx = _uuid.uuid4().hex[:8]
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(16, "o_orderkey")
+        .write.bucketBy(16, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{d}/orders")
+        .saveAsTable(f"bkt_orders_{sfx}")
+    )
+    (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .repartition(16, "l_orderkey")
+        .write.bucketBy(16, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{d}/lineitem")
+        .saveAsTable(f"bkt_lineitem_{sfx}")
+    )
+    o = spark.table(f"bkt_orders_{sfx}")
+    li = spark.table(f"bkt_lineitem_{sfx}")
+    j = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    shuffle_free = (
+        "SortMergeJoin" in jplan
+        and "Exchange" not in jplan
+        and jplan.count("Bucketed: true") == 2
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+        .withColumn("join_planned_shuffle_free", F.lit(shuffle_free))
+    )

@@ -2480,3 +2480,86 @@ def cdc_delta_delete_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents_after",
         F.lit(0 < rewritten < total).alias("rewrite_was_partial"),
     )
+
+
+@query(
+    "streaming_delta_gdpr_purge",
+    oracle="""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o
+    WHERE o.o_custkey NOT IN (SELECT user_id FROM forget)
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def streaming_delta_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GDPR purge against a Delta table: forget requests
+    arrive as a STREAM (here: the user ids behind 'error' events) and
+    each micro-batch is applied as a copy-on-write key DELETE
+    (delta_log.foreach_batch_delta_delete — broadcast semi-join file
+    detection, anti-join survivor rewrite, txn-marker idempotence under
+    at-least-once replays; deletion is naturally idempotent, so the
+    marker crash window degrades to at-least-once with identical
+    effect). The final snapshot must equal the batch NOT IN — which
+    also pins the cross-batch composition: keys purged in batch 1 must
+    STAY purged while batch 2 rewrites other files.
+
+    This is the lakehouse half of the governance story next to
+    cdc_forget_keys_purge (versioned-view purge): at 100 TB the purge
+    cost per batch is file-local (forget sets are human-scale and
+    broadcast; only files containing a match rewrite), and the log
+    retains pre-purge versions for exactly the vacuum retention the
+    compliance window allows."""
+    import tempfile as _tf
+
+    from postrack_spark.session import fan_out, load_tables
+    from postrack_spark.streaming.delta_log import (
+        foreach_batch_delta_delete,
+        read_delta,
+        write_delta,
+    )
+    from postrack_spark.streaming.runner import events_stream
+
+    t = load_tables(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="delta_gdpr_")
+    ckpt = _tf.mkdtemp(prefix="delta_gdpr_ckpt_")
+    write_delta(
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .repartitionByRange(8, "o_custkey"),
+        table,
+    )
+    forget = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("o_custkey"))
+    )
+    q = (
+        forget.writeStream.foreachBatch(
+            foreach_batch_delta_delete(table, "o_custkey")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = fan_out(read_delta(spark, table))
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -545,6 +545,82 @@ def delete_delta(spark: SparkSession, table: str,
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
+def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
+                      key_col: str) -> tuple[int, int, int]:
+    """Copy-on-write DELETE by key set — the GDPR-purge shape
+    (cdc_forget_keys_purge's lakehouse sibling): physically remove
+    every row whose ``key_col`` appears in ``keys``, rewriting only the
+    files that contain one. The key frame is BROADCAST into a semi-join
+    for affected-file detection and an anti-join for the survivor
+    rewrite, so a purge batch of any realistic size (forget requests
+    are human-scale) costs one pushdown scan + affected-file rewrite.
+    Returns (version, files_rewritten, files_total); an empty or
+    non-matching key set commits nothing."""
+    paths, schema_string, _v = _snapshot(table, None)
+    schema = StructType.fromJson(json.loads(schema_string))
+    full = [os.path.join(table, p) for p in paths]
+    live = spark.read.schema(schema).parquet(*full).withColumn(
+        "_fp", F.col("_metadata.file_path"))
+    kdf = keys.select(key_col).distinct()
+    affected_fps = [
+        r["_fp"]
+        for r in live.join(F.broadcast(kdf), key_col, "left_semi")
+        .select("_fp").distinct().collect()
+    ]  # metadata-sized (file list), not a data-path collect
+
+    def _local(fp: str) -> str:
+        if fp.startswith("file:"):
+            fp = fp[len("file:"):]
+            while fp.startswith("//"):
+                fp = fp[1:]
+        return fp
+
+    rel_affected = sorted(
+        os.path.relpath(_local(fp), os.path.abspath(table))
+        for fp in affected_fps
+    )
+    if not rel_affected:
+        return latest_version(table) or 0, 0, len(paths)
+    survivors = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p in rel_affected]
+    ).join(F.broadcast(kdf), key_col, "left_anti")
+    adds = _write_data_files(survivors, table)
+    removes = [{"remove": {
+        "path": p, "deletionTimestamp": int(time.time() * 1000),
+        "dataChange": True,
+    }} for p in rel_affected]
+    for _ in range(10):
+        current = latest_version(table)
+        version = (current or 0) + 1
+        try:
+            commit_delta(table, version, removes + adds)
+            return version, len(rel_affected), len(paths)
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def foreach_batch_delta_delete(table: str, key_col: str):
+    """foreachBatch hook: streaming GDPR purge — each micro-batch is a
+    set of forget keys to DELETE from ``table``. Same txn-action
+    idempotence as foreach_batch_delta (replayed batches are no-ops;
+    the marker rides in a metadata-only follow-up commit because
+    delete_keys_delta commits data actions itself, the merge pattern).
+    Deletion is idempotent by nature, so the crash window between the
+    data commit and the marker commit is at-least-once with identical
+    effect — the foreach_batch_delta_merge argument verbatim."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_txn_version(table)
+        if last is not None and batch_id <= last:
+            return
+        spark = batch_df.sparkSession
+        version, _rw, _tot = delete_keys_delta(spark, table, batch_df, key_col)
+        _append_txn(table, version, batch_id)
+
+    return apply_batch
+
+
 def foreach_batch_delta_merge(table: str, key_col: str, order_col: str):
     """foreachBatch hook: per-batch copy-on-write MERGE with the same
     txn-action idempotence as foreach_batch_delta. Replays are skipped;

@@ -386,3 +386,30 @@ def test_delete_where_can_empty_a_file(spark):
     delete_delta(spark, t, "k < 5")
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
         5, 6, 7, 8, 9]
+
+
+def test_delete_keys_and_foreach_batch_idempotence(spark):
+    from postrack_spark.streaming.delta_log import (
+        delete_keys_delta,
+        foreach_batch_delta_delete,
+        latest_version,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_delk_")
+    write_delta(_df(spark, 0, 5).coalesce(1), t)
+    write_delta(_df(spark, 5, 10).coalesce(1), t)
+    keys = spark.createDataFrame([(2,), (7,), (999,)], "k long")
+    version, rewritten, total = delete_keys_delta(spark, t, keys, "k")
+    assert (rewritten, total) == (2, 2)  # both files held a key
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
+        0, 1, 3, 4, 5, 6, 8, 9]
+    # foreachBatch path: batch applies once, replay is a no-op
+    hook = foreach_batch_delta_delete(t, "k")
+    hook(spark.createDataFrame([(4,)], "k long"), 0)
+    after_first = latest_version(t)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
+        0, 1, 3, 5, 6, 8, 9]
+    hook(spark.createDataFrame([(5,)], "k long"), 0)  # replayed batch id
+    assert latest_version(t) == after_first  # nothing committed
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
+        0, 1, 3, 5, 6, 8, 9]
