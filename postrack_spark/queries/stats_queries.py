@@ -4954,3 +4954,212 @@ def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cochran_q_ppm"),
     )
+
+
+@query(
+    "events_poisson_dispersion",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             event_type AS g, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    types AS ({" UNION ALL ".join(f"SELECT '{t}' AS g" for t in _EV_TYPES)}),
+    grid AS (
+      SELECT t.g, coalesce(x.c, 0) AS c
+      FROM days d CROSS JOIN types t
+      LEFT JOIN daily x ON x.day = d.day AND x.g = t.g
+    ),
+    m AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(c * c) AS BIGINT) AS sum_sq
+      FROM grid GROUP BY g
+    )
+    SELECT g AS event_type, n_days, total, sum_sq,
+           CAST(CASE WHEN total = 0 THEN NULL
+                ELSE floor(1000000.0 * (n_days * sum_sq - total * total)
+                           / (total * (n_days - 1)))
+                END AS BIGINT) AS vmr_ppm
+    FROM m ORDER BY event_type
+    """,
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion screen per event type: is daily volume
+    Poisson-like (VMR ~ 1e6 ppm), underdispersed (regular, bot-like —
+    the events_bot_regularity signal generalized) or overdispersed
+    (bursty — the Fano family's chi-square-form cousin)? VMR =
+    s^2/mean = (n*Sum(c^2) - S^2) / (S*(n-1)) — pure integer terms over
+    the 0-filled day x type grid (zeros are real observations for
+    dispersion; the Friedman grid discipline), one double division
+    floored to ppm, NULL for an all-zero type (three-sided rule).
+    Scale: two hash aggs over a day-level frame."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+            F.col("event_type").alias("g"),
+        )
+        .groupBy("day", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    days = daily.select("day").distinct()
+    types = spark.createDataFrame([(g,) for g in _EV_TYPES], ["g"])
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "g"], "left")
+        .select("g", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    m = grid.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    vmr = F.when(F.col("total") == 0, F.lit(None).cast("long")).otherwise(
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_days") * F.col("sum_sq") - F.col("total") * F.col("total")).cast(
+                "double"
+            )
+            / (F.col("total") * (F.col("n_days") - 1)).cast("double")
+        ).cast("long")
+    )
+    return m.select(
+        F.col("g").alias("event_type"), "n_days", "total", "sum_sq",
+        vmr.alias("vmr_ppm"),
+    ).orderBy("event_type")
+
+
+@query(
+    "agg_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT p, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY p),
+    ct AS (SELECT s, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY s),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT p) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT s) AS BIGINT) AS n_cols
+          FROM cells),
+    terms AS (
+      SELECT CAST(floor(1000000.0
+                        * (CAST(n.n * cells.o - rt.r * ct.c AS DOUBLE)
+                           * CAST(n.n * cells.o - rt.r * ct.c AS DOUBLE))
+                        / CAST(n.n * rt.r * ct.c AS DOUBLE)) AS BIGINT) AS t
+      FROM cells JOIN rt USING (p) JOIN ct USING (s) CROSS JOIN n
+    )
+    SELECT n.n, n.n_rows, n.n_cols,
+           CAST((SELECT sum(t) FROM terms) AS BIGINT) AS chi2_ppm,
+           CAST(floor(CAST((SELECT sum(t) FROM terms) AS DOUBLE)
+                      / (n.n * (least(n.n_rows, n.n_cols) - 1)))
+                AS BIGINT) AS v_squared_ppm
+    FROM n
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized effect size the raw chi-square
+    (events_chi2_type_by_segment) lacks: how associated are order
+    priority and order status? chi2 = sum over cells of
+    (n*O - R*C)^2 / (n*R*C), each term floor-ppm'd BEFORE the sum (the
+    floor-before-sum rule: per-cell doubles are identical IEEE ops on
+    identical integers, the integer sum is then exact); V^2 =
+    chi2 / (n * (min(r,c)-1)) with one more floored division. The
+    deviation n*O - R*C fits int64 at every SF (|dev| <= n^2 ~ 2.2e10
+    at sf0.1) and is squared in DOUBLE — deterministic both engines.
+    One contingency aggregate + two broadcast margins; O(cells) work."""
+    t = load_tables(spark, sf_dir)
+    cells = (
+        t["orders"]
+        .groupBy(
+            F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+        )
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rt = cells.groupBy("p").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("s").agg(F.sum("o").cast("long").alias("c"))
+    n = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("p").cast("long").alias("n_rows"),
+        F.countDistinct("s").cast("long").alias("n_cols"),
+    )
+    dev = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    terms = (
+        cells.join(F.broadcast(rt), "p")
+        .join(F.broadcast(ct), "s")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                F.lit(1000000.0)
+                * dev
+                * dev
+                / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("chi2_ppm"))
+    )
+    return n.crossJoin(F.broadcast(terms)).select(
+        "n",
+        "n_rows",
+        "n_cols",
+        "chi2_ppm",
+        F.floor(
+            F.col("chi2_ppm").cast("double")
+            / (F.col("n") * (F.least("n_rows", "n_cols") - 1)).cast("double")
+        )
+        .cast("long")
+        .alias("v_squared_ppm"),
+    )
+
+
+@query(
+    "sample_systematic_every_k",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(min(rn) AS BIGINT) AS first_rn,
+           CAST(max(rn) AS BIGINT) AS last_rn
+    FROM ranked WHERE rn % 50 = 0
+    """,
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling over a hash-shuffled total
+    order: rank rows by md5 of the key (engine-portable hashing rule)
+    and keep every 50th — the classic frame-free survey design, which
+    on a hashed order is an exact-size uniform sample with zero RNG
+    state (the sample_hash_deterministic family's rank-based sibling;
+    hash ordering makes 'systematic' immune to periodicity in the
+    physical layout). The global rank comes from
+    operators/ranking.global_row_number — one range exchange, no
+    WindowExec, no collect (the oracle's unpartitioned window is
+    DuckDB-side only). Output pins count, money mass, and the first/
+    last selected ranks so an off-by-one in either engine's ranking
+    fails the gate."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    ranked = global_row_number(base, ["h", "o_orderkey"], "rn")
+    return ranked.filter(F.col("rn") % 50 == 0).agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min("rn").cast("long").alias("first_rn"),
+        F.max("rn").cast("long").alias("last_rn"),
+    )
