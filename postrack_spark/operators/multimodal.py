@@ -104,6 +104,10 @@ def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> 
         from postrack_spark.operators.bmp import decode_bmp
 
         return decode_bmp(payload)
+    if mt in ("image/tiff", "image/tif"):
+        from postrack_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     if mt in ("video/x-msvideo", "video/avi", "video/msvideo"):
         from postrack_spark.operators.avi import parse_avi
         from postrack_spark.operators.jpeg import decode_jpeg

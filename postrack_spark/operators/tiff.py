@@ -1,0 +1,180 @@
+"""Pure-stdlib baseline TIFF codec — the container-format workhorse of
+scan/scientific-imaging pipelines, completing the raster shelf next to
+operators/{png,jpeg,gif,bmp}.py.
+
+Scope (honest, raising):
+
+* decode: classic TIFF (magic 42), BOTH byte orders ('II' and 'MM'),
+  Compression=1 (none), PlanarConfiguration=1 (chunky), 8 bits/sample,
+  PhotometricInterpretation 0/1 (grayscale, incl. WhiteIsZero
+  inversion), 2 (RGB, extra samples ignored) and 3 (palette), any
+  strip layout (RowsPerStrip/StripOffsets/StripByteCounts). LZW/
+  Deflate/PackBits compression, planar layout, tiles, and 16-bit
+  samples raise NotImplementedError rather than decode wrongly.
+* encode: little-endian uncompressed chunky 8-bit RGB, single strip —
+  the minimal interchange profile every reader accepts.
+
+Cross-certified BOTH directions against javax.imageio's TIFF plugin
+(JDK 9+; writes big-endian, which exercises the 'MM' decode path) in
+tests/test_codecs_imageio.py — zero shared code.
+
+Raster convention matches the other codecs: packed 8-bit RGB,
+row-major, top-down, w*h*3 bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(payload: bytes, endian: str) -> dict[int, list[int]]:
+    (off,) = struct.unpack(endian + "I", payload[4:8])
+    if off + 2 > len(payload):
+        raise ValueError("TIFF: IFD offset out of range")
+    (n,) = struct.unpack(endian + "H", payload[off : off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = payload[off + 2 + 12 * i : off + 14 + 12 * i]
+        if len(e) < 12:
+            raise ValueError("TIFF: truncated IFD entry")
+        tag, typ, cnt = struct.unpack(endian + "HHI", e[:8])
+        if typ not in (1, 3, 4):  # BYTE/SHORT/LONG are all we consume
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        raw = e[8 : 8 + size] if size <= 4 else None
+        if raw is None:
+            (ptr,) = struct.unpack(endian + "I", e[8:12])
+            raw = payload[ptr : ptr + size]
+            if len(raw) < size:
+                raise ValueError(f"TIFF: tag {tag} data out of range")
+        if typ == 1:
+            tags[tag] = list(raw)
+        elif typ == 3:
+            tags[tag] = list(struct.unpack(endian + f"{cnt}H", raw))
+        else:
+            tags[tag] = list(struct.unpack(endian + f"{cnt}I", raw))
+    return tags
+
+
+def tiff_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the first IFD without decoding pixels."""
+    endian = _endian(payload)
+    tags = _read_ifd(payload, endian)
+    return tags[256][0], tags[257][0]
+
+
+def _endian(payload: bytes) -> str:
+    if len(payload) < 8:
+        raise ValueError("not a TIFF: too short")
+    if payload[:2] == b"II":
+        endian = "<"
+    elif payload[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack(endian + "H", payload[2:4])
+    if magic != 42:
+        raise ValueError(f"not a classic TIFF: magic {magic}")
+    return endian
+
+
+def decode_tiff(payload: bytes) -> bytes:
+    """Decode a baseline TIFF byte string to packed 8-bit RGB (w*h*3)."""
+    endian = _endian(payload)
+    tags = _read_ifd(payload, endian)
+    width = tags[256][0]
+    height = tags[257][0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8] * spp)
+    planar = tags.get(284, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(f"TIFF: compression {compression} not supported")
+    if planar != 1:
+        raise NotImplementedError("TIFF: planar configuration not supported")
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"TIFF: bits/sample {bps} not supported")
+    if photometric not in (0, 1, 2, 3):
+        raise NotImplementedError(f"TIFF: photometric {photometric} not supported")
+    if photometric == 3 and spp != 1:
+        raise ValueError("TIFF: palette image must have 1 sample/pixel")
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing/mismatched strip tables")
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(payload):
+            raise ValueError("TIFF: strip out of range")
+        data += payload[o : o + c]
+    need = width * height * spp
+    if len(data) < need:
+        raise ValueError("TIFF: truncated pixel data")
+
+    out = bytearray(width * height * 3)
+    if photometric == 2:  # RGB (chunky; extra samples like alpha ignored)
+        for i in range(width * height):
+            out[3 * i : 3 * i + 3] = data[spp * i : spp * i + 3]
+    elif photometric == 3:  # palette: ColorMap is 16-bit per channel
+        cmap = tags.get(320)
+        if not cmap:
+            raise ValueError("TIFF: palette image missing ColorMap")
+        ncol = len(cmap) // 3
+        for i in range(width * height):
+            idx = data[i]
+            if idx >= ncol:
+                raise ValueError("TIFF: palette index out of range")
+            out[3 * i] = cmap[idx] >> 8
+            out[3 * i + 1] = cmap[ncol + idx] >> 8
+            out[3 * i + 2] = cmap[2 * ncol + idx] >> 8
+    else:  # grayscale; photometric 0 = WhiteIsZero inverts
+        inv = photometric == 0
+        for i in range(width * height):
+            v = 255 - data[spp * i] if inv else data[spp * i]
+            out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = v
+    return bytes(out)
+
+
+def encode_tiff(rgb: bytes, width: int, height: int) -> bytes:
+    """Encode packed top-down RGB as a little-endian uncompressed
+    chunky single-strip baseline TIFF."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != w*h*3")
+    # layout: header(8) | IFD | bps array(6) | pixel data
+    entries = []  # (tag, type, count, packed-4-byte value)
+
+    def short(v: int) -> bytes:
+        return struct.pack("<HH", v, 0)
+
+    def long_(v: int) -> bytes:
+        return struct.pack("<I", v)
+
+    ifd_off = 8
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    bps_off = ifd_off + ifd_size
+    data_off = bps_off + 6
+    entries = [
+        (256, 3, 1, short(width)),
+        (257, 3, 1, short(height)),
+        (258, 3, 3, long_(bps_off)),
+        (259, 3, 1, short(1)),  # no compression
+        (262, 3, 1, short(2)),  # RGB
+        (273, 4, 1, long_(data_off)),
+        (277, 3, 1, short(3)),
+        (278, 3, 1, short(height)),  # one strip
+        (279, 4, 1, long_(len(rgb))),
+    ]
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<3H", 8, 8, 8)  # bits/sample
+    out += rgb
+    return bytes(out)

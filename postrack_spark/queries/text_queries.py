@@ -2580,3 +2580,58 @@ def multimodal_bmp_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_roundtrip_ok"),
         F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
     )
+
+
+@query(
+    "multimodal_tiff_roundtrip_certify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(sum((5 + n_chars % 4) * (4 + n_chars % 3) * 3) AS BIGINT)
+             AS total_rgb_bytes
+    FROM documents
+    """,
+)
+def multimodal_tiff_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode, driver-gated (pure-stdlib
+    operators/tiff.py — the BMP/PNG certify pattern): md5-pixel images
+    with per-doc dimensions, encoded as little-endian single-strip RGB
+    TIFF, decoded through the production ``decode_media`` path,
+    byte-exactness certified. The codec is independently certified
+    against javax.imageio's TIFF plugin both directions (which also
+    pins the big-endian 'MM' decode path); this query certifies the
+    distributed plumbing. One Arrow-batched mapInPandas pass."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).select("doc_id", "text", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from postrack_spark.operators.multimodal import decode_media
+        from postrack_spark.operators.tiff import encode_tiff
+
+        for pdf in it:
+            oks, nbytes = [], []
+            for text, n_chars in zip(pdf["text"], pdf["n_chars"]):
+                w = 5 + int(n_chars) % 4
+                h = 4 + int(n_chars) % 3
+                need = w * h * 3
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                pixels = (dig * (need // len(dig) + 1))[:need]
+                decoded = decode_media(
+                    encode_tiff(pixels, w, h), "image/tiff", fake_decode=False
+                )
+                oks.append(decoded == pixels)
+                nbytes.append(len(decoded))
+            yield pd.DataFrame({"ok": oks, "rgb_bytes": nbytes})
+
+    per_doc = docs.mapInPandas(batches, "ok boolean, rgb_bytes long")
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_roundtrip_ok"),
+        F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
+    )

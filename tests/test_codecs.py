@@ -422,3 +422,89 @@ def test_bmp_through_decode_media():
 
     rgb = bytes(range(2 * 2 * 3))
     assert decode_media(encode_bmp(rgb, 2, 2), "image/bmp") == rgb
+
+
+# ----------------------------------------------------------------- TIFF
+
+
+def test_tiff_roundtrip_rgb():
+    from postrack_spark.operators.tiff import decode_tiff, encode_tiff, tiff_dimensions
+
+    w, h = 7, 5  # odd width: strip math must not assume alignment
+    rgb = bytes((x * 31 + y * 17 + c * 11) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    payload = encode_tiff(rgb, w, h)
+    assert tiff_dimensions(payload) == (w, h)
+    assert decode_tiff(payload) == rgb
+
+
+def _tiff_gray(width, height, data, photometric, endian="<"):
+    import struct
+
+    n = 8
+    ifd_off = 8
+    ifd_size = 2 + 12 * n + 4
+    data_off = ifd_off + ifd_size
+    e = endian
+
+    def ent(tag, typ, cnt, val):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    def short(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def long_(v):
+        return struct.pack(e + "I", v)
+
+    out = bytearray()
+    out += (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n)
+    out += ent(256, 3, 1, short(width))
+    out += ent(257, 3, 1, short(height))
+    out += ent(258, 3, 1, short(8))
+    out += ent(259, 3, 1, short(1))
+    out += ent(262, 3, 1, short(photometric))
+    out += ent(273, 4, 1, long_(data_off))
+    out += ent(277, 3, 1, short(1))
+    out += ent(279, 4, 1, long_(len(data)))
+    out += struct.pack(e + "I", 0)
+    out += data
+    return bytes(out)
+
+
+def test_tiff_grayscale_both_photometrics_and_endians():
+    from postrack_spark.operators.tiff import decode_tiff
+
+    data = bytes([0, 100, 255, 30])
+    for e in ("<", ">"):
+        rgb = decode_tiff(_tiff_gray(2, 2, data, 1, e))  # BlackIsZero
+        assert rgb[:3] == bytes((0, 0, 0)) and rgb[6:9] == bytes((255, 255, 255))
+        inv = decode_tiff(_tiff_gray(2, 2, data, 0, e))  # WhiteIsZero
+        assert inv[:3] == bytes((255, 255, 255)) and inv[6:9] == bytes((0, 0, 0))
+
+
+def test_tiff_unsupported_paths_raise():
+    import struct
+
+    import pytest as _pytest
+
+    from postrack_spark.operators.tiff import decode_tiff, encode_tiff
+
+    with _pytest.raises(ValueError):
+        decode_tiff(b"XXXXXXXXXX")
+    ok = encode_tiff(bytes(12), 2, 2)
+    # flip compression tag (entry 4 of 9, value at header+2+12*3+8) to LZW
+    lzw = bytearray(ok)
+    off = 8 + 2 + 12 * 3 + 8
+    assert struct.unpack_from("<H", lzw, off)[0] == 1
+    struct.pack_into("<H", lzw, off, 5)
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(bytes(lzw))
+
+
+def test_tiff_through_decode_media():
+    from postrack_spark.operators.multimodal import decode_media
+    from postrack_spark.operators.tiff import encode_tiff
+
+    rgb = bytes(range(2 * 2 * 3))
+    assert decode_media(encode_tiff(rgb, 2, 2), "image/tiff") == rgb

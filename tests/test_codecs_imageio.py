@@ -221,3 +221,27 @@ def test_bmp_odd_width_padding_crosses_exactly(iio):
     got, gw, gh = iio.decode(encode_bmp(rgb, w, h))  # cross: ours -> JDK
     assert (gw, gh) == (w, h) and got == rgb
     assert decode_bmp(iio.encode(rgb, w, h, "bmp")) == rgb  # JDK -> ours
+
+
+# ----------------------------------------------------------------- TIFF
+
+
+def test_tiff_our_encoder_decodes_exactly_in_imageio(iio):
+    from postrack_spark.operators.tiff import encode_tiff
+
+    rgb = _pattern_rgb()
+    got, w, h = iio.decode(encode_tiff(rgb, W, H))
+    assert (w, h) == (W, H)
+    assert got == rgb
+
+
+def test_tiff_imageio_bytes_decode_exactly_in_ours(iio):
+    # JDK writes big-endian ('MM') — exercises the opposite byte order
+    # from our little-endian encoder
+    from postrack_spark.operators.tiff import decode_tiff, tiff_dimensions
+
+    rgb = _pattern_rgb()
+    ref = iio.encode(rgb, W, H, "tiff")
+    assert ref[:2] == b"MM"
+    assert tiff_dimensions(ref) == (W, H)
+    assert decode_tiff(ref) == rgb
