@@ -5163,3 +5163,107 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rn").cast("long").alias("first_rn"),
         F.max("rn").cast("long").alias("last_rn"),
     )
+
+
+@query(
+    "agg_kendalls_w",
+    oracle=f"""
+    WITH {_block_rank_cte()},
+    per_type AS (
+      SELECT g, CAST(sum(mr2) AS BIGINT) AS r2 FROM rk GROUP BY g
+    ),
+    ties AS (
+      SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) AS tie_sum
+      FROM (SELECT day, c, CAST(count(*) AS BIGINT) AS tc
+            FROM grid GROUP BY day, c)
+    ),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS b,
+             CAST({len(_EV_TYPES)} AS BIGINT) AS k,
+             CAST((SELECT sum((r2 - (SELECT count(*) FROM days) * ({len(_EV_TYPES)} + 1))
+                              * (r2 - (SELECT count(*) FROM days) * ({len(_EV_TYPES)} + 1)))
+                   FROM per_type) AS BIGINT) AS s4,
+             (SELECT tie_sum FROM ties) AS tie_sum
+    )
+    SELECT b AS n_days, k, s4, tie_sum,
+           CAST(CASE WHEN b * b * k * (k * k - 1) - b * tie_sum = 0 THEN NULL
+                ELSE floor(1000000.0 * 3 * s4
+                           / (b * b * k * (k * k - 1) - b * tie_sum))
+                END AS BIGINT) AS w_ppm
+    FROM m
+    """,
+)
+def agg_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W — how consistently do the
+    b day-blocks rank the k event types (W=1: every day agrees, W=0:
+    random)? The normalization Friedman's chi-square leaves out
+    (chi2 = b(k-1)W). Tie-corrected: W = 12S / (b^2 k(k^2-1) - b*SumT)
+    with S from rank sums and T = Sum(t^3-t) per block; with doubled
+    midranks S4 = 4S, so W = 3*S4 / (same denominator) — every term a
+    pure integer off the shared _block_ranks frame (Friedman's scale
+    notes apply), one ppm-floored division, NULL when all blocks tie
+    everything (zero denominator)."""
+    rk = _block_ranks(spark, sf_dir)
+    k = len(_EV_TYPES)
+    # tie sum needs the grid's per-(day, value) multiplicities — rebuild
+    # the counts from mr2's tie width is possible but opaque; recompute
+    # the tiny grouped frame instead (same two hash aggs as Friedman).
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+            F.col("event_type").alias("g"),
+        )
+        .groupBy("day", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    days = daily.select("day").distinct()
+    types = spark.createDataFrame([(g,) for g in _EV_TYPES], ["g"])
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "g"], "left")
+        .select("day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    ties = (
+        grid.groupBy("day", "c")
+        .agg(F.count("*").cast("long").alias("tc"))
+        .agg(
+            F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    per_type = rk.groupBy("g").agg(F.sum("mr2").cast("long").alias("r2"))
+    b_frame = rk.agg(F.countDistinct("day").cast("long").alias("b"))
+    s4 = (
+        per_type.crossJoin(F.broadcast(b_frame))
+        .select(
+            (
+                (F.col("r2") - F.col("b") * (k + 1))
+                * (F.col("r2") - F.col("b") * (k + 1))
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").cast("long").alias("s4"))
+    )
+    m = (
+        b_frame.crossJoin(F.broadcast(s4))
+        .crossJoin(F.broadcast(ties))
+        .select("b", F.lit(k).cast("long").alias("k"), "s4", "tie_sum")
+    )
+    den = (
+        F.col("b") * F.col("b") * F.col("k") * (F.col("k") * F.col("k") - 1)
+        - F.col("b") * F.col("tie_sum")
+    )
+    return m.select(
+        F.col("b").alias("n_days"),
+        "k",
+        "s4",
+        "tie_sum",
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(F.lit(1000000.0) * 3 * F.col("s4").cast("double") / den.cast("double"))
+            .cast("long")
+        )
+        .alias("w_ppm"),
+    )

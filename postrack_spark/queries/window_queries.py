@@ -1006,3 +1006,48 @@ def agg_weighted_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("weighted_median_cents"),
         )
     )
+
+
+@query(
+    "window_range_interval_sum",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 1000000 AS s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY s
+                                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS hour_cents
+    FROM ev
+    ORDER BY event_id
+    """,
+)
+def window_range_interval_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowing — the VALUE-distance frame the ROWS-frame
+    family (window_running_sum_frame etc.) can't express: per user,
+    the money sum of everything in the trailing 3600 SECONDS, frame
+    bounds measured on the epoch-seconds axis. RANGE frames are the
+    one window flavor where tied order keys are SAFE by construction —
+    peers enter the frame together, so no tie-break column is needed
+    (the inverse of the prefix_sums_by_key rule, worth pinning
+    cross-engine for exactly that reason). Seconds go through
+    epoch_us // 1e6 on both sides (the cast-rounding trap); cents are
+    per-row quantized before the window sum (association trap).
+    Scale: partitioned by user — Spark's WindowExec runs after one
+    hash exchange, no global window anywhere."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("s").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("cents").over(w).cast("long").alias("hour_cents"),
+    ).orderBy("event_id")

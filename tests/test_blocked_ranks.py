@@ -133,3 +133,37 @@ def test_permutation_patterns_model_matches_query(spark):
     assert got == pats
     # every pattern is a full permutation encoding
     assert set(got) <= {12, 21, 102, 120, 201, 210}
+
+
+def test_kendalls_w_model_matches_query(spark):
+    ev = _events()
+    mr2, n = _block_midranks(ev)
+    k = len(_EV_TYPES)
+    r2 = {g: sum(v for (d, gg), v in mr2.items() if gg == g) for g in _EV_TYPES}
+    s4 = sum((v - n * (k + 1)) ** 2 for v in r2.values())
+    counts = ev.groupby(["day", "event_type"]).size()
+    tie_sum = 0
+    for d in sorted(ev["day"].unique()):
+        cells = [counts.get((d, g), 0) for g in _EV_TYPES]
+        from collections import Counter
+
+        for t in Counter(cells).values():
+            tie_sum += t * t * t - t
+    den = n * n * k * (k * k - 1) - n * tie_sum
+    expect = None if den == 0 else math.floor(1000000.0 * 3 * s4 / den)
+
+    from postrack_spark.queries.registry import load_all
+
+    row = load_all()["agg_kendalls_w"].fn(spark, SF_DIR).collect()[0]
+    assert (row["s4"], row["tie_sum"], row["w_ppm"]) == (s4, tie_sum, expect)
+    # identity: Friedman chi2 == b(k-1)W (both tie-corrected) — check the
+    # untruncated rationals agree, not the independently-floored ppms
+    f = load_all()["agg_friedman_test"].fn(spark, SF_DIR).collect()[0]
+    if expect is not None and f["friedman_ppm"] is not None:
+        w = 3.0 * s4 / den
+        chi2 = (
+            (k - 1)
+            * (f["sum_r2_sq"] - n * n * k * (k + 1) * (k + 1))
+            / (f["sum_mr2_sq"] - n * k * (k + 1) * (k + 1))
+        )
+        assert abs(chi2 - n * (k - 1) * w) < 1e-9 * max(1.0, abs(chi2))
