@@ -4686,15 +4686,13 @@ def _block_rank_cte() -> str:
     )"""
 
 
-def _block_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _block_rank_cte: (day, g, mr2) with doubled
-    within-block midranks. Windows are PARTITIONED BY day (block size =
-    k = 5), never global; the grid is a broadcast combine of the day
-    list with the 5-row literal type frame."""
-    from pyspark.sql import Window
-
+def _daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, g, c): per-day per-type event counts — the sufficient
+    statistics of the whole blocked-rank family (counts are ADDITIVE,
+    which is what lets streaming_friedman_state maintain them through
+    the fold sink)."""
     t = load_tables(spark, sf_dir)
-    daily = (
+    return (
         t["events"]
         .select(
             F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
@@ -4703,6 +4701,15 @@ def _block_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "g")
         .agg(F.count("*").cast("long").alias("c"))
     )
+
+
+def block_ranks_from_daily(spark: SparkSession, daily: DataFrame) -> DataFrame:
+    """(day, g, mr2) doubled within-block midranks from a (day, g, c)
+    count frame. Windows are PARTITIONED BY day (block size = k = 5),
+    never global; the grid is a broadcast combine of the day list with
+    the 5-row literal type frame."""
+    from pyspark.sql import Window
+
     days = daily.select("day").distinct()
     types = spark.createDataFrame([(g,) for g in _EV_TYPES], ["g"])
     grid = (
@@ -4721,46 +4728,17 @@ def _block_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_friedman_test",
-    oracle=f"""
-    WITH {_block_rank_cte()},
-    per_type AS (
-      SELECT g, CAST(sum(mr2) AS BIGINT) AS r2 FROM rk GROUP BY g
-    ),
-    m AS (
-      SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS n,
-             CAST({len(_EV_TYPES)} AS BIGINT) AS k,
-             CAST((SELECT sum(r2 * r2) FROM per_type) AS BIGINT) AS s_r2sq,
-             CAST((SELECT sum(mr2 * mr2) FROM rk) AS BIGINT) AS a2
-    )
-    SELECT n AS n_days, k, s_r2sq AS sum_r2_sq, a2 AS sum_mr2_sq,
-           CAST(CASE WHEN a2 - n * k * (k + 1) * (k + 1) = 0 THEN NULL
-                ELSE floor(1000000.0 * (k - 1)
-                           * (s_r2sq - n * n * k * (k + 1) * (k + 1))
-                           / (a2 - n * k * (k + 1) * (k + 1)))
-                END AS BIGINT) AS friedman_ppm
-    FROM m
-    """,
-)
-def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Friedman's test (blocked-rank k-sample): does daily event volume
-    differ systematically across the 5 event types, with each DAY as
-    its own block? Completes the nonparametric ladder next to
-    Kruskal-Wallis (independent groups) and McNemar (paired binary).
+def _block_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _block_rank_cte: (day, g, mr2) over the events
+    table (see block_ranks_from_daily for the rank mechanics)."""
+    return block_ranks_from_daily(spark, _daily_type_counts(spark, sf_dir))
 
-    Exactness: within-block doubled midranks (mr2) keep ties integral;
-    Conover's tie-corrected statistic cross-multiplied by 4 is a ratio
-    of two pure-integer terms, (k-1)(SumR2_j^2 - n^2 k (k+1)^2) over
-    (A2 - n k (k+1)^2), emitted as floor-ppm from ONE double division —
-    identical on both engines. An all-tied-ranks day grid degenerates
-    the denominator to 0 -> NULL (the runs-test three-sided rule).
 
-    Scale: blocks are independent — the rank windows are PARTITIONED BY
-    day (k = 5 rows per partition, never a global window) and everything
-    after is two partial-agg groupBys; the day x type grid is a
-    broadcast combine with a 5-row literal frame."""
-    rk = _block_ranks(spark, sf_dir)
+def friedman_from_rk(rk: DataFrame) -> DataFrame:
+    """Assemble the tie-corrected Friedman statistic from a block-rank
+    frame — shared by the batch query and streaming_friedman_state
+    (the fisher_from_cells factoring: the STATISTIC is nonlinear, its
+    inputs are not)."""
     k = len(_EV_TYPES)
     per_type = rk.groupBy("g").agg(F.sum("mr2").cast("long").alias("r2"))
     s1 = per_type.agg(
@@ -4794,6 +4772,48 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("friedman_ppm"),
     )
+
+
+FRIEDMAN_ORACLE = f"""
+    WITH {_block_rank_cte()},
+    per_type AS (
+      SELECT g, CAST(sum(mr2) AS BIGINT) AS r2 FROM rk GROUP BY g
+    ),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS n,
+             CAST({len(_EV_TYPES)} AS BIGINT) AS k,
+             CAST((SELECT sum(r2 * r2) FROM per_type) AS BIGINT) AS s_r2sq,
+             CAST((SELECT sum(mr2 * mr2) FROM rk) AS BIGINT) AS a2
+    )
+    SELECT n AS n_days, k, s_r2sq AS sum_r2_sq, a2 AS sum_mr2_sq,
+           CAST(CASE WHEN a2 - n * k * (k + 1) * (k + 1) = 0 THEN NULL
+                ELSE floor(1000000.0 * (k - 1)
+                           * (s_r2sq - n * n * k * (k + 1) * (k + 1))
+                           / (a2 - n * k * (k + 1) * (k + 1)))
+                END AS BIGINT) AS friedman_ppm
+    FROM m
+    """
+
+
+@query("agg_friedman_test", oracle=FRIEDMAN_ORACLE)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's test (blocked-rank k-sample): does daily event volume
+    differ systematically across the 5 event types, with each DAY as
+    its own block? Completes the nonparametric ladder next to
+    Kruskal-Wallis (independent groups) and McNemar (paired binary).
+
+    Exactness: within-block doubled midranks (mr2) keep ties integral;
+    Conover's tie-corrected statistic cross-multiplied by 4 is a ratio
+    of two pure-integer terms, (k-1)(SumR2_j^2 - n^2 k (k+1)^2) over
+    (A2 - n k (k+1)^2), emitted as floor-ppm from ONE double division —
+    identical on both engines. An all-tied-ranks day grid degenerates
+    the denominator to 0 -> NULL (the runs-test three-sided rule).
+
+    Scale: blocks are independent — the rank windows are PARTITIONED BY
+    day (k = 5 rows per partition, never a global window) and everything
+    after is two partial-agg groupBys; the day x type grid is a
+    broadcast combine with a 5-row literal frame."""
+    return friedman_from_rk(_block_ranks(spark, sf_dir))
 
 
 def _page_j_case() -> str:
@@ -5266,4 +5286,129 @@ def agg_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         )
         .alias("w_ppm"),
+    )
+
+
+@query(
+    "agg_quade_test",
+    oracle=f"""
+    WITH {_block_rank_cte()},
+    ranges AS (
+      SELECT day, CAST(max(c) - min(c) AS BIGINT) AS rng
+      FROM grid GROUP BY day
+    ),
+    rvals AS (
+      SELECT rng, CAST(count(*) AS BIGINT) AS cnt FROM ranges GROUP BY rng
+    ),
+    rmid AS (
+      SELECT rng,
+             CAST(2 * coalesce(sum(cnt) OVER (ORDER BY rng
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS BIGINT) AS q2
+      FROM rvals
+    ),
+    qd AS (
+      SELECT rk.g,
+             CAST(m.q2 * (rk.mr2 - {len(_EV_TYPES) + 1}) AS BIGINT) AS term
+      FROM rk
+      JOIN ranges r ON r.day = rk.day
+      JOIN rmid m ON m.rng = r.rng
+    ),
+    per_type AS (
+      SELECT g, CAST(sum(term) AS BIGINT) AS s4 FROM qd GROUP BY g
+    ),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM days) AS BIGINT) AS b,
+             CAST({len(_EV_TYPES)} AS BIGINT) AS k,
+             CAST((SELECT sum(s4 * s4) FROM per_type) AS BIGINT) AS sum_s4_sq,
+             CAST((SELECT sum(term * term) FROM qd) AS BIGINT) AS a16
+    )
+    SELECT b AS n_days, k, sum_s4_sq, a16,
+           CAST(CASE WHEN b * a16 - sum_s4_sq = 0 THEN NULL
+                ELSE floor(1000000.0 * (b - 1) * sum_s4_sq
+                           / (b * a16 - sum_s4_sq))
+                END AS BIGINT) AS quade_f_ppm
+    FROM m
+    """,
+)
+def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade's test — the range-WEIGHTED Friedman that completes the
+    blocked-rank ladder (Friedman/Page/Kendall-W/Quade): days with a
+    wide spread between event types carry more evidence than
+    near-tied days, so each block's signed rank deviations are
+    weighted by the rank of the block's RANGE across blocks. Both
+    rank layers are exact doubled midranks: within-block d2 = mr2 -
+    (k+1) (integer, sums to 0 per block) and across-block weights q2
+    from the SAME distributed prefix-sum machinery as Kruskal-Wallis
+    (operators/ranking.prefix_sum_by_key over the distinct-range
+    frame — one range exchange, never a global window on Spark; the
+    oracle's unpartitioned window is DuckDB-side only). Quade's F =
+    (b-1)*SumS_j^2/b / (A - SumS_j^2/b) cross-multiplies to pure
+    integers with the doubled scales cancelling: (b-1)*SumS4^2 /
+    (b*A16 - SumS4^2); one ppm-floored division, NULL at zero
+    denominator (every block fully tied)."""
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    rk = _block_ranks(spark, sf_dir)
+    k = len(_EV_TYPES)
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+            F.col("event_type").alias("g"),
+        )
+        .groupBy("day", "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    days = daily.select("day").distinct()
+    types = spark.createDataFrame([(g,) for g in _EV_TYPES], ["g"])
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "g"], "left")
+        .select("day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+    )
+    ranges = grid.groupBy("day").agg(
+        (F.max("c") - F.min("c")).cast("long").alias("rng")
+    )
+    rvals = ranges.groupBy("rng").agg(F.count("*").cast("long").alias("cnt"))
+    rmid = prefix_sum_by_key(rvals, ["rng"], "cnt", "cumb", inclusive=False).select(
+        "rng",
+        (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1)).cast("long").alias("q2"),
+    )
+    qd = (
+        rk.join(ranges, "day")
+        .join(F.broadcast(rmid), "rng")
+        .select(
+            "g",
+            (F.col("q2") * (F.col("mr2") - F.lit(k + 1))).cast("long").alias("term"),
+        )
+    )
+    per_type = qd.groupBy("g").agg(F.sum("term").cast("long").alias("s4"))
+    sum_s4 = per_type.agg(
+        F.sum(F.col("s4") * F.col("s4")).cast("long").alias("sum_s4_sq")
+    )
+    a16 = qd.agg(F.sum(F.col("term") * F.col("term")).cast("long").alias("a16"))
+    b_frame = days.agg(F.count("*").cast("long").alias("b"))
+    m = (
+        b_frame.crossJoin(F.broadcast(sum_s4))
+        .crossJoin(F.broadcast(a16))
+        .select("b", F.lit(k).cast("long").alias("k"), "sum_s4_sq", "a16")
+    )
+    den = F.col("b") * F.col("a16") - F.col("sum_s4_sq")
+    return m.select(
+        F.col("b").alias("n_days"),
+        "k",
+        "sum_s4_sq",
+        "a16",
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("b") - 1).cast("double")
+                * F.col("sum_s4_sq").cast("double")
+                / den.cast("double")
+            ).cast("long")
+        )
+        .alias("quade_f_ppm"),
     )

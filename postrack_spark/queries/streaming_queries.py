@@ -2563,3 +2563,38 @@ def streaming_delta_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+from postrack_spark.queries.stats_queries import FRIEDMAN_ORACLE as _FRIEDMAN_ORACLE  # noqa: E501
+
+
+@query("streaming_friedman_state", oracle=_FRIEDMAN_ORACLE)
+def streaming_friedman_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Friedman-test maintenance: the (day, event_type) count
+    cells — the sufficient statistics of the whole blocked-rank family
+    — are ADDITIVE, so they fold through the exactly-once versioned
+    sink at O(batch) per batch with O(days x types) state; at read
+    time the SAME block_ranks_from_daily + friedman_from_rk pipeline
+    as the batch agg_friedman_test assembles midranks and the
+    tie-corrected statistic (shared oracle: the statistic is
+    nonlinear and could never stream, its count cells do — the
+    fisher/richness/survival factoring). Live use: a 'did today's
+    traffic mix shift across types' alarm maintained without
+    re-scanning event history."""
+    from postrack_spark.queries.stats_queries import (
+        block_ranks_from_daily,
+        friedman_from_rk,
+    )
+    from postrack_spark.streaming.runner import events_stream
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    ev = events_stream(spark, sf_dir)
+    cells = ev.select(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+        F.col("event_type").alias("g"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    target, q = foreach_batch_fold(cells, group_cols=["day", "g"], sum_cols=["c"])
+    q.awaitTermination()
+    daily = read_view(spark, target).filter(F.col("c") > 0)
+    return friedman_from_rk(block_ranks_from_daily(spark, daily))

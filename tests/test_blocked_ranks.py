@@ -167,3 +167,43 @@ def test_kendalls_w_model_matches_query(spark):
             / (f["sum_mr2_sq"] - n * k * (k + 1) * (k + 1))
         )
         assert abs(chi2 - n * (k - 1) * w) < 1e-9 * max(1.0, abs(chi2))
+
+
+def test_quade_model_matches_query(spark):
+    ev = _events()
+    mr2, n = _block_midranks(ev)
+    k = len(_EV_TYPES)
+    counts = ev.groupby(["day", "event_type"]).size()
+    days = sorted(ev["day"].unique())
+    rngs = {}
+    for d in days:
+        cells = [counts.get((d, g), 0) for g in _EV_TYPES]
+        rngs[d] = max(cells) - min(cells)
+    # doubled midranks of block ranges
+    from collections import Counter
+
+    rc = Counter(rngs.values())
+    q2 = {}
+    cum = 0
+    for v in sorted(rc):
+        q2[v] = 2 * cum + rc[v] + 1
+        cum += rc[v]
+    terms = {
+        (d, g): q2[rngs[d]] * (mr2[(d, g)] - (k + 1))
+        for d in days
+        for g in _EV_TYPES
+    }
+    s4 = {g: sum(terms[(d, g)] for d in days) for g in _EV_TYPES}
+    sum_s4_sq = sum(v * v for v in s4.values())
+    a16 = sum(v * v for v in terms.values())
+    den = n * a16 - sum_s4_sq
+    expect = None if den == 0 else math.floor(1000000.0 * (n - 1) * sum_s4_sq / den)
+
+    from postrack_spark.queries.registry import load_all
+
+    row = load_all()["agg_quade_test"].fn(spark, SF_DIR).collect()[0]
+    assert (row["sum_s4_sq"], row["a16"], row["quade_f_ppm"]) == (
+        sum_s4_sq, a16, expect)
+    # per-block signed deviations sum to zero, so every S4_j summing over
+    # all types must cancel: sum_j S4_j == 0
+    assert sum(s4.values()) == 0
