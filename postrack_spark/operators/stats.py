@@ -339,3 +339,78 @@ def jonckheere_trend(df: DataFrame, group_col: str, group_order: list,
             "n_total",
         )
     )
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter sketch: one pass over
+    ``df[key_col]`` with k counters per partition, merged to a single
+    k-counter summary. Returns (key, est) candidate rows.
+
+    Guarantees (Misra-Gries 1982; mergeability Agarwal et al. 2012,
+    merge = counter-wise sum then subtract the (k+1)-th largest
+    weight): for every key, est <= true_count and
+    true_count - est <= N/(k+1); hence every key with
+    true_count > N/(k+1) IS among the candidates. The guarantee — not
+    the sketch contents, which are partitioning-dependent — is what
+    callers gate on (the CMS/HLL certificate discipline).
+
+    Distributed shape: Arrow-batched mapInPandas keeps ONE counter
+    dict per partition across its batch iterator (state O(k)); the
+    merge is a single-group applyInPandas over <= k * partitions tiny
+    counter rows. No collect, no shuffle of the data itself.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _mg_update(counters: dict, key, w: int, k: int) -> None:
+        if key in counters:
+            counters[key] += w
+        elif len(counters) < k:
+            counters[key] = w
+        else:
+            # decrement all by the capacity shortfall; standard batched
+            # form: subtract min(w, min counter) repeatedly — do it in
+            # one step via the m-th smallest logic below for weights
+            dec = min(w, min(counters.values()))
+            for c in list(counters):
+                counters[c] -= dec
+                if counters[c] == 0:
+                    del counters[c]
+            w -= dec
+            if w > 0:
+                counters[key] = w
+
+    def per_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in it:
+            for key in pdf[key_col]:
+                _mg_update(counters, key, 1, k)
+        if counters:
+            yield pd.DataFrame(
+                {"key": list(counters), "est": list(counters.values())}
+            )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        combined = pdf.groupby("key", sort=True)["est"].sum()
+        if len(combined) > k:
+            # subtract the (k+1)-th largest weight from everything
+            cut = sorted(combined.values, reverse=True)[k]
+            combined = combined - cut
+            combined = combined[combined > 0]
+        out = combined.reset_index()
+        out.columns = ["key", "est"]
+        return out
+
+    key_field = df.select(F.col(key_col).alias("key")).schema[0]
+    key_type = key_field.dataType.simpleString()
+    parts = df.select(F.col(key_col).alias(key_col)).mapInPandas(
+        per_partition, f"key {key_type}, est long"
+    )
+    return (
+        parts.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _key, pdf: merge(pdf), f"key {key_type}, est long"
+        )
+        .select("key", "est")
+    )

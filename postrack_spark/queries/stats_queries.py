@@ -5412,3 +5412,171 @@ def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("quade_f_ppm"),
     )
+
+
+@query(
+    "agg_goodman_kruskal_gamma",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CASE o_orderpriority
+               WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+               WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+               ELSE 5 END AS BIGINT) AS p,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    q AS (
+      SELECT p, CAST(ntile(4) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS qt
+      FROM base
+    ),
+    cells AS (
+      SELECT p, qt, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY p, qt
+    ),
+    cd AS (
+      SELECT CAST(sum(CASE WHEN b.p > a.p AND b.qt > a.qt
+                           THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN b.p > a.p AND b.qt < a.qt
+                           THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+      FROM cells a JOIN cells b ON true
+    )
+    SELECT c AS concordant, d AS discordant,
+           CAST(CASE WHEN c + d = 0 THEN NULL
+                ELSE floor(1000000.0 * (c - d) / (c + d)) END AS BIGINT)
+             AS gamma_ppm
+    FROM cd
+    """,
+)
+def agg_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma — ordinal association with ties EXCLUDED,
+    the statistic Kendall's tau-a (agg_kendall_tau_exact, which
+    tie-breaks ranks) cannot express: across order pairs, when
+    priority rises does the price quartile rise (concordant) or fall
+    (discordant)? gamma = (C - D)/(C + D). Because both variables are
+    LOW-CARDINALITY ordinals, C and D come from the 20-cell
+    contingency table squared — a broadcast self-join of a 20-row
+    frame, never an O(n^2) pair join — with cell-product sums as pure
+    int64 (<= n^2/2 ~ 1.1e10 at sf0.1). The price quartile is SQL
+    ntile(4) on both sides: operators/ranking.exact_ntile on Spark
+    (distributed, zero WindowExec), the window function in the DuckDB
+    oracle. One ppm-floored division; C+D=0 degenerates to NULL."""
+    from postrack_spark.operators.ranking import exact_ntile
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        F.expr(
+            "CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2"
+            " WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 ELSE 5 END"
+            " AS BIGINT)"
+        ).alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    q = exact_ntile(base, 4, [F.asc("cents"), F.asc("o_orderkey")], "qt")
+    cells = q.groupBy("p", F.col("qt").cast("long").alias("qt")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = cells.select(
+        F.col("p").alias("p1"), F.col("qt").alias("q1"), F.col("n").alias("n1")
+    )
+    b = cells.select(
+        F.col("p").alias("p2"), F.col("qt").alias("q2"), F.col("n").alias("n2")
+    )
+    cd = (
+        a.crossJoin(F.broadcast(b))  # 20 x 20 bounded-frame combine
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("p2") > F.col("p1")) & (F.col("q2") > F.col("q1")),
+                    F.col("n1") * F.col("n2"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                F.when(
+                    (F.col("p2") > F.col("p1")) & (F.col("q2") < F.col("q1")),
+                    F.col("n1") * F.col("n2"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+    den = F.col("concordant") + F.col("discordant")
+    return cd.select(
+        "concordant",
+        "discordant",
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("concordant") - F.col("discordant")).cast("double")
+                / den.cast("double")
+            ).cast("long")
+        )
+        .alias("gamma_ppm"),
+    )
+
+
+@query(
+    "agg_misra_gries_heavy_hitters",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(sqrt(CAST(o_orderkey % 10000 AS DOUBLE))) AS BIGINT) AS key
+      FROM orders
+    ),
+    exact AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS true_n FROM base GROUP BY key
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+    SELECT e.key, e.true_n,
+           CAST(1 AS INT) AS in_sketch,
+           CAST(1 AS INT) AS bound_ok
+    FROM exact e CROSS JOIN n
+    WHERE e.true_n > n.n // 65
+    ORDER BY e.key
+    """,
+)
+def agg_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters with their guarantees CERTIFIED — the
+    deterministic frequent-items sketch next to the count-min family
+    (agg_count_min_sketch), over a deliberately skewed derived key
+    (floor(sqrt(orderkey % 10000)): linear-ramp frequencies, so the
+    heavy set is a strict, non-empty subset). The sketch itself is
+    partitioning-dependent and could never hash-gate; the THEOREMS are
+    what gate (the HLL/GK certificate discipline): every key with
+    true_n > N/(k+1) must appear among the k=64 merged candidates
+    (in_sketch), with est <= true_n and true_n - est <= N DIV (k+1)
+    (bound_ok) — the oracle demands both flags identically 1 on the
+    exact heavy set it computes itself. Sketch: O(k) state per
+    partition in one Arrow pass + a single tiny merge
+    (operators/stats.misra_gries_candidates); the exact side exists
+    only to certify at test scale."""
+    from postrack_spark.operators.stats import misra_gries_candidates
+
+    k = 64
+    base = load_tables(spark, sf_dir)["orders"].select(
+        F.expr(
+            "CAST(floor(sqrt(CAST(o_orderkey % 10000 AS DOUBLE))) AS BIGINT)"
+        ).alias("key")
+    )
+    cand = misra_gries_candidates(base, "key", k)
+    exact = base.groupBy("key").agg(F.count("*").cast("long").alias("true_n"))
+    n = base.agg(F.count("*").cast("long").alias("n"))
+    heavy = (
+        exact.crossJoin(F.broadcast(n))
+        .filter(F.col("true_n") > F.expr("n DIV 65"))
+    )
+    joined = heavy.join(F.broadcast(cand), "key", "left")
+    return joined.select(
+        "key",
+        "true_n",
+        F.col("est").isNotNull().cast("int").alias("in_sketch"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("true_n"))
+            & (F.col("true_n") - F.col("est") <= F.expr("n DIV 65"))
+        )
+        .cast("int")
+        .alias("bound_ok"),
+    ).orderBy("key")

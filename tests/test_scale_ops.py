@@ -311,3 +311,38 @@ def test_mllib_minhash_lsh_agrees_with_custom_pipeline(spark, sf_dir):
     )
     got = {(r["a"], r["b"]) for r in got_rows}
     assert want <= got, f"MLlib missed {sorted(want - got)[:5]}"
+
+
+def test_misra_gries_guarantees_hold_on_adversarial_partitioning(spark):
+    """MG theorems on a skewed key under several partitionings: every
+    heavy key (true > N/(k+1)) is a candidate, est <= true, and
+    true - est <= N/(k+1). The sketch CONTENTS legitimately vary with
+    partitioning; the guarantees must not."""
+    from pyspark.sql import functions as F
+
+    from postrack_spark.operators.stats import misra_gries_candidates
+
+    n = 20000
+    base = spark.range(n).select(
+        F.expr("CAST(floor(sqrt(CAST(id % 2500 AS DOUBLE))) AS BIGINT)").alias("key")
+    )
+    exact = {
+        r["key"]: r["cnt"]
+        for r in base.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+    for k in (8, 32):
+        for parts in (1, 7, 32):
+            cand = {
+                r["key"]: r["est"]
+                for r in misra_gries_candidates(
+                    base.repartition(parts), "key", k
+                ).collect()
+            }
+            assert len(cand) <= k
+            bound = n // (k + 1)
+            for key, true_n in exact.items():
+                est = cand.get(key, 0)
+                assert est <= true_n
+                assert true_n - est <= bound, (k, parts, key, true_n, est)
+                if true_n > bound:
+                    assert key in cand
