@@ -5580,3 +5580,60 @@ def agg_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("int")
         .alias("bound_ok"),
     ).orderBy("key")
+
+
+@query(
+    "quality_wilson_lower_bound",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s FROM u GROUP BY event_type)
+    SELECT s.event_type, s.s AS n_users_with, n.n AS n_users,
+           CAST(floor(1000000.0
+                      * (s.s + 2 - 2.0 * sqrt(CAST(s.s * (n.n - s.s) AS DOUBLE)
+                                              / n.n + 1.0))
+                      / (n.n + 4)) AS BIGINT) AS wilson_lb_ppm
+    FROM s CROSS JOIN n
+    ORDER BY wilson_lb_ppm DESC, event_type
+    """,
+)
+def quality_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower confidence bound (z=2) on each event type's
+    user-adoption share — the 'sort by lower bound, not by raw rate'
+    statistic that keeps small-sample rates from outranking
+    well-attested ones (the Reddit/Evan Miller ranking rule; here it
+    is the principled version of quality dashboards' adoption
+    ranking). With z=2 the formula is lb = (S + 2 - 2*sqrt(S(n-S)/n +
+    1)) / (n + 4): one division, one sqrt, one final division —
+    identical operand order both engines over identical integers,
+    floored to ppm (the assortativity/ACF rule for irreducible
+    irrationals). Adoption counts are distinct-pair aggregates — two
+    partial-agg shuffles, a 1-row broadcast."""
+    t = load_tables(spark, sf_dir)
+    u = t["events"].select("user_id", "event_type").distinct()
+    n = t["events"].agg(F.countDistinct("user_id").cast("long").alias("n"))
+    s = u.groupBy("event_type").agg(F.count("*").cast("long").alias("s"))
+    lb = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.col("s")
+            + 2
+            - F.lit(2.0)
+            * F.sqrt(
+                (F.col("s") * (F.col("n") - F.col("s"))).cast("double")
+                / F.col("n")
+                + F.lit(1.0)
+            )
+        )
+        / (F.col("n") + 4)
+    ).cast("long")
+    return (
+        s.crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("s").alias("n_users_with"),
+            F.col("n").alias("n_users"),
+            lb.alias("wilson_lb_ppm"),
+        )
+        .orderBy(F.col("wilson_lb_ppm").desc(), "event_type")
+    )
