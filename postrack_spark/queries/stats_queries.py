@@ -4892,9 +4892,7 @@ def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_cochran_q",
-    oracle=f"""
+COCHRAN_ORACLE = f"""
     WITH pu AS (
       SELECT DISTINCT user_id, event_type FROM events
     ),
@@ -4921,8 +4919,10 @@ def agg_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (m.k * (m.k * m.n_succ - m.s_rowsq)))
                 END AS BIGINT) AS cochran_q_ppm
     FROM m CROSS JOIN numer
-    """,
-)
+    """
+
+
+@query("events_cochran_q", oracle=COCHRAN_ORACLE)
 def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran's Q — the k-treatment generalization of McNemar: across
     the 5 event types, do different proportions of users ever perform
@@ -4938,8 +4938,16 @@ def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the pair relation and two 1-row broadcast combines, which is
     what survives a 100 TB event log."""
     t = load_tables(spark, sf_dir)
-    k = len(_EV_TYPES)
     pu = t["events"].select("user_id", "event_type").distinct()
+    return cochran_q_from_pairs(pu)
+
+
+def cochran_q_from_pairs(pu: DataFrame) -> DataFrame:
+    """Assemble Cochran's Q from the distinct (user_id, event_type)
+    success-pair relation — shared by the batch query and
+    streaming_cochran_state (whose multiplicity view makes DISTINCT
+    streamable: fold counts, read rows with c > 0)."""
+    k = len(_EV_TYPES)
     rows_tot = pu.groupBy("user_id").agg(F.count("*").cast("long").alias("r"))
     cols_tot = pu.groupBy("event_type").agg(F.count("*").cast("long").alias("c"))
     m = rows_tot.agg(

@@ -2598,3 +2598,37 @@ def streaming_friedman_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     daily = read_view(spark, target).filter(F.col("c") > 0)
     return friedman_from_rk(block_ranks_from_daily(spark, daily))
+
+
+from postrack_spark.queries.stats_queries import COCHRAN_ORACLE as _COCHRAN_ORACLE  # noqa: E501
+
+
+@query("streaming_cochran_state", oracle=_COCHRAN_ORACLE)
+def streaming_cochran_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Cochran's Q maintenance — the MULTIPLICITY-VIEW trick
+    (cdc_distinct_minmax_view's discipline) applied to a test
+    statistic: Q needs the DISTINCT (user, type) success pairs, and
+    distinct is not additive, but the pair MULTIPLICITY is — fold
+    (user, type, +1) cells through the exactly-once sink and the
+    distinct relation is the rows with c > 0 at read time (retractions
+    would fold -1 through the same state). Assembly reuses the batch
+    twin's cochran_q_from_pairs; shared oracle. State is O(users x
+    types observed); each micro-batch costs O(batch) partial-agg."""
+    from postrack_spark.queries.stats_queries import cochran_q_from_pairs
+    from postrack_spark.streaming.runner import events_stream
+    from postrack_spark.streaming.sinks import foreach_batch_fold
+
+    ev = events_stream(spark, sf_dir)
+    cells = ev.select(
+        "user_id",
+        F.col("event_type").alias("g"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    target, q = foreach_batch_fold(cells, group_cols=["user_id", "g"], sum_cols=["c"])
+    q.awaitTermination()
+    pu = (
+        read_view(spark, target)
+        .filter(F.col("c") > 0)
+        .select("user_id", F.col("g").alias("event_type"))
+    )
+    return cochran_q_from_pairs(pu)
