@@ -5,12 +5,14 @@ operators/{png,jpeg,gif,bmp}.py.
 Scope (honest, raising):
 
 * decode: classic TIFF (magic 42), BOTH byte orders ('II' and 'MM'),
-  Compression=1 (none), PlanarConfiguration=1 (chunky), 8 bits/sample,
+  Compression 1 (none), 32773 (PackBits RLE) and 8/32946
+  (Adobe/old-style Deflate, zlib streams per strip),
+  PlanarConfiguration=1 (chunky), 8 bits/sample,
   PhotometricInterpretation 0/1 (grayscale, incl. WhiteIsZero
   inversion), 2 (RGB, extra samples ignored) and 3 (palette), any
-  strip layout (RowsPerStrip/StripOffsets/StripByteCounts). LZW/
-  Deflate/PackBits compression, planar layout, tiles, and 16-bit
-  samples raise NotImplementedError rather than decode wrongly.
+  strip layout (RowsPerStrip/StripOffsets/StripByteCounts). LZW/CCITT/
+  JPEG-in-TIFF compression, planar layout, tiles, and 16-bit samples
+  raise NotImplementedError rather than decode wrongly.
 * encode: little-endian uncompressed chunky 8-bit RGB, single strip —
   the minimal interchange profile every reader accepts.
 
@@ -91,7 +93,7 @@ def decode_tiff(payload: bytes) -> bytes:
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8] * spp)
     planar = tags.get(284, [1])[0]
-    if compression != 1:
+    if compression not in (1, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF: compression {compression} not supported")
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration not supported")
@@ -110,7 +112,14 @@ def decode_tiff(payload: bytes) -> bytes:
     for o, c in zip(offsets, counts):
         if o + c > len(payload):
             raise ValueError("TIFF: strip out of range")
-        data += payload[o : o + c]
+        strip = payload[o : o + c]
+        if compression in (8, 32946):  # zlib stream per strip
+            import zlib
+
+            strip = zlib.decompress(strip)
+        elif compression == 32773:
+            strip = _unpackbits(strip)
+        data += strip
     need = width * height * spp
     if len(data) < need:
         raise ValueError("TIFF: truncated pixel data")
@@ -136,6 +145,29 @@ def decode_tiff(payload: bytes) -> bytes:
         for i in range(width * height):
             v = 255 - data[spp * i] if inv else data[spp * i]
             out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = v
+    return bytes(out)
+
+
+def _unpackbits(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF spec §9): control byte n in 0..127
+    copies n+1 literals; n in -127..-1 (129..255 unsigned) repeats the
+    next byte 1-n times; -128 (128) is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:  # n+1 literal bytes
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF PackBits: truncated literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("TIFF PackBits: truncated repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
     return bytes(out)
 
 

@@ -508,3 +508,18 @@ def test_tiff_through_decode_media():
 
     rgb = bytes(range(2 * 2 * 3))
     assert decode_media(encode_tiff(rgb, 2, 2), "image/tiff") == rgb
+
+
+def test_tiff_packbits_spec_golden_vector():
+    # The canonical example from the TIFF 6.0 spec, section 9
+    from postrack_spark.operators.tiff import _unpackbits
+
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    expect = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10)
+    assert _unpackbits(packed) == expect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _unpackbits(bytes.fromhex("02AA"))  # literal run cut short
+    with _pytest.raises(ValueError):
+        _unpackbits(bytes.fromhex("FE"))  # repeat run missing its byte

@@ -245,3 +245,43 @@ def test_tiff_imageio_bytes_decode_exactly_in_ours(iio):
     assert ref[:2] == b"MM"
     assert tiff_dimensions(ref) == (W, H)
     assert decode_tiff(ref) == rgb
+
+
+def _iio_tiff_compressed(iio, rgb, w, h, ctype: str) -> bytes:
+    jvm, gw = iio.jvm, iio.gw
+    B = jvm.java.awt.image.BufferedImage
+    img = B(w, h, B.TYPE_INT_RGB)
+    arr = gw.new_array(jvm.int, w * h)
+    for i in range(w * h):
+        v = (rgb[3 * i] << 16) | (rgb[3 * i + 1] << 8) | rgb[3 * i + 2]
+        arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+    img.setRGB(0, 0, w, h, arr, 0, w)
+    wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    param = wr.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType(ctype)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    wr.setOutput(ios)
+    wr.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    return bytes(baos.toByteArray())
+
+
+@pytest.mark.parametrize("ctype", ["PackBits", "Deflate", "ZLib"])
+def test_tiff_compressed_imageio_bytes_decode_exactly_in_ours(iio, ctype):
+    from postrack_spark.operators.tiff import decode_tiff
+
+    rgb = _pattern_rgb()
+    ref = _iio_tiff_compressed(iio, rgb, W, H, ctype)
+    assert decode_tiff(ref) == rgb
+
+
+def test_tiff_lzw_raises_honestly(iio):
+    import pytest as _pytest
+
+    from postrack_spark.operators.tiff import decode_tiff
+
+    ref = _iio_tiff_compressed(iio, _pattern_rgb(), W, H, "LZW")
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(ref)

@@ -106,8 +106,8 @@ def test_decode_png_cross_validates_against_pil():
 
 
 def test_decode_exotic_image_without_pil_raises_not_implemented():
-    """PNG/JPEG/GIF decode pure-stdlib now; the PIL seam remains only
-    for formats without a bundled codec (tiff, webp, bmp...)."""
+    """PNG/JPEG/GIF/BMP/TIFF decode pure-stdlib now; the PIL seam
+    remains only for formats without a bundled codec (webp, avif...)."""
     try:
         import PIL  # noqa: F401
 
@@ -115,7 +115,7 @@ def test_decode_exotic_image_without_pil_raises_not_implemented():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_media(b"II*\x00tiff-ish", "image/tiff")
+        decode_media(b"RIFF....WEBP", "image/webp")
 
 
 def test_decode_malformed_jpeg_refuses_loudly():
