@@ -5,14 +5,15 @@ operators/{png,jpeg,gif,bmp}.py.
 Scope (honest, raising):
 
 * decode: classic TIFF (magic 42), BOTH byte orders ('II' and 'MM'),
-  Compression 1 (none), 32773 (PackBits RLE) and 8/32946
-  (Adobe/old-style Deflate, zlib streams per strip),
-  PlanarConfiguration=1 (chunky), 8 bits/sample,
+  Compression 1 (none), 5 (LZW, MSB-first early-change codes),
+  32773 (PackBits RLE) and 8/32946 (Adobe/old-style Deflate, zlib
+  streams per strip), PlanarConfiguration=1 (chunky), 8 bits/sample,
   PhotometricInterpretation 0/1 (grayscale, incl. WhiteIsZero
   inversion), 2 (RGB, extra samples ignored) and 3 (palette), any
-  strip layout (RowsPerStrip/StripOffsets/StripByteCounts). LZW/CCITT/
-  JPEG-in-TIFF compression, planar layout, tiles, and 16-bit samples
-  raise NotImplementedError rather than decode wrongly.
+  strip layout (RowsPerStrip/StripOffsets/StripByteCounts).
+  CCITT/JPEG-in-TIFF compression, Predictor 2 (horizontal
+  differencing), planar layout, tiles, and 16-bit samples raise
+  NotImplementedError rather than decode wrongly.
 * encode: little-endian uncompressed chunky 8-bit RGB, single strip —
   the minimal interchange profile every reader accepts.
 
@@ -93,8 +94,11 @@ def decode_tiff(payload: bytes) -> bytes:
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8] * spp)
     planar = tags.get(284, [1])[0]
-    if compression not in (1, 8, 32773, 32946):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF: compression {compression} not supported")
+    predictor = tags.get(317, [1])[0]
+    if predictor != 1:
+        raise NotImplementedError(f"TIFF: predictor {predictor} not supported")
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration not supported")
     if any(b != 8 for b in bps):
@@ -119,6 +123,8 @@ def decode_tiff(payload: bytes) -> bytes:
             strip = zlib.decompress(strip)
         elif compression == 32773:
             strip = _unpackbits(strip)
+        elif compression == 5:
+            strip = _lzw_decode(strip)
         data += strip
     need = width * height * spp
     if len(data) < need:
@@ -145,6 +151,54 @@ def decode_tiff(payload: bytes) -> bytes:
         for i in range(width * height):
             v = 255 - data[spp * i] if inv else data[spp * i]
             out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = v
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes, ClearCode=256,
+    EOI=257, first table entry 258, 'early change' width bumps (9->10
+    at next_code 511, ->11 at 1023, ->12 at 2047 — one code earlier
+    than GIF's LSB-first variant in operators/gif.py)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    nbits = len(data) * 8
+    pos = 0
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while pos + width <= nbits:
+        byte0 = pos // 8
+        chunk = int.from_bytes(data[byte0 : byte0 + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - width - (pos % 8))) & ((1 << width) - 1)
+        pos += width
+        if code == 256:  # ClearCode
+            reset()
+            continue
+        if code == 257:  # EndOfInformation
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW: code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
     return bytes(out)
 
 

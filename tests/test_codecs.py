@@ -493,13 +493,14 @@ def test_tiff_unsupported_paths_raise():
     with _pytest.raises(ValueError):
         decode_tiff(b"XXXXXXXXXX")
     ok = encode_tiff(bytes(12), 2, 2)
-    # flip compression tag (entry 4 of 9, value at header+2+12*3+8) to LZW
-    lzw = bytearray(ok)
+    # flip the compression tag (entry 4 of 9, value at header+2+12*3+8)
+    # to 7 = JPEG-in-TIFF, which stays honestly unsupported
+    jp = bytearray(ok)
     off = 8 + 2 + 12 * 3 + 8
-    assert struct.unpack_from("<H", lzw, off)[0] == 1
-    struct.pack_into("<H", lzw, off, 5)
+    assert struct.unpack_from("<H", jp, off)[0] == 1
+    struct.pack_into("<H", jp, off, 7)
     with _pytest.raises(NotImplementedError):
-        decode_tiff(bytes(lzw))
+        decode_tiff(bytes(jp))
 
 
 def test_tiff_through_decode_media():

@@ -268,7 +268,7 @@ def _iio_tiff_compressed(iio, rgb, w, h, ctype: str) -> bytes:
     return bytes(baos.toByteArray())
 
 
-@pytest.mark.parametrize("ctype", ["PackBits", "Deflate", "ZLib"])
+@pytest.mark.parametrize("ctype", ["PackBits", "Deflate", "ZLib", "LZW"])
 def test_tiff_compressed_imageio_bytes_decode_exactly_in_ours(iio, ctype):
     from postrack_spark.operators.tiff import decode_tiff
 
@@ -277,11 +277,17 @@ def test_tiff_compressed_imageio_bytes_decode_exactly_in_ours(iio, ctype):
     assert decode_tiff(ref) == rgb
 
 
-def test_tiff_lzw_raises_honestly(iio):
-    import pytest as _pytest
-
+def test_tiff_lzw_code_width_growth_decodes_exactly(iio):
+    # 64x48 quasi-random pixels push the LZW table past 511 and 1023
+    # entries, exercising the 9->10->11 bit early-change transitions
     from postrack_spark.operators.tiff import decode_tiff
 
-    ref = _iio_tiff_compressed(iio, _pattern_rgb(), W, H, "LZW")
-    with _pytest.raises(NotImplementedError):
-        decode_tiff(ref)
+    w, h = 64, 48
+    rgb = bytes(
+        ((x * x + 3 * y + c * 97 + (x // 5) * (y // 3)) % 251)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    ref = _iio_tiff_compressed(iio, rgb, w, h, "LZW")
+    assert decode_tiff(ref) == rgb
