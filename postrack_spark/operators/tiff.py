@@ -11,9 +11,9 @@ Scope (honest, raising):
   PhotometricInterpretation 0/1 (grayscale, incl. WhiteIsZero
   inversion), 2 (RGB, extra samples ignored) and 3 (palette), any
   strip layout (RowsPerStrip/StripOffsets/StripByteCounts).
-  CCITT/JPEG-in-TIFF compression, Predictor 2 (horizontal
-  differencing), planar layout, tiles, and 16-bit samples raise
-  NotImplementedError rather than decode wrongly.
+  Predictor 2 (horizontal differencing) re-accumulates per row.
+  CCITT/JPEG-in-TIFF compression, planar layout, tiles, and 16-bit
+  samples raise NotImplementedError rather than decode wrongly.
 * encode: little-endian uncompressed chunky 8-bit RGB, single strip —
   the minimal interchange profile every reader accepts.
 
@@ -97,7 +97,7 @@ def decode_tiff(payload: bytes) -> bytes:
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF: compression {compression} not supported")
     predictor = tags.get(317, [1])[0]
-    if predictor != 1:
+    if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF: predictor {predictor} not supported")
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration not supported")
@@ -129,6 +129,12 @@ def decode_tiff(payload: bytes) -> bytes:
     need = width * height * spp
     if len(data) < need:
         raise ValueError("TIFF: truncated pixel data")
+    if predictor == 2:  # horizontal differencing: re-accumulate per row
+        row_bytes = width * spp
+        for r in range(height):
+            base = r * row_bytes
+            for i in range(spp, row_bytes):
+                data[base + i] = (data[base + i] + data[base + i - spp]) & 0xFF
 
     out = bytearray(width * height * 3)
     if photometric == 2:  # RGB (chunky; extra samples like alpha ignored)

@@ -524,3 +524,57 @@ def test_tiff_packbits_spec_golden_vector():
         _unpackbits(bytes.fromhex("02AA"))  # literal run cut short
     with _pytest.raises(ValueError):
         _unpackbits(bytes.fromhex("FE"))  # repeat run missing its byte
+
+
+def test_tiff_predictor2_deflate_roundtrip():
+    # libtiff's default LZW/Deflate companion: horizontal differencing.
+    # Build the file by hand (difference rows, zlib-compress, predictor
+    # tag 317=2) and demand exact reconstruction.
+    import struct
+    import zlib
+
+    from postrack_spark.operators.tiff import decode_tiff
+
+    w, h, spp = 6, 4, 3
+    rgb = bytes((x * 53 + y * 29 + c * 17) % 256
+                for y in range(h) for x in range(w) for c in range(spp))
+    diffed = bytearray(rgb)
+    for r in range(h):
+        base = r * w * spp
+        for i in range(w * spp - 1, spp - 1, -1):
+            diffed[base + i] = (diffed[base + i] - diffed[base + i - spp]) & 0xFF
+    comp = zlib.compress(bytes(diffed))
+
+    n = 10
+    ifd_off = 8
+    ifd_size = 2 + 12 * n + 4
+    bps_off = ifd_off + ifd_size
+    data_off = bps_off + 6
+    e = "<"
+
+    def ent(tag, typ, cnt, val):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    def short(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def long_(v):
+        return struct.pack(e + "I", v)
+
+    out = bytearray()
+    out += b"II" + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n)
+    out += ent(256, 3, 1, short(w))
+    out += ent(257, 3, 1, short(h))
+    out += ent(258, 3, 3, long_(bps_off))
+    out += ent(259, 3, 1, short(8))  # Deflate
+    out += ent(262, 3, 1, short(2))  # RGB
+    out += ent(273, 4, 1, long_(data_off))
+    out += ent(277, 3, 1, short(3))
+    out += ent(278, 3, 1, short(h))
+    out += ent(279, 4, 1, long_(len(comp)))
+    out += ent(317, 3, 1, short(2))  # horizontal differencing
+    out += struct.pack(e + "I", 0)
+    out += struct.pack(e + "3H", 8, 8, 8)
+    out += comp
+    assert decode_tiff(bytes(out)) == rgb
