@@ -2895,3 +2895,151 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
     )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink surface (Spark 4's built-in spark-xml): orders
+    written as <row> elements, read back with an EXPLICIT schema (the
+    csv/json rule: never pay the inference scan) and checksummed in
+    integer cents against the parquet originals — the round-trip must
+    be lossless through XML's text representation (doubles are
+    shortest-repr exact; the integer checksum removes sum association
+    from the comparison). Timestamps are exported pre-formatted as
+    strings to keep the XML layer out of timezone territory. Scale:
+    same declarative plan over the StaxXML scan, minus parquet's
+    pushdown — the format-shelf trade-off documented at
+    source_csv_json_roundtrip."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    d = tempfile.mkdtemp(prefix="xml_roundtrip_") + "/orders"
+    o.write.format("xml").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).save(d)
+    back = (
+        spark.read.format("xml")
+        .schema(o.schema)
+        .option("rowTag", "order")
+        .load(d)
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+
+
+@query(
+    "join_interval_overlap_pairs",
+    oracle="""
+    WITH oi AS (
+      SELECT o.o_orderkey AS okey, o.o_custkey AS ck,
+             CAST(min(epoch_us(l.l_shipdate) // 86400000000) AS BIGINT) AS lo,
+             CAST(max(epoch_us(l.l_shipdate) // 86400000000) AS BIGINT) AS hi
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.ck,
+             CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT)
+               AS overlap_days
+      FROM oi a JOIN oi b
+        ON a.ck = b.ck AND a.okey < b.okey
+       AND a.lo <= b.hi AND b.lo <= a.hi
+    )
+    SELECT ck AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(sum(overlap_days) AS BIGINT) AS total_overlap_days
+    FROM pairs GROUP BY ck
+    ORDER BY n_overlapping_pairs DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP self-join — the temporal-join shape the as-of
+    family (events_asof_*) doesn't cover: each order's shipping
+    window [first ship, last ship], paired with every OTHER window
+    of the same customer that overlaps it (a.lo <= b.hi AND b.lo <=
+    a.hi), reporting the customers juggling the most concurrent
+    orders. The join is EQUI on the customer key with the band
+    predicate as a post-probe filter — per-customer fan-out is bounded
+    (~10 orders -> <=45 pairs), so the quadratic term is per-group
+    constant, the partitioned-self-join discipline that scales where
+    a global interval join would not; DuckDB's IEJoin handles the
+    oracle side natively. Dates become integer epoch-days via
+    epoch_us DIV 86400e6 on both engines (the cast-rounding trap);
+    overlap length is inclusive integer days."""
+    t = load_tables(spark, sf_dir)
+    oi = (
+        t["orders"]
+        .select(F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("ck"))
+        .join(
+            t["lineitem"].select(
+                F.col("l_orderkey").alias("okey"),
+                F.floor(F.unix_micros("l_shipdate") / F.lit(86400000000))
+                .cast("long")
+                .alias("ship_d"),
+            ),
+            "okey",
+        )
+        .groupBy("okey", "ck")
+        .agg(
+            F.min("ship_d").cast("long").alias("lo"),
+            F.max("ship_d").cast("long").alias("hi"),
+        )
+    )
+    a = oi.select(
+        F.col("ck").alias("ck"),
+        F.col("okey").alias("okey_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    b = oi.select(
+        F.col("ck").alias("ck"),
+        F.col("okey").alias("okey_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    pairs = a.join(b, "ck").filter(
+        (F.col("okey_a") < F.col("okey_b"))
+        & (F.col("lo_a") <= F.col("hi_b"))
+        & (F.col("lo_b") <= F.col("hi_a"))
+    )
+    return (
+        pairs.select(
+            "ck",
+            (
+                F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b") + F.lit(1)
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .groupBy(F.col("ck").alias("c_custkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_overlapping_pairs"),
+            F.sum("overlap_days").cast("long").alias("total_overlap_days"),
+        )
+        .orderBy(F.col("n_overlapping_pairs").desc(), "c_custkey")
+        .limit(10)
+    )
