@@ -5645,3 +5645,196 @@ def quality_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("wilson_lb_ppm").desc(), "event_type")
     )
+
+
+@query(
+    "agg_wilcoxon_signed_rank",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(min(epoch_us(ts)) AS BIGINT) // 1000000
+              + CAST(max(epoch_us(ts)) AS BIGINT) // 1000000) // 2 AS mid_s
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) // 1000000 <= mid_s
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN CAST(epoch_us(ts) AS BIGINT) // 1000000 > mid_s
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT c2 - c1 AS d, abs(c2 - c1) AS ad
+      FROM per_user WHERE c2 - c1 <> 0
+    ),
+    vals AS (SELECT ad, CAST(count(*) AS BIGINT) AS cnt FROM diffs GROUP BY ad),
+    mid AS (
+      SELECT ad,
+             CAST(2 * coalesce(sum(cnt) OVER (ORDER BY ad
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cnt + 1 AS BIGINT) AS mr2
+      FROM vals
+    ),
+    stat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+             CAST(sum(CASE WHEN d.d > 0 THEN m.mr2 ELSE 0 END) AS BIGINT)
+               AS w_plus_x2,
+             CAST(sum(CASE WHEN d.d < 0 THEN m.mr2 ELSE 0 END) AS BIGINT)
+               AS w_minus_x2
+      FROM diffs d JOIN mid m ON m.ad = d.ad
+    )
+    SELECT n_nonzero, w_plus_x2, w_minus_x2,
+           CAST(n_nonzero * (n_nonzero + 1) AS BIGINT) AS w_total_x2
+    FROM stat
+    """,
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank — the PAIRED continuous companion to
+    McNemar (paired binary) and Mann-Whitney (independent): did each
+    user's spend shift between the first and second half of the
+    observation window, using each user as their own control? Zero
+    differences drop (the standard treatment), |d| gets doubled
+    midranks from ONE distributed prefix sum over the distinct-|d|
+    frame (operators/ranking — the MWU machinery verbatim), and W+ is
+    the doubled rank sum of the positive side. Invariant pinned in the
+    output: w_plus_x2 + w_minus_x2 == n(n+1) (= 2 * total rank sum) —
+    an engine disagreement anywhere breaks it. Pure integers, no
+    doubles at all; the oracle's unpartitioned window is DuckDB-side
+    only."""
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(((F.min("s") + F.max("s")) / 2).cast("long").alias("mid_s"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("s") <= F.col("mid_s"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("s") > F.col("mid_s"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    diffs = (
+        per_user.select((F.col("c2") - F.col("c1")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select("d", F.abs("d").alias("ad"))
+    )
+    vals = diffs.groupBy("ad").agg(F.count("*").cast("long").alias("cnt"))
+    mid = prefix_sum_by_key(vals, ["ad"], "cnt", "cumb", inclusive=False).select(
+        "ad",
+        (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1)).cast("long").alias("mr2"),
+    )
+    stat = (
+        diffs.join(mid, "ad")
+        .agg(
+            F.count("*").cast("long").alias("n_nonzero"),
+            F.sum(F.when(F.col("d") > 0, F.col("mr2")).otherwise(0))
+            .cast("long")
+            .alias("w_plus_x2"),
+            F.sum(F.when(F.col("d") < 0, F.col("mr2")).otherwise(0))
+            .cast("long")
+            .alias("w_minus_x2"),
+        )
+    )
+    return stat.select(
+        "n_nonzero",
+        "w_plus_x2",
+        "w_minus_x2",
+        (F.col("n_nonzero") * (F.col("n_nonzero") + 1)).cast("long").alias("w_total_x2"),
+    )
+
+
+_ST_RANK_SQL = """CAST(CASE
+    WHEN rn - 1 = n - rn THEN n
+    WHEN rn - 1 < n - rn THEN
+      CASE WHEN (rn - 1) % 2 = 0 THEN 2 * (rn - 1) + 1 ELSE 2 * (rn - 1) + 2 END
+    ELSE
+      CASE WHEN (n - rn) % 2 = 0 THEN 2 * (n - rn) + 2 ELSE 2 * (n - rn) + 1 END
+    END AS BIGINT)"""
+"""Closed-form Siegel-Tukey outside-in rank from a 1-based total-order
+position rn of n: alternately 1 from the low end, 2,3 from the high
+end, 4,5 from the low end, ... (f(d)=2d+1 for even distance-from-front
+d else 2d+2; b(d)=2d+2 for even distance-from-back else 2d+1; the
+middle element of an odd n — where the two alternating walks collide
+— takes rank n, the always-valid leftover, keeping the ranks a
+permutation of 1..n). One string, used verbatim by both engines."""
+
+
+@query(
+    "agg_siegel_tukey_dispersion",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    ranked AS (
+      SELECT g,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM base
+    ),
+    st AS (
+      SELECT g, {_ST_RANK_SQL} AS st_rank FROM ranked
+    )
+    SELECT CAST(sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN g = 'F' THEN st_rank ELSE 0 END) AS BIGINT) AS w_f,
+           CAST(sum(CASE WHEN g = 'O' THEN st_rank ELSE 0 END) AS BIGINT) AS w_o
+    FROM st
+    """,
+)
+def agg_siegel_tukey_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey test — nonparametric DISPERSION comparison, the
+    member of the rank family Mann-Whitney can't substitute for: do
+    finished ('F') and open ('O') orders differ in price SPREAD rather
+    than location? Values rank from the OUTSIDE IN (extremes get small
+    ranks), so a low rank sum flags the wider-spread group; then the
+    machinery is Mann-Whitney on those ranks. The outside-in rank has
+    a closed form in the total-order position (shared _ST_RANK_SQL
+    string, used verbatim by both engines); the position comes from
+    operators/ranking.global_row_number — one range exchange, no
+    global WindowExec on Spark (the oracle's window is DuckDB-side).
+    Ties in cents break by order key (the deterministic tie-broken ST
+    variant — classic midrank-ST averages across the alternation,
+    which is not order-free; documented, identical both sides). The
+    rank-sum identity w_f + w_o = n(n+1)/2 pins cross-engine
+    agreement structurally."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    base = (
+        load_tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+        )
+    )
+    ranked = global_row_number(base, [F.asc("cents"), F.asc("o_orderkey")], "rn")
+    n_frame = ranked.agg(F.count("*").cast("long").alias("n"))
+    st = ranked.crossJoin(F.broadcast(n_frame)).select(
+        "g", F.expr(_ST_RANK_SQL.replace("\n", " ")).alias("st_rank")
+    )
+    return st.agg(
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).cast("long").alias("n_f"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).cast("long").alias("n_o"),
+        F.sum(F.when(F.col("g") == "F", F.col("st_rank")).otherwise(0))
+        .cast("long")
+        .alias("w_f"),
+        F.sum(F.when(F.col("g") == "O", F.col("st_rank")).otherwise(0))
+        .cast("long")
+        .alias("w_o"),
+    )

@@ -207,3 +207,61 @@ def test_quade_model_matches_query(spark):
     # per-block signed deviations sum to zero, so every S4_j summing over
     # all types must cancel: sum_j S4_j == 0
     assert sum(s4.values()) == 0
+
+
+def test_wilcoxon_signed_rank_model_matches_query(spark):
+    ev = _events()
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["s"] = us // 1000000
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    mid = (int(ev["s"].min()) + int(ev["s"].max())) // 2
+    g = ev.groupby("user_id")
+    c1 = g.apply(lambda x: int(x.loc[x["s"] <= mid, "cents"].sum()))
+    c2 = g.apply(lambda x: int(x.loc[x["s"] > mid, "cents"].sum()))
+    d = (c2 - c1)[lambda s: s != 0]
+    from collections import Counter
+
+    vals = Counter(abs(int(v)) for v in d)
+    mr2 = {}
+    cum = 0
+    for v in sorted(vals):
+        mr2[v] = 2 * cum + vals[v] + 1
+        cum += vals[v]
+    w_plus = sum(mr2[abs(int(v))] for v in d if v > 0)
+    w_minus = sum(mr2[abs(int(v))] for v in d if v < 0)
+    n = len(d)
+
+    from postrack_spark.queries.registry import load_all
+
+    row = load_all()["agg_wilcoxon_signed_rank"].fn(spark, SF_DIR).collect()[0]
+    assert (row["n_nonzero"], row["w_plus_x2"], row["w_minus_x2"]) == (
+        n, w_plus, w_minus)
+    assert row["w_plus_x2"] + row["w_minus_x2"] == n * (n + 1)
+
+
+def test_siegel_tukey_model_matches_query(spark):
+    orders = pd.read_parquet(os.path.join(SF_DIR, "orders.parquet"))
+    base = orders[orders["o_orderstatus"].isin(["F", "O"])].copy()
+    base["cents"] = (base["o_totalprice"] * 100).round().astype("int64")
+    base = base.sort_values(["cents", "o_orderkey"]).reset_index(drop=True)
+    n = len(base)
+
+    def st_rank(rn):  # 1-based
+        d_front, d_back = rn - 1, n - rn
+        if d_front == d_back:
+            return n  # odd-n middle: the always-valid leftover rank
+        if d_front < d_back:
+            return 2 * d_front + 1 if d_front % 2 == 0 else 2 * d_front + 2
+        return 2 * d_back + 2 if d_back % 2 == 0 else 2 * d_back + 1
+
+    base["st"] = [st_rank(i + 1) for i in range(n)]
+    # outside-in ranks are a permutation of 1..n
+    assert sorted(base["st"]) == list(range(1, n + 1))
+    w_f = int(base.loc[base["o_orderstatus"] == "F", "st"].sum())
+    w_o = int(base.loc[base["o_orderstatus"] == "O", "st"].sum())
+
+    from postrack_spark.queries.registry import load_all
+
+    row = load_all()["agg_siegel_tukey_dispersion"].fn(spark, SF_DIR).collect()[0]
+    assert (row["w_f"], row["w_o"]) == (w_f, w_o)
+    assert row["w_f"] + row["w_o"] == n * (n + 1) // 2
