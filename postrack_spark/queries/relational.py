@@ -3043,3 +3043,134 @@ def join_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_overlapping_pairs").desc(), "c_custkey")
         .limit(10)
     )
+
+
+@query(
+    "privacy_k_anonymity_report",
+    oracle="""
+    WITH gen AS (
+      SELECT r.r_name AS region,
+             CAST(floor(c.c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+             c.c_mktsegment AS seg
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    classes AS (
+      SELECT region, bal_band,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT seg) AS BIGINT) AS l_diversity
+      FROM gen GROUP BY region, bal_band
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(class_size) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_suppressed_k5,
+           CAST(sum(CASE WHEN class_size >= 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_published_k5,
+           CAST(min(CASE WHEN class_size >= 5 THEN l_diversity END) AS BIGINT)
+             AS min_l_diversity_published
+    FROM classes
+    """,
+)
+def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the governance measurement
+    behind publishing generalized microdata (the release-side
+    complement of cdc_forget_keys_purge and the GDPR exports):
+    customers generalize to (region, account-balance band of 2000),
+    every equivalence class is sized, classes under k=5 are suppressed
+    (their row count reported — the analyst's utility cost), and the
+    published classes' l-diversity (distinct market segments — the
+    'sensitive attribute') is floor-reported so a homogeneity attack
+    is visible even when k holds. All pure integers; the balance band
+    uses floor on a /2000.0 double quotient (identical IEEE ops both
+    engines — acctbal is two-decimal, so no representability edge).
+    Scale: one groupBy over the generalized keys; the dimension joins
+    broadcast (nation/region are tiny)."""
+    t = load_tables(spark, sf_dir)
+    gen = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long").alias("bal_band"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    classes = gen.groupBy("region", "bal_band").agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("seg").cast("long").alias("l_diversity"),
+    )
+    return classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_suppressed_k5"),
+        F.sum(F.when(F.col("class_size") >= 5, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_published_k5"),
+        F.min(F.when(F.col("class_size") >= 5, F.col("l_diversity")))
+        .cast("long")
+        .alias("min_l_diversity_published"),
+    )
+
+
+@query(
+    "privacy_pseudonymized_export",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(count(DISTINCT md5(CAST(c.c_custkey AS VARCHAR))) AS BIGINT)
+             AS n_tokens,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def privacy_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymized data sharing with REFERENTIAL integrity: both
+    sides of the customer/orders relationship replace the natural key
+    with an md5 token (engine-portable hashing rule) and the analytics
+    JOIN runs on tokens only — the standard 'share the shape, not the
+    identities' export. The gate pins two things: the token join
+    reproduces the raw join's aggregate exactly (tokenization is a
+    bijection in practice), and n_tokens == n_customers per group
+    (collision audit — md5 collisions at table scale would silently
+    merge people; counting both sides makes that failure visible
+    rather than assumed away). Pseudonymization is NOT anonymization —
+    the k-anonymity report is the companion for release decisions;
+    this query is the linkage-preserving internal-sharing lane.
+    Scale: tokenization is scan-side codegen; the join shuffles on the
+    token exactly as it would on the key."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        F.md5(F.col("c_custkey").cast("string")).alias("tok"),
+        "c_custkey",
+        "c_mktsegment",
+    )
+    orders = t["orders"].select(
+        F.md5(F.col("o_custkey").cast("string")).alias("tok"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        orders.join(cust, "tok")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.countDistinct("tok").cast("long").alias("n_tokens"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
