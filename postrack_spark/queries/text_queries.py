@@ -2635,3 +2635,78 @@ def multimodal_tiff_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataF
         F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_roundtrip_ok"),
         F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
     )
+
+
+@query(
+    "text_phrase_search_positional",
+    oracle="""
+    WITH pos AS (
+      SELECT d.doc_id, t.tok, CAST(t.p AS BIGINT) AS p
+      FROM documents d,
+           LATERAL (SELECT unnest(str_split(d.text, ' ')) AS tok,
+                           generate_subscripts(str_split(d.text, ' '), 1) AS p) t
+      WHERE t.tok IN ('batch', 'stream', 'scan', 'join')
+    ),
+    phrase AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2,
+             CAST(count(*) AS BIGINT) AS n_matches
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE (a.tok = 'batch' AND b.tok = 'batch')
+         OR (a.tok = 'scan' AND b.tok = 'join')
+         OR (a.tok = 'stream' AND b.tok = 'scan')
+      GROUP BY a.doc_id, a.tok, b.tok
+    )
+    SELECT w1, w2,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_matches) AS BIGINT) AS n_occurrences
+    FROM phrase
+    GROUP BY w1, w2
+    ORDER BY w1, w2
+    """,
+)
+def text_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE search through a positional inverted index — the IR
+    capability text_inverted_index (bag-of-words postings) cannot
+    answer: find exact two-word phrases by joining each query term's
+    (doc, position) postings on position adjacency (p2 = p1 + 1), the
+    way Lucene executes quoted queries. The posting relation is
+    VOCABULARY-PREFILTERED to the query terms before the self-join
+    (the BM25 rule: never shuffle the full (doc, term, pos) relation
+    for a 4-term query), so the join input is O(query-term
+    occurrences) and equi-keyed on (doc, position). posexplode
+    supplies positions on the Spark side; DuckDB's
+    generate_subscripts mirrors it 1-based."""
+    from postrack_spark.session import fan_out
+
+    t = load_tables(spark, sf_dir)
+    terms = ["batch", "stream", "scan", "join"]
+    pos = (
+        fan_out(t["documents"])
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok"),
+        )
+        .filter(F.col("tok").isin(terms))
+        .select("doc_id", "tok", (F.col("p0") + 1).cast("long").alias("p"))
+    )
+    a = pos.select("doc_id", F.col("tok").alias("w1"), F.col("p").alias("p1"))
+    b = pos.select("doc_id", F.col("tok").alias("w2"), F.col("p").alias("p2"))
+    pairs = [("batch", "batch"), ("scan", "join"), ("stream", "scan")]
+    cond = None
+    for w1, w2 in pairs:
+        c = (F.col("w1") == w1) & (F.col("w2") == w2)
+        cond = c if cond is None else (cond | c)
+    phrase = (
+        a.join(b, ["doc_id"])
+        .filter((F.col("p2") == F.col("p1") + 1) & cond)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )
+    return (
+        phrase.groupBy("w1", "w2")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_matches").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("w1", "w2")
+    )
