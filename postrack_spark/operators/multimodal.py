@@ -108,6 +108,10 @@ def decode_media(payload: bytes, media_type: str, fake_decode: bool = False) -> 
         from postrack_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if mt in ("image/vnd.wap.wbmp", "image/wbmp"):
+        from postrack_spark.operators.wbmp import decode_wbmp
+
+        return decode_wbmp(payload)
     if mt in ("video/x-msvideo", "video/avi", "video/msvideo"):
         from postrack_spark.operators.avi import parse_avi
         from postrack_spark.operators.jpeg import decode_jpeg

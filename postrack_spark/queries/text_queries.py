@@ -2638,6 +2638,65 @@ def multimodal_tiff_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "multimodal_wbmp_roundtrip_certify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(sum((3 + n_chars % 8) * (2 + n_chars % 4) * 3) AS BIGINT)
+             AS total_rgb_bytes
+    FROM documents
+    """,
+)
+def multimodal_wbmp_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WBMP decode, driver-gated (pure-stdlib operators/wbmp.py —
+    the BMP/TIFF certify pattern): per document, build a deterministic
+    1-bit image from md5-of-text BITS (the only bit-packed codec on
+    the shelf — widths 3-10 exercise every bits-per-row padding
+    residue mod 8), encode as type-0 WBMP, decode through the
+    production ``decode_media`` path and certify byte-exactness. The
+    codec is independently certified against javax.imageio's WBMP
+    plugin both directions (tests/test_codecs_imageio.py); this query
+    certifies the distributed plumbing. One Arrow-batched mapInPandas
+    pass; images never leave their executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).select("doc_id", "text", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from postrack_spark.operators.multimodal import decode_media
+        from postrack_spark.operators.wbmp import encode_wbmp
+
+        for pdf in it:
+            oks, nbytes = [], []
+            for text, n_chars in zip(pdf["text"], pdf["n_chars"]):
+                w = 3 + int(n_chars) % 8
+                h = 2 + int(n_chars) % 4
+                dig = hashlib.md5(text.encode("utf-8")).digest()
+                bits = [(dig[(i // 8) % len(dig)] >> (7 - i % 8)) & 1
+                        for i in range(w * h)]
+                pixels = bytes(v for b in bits for v in (255 * b,) * 3)
+                decoded = decode_media(
+                    encode_wbmp(pixels, w, h), "image/vnd.wap.wbmp",
+                    fake_decode=False,
+                )
+                oks.append(decoded == pixels)
+                nbytes.append(len(decoded))
+            yield pd.DataFrame({"ok": oks, "rgb_bytes": nbytes})
+
+    per_doc = docs.mapInPandas(batches, "ok boolean, rgb_bytes long")
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_roundtrip_ok"),
+        F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
+    )
+
+
+@query(
     "text_phrase_search_positional",
     oracle="""
     WITH pos AS (

@@ -578,3 +578,81 @@ def test_tiff_predictor2_deflate_roundtrip():
     out += struct.pack(e + "3H", 8, 8, 8)
     out += comp
     assert decode_tiff(bytes(out)) == rgb
+
+
+# ----------------------------------------------------------------- WBMP
+
+
+def _binary_rgb(w, h):
+    # deterministic 0/255 pattern exercising both bit values everywhere
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in [255 if (x * 5 + y * 3 + (x * y) % 2) % 3 else 0] * 3
+    )
+
+
+def test_wbmp_roundtrip_all_padding_residues():
+    from postrack_spark.operators.wbmp import (
+        decode_wbmp,
+        encode_wbmp,
+        wbmp_dimensions,
+    )
+
+    # widths 1..10 cover every bits-per-row residue mod 8
+    for w in range(1, 11):
+        h = 3
+        rgb = _binary_rgb(w, h)
+        payload = encode_wbmp(rgb, w, h)
+        assert wbmp_dimensions(payload) == (w, h)
+        assert decode_wbmp(payload) == rgb
+
+
+def test_wbmp_golden_checkerboard_bytes():
+    # 9x4 checkerboard, white where (x+y) odd. Row bits MSB-first:
+    # 010101010 -> 0x55 0x00 ; 101010101 -> 0xAA 0x80 (hand-derived
+    # from WAP-237; matches javax.imageio's writer output).
+    from postrack_spark.operators.wbmp import decode_wbmp, encode_wbmp
+
+    rgb = bytes(
+        v for y in range(4) for x in range(9) for v in [255 * ((x + y) % 2)] * 3
+    )
+    golden = bytes.fromhex("000009045500aa805500aa80")
+    assert encode_wbmp(rgb, 9, 4) == golden
+    assert decode_wbmp(golden) == rgb
+
+
+def test_wbmp_multibyte_uintvar_dimensions():
+    from postrack_spark.operators.wbmp import decode_wbmp, encode_wbmp
+
+    # width 200 > 127 forces a 2-byte uintvar (0x81 0x48)
+    w, h = 200, 2
+    rgb = _binary_rgb(w, h)
+    payload = encode_wbmp(rgb, w, h)
+    assert payload[2:4] == bytes((0x81, 0x48))
+    assert decode_wbmp(payload) == rgb
+
+
+def test_wbmp_threshold_and_errors():
+    import pytest as _pytest
+
+    from postrack_spark.operators.wbmp import decode_wbmp, encode_wbmp
+
+    # gray 127 -> black, gray 128 -> white (sum >= 384 rule)
+    payload = encode_wbmp(bytes((127,) * 3 + (128,) * 3), 2, 1)
+    assert decode_wbmp(payload) == bytes((0, 0, 0, 255, 255, 255))
+    with _pytest.raises(NotImplementedError):
+        decode_wbmp(b"\x01\x00\x02\x02" + b"\x00" * 2)  # type 1
+    with _pytest.raises(ValueError):
+        decode_wbmp(b"\x00\x00\x09\x04\x55")  # truncated pixel data
+    with _pytest.raises(ValueError):
+        decode_wbmp(b"\x00\x00\x80")  # truncated uintvar
+
+
+def test_wbmp_through_decode_media():
+    from postrack_spark.operators.multimodal import decode_media
+    from postrack_spark.operators.wbmp import encode_wbmp
+
+    rgb = _binary_rgb(5, 4)
+    assert decode_media(encode_wbmp(rgb, 5, 4), "image/vnd.wap.wbmp") == rgb

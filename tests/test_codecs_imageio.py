@@ -291,3 +291,49 @@ def test_tiff_lzw_code_width_growth_decodes_exactly(iio):
     )
     ref = _iio_tiff_compressed(iio, rgb, w, h, "LZW")
     assert decode_tiff(ref) == rgb
+
+
+# ----------------------------------------------------------------- WBMP
+
+
+def _binary_rgb(w, h):
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in [255 if (x * 5 + y * 3 + (x * y) % 2) % 3 else 0] * 3
+    )
+
+
+def _iio_encode_wbmp(iio, rgb, w, h):
+    # the JDK WBMP writer wants a binary raster; build TYPE_BYTE_BINARY
+    B = iio.jvm.java.awt.image.BufferedImage
+    img = B(w, h, B.TYPE_BYTE_BINARY)
+    for i in range(w * h):
+        v = 0xFFFFFF if rgb[3 * i] >= 128 else 0
+        img.setRGB(i % w, i // w, v)
+    baos = iio.jvm.java.io.ByteArrayOutputStream()
+    assert iio.jvm.javax.imageio.ImageIO.write(img, "wbmp", baos)
+    return bytes(baos.toByteArray())
+
+
+@pytest.mark.parametrize("w", [5, 8, 9, 16])
+def test_wbmp_our_encoder_decodes_exactly_in_imageio(iio, w):
+    from postrack_spark.operators.wbmp import encode_wbmp
+
+    h = 6
+    rgb = _binary_rgb(w, h)
+    got, gw, gh = iio.decode(encode_wbmp(rgb, w, h))
+    assert (gw, gh) == (w, h)
+    assert got == rgb
+
+
+@pytest.mark.parametrize("w", [5, 8, 9, 16])
+def test_wbmp_imageio_bytes_decode_exactly_in_ours(iio, w):
+    from postrack_spark.operators.wbmp import decode_wbmp, wbmp_dimensions
+
+    h = 6
+    rgb = _binary_rgb(w, h)
+    ref = _iio_encode_wbmp(iio, rgb, w, h)
+    assert wbmp_dimensions(ref) == (w, h)
+    assert decode_wbmp(ref) == rgb
