@@ -701,3 +701,76 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_communities"))
         .orderBy("comm_size")
     )
+
+
+@query(
+    "graph_resource_allocation_index",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    und AS (
+      SELECT pa AS a, pb AS b FROM edges
+      UNION ALL
+      SELECT pb AS a, pa AS b FROM edges
+    ),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a),
+    wedge AS (
+      SELECT e1.b AS x, e2.b AS y,
+             CAST(count(*) AS BIGINT) AS common,
+             CAST(sum(1000000 // dm.d) AS BIGINT) AS ra_micro
+      FROM und e1
+      JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN deg dm ON dm.node = e1.a
+      GROUP BY e1.b, e2.b
+    ),
+    cand AS (
+      SELECT w.x, w.y, w.common, w.ra_micro FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.pa = w.x AND e.pb = w.y
+      )
+    )
+    SELECT x, y, common, ra_micro
+    FROM cand
+    ORDER BY ra_micro DESC, x, y
+    LIMIT 20
+    """,
+)
+def graph_resource_allocation_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou-Lu-Zhang) — the
+    degree-weighted refinement of graph_jaccard_link_prediction: a
+    common neighbor z contributes 1/deg(z), so hub middles count less
+    than exclusive ones. Same wedge-enumeration shape (adjacency
+    self-joined on the middle node — bounded fan-out, never all-pairs)
+    with the middle's degree joined in BEFORE the wedge groupBy; the
+    per-wedge weight is QUANTIZED to integer micro-units
+    (1000000 DIV deg — positive floor division agrees cross-engine),
+    so the sum stays hash-exact while ranking differs from true RA
+    only below ppm. Existing edges anti-join out against the broadcast
+    thresholded edge list; top-20 plans as TakeOrderedAndProject under
+    the total tie-break (score, x, y)."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
+        edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    e1 = und.select(F.col("a").alias("m"), F.col("b").alias("x"))
+    e2 = und.select(F.col("a").alias("m2"), F.col("b").alias("y"))
+    dm = deg.select(F.col("a").alias("m3"), F.col("d").alias("dm"))
+    wedge = (
+        e1.join(e2, (F.col("m") == F.col("m2")) & (F.col("x") < F.col("y")))
+        .join(F.broadcast(dm), F.col("m") == F.col("m3"))
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum(F.expr("1000000 DIV dm")).cast("long").alias("ra_micro"),
+        )
+    )
+    cand = wedge.join(
+        F.broadcast(edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        cand.select("x", "y", "common", "ra_micro")
+        .orderBy(F.desc("ra_micro"), "x", "y")
+        .limit(20)
+    )

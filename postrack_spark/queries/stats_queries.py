@@ -5838,3 +5838,238 @@ def agg_siegel_tukey_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w_o"),
     )
+
+
+@query(
+    "agg_mood_median_test",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS p,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+      FROM base
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    med AS (
+      SELECT r.cents AS med FROM ranked r CROSS JOIN tot
+      WHERE r.rn = (tot.n + 1) // 2
+    ),
+    cells AS (
+      SELECT p,
+             CAST(sum(CASE WHEN cents > med THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(sum(CASE WHEN cents > med THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_not_above
+      FROM base CROSS JOIN med GROUP BY p
+    ),
+    r AS (
+      SELECT CAST(sum(n_above) AS BIGINT) AS r_above,
+             CAST(sum(n_not_above) AS BIGINT) AS r_not,
+             CAST(sum(n_above + n_not_above) AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT p, n_above, n_not_above,
+           CASE WHEN r_above = 0 THEN NULL ELSE
+             CAST(floor(1000000.0
+               * (CAST(n_above AS DOUBLE)
+                  - CAST((n_above + n_not_above) * r_above AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               * (CAST(n_above AS DOUBLE)
+                  - CAST((n_above + n_not_above) * r_above AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST((n_above + n_not_above) * r_above AS DOUBLE)
+                  / CAST(n AS DOUBLE))) AS BIGINT) END AS above_term_ppm,
+           CASE WHEN r_not = 0 THEN NULL ELSE
+             CAST(floor(1000000.0
+               * (CAST(n_not_above AS DOUBLE)
+                  - CAST((n_above + n_not_above) * r_not AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               * (CAST(n_not_above AS DOUBLE)
+                  - CAST((n_above + n_not_above) * r_not AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST((n_above + n_not_above) * r_not AS DOUBLE)
+                  / CAST(n AS DOUBLE))) AS BIGINT) END AS not_above_term_ppm
+    FROM cells CROSS JOIN r
+    ORDER BY p
+    """,
+)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test — the k-sample location test that, unlike
+    Kruskal-Wallis (agg_kruskal_wallis, full midranks), needs only ONE
+    order statistic: does each order-priority group put more mass
+    above the GRAND median price than chance? The grand (lower)
+    median is selected by rank — operators/ranking.global_row_number
+    + a broadcast total, rn == (n+1) DIV 2, zero WindowExec — then a
+    single broadcast of the 1-row median classifies every order
+    map-side into the 2xk contingency table. Per-cell chi-square
+    contributions (O-E)^2/E assemble from pure int64 counts in one
+    identically-shaped IEEE expression ppm-floored per cell (the CMH
+    discipline), with empty-margin cells degenerating to NULL. Scale:
+    one range exchange for the rank, one hash agg for the cells; the
+    medians/margins travel as 1-row broadcasts."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_row_number(base, [F.asc("cents"), F.asc("o_orderkey")], "rn")
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.expr("rn = (n + 1) DIV 2"))
+        .select(F.col("cents").alias("med"))
+    )
+    cells = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("p")
+        .agg(
+            F.sum(F.when(F.col("cents") > F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(F.col("cents") > F.col("med"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_not_above"),
+        )
+    )
+    margins = cells.agg(
+        F.sum("n_above").cast("long").alias("r_above"),
+        F.sum("n_not_above").cast("long").alias("r_not"),
+        F.sum(F.col("n_above") + F.col("n_not_above")).cast("long").alias("n"),
+    )
+
+    def term(o: str, r: str) -> str:
+        e = f"CAST((n_above + n_not_above) * {r} AS DOUBLE) / CAST(n AS DOUBLE)"
+        return (
+            f"CASE WHEN {r} = 0 THEN NULL ELSE "
+            f"CAST(floor(1000000.0 * (CAST({o} AS DOUBLE) - {e})"
+            f" * (CAST({o} AS DOUBLE) - {e}) / ({e})) AS BIGINT) END"
+        )
+
+    return (
+        cells.crossJoin(F.broadcast(margins))
+        .select(
+            "p",
+            "n_above",
+            "n_not_above",
+            F.expr(term("n_above", "r_above")).alias("above_term_ppm"),
+            F.expr(term("n_not_above", "r_not")).alias("not_above_term_ppm"),
+        )
+        .orderBy("p")
+    )
+
+
+@query(
+    "agg_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ),
+    num AS (
+      SELECT a.event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum((b.c - a.c) * (b.c - a.c)) AS BIGINT) AS dw_num
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d = a.d + 1
+      GROUP BY a.event_type
+    ),
+    den AS (
+      SELECT daily.event_type, CAST(max(m.n) AS BIGINT) AS n_days,
+             CAST(sum(CAST(floor(
+               (CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+               * (CAST(m.n * daily.c - m.s AS DOUBLE) / CAST(m.n AS DOUBLE)))
+               AS BIGINT)) AS BIGINT) AS dw_den
+      FROM daily JOIN m ON m.event_type = daily.event_type
+      GROUP BY daily.event_type
+    )
+    SELECT den.event_type, n_days, n_pairs, dw_num, dw_den,
+           CASE WHEN dw_den = 0 THEN NULL ELSE
+             CAST(floor(1000000.0 * CAST(dw_num AS DOUBLE)
+                        / CAST(dw_den AS DOUBLE)) AS BIGINT) END AS dw_ppm
+    FROM den JOIN num ON num.event_type = den.event_type
+    ORDER BY den.event_type
+    """,
+)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic of each event type's
+    daily-count series — the residual-autocorrelation diagnostic next
+    to events_acf_lags (DW ~ 2(1-rho1); <2 flags positive, >2 negative
+    serial correlation). The numerator is MEAN-FREE — consecutive-day
+    differences (c_t - c_{t-1})^2 cancel the mean exactly — so it sums
+    as pure int64 over a lag-1 self-join of the tiny daily aggregate
+    (the ACF shape: consecutive OBSERVED days pair; calendar gaps
+    contribute no pair). The denominator's centered squares use the
+    floored-contribution rule from agg_skew_kurtosis_exact: each day's
+    deviation (n*c - s)/n is an exact-integer ratio evaluated in
+    double, squared and FLOORED per day before the integer sum. One
+    ppm-floored IEEE division assembles DW; an all-constant series
+    (den 0) degenerates to NULL. Scale: the raw scan folds map-side to
+    O(types x days); everything after runs on that tiny frame."""
+    daily = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_type", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    )
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    num = (
+        a.join(b, (F.col("et2") == F.col("et")) & (F.col("db") == F.col("da") + 1))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum((F.col("cb") - F.col("ca")) * (F.col("cb") - F.col("ca")))
+            .cast("long")
+            .alias("dw_num"),
+        )
+    )
+    dev = F.expr("CAST(n * c - s AS DOUBLE) / CAST(n AS DOUBLE)")
+    den = (
+        daily.join(F.broadcast(m), "event_type")
+        .select("event_type", "n", F.floor(dev * dev).cast("long").alias("t2"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.sum("t2").cast("long").alias("dw_den"),
+        )
+    )
+    return (
+        den.join(num, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "dw_num",
+            "dw_den",
+            F.when(F.col("dw_den") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.col("dw_num").cast("double")
+                    / F.col("dw_den").cast("double")
+                ).cast("long")
+            )
+            .alias("dw_ppm"),
+        )
+        .orderBy("event_type")
+    )
