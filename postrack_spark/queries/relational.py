@@ -3174,3 +3174,83 @@ def privacy_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "scalar_map_higher_order",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN l_linenumber = 1 THEN qty END) AS BIGINT)
+             AS line1_qty,
+           CAST(sum(CASE WHEN qty * cents >= 50000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS heavy_n,
+           CAST(sum(CASE WHEN qty * cents >= 50000000 THEN qty * cents
+                    ELSE 0 END) AS BIGINT) AS heavy_rev,
+           CAST(sum(qty * cents) AS BIGINT) AS total_rev
+    FROM li GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions certified against a relational
+    recompute — the map-typed sibling of scalar_higher_order_arrays:
+    each order's lines build two maps (linenumber→quantity,
+    linenumber→price cents) via map_from_entries, combine through
+    map_zip_with (per-line revenue), thin through map_filter (heavy
+    lines ≥ $500k line revenue), and reduce via aggregate over
+    map_values plus element_at/cardinality lookups. The oracle never
+    touches a map — it recomputes every output with plain grouped CASE
+    sums, so any divergence in Spark's map semantics (duplicate-key
+    policy, zip alignment on missing keys, filter-then-aggregate
+    order) surfaces as a hash mismatch. Lines pre-aggregate per\n    (order, linenumber) first — the synthetic data carries duplicate\n    linenumbers, and map_from_entries on duplicate keys is a runtime\n    ERROR under Spark's default EXCEPTION dedup policy (a semantics\n    this query deliberately leaves on). Map iteration order is never
+    observable: lookups are by key and the reductions are commutative
+    integer sums. Scale: one groupBy(l_orderkey) with bounded per-order
+    fan-out (~7 lines); all map work is row-local codegen."""
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("l_linenumber"), F.col("qty")))
+        ).alias("m_qty"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("l_linenumber"), F.col("cents")))
+        ).alias("m_cents"),
+    )
+    withmaps = per_order.select(
+        "l_orderkey",
+        "m_qty",
+        F.expr("map_zip_with(m_qty, m_cents, (k, q, p) -> q * p)").alias("m_rev"),
+    ).select(
+        "l_orderkey",
+        "m_qty",
+        "m_rev",
+        F.expr("map_filter(m_rev, (k, v) -> v >= 50000000)").alias("m_heavy"),
+    )
+    return withmaps.select(
+        "l_orderkey",
+        F.expr("CAST(cardinality(m_qty) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(element_at(m_qty, 1) AS BIGINT)").alias("line1_qty"),
+        F.expr("CAST(cardinality(m_heavy) AS BIGINT)").alias("heavy_n"),
+        F.expr(
+            "aggregate(map_values(m_heavy), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("heavy_rev"),
+        F.expr(
+            "aggregate(map_values(m_rev), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("total_rev"),
+    ).orderBy("l_orderkey")

@@ -1316,3 +1316,139 @@ def vector_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rn")
     )
+
+
+_JL_DIM, _JL_K = 64, 8
+
+
+def _jl_signs() -> list[tuple[int, int, int]]:
+    """The fixed ±1 projection matrix for the JL distortion audit:
+    s(i,j) = +1 iff the first byte of md5('jl_i_j') is even. Computed
+    ONCE here in Python (hashlib md5 == both engines' md5) and emitted
+    as identical literals to both sides — the one-generator discipline
+    from _bitpack_sql, with the derivation hoisted to query-build time
+    so neither engine needs a portable string-concat-of-ints idiom."""
+    import hashlib
+
+    return [
+        (i, j, 1 if hashlib.md5(f"jl_{i}_{j}".encode()).digest()[0] % 2 == 0 else -1)
+        for i in range(1, _JL_DIM + 1)
+        for j in range(1, _JL_K + 1)
+    ]
+
+
+def _jl_oracle() -> str:
+    values = ", ".join(f"({i},{j},{s})" for i, j, s in _jl_signs())
+    return f"""
+    WITH signs(i, j, s) AS (VALUES {values}),
+    dims AS (
+      SELECT vec_id, g.i,
+             CAST(floor(embedding[g.i]::DOUBLE * 1000.0) AS BIGINT) AS qv
+      FROM embeddings CROSS JOIN generate_series(1, {_JL_DIM}) AS g(i)
+    ),
+    proj AS (
+      SELECT d.vec_id, signs.j, CAST(sum(signs.s * d.qv) AS BIGINT) AS y
+      FROM dims d JOIN signs ON signs.i = d.i
+      GROUP BY d.vec_id, signs.j
+    ),
+    dq AS (
+      SELECT a.vec_id AS pa,
+             CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS dq2
+      FROM dims a JOIN dims b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      GROUP BY a.vec_id
+    ),
+    dy AS (
+      SELECT a.vec_id AS pa,
+             CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS dy2
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      GROUP BY a.vec_id
+    ),
+    ratios AS (
+      SELECT dq.pa, (10000 * dy.dy2) // ({_JL_K} * dq.dq2) AS r
+      FROM dq JOIN dy ON dy.pa = dq.pa
+      WHERE dq.dq2 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(r) AS BIGINT) AS min_ratio_pp10k,
+           CAST(max(r) AS BIGINT) AS max_ratio_pp10k,
+           CAST(sum(r) // count(*) AS BIGINT) AS avg_ratio_pp10k,
+           CAST(sum(CASE WHEN r BETWEEN 7500 AND 12500 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_25pct,
+           CAST(sum(CASE WHEN r BETWEEN 5000 AND 20000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_2x
+    FROM ratios
+    """
+
+
+@query("vector_jl_projection_distortion", oracle=_jl_oracle())
+def vector_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection distortion audit: project
+    every milli-quantized embedding from 64 to 8 dims through the
+    fixed ±1 matrix (y_j = Σ_i s_ij·q_i — for sign matrices
+    E‖Δy‖² = k·‖Δq‖²), then measure, over the consecutive-vec_id pair
+    chain, the ratio ‖Δy‖²/(k·‖Δq‖²) in pp10k — the distortion profile
+    that tells a pipeline whether an 8-d sketch is safe for coarse
+    candidate pruning before exact rerank. Everything is exact int64
+    (quantized dims ~5e2, projections ~4e3, squared distances ≤1e9;
+    positive floor division agrees cross-engine), so the profile
+    hash-gates — the JL bound itself is probabilistic over matrices,
+    so what certifies is the MEASURED min/max/band profile of this
+    fixed matrix, not a pass flag. Scale: the projection is one
+    broadcast of the 512-entry sign matrix into the exploded dim
+    relation + a (vec_id, j) partial agg; pairing joins run on the
+    n×8 projected relation, never all-pairs."""
+    signs = spark.createDataFrame(_jl_signs(), "i INT, j INT, s INT")
+    t = load_tables(spark, sf_dir)
+    dims = fan_out(t["embeddings"]).select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
+                " AS BIGINT))"
+            )
+        ).alias("pos", "qv"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "qv")
+    proj = (
+        dims.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("qv")).cast("long").alias("y"))
+    )
+    da = dims.select(F.col("vec_id").alias("pa"), "i", F.col("qv").alias("qa"))
+    db = dims.select(F.col("vec_id").alias("vb"), "i", F.col("qv").alias("qb"))
+    dq = (
+        da.join(db, (F.col("vb") == F.col("pa") + 1) & (da["i"] == db["i"]))
+        .groupBy("pa")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("long")
+            .alias("dq2")
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("pa"), "j", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("vb"), "j", F.col("y").alias("yb"))
+    dy = (
+        pa.join(pb, (F.col("vb") == F.col("pa") + 1) & (pa["j"] == pb["j"]))
+        .groupBy("pa")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("long")
+            .alias("dy2")
+        )
+    )
+    ratios = (
+        dq.join(dy, "pa")
+        .filter(F.col("dq2") > 0)
+        .select(F.expr(f"(10000 * dy2) DIV ({_JL_K} * dq2)").alias("r"))
+    )
+    return ratios.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("r").cast("long").alias("min_ratio_pp10k"),
+        F.max("r").cast("long").alias("max_ratio_pp10k"),
+        F.expr("CAST(sum(r) DIV count(*) AS BIGINT)").alias("avg_ratio_pp10k"),
+        F.sum(F.when(F.col("r").between(7500, 12500), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_25pct"),
+        F.sum(F.when(F.col("r").between(5000, 20000), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_2x"),
+    )
