@@ -2632,3 +2632,96 @@ def streaming_cochran_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("g").alias("event_type"))
     )
     return cochran_q_from_pairs(pu)
+
+
+@query(
+    "cdc_delta_checkpoint_replay",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT * FROM base
+      WHERE o_orderkey % 4 <> 0 AND o_custkey NOT BETWEEN 40 AND 60
+      UNION ALL
+      SELECT * FROM base WHERE o_orderkey % 4 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS log_cleaned,
+           true AS time_travel_blocked
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol CHECKPOINT lane, end to end: three appends build
+    the table (orderkey mod 4 in 1..3), a copy-on-write DELETE removes
+    a custkey range, a parquet checkpoint + ``_last_checkpoint`` is
+    written and the covered JSON commits are CLEANED — so the final
+    append (mod 4 = 0, deliberately overlapping the deleted custkey
+    range: those rows must REAPPEAR because the delete preceded them)
+    replays as checkpoint-seed + JSON tail. The rollup therefore can
+    only be right if the reader truly reconstructs state from the
+    checkpoint; two gated certificates ride along — log_cleaned (no
+    JSON at or below the checkpoint survives) and time_travel_blocked
+    (pre-checkpoint time travel raises, the protocol's honest answer
+    after metadata cleanup). At 100 TB checkpoints turn snapshot
+    resolution from O(all commits) into O(live files + recent tail) —
+    the scale story is the metadata path, not the data path (which
+    stays distributed parquet either way)."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        _list_versions,
+        checkpoint_delta,
+        clean_log_delta,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_cp_q_")
+    for m in (1, 2, 3):
+        write_delta(
+            base.filter(F.col("o_orderkey") % 4 == m)
+            .repartitionByRange(4, "o_custkey"),
+            table,
+        )
+    delete_delta(spark, table, "o_custkey BETWEEN 40 AND 60")
+    cp = checkpoint_delta(table)
+    clean_log_delta(table)
+    log_cleaned = all(v > cp for v in _list_versions(table))
+    write_delta(base.filter(F.col("o_orderkey") % 4 == 0), table)
+    try:
+        read_delta(spark, table, version=0)
+        time_travel_blocked = False
+    except FileNotFoundError:
+        time_travel_blocked = True
+    return (
+        read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "cents",
+            F.lit(log_cleaned).alias("log_cleaned"),
+            F.lit(time_travel_blocked).alias("time_travel_blocked"),
+        )
+        .orderBy("o_orderstatus")
+    )

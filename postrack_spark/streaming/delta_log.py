@@ -31,13 +31,28 @@ This module implements that protocol with stdlib + Spark:
   older versions still resolve (files are only deleted by
   ``vacuum_delta`` past a retention horizon).
 
-Interop caveat, stated honestly: real delta-spark also writes
-checkpoint parquet files and CRC sidecars and supports reader/writer
-feature flags; this writer pins ``minReaderVersion=1 /
-minWriterVersion=2`` and writes no checkpoints, which the protocol
-allows (checkpoints are an optimization) — a compliant reader replays
-the JSON log alone. The reader here rejects tables requiring features
-beyond protocol (1, 2).
+* ``checkpoint_delta`` / ``clean_log_delta`` — the protocol's
+  CHECKPOINT lane: a single-part parquet checkpoint
+  (``_delta_log/<v>.checkpoint.parquet`` with the protocol's
+  protocol/metaData/txn/add/remove action columns) plus the
+  ``_last_checkpoint`` pointer file, written driver-side with pyarrow
+  (the checkpoint is O(live files) metadata, never data-sized).
+  Replay then seeds from the newest checkpoint at-or-below the target
+  version and reads only the JSON tail — at 100 TB this is the
+  difference between O(total commits) and O(live files + recent
+  commits) per snapshot resolution. ``clean_log_delta`` deletes JSON
+  commits covered by the checkpoint (the protocol's metadata-cleanup
+  rule), after which the checkpoint is REQUIRED, not an optimization —
+  tests prove reads still resolve and pre-checkpoint time travel
+  degrades to the protocol's honest FileNotFoundError.
+
+Interop caveat, stated honestly: real delta-spark also writes CRC
+sidecars, multi-part/v2 checkpoints, and feature flags; this writer
+pins ``minReaderVersion=1 / minWriterVersion=2`` and single-part
+classic checkpoints. Remove tombstones are not carried into
+checkpoints (vacuum here is version-based and resolves references by
+replaying kept snapshots, so expired tombstones are dead weight); the
+reader rejects tables requiring features beyond protocol (1, 2).
 
 Scale: the log is O(commits) JSON lines, never data-sized; snapshot
 resolution is driver-side metadata work proportional to live-file
@@ -70,6 +85,14 @@ def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
 
 
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+
+
+def _last_checkpoint_path(table: str) -> str:
+    return os.path.join(table, _LOG_DIR, "_last_checkpoint")
+
+
 def _list_versions(table: str) -> list[int]:
     log = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log):
@@ -80,9 +103,22 @@ def _list_versions(table: str) -> list[int]:
     )
 
 
+def _read_last_checkpoint(table: str) -> int | None:
+    """Version of the newest checkpoint per the ``_last_checkpoint``
+    pointer (the protocol's discovery shortcut), or None."""
+    try:
+        with open(_last_checkpoint_path(table)) as f:
+            return int(json.load(f)["version"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return None
+
+
 def latest_version(table: str) -> int | None:
     versions = _list_versions(table)
-    return versions[-1] if versions else None
+    cp = _read_last_checkpoint(table)
+    if versions:
+        return versions[-1] if cp is None else max(versions[-1], cp)
+    return cp
 
 
 def commit_delta(table: str, version: int, actions: list[dict]) -> None:
@@ -214,58 +250,176 @@ def pruned_read_delta(spark: SparkSession, table: str, column: str,
     return df, len(keep), len(paths)
 
 
-def _snapshot_actions(table: str, version: int | None):
-    """_snapshot variant that returns (path, add_action) pairs."""
-    paths, schema_string, v = _snapshot(table, version)
-    # _snapshot returns only the paths; replay again keeping actions
-    versions = [x for x in _list_versions(table) if x <= v]
-    live: dict[str, dict] = {}
-    for vv in versions:
-        with open(_log_path(table, vv)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-    return list(live.items()), schema_string, v
+def _gate_protocol(p: dict) -> None:
+    if p.get("minReaderVersion", 1) > 1:
+        raise ValueError(
+            f"table requires reader features beyond protocol 1: {p}")
 
 
-def _snapshot(table: str, version: int | None):
-    """Replay the log: (live add-paths, schemaString, resolved version)."""
-    versions = _list_versions(table)
-    if not versions:
+def _replay(table: str, version: int | None):
+    """Resolve a snapshot: seed from the newest checkpoint at-or-below
+    the target version (if any), then replay the JSON tail. Returns
+    (live add-actions by path, schemaString, resolved version,
+    latest txn version by appId). Raises FileNotFoundError when a
+    needed JSON commit is gone (time travel below a cleaned
+    checkpoint — the protocol's honest answer)."""
+    newest = latest_version(table)
+    if newest is None:
         raise FileNotFoundError(f"no _delta_log under {table}")
     if version is None:
-        version = versions[-1]
-    elif version not in versions:
-        raise FileNotFoundError(
-            f"version {version} not in {table} (have {versions})")
+        version = newest
+    have = set(_list_versions(table))
     live: dict[str, dict] = {}
-    schema_string = None
-    for v in versions:
-        if v > version:
-            break
+    schema_string: str | None = None
+    txns: dict[str, int] = {}
+    start = 0
+    cp = _read_last_checkpoint(table)
+    if cp is not None and cp <= version:
+        live, schema_string, txns, protocol = _read_checkpoint_state(table, cp)
+        _gate_protocol(protocol)
+        start = cp + 1
+    for v in range(start, version + 1):
+        if v not in have:
+            raise FileNotFoundError(
+                f"version {v} not in {table} log (requested {version};"
+                " cleaned below the checkpoint, or never committed)")
         with open(_log_path(table, v)) as f:
             for line in f:
                 if not line.strip():
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    p = action["protocol"]
-                    if (p.get("minReaderVersion", 1) > 1):
-                        raise ValueError(
-                            "table requires reader features beyond "
-                            f"protocol 1: {p}")
+                    _gate_protocol(action["protocol"])
                 elif "metaData" in action:
                     schema_string = action["metaData"]["schemaString"]
                 elif "add" in action:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-    return list(live), schema_string, version
+                elif "txn" in action:
+                    t = action["txn"]
+                    prev = txns.get(t["appId"])
+                    txns[t["appId"]] = (t["version"] if prev is None
+                                        else max(prev, t["version"]))
+    return live, schema_string, version, txns
+
+
+def _snapshot_actions(table: str, version: int | None):
+    """Snapshot as (path, add_action) pairs."""
+    live, schema_string, v, _txns = _replay(table, version)
+    return list(live.items()), schema_string, v
+
+
+def _snapshot(table: str, version: int | None):
+    """Snapshot as (live add-paths, schemaString, resolved version)."""
+    live, schema_string, v, _txns = _replay(table, version)
+    return list(live), schema_string, v
+
+
+_CP_COLUMNS = ("protocol", "metaData", "txn", "add")
+
+
+def checkpoint_delta(table: str, version: int | None = None) -> int:
+    """Write a classic single-part parquet checkpoint of the snapshot
+    at ``version`` (default: latest) and point ``_last_checkpoint`` at
+    it. Driver-side pyarrow — the checkpoint is O(live files + txn
+    apps) metadata rows. Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    live, schema_string, v, txns = _replay(table, version)
+    rows: list[dict] = [
+        {"protocol": dict(_PROTOCOL)},
+        {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }},
+    ]
+    rows += [{"txn": {"appId": a, "version": bv}}
+             for a, bv in sorted(txns.items())]
+    rows += [{"add": dict(add)} for _p, add in sorted(live.items())]
+    schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ])),
+        ("txn", pa.struct([("appId", pa.string()),
+                           ("version", pa.int64())])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ])),
+    ])
+    cols = {name: [r.get(name) for r in rows] for name in _CP_COLUMNS}
+    batch = pa.table(
+        {name: pa.array(cols[name], type=schema.field(name).type)
+         for name in _CP_COLUMNS},
+        schema=schema,
+    )
+    path = _checkpoint_path(table, v)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    pq.write_table(batch, tmp)
+    os.replace(tmp, path)
+    lc_tmp = _last_checkpoint_path(table) + f".tmp.{uuid.uuid4().hex}"
+    with open(lc_tmp, "w") as f:
+        json.dump({"version": v, "size": len(rows)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(lc_tmp, _last_checkpoint_path(table))
+    return v
+
+
+def _read_checkpoint_state(table: str, cp_version: int):
+    """Load a checkpoint parquet back into replay state:
+    (live adds by path, schemaString, txns by appId, protocol)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_checkpoint_path(table, cp_version))
+    live: dict[str, dict] = {}
+    schema_string: str | None = None
+    txns: dict[str, int] = {}
+    protocol: dict = dict(_PROTOCOL)
+    for row in t.to_pylist():
+        if row.get("protocol") is not None:
+            protocol = {k: v for k, v in row["protocol"].items()
+                        if v is not None}
+        elif row.get("metaData") is not None:
+            schema_string = row["metaData"]["schemaString"]
+        elif row.get("txn") is not None:
+            txns[row["txn"]["appId"]] = row["txn"]["version"]
+        elif row.get("add") is not None:
+            add = {k: v for k, v in row["add"].items() if v is not None}
+            add["partitionValues"] = {}
+            live[add["path"]] = add
+    return live, schema_string, txns, protocol
+
+
+def clean_log_delta(table: str) -> list[str]:
+    """Metadata cleanup: delete JSON commits at or below the newest
+    checkpoint (they are fully covered by it). After this the
+    checkpoint is load-bearing — snapshot reads seed from it, and time
+    travel below it raises FileNotFoundError. Returns deleted names."""
+    cp = _read_last_checkpoint(table)
+    if cp is None:
+        return []
+    deleted = []
+    for v in _list_versions(table):
+        if v <= cp:
+            os.remove(_log_path(table, v))
+            deleted.append(os.path.basename(_log_path(table, v)))
+    return deleted
 
 
 def write_delta(df: DataFrame, table: str, mode: str = "append") -> int:
@@ -350,19 +504,11 @@ def last_txn_version(table: str) -> int | None:
     """Highest streaming batch id committed to this table (txn actions
     with appId == table path), per the protocol's idempotent-writes
     rule."""
-    app_id = os.path.abspath(table)
-    last = None
-    for v in _list_versions(table):
-        with open(_log_path(table, v)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                txn = action.get("txn")
-                if txn and txn.get("appId") == app_id:
-                    bv = txn["version"]
-                    last = bv if last is None else max(last, bv)
-    return last
+    try:
+        _live, _s, _v, txns = _replay(table, None)
+    except FileNotFoundError:
+        return None
+    return txns.get(os.path.abspath(table))
 
 
 def compact_delta(spark: SparkSession, table: str,
@@ -397,6 +543,9 @@ def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
     snapshots (the protocol's retention rule, version- rather than
     clock-based for determinism in tests). Returns deleted paths."""
     versions = _list_versions(table)
+    cp = _read_last_checkpoint(table)
+    if cp is not None:
+        versions = sorted(set(versions) | {cp})  # cp may be the only snapshot
     keep = versions[-retain_versions:] if retain_versions else versions[-1:]
     referenced: set[str] = set()
     for v in keep:

@@ -413,3 +413,102 @@ def test_delete_keys_and_foreach_batch_idempotence(spark):
     assert latest_version(t) == after_first  # nothing committed
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
         0, 1, 3, 5, 6, 8, 9]
+
+
+def test_checkpoint_replay_matches_json_replay(spark):
+    from postrack_spark.streaming.delta_log import checkpoint_delta
+
+    table = tempfile.mkdtemp(prefix="delta_cp_")
+    write_delta(_df(spark, 0, 50), table)
+    write_delta(_df(spark, 50, 80), table)
+    before = sorted(r["k"] for r in read_delta(spark, table).collect())
+    cp = checkpoint_delta(table)
+    assert cp == 1
+    after = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert after == before == list(range(80))
+
+
+def test_checkpoint_is_load_bearing_after_log_cleanup(spark):
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+        latest_version,
+    )
+
+    table = tempfile.mkdtemp(prefix="delta_cp_clean_")
+    write_delta(_df(spark, 0, 40), table)
+    write_delta(_df(spark, 40, 60), table)
+    checkpoint_delta(table)
+    deleted = clean_log_delta(table)
+    assert sorted(deleted) == ["00000000000000000000.json",
+                               "00000000000000000001.json"]
+    # snapshot resolution must now come from the checkpoint alone
+    assert latest_version(table) == 1
+    assert sorted(r["k"] for r in read_delta(spark, table).collect()) == list(
+        range(60))
+    # appends continue the version chain past the checkpoint
+    v = write_delta(_df(spark, 60, 70), table)
+    assert v == 2
+    assert read_delta(spark, table).count() == 70
+    # time travel BELOW the cleaned checkpoint is the protocol's honest no
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, table, version=0)
+    # ...but the checkpointed version itself still resolves
+    assert read_delta(spark, table, version=1).count() == 60
+
+
+def test_checkpoint_carries_txn_actions(spark):
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="delta_cp_txn_")
+    hook = foreach_batch_delta(table)
+    hook(_df(spark, 0, 10), 0)
+    hook(_df(spark, 10, 20), 1)
+    assert last_txn_version(table) == 1
+    checkpoint_delta(table)
+    clean_log_delta(table)
+    # idempotence metadata must survive the cleanup via the checkpoint
+    assert last_txn_version(table) == 1
+    hook(_df(spark, 10, 20), 1)  # replay: must no-op
+    assert read_delta(spark, table).count() == 20
+
+
+def test_checkpoint_respects_deletes_and_vacuum(spark):
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+        delete_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="delta_cp_del_")
+    write_delta(
+        _df(spark, 0, 100).repartitionByRange(4, "k"), table)
+    delete_delta(spark, table, "k < 25")
+    checkpoint_delta(table)
+    clean_log_delta(table)
+    assert sorted(r["k"] for r in read_delta(spark, table).collect()) == list(
+        range(25, 100))
+    # vacuum keyed off the checkpoint snapshot reclaims the pre-delete file
+    deleted = vacuum_delta(table, retain_versions=1)
+    assert deleted, "pre-delete data files should be reclaimed"
+    assert sorted(r["k"] for r in read_delta(spark, table).collect()) == list(
+        range(25, 100))
+
+
+def test_checkpoint_at_historic_version(spark):
+    from postrack_spark.streaming.delta_log import (
+        _read_last_checkpoint,
+        checkpoint_delta,
+    )
+
+    table = tempfile.mkdtemp(prefix="delta_cp_hist_")
+    write_delta(_df(spark, 0, 10), table)
+    write_delta(_df(spark, 10, 30), table)
+    assert checkpoint_delta(table, version=0) == 0
+    assert _read_last_checkpoint(table) == 0
+    # newer JSON commits replay ON TOP of the checkpoint seed
+    assert read_delta(spark, table).count() == 30
+    assert read_delta(spark, table, version=0).count() == 10
