@@ -774,3 +774,78 @@ def graph_resource_allocation_index(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("ra_micro"), "x", "y")
         .limit(20)
     )
+
+
+def _bfs_oracle(rounds: int) -> str:
+    """Unrolled multi-source BFS oracle: dist_k holds min-hop
+    assignments after k expansion rounds. AS MATERIALIZED per round
+    (the LPA/k-core lesson — inlining doubles scans per level)."""
+    parts = [f"""WITH {_EDGES_CTE},
+    nbr AS MATERIALIZED (
+      SELECT pa AS v, pb AS u FROM edges
+      UNION ALL
+      SELECT pb AS v, pa AS u FROM edges
+    ),
+    dist0 AS MATERIALIZED (
+      SELECT v, 0 AS hop FROM (SELECT DISTINCT v FROM nbr)
+      ORDER BY v LIMIT 5
+    )"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+    dist{k} AS MATERIALIZED (
+      SELECT v, hop FROM dist{k - 1}
+      UNION ALL
+      SELECT t.v, {k} AS hop FROM (
+        SELECT DISTINCT n.v
+        FROM nbr n JOIN dist{k - 1} f ON n.u = f.v AND f.hop = {k - 1}
+      ) t
+      WHERE NOT EXISTS (SELECT 1 FROM dist{k - 1} p WHERE p.v = t.v)
+    )""")
+    parts.append(f"""
+    SELECT CAST(hop AS INT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(v) AS BIGINT) AS sum_node_ids
+    FROM dist{rounds}
+    GROUP BY hop ORDER BY hop""")
+    return "".join(parts)
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle(4))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search over the co-purchase graph —
+    the reachability primitive under 'distance from the catalog's
+    anchor products': the 5 smallest node ids seed hop 0, and 4 FIXED
+    synchronous expansion rounds (the label-propagation discipline)
+    assign every reached node its minimum hop. Per round: one join of
+    the frontier against the adjacency + one distinct + one anti-join
+    against already-visited — all hash shuffles on node id, no
+    windows; rounds localCheckpoint so the plan stays linear in depth.
+    Output is the hop histogram with a sum-of-ids witness per level
+    (hash-pins WHICH nodes landed at each hop, not just how many).
+    Scale: frontier joins are bounded by the thresholded edge list
+    (module docstring); fixing the depth bounds plan size, exactly the
+    iterative-algorithm rule the k-core/HITS/LPA family follows."""
+    e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=True)
+    nbr = e.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionAll(
+        e.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
+    ).localCheckpoint(eager=True)
+    dist = (
+        nbr.select("v").distinct().orderBy("v").limit(5)
+        .select("v", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    for k in range(1, 5):
+        frontier = dist.filter(F.col("hop") == k - 1).select(
+            F.col("v").alias("u"))
+        reached = nbr.join(frontier, "u").select("v").distinct()
+        fresh = reached.join(dist.select("v"), "v", "left_anti").select(
+            "v", F.lit(k).alias("hop"))
+        dist = dist.unionAll(fresh).localCheckpoint(eager=True)
+    return (
+        dist.groupBy("hop")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("v").cast("long").alias("sum_node_ids"),
+        )
+        .orderBy("hop")
+    )

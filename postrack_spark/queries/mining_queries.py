@@ -670,3 +670,65 @@ def agg_hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.expr("CASE WHEN (n + 1) DIV 2 = (n + 2) DIV 2 THEN 2 ELSE 1 END")
         ).cast("long").alias("hl4x_dollars"),
     )
+
+
+@query(
+    "assoc_triple_itemsets",
+    oracle="""
+    WITH udt AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d, event_type
+      FROM events
+    )
+    SELECT a.event_type AS ta, b.event_type AS tb, c.event_type AS tc,
+           CAST(count(*) AS BIGINT) AS support
+    FROM udt a
+    JOIN udt b ON b.user_id = a.user_id AND b.d = a.d
+               AND b.event_type > a.event_type
+    JOIN udt c ON c.user_id = a.user_id AND c.d = a.d
+               AND c.event_type > b.event_type
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+    ORDER BY support DESC, ta, tb, tc
+    """,
+)
+def assoc_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets — the next Apriori level above
+    assoc_basket_rules' pairs, over (user, day) behavioral baskets:
+    which event-type TRIOS co-occur in one user's day (the
+    session-intent signal 2-item lift can't see). Baskets are the
+    distinct (user, day, type) relation folded to one sorted set per
+    user-day; the C(n,3) expansion is ARRAY-LOCAL (n <= 5 types -> at
+    most 10 triples per basket, two nested in-array transforms — the
+    _edges generator shape one level deeper), never a data self-join;
+    support thresholds at 2. The oracle spells the same triples as a
+    canonical three-way relational join. Two partial-agg-friendly
+    shuffles; output is bounded by C(|type vocabulary|, 3). The
+    co-purchase variant of this query is deliberately NOT shipped: at
+    every test SF no part triple repeats across orders (max support 1,
+    probed via Apriori pruning on the thresholded pair edges), so it
+    would gate nothing."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        "event_type",
+    )
+    baskets = ev.distinct().groupBy("user_id", "d").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ps"))
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) ->"
+                " flatten(transform(ps, (b, j) ->"
+                " filter(transform(ps, (c, k) ->"
+                " IF(j > i AND k > j,"
+                " struct(a AS ta, b AS tb, c AS tc), NULL)),"
+                " p -> p IS NOT NULL)))))"
+            )
+        ).alias("t")
+    ).select("t.ta", "t.tb", "t.tc")
+    return (
+        triples.groupBy("ta", "tb", "tc")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "ta", "tb", "tc")
+    )
