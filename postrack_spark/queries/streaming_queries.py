@@ -1935,6 +1935,88 @@ def streaming_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFram
     return summary.crossJoin(telemetry)
 
 
+def _ordered_event_admission(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic ordered admission for event-time-timeout streaming
+    queries: the events table written as eight equal TIME slices of
+    [min ts, max ts] (a pure row function of event time — monotone, so
+    per-user order holds across batches under any partitioning;
+    mtime-stamped for ordered file admission) PLUS a 9th sentinel
+    flush file (dummy key at max+1ms) that forces the final timeouts
+    to fire in a guaranteed DATA batch — whether availableNow runs a
+    trailing no-data micro-batch is a run-to-run race (measured
+    flipping at sf0.1). Returns the directory to readStream. The file
+    assignment deliberately avoids exact_ntile: feeding ranked output
+    into an order-insensitive writer re-plans the internal sort and
+    rank assignment goes shuffle-fetch-order nondeterministic (the
+    operators/ranking trap, caught as inverted sessions on boundary
+    rows). Shared by the applyInPandasWithState and TWS-timer session
+    queries — one emission rule, one oracle shape."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "event_id")
+
+    # File assignment must be a PURE ROW FUNCTION of event time: the
+    # first attempt used exact_ntile octiles, but feeding its output
+    # into an order-insensitive writer re-plans the internal sort and
+    # the rank assignment goes shuffle-fetch-order nondeterministic
+    # (the documented operators/ranking trap — caught here as inverted
+    # sessions on ~1 in 1e5 boundary rows). Eight equal TIME slices of
+    # [min ts, max ts] give the same ordered admission with zero
+    # ranking: monotone in ts, deterministic under any partitioning.
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "ts",
+        (
+            F.lit(1)
+            + F.expr("CAST((unix_micros(ts) - lo) * 8 DIV (hi - lo + 1) AS INT)")
+        ).alias("f"),
+    )
+    scratch = _tf.mkdtemp(prefix="sess_exp_")
+    dest = _os.path.join(scratch, "all")
+    _os.makedirs(dest)
+    tmp = _os.path.join(scratch, "oct")
+    (
+        bucketed.repartition(8, "f")
+        .write.partitionBy("f")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for i in range(1, 9):
+        srcs = _glob.glob(_os.path.join(tmp, f"f={i}", "part-*.parquet"))
+        assert len(srcs) == 1, f"expected one file per octile, got {srcs}"
+        p = _os.path.join(dest, f"f{i:03d}.parquet")
+        _shutil.copy(srcs[0], p)
+        _os.utime(p, (1e9 + i, 1e9 + i))
+    # Deterministic timeout flush: whether availableNow runs a trailing
+    # NO-DATA micro-batch is a race (observed flipping run-to-run at
+    # sf0.1), so the timeouts must fire in a guaranteed DATA batch. A
+    # 9th file holds one sentinel event for a dummy key at max+1ms:
+    # processing it uses watermark = real max - 30min (the one-batch
+    # lag), firing every due timeout; the +1ms keeps any subsequent
+    # racy no-data batch's watermark inside a 1ms band that cannot
+    # change the emission set.
+    flush = (
+        load_tables(spark, sf_dir)["events"]
+        .agg(F.max("ts").alias("mts"))
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.col("mts") + F.expr("INTERVAL 1 MILLISECOND")).alias("ts"),
+        )
+    )
+    ftmp = _os.path.join(scratch, "flush")
+    flush.coalesce(1).write.mode("overwrite").parquet(ftmp)
+    fsrc = _glob.glob(_os.path.join(ftmp, "part-*.parquet"))[0]
+    return dest
+
+
 @query(
     "streaming_session_expiry_timeout",
     oracle="""
@@ -1994,71 +2076,7 @@ def streaming_session_expiry_timeout(spark: SparkSession, sf_dir: str) -> DataFr
     availableNow, measured flipping at sf0.1. A trailing session
     emits iff its timeout millis lie below that watermark; sessions
     closer to end-of-input stay buffered — counted by neither side."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tf
-
-    from postrack_spark.session import load_tables
-
-    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "event_id")
-    # File assignment must be a PURE ROW FUNCTION of event time: the
-    # first attempt used exact_ntile octiles, but feeding its output
-    # into an order-insensitive writer re-plans the internal sort and
-    # the rank assignment goes shuffle-fetch-order nondeterministic
-    # (the documented operators/ranking trap — caught here as inverted
-    # sessions on ~1 in 1e5 boundary rows). Eight equal TIME slices of
-    # [min ts, max ts] give the same ordered admission with zero
-    # ranking: monotone in ts, deterministic under any partitioning.
-    bounds = ev.agg(
-        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
-    )
-    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
-        "user_id",
-        "ts",
-        (
-            F.lit(1)
-            + F.expr("CAST((unix_micros(ts) - lo) * 8 DIV (hi - lo + 1) AS INT)")
-        ).alias("f"),
-    )
-    scratch = _tf.mkdtemp(prefix="sess_exp_")
-    dest = _os.path.join(scratch, "all")
-    _os.makedirs(dest)
-    tmp = _os.path.join(scratch, "oct")
-    (
-        bucketed.repartition(8, "f")
-        .write.partitionBy("f")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    for i in range(1, 9):
-        srcs = _glob.glob(_os.path.join(tmp, f"f={i}", "part-*.parquet"))
-        assert len(srcs) == 1, f"expected one file per octile, got {srcs}"
-        p = _os.path.join(dest, f"f{i:03d}.parquet")
-        _shutil.copy(srcs[0], p)
-        _os.utime(p, (1e9 + i, 1e9 + i))
-    # Deterministic timeout flush: whether availableNow runs a trailing
-    # NO-DATA micro-batch is a race (observed flipping run-to-run at
-    # sf0.1), so the timeouts must fire in a guaranteed DATA batch. A
-    # 9th file holds one sentinel event for a dummy key at max+1ms:
-    # processing it uses watermark = real max - 30min (the one-batch
-    # lag), firing every due timeout; the +1ms keeps any subsequent
-    # racy no-data batch's watermark inside a 1ms band that cannot
-    # change the emission set.
-    flush = (
-        load_tables(spark, sf_dir)["events"]
-        .agg(F.max("ts").alias("mts"))
-        .select(
-            F.lit(-1).cast("long").alias("user_id"),
-            (F.col("mts") + F.expr("INTERVAL 1 MILLISECOND")).alias("ts"),
-        )
-    )
-    ftmp = _os.path.join(scratch, "flush")
-    flush.coalesce(1).write.mode("overwrite").parquet(ftmp)
-    fsrc = _glob.glob(_os.path.join(ftmp, "part-*.parquet"))[0]
-    fp = _os.path.join(dest, "f009.parquet")
-    _shutil.copy(fsrc, fp)
-    _os.utime(fp, (1e9 + 9, 1e9 + 9))
+    dest = _ordered_event_admission(spark, sf_dir)
     schema = spark.read.parquet(dest).schema
     stream = (
         spark.readStream.schema(schema)
@@ -2724,4 +2742,96 @@ def cdc_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(time_travel_blocked).alias("time_travel_blocked"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "streaming_tws_session_timers",
+    oracle="""
+    WITH ok AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ),
+    cut AS (SELECT max(us) AS mx FROM ok),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ok
+      WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             min(us) AS start_us, max(us) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(sid) OVER (PARTITION BY user_id) AS last_sid
+      FROM sess GROUP BY user_id, sid
+    ),
+    emitted AS (
+      SELECT a.user_id, a.start_us, a.end_us, a.n_events
+      FROM agg a CROSS JOIN cut
+      WHERE a.sid < a.last_sid
+         OR (a.end_us + 1800000000) // 1000 < cut.mx // 1000 - 1800000
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum((end_us - start_us) // 1000000) AS BIGINT) AS total_secs
+    FROM emitted
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session expiry via transformWithStateInPandas EVENT-TIME TIMERS
+    — the timer half of Spark 4's arbitrary-state API (RegisterTimer /
+    DeleteTimer / handleExpiredTimer under timeMode='eventTime'),
+    running for real over the pbstub protobuf runtime and RocksDB
+    state store; the applyInPandasWithState twin is
+    streaming_session_expiry_timeout and the EMISSION RULE AND ORACLE
+    ARE IDENTICAL (closed sessions from the data path; the trailing
+    session iff the final sentinel-batch watermark passed end + gap) —
+    so the two stateful APIs are pinned to agree with each other
+    through one shared relational model. Same deterministic admission
+    (_ordered_event_admission: eight time slices + the sentinel flush
+    file that forces timers to fire in a guaranteed DATA batch)."""
+    from postrack_spark.streaming.stateful import (
+        ensure_protobuf,
+        rocksdb_state,
+        session_expiry_tws,
+    )
+
+    if not ensure_protobuf(spark):  # pragma: no cover - shim is stdlib
+        raise RuntimeError("protobuf unavailable and pbstub failed to load")
+    dest = _ordered_event_admission(spark, sf_dir)
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dest)
+        .withWatermark("ts", "30 minutes")
+        .select("user_id", F.unix_micros("ts").alias("us"), "ts")
+    )
+    with rocksdb_state(spark):
+        out = run_to_memory(
+            session_expiry_tws(stream, gap_minutes=30),
+            _qname("tws_sess"),
+            output_mode="append",
+        )
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.expr("(end_us - start_us) DIV 1000000"))
+            .cast("long")
+            .alias("total_secs"),
+        )
+        .orderBy("user_id")
     )

@@ -480,3 +480,91 @@ def tws_topk_profile(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def session_expiry_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap sessionization via transformWithStateInPandas with
+    EVENT-TIME TIMERS — the timer protocol legs (RegisterTimer /
+    DeleteTimer / ExpiredTimerInfo / the handleExpiredTimer callback
+    under timeMode='eventTime') that the ValueState/ListState/MapState
+    processors above never exercise, over the same pbstub protobuf
+    runtime. Semantics mirror session_expiry_sessions exactly (the
+    applyInPandasWithState twin): closed sessions emit from the data
+    path; the trailing open session emits when the watermark passes
+    end + gap, here via a registered timer per key. Extending a
+    session DELETES the stale timer and registers the new expiry, so
+    at most one timer per key is live (O(1) timer state — the same
+    bound as the value state). Requires withWatermark on the input and
+    ordered admission. Input columns: (user_id, us, ts)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class SessionTimers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState("open", "s bigint, e bigint, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            cur = self._open.get() if self._open.exists() else None
+            old_due = None if cur is None else (int(cur[1]) + gap_us) // 1000
+            closed = []
+            pdf = pd.concat(list(rows)).sort_values("us")
+            for us in pdf["us"]:
+                us = int(us)
+                if cur is None:
+                    cur = (us, us, 1)
+                elif us - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (us, us, 1)
+                else:
+                    cur = (cur[0], us, cur[2] + 1)
+            self._open.update((int(cur[0]), int(cur[1]), int(cur[2])))
+            due = (int(cur[1]) + gap_us) // 1000
+            if old_due is not None and old_due != due:
+                self._handle.deleteTimer(old_due)
+            self._handle.registerTimer(due)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id] * len(closed),
+                        "start_us": [c[0] for c in closed],
+                        "end_us": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self._open.exists():
+                return
+            s, e, n = self._open.get()
+            # a stale timer (session extended within this same batch's
+            # input) must not evict the still-open session
+            if expiredTimerInfo.getExpiryTimeInMs() < (int(e) + gap_us) // 1000:
+                return
+            self._open.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "start_us": [int(s)],
+                    "end_us": [int(e)],
+                    "n_events": [int(n)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimers(),
+        outputStructType=(
+            "user_id bigint, start_us bigint, end_us bigint, n_events bigint"
+        ),
+        outputMode="append",
+        timeMode="eventTime",
+    )
