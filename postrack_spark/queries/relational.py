@@ -3254,3 +3254,70 @@ def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(map_values(m_rev), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("total_rev"),
     ).orderBy("l_orderkey")
+
+
+@query(
+    "sql_runtime_bloom_filter_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS bloom_planned
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def sql_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join, driver-gated: with broadcast off (the
+    cluster shape where both sides shuffle), a selective dim-side
+    filter must inject a bloom filter that pre-prunes the fact scan
+    BEFORE the shuffle — at 100 TB the difference between shuffling
+    the whole fact table and shuffling the ~matching fraction. The
+    query runs the join EAGERLY inside the conf window (localCheckpoint
+    on the 4-row rollup) so the certificate describes the plan that
+    actually executed, then audits bloom_filter_agg/might_contain in
+    that plan ('gate the certificate'); session confs restore in
+    finally. The size floor is zeroed here to validate the mechanism
+    on local data — session.enable_runtime_filters keeps the 10GB
+    default for cluster use (the extra aggregation only pays for
+    itself on big scans)."""
+    from postrack_spark.plans import explain_string
+    from postrack_spark.session import enable_runtime_filters
+
+    t = load_tables(spark, sf_dir)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_filters(spark, application_side_min="0")
+        sel = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey")
+        li = t["lineitem"].select(
+            "l_orderkey",
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        j = li.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        rollup = j.groupBy("l_returnflag").agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        plan = explain_string(rollup, "formatted")
+        bloom = "bloom_filter_agg" in plan and "might_contain" in plan
+        pinned = rollup.localCheckpoint(eager=True)  # executes in-window
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "10GB",
+        )
+    return pinned.select(
+        "l_returnflag",
+        "n_lines",
+        "cents",
+        F.lit(bloom).alias("bloom_planned"),
+    ).orderBy("l_returnflag")
