@@ -2835,3 +2835,93 @@ def streaming_tws_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_chained_stateful_dedup_window",
+    oracle="""
+    WITH dedup AS (
+      SELECT DISTINCT ON (event_id) event_id, event_type, ts
+      FROM events
+    )
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dedup
+    GROUP BY 1, 2
+    ORDER BY event_type, hour
+    """,
+)
+def streaming_chained_stateful_dedup_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query —
+    dropDuplicatesWithinWatermark feeding a tumbling-window aggregate
+    (the multi-stateful pipeline Spark only supports in append mode,
+    exercising cross-operator watermark propagation): every event
+    arrives TWICE in the first batch, the dedup state must collapse
+    the copies, and the window state downstream must count each id
+    once. Emission is made RACE-FREE without modeling the eviction
+    lag: two far-future sentinel batches (max+10h, then +1ms) advance
+    the watermark past every real window's end — the second sentinel
+    exists because eviction uses the PREVIOUS batch's watermark, and a
+    racy trailing no-data batch can only move the watermark 1 ms,
+    which cannot change the emission set (the _ordered_event_admission
+    argument); sentinel windows themselves end above the final
+    watermark and never emit, so the oracle is simply the full
+    dedup-then-rollup with no boundary term. Scale: both state stores
+    are keyed shuffles (id, then window x type); state is O(ids within
+    the watermark horizon) + O(open windows) — the horizon is what
+    dropDuplicatesWithinWatermark exists to bound."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "event_type", "ts")
+    doubled = ev.unionByName(ev)
+    mx = ev.agg(F.max("ts").alias("m"))
+    s1 = mx.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit("__flush").alias("event_type"),
+        (F.col("m") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+    )
+    s2 = mx.select(
+        F.lit(-2).cast("long").alias("event_id"),
+        F.lit("__flush").alias("event_type"),
+        (F.col("m") + F.expr("INTERVAL 10 HOURS")
+         + F.expr("INTERVAL 1 MILLISECOND")).alias("ts"),
+    )
+    scratch = _tf.mkdtemp(prefix="chained_")
+    dest = _os.path.join(scratch, "all")
+    _os.makedirs(dest)
+    for i, df in enumerate((doubled, s1, s2)):
+        tmp = _os.path.join(scratch, f"t{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        p = _os.path.join(dest, f"f{i:03d}.parquet")
+        _shutil.copy(src, p)
+        _os.utime(p, (1e9 + i, 1e9 + i))
+    schema = spark.read.parquet(dest).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dest)
+        .withWatermark("ts", "30 minutes")
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).count()
+    out = run_to_memory(agg, _qname("chained"), output_mode="append")
+    return (
+        out.filter(F.col("event_type") != "__flush")
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("count").cast("long").alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
