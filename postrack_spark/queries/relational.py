@@ -3321,3 +3321,99 @@ def sql_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "cents",
         F.lit(bloom).alias("bloom_planned"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "source_json_corrupt_records",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             (o_orderkey % 10 = 0) AS bad
+      FROM orders
+    )
+    SELECT CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN NOT bad THEN cents ELSE 0 END) AS BIGINT)
+             AS cents_parsed,
+           CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropmalformed,
+           true AS failfast_raised
+    FROM base
+    """,
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record semantics of the JSON source, all three modes
+    certified in one pass — the ingestion contract every production
+    pipeline hits on day one and SURVEY §2's source row only implies:
+    a JSONL dataset is written distributed where every 10th order's
+    line is TRUNCATED mid-object, then (1) PERMISSIVE must park
+    exactly those lines in columnNameOfCorruptRecord with NULL data
+    columns while parsing the rest (counts and a cents sum prove no
+    row is lost or double-counted), (2) DROPMALFORMED must return
+    exactly the parsed set, and (3) FAILFAST must raise — reported as
+    a gated certificate column. The PERMISSIVE frame is cached before
+    aggregating: Spark documents that filtering/aggregating the
+    corrupt-record column on an uncached frame is undefined (the
+    parser prunes it). Scale: both reads are ordinary distributed text
+    scans; corruption classification is per-line with no shuffle
+    beyond the final 1-row agg."""
+    import tempfile as _tf
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    lines = base.select(
+        F.when(
+            F.col("o_orderkey") % 10 == 0,
+            F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey"),
+                     F.lit(', "cents": ')),
+        )
+        .otherwise(F.to_json(F.struct("o_orderkey", "cents")))
+        .alias("value")
+    )
+    path = _tf.mkdtemp(prefix="json_corrupt_") + "/data"
+    lines.write.mode("overwrite").text(path)
+    schema = "o_orderkey long, cents long, _bad string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        .cache()
+    )
+    agg = permissive.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_parsed"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("cents_parsed"),
+    )
+    dropped = (
+        spark.read.schema("o_orderkey long, cents long")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+        .agg(F.count("*").cast("long").alias("n_dropmalformed"))
+    )
+    try:
+        (
+            spark.read.schema("o_orderkey long, cents long")
+            .option("mode", "FAILFAST")
+            .json(path)
+            .collect()
+        )
+        failfast_raised = False
+    except Exception:
+        failfast_raised = True
+    return agg.crossJoin(F.broadcast(dropped)).select(
+        "n_parsed",
+        "n_corrupt",
+        "cents_parsed",
+        "n_dropmalformed",
+        F.lit(failfast_raised).alias("failfast_raised"),
+    )
