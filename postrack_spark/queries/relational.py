@@ -3417,3 +3417,72 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropmalformed",
         F.lit(failfast_raised).alias("failfast_raised"),
     )
+
+
+@query(
+    "source_iceberg_expire_snapshots",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS expired_travel_blocked,
+           true AS orphans_reclaimed
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def source_iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot expiry end to end (the maintenance action that
+    bounds metadata growth — the table-format sibling of Delta's
+    checkpoint-plus-clean lane): orders land in three append
+    snapshots, expire_snapshots keeps only the newest, and the rollup
+    over the CURRENT read must still see every row (append histories
+    carry prior manifests forward, so data files all stay reachable
+    and expiry reclaims exactly the expired snap-*.avro manifest
+    lists). Two gated certificates ride along: time travel to an
+    expired snapshot id must raise, and at least one orphan file must
+    actually have been deleted. At 100 TB snapshot expiry is what
+    keeps manifest-list fan-in O(retained history), not O(table
+    lifetime)."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        expire_snapshots_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_expire_")
+    first_sid = None
+    for m in (0, 1, 2):
+        sid = append_iceberg(base.filter(F.col("o_orderkey") % 3 == m), table)
+        first_sid = sid if first_sid is None else first_sid
+    _v, deleted = expire_snapshots_iceberg(table, retain_last=1)
+    try:
+        read_iceberg(spark, table, snapshot_id=first_sid)
+        blocked = False
+    except FileNotFoundError:
+        blocked = True
+    return (
+        read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "cents",
+            F.lit(blocked).alias("expired_travel_blocked"),
+            F.lit(len(deleted) > 0).alias("orphans_reclaimed"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -322,3 +322,60 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
         f.write(str(version))
     os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
     return snapshot_id
+
+
+def expire_snapshots_iceberg(table: str, retain_last: int = 1
+                             ) -> tuple[int, list[str]]:
+    """Snapshot expiry (the spec's expire_snapshots maintenance
+    action, version-based like delta_log.vacuum_delta for test
+    determinism): keep the most recent ``retain_last`` snapshots,
+    commit a new metadata version without the expired ones, then
+    delete files reachable ONLY from expired snapshots — their
+    manifest lists always; manifests and data files only when no kept
+    snapshot references them (append-only histories keep carrying
+    prior manifests forward, so there expiry reclaims just the old
+    snap-*.avro lists — stated honestly). Time travel to an expired
+    id then raises, exactly like a cleaned Delta checkpoint prefix.
+    Returns (new metadata version, deleted relative paths)."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    meta = _current_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    snaps = meta["snapshots"]
+    if len(snaps) <= retain_last:
+        return meta["last-version"], []
+    kept, expired = snaps[-retain_last:], snaps[:-retain_last]
+
+    def _reach(snapshots: list[dict]) -> tuple[set[str], set[str], set[str]]:
+        mlists, manifests, datafiles = set(), set(), set()
+        for s in snapshots:
+            mlists.add(s["manifest-list"])
+            mlist, _ = read_avro(_read_file(table, s["manifest-list"]))
+            for m in mlist:
+                manifests.add(m["manifest_path"])
+                entries, _ = read_avro(_read_file(table, m["manifest_path"]))
+                for e in entries:
+                    datafiles.add(e["data_file"]["file_path"])
+        return mlists, manifests, datafiles
+
+    k_ml, k_mf, k_df = _reach(kept)
+    e_ml, e_mf, e_df = _reach(expired)
+    doomed = sorted((e_ml - k_ml) | (e_mf - k_mf) | (e_df - k_df))
+
+    version = meta["last-version"] + 1
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    new_meta["last-version"] = version
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    with open(os.path.join(_meta_dir(table),
+                           f"v{version}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=1)
+    tmp = os.path.join(_meta_dir(table), ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
+    # commit point passed: physical deletes are safe now
+    for rel in doomed:
+        os.remove(os.path.join(table, rel))
+    return version, doomed

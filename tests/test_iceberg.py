@@ -157,3 +157,38 @@ def test_vacuum_respects_latest_uniform_sync(spark):
     vacuum_delta(t, retain_versions=1)  # drops the pre-overwrite files
     assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == [100, 101, 102]
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [100, 101, 102]
+
+
+def test_expire_snapshots_keeps_current_blocks_expired(spark):
+    import os
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        expire_snapshots_iceberg,
+        read_iceberg,
+    )
+
+    table = tempfile.mkdtemp(prefix="ice_exp_t_")
+    df = spark.range(0, 30).select(F.col("id").alias("k"))
+    s1 = append_iceberg(df.filter("k < 10"), table)
+    s2 = append_iceberg(df.filter("k >= 10 AND k < 20"), table)
+    s3 = append_iceberg(df.filter("k >= 20"), table)
+    assert read_iceberg(spark, table, snapshot_id=s1).count() == 10
+    version, deleted = expire_snapshots_iceberg(table, retain_last=1)
+    # append history: the old manifest LISTS are the reclaimable set
+    assert sorted(deleted) == [
+        f"metadata/snap-{s1:08d}.avro", f"metadata/snap-{s2:08d}.avro"]
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(table, rel))
+    # current read intact; expired travel raises; kept id still works
+    assert read_iceberg(spark, table).count() == 30
+    assert read_iceberg(spark, table, snapshot_id=s3).count() == 30
+    with _pytest.raises(FileNotFoundError):
+        read_iceberg(spark, table, snapshot_id=s1)
+    # retain more than history: no-op
+    v2, d2 = expire_snapshots_iceberg(table, retain_last=5)
+    assert d2 == [] and v2 == version
