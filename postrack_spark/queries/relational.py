@@ -3486,3 +3486,62 @@ def source_iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "quality_observed_metrics",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS observed_rows,
+           CAST((SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 FROM lineitem) AS BIGINT) AS observed_cents,
+           CAST((SELECT count(CASE WHEN l_discount > 0.05 THEN 1 END)
+                 FROM lineitem) AS BIGINT) AS observed_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def quality_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API — Spark's zero-extra-pass telemetry hook
+    (df.observe piggybacks metric accumulators on the SAME job the
+    consumer runs, where a separate .agg() would re-scan): the
+    lineitem scan is observed with three metrics (row count, exact
+    cents sum, discounted-line count) while the query's real work is
+    the returnflag rollup; the observed values — REAL engine
+    accumulator results, the numRowsDroppedByWatermark discipline —
+    ride the output as columns and must hash-match the oracle's
+    independent recompute. The rollup is pinned eagerly
+    (localCheckpoint) to materialize the observation inside the query.
+    At 100 TB this is how a pipeline gets row-level quality telemetry
+    for free on every run instead of doubling its scan budget."""
+    from pyspark.sql import Observation
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_discount",
+    )
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("cents").alias("cents"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted"),
+    )
+    rollup = observed.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("qty"),
+    ).localCheckpoint(eager=True)  # runs the observed job NOW
+    got = obs.get
+    return rollup.select(
+        "l_returnflag",
+        "n_lines",
+        "qty",
+        F.lit(int(got["rows"])).alias("observed_rows"),
+        F.lit(int(got["cents"])).alias("observed_cents"),
+        F.lit(int(got["discounted"])).alias("observed_discounted"),
+    ).orderBy("l_returnflag")
