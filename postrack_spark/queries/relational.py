@@ -3545,3 +3545,82 @@ def quality_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(got["cents"])).alias("observed_cents"),
         F.lit(int(got["discounted"])).alias("observed_discounted"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "cdc_iceberg_mor_delete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM base
+                 WHERE o_custkey BETWEEN 40 AND 60) AS BIGINT) AS rows_deleted,
+           CAST((SELECT count(*) FROM base
+                 WHERE o_custkey NOT BETWEEN 40 AND 60) AS BIGINT) AS rows_after,
+           CAST((SELECT sum(cents) FROM base
+                 WHERE o_custkey NOT BETWEEN 40 AND 60) AS BIGINT)
+             AS cents_after,
+           true AS no_data_rewrite
+    FROM base LIMIT 1
+    """,
+)
+def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ position delete — the lakehouse delete
+    strategy OPPOSITE to cdc_delta_delete_time_travel's copy-on-write:
+    matching rows are recorded as (file, row position) in a delete
+    Avro committed under a content=1 manifest with v2 sequence
+    numbers, and the READER subtracts them (broadcast anti-join on
+    Spark's _metadata.row_index — delete cost is O(matches), rewrite
+    deferred to compaction; the right trade when deletes are frequent
+    and scattered, which is exactly the GDPR stream). Certified in one
+    row: rows_before re-read by time travel to the pre-delete
+    snapshot, the post-delete rollup, and the no_data_rewrite
+    certificate — the parquet file set must be BYTE-IDENTICAL before
+    and after (gate the certificate; the oracle cannot see files)."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        delete_positions_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_mor_")
+    append_iceberg(
+        base.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_custkey"),
+        table, format_version=2)
+    pre_sid = append_iceberg(
+        base.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(4, "o_custkey"),
+        table, format_version=2)
+
+    def _parquets() -> list[tuple[str, int]]:
+        d = _os.path.join(table, "data")
+        return sorted(
+            (f, _os.path.getsize(_os.path.join(d, f)))
+            for f in _os.listdir(d) if f.endswith(".parquet"))
+
+    files_before = _parquets()
+    delete_positions_iceberg(spark, table, "o_custkey BETWEEN 40 AND 60")
+    no_rewrite = _parquets() == files_before
+    before = read_iceberg(spark, table, snapshot_id=pre_sid).agg(
+        F.count("*").cast("long").alias("rows_before"))
+    after = read_iceberg(spark, table).agg(
+        F.count("*").cast("long").alias("rows_after"),
+        F.sum("cents").cast("long").alias("cents_after"),
+    )
+    return before.crossJoin(after).select(
+        "rows_before",
+        (F.col("rows_before") - F.col("rows_after")).alias("rows_deleted"),
+        "rows_after",
+        "cents_after",
+        F.lit(no_rewrite).alias("no_data_rewrite"),
+    )

@@ -25,10 +25,24 @@ container; the honest-certification caveat mirrors operators/mp4.py):
   → manifests → live parquet, with the schema taken from metadata
   field definitions, not parquet inference.
 
-Scope honestly stated: append-only (no deletes/rewrites), unpartitioned
-spec, v1 manifests without column stats; schema evolution, position
-deletes, and the v2 sequence-number machinery are out of scope and a
-foreign table using them would not be readable here.
+* ``delete_positions_iceberg`` — format-version 2 MERGE-ON-READ
+  position deletes: matching rows are identified by
+  (file_path, row position) through Spark's ``_metadata.file_path`` /
+  ``_metadata.row_index`` scan columns, written to a position-delete
+  Avro file (the spec's reserved field-ids 2147483546/2147483545,
+  sorted by path then pos), and committed as a content=1 delete
+  manifest with the v2 sequence-number machinery — NO data file is
+  rewritten (the point of MOR: delete cost is O(matches), rewrite
+  deferred to compaction). ``read_iceberg`` then applies deletes as a
+  broadcast anti-join on (file, pos) — the Spark-native MOR read.
+
+Scope honestly stated: unpartitioned spec, manifests without column
+stats, v2 limited to position deletes written by this module (equality
+deletes and foreign v2 tables are out of scope); the position-delete
+writer materializes the (path, pos) list driver-side — the GDPR/
+forget-set shape where matches are human-scale; a bulk-delete pipeline
+would write per-partition delete files instead. Schema evolution is
+out of scope and a foreign table using it would not be readable here.
 
 Scale: metadata is O(files) Avro records — the format's whole point is
 that snapshot resolution never lists directories; data stays in
@@ -80,7 +94,27 @@ _MANIFEST_LIST_SCHEMA = {
     ],
 }
 
+# v2 manifest list: content distinguishes data (0) from delete (1)
+# manifests; sequence_number orders deletes against data files.
+_MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_file",
+    "fields": _MANIFEST_LIST_SCHEMA["fields"] + [
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+    ],
+}
+
+# position-delete file rows use the spec's RESERVED field ids
+_POS_DELETE_SCHEMA = {
+    "type": "record", "name": "pos_delete",
+    "fields": [
+        {"name": "file_path", "type": "string", "field-id": 2147483546},
+        {"name": "pos", "type": "long", "field-id": 2147483545},
+    ],
+}
+
 ADDED, EXISTING = 1, 0
+DATA_CONTENT, DELETE_CONTENT = 0, 1
 
 
 def _meta_dir(table: str) -> str:
@@ -108,13 +142,22 @@ def _ice_schema(schema: StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
-def append_iceberg(df: DataFrame, table: str) -> int:
-    """Append df as a new snapshot; returns the snapshot id."""
+def append_iceberg(df: DataFrame, table: str, format_version: int = 1) -> int:
+    """Append df as a new snapshot; returns the snapshot id.
+    ``format_version=2`` writes the v2 sequence-number machinery and
+    unlocks delete_positions_iceberg on the table."""
+    if format_version not in (1, 2):
+        raise ValueError("format_version must be 1 or 2")
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     os.makedirs(_meta_dir(table), exist_ok=True)
     current = _current_metadata(table)
+    if current is not None and current["format-version"] != format_version:
+        raise ValueError(
+            f"table is format-version {current['format-version']}, "
+            f"append requested {format_version}")
     version = 0 if current is None else current["last-version"] + 1
     snapshot_id = version + 1  # deterministic, monotone
+    seq = ((current or {}).get("last-sequence-number", 0) or 0) + 1
 
     # 1. data files
     scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
@@ -150,25 +193,34 @@ def append_iceberg(df: DataFrame, table: str) -> int:
         snap = _snapshot(current, current["current-snapshot-id"])
         prior_list, _ = read_avro(_read_file(table, snap["manifest-list"]))
         prior = prior_list
-    mlist = prior + [{
+    new_entry = {
         "manifest_path": manifest_rel,
         "manifest_length": len(manifest_blob),
         "partition_spec_id": 0,
         "added_snapshot_id": snapshot_id,
-    }]
+    }
+    if format_version == 2:
+        new_entry["content"] = DATA_CONTENT
+        new_entry["sequence_number"] = seq
+    mlist = prior + [new_entry]
     mlist_rel = os.path.join("metadata", f"snap-{snapshot_id:08d}.avro")
+    list_schema = (_MANIFEST_LIST_SCHEMA_V2 if format_version == 2
+                   else _MANIFEST_LIST_SCHEMA)
     with open(os.path.join(table, mlist_rel), "wb") as f:
-        f.write(write_avro(mlist, _MANIFEST_LIST_SCHEMA, codec="deflate"))
+        f.write(write_avro(mlist, list_schema, codec="deflate"))
 
     # 4. new metadata.json, then the version-hint swap (commit point)
     now_ms = int(time.time() * 1000)
-    snapshots = (current["snapshots"] if current else []) + [{
+    new_snap = {
         "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
         "manifest-list": mlist_rel,
         "summary": {"operation": "append"},
-    }]
+    }
+    if format_version == 2:
+        new_snap["sequence-number"] = seq
+    snapshots = (current["snapshots"] if current else []) + [new_snap]
     meta = {
-        "format-version": 1,
+        "format-version": format_version,
         "table-uuid": (current or {}).get("table-uuid", str(uuid.uuid4())),
         "location": os.path.abspath(table),
         "last-updated-ms": now_ms,
@@ -180,6 +232,8 @@ def append_iceberg(df: DataFrame, table: str) -> int:
         "snapshots": snapshots,
         "last-version": version,
     }
+    if format_version == 2:
+        meta["last-sequence-number"] = seq
     with open(os.path.join(_meta_dir(table),
                            f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -218,18 +272,30 @@ _ICE_TO_SPARK = {"long": "bigint", "int": "int", "double": "double",
 
 def read_iceberg(spark: SparkSession, table: str,
                  snapshot_id: int | None = None) -> DataFrame:
-    """Snapshot read (current, or time travel to ``snapshot_id``)."""
+    """Snapshot read (current, or time travel to ``snapshot_id``).
+    On format-version 2 tables, position deletes apply as a broadcast
+    anti-join on (file, row position) — the merge-on-read path."""
+    from pyspark.sql import functions as F
+
     meta = _current_metadata(table)
     if meta is None:
         raise FileNotFoundError(f"no iceberg metadata under {table}")
-    if meta["format-version"] != 1:
-        raise NotImplementedError("only format-version 1 readable here")
+    if meta["format-version"] not in (1, 2):
+        raise NotImplementedError("only format-version 1/2 readable here")
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
     mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
-    paths = []
+    paths: list[str] = []
+    deletes: list[tuple[str, int]] = []
     for m in mlist:
         entries, _ = read_avro(_read_file(table, m["manifest_path"]))
+        if m.get("content", DATA_CONTENT) == DELETE_CONTENT:
+            for e in entries:
+                if e["status"] in (ADDED, EXISTING):
+                    rows, _s = read_avro(
+                        _read_file(table, e["data_file"]["file_path"]))
+                    deletes.extend((r["file_path"], r["pos"]) for r in rows)
+            continue
         for e in entries:
             if e["status"] in (ADDED, EXISTING):
                 paths.append(e["data_file"]["file_path"])
@@ -238,8 +304,128 @@ def read_iceberg(spark: SparkSession, table: str,
         for f in meta["schema"]["fields"])
     if not paths:
         return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(
+    df = spark.read.schema(ddl).parquet(
         *[os.path.join(table, p) for p in paths])
+    if not deletes:
+        return df
+    cols = df.columns
+    root = os.path.abspath(table)
+    tagged = df.select(
+        *cols,
+        _rel_path_col(root).alias("_fp"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    ddf = spark.createDataFrame(deletes, "_fp string, _pos long")
+    return tagged.join(
+        F.broadcast(ddf), ["_fp", "_pos"], "left_anti").select(*cols)
+
+
+def _rel_path_col(root: str):
+    """_metadata.file_path (a file: URI) relativized to the table root
+    as a Column — the delta-merge URI-strip lesson, in one expression."""
+    from pyspark.sql import functions as F
+
+    stripped = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^file:/+", "/")
+    return F.regexp_replace(stripped, F.lit(root + "/"), F.lit(""))
+
+
+def delete_positions_iceberg(spark: SparkSession, table: str,
+                             condition: str) -> tuple[int, int]:
+    """MERGE-ON-READ position delete (format-version 2 only): rows
+    matching ``condition`` (SQL DELETE semantics — NULL survives) are
+    recorded as (file_path, row position) in a position-delete Avro
+    file and committed as a content=1 delete manifest; NO data parquet
+    is rewritten. Positions come from the scan's _metadata.row_index —
+    the same mechanism the reader's anti-join uses, so writer and
+    reader agree by construction. Returns (snapshot id, rows deleted).
+    The (path, pos) list materializes driver-side (module-docstring
+    caveat: the forget-set shape; bulk deletes would write
+    per-partition files)."""
+    from pyspark.sql import functions as F
+
+    meta = _current_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    if meta["format-version"] != 2:
+        raise NotImplementedError(
+            "position deletes need a format-version 2 table")
+    snap = _snapshot(meta, meta["current-snapshot-id"])
+    mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
+    data_paths = []
+    for m in mlist:
+        if m.get("content", DATA_CONTENT) != DATA_CONTENT:
+            continue
+        entries, _s = read_avro(_read_file(table, m["manifest_path"]))
+        data_paths += [e["data_file"]["file_path"] for e in entries
+                       if e["status"] in (ADDED, EXISTING)]
+    ddl = ", ".join(
+        f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+        for f in meta["schema"]["fields"])
+    root = os.path.abspath(table)
+    df = spark.read.schema(ddl).parquet(
+        *[os.path.join(table, p) for p in data_paths])
+    matches = df.filter(
+        F.coalesce(F.expr(condition), F.lit(False))
+    ).select(
+        _rel_path_col(root).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    rows = sorted(
+        ((r["file_path"], int(r["pos"])) for r in matches.collect()))
+    if not rows:
+        return meta["current-snapshot-id"], 0
+    version = meta["last-version"] + 1
+    snapshot_id = version + 1
+    seq = meta["last-sequence-number"] + 1
+    del_rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.avro")
+    del_blob = write_avro(
+        [{"file_path": p, "pos": pos} for p, pos in rows],
+        _POS_DELETE_SCHEMA, codec="deflate")
+    with open(os.path.join(table, del_rel), "wb") as f:
+        f.write(del_blob)
+    manifest_rel = os.path.join("metadata",
+                                f"manifest-{snapshot_id:08d}.avro")
+    manifest_blob = write_avro([{
+        "status": ADDED, "snapshot_id": snapshot_id,
+        "data_file": {
+            "file_path": del_rel, "file_format": "AVRO",
+            "record_count": len(rows),
+            "file_size_in_bytes": len(del_blob),
+        }}], _MANIFEST_SCHEMA, codec="deflate")
+    with open(os.path.join(table, manifest_rel), "wb") as f:
+        f.write(manifest_blob)
+    new_mlist = mlist + [{
+        "manifest_path": manifest_rel,
+        "manifest_length": len(manifest_blob),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "content": DELETE_CONTENT,
+        "sequence_number": seq,
+    }]
+    mlist_rel = os.path.join("metadata", f"snap-{snapshot_id:08d}.avro")
+    with open(os.path.join(table, mlist_rel), "wb") as f:
+        f.write(write_avro(new_mlist, _MANIFEST_LIST_SCHEMA_V2,
+                           codec="deflate"))
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = meta["snapshots"] + [{
+        "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+        "manifest-list": mlist_rel, "sequence-number": seq,
+        "summary": {"operation": "delete"},
+    }]
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["last-version"] = version
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    with open(os.path.join(_meta_dir(table),
+                           f"v{version}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=1)
+    tmp = os.path.join(_meta_dir(table), ".hint.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
+    return snapshot_id, len(rows)
 
 
 def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
