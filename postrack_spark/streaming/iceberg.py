@@ -142,10 +142,15 @@ def _ice_schema(schema: StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
-def append_iceberg(df: DataFrame, table: str, format_version: int = 1) -> int:
+def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
+                   carry_forward: bool = True) -> int:
     """Append df as a new snapshot; returns the snapshot id.
     ``format_version=2`` writes the v2 sequence-number machinery and
-    unlocks delete_positions_iceberg on the table."""
+    unlocks delete_positions_iceberg on the table.
+    ``carry_forward=False`` makes the new snapshot's manifest list
+    contain ONLY this write's manifest — the REPLACE shape compaction
+    needs (prior data and delete files leave the live view in the
+    same atomic hint swap; history keeps them for time travel)."""
     if format_version not in (1, 2):
         raise ValueError("format_version must be 1 or 2")
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
@@ -189,7 +194,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1) -> int:
 
     # 3. manifest list: carry prior manifests forward + the new one
     prior = []
-    if current is not None:
+    if current is not None and carry_forward:
         snap = _snapshot(current, current["current-snapshot-id"])
         prior_list, _ = read_avro(_read_file(table, snap["manifest-list"]))
         prior = prior_list
@@ -426,6 +431,28 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
         f.write(str(version))
     os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
     return snapshot_id, len(rows)
+
+
+def compact_iceberg(spark: SparkSession, table: str,
+                    target_files: int = 1) -> int:
+    """MOR compaction (the spec's rewrite_data_files action): read the
+    current snapshot WITH deletes applied, rewrite it as
+    ``target_files`` fresh parquet files, and commit a snapshot whose
+    manifest list holds ONLY the new data manifest — retiring both the
+    old data files and every position-delete file from the live view
+    (history keeps them for time travel until expire_snapshots). This
+    is the deferred rewrite MOR trades for: deletes stay O(matches)
+    day to day, and the anti-join cost is repaid once, here. Returns
+    the new snapshot id."""
+    meta = _current_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    fv = meta["format-version"]
+    df = read_iceberg(spark, table).coalesce(target_files)
+    # one ordinary commit whose manifest list holds only this write —
+    # readers switch from (old data ⊖ deletes) to the rewritten set at
+    # the atomic hint swap, never seeing duplicates
+    return append_iceberg(df, table, format_version=fv, carry_forward=False)
 
 
 def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:

@@ -293,3 +293,45 @@ def test_v2_manifests_and_pos_deletes_parse_in_avro_java(spark):
             checked += 1
     # 2 manifest lists + 2 manifests + 1 position-delete file
     assert checked >= 5
+
+
+def test_v2_compaction_retires_deletes_and_expire_reclaims(spark):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        compact_iceberg,
+        delete_positions_iceberg,
+        expire_snapshots_iceberg,
+        read_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_v2_c_")
+    df = spark.range(0, 60).select(F.col("id").alias("k"))
+    append_iceberg(df.repartition(4), t, format_version=2)
+    delete_positions_iceberg(spark, t, "k % 3 = 0")
+    want = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    sid = compact_iceberg(spark, t, target_files=2)
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == want  # compaction is row-preserving
+    # compacted snapshot's live view has no delete manifests: a fresh
+    # delete then compact again still works (stacking sanity)
+    delete_positions_iceberg(spark, t, "k = 1")
+    assert read_iceberg(spark, t).count() == len(want) - 1
+    # expire now reclaims the PRE-compaction data and delete files
+    d = os.path.join(t, "data")
+    n_parq_before = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    _v, deleted = expire_snapshots_iceberg(t, retain_last=1)
+    assert any(p.endswith(".parquet") for p in deleted), deleted
+    assert any(p.endswith(".avro") and p.startswith("data/") for p in deleted)
+    n_parq_after = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_parq_after < n_parq_before
+    assert read_iceberg(spark, t).count() == len(want) - 1
+    # the compacted snapshot itself expired along with the rest
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_iceberg(spark, t, snapshot_id=sid)
