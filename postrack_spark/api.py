@@ -177,10 +177,12 @@ class Conn:
             self.add_slot(slot_name)
         self.slot = slot_name
 
-    def add_slot(self, slot_name: str) -> None:
-        # durable slot (Temporary: false, postrack.go:272)
+    def add_slot(self, slot_name: str, two_phase: bool = False) -> None:
+        # durable slot (Temporary: false, postrack.go:272); TWO_PHASE
+        # (PG15+) lets pgoutput decode prepared transactions at PREPARE
+        opt = " (TWO_PHASE)" if two_phase else ""
         self.executor.replication_command(
-            f"CREATE_REPLICATION_SLOT {_quote_ident(slot_name)} LOGICAL pgoutput"
+            f"CREATE_REPLICATION_SLOT {_quote_ident(slot_name)} LOGICAL pgoutput{opt}"
         )
 
     def drop_slot(self, slot_name: str) -> None:

@@ -109,6 +109,17 @@ class FrameFileWriter:
         # them at toplevel 'A', when the server re-sends).
         self._stream_schema: dict[int, dict[tuple[bytes, int], bytes]] = {}
         self._open_segment: int | None = None  # xid between StreamStart/Stop
+        # v3 two-phase: a prepared transaction ('b'..'P') delivers its
+        # rows PRE-commit and its CommitPrepared/RollbackPrepared can
+        # arrive hours (and many files) later — the stream-cache rule
+        # applies verbatim: cache the whole b..P block per gid and
+        # re-seed it into every new file until 'K' emits it there
+        # (exactly once: earlier files hold no K, so their replayed
+        # block stays buffered in the decoder) or 'r' drops it. Memory
+        # is bounded by OPEN prepared transactions, the same bound the
+        # decoder's own prepared buffer imposes.
+        self._prepared_cache: dict[str, list[bytes]] = {}
+        self._open_prepare: str | None = None  # gid between 'b' and 'P'
         self._pending: list[bytes] = []
         self._pending_bytes = 0
         self._pending_last_lsn = 0
@@ -120,6 +131,11 @@ class FrameFileWriter:
     @staticmethod
     def _payload_kind(frame: bytes) -> bytes:
         return frame[25:26] if len(frame) > 25 and frame[:1] == b"w" else b""
+
+    @staticmethod
+    def _cstring_at(frame: bytes, off: int) -> str:
+        end = frame.index(b"\x00", off)
+        return frame[off:end].decode()
 
     def _persist(self, frames: list[bytes]) -> None:
         """Transport seam: durably store one self-contained roll as unit
@@ -174,9 +190,37 @@ class FrameFileWriter:
             xid = struct.unpack_from(">i", frame, 26)[0]
             self._stream_cache.pop(xid, None)
             self._schema_cache.update(self._stream_schema.pop(xid, {}))
+        elif kind == b"b":  # BeginPrepare: open the b..P block
+            gid = self._cstring_at(frame, 25 + 29)
+            self._open_prepare = gid
+            self._prepared_cache[gid] = [frame]
+            self._in_tx = True
+        elif kind == b"P":  # Prepare closes the block; K/r still pending
+            if self._open_prepare is not None:
+                self._prepared_cache[self._open_prepare].append(frame)
+            self._open_prepare = None
+        elif kind == b"p":  # StreamPrepare: the streamed txn is now a
+            # prepared txn — move its stream cache under the gid and
+            # promote staged R/Y (rel sync cleanup happens at prepare)
+            xid = struct.unpack_from(">i", frame, 25 + 26)[0]
+            gid = self._cstring_at(frame, 25 + 30)
+            frames = self._stream_cache.pop(xid, [])
+            self._schema_cache.update(self._stream_schema.pop(xid, {}))
+            self._prepared_cache[gid] = frames + [frame]
+        elif kind == b"K":  # CommitPrepared: this file emits the block
+            gid = self._cstring_at(frame, 25 + 30)
+            self._prepared_cache.pop(gid, None)
+        elif kind == b"r":  # RollbackPrepared: block never emits
+            gid = self._cstring_at(frame, 25 + 38)
+            self._prepared_cache.pop(gid, None)
         elif self._open_segment is not None and kind != b"":
             # data/message frame inside an open segment
             self._stream_cache[self._open_segment].append(frame)
+        if (self._open_prepare is not None
+                and kind in (b"I", b"U", b"D", b"T", b"M", b"O", b"R", b"Y")):
+            # data inside the b..P block replays with its gid (R/Y also
+            # hit the schema cache above — harmless, decode idempotent)
+            self._prepared_cache[self._open_prepare].append(frame)
         if self._pending or kind != b"":  # skip leading keepalive-only files
             self._pending.append(frame)
             self._pending_bytes += len(frame) + 4
@@ -185,7 +229,7 @@ class FrameFileWriter:
         if (len(self._pending) >= self.max_frames
                 or self._pending_bytes >= self.max_bytes):
             self._roll_requested = True
-        if kind == b"C":
+        if kind in (b"C", b"P"):  # Commit / Prepare both end the block
             self._in_tx = False
         if self._roll_requested and not self._in_tx and self._open_segment is None:
             self.flush()
@@ -220,6 +264,8 @@ class FrameFileWriter:
         self._pending = list(self._schema_cache.values())
         for xid in sorted(self._stream_cache):
             self._pending.extend(self._stream_cache[xid])
+        for gid in sorted(self._prepared_cache):
+            self._pending.extend(self._prepared_cache[gid])
         self._seed_len = len(self._pending)
         self._pending_bytes = sum(len(f) + 4 for f in self._pending)
         self._roll_requested = False
@@ -329,7 +375,7 @@ class _PsycopgMessage:
 
 def run_daemon(dsn: str, slot: str, out_dir: str, publication: str,
                start_lsn: int = 0, proto_version: int = 1,
-               streaming: bool = False,
+               streaming: bool = False, two_phase: bool = False,
                ack_interval_s: float = 5.0, max_frames: int = 4096,
                max_bytes: int = 16 << 20, stop=lambda: False,
                writer: FrameFileWriter | None = None) -> None:
@@ -351,6 +397,7 @@ def run_daemon(dsn: str, slot: str, out_dir: str, publication: str,
             "proto_version": str(proto_version),
             "publication_names": publication,
             **({"streaming": "on"} if streaming else {}),
+            **({"two_phase": "on"} if two_phase else {}),
         },
     )
     if writer is None:

@@ -61,6 +61,15 @@ class DecoderState:
     # toplevel xid -> [(subxid, envelope_row)] buffered until
     # StreamCommit emits them / StreamAbort drops a subtransaction
     pending: dict[int, list[tuple[int, dict]]] = field(default_factory=dict)
+    # --- protocol v3 (two-phase commit, PG15+) ---
+    # gid of the prepared transaction currently open ('b'..'P'), else
+    # None; data between BeginPrepare and Prepare buffers under it
+    in_prepare: str | None = None
+    # gid -> (xid, rows) held from Prepare until CommitPrepared emits
+    # them or RollbackPrepared drops them — a prepared transaction can
+    # stay open for hours, so this is durable-decode state, not a
+    # per-message scratch buffer
+    prepared: dict[str, tuple[int, list[dict]]] = field(default_factory=dict)
     # --- side channels (no envelope rows) ---
     # replication origin of the current session's changes ('O' frames;
     # set by cascading replication / logical failover setups)
@@ -157,6 +166,41 @@ def decode_message(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
     """
     tag = msg[0:1]
 
+    if tag == b"b":  # BeginPrepare: prepare_lsn, end_lsn, ts, xid, gid
+        _plsn, _elsn, ts = struct.unpack_from(">qqq", msg, 1)
+        (xid,) = _UNPACK_I(msg, 25)
+        gid, _ = _cstring(msg, 29)
+        state.txid = xid
+        state.commit_ts = _pg_ts(ts)
+        state.in_prepare = gid
+        state.prepared[gid] = (xid, [])
+        return []
+    if tag == b"P":  # Prepare: flags i8, prepare_lsn, end_lsn, ts, xid, gid
+        state.in_prepare = None
+        state.txid = None
+        state.commit_ts = None
+        return []
+    if tag == b"K":  # CommitPrepared: flags, commit_lsn, end_lsn, ts, xid, gid
+        _clsn, _elsn, ts = struct.unpack_from(">qqq", msg, 2)
+        (xid,) = _UNPACK_I(msg, 26)
+        gid, _ = _cstring(msg, 30)
+        commit_ts = _pg_ts(ts)
+        _pxid, rows = state.prepared.pop(gid, (xid, []))
+        for row in rows:
+            row["txid"] = xid
+            row["commit_ts"] = commit_ts
+        return rows
+    if tag == b"r":  # RollbackPrepared: flags, 2 lsns, 2 ts, xid, gid
+        (xid,) = _UNPACK_I(msg, 34)
+        gid, _ = _cstring(msg, 38)
+        state.prepared.pop(gid, None)
+        return []
+    if tag == b"p":  # StreamPrepare: flags, prepare_lsn, end_lsn, ts, xid, gid
+        (xid,) = _UNPACK_I(msg, 26)
+        gid, _ = _cstring(msg, 30)
+        rows = [row for _sub, row in state.pending.pop(xid, [])]
+        state.prepared[gid] = (xid, rows)
+        return []
     if tag == b"S":  # StreamStart: xid int32, first_segment int8
         (xid,) = _UNPACK_I(msg, 1)
         state.in_stream = xid
@@ -193,7 +237,13 @@ def decode_message(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
             (subxid, row) for row in rows
         )
         return []
-    return _decode_plain(msg, lsn, state)
+    rows = _decode_plain(msg, lsn, state)
+    if state.in_prepare is not None and rows:
+        # data inside BeginPrepare..Prepare: buffered until
+        # CommitPrepared (a prepared txn may yet roll back)
+        state.prepared[state.in_prepare][1].extend(rows)
+        return []
+    return rows
 
 
 def _decode_plain(msg: bytes, lsn: int, state: DecoderState) -> list[dict]:
@@ -397,6 +447,44 @@ def encode_logical_message(prefix: str, content: bytes, lsn: int = 0,
     return (b"M" + struct.pack(">bq", 1 if transactional else 0, lsn)
             + prefix.encode() + b"\x00"
             + struct.pack(">i", len(content)) + content)
+
+
+def _gid_tail(ts: datetime, xid: int, gid: str) -> bytes:
+    micros = int((ts - _PG_EPOCH).total_seconds() * 1_000_000)
+    return struct.pack(">qi", micros, xid) + gid.encode() + b"\x00"
+
+
+def encode_begin_prepare(prepare_lsn: int, end_lsn: int, ts: datetime,
+                         xid: int, gid: str) -> bytes:
+    return (b"b" + struct.pack(">qq", prepare_lsn, end_lsn)
+            + _gid_tail(ts, xid, gid))
+
+
+def encode_prepare(prepare_lsn: int, end_lsn: int, ts: datetime,
+                   xid: int, gid: str) -> bytes:
+    return (b"P" + struct.pack(">bqq", 0, prepare_lsn, end_lsn)
+            + _gid_tail(ts, xid, gid))
+
+
+def encode_commit_prepared(commit_lsn: int, end_lsn: int, ts: datetime,
+                           xid: int, gid: str) -> bytes:
+    return (b"K" + struct.pack(">bqq", 0, commit_lsn, end_lsn)
+            + _gid_tail(ts, xid, gid))
+
+
+def encode_rollback_prepared(prepare_end_lsn: int, rollback_end_lsn: int,
+                             prepare_ts: datetime, rollback_ts: datetime,
+                             xid: int, gid: str) -> bytes:
+    pmicros = int((prepare_ts - _PG_EPOCH).total_seconds() * 1_000_000)
+    return (b"r" + struct.pack(">bqqq", 0, prepare_end_lsn,
+                               rollback_end_lsn, pmicros)
+            + _gid_tail(rollback_ts, xid, gid))
+
+
+def encode_stream_prepare(prepare_lsn: int, end_lsn: int, ts: datetime,
+                          xid: int, gid: str) -> bytes:
+    return (b"p" + struct.pack(">bqq", 0, prepare_lsn, end_lsn)
+            + _gid_tail(ts, xid, gid))
 
 
 def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:

@@ -279,7 +279,7 @@ class PgWireExecutor:
 def run_daemon_pgwire(host: str, port: int, user: str, database: str,
                       slot: str, out_dir: str, publication: str,
                       start_lsn: int = 0, proto_version: int = 1,
-                      streaming: bool = False,
+                      streaming: bool = False, two_phase: bool = False,
                       ack_interval_s: float = 5.0, max_frames: int = 4096,
                       max_bytes: int = 16 << 20, stop=lambda: False,
                       writer=None) -> None:
@@ -297,6 +297,9 @@ def run_daemon_pgwire(host: str, port: int, user: str, database: str,
     }
     if streaming:
         options["streaming"] = "on"
+    if two_phase:
+        options["two_phase"] = "on"  # needs proto_version >= 3 + a
+        # TWO_PHASE slot (api.Conn.add_slot(two_phase=True))
     repl.start_replication(slot, start_lsn + 1, options)
     if writer is None:
         writer = FrameFileWriter(out_dir, max_frames=max_frames,

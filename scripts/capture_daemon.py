@@ -61,9 +61,11 @@ def main() -> int:
     ap.add_argument("--create", action="store_true",
                     help="provision slot + publications before streaming")
     ap.add_argument("--from-lsn", type=int, default=0)
-    ap.add_argument("--proto-version", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--proto-version", type=int, default=1, choices=(1, 2, 3))
     ap.add_argument("--streaming", action="store_true",
                     help="proto v2 in-progress transaction streaming")
+    ap.add_argument("--two-phase", action="store_true",
+                    help="proto v3 two-phase decoding (TWO_PHASE slot)")
     ap.add_argument("--transport", default="auto",
                     choices=("auto", "psycopg", "pgwire"),
                     help="psycopg2 when installed, else the pure-stdlib "
@@ -108,7 +110,8 @@ def main() -> int:
     common = dict(
         slot=args.slot, publication=create_publication_id(args.slot),
         start_lsn=args.from_lsn, proto_version=args.proto_version,
-        streaming=args.streaming, ack_interval_s=args.ack_interval,
+        streaming=args.streaming, two_phase=args.two_phase,
+        ack_interval_s=args.ack_interval,
         max_frames=args.max_frames, max_bytes=args.max_bytes,
         stop=lambda: stopping["flag"],
     )

@@ -545,3 +545,133 @@ def test_recorded_session_full_golden_e2e(spark):
     assert apply_changes(
         env.filter(F.col("table") == "scratch"), scratch_key, key_name="x"
     ).count() == 0
+
+
+def _two_phase_frames():
+    from datetime import datetime, timedelta, timezone
+
+    from postrack_spark.sources.pgoutput import (
+        encode_begin,
+        encode_begin_prepare,
+        encode_commit,
+        encode_commit_prepared,
+        encode_insert,
+        encode_prepare,
+        encode_relation,
+        encode_rollback_prepared,
+        wrap_xlogdata,
+    )
+
+    ts = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    cts = ts + timedelta(hours=2)
+    w = wrap_xlogdata
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    return [
+        w(encode_relation(1, "public", "orders", cols), 1),
+        # prepared txn 800 (gid g1): b..P early, K much later
+        w(encode_begin_prepare(10, 11, ts, 800, "g1"), 10),
+        w(encode_insert(1, ["1", "O", "10.00"]), 11),
+        w(encode_insert(1, ["2", "O", "20.00"]), 12),
+        w(encode_prepare(10, 11, ts, 800, "g1"), 13),
+        # plenty of ordinary traffic to force rolls between P and K
+        *[
+            fr
+            for i in range(6)
+            for fr in (
+                w(encode_begin(20 + i, ts, 500 + i), 20 + 3 * i),
+                w(encode_insert(1, [str(100 + i), "F", "1.00"]), 21 + 3 * i),
+                w(encode_commit(22 + 3 * i, 23 + 3 * i, ts), 22 + 3 * i),
+            )
+        ],
+        # a second prepared txn rolls back
+        w(encode_begin_prepare(60, 61, ts, 801, "g2"), 60),
+        w(encode_insert(1, ["9", "O", "90.00"]), 61),
+        w(encode_prepare(60, 61, ts, 801, "g2"), 62),
+        w(encode_rollback_prepared(63, 64, ts, cts, 801, "g2"), 63),
+        # g1 finally commits
+        w(encode_commit_prepared(70, 71, cts, 800, "g1"), 70),
+    ]
+
+
+def test_two_phase_prepared_txn_survives_rolled_files():
+    """A prepared transaction's b..P block must re-seed into every new
+    file until CommitPrepared (the stream-cache rule for protocol v3):
+    per-file parallel decode emits its rows exactly once — in the file
+    holding K — and a rolled-back prepare never emits anywhere."""
+    d = tempfile.mkdtemp(prefix="daemon_2pc_")
+    writer = FrameFileWriter(d, max_frames=4)  # force several rolls
+    capture_loop(
+        iter([_Msg(f) for f in _two_phase_frames()]), writer,
+        ack=lambda lsn: None,
+    )
+    files = sorted(f for f in os.listdir(d) if f.endswith(".pgout"))
+    assert len(files) > 2, "test needs rolls between P and K"
+    per_file: list[list[dict]] = [
+        decode_xlogdata_stream(
+            read_frame_file(os.path.join(d, name)), DecoderState())
+        for name in files
+    ]
+    emitted = [r for rows in per_file for r in rows if r["txid"] == 800]
+    assert [r["after"]["o_orderkey"] for r in emitted] == ["1", "2"]
+    # ...and they all come from the single file containing K
+    k_files = [
+        i for i, name in enumerate(files)
+        if any(f[25:26] == b"K"
+               for f in read_frame_file(os.path.join(d, name)))
+    ]
+    assert len(k_files) == 1
+    assert all(not [r for r in per_file[i] if r["txid"] == 800]
+               for i in range(len(files)) if i != k_files[0])
+    # rolled-back gid 'g2' emits nowhere
+    assert all(r["after"]["o_orderkey"] != "9"
+               for rows in per_file for r in rows)
+    # sequential whole-dir decode agrees with the direct stream
+    want = decode_xlogdata_stream(_two_phase_frames(), DecoderState())
+    got = _decode_dir(d)
+    assert [(r["op"], r["after"]["o_orderkey"]) for r in got] == [
+        (r["op"], r["after"]["o_orderkey"]) for r in want]
+
+
+def test_two_phase_stream_prepare_reseeds_until_commit():
+    """v2+v3 composition: a large prepared txn arrives as stream
+    segments, StreamPrepare re-homes the cached segments under the gid,
+    and only the CommitPrepared file emits."""
+    from datetime import datetime, timedelta, timezone
+
+    from postrack_spark.sources.pgoutput import (
+        encode_commit_prepared,
+        encode_insert,
+        encode_relation,
+        encode_stream_prepare,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+        wrap_xlogdata,
+    )
+
+    ts = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    cts = ts + timedelta(minutes=30)
+    w = wrap_xlogdata
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    frames = [
+        w(encode_relation(1, "public", "orders", cols), 1),
+        w(encode_stream_start(900, True), 10),
+        w(with_stream_xid(encode_insert(1, ["1", "O", "10.00"]), 900), 11),
+        w(encode_stream_stop(), 12),
+        w(encode_stream_start(900, False), 20),
+        w(with_stream_xid(encode_insert(1, ["2", "O", "20.00"]), 900), 21),
+        w(encode_stream_stop(), 22),
+        w(encode_stream_prepare(23, 24, ts, 900, "big"), 23),
+        w(encode_commit_prepared(30, 31, cts, 900, "big"), 30),
+    ]
+    d = tempfile.mkdtemp(prefix="daemon_2pc_s_")
+    writer = FrameFileWriter(d, max_frames=3)
+    capture_loop(iter([_Msg(f) for f in frames]), writer, ack=lambda lsn: None)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".pgout"))
+    all_rows = []
+    for name in files:
+        rows = decode_xlogdata_stream(
+            read_frame_file(os.path.join(d, name)), DecoderState())
+        all_rows.extend(rows)
+    assert [r["after"]["o_orderkey"] for r in all_rows] == ["1", "2"]
+    assert all(r["txid"] == 900 and r["commit_ts"] == cts for r in all_rows)

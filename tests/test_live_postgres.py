@@ -71,6 +71,7 @@ def live_pg():
         f"-c port={port} -c listen_addresses=127.0.0.1 -c wal_level=logical "
         f"-c max_replication_slots=4 -c max_wal_senders=4 -c fsync=off "
         f"-c logical_decoding_work_mem=64kB "
+        f"-c max_prepared_transactions=10 "
         f"-c unix_socket_directories={base}"
     )
     r = _sh_as_pg(
@@ -115,7 +116,7 @@ def _wait_confirmed_flush(ex, slot: str, target: int, timeout_s: float = 30.0) -
 
 def _run_capture(live_pg, slot: str, pub: str, out_dir: str, start_lsn: int,
                  until_lsn: int, proto_version: int = 1,
-                 streaming: bool = False) -> None:
+                 streaming: bool = False, two_phase: bool = False) -> None:
     """Run the pgwire daemon in a thread until the slot's confirmed
     flush covers until_lsn, then stop it."""
     from postrack_spark.sources.pgwire import run_daemon_pgwire
@@ -126,7 +127,7 @@ def _run_capture(live_pg, slot: str, pub: str, out_dir: str, start_lsn: int,
         kwargs=dict(
             **live_pg, slot=slot, out_dir=out_dir, publication=pub,
             start_lsn=start_lsn, proto_version=proto_version,
-            streaming=streaming, ack_interval_s=0.5,
+            streaming=streaming, two_phase=two_phase, ack_interval_s=0.5,
             stop=lambda: stop["flag"],
         ),
         daemon=True,
@@ -659,6 +660,77 @@ def test_live_v2_streamed_transaction(live_pg, spark):
         )
         assert env.filter("op = 'INSERT'").count() == 2000
         assert env.select("txid").distinct().count() == 1
+        conn.drop_publication()
+        conn.drop_slot(slot)
+    finally:
+        ex.close()
+
+
+def test_live_two_phase_prepared_transactions(live_pg, spark):
+    """Protocol v3 two-phase decoding against the real server: a slot
+    created WITH TWO_PHASE, one transaction PREPAREd then COMMIT
+    PREPARED (its rows must arrive exactly once, stamped with the
+    commit), one PREPAREd then ROLLBACK PREPARED (its rows must never
+    surface) — the live proof for the b/P/K/r decoder lanes and the
+    writer's prepared-block re-seeding."""
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.sources.postgres_cdc import register
+
+    ex = _executor(live_pg)
+    slot, out_dir = "live_2pc_slot", tempfile.mkdtemp(prefix="pglive_2pc_")
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_2pc")
+        ex.command("CREATE TABLE public.live_2pc (id int primary key, v text)")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.add_slot(slot, two_phase=True)
+        conn.slot = slot
+        conn.set_publication(Table("public", "live_2pc"))
+        pub = create_publication_id(slot)
+
+        # prepared + committed
+        ex.command(
+            "BEGIN; INSERT INTO public.live_2pc VALUES (1, 'a'), (2, 'b');"
+            " PREPARE TRANSACTION 'live_g1';"
+        )
+        # prepared + rolled back
+        ex.command(
+            "BEGIN; INSERT INTO public.live_2pc VALUES (9, 'x');"
+            " PREPARE TRANSACTION 'live_g2';"
+        )
+        ex.command("COMMIT PREPARED 'live_g1'")
+        ex.command("ROLLBACK PREPARED 'live_g2'")
+        # an ordinary transaction after, proving the session continues
+        ex.command("INSERT INTO public.live_2pc VALUES (3, 'c')")
+        target = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _run_capture(
+            live_pg, slot, pub, out_dir, start_lsn=0, until_lsn=target,
+            proto_version=3, two_phase=True,
+        )
+
+        # the server really sent two-phase frames
+        from postrack_spark.sources.capture import FrameFileWriter
+        from postrack_spark.sources.postgres_cdc import read_frame_file
+
+        kinds = set()
+        for name in sorted(os.listdir(out_dir)):
+            for fr in read_frame_file(os.path.join(out_dir, name)):
+                kinds.add(FrameFileWriter._payload_kind(fr))
+        assert b"b" in kinds and b"P" in kinds and b"K" in kinds, kinds
+        assert b"r" in kinds, kinds
+
+        register(spark)
+        env = (
+            spark.read.format("postgres_cdc")
+            .option("capture_dir", out_dir)
+            .load()
+            .filter("`table` = 'live_2pc'")
+        )
+        rows = {
+            r["after"]["id"]: r["txid"]
+            for r in env.filter("op = 'INSERT'").collect()
+        }
+        assert set(rows) == {"1", "2", "3"}  # 9 rolled back, never emitted
+        assert rows["1"] == rows["2"] != rows["3"]
         conn.drop_publication()
         conn.drop_slot(slot)
     finally:

@@ -380,3 +380,81 @@ def test_schema_evolution_relation_resend():
     assert ops[2] == ("UPDATE", {"id": "1", "v": "a", "extra": "y"})
     # old image decoded against the evolved column list too
     assert rows[2]["before"] == {"id": "1", "v": "a", "extra": None}
+
+
+def test_two_phase_prepared_commit_and_rollback():
+    """Protocol v3 two-phase commit (PG15+, beyond the reference's
+    hardcoded v1): data between BeginPrepare and Prepare buffers under
+    the gid, survives the PREPARE..COMMIT PREPARED gap (which can span
+    hours and any number of other transactions), and emits at
+    CommitPrepared with the final commit timestamp; RollbackPrepared
+    drops the buffer."""
+    from datetime import timedelta
+
+    from postrack_spark.sources.pgoutput import (
+        encode_begin_prepare,
+        encode_commit_prepared,
+        encode_prepare,
+        encode_rollback_prepared,
+    )
+
+    CTS = TS + timedelta(hours=3)  # commit long after prepare
+    w = wrap_xlogdata
+    frames = [
+        w(encode_relation(1, "public", "orders", ORDERS_COLS), 0),
+        # prepared txn 800 / gid 'gtx1'
+        w(encode_begin_prepare(10, 11, TS, 800, "gtx1"), 10),
+        w(encode_insert(1, ["1", "O", "10.00"]), 11),
+        w(encode_insert(1, ["2", "O", "20.00"]), 12),
+        w(encode_prepare(10, 11, TS, 800, "gtx1"), 13),
+        # an ordinary transaction commits while gtx1 sits prepared
+        w(encode_begin(20, TS, 555), 20),
+        w(encode_insert(1, ["7", "F", "70.00"]), 21),
+        w(encode_commit(22, 23, TS), 22),
+        # a second prepared txn rolls back
+        w(encode_begin_prepare(30, 31, TS, 801, "gtx2"), 30),
+        w(encode_insert(1, ["9", "O", "90.00"]), 31),
+        w(encode_prepare(30, 31, TS, 801, "gtx2"), 32),
+        w(encode_rollback_prepared(33, 34, TS, CTS, 801, "gtx2"), 33),
+        # gtx1 finally commits
+        w(encode_commit_prepared(40, 41, CTS, 800, "gtx1"), 40),
+    ]
+    rows = decode_xlogdata_stream(frames)
+    assert [r["after"]["o_orderkey"] for r in rows] == ["7", "1", "2"]
+    prepared = [r for r in rows if r["txid"] == 800]
+    assert len(prepared) == 2
+    assert all(r["commit_ts"] == CTS for r in prepared)  # commit ts, not prepare
+    assert rows[0]["txid"] == 555
+    assert all(r["after"]["o_orderkey"] != "9" for r in rows)  # rolled back
+
+
+def test_two_phase_streamed_prepare():
+    """A LARGE prepared transaction streams its data (protocol v2
+    segments), then StreamPrepare moves the buffer under the gid and
+    CommitPrepared emits it — the v2+v3 composition."""
+    from datetime import timedelta
+
+    from postrack_spark.sources.pgoutput import (
+        encode_commit_prepared,
+        encode_stream_prepare,
+        encode_stream_start,
+        encode_stream_stop,
+        with_stream_xid,
+    )
+
+    CTS = TS + timedelta(minutes=90)
+    w = wrap_xlogdata
+    frames = [
+        w(encode_relation(1, "public", "orders", ORDERS_COLS), 0),
+        w(encode_stream_start(900, True), 10),
+        w(with_stream_xid(encode_insert(1, ["1", "O", "10.00"]), 900), 11),
+        w(encode_stream_stop(), 12),
+        w(encode_stream_start(900, False), 20),
+        w(with_stream_xid(encode_insert(1, ["2", "O", "20.00"]), 900), 21),
+        w(encode_stream_stop(), 22),
+        w(encode_stream_prepare(23, 24, TS, 900, "big1"), 23),
+        w(encode_commit_prepared(30, 31, CTS, 900, "big1"), 30),
+    ]
+    rows = decode_xlogdata_stream(frames)
+    assert [r["after"]["o_orderkey"] for r in rows] == ["1", "2"]
+    assert all(r["txid"] == 900 and r["commit_ts"] == CTS for r in rows)
