@@ -3624,3 +3624,96 @@ def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents_after",
         F.lit(no_rewrite).alias("no_data_rewrite"),
     )
+
+
+@query(
+    "profile_parquet_footer_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(min(o_custkey) AS BIGINT) AS data_min,
+           CAST(max(o_custkey) AS BIGINT) AS data_max,
+           CAST(min(o_custkey) AS BIGINT) AS footer_min,
+           CAST(max(o_custkey) AS BIGINT) AS footer_max
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT),
+           CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(round(min(o_totalprice) * 100) AS BIGINT),
+           CAST(round(max(o_totalprice) * 100) AS BIGINT),
+           CAST(round(min(o_totalprice) * 100) AS BIGINT),
+           CAST(round(max(o_totalprice) * 100) AS BIGINT)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-statistics trust audit — the check a lakehouse runs
+    before letting zone maps / data skipping / CBO lean on parquet
+    min/max: per column, the row-group statistics harvested from the
+    FOOTERS (a pyarrow metadata-only read, zero data pages — exactly
+    what the Delta stats writer and pruned_read_delta consume) must
+    equal the true distributed min/max over the data. A lying footer
+    (writer bug, post-hoc file edit) silently turns data skipping into
+    wrong results everywhere downstream; this query makes the driver's
+    hash gate catch it. Both sides of the comparison ride in one
+    output row per column (data_* from the Spark scan, footer_* from
+    pyarrow), the oracle recomputes all four from the data."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    mins: dict[str, float] = {}
+    maxs: dict[str, float] = {}
+    for path in sorted(_glob.glob(_os.path.join(sf_dir, "orders.parquet"))):
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if name not in ("o_orderkey", "o_custkey", "o_totalprice"):
+                    continue
+                mins[name] = (st.min if name not in mins
+                              else min(mins[name], st.min))
+                maxs[name] = (st.max if name not in maxs
+                              else max(maxs[name], st.max))
+
+    def footer(name: str) -> tuple[int, int]:
+        if name == "o_totalprice":
+            return round(mins[name] * 100), round(maxs[name] * 100)
+        return int(mins[name]), int(maxs[name])
+
+    t = load_tables(spark, sf_dir)["orders"]
+    data = t.agg(
+        F.min("o_orderkey").cast("long").alias("min_ok"),
+        F.max("o_orderkey").cast("long").alias("max_ok"),
+        F.min("o_custkey").cast("long").alias("min_ck"),
+        F.max("o_custkey").cast("long").alias("max_ck"),
+        F.round(F.min("o_totalprice") * 100).cast("long").alias("min_tp"),
+        F.round(F.max("o_totalprice") * 100).cast("long").alias("max_tp"),
+    )
+    rows = []
+    for col, lo, hi in (("o_custkey", "min_ck", "max_ck"),
+                        ("o_orderkey", "min_ok", "max_ok"),
+                        ("o_totalprice", "min_tp", "max_tp")):
+        fmin, fmax = footer(col)
+        rows.append(
+            data.select(
+                F.lit(col).alias("col"),
+                F.col(lo).alias("data_min"),
+                F.col(hi).alias("data_max"),
+                F.lit(fmin).cast("long").alias("footer_min"),
+                F.lit(fmax).cast("long").alias("footer_max"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col")
