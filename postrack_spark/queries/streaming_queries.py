@@ -2925,3 +2925,71 @@ def streaming_chained_stateful_dedup_window(
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "streaming_dynamic_gap_sessions",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN max(us + gap_us) OVER w IS NULL
+                    OR us > max(us + gap_us) OVER w
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a DYNAMIC per-event gap — purchases hold a
+    session open for 60 minutes, everything else 30 (the
+    engagement-weighted sessionization fixed-gap windows can't
+    express): each event contributes the interval [ts, ts+gap(event))
+    and overlapping intervals MERGE transitively. The oracle models
+    exactly that interval-union semantics relationally: a session
+    breaks before an event iff its time exceeds the running maximum of
+    all previous interval ENDS (cumulative max over a ROWS frame with
+    the event_id tie-break — the prefix_sums total-order rule; a plain
+    lag-against-previous model is WRONG here because a long-gap event
+    can bridge over short-gap successors). Merge-on-equality pinned:
+    ties merge on both engines. Complete mode equals the batch
+    interval union on finite input."""
+    from postrack_spark.streaming.runner import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes"))
+    sess = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(sess, _qname("dyn_sessions"), output_mode="complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
