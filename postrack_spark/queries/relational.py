@@ -3717,3 +3717,57 @@ def profile_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("col")
+
+
+@query(
+    "sql_parameterized_identifier",
+    oracle="""
+    SELECT 'execute_immediate' AS lane, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'named_args', o_orderpriority,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    ORDER BY lane
+    """,
+)
+def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — the injection-safe API surface every SQL
+    gateway needs: (1) named parameters with the IDENTIFIER() clause
+    binding a TABLE NAME from a parameter (identifiers cannot be bound
+    as values — IDENTIFIER is the sanctioned escape hatch), and
+    (2) EXECUTE IMMEDIATE with positional USING arguments (the SQL
+    scripting form). Both lanes compute the same rollup and both must
+    hash-match the oracle's literal query — a parameter-binding bug in
+    either lane (type coercion, identifier quoting) diverges the
+    hash. The temp view name is uuid-randomized so repeated driver
+    runs never collide."""
+    import uuid as _uuid
+
+    view = f"orders_param_{_uuid.uuid4().hex[:12]}"
+    load_tables(spark, sf_dir)["orders"].createOrReplaceTempView(view)
+    named = spark.sql(
+        "SELECT 'named_args' AS lane, o_orderpriority,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        "   AS cents"
+        " FROM IDENTIFIER(:tbl) WHERE o_orderpriority = :prio"
+        " GROUP BY o_orderpriority",
+        args={"tbl": view, "prio": "1-URGENT"},
+    )
+    ei = spark.sql(
+        "EXECUTE IMMEDIATE"
+        " 'SELECT ''execute_immediate'' AS lane, o_orderpriority,"
+        "   CAST(count(*) AS BIGINT) AS n,"
+        "   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        "     AS cents"
+        f"  FROM {view} WHERE o_orderpriority = ? GROUP BY o_orderpriority'"
+        " USING '1-URGENT'"
+    )
+    return ei.unionByName(named).orderBy("lane")
