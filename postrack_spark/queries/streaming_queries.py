@@ -2993,3 +2993,99 @@ def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_union_watermark_policy",
+    oracle="""
+    WITH b AS (
+      SELECT max(epoch_us(ts)) AS mx FROM events WHERE event_type <> 'purchase'
+    ),
+    wm AS (SELECT mx - 1800000000 AS w FROM b),
+    win AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) AS ws,
+             epoch_us(date_trunc('hour', ts)) + 3600000000 AS we,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           strftime(make_timestamp(ws), '%Y-%m-%d %H:00') AS hour,
+           CAST(c AS BIGINT) AS n
+    FROM win CROSS JOIN wm
+    WHERE we <= wm.w
+    ORDER BY event_type, hour
+    """,
+)
+def streaming_union_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-watermark queries under the default MIN policy: purchases
+    and non-purchases arrive as two independently-watermarked streams
+    (2 h vs 30 min delay) unioned into one windowed aggregate — the
+    global watermark is the MINIMUM of the inputs', so the slow
+    stream gates emission for everyone (the operational surprise this
+    query pins to an exact oracle). The boundary is made race-free by
+    construction: after both data batches, two far-future sentinel
+    batches advance only the PURCHASE stream's watermark — the min is
+    the other stream's (max - 30 min) throughout, so neither the
+    eviction lag nor a racy trailing batch can change the emission
+    set. Emitted = windows whose END <= that min; later windows stay
+    buffered — counted by neither side."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "event_type", "ts")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    rest = ev.filter(F.col("event_type") != "purchase")
+    mx = pur.agg(F.max("ts").alias("m"))
+    s1 = mx.select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit("purchase").alias("event_type"),
+        (F.col("m") + F.expr("INTERVAL 100 HOURS")).alias("ts"),
+    )
+    s2 = mx.select(
+        F.lit(-2).cast("long").alias("event_id"),
+        F.lit("purchase").alias("event_type"),
+        (F.col("m") + F.expr("INTERVAL 100 HOURS")
+         + F.expr("INTERVAL 1 MILLISECOND")).alias("ts"),
+    )
+    scratch = _tf.mkdtemp(prefix="wm_policy_")
+    dirs = {}
+    for lane, parts in (("pur", (pur, s1, s2)), ("rest", (rest,))):
+        dest = _os.path.join(scratch, lane)
+        _os.makedirs(dest)
+        for i, df in enumerate(parts):
+            tmp = _os.path.join(scratch, f"t_{lane}_{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+            p = _os.path.join(dest, f"f{i:03d}.parquet")
+            _shutil.copy(src, p)
+            _os.utime(p, (1e9 + i, 1e9 + i))
+        dirs[lane] = dest
+    schema = spark.read.parquet(dirs["pur"]).schema
+    sp = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["pur"])
+        .withWatermark("ts", "2 hours")
+    )
+    sr = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["rest"])
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = sp.unionByName(sr).groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).count()
+    out = run_to_memory(agg, _qname("wm_policy"), output_mode="append")
+    # sentinel windows end far above the min watermark and never emit,
+    # so no sentinel filtering is needed on the way out
+    return out.select(
+        "event_type",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("count").cast("long").alias("n"),
+    ).orderBy("event_type", "hour")
