@@ -515,26 +515,36 @@ def compact_delta(spark: SparkSession, table: str,
                   target_files: int = 1) -> int:
     """OPTIMIZE-shaped bin-packing: rewrite the live set into
     ``target_files`` files and commit remove+add atomically
-    (dataChange=false — readers see identical rows before and after)."""
-    paths, schema_string, _v = _snapshot(table, None)
-    if not paths:
-        return latest_version(table) or 0
-    df = read_delta(spark, table).coalesce(target_files)
-    adds = _write_data_files(df, table)
-    for a in adds:
-        a["add"]["dataChange"] = False
-    removes = [{"remove": {
-        "path": p, "deletionTimestamp": int(time.time() * 1000),
-        "dataChange": False,
-    }} for p in paths]
+    (dataChange=false — readers see identical rows before and after).
+
+    Snapshot-pinned OCC (shared by every copy-on-write op here): the
+    rewrite is computed from a READ VERSION and committed at exactly
+    read_version + 1 — if any other commit lands in between, the
+    commit loses put-if-absent and the WHOLE rewrite recomputes from
+    the new snapshot. Retrying stale actions at a later version (the
+    pre-fix behavior) silently resurrects concurrently-deleted rows:
+    a delete at S+1 removes file X, a compaction computed at S would
+    re-add X's rows at S+2. Conservative vs delta-spark (which allows
+    logically-disjoint concurrent commits through) but never wrong;
+    orphaned staged files from lost attempts are unreferenced and
+    vacuumable."""
     for _ in range(10):
-        current = latest_version(table)
-        version = (current or 0) + 1
+        paths, schema_string, read_v = _snapshot(table, None)
+        if not paths:
+            return latest_version(table) or 0
+        df = read_delta(spark, table, version=read_v).coalesce(target_files)
+        adds = _write_data_files(df, table)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        removes = [{"remove": {
+            "path": p, "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": False,
+        }} for p in paths]
         try:
-            commit_delta(table, version, removes + adds)
-            return version
+            commit_delta(table, read_v + 1, removes + adds)
+            return read_v + 1
         except DeltaCommitConflict:
-            continue
+            continue  # recompute from the new snapshot
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
@@ -583,49 +593,49 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
     if latest_version(table) is None:
         write_delta(images, table, mode="append")
         return 0
-    paths, schema_string, _v = _snapshot(table, None)
-    schema = StructType.fromJson(json.loads(schema_string))
-    full = [os.path.join(table, p) for p in paths]
-    live = spark.read.schema(schema).parquet(*full).withColumn(
-        "_fp", F.col("_metadata.file_path"))
-    keys = images.select(key_col).distinct()
-    affected_fps = [
-        r["_fp"]
-        for r in live.join(F.broadcast(keys), key_col, "left_semi")
-        .select("_fp").distinct().collect()
-    ]  # metadata-sized (file list), not a data-path collect
-    def _local(fp: str) -> str:
-        # _metadata.file_path is a URI ("file:/tmp/..." or "file:///...")
-        if fp.startswith("file:"):
-            fp = fp[len("file:"):]
-            while fp.startswith("//"):
-                fp = fp[1:]
-        return fp
+    for _ in range(10):  # snapshot-pinned OCC — see compact_delta
+        paths, schema_string, read_v = _snapshot(table, None)
+        schema = StructType.fromJson(json.loads(schema_string))
+        full = [os.path.join(table, p) for p in paths]
+        live = spark.read.schema(schema).parquet(*full).withColumn(
+            "_fp", F.col("_metadata.file_path"))
+        keys = images.select(key_col).distinct()
+        affected_fps = [
+            r["_fp"]
+            for r in live.join(F.broadcast(keys), key_col, "left_semi")
+            .select("_fp").distinct().collect()
+        ]  # metadata-sized (file list), not a data-path collect
 
-    rel_affected = {os.path.relpath(_local(fp), os.path.abspath(table))
-                    for fp in affected_fps}
-    survivors = None
-    if rel_affected:
-        survivors = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in sorted(rel_affected)])
-    merged = images if survivors is None else survivors.unionByName(images)
-    cols = [c for c in merged.columns if c != key_col]
-    winner = merged.groupBy(key_col).agg(
-        F.max_by(F.struct(*cols), order_col).alias("_w"))
-    flat = winner.select(key_col, *[F.col(f"_w.{c}").alias(c) for c in cols])
-    adds = _write_data_files(flat, table)
-    removes = [{"remove": {
-        "path": p, "deletionTimestamp": int(time.time() * 1000),
-        "dataChange": True,
-    }} for p in sorted(rel_affected)]
-    for _ in range(10):
-        current = latest_version(table)
-        version = (current or 0) + 1
+        def _local(fp: str) -> str:
+            # _metadata.file_path is a URI ("file:/tmp/.." or "file:///..")
+            if fp.startswith("file:"):
+                fp = fp[len("file:"):]
+                while fp.startswith("//"):
+                    fp = fp[1:]
+            return fp
+
+        rel_affected = {os.path.relpath(_local(fp), os.path.abspath(table))
+                        for fp in affected_fps}
+        survivors = None
+        if rel_affected:
+            survivors = spark.read.schema(schema).parquet(
+                *[os.path.join(table, p) for p in sorted(rel_affected)])
+        merged = images if survivors is None else survivors.unionByName(images)
+        cols = [c for c in merged.columns if c != key_col]
+        winner = merged.groupBy(key_col).agg(
+            F.max_by(F.struct(*cols), order_col).alias("_w"))
+        flat = winner.select(key_col,
+                             *[F.col(f"_w.{c}").alias(c) for c in cols])
+        adds = _write_data_files(flat, table)
+        removes = [{"remove": {
+            "path": p, "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": True,
+        }} for p in sorted(rel_affected)]
         try:
-            commit_delta(table, version, removes + adds)
-            return version
+            commit_delta(table, read_v + 1, removes + adds)
+            return read_v + 1
         except DeltaCommitConflict:
-            continue
+            continue  # recompute winners from the new snapshot
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
@@ -651,46 +661,44 @@ def delete_delta(spark: SparkSession, table: str,
     only affected files, so cost is proportional to matches' file
     locality, never table size — the reason engines Z-order before
     bulk GDPR deletes (layout family)."""
-    paths, schema_string, _v = _snapshot(table, None)
-    schema = StructType.fromJson(json.loads(schema_string))
-    full = [os.path.join(table, p) for p in paths]
-    live = spark.read.schema(schema).parquet(*full).withColumn(
-        "_fp", F.col("_metadata.file_path"))
-    cond = F.coalesce(F.expr(condition), F.lit(False))
-    affected_fps = [
-        r["_fp"]
-        for r in live.filter(cond).select("_fp").distinct().collect()
-    ]  # metadata-sized (file list), not a data-path collect
+    for _ in range(10):  # snapshot-pinned OCC — see compact_delta
+        paths, schema_string, read_v = _snapshot(table, None)
+        schema = StructType.fromJson(json.loads(schema_string))
+        full = [os.path.join(table, p) for p in paths]
+        live = spark.read.schema(schema).parquet(*full).withColumn(
+            "_fp", F.col("_metadata.file_path"))
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        affected_fps = [
+            r["_fp"]
+            for r in live.filter(cond).select("_fp").distinct().collect()
+        ]  # metadata-sized (file list), not a data-path collect
 
-    def _local(fp: str) -> str:
-        if fp.startswith("file:"):
-            fp = fp[len("file:"):]
-            while fp.startswith("//"):
-                fp = fp[1:]
-        return fp
+        def _local(fp: str) -> str:
+            if fp.startswith("file:"):
+                fp = fp[len("file:"):]
+                while fp.startswith("//"):
+                    fp = fp[1:]
+            return fp
 
-    rel_affected = sorted(
-        os.path.relpath(_local(fp), os.path.abspath(table))
-        for fp in affected_fps
-    )
-    if not rel_affected:
-        return latest_version(table) or 0, 0, len(paths)
-    survivors = spark.read.schema(schema).parquet(
-        *[os.path.join(table, p) for p in rel_affected]
-    ).filter(~F.coalesce(F.expr(condition), F.lit(False)))
-    adds = _write_data_files(survivors, table)
-    removes = [{"remove": {
-        "path": p, "deletionTimestamp": int(time.time() * 1000),
-        "dataChange": True,
-    }} for p in rel_affected]
-    for _ in range(10):
-        current = latest_version(table)
-        version = (current or 0) + 1
+        rel_affected = sorted(
+            os.path.relpath(_local(fp), os.path.abspath(table))
+            for fp in affected_fps
+        )
+        if not rel_affected:
+            return latest_version(table) or 0, 0, len(paths)
+        survivors = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in rel_affected]
+        ).filter(~F.coalesce(F.expr(condition), F.lit(False)))
+        adds = _write_data_files(survivors, table)
+        removes = [{"remove": {
+            "path": p, "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": True,
+        }} for p in rel_affected]
         try:
-            commit_delta(table, version, removes + adds)
-            return version, len(rel_affected), len(paths)
+            commit_delta(table, read_v + 1, removes + adds)
+            return read_v + 1, len(rel_affected), len(paths)
         except DeltaCommitConflict:
-            continue
+            continue  # recompute matches from the new snapshot
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
@@ -705,47 +713,45 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
     are human-scale) costs one pushdown scan + affected-file rewrite.
     Returns (version, files_rewritten, files_total); an empty or
     non-matching key set commits nothing."""
-    paths, schema_string, _v = _snapshot(table, None)
-    schema = StructType.fromJson(json.loads(schema_string))
-    full = [os.path.join(table, p) for p in paths]
-    live = spark.read.schema(schema).parquet(*full).withColumn(
-        "_fp", F.col("_metadata.file_path"))
-    kdf = keys.select(key_col).distinct()
-    affected_fps = [
-        r["_fp"]
-        for r in live.join(F.broadcast(kdf), key_col, "left_semi")
-        .select("_fp").distinct().collect()
-    ]  # metadata-sized (file list), not a data-path collect
+    for _ in range(10):  # snapshot-pinned OCC — see compact_delta
+        paths, schema_string, read_v = _snapshot(table, None)
+        schema = StructType.fromJson(json.loads(schema_string))
+        full = [os.path.join(table, p) for p in paths]
+        live = spark.read.schema(schema).parquet(*full).withColumn(
+            "_fp", F.col("_metadata.file_path"))
+        kdf = keys.select(key_col).distinct()
+        affected_fps = [
+            r["_fp"]
+            for r in live.join(F.broadcast(kdf), key_col, "left_semi")
+            .select("_fp").distinct().collect()
+        ]  # metadata-sized (file list), not a data-path collect
 
-    def _local(fp: str) -> str:
-        if fp.startswith("file:"):
-            fp = fp[len("file:"):]
-            while fp.startswith("//"):
-                fp = fp[1:]
-        return fp
+        def _local(fp: str) -> str:
+            if fp.startswith("file:"):
+                fp = fp[len("file:"):]
+                while fp.startswith("//"):
+                    fp = fp[1:]
+            return fp
 
-    rel_affected = sorted(
-        os.path.relpath(_local(fp), os.path.abspath(table))
-        for fp in affected_fps
-    )
-    if not rel_affected:
-        return latest_version(table) or 0, 0, len(paths)
-    survivors = spark.read.schema(schema).parquet(
-        *[os.path.join(table, p) for p in rel_affected]
-    ).join(F.broadcast(kdf), key_col, "left_anti")
-    adds = _write_data_files(survivors, table)
-    removes = [{"remove": {
-        "path": p, "deletionTimestamp": int(time.time() * 1000),
-        "dataChange": True,
-    }} for p in rel_affected]
-    for _ in range(10):
-        current = latest_version(table)
-        version = (current or 0) + 1
+        rel_affected = sorted(
+            os.path.relpath(_local(fp), os.path.abspath(table))
+            for fp in affected_fps
+        )
+        if not rel_affected:
+            return latest_version(table) or 0, 0, len(paths)
+        survivors = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in rel_affected]
+        ).join(F.broadcast(kdf), key_col, "left_anti")
+        adds = _write_data_files(survivors, table)
+        removes = [{"remove": {
+            "path": p, "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": True,
+        }} for p in rel_affected]
         try:
-            commit_delta(table, version, removes + adds)
-            return version, len(rel_affected), len(paths)
+            commit_delta(table, read_v + 1, removes + adds)
+            return read_v + 1, len(rel_affected), len(paths)
         except DeltaCommitConflict:
-            continue
+            continue  # recompute matches from the new snapshot
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 

@@ -512,3 +512,62 @@ def test_checkpoint_at_historic_version(spark):
     # newer JSON commits replay ON TOP of the checkpoint seed
     assert read_delta(spark, table).count() == 30
     assert read_delta(spark, table, version=0).count() == 10
+
+
+def test_concurrent_delete_during_compaction_is_not_resurrected(spark, monkeypatch):
+    """Snapshot-pinned OCC: a DELETE that commits between a
+    compaction's read and its commit must NOT be undone by the
+    compaction (the stale-actions retry of the pre-fix code re-added
+    the deleted rows). The injection lands a real delete right after
+    the compaction stages its rewrite files — the conflict forces a
+    full recompute from the post-delete snapshot."""
+    from postrack_spark.streaming import delta_log
+    from postrack_spark.streaming.delta_log import compact_delta, delete_delta
+
+    table = tempfile.mkdtemp(prefix="delta_occ_")
+    write_delta(_df(spark, 0, 100).repartitionByRange(4, "k"), table)
+
+    orig = delta_log._write_data_files
+    fired = {"done": False}
+
+    def inject(df, tbl):
+        adds = orig(df, tbl)
+        if not fired["done"]:
+            fired["done"] = True
+            delete_delta(spark, table, "k < 25")  # concurrent writer wins
+        return adds
+
+    monkeypatch.setattr(delta_log, "_write_data_files", inject)
+    v = compact_delta(spark, table, target_files=2)
+    assert fired["done"]
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == list(range(25, 100)), "compaction resurrected deleted rows"
+    # the delete's version precedes the recomputed compaction's
+    assert v == latest_version(table)
+    assert read_delta(spark, table, version=v - 1).count() == 75  # post-delete
+
+
+def test_concurrent_append_during_delete_survives(spark, monkeypatch):
+    """Rows appended concurrently with a DELETE must survive it — the
+    recompute path re-reads the snapshot that includes them (and
+    re-applies the predicate to the whole new live set)."""
+    from postrack_spark.streaming import delta_log
+    from postrack_spark.streaming.delta_log import delete_delta
+
+    table = tempfile.mkdtemp(prefix="delta_occ2_")
+    write_delta(_df(spark, 0, 50).repartitionByRange(4, "k"), table)
+
+    orig = delta_log._write_data_files
+    fired = {"done": False}
+
+    def inject(df, tbl):
+        adds = orig(df, tbl)
+        if not fired["done"]:
+            fired["done"] = True
+            write_delta(_df(spark, 100, 120), table)  # concurrent append
+        return adds
+
+    monkeypatch.setattr(delta_log, "_write_data_files", inject)
+    delete_delta(spark, table, "k < 10")
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == list(range(10, 50)) + list(range(100, 120))
