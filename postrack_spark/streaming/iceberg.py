@@ -117,8 +117,35 @@ ADDED, EXISTING = 1, 0
 DATA_CONTENT, DELETE_CONTENT = 0, 1
 
 
+class IcebergCommitConflict(RuntimeError):
+    """Another writer created this metadata version first."""
+
+
 def _meta_dir(table: str) -> str:
     return os.path.join(table, "metadata")
+
+
+def _commit_metadata(table: str, version: int, meta: dict) -> None:
+    """The commit point, made SAFE for concurrent writers: the
+    vN.metadata.json is created put-if-absent (O_CREAT|O_EXCL — the
+    delta_log.commit_delta rule; a plain open(...,'w') would let the
+    second of two racing commits silently overwrite the first, orphaning
+    its files from the live view), then the version hint swings to it
+    atomically. A loser gets IcebergCommitConflict and must RECOMPUTE
+    from the new current metadata, not retry stale state."""
+    path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        raise IcebergCommitConflict(f"metadata version {version} exists")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    tmp = os.path.join(_meta_dir(table), f".hint.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
 
 
 def _current_metadata(table: str) -> dict | None:
@@ -127,6 +154,13 @@ def _current_metadata(table: str) -> dict | None:
         return None
     with open(hint) as f:
         v = int(f.read().strip())
+    # the hint is best-effort (two racing committers can swing it out
+    # of order): probe FORWARD for newer committed versions — the
+    # HadoopTables discovery rule, which makes a stale/backwards hint
+    # harmless
+    while os.path.exists(os.path.join(_meta_dir(table),
+                                      f"v{v + 1}.metadata.json")):
+        v += 1
     with open(os.path.join(_meta_dir(table), f"v{v}.metadata.json")) as f:
         return json.load(f)
 
@@ -155,16 +189,10 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         raise ValueError("format_version must be 1 or 2")
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     os.makedirs(_meta_dir(table), exist_ok=True)
-    current = _current_metadata(table)
-    if current is not None and current["format-version"] != format_version:
-        raise ValueError(
-            f"table is format-version {current['format-version']}, "
-            f"append requested {format_version}")
-    version = 0 if current is None else current["last-version"] + 1
-    snapshot_id = version + 1  # deterministic, monotone
-    seq = ((current or {}).get("last-sequence-number", 0) or 0) + 1
 
-    # 1. data files
+    # 1. data files — staged ONCE (the bytes don't depend on the
+    # version we end up committing at; losers of commit races reuse
+    # them on the recompute pass)
     scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(scratch)
     entries = []
@@ -174,7 +202,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         final = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
         os.replace(os.path.join(scratch, name), os.path.join(table, final))
         entries.append({
-            "status": ADDED, "snapshot_id": snapshot_id,
+            "status": ADDED, "snapshot_id": 0,  # stamped per attempt
             "data_file": {
                 "file_path": final, "file_format": "PARQUET",
                 # record_count per file needs a footer read; the spec
@@ -185,68 +213,80 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             }})
     shutil.rmtree(scratch, ignore_errors=True)
 
-    # 2. manifest for this snapshot
-    manifest_rel = os.path.join("metadata",
-                                f"manifest-{snapshot_id:08d}.avro")
-    manifest_blob = write_avro(entries, _MANIFEST_SCHEMA, codec="deflate")
-    with open(os.path.join(table, manifest_rel), "wb") as f:
-        f.write(manifest_blob)
+    for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
+        current = _current_metadata(table)
+        if current is not None and current["format-version"] != format_version:
+            raise ValueError(
+                f"table is format-version {current['format-version']}, "
+                f"append requested {format_version}")
+        version = 0 if current is None else current["last-version"] + 1
+        snapshot_id = version + 1  # deterministic, monotone
+        seq = ((current or {}).get("last-sequence-number", 0) or 0) + 1
+        for e in entries:
+            e["snapshot_id"] = snapshot_id
 
-    # 3. manifest list: carry prior manifests forward + the new one
-    prior = []
-    if current is not None and carry_forward:
-        snap = _snapshot(current, current["current-snapshot-id"])
-        prior_list, _ = read_avro(_read_file(table, snap["manifest-list"]))
-        prior = prior_list
-    new_entry = {
-        "manifest_path": manifest_rel,
-        "manifest_length": len(manifest_blob),
-        "partition_spec_id": 0,
-        "added_snapshot_id": snapshot_id,
-    }
-    if format_version == 2:
-        new_entry["content"] = DATA_CONTENT
-        new_entry["sequence_number"] = seq
-    mlist = prior + [new_entry]
-    mlist_rel = os.path.join("metadata", f"snap-{snapshot_id:08d}.avro")
-    list_schema = (_MANIFEST_LIST_SCHEMA_V2 if format_version == 2
-                   else _MANIFEST_LIST_SCHEMA)
-    with open(os.path.join(table, mlist_rel), "wb") as f:
-        f.write(write_avro(mlist, list_schema, codec="deflate"))
+        # 2. manifest for this snapshot (a lost race orphans it —
+        # unreferenced, harmless)
+        manifest_rel = os.path.join(
+            "metadata", f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        manifest_blob = write_avro(entries, _MANIFEST_SCHEMA, codec="deflate")
+        with open(os.path.join(table, manifest_rel), "wb") as f:
+            f.write(manifest_blob)
 
-    # 4. new metadata.json, then the version-hint swap (commit point)
-    now_ms = int(time.time() * 1000)
-    new_snap = {
-        "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
-        "manifest-list": mlist_rel,
-        "summary": {"operation": "append"},
-    }
-    if format_version == 2:
-        new_snap["sequence-number"] = seq
-    snapshots = (current["snapshots"] if current else []) + [new_snap]
-    meta = {
-        "format-version": format_version,
-        "table-uuid": (current or {}).get("table-uuid", str(uuid.uuid4())),
-        "location": os.path.abspath(table),
-        "last-updated-ms": now_ms,
-        "last-column-id": len(df.schema.fields),
-        "schema": _ice_schema(df.schema),
-        "partition-spec": [],
-        "properties": {},
-        "current-snapshot-id": snapshot_id,
-        "snapshots": snapshots,
-        "last-version": version,
-    }
-    if format_version == 2:
-        meta["last-sequence-number"] = seq
-    with open(os.path.join(_meta_dir(table),
-                           f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    tmp = os.path.join(_meta_dir(table), ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
-    return snapshot_id
+        # 3. manifest list: carry prior manifests forward + the new one
+        prior = []
+        if current is not None and carry_forward:
+            snap = _snapshot(current, current["current-snapshot-id"])
+            prior_list, _ = read_avro(_read_file(table, snap["manifest-list"]))
+            prior = prior_list
+        new_entry = {
+            "manifest_path": manifest_rel,
+            "manifest_length": len(manifest_blob),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+        }
+        if format_version == 2:
+            new_entry["content"] = DATA_CONTENT
+            new_entry["sequence_number"] = seq
+        mlist = prior + [new_entry]
+        mlist_rel = os.path.join(
+            "metadata", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        list_schema = (_MANIFEST_LIST_SCHEMA_V2 if format_version == 2
+                       else _MANIFEST_LIST_SCHEMA)
+        with open(os.path.join(table, mlist_rel), "wb") as f:
+            f.write(write_avro(mlist, list_schema, codec="deflate"))
+
+        # 4. new metadata.json via put-if-absent + hint swap
+        now_ms = int(time.time() * 1000)
+        new_snap = {
+            "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "manifest-list": mlist_rel,
+            "summary": {"operation": "append"},
+        }
+        if format_version == 2:
+            new_snap["sequence-number"] = seq
+        snapshots = (current["snapshots"] if current else []) + [new_snap]
+        meta = {
+            "format-version": format_version,
+            "table-uuid": (current or {}).get("table-uuid", str(uuid.uuid4())),
+            "location": os.path.abspath(table),
+            "last-updated-ms": now_ms,
+            "last-column-id": len(df.schema.fields),
+            "schema": _ice_schema(df.schema),
+            "partition-spec": [],
+            "properties": {},
+            "current-snapshot-id": snapshot_id,
+            "snapshots": snapshots,
+            "last-version": version,
+        }
+        if format_version == 2:
+            meta["last-sequence-number"] = seq
+        try:
+            _commit_metadata(table, version, meta)
+            return snapshot_id
+        except IcebergCommitConflict:
+            continue  # recompute from the new current metadata
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
 
 def _parquet_rows(path: str) -> int:
@@ -349,88 +389,93 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
     per-partition files)."""
     from pyspark.sql import functions as F
 
-    meta = _current_metadata(table)
-    if meta is None:
-        raise FileNotFoundError(f"no iceberg metadata under {table}")
-    if meta["format-version"] != 2:
-        raise NotImplementedError(
-            "position deletes need a format-version 2 table")
-    snap = _snapshot(meta, meta["current-snapshot-id"])
-    mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
-    data_paths = []
-    for m in mlist:
-        if m.get("content", DATA_CONTENT) != DATA_CONTENT:
-            continue
-        entries, _s = read_avro(_read_file(table, m["manifest_path"]))
-        data_paths += [e["data_file"]["file_path"] for e in entries
-                       if e["status"] in (ADDED, EXISTING)]
-    ddl = ", ".join(
-        f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
-        for f in meta["schema"]["fields"])
-    root = os.path.abspath(table)
-    df = spark.read.schema(ddl).parquet(
-        *[os.path.join(table, p) for p in data_paths])
-    matches = df.filter(
-        F.coalesce(F.expr(condition), F.lit(False))
-    ).select(
-        _rel_path_col(root).alias("file_path"),
-        F.col("_metadata.row_index").alias("pos"),
-    )
-    rows = sorted(
-        ((r["file_path"], int(r["pos"])) for r in matches.collect()))
-    if not rows:
-        return meta["current-snapshot-id"], 0
-    version = meta["last-version"] + 1
-    snapshot_id = version + 1
-    seq = meta["last-sequence-number"] + 1
-    del_rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.avro")
-    del_blob = write_avro(
-        [{"file_path": p, "pos": pos} for p, pos in rows],
-        _POS_DELETE_SCHEMA, codec="deflate")
-    with open(os.path.join(table, del_rel), "wb") as f:
-        f.write(del_blob)
-    manifest_rel = os.path.join("metadata",
-                                f"manifest-{snapshot_id:08d}.avro")
-    manifest_blob = write_avro([{
-        "status": ADDED, "snapshot_id": snapshot_id,
-        "data_file": {
-            "file_path": del_rel, "file_format": "AVRO",
-            "record_count": len(rows),
-            "file_size_in_bytes": len(del_blob),
-        }}], _MANIFEST_SCHEMA, codec="deflate")
-    with open(os.path.join(table, manifest_rel), "wb") as f:
-        f.write(manifest_blob)
-    new_mlist = mlist + [{
-        "manifest_path": manifest_rel,
-        "manifest_length": len(manifest_blob),
-        "partition_spec_id": 0,
-        "added_snapshot_id": snapshot_id,
-        "content": DELETE_CONTENT,
-        "sequence_number": seq,
-    }]
-    mlist_rel = os.path.join("metadata", f"snap-{snapshot_id:08d}.avro")
-    with open(os.path.join(table, mlist_rel), "wb") as f:
-        f.write(write_avro(new_mlist, _MANIFEST_LIST_SCHEMA_V2,
-                           codec="deflate"))
-    now_ms = int(time.time() * 1000)
-    new_meta = dict(meta)
-    new_meta["snapshots"] = meta["snapshots"] + [{
-        "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
-        "manifest-list": mlist_rel, "sequence-number": seq,
-        "summary": {"operation": "delete"},
-    }]
-    new_meta["current-snapshot-id"] = snapshot_id
-    new_meta["last-version"] = version
-    new_meta["last-sequence-number"] = seq
-    new_meta["last-updated-ms"] = now_ms
-    with open(os.path.join(_meta_dir(table),
-                           f"v{version}.metadata.json"), "w") as f:
-        json.dump(new_meta, f, indent=1)
-    tmp = os.path.join(_meta_dir(table), ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
-    return snapshot_id, len(rows)
+    for _ in range(10):  # snapshot-pinned OCC (the delta_log rule):
+        # positions are computed against THIS snapshot's files, so a
+        # concurrent commit (e.g. compaction rewriting them) must force
+        # a full recompute — stale (file, pos) pairs would point into
+        # retired or reshuffled files
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        if meta["format-version"] != 2:
+            raise NotImplementedError(
+                "position deletes need a format-version 2 table")
+        snap = _snapshot(meta, meta["current-snapshot-id"])
+        mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
+        data_paths = []
+        for m in mlist:
+            if m.get("content", DATA_CONTENT) != DATA_CONTENT:
+                continue
+            entries, _s = read_avro(_read_file(table, m["manifest_path"]))
+            data_paths += [e["data_file"]["file_path"] for e in entries
+                           if e["status"] in (ADDED, EXISTING)]
+        ddl = ", ".join(
+            f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+            for f in meta["schema"]["fields"])
+        root = os.path.abspath(table)
+        df = spark.read.schema(ddl).parquet(
+            *[os.path.join(table, p) for p in data_paths])
+        matches = df.filter(
+            F.coalesce(F.expr(condition), F.lit(False))
+        ).select(
+            _rel_path_col(root).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        rows = sorted(
+            ((r["file_path"], int(r["pos"])) for r in matches.collect()))
+        if not rows:
+            return meta["current-snapshot-id"], 0
+        version = meta["last-version"] + 1
+        snapshot_id = version + 1
+        seq = meta["last-sequence-number"] + 1
+        del_rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.avro")
+        del_blob = write_avro(
+            [{"file_path": p, "pos": pos} for p, pos in rows],
+            _POS_DELETE_SCHEMA, codec="deflate")
+        with open(os.path.join(table, del_rel), "wb") as f:
+            f.write(del_blob)
+        manifest_rel = os.path.join(
+            "metadata",
+            f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        manifest_blob = write_avro([{
+            "status": ADDED, "snapshot_id": snapshot_id,
+            "data_file": {
+                "file_path": del_rel, "file_format": "AVRO",
+                "record_count": len(rows),
+                "file_size_in_bytes": len(del_blob),
+            }}], _MANIFEST_SCHEMA, codec="deflate")
+        with open(os.path.join(table, manifest_rel), "wb") as f:
+            f.write(manifest_blob)
+        new_mlist = mlist + [{
+            "manifest_path": manifest_rel,
+            "manifest_length": len(manifest_blob),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "content": DELETE_CONTENT,
+            "sequence_number": seq,
+        }]
+        mlist_rel = os.path.join(
+            "metadata", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        with open(os.path.join(table, mlist_rel), "wb") as f:
+            f.write(write_avro(new_mlist, _MANIFEST_LIST_SCHEMA_V2,
+                               codec="deflate"))
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["snapshots"] = meta["snapshots"] + [{
+            "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "manifest-list": mlist_rel, "sequence-number": seq,
+            "summary": {"operation": "delete"},
+        }]
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-version"] = version
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        try:
+            _commit_metadata(table, version, new_meta)
+            return snapshot_id, len(rows)
+        except IcebergCommitConflict:
+            continue  # recompute positions from the new snapshot
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
 
 def compact_iceberg(spark: SparkSession, table: str,
@@ -527,13 +572,7 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
         "snapshots": snapshots,
         "last-version": version,
     }
-    with open(os.path.join(_meta_dir(table),
-                           f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    tmp = os.path.join(_meta_dir(table), ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
+    _commit_metadata(table, version, meta)
     return snapshot_id
 
 
@@ -581,13 +620,10 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1
     new_meta["snapshots"] = kept
     new_meta["last-version"] = version
     new_meta["last-updated-ms"] = int(time.time() * 1000)
-    with open(os.path.join(_meta_dir(table),
-                           f"v{version}.metadata.json"), "w") as f:
-        json.dump(new_meta, f, indent=1)
-    tmp = os.path.join(_meta_dir(table), ".hint.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(_meta_dir(table), "version-hint.text"))
+    # put-if-absent like every commit; expiry does not retry on
+    # conflict (a concurrent writer changed the snapshot set — the
+    # caller should re-run against it rather than expire blind)
+    _commit_metadata(table, version, new_meta)
     # commit point passed: physical deletes are safe now
     for rel in doomed:
         os.remove(os.path.join(table, rel))

@@ -180,8 +180,8 @@ def test_expire_snapshots_keeps_current_blocks_expired(spark):
     assert read_iceberg(spark, table, snapshot_id=s1).count() == 10
     version, deleted = expire_snapshots_iceberg(table, retain_last=1)
     # append history: the old manifest LISTS are the reclaimable set
-    assert sorted(deleted) == [
-        f"metadata/snap-{s1:08d}.avro", f"metadata/snap-{s2:08d}.avro"]
+    assert sorted(p.split("-")[0] + "-" + p.split("-")[1] for p in deleted) == [
+        f"metadata/snap-{s1:08d}", f"metadata/snap-{s2:08d}"]
     for rel in deleted:
         assert not os.path.exists(os.path.join(table, rel))
     # current read intact; expired travel raises; kept id still works
@@ -335,3 +335,37 @@ def test_v2_compaction_retires_deletes_and_expire_reclaims(spark):
 
     with _pytest.raises(FileNotFoundError):
         read_iceberg(spark, t, snapshot_id=sid)
+
+
+def test_concurrent_appends_both_survive(spark, monkeypatch):
+    """Put-if-absent metadata commits: a second append landing between
+    the first's read and commit must NOT be overwritten (the pre-fix
+    plain open(...,'w') let the last writer silently win, orphaning the
+    other commit's files). The loser recomputes and both row sets end
+    up live."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from postrack_spark.streaming import iceberg
+    from postrack_spark.streaming.iceberg import append_iceberg, read_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_occ_")
+    df1 = spark.range(0, 10).select(F.col("id").alias("k"))
+    df2 = spark.range(100, 110).select(F.col("id").alias("k"))
+    append_iceberg(spark.range(0, 0).select(F.col("id").alias("k")), t)
+
+    orig = iceberg._commit_metadata
+    fired = {"done": False}
+
+    def inject(table_, version, meta):
+        if not fired["done"]:
+            fired["done"] = True
+            append_iceberg(df2, t)  # concurrent writer wins this version
+        return orig(table_, version, meta)
+
+    monkeypatch.setattr(iceberg, "_commit_metadata", inject)
+    append_iceberg(df1, t)
+    assert fired["done"]
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == list(range(0, 10)) + list(range(100, 110))
