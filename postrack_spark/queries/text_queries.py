@@ -2769,3 +2769,68 @@ def text_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("w1", "w2")
     )
+
+
+@query(
+    "text_udtf_term_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT d.doc_id, lower(t.tok) AS term
+      FROM documents d,
+           LATERAL (SELECT unnest(str_split(d.text, ' ')) AS tok) t
+      WHERE length(t.tok) >= 4
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM toks
+    GROUP BY term
+    ORDER BY total DESC, term
+    LIMIT 20
+    """,
+)
+def text_udtf_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4's user-defined TABLE function —
+    one input row fans out to many output rows through LATERAL), the
+    one Python API lane the registry didn't exercise: per document the
+    UDTF emits (term, within-doc count) rows for >=4-char lowercased
+    whitespace terms, then plain SQL aggregates the corpus top-20. The
+    UDTF is Arrow-optimized (useArrow) — it plans as
+    ArrowEvalPythonUDTF, satisfying the registry-wide no-row-Python
+    invariant the same way mapInPandas does — and the oracle recomputes
+    everything with engine-native string splitting, so tokenizer
+    drift between the Python and SQL lanes fails the hash. The view
+    name is uuid-randomized per call."""
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, cnt bigint", useArrow=True)
+    class TermCounts:
+        def eval(self, text: str):
+            if not text:
+                return
+            counts: dict[str, int] = {}
+            for tok in text.split(" "):
+                if len(tok) >= 4:
+                    t = tok.lower()
+                    counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                yield t, c
+
+    fn = f"term_counts_{_uuid.uuid4().hex[:12]}"
+    view = f"docs_udtf_{_uuid.uuid4().hex[:12]}"
+    spark.udtf.register(fn, TermCounts)
+    fan_out(load_tables(spark, sf_dir)["documents"]).select(
+        "doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT t.term,
+               CAST(sum(t.cnt) AS BIGINT) AS total,
+               CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+        FROM {view} d, LATERAL {fn}(d.text) t
+        GROUP BY t.term
+        ORDER BY total DESC, term
+        LIMIT 20
+        """
+    ).select("term", "total", "n_docs")
