@@ -481,6 +481,62 @@ def main() -> None:
             spark.sql(_seam_sql("spark", "stress_layout_orders")),
         )
 
+    # lakehouse: COW vs MOR delete economics at scale. The predicate is
+    # SCATTERED (0.5% of rows in every file) — copy-on-write's worst
+    # case (every file is affected, so the "rewrite only affected
+    # files" bound degenerates to a full rewrite), and exactly where
+    # merge-on-read wins (delete cost = one pushdown scan + a small
+    # Avro of (file, pos); the rewrite is deferred to one compaction).
+    if not skip("lakehouse"):
+        import tempfile as _tf
+
+        from postrack_spark.streaming.delta_log import (
+            delete_delta,
+            write_delta,
+        )
+        from postrack_spark.streaming.iceberg import (
+            append_iceberg,
+            compact_iceberg,
+            delete_positions_iceberg,
+            read_iceberg,
+        )
+
+        base10 = shifted_union(
+            t["orders"], {"o_orderkey": 10_000_000, "o_custkey": 10_000_000}
+        ).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        pred = "o_custkey % 1000 < 5"
+        dt = _tf.mkdtemp(prefix="stress_delta_")
+        t0 = time.perf_counter()
+        write_delta(base10.repartitionByRange(32, "o_custkey"), dt)
+        timings[f"delta_write_{FACTOR}x"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _v, rw, tot = delete_delta(spark, dt, pred)
+        timings[f"delta_cow_delete_scattered_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        timings[f"delta_cow_files_rewritten_{FACTOR}x"] = rw
+        timings[f"delta_cow_files_total_{FACTOR}x"] = tot
+        it_ = _tf.mkdtemp(prefix="stress_ice_")
+        t0 = time.perf_counter()
+        append_iceberg(base10.repartitionByRange(32, "o_custkey"), it_,
+                       format_version=2)
+        timings[f"iceberg_write_{FACTOR}x"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _sid, ndel = delete_positions_iceberg(spark, it_, pred)
+        timings[f"iceberg_mor_delete_scattered_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        timings[f"iceberg_mor_rows_deleted_{FACTOR}x"] = ndel
+        t0 = time.perf_counter()
+        read_iceberg(spark, it_).write.format("noop").mode("overwrite").save()
+        timings[f"iceberg_mor_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        compact_iceberg(spark, it_, target_files=32)
+        timings[f"iceberg_compact_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+
     print(json.dumps({"metric": f"stress_{FACTOR}x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": FACTOR,
                       "timings": timings}))
