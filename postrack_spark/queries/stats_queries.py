@@ -6073,3 +6073,117 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_brown_forsythe",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT g, cents,
+             row_number() OVER (PARTITION BY g ORDER BY cents, o_orderkey)
+               AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM base
+    ),
+    med AS (
+      SELECT g, cents AS m FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT base.g, abs(base.cents - med.m) AS z
+      FROM base JOIN med ON med.g = base.g
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS s,
+             CAST(sum(z * z) AS BIGINT) AS ss
+      FROM dev GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(ss) AS BIGINT) AS sst,
+             CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / CAST(n AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS wsum_q
+      FROM grp
+    )
+    SELECT g, n, s, ss,
+           CAST(floor(1000000.0
+             * ((CAST(wsum_q AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                   / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(sst AS DOUBLE) - CAST(wsum_q AS DOUBLE))
+                / CAST(nn - k AS DOUBLE)))
+             AS BIGINT) AS f_ppm
+    FROM grp CROSS JOIN tot
+    ORDER BY g
+    """,
+)
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Levene with the
+    MEDIAN center — robust to the heavy tails that break plain
+    Levene): per order-priority group, absolute deviations from the
+    GROUP median feed a one-way ANOVA; this query reports the exact
+    integer sufficient statistics (n, Σz, Σz²) per group plus the FULL
+    F statistic ppm-floored in one identically-shaped IEEE expression
+    over those exact sums; the between-group term s²/n is FLOORED per
+    group before the integer sum (the skew/kurtosis rule — a raw
+    double sum over the 5-group frame would be association-ordered).
+    Group medians come from
+    PARTITIONED rank windows (one per group — never a global window),
+    lower-median rule (n+1) DIV 2 with the orderkey tie-break. Scale:
+    one partitioned rank pass + two hash aggs; deviations are pure
+    int64 (cents ≤ ~6e7, z² ≤ 3.6e15, Σ over 1.5e5 rows < 2^62)."""
+    base = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("cents", "o_orderkey")
+    ranked = base.select(
+        "g", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"),
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) DIV 2")).select(
+        "g", F.col("cents").alias("m"))
+    dev = base.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("cents") - F.col("m")).alias("z"))
+    grp = dev.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("ss"),
+    )
+    tot = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("long").alias("sst"),
+        F.sum(
+            F.floor(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            ).cast("long")
+        ).cast("long").alias("wsum_q"),
+    )
+    f_ppm = F.floor(
+        F.lit(1000000.0)
+        * ((F.col("wsum_q").cast("double")
+            - F.expr("CAST(st AS DOUBLE) * CAST(st AS DOUBLE)"
+                     " / CAST(nn AS DOUBLE)"))
+           / F.expr("CAST(k - 1 AS DOUBLE)"))
+        / ((F.expr("CAST(sst AS DOUBLE)") - F.col("wsum_q").cast("double"))
+           / F.expr("CAST(nn - k AS DOUBLE)"))
+    ).cast("long")
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select("g", "n", "s", "ss", f_ppm.alias("f_ppm"))
+        .orderBy("g")
+    )
