@@ -6187,3 +6187,77 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", "n", "s", "ss", f_ppm.alias("f_ppm"))
         .orderBy("g")
     )
+
+
+@query(
+    "events_sequence_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    tri AS (
+      SELECT p2 AS t1, p1 AS t2, event_type AS t3, user_id
+      FROM seq WHERE p2 IS NOT NULL
+    ),
+    t AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_total
+      FROM events
+    )
+    SELECT t1, t2, t3,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id) * 10000 // t.n_users_total AS BIGINT)
+             AS support_pp10k
+    FROM tri, t
+    GROUP BY t1, t2, t3, t.n_users_total
+    ORDER BY n_occurrences DESC, t1, t2, t3
+    LIMIT 40
+    """,
+)
+def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining at depth 3 — the next PrefixSpan level
+    above events_sequence_bigrams: consecutive event-type TRIPLES per
+    user (two lag() offsets over the same PER-USER window — one
+    shuffle, both lags share the frame), with occurrence counts and
+    distinct-user support in integer pp10k; top-40 under a total
+    tie-break. Depth-3 is where funnel intent (view → click →
+    purchase vs view → view → bounce) separates from pair statistics.
+    Scale: one per-user ordering shuffle + one aggregation over an
+    O(types³)-bounded result frame."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    tot = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users_total"))
+    return (
+        seq.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("p2").alias("t1"),
+            F.col("p1").alias("t2"),
+            F.col("event_type").alias("t3"),
+            "n_users_total",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            "t1", "t2", "t3", "n_occurrences", "n_users",
+            F.expr("CAST(n_users * 10000 DIV n_users_total AS BIGINT)").alias(
+                "support_pp10k"),
+        )
+        .orderBy(F.desc("n_occurrences"), "t1", "t2", "t3")
+        .limit(40)
+    )
