@@ -6095,7 +6095,7 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g, cents AS m FROM ranked WHERE rn = (n + 1) // 2
     ),
     dev AS (
-      SELECT base.g, abs(base.cents - med.m) AS z
+      SELECT base.g, abs(base.cents - med.m) // 100 AS z
       FROM base JOIN med ON med.g = base.g
     ),
     grp AS (
@@ -6137,8 +6137,11 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Group medians come from
     PARTITIONED rank windows (one per group — never a global window),
     lower-median rule (n+1) DIV 2 with the orderkey tie-break. Scale:
-    one partitioned rank pass + two hash aggs; deviations are pure
-    int64 (cents ≤ ~6e7, z² ≤ 3.6e15, Σ over 1.5e5 rows < 2^62)."""
+    one partitioned rank pass + two hash aggs; deviations COARSEN to
+    whole dollars before squaring — cents-unit z² sums overflowed
+    int64 at sf0.1 (Σss ≈ 3.1e19; the MANDATORY sf0.1 sweep caught it,
+    exactly the agg_corr_exact headroom rule), and F is unit-free so
+    the statistic only shifts by sub-dollar truncation noise."""
     base = load_tables(spark, sf_dir)["orders"].select(
         F.col("o_orderpriority").alias("g"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -6155,7 +6158,7 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ranked.filter(F.expr("rn = (n + 1) DIV 2")).select(
         "g", F.col("cents").alias("m"))
     dev = base.join(F.broadcast(med), "g").select(
-        "g", F.abs(F.col("cents") - F.col("m")).alias("z"))
+        "g", F.expr("abs(cents - m) DIV 100").alias("z"))
     grp = dev.groupBy("g").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("z").cast("long").alias("s"),
