@@ -3771,3 +3771,70 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " USING '1-URGENT'"
     )
     return ei.unionByName(named).orderBy("lane")
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    p AS (
+      SELECT CAST(power(2, g.i) AS BIGINT) AS t
+      FROM generate_series(0, 40) AS g(i)
+    ),
+    c AS (
+      SELECT p.t,
+             (SELECT count(*) FROM base WHERE cents >= p.t) AS n
+      FROM p
+    ),
+    best AS (SELECT min(t) AS t_star FROM c WHERE n < 100)
+    SELECT CAST(best.t_star AS BIGINT) AS t_star,
+           CAST((SELECT count(*) FROM base, best
+                 WHERE cents >= best.t_star) AS BIGINT) AS n_at_or_above,
+           CAST((SELECT coalesce(sum(cents), 0) FROM base, best
+                 WHERE cents >= best.t_star) AS BIGINT) AS cents_at_or_above
+    FROM best
+    """,
+)
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 compound statements: BEGIN/DECLARE/
+    WHILE/SET) plus SESSION VARIABLES (DECLARE VARIABLE / SET VAR) —
+    the procedural control-flow surface, exercised on a doubling
+    search: find the smallest power-of-two cents threshold with fewer
+    than :limit orders at or above it. The loop is CONTROL FLOW
+    (log2(max) ≈ 25 iterations, each one aggregate over the view); the
+    ORACLE is the single-pass relational formulation of the same
+    search — which is also the 100 TB advice the docstring owes: on a
+    cluster you precompute the per-threshold histogram in one scan,
+    and this query's hash gate proves the two formulations agree. The
+    loop bound rides in a session variable set via SET VAR; names are
+    uuid-randomized and dropped in finally."""
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:10]
+    view, var = f"orders_script_{sfx}", f"lim_{sfx}"
+    load_tables(spark, sf_dir)["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).createOrReplaceTempView(view)
+    old_scripting = spark.conf.get("spark.sql.scripting.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        spark.sql(f"DECLARE VARIABLE {var} BIGINT DEFAULT 0")
+        spark.sql(f"SET VAR {var} = 100")
+        return spark.sql(f"""
+        BEGIN
+          DECLARE t BIGINT DEFAULT 1;
+          WHILE (SELECT count(*) FROM {view} WHERE cents >= t) >= {var} DO
+            SET t = t * 2;
+          END WHILE;
+          SELECT CAST(t AS BIGINT) AS t_star,
+                 CAST((SELECT count(*) FROM {view} WHERE cents >= t)
+                      AS BIGINT) AS n_at_or_above,
+                 CAST((SELECT coalesce(sum(cents), 0) FROM {view}
+                       WHERE cents >= t) AS BIGINT) AS cents_at_or_above;
+        END
+        """)
+    finally:
+        spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {var}")
+        spark.conf.set("spark.sql.scripting.enabled", old_scripting)
