@@ -2014,6 +2014,9 @@ def _ordered_event_admission(spark: SparkSession, sf_dir: str) -> str:
     ftmp = _os.path.join(scratch, "flush")
     flush.coalesce(1).write.mode("overwrite").parquet(ftmp)
     fsrc = _glob.glob(_os.path.join(ftmp, "part-*.parquet"))[0]
+    fp = _os.path.join(dest, "f009.parquet")
+    _shutil.copy(fsrc, fp)
+    _os.utime(fp, (1e9 + 9, 1e9 + 9))
     return dest
 
 

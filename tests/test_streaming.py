@@ -573,3 +573,35 @@ def test_merge_fold_argminmax_monoid(spark):
            for r in read_view(spark, target).collect()}
     # open for 'a' is the value at the SMALLEST key t1 (arrived last)
     assert got == {"a": (7.0, "t1", 9.0, 3), "b": (1.0, "t9", 1.0, 1)}
+
+
+def test_ordered_admission_includes_sentinel_flush_file(spark):
+    """Regression: a refactor once dropped the copy of the sentinel
+    flush parquet (f009) into the admission dir — trailing-session
+    emission then depended on whether availableNow runs a trailing
+    no-data micro-batch, a measured run-to-run race. Pin that the
+    9th file exists, holds exactly the one dummy-key row at global
+    max ts + 1ms, and sorts (by name and mtime) after the 8 slices."""
+    import glob as _glob
+    import os as _os
+
+    from postrack_spark.queries.streaming_queries import _ordered_event_admission
+
+    dest = _ordered_event_admission(spark, "/root/testdata/sf0.001")
+    files = sorted(_glob.glob(_os.path.join(dest, "f*.parquet")))
+    assert len(files) == 9
+    assert _os.path.basename(files[-1]) == "f009.parquet"
+    mtimes = [_os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and mtimes[-1] > mtimes[-2]
+    sent = spark.read.parquet(files[-1]).collect()
+    assert len(sent) == 1 and sent[0]["user_id"] == -1
+    from pyspark.sql import functions as F
+
+    mx = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    import datetime
+
+    assert sent[0]["ts"] == mx + datetime.timedelta(milliseconds=1)
