@@ -1256,12 +1256,11 @@ def vector_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     only fetched for the rerank head — the plan here has that shape:
     the corpus side projects (vec_id, w0, w1, mv) only."""
     t = load_tables(spark, sf_dir)
+    from postrack_spark.queries.stats_queries import QUANTIZE_MILLI_EXPR
+
     w0 = _bitpack_sql("element_at(embedding, {i})", 1)
     w1 = _bitpack_sql("element_at(embedding, {i})", 33)
-    milli = (
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
-        " AS BIGINT))"
-    )
+    milli = QUANTIZE_MILLI_EXPR
     packed = fan_out(t["embeddings"]).select(
         "vec_id",
         F.expr(w0).alias("w0"),
@@ -1397,16 +1396,13 @@ def vector_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFra
     broadcast of the 512-entry sign matrix into the exploded dim
     relation + a (vec_id, j) partial agg; pairing joins run on the
     n×8 projected relation, never all-pairs."""
+    from postrack_spark.queries.stats_queries import QUANTIZE_MILLI_EXPR
+
     signs = spark.createDataFrame(_jl_signs(), "i INT, j INT, s INT")
     t = load_tables(spark, sf_dir)
     dims = fan_out(t["embeddings"]).select(
         "vec_id",
-        F.posexplode(
-            F.expr(
-                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0)"
-                " AS BIGINT))"
-            )
-        ).alias("pos", "qv"),
+        F.posexplode(F.expr(QUANTIZE_MILLI_EXPR)).alias("pos", "qv"),
     ).select("vec_id", (F.col("pos") + 1).alias("i"), "qv")
     proj = (
         dims.join(F.broadcast(signs), "i")

@@ -39,10 +39,11 @@ container; the honest-certification caveat mirrors operators/mp4.py):
 Scope honestly stated: unpartitioned spec, manifests without column
 stats, v2 limited to position deletes written by this module (equality
 deletes and foreign v2 tables are out of scope); the position-delete
-writer materializes the (path, pos) list driver-side — the GDPR/
-forget-set shape where matches are human-scale; a bulk-delete pipeline
-would write per-partition delete files instead. Schema evolution is
-out of scope and a foreign table using it would not be readable here.
+writer is DISTRIBUTED — matches repartition by file_path and each
+executor partition writes its own delete Avro, so only O(delete files)
+metadata reaches the driver and a bulk 100 TB delete scales with the
+cluster, not the driver. Schema evolution is out of scope and a
+foreign table using it would not be readable here.
 
 Scale: metadata is O(files) Avro records — the format's whole point is
 that snapshot resolution never lists directories; data stays in
@@ -177,14 +178,24 @@ def _ice_schema(schema: StructType) -> dict:
 
 
 def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
-                   carry_forward: bool = True) -> int:
+                   carry_forward: bool = True,
+                   expected_snapshot_id: int | None = None) -> int:
     """Append df as a new snapshot; returns the snapshot id.
     ``format_version=2`` writes the v2 sequence-number machinery and
     unlocks delete_positions_iceberg on the table.
     ``carry_forward=False`` makes the new snapshot's manifest list
     contain ONLY this write's manifest — the REPLACE shape compaction
     needs (prior data and delete files leave the live view in the
-    same atomic hint swap; history keeps them for time travel)."""
+    same atomic hint swap; history keeps them for time travel).
+    ``expected_snapshot_id`` pins the commit to a snapshot the STAGED
+    BYTES were computed from: any concurrent commit raises
+    IcebergCommitConflict to the caller instead of retrying, because
+    for a REPLACE the staged data is a function of the snapshot it
+    read — blind-retrying stale bytes would resurrect a concurrently
+    deleted row or drop a concurrent append from the live view (the
+    lost-update class the Delta COW merge recomputes inside its own
+    loop). Plain appends (expected_snapshot_id=None) retry safely:
+    their bytes don't depend on the snapshot they land on."""
     if format_version not in (1, 2):
         raise ValueError("format_version must be 1 or 2")
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
@@ -219,6 +230,12 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             raise ValueError(
                 f"table is format-version {current['format-version']}, "
                 f"append requested {format_version}")
+        if expected_snapshot_id is not None and (
+                current is None
+                or current["current-snapshot-id"] != expected_snapshot_id):
+            raise IcebergCommitConflict(
+                f"table advanced past snapshot {expected_snapshot_id}; "
+                "staged bytes are stale — caller must recompute")
         version = 0 if current is None else current["last-version"] + 1
         snapshot_id = version + 1  # deterministic, monotone
         seq = ((current or {}).get("last-sequence-number", 0) or 0) + 1
@@ -285,6 +302,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             _commit_metadata(table, version, meta)
             return snapshot_id
         except IcebergCommitConflict:
+            if expected_snapshot_id is not None:
+                raise  # stale staged bytes: caller recomputes
             continue  # recompute from the new current metadata
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
@@ -367,12 +386,24 @@ def read_iceberg(spark: SparkSession, table: str,
 
 def _rel_path_col(root: str):
     """_metadata.file_path (a file: URI) relativized to the table root
-    as a Column — the delta-merge URI-strip lesson, in one expression."""
+    as a Column — the delta-merge URI-strip lesson, in one expression.
+    The root prefix is removed with a LITERAL substr, never a dynamic
+    regexp_replace pattern: a table root containing regex
+    metacharacters ('+', '(', '.', '$' — all legal in paths) would
+    silently mis-relativize every path, desynchronizing the MOR
+    reader's anti-join from the position-delete writer."""
     from pyspark.sql import functions as F
 
     stripped = F.regexp_replace(
         F.col("_metadata.file_path"), r"^file:/+", "/")
-    return F.regexp_replace(stripped, F.lit(root + "/"), F.lit(""))
+    prefix = root + "/"
+    # guard: only strip when the prefix actually matches (it always
+    # should — the scan reads files under root — but a silent partial
+    # strip would corrupt (file, pos) identity)
+    return F.when(
+        F.substring(stripped, 1, len(prefix)) == F.lit(prefix),
+        F.substr(stripped, F.lit(len(prefix) + 1)),
+    ).otherwise(F.lit(None))
 
 
 def delete_positions_iceberg(spark: SparkSession, table: str,
@@ -384,9 +415,21 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
     is rewritten. Positions come from the scan's _metadata.row_index —
     the same mechanism the reader's anti-join uses, so writer and
     reader agree by construction. Returns (snapshot id, rows deleted).
-    The (path, pos) list materializes driver-side (module-docstring
-    caveat: the forget-set shape; bulk deletes would write
-    per-partition files)."""
+
+    The write is DISTRIBUTED: matches repartition by file_path and
+    each non-empty executor partition writes its own position-delete
+    Avro (rows sorted by (path, pos) within the file — the spec's
+    required order; hash partitioning keeps any one data file's
+    positions in one delete file) via mapInPandas. Only O(delete
+    files) metadata rows reach the driver — never the (path, pos)
+    pairs — so a scattered 100 TB predicate matching 1e8 rows stays
+    executor-side. All delete files commit under ONE content=1
+    manifest (the spec allows many delete files per manifest).
+    Executors write into table storage directly and the driver commits
+    metadata — the standard Iceberg write protocol. Delete files
+    staged by a lost OCC race are unreferenced orphans, same class as
+    orphaned manifests (an orphan-file sweep reclaims them;
+    expire_snapshots only deletes referenced history by design)."""
     from pyspark.sql import functions as F
 
     for _ in range(10):  # snapshot-pinned OCC (the delta_log rule):
@@ -421,29 +464,59 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
             _rel_path_col(root).alias("file_path"),
             F.col("_metadata.row_index").alias("pos"),
         )
-        rows = sorted(
-            ((r["file_path"], int(r["pos"])) for r in matches.collect()))
-        if not rows:
+        table_abs = root
+
+        def _write_delete_files(batches):
+            import pandas as _pd
+
+            pairs: list[tuple[str, int]] = []
+            for pdf in batches:
+                pairs.extend(
+                    (p, int(q)) for p, q in zip(pdf["file_path"], pdf["pos"]))
+            if not pairs:
+                return
+            pairs.sort()
+            blob = write_avro(
+                [{"file_path": p, "pos": q} for p, q in pairs],
+                _POS_DELETE_SCHEMA, codec="deflate")
+            rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.avro")
+            with open(os.path.join(table_abs, rel), "wb") as f:
+                f.write(blob)
+            yield _pd.DataFrame([{
+                "file_path": rel,
+                "record_count": len(pairs),
+                "file_size_in_bytes": len(blob),
+            }])
+
+        # explicit partition count (= live data file count, already in
+        # hand from the manifest walk) so AQE's small-shuffle coalesce
+        # can't fold everything into one partition — delete-file
+        # granularity tracks data-file granularity, which is what the
+        # reader's per-file anti-join and future compaction want
+        written = sorted(
+            matches.repartition(
+                max(1, len(data_paths)), "file_path").mapInPandas(
+                _write_delete_files,
+                "file_path string, record_count long,"
+                " file_size_in_bytes long",
+            ).collect(),
+            key=lambda r: r["file_path"])
+        n_deleted = sum(r["record_count"] for r in written)
+        if not written:
             return meta["current-snapshot-id"], 0
         version = meta["last-version"] + 1
         snapshot_id = version + 1
         seq = meta["last-sequence-number"] + 1
-        del_rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.avro")
-        del_blob = write_avro(
-            [{"file_path": p, "pos": pos} for p, pos in rows],
-            _POS_DELETE_SCHEMA, codec="deflate")
-        with open(os.path.join(table, del_rel), "wb") as f:
-            f.write(del_blob)
         manifest_rel = os.path.join(
             "metadata",
             f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
         manifest_blob = write_avro([{
             "status": ADDED, "snapshot_id": snapshot_id,
             "data_file": {
-                "file_path": del_rel, "file_format": "AVRO",
-                "record_count": len(rows),
-                "file_size_in_bytes": len(del_blob),
-            }}], _MANIFEST_SCHEMA, codec="deflate")
+                "file_path": r["file_path"], "file_format": "AVRO",
+                "record_count": r["record_count"],
+                "file_size_in_bytes": r["file_size_in_bytes"],
+            }} for r in written], _MANIFEST_SCHEMA, codec="deflate")
         with open(os.path.join(table, manifest_rel), "wb") as f:
             f.write(manifest_blob)
         new_mlist = mlist + [{
@@ -472,7 +545,7 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
         new_meta["last-updated-ms"] = now_ms
         try:
             _commit_metadata(table, version, new_meta)
-            return snapshot_id, len(rows)
+            return snapshot_id, n_deleted
         except IcebergCommitConflict:
             continue  # recompute positions from the new snapshot
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
@@ -489,15 +562,30 @@ def compact_iceberg(spark: SparkSession, table: str,
     is the deferred rewrite MOR trades for: deletes stay O(matches)
     day to day, and the anti-join cost is repaid once, here. Returns
     the new snapshot id."""
-    meta = _current_metadata(table)
-    if meta is None:
-        raise FileNotFoundError(f"no iceberg metadata under {table}")
-    fv = meta["format-version"]
-    df = read_iceberg(spark, table).coalesce(target_files)
-    # one ordinary commit whose manifest list holds only this write —
-    # readers switch from (old data ⊖ deletes) to the rewritten set at
-    # the atomic hint swap, never seeing duplicates
-    return append_iceberg(df, table, format_version=fv, carry_forward=False)
+    for _ in range(10):  # REPLACE-shape OCC: re-read AND re-stage on
+        # conflict. The staged rewrite is a function of the snapshot it
+        # read; reusing it after a concurrent commit would resurrect a
+        # concurrent position delete (the rewrite still holds the row)
+        # or drop a concurrent append (carry_forward=False retires its
+        # manifest) — so the snapshot is pinned via expected_snapshot_id
+        # and a conflict restarts the whole read-rewrite-commit cycle.
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        fv = meta["format-version"]
+        df = read_iceberg(
+            spark, table, snapshot_id=meta["current-snapshot-id"]
+        ).coalesce(target_files)
+        # one ordinary commit whose manifest list holds only this write —
+        # readers switch from (old data ⊖ deletes) to the rewritten set
+        # at the atomic hint swap, never seeing duplicates
+        try:
+            return append_iceberg(
+                df, table, format_version=fv, carry_forward=False,
+                expected_snapshot_id=meta["current-snapshot-id"])
+        except IcebergCommitConflict:
+            continue  # a failed attempt's staged files orphan, harmless
+    raise IcebergCommitConflict(f"lost 10 compaction races on {table}")
 
 
 def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:

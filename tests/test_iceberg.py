@@ -369,3 +369,118 @@ def test_concurrent_appends_both_survive(spark, monkeypatch):
     assert fired["done"]
     got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
     assert got == list(range(0, 10)) + list(range(100, 110))
+
+
+def test_v2_multi_file_position_delete_single_commit(spark):
+    """The distributed position-delete writer: a predicate spanning
+    several data files must produce MULTIPLE delete Avro files (one
+    per non-empty hash partition of file_path) committed under ONE
+    content=1 delete manifest, and the reader's anti-join plus
+    avro-java must round-trip all of them. Guards the 100 TB shape:
+    (path, pos) pairs never materialize driver-side."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from postrack_spark.sources.avro_codec import read_avro
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        delete_positions_iceberg,
+        read_iceberg,
+        _current_metadata,
+        _read_file,
+        _snapshot,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_v2_multi_")
+    df = spark.range(0, 80).select(F.col("id").alias("k"))
+    append_iceberg(df.repartition(8), t, format_version=2)
+    sid, n = delete_positions_iceberg(spark, t, "k % 4 = 0")
+    assert n == 20
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == [k for k in range(80) if k % 4 != 0]
+
+    meta = _current_metadata(t)
+    snap = _snapshot(meta, sid)
+    mlist, _ = read_avro(_read_file(t, snap["manifest-list"]))
+    del_manifests = [m for m in mlist if m.get("content") == 1]
+    assert len(del_manifests) == 1  # ONE delete manifest in the commit
+    entries, _ = read_avro(_read_file(t, del_manifests[0]["manifest_path"]))
+    assert len(entries) > 1, "expected >1 delete file in one commit"
+    assert sum(e["data_file"]["record_count"] for e in entries) == 20
+
+    jvm = spark._jvm
+    seen = []
+    per_file_sources = []
+    for e in entries:
+        rel = e["data_file"]["file_path"]
+        rows, _s = read_avro(_read_file(t, rel))
+        # spec order within each delete file: sorted by (path, pos)
+        pairs = [(r["file_path"], r["pos"]) for r in rows]
+        assert pairs == sorted(pairs)
+        per_file_sources.append({p for p, _ in pairs})
+        seen += pairs
+        # avro-java parses every delete file
+        with open(os.path.join(t, rel), "rb") as f:
+            blob = f.read()
+        fin = jvm.org.apache.avro.file.SeekableByteArrayInput(blob)
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            fin, jvm.org.apache.avro.generic.GenericDatumReader())
+        cnt = 0
+        while reader.hasNext():
+            assert reader.next() is not None
+            cnt += 1
+        reader.close()
+        assert cnt == e["data_file"]["record_count"]
+    assert len(seen) == len(set(seen)) == 20
+    # hash partitioning keeps any one data file's positions together:
+    # no data file appears in two delete files
+    all_sources = [p for s in per_file_sources for p in s]
+    assert len(all_sources) == len(set(all_sources))
+
+
+def test_concurrent_delete_during_iceberg_compaction_not_resurrected(
+        spark, monkeypatch):
+    """REPLACE-shape OCC: compaction stages a rewrite of snapshot S;
+    if a position delete AND an append land before compaction's
+    commit, retrying the STALE staged bytes would resurrect the
+    deleted row and drop the appended rows (carry_forward=False
+    retires their manifests). The pinned-snapshot conflict must force
+    a full re-read + re-stage instead."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from postrack_spark.streaming import iceberg
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        compact_iceberg,
+        delete_positions_iceberg,
+        read_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_occ_cmp_")
+    df = spark.range(0, 40).select(F.col("id").alias("k"))
+    append_iceberg(df.repartition(4), t, format_version=2)
+    delete_positions_iceberg(spark, t, "k = 1")  # a delete to compact away
+
+    orig = iceberg._commit_metadata
+    fired = {"done": False}
+
+    def inject(table_, version, meta):
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent writers land BETWEEN compaction's read and
+            # its commit: a position delete and an append
+            delete_positions_iceberg(spark, t, "k = 5")
+            append_iceberg(
+                spark.range(100, 103).select(F.col("id").alias("k")),
+                t, format_version=2)
+        return orig(table_, version, meta)
+
+    monkeypatch.setattr(iceberg, "_commit_metadata", inject)
+    compact_iceberg(spark, t, target_files=2)
+    assert fired["done"]
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    want = [k for k in range(40) if k not in (1, 5)] + [100, 101, 102]
+    assert got == want
