@@ -37,7 +37,11 @@ import os
 import struct
 import time
 
-from postrack_spark.sources.postgres_cdc import FRAME_FILE_SUFFIX, write_frame_file
+from postrack_spark.sources.postgres_cdc import (
+    FRAME_FILE_SUFFIX,
+    read_frame_file,
+    write_frame_file,
+)
 
 _XLOG_HEADER = struct.Struct(">qqq")  # wal_start, wal_end, server clock
 
@@ -91,6 +95,9 @@ class FrameFileWriter:
         )
         self._init_buffers(max_frames, max_bytes,
                            (existing[-1] + 1) if existing else 0)
+        if existing:
+            self._rebuild_caches_from(os.path.join(
+                out_dir, f"{existing[-1]:012d}{FRAME_FILE_SUFFIX}"))
 
     def _init_buffers(self, max_frames: int, max_bytes: int,
                       start_seq: int) -> None:
@@ -147,8 +154,57 @@ class FrameFileWriter:
         path = os.path.join(self.out_dir, f"{self.seq:012d}{FRAME_FILE_SUFFIX}")
         write_frame_file(path, frames)
 
-    def append(self, frame: bytes) -> None:
-        kind = self._payload_kind(frame)
+    def _rebuild_caches_from(self, path: str) -> None:
+        """Restart recovery (ADVICE r5 medium): durable_lsn — and so the
+        Postgres ack — advances past a flushed Prepare, but Postgres
+        will NOT re-send a confirmed prepared transaction; only its
+        CommitPrepared/RollbackPrepared arrives after a reconnect. A
+        writer restarted between ack(Prepare) and CommitPrepared with
+        an empty _prepared_cache would produce a K-only file whose
+        transaction rows never emit from ANY file — committed rows
+        silently lost. Every flush seeds the next file with the full
+        schema + open-stream + prepared caches, so the NEWEST flushed
+        file deterministically contains everything needed: replay its
+        frames through the same cache state machine, then
+
+        * KEEP _schema_cache and _prepared_cache (the server won't
+          repeat either for this session's confirmed state — and the
+          prepared rows decode against those Relation frames), and
+        * DROP _stream_cache/_stream_schema: open NON-prepared
+          transactions are re-streamed from their start on reconnect
+          (restart_lsn pins at the oldest in-progress txn), so a
+          rebuilt copy would double their segments in the next files.
+
+        The next file is then pre-seeded exactly like flush() would
+        have seeded it."""
+        try:
+            frames = read_frame_file(path)
+        except (OSError, ValueError):  # torn final file: caches die,
+            return  # matching pre-rename crash semantics (file unacked)
+        self._rebuild_caches(frames)
+
+    def _rebuild_caches(self, frames: list[bytes]) -> None:
+        """Replay one durable roll's frames through the cache state
+        machine and keep only what the server will NOT resend (see
+        _rebuild_caches_from; also used by KafkaFrameWriter's
+        resume_frames)."""
+        for fr in frames:
+            self._track(fr, self._payload_kind(fr))
+        self._stream_cache.clear()
+        self._stream_schema.clear()
+        self._open_segment = None
+        self._open_prepare = None
+        self._in_tx = False
+        self._pending = list(self._schema_cache.values())
+        for gid in sorted(self._prepared_cache):
+            self._pending.extend(self._prepared_cache[gid])
+        self._seed_len = len(self._pending)
+        self._pending_bytes = sum(len(f) + 4 for f in self._pending)
+
+    def _track(self, frame: bytes, kind: bytes) -> None:
+        """The cache state machine (schema / v2 stream / two-phase
+        block maintenance + transaction boundary flags) — shared by
+        live appends and the restart replay (_rebuild_caches_from)."""
         if self._open_segment is not None and kind in (b"R", b"Y"):
             # In-stream Relation/Type: payload is kind + xid(int32) +
             # normal body (decoded at pgoutput.py via tag + msg[5:]), so
@@ -221,6 +277,12 @@ class FrameFileWriter:
             # data inside the b..P block replays with its gid (R/Y also
             # hit the schema cache above — harmless, decode idempotent)
             self._prepared_cache[self._open_prepare].append(frame)
+        if kind in (b"C", b"P"):  # Commit / Prepare both end the block
+            self._in_tx = False
+
+    def append(self, frame: bytes) -> None:
+        kind = self._payload_kind(frame)
+        self._track(frame, kind)
         if self._pending or kind != b"":  # skip leading keepalive-only files
             self._pending.append(frame)
             self._pending_bytes += len(frame) + 4
@@ -229,8 +291,6 @@ class FrameFileWriter:
         if (len(self._pending) >= self.max_frames
                 or self._pending_bytes >= self.max_bytes):
             self._roll_requested = True
-        if kind in (b"C", b"P"):  # Commit / Prepare both end the block
-            self._in_tx = False
         if self._roll_requested and not self._in_tx and self._open_segment is None:
             self.flush()
 

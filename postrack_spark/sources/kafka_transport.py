@@ -40,10 +40,21 @@ from postrack_spark.sources.postgres_cdc import blob_to_frames, frames_to_blob
 class KafkaFrameWriter(FrameFileWriter):
     """FrameFileWriter with the persistence seam re-targeted at a
     topic. One roll == one message: key = big-endian uint64 seq,
-    value = the ``.pgout`` blob."""
+    value = the ``.pgout`` blob.
+
+    Restart: the file transport rebuilds its schema/prepared caches
+    from the newest flushed file (FrameFileWriter._rebuild_caches_from
+    — the two-phase crash window: Postgres never resends a confirmed
+    Prepare). This transport can't re-read its own sink without a
+    consumer, so the caller passes the tail message's decoded frames
+    as ``resume_frames`` (or a producer exposing ``resume_frames(
+    topic)``) and they replay through the same cache rebuild. Omitting
+    them on a restart across an open prepared transaction loses that
+    transaction's rows — same class, now stated AND pluggable."""
 
     def __init__(self, producer, topic: str, max_frames: int = 4096,
-                 max_bytes: int = 16 << 20, resume_seq: int | None = None):
+                 max_bytes: int = 16 << 20, resume_seq: int | None = None,
+                 resume_frames: list[bytes] | None = None):
         self.producer = producer
         self.topic = topic
         if resume_seq is None:
@@ -51,6 +62,11 @@ class KafkaFrameWriter(FrameFileWriter):
             resume_seq = resume(topic) if resume is not None else 0
         # no out_dir scan: the resume point comes from the broker
         self._init_buffers(max_frames, max_bytes, resume_seq)
+        if resume_frames is None and resume_seq:
+            tail = getattr(producer, "resume_frames", None)
+            resume_frames = tail(topic) if tail is not None else None
+        if resume_frames:
+            self._rebuild_caches(resume_frames)
 
     def _persist(self, frames: list[bytes]) -> None:
         key = struct.pack(">Q", self.seq)

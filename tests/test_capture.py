@@ -675,3 +675,47 @@ def test_two_phase_stream_prepare_reseeds_until_commit():
         all_rows.extend(rows)
     assert [r["after"]["o_orderkey"] for r in all_rows] == ["1", "2"]
     assert all(r["txid"] == 900 and r["commit_ts"] == cts for r in all_rows)
+
+
+def test_restart_across_open_prepared_txn_rebuilds_cache():
+    """ADVICE r5 medium: durable_lsn (the Postgres ack) advances past a
+    flushed Prepare, and Postgres never resends a confirmed prepare —
+    a daemon restarted between ack(Prepare) and CommitPrepared used to
+    start with an empty _prepared_cache, producing a K-only file whose
+    transaction rows never emit from ANY file. The writer must rebuild
+    its schema + prepared caches from the newest flushed file."""
+    frames = _two_phase_frames()
+    p_idx = next(i for i, f in enumerate(frames) if f[25:26] == b"P")
+    d = tempfile.mkdtemp(prefix="daemon_2pc_restart_")
+    writer = FrameFileWriter(d, max_frames=10_000)
+    for f in frames[:p_idx + 1]:
+        writer.append(f)
+    writer.flush()  # the ack-interval flush: durable_lsn is past P now
+    assert writer.durable_lsn >= 13
+    # crash (no close); restart — the server resumes AFTER the ack and
+    # does NOT replay the g1 b..P block, only later traffic and the K
+    writer2 = FrameFileWriter(d, max_frames=4)
+    capture_loop(
+        iter([_Msg(f) for f in frames[p_idx + 1:]]), writer2,
+        ack=lambda lsn: None,
+    )
+    files = sorted(f for f in os.listdir(d) if f.endswith(".pgout"))
+    assert len(files) > 2
+    per_file = [
+        decode_xlogdata_stream(
+            read_frame_file(os.path.join(d, name)), DecoderState())
+        for name in files
+    ]
+    emitted = [r for rows in per_file for r in rows if r["txid"] == 800]
+    assert [r["after"]["o_orderkey"] for r in emitted] == ["1", "2"]
+    k_files = [
+        i for i, name in enumerate(files)
+        if any(f[25:26] == b"K"
+               for f in read_frame_file(os.path.join(d, name)))
+    ]
+    assert len(k_files) == 1
+    assert all(not [r for r in per_file[i] if r["txid"] == 800]
+               for i in range(len(files)) if i != k_files[0])
+    # the rolled-back g2 still emits nowhere
+    assert all(r["after"]["o_orderkey"] != "9"
+               for rows in per_file for r in rows)

@@ -56,6 +56,19 @@ class FakeBroker:
             return 0
         return max(struct.unpack(">Q", k)[0] for k, _ in msgs) + 1
 
+    def resume_frames(self, topic: str) -> list[bytes]:
+        """Tail message's frames — the restart-rebuild contract (the
+        consumer-side re-read a real deployment would do)."""
+        from postrack_spark.sources.postgres_cdc import blob_to_frames
+
+        msgs = self.topics.get(topic, [])
+        if not msgs:
+            return []
+        import struct
+
+        _, value = max(msgs, key=lambda kv: struct.unpack(">Q", kv[0])[0])
+        return blob_to_frames(value)
+
 
 def test_topic_messages_decode_like_direct_stream():
     broker = FakeBroker()
@@ -159,3 +172,30 @@ def test_file_and_kafka_transports_emit_identical_blobs():
     ]
     topic_units = [blob_to_frames(v) for _, v in broker.topics["wal"]]
     assert file_units == topic_units  # same rolls, byte for byte
+
+
+def test_kafka_restart_across_open_prepared_txn_rebuilds_cache():
+    """Transport parity for the two-phase crash window: a restart
+    between the flushed Prepare and its CommitPrepared must replay the
+    broker tail message through the cache rebuild, or the K-only
+    message's transaction rows emit nowhere."""
+    from tests.test_capture import _Msg, _two_phase_frames
+
+    frames = _two_phase_frames()
+    p_idx = next(i for i, f in enumerate(frames) if f[25:26] == b"P")
+    broker = FakeBroker()
+    w1 = KafkaFrameWriter(broker, "wal", max_frames=10_000)
+    for f in frames[:p_idx + 1]:
+        w1.append(f)
+    w1.flush()
+    assert w1.durable_lsn >= 13
+    # crash; restart pulls resume_frames from the broker tail
+    w2 = KafkaFrameWriter(broker, "wal", max_frames=4)
+    capture_loop(
+        iter([_Msg(f) for f in frames[p_idx + 1:]]), w2,
+        ack=lambda lsn: None,
+    )
+    rows = decode_topic_messages(broker.topics["wal"])
+    g1 = [r for r in rows if r["txid"] == 800]
+    assert [r["after"]["o_orderkey"] for r in g1] == ["1", "2"]
+    assert all(r["after"]["o_orderkey"] != "9" for r in rows)
