@@ -5,7 +5,7 @@ docstrings for scale design notes):
 
   dedup       exact_duplicates normalized_duplicates minhash_signatures
               lsh_candidate_pairs jaccard_pairs simhash_bits
-              connected_components
+              connected_components connected_components_star
   similarity  brute_force_topk lsh_bucketed_topk ivf_assign
               label_centroids kmeans_lloyd
   sampling    (deterministic hash sampling / splits / caps — see module)
@@ -17,6 +17,7 @@ docstrings for scale design notes):
 
 from postrack_spark.operators.dedup import (
     connected_components,
+    connected_components_star,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -48,6 +49,7 @@ __all__ = [
     "jaccard_pairs",
     "simhash_bits",
     "connected_components",
+    "connected_components_star",
     "brute_force_topk",
     "lsh_bucketed_topk",
     "ivf_assign",

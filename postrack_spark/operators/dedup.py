@@ -337,8 +337,110 @@ def simhash_chunk_blocks(sh: DataFrame, n_bits: int = 16, radius: int = 2) -> Da
     )
 
 
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 50, node_a: str = "doc_a",
+    node_b: str = "doc_b", stats: dict | None = None
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR —
+    the O(log n)-round MapReduce algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14; also the
+    strategy GraphFrames ships), the 100 TB path the fixed-round
+    propagation in graph_queries.py and `connected_components` above
+    honestly defer to: min-label propagation needs O(component
+    diameter) rounds, so a 10^6-node path graph needs 10^6 rounds,
+    while star alternation contracts every component to a star on the
+    component MINIMUM in O(log n) rounds regardless of diameter.
+
+    Per round, entirely as edge-set rewrites (each one shuffle on the
+    grouping node — no driver-side data, no windows):
+
+    * large-star: over the SYMMETRIZED adjacency, every node u links
+      each strictly-LARGER neighbor v to m = min(Gamma(u) + {u}) —
+      emit (v, m) for v in Gamma(u), v > u.
+    * small-star: over edges canonicalized (u > v), every node u
+      links its smaller neighbors and itself to m = min(N(u)) — emit
+      (x, m) for x in N(u) + {u}, x != m.
+
+    Both preserve connectivity (every rewrite stays within the
+    component and never drops a node); the fixed point is one star
+    per component centered at its minimum, so the final edge list IS
+    the (node -> component-min) labeling. Convergence is detected by
+    edge-set equality (both sets are distinct canonical (x > m)
+    pairs: equal counts + empty one-sided subtract). Exhausting
+    ``max_iter`` RAISES instead of returning a possibly-wrong
+    labeling — the certificate rule (gate the certificate, not the
+    estimate). Returns (doc, cluster) like `connected_components`.
+
+    Round cost: two shuffles (groupBy u + the self-join) per phase on
+    O(|E|) rows; the edge set never grows beyond the symmetrized
+    input (large-star emits at most one edge per (u, v>u) slot,
+    small-star at most one per canonical edge + one per center).
+    localCheckpoint per round truncates lineage exactly like the
+    propagation form; min() is order-insensitive so no determinism
+    pin is needed beyond it.
+    """
+    sess = edges.sparkSession
+    nodes = (
+        edges.select(F.col(node_a).alias("doc"))
+        .union(edges.select(F.col(node_b).alias("doc")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.select(
+            F.greatest(F.col(node_a), F.col(node_b)).alias("u"),
+            F.least(F.col(node_a), F.col(node_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_cnt = e.count()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star on the symmetrized adjacency
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        large = (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the canonical (u > v) form large-star emits
+        mn2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mn2, "u")
+            .select(F.col("v").alias("x"), "m")
+            .union(large.join(mn2, "u").select(F.col("u").alias("x"), "m"))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cnt = small.count()
+        if cnt == prev_cnt and small.subtract(e).isEmpty():
+            e = small
+            break
+        e, prev_cnt = small, cnt
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {max_iter} rounds - "
+            "refusing to return an unconverged labeling")
+    if stats is not None:
+        stats["rounds"] = rounds
+    stars = e.select(F.col("u").alias("doc"), F.col("v").alias("lbl"))
+    return (
+        nodes.join(stars, "doc", "left")
+        .select("doc", F.coalesce(F.col("lbl"), F.col("doc")).alias("cluster"))
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, node_a: str = "doc_a", node_b: str = "doc_b"
+    edges: DataFrame, max_iter: int = 25, node_a: str = "doc_a",
+    node_b: str = "doc_b", stats: dict | None = None
 ) -> DataFrame:
     """Duplicate CLUSTERS from near-dup PAIRS: connected components of
     the pair graph by iterative min-label propagation.
@@ -370,7 +472,9 @@ def connected_components(
         .withColumn("cluster", F.col("doc"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             bidir.join(labels, bidir.dst == labels.doc)
             .groupBy("src")
@@ -395,4 +499,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels

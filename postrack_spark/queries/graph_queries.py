@@ -896,11 +896,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged = (last round changed nothing), so data needing deeper
     propagation fails the hash gate instead of shipping a wrong
     histogram. Per round: one groupBy(v) min over the neighbor join,
-    localCheckpointed so the plan stays linear in rounds. At 100 TB
-    you'd switch to large-star/small-star (O(log n) rounds with
-    path-halving) — fixed-round sync propagation is the
-    oracle-matchable form, and the certificate is what makes its
-    truncation honest. Output is the component-size histogram."""
+    localCheckpointed so the plan stays linear in rounds. The 100 TB
+    form is graph_cc_star below (operators/dedup.
+    connected_components_star — large-star/small-star, O(log n)
+    rounds independent of diameter); this fixed-round sync propagation
+    stays as the oracle-matchable baseline, and the certificate is
+    what makes its truncation honest. Output is the component-size
+    histogram."""
     e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=True)
     nbr = e.select(F.col("pa").alias("v"), F.col("pb").alias("u")).unionAll(
         e.select(F.col("pb").alias("v"), F.col("pa").alias("u"))
@@ -933,5 +935,34 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_components"))
         .select("comp_size", "n_components",
                 F.lit(n_changed == 0).alias("converged"))
+        .orderBy("comp_size")
+    )
+
+
+@query("graph_cc_star", oracle=_cc_oracle(_CC_ROUNDS))
+def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+    (operators/dedup.connected_components_star; Kiveris et al.
+    SoCC'14) over the same co-purchase graph — the O(log n)-round
+    100 TB form graph_connected_components defers to: round count is
+    independent of component diameter, where min-label propagation
+    needs O(diameter) rounds (a path component of 10^6 nodes = 10^6
+    rounds vs ~20). Oracle SHARED with the propagation query — the
+    two algorithms must produce the identical component-size
+    histogram (and the star form RAISES if unconverged, so
+    converged=true is by construction; the oracle's certificate is
+    the propagation form's n_changed=0). Per round: two shuffles on
+    the grouping node over an edge set that never exceeds the
+    symmetrized input — no windows, no driver-side data."""
+    from postrack_spark.operators.dedup import connected_components_star
+
+    e = _edges(spark, sf_dir).select("pa", "pb")
+    labels = connected_components_star(e, node_a="pa", node_b="pb")
+    return (
+        labels.groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("comp_size"))
+        .groupBy("comp_size")
+        .agg(F.count("*").cast("long").alias("n_components"))
+        .select("comp_size", "n_components", F.lit(True).alias("converged"))
         .orderBy("comp_size")
     )

@@ -537,6 +537,45 @@ def main() -> None:
         timings[f"iceberg_compact_{FACTOR}x"] = round(
             time.perf_counter() - t0, 3)
 
+    # star_cc: round-count scaling vs graph DIAMETER — the reason the
+    # large-star/small-star form exists. A path graph of n nodes has
+    # diameter n-1: min-label propagation needs ~n rounds (each round
+    # moves the min one hop), star alternation needs O(log n). Measured
+    # here as ROUND COUNTS on growing paths (time is secondary — the
+    # structural claim is the flat round curve).
+    if not skip("star_cc"):
+        from postrack_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        for n in (256, 256 * FACTOR):
+            path_edges = spark.range(0, n - 1).select(
+                F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+            st: dict = {}
+            t0 = time.perf_counter()
+            ok = connected_components_star(
+                path_edges, max_iter=60, stats=st
+            ).filter(F.col("cluster") != 0).count()
+            timings[f"star_cc_path{n}_wall"] = round(
+                time.perf_counter() - t0, 3)
+            timings[f"star_cc_path{n}_rounds"] = st["rounds"]
+            assert ok == 0, "star CC mislabeled the path"
+            # the propagation baseline, measured on the SMALL path only
+            # (on the big one its O(diameter) rounds are the whole
+            # point — running 2560 Spark rounds to prove they happen
+            # is wasted wall-clock; the small measurement + the flat
+            # star curve carries the claim)
+            if n == 256:
+                stp: dict = {}
+                t0 = time.perf_counter()
+                connected_components(
+                    path_edges, max_iter=n + 2, stats=stp
+                ).write.format("noop").mode("overwrite").save()
+                timings[f"propagation_path{n}_wall"] = round(
+                    time.perf_counter() - t0, 3)
+                timings[f"propagation_path{n}_rounds"] = stp["rounds"]
+
     print(json.dumps({"metric": f"stress_{FACTOR}x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": FACTOR,
                       "timings": timings}))

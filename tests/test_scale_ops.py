@@ -346,3 +346,89 @@ def test_misra_gries_guarantees_hold_on_adversarial_partitioning(spark):
                 assert true_n - est <= bound, (k, parts, key, true_n, est)
                 if true_n > bound:
                     assert key in cand
+
+
+def test_star_cc_transitive_closure(spark):
+    from postrack_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 1)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc"]: r["cluster"]
+           for r in connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_star_cc_matches_propagation_on_copurchase_graph(spark):
+    """The O(log n) large-star/small-star form must produce the exact
+    labeling of the fixed-round propagation baseline on the real
+    co-purchase graph the dedup/graph queries run on."""
+    from postrack_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from postrack_spark.queries.graph_queries import _edges
+
+    e = _edges(spark, "/root/testdata/sf0.001").select(
+        F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b"))
+    base = {r["doc"]: r["cluster"]
+            for r in connected_components(e, max_iter=40).collect()}
+    stats: dict = {}
+    star = {r["doc"]: r["cluster"]
+            for r in connected_components_star(e, stats=stats).collect()}
+    assert star == base
+    assert stats["rounds"] <= 8  # O(log n), not O(diameter)
+
+
+def test_star_cc_path_graph_diameter_independence(spark):
+    """A 64-node path is the propagation worst case (diameter 63 ->
+    ~63 min-label rounds). Star alternation must finish in O(log n)
+    rounds and still label every node with the component min; the
+    unconverged-exhaustion path must RAISE, not return."""
+    import pytest as _pytest
+
+    from postrack_spark.operators.dedup import connected_components_star
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    stats: dict = {}
+    got = {r["doc"]: r["cluster"]
+           for r in connected_components_star(edges, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 10, f"rounds grew with diameter: {stats}"
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, max_iter=1)
+
+
+def test_star_cc_random_graphs_match_union_find(spark):
+    """Seeded random graphs: star CC vs a driver-side union-find."""
+    import random
+
+    from postrack_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want = {}
+        for a, b in edges:
+            for x in (a, b):
+                r = find(x)
+                want[r] = min(want.get(r, x), x)
+        expect = {x: want[find(x)] for e in edges for x in e}
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc"]: r["cluster"]
+               for r in connected_components_star(df).collect()}
+        assert got == expect, f"trial {trial}"
