@@ -8,9 +8,12 @@ this container the same way stdlib ``wave`` made audio real (round 3);
 PIL remains the seam for non-PNG raster formats.
 
 Decoder scope (honest): 8-bit samples, color types 0 (gray), 2 (RGB),
-3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters; no
-Adam7 interlace (raises NotImplementedError — rare in ML corpora, and
-a wrong-silent decode would be worse). Output is packed RGB bytes;
+3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters; and
+Adam7 interlace (round 6: seven independently-filtered sub-images
+scattered on the 8x8 pass grid — ISO 15948 section 8.2; our
+interlaced output decodes byte-exactly in javax.imageio, which cannot
+WRITE interlaced PNG, so that is the certifiable direction). Output
+is packed RGB bytes;
 alpha is dropped (channel removal, matching PIL ``convert("RGB")`` on
 straight-alpha images).
 
@@ -47,6 +50,50 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass grid: (x_origin, y_origin, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, off: int, stride: int, height: int,
+              channels: int) -> bytearray:
+    """Unfilter `height` scanlines of [filter_byte, stride bytes]
+    starting at `off`. Sub/Avg/Paeth reference the pixel `channels`
+    bytes to the left; Up/Avg/Paeth the previous unfiltered line."""
+    out = bytearray(stride * height)
+    for y in range(height):
+        base = off + y * (stride + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        prev_off = (y - 1) * stride
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            if y:
+                for x in range(stride):
+                    line[x] = (line[x] + out[prev_off + x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                up = out[prev_off + x] if y else 0
+                line[x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                up = out[prev_off + x] if y else 0
+                ul = out[prev_off + x - channels] if (y and x >= channels) else 0
+                line[x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {f} on row {y}")
+        out[y * stride : (y + 1) * stride] = line
+    return out
+
+
 def decode_png(payload: bytes) -> bytes:
     """Decode a PNG byte string to packed 8-bit RGB bytes (w*h*3)."""
     if payload[:8] != _SIGNATURE:
@@ -78,8 +125,8 @@ def decode_png(payload: bytes) -> bytes:
             break
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if interlace != 0:
-        raise NotImplementedError("PNG: Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if bit_depth != 8:
         raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported")
     if color_type not in _CHANNELS:
@@ -88,40 +135,34 @@ def decode_png(payload: bytes) -> bytes:
     channels = _CHANNELS[color_type]
     stride = width * channels  # bytes per unfiltered scanline
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG: decompressed size mismatch")
-
-    # Unfilter: each scanline is [filter_byte, stride bytes]. Sub/Avg/
-    # Paeth reference the pixel `channels` bytes to the left; Up/Avg/
-    # Paeth reference the previous (already unfiltered) scanline.
-    out = bytearray(stride * height)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        prev_off = (y - 1) * stride
-        if f == 0:  # None
-            pass
-        elif f == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
-        elif f == 2:  # Up
-            if y:
-                for x in range(stride):
-                    line[x] = (line[x] + out[prev_off + x]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = line[x - channels] if x >= channels else 0
-                up = out[prev_off + x] if y else 0
-                line[x] = (line[x] + ((left + up) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - channels] if x >= channels else 0
-                up = out[prev_off + x] if y else 0
-                ul = out[prev_off + x - channels] if (y and x >= channels) else 0
-                line[x] = (line[x] + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"PNG: unknown filter type {f} on row {y}")
-        out[y * stride : (y + 1) * stride] = line
+    if interlace == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG: decompressed size mismatch")
+        out = _unfilter(raw, 0, stride, height, channels)
+    else:
+        # Adam7: seven sub-images, each independently filtered (filter
+        # references never cross a pass boundary), scattered onto the
+        # 8x8 pass grid (ISO 15948 8.2). Empty passes contribute no
+        # scanlines at all (not even filter bytes).
+        out = bytearray(stride * height)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            sub = _unfilter(raw, off, pstride, ph, channels)
+            off += (pstride + 1) * ph
+            for j in range(ph):
+                row = y0 + j * dy
+                for i in range(pw):
+                    col = x0 + i * dx
+                    src = (j * pw + i) * channels
+                    dst = (row * width + col) * channels
+                    out[dst : dst + channels] = sub[src : src + channels]
+        if off != len(raw):
+            raise ValueError("PNG: decompressed size mismatch")
 
     # to packed RGB
     if color_type == 2:
@@ -154,15 +195,12 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(rgb: bytes, width: int, height: int, filter_type: int = 0) -> bytes:
-    """Encode packed RGB bytes as an 8-bit color-type-2 PNG, applying
-    ``filter_type`` (0-4) to every scanline — the lever tests use to
-    exercise each unfilter path byte-exactly."""
+def _filter_lines(rgb: bytes, width: int, height: int,
+                  filter_type: int) -> bytearray:
+    """Apply ``filter_type`` to every scanline of a packed-RGB image
+    (a whole image, or one Adam7 pass sub-image — filtering never
+    crosses a pass boundary)."""
     stride = width * 3
-    if len(rgb) != stride * height:
-        raise ValueError("encode_png: rgb length != w*h*3")
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError(f"encode_png: bad filter type {filter_type}")
     lines = bytearray()
     for y in range(height):
         cur = rgb[y * stride : (y + 1) * stride]
@@ -195,7 +233,41 @@ def encode_png(rgb: bytes, width: int, height: int, filter_type: int = 0) -> byt
                 & 0xFF
                 for x in range(stride)
             )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return lines
+
+
+def encode_png(rgb: bytes, width: int, height: int, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """Encode packed RGB bytes as an 8-bit color-type-2 PNG, applying
+    ``filter_type`` (0-4) to every scanline — the lever tests use to
+    exercise each unfilter path byte-exactly. ``interlace=True`` emits
+    Adam7: seven pass sub-images, each filtered independently (the
+    certifiable direction vs javax.imageio, whose PNG writer cannot
+    emit interlaced output but whose reader must decode ours)."""
+    stride = width * 3
+    if len(rgb) != stride * height:
+        raise ValueError("encode_png: rgb length != w*h*3")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"encode_png: bad filter type {filter_type}")
+    if not interlace:
+        lines = _filter_lines(rgb, width, height, filter_type)
+    else:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = bytearray()
+            for j in range(ph):
+                row = y0 + j * dy
+                for i in range(pw):
+                    col = x0 + i * dx
+                    src = (row * width + col) * 3
+                    sub += rgb[src : src + 3]
+            lines += _filter_lines(bytes(sub), pw, ph, filter_type)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

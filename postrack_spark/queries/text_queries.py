@@ -359,7 +359,8 @@ def multimodal_png_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataFr
     """REAL image decode, driver-gated: per document, build a
     deterministic RGB image (md5-of-text pixel pattern, per-doc
     dimensions derived from n_chars), encode it as PNG with the scanline
-    filter chosen by doc_id % 5 — so all five filter types run — then
+    filter chosen by doc_id % 5 — so all five filter types run — and
+    Adam7 INTERLACE on odd doc_ids (round 6: both IDAT layouts), then
     decode through the production ``decode_media`` path (pure-stdlib
     operators/png.py, fake_decode=False) and certify the roundtrip is
     byte-exact. The oracle is the certification contract: n_roundtrip_ok
@@ -396,7 +397,8 @@ def multimodal_png_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataFr
                 need = w * h * 3
                 dig = hashlib.md5(text.encode("utf-8")).digest()
                 pixels = (dig * (need // len(dig) + 1))[:need]
-                payload = encode_png(pixels, w, h, filter_type=int(doc_id) % 5)
+                payload = encode_png(pixels, w, h, filter_type=int(doc_id) % 5,
+                                     interlace=int(doc_id) % 2 == 1)
                 decoded = decode_media(payload, "image/png", fake_decode=False)
                 oks.append(decoded == pixels)
                 nbytes.append(len(decoded))

@@ -418,3 +418,29 @@ def test_jpeg_progressive_larger_image_eob_runs(iio):
     assert (gw_, gh_) == (w, h)
     theirs, _, _ = iio.decode(payload)
     assert _max_abs_diff(ours, theirs) <= 4
+
+
+# -------------------------------------------------- Adam7 interlace
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 4])
+def test_png_adam7_our_encoder_decodes_exactly_in_imageio(iio, filter_type):
+    # javax.imageio's PNG writer cannot EMIT interlaced output, so the
+    # certifiable direction is: our Adam7 bytes must decode byte-exact
+    # in the JDK's (independent) interlaced reader
+    rgb = _pattern_rgb()
+    payload = encode_png(rgb, W, H, filter_type=filter_type, interlace=True)
+    got, w, h = iio.decode(payload)
+    assert (w, h) == (W, H)
+    assert got == rgb
+
+
+def test_png_adam7_partial_pass_dims_decode_in_imageio(iio):
+    # dims not multiples of 8: several passes are ragged, two are empty
+    # on the 1-column/1-row axes of the smallest images
+    for w, h in [(9, 5), (3, 11), (1, 7)]:
+        rgb = _pattern_rgb(w, h)
+        payload = encode_png(rgb, w, h, filter_type=2, interlace=True)
+        got, gw2, gh2 = iio.decode(payload)
+        assert (gw2, gh2) == (w, h)
+        assert got == rgb

@@ -187,15 +187,21 @@ def test_decode_png_rejects_corruption_and_interlace():
     with pytest.raises(ValueError, match="CRC"):
         decode_media(bytes(payload), "image/png", fake_decode=False)
 
+    # Adam7 DECODES since round 6 (certified vs javax.imageio) — the
+    # production decode_media path must handle it; a truncated
+    # interlaced IDAT still fails loudly
+    pix = _ref_pixels(4, 4)
+    interlaced = encode_png(pix, 4, 4, filter_type=3, interlace=True)
+    assert decode_media(interlaced, "image/png", fake_decode=False) == pix
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
-    interlaced = (
+    short = (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))  # needs 15
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_media(interlaced, "image/png", fake_decode=False)
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_media(short, "image/png", fake_decode=False)
 
 
 def test_png_feature_extract_end_to_end(spark):
