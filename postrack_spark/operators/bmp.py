@@ -6,9 +6,12 @@ Scope (honest, raising — the png.py discipline):
 
 * decode: BITMAPINFOHEADER (40) and the V4/V5 extensions (108/124)
   with BI_RGB at 8 (palette), 24 (BGR) and 32 (BGRx) bits/pixel,
-  bottom-up AND top-down row order, 4-byte row padding. BI_RLE8/RLE4,
-  BI_BITFIELDS and 1/4-bit depths raise NotImplementedError rather
-  than decode wrongly.
+  bottom-up AND top-down row order, 4-byte row padding; and BI_RLE8 /
+  BI_RLE4 run-length compression (round 6 — encoded runs, absolute
+  mode with 2-byte alignment, EOL/EOB/delta escapes; certified
+  against javax.imageio's BMP writer, which emits both). BI_BITFIELDS
+  and 1-bit depth raise NotImplementedError rather than decode
+  wrongly.
 * encode: 24-bit BI_RGB bottom-up (the interchange baseline every
   reader accepts, including javax.imageio — cross-certified both
   directions in tests/test_codecs_imageio.py, which shares zero code
@@ -54,26 +57,46 @@ def decode_bmp(payload: bytes) -> bytes:
         raise NotImplementedError(f"BMP: DIB header size {hdr_size} not supported")
     if planes != 1:
         raise ValueError(f"BMP: planes must be 1, got {planes}")
-    if compression != 0:  # BI_RGB only
+    if compression not in (0, 1, 2):  # BI_RGB / BI_RLE8 / BI_RLE4
         raise NotImplementedError(
-            f"BMP: compression {compression} (RLE/bitfields) not supported"
+            f"BMP: compression {compression} (bitfields/jpeg) not supported"
         )
-    if bpp not in (8, 24, 32):
+    if compression == 0 and bpp not in (8, 24, 32):
         raise NotImplementedError(f"BMP: {bpp} bits/pixel not supported")
+    if compression == 1 and bpp != 8:
+        raise ValueError(f"BMP: BI_RLE8 requires 8 bpp, got {bpp}")
+    if compression == 2 and bpp != 4:
+        raise ValueError(f"BMP: BI_RLE4 requires 4 bpp, got {bpp}")
+    if compression and height < 0:
+        raise ValueError("BMP: RLE bitmaps must be bottom-up")
     top_down = height < 0
     height = abs(height)
     if width <= 0 or height == 0:
         raise ValueError("BMP: non-positive dimensions")
 
     palette: list[tuple[int, int, int]] = []
-    if bpp == 8:
-        n_colors = colors_used or 256
+    if bpp in (4, 8):
+        n_colors = colors_used or (256 if bpp == 8 else 16)
         pal_off = 14 + hdr_size
         if pal_off + 4 * n_colors > len(payload):
             raise ValueError("BMP: truncated palette")
         for i in range(n_colors):
             b, g, r, _x = payload[pal_off + 4 * i : pal_off + 4 * i + 4]
             palette.append((r, g, b))
+
+    if compression:  # RLE: decode bottom-up index raster, then palette
+        idx_rows = _decode_rle(payload, data_off, width, height,
+                               rle4=compression == 2)
+        out = bytearray(width * height * 3)
+        for row in range(height):
+            src_row = idx_rows[height - 1 - row]  # bottom-up -> top-down
+            dst = row * width * 3
+            for x in range(width):
+                idx = src_row[x]
+                if idx >= len(palette):
+                    raise ValueError("BMP: palette index out of range")
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes(palette[idx])
+        return bytes(out)
 
     bytes_per_px = bpp // 8
     stride = (width * bytes_per_px + 3) & ~3  # rows pad to 4 bytes
@@ -100,6 +123,58 @@ def decode_bmp(payload: bytes) -> bytes:
                     raise ValueError("BMP: palette index out of range")
                 out[dst + 3 * x : dst + 3 * x + 3] = bytes(palette[idx])
     return bytes(out)
+
+
+def _decode_rle(payload: bytes, pos: int, width: int, height: int,
+                rle4: bool) -> list[bytearray]:
+    """BI_RLE8/BI_RLE4 (public BITMAPINFOHEADER spec): rows bottom-up,
+    stream of (count, value) pairs — count>0 is an encoded run (RLE4
+    alternates the value byte's two nibbles), count==0 escapes: 0=end
+    of line, 1=end of bitmap, 2=delta(dx,dy skips pixels — skipped
+    cells stay palette index 0), else absolute mode of `value` literal
+    pixels padded to 2-byte alignment. Returns bottom-up index rows."""
+    rows = [bytearray(width) for _ in range(height)]
+    x = y = 0
+    n = len(payload)
+    while pos + 1 < n:
+        cnt, val = payload[pos], payload[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if y >= height:
+                raise ValueError("BMP: RLE run outside bitmap")
+            for i in range(cnt):
+                if x >= width:
+                    break  # spec allows runs clipped at line end
+                rows[y][x] = ((val >> 4) if i % 2 == 0 else (val & 0x0F)) \
+                    if rle4 else val
+                x += 1
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return rows
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("BMP: truncated RLE delta")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal pixels
+            npix = val
+            nbytes = ((npix + 1) // 2) if rle4 else npix
+            nbytes += nbytes & 1  # pad to 2-byte alignment
+            if pos + nbytes > n:
+                raise ValueError("BMP: truncated RLE absolute run")
+            if y >= height:
+                raise ValueError("BMP: RLE absolute run outside bitmap")
+            for i in range(npix):
+                if x >= width:
+                    break
+                b = payload[pos + (i // 2 if rle4 else i)]
+                rows[y][x] = ((b >> 4) if i % 2 == 0 else (b & 0x0F)) \
+                    if rle4 else b
+                x += 1
+            pos += nbytes
+    raise ValueError("BMP: RLE stream ended without end-of-bitmap")
 
 
 def bmp_dimensions(payload: bytes) -> tuple[int, int]:

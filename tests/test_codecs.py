@@ -418,10 +418,15 @@ def test_bmp_unsupported_paths_raise():
 
     with _pytest.raises(ValueError):
         decode_bmp(b"XX" + b"\x00" * 60)
+    # RLE8 DECODES since round 6 — a stream with no end-of-bitmap
+    # still fails loudly rather than returning a partial raster
+    with _pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp(_bmp_raw(2, 1, 8, compression=1, palette=bytes(1024),
+                            rows=b"\x02\x07\x00\x00"))
+    with _pytest.raises(NotImplementedError):  # BI_BITFIELDS
+        decode_bmp(_bmp_raw(2, 1, 32, compression=3, rows=b"\x00" * 8))
     with _pytest.raises(NotImplementedError):
-        decode_bmp(_bmp_raw(2, 1, 8, compression=1, rows=b"\x00" * 4))  # RLE8
-    with _pytest.raises(NotImplementedError):
-        decode_bmp(_bmp_raw(2, 1, 4, rows=b"\x00" * 4))  # 4-bit
+        decode_bmp(_bmp_raw(2, 1, 4, rows=b"\x00" * 4))  # 4-bit uncompressed
     with _pytest.raises(ValueError):
         decode_bmp(_bmp_raw(2, 1, 24, rows=b"\x00"))  # truncated pixels
 
@@ -691,3 +696,79 @@ def test_avi_golden_fixture_parses():
 
     assert hashlib.md5(_AVI_GOLDEN).hexdigest() == (
         "ab27b8537cb632ca0bb2cb0301abe586")
+
+
+def test_bmp_rle8_escape_codes_hand_built():
+    """Spec escapes the JDK encoder never emits: delta (skipped cells
+    stay index 0), absolute mode with odd-count padding, early end of
+    bitmap. Stream derived by hand from the BITMAPINFOHEADER docs."""
+    import struct
+
+    w, h = 6, 3
+    palette = b"".join(bytes([i, i * 2 % 256, i * 3 % 256, 0])
+                       for i in range(256))
+    # bottom-up rows. Row 0 (bottom): run of 3 idx 5, absolute 3 pixels
+    # [7,8,9] (odd count -> 1 pad byte), EOL. Row 1: delta (+2,+0) then
+    # run 2 idx 1, EOL. Row 2: run 1 idx 4, end of bitmap (rest stays 0).
+    rle = bytes([
+        3, 5,               # run: 5 5 5
+        0, 3, 7, 8, 9, 0,   # absolute 3 px + pad
+        0, 0,               # EOL
+        0, 2, 2, 0,         # delta: skip 2 cells
+        2, 1,               # run: 1 1
+        0, 0,               # EOL
+        1, 4,               # run: 4
+        0, 1,               # end of bitmap
+    ])
+    data_off = 14 + 40 + len(palette)
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(rle), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle),
+                       0, 0, 256, 0)
+    payload = hdr + info + palette + rle
+    from postrack_spark.operators.bmp import decode_bmp
+
+    rgb = decode_bmp(payload)
+
+    def px(i):  # palette entries are stored B,G,R,X — decode returns RGB
+        return (i * 3 % 256, i * 2 % 256, i)
+
+    rows = [
+        [px(4)] + [px(0)] * 5,               # top (row y=2 bottom-up)
+        [px(0), px(0), px(1), px(1), px(0), px(0)],
+        [px(5), px(5), px(5), px(7), px(8), px(9)],  # bottom
+    ]
+    want = bytes(v for row in rows for p in row for v in p)
+    assert rgb == want
+
+
+def test_bmp_rle4_nibble_runs_hand_built():
+    import struct
+
+    w, h = 5, 2
+    palette = b"".join(bytes([i * 16, i * 8, i * 4, 0]) for i in range(16))
+    # bottom row: run of 5 with value 0xAB -> A B A B A; EOL
+    # top row: absolute 3 pixels [C, D, E] -> bytes CD E0 + pad; EOB
+    rle = bytes([
+        5, 0xAB,
+        0, 0,
+        0, 3, 0xCD, 0xE0,
+        0, 1,
+    ])
+    data_off = 14 + 40 + len(palette)
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(rle), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(rle),
+                       0, 0, 16, 0)
+    payload = hdr + info + palette + rle
+    from postrack_spark.operators.bmp import decode_bmp
+
+    rgb = decode_bmp(payload)
+
+    def px(i):  # palette entries are stored B,G,R,X — decode returns RGB
+        return (i * 4 % 256, i * 8 % 256, i * 16 % 256)
+
+    rows = [
+        [px(0xC), px(0xD), px(0xE), px(0), px(0)],      # top
+        [px(0xA), px(0xB), px(0xA), px(0xB), px(0xA)],  # bottom
+    ]
+    want = bytes(v for row in rows for p in row for v in p)
+    assert rgb == want

@@ -444,3 +444,88 @@ def test_png_adam7_partial_pass_dims_decode_in_imageio(iio):
         got, gw2, gh2 = iio.decode(payload)
         assert (gw2, gh2) == (w, h)
         assert got == rgb
+
+
+# -------------------------------------------------- BMP RLE8 / RLE4
+
+
+def _iio_encode_bmp_rle(iio, indices, w, h, rle4=False):
+    """JDK-encoded BI_RLE8/BI_RLE4 BMP over an indexed raster — the
+    certification input for the RLE decoder (javax.imageio's BMP
+    writer emits both run-length modes; ours writes only BI_RGB)."""
+    jvm = iio.jvm
+    B = jvm.java.awt.image.BufferedImage
+    if rle4:
+        # 16-color IndexColorModel
+        size = 16
+        # py4j converts Python bytes to byte[] on call
+        r = bytes((i * 37) % 256 for i in range(size))
+        g = bytes((i * 11) % 256 for i in range(size))
+        b = bytes((i * 73) % 256 for i in range(size))
+        icm = jvm.java.awt.image.IndexColorModel(4, size, r, g, b)
+        img = B(w, h, B.TYPE_BYTE_BINARY, icm)
+    else:
+        img = B(w, h, B.TYPE_BYTE_INDEXED)
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, indices[y * w + x])
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "bmp").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("BI_RLE4" if rle4 else "BI_RLE8")
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.close()
+    payload = bytes(baos.toByteArray())
+    import struct as _struct
+
+    (comp,) = _struct.unpack_from("<I", payload, 30)
+    assert comp == (2 if rle4 else 1), "writer did not emit RLE"
+    return payload
+
+
+@pytest.mark.parametrize("w,h", [(19, 7), (16, 4), (31, 9)])
+def test_bmp_rle8_imageio_bytes_decode_exactly_in_ours(iio, w, h):
+    import random
+
+    random.seed(w * 100 + h)
+    # runs + literals: long runs of one index, scattered singles
+    idx = []
+    while len(idx) < w * h:
+        if random.random() < 0.5:
+            idx += [random.randrange(256)] * random.randrange(1, 12)
+        else:
+            idx.append(random.randrange(256))
+    idx = idx[: w * h]
+    payload = _iio_encode_bmp_rle(iio, idx, w, h)
+    from postrack_spark.operators.bmp import decode_bmp
+
+    ours = decode_bmp(payload)
+    theirs, gw_, gh_ = iio.decode(payload)
+    assert (gw_, gh_) == (w, h)
+    assert ours == theirs
+
+
+@pytest.mark.parametrize("w,h", [(18, 5), (13, 6)])
+def test_bmp_rle4_imageio_bytes_decode_exactly_in_ours(iio, w, h):
+    import random
+
+    random.seed(w * 100 + h)
+    idx = []
+    while len(idx) < w * h:
+        if random.random() < 0.5:
+            idx += [random.randrange(16)] * random.randrange(1, 10)
+        else:
+            idx.append(random.randrange(16))
+    idx = idx[: w * h]
+    payload = _iio_encode_bmp_rle(iio, idx, w, h, rle4=True)
+    from postrack_spark.operators.bmp import decode_bmp
+
+    ours = decode_bmp(payload)
+    theirs, gw_, gh_ = iio.decode(payload)
+    assert (gw_, gh_) == (w, h)
+    assert ours == theirs
