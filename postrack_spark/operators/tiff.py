@@ -12,8 +12,12 @@ Scope (honest, raising):
   inversion), 2 (RGB, extra samples ignored) and 3 (palette), any
   strip layout (RowsPerStrip/StripOffsets/StripByteCounts).
   Predictor 2 (horizontal differencing) re-accumulates per row.
-  CCITT/JPEG-in-TIFF compression, planar layout, tiles, and 16-bit
-  samples raise NotImplementedError rather than decode wrongly.
+  16-bit samples decode since round 6 (big/little endian words,
+  16-bit horizontal predictor, high-byte downscale to the 8-bit RGB
+  output convention — what PIL's convert does; gray certified against
+  the JDK TIFF writer's TYPE_USHORT_GRAY output). CCITT/JPEG-in-TIFF
+  compression, planar layout, tiles, and mixed bit depths raise
+  NotImplementedError rather than decode wrongly.
 * encode: little-endian uncompressed chunky 8-bit RGB, single strip —
   the minimal interchange profile every reader accepts.
 
@@ -101,7 +105,11 @@ def decode_tiff(payload: bytes) -> bytes:
         raise NotImplementedError(f"TIFF: predictor {predictor} not supported")
     if planar != 1:
         raise NotImplementedError("TIFF: planar configuration not supported")
-    if any(b != 8 for b in bps):
+    if all(b == 8 for b in bps):
+        sample_bytes = 1
+    elif all(b == 16 for b in bps):
+        sample_bytes = 2
+    else:
         raise NotImplementedError(f"TIFF: bits/sample {bps} not supported")
     if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF: photometric {photometric} not supported")
@@ -126,10 +134,26 @@ def decode_tiff(payload: bytes) -> bytes:
         elif compression == 5:
             strip = _lzw_decode(strip)
         data += strip
-    need = width * height * spp
+    need = width * height * spp * sample_bytes
     if len(data) < need:
         raise ValueError("TIFF: truncated pixel data")
-    if predictor == 2:  # horizontal differencing: re-accumulate per row
+    if sample_bytes == 2:
+        # 16-bit: words in FILE endianness; the horizontal predictor
+        # differences whole 16-bit samples; output downscales to the
+        # 8-bit convention by taking the high byte (PIL's convert)
+        n16 = width * height * spp
+        words = list(struct.unpack(endian + f"{n16}H", bytes(data[:2 * n16])))
+        if predictor == 2:
+            row_samples = width * spp
+            for r in range(height):
+                base = r * row_samples
+                for i in range(spp, row_samples):
+                    words[base + i] = (
+                        words[base + i] + words[base + i - spp]) & 0xFFFF
+        if photometric == 3:
+            raise NotImplementedError("TIFF: 16-bit palette not supported")
+        data = bytearray(w >> 8 for w in words)
+    elif predictor == 2:  # horizontal differencing: re-accumulate per row
         row_bytes = width * spp
         for r in range(height):
             base = r * row_bytes

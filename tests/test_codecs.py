@@ -772,3 +772,56 @@ def test_bmp_rle4_nibble_runs_hand_built():
     ]
     want = bytes(v for row in rows for p in row for v in p)
     assert rgb == want
+
+
+def test_tiff_16bit_rgb_predictor2_hand_built():
+    """16-bit RGB with the horizontal predictor, little-endian — a
+    combination the JDK writer doesn't emit for ushort RGB; built by
+    hand per TIFF 6.0: predictor differences whole 16-bit samples."""
+    import struct
+    import zlib
+
+    w, h = 4, 3
+    vals = [((x * 5000 + y * 911 + c * 7777) % 65536)
+            for y in range(h) for x in range(w) for c in range(3)]
+    # difference rows per 16-bit sample lane (spp=3)
+    diff = list(vals)
+    spp = 3
+    for r in range(h):
+        base = r * w * spp
+        for i in range(w * spp - 1, spp - 1, -1):
+            diff[base + i] = (diff[base + i] - diff[base + i - spp]) & 0xFFFF
+    raw = struct.pack(f"<{len(diff)}H", *diff)
+    comp = zlib.compress(raw)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI4s", tag, typ, cnt, val)
+
+    # IFD with 10 entries; external arrays after the IFD
+    n_entries = 10
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + n_entries * 12 + 4
+    bps_off = after_ifd          # 3 SHORTs
+    data_off = bps_off + 6
+    ent = b"".join([
+        entry(256, 3, 1, struct.pack("<I", w)),      # ImageWidth
+        entry(257, 3, 1, struct.pack("<I", h)),      # ImageLength
+        entry(258, 3, 3, struct.pack("<I", bps_off)),  # BitsPerSample
+        entry(259, 3, 1, struct.pack("<I", 8)),      # Compression: Deflate
+        entry(262, 3, 1, struct.pack("<I", 2)),      # Photometric RGB
+        entry(273, 4, 1, struct.pack("<I", data_off)),  # StripOffsets
+        entry(277, 3, 1, struct.pack("<I", 3)),      # SamplesPerPixel
+        entry(278, 3, 1, struct.pack("<I", h)),      # RowsPerStrip
+        entry(279, 4, 1, struct.pack("<I", len(comp))),  # StripByteCounts
+        entry(317, 3, 1, struct.pack("<I", 2)),      # Predictor 2
+    ])
+    payload = (b"II*\x00" + struct.pack("<I", ifd_off)
+               + struct.pack("<H", n_entries) + ent
+               + struct.pack("<I", 0)
+               + struct.pack("<3H", 16, 16, 16)
+               + comp)
+    from postrack_spark.operators.tiff import decode_tiff
+
+    rgb = decode_tiff(payload)
+    want = bytes(v >> 8 for v in vals)
+    assert rgb == want

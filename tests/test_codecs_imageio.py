@@ -529,3 +529,45 @@ def test_bmp_rle4_imageio_bytes_decode_exactly_in_ours(iio, w, h):
     theirs, gw_, gh_ = iio.decode(payload)
     assert (gw_, gh_) == (w, h)
     assert ours == theirs
+
+
+# -------------------------------------------------- 16-bit TIFF
+
+
+def _iio_encode_tiff16_gray(iio, vals, w, h, ctype=None):
+    jvm = iio.jvm
+    B = jvm.java.awt.image.BufferedImage
+    img = B(w, h, B.TYPE_USHORT_GRAY)
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, vals[y * w + x])
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "tiff").next()
+    param = None
+    if ctype is not None:
+        param = writer.getDefaultWriteParam()
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(ctype)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+@pytest.mark.parametrize("ctype", [None, "LZW", "Deflate", "PackBits"])
+def test_tiff_16bit_gray_imageio_bytes_decode_exactly_in_ours(iio, ctype):
+    from postrack_spark.operators.tiff import decode_tiff
+
+    w, h = 21, 9
+    vals = [((x * 913 + y * 471) * 37) % 65536 for y in range(h)
+            for x in range(w)]
+    payload = _iio_encode_tiff16_gray(iio, vals, w, h, ctype)
+    rgb = decode_tiff(payload)
+    # 8-bit output convention: the high byte (PIL convert semantics)
+    assert all(
+        rgb[3 * i] == rgb[3 * i + 1] == rgb[3 * i + 2] == (vals[i] >> 8)
+        for i in range(w * h))
