@@ -3774,6 +3774,48 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4.0+, the public |> operator chain from
+    the Google pipe-syntax paper adopted by Spark): FROM |> JOIN |>
+    WHERE |> EXTEND |> AGGREGATE..GROUP BY |> ORDER BY, expressing the
+    urgent-order segment rollup as a linear dataflow instead of the
+    inside-out SELECT nesting. The oracle is the classic-SQL
+    equivalent — parity certifies that the pipe chain plans the SAME
+    relational algebra (Catalyst lowers each |> stage onto the normal
+    logical operators, so pushdown/pruning/broadcast behave
+    identically; this is syntax, not a new engine path). View names
+    are uuid-randomized so repeated driver runs never collide."""
+    import uuid as _uuid
+
+    t = load_tables(spark, sf_dir)
+    sfx = _uuid.uuid4().hex[:12]
+    t["orders"].createOrReplaceTempView(f"orders_pp_{sfx}")
+    t["customer"].createOrReplaceTempView(f"customer_pp_{sfx}")
+    return spark.sql(f"""
+        FROM orders_pp_{sfx}
+        |> JOIN customer_pp_{sfx} ON o_custkey = c_custkey
+        |> WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS c1
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(c1) AS BIGINT) AS cents
+           GROUP BY c_mktsegment
+        |> ORDER BY c_mktsegment
+    """)
+
+
+@query(
     "sql_scripting_threshold_search",
     oracle="""
     WITH base AS (

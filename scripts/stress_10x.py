@@ -528,6 +528,12 @@ def main() -> None:
         timings[f"iceberg_mor_delete_scattered_{FACTOR}x"] = round(
             time.perf_counter() - t0, 3)
         timings[f"iceberg_mor_rows_deleted_{FACTOR}x"] = ndel
+        # distributed-writer evidence: one delete Avro per non-empty
+        # file_path hash partition, never one driver-side blob
+        import os as _os
+        timings[f"iceberg_mor_delete_files_{FACTOR}x"] = len([
+            f for f in _os.listdir(_os.path.join(it_, "data"))
+            if f.startswith("delete-")])
         t0 = time.perf_counter()
         read_iceberg(spark, it_).write.format("noop").mode("overwrite").save()
         timings[f"iceberg_mor_read_{FACTOR}x"] = round(
