@@ -528,6 +528,56 @@ def multimodal_jpeg_roundtrip_certify(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the Arrow-NATIVE map (Spark 4): the UDF receives
+    pyarrow RecordBatches and computes with pyarrow.compute kernels,
+    skipping the pandas conversion mapInPandas pays on both sides of
+    the boundary. For bytes/string-heavy leaf work (the multimodal
+    codecs' natural home) this is the lowest-overhead Python lane
+    Spark offers; registered so the API surface row is exercised and
+    its plan shape (MapInArrow, not BatchEvalPython) is pinned. The
+    token/char counts are exact integers — split(' ') semantics agree
+    byte-for-byte across Python, Spark and DuckDB (empty fields
+    included) — so the rollup hash-gates. Scale: one Arrow batch
+    stream per partition, partial aggregation before the lang
+    shuffle."""
+    import pyarrow  # noqa: F401 — fail fast at build if absent
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"]).select(
+        "lang", "text")
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            txt = batch.column(1)
+            ntok = pc.list_value_length(
+                pc.split_pattern(txt, " ")).cast(pa.int64())
+            nchr = pc.utf8_length(txt).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), ntok, nchr], ["lang", "n_tok", "n_chr"])
+
+    out = docs.mapInArrow(fn, "lang string, n_tok long, n_chr long")
+    return (
+        out.groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("tokens"),
+             F.sum("n_chr").cast("long").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
     "multimodal_jpeg_progressive_certify",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
