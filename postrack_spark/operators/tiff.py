@@ -15,9 +15,12 @@ Scope (honest, raising):
   16-bit samples decode since round 6 (big/little endian words,
   16-bit horizontal predictor, high-byte downscale to the 8-bit RGB
   output convention — what PIL's convert does; gray certified against
-  the JDK TIFF writer's TYPE_USHORT_GRAY output). CCITT/JPEG-in-TIFF
-  compression, planar layout, tiles, and mixed bit depths raise
-  NotImplementedError rather than decode wrongly.
+  the JDK TIFF writer's TYPE_USHORT_GRAY output). Tiled layout decodes
+  since round 6 (TileWidth/TileLength grids, edge-tile padding,
+  per-tile predictor — certified against the JDK writer's
+  MODE_EXPLICIT tiling). CCITT/JPEG-in-TIFF compression, planar
+  layout, and mixed bit depths raise NotImplementedError rather than
+  decode wrongly.
 * encode: little-endian uncompressed chunky 8-bit RGB, single strip —
   the minimal interchange profile every reader accepts.
 
@@ -87,6 +90,56 @@ def _endian(payload: bytes) -> str:
     return endian
 
 
+def _apply_predictor2(buf: bytearray, rows: int, row_samples: int,
+                      spp: int, sample_bytes: int, endian: str) -> None:
+    """In-place horizontal-predictor accumulation over a rectangular
+    sample block (a tile or a whole strip image)."""
+    if sample_bytes == 1:
+        for r in range(rows):
+            base = r * row_samples
+            for i in range(spp, row_samples):
+                buf[base + i] = (buf[base + i] + buf[base + i - spp]) & 0xFF
+        return
+    n = rows * row_samples
+    words = list(struct.unpack(endian + f"{n}H", bytes(buf[: 2 * n])))
+    for r in range(rows):
+        base = r * row_samples
+        for i in range(spp, row_samples):
+            words[base + i] = (words[base + i] + words[base + i - spp]) & 0xFFFF
+    buf[: 2 * n] = struct.pack(endian + f"{n}H", *words)
+
+
+def _assemble_tiles(payload, tags, width, height, spp, sample_bytes,
+                    predictor, endian, decompress) -> bytearray:
+    tw, th = tags[322][0], tags[323][0]
+    offsets, counts = tags.get(324), tags.get(325)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing/mismatched tile tables")
+    tiles_x = (width + tw - 1) // tw
+    tiles_y = (height + th - 1) // th
+    if len(offsets) != tiles_x * tiles_y:
+        raise ValueError("TIFF: tile count mismatch")
+    px = spp * sample_bytes  # bytes per pixel
+    tile_row_bytes = tw * px
+    data = bytearray(width * height * px)
+    for ti, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(payload):
+            raise ValueError("TIFF: tile out of range")
+        tile = bytearray(decompress(payload[o : o + c]))
+        if len(tile) < tile_row_bytes * th:
+            raise ValueError("TIFF: truncated tile data")
+        if predictor == 2:
+            _apply_predictor2(tile, th, tw * spp, spp, sample_bytes, endian)
+        ty0 = (ti // tiles_x) * th
+        tx0 = (ti % tiles_x) * tw
+        vis_w = min(tw, width - tx0) * px
+        for r in range(min(th, height - ty0)):
+            dst = ((ty0 + r) * width + tx0) * px
+            src = r * tile_row_bytes
+            data[dst : dst + vis_w] = tile[src : src + vis_w]
+    return data
+
+
 def decode_tiff(payload: bytes) -> bytes:
     """Decode a baseline TIFF byte string to packed 8-bit RGB (w*h*3)."""
     endian = _endian(payload)
@@ -116,24 +169,39 @@ def decode_tiff(payload: bytes) -> bytes:
     if photometric == 3 and spp != 1:
         raise ValueError("TIFF: palette image must have 1 sample/pixel")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF: missing/mismatched strip tables")
-    data = bytearray()
-    for o, c in zip(offsets, counts):
-        if o + c > len(payload):
-            raise ValueError("TIFF: strip out of range")
-        strip = payload[o : o + c]
-        if compression in (8, 32946):  # zlib stream per strip
+    def _decompress(seg: bytes) -> bytes:
+        if compression in (8, 32946):  # zlib stream per strip/tile
             import zlib
 
-            strip = zlib.decompress(strip)
-        elif compression == 32773:
-            strip = _unpackbits(strip)
-        elif compression == 5:
-            strip = _lzw_decode(strip)
-        data += strip
+            return zlib.decompress(seg)
+        if compression == 32773:
+            return _unpackbits(seg)
+        if compression == 5:
+            return _lzw_decode(seg)
+        return seg
+
+    tiled = 322 in tags
+    if tiled:
+        # Tiled layout (TIFF 6.0 §15): TileWidth/TileLength blocks in
+        # row-major tile order, each compressed independently and
+        # PADDED to full tile dims at the right/bottom edges; the
+        # horizontal predictor runs per TILE row, so it is applied
+        # here before the visible region scatters into the image
+        # buffer (the downstream predictor step is skipped).
+        data = _assemble_tiles(payload, tags, width, height, spp,
+                               sample_bytes, predictor, endian,
+                               _decompress)
+        predictor = 1  # already applied per tile
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing/mismatched strip tables")
+        data = bytearray()
+        for o, c in zip(offsets, counts):
+            if o + c > len(payload):
+                raise ValueError("TIFF: strip out of range")
+            data += _decompress(payload[o : o + c])
     need = width * height * spp * sample_bytes
     if len(data) < need:
         raise ValueError("TIFF: truncated pixel data")

@@ -571,3 +571,63 @@ def test_tiff_16bit_gray_imageio_bytes_decode_exactly_in_ours(iio, ctype):
     assert all(
         rgb[3 * i] == rgb[3 * i + 1] == rgb[3 * i + 2] == (vals[i] >> 8)
         for i in range(w * h))
+
+
+def _iio_encode_tiff_tiled(iio, img, tile_w, tile_h, ctype=None):
+    jvm = iio.jvm
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "tiff").next()
+    param = writer.getDefaultWriteParam()
+    param.setTilingMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(tile_w, tile_h, 0, 0)
+    if ctype is not None:
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(ctype)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.close()
+    return bytes(baos.toByteArray())
+
+
+def _iio_rgb_image(iio, rgb, w, h):
+    jvm = iio.jvm
+    B = jvm.java.awt.image.BufferedImage
+    img = B(w, h, B.TYPE_INT_RGB)
+    arr = iio.gw.new_array(jvm.int, w * h)
+    for i in range(w * h):
+        v = (rgb[3 * i] << 16) | (rgb[3 * i + 1] << 8) | rgb[3 * i + 2]
+        arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+    img.setRGB(0, 0, w, h, arr, 0, w)
+    return img
+
+
+@pytest.mark.parametrize("ctype", [None, "LZW", "Deflate", "PackBits"])
+def test_tiff_tiled_imageio_bytes_decode_exactly_in_ours(iio, ctype):
+    from postrack_spark.operators.tiff import decode_tiff
+
+    w, h = 37, 21  # ragged 16x16 tile grid: padded edge tiles
+    rgb = _pattern_rgb(w, h)
+    payload = _iio_encode_tiff_tiled(
+        iio, _iio_rgb_image(iio, rgb, w, h), 16, 16, ctype)
+    assert decode_tiff(payload) == rgb
+
+
+def test_tiff_tiled_16bit_gray_imageio_decodes_in_ours(iio):
+    from postrack_spark.operators.tiff import decode_tiff
+
+    jvm = iio.jvm
+    w, h = 29, 18
+    vals = [((x * 913 + y * 471) * 57) % 65536 for y in range(h)
+            for x in range(w)]
+    B = jvm.java.awt.image.BufferedImage
+    img = B(w, h, B.TYPE_USHORT_GRAY)
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, vals[y * w + x])
+    payload = _iio_encode_tiff_tiled(iio, img, 16, 16, "LZW")
+    rgb = decode_tiff(payload)
+    assert all(rgb[3 * i] == (vals[i] >> 8) for i in range(w * h))
