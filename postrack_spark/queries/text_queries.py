@@ -578,6 +578,59 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow — the grouped Arrow-native UDF (Spark 4),
+    completing the Arrow lane family with udf_map_in_arrow: each group
+    arrives as ONE pyarrow Table (so, as with applyInPandas, a group
+    must fit an executor — the scale contract is high-cardinality
+    grouping keys) and aggregates with pyarrow.compute kernels, no
+    pandas conversion. Money quantizes to integer cents per row before
+    the int64 sum (the double-sum association trap), quantities are
+    integral doubles, so the rollup hash-gates against plain SQL.
+    Plans as FlatMapGroupsInArrow after a hash partition on the key —
+    partial aggregation is NOT available through this lane (the whole
+    group must reach one worker), which is exactly why the registered
+    analytics queries use declarative aggregates instead; this query
+    pins the API surface and its semantics, not a recommended shape
+    for simple rollups."""
+    li = fan_out(load_tables(spark, sf_dir)["lineitem"]).select(
+        "l_returnflag", "l_quantity", "l_extendedprice")
+
+    def fn(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        q = pc.cast(table.column("l_quantity"), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(table.column("l_extendedprice"), 100.0)),
+            pa.int64())
+        return pa.table({
+            "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+            "n": [table.num_rows],
+            "qty": [pc.sum(q).as_py()],
+            "cents": [pc.sum(cents).as_py()],
+        })
+
+    return (
+        li.groupBy("l_returnflag")
+        .applyInArrow(fn, "l_returnflag string, n long, qty long, cents long")
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "multimodal_jpeg_progressive_certify",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
