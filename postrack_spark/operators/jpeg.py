@@ -18,8 +18,12 @@ decode wrong-silently. Any conformant Huffman tables, any sampling
 factors, restart intervals, grayscale and 3-component scans are
 supported in both processes.
 
-The encoder exists so tests and the certification query can exercise
-the full decode path without external fixtures. It is deliberately
+The encoders (baseline ``encode_jpeg`` and the grayscale progressive
+``encode_jpeg_progressive`` — DC successive approximation + spectral
+selection with real EOBn runs) exist so tests and the certification
+query can exercise the full decode path without external fixtures,
+and so the SOF2 machinery certifies BOTH directions against
+javax.imageio (JDK encodes -> we decode; we encode -> JDK decodes). It is deliberately
 simple and spec-conformant rather than compact: Huffman tables are
 built canonically in code (all DC symbols at 4 bits, all 162 valid AC
 run/size symbols at 8 bits) instead of reciting the Annex K defaults —
@@ -722,6 +726,140 @@ def _encode_block(
         length, hcode = ac_tab.encode[0x00]
         writer.write(hcode, length)
     return zz[0]
+
+
+def _build_prog_ac_table() -> _HuffTable:
+    """AC table for progressive scans: the 162 baseline run/size
+    symbols PLUS the EOBn symbols (r<<4 for r in 1..14) successive
+    scans use for end-of-band runs — 176 symbols, all at 8 bits
+    (canonical, coverage-complete, zero recited constants; same
+    discipline as _build_tables)."""
+    syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                           for s in range(1, 11)]
+    syms += [(r << 4) for r in range(1, 15)]
+    syms.sort()
+    bits = [0] * 16
+    bits[7] = len(syms)
+    return _HuffTable(bits, bytes(syms))
+
+
+def encode_jpeg_progressive(rgb: bytes, width: int, height: int) -> bytes:
+    """Encode packed RGB as a GRAYSCALE progressive (SOF2) JPEG with a
+    four-scan script: DC first at Al=1, DC refinement to Al=0 (raw
+    bits), then AC spectral-selection bands 1-5 and 6-63 at Al=0 with
+    REAL EOBn run accumulation across blocks. Unit quant tables keep
+    the decode within IDCT rounding of the source, so the decoder's
+    progressive machinery certifies BOTH directions: javax.imageio
+    encodes (its multi-scan script incl. AC refinement) -> we decode,
+    and we encode (this script) -> javax.imageio decodes
+    (tests/test_codecs_imageio.py). Grayscale by design — the chroma
+    dimension adds nothing to the scan-script machinery under test."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("encode_jpeg_progressive: rgb length != w*h*3")
+    n = width * height
+    yp = [0] * n
+    for i in range(n):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        v = int(round(0.299 * r + 0.587 * g + 0.114 * b))
+        yp[i] = min(255, max(0, v))
+    quant = [1] * 64
+    nbx = (width + 7) // 8
+    nby = (height + 7) // 8
+    blocks: list[list[int]] = []
+    for by in range(nby):
+        for bx in range(nbx):
+            samples = _plane_block(yp, width, height, bx * 8, by * 8)
+            coef = _fdct_block(samples)
+            q = [min(1023, max(-1023, int(round(coef[i] / quant[i]))))
+                 for i in range(64)]
+            blocks.append([q[ZIGZAG[k]] for k in range(64)])
+
+    dc_tab, _ = _build_tables()
+    ac_tab = _build_prog_ac_table()
+
+    def sos(comp_ta: int, ss: int, se: int, ah: int, al: int,
+            data: bytes) -> bytes:
+        hdr = bytes([1, 1, comp_ta, ss, se, (ah << 4) | al])
+        return (b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr + data)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        quant[ZIGZAG[k]] for k in range(64))
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, dc_tab)
+    out += _dht_segment(1, 0, ac_tab)
+
+    # scan 1: DC first, Al=1
+    w1 = _BitWriter()
+    pred = 0
+    for blk in blocks:
+        v = blk[0] >> 1
+        size, code = _magnitude(v - pred)
+        pred = v
+        length, hcode = dc_tab.encode[size]
+        w1.write(hcode, length)
+        if size:
+            w1.write(code, size)
+    w1.flush()
+    out += sos(0x00, 0, 0, 0, 1, bytes(w1.out))
+
+    # scan 2: DC refinement Ah=1 -> Al=0 (raw bits, no Huffman)
+    w2 = _BitWriter()
+    for blk in blocks:
+        w2.write(blk[0] & 1, 1)
+    w2.flush()
+    out += sos(0x00, 0, 0, 1, 0, bytes(w2.out))
+
+    # scans 3+4: AC spectral selection at Al=0 with EOBn accumulation
+    def ac_scan(ss: int, se: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            length, hcode = ac_tab.encode[r << 4]
+            w.write(hcode, length)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for blk in blocks:
+            nz = [k for k in range(ss, se + 1) if blk[k]]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last = nz[-1]
+            for k in range(ss, last + 1):
+                if blk[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, hcode = ac_tab.encode[0xF0]
+                    w.write(hcode, length)
+                    run -= 16
+                size, code = _magnitude(blk[k])
+                length, hcode = ac_tab.encode[(run << 4) | size]
+                w.write(hcode, length)
+                w.write(code, size)
+                run = 0
+            if last < se:
+                eobrun = 1  # this block's tail starts a fresh run
+        flush_eob()
+        w.flush()
+        return bytes(w.out)
+
+    out += sos(0x00, 1, 5, 0, 0, ac_scan(1, 5))
+    out += sos(0x00, 6, 63, 0, 0, ac_scan(6, 63))
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _dht_segment(tc: int, th: int, table: _HuffTable) -> bytes:

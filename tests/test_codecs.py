@@ -825,3 +825,21 @@ def test_tiff_16bit_rgb_predictor2_hand_built():
     rgb = decode_tiff(payload)
     want = bytes(v >> 8 for v in vals)
     assert rgb == want
+
+
+def test_jpeg_progressive_roundtrip_own_encoder():
+    from postrack_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    w, h = 37, 21
+    gray = [(x * 41 + y * 23 + (x * y) % 13) % 256
+            for y in range(h) for x in range(w)]
+    rgb = bytes(v for g in gray for v in (g, g, g))
+    dec, dw, dh = decode_jpeg(encode_jpeg_progressive(rgb, w, h))
+    assert (dw, dh) == (w, h)
+    assert max(abs(dec[3 * i] - gray[i]) for i in range(w * h)) <= 1
+    # block-constant input: DC-only spectra, unit quant -> byte exact
+    flat = bytes([128, 128, 128]) * (48 * 40)
+    assert decode_jpeg(encode_jpeg_progressive(flat, 48, 40))[0] == flat

@@ -631,3 +631,51 @@ def test_tiff_tiled_16bit_gray_imageio_decodes_in_ours(iio):
     payload = _iio_encode_tiff_tiled(iio, img, 16, 16, "LZW")
     rgb = decode_tiff(payload)
     assert all(rgb[3 * i] == (vals[i] >> 8) for i in range(w * h))
+
+
+def _iio_gray_raster(iio, payload):
+    """Decode via the JDK and return raw gray samples — single-
+    component JPEG surfaces as TYPE_BYTE_GRAY, and getRGB would apply
+    the gray->sRGB colorspace curve that masks codec results."""
+    jimg = iio.jvm.javax.imageio.ImageIO.read(
+        iio.jvm.java.io.ByteArrayInputStream(payload))
+    w, h = jimg.getWidth(), jimg.getHeight()
+    raster = jimg.getRaster()
+    return [raster.getSample(x, y, 0) for y in range(h)
+            for x in range(w)], w, h
+
+
+def test_jpeg_progressive_our_encoder_decodes_in_imageio(iio):
+    # the OTHER certification direction: our SOF2 scan script (DC
+    # successive approximation + spectral selection with real EOBn
+    # runs) must decode in the JDK within IDCT rounding, and both
+    # decoders must agree on the same bytes
+    from postrack_spark.operators.jpeg import encode_jpeg_progressive
+
+    rgb = _gray_pattern_rgb()
+    payload = encode_jpeg_progressive(rgb, W, H)
+    assert b"\xff\xc2" in payload
+    theirs, w, h = _iio_gray_raster(iio, payload)
+    assert (w, h) == (W, H)
+    ours, _, _ = decode_jpeg(payload)
+    mad = max(abs(theirs[i] - ours[3 * i]) for i in range(w * h))
+    assert mad <= 4
+    mad_src = max(abs(theirs[i] - rgb[3 * i]) for i in range(w * h))
+    assert mad_src <= 6
+
+
+def test_jpeg_progressive_eob_runs_decode_in_imageio(iio):
+    # mostly-flat image: the AC band scans emit EOBn runs spanning
+    # many blocks (r > 0 with appended bits) — the JDK must agree
+    from postrack_spark.operators.jpeg import encode_jpeg_progressive
+
+    w, h = 64, 48
+    rgb = bytearray(bytes([200, 200, 200]) * (w * h))
+    for i in range(0, w * h, 97):  # sparse speckles
+        rgb[3 * i : 3 * i + 3] = bytes([40, 40, 40])
+    payload = encode_jpeg_progressive(bytes(rgb), w, h)
+    theirs, gw_, gh_ = _iio_gray_raster(iio, payload)
+    assert (gw_, gh_) == (w, h)
+    ours, _, _ = decode_jpeg(payload)
+    mad = max(abs(theirs[i] - ours[3 * i]) for i in range(w * h))
+    assert mad <= 4
