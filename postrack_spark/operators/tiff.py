@@ -18,9 +18,11 @@ Scope (honest, raising):
   the JDK TIFF writer's TYPE_USHORT_GRAY output). Tiled layout decodes
   since round 6 (TileWidth/TileLength grids, edge-tile padding,
   per-tile predictor — certified against the JDK writer's
-  MODE_EXPLICIT tiling). CCITT/JPEG-in-TIFF compression, planar
-  layout, and mixed bit depths raise NotImplementedError rather than
-  decode wrongly.
+  MODE_EXPLICIT tiling). Planar layout
+  (PlanarConfiguration=2 strip sequences per component, per-plane
+  predictor) decodes since round 6. CCITT/JPEG-in-TIFF compression,
+  tiled-planar, and mixed bit depths raise NotImplementedError rather
+  than decode wrongly.
 * encode: little-endian uncompressed chunky 8-bit RGB, single strip —
   the minimal interchange profile every reader accepts.
 
@@ -156,8 +158,8 @@ def decode_tiff(payload: bytes) -> bytes:
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF: predictor {predictor} not supported")
-    if planar != 1:
-        raise NotImplementedError("TIFF: planar configuration not supported")
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF: unknown planar configuration {planar}")
     if all(b == 8 for b in bps):
         sample_bytes = 1
     elif all(b == 16 for b in bps):
@@ -181,7 +183,47 @@ def decode_tiff(payload: bytes) -> bytes:
         return seg
 
     tiled = 322 in tags
-    if tiled:
+    if planar == 2 and spp > 1:
+        # PlanarConfiguration=2 (TIFF 6.0): each component's samples
+        # are stored in their own strip sequence (StripOffsets holds
+        # plane 0's strips, then plane 1's, ...). The horizontal
+        # predictor differences adjacent samples WITHIN a plane
+        # (spp=1 semantics), so it applies per plane here before the
+        # interleave into the chunky layout downstream expects.
+        if tiled:
+            raise NotImplementedError("TIFF: tiled planar not supported")
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if (not offsets or not counts or len(offsets) != len(counts)
+                or len(offsets) % spp):
+            raise ValueError("TIFF: missing/mismatched planar strip tables")
+        per_plane = len(offsets) // spp
+        plane_need = width * height * sample_bytes
+        planes = []
+        for pl in range(spp):
+            buf = bytearray()
+            for i in range(pl * per_plane, (pl + 1) * per_plane):
+                o, c = offsets[i], counts[i]
+                if o + c > len(payload):
+                    raise ValueError("TIFF: strip out of range")
+                buf += _decompress(payload[o : o + c])
+            if len(buf) < plane_need:
+                raise ValueError("TIFF: truncated planar pixel data")
+            if predictor == 2:
+                _apply_predictor2(buf, height, width, 1, sample_bytes,
+                                  endian)
+            planes.append(buf)
+        data = bytearray(width * height * spp * sample_bytes)
+        if sample_bytes == 1:
+            for pl, buf in enumerate(planes):
+                data[pl::spp] = buf[: width * height]
+        else:
+            for pl, buf in enumerate(planes):
+                for i in range(width * height):
+                    j = (i * spp + pl) * 2
+                    data[j : j + 2] = buf[2 * i : 2 * i + 2]
+        predictor = 1  # already applied per plane
+    elif tiled:
         # Tiled layout (TIFF 6.0 §15): TileWidth/TileLength blocks in
         # row-major tile order, each compressed independently and
         # PADDED to full tile dims at the right/bottom edges; the

@@ -843,3 +843,78 @@ def test_jpeg_progressive_roundtrip_own_encoder():
     # block-constant input: DC-only spectra, unit quant -> byte exact
     flat = bytes([128, 128, 128]) * (48 * 40)
     assert decode_jpeg(encode_jpeg_progressive(flat, 48, 40))[0] == flat
+
+
+def test_tiff_planar_rgb_hand_built():
+    """PlanarConfiguration=2: per-component strip sequences, per-plane
+    horizontal predictor — hand-built per TIFF 6.0 (no independent
+    writer in the container emits planar; 8-bit and 16-bit lanes)."""
+    import struct
+    import zlib
+
+    w, h = 5, 4
+
+    def build(sample_bytes):
+        vals = [((x * 50 + y * 91 + c * 77) % (1 << (8 * sample_bytes)))
+                for c in range(3) for y in range(h) for x in range(w)]
+        # per-plane predictor differencing (spp=1 semantics)
+        diff = list(vals)
+        for c in range(3):
+            for y in range(h):
+                base = c * w * h + y * w
+                for x in range(w - 1, 0, -1):
+                    m = (1 << (8 * sample_bytes)) - 1
+                    diff[base + x] = (diff[base + x] - diff[base + x - 1]) & m
+        fmt = "<B" if sample_bytes == 1 else "<H"
+        plane_blobs = [
+            zlib.compress(b"".join(
+                struct.pack(fmt, v)
+                for v in diff[c * w * h : (c + 1) * w * h]))
+            for c in range(3)
+        ]
+
+        def entry(tag, typ, cnt, val):
+            return struct.pack("<HHI4s", tag, typ, cnt, val)
+
+        n_entries = 11
+        ifd_off = 8
+        after = ifd_off + 2 + n_entries * 12 + 4
+        bps_off = after
+        off_arr = bps_off + 6
+        cnt_arr = off_arr + 12
+        data0 = cnt_arr + 12
+        offs = [data0]
+        for blob in plane_blobs[:-1]:
+            offs.append(offs[-1] + len(blob))
+        bits = 8 * sample_bytes
+        ent = b"".join([
+            entry(256, 3, 1, struct.pack("<I", w)),
+            entry(257, 3, 1, struct.pack("<I", h)),
+            entry(258, 3, 3, struct.pack("<I", bps_off)),
+            entry(259, 3, 1, struct.pack("<I", 8)),   # Deflate
+            entry(262, 3, 1, struct.pack("<I", 2)),   # RGB
+            entry(273, 4, 3, struct.pack("<I", off_arr)),
+            entry(277, 3, 1, struct.pack("<I", 3)),
+            entry(278, 3, 1, struct.pack("<I", h)),
+            entry(279, 4, 3, struct.pack("<I", cnt_arr)),
+            entry(284, 3, 1, struct.pack("<I", 2)),   # PLANAR
+            entry(317, 3, 1, struct.pack("<I", 2)),   # predictor 2
+        ])
+        payload = (b"II*\x00" + struct.pack("<I", ifd_off)
+                   + struct.pack("<H", n_entries) + ent
+                   + struct.pack("<I", 0)
+                   + struct.pack("<3H", bits, bits, bits)
+                   + struct.pack("<3I", *offs)
+                   + struct.pack("<3I", *[len(b) for b in plane_blobs])
+                   + b"".join(plane_blobs))
+        shift = 8 * (sample_bytes - 1)
+        want = bytes(
+            vals[c * w * h + i] >> shift
+            for i in range(w * h) for c in range(3))
+        return payload, want
+
+    from postrack_spark.operators.tiff import decode_tiff
+
+    for sb in (1, 2):
+        payload, want = build(sb)
+        assert decode_tiff(payload) == want, f"sample_bytes={sb}"
