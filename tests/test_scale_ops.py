@@ -432,3 +432,33 @@ def test_star_cc_random_graphs_match_union_find(spark):
         got = {r["doc"]: r["cluster"]
                for r in connected_components_star(df).collect()}
         assert got == expect, f"trial {trial}"
+
+
+def test_star_cc_matches_propagation_on_dedup_pair_graph(spark):
+    """The dedup cluster pipeline context: star CC on the real
+    MinHash-LSH >=0.5-Jaccard pair graph must label identically to
+    the propagation operator the registered query uses."""
+    from postrack_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        doc_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from postrack_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    sh = doc_shingles(docs, "doc_id", "text", k=3)
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16,
+                              tokens_df=sh)
+    cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2,
+                               max_bucket_size=100)
+    pairs = jaccard_pairs(sh, pairs=cand, threshold=0.5).select(
+        "doc_a", "doc_b").localCheckpoint()
+    assert pairs.count() > 0, "fixture needs near-dup pairs"
+    base = {r["doc"]: r["cluster"]
+            for r in connected_components(pairs).collect()}
+    star = {r["doc"]: r["cluster"]
+            for r in connected_components_star(pairs).collect()}
+    assert star == base
