@@ -3627,6 +3627,93 @@ def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_delta_dv_delete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM base
+                 WHERE o_custkey % 7 = 0) AS BIGINT) AS rows_deleted,
+           CAST((SELECT count(*) FROM base
+                 WHERE o_custkey % 7 <> 0) AS BIGINT) AS rows_after,
+           CAST((SELECT sum(cents) FROM base
+                 WHERE o_custkey % 7 <> 0) AS BIGINT) AS cents_after,
+           true AS no_data_rewrite,
+           true AS dv_roundtrip
+    FROM base LIMIT 1
+    """,
+)
+def cdc_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA DELETION VECTORS — merge-on-read for the Delta log
+    (streaming/deletion_vectors.py), completing the lakehouse delete
+    matrix: Delta COW (cdc_delta_delete_time_travel) / Delta MOR
+    (this) / Iceberg COW-by-compaction / Iceberg MOR
+    (cdc_iceberg_mor_delete). Matching rows are recorded in per-file
+    ROARING bitmaps (the portable format cross-certified
+    byte-identical against org.roaringbitmap in tests/test_roaring.py)
+    written DISTRIBUTED — one shared DV file per shuffle partition,
+    only O(files) descriptor rows on the driver — and the reader drops
+    marked rows via an Arrow-batched membership filter on
+    _metadata.row_index; NO data parquet is rewritten. Certified in
+    one row: pre-delete count via time travel, the post-delete
+    rollup, the byte-identical-data-files certificate, AND a
+    dv_roundtrip certificate (every committed descriptor's bitmap
+    re-reads CRC-clean with its recorded cardinality)."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.streaming.delta_log import (
+        _snapshot_actions,
+        read_delta,
+        write_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import (
+        delete_delta_dv,
+        read_dv,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_dv_")
+    write_delta(base.repartitionByRange(4, "o_custkey"), table)
+
+    def _parquets() -> list[tuple[str, int]]:
+        return sorted(
+            (f, _os.path.getsize(_os.path.join(table, f)))
+            for f in _os.listdir(table) if f.endswith(".parquet"))
+
+    files_before = _parquets()
+    v, _n, _nf = delete_delta_dv(spark, table, "o_custkey % 7 = 0")
+    no_rewrite = _parquets() == files_before
+    acts, _ss, _v = _snapshot_actions(table, None)
+    dv_ok = all(
+        read_dv(table, a["deletionVector"]).cardinality()
+        == a["deletionVector"]["cardinality"]
+        for _p, a in acts if a.get("deletionVector")
+    ) and any(a.get("deletionVector") for _p, a in acts)
+    before = read_delta(spark, table, version=v - 1).agg(
+        F.count("*").cast("long").alias("rows_before"))
+    after = read_delta(spark, table).agg(
+        F.count("*").cast("long").alias("rows_after"),
+        F.sum("cents").cast("long").alias("cents_after"),
+    )
+    return before.crossJoin(after).select(
+        "rows_before",
+        (F.col("rows_before") - F.col("rows_after")).alias("rows_deleted"),
+        "rows_after",
+        "cents_after",
+        F.lit(no_rewrite).alias("no_data_rewrite"),
+        F.lit(dv_ok).alias("dv_roundtrip"),
+    )
+
+
+@query(
     "profile_parquet_footer_stats",
     oracle="""
     SELECT 'o_custkey' AS col,

@@ -1,0 +1,282 @@
+"""Delta deletion vectors — merge-on-read for the from-scratch Delta
+log (streaming/delta_log.py), the Delta-side sibling of Iceberg v2's
+position deletes.
+
+The public Delta PROTOCOL.md defines deletion vectors as per-file
+bitmaps of deleted row indexes: an ``add`` action carries a
+``deletionVector`` descriptor {storageType, pathOrInlineDv, offset,
+sizeInBytes, cardinality}, the bitmap itself is a 64-bit roaring
+bitmap-array, and readers drop marked rows at scan time — deletes cost
+O(matches) with NO data-file rewrite (COW `delete_delta` remains the
+right trade for rare localized deletes; the lakehouse stress lane
+measures the crossover).
+
+Bitmap layer: postrack_spark/streaming/roaring.py — the portable
+32-bit roaring format cross-certified BYTE-IDENTICAL against
+org.roaringbitmap from the Spark classpath (tests/test_roaring.py),
+composed into the 64-bit array keyed by the row index's high 32 bits.
+
+DV file layout implemented here (simplifications stated honestly,
+like the rest of this from-scratch log): a ``dv-*.bin`` file is one
+version byte (1) followed by independently addressable DVs, each
+[int32 BE payload size][payload][int32 BE crc32(payload)] where the
+payload is [int32 LE magic 1681511377][RoaringArray64 portable bytes];
+descriptors use storageType 'p' with a table-RELATIVE path (the spec's
+'p' is absolute and 'u' is a z85-coded random prefix — relative keeps
+the table relocatable, which the rest of this log already assumes),
+and one DV FILE holds the DVs of MANY data files at different offsets
+(the spec's shared-file shape) — the distributed writer emits one DV
+file per shuffle partition, so only O(affected files) descriptor rows
+reach the driver, never row positions (the same executor-writes/
+driver-commits protocol as the Iceberg MOR writer).
+
+Interplay rules the tests pin:
+
+* ``read_delta`` applies DVs via an Arrow-batched mapInPandas filter —
+  the bitmap ships to executors COMPRESSED and membership is tested
+  per row index, so the read path never materializes positions;
+* compaction (``compact_delta``) reads through the DV filter and
+  rewrites clean files, retiring every DV from the live view;
+* the COW writers (merge_delta / delete_delta / delete_keys_delta)
+  REFUSE to rewrite a file that carries a DV (they read raw parquet,
+  so a silent rewrite would RESURRECT deleted rows) — compact first;
+* ``vacuum_delta`` retains DV files referenced by kept snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from postrack_spark.streaming.roaring import RoaringArray64
+
+DV_MAGIC = 1681511377  # the Delta deletion-vector payload magic
+_DV_VERSION = 1
+
+
+def _pack_dv(rb: RoaringArray64) -> bytes:
+    payload = struct.pack("<i", DV_MAGIC) + rb.serialize()
+    return (struct.pack(">I", len(payload)) + payload
+            + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF))
+
+
+def read_dv(table: str, descriptor: dict) -> RoaringArray64:
+    """Load one deletion vector through its descriptor (CRC-checked)."""
+    if descriptor.get("storageType") != "p":
+        raise NotImplementedError(
+            f"DV storageType {descriptor.get('storageType')!r} not written"
+            " by this module")
+    path = os.path.join(table, descriptor["pathOrInlineDv"])
+    with open(path, "rb") as f:
+        blob = f.read()
+    off = descriptor["offset"]
+    (size,) = struct.unpack_from(">I", blob, off)
+    payload = blob[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+    if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+        raise ValueError("DV payload CRC mismatch")
+    (magic,) = struct.unpack_from("<i", payload, 0)
+    if magic != DV_MAGIC:
+        raise ValueError(f"DV payload magic {magic} != {DV_MAGIC}")
+    return RoaringArray64.deserialize(payload, 4)
+
+
+def _rel_of(fp: str, root: str) -> str:
+    if fp.startswith("file:"):
+        fp = fp[len("file:"):]
+        while fp.startswith("//"):
+            fp = fp[1:]
+    return os.path.relpath(fp, root)
+
+
+def dv_filter(df: DataFrame, table: str, dv_bytes: dict[str, bytes],
+              schema: StructType) -> DataFrame:
+    """Apply deletion vectors to a scan that can surface _metadata:
+    ship the COMPRESSED per-file DV payload bytes to executors and
+    drop rows whose (file, row_index) is marked. Arrow-batched; the
+    bitmap decodes once per (partition, file)."""
+    cols = [f.name for f in schema.fields]
+    root = os.path.abspath(table)
+    tagged = df.select(
+        *cols,
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+
+    def fn(batches):
+        cache: dict[str, RoaringArray64 | None] = {}
+        rels: dict[str, str] = {}
+        for pdf in batches:
+            keep = []
+            for fp, ri in zip(pdf["_fp"], pdf["_ri"]):
+                rel = rels.get(fp)
+                if rel is None:
+                    rel = _rel_of(fp, root)
+                    rels[fp] = rel
+                bm = cache.get(rel, False)
+                if bm is False:
+                    raw = dv_bytes.get(rel)
+                    bm = (RoaringArray64.deserialize(raw, 4)
+                          if raw is not None else None)
+                    cache[rel] = bm
+                keep.append(bm is None or int(ri) not in bm)
+            yield pdf.loc[keep, cols]
+
+    return tagged.mapInPandas(fn, schema)
+
+
+def load_dv_bytes(table: str, acts: list[tuple[str, dict]]
+                  ) -> dict[str, bytes]:
+    """{data-file rel path: CRC-checked DV payload bytes} for every
+    live add action carrying a deletionVector. O(total DV bytes) —
+    compressed bitmaps, driver-side once per read."""
+    out: dict[str, bytes] = {}
+    for p, add in acts:
+        d = add.get("deletionVector")
+        if not d:
+            continue
+        path = os.path.join(table, d["pathOrInlineDv"])
+        with open(path, "rb") as f:
+            blob = f.read()
+        off = d["offset"]
+        (size,) = struct.unpack_from(">I", blob, off)
+        payload = blob[off + 4 : off + 4 + size]
+        (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+        if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"DV CRC mismatch for {p}")
+        out[p] = payload
+    return out
+
+
+def delete_delta_dv(spark: SparkSession, table: str,
+                    condition: str) -> tuple[int, int, int]:
+    """MERGE-ON-READ DELETE WHERE: rows matching ``condition`` (SQL
+    DELETE semantics — NULL survives) are recorded in per-file
+    deletion vectors; NO data parquet is rewritten. Returns
+    (committed version, rows newly deleted, files affected).
+
+    Distributed write: matches repartition by file_path (explicit
+    count = live file count, the AQE-coalesce lesson from the Iceberg
+    MOR writer) and each executor partition writes ONE shared DV file
+    holding the merged bitmaps of its files; only O(affected files)
+    descriptor rows reach the driver. Files that already carry a DV
+    get their existing bitmap UNIONED in executor-side (the old DV
+    payload ships compressed with the task), so stacked deletes
+    compose and a re-matched already-deleted row adds nothing."""
+    from postrack_spark.streaming.delta_log import (
+        DeltaCommitConflict,
+        _snapshot_actions,
+        commit_delta,
+        latest_version,
+    )
+
+    for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
+        acts, schema_string, read_v = _snapshot_actions(table, None)
+        adds = dict(acts)
+        schema = StructType.fromJson(json.loads(schema_string))
+        root = os.path.abspath(table)
+        if not acts:
+            return latest_version(table) or 0, 0, 0
+        live = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p, _a in acts])
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        matches = live.filter(cond).select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_ri"),
+        )
+        existing = load_dv_bytes(table, acts)
+
+        def write_partition(batches):
+            import pandas as pd
+
+            per_file: dict[str, set[int]] = {}
+            for pdf in batches:
+                for fp, ri in zip(pdf["_fp"], pdf["_ri"]):
+                    rel = _rel_of(fp, root)
+                    per_file.setdefault(rel, set()).add(int(ri))
+            if not per_file:
+                return
+            rows = []
+            blob = bytearray(bytes([_DV_VERSION]))
+            for rel in sorted(per_file):
+                rb = RoaringArray64(per_file[rel])
+                old = existing.get(rel)
+                old_card = 0
+                if old is not None:
+                    prev = RoaringArray64.deserialize(old, 4)
+                    old_card = prev.cardinality()
+                    for v in prev.values():
+                        rb.add(v)
+                packed = _pack_dv(rb)
+                rows.append({
+                    "file_path": rel,
+                    "offset": len(blob),
+                    "size_in_bytes": len(packed) - 8,
+                    "cardinality": rb.cardinality(),
+                    "old_cardinality": old_card,
+                })
+                blob += packed
+            dv_rel = f"dv-{uuid.uuid4().hex}.bin"
+            with open(os.path.join(root, dv_rel), "wb") as f:
+                f.write(bytes(blob))
+            for r in rows:
+                r["dv_path"] = dv_rel
+            yield pd.DataFrame(rows)
+
+        out_schema = ("file_path string, offset long, size_in_bytes long,"
+                      " cardinality long, old_cardinality long,"
+                      " dv_path string")
+        written = sorted(
+            matches.repartition(max(1, len(acts)), "_fp")
+            .mapInPandas(write_partition, out_schema).collect(),
+            key=lambda r: r["file_path"])
+        if not written:
+            return latest_version(table) or 0, 0, 0
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        removes, new_adds = [], []
+        n_new = 0
+        for r in written:
+            add = dict(adds[r["file_path"]])
+            n_new += r["cardinality"] - r["old_cardinality"]
+            removes.append({"remove": {
+                "path": r["file_path"], "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }})
+            add["deletionVector"] = {
+                "storageType": "p",
+                "pathOrInlineDv": r["dv_path"],
+                "offset": int(r["offset"]),
+                "sizeInBytes": int(r["size_in_bytes"]),
+                "cardinality": int(r["cardinality"]),
+            }
+            add["dataChange"] = True
+            new_adds.append({"add": add})
+        try:
+            commit_delta(table, read_v + 1, removes + new_adds)
+            return read_v + 1, n_new, len(written)
+        except DeltaCommitConflict:
+            continue  # recompute matches + merged bitmaps from new snapshot
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def guard_no_dvs(acts, paths: list[str], op: str) -> None:
+    """COW writers rewrite files by reading raw parquet — doing that to
+    a file carrying a deletion vector would RESURRECT its deleted rows.
+    Refuse loudly; compaction (which reads through the DV filter)
+    clears the state."""
+    adds = dict(acts)
+    dvd = [p for p in paths if adds.get(p, {}).get("deletionVector")]
+    if dvd:
+        raise NotImplementedError(
+            f"{op}: {len(dvd)} affected file(s) carry deletion vectors "
+            f"(e.g. {dvd[0]}); run compact_delta first — a raw rewrite "
+            "would resurrect DV-deleted rows")

@@ -360,6 +360,13 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int64()),
+                ("sizeInBytes", pa.int64()),
+                ("cardinality", pa.int64()),
+            ])),
         ])),
     ])
     cols = {name: [r.get(name) for r in rows] for name in _CP_COLUMNS}
@@ -401,6 +408,13 @@ def _read_checkpoint_state(table: str, cp_version: int):
             txns[row["txn"]["appId"]] = row["txn"]["version"]
         elif row.get("add") is not None:
             add = {k: v for k, v in row["add"].items() if v is not None}
+            dv = add.get("deletionVector")
+            if dv is not None:
+                dv = {k: v for k, v in dv.items() if v is not None}
+                if dv:
+                    add["deletionVector"] = dv
+                else:
+                    add.pop("deletionVector", None)
             add["partitionValues"] = {}
             live[add["path"]] = add
     return live, schema_string, txns, protocol
@@ -453,13 +467,24 @@ def write_delta(df: DataFrame, table: str, mode: str = "append") -> int:
 
 def read_delta(spark: SparkSession, table: str,
                version: int | None = None) -> DataFrame:
-    """Snapshot read (latest, or time travel to ``version``)."""
-    paths, schema_string, _v = _snapshot(table, version)
+    """Snapshot read (latest, or time travel to ``version``). Live
+    files carrying deletion vectors read through the DV filter
+    (streaming/deletion_vectors.py) — marked rows drop at scan time;
+    DV-free snapshots keep the plain pushdown-friendly scan."""
+    acts, schema_string, _v = _snapshot_actions(table, version)
     schema = StructType.fromJson(json.loads(schema_string))
-    if not paths:
+    if not acts:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(table, p) for p in paths])
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table, p) for p, _a in acts])
+    if not any(a.get("deletionVector") for _p, a in acts):
+        return df
+    from postrack_spark.streaming.deletion_vectors import (
+        dv_filter,
+        load_dv_bytes,
+    )
+
+    return dv_filter(df, table, load_dv_bytes(table, acts), schema)
 
 
 def foreach_batch_delta(table: str, mode: str = "append"):
@@ -529,7 +554,8 @@ def compact_delta(spark: SparkSession, table: str,
     orphaned staged files from lost attempts are unreferenced and
     vacuumable."""
     for _ in range(10):
-        paths, schema_string, read_v = _snapshot(table, None)
+        _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
+        paths = [p for p, _a in _dv_acts]
         if not paths:
             return latest_version(table) or 0
         df = read_delta(spark, table, version=read_v).coalesce(target_files)
@@ -559,11 +585,17 @@ def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
     keep = versions[-retain_versions:] if retain_versions else versions[-1:]
     referenced: set[str] = set()
     for v in keep:
-        paths, _, _ = _snapshot(table, v)
-        referenced.update(paths)
+        acts, _, _ = _snapshot_actions(table, v)
+        for p, a in acts:
+            referenced.add(p)
+            dv = a.get("deletionVector")
+            if dv:
+                referenced.add(dv["pathOrInlineDv"])
     deleted = []
     for name in os.listdir(table):
-        if name.endswith(".parquet") and name not in referenced:
+        is_data = name.endswith(".parquet")
+        is_dv = name.startswith("dv-") and name.endswith(".bin")
+        if (is_data or is_dv) and name not in referenced:
             os.remove(os.path.join(table, name))
             deleted.append(name)
     return deleted
@@ -594,7 +626,8 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
         write_delta(images, table, mode="append")
         return 0
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
-        paths, schema_string, read_v = _snapshot(table, None)
+        _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
+        paths = [p for p, _a in _dv_acts]
         schema = StructType.fromJson(json.loads(schema_string))
         full = [os.path.join(table, p) for p in paths]
         live = spark.read.schema(schema).parquet(*full).withColumn(
@@ -616,6 +649,9 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
 
         rel_affected = {os.path.relpath(_local(fp), os.path.abspath(table))
                         for fp in affected_fps}
+        from postrack_spark.streaming.deletion_vectors import guard_no_dvs
+
+        guard_no_dvs(_dv_acts, sorted(rel_affected), "merge_delta")
         survivors = None
         if rel_affected:
             survivors = spark.read.schema(schema).parquet(
@@ -662,7 +698,8 @@ def delete_delta(spark: SparkSession, table: str,
     locality, never table size — the reason engines Z-order before
     bulk GDPR deletes (layout family)."""
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
-        paths, schema_string, read_v = _snapshot(table, None)
+        _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
+        paths = [p for p, _a in _dv_acts]
         schema = StructType.fromJson(json.loads(schema_string))
         full = [os.path.join(table, p) for p in paths]
         live = spark.read.schema(schema).parquet(*full).withColumn(
@@ -684,6 +721,9 @@ def delete_delta(spark: SparkSession, table: str,
             os.path.relpath(_local(fp), os.path.abspath(table))
             for fp in affected_fps
         )
+        from postrack_spark.streaming.deletion_vectors import guard_no_dvs
+
+        guard_no_dvs(_dv_acts, rel_affected, "delete_delta")
         if not rel_affected:
             return latest_version(table) or 0, 0, len(paths)
         survivors = spark.read.schema(schema).parquet(
@@ -714,7 +754,8 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
     Returns (version, files_rewritten, files_total); an empty or
     non-matching key set commits nothing."""
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
-        paths, schema_string, read_v = _snapshot(table, None)
+        _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
+        paths = [p for p, _a in _dv_acts]
         schema = StructType.fromJson(json.loads(schema_string))
         full = [os.path.join(table, p) for p in paths]
         live = spark.read.schema(schema).parquet(*full).withColumn(
@@ -737,6 +778,9 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
             os.path.relpath(_local(fp), os.path.abspath(table))
             for fp in affected_fps
         )
+        from postrack_spark.streaming.deletion_vectors import guard_no_dvs
+
+        guard_no_dvs(_dv_acts, rel_affected, "delete_keys_delta")
         if not rel_affected:
             return latest_version(table) or 0, 0, len(paths)
         survivors = spark.read.schema(schema).parquet(

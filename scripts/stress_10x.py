@@ -518,6 +518,24 @@ def main() -> None:
             time.perf_counter() - t0, 3)
         timings[f"delta_cow_files_rewritten_{FACTOR}x"] = rw
         timings[f"delta_cow_files_total_{FACTOR}x"] = tot
+        # Delta MERGE-ON-READ (deletion vectors) on the same scattered
+        # predicate — the Delta-side MOR economics next to COW above
+        from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+        dt2 = _tf.mkdtemp(prefix="stress_delta_dv_")
+        write_delta(base10.repartitionByRange(32, "o_custkey"), dt2)
+        t0 = time.perf_counter()
+        _v, ndv, nfdv = delete_delta_dv(spark, dt2, pred)
+        timings[f"delta_dv_delete_scattered_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        timings[f"delta_dv_rows_deleted_{FACTOR}x"] = ndv
+        timings[f"delta_dv_files_affected_{FACTOR}x"] = nfdv
+        t0 = time.perf_counter()
+        from postrack_spark.streaming.delta_log import read_delta as _rd
+        _rd(spark, dt2).write.format("noop").mode("overwrite").save()
+        timings[f"delta_dv_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+
         it_ = _tf.mkdtemp(prefix="stress_ice_")
         t0 = time.perf_counter()
         append_iceberg(base10.repartitionByRange(32, "o_custkey"), it_,

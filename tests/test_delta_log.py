@@ -571,3 +571,135 @@ def test_concurrent_append_during_delete_survives(spark, monkeypatch):
     delete_delta(spark, table, "k < 10")
     got = sorted(r["k"] for r in read_delta(spark, table).collect())
     assert got == list(range(10, 50)) + list(range(100, 120))
+
+
+# ------------------------------------------------- deletion vectors
+
+
+def _dv_table(spark, n=40, files=4):
+    t = tempfile.mkdtemp(prefix="delta_dv_")
+    write_delta(_df(spark, 0, n).repartition(files), t)
+    return t
+
+
+def test_dv_delete_reads_time_travels_and_stacks(spark):
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = _dv_table(spark)
+    data_before = sorted(
+        (f, os.path.getsize(os.path.join(t, f)))
+        for f in os.listdir(t) if f.endswith(".parquet"))
+    v1, n1, nf1 = delete_delta_dv(spark, t, "k % 5 = 0")
+    assert n1 == 8 and nf1 >= 1
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == [k for k in range(40) if k % 5 != 0]
+    # merge-on-read: data files byte-identical
+    data_after = sorted(
+        (f, os.path.getsize(os.path.join(t, f)))
+        for f in os.listdir(t) if f.endswith(".parquet"))
+    assert data_after == data_before
+    # time travel to the pre-delete version sees everything
+    assert read_delta(spark, t, version=v1 - 1).count() == 40
+    # stacked delete on the SAME files merges bitmaps; re-matching an
+    # already-deleted row (k=0 matches both predicates) adds nothing
+    _v2, n2, _nf2 = delete_delta_dv(spark, t, "k % 10 = 0 OR k = 7")
+    assert n2 == 1  # only k=7 is new
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
+        k for k in range(40) if k % 5 != 0 and k != 7]
+    # NULL predicate deletes nothing
+    _v3, n3, _ = delete_delta_dv(spark, t, "NULL")
+    assert n3 == 0
+
+
+def test_dv_distributed_write_many_files(spark):
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = _dv_table(spark, n=400, files=8)
+    _v, n, nf = delete_delta_dv(spark, t, "k % 3 = 0")
+    assert n == 134 and nf == 8
+    dv_files = [f for f in os.listdir(t)
+                if f.startswith("dv-") and f.endswith(".bin")]
+    assert len(dv_files) > 1, "distributed writer should emit >1 DV file"
+    assert read_delta(spark, t).count() == 400 - 134
+
+
+def test_dv_cow_guard_and_compaction_retires(spark):
+    from postrack_spark.streaming.delta_log import (
+        _snapshot_actions,
+        delete_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = _dv_table(spark)
+    delete_delta_dv(spark, t, "k < 10")
+    # COW rewrite of a DV-carrying file would resurrect deleted rows
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        delete_delta(spark, t, "k = 20")
+    v = compact_delta(spark, t)
+    acts, _, _ = _snapshot_actions(t, v)
+    assert not any(a.get("deletionVector") for _p, a in acts)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(
+        range(10, 40))
+    # after compaction COW works again
+    delete_delta(spark, t, "k = 20")
+    assert read_delta(spark, t).count() == 29
+
+
+def test_dv_vacuum_retains_referenced_dv_files(spark):
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = _dv_table(spark)
+    delete_delta_dv(spark, t, "k < 4")
+    dvs = {f for f in os.listdir(t) if f.startswith("dv-")}
+    assert dvs
+    vacuum_delta(t, retain_versions=2)  # DV version is current: retained
+    assert dvs <= set(os.listdir(t))
+    assert read_delta(spark, t).count() == 36
+    # compaction retires the DV; a 1-version vacuum then reclaims it
+    compact_delta(spark, t)
+    vacuum_delta(t, retain_versions=1)
+    assert not [f for f in os.listdir(t) if f.startswith("dv-")]
+    assert read_delta(spark, t).count() == 36
+
+
+def test_dv_survives_checkpoint_and_log_cleanup(spark):
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = _dv_table(spark)
+    delete_delta_dv(spark, t, "k >= 30")
+    cp = checkpoint_delta(t)
+    clean_log_delta(t)
+    # snapshot now seeds from the checkpoint: the descriptor must have
+    # round-tripped through the parquet add struct
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == list(range(30))
+    assert cp == latest_version(t)
+
+
+def test_dv_concurrent_commit_forces_recompute(spark, monkeypatch):
+    from postrack_spark.streaming import delta_log, deletion_vectors
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = _dv_table(spark)
+    orig = delta_log.commit_delta
+    fired = {"done": False}
+
+    def inject(table_, version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            write_delta(_df(spark, 100, 105), t)  # concurrent append wins
+        return orig(table_, version, actions)
+
+    monkeypatch.setattr(delta_log, "commit_delta", inject)
+    monkeypatch.setattr(deletion_vectors, "commit_delta", inject,
+                        raising=False)
+    delete_delta_dv(spark, t, "k % 2 = 0")
+    assert fired["done"]
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    want = [k for k in range(40) if k % 2] + [k for k in range(100, 105)
+                                              if k % 2]
+    assert got == want
