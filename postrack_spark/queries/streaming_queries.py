@@ -2586,6 +2586,85 @@ def streaming_delta_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_delta_dv_purge",
+    oracle="""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o
+    WHERE o.o_custkey NOT IN (SELECT user_id FROM forget)
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def streaming_delta_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GDPR purge via DELETION VECTORS — the merge-on-read
+    twin of streaming_delta_gdpr_purge (same forget stream, SAME
+    oracle): each micro-batch of forget keys lands as per-file roaring
+    bitmaps (deletion_vectors.foreach_batch_delta_dv_delete) instead
+    of a copy-on-write rewrite, so the purge cost per batch is
+    O(matches) regardless of file count — the right half of the
+    crossover when forget requests are frequent and scattered (the
+    lakehouse stress lane's measured case). Cross-batch composition is
+    bitmap UNION (keys purged in batch 1 stay purged while batch 2
+    marks other rows of the same files — the COW twin proves the same
+    property by rewrite); replays are no-ops via the txn marker, and
+    the marker crash window degrades to at-least-once with identical
+    effect because union is idempotent. The final snapshot reads
+    through the DV filter and must equal the batch NOT IN."""
+    import tempfile as _tf
+
+    from postrack_spark.session import fan_out, load_tables
+    from postrack_spark.streaming.delta_log import read_delta, write_delta
+    from postrack_spark.streaming.deletion_vectors import (
+        foreach_batch_delta_dv_delete,
+    )
+    from postrack_spark.streaming.runner import events_stream
+
+    t = load_tables(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="delta_dv_gdpr_")
+    ckpt = _tf.mkdtemp(prefix="delta_dv_gdpr_ckpt_")
+    write_delta(
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .repartitionByRange(8, "o_custkey"),
+        table,
+    )
+    forget = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("o_custkey"))
+    )
+    q = (
+        forget.writeStream.foreachBatch(
+            foreach_batch_delta_dv_delete(table, "o_custkey")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = fan_out(read_delta(spark, table))
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 from postrack_spark.queries.stats_queries import FRIEDMAN_ORACLE as _FRIEDMAN_ORACLE  # noqa: E501
 
 

@@ -155,8 +155,8 @@ def load_dv_bytes(table: str, acts: list[tuple[str, dict]]
     return out
 
 
-def delete_delta_dv(spark: SparkSession, table: str,
-                    condition: str) -> tuple[int, int, int]:
+def _delete_dv(spark: SparkSession, table: str,
+               matcher) -> tuple[int, int, int]:
     """MERGE-ON-READ DELETE WHERE: rows matching ``condition`` (SQL
     DELETE semantics — NULL survives) are recorded in per-file
     deletion vectors; NO data parquet is rewritten. Returns
@@ -186,11 +186,15 @@ def delete_delta_dv(spark: SparkSession, table: str,
             return latest_version(table) or 0, 0, 0
         live = spark.read.schema(schema).parquet(
             *[os.path.join(table, p) for p, _a in acts])
-        cond = F.coalesce(F.expr(condition), F.lit(False))
-        matches = live.filter(cond).select(
+        # tag the scan's _metadata BEFORE the matcher runs: the
+        # pseudo-column resolves only directly on the file scan, not
+        # on top of a join (the semi-join matcher path)
+        tagged = live.select(
+            "*",
             F.col("_metadata.file_path").alias("_fp"),
             F.col("_metadata.row_index").alias("_ri"),
         )
+        matches = matcher(tagged).select("_fp", "_ri")
         existing = load_dv_bytes(table, acts)
 
         def write_partition(batches):
@@ -266,6 +270,51 @@ def delete_delta_dv(spark: SparkSession, table: str,
         except DeltaCommitConflict:
             continue  # recompute matches + merged bitmaps from new snapshot
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def delete_delta_dv(spark: SparkSession, table: str,
+                    condition: str) -> tuple[int, int, int]:
+    """MOR DELETE WHERE (SQL semantics — NULL survives); see
+    _delete_dv for the distributed-write shape."""
+    return _delete_dv(
+        spark, table,
+        lambda live: live.filter(
+            F.coalesce(F.expr(condition), F.lit(False))))
+
+
+def delete_keys_delta_dv(spark: SparkSession, table: str,
+                         keys: DataFrame, key_col: str
+                         ) -> tuple[int, int, int]:
+    """MOR DELETE by key set — the GDPR forget shape: the (broadcast)
+    key frame semi-joins the live scan and every matching row lands in
+    its file's deletion vector. Naturally idempotent: re-deleting an
+    already-marked row unions to the same bitmap and counts zero."""
+    ks = keys.select(key_col).distinct()
+    return _delete_dv(
+        spark, table,
+        lambda live: live.join(F.broadcast(ks), key_col, "left_semi"))
+
+
+def foreach_batch_delta_dv_delete(table: str, key_col: str):
+    """foreachBatch hook: streaming GDPR purge via DELETION VECTORS —
+    the merge-on-read twin of delta_log.foreach_batch_delta_delete
+    (COW). Same txn-marker idempotence for replays; the crash window
+    between the DV commit and the marker is at-least-once with
+    identical effect because bitmap union is idempotent."""
+    from postrack_spark.streaming.delta_log import (
+        _append_txn,
+        last_txn_version,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_txn_version(table)
+        if last is not None and batch_id <= last:
+            return
+        version, _n, _nf = delete_keys_delta_dv(
+            batch_df.sparkSession, table, batch_df, key_col)
+        _append_txn(table, version, batch_id)
+
+    return apply_batch
 
 
 def guard_no_dvs(acts, paths: list[str], op: str) -> None:
