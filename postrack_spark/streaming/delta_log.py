@@ -247,6 +247,17 @@ def pruned_read_delta(spark: SparkSession, table: str, column: str,
         return spark.createDataFrame([], schema), 0, len(paths)
     df = spark.read.schema(schema).parquet(
         *[os.path.join(table, p) for p in keep])
+    adds = dict(paths)
+    kept_acts = [(p, adds[p]) for p in keep]
+    if any(a.get("deletionVector") for _p, a in kept_acts):
+        # a pruned file may still carry a deletion vector: apply it or
+        # deleted rows resurrect through the skipping path
+        from postrack_spark.streaming.deletion_vectors import (
+            dv_filter,
+            load_dv_bytes,
+        )
+
+        df = dv_filter(df, table, load_dv_bytes(table, kept_acts), schema)
     return df, len(keep), len(paths)
 
 

@@ -612,9 +612,21 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
 
     from pyspark.sql.types import StructType as _StructType
 
-    from postrack_spark.streaming.delta_log import _snapshot as _delta_snapshot
+    from postrack_spark.streaming.delta_log import (
+        _snapshot_actions as _delta_snapshot_actions,
+    )
 
-    paths, schema_string, _v = _delta_snapshot(table, None)
+    acts, schema_string, _v = _delta_snapshot_actions(table, None)
+    if any(a.get("deletionVector") for _p, a in acts):
+        # the sync points Iceberg metadata at the SAME parquet bytes;
+        # a file carrying a Delta deletion vector has no Iceberg-side
+        # representation here, so the synced snapshot would resurrect
+        # deleted rows — refuse until compaction retires the DVs
+        # (real UniForm imposes the same constraint)
+        raise NotImplementedError(
+            "UniForm sync of a table with deletion vectors: run "
+            "compact_delta first")
+    paths = [p for p, _a in acts]
     schema = _StructType.fromJson(_json.loads(schema_string))
     os.makedirs(_meta_dir(table), exist_ok=True)
     current = _current_metadata(table)

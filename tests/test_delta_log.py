@@ -703,3 +703,33 @@ def test_dv_concurrent_commit_forces_recompute(spark, monkeypatch):
     want = [k for k in range(40) if k % 2] + [k for k in range(100, 105)
                                               if k % 2]
     assert got == want
+
+
+def test_dv_pruned_read_applies_dvs(spark):
+    from postrack_spark.streaming.delta_log import pruned_read_delta
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = tempfile.mkdtemp(prefix="delta_dv_prune_")
+    write_delta(
+        _df(spark, 0, 100).repartitionByRange(4, "k"), t)
+    delete_delta_dv(spark, t, "k % 10 = 0")
+    df, nread, ntotal = pruned_read_delta(spark, t, "k", 0, 49)
+    got = sorted(r["k"] for r in df.filter("k BETWEEN 0 AND 49").collect())
+    assert got == [k for k in range(50) if k % 10 != 0]
+    assert nread < ntotal  # pruning still prunes
+
+
+def test_dv_uniform_sync_refuses(spark):
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+    from postrack_spark.streaming.iceberg import sync_iceberg_from_delta
+
+    t = tempfile.mkdtemp(prefix="delta_dv_sync_")
+    write_delta(_df(spark, 0, 20).repartition(2), t)
+    delete_delta_dv(spark, t, "k < 5")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        sync_iceberg_from_delta(spark, t)
+    compact_delta(spark, t)
+    sid = sync_iceberg_from_delta(spark, t)  # clean after compaction
+    from postrack_spark.streaming.iceberg import read_iceberg
+
+    assert read_iceberg(spark, t, snapshot_id=sid).count() == 15
