@@ -23,7 +23,11 @@ version byte (1) followed by independently addressable DVs, each
 payload is [int32 LE magic 1681511377][RoaringArray64 portable bytes];
 descriptors use storageType 'p' with a table-RELATIVE path (the spec's
 'p' is absolute and 'u' is a z85-coded random prefix — relative keeps
-the table relocatable, which the rest of this log already assumes),
+the table relocatable, which the rest of this log already assumes) or
+storageType 'i' with the payload INLINED into the descriptor as Z85
+text (ZeroMQ RFC 32, implemented here) when it fits
+INLINE_DV_MAX_BYTES — a handful of forgotten rows costs no extra file
+and no extra read IO,
 and one DV FILE holds the DVs of MANY data files at different offsets
 (the spec's shared-file shape) — the distributed writer emits one DV
 file per shuffle partition, so only O(affected files) descriptor rows
@@ -57,8 +61,46 @@ from pyspark.sql.types import StructType
 
 from postrack_spark.streaming.roaring import RoaringArray64
 
+_Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_INV = {c: i for i, c in enumerate(_Z85)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85 (ZeroMQ RFC 32, public): 4 bytes -> 5 chars big-endian.
+    Input is zero-padded to a 4-byte multiple; the caller records the
+    true length (the descriptor's sizeInBytes) to truncate on decode."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 text length must be a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            v = v * 85 + _Z85_INV[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
 DV_MAGIC = 1681511377  # the Delta deletion-vector payload magic
 _DV_VERSION = 1
+# DVs at or under this payload size inline into the descriptor itself
+# (storageType 'i', z85-coded) — no extra file, no extra read IO; the
+# forget-set shape where a file loses a handful of rows
+INLINE_DV_MAX_BYTES = 256
 
 
 def _pack_dv(rb: RoaringArray64) -> bytes:
@@ -68,11 +110,20 @@ def _pack_dv(rb: RoaringArray64) -> bytes:
 
 
 def read_dv(table: str, descriptor: dict) -> RoaringArray64:
-    """Load one deletion vector through its descriptor (CRC-checked)."""
-    if descriptor.get("storageType") != "p":
+    """Load one deletion vector through its descriptor (CRC-checked
+    for file storage; inline payloads carry no CRC — the JSON commit
+    itself is the integrity boundary, as in the spec)."""
+    st = descriptor.get("storageType")
+    if st == "i":
+        payload = z85_decode(descriptor["pathOrInlineDv"])[
+            : descriptor["sizeInBytes"]]
+        (magic,) = struct.unpack_from("<i", payload, 0)
+        if magic != DV_MAGIC:
+            raise ValueError(f"inline DV magic {magic} != {DV_MAGIC}")
+        return RoaringArray64.deserialize(payload, 4)
+    if st != "p":
         raise NotImplementedError(
-            f"DV storageType {descriptor.get('storageType')!r} not written"
-            " by this module")
+            f"DV storageType {st!r} not written by this module")
     path = os.path.join(table, descriptor["pathOrInlineDv"])
     with open(path, "rb") as f:
         blob = f.read()
@@ -142,6 +193,9 @@ def load_dv_bytes(table: str, acts: list[tuple[str, dict]]
         d = add.get("deletionVector")
         if not d:
             continue
+        if d.get("storageType") == "i":
+            out[p] = z85_decode(d["pathOrInlineDv"])[: d["sizeInBytes"]]
+            continue
         path = os.path.join(table, d["pathOrInlineDv"])
         with open(path, "rb") as f:
             blob = f.read()
@@ -155,8 +209,8 @@ def load_dv_bytes(table: str, acts: list[tuple[str, dict]]
     return out
 
 
-def _delete_dv(spark: SparkSession, table: str,
-               matcher) -> tuple[int, int, int]:
+def _delete_dv(spark: SparkSession, table: str, matcher,
+               inline_max_bytes: int | None = None) -> tuple[int, int, int]:
     """MERGE-ON-READ DELETE WHERE: rows matching ``condition`` (SQL
     DELETE semantics — NULL survives) are recorded in per-file
     deletion vectors; NO data parquet is rewritten. Returns
@@ -177,6 +231,8 @@ def _delete_dv(spark: SparkSession, table: str,
         latest_version,
     )
 
+    inline_cap = (INLINE_DV_MAX_BYTES if inline_max_bytes is None
+                  else inline_max_bytes)
     for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
         acts, schema_string, read_v = _snapshot_actions(table, None)
         adds = dict(acts)
@@ -218,6 +274,17 @@ def _delete_dv(spark: SparkSession, table: str,
                     old_card = prev.cardinality()
                     for v in prev.values():
                         rb.add(v)
+                payload = struct.pack("<i", DV_MAGIC) + rb.serialize()
+                if len(payload) <= inline_cap:
+                    # tiny DV: inline into the descriptor (z85), no file
+                    rows.append({
+                        "file_path": rel, "offset": -1,
+                        "size_in_bytes": len(payload),
+                        "cardinality": rb.cardinality(),
+                        "old_cardinality": old_card,
+                        "inline": z85_encode(payload),
+                    })
+                    continue
                 packed = _pack_dv(rb)
                 rows.append({
                     "file_path": rel,
@@ -225,18 +292,21 @@ def _delete_dv(spark: SparkSession, table: str,
                     "size_in_bytes": len(packed) - 8,
                     "cardinality": rb.cardinality(),
                     "old_cardinality": old_card,
+                    "inline": None,
                 })
                 blob += packed
-            dv_rel = f"dv-{uuid.uuid4().hex}.bin"
-            with open(os.path.join(root, dv_rel), "wb") as f:
-                f.write(bytes(blob))
+            dv_rel = None
+            if len(blob) > 1:  # at least one file-stored DV
+                dv_rel = f"dv-{uuid.uuid4().hex}.bin"
+                with open(os.path.join(root, dv_rel), "wb") as f:
+                    f.write(bytes(blob))
             for r in rows:
                 r["dv_path"] = dv_rel
             yield pd.DataFrame(rows)
 
         out_schema = ("file_path string, offset long, size_in_bytes long,"
                       " cardinality long, old_cardinality long,"
-                      " dv_path string")
+                      " inline string, dv_path string")
         written = sorted(
             matches.repartition(max(1, len(acts)), "_fp")
             .mapInPandas(write_partition, out_schema).collect(),
@@ -255,13 +325,21 @@ def _delete_dv(spark: SparkSession, table: str,
                 "path": r["file_path"], "deletionTimestamp": now_ms,
                 "dataChange": True,
             }})
-            add["deletionVector"] = {
-                "storageType": "p",
-                "pathOrInlineDv": r["dv_path"],
-                "offset": int(r["offset"]),
-                "sizeInBytes": int(r["size_in_bytes"]),
-                "cardinality": int(r["cardinality"]),
-            }
+            if r["inline"] is not None:
+                add["deletionVector"] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": r["inline"],
+                    "sizeInBytes": int(r["size_in_bytes"]),
+                    "cardinality": int(r["cardinality"]),
+                }
+            else:
+                add["deletionVector"] = {
+                    "storageType": "p",
+                    "pathOrInlineDv": r["dv_path"],
+                    "offset": int(r["offset"]),
+                    "sizeInBytes": int(r["size_in_bytes"]),
+                    "cardinality": int(r["cardinality"]),
+                }
             add["dataChange"] = True
             new_adds.append({"add": add})
         try:
@@ -272,14 +350,18 @@ def _delete_dv(spark: SparkSession, table: str,
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
-def delete_delta_dv(spark: SparkSession, table: str,
-                    condition: str) -> tuple[int, int, int]:
+def delete_delta_dv(spark: SparkSession, table: str, condition: str,
+                    inline_max_bytes: int | None = None
+                    ) -> tuple[int, int, int]:
     """MOR DELETE WHERE (SQL semantics — NULL survives); see
-    _delete_dv for the distributed-write shape."""
+    _delete_dv for the distributed-write shape. ``inline_max_bytes``
+    overrides the inline-vs-file storage threshold (0 forces file
+    storage — the tests' lever; None = INLINE_DV_MAX_BYTES)."""
     return _delete_dv(
         spark, table,
         lambda live: live.filter(
-            F.coalesce(F.expr(condition), F.lit(False))))
+            F.coalesce(F.expr(condition), F.lit(False))),
+        inline_max_bytes=inline_max_bytes)
 
 
 def delete_keys_delta_dv(spark: SparkSession, table: str,

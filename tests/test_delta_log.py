@@ -615,7 +615,7 @@ def test_dv_distributed_write_many_files(spark):
     from postrack_spark.streaming.deletion_vectors import delete_delta_dv
 
     t = _dv_table(spark, n=400, files=8)
-    _v, n, nf = delete_delta_dv(spark, t, "k % 3 = 0")
+    _v, n, nf = delete_delta_dv(spark, t, "k % 3 = 0", inline_max_bytes=0)
     assert n == 134 and nf == 8
     dv_files = [f for f in os.listdir(t)
                 if f.startswith("dv-") and f.endswith(".bin")]
@@ -649,7 +649,7 @@ def test_dv_vacuum_retains_referenced_dv_files(spark):
     from postrack_spark.streaming.deletion_vectors import delete_delta_dv
 
     t = _dv_table(spark)
-    delete_delta_dv(spark, t, "k < 4")
+    delete_delta_dv(spark, t, "k < 4", inline_max_bytes=0)
     dvs = {f for f in os.listdir(t) if f.startswith("dv-")}
     assert dvs
     vacuum_delta(t, retain_versions=2)  # DV version is current: retained
@@ -733,3 +733,49 @@ def test_dv_uniform_sync_refuses(spark):
     from postrack_spark.streaming.iceberg import read_iceberg
 
     assert read_iceberg(spark, t, snapshot_id=sid).count() == 15
+
+
+def test_dv_inline_storage_small_deletes(spark):
+    """Tiny forget-sets inline into the descriptor (storageType 'i',
+    z85): no dv-*.bin file at all, reads/stacking/checkpoints behave
+    identically, and an inline DV grows into FILE storage when a
+    later delete pushes the merged payload past the threshold."""
+    from postrack_spark.streaming.delta_log import (
+        _snapshot_actions,
+        checkpoint_delta,
+        clean_log_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import (
+        delete_delta_dv,
+        read_dv,
+        z85_decode,
+        z85_encode,
+    )
+
+    # z85 roundtrips incl. non-multiple-of-4 lengths
+    for blob in (b"", b"a", b"ab", b"abc", b"abcd", bytes(range(100))):
+        assert z85_decode(z85_encode(blob))[: len(blob)] == blob
+
+    t = _dv_table(spark)
+    delete_delta_dv(spark, t, "k IN (3, 17)")
+    assert not [f for f in os.listdir(t) if f.startswith("dv-")]
+    acts, _, _ = _snapshot_actions(t, None)
+    descs = [a["deletionVector"] for _p, a in acts
+             if a.get("deletionVector")]
+    assert descs and all(d["storageType"] == "i" for d in descs)
+    for d in descs:
+        assert read_dv(t, d).cardinality() == d["cardinality"]
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == [k for k in range(40) if k not in (3, 17)]
+    # stacked delete merges INTO the inline bitmap
+    delete_delta_dv(spark, t, "k = 4")
+    assert read_delta(spark, t).count() == 37
+    # inline descriptors survive checkpoint + log cleanup
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    assert read_delta(spark, t).count() == 37
+    # a big delete on the same files graduates to file storage
+    delete_delta_dv(spark, t, "k >= 20", inline_max_bytes=8)
+    assert [f for f in os.listdir(t) if f.startswith("dv-")]
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
+        k for k in range(20) if k not in (3, 4, 17)]
