@@ -84,3 +84,37 @@ def test_roaring_array64_composition():
     back = RoaringArray64.deserialize(rb.serialize())
     assert back.values() == sorted(vals)
     assert all(v in back for v in vals)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=0xFFFFFFFF),
+                max_size=400))
+def test_roaring32_roundtrip_property(vals):
+    vs = sorted(set(vals))
+    got, used = decode_roaring32(encode_roaring32(vs))
+    assert got == vs
+    assert used == len(encode_roaring32(vs))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 48) - 1),
+                max_size=200))
+def test_roaring_array64_roundtrip_property(vals):
+    rb = RoaringArray64(vals)
+    back = RoaringArray64.deserialize(rb.serialize())
+    assert back.values() == sorted(set(vals))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=120))
+def test_z85_roundtrip_property(blob):
+    from postrack_spark.streaming.deletion_vectors import (
+        z85_decode,
+        z85_encode,
+    )
+
+    assert z85_decode(z85_encode(blob))[: len(blob)] == blob
