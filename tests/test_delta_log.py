@@ -779,3 +779,24 @@ def test_dv_inline_storage_small_deletes(spark):
     assert [f for f in os.listdir(t) if f.startswith("dv-")]
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
         k for k in range(20) if k not in (3, 4, 17)]
+
+
+def test_dv_read_plan_shape(spark):
+    """The DV read path must stay Arrow-batched: MapInPandas applies
+    the bitmap filter, zero row-at-a-time Python, and a DV-FREE
+    snapshot keeps the plain scan (no Python boundary at all)."""
+    from postrack_spark.plans import plan_features
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = _dv_table(spark)
+    clean = read_delta(spark, t)
+    f0 = plan_features(clean)
+    assert f0["row_python_evals"] == 0
+    assert "MapInPandas" not in clean._jdf.queryExecution().executedPlan().toString()
+    delete_delta_dv(spark, t, "k < 5")
+    dv = read_delta(spark, t)
+    plan = dv._jdf.queryExecution().executedPlan().toString()
+    f1 = plan_features(dv)
+    assert f1["row_python_evals"] == 0
+    assert "MapInPandas" in plan
+    assert dv.count() == 35
