@@ -3627,6 +3627,105 @@ def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_iceberg_equality_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 10 = 3 THEN cents + 1 ELSE cents END
+               AS cents,
+             CASE WHEN o_custkey % 10 = 3 THEN 2 ELSE 1 END AS gen
+      FROM base WHERE o_custkey % 13 <> 0
+    )
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_before,
+           CAST(count(*) AS BIGINT) AS rows_after,
+           CAST(sum(cents) AS BIGINT) AS cents_after,
+           CAST(sum(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS gen2_rows,
+           true AS no_old_file_rewrite
+    FROM final
+    """,
+)
+def cdc_iceberg_equality_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes (data_file content=2,
+    equality_ids) — the MOR flavor position deletes can't cover: the
+    delete file stores KEY VALUES, so upserting or forgetting a key
+    costs O(keys) with NO table scan at all (position deletes must at
+    least scan to find row positions; Delta COW must rewrite files).
+    Exercises the full CDC upsert lifecycle the Flink Iceberg writer
+    uses: (1) upsert_iceberg commits the equality delete AND the
+    replacement rows at the SAME sequence number in ONE snapshot —
+    the spec's strict-< scoping (deletes at sequence S hit only data
+    files with sequence < S) makes the batch survive its own delete;
+    (2) delete_keys_iceberg then forgets a second key set (GDPR
+    shape); (3) the reader applies both as sequence-scoped broadcast
+    anti-joins over one distributed parquet scan. Certified in one
+    row: time-travel rows_before, the post-upsert+delete rollup, a
+    gen2 count proving latest-wins, and a no-old-file-rewrite
+    certificate (every pre-existing parquet is byte-identical — the
+    oracle cannot see files, so the query gates the certificate)."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        delete_keys_iceberg,
+        read_iceberg,
+        upsert_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_eq_up_")
+    pre_sid = append_iceberg(
+        base.select("o_orderkey", "cents", F.lit(1).alias("gen"))
+        .repartitionByRange(4, "o_orderkey"),
+        table, format_version=2)
+
+    def _parquets() -> list[tuple[str, int]]:
+        d = _os.path.join(table, "data")
+        return sorted(
+            (f, _os.path.getsize(_os.path.join(d, f)))
+            for f in _os.listdir(d) if f.endswith(".parquet"))
+
+    files_before = set(_parquets())
+    # CDC upsert batch: bump cents for one customer slice (key-unique
+    # by construction — o_orderkey is the table key)
+    upsert_iceberg(
+        base.filter(F.col("o_custkey") % 10 == 3).select(
+            "o_orderkey",
+            (F.col("cents") + 1).alias("cents"),
+            F.lit(2).alias("gen"),
+        ),
+        table, ["o_orderkey"])
+    # GDPR forget-by-key: O(keys), no scan of the iceberg table
+    delete_keys_iceberg(
+        spark, table,
+        base.filter(F.col("o_custkey") % 13 == 0).select("o_orderkey"))
+    # old files must be byte-identical (upsert only ADDS files)
+    no_rewrite = files_before.issubset(set(_parquets()))
+    before = read_iceberg(spark, table, snapshot_id=pre_sid).agg(
+        F.count("*").cast("long").alias("rows_before"))
+    after = read_iceberg(spark, table).agg(
+        F.count("*").cast("long").alias("rows_after"),
+        F.sum("cents").cast("long").alias("cents_after"),
+        F.sum((F.col("gen") == 2).cast("long")).cast("long")
+        .alias("gen2_rows"),
+    )
+    return before.crossJoin(after).select(
+        "rows_before", "rows_after", "cents_after", "gen2_rows",
+        F.lit(no_rewrite).alias("no_old_file_rewrite"),
+    )
+
+
+@query(
     "cdc_delta_dv_delete",
     oracle="""
     WITH base AS (

@@ -36,9 +36,21 @@ container; the honest-certification caveat mirrors operators/mp4.py):
   deferred to compaction). ``read_iceberg`` then applies deletes as a
   broadcast anti-join on (file, pos) — the Spark-native MOR read.
 
+* ``delete_keys_iceberg`` / ``upsert_iceberg`` — format-version 2
+  EQUALITY deletes (data_file content=2, ``equality_ids`` naming the
+  key columns by field-id): a delete file holds KEY VALUES, not
+  positions, so deleting (or upserting) by key costs O(keys) with NO
+  scan of the table at all — the shape Flink's CDC writer uses for
+  upsert streams. Scoping is by SEQUENCE NUMBER per the spec: an
+  equality delete at sequence S applies only to data files with
+  sequence STRICTLY LESS than S (position deletes use <=), which is
+  exactly what lets ``upsert_iceberg`` commit the delete and the
+  replacement rows at the SAME sequence in ONE snapshot — the new
+  rows survive their own delete by construction, no ordering hack.
+
 Scope honestly stated: unpartitioned spec, manifests without column
-stats, v2 limited to position deletes written by this module (equality
-deletes and foreign v2 tables are out of scope); the position-delete
+stats, v2 limited to deletes written by this module (foreign v2
+tables are out of scope); the position-delete
 writer is DISTRIBUTED — matches repartition by file_path and each
 executor partition writes its own delete Avro, so only O(delete files)
 metadata reaches the driver and a bulk 100 TB delete scales with the
@@ -114,8 +126,35 @@ _POS_DELETE_SCHEMA = {
     ],
 }
 
+# manifest schema for EQUALITY-delete manifests: data_file grows the
+# spec's content (field-id 134: 0=data, 1=position deletes, 2=equality
+# deletes) and equality_ids (field-id 135, element-id 136 — the table
+# field-ids of the key columns). Kept as a SEPARATE schema so existing
+# data/position manifests stay byte-stable; Avro carries the writer
+# schema in the container header, so readers branch on what they find.
+_EQ_MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": "long", "field-id": 1},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "equality_ids", "field-id": 135, "type": {
+                    "type": "array", "items": "int", "element-id": 136}},
+            ]}},
+    ],
+}
+
 ADDED, EXISTING = 1, 0
 DATA_CONTENT, DELETE_CONTENT = 0, 1
+# data_file.content values (field-id 134)
+FILE_DATA, FILE_POS_DELETES, FILE_EQ_DELETES = 0, 1, 2
 
 
 class IcebergCommitConflict(RuntimeError):
@@ -204,25 +243,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     # 1. data files — staged ONCE (the bytes don't depend on the
     # version we end up committing at; losers of commit races reuse
     # them on the recompute pass)
-    scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(scratch)
-    entries = []
-    for name in sorted(os.listdir(scratch)):
-        if not name.endswith(".parquet"):
-            continue
-        final = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
-        os.replace(os.path.join(scratch, name), os.path.join(table, final))
-        entries.append({
-            "status": ADDED, "snapshot_id": 0,  # stamped per attempt
-            "data_file": {
-                "file_path": final, "file_format": "PARQUET",
-                # record_count per file needs a footer read; the spec
-                # requires it, so read it (cheap metadata-only)
-                "record_count": _parquet_rows(os.path.join(table, final)),
-                "file_size_in_bytes": os.path.getsize(
-                    os.path.join(table, final)),
-            }})
-    shutil.rmtree(scratch, ignore_errors=True)
+    entries = _stage_data_files(df, table)
 
     for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
         current = _current_metadata(table)
@@ -308,6 +329,33 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
 
+def _stage_data_files(df: DataFrame, table: str) -> list[dict]:
+    """Write df's partitions as parquet under ``data/`` and return
+    ADDED manifest entries (snapshot_id stamped later, per commit
+    attempt). Staged bytes are snapshot-independent, so OCC losers
+    reuse them."""
+    scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(scratch)
+    entries = []
+    for name in sorted(os.listdir(scratch)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(scratch, name), os.path.join(table, final))
+        entries.append({
+            "status": ADDED, "snapshot_id": 0,  # stamped per attempt
+            "data_file": {
+                "file_path": final, "file_format": "PARQUET",
+                # record_count per file needs a footer read; the spec
+                # requires it, so read it (cheap metadata-only)
+                "record_count": _parquet_rows(os.path.join(table, final)),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(table, final)),
+            }})
+    shutil.rmtree(scratch, ignore_errors=True)
+    return entries
+
+
 def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
@@ -338,7 +386,13 @@ def read_iceberg(spark: SparkSession, table: str,
                  snapshot_id: int | None = None) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``).
     On format-version 2 tables, position deletes apply as a broadcast
-    anti-join on (file, row position) — the merge-on-read path."""
+    anti-join on (file, row position) and EQUALITY deletes as
+    broadcast anti-joins on their key columns, scoped by sequence
+    number (an equality delete at sequence S drops rows only from
+    data files with sequence STRICTLY below S — the spec rule that
+    makes same-snapshot upsert batches self-consistent). Both delete
+    sides are metadata-small and broadcast; the data side is one
+    distributed parquet scan — the merge-on-read path."""
     from pyspark.sql import functions as F
 
     meta = _current_metadata(table)
@@ -349,28 +403,44 @@ def read_iceberg(spark: SparkSession, table: str,
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
     mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
-    paths: list[str] = []
+    paths: list[tuple[str, int]] = []  # (rel path, data sequence number)
     deletes: list[tuple[str, int]] = []
+    # equality deletes grouped by their key-column tuple: for each key
+    # tuple the MAX delete sequence wins (a delete at seq 9 subsumes
+    # one at seq 5 — both drop files below 5; only <9 matters)
+    eq_deletes: dict[tuple[str, ...], dict[tuple, int]] = {}
+    id_to_name = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     for m in mlist:
         entries, _ = read_avro(_read_file(table, m["manifest_path"]))
+        seq = m.get("sequence_number", 0)
         if m.get("content", DATA_CONTENT) == DELETE_CONTENT:
             for e in entries:
-                if e["status"] in (ADDED, EXISTING):
-                    rows, _s = read_avro(
-                        _read_file(table, e["data_file"]["file_path"]))
+                if e["status"] not in (ADDED, EXISTING):
+                    continue
+                dfile = e["data_file"]
+                rows, _s = read_avro(_read_file(table, dfile["file_path"]))
+                if dfile.get("content", FILE_POS_DELETES) == FILE_EQ_DELETES:
+                    names = tuple(
+                        id_to_name[i] for i in dfile["equality_ids"])
+                    bucket = eq_deletes.setdefault(names, {})
+                    for r in rows:
+                        key = tuple(r[n] for n in names)
+                        if seq > bucket.get(key, -1):
+                            bucket[key] = seq
+                else:
                     deletes.extend((r["file_path"], r["pos"]) for r in rows)
             continue
         for e in entries:
             if e["status"] in (ADDED, EXISTING):
-                paths.append(e["data_file"]["file_path"])
+                paths.append((e["data_file"]["file_path"], seq))
     ddl = ", ".join(
         f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
         for f in meta["schema"]["fields"])
     if not paths:
         return spark.createDataFrame([], ddl)
     df = spark.read.schema(ddl).parquet(
-        *[os.path.join(table, p) for p in paths])
-    if not deletes:
+        *[os.path.join(table, p) for p, _s in paths])
+    if not deletes and not eq_deletes:
         return df
     cols = df.columns
     root = os.path.abspath(table)
@@ -379,9 +449,33 @@ def read_iceberg(spark: SparkSession, table: str,
         _rel_path_col(root).alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    ddf = spark.createDataFrame(deletes, "_fp string, _pos long")
-    return tagged.join(
-        F.broadcast(ddf), ["_fp", "_pos"], "left_anti").select(*cols)
+    if deletes:
+        ddf = spark.createDataFrame(deletes, "_fp string, _pos long")
+        tagged = tagged.join(F.broadcast(ddf), ["_fp", "_pos"], "left_anti")
+    if eq_deletes:
+        # rows need their file's data sequence to scope the deletes;
+        # the (file -> seq) map is O(files) metadata, broadcast
+        seq_df = spark.createDataFrame(
+            [(p, s) for p, s in paths], "_fp string, _dseq long")
+        # LEFT join: if _rel_path_col's prefix guard ever nulled a
+        # path, the row keeps a null _dseq and SURVIVES the scoped
+        # anti-joins below (fail-open beats silently dropping data)
+        tagged = tagged.join(F.broadcast(seq_df), "_fp", "left")
+        name_to_type = {f["name"]: _ICE_TO_SPARK[f["type"]]
+                        for f in meta["schema"]["fields"]}
+        for names, bucket in sorted(eq_deletes.items()):
+            kddl = ", ".join(
+                f"_eq_{n} {name_to_type[n]}" for n in names
+            ) + ", _eseq long"
+            kdf = spark.createDataFrame(
+                [tuple(k) + (s,) for k, s in sorted(bucket.items())], kddl)
+            cond = F.col("_dseq") < kdf["_eseq"]
+            for n in names:
+                # eqNullSafe: the spec matches NULL delete values to
+                # NULL data values (equality, not SQL three-valued =)
+                cond = cond & tagged[n].eqNullSafe(kdf[f"_eq_{n}"])
+            tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
+    return tagged.select(*cols)
 
 
 def _rel_path_col(root: str):
@@ -548,6 +642,261 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
             return snapshot_id, n_deleted
         except IcebergCommitConflict:
             continue  # recompute positions from the new snapshot
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
+_ICE_TO_AVRO = {"long": "long", "int": "int", "double": "double",
+                "float": "float", "string": "string",
+                "boolean": "boolean"}
+
+
+def _eq_key_plan(meta: dict, key_cols: list[str]) -> tuple[list[int], dict]:
+    """Resolve key columns to table field-ids and build the equality
+    delete FILE's Avro schema (each field carries its table field-id,
+    per spec — that is what equality_ids refers to)."""
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    ids, fields = [], []
+    for c in key_cols:
+        if c not in by_name:
+            raise KeyError(f"equality column {c!r} not in table schema")
+        ice_t = by_name[c]["type"]
+        if ice_t not in _ICE_TO_AVRO:
+            raise NotImplementedError(
+                f"equality delete on {ice_t} column out of scope")
+        ids.append(by_name[c]["id"])
+        fields.append({"name": c, "type": _ICE_TO_AVRO[ice_t],
+                       "field-id": by_name[c]["id"]})
+    return ids, {"type": "record", "name": "eq_delete", "fields": fields}
+
+
+def _stage_eq_delete_files(keys: DataFrame, table: str,
+                           key_cols: list[str], file_schema: dict
+                           ) -> list[dict]:
+    """DISTRIBUTED equality-delete file write (the position-delete
+    writer's pattern): each non-empty partition of the DISTINCT key
+    set writes one delete Avro (rows sorted by key — the spec's
+    recommended order) and only O(delete files) descriptor rows reach
+    the driver. Snapshot-independent: staged once, reused across OCC
+    retries."""
+    table_abs = os.path.abspath(table)
+
+    def _write(batches):
+        import pandas as _pd
+
+        rows: list[tuple] = []
+        for pdf in batches:
+            if pdf[key_cols].isna().any().any():
+                raise ValueError(
+                    "NULL equality-delete key (writer scope: non-null "
+                    "keys; the reader still honors the spec's "
+                    "null-matches-null rule for foreign files)")
+            rows.extend(tuple(t) for t in
+                        pdf[key_cols].itertuples(index=False, name=None))
+        if not rows:
+            return
+        rows.sort()
+        py = [{c: (v.item() if hasattr(v, "item") else v)
+               for c, v in zip(key_cols, r)} for r in rows]
+        blob = write_avro(py, file_schema, codec="deflate")
+        rel = os.path.join("data", f"eq-delete-{uuid.uuid4().hex}.avro")
+        with open(os.path.join(table_abs, rel), "wb") as f:
+            f.write(blob)
+        yield _pd.DataFrame([{
+            "file_path": rel,
+            "record_count": len(rows),
+            "file_size_in_bytes": len(blob),
+        }])
+
+    return sorted(
+        keys.select(*key_cols).distinct().mapInPandas(
+            _write,
+            "file_path string, record_count long, file_size_in_bytes long",
+        ).collect(),
+        key=lambda r: r["file_path"])
+
+
+def _eq_manifest_blob(written: list, snapshot_id: int,
+                      equality_ids: list[int]) -> bytes:
+    return write_avro([{
+        "status": ADDED, "snapshot_id": snapshot_id,
+        "data_file": {
+            "file_path": r["file_path"], "file_format": "AVRO",
+            "record_count": r["record_count"],
+            "file_size_in_bytes": r["file_size_in_bytes"],
+            "content": FILE_EQ_DELETES,
+            "equality_ids": list(equality_ids),
+        }} for r in written], _EQ_MANIFEST_SCHEMA, codec="deflate")
+
+
+def delete_keys_iceberg(spark: SparkSession, table: str,
+                        keys: DataFrame) -> tuple[int, int]:
+    """EQUALITY delete (format-version 2): every column of ``keys``
+    is an equality column; current rows matching any key row are
+    dropped from subsequent reads. Cost is O(keys) — NO table scan,
+    NO position computation, NO data rewrite: the delete file stores
+    the key VALUES and the reader applies them as a broadcast
+    anti-join scoped by sequence number. This is the GDPR
+    forget-by-key shape at its cheapest (the Delta twin,
+    delete_keys_delta, must at least rewrite matching files;
+    position deletes must at least scan to find positions).
+    Returns (snapshot id, distinct key count). Keys committed at
+    sequence S delete only from data files with sequence < S, so a
+    later re-insert of the same key is visible — upsert semantics
+    compose for free."""
+    key_cols = list(keys.columns)
+    meta0 = _current_metadata(table)
+    if meta0 is None:
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    if meta0["format-version"] != 2:
+        raise NotImplementedError(
+            "equality deletes need a format-version 2 table")
+    eq_ids, file_schema = _eq_key_plan(meta0, key_cols)
+    written = _stage_eq_delete_files(keys, table, key_cols, file_schema)
+    if not written:
+        return meta0["current-snapshot-id"], 0
+    n_keys = sum(r["record_count"] for r in written)
+
+    for _ in range(10):  # plain-append OCC: staged key bytes don't
+        # depend on the snapshot they land on, so retry is safe
+        meta = _current_metadata(table)
+        version = meta["last-version"] + 1
+        snapshot_id = version + 1
+        seq = meta["last-sequence-number"] + 1
+        snap = _snapshot(meta, meta["current-snapshot-id"])
+        mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
+        manifest_rel = os.path.join(
+            "metadata",
+            f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        blob = _eq_manifest_blob(written, snapshot_id, eq_ids)
+        with open(os.path.join(table, manifest_rel), "wb") as f:
+            f.write(blob)
+        new_mlist = mlist + [{
+            "manifest_path": manifest_rel, "manifest_length": len(blob),
+            "partition_spec_id": 0, "added_snapshot_id": snapshot_id,
+            "content": DELETE_CONTENT, "sequence_number": seq,
+        }]
+        mlist_rel = os.path.join(
+            "metadata", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        with open(os.path.join(table, mlist_rel), "wb") as f:
+            f.write(write_avro(new_mlist, _MANIFEST_LIST_SCHEMA_V2,
+                               codec="deflate"))
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["snapshots"] = meta["snapshots"] + [{
+            "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "manifest-list": mlist_rel, "sequence-number": seq,
+            "summary": {"operation": "delete"},
+        }]
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-version"] = version
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        try:
+            _commit_metadata(table, version, new_meta)
+            return snapshot_id, n_keys
+        except IcebergCommitConflict:
+            continue
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
+def upsert_iceberg(df: DataFrame, table: str,
+                   key_cols: list[str]) -> tuple[int, int]:
+    """CDC UPSERT in ONE snapshot (the Flink Iceberg writer's shape):
+    commit an equality-delete file holding df's key values AND df's
+    data files, both at the SAME new sequence number. The spec scopes
+    equality deletes to data files with STRICTLY SMALLER sequence, so
+    the batch's own rows survive its own delete while every older
+    version of those keys disappears — latest-wins per key with
+    O(batch) write cost and zero table scan. Returns
+    (snapshot id, upserted row count).
+
+    The batch must be key-unique (one row per key): two same-key rows
+    at one sequence would BOTH survive, so that shape raises instead
+    of silently keeping two versions. Deduplicate upstream
+    (max_by on the CDC ordering column) — that is what a real CDC
+    writer's per-checkpoint buffer does."""
+    from pyspark.sql import functions as F
+
+    dup = (df.groupBy(*key_cols).count().filter(F.col("count") > 1)
+           .limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"upsert batch has duplicate key {tuple(dup[0])[:-1]!r}; "
+            "dedupe to latest-wins before upserting")
+
+    meta0 = _current_metadata(table)
+    if meta0 is not None and meta0["format-version"] != 2:
+        raise NotImplementedError(
+            "upsert needs a format-version 2 table")
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    os.makedirs(_meta_dir(table), exist_ok=True)
+    if meta0 is None:
+        # first write creates the table: a plain v2 append (nothing
+        # older exists for the delete to apply to)
+        sid = append_iceberg(df, table, format_version=2)
+        return sid, df.count()
+
+    eq_ids, file_schema = _eq_key_plan(meta0, key_cols)
+    data_entries = _stage_data_files(df, table)
+    n_rows = sum(e["data_file"]["record_count"] for e in data_entries)
+    eq_written = _stage_eq_delete_files(
+        df.select(*key_cols), table, key_cols, file_schema)
+
+    for _ in range(10):  # plain-append OCC (staged bytes are
+        # snapshot-independent: data is the batch, keys are the batch)
+        meta = _current_metadata(table)
+        version = meta["last-version"] + 1
+        snapshot_id = version + 1
+        seq = meta["last-sequence-number"] + 1
+        snap = _snapshot(meta, meta["current-snapshot-id"])
+        mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
+        for e in data_entries:
+            e["snapshot_id"] = snapshot_id
+        data_rel = os.path.join(
+            "metadata",
+            f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        data_blob = write_avro(data_entries, _MANIFEST_SCHEMA,
+                               codec="deflate")
+        with open(os.path.join(table, data_rel), "wb") as f:
+            f.write(data_blob)
+        new_mlist = mlist + [{
+            "manifest_path": data_rel, "manifest_length": len(data_blob),
+            "partition_spec_id": 0, "added_snapshot_id": snapshot_id,
+            "content": DATA_CONTENT, "sequence_number": seq,
+        }]
+        if eq_written:
+            eq_rel = os.path.join(
+                "metadata",
+                f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+            eq_blob = _eq_manifest_blob(eq_written, snapshot_id, eq_ids)
+            with open(os.path.join(table, eq_rel), "wb") as f:
+                f.write(eq_blob)
+            new_mlist.append({
+                "manifest_path": eq_rel, "manifest_length": len(eq_blob),
+                "partition_spec_id": 0, "added_snapshot_id": snapshot_id,
+                "content": DELETE_CONTENT, "sequence_number": seq,
+            })
+        mlist_rel = os.path.join(
+            "metadata", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        with open(os.path.join(table, mlist_rel), "wb") as f:
+            f.write(write_avro(new_mlist, _MANIFEST_LIST_SCHEMA_V2,
+                               codec="deflate"))
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["snapshots"] = meta["snapshots"] + [{
+            "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "manifest-list": mlist_rel, "sequence-number": seq,
+            "summary": {"operation": "overwrite"},
+        }]
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-version"] = version
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        try:
+            _commit_metadata(table, version, new_meta)
+            return snapshot_id, n_rows
+        except IcebergCommitConflict:
+            continue
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
 

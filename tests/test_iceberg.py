@@ -484,3 +484,184 @@ def test_concurrent_delete_during_iceberg_compaction_not_resurrected(
     got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
     want = [k for k in range(40) if k not in (1, 5)] + [100, 101, 102]
     assert got == want
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, val string, gen bigint")
+
+
+def test_equality_delete_hides_keys_and_time_travels(spark):
+    """EQUALITY delete (content=2): keys vanish from the current read
+    with NO table scan and NO data rewrite; time travel to the
+    pre-delete snapshot still shows them."""
+    from postrack_spark.streaming.iceberg import delete_keys_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_eq_")
+    pre = append_iceberg(
+        _kv(spark, [(i, f"v{i}", 1) for i in range(8)]), t,
+        format_version=2)
+    files_before = sorted(
+        (f, os.path.getsize(os.path.join(t, "data", f)))
+        for f in os.listdir(os.path.join(t, "data")) if f.endswith(".parquet"))
+    sid, nk = delete_keys_iceberg(
+        spark, t, spark.createDataFrame([(2,), (6,)], "k bigint"))
+    assert nk == 2
+    files_after = sorted(
+        (f, os.path.getsize(os.path.join(t, "data", f)))
+        for f in os.listdir(os.path.join(t, "data")) if f.endswith(".parquet"))
+    assert files_before == files_after  # MOR: zero parquet rewrites
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == [0, 1, 3, 4, 5, 7]
+    old = sorted(r["k"] for r in read_iceberg(spark, t, snapshot_id=pre).collect())
+    assert old == list(range(8))
+
+
+def test_equality_delete_sequence_scoping_reinsert_survives(spark):
+    """The spec's strict-< rule: a delete at sequence S only hits data
+    files with sequence < S, so re-appending a deleted key later makes
+    it visible again — upsert semantics compose from plain commits."""
+    from postrack_spark.streaming.iceberg import delete_keys_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_eqs_")
+    append_iceberg(_kv(spark, [(1, "old", 1), (2, "keep", 1)]), t,
+                   format_version=2)
+    delete_keys_iceberg(spark, t, spark.createDataFrame([(1,)], "k bigint"))
+    append_iceberg(_kv(spark, [(1, "new", 2)]), t, format_version=2)
+    got = sorted((r["k"], r["val"]) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, "new"), (2, "keep")]
+
+
+def test_upsert_single_snapshot_latest_wins(spark):
+    """upsert_iceberg commits the equality delete AND the replacement
+    rows at the SAME sequence in ONE snapshot: old versions of the
+    batch's keys disappear, the batch's own rows survive their own
+    delete, untouched keys persist — and the whole thing is exactly
+    one snapshot (one atomic commit point)."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        upsert_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_up_")
+    upsert_iceberg(_kv(spark, [(i, f"v{i}", 1) for i in range(6)]), t, ["k"])
+    snaps_before = len(_current_metadata(t)["snapshots"])
+    sid, n = upsert_iceberg(
+        _kv(spark, [(2, "v2b", 2), (4, "v4b", 2), (9, "v9", 2)]), t, ["k"])
+    assert n == 3
+    assert len(_current_metadata(t)["snapshots"]) == snaps_before + 1
+    got = sorted((r["k"], r["val"], r["gen"])
+                 for r in read_iceberg(spark, t).collect())
+    assert got == [(0, "v0", 1), (1, "v1", 1), (2, "v2b", 2), (3, "v3", 1),
+                   (4, "v4b", 2), (5, "v5", 1), (9, "v9", 2)]
+    # a second upsert of the same key wins again (sequence monotone)
+    upsert_iceberg(_kv(spark, [(2, "v2c", 3)]), t, ["k"])
+    vals = {r["k"]: r["val"] for r in read_iceberg(spark, t).collect()}
+    assert vals[2] == "v2c"
+
+
+def test_upsert_duplicate_key_batch_raises(spark):
+    """Two same-key rows at one sequence would BOTH survive the
+    strict-< scoping — the writer refuses that shape instead of
+    silently keeping two versions."""
+    from postrack_spark.streaming.iceberg import upsert_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_dup_")
+    upsert_iceberg(_kv(spark, [(1, "a", 1)]), t, ["k"])
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_iceberg(_kv(spark, [(2, "a", 2), (2, "b", 2)]), t, ["k"])
+
+
+def test_equality_and_position_deletes_compose(spark):
+    """Both MOR delete flavors on one table: the reader applies the
+    position anti-join AND the sequence-scoped equality anti-joins."""
+    from postrack_spark.streaming.iceberg import (
+        delete_keys_iceberg,
+        delete_positions_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_mix_")
+    append_iceberg(_kv(spark, [(i, f"v{i}", 1) for i in range(10)]), t,
+                   format_version=2)
+    delete_keys_iceberg(spark, t, spark.createDataFrame([(3,)], "k bigint"))
+    delete_positions_iceberg(spark, t, "k = 7")
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_compaction_retires_equality_deletes(spark):
+    """compact_iceberg reads through the MOR view (equality deletes
+    applied) and commits a REPLACE snapshot: the live manifest list
+    afterwards holds ONLY the rewrite's data manifest — no delete
+    content survives — and the visible rows are unchanged."""
+    from postrack_spark.sources.avro_codec import read_avro
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        _read_file,
+        _snapshot,
+        compact_iceberg,
+        upsert_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_eqc_")
+    upsert_iceberg(_kv(spark, [(i, f"v{i}", 1) for i in range(6)]), t, ["k"])
+    upsert_iceberg(_kv(spark, [(1, "v1b", 2), (3, "v3b", 2)]), t, ["k"])
+    before = sorted((r["k"], r["val"])
+                    for r in read_iceberg(spark, t).collect())
+    compact_iceberg(spark, t, target_files=2)
+    after = sorted((r["k"], r["val"]) for r in read_iceberg(spark, t).collect())
+    assert before == after
+    meta = _current_metadata(t)
+    snap = _snapshot(meta, meta["current-snapshot-id"])
+    mlist, _ = read_avro(_read_file(t, snap["manifest-list"]))
+    assert [m.get("content", 0) for m in mlist] == [0]
+
+
+def test_equality_manifest_and_delete_files_parse_in_avro_java(spark):
+    """Cross-implementation check: the content=2 manifest (with its
+    equality_ids array) and the equality-delete Avro files themselves
+    parse in avro-java, and the recorded field-ids/key values match
+    what the python writer intended."""
+    from postrack_spark.sources.avro_codec import read_avro
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        _read_file,
+        _snapshot,
+        delete_keys_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_eqj_")
+    append_iceberg(_kv(spark, [(i, f"v{i}", 1) for i in range(5)]), t,
+                   format_version=2)
+    delete_keys_iceberg(
+        spark, t, spark.createDataFrame([(1,), (4,)], "k bigint"))
+    meta = _current_metadata(t)
+    snap = _snapshot(meta, meta["current-snapshot-id"])
+    mlist, _ = read_avro(_read_file(t, snap["manifest-list"]))
+    eq_manifests = [m for m in mlist if m.get("content", 0) == 1]
+    assert len(eq_manifests) == 1
+
+    jvm = spark._jvm
+
+    def _java_records(rel):
+        with open(os.path.join(t, rel), "rb") as f:
+            blob = f.read()
+        fin = jvm.org.apache.avro.file.SeekableByteArrayInput(blob)
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            fin, jvm.org.apache.avro.generic.GenericDatumReader())
+        out = []
+        while reader.hasNext():
+            out.append(reader.next())
+        reader.close()
+        return out
+
+    entries = _java_records(eq_manifests[0]["manifest_path"])
+    assert len(entries) >= 1
+    keys_seen = []
+    for e in entries:
+        dfile = e.get("data_file")
+        assert int(dfile.get("content")) == 2
+        ids = [int(x) for x in dfile.get("equality_ids")]
+        assert ids == [1]  # field-id of k in the table schema
+        for rec in _java_records(str(dfile.get("file_path"))):
+            keys_seen.append(int(rec.get("k")))
+    assert sorted(keys_seen) == [1, 4]
