@@ -2504,6 +2504,89 @@ def cdc_delta_delete_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_delta_restore_rollforward",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_v0,
+           CAST((SELECT count(*) FROM base
+                 WHERE o_custkey % 5 <> 2) AS BIGINT) AS rows_after_delete,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_restored,
+           CAST((SELECT sum(cents) FROM base) AS BIGINT) AS cents_restored,
+           true AS rolled_forward,
+           true AS no_data_io
+    FROM base LIMIT 1
+    """,
+)
+def cdc_delta_restore_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE (delta_log.restore_delta) — the undo button every
+    lakehouse operator reaches for after a bad write: a COW DELETE
+    drops a customer slice, RESTORE rolls the table back to the
+    pre-delete snapshot, and the certificate row proves the protocol's
+    three restore laws. (1) Roll-FORWARD: restore commits a NEW
+    version on top (rolled_forward gates latest == delete_version + 1
+    AND that the deleted intermediate state is still time-travelable —
+    history is append-only, so the incident itself stays auditable).
+    (2) Exactness: rows/cents after restore hash-match the original
+    table (the oracle recomputes them from source). (3) Zero data IO:
+    the restore commit re-ADDS the original files by reference — the
+    no_data_io certificate pins the post-restore live file set to the
+    v0 file set byte-for-byte (file-level diff, O(metadata); the
+    oracle cannot see files, so the query gates the certificate)."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        _snapshot_actions,
+        delete_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    t = load_tables(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="delta_restore_q_")
+    v0 = write_delta(
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .repartitionByRange(8, "o_custkey"),
+        table,
+    )
+
+    def _live_files(version=None):
+        acts, _s, _v = _snapshot_actions(table, version)
+        return sorted(
+            (p, _os.path.getsize(_os.path.join(table, p))) for p, _a in acts)
+
+    files_v0 = _live_files(v0)
+    v_del, _rw, _tot = delete_delta(spark, table, "o_custkey % 5 = 2")
+    v_rst = restore_delta(table, v0)
+    rolled_forward = v_rst == v_del + 1
+    no_data_io = _live_files() == files_v0
+    after_delete = read_delta(spark, table, version=v_del).agg(
+        F.count("*").cast("long").alias("rows_after_delete"))
+    v0_read = read_delta(spark, table, version=v0).agg(
+        F.count("*").cast("long").alias("rows_v0"))
+    restored = read_delta(spark, table).agg(
+        F.count("*").cast("long").alias("rows_restored"),
+        F.sum("cents").cast("long").alias("cents_restored"),
+    )
+    return v0_read.crossJoin(after_delete).crossJoin(restored).select(
+        "rows_v0", "rows_after_delete", "rows_restored", "cents_restored",
+        F.lit(rolled_forward).alias("rolled_forward"),
+        F.lit(no_data_io).alias("no_data_io"),
+    )
+
+
+@query(
     "streaming_delta_gdpr_purge",
     oracle="""
     WITH forget AS (

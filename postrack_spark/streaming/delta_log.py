@@ -612,6 +612,69 @@ def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
     return deleted
 
 
+def restore_delta(table: str, version: int) -> int:
+    """RESTORE TABLE ... VERSION AS OF — make the CURRENT state equal
+    the snapshot at ``version`` by committing a NEW version (the
+    protocol's roll-forward rule: history is append-only, so restore
+    never rewinds the log — time travel still sees every version,
+    including the bad ones being undone; that is what makes restore
+    itself auditable and restorable).
+
+    The diff is computed at the FILE level, O(live files) metadata and
+    zero data IO: re-ADD files live at the target but not now — with
+    their ORIGINAL add actions, so per-file stats AND deletionVector
+    descriptors ride along (restoring across a DV delete revives
+    exactly the DV-filtered view, not the raw file) — and REMOVE files
+    live now but absent at the target. A file live in both whose
+    action changed (e.g. a DV stacked onto it since) re-adds with the
+    target's action: add replaces the live entry on replay. Every
+    restored data/DV file is existence-checked BEFORE the commit —
+    restoring past a vacuum horizon raises instead of committing a
+    snapshot with holes. Snapshot-pinned OCC like every COW op.
+    Returns the committed version (read version if already equal)."""
+    target_acts, target_schema, _tv = _snapshot_actions(table, version)
+    target = dict(target_acts)
+    missing = [p for p in target
+               if not os.path.exists(os.path.join(table, p))]
+    for p, a in target.items():
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "p" and not os.path.exists(
+                os.path.join(table, dv["pathOrInlineDv"])):
+            missing.append(dv["pathOrInlineDv"])
+    if missing:
+        raise FileNotFoundError(
+            f"restore to version {version} needs vacuumed files: "
+            f"{sorted(missing)[:5]}{'...' if len(missing) > 5 else ''}")
+    for _ in range(10):  # snapshot-pinned OCC — see compact_delta
+        cur_acts, cur_schema, read_v = _snapshot_actions(table, None)
+        cur = dict(cur_acts)
+        adds = [{"add": a} for p, a in sorted(target.items())
+                if cur.get(p) != a]
+        removes = [{"remove": {
+            "path": p, "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": True,
+        }} for p in sorted(cur) if p not in target]
+        actions: list[dict] = []
+        if target_schema != cur_schema:
+            actions.append({"metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": target_schema,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }})
+        actions += adds + removes
+        if not actions:
+            return read_v  # already at the target state
+        try:
+            commit_delta(table, read_v + 1, actions)
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue  # recompute the diff against the new snapshot
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
 def merge_delta(spark: SparkSession, table: str, images: DataFrame,
                 key_col: str, order_col: str) -> int:
     """Copy-on-write MERGE — the lakehouse CDC-upsert pattern: fold a

@@ -800,3 +800,74 @@ def test_dv_read_plan_shape(spark):
     assert f1["row_python_evals"] == 0
     assert "MapInPandas" in plan
     assert dv.count() == 35
+
+
+def test_restore_rolls_forward_across_cow_delete(spark):
+    """RESTORE makes the current state equal an old snapshot via a NEW
+    commit: the bad versions stay time-travelable (append-only log),
+    and a subsequent restore can even undo the restore."""
+    from postrack_spark.streaming.delta_log import restore_delta
+
+    t = tempfile.mkdtemp(prefix="delta_rst_")
+    write_delta(_df(spark, 0, 6).repartition(3), t)           # v0
+    from postrack_spark.streaming.delta_log import delete_delta
+
+    v_del, _, _ = delete_delta(spark, t, "k >= 3")            # v1 (COW)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 1, 2]
+    v_rst = restore_delta(t, 0)
+    assert v_rst == v_del + 1  # roll-forward, not rewind
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(range(6))
+    # the deleted state is still in history
+    assert sorted(r["k"] for r in read_delta(spark, t, version=v_del).collect()) == [0, 1, 2]
+    # restore the restore: back to the post-delete state
+    restore_delta(t, v_del)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 1, 2]
+
+
+def test_restore_revives_and_reapplies_deletion_vectors(spark):
+    """A restore across a DV delete must flip the VIEW both ways
+    without touching parquet: backward re-adds the file without its
+    DV (rows return); forward re-adds the target's DV-carrying action
+    (rows hide again)."""
+    from postrack_spark.streaming.delta_log import restore_delta
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = tempfile.mkdtemp(prefix="delta_rstdv_")
+    write_delta(_df(spark, 0, 8).repartition(2), t)           # v0
+    v_dv, n, _ = delete_delta_dv(spark, t, "k % 2 = 1")       # v1 (MOR)
+    assert n == 4
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 2, 4, 6]
+    restore_delta(t, 0)                                       # v2: DVs off
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(range(8))
+    restore_delta(t, v_dv)                                    # v3: DVs back
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 2, 4, 6]
+
+
+def test_restore_past_vacuum_horizon_raises_before_commit(spark):
+    """Restoring to a snapshot whose files were vacuumed must raise
+    up front — never commit a snapshot with holes."""
+    from postrack_spark.streaming.delta_log import restore_delta
+
+    t = tempfile.mkdtemp(prefix="delta_rstv_")
+    write_delta(_df(spark, 0, 4), t)                          # v0
+    write_delta(_df(spark, 0, 9), t, mode="overwrite")        # v1
+    write_delta(_df(spark, 9, 10), t)                         # v2
+    gone = vacuum_delta(t, retain_versions=2)                 # drops v0's file
+    assert gone
+    v_before = latest_version(t)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta(t, 0)
+    assert latest_version(t) == v_before  # nothing committed
+    # restoring within the retained window still works
+    restore_delta(t, 1)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(range(9))
+
+
+def test_restore_to_current_state_is_a_noop(spark):
+    from postrack_spark.streaming.delta_log import restore_delta
+
+    t = tempfile.mkdtemp(prefix="delta_rstn_")
+    write_delta(_df(spark, 0, 3), t)
+    v = write_delta(_df(spark, 3, 5), t)
+    assert restore_delta(t, v) == v
+    assert latest_version(t) == v  # no empty commit
