@@ -2504,6 +2504,114 @@ def cdc_delta_delete_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_iceberg_cdc_upsert",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    latest AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS one_row_per_key,
+           true AS replay_skipped
+    FROM latest GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert STREAM into an Iceberg v2 table — the Flink Iceberg
+    writer's architecture on Structured Streaming: events arrive in
+    four WAL-ordered micro-batches (time slices, mtime-stamped,
+    maxFilesPerTrigger=1), each batch folds to one image per user
+    (max_by over (ts, event_id) — the CDC writer's per-checkpoint
+    buffer) and commits as ONE snapshot holding an equality-delete
+    file plus the replacement rows at the same sequence number. The
+    table is therefore latest-per-key AT EVERY SNAPSHOT, with O(batch)
+    write cost and no table scans — compare
+    cdc_latest_per_key_materialize (batch max_by) and
+    foreach_batch_delta_merge (COW rewrite of affected files): this is
+    the cheapest write path of the three and pays at read time
+    instead. Exactly-once: the batch id rides in the snapshot SUMMARY
+    (the Flink checkpoint-id idiom) and the replay_skipped certificate
+    re-applies batch 0 after the run, gating that it commits NOTHING
+    (snapshot count unchanged). one_row_per_key gates the upsert
+    invariant the oracle can't see structurally."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        foreach_batch_iceberg_upsert,
+        read_iceberg,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    # four equal TIME slices of [min ts, max ts] — a pure row function
+    # of event time (monotone, deterministic under any partitioning;
+    # the _ordered_event_admission rule), mtime-stamped so the file
+    # source admits them in WAL order
+    bounds = ev.agg(F.min(F.unix_micros("ts")).alias("lo"),
+                    F.max(F.unix_micros("ts")).alias("hi"))
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id", "ts", "event_id", "event_type", "cents",
+        (F.lit(1) + F.expr(
+            "CAST((unix_micros(ts) - lo) * 4 DIV (hi - lo + 1) AS INT)")
+         ).alias("f"))
+    scratch = _tf.mkdtemp(prefix="ice_upsert_stream_")
+    dest = _os.path.join(scratch, "slices")
+    _os.makedirs(dest)
+    tmp = _os.path.join(scratch, "quart")
+    (bucketed.repartition(4, "f").write.partitionBy("f")
+     .mode("overwrite").parquet(tmp))
+    first_slice = None
+    for i in range(1, 5):
+        srcs = _glob.glob(_os.path.join(tmp, f"f={i}", "part-*.parquet"))
+        assert len(srcs) == 1, f"expected one file per slice, got {srcs}"
+        p = _os.path.join(dest, f"f{i:03d}.parquet")
+        _shutil.copy(srcs[0], p)
+        _os.utime(p, (1e9 + i, 1e9 + i))
+        if i == 1:
+            first_slice = p
+    schema = spark.read.parquet(dest).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(dest))
+    table = _tf.mkdtemp(prefix="ice_upsert_t_")
+    hook = foreach_batch_iceberg_upsert(
+        table, ["user_id"], ["ts", "event_id"], app_id="iceberg-cdc-upsert")
+    ckpt = _tf.mkdtemp(prefix="ckpt_ice_upsert_")
+    q = (stream.writeStream.foreachBatch(hook)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # replay certificate: re-applying an already-committed batch id
+    # must commit NOTHING (at-least-once delivery, exactly-once state)
+    snaps_before = len(_current_metadata(table)["snapshots"])
+    hook(spark.read.schema(schema).parquet(first_slice), 0)
+    replay_skipped = (
+        len(_current_metadata(table)["snapshots"]) == snaps_before)
+    final = read_iceberg(spark, table)
+    chk = final.agg(
+        (F.count("*") == F.countDistinct("user_id")).alias("ok")).collect()
+    one_row_per_key = bool(chk[0]["ok"])
+    return (final.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("cents"))
+        .select("event_type", "n_users", "cents",
+                F.lit(one_row_per_key).alias("one_row_per_key"),
+                F.lit(replay_skipped).alias("replay_skipped"))
+        .orderBy("event_type"))
+
+
+@query(
     "cdc_delta_restore_rollforward",
     oracle="""
     WITH base AS (

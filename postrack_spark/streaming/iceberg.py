@@ -218,7 +218,8 @@ def _ice_schema(schema: StructType) -> dict:
 
 def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                    carry_forward: bool = True,
-                   expected_snapshot_id: int | None = None) -> int:
+                   expected_snapshot_id: int | None = None,
+                   summary_extra: dict | None = None) -> int:
     """Append df as a new snapshot; returns the snapshot id.
     ``format_version=2`` writes the v2 sequence-number machinery and
     unlocks delete_positions_iceberg on the table.
@@ -299,7 +300,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         new_snap = {
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
             "manifest-list": mlist_rel,
-            "summary": {"operation": "append"},
+            "summary": {"operation": "append", **(summary_extra or {})},
         }
         if format_version == 2:
             new_snap["sequence-number"] = seq
@@ -799,8 +800,8 @@ def delete_keys_iceberg(spark: SparkSession, table: str,
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
 
-def upsert_iceberg(df: DataFrame, table: str,
-                   key_cols: list[str]) -> tuple[int, int]:
+def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
+                   summary_extra: dict | None = None) -> tuple[int, int]:
     """CDC UPSERT in ONE snapshot (the Flink Iceberg writer's shape):
     commit an equality-delete file holding df's key values AND df's
     data files, both at the SAME new sequence number. The spec scopes
@@ -833,7 +834,8 @@ def upsert_iceberg(df: DataFrame, table: str,
     if meta0 is None:
         # first write creates the table: a plain v2 append (nothing
         # older exists for the delete to apply to)
-        sid = append_iceberg(df, table, format_version=2)
+        sid = append_iceberg(df, table, format_version=2,
+                             summary_extra=summary_extra)
         return sid, df.count()
 
     eq_ids, file_schema = _eq_key_plan(meta0, key_cols)
@@ -886,7 +888,7 @@ def upsert_iceberg(df: DataFrame, table: str,
         new_meta["snapshots"] = meta["snapshots"] + [{
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
             "manifest-list": mlist_rel, "sequence-number": seq,
-            "summary": {"operation": "overwrite"},
+            "summary": {"operation": "overwrite", **(summary_extra or {})},
         }]
         new_meta["current-snapshot-id"] = snapshot_id
         new_meta["last-version"] = version
@@ -898,6 +900,59 @@ def upsert_iceberg(df: DataFrame, table: str,
         except IcebergCommitConflict:
             continue
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
+def last_committed_batch_iceberg(table: str, app_id: str) -> int | None:
+    """Highest streaming batch id committed for ``app_id``, read from
+    snapshot SUMMARIES — the Iceberg idiom for exactly-once streaming
+    commits (the Flink writer stores its max committed checkpoint id
+    in the summary the same way; Delta uses txn actions). O(snapshots)
+    metadata, no file IO beyond metadata.json."""
+    meta = _current_metadata(table)
+    if meta is None:
+        return None
+    best = None
+    for s in meta["snapshots"]:
+        summ = s.get("summary") or {}
+        if summ.get("app-id") == app_id and "batch-id" in summ:
+            b = int(summ["batch-id"])
+            best = b if best is None else max(best, b)
+    return best
+
+
+def foreach_batch_iceberg_upsert(table: str, key_cols: list[str],
+                                 order_cols: list[str],
+                                 app_id: str | None = None):
+    """foreachBatch hook: per-batch CDC UPSERT into an Iceberg v2
+    table (equality delete + replacement rows in ONE snapshot), with
+    exactly-once replay protection via the snapshot-summary batch id
+    (``last_committed_batch_iceberg``) — a replayed batch id commits
+    nothing, and because the upsert is a single atomic snapshot there
+    is no torn half-applied state to skip over.
+
+    Each batch folds to ONE image per key first (max_by over
+    ``order_cols`` — the per-checkpoint buffer a real CDC writer
+    keeps), satisfying upsert_iceberg's key-unique contract. ACROSS
+    batches, latest-wins holds under ORDERED admission (equality
+    deletes apply by sequence number, not by order_cols — the same
+    contract as Flink's upsert streams; WAL-ordered CDC capture
+    provides it natively, and the test harness stamps file mtimes)."""
+    from pyspark.sql import functions as F
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        aid = app_id or os.path.abspath(table)
+        last = last_committed_batch_iceberg(table, aid)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
+        cols = [c for c in batch_df.columns if c not in key_cols]
+        folded = batch_df.groupBy(*key_cols).agg(
+            F.max_by(F.struct(*cols), F.struct(*order_cols)).alias("_w"))
+        folded = folded.select(
+            *key_cols, *[F.col(f"_w.{c}").alias(c) for c in cols])
+        upsert_iceberg(folded, table, key_cols, summary_extra={
+            "app-id": aid, "batch-id": str(batch_id)})
+
+    return apply_batch
 
 
 def compact_iceberg(spark: SparkSession, table: str,

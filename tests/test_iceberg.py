@@ -665,3 +665,39 @@ def test_equality_manifest_and_delete_files_parse_in_avro_java(spark):
         for rec in _java_records(str(dfile.get("file_path"))):
             keys_seen.append(int(rec.get("k")))
     assert sorted(keys_seen) == [1, 4]
+
+
+def test_foreach_batch_upsert_replay_and_order(spark):
+    """The streaming upsert hook: per-batch fold to one image per key,
+    replay of a committed batch id commits NOTHING (summary-carried
+    batch ids — the Flink checkpoint-id idiom), and ordered batches
+    yield latest-wins per key."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        foreach_batch_iceberg_upsert,
+        last_committed_batch_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_fb_")
+    hook = foreach_batch_iceberg_upsert(t, ["k"], ["ord"], app_id="app1")
+    b0 = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1)], "k long, val string, ord long")
+    hook(b0, 0)
+    # intra-batch fold: k=1 keeps ord=2
+    got = {(r["k"], r["val"]) for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, "b"), (2, "c")}
+    assert last_committed_batch_iceberg(t, "app1") == 0
+    assert last_committed_batch_iceberg(t, "other") is None
+    b1 = spark.createDataFrame([(2, "d", 3), (3, "e", 3)],
+                               "k long, val string, ord long")
+    hook(b1, 1)
+    got = {(r["k"], r["val"]) for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, "b"), (2, "d"), (3, "e")}
+    # replay: both batch ids must be no-ops now
+    snaps = len(_current_metadata(t)["snapshots"])
+    hook(b0, 0)
+    hook(b1, 1)
+    assert len(_current_metadata(t)["snapshots"]) == snaps
+    assert last_committed_batch_iceberg(t, "app1") == 1
+    got = {(r["k"], r["val"]) for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, "b"), (2, "d"), (3, "e")}
