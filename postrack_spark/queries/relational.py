@@ -3627,6 +3627,72 @@ def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_iceberg_partition_pruning",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS pruned
+    FROM orders
+    WHERE year(o_orderdate) = 1994
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_iceberg_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg HIDDEN PARTITIONING (spec partition transforms): the
+    table declares month(o_orderdate) and every file's manifest entry
+    records its month tuple — users filter on the ORDER DATE, never on
+    a derived column they must remember to maintain (the failure mode
+    hive-style partitioning is famous for). A year-1994 read passes
+    partition_filter over the manifest walk and PRUNES FILES FROM
+    METADATA: at 100 TB the planner touches O(files) Avro rows and
+    never opens a pruned file's footer, let alone lists a directory —
+    this composes with (and acts before) parquet footer pushdown,
+    which still prunes row groups INSIDE the surviving files. The
+    pruned certificate gates 0 < files_scanned < files_total via the
+    reader's scan_stats out-param (the oracle cannot see files);
+    correctness of the surviving rows is the oracle's rollup. Bucket
+    transforms use the spec's murmur3_x86_32 (Appendix B test vectors
+    pinned in tests/test_iceberg.py)."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_hp_q_")
+    append_iceberg(base, table, partition_by=[("o_orderdate", "month")])
+    months_1994 = [(1994 - 1970) * 12 + m for m in range(12)]
+    stats: dict = {}
+    pruned = read_iceberg(
+        spark, table,
+        partition_filter={"o_orderdate_month": months_1994},
+        scan_stats=stats)
+    cert = 0 < stats["files_scanned"] < stats["files_total"]
+    return (
+        pruned
+        # the filter itself still applies (a partition can be a
+        # superset of the predicate; here month-of-1994 is exact, but
+        # pruning is an OPTIMIZATION, never the filter)
+        .filter(F.year("o_orderdate") == 1994)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("month", "n_orders", "cents", F.lit(cert).alias("pruned"))
+        .orderBy("month")
+    )
+
+
+@query(
     "cdc_iceberg_equality_upsert",
     oracle="""
     WITH base AS (

@@ -70,6 +70,8 @@ import shutil
 import time
 import uuid
 
+import pandas
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -161,6 +163,115 @@ class IcebergCommitConflict(RuntimeError):
     """Another writer created this metadata version first."""
 
 
+# ---------------------------------------------------------------------------
+# Partition transforms (spec §Partition Transforms) — HIDDEN partitioning:
+# the table declares (source column, transform) pairs; writers derive the
+# partition tuple per row, the manifest records it per file, and readers
+# prune FILES from the manifest walk — metadata-level pruning that never
+# lists a directory and works the same at 100 TB. Transform results are
+# spec-exact (bucket uses murmur3_x86_32 over the spec's serializations;
+# Appendix B's published test vectors pin it in tests/test_iceberg.py).
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public domain, Austin Appleby) — the hash the
+    Iceberg spec mandates for bucket transforms."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_transform(value, n: int) -> int:
+    """Spec bucket[N]: (murmur3_x86_32(serialized) & Int.MAX) % N.
+    ints/longs serialize as 8-byte little-endian (int hashes as long,
+    so bucketing is widening-stable); strings as UTF-8 bytes."""
+    if isinstance(value, int) and not isinstance(value, bool):
+        data = (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    else:
+        raise NotImplementedError(
+            f"bucket transform for {type(value).__name__} out of scope")
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def _transform_plan(name: str, transform: str, src_ice_type: str):
+    """Resolve one (source column, transform) pair to
+    (partition field name, result iceberg type, Spark Column builder).
+    The Column builder stays JVM-side for everything except bucket[N]
+    (murmur3 over spec serializations needs Python — emitted as an
+    Arrow-batched pandas_udf, never row-at-a-time)."""
+    from pyspark.sql import functions as F
+
+    if transform == "identity":
+        return name, src_ice_type, lambda: F.col(name)
+    if transform == "year":
+        return (f"{name}_year", "int",
+                lambda: (F.year(name) - F.lit(1970)).cast("int"))
+    if transform == "month":
+        return (f"{name}_month", "int",
+                lambda: ((F.year(name) - F.lit(1970)) * 12
+                         + F.month(name) - F.lit(1)).cast("int"))
+    if transform == "day":
+        return (f"{name}_day", "int",
+                lambda: F.datediff(F.to_date(name),
+                                   F.lit("1970-01-01")).cast("int"))
+    if transform.startswith("truncate[") and transform.endswith("]"):
+        w = int(transform[len("truncate["):-1])
+        if src_ice_type == "string":
+            return (f"{name}_trunc", "string",
+                    lambda: F.substring(F.col(name), 1, w))
+        # spec: v - (((v % W) + W) % W) — floors toward -inf
+        return (f"{name}_trunc", src_ice_type,
+                lambda: F.expr(
+                    f"{name} - ((({name} % {w}) + {w}) % {w})"))
+    if transform.startswith("bucket[") and transform.endswith("]"):
+        n = int(transform[len("bucket["):-1])
+
+        def _col():
+            # annotations resolve against MODULE globals under
+            # `from __future__ import annotations` — hence the
+            # module-level pandas import
+            import pandas  # noqa: F401 — re-assert availability
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("int")
+            def _bucket(s: "pandas.Series") -> "pandas.Series":
+                return s.map(lambda v: bucket_transform(
+                    v if isinstance(v, str) else int(v), n))
+
+            return _bucket(F.col(name))
+
+        return f"{name}_bucket", "int", _col
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
 def _meta_dir(table: str) -> str:
     return os.path.join(table, "metadata")
 
@@ -219,7 +330,8 @@ def _ice_schema(schema: StructType) -> dict:
 def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                    carry_forward: bool = True,
                    expected_snapshot_id: int | None = None,
-                   summary_extra: dict | None = None) -> int:
+                   summary_extra: dict | None = None,
+                   partition_by: list[tuple[str, str]] | None = None) -> int:
     """Append df as a new snapshot; returns the snapshot id.
     ``format_version=2`` writes the v2 sequence-number machinery and
     unlocks delete_positions_iceberg on the table.
@@ -244,7 +356,15 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     # 1. data files — staged ONCE (the bytes don't depend on the
     # version we end up committing at; losers of commit races reuse
     # them on the recompute pass)
-    entries = _stage_data_files(df, table)
+    spec: list[dict] = []
+    manifest_schema = _MANIFEST_SCHEMA
+    if partition_by:
+        spec, plan = _resolve_partition_spec(
+            _ice_schema(df.schema)["fields"], partition_by)
+        manifest_schema = _manifest_schema_partitioned(spec, plan)
+        entries = _stage_data_files_partitioned(df, table, plan)
+    else:
+        entries = _stage_data_files(df, table)
 
     for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
         current = _current_metadata(table)
@@ -266,9 +386,14 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
 
         # 2. manifest for this snapshot (a lost race orphans it —
         # unreferenced, harmless)
+        if partition_by and current is not None and current.get(
+                "partition-spec") not in ([], spec):
+            raise NotImplementedError(
+                "partition spec evolution out of scope: table has "
+                f"{current.get('partition-spec')}")
         manifest_rel = os.path.join(
             "metadata", f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
-        manifest_blob = write_avro(entries, _MANIFEST_SCHEMA, codec="deflate")
+        manifest_blob = write_avro(entries, manifest_schema, codec="deflate")
         with open(os.path.join(table, manifest_rel), "wb") as f:
             f.write(manifest_blob)
 
@@ -312,7 +437,11 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "last-updated-ms": now_ms,
             "last-column-id": len(df.schema.fields),
             "schema": _ice_schema(df.schema),
-            "partition-spec": [],
+            # a plain append into a partitioned table keeps the spec
+            # (its own files just carry no tuple and are never pruned)
+            "partition-spec": (spec if partition_by
+                               else (current or {}).get(
+                                   "partition-spec", [])),
             "properties": {},
             "current-snapshot-id": snapshot_id,
             "snapshots": snapshots,
@@ -328,6 +457,108 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                 raise  # stale staged bytes: caller recomputes
             continue  # recompute from the new current metadata
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
+_PART_TO_AVRO = {"int": "int", "long": "long", "string": "string"}
+
+
+def _resolve_partition_spec(schema_fields: list[dict],
+                            partition_by: list[tuple[str, str]]):
+    """Build (spec descriptor for metadata.json, staging plan).
+    spec descriptor rows follow the v1 ``partition-spec`` shape:
+    {name, transform, source-id, field-id (1000+i, the spec's
+    partition-field id space)}."""
+    by_name = {f["name"]: f for f in schema_fields}
+    spec, plan = [], []
+    for i, (col, transform) in enumerate(partition_by):
+        if col not in by_name:
+            raise KeyError(f"partition source column {col!r} not in schema")
+        pname, ptype, colfn = _transform_plan(
+            col, transform, by_name[col]["type"])
+        if ptype not in _PART_TO_AVRO:
+            raise NotImplementedError(
+                f"partition value type {ptype} out of scope")
+        spec.append({"name": pname, "transform": transform,
+                     "source-id": by_name[col]["id"],
+                     "field-id": 1000 + i})
+        plan.append((pname, ptype, colfn))
+    return spec, plan
+
+
+def _manifest_schema_partitioned(spec: list[dict],
+                                 plan: list[tuple]) -> dict:
+    """Manifest schema whose data_file carries the spec's ``partition``
+    record (field-id 102; one field per partition field, typed by the
+    transform's result type, ids from the 1000+ space)."""
+    part_fields = [
+        {"name": s["name"], "type": _PART_TO_AVRO[ptype],
+         "field-id": s["field-id"]}
+        for s, (_n, ptype, _c) in zip(spec, plan)]
+    base = [dict(f) for f in _MANIFEST_SCHEMA["fields"]]
+    data_file = {
+        "type": "record", "name": "r2",
+        "fields": list(_MANIFEST_SCHEMA["fields"][2]["type"]["fields"]) + [
+            {"name": "partition", "field-id": 102, "type": {
+                "type": "record", "name": "r102", "fields": part_fields}},
+        ]}
+    return {
+        "type": "record", "name": "manifest_entry",
+        "fields": [base[0], base[1],
+                   {"name": "data_file", "field-id": 2, "type": data_file}],
+    }
+
+
+def _stage_data_files_partitioned(df: DataFrame, table: str,
+                                  plan: list[tuple]) -> list[dict]:
+    """Partitioned staging: derive the partition tuple per row (hidden
+    partitioning — the USER never sees or maintains these columns),
+    write one parquet tree partitioned by the tuple, and record each
+    file's tuple in its manifest entry. The repartition puts one
+    partition value per task — right for bounded tuples (months,
+    buckets); a production writer would additionally split oversized
+    partitions by target file size (stated, not needed at test SFs)."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    staging_cols = [f"_p{i}" for i in range(len(plan))]
+    aug = df
+    for sc, (_pname, _ptype, colfn) in zip(staging_cols, plan):
+        aug = aug.withColumn(sc, colfn())
+    scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    (aug.repartition(*[F.col(c) for c in staging_cols])
+     .write.partitionBy(*staging_cols).mode("overwrite").parquet(scratch))
+    entries = []
+    for root_dir, _dirs, files in os.walk(scratch):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root_dir, scratch)
+            raw = dict(seg.split("=", 1)
+                       for seg in rel.split(os.sep) if "=" in seg)
+            pvals: dict = {}
+            for sc, (pname, ptype, _c) in zip(staging_cols, plan):
+                v = unquote(raw[sc])
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    raise NotImplementedError(
+                        "null partition values out of scope")
+                pvals[pname] = v if ptype == "string" else int(v)
+            final = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(root_dir, fn),
+                       os.path.join(table, final))
+            entries.append({
+                "status": ADDED, "snapshot_id": 0,
+                "data_file": {
+                    "file_path": final, "file_format": "PARQUET",
+                    "record_count": _parquet_rows(
+                        os.path.join(table, final)),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table, final)),
+                    "partition": pvals,
+                }})
+    shutil.rmtree(scratch, ignore_errors=True)
+    entries.sort(key=lambda e: e["data_file"]["file_path"])
+    return entries
 
 
 def _stage_data_files(df: DataFrame, table: str) -> list[dict]:
@@ -383,8 +614,26 @@ _ICE_TO_SPARK = {"long": "bigint", "int": "int", "double": "double",
                  "timestamptz": "timestamp"}
 
 
+def _partition_pruned(data_file: dict, partition_filter: dict) -> bool:
+    """True when the file's recorded partition tuple PROVES it holds
+    no matching rows. Files without a tuple (written before the spec,
+    or by the unpartitioned writers) are never pruned — fail-open."""
+    part = data_file.get("partition")
+    if not isinstance(part, dict):
+        return False
+    for name, allowed in partition_filter.items():
+        if name not in part:
+            continue  # fail-open on unknown fields
+        vals = allowed if isinstance(allowed, (list, tuple, set)) else [allowed]
+        if part[name] not in vals:
+            return True
+    return False
+
+
 def read_iceberg(spark: SparkSession, table: str,
-                 snapshot_id: int | None = None) -> DataFrame:
+                 snapshot_id: int | None = None,
+                 partition_filter: dict | None = None,
+                 scan_stats: dict | None = None) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``).
     On format-version 2 tables, position deletes apply as a broadcast
     anti-join on (file, row position) and EQUALITY deletes as
@@ -393,7 +642,17 @@ def read_iceberg(spark: SparkSession, table: str,
     data files with sequence STRICTLY below S — the spec rule that
     makes same-snapshot upsert batches self-consistent). Both delete
     sides are metadata-small and broadcast; the data side is one
-    distributed parquet scan — the merge-on-read path."""
+    distributed parquet scan — the merge-on-read path.
+
+    ``partition_filter`` ({partition field name: value or list of
+    values}) prunes FILES during the manifest walk — hidden
+    partitioning's payoff: at 100 TB the reader plans from O(files)
+    metadata and never opens a pruned file's footer, let alone lists
+    a directory. Pruning is proof-based and fail-open: files with no
+    recorded tuple (older spec, unpartitioned writers) always scan.
+    ``scan_stats`` (out-param dict) receives files_total /
+    files_scanned so callers can CERTIFY pruning instead of trusting
+    it."""
     from pyspark.sql import functions as F
 
     meta = _current_metadata(table)
@@ -405,6 +664,7 @@ def read_iceberg(spark: SparkSession, table: str,
     snap = _snapshot(meta, sid)
     mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
     paths: list[tuple[str, int]] = []  # (rel path, data sequence number)
+    total_files = 0
     deletes: list[tuple[str, int]] = []
     # equality deletes grouped by their key-column tuple: for each key
     # tuple the MAX delete sequence wins (a delete at seq 9 subsumes
@@ -433,7 +693,14 @@ def read_iceberg(spark: SparkSession, table: str,
             continue
         for e in entries:
             if e["status"] in (ADDED, EXISTING):
+                total_files += 1
+                if partition_filter and _partition_pruned(
+                        e["data_file"], partition_filter):
+                    continue
                 paths.append((e["data_file"]["file_path"], seq))
+    if scan_stats is not None:
+        scan_stats["files_total"] = total_files
+        scan_stats["files_scanned"] = len(paths)
     ddl = ", ".join(
         f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
         for f in meta["schema"]["fields"])

@@ -701,3 +701,121 @@ def test_foreach_batch_upsert_replay_and_order(spark):
     assert last_committed_batch_iceberg(t, "app1") == 1
     got = {(r["k"], r["val"]) for r in read_iceberg(spark, t).collect()}
     assert got == {(1, "b"), (2, "d"), (3, "e")}
+
+
+def test_murmur3_bucket_matches_spec_vectors():
+    """The Iceberg spec (Appendix B) publishes bucket-hash test
+    vectors; the bucket transform must reproduce them exactly or our
+    partition tuples would disagree with every other implementation."""
+    import struct
+
+    from postrack_spark.streaming.iceberg import (
+        _murmur3_32,
+        bucket_transform,
+    )
+
+    assert _murmur3_32(struct.pack("<q", 34)) == 2017239379   # int 34
+    assert _murmur3_32(b"iceberg") == 1210000089              # string
+    assert bucket_transform(34, 16) == 2017239379 % 16
+    # int and long bucket identically (both hash as 8-byte LE long)
+    assert bucket_transform(34, 7) == bucket_transform(34, 7)
+
+
+def test_partitioned_append_prunes_files_and_matches_full_scan(spark):
+    """Hidden partitioning: month(ts) tuples recorded per file; a
+    partition_filter read scans STRICTLY fewer files (certified via
+    scan_stats) yet returns exactly the rows a full-scan filter
+    would."""
+    t = tempfile.mkdtemp(prefix="ice_hp_")
+    df = spark.createDataFrame(
+        [(i, f"2023-{(i % 12) + 1:02d}-10", i) for i in range(60)],
+        "k long, d string, v long").select(
+        "k", F.col("d").cast("timestamp").alias("d"), "v")
+    append_iceberg(df, t, partition_by=[("d", "month")])
+    want_months = [(2023 - 1970) * 12 + m for m in (0, 5)]  # Jan, Jun
+    stats: dict = {}
+    pruned = read_iceberg(spark, t,
+                          partition_filter={"d_month": want_months},
+                          scan_stats=stats)
+    got = sorted(r["k"] for r in pruned.collect())
+    full = sorted(r["k"] for r in read_iceberg(spark, t).collect()
+                  if r["d"].month in (1, 6))
+    assert got == full and len(got) == 10
+    assert 0 < stats["files_scanned"] < stats["files_total"]
+    # metadata records the spec
+    from postrack_spark.streaming.iceberg import _current_metadata
+
+    spec = _current_metadata(t)["partition-spec"]
+    assert spec == [{"name": "d_month", "transform": "month",
+                     "source-id": 2, "field-id": 1000}]
+
+
+def test_partitioned_manifest_parses_in_avro_java_with_tuples(spark):
+    """The partition record (field-id 102, fields in the 1000+ space)
+    must round-trip through avro-java with the tuples intact."""
+    t = tempfile.mkdtemp(prefix="ice_hpj_")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k long, g long")
+    append_iceberg(df, t, partition_by=[("g", "identity")])
+    md = os.path.join(t, "metadata")
+    jvm = spark._jvm
+    tuples = []
+    for name in sorted(os.listdir(md)):
+        if not name.startswith("manifest-"):
+            continue
+        with open(os.path.join(md, name), "rb") as f:
+            blob = f.read()
+        fin = jvm.org.apache.avro.file.SeekableByteArrayInput(blob)
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            fin, jvm.org.apache.avro.generic.GenericDatumReader())
+        while reader.hasNext():
+            rec = reader.next()
+            part = rec.get("data_file").get("partition")
+            tuples.append(int(part.get("g")))
+        reader.close()
+    assert sorted(tuples) == [0, 1, 2]
+
+
+def test_bucket_partition_prunes_and_fail_open_for_plain_appends(spark):
+    from postrack_spark.streaming.iceberg import bucket_transform
+
+    t = tempfile.mkdtemp(prefix="ice_hpb_")
+    df = spark.createDataFrame(
+        [(i, f"user{i % 9}") for i in range(90)], "k long, u string")
+    append_iceberg(df, t, partition_by=[("u", "bucket[4]")])
+    b = bucket_transform("user4", 4)
+    stats: dict = {}
+    got = read_iceberg(spark, t, partition_filter={"u_bucket": b},
+                       scan_stats=stats).collect()
+    assert {r["u"] for r in got} >= {"user4"}
+    assert all(bucket_transform(r["u"], 4) == b for r in got)
+    assert stats["files_scanned"] < stats["files_total"]
+    # a plain (unpartitioned) append's file has no tuple: NEVER pruned
+    append_iceberg(spark.createDataFrame([(999, "zz")], "k long, u string"), t)
+    got2 = read_iceberg(spark, t, partition_filter={"u_bucket": b}).collect()
+    assert any(r["k"] == 999 for r in got2)
+
+
+def test_partition_spec_evolution_refused(spark):
+    t = tempfile.mkdtemp(prefix="ice_hpe_")
+    df = spark.createDataFrame([(1, 2)], "k long, g long")
+    append_iceberg(df, t, partition_by=[("g", "identity")])
+    with pytest.raises(NotImplementedError, match="spec evolution"):
+        append_iceberg(df, t, partition_by=[("k", "identity")])
+
+
+def test_partition_pruning_composes_with_equality_deletes(spark):
+    """Pruned reads still apply MOR deletes: an equality-deleted key
+    must stay hidden inside the surviving partition's files."""
+    from postrack_spark.streaming.iceberg import delete_keys_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_hpd_")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)],
+        "k long, g long, val string")
+    append_iceberg(df, t, format_version=2, partition_by=[("g", "identity")])
+    delete_keys_iceberg(spark, t, spark.createDataFrame(
+        [(3,), (6,)], "k bigint"))  # both in partition g=0
+    got = sorted(r["k"] for r in read_iceberg(
+        spark, t, partition_filter={"g": 0}).collect())
+    assert got == [k for k in range(30) if k % 3 == 0 and k not in (3, 6)]
