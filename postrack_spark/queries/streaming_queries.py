@@ -2612,6 +2612,86 @@ def streaming_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_delta_shallow_clone",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_src,
+           CAST((SELECT count(*) FROM base
+                 WHERE o_custkey % 4 <> 1) AS BIGINT) AS rows_clone,
+           CAST((SELECT sum(cents) FROM base
+                 WHERE o_custkey % 4 <> 1) AS BIGINT) AS cents_clone,
+           true AS zero_copy,
+           true AS src_untouched
+    FROM base LIMIT 1
+    """,
+)
+def cdc_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE (delta_log.clone_delta) — the zero-copy
+    dev/test fork: the clone's version-0 commit references the source
+    snapshot's parquet BY ABSOLUTE PATH (O(metadata), not one data
+    byte copied — at 100 TB that is the difference between an instant
+    fork and a day of copying), then a destructive COW DELETE runs
+    against the CLONE while the source keeps serving. Two certificates
+    the oracle can't see: zero_copy (the clone directory holds NO
+    parquet at clone time — only the log) and src_untouched (the
+    source's parquet file list is byte-identical after the clone's
+    delete; the delete's rewrite landed in the clone and its removes
+    popped the ABSOLUTE action keys — the _action_keys_for rule that
+    makes COW correct on clones). Values certify the fork semantics:
+    rows_src re-reads the source AFTER the clone's delete."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        clone_delta,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = load_tables(spark, sf_dir)
+    src = _tf.mkdtemp(prefix="delta_clone_src_")
+    write_delta(
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .repartitionByRange(8, "o_custkey"),
+        src,
+    )
+
+    def _parquets(d: str) -> list[tuple[str, int]]:
+        return sorted(
+            (f, _os.path.getsize(_os.path.join(d, f)))
+            for f in _os.listdir(d) if f.endswith(".parquet"))
+
+    src_files = _parquets(src)
+    dst = _tf.mkdtemp(prefix="delta_clone_dst_")
+    clone_delta(src, dst)
+    zero_copy = _parquets(dst) == []
+    delete_delta(spark, dst, "o_custkey % 4 = 1")
+    src_untouched = _parquets(src) == src_files
+    src_read = read_delta(spark, src).agg(
+        F.count("*").cast("long").alias("rows_src"))
+    clone_read = read_delta(spark, dst).agg(
+        F.count("*").cast("long").alias("rows_clone"),
+        F.sum("cents").cast("long").alias("cents_clone"),
+    )
+    return src_read.crossJoin(clone_read).select(
+        "rows_src", "rows_clone", "cents_clone",
+        F.lit(zero_copy).alias("zero_copy"),
+        F.lit(src_untouched).alias("src_untouched"),
+    )
+
+
+@query(
     "cdc_delta_restore_rollforward",
     oracle="""
     WITH base AS (

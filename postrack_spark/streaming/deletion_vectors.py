@@ -139,12 +139,17 @@ def read_dv(table: str, descriptor: dict) -> RoaringArray64:
     return RoaringArray64.deserialize(payload, 4)
 
 
-def _rel_of(fp: str, root: str) -> str:
+def _local_path(fp: str) -> str:
+    """Scan-reported file URI -> normalized local absolute path. DV
+    state is keyed by LOG ACTION KEY (table-relative normally,
+    ABSOLUTE for shallow-clone-referenced source files); matching
+    through normpath(join(root, key)) == normpath(local(fp)) is
+    correct for both — a relpath against the clone root is not."""
     if fp.startswith("file:"):
         fp = fp[len("file:"):]
         while fp.startswith("//"):
             fp = fp[1:]
-    return os.path.relpath(fp, root)
+    return os.path.normpath(fp)
 
 
 def dv_filter(df: DataFrame, table: str, dv_bytes: dict[str, bytes],
@@ -155,6 +160,10 @@ def dv_filter(df: DataFrame, table: str, dv_bytes: dict[str, bytes],
     bitmap decodes once per (partition, file)."""
     cols = [f.name for f in schema.fields]
     root = os.path.abspath(table)
+    # key DV payloads by normalized ABSOLUTE path so both ordinary
+    # (table-relative) and shallow-clone (absolute) action keys match
+    abs_bytes = {os.path.normpath(os.path.join(root, k)): v
+                 for k, v in dv_bytes.items()}
     tagged = df.select(
         *cols,
         F.col("_metadata.file_path").alias("_fp"),
@@ -169,11 +178,11 @@ def dv_filter(df: DataFrame, table: str, dv_bytes: dict[str, bytes],
             for fp, ri in zip(pdf["_fp"], pdf["_ri"]):
                 rel = rels.get(fp)
                 if rel is None:
-                    rel = _rel_of(fp, root)
+                    rel = _local_path(fp)
                     rels[fp] = rel
                 bm = cache.get(rel, False)
                 if bm is False:
-                    raw = dv_bytes.get(rel)
+                    raw = abs_bytes.get(rel)
                     bm = (RoaringArray64.deserialize(raw, 4)
                           if raw is not None else None)
                     cache[rel] = bm
@@ -252,6 +261,9 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
         )
         matches = matcher(tagged).select("_fp", "_ri")
         existing = load_dv_bytes(table, acts)
+        # action-key map (clone-aware: keys may be absolute)
+        key_by_abs = {os.path.normpath(os.path.join(root, p)): p
+                      for p, _a in acts}
 
         def write_partition(batches):
             import pandas as pd
@@ -259,7 +271,7 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
             per_file: dict[str, set[int]] = {}
             for pdf in batches:
                 for fp, ri in zip(pdf["_fp"], pdf["_ri"]):
-                    rel = _rel_of(fp, root)
+                    rel = key_by_abs[_local_path(fp)]
                     per_file.setdefault(rel, set()).add(int(ri))
             if not per_file:
                 return

@@ -612,6 +612,81 @@ def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
     return deleted
 
 
+def _action_keys_for(table: str, action_paths: list[str],
+                     affected_fps: list[str]) -> list[str]:
+    """Map scan-reported file URIs back to their LOG ACTION KEYS — the
+    exact path strings adds committed and removes must repeat. Keys
+    are table-relative for ordinary tables but ABSOLUTE for shallow
+    clones (clone_delta references source files by absolute path);
+    normpath(join(table, key)) canonicalizes both, so COW writers stay
+    correct on clones (a relpath-based remove would emit '../…' and
+    never pop the absolute-keyed live entry — the deleted file would
+    silently resurrect)."""
+
+    def _local(fp: str) -> str:
+        # _metadata.file_path is a URI ("file:/tmp/.." or "file:///..")
+        if fp.startswith("file:"):
+            fp = fp[len("file:"):]
+            while fp.startswith("//"):
+                fp = fp[1:]
+        return fp
+
+    by_abs = {os.path.normpath(os.path.join(table, p)): p
+              for p in action_paths}
+    return sorted(by_abs[os.path.normpath(_local(fp))]
+                  for fp in affected_fps)
+
+
+def clone_delta(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (the Delta CLONE command's zero-copy form): ``dst``
+    becomes a full Delta table whose version-0 commit references the
+    SOURCE snapshot's data files by ABSOLUTE path — no byte of data is
+    copied, the clone is O(metadata). From then on the tables evolve
+    independently: writes/deletes/merges on the clone land files in
+    the CLONE's directory and remove-by-reference the absolute source
+    paths; the source never sees any of it. DV descriptors are carried
+    verbatim with their paths absolutized, so a clone of a MOR state
+    reads identically.
+
+    The dev/test workflow this unlocks at 100 TB: clone production,
+    run a destructive experiment against the clone, drop it — total
+    cost O(experiment's own writes). Two honesty notes, both matching
+    delta-spark's documented behavior: vacuum on the CLONE only ever
+    removes clone-local files (absolute source paths are not under the
+    clone root, and vacuum walks the clone root); vacuum on the SOURCE
+    can remove files a shallow clone still references — clones are
+    scoped to the source's retention window. Returns the clone's
+    committed version (always 0)."""
+    acts, schema_string, _src_v = _snapshot_actions(src, version)
+    if latest_version(dst) is not None:
+        raise FileExistsError(f"{dst} is already a delta table")
+    src_abs = os.path.abspath(src)
+    os.makedirs(dst, exist_ok=True)
+    actions: list[dict] = [
+        {"protocol": dict(_PROTOCOL)},
+        {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }},
+    ]
+    for p, a in sorted(acts, key=lambda pa: pa[0]):
+        add = dict(a)
+        add["path"] = os.path.join(src_abs, p)
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "p":
+            dv = dict(dv)
+            dv["pathOrInlineDv"] = os.path.join(
+                src_abs, dv["pathOrInlineDv"])
+            add["deletionVector"] = dv
+        actions.append({"add": add})
+    commit_delta(dst, 0, actions)
+    return 0
+
+
 def restore_delta(table: str, version: int) -> int:
     """RESTORE TABLE ... VERSION AS OF — make the CURRENT state equal
     the snapshot at ``version`` by committing a NEW version (the
@@ -713,16 +788,7 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
             .select("_fp").distinct().collect()
         ]  # metadata-sized (file list), not a data-path collect
 
-        def _local(fp: str) -> str:
-            # _metadata.file_path is a URI ("file:/tmp/.." or "file:///..")
-            if fp.startswith("file:"):
-                fp = fp[len("file:"):]
-                while fp.startswith("//"):
-                    fp = fp[1:]
-            return fp
-
-        rel_affected = {os.path.relpath(_local(fp), os.path.abspath(table))
-                        for fp in affected_fps}
+        rel_affected = set(_action_keys_for(table, paths, affected_fps))
         from postrack_spark.streaming.deletion_vectors import guard_no_dvs
 
         guard_no_dvs(_dv_acts, sorted(rel_affected), "merge_delta")
@@ -784,17 +850,7 @@ def delete_delta(spark: SparkSession, table: str,
             for r in live.filter(cond).select("_fp").distinct().collect()
         ]  # metadata-sized (file list), not a data-path collect
 
-        def _local(fp: str) -> str:
-            if fp.startswith("file:"):
-                fp = fp[len("file:"):]
-                while fp.startswith("//"):
-                    fp = fp[1:]
-            return fp
-
-        rel_affected = sorted(
-            os.path.relpath(_local(fp), os.path.abspath(table))
-            for fp in affected_fps
-        )
+        rel_affected = _action_keys_for(table, paths, affected_fps)
         from postrack_spark.streaming.deletion_vectors import guard_no_dvs
 
         guard_no_dvs(_dv_acts, rel_affected, "delete_delta")
@@ -841,17 +897,7 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
             .select("_fp").distinct().collect()
         ]  # metadata-sized (file list), not a data-path collect
 
-        def _local(fp: str) -> str:
-            if fp.startswith("file:"):
-                fp = fp[len("file:"):]
-                while fp.startswith("//"):
-                    fp = fp[1:]
-            return fp
-
-        rel_affected = sorted(
-            os.path.relpath(_local(fp), os.path.abspath(table))
-            for fp in affected_fps
-        )
+        rel_affected = _action_keys_for(table, paths, affected_fps)
         from postrack_spark.streaming.deletion_vectors import guard_no_dvs
 
         guard_no_dvs(_dv_acts, rel_affected, "delete_keys_delta")

@@ -871,3 +871,85 @@ def test_restore_to_current_state_is_a_noop(spark):
     v = write_delta(_df(spark, 3, 5), t)
     assert restore_delta(t, v) == v
     assert latest_version(t) == v  # no empty commit
+
+
+def test_shallow_clone_zero_copy_and_reads_identically(spark):
+    from postrack_spark.streaming.delta_log import clone_delta
+
+    src = tempfile.mkdtemp(prefix="delta_cl_src_")
+    write_delta(_df(spark, 0, 10).repartition(3), src)
+    dst = tempfile.mkdtemp(prefix="delta_cl_dst_")
+    assert clone_delta(src, dst) == 0
+    got = sorted(r["k"] for r in read_delta(spark, dst).collect())
+    assert got == list(range(10))
+    # ZERO data bytes copied: the clone dir holds only the log
+    assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    with pytest.raises(FileExistsError):
+        clone_delta(src, dst)
+
+
+def test_shallow_clone_evolves_independently(spark):
+    """COW ops on the clone must remove-by-ACTION-KEY (absolute source
+    paths) and land rewrites in the CLONE's directory; the source
+    never changes. This pins the _action_keys_for rule — a
+    relpath-based remove would emit '../…', never pop the live entry,
+    and the deleted rows would resurrect."""
+    from postrack_spark.streaming.delta_log import (
+        clone_delta,
+        delete_delta,
+        merge_delta,
+    )
+
+    src = tempfile.mkdtemp(prefix="delta_cli_src_")
+    write_delta(_df(spark, 0, 8).repartition(2), src)
+    dst = tempfile.mkdtemp(prefix="delta_cli_dst_")
+    clone_delta(src, dst)
+    src_files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    # COW delete on the clone
+    delete_delta(spark, dst, "k >= 6")
+    assert sorted(r["k"] for r in read_delta(spark, dst).collect()) == list(range(6))
+    # merge on the clone (absolute-key removes again)
+    images = spark.createDataFrame([(0, 100), (99, 1)], "k long, v long")
+    merge_delta(spark, dst, images, "k", "v")
+    got = {(r["k"], r["v"]) for r in read_delta(spark, dst).collect()}
+    assert (0, 100) in got and (99, 1) in got and (0, 0) not in got
+    # source: same files, same rows
+    assert sorted(f for f in os.listdir(src) if f.endswith(".parquet")) == src_files
+    assert sorted(r["k"] for r in read_delta(spark, src).collect()) == list(range(8))
+    # and writes to the source don't reach the clone's pinned snapshot
+    write_delta(_df(spark, 50, 53), src)
+    assert not any(50 <= r["k"] <= 52
+                   for r in read_delta(spark, dst).collect())
+
+
+def test_shallow_clone_carries_deletion_vectors(spark):
+    from postrack_spark.streaming.delta_log import clone_delta
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    src = tempfile.mkdtemp(prefix="delta_cldv_src_")
+    write_delta(_df(spark, 0, 10).repartition(2), src)
+    delete_delta_dv(spark, src, "k % 2 = 0")
+    dst = tempfile.mkdtemp(prefix="delta_cldv_dst_")
+    clone_delta(src, dst)
+    got = sorted(r["k"] for r in read_delta(spark, dst).collect())
+    assert got == [1, 3, 5, 7, 9]
+    assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+
+
+def test_shallow_clone_dv_delete_on_clone_only(spark):
+    """MOR delete ON the clone: the DV bitmap keys the SOURCE file by
+    its absolute action key, the dv-*.bin lands in the CLONE dir, and
+    the source table keeps every row."""
+    from postrack_spark.streaming.delta_log import clone_delta
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    src = tempfile.mkdtemp(prefix="delta_cldv2_src_")
+    write_delta(_df(spark, 0, 10).repartition(2), src)
+    dst = tempfile.mkdtemp(prefix="delta_cldv2_dst_")
+    clone_delta(src, dst)
+    _v, n, _nf = delete_delta_dv(spark, dst, "k < 4")
+    assert n == 4
+    assert sorted(r["k"] for r in read_delta(spark, dst).collect()) == [4, 5, 6, 7, 8, 9]
+    assert sorted(r["k"] for r in read_delta(spark, src).collect()) == list(range(10))
+    # any file-stored DV lives in the clone, never the source
+    assert not [f for f in os.listdir(src) if f.startswith("dv-")]
