@@ -414,3 +414,142 @@ def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
         )
         .select("key", "est")
     )
+
+
+def cliffs_delta(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between two groups, exact
+    integers: 1-row (grp_a, grp_b, n_a, n_b, delta_num_x2,
+    denom_x2). delta = (#(a<b) - #(a>b)) / (n_a*n_b) — reported as the
+    doubled integer ratio delta_num_x2 / denom_x2 so ties never force
+    a float: the rank-sum form U_g = R_g - n_g*(n_g+1)/2 counts pairs
+    where g EXCEEDS the other group (+ ties/2), so #(a<b) - #(a>b) =
+    U_b - U_a, i.e. delta_num_x2 = u_b_x2 - u_a_x2 and denom_x2 =
+    2*n_a*n_b (the brute-force pair-count model test pins this sign —
+    it caught the inverted first draft). Vargha-Delaney A is the
+    same ratio shifted: A = (delta + 1)/2 — one statistic, two
+    published names. Distributed shape: inherits mann_whitney_u's
+    (one distinct-value prefix sum, no windows, no collect)."""
+    u = mann_whitney_u(df, group_col, value_col)
+    return u.select(
+        "grp_a", "grp_b", "n_a", "n_b",
+        (F.col("u_b_x2") - F.col("u_a_x2")).cast("long")
+        .alias("delta_num_x2"),
+        (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("long")
+        .alias("denom_x2"),
+    )
+
+
+def ansari_bradley(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE (dispersion) test with exact
+    tie-corrected midrank scores, pure integers: 1-row (grp_a, grp_b,
+    n_a, n_b, ab_x2, s2_total, s4_total, n_total).
+
+    Scores rank inward from BOTH ends — an observation with combined
+    midrank r among N scores min(r, N+1-r), so extreme values score
+    low and central values high; a group with systematically LOW total
+    score is more spread out than the other. Doubled midranks (mr2 =
+    2r) keep tie scores integral: the doubled score is s2 =
+    min(mr2, 2*(N+1) - mr2) and ab_x2 = 2*AB = sum of s2 over group a
+    (the lexicographically smaller label — deterministic across
+    engines). s2_total = sum over ALL observations of s2 and s4_total
+    = sum of s2^2 feed the tie-exact null moments downstream:
+    E[AB] = n_a*s2_total/(2N), Var from the score variance — both
+    pure rationals of the returned integers. Distributed shape: same
+    as mann_whitney_u (distinct-value prefix sum, partial-agg
+    groupBys, 1-row broadcast combines)."""
+    from postrack_spark.operators.ranking import prefix_sum_by_key
+
+    c = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    cells = c.groupBy("g", "v").agg(F.count("*").cast("long").alias("n_gv"))
+    vals = cells.groupBy("v").agg(F.sum("n_gv").cast("long").alias("cnt"))
+    mid = prefix_sum_by_key(vals, ["v"], "cnt", "cumb", inclusive=False).select(
+        "v",
+        "cnt",
+        (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1))
+        .cast("long")
+        .alias("mr2"),
+    )
+    tot = mid.agg(F.sum("cnt").cast("long").alias("n_total"))
+    scored = mid.crossJoin(F.broadcast(tot)).select(
+        "v", "cnt", "n_total",
+        F.least(
+            F.col("mr2"),
+            F.lit(2) * (F.col("n_total") + 1) - F.col("mr2"),
+        ).cast("long").alias("s2"),
+    )
+    grp = (
+        cells.join(scored.select("v", "s2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("n_gv") * F.col("s2")).cast("long").alias("gs2"),
+            F.sum("n_gv").cast("long").alias("n_g"),
+        )
+    )
+    labels = grp.agg(F.min("g").alias("grp_a"), F.max("g").alias("grp_b"))
+    pivoted = grp.crossJoin(F.broadcast(labels)).agg(
+        F.first("grp_a").alias("grp_a"),
+        F.first("grp_b").alias("grp_b"),
+        F.sum(F.when(F.col("g") == F.col("grp_a"), F.col("n_g")))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == F.col("grp_b"), F.col("n_g")))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("g") == F.col("grp_a"), F.col("gs2")))
+        .cast("long").alias("ab_x2"),
+    )
+    sums = scored.agg(
+        F.sum(F.col("cnt") * F.col("s2")).cast("long").alias("s2_total"),
+        F.sum(F.col("cnt") * F.col("s2") * F.col("s2")).cast("long")
+        .alias("s4_total"),
+        F.first("n_total").alias("n_total"),
+    )
+    return pivoted.crossJoin(F.broadcast(sums)).select(
+        "grp_a", "grp_b", "n_a", "n_b", "ab_x2",
+        "s2_total", "s4_total", "n_total",
+    )
+
+
+def somers_d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Somers' D_yx — asymmetric ordinal association of Y on ordered X,
+    exact integers: 1-row (concordant, discordant, d_num, d_den_x2,
+    n_total). D_yx = (C - D) / (pairs with distinct X) = d_num /
+    (d_den_x2 / 2) where d_den_x2 = N^2 - sum of squared X-margin
+    totals. Computed from the k*m contingency table (metadata-sized
+    after one groupBy of the data): C = sum over cells n_ij *
+    (count strictly-below-left), D likewise strictly-below-right —
+    one broadcast self-join of the cell table, never a row-level
+    pair join (the n^2 trap). Gamma's (C-D)/(C+D) reads off the same
+    row."""
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    conc = a.join(
+        F.broadcast(b),
+        (F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+    ).agg(F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("concordant"))
+    disc = a.join(
+        F.broadcast(b),
+        (F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")),
+    ).agg(F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("discordant"))
+    margins = cells.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    den = margins.agg(
+        (F.sum("nx") * F.sum("nx") - F.sum(F.col("nx") * F.col("nx")))
+        .cast("long").alias("d_den_x2"),
+        F.sum("nx").cast("long").alias("n_total"),
+    )
+    return (
+        conc.crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.coalesce("concordant", F.lit(0)).alias("concordant"),
+            F.coalesce("discordant", F.lit(0)).alias("discordant"),
+            (F.coalesce("concordant", F.lit(0))
+             - F.coalesce("discordant", F.lit(0))).cast("long")
+            .alias("d_num"),
+            "d_den_x2",
+            "n_total",
+        )
+    )

@@ -6264,3 +6264,194 @@ def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "t1", "t2", "t3")
         .limit(40)
     )
+
+
+@query(
+    "agg_cliffs_delta",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    cells AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv FROM c GROUP BY 1, 2
+    ),
+    vals AS (
+      SELECT v, CAST(sum(n_gv) AS BIGINT) AS cnt FROM cells GROUP BY 1
+    ),
+    mid AS (
+      SELECT v, cnt,
+             2 * CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + cnt + 1 AS mr2
+      FROM vals
+    ),
+    grp AS (
+      SELECT g, CAST(sum(n_gv * mr2) AS BIGINT) AS r2,
+             CAST(sum(n_gv) AS BIGINT) AS n_g
+      FROM cells JOIN mid USING (v) GROUP BY 1
+    )
+    SELECT (SELECT min(g) FROM grp) AS grp_a,
+           (SELECT max(g) FROM grp) AS grp_b,
+           CAST((SELECT n_g FROM grp WHERE g = 'a') AS BIGINT) AS n_a,
+           CAST((SELECT n_g FROM grp WHERE g = 'b') AS BIGINT) AS n_b,
+           CAST((SELECT r2 - n_g * (n_g + 1) FROM grp WHERE g = 'b')
+              - (SELECT r2 - n_g * (n_g + 1) FROM grp WHERE g = 'a')
+              AS BIGINT) AS delta_num_x2,
+           CAST(2 * (SELECT n_g FROM grp WHERE g = 'a')
+                  * (SELECT n_g FROM grp WHERE g = 'b')
+              AS BIGINT) AS denom_x2
+    """,
+)
+def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal EFFECT SIZE — the companion every
+    Mann-Whitney p-value needs (significance without magnitude is
+    pipeline noise at 100k events): are purchase amounts
+    stochastically larger than click amounts, and by how much on the
+    [-1, 1] dominance scale? Reported as the exact doubled integer
+    ratio delta_num_x2/denom_x2 (Vargha-Delaney A = (delta+1)/2 reads
+    off the same row). The rank-sum shortcut delta_num_x2 =
+    u_b_x2 - u_a_x2 is pinned to literal O(n^2) pair counting by the
+    hypothesis model test (which caught a sign inversion in the first
+    draft — rank-sum U counts pairs where the group EXCEEDS, not
+    trails). Distributed shape inherits mann_whitney_u's: one
+    distinct-value prefix sum, no windows, no collect."""
+    from postrack_spark.operators.stats import cliffs_delta
+
+    t = load_tables(spark, sf_dir)
+    obs = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", "a").otherwise("b")
+            .alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    return cliffs_delta(obs, "g", "v")
+
+
+@query(
+    "agg_ansari_bradley_scale",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    cells AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv FROM c GROUP BY 1, 2
+    ),
+    vals AS (
+      SELECT v, CAST(sum(n_gv) AS BIGINT) AS cnt FROM cells GROUP BY 1
+    ),
+    mid AS (
+      SELECT v, cnt,
+             2 * CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + cnt + 1 AS mr2
+      FROM vals
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vals),
+    scored AS (
+      SELECT v, cnt, least(mr2, 2 * (n_total + 1) - mr2) AS s2
+      FROM mid CROSS JOIN tot
+    ),
+    grp AS (
+      SELECT g, CAST(sum(n_gv * s2) AS BIGINT) AS gs2,
+             CAST(sum(n_gv) AS BIGINT) AS n_g
+      FROM cells JOIN scored USING (v) GROUP BY 1
+    )
+    SELECT 'a' AS grp_a, 'b' AS grp_b,
+           CAST((SELECT n_g FROM grp WHERE g = 'a') AS BIGINT) AS n_a,
+           CAST((SELECT n_g FROM grp WHERE g = 'b') AS BIGINT) AS n_b,
+           CAST((SELECT gs2 FROM grp WHERE g = 'a') AS BIGINT) AS ab_x2,
+           CAST((SELECT sum(cnt * s2) FROM scored) AS BIGINT) AS s2_total,
+           CAST((SELECT sum(cnt * s2 * s2) FROM scored) AS BIGINT) AS s4_total,
+           CAST((SELECT n_total FROM tot) AS BIGINT) AS n_total
+    """,
+)
+def agg_ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test — the dispersion sibling
+    of agg_mann_whitney_u's location test on the same URGENT-vs-LOW
+    price slice: scores rank inward from both ends (doubled midranks
+    keep ties integral), so a group whose prices are more SPREAD OUT
+    collects systematically lower scores even when the medians agree —
+    exactly the question a location test cannot answer. s2_total /
+    s4_total carry the tie-exact null moments as integers (E[AB] and
+    Var[AB] are pure rationals of them). Brute-force hypothesis model
+    in tests/test_stats_models.py. Distributed shape: one
+    distinct-value prefix sum (operators/ranking), partial-agg
+    groupBys, 1-row broadcast combines — no windows, no collect."""
+    from postrack_spark.operators.stats import ansari_bradley
+
+    t = load_tables(spark, sf_dir)
+    obs = (
+        t["orders"]
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+            .otherwise("b").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    return ansari_bradley(obs, "g", "v")
+
+
+@query(
+    "agg_somers_d_ordinal",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS y
+      FROM orders
+    ),
+    cells AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2
+    ),
+    conc AS (
+      SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS concordant
+      FROM cells a JOIN cells b ON a.x < b.x AND a.y < b.y
+    ),
+    disc AS (
+      SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS discordant
+      FROM cells a JOIN cells b ON a.x < b.x AND a.y > b.y
+    ),
+    m AS (SELECT x, CAST(sum(n) AS BIGINT) AS nx FROM cells GROUP BY 1),
+    den AS (
+      SELECT CAST(CAST(sum(nx) AS BIGINT) * CAST(sum(nx) AS BIGINT)
+                  - CAST(sum(nx * nx) AS BIGINT) AS BIGINT) AS d_den_x2,
+             CAST(sum(nx) AS BIGINT) AS n_total
+      FROM m
+    )
+    SELECT concordant, discordant,
+           CAST(concordant - discordant AS BIGINT) AS d_num,
+           d_den_x2, n_total
+    FROM conc, disc, den
+    """,
+)
+def agg_somers_d_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D_yx — asymmetric ordinal association: does order
+    priority (a genuinely ORDERED factor, '1-URGENT' < ... < '5-LOW'
+    lexicographically by design) predict the price tier ($10k buckets
+    via integer floor division — positive operands, so Spark DIV and
+    DuckDB // agree)? Concordance is counted on the k*m CONTINGENCY
+    TABLE, never row pairs: one groupBy shrinks 150k orders to ~dozens
+    of cells, then a broadcast self-join does the strictly-ordered
+    pair sums — the O(cells^2) vs O(n^2) distinction that makes
+    ordinal association computable at 100 TB. Literal O(n^2)
+    hypothesis model in tests/test_stats_models.py; gamma =
+    (C-D)/(C+D) reads off the same row."""
+    from postrack_spark.operators.stats import somers_d
+
+    t = load_tables(spark, sf_dir)
+    obs = t["orders"].select(
+        F.col("o_orderpriority").alias("x"),
+        F.expr(
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT) DIV 1000000"
+            " AS BIGINT)").alias("y"),
+    )
+    return somers_d(obs, "x", "y")

@@ -264,3 +264,121 @@ def test_jonckheere_matches_model(spark, pairs):
         assert row == [] or row[0]["n_total"] in (0, None)
         return
     assert (row[0]["jt_x2"], row[0]["e_jt_x2"], row[0]["n_total"]) == (jt2, e2, n)
+
+
+def _model_cliffs(pairs):
+    """Brute-force pairwise Cliff's delta: delta_num_x2 =
+    2*(#(a<b) - #(a>b)), denom_x2 = 2*n_a*n_b."""
+    ga, gb = sorted({g for g, _ in pairs})
+    av = [v for g, v in pairs if g == ga]
+    bv = [v for g, v in pairs if g == gb]
+    lt = sum(1 for x in av for y in bv if x < y)
+    gt = sum(1 for x in av for y in bv if x > y)
+    return ga, gb, len(av), len(bv), 2 * (lt - gt), 2 * len(av) * len(bv)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 8)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda ps: len({g for g, _ in ps}) == 2)
+)
+def test_cliffs_delta_matches_bruteforce(spark, pairs):
+    """The doubled-U identity (delta_num_x2 = u_a_x2 - u_b_x2) must
+    equal literal pair counting — this is the whole claim of the
+    rank-based shortcut."""
+    from postrack_spark.operators.stats import cliffs_delta
+
+    df = spark.createDataFrame(pairs, "g string, v long")
+    row = cliffs_delta(df, "g", "v").collect()[0]
+    ga, gb, na, nb, num, den = _model_cliffs(pairs)
+    assert (row["grp_a"], row["grp_b"], row["n_a"], row["n_b"]) == (ga, gb, na, nb)
+    assert (row["delta_num_x2"], row["denom_x2"]) == (num, den)
+    assert abs(row["delta_num_x2"]) <= row["denom_x2"]  # |delta| <= 1
+
+
+def _model_ansari(pairs):
+    """Brute-force Ansari-Bradley with doubled midrank scores."""
+    from collections import Counter
+
+    vals = Counter(v for _, v in pairs)
+    n_total = len(pairs)
+    mr2 = {}
+    cum = 0
+    for v in sorted(vals):
+        mr2[v] = 2 * cum + vals[v] + 1
+        cum += vals[v]
+    s2 = {v: min(m, 2 * (n_total + 1) - m) for v, m in mr2.items()}
+    ga, gb = sorted({g for g, _ in pairs})
+    ab = sum(s2[v] for g, v in pairs if g == ga)
+    s2_total = sum(s2[v] for _, v in pairs)
+    s4_total = sum(s2[v] ** 2 for _, v in pairs)
+    na = sum(1 for g, _ in pairs if g == ga)
+    nb = n_total - na
+    return ga, gb, na, nb, ab, s2_total, s4_total, n_total
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 8)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda ps: len({g for g, _ in ps}) == 2)
+)
+def test_ansari_bradley_matches_bruteforce(spark, pairs):
+    from postrack_spark.operators.stats import ansari_bradley
+
+    df = spark.createDataFrame(pairs, "g string, v long")
+    row = ansari_bradley(df, "g", "v").collect()[0]
+    ga, gb, na, nb, ab, s2t, s4t, nt = _model_ansari(pairs)
+    assert (row["grp_a"], row["grp_b"], row["n_a"], row["n_b"]) == (ga, gb, na, nb)
+    assert (row["ab_x2"], row["s2_total"], row["s4_total"], row["n_total"]) == (
+        ab, s2t, s4t, nt)
+
+
+def _model_somers(pairs):
+    """Literal O(n^2) concordance count for Somers' D_yx."""
+    c = sum(1 for (x1, y1) in pairs for (x2, y2) in pairs
+            if x1 < x2 and y1 < y2)
+    d = sum(1 for (x1, y1) in pairs for (x2, y2) in pairs
+            if x1 < x2 and y1 > y2)
+    n = len(pairs)
+    from collections import Counter
+
+    margins = Counter(x for x, _ in pairs)
+    den = n * n - sum(m * m for m in margins.values())
+    return c, d, c - d, den, n
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_somers_d_matches_bruteforce(spark, pairs):
+    from postrack_spark.operators.stats import somers_d
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    row = somers_d(df, "x", "y").collect()[0]
+    c, d, num, den, n = _model_somers(pairs)
+    assert (row["concordant"], row["discordant"]) == (c, d)
+    assert (row["d_num"], row["d_den_x2"], row["n_total"]) == (num, den, n)
+    assert abs(row["d_num"]) * 2 <= row["d_den_x2"] or row["d_den_x2"] == 0
