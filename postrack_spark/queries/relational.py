@@ -3627,6 +3627,63 @@ def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_iceberg_stats_skipping",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS skipped
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 500
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_iceberg_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg min/max FILE SKIPPING: every manifest entry records the
+    file's per-column lower/upper bounds (harvested from the parquet
+    footer at write time — the spec's field-ids 125/128), and a range
+    read proves files empty FROM METADATA before any footer is opened.
+    The table is range-partitioned on o_custkey so the predicate
+    localizes — exactly the layout-then-skip interplay the Z-order
+    family (sources/layout.py) exists to engineer, now at the table-
+    format layer; the Delta twin is pruned_read_delta's stats JSON.
+    Skipping is an OPTIMIZATION: the row filter still applies (bounds
+    prove emptiness, not membership). The skipped certificate gates
+    0 < files_scanned < files_total via scan_stats; values are the
+    oracle's rollup over the surviving rows."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_ss_q_")
+    append_iceberg(base.repartitionByRange(8, "o_custkey"), table)
+    stats: dict = {}
+    pruned = read_iceberg(
+        spark, table, stats_filter={"o_custkey": (200, 500)},
+        scan_stats=stats)
+    cert = 0 < stats["files_scanned"] < stats["files_total"]
+    return (
+        pruned.filter(F.col("o_custkey").between(200, 500))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("o_orderstatus", "n_orders", "cents",
+                F.lit(cert).alias("skipped"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "source_iceberg_partition_pruning",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -83,6 +83,14 @@ _SPARK_TO_ICE = {"long": "long", "bigint": "long", "int": "int",
                  "binary": "binary", "date": "date",
                  "timestamp": "timestamptz"}
 
+# data_file carries per-column lower/upper bounds (the spec's
+# field-ids 125/128) harvested from the parquet footer at write time —
+# the metadata readers use for min/max FILE SKIPPING. Simplification
+# stated honestly: the spec keys these maps by field-id with
+# single-value binary serialization; here they are keyed by COLUMN
+# NAME with decimal-string values (same pruning power, readable in
+# avro-java, no bespoke binary codec), and only int/float/string
+# columns participate.
 _MANIFEST_SCHEMA = {
     "type": "record", "name": "manifest_entry",
     "fields": [
@@ -95,6 +103,10 @@ _MANIFEST_SCHEMA = {
                 {"name": "file_format", "type": "string", "field-id": 101},
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                {"name": "lower_bounds", "field-id": 125,
+                 "type": {"type": "map", "values": "string"}},
+                {"name": "upper_bounds", "field-id": 128,
+                 "type": {"type": "map", "values": "string"}},
             ]}},
     ],
 }
@@ -546,6 +558,7 @@ def _stage_data_files_partitioned(df: DataFrame, table: str,
             final = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
             os.replace(os.path.join(root_dir, fn),
                        os.path.join(table, final))
+            lower, upper = _footer_bounds(os.path.join(table, final))
             entries.append({
                 "status": ADDED, "snapshot_id": 0,
                 "data_file": {
@@ -554,6 +567,7 @@ def _stage_data_files_partitioned(df: DataFrame, table: str,
                         os.path.join(table, final)),
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(table, final)),
+                    "lower_bounds": lower, "upper_bounds": upper,
                     "partition": pvals,
                 }})
     shutil.rmtree(scratch, ignore_errors=True)
@@ -574,6 +588,7 @@ def _stage_data_files(df: DataFrame, table: str) -> list[dict]:
             continue
         final = os.path.join("data", f"{uuid.uuid4().hex}.parquet")
         os.replace(os.path.join(scratch, name), os.path.join(table, final))
+        lower, upper = _footer_bounds(os.path.join(table, final))
         entries.append({
             "status": ADDED, "snapshot_id": 0,  # stamped per attempt
             "data_file": {
@@ -583,6 +598,7 @@ def _stage_data_files(df: DataFrame, table: str) -> list[dict]:
                 "record_count": _parquet_rows(os.path.join(table, final)),
                 "file_size_in_bytes": os.path.getsize(
                     os.path.join(table, final)),
+                "lower_bounds": lower, "upper_bounds": upper,
             }})
     shutil.rmtree(scratch, ignore_errors=True)
     return entries
@@ -592,6 +608,36 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def _footer_bounds(path: str) -> tuple[dict, dict]:
+    """Per-column (lower, upper) bounds from the parquet footer's
+    row-group statistics — a metadata-only read, the same harvest
+    delta_log._file_stats_json does for Delta's stats skipping.
+    Values are rendered as decimal strings; only int/float/string
+    stats participate (bytes/timestamps skipped — fail-open)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float, str)) or isinstance(
+                    mn, bool):
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return ({k: str(v) for k, v in mins.items()},
+            {k: str(v) for k, v in maxs.items()})
 
 
 def _read_file(table: str, rel: str) -> bytes:
@@ -630,9 +676,38 @@ def _partition_pruned(data_file: dict, partition_filter: dict) -> bool:
     return False
 
 
+def _stats_pruned(data_file: dict, stats_filter: dict, types: dict) -> bool:
+    """True when the file's recorded [lower, upper] bounds PROVE the
+    wanted range [lo, hi] cannot intersect it. Fail-open everywhere:
+    missing bounds, unknown columns, unparseable values all scan."""
+    lower = data_file.get("lower_bounds")
+    upper = data_file.get("upper_bounds")
+    if not isinstance(lower, dict) or not isinstance(upper, dict):
+        return False
+    for col, (lo, hi) in stats_filter.items():
+        if col not in lower or col not in upper:
+            continue
+        t = types.get(col)
+        try:
+            if t in ("int", "long"):
+                fmn, fmx = int(lower[col]), int(upper[col])
+            elif t in ("float", "double"):
+                fmn, fmx = float(lower[col]), float(upper[col])
+            elif t == "string":
+                fmn, fmx = lower[col], upper[col]
+            else:
+                continue
+        except ValueError:
+            continue
+        if (hi is not None and fmn > hi) or (lo is not None and fmx < lo):
+            return True
+    return False
+
+
 def read_iceberg(spark: SparkSession, table: str,
                  snapshot_id: int | None = None,
                  partition_filter: dict | None = None,
+                 stats_filter: dict | None = None,
                  scan_stats: dict | None = None) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``).
     On format-version 2 tables, position deletes apply as a broadcast
@@ -650,6 +725,12 @@ def read_iceberg(spark: SparkSession, table: str,
     metadata and never opens a pruned file's footer, let alone lists
     a directory. Pruning is proof-based and fail-open: files with no
     recorded tuple (older spec, unpartitioned writers) always scan.
+    ``stats_filter`` ({column: (lo, hi)}, either bound None for
+    open-ended) prunes files whose recorded footer-harvested
+    lower/upper bounds prove the range empty — Iceberg's min/max file
+    skipping, the manifest-level sibling of parquet row-group
+    pruning and of Delta's pruned_read_delta. Both pruners are
+    OPTIMIZATIONS: callers still apply the row filter.
     ``scan_stats`` (out-param dict) receives files_total /
     files_scanned so callers can CERTIFY pruning instead of trusting
     it."""
@@ -671,6 +752,7 @@ def read_iceberg(spark: SparkSession, table: str,
     # one at seq 5 — both drop files below 5; only <9 matters)
     eq_deletes: dict[tuple[str, ...], dict[tuple, int]] = {}
     id_to_name = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    _col_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
     for m in mlist:
         entries, _ = read_avro(_read_file(table, m["manifest_path"]))
         seq = m.get("sequence_number", 0)
@@ -696,6 +778,9 @@ def read_iceberg(spark: SparkSession, table: str,
                 total_files += 1
                 if partition_filter and _partition_pruned(
                         e["data_file"], partition_filter):
+                    continue
+                if stats_filter and _stats_pruned(
+                        e["data_file"], stats_filter, _col_types):
                     continue
                 paths.append((e["data_file"]["file_path"], seq))
     if scan_stats is not None:
@@ -878,6 +963,7 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
                 "file_path": r["file_path"], "file_format": "AVRO",
                 "record_count": r["record_count"],
                 "file_size_in_bytes": r["file_size_in_bytes"],
+                "lower_bounds": {}, "upper_bounds": {},
             }} for r in written], _MANIFEST_SCHEMA, codec="deflate")
         with open(os.path.join(table, manifest_rel), "wb") as f:
             f.write(manifest_blob)
@@ -1304,13 +1390,18 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
     version = 0 if current is None else current["last-version"] + 1
     snapshot_id = version + 1
 
-    entries = [{
-        "status": ADDED, "snapshot_id": snapshot_id,
-        "data_file": {
-            "file_path": p, "file_format": "PARQUET",
-            "record_count": _parquet_rows(os.path.join(table, p)),
-            "file_size_in_bytes": os.path.getsize(os.path.join(table, p)),
-        }} for p in sorted(paths)]
+    entries = []
+    for p in sorted(paths):
+        lower, upper = _footer_bounds(os.path.join(table, p))
+        entries.append({
+            "status": ADDED, "snapshot_id": snapshot_id,
+            "data_file": {
+                "file_path": p, "file_format": "PARQUET",
+                "record_count": _parquet_rows(os.path.join(table, p)),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(table, p)),
+                "lower_bounds": lower, "upper_bounds": upper,
+            }})
     manifest_rel = os.path.join("metadata", f"manifest-{snapshot_id:08d}.avro")
     manifest_blob = write_avro(entries, _MANIFEST_SCHEMA, codec="deflate")
     with open(os.path.join(table, manifest_rel), "wb") as f:

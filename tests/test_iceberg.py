@@ -819,3 +819,79 @@ def test_partition_pruning_composes_with_equality_deletes(spark):
     got = sorted(r["k"] for r in read_iceberg(
         spark, t, partition_filter={"g": 0}).collect())
     assert got == [k for k in range(30) if k % 3 == 0 and k not in (3, 6)]
+
+
+def test_stats_skipping_prunes_files_and_matches_filter(spark):
+    """Min/max file skipping from manifest-recorded footer bounds: a
+    range read scans strictly fewer files yet the (still-applied) row
+    filter returns identical rows."""
+    t = tempfile.mkdtemp(prefix="ice_ss_")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("m"))
+    append_iceberg(df.repartitionByRange(8, "k"), t)
+    stats: dict = {}
+    pruned = read_iceberg(spark, t, stats_filter={"k": (100, 199)},
+                          scan_stats=stats)
+    got = sorted(r["k"] for r in pruned.filter(
+        F.col("k").between(100, 199)).collect())
+    assert got == list(range(100, 200))
+    assert 0 < stats["files_scanned"] < stats["files_total"]
+    # open-ended bound
+    s2: dict = {}
+    read_iceberg(spark, t, stats_filter={"k": (900, None)}, scan_stats=s2)
+    assert 0 < s2["files_scanned"] < s2["files_total"]
+    # a range outside the data prunes EVERYTHING
+    s3: dict = {}
+    assert read_iceberg(spark, t, stats_filter={"k": (5000, 6000)},
+                        scan_stats=s3).count() == 0
+    assert s3["files_scanned"] == 0
+
+
+def test_stats_bounds_parse_in_avro_java_as_maps(spark):
+    """lower_bounds/upper_bounds ride as Avro maps — avro-java must
+    see the same values the python writer recorded (this also
+    certifies the codec's map branch inside real manifests)."""
+    t = tempfile.mkdtemp(prefix="ice_ssj_")
+    append_iceberg(_df(spark, 10, 20).coalesce(1), t)
+    md = os.path.join(t, "metadata")
+    jvm = spark._jvm
+    seen = 0
+    for name in sorted(os.listdir(md)):
+        if not name.startswith("manifest-"):
+            continue
+        with open(os.path.join(md, name), "rb") as f:
+            blob = f.read()
+        fin = jvm.org.apache.avro.file.SeekableByteArrayInput(blob)
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            fin, jvm.org.apache.avro.generic.GenericDatumReader())
+        while reader.hasNext():
+            dfile = reader.next().get("data_file")
+            lower, upper = dfile.get("lower_bounds"), dfile.get("upper_bounds")
+            ks = {str(k): str(lower.get(k)) for k in lower.keySet()}
+            us = {str(k): str(upper.get(k)) for k in upper.keySet()}
+            assert ks == {"k": "10", "v": "30"}, ks
+            assert us == {"k": "19", "v": "57"}, us
+            seen += 1
+        reader.close()
+    assert seen == 1
+
+
+def test_stats_skipping_composes_with_partitions_and_mor(spark):
+    from postrack_spark.streaming.iceberg import delete_keys_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_ssc_")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(300)],
+        "k long, g long, val string")
+    append_iceberg(df.repartitionByRange(4, "k"), t, format_version=2,
+                   partition_by=[("g", "identity")])
+    delete_keys_iceberg(spark, t, spark.createDataFrame(
+        [(30,), (60,)], "k bigint"))
+    stats: dict = {}
+    got = sorted(r["k"] for r in read_iceberg(
+        spark, t, partition_filter={"g": 0},
+        stats_filter={"k": (0, 99)}, scan_stats=stats,
+    ).filter(F.col("k") <= 99).collect())
+    want = [k for k in range(100) if k % 3 == 0 and k not in (30, 60)]
+    assert got == want
+    assert stats["files_scanned"] < stats["files_total"]
