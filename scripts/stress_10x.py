@@ -561,6 +561,52 @@ def main() -> None:
         timings[f"iceberg_compact_{FACTOR}x"] = round(
             time.perf_counter() - t0, 3)
 
+        # UPSERT economics: the same ~1%-of-keys CDC batch applied as
+        # (a) Iceberg EQUALITY-delete upsert — O(batch) write, zero
+        # table scan — vs (b) Delta COW merge — pushdown scan + rewrite
+        # of every affected file; with a scattered key set that is
+        # again nearly all files. The gap is the write-side cost a
+        # 100 TB CDC stream pays per checkpoint.
+        from postrack_spark.streaming.delta_log import merge_delta
+        from postrack_spark.streaming.iceberg import upsert_iceberg
+
+        batch = base10.filter(F.col("o_custkey") % 100 == 7).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            (F.col("cents") + 1).alias("cents"),
+        ).localCheckpoint()  # materialize inputs outside the timings
+        t0 = time.perf_counter()
+        _sid2, nup = upsert_iceberg(batch, it_, ["o_orderkey"])
+        timings[f"iceberg_eq_upsert_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        timings[f"iceberg_eq_upsert_rows_{FACTOR}x"] = nup
+        t0 = time.perf_counter()
+        read_iceberg(spark, it_).write.format("noop").mode(
+            "overwrite").save()
+        timings[f"iceberg_eq_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        # order col = cents: the batch's cents is old+1, so max_by
+        # picks the batch image per key (schema stays the table's own)
+        t0 = time.perf_counter()
+        merge_delta(spark, dt, batch, "o_orderkey", "cents")
+        timings[f"delta_cow_merge_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+
+        # stats-skipping effectiveness at 10x: a 3%-wide custkey range
+        # over the range-partitioned table — files pruned from
+        # METADATA, before any footer opens
+        sstats: dict = {}
+        t0 = time.perf_counter()
+        read_iceberg(
+            spark, it_,
+            stats_filter={"o_custkey": (100_000, 400_000)},
+            scan_stats=sstats,
+        ).filter(F.col("o_custkey").between(100_000, 400_000)).write.format(
+            "noop").mode("overwrite").save()
+        timings[f"iceberg_stats_skip_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        timings[f"iceberg_stats_skip_files_{FACTOR}x"] = (
+            f"{sstats['files_scanned']}/{sstats['files_total']}")
+
     # star_cc: round-count scaling vs graph DIAMETER — the reason the
     # large-star/small-star form exists. A path graph of n nodes has
     # diameter n-1: min-label propagation needs ~n rounds (each round
