@@ -4083,6 +4083,69 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_udf_declarative",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    t AS (
+      SELECT cents,
+             CASE WHEN cents < 5000000 THEN 'low'
+                  WHEN cents < 20000000 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM o
+    ),
+    d AS (SELECT * FROM (VALUES ('low', 1), ('mid', 2), ('high', 3))
+          AS v(tier, tier_rank))
+    SELECT d.tier, d.tier_rank,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM t JOIN d USING (tier)
+    GROUP BY 1, 2 ORDER BY d.tier_rank
+    """,
+)
+def sql_udf_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN) —
+    user-defined logic that stays INSIDE Catalyst: a scalar SQL UDF
+    (price tier CASE) and a TABLE-valued SQL UDF (the tier dimension,
+    RETURNS TABLE) compose into one rollup. Unlike Python UDFs these
+    are inlined into the plan at resolution time — whole-stage
+    codegen, pushdown, and constant folding all apply, and the
+    registry-wide no-row-Python plan audit passes because there IS no
+    UDF at execution time; that inlining is exactly why the DuckDB
+    oracle can express the same query with the bodies substituted.
+    Function and view names are uuid-randomized so repeated driver
+    runs never collide (temporary functions are session-scoped)."""
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:12]
+    view = f"orders_udf_{sfx}"
+    load_tables(spark, sf_dir)["orders"].createOrReplaceTempView(view)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION price_tier_{sfx}(cents BIGINT)"
+        " RETURNS STRING"
+        " RETURN CASE WHEN cents < 5000000 THEN 'low'"
+        "             WHEN cents < 20000000 THEN 'mid'"
+        "             ELSE 'high' END")
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION tier_dim_{sfx}()"
+        " RETURNS TABLE(tier STRING, tier_rank INT)"
+        " RETURN SELECT * FROM VALUES ('low', 1), ('mid', 2), ('high', 3)"
+        " AS t(tier, tier_rank)")
+    return spark.sql(f"""
+        SELECT d.tier, d.tier_rank,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o.cents) AS BIGINT) AS cents
+        FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     price_tier_{sfx}(
+                         CAST(round(o_totalprice * 100) AS BIGINT)) AS tier
+              FROM {view}) o
+        JOIN tier_dim_{sfx}() d ON d.tier = o.tier
+        GROUP BY 1, 2 ORDER BY d.tier_rank
+    """)
+
+
+@query(
     "sql_pipe_syntax",
     oracle="""
     SELECT c_mktsegment,
