@@ -2612,6 +2612,163 @@ def streaming_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_delta_schema_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    web AS (SELECT * FROM base WHERE o_orderkey % 1000 = 7)
+    SELECT 'legacy' AS channel,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(cents) FROM base) AS BIGINT) AS cents,
+           true AS drift_rejected, true AS old_schema_in_history
+    UNION ALL
+    SELECT 'web',
+           CAST((SELECT count(*) FROM web) AS BIGINT),
+           CAST((SELECT sum(cents) + count(*) FROM web) AS BIGINT),
+           true, true
+    ORDER BY channel
+    """,
+)
+def cdc_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SCHEMA ENFORCEMENT + EVOLUTION — the contract that makes
+    a lakehouse table trustworthy under CDC drift: a write whose
+    schema drifted is REJECTED by default (drift_rejected gates the
+    raise), and an explicit merge_schema=True append evolves the table
+    by adding the new nullable column IN THE SAME COMMIT as its data —
+    pre-evolution rows read back as NULL (grouped here under
+    'legacy'), and time travel to the pre-evolution version still
+    shows the OLD schema (old_schema_in_history gates it), because
+    the schema is itself versioned log state, not a mutable side
+    table. The pgoutput decoder handles the SOURCE side of schema
+    drift (in-stream Relation frames); this is the SINK side."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_evo_q_")
+    v0 = write_delta(base.repartition(4), table)
+    evolved = base.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        (F.col("cents") + 1).alias("cents"),
+        F.lit("web").alias("channel"),
+    )
+    drift_rejected = False
+    try:
+        write_delta(evolved, table)  # no merge_schema: must raise
+    except ValueError:
+        drift_rejected = True
+    write_delta(evolved, table, merge_schema=True)
+    old_schema = read_delta(spark, table, version=v0).columns == [
+        "o_orderkey", "cents"]
+    return (
+        read_delta(spark, table)
+        .groupBy(F.coalesce("channel", F.lit("legacy")).alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "channel", "n_rows", "cents",
+            F.lit(drift_rejected).alias("drift_rejected"),
+            F.lit(old_schema).alias("old_schema_in_history"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "quality_delta_check_constraints",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(count(*) + 1 AS BIGINT) AS n_rows,
+           CAST(sum(cents) + 1 AS BIGINT) AS cents,
+           true AS bad_write_rejected,
+           true AS lying_constraint_refused,
+           true AS survives_log_cleanup
+    FROM base
+    """,
+)
+def quality_delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECK CONSTRAINTS (delta.constraints.* in the table
+    configuration — delta-spark's key scheme): declared quality gates
+    that the TABLE enforces on every writer, batch or streaming,
+    instead of hoping each pipeline remembered to validate. Three
+    certificates the oracle can't see: (1) adding a constraint the
+    EXISTING data violates is refused (a constraint that's already a
+    lie must not commit); (2) a violating batch is rejected with the
+    offending row named, while a clean one-row append (+1 cent — the
+    rollup proves exactly it landed) passes; (3) the constraint
+    SURVIVES checkpoint + log cleanup — the configuration map rides
+    in the parquet checkpoint's declared schema, closing the
+    pyarrow-drops-undeclared-keys trap for metaData the same way the
+    DV descriptor closed it for add actions."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        add_check_constraint_delta,
+        checkpoint_delta,
+        clean_log_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_chk_q_")
+    write_delta(base.repartition(4), table)
+    lying_refused = False
+    try:
+        add_check_constraint_delta(spark, table, "rich", "cents >= 10000000")
+    except ValueError:
+        lying_refused = True
+    add_check_constraint_delta(spark, table, "nonneg", "cents >= 0")
+    bad_rejected = False
+    try:
+        write_delta(
+            spark.createDataFrame([(1, -5)], "o_orderkey long, cents long"),
+            table)
+    except ValueError:
+        bad_rejected = True
+    checkpoint_delta(table)
+    clean_log_delta(table)
+    survives = False
+    try:
+        write_delta(
+            spark.createDataFrame([(2, -7)], "o_orderkey long, cents long"),
+            table)
+    except ValueError:
+        survives = True
+    write_delta(
+        spark.createDataFrame([(3, 1)], "o_orderkey long, cents long"),
+        table)
+    return read_delta(spark, table).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    ).select(
+        "n_rows", "cents",
+        F.lit(bad_rejected).alias("bad_write_rejected"),
+        F.lit(lying_refused).alias("lying_constraint_refused"),
+        F.lit(survives).alias("survives_log_cleanup"),
+    )
+
+
+@query(
     "cdc_delta_shallow_clone",
     oracle="""
     WITH base AS (

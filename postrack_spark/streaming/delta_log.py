@@ -283,10 +283,12 @@ def _replay(table: str, version: int | None):
     live: dict[str, dict] = {}
     schema_string: str | None = None
     txns: dict[str, int] = {}
+    config: dict[str, str] = {}
     start = 0
     cp = _read_last_checkpoint(table)
     if cp is not None and cp <= version:
-        live, schema_string, txns, protocol = _read_checkpoint_state(table, cp)
+        live, schema_string, txns, protocol, config = _read_checkpoint_state(
+            table, cp)
         _gate_protocol(protocol)
         start = cp + 1
     for v in range(start, version + 1):
@@ -303,6 +305,8 @@ def _replay(table: str, version: int | None):
                     _gate_protocol(action["protocol"])
                 elif "metaData" in action:
                     schema_string = action["metaData"]["schemaString"]
+                    config = dict(
+                        action["metaData"].get("configuration") or {})
                 elif "add" in action:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
@@ -312,18 +316,18 @@ def _replay(table: str, version: int | None):
                     prev = txns.get(t["appId"])
                     txns[t["appId"]] = (t["version"] if prev is None
                                         else max(prev, t["version"]))
-    return live, schema_string, version, txns
+    return live, schema_string, version, txns, config
 
 
 def _snapshot_actions(table: str, version: int | None):
     """Snapshot as (path, add_action) pairs."""
-    live, schema_string, v, _txns = _replay(table, version)
+    live, schema_string, v, _txns, _cfg = _replay(table, version)
     return list(live.items()), schema_string, v
 
 
 def _snapshot(table: str, version: int | None):
     """Snapshot as (live add-paths, schemaString, resolved version)."""
-    live, schema_string, v, _txns = _replay(table, version)
+    live, schema_string, v, _txns, _cfg = _replay(table, version)
     return list(live), schema_string, v
 
 
@@ -338,7 +342,7 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    live, schema_string, v, txns = _replay(table, version)
+    live, schema_string, v, txns, config = _replay(table, version)
     rows: list[dict] = [
         {"protocol": dict(_PROTOCOL)},
         {"metaData": {
@@ -346,7 +350,11 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
             "partitionColumns": [],
-            "configuration": {},
+            # CONFIG MUST RIDE ALONG: pyarrow silently drops dict keys
+            # absent from the declared schema (the documented
+            # checkpoint trap) — losing it here would erase CHECK
+            # constraints at clean_log_delta
+            "configuration": config,
             "createdTime": int(time.time() * 1000),
         }},
     ]
@@ -361,6 +369,7 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
             ("createdTime", pa.int64()),
         ])),
         ("txn", pa.struct([("appId", pa.string()),
@@ -401,7 +410,8 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
 
 def _read_checkpoint_state(table: str, cp_version: int):
     """Load a checkpoint parquet back into replay state:
-    (live adds by path, schemaString, txns by appId, protocol)."""
+    (live adds by path, schemaString, txns by appId, protocol,
+    configuration)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(_checkpoint_path(table, cp_version))
@@ -409,12 +419,15 @@ def _read_checkpoint_state(table: str, cp_version: int):
     schema_string: str | None = None
     txns: dict[str, int] = {}
     protocol: dict = dict(_PROTOCOL)
+    config: dict[str, str] = {}
     for row in t.to_pylist():
         if row.get("protocol") is not None:
             protocol = {k: v for k, v in row["protocol"].items()
                         if v is not None}
         elif row.get("metaData") is not None:
             schema_string = row["metaData"]["schemaString"]
+            # pyarrow maps round-trip as (key, value) tuple lists
+            config = dict(row["metaData"].get("configuration") or [])
         elif row.get("txn") is not None:
             txns[row["txn"]["appId"]] = row["txn"]["version"]
         elif row.get("add") is not None:
@@ -428,7 +441,7 @@ def _read_checkpoint_state(table: str, cp_version: int):
                     add.pop("deletionVector", None)
             add["partitionValues"] = {}
             live[add["path"]] = add
-    return live, schema_string, txns, protocol
+    return live, schema_string, txns, protocol, config
 
 
 def clean_log_delta(table: str) -> list[str]:
@@ -447,12 +460,93 @@ def clean_log_delta(table: str) -> list[str]:
     return deleted
 
 
-def write_delta(df: DataFrame, table: str, mode: str = "append") -> int:
+def _schema_pairs(schema_string: str) -> list[tuple[str, str]]:
+    sch = StructType.fromJson(json.loads(schema_string))
+    return [(f.name, f.dataType.simpleString()) for f in sch.fields]
+
+
+def _reconcile_schema(schema_string: str, df: DataFrame,
+                      merge_schema: bool, config: dict) -> dict | None:
+    """Schema ENFORCEMENT + optional EVOLUTION (Delta's write contract):
+    same column set -> no action; a type conflict or a missing column
+    always raises; NEW columns raise unless ``merge_schema`` — then a
+    metaData action appends them (nullable) to the table schema, and
+    readers fill them with NULL for pre-evolution files (parquet scans
+    with a wider schema do this natively). The action CARRIES the
+    current table configuration — dropping it would silently erase
+    CHECK constraints."""
+    cur = _schema_pairs(schema_string)
+    new_pairs = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    cur_d, new_d = dict(cur), dict(new_pairs)
+    conflicts = [f"{n}: {cur_d[n]} -> {t}"
+                 for n, t in new_pairs if n in cur_d and cur_d[n] != t]
+    if conflicts:
+        raise ValueError("schema type conflict on " + "; ".join(conflicts))
+    missing = [n for n, _t in cur if n not in new_d]
+    if missing:
+        raise ValueError(f"write is missing table columns {missing}")
+    extra = [n for n, _t in new_pairs if n not in cur_d]
+    if not extra:
+        return None
+    if not merge_schema:
+        raise ValueError(
+            f"schema drift: new columns {extra} — pass merge_schema=True "
+            "to evolve (Delta's enforcement-by-default rule)")
+    merged = StructType.fromJson(json.loads(schema_string))
+    from pyspark.sql.types import StructField
+
+    for f in df.schema.fields:
+        if f.name in set(extra):
+            merged = merged.add(StructField(f.name, f.dataType, True))
+    return {"metaData": {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": merged.json(),
+        "partitionColumns": [],
+        "configuration": dict(config),
+        "createdTime": int(time.time() * 1000),
+    }}
+
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _enforce_constraints(df: DataFrame, config: dict) -> None:
+    """CHECK constraints (stored under delta.constraints.<name> in the
+    table configuration, delta-spark's own key scheme): a write is
+    rejected if ANY row evaluates the expression to FALSE — NULL
+    passes, the SQL CHECK rule. One limit(1) job per constraint per
+    write, on the batch only."""
+    for key in sorted(config):
+        if not key.startswith(_CONSTRAINT_PREFIX):
+            continue
+        expr = config[key]
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {key[len(_CONSTRAINT_PREFIX):]!r}"
+                f" ({expr}) violated, e.g. by {bad[0].asDict()}")
+
+
+def write_delta(df: DataFrame, table: str, mode: str = "append",
+                merge_schema: bool = False) -> int:
     """Batch write; returns the committed version. ``overwrite``
-    replaces the whole live set in one atomic commit."""
+    replaces the whole live set in one atomic commit. Writes are
+    SCHEMA-ENFORCED against the table's current metaData (drift
+    raises; ``merge_schema=True`` evolves by appending new nullable
+    columns in the same commit) and validated against any CHECK
+    constraints in the table configuration."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
     os.makedirs(table, exist_ok=True)
+    gated_at: tuple | None = None
+    evo_action: dict | None = None
+    if latest_version(table) is not None:
+        _l, schema_string, _v, _t, config = _replay(table, None)
+        evo_action = _reconcile_schema(schema_string, df, merge_schema, config)
+        _enforce_constraints(df, config)
+        gated_at = (schema_string, tuple(sorted(config.items())))
     adds = _write_data_files(df, table)
     for attempt in range(10):
         current = latest_version(table)
@@ -461,6 +555,17 @@ def write_delta(df: DataFrame, table: str, mode: str = "append") -> int:
         if version == 0:
             actions.append({"protocol": dict(_PROTOCOL)})
             actions.append(_metadata_action(df))
+        else:
+            _l, schema_string, _v, _t, config = _replay(table, None)
+            now = (schema_string, tuple(sorted(config.items())))
+            if now != gated_at:  # a concurrent commit moved the
+                # schema/constraints under us: re-gate against it
+                evo_action = _reconcile_schema(
+                    schema_string, df, merge_schema, config)
+                _enforce_constraints(df, config)
+                gated_at = now
+            if evo_action is not None:
+                actions.append(evo_action)
         removes: list[dict] = []
         if mode == "overwrite" and version > 0:
             paths, _, _ = _snapshot(table, None)
@@ -473,6 +578,66 @@ def write_delta(df: DataFrame, table: str, mode: str = "append") -> int:
             return version
         except DeltaCommitConflict:
             continue  # rebase: recompute version (and removes) and retry
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def add_check_constraint_delta(spark: SparkSession, table: str,
+                               name: str, expr: str) -> int:
+    """ALTER TABLE ADD CONSTRAINT (CHECK): validates the EXISTING rows
+    first (one scan — the price delta-spark also pays, because a
+    constraint that current data already violates is a lie), then
+    commits a metadata-only version storing the expression under
+    delta.constraints.<name>. Every subsequent write_delta /
+    foreach_batch_delta batch is validated against it. Returns the
+    committed version."""
+    bad = read_delta(spark, table).filter(
+        ~F.coalesce(F.expr(expr), F.lit(True))).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"existing rows violate {name!r} ({expr}),"
+            f" e.g. {bad[0].asDict()}")
+    for _ in range(10):
+        _l, schema_string, read_v, _t, config = _replay(table, None)
+        new_config = dict(config)
+        new_config[_CONSTRAINT_PREFIX + name] = expr
+        action = {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": new_config,
+            "createdTime": int(time.time() * 1000),
+        }}
+        try:
+            commit_delta(table, read_v + 1, [action])
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def drop_check_constraint_delta(table: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only commit without the
+    key. Dropping an absent constraint raises (matching delta-spark)."""
+    for _ in range(10):
+        _l, schema_string, read_v, _t, config = _replay(table, None)
+        key = _CONSTRAINT_PREFIX + name
+        if key not in config:
+            raise KeyError(f"no CHECK constraint {name!r} on {table}")
+        new_config = {k: v for k, v in config.items() if k != key}
+        action = {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": new_config,
+            "createdTime": int(time.time() * 1000),
+        }}
+        try:
+            commit_delta(table, read_v + 1, [action])
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
@@ -509,6 +674,13 @@ def foreach_batch_delta(table: str, mode: str = "append"):
         if last is not None and batch_id <= last:
             return  # replay of an already-committed batch
         os.makedirs(table, exist_ok=True)
+        if latest_version(table) is not None:
+            # schema enforcement + CHECK constraints, like write_delta
+            # (no evolution in the streaming hook — a drifting stream
+            # should fail loudly, not mutate the table schema mid-run)
+            _l, schema_string, _v, _t, config = _replay(table, None)
+            _reconcile_schema(schema_string, batch_df, False, config)
+            _enforce_constraints(batch_df, config)
         adds = _write_data_files(batch_df, table)
         for _ in range(10):
             current = latest_version(table)
@@ -541,7 +713,7 @@ def last_txn_version(table: str) -> int | None:
     with appId == table path), per the protocol's idempotent-writes
     rule."""
     try:
-        _live, _s, _v, txns = _replay(table, None)
+        _live, _s, _v, txns, _cfg = _replay(table, None)
     except FileNotFoundError:
         return None
     return txns.get(os.path.abspath(table))

@@ -953,3 +953,111 @@ def test_shallow_clone_dv_delete_on_clone_only(spark):
     assert sorted(r["k"] for r in read_delta(spark, src).collect()) == list(range(10))
     # any file-stored DV lives in the clone, never the source
     assert not [f for f in os.listdir(src) if f.startswith("dv-")]
+
+
+def test_schema_enforcement_rejects_drift(spark):
+    """Delta's write contract: schema drift fails LOUDLY by default —
+    extra columns, missing columns, and type conflicts all raise
+    before any commit."""
+    from postrack_spark.streaming.delta_log import latest_version as _lv
+
+    t = tempfile.mkdtemp(prefix="delta_enf_")
+    write_delta(_df(spark, 0, 4), t)
+    v = _lv(t)
+    extra = spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit("x").alias("channel"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(extra, t)
+    with pytest.raises(ValueError, match="missing table columns"):
+        write_delta(spark.range(1).select(F.col("id").alias("k")), t)
+    with pytest.raises(ValueError, match="type conflict"):
+        write_delta(spark.range(1).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("v")), t)
+    assert _lv(t) == v  # nothing committed
+
+
+def test_schema_evolution_merge_schema_nulls_and_history(spark):
+    """merge_schema appends new nullable columns in the SAME commit as
+    the data: pre-evolution files read back with NULLs, time travel to
+    the old version shows the OLD schema, and the evolved schema
+    survives checkpoint + log cleanup."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_evo_")
+    v0 = write_delta(_df(spark, 0, 4), t)
+    evolved = spark.range(4, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("web").alias("channel"))
+    write_delta(evolved, t, merge_schema=True)
+    cur = read_delta(spark, t)
+    assert cur.columns == ["k", "v", "channel"]
+    rows = {r["k"]: r["channel"] for r in cur.collect()}
+    assert rows[0] is None and rows[4] == "web"
+    assert read_delta(spark, t, version=v0).columns == ["k", "v"]
+    # evolved schema survives the checkpoint lane
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    again = read_delta(spark, t)
+    assert again.columns == ["k", "v", "channel"]
+    assert {r["k"]: r["channel"] for r in again.collect()} == rows
+    # and further appends enforce the EVOLVED schema
+    with pytest.raises(ValueError, match="missing table columns"):
+        write_delta(_df(spark, 9, 10), t)
+
+
+def test_check_constraints_lifecycle(spark):
+    """ADD CONSTRAINT validates existing rows, writers reject
+    violating batches (NULL passes — the SQL CHECK rule), the
+    constraint survives checkpoint + log cleanup, and DROP re-opens
+    the gate."""
+    from postrack_spark.streaming.delta_log import (
+        add_check_constraint_delta,
+        checkpoint_delta,
+        clean_log_delta,
+        drop_check_constraint_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_chk_")
+    write_delta(_df(spark, 0, 5), t)
+    # existing data violates -> refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_check_constraint_delta(spark, t, "big_k", "k >= 3")
+    add_check_constraint_delta(spark, t, "nonneg", "v >= 0")
+    write_delta(_df(spark, 5, 7), t)  # clean batch passes
+    bad = spark.createDataFrame([(99, -1)], "k long, v long")
+    with pytest.raises(ValueError, match="CHECK constraint 'nonneg'"):
+        write_delta(bad, t)
+    # NULL evaluates to unknown -> passes (SQL CHECK semantics)
+    write_delta(spark.createDataFrame([(100, None)], "k long, v long"), t)
+    # survives the checkpoint lane (the pyarrow-drops-keys trap)
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    with pytest.raises(ValueError, match="CHECK constraint 'nonneg'"):
+        write_delta(bad, t)
+    drop_check_constraint_delta(t, "nonneg")
+    write_delta(bad, t)  # gate open again
+    with pytest.raises(KeyError, match="no CHECK constraint"):
+        drop_check_constraint_delta(t, "nonneg")
+
+
+def test_streaming_hook_enforces_schema_and_constraints(spark):
+    from postrack_spark.streaming.delta_log import (
+        add_check_constraint_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_fbchk_")
+    write_delta(_df(spark, 0, 3), t)
+    add_check_constraint_delta(spark, t, "nonneg", "v >= 0")
+    hook = foreach_batch_delta(t, mode="append")
+    hook(_df(spark, 3, 5), 0)  # clean batch commits
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        hook(spark.createDataFrame([(9, -9)], "k long, v long"), 1)
+    with pytest.raises(ValueError, match="merge_schema"):
+        hook(spark.createDataFrame([(9, 9, "x")],
+                                   "k long, v long, c string"), 2)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 1, 2, 3, 4]
