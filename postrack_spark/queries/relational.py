@@ -3627,6 +3627,87 @@ def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_iceberg_schema_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    web AS (SELECT * FROM base WHERE o_orderkey % 1000 = 7)
+    SELECT 'legacy' AS channel,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(cents) FROM base) AS BIGINT) AS cents,
+           true AS drift_rejected, true AS field_ids_stable
+    UNION ALL
+    SELECT 'web',
+           CAST((SELECT count(*) FROM web) AS BIGINT),
+           CAST((SELECT sum(cents) + count(*) FROM web) AS BIGINT),
+           true, true
+    ORDER BY channel
+    """,
+)
+def source_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION — the Delta twin
+    (cdc_delta_schema_evolution) expressed through FIELD-IDS, the
+    mechanism the format exists for: drift without merge_schema is
+    rejected (an append used to silently regenerate the table schema —
+    enforcement closed that wart), and an explicit evolution appends
+    the new column with a FRESH id above last-column-id while every
+    existing column keeps its id forever. field_ids_stable gates
+    exactly that from the committed metadata — it is what keeps
+    pre-evolution equality_ids, partition source-ids and bound maps
+    valid (tests pin an eq-delete written before evolution resolving
+    after it). Pre-evolution files read the new column as NULL
+    ('legacy' here)."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        append_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_evo_q_")
+    append_iceberg(base.repartition(4), table)
+    ids0 = [(f["name"], f["id"])
+            for f in _current_metadata(table)["schema"]["fields"]]
+    evolved = base.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        (F.col("cents") + 1).alias("cents"),
+        F.lit("web").alias("channel"),
+    )
+    drift_rejected = False
+    try:
+        append_iceberg(evolved, table)
+    except ValueError:
+        drift_rejected = True
+    append_iceberg(evolved, table, merge_schema=True)
+    meta = _current_metadata(table)
+    ids1 = [(f["name"], f["id"]) for f in meta["schema"]["fields"]]
+    stable = (ids1[:len(ids0)] == ids0
+              and ids1[-1] == ("channel", len(ids0) + 1)
+              and meta["last-column-id"] == len(ids0) + 1)
+    return (
+        read_iceberg(spark, table)
+        .groupBy(F.coalesce("channel", F.lit("legacy")).alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "channel", "n_rows", "cents",
+            F.lit(drift_rejected).alias("drift_rejected"),
+            F.lit(stable).alias("field_ids_stable"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
     "source_iceberg_stats_skipping",
     oracle="""
     SELECT o_orderstatus,

@@ -339,11 +339,58 @@ def _ice_schema(schema: StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def _evolve_ice_schema(current_schema: dict, df: DataFrame,
+                       merge_schema: bool) -> tuple[dict, int]:
+    """Schema ENFORCEMENT + optional EVOLUTION for Iceberg appends,
+    with the property the format exists for: existing columns KEEP
+    their field-ids forever (equality_ids, partition source-ids and
+    bound maps all reference them), and new columns get FRESH ids
+    above the current last-column-id. Drift without ``merge_schema``,
+    missing columns, and type conflicts raise. Returns
+    (schema dict, new last-column-id)."""
+    cur_fields = current_schema["fields"]
+    cur_d = {f["name"]: f for f in cur_fields}
+    new_pairs = []
+    for f in df.schema.fields:
+        st = f.dataType.simpleString()
+        if st not in _SPARK_TO_ICE:
+            raise NotImplementedError(f"iceberg mapping for spark type {st!r}")
+        new_pairs.append((f.name, _SPARK_TO_ICE[st], not f.nullable))
+    new_d = {n: t for n, t, _r in new_pairs}
+    conflicts = [f"{n}: {cur_d[n]['type']} -> {t}" for n, t, _r in new_pairs
+                 if n in cur_d and cur_d[n]["type"] != t]
+    if conflicts:
+        raise ValueError("schema type conflict on " + "; ".join(conflicts))
+    missing = [f["name"] for f in cur_fields if f["name"] not in new_d]
+    if missing:
+        raise ValueError(f"write is missing table columns {missing}")
+    extra = [n for n, _t, _r in new_pairs if n not in cur_d]
+    last_id = max((f["id"] for f in cur_fields), default=0)
+    if not extra:
+        return current_schema, last_id
+    if not merge_schema:
+        raise ValueError(
+            f"schema drift: new columns {extra} — pass merge_schema=True "
+            "to evolve (new columns get fresh field-ids; existing ids "
+            "never change)")
+    fields = [dict(f) for f in cur_fields]
+    for n, t, _req in new_pairs:
+        if n in cur_d:
+            continue
+        last_id += 1
+        # evolved columns are always optional: pre-evolution files
+        # have no values for them
+        fields.append({"id": last_id, "name": n, "required": False,
+                       "type": t})
+    return {"type": "struct", "schema-id": 0, "fields": fields}, last_id
+
+
 def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                    carry_forward: bool = True,
                    expected_snapshot_id: int | None = None,
                    summary_extra: dict | None = None,
-                   partition_by: list[tuple[str, str]] | None = None) -> int:
+                   partition_by: list[tuple[str, str]] | None = None,
+                   merge_schema: bool = False) -> int:
     """Append df as a new snapshot; returns the snapshot id.
     ``format_version=2`` writes the v2 sequence-number machinery and
     unlocks delete_positions_iceberg on the table.
@@ -393,6 +440,13 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         version = 0 if current is None else current["last-version"] + 1
         snapshot_id = version + 1  # deterministic, monotone
         seq = ((current or {}).get("last-sequence-number", 0) or 0) + 1
+        if current is None:
+            table_schema = _ice_schema(df.schema)
+            last_col_id = len(df.schema.fields)
+        else:
+            # ENFORCED against the live schema; field-ids are forever
+            table_schema, last_col_id = _evolve_ice_schema(
+                current["schema"], df, merge_schema)
         for e in entries:
             e["snapshot_id"] = snapshot_id
 
@@ -447,8 +501,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "table-uuid": (current or {}).get("table-uuid", str(uuid.uuid4())),
             "location": os.path.abspath(table),
             "last-updated-ms": now_ms,
-            "last-column-id": len(df.schema.fields),
-            "schema": _ice_schema(df.schema),
+            "last-column-id": last_col_id,
+            "schema": table_schema,
             # a plain append into a partitioned table keeps the spec
             # (its own files just carry no tuple and are never pruned)
             "partition-spec": (spec if partition_by
@@ -1191,6 +1245,9 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
                              summary_extra=summary_extra)
         return sid, df.count()
 
+    # upsert batches are schema-ENFORCED (no evolution in the CDC
+    # write path — a drifting stream should fail loudly)
+    _evolve_ice_schema(meta0["schema"], df, False)
     eq_ids, file_schema = _eq_key_plan(meta0, key_cols)
     data_entries = _stage_data_files(df, table)
     n_rows = sum(e["data_file"]["record_count"] for e in data_entries)

@@ -895,3 +895,70 @@ def test_stats_skipping_composes_with_partitions_and_mor(spark):
     want = [k for k in range(100) if k % 3 == 0 and k not in (30, 60)]
     assert got == want
     assert stats["files_scanned"] < stats["files_total"]
+
+
+def test_schema_enforcement_and_evolution_keeps_field_ids(spark):
+    """Iceberg evolution's whole point: existing columns keep their
+    field-ids FOREVER (equality_ids and partition source-ids reference
+    them); new columns get fresh ids above last-column-id. Drift
+    without merge_schema raises; pre-evolution files read as NULL."""
+    from postrack_spark.streaming.iceberg import _current_metadata
+
+    t = tempfile.mkdtemp(prefix="ice_evo_")
+    append_iceberg(_df(spark, 0, 4), t)
+    ids0 = [(f["name"], f["id"])
+            for f in _current_metadata(t)["schema"]["fields"]]
+    evolved = spark.range(4, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+        F.lit("web").alias("channel"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        append_iceberg(evolved, t)
+    with pytest.raises(ValueError, match="missing table columns"):
+        append_iceberg(spark.range(1).select(F.col("id").alias("k")), t)
+    with pytest.raises(ValueError, match="type conflict"):
+        append_iceberg(spark.range(1).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("string").alias("v")), t)
+    append_iceberg(evolved, t, merge_schema=True)
+    meta = _current_metadata(t)
+    ids1 = [(f["name"], f["id"]) for f in meta["schema"]["fields"]]
+    assert ids1[:2] == ids0  # original ids untouched
+    assert ids1[2] == ("channel", 3) and meta["last-column-id"] == 3
+    rows = {r["k"]: r["channel"]
+            for r in read_iceberg(spark, t).collect()}
+    assert rows[0] is None and rows[4] == "web"
+
+
+def test_equality_deletes_resolve_after_evolution(spark):
+    """An equality delete written BEFORE evolution (equality_ids
+    referencing the original field-id) must still resolve after the
+    schema grows — the stable-id contract end to end."""
+    from postrack_spark.streaming.iceberg import delete_keys_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_evoeq_")
+    append_iceberg(_kv(spark, [(i, f"v{i}", 1) for i in range(6)]), t,
+                   format_version=2)
+    delete_keys_iceberg(spark, t, spark.createDataFrame([(2,)], "k bigint"))
+    append_iceberg(
+        spark.createDataFrame([(9, "v9", 1, "w")],
+                              "k long, val string, gen long, extra string"),
+        t, format_version=2, merge_schema=True)
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == [0, 1, 3, 4, 5, 9]
+    # and a NEW delete still works against both old and new files
+    delete_keys_iceberg(spark, t, spark.createDataFrame(
+        [(0,), (9,)], "k bigint"))
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == [1, 3, 4, 5]
+
+
+def test_upsert_enforces_schema(spark):
+    from postrack_spark.streaming.iceberg import upsert_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_upenf_")
+    upsert_iceberg(_kv(spark, [(1, "a", 1)]), t, ["k"])
+    with pytest.raises(ValueError, match="schema drift"):
+        upsert_iceberg(
+            spark.createDataFrame([(2, "b", 1, "x")],
+                                  "k long, val string, gen long, c string"),
+            t, ["k"])
