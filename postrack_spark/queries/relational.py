@@ -3627,6 +3627,82 @@ def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_iceberg_wap_publish",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    staged AS (SELECT * FROM base WHERE o_orderkey % 100 = 3)
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_before,
+           CAST((SELECT count(*) FROM base) + (SELECT count(*) FROM staged)
+                AS BIGINT) AS rows_published,
+           CAST((SELECT sum(cents) FROM base)
+              + (SELECT sum(cents) + count(*) FROM staged)
+                AS BIGINT) AS cents_published,
+           true AS main_isolated,
+           true AS publish_metadata_only
+    FROM base LIMIT 1
+    """,
+)
+def cdc_iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE-AUDIT-PUBLISH via branch refs — the production
+    pattern for gated data releases: a staging batch lands on an
+    ``audit`` BRANCH (its snapshots carry prior manifests from the
+    branch head and move only the ref), main readers keep serving the
+    untouched head (main_isolated gates a main read taken AFTER the
+    staged commit), the branch is audited through
+    read_iceberg(ref='audit'), and publication is
+    ``fast_forward_iceberg`` — ONE metadata-only commit that moves
+    main to the branch head after an ancestry walk over
+    parent-snapshot-id proves it a true fast-forward (a diverged main
+    raises instead of silently dropping commits).
+    publish_metadata_only gates that publication wrote ZERO new data
+    or manifest files — the whole point: audit-then-release at 100 TB
+    costs one JSON swap."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        fast_forward_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_wap_q_")
+    append_iceberg(base.repartition(4), table)
+    rows_before = read_iceberg(spark, table).count()
+    staged = base.filter(F.col("o_orderkey") % 100 == 3).select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        (F.col("cents") + 1).alias("cents"),
+    )
+    append_iceberg(staged, table, branch="audit")
+    main_isolated = read_iceberg(spark, table).count() == rows_before
+
+    def _data_files():
+        d = _os.path.join(table, "data")
+        return sorted(_os.listdir(d))
+
+    files_before_publish = _data_files()
+    fast_forward_iceberg(table, "audit")
+    publish_meta_only = _data_files() == files_before_publish
+    after = read_iceberg(spark, table).agg(
+        F.count("*").cast("long").alias("rows_published"),
+        F.sum("cents").cast("long").alias("cents_published"),
+    )
+    return after.select(
+        F.lit(rows_before).cast("long").alias("rows_before"),
+        "rows_published", "cents_published",
+        F.lit(main_isolated).alias("main_isolated"),
+        F.lit(publish_meta_only).alias("publish_metadata_only"),
+    )
+
+
+@query(
     "source_iceberg_schema_evolution",
     oracle="""
     WITH base AS (

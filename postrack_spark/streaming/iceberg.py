@@ -390,7 +390,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                    expected_snapshot_id: int | None = None,
                    summary_extra: dict | None = None,
                    partition_by: list[tuple[str, str]] | None = None,
-                   merge_schema: bool = False) -> int:
+                   merge_schema: bool = False,
+                   branch: str | None = None) -> int:
     """Append df as a new snapshot; returns the snapshot id.
     ``format_version=2`` writes the v2 sequence-number machinery and
     unlocks delete_positions_iceberg on the table.
@@ -406,7 +407,13 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     deleted row or drop a concurrent append from the live view (the
     lost-update class the Delta COW merge recomputes inside its own
     loop). Plain appends (expected_snapshot_id=None) retry safely:
-    their bytes don't depend on the snapshot they land on."""
+    their bytes don't depend on the snapshot they land on.
+    ``branch`` appends ON TOP OF a named ref instead of the main
+    head: the snapshot carries prior manifests from the BRANCH head,
+    the ref moves to it, and main (current-snapshot-id) stays where
+    it was — the staging half of the write-audit-publish pattern
+    (``fast_forward_iceberg`` is the publish half). A first write to
+    an unknown branch name forks it from the current main head."""
     if format_version not in (1, 2):
         raise ValueError("format_version must be 1 or 2")
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
@@ -464,9 +471,19 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             f.write(manifest_blob)
 
         # 3. manifest list: carry prior manifests forward + the new one
+        refs = dict((current or {}).get("refs") or {})
+        if branch is not None and current is None:
+            raise ValueError("cannot branch an empty table")
+        base_sid = None
+        if current is not None:
+            base_sid = current["current-snapshot-id"]
+            if branch is not None and branch in refs:
+                if refs[branch].get("type") != "branch":
+                    raise ValueError(f"ref {branch!r} is a tag, not a branch")
+                base_sid = refs[branch]["snapshot-id"]
         prior = []
         if current is not None and carry_forward:
-            snap = _snapshot(current, current["current-snapshot-id"])
+            snap = _snapshot(current, base_sid)
             prior_list, _ = read_avro(_read_file(table, snap["manifest-list"]))
             prior = prior_list
         new_entry = {
@@ -490,6 +507,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         now_ms = int(time.time() * 1000)
         new_snap = {
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "parent-snapshot-id": base_sid,
             "manifest-list": mlist_rel,
             "summary": {"operation": "append", **(summary_extra or {})},
         }
@@ -509,7 +527,14 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                                else (current or {}).get(
                                    "partition-spec", [])),
             "properties": {},
-            "current-snapshot-id": snapshot_id,
+            # a branch append NEVER moves main — preserve the previous
+            # metadata's head verbatim (base_sid is the BRANCH base,
+            # which after the first branch commit is not main anymore)
+            "current-snapshot-id": (current["current-snapshot-id"]
+                                    if branch is not None else snapshot_id),
+            "refs": ({**refs, branch: {"snapshot-id": snapshot_id,
+                                       "type": "branch"}}
+                     if branch is not None else refs),
             "snapshots": snapshots,
             "last-version": version,
         }
@@ -762,7 +787,8 @@ def read_iceberg(spark: SparkSession, table: str,
                  snapshot_id: int | None = None,
                  partition_filter: dict | None = None,
                  stats_filter: dict | None = None,
-                 scan_stats: dict | None = None) -> DataFrame:
+                 scan_stats: dict | None = None,
+                 ref: str | None = None) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``).
     On format-version 2 tables, position deletes apply as a broadcast
     anti-join on (file, row position) and EQUALITY deletes as
@@ -795,6 +821,14 @@ def read_iceberg(spark: SparkSession, table: str,
         raise FileNotFoundError(f"no iceberg metadata under {table}")
     if meta["format-version"] not in (1, 2):
         raise NotImplementedError("only format-version 1/2 readable here")
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise KeyError(f"no ref {ref!r} on table "
+                           f"(have {sorted(refs)})")
+        snapshot_id = refs[ref]["snapshot-id"]
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = _snapshot(meta, sid)
     mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
@@ -1038,6 +1072,7 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
         new_meta = dict(meta)
         new_meta["snapshots"] = meta["snapshots"] + [{
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "parent-snapshot-id": meta["current-snapshot-id"],
             "manifest-list": mlist_rel, "sequence-number": seq,
             "summary": {"operation": "delete"},
         }]
@@ -1192,6 +1227,7 @@ def delete_keys_iceberg(spark: SparkSession, table: str,
         new_meta = dict(meta)
         new_meta["snapshots"] = meta["snapshots"] + [{
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "parent-snapshot-id": meta["current-snapshot-id"],
             "manifest-list": mlist_rel, "sequence-number": seq,
             "summary": {"operation": "delete"},
         }]
@@ -1297,6 +1333,7 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
         new_meta = dict(meta)
         new_meta["snapshots"] = meta["snapshots"] + [{
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "parent-snapshot-id": meta["current-snapshot-id"],
             "manifest-list": mlist_rel, "sequence-number": seq,
             "summary": {"operation": "overwrite", **(summary_extra or {})},
         }]
@@ -1307,6 +1344,79 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
         try:
             _commit_metadata(table, version, new_meta)
             return snapshot_id, n_rows
+        except IcebergCommitConflict:
+            continue
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
+def tag_iceberg(table: str, name: str,
+                snapshot_id: int | None = None) -> int:
+    """Create an immutable TAG ref (metadata-only commit): a named
+    time-travel anchor — ``read_iceberg(..., ref=name)`` forever
+    resolves to this snapshot, and expire_snapshots RETAINS tagged
+    snapshots past the retention window (a tag is a retention
+    promise). Re-tagging an existing name raises. Returns the tagged
+    snapshot id."""
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        refs = dict(meta.get("refs") or {})
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        sid = (snapshot_id if snapshot_id is not None
+               else meta["current-snapshot-id"])
+        _snapshot(meta, sid)  # must exist
+        version = meta["last-version"] + 1
+        new_meta = dict(meta)
+        new_meta["refs"] = {**refs, name: {"snapshot-id": sid,
+                                           "type": "tag"}}
+        new_meta["last-version"] = version
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _commit_metadata(table, version, new_meta)
+            return sid
+        except IcebergCommitConflict:
+            continue
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
+def fast_forward_iceberg(table: str, branch: str) -> int:
+    """PUBLISH a branch (the write-audit-publish pattern's last step):
+    move main (current-snapshot-id) to the branch head in one
+    metadata-only commit. Requires main to be an ANCESTOR of the
+    branch head (walked via parent-snapshot-id) — a true
+    fast-forward; anything else would silently drop main-only
+    commits, so it raises instead. Returns the published snapshot
+    id."""
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        refs = dict(meta.get("refs") or {})
+        if branch not in refs or refs[branch].get("type") != "branch":
+            raise KeyError(f"no branch {branch!r} on table")
+        head = refs[branch]["snapshot-id"]
+        main = meta["current-snapshot-id"]
+        parents = {sn["snapshot-id"]: sn.get("parent-snapshot-id")
+                   for sn in meta["snapshots"]}
+        cur: int | None = head
+        while cur is not None and cur != main:
+            cur = parents.get(cur)
+        if cur != main:
+            raise ValueError(
+                f"main {main} is not an ancestor of {branch!r} head "
+                f"{head}: not a fast-forward")
+        if head == main:
+            return main  # nothing to publish
+        version = meta["last-version"] + 1
+        new_meta = dict(meta)
+        new_meta["current-snapshot-id"] = head
+        new_meta["last-version"] = version
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _commit_metadata(table, version, new_meta)
+            return head
         except IcebergCommitConflict:
             continue
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
@@ -1516,7 +1626,17 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1
     snaps = meta["snapshots"]
     if len(snaps) <= retain_last:
         return meta["last-version"], []
-    kept, expired = snaps[-retain_last:], snaps[:-retain_last]
+    # refs PROTECT their snapshots (a tag is a retention promise —
+    # the spec's rule; expiring a tagged snapshot would turn a named
+    # anchor into a dangling pointer)
+    protected = {r["snapshot-id"] for r in (meta.get("refs") or {}).values()}
+    protected.add(meta["current-snapshot-id"])
+    kept = [sn for i, sn in enumerate(snaps)
+            if i >= len(snaps) - retain_last
+            or sn["snapshot-id"] in protected]
+    expired = [sn for sn in snaps if sn not in kept]
+    if not expired:
+        return meta["last-version"], []
 
     def _reach(snapshots: list[dict]) -> tuple[set[str], set[str], set[str]]:
         mlists, manifests, datafiles = set(), set(), set()

@@ -962,3 +962,63 @@ def test_upsert_enforces_schema(spark):
             spark.createDataFrame([(2, "b", 1, "x")],
                                   "k long, val string, gen long, c string"),
             t, ["k"])
+
+
+def test_tags_name_snapshots_and_block_expiry(spark):
+    """A tag is a named time-travel anchor AND a retention promise:
+    expire_snapshots keeps tagged snapshots past the window."""
+    from postrack_spark.streaming.iceberg import (
+        expire_snapshots_iceberg,
+        tag_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_tag_")
+    s1 = append_iceberg(_df(spark, 0, 3), t)
+    append_iceberg(_df(spark, 3, 6), t)
+    append_iceberg(_df(spark, 6, 9), t)
+    tag_iceberg(t, "v1.0", snapshot_id=s1)
+    with pytest.raises(ValueError, match="already exists"):
+        tag_iceberg(t, "v1.0")
+    _v, _doomed = expire_snapshots_iceberg(t, retain_last=1)
+    # the tagged snapshot survived the expiry window
+    got = sorted(r["k"] for r in read_iceberg(spark, t, ref="v1.0").collect())
+    assert got == [0, 1, 2]
+    with pytest.raises(KeyError, match="no ref"):
+        read_iceberg(spark, t, ref="nope")
+
+
+def test_branch_write_audit_publish(spark):
+    """The WAP pattern: stage writes on a branch (main readers see
+    NOTHING), audit the branch through its ref, then fast-forward
+    main — one metadata-only publish. A non-fast-forward publish
+    (main moved independently) raises instead of dropping commits."""
+    from postrack_spark.streaming.iceberg import (
+        fast_forward_iceberg,
+        tag_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_wap_")
+    append_iceberg(_df(spark, 0, 4), t)
+    append_iceberg(_df(spark, 4, 6), t, branch="audit")
+    append_iceberg(_df(spark, 6, 8), t, branch="audit")  # branch grows
+    # main unchanged; branch sees both staged commits
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == list(range(4))
+    assert sorted(r["k"] for r in read_iceberg(spark, t, ref="audit").collect()) == list(range(8))
+    # publish
+    fast_forward_iceberg(t, "audit")
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == list(range(8))
+    # tag refs refuse branch writes
+    tag_iceberg(t, "rel")
+    with pytest.raises(ValueError, match="is a tag"):
+        append_iceberg(_df(spark, 8, 9), t, branch="rel")
+
+
+def test_fast_forward_refuses_diverged_main(spark):
+    from postrack_spark.streaming.iceberg import fast_forward_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_ffd_")
+    append_iceberg(_df(spark, 0, 2), t)
+    append_iceberg(_df(spark, 2, 4), t, branch="b")
+    append_iceberg(_df(spark, 4, 6), t)  # main moves independently
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        fast_forward_iceberg(t, "b")
