@@ -2612,6 +2612,74 @@ def streaming_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "layout_delta_zorder_optimize",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS pruning_improved,
+           true AS rows_identical
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_orderkey BETWEEN 100000 AND 300000
+    """,
+)
+def layout_delta_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the Delta log — the layout family's Z-curve
+    clustering (sources/layout.zorder_repartition) delivered through
+    the table format's own stats-skipping lane: orders land in a
+    deliberately SCATTERED layout (hash repartition — every file
+    spans the full custkey range, so a 2-D rectangle predicate must
+    open every file), then compact_delta(zorder_by=(o_custkey,
+    o_orderkey)) rewrites the live set range-partitioned on the
+    Morton interleave in ONE atomic dataChange=false commit. After
+    the rewrite each file's footer stats are a tight rectangle in
+    BOTH dimensions, and pruned_read_delta plans strictly fewer
+    files for the same rectangle (pruning_improved gates
+    after < before); rows_identical gates that the rewrite changed
+    LAYOUT, not data (count + cents hash over the rectangle before
+    vs after). At 100 TB this before/after file-count ratio IS the
+    scan-cost ratio of every rectangle query thereafter."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        compact_delta,
+        pruned_read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_zorder_q_")
+    write_delta(base.repartition(16), table)  # scattered on purpose
+    c_lo, c_hi, k_lo, k_hi = 100, 400, 100000, 300000
+
+    def _rect():
+        df, files_read, files_total = pruned_read_delta(
+            spark, table, "o_custkey", c_lo, c_hi)
+        agg = df.filter(
+            F.col("o_custkey").between(c_lo, c_hi)
+            & F.col("o_orderkey").between(k_lo, k_hi)
+        ).agg(F.count("*").cast("long").alias("n"),
+              F.sum("cents").cast("long").alias("c")).collect()[0]
+        return (agg["n"], agg["c"]), files_read, files_total
+
+    before_vals, files_before, _tot0 = _rect()
+    compact_delta(spark, table, target_files=16,
+                  zorder_by=("o_custkey", "o_orderkey"))
+    after_vals, files_after, _tot1 = _rect()
+    improved = files_after < files_before
+    identical = before_vals == after_vals
+    return spark.createDataFrame(
+        [(after_vals[0], after_vals[1], improved, identical)],
+        "n_rows long, cents long, pruning_improved boolean,"
+        " rows_identical boolean")
+
+
+@query(
     "cdc_delta_schema_evolution",
     oracle="""
     WITH base AS (

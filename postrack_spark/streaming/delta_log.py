@@ -720,7 +720,8 @@ def last_txn_version(table: str) -> int | None:
 
 
 def compact_delta(spark: SparkSession, table: str,
-                  target_files: int = 1) -> int:
+                  target_files: int = 1,
+                  zorder_by: tuple[str, str] | None = None) -> int:
     """OPTIMIZE-shaped bin-packing: rewrite the live set into
     ``target_files`` files and commit remove+add atomically
     (dataChange=false — readers see identical rows before and after).
@@ -735,13 +736,29 @@ def compact_delta(spark: SparkSession, table: str,
     re-add X's rows at S+2. Conservative vs delta-spark (which allows
     logically-disjoint concurrent commits through) but never wrong;
     orphaned staged files from lost attempts are unreferenced and
-    vacuumable."""
+    vacuumable.
+
+    ``zorder_by=(x, y)`` makes this OPTIMIZE ZORDER: the rewrite
+    range-partitions on the Morton interleave of (x, y)
+    (sources/layout.zorder_repartition), so each output file's footer
+    stats become a tight rectangle in BOTH dimensions and the
+    ``stats``-based pruned_read_delta skips most files for 2-D range
+    predicates — the layout family's zone-map result delivered
+    through the table format's own stats-skipping lane."""
     for _ in range(10):
         _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
         paths = [p for p, _a in _dv_acts]
         if not paths:
             return latest_version(table) or 0
-        df = read_delta(spark, table, version=read_v).coalesce(target_files)
+        df = read_delta(spark, table, version=read_v)
+        if zorder_by is not None:
+            from postrack_spark.sources.layout import zorder_repartition
+
+            df = zorder_repartition(
+                df, zorder_by[0], zorder_by[1],
+                num_partitions=target_files).drop("__z")
+        else:
+            df = df.coalesce(target_files)
         adds = _write_data_files(df, table)
         for a in adds:
             a["add"]["dataChange"] = False
