@@ -2361,6 +2361,64 @@ def streaming_delta_feed_incremental(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "streaming_iceberg_feed_incremental",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_iceberg_feed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table as a STREAMING SOURCE (sources/iceberg_feed.py) —
+    the incremental append scan Flink/Spark use to tail Iceberg,
+    completing the lakehouse streaming matrix next to
+    streaming_delta_feed_incremental: offsets are SNAPSHOT IDS, each
+    micro-batch emits exactly the files its snapshots added (resolved
+    by SET DIFFERENCE against the predecessor's live set — so a
+    compaction REPLACE or a MOR delete mid-stream raises instead of
+    double-counting or ghosting rows), and the drained union
+    aggregates to the batch rollup. Checkpoint resume, snapshot
+    pacing, the append-only guard, and NULL-filled evolved columns
+    are pinned in tests/test_iceberg_feed.py."""
+    import tempfile
+
+    from postrack_spark.session import load_tables as _lt
+    from postrack_spark.sources.iceberg_feed import register
+    from postrack_spark.streaming.iceberg import append_iceberg
+
+    ev = _lt(spark, sf_dir)["events"].select("user_id", "event_type")
+    table = tempfile.mkdtemp(prefix="ice_feed_q_")
+    ckpt = tempfile.mkdtemp(prefix="ice_feed_q_ckpt_")
+    for bucket in range(3):
+        append_iceberg(
+            ev.filter(F.pmod(F.col("user_id"), 3) == bucket), table)
+    register(spark)
+    q = (
+        spark.readStream.format("iceberg_feed")
+        .option("path", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName(_qname("icefeedq"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(q.name)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "streaming_tws_topk_state",
     oracle="""
     WITH ev AS (
