@@ -2670,6 +2670,89 @@ def streaming_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_delta_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    upd AS (SELECT * FROM base WHERE o_custkey % 6 = 2)
+    SELECT 'delete' AS change_type,
+           CAST((SELECT count(*) FROM base WHERE o_custkey % 6 = 1)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT sum(cents) FROM base WHERE o_custkey % 6 = 1)
+                AS BIGINT) AS cents
+    UNION ALL
+    SELECT 'insert',
+           CAST((SELECT count(*) FROM base) + (SELECT count(*) FROM upd)
+                AS BIGINT),
+           CAST((SELECT sum(cents) FROM base)
+              + (SELECT sum(cents) + count(*) FROM upd) AS BIGINT)
+    UNION ALL
+    SELECT 'update_postimage',
+           CAST((SELECT count(*) FROM upd) AS BIGINT),
+           CAST((SELECT sum(cents) + count(*) FROM upd) AS BIGINT)
+    UNION ALL
+    SELECT 'update_preimage',
+           CAST((SELECT count(*) FROM upd) AS BIGINT),
+           CAST((SELECT sum(cents) FROM upd) AS BIGINT)
+    ORDER BY change_type
+    """,
+)
+def cdc_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED — row-level change history from the log
+    (delta.enableChangeDataFeed + _change_data files, the delta-spark
+    design): appends synthesize 'insert' rows from their add actions
+    at read time (zero write cost), while row-rewriting ops stage
+    their change rows IN THE SAME COMMIT — a COW DELETE emits the
+    deleted rows ('delete'), a COW MERGE emits
+    update_preimage/update_postimage pairs for existing keys and
+    'insert' for new ones. read_changes_delta(from, to) reconstructs
+    the table's per-row history across the range, refusing commits
+    that rewrote data before the feed was enabled (fabricating
+    history is worse than raising). The rollup groups the full feed
+    by change type; the oracle recomputes every class from source —
+    pre/post cents differ by exactly the +1 the merge applied, so a
+    swapped image direction hash-fails."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        enable_change_feed_delta,
+        merge_delta,
+        read_changes_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_cdf_q_")
+    write_delta(base.repartitionByRange(8, "o_custkey"), table)     # v0
+    enable_change_feed_delta(table)                                  # v1
+    delete_delta(spark, table, "o_custkey % 6 = 1")                  # v2
+    upd = base.filter(F.col("o_custkey") % 6 == 2)
+    images = upd.select(
+        "o_orderkey", "o_custkey", (F.col("cents") + 1).alias("cents")
+    ).unionByName(upd.select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey", (F.col("cents") + 1).alias("cents")))
+    v_last = merge_delta(spark, table, images, "o_orderkey", "cents")  # v3
+    return (
+        read_changes_delta(spark, table, 0, v_last)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@query(
     "layout_delta_zorder_optimize",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -719,6 +719,131 @@ def last_txn_version(table: str) -> int | None:
     return txns.get(os.path.abspath(table))
 
 
+_CDF_KEY = "delta.enableChangeDataFeed"
+_CHANGE_DIR = "_change_data"
+
+
+def set_table_property_delta(table: str, key: str, value: str | None) -> int:
+    """Metadata-only commit updating one table property (None deletes
+    it). The generic form behind enable_change_feed_delta; CHECK
+    constraints keep their dedicated add/drop API (they also validate
+    data)."""
+    for _ in range(10):
+        _l, schema_string, read_v, _t, config = _replay(table, None)
+        new_config = {k: v for k, v in config.items() if k != key}
+        if value is not None:
+            new_config[key] = value
+        action = {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": new_config,
+            "createdTime": int(time.time() * 1000),
+        }}
+        try:
+            commit_delta(table, read_v + 1, [action])
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def enable_change_feed_delta(table: str) -> int:
+    """Turn on the CHANGE DATA FEED (delta.enableChangeDataFeed, the
+    delta-spark property): from this version on, row-rewriting ops
+    (delete_delta / delete_keys_delta / merge_delta) also stage
+    row-level change files under ``_change_data/`` in the SAME commit,
+    and read_changes_delta can reconstruct per-row history across
+    them. Appends never need change files — inserts are synthesized
+    from their add actions at read time (delta's own rule)."""
+    return set_table_property_delta(table, _CDF_KEY, "true")
+
+
+def _cdf_enabled(config: dict) -> bool:
+    return str(config.get(_CDF_KEY, "")).lower() == "true"
+
+
+def _write_change_files(df: DataFrame, table: str) -> list[dict]:
+    """Stage ``df`` (carrying _change_type) as cdc actions. Change
+    files live under _change_data/ — OUTSIDE the live data set, so
+    snapshot reads and vacuum never see them (the protocol's cdc
+    action is dataChange=false by definition)."""
+    os.makedirs(os.path.join(table, _CHANGE_DIR), exist_ok=True)
+    scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(scratch)
+    actions = []
+    for name in sorted(os.listdir(scratch)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join(_CHANGE_DIR, f"cdc-{uuid.uuid4().hex}.parquet")
+        os.replace(os.path.join(scratch, name), os.path.join(table, final))
+        actions.append({"cdc": {
+            "path": final, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(table, final)),
+            "dataChange": False,
+        }})
+    shutil.rmtree(scratch, ignore_errors=True)
+    return actions
+
+
+def read_changes_delta(spark: SparkSession, table: str,
+                       from_version: int,
+                       to_version: int | None = None) -> DataFrame:
+    """Batch CHANGE DATA FEED read over the commit range
+    [from_version, to_version]: returns the table's columns plus
+    ``_change_type`` ('insert' / 'delete' / 'update_preimage' /
+    'update_postimage') and ``_commit_version``. Per the protocol:
+    a commit WITH cdc actions contributes exactly its change files; a
+    commit without them contributes its dataChange=true adds as
+    inserts (append synthesis); a commit that rewrites data
+    (dataChange=true removes) WITHOUT change files raises — history
+    before enable_change_feed_delta cannot be reconstructed, and
+    guessing would fabricate rows."""
+    if to_version is None:
+        to_version = latest_version(table)
+    _l, schema_string, _v, _t, _cfg = _replay(table, None)
+    schema = StructType.fromJson(json.loads(schema_string))
+    cdf_schema = StructType.fromJson(json.loads(schema_string)).add(
+        "_change_type", "string")
+    pieces = []
+    for v in range(from_version, to_version + 1):
+        path = _log_path(table, v)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"commit {v} not in log (cleaned below a checkpoint?)")
+        with open(path) as f:
+            actions = [json.loads(ln) for ln in f if ln.strip()]
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        if cdc:
+            df = spark.read.schema(cdf_schema).parquet(
+                *[os.path.join(table, c["path"]) for c in cdc])
+            pieces.append(df.withColumn("_commit_version", F.lit(v)))
+            continue
+        rewrites = [a for a in actions
+                    if "remove" in a and a["remove"].get("dataChange", True)]
+        if rewrites:
+            raise ValueError(
+                f"commit {v} rewrites data without change files — "
+                "enable_change_feed_delta before row-rewriting ops to "
+                "read changes across them")
+        adds = [a["add"]["path"] for a in actions
+                if "add" in a and a["add"].get("dataChange", True)]
+        if adds:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(table, p) for p in adds])
+            pieces.append(
+                df.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v)))
+    if not pieces:
+        return spark.createDataFrame([], cdf_schema.add(
+            "_commit_version", "int"))
+    out = pieces[0]
+    for df in pieces[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def compact_delta(spark: SparkSession, table: str,
                   target_files: int = 1,
                   zorder_by: tuple[str, str] | None = None) -> int:
@@ -964,7 +1089,8 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
         write_delta(images, table, mode="append")
         return 0
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
-        _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
+        live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         schema = StructType.fromJson(json.loads(schema_string))
         full = [os.path.join(table, p) for p in paths]
@@ -992,12 +1118,39 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
         flat = winner.select(key_col,
                              *[F.col(f"_w.{c}").alias(c) for c in cols])
         adds = _write_data_files(flat, table)
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(config):
+            # change rows for the BATCH's keys only (unchanged keys in
+            # affected files are rewritten bytes, not logical changes):
+            # existing keys emit update_preimage (every old row — a
+            # stated simplification when history kept several) +
+            # update_postimage (the winner); brand-new keys emit insert
+            keyset = images.select(key_col).distinct()
+            old_rows = (survivors.join(F.broadcast(keyset), key_col,
+                                       "left_semi")
+                        if survivors is not None else None)
+            if old_rows is not None:
+                old_keys = old_rows.select(key_col).distinct()
+                pre = old_rows.withColumn(
+                    "_change_type", F.lit("update_preimage"))
+                post = flat.join(F.broadcast(keyset), key_col, "left_semi"
+                                 ).join(F.broadcast(old_keys), key_col,
+                                        "left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage"))
+                ins = flat.join(F.broadcast(keyset), key_col, "left_semi"
+                                ).join(F.broadcast(old_keys), key_col,
+                                       "left_anti").withColumn(
+                    "_change_type", F.lit("insert"))
+                changes = pre.unionByName(post).unionByName(ins)
+            else:
+                changes = flat.withColumn("_change_type", F.lit("insert"))
+            cdc_actions = _write_change_files(changes, table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,
         }} for p in sorted(rel_affected)]
         try:
-            commit_delta(table, read_v + 1, removes + adds)
+            commit_delta(table, read_v + 1, removes + adds + cdc_actions)
             return read_v + 1
         except DeltaCommitConflict:
             continue  # recompute winners from the new snapshot
@@ -1027,7 +1180,8 @@ def delete_delta(spark: SparkSession, table: str,
     locality, never table size — the reason engines Z-order before
     bulk GDPR deletes (layout family)."""
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
-        _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
+        live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         schema = StructType.fromJson(json.loads(schema_string))
         full = [os.path.join(table, p) for p in paths]
@@ -1045,16 +1199,25 @@ def delete_delta(spark: SparkSession, table: str,
         guard_no_dvs(_dv_acts, rel_affected, "delete_delta")
         if not rel_affected:
             return latest_version(table) or 0, 0, len(paths)
-        survivors = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in rel_affected]
-        ).filter(~F.coalesce(F.expr(condition), F.lit(False)))
+        affected_full = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in rel_affected])
+        survivors = affected_full.filter(
+            ~F.coalesce(F.expr(condition), F.lit(False)))
         adds = _write_data_files(survivors, table)
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(config):
+            # the CHANGE FEED rides in the SAME commit: the matched
+            # rows, tagged 'delete', staged under _change_data/
+            cdc_actions = _write_change_files(
+                affected_full.filter(
+                    F.coalesce(F.expr(condition), F.lit(False))
+                ).withColumn("_change_type", F.lit("delete")), table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,
         }} for p in rel_affected]
         try:
-            commit_delta(table, read_v + 1, removes + adds)
+            commit_delta(table, read_v + 1, removes + adds + cdc_actions)
             return read_v + 1, len(rel_affected), len(paths)
         except DeltaCommitConflict:
             continue  # recompute matches from the new snapshot
@@ -1073,7 +1236,8 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
     Returns (version, files_rewritten, files_total); an empty or
     non-matching key set commits nothing."""
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
-        _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
+        live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         schema = StructType.fromJson(json.loads(schema_string))
         full = [os.path.join(table, p) for p in paths]
@@ -1092,16 +1256,21 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
         guard_no_dvs(_dv_acts, rel_affected, "delete_keys_delta")
         if not rel_affected:
             return latest_version(table) or 0, 0, len(paths)
-        survivors = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in rel_affected]
-        ).join(F.broadcast(kdf), key_col, "left_anti")
+        affected_full = spark.read.schema(schema).parquet(
+            *[os.path.join(table, p) for p in rel_affected])
+        survivors = affected_full.join(F.broadcast(kdf), key_col, "left_anti")
         adds = _write_data_files(survivors, table)
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(config):
+            cdc_actions = _write_change_files(
+                affected_full.join(F.broadcast(kdf), key_col, "left_semi")
+                .withColumn("_change_type", F.lit("delete")), table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,
         }} for p in rel_affected]
         try:
-            commit_delta(table, read_v + 1, removes + adds)
+            commit_delta(table, read_v + 1, removes + adds + cdc_actions)
             return read_v + 1, len(rel_affected), len(paths)
         except DeltaCommitConflict:
             continue  # recompute matches from the new snapshot

@@ -1061,3 +1061,70 @@ def test_streaming_hook_enforces_schema_and_constraints(spark):
         hook(spark.createDataFrame([(9, 9, "x")],
                                    "k long, v long, c string"), 2)
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_change_feed_insert_synthesis_and_delete_rows(spark):
+    """CDF: appends synthesize inserts from add actions (no change
+    files needed); a delete with the feed enabled stages the deleted
+    rows as 'delete' change rows in the SAME commit; reading across a
+    pre-enable rewrite raises instead of fabricating history."""
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        enable_change_feed_delta,
+        read_changes_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cdf_")
+    write_delta(_df(spark, 0, 6).repartition(2), t)            # v0
+    v_en = enable_change_feed_delta(t)                          # v1
+    v_del, _, _ = delete_delta(spark, t, "k >= 4")              # v2
+    ch = read_changes_delta(spark, t, 0, v_del).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert sorted(r["k"] for r in by_type["insert"]) == list(range(6))
+    assert all(r["_commit_version"] == 0 for r in by_type["insert"])
+    assert sorted(r["k"] for r in by_type["delete"]) == [4, 5]
+    assert all(r["_commit_version"] == v_del for r in by_type["delete"])
+    # a feed-OFF rewrite is unreadable history
+    t2 = tempfile.mkdtemp(prefix="delta_cdf2_")
+    write_delta(_df(spark, 0, 4), t2)
+    v_bad, _, _ = delete_delta(spark, t2, "k = 1")
+    with pytest.raises(ValueError, match="without change files"):
+        read_changes_delta(spark, t2, 0, v_bad)
+
+
+def test_change_feed_merge_pre_post_insert(spark):
+    from postrack_spark.streaming.delta_log import (
+        enable_change_feed_delta,
+        merge_delta,
+        read_changes_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cdfm_")
+    write_delta(_df(spark, 0, 4), t)
+    enable_change_feed_delta(t)
+    images = spark.createDataFrame([(1, 100), (9, 9)], "k long, v long")
+    v_m = merge_delta(spark, t, images, "k", "v")
+    ch = [r for r in read_changes_delta(spark, t, v_m, v_m).collect()]
+    got = sorted((r["_change_type"], r["k"], r["v"]) for r in ch)
+    assert got == [("insert", 9, 9),
+                   ("update_postimage", 1, 100),
+                   ("update_preimage", 1, 2)]
+
+
+def test_change_feed_gdpr_delete_keys(spark):
+    from postrack_spark.streaming.delta_log import (
+        delete_keys_delta,
+        enable_change_feed_delta,
+        read_changes_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cdfk_")
+    write_delta(_df(spark, 0, 6), t)
+    enable_change_feed_delta(t)
+    v_d, _, _ = delete_keys_delta(
+        spark, t, spark.createDataFrame([(2,), (5,)], "k long"), "k")
+    ch = read_changes_delta(spark, t, v_d, v_d).collect()
+    assert sorted((r["_change_type"], r["k"]) for r in ch) == [
+        ("delete", 2), ("delete", 5)]
