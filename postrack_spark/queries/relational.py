@@ -3627,6 +3627,74 @@ def cdc_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_join_key_skew",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k FROM orders
+    ),
+    og AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1),
+    l AS (
+      SELECT l_suppkey AS k FROM lineitem
+    ),
+    lg AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM l GROUP BY 1)
+    SELECT 'lineitem.l_suppkey' AS key_name,
+           CAST((SELECT sum(c) FROM lg) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM lg) AS BIGINT) AS n_keys,
+           CAST((SELECT max(c) FROM lg) AS BIGINT) AS max_group,
+           CAST((SELECT max(c) FROM lg) * 10000
+                // (SELECT sum(c) FROM lg) AS BIGINT) AS top1_pp10k,
+           CAST((SELECT max(c) FROM lg) * 100
+                // ((SELECT sum(c) FROM lg) // (SELECT count(*) FROM lg))
+                AS BIGINT) AS skew_x100
+    UNION ALL
+    SELECT 'orders.o_custkey',
+           CAST((SELECT sum(c) FROM og) AS BIGINT),
+           CAST((SELECT count(*) FROM og) AS BIGINT),
+           CAST((SELECT max(c) FROM og) AS BIGINT),
+           CAST((SELECT max(c) FROM og) * 10000
+                // (SELECT sum(c) FROM og) AS BIGINT),
+           CAST((SELECT max(c) FROM og) * 100
+                // ((SELECT sum(c) FROM og) // (SELECT count(*) FROM og))
+                AS BIGINT)
+    ORDER BY key_name
+    """,
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW profile — the planning aid behind every salting
+    decision (operators/skew.py): for each candidate join key, the
+    exact hot-group diagnostics a 100 TB planner reads before picking
+    a strategy — max group size, its share of the table (pp10k), and
+    the max/mean group ratio (x100). All ratios are positive integer
+    floor divisions (Spark DIV == DuckDB // on positive operands), so
+    the profile hash-matches exactly. One partial-agg groupBy per key
+    — the profile costs one shuffle of (key, count) partials, never a
+    data rewrite."""
+    t = load_tables(spark, sf_dir)
+
+    def _prof(df, col, label):
+        g = df.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").cast("long").alias("c"))
+        return g.agg(
+            F.lit(label).alias("key_name"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_group"),
+        ).select(
+            "key_name", "n_rows", "n_keys", "max_group",
+            F.expr("CAST(max_group * 10000 DIV n_rows AS BIGINT)")
+            .alias("top1_pp10k"),
+            F.expr("CAST(max_group * 100 DIV (n_rows DIV n_keys) AS BIGINT)")
+            .alias("skew_x100"),
+        )
+
+    return (
+        _prof(t["lineitem"], "l_suppkey", "lineitem.l_suppkey")
+        .unionByName(_prof(t["orders"], "o_custkey", "orders.o_custkey"))
+        .orderBy("key_name")
+    )
+
+
+@query(
     "cdc_iceberg_wap_publish",
     oracle="""
     WITH base AS (
