@@ -2670,6 +2670,99 @@ def streaming_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_delta_cdf_consume",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT o_custkey,
+             CASE WHEN o_custkey % 6 = 2 THEN cents + 1 ELSE cents END
+               AS cents
+      FROM base WHERE o_custkey % 6 <> 1
+      UNION ALL
+      SELECT o_custkey, cents + 1 FROM base WHERE o_custkey % 6 = 2
+    )
+    SELECT o_custkey % 4 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_net,
+           CAST(sum(cents) AS BIGINT) AS cents_net
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_delta_cdf_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING consumption of the Delta change feed
+    (delta_feed with readChangeFeed=true) driving a SIGNED FOLD —
+    the CDF-feeds-IVM identity: inserts and update_postimages add,
+    deletes and update_preimages subtract, and the folded aggregate
+    equals the final table state's rollup WITHOUT ever reading the
+    table itself. This is how a downstream materialized view tracks a
+    100 TB table: O(changes) per batch, no rescans — the lakehouse
+    counterpart of the pgoutput signed-delta IVM (cdc/ivm.py), fed by
+    the transaction log instead of the WAL. The upstream history is
+    an append, a COW DELETE, and a COW MERGE (updates + inserts);
+    the oracle recomputes the final state from source."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.sources.delta_feed import register
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        enable_change_feed_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_cdfs_q_")
+    write_delta(base.repartitionByRange(8, "o_custkey"), table)
+    enable_change_feed_delta(table)
+    delete_delta(spark, table, "o_custkey % 6 = 1")
+    upd = base.filter(F.col("o_custkey") % 6 == 2)
+    images = upd.select(
+        "o_orderkey", "o_custkey", (F.col("cents") + 1).alias("cents")
+    ).unionByName(upd.select(
+        (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+        "o_custkey", (F.col("cents") + 1).alias("cents")))
+    merge_delta(spark, table, images, "o_orderkey", "cents")
+
+    register(spark)
+    ckpt = _tf.mkdtemp(prefix="delta_cdfs_ckpt_")
+    q = (
+        spark.readStream.format("delta_feed")
+        .option("path", table).option("readChangeFeed", "true")
+        .load()
+        .select(
+            F.pmod(F.col("o_custkey"), F.lit(4)).alias("bucket"),
+            F.when(F.col("_change_type").isin(
+                "insert", "update_postimage"), F.lit(1))
+            .otherwise(F.lit(-1)).alias("sign"),
+            "cents",
+        )
+        .writeStream.format("memory")
+        .queryName(_qname("cdffold"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(q.name)
+        .groupBy("bucket")
+        .agg(
+            F.sum("sign").cast("long").alias("n_net"),
+            F.sum(F.col("sign") * F.col("cents")).cast("long")
+            .alias("cents_net"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "cdc_delta_change_feed",
     oracle="""
     WITH base AS (

@@ -15,6 +15,17 @@ passed over silently, as the protocol intends. Row-level change feeds
 over rewrites need per-row CDF files, which are out of scope (stated
 here per the honest-seam rule).
 
+``readChangeFeed=true`` switches the source to ROW-LEVEL CHANGES
+(the delta-spark CDF read): each batch emits the table columns plus
+``_change_type`` and ``_commit_version`` — commits carrying ``cdc``
+actions contribute exactly their ``_change_data`` files (delete /
+update_preimage / update_postimage rows staged by the COW writers
+when delta.enableChangeDataFeed is set), append commits synthesize
+'insert' rows from their adds, and a rewrite WITHOUT change files
+still raises. Downstream signed folds (insert/postimage +,
+delete/preimage -) reconstruct any aggregate of the table
+incrementally — IVM fed by the log itself.
+
 Partitioning: one input partition per ADDED FILE, so decode
 parallelism scales with commit width; workers read their file with
 pyarrow (the Python DataSource API runs outside the JVM scan path).
@@ -51,8 +62,11 @@ def _table_schema_json(table: str) -> str:
 
 
 class DeltaFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, version: int = -1,
+                 synth_insert: bool = False):
         self.path = path
+        self.version = version
+        self.synth_insert = synth_insert
 
 
 class DeltaFeedStreamReader(DataSourceStreamReader):
@@ -61,6 +75,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         if not self.table:
             raise ValueError("delta_feed needs a 'path' option")
         self.max_versions = int(options.get("maxversionspertrigger", 0))
+        self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         self._fields = [
             f["name"]
             for f in json.loads(_table_schema_json(self.table))["fields"]
@@ -105,15 +120,24 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         for v in _list_versions(self.table):
             if not (start["version"] < v <= end["version"]):
                 continue
-            for a in _commit_actions(self.table, v):
+            actions = _commit_actions(self.table, v)
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            if self.cdf and cdc:
+                parts.extend(DeltaFilePartition(
+                    os.path.join(self.table, c["path"]), v)
+                    for c in cdc)
+                continue
+            for a in actions:
                 if "remove" in a and a["remove"].get("dataChange", True):
                     raise ValueError(
-                        f"delta_feed: commit {v} rewrites data "
-                        "(remove with dataChange=true) — this source is "
-                        "append-only; row-level CDF is out of scope")
+                        f"delta_feed: commit {v} rewrites data without "
+                        "change files — append-only without "
+                        "readChangeFeed=true; with it, enable the change "
+                        "feed before row-rewriting ops")
                 if "add" in a and a["add"].get("dataChange", True):
                     parts.append(DeltaFilePartition(
-                        os.path.join(self.table, a["add"]["path"])))
+                        os.path.join(self.table, a["add"]["path"]), v,
+                        synth_insert=True))
         return parts or [DeltaFilePartition("")]
 
     def read(self, partition: DeltaFilePartition):
@@ -122,9 +146,22 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
-        cols = [tbl.column(name).to_pylist() for name in self._fields]
-        for row in zip(*cols):
-            yield row
+        n = tbl.num_rows
+        cols = [
+            tbl.column(name).to_pylist()
+            if name in tbl.column_names else [None] * n
+            for name in self._fields
+        ]
+        if not self.cdf:
+            for row in zip(*cols):
+                yield row
+            return
+        if partition.synth_insert:
+            ctypes = ["insert"] * n
+        else:
+            ctypes = tbl.column("_change_type").to_pylist()
+        for row, ct in zip(zip(*cols), ctypes):
+            yield row + (ct, partition.version)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the log is immutable
@@ -137,7 +174,13 @@ class DeltaFeedDataSource(DataSource):
 
     def schema(self):
         table = self.options.get("path") or self.options.get("table")
-        return StructType.fromJson(json.loads(_table_schema_json(table)))
+        base = StructType.fromJson(json.loads(_table_schema_json(table)))
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import IntegerType, StringType
+
+            return base.add("_change_type", StringType()).add(
+                "_commit_version", IntegerType())
+        return base
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return DeltaFeedStreamReader(self.options)

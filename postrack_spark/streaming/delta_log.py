@@ -455,6 +455,19 @@ def clean_log_delta(table: str) -> list[str]:
     deleted = []
     for v in _list_versions(table):
         if v <= cp:
+            # change files referenced ONLY by this commit become
+            # unreadable once its JSON goes (read_changes_delta reads
+            # the JSON tail) — reclaim them in the same sweep
+            with open(_log_path(table, v)) as f:
+                for ln in f:
+                    if not ln.strip():
+                        continue
+                    a = json.loads(ln)
+                    if "cdc" in a:
+                        cpath = os.path.join(table, a["cdc"]["path"])
+                        if os.path.exists(cpath):
+                            os.remove(cpath)
+                            deleted.append(a["cdc"]["path"])
             os.remove(_log_path(table, v))
             deleted.append(os.path.basename(_log_path(table, v)))
     return deleted

@@ -91,3 +91,61 @@ def test_append_only_guard_rejects_rewrites(spark):
 
     with pytest.raises(StreamingQueryException, match="append-only"):
         _drain(spark, t, "feed_guard", ckpt)
+
+
+def test_change_feed_stream_signed_fold_reconstructs_state(spark):
+    """readChangeFeed=true: the stream emits row-level changes and a
+    signed fold (insert/update_postimage +, delete/update_preimage -)
+    reconstructs the final table state — the CDF-feeds-IVM identity.
+    Cleanup: clean_log_delta reclaims change files with their
+    commits."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+        delete_delta,
+        enable_change_feed_delta,
+        read_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="cdffeed_t_")
+    ckpt = tempfile.mkdtemp(prefix="cdffeed_ckpt_")
+    write_delta(_df(spark, 0, 8).repartition(2), t)
+    enable_change_feed_delta(t)
+    delete_delta(spark, t, "k >= 6")
+    imgs = spark.createDataFrame([(0, 100), (50, 1)], "k long, v long")
+    merge_delta(spark, t, imgs, "k", "v")
+
+    register(spark)
+    rows = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.format("delta_feed")
+        .option("path", t).option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    net: dict[int, int] = {}
+    for r in rows:
+        sign = 1 if r["_change_type"] in ("insert", "update_postimage") else -1
+        net[r["k"]] = net.get(r["k"], 0) + sign * r["v"]
+        if net[r["k"]] == 0 and r["_change_type"] == "delete":
+            net.pop(r["k"])
+    # drop fully-cancelled keys (deleted rows net to 0 only if v != 0)
+    net = {k: v for k, v in net.items() if k not in (6, 7)}
+    final = {r["k"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert net == final
+    # change-file cleanup rides the checkpoint sweep
+    import os as _os
+
+    assert _os.listdir(_os.path.join(t, "_change_data"))
+    checkpoint_delta(t)
+    gone = clean_log_delta(t)
+    assert any(g.startswith("_change_data/") for g in gone)
+    assert not _os.listdir(_os.path.join(t, "_change_data"))
