@@ -2670,6 +2670,80 @@ def streaming_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_lakehouse_timestamp_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ev AS (SELECT * FROM base WHERE o_orderkey % 2 = 0)
+    SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS rows_asof,
+           CAST((SELECT sum(cents) FROM ev) AS BIGINT) AS cents_asof,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_latest,
+           CAST((SELECT sum(cents) FROM base) AS BIGINT) AS cents_latest,
+           true AS engines_agree
+    FROM base LIMIT 1
+    """,
+)
+def cdc_lakehouse_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF across BOTH table formats — the time-travel
+    surface users actually type: Delta resolves the newest commit
+    whose commit-file mtime is at or before the instant (delta-spark's
+    rule), Iceberg resolves through the snapshot log's timestamp-ms
+    (the spec's rule). Even-key orders land first in both formats, a
+    wall-clock instant is captured, odd keys land after it; reading
+    TIMESTAMP AS OF that instant must return exactly the first commit
+    in BOTH engines (engines_agree gates the cross-format identity of
+    the as-of rollup), while the latest read sees everything. The
+    resolution edge cases (clamp after last, raise before first,
+    mutually-exclusive selectors) are pinned in
+    tests/test_delta_log.py and tests/test_iceberg.py with explicit
+    clocks."""
+    import tempfile as _tf
+    import time as _time
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import read_delta, write_delta
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    evens = base.filter(F.col("o_orderkey") % 2 == 0)
+    odds = base.filter(F.col("o_orderkey") % 2 == 1)
+    dt = _tf.mkdtemp(prefix="delta_ts_q_")
+    it = _tf.mkdtemp(prefix="ice_ts_q_")
+    write_delta(evens, dt)
+    append_iceberg(evens, it)
+    _time.sleep(0.05)
+    ts_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_delta(odds, dt)
+    append_iceberg(odds, it)
+
+    d_asof = read_delta(spark, dt, timestamp_ms=ts_mid).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c")).collect()[0]
+    i_asof = read_iceberg(spark, it, timestamp_ms=ts_mid).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c")).collect()[0]
+    agree = (d_asof["n"], d_asof["c"]) == (i_asof["n"], i_asof["c"])
+    latest = read_delta(spark, dt).agg(
+        F.count("*").cast("long").alias("rows_latest"),
+        F.sum("cents").cast("long").alias("cents_latest"))
+    return latest.select(
+        F.lit(d_asof["n"]).cast("long").alias("rows_asof"),
+        F.lit(d_asof["c"]).cast("long").alias("cents_asof"),
+        "rows_latest", "cents_latest",
+        F.lit(agree).alias("engines_agree"),
+    )
+
+
+@query(
     "streaming_delta_cdf_consume",
     oracle="""
     WITH base AS (

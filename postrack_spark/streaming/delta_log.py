@@ -654,12 +654,37 @@ def drop_check_constraint_delta(table: str, name: str) -> int:
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
+def version_at_timestamp_delta(table: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    file landed at or before ``ts_ms`` (delta-spark's rule — commit
+    file modification time is the commit's public timestamp). A
+    timestamp before the first commit raises; one after the last
+    resolves to the last (the protocol's clamp)."""
+    versions = _list_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log under {table}")
+    best = None
+    for v in versions:
+        mtime_ms = int(os.path.getmtime(_log_path(table, v)) * 1000)
+        if mtime_ms <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} precedes the first commit of {table}")
+    return best
+
+
 def read_delta(spark: SparkSession, table: str,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None,
+               timestamp_ms: int | None = None) -> DataFrame:
     """Snapshot read (latest, or time travel to ``version``). Live
     files carrying deletion vectors read through the DV filter
     (streaming/deletion_vectors.py) — marked rows drop at scan time;
     DV-free snapshots keep the plain pushdown-friendly scan."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        version = version_at_timestamp_delta(table, timestamp_ms)
     acts, schema_string, _v = _snapshot_actions(table, version)
     schema = StructType.fromJson(json.loads(schema_string))
     if not acts:

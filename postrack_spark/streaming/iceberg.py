@@ -788,7 +788,8 @@ def read_iceberg(spark: SparkSession, table: str,
                  partition_filter: dict | None = None,
                  stats_filter: dict | None = None,
                  scan_stats: dict | None = None,
-                 ref: str | None = None) -> DataFrame:
+                 ref: str | None = None,
+                 timestamp_ms: int | None = None) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``).
     On format-version 2 tables, position deletes apply as a broadcast
     anti-join on (file, row position) and EQUALITY deletes as
@@ -821,6 +822,19 @@ def read_iceberg(spark: SparkSession, table: str,
         raise FileNotFoundError(f"no iceberg metadata under {table}")
     if meta["format-version"] not in (1, 2):
         raise NotImplementedError("only format-version 1/2 readable here")
+    if timestamp_ms is not None:
+        # TIMESTAMP AS OF (the spec's snapshot-log rule): newest
+        # snapshot with timestamp-ms at or before the asked instant
+        if snapshot_id is not None or ref is not None:
+            raise ValueError(
+                "pass exactly one of snapshot_id / ref / timestamp_ms")
+        eligible = [s2 for s2 in meta["snapshots"]
+                    if s2["timestamp-ms"] <= timestamp_ms]
+        if not eligible:
+            raise ValueError(
+                f"timestamp {timestamp_ms} precedes the first snapshot")
+        snapshot_id = max(eligible, key=lambda s2: s2["timestamp-ms"])[
+            "snapshot-id"]
     if ref is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id or ref, not both")

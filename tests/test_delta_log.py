@@ -1128,3 +1128,30 @@ def test_change_feed_gdpr_delete_keys(spark):
     ch = read_changes_delta(spark, t, v_d, v_d).collect()
     assert sorted((r["_change_type"], r["k"]) for r in ch) == [
         ("delete", 2), ("delete", 5)]
+
+
+def test_timestamp_as_of_resolution(spark):
+    """TIMESTAMP AS OF: commit-file mtime is the commit's public
+    timestamp (delta-spark's rule). Pinned with explicit utimes so
+    the test owns the clock."""
+    from postrack_spark.streaming.delta_log import (
+        _log_path,
+        version_at_timestamp_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_ts_")
+    write_delta(_df(spark, 0, 3), t)
+    write_delta(_df(spark, 3, 5), t)
+    os.utime(_log_path(t, 0), (1000, 1000))      # T0 = 1_000_000 ms
+    os.utime(_log_path(t, 1), (2000, 2000))      # T1 = 2_000_000 ms
+    assert version_at_timestamp_delta(t, 1_000_000) == 0
+    assert version_at_timestamp_delta(t, 1_500_000) == 0
+    assert version_at_timestamp_delta(t, 2_000_000) == 1
+    assert version_at_timestamp_delta(t, 9_999_999) == 1  # clamp
+    with pytest.raises(ValueError, match="precedes"):
+        version_at_timestamp_delta(t, 999_999)
+    got = sorted(r["k"] for r in read_delta(
+        spark, t, timestamp_ms=1_500_000).collect())
+    assert got == [0, 1, 2]
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, t, version=0, timestamp_ms=1_500_000)

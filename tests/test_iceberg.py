@@ -1022,3 +1022,52 @@ def test_fast_forward_refuses_diverged_main(spark):
     append_iceberg(_df(spark, 4, 6), t)  # main moves independently
     with pytest.raises(ValueError, match="not a fast-forward"):
         fast_forward_iceberg(t, "b")
+
+
+def test_equality_delete_read_plan_shape(spark):
+    """The MOR read's delete application must plan as BROADCAST
+    anti-joins (the delete side is metadata-small by construction) —
+    a sort-merge anti-join here would shuffle the whole data side per
+    delete group, the scale bug this audit exists to catch."""
+    from postrack_spark.plans.explain import explain_string
+    from postrack_spark.streaming.iceberg import delete_keys_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_plan_")
+    append_iceberg(_kv(spark, [(i, f"v{i}", 1) for i in range(20)]), t,
+                   format_version=2)
+    delete_keys_iceberg(spark, t, spark.createDataFrame(
+        [(3,), (5,)], "k bigint"))
+    df = read_iceberg(spark, t)
+    plan = explain_string(df, "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_timestamp_as_of_resolution(spark):
+    """TIMESTAMP AS OF via the snapshot log's timestamp-ms (the
+    spec's rule): newest snapshot at or before the instant."""
+    import json as _json
+
+    t = tempfile.mkdtemp(prefix="ice_ts_")
+    s1 = append_iceberg(_df(spark, 0, 3), t)
+    s2 = append_iceberg(_df(spark, 3, 5), t)
+    # pin the snapshot clock explicitly (same-ms commits are real)
+    md = os.path.join(t, "metadata")
+    with open(os.path.join(md, "version-hint.text")) as f:
+        v = int(f.read())
+    mp = os.path.join(md, f"v{v}.metadata.json")
+    with open(mp) as f:
+        meta = _json.load(f)
+    for sn in meta["snapshots"]:
+        sn["timestamp-ms"] = 1_000_000 if sn["snapshot-id"] == s1 else 2_000_000
+    with open(mp, "w") as f:
+        _json.dump(meta, f)
+    got = sorted(r["k"] for r in read_iceberg(
+        spark, t, timestamp_ms=1_500_000).collect())
+    assert got == [0, 1, 2]
+    assert read_iceberg(spark, t, timestamp_ms=2_000_001).count() == 5
+    with pytest.raises(ValueError, match="precedes"):
+        read_iceberg(spark, t, timestamp_ms=999_999)
+    with pytest.raises(ValueError, match="exactly one"):
+        read_iceberg(spark, t, snapshot_id=s2, timestamp_ms=1_500_000)
