@@ -553,3 +553,36 @@ def somers_d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             "n_total",
         )
     )
+
+
+def cochran_armitage(df: DataFrame, dose_col: str,
+                     success_col: str) -> DataFrame:
+    """Cochran-Armitage TREND test for a 2 x k table, exact integers:
+    1-row (t_num, r_total, n_total, s1, s2) with the dose VALUE as
+    the score (the standard choice for equally-spaced integer doses).
+    With group sizes n_i, successes r_i, scores w_i, N = sum n_i,
+    R = sum r_i: t_num = N*sum(w_i r_i) - R*sum(w_i n_i), s1 =
+    sum(w_i n_i), s2 = sum(w_i^2 n_i). Downstream Z^2 =
+    (N-1) * t_num^2 / (R*(N-R)*(N*s2 - s1^2)) — a pure rational of
+    the returned integers, so the cross-engine gate never touches a
+    float. One partial-agg groupBy then a 1-row combine; no windows,
+    no collect."""
+    g = (
+        df.select(F.col(dose_col).cast("long").alias("d"),
+                  F.col(success_col).cast("long").alias("s"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("s").cast("long").alias("r"))
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("r").cast("long").alias("r_total"),
+        F.sum(F.col("d") * F.col("n")).cast("long").alias("s1"),
+        F.sum(F.col("d") * F.col("d") * F.col("n")).cast("long").alias("s2"),
+        F.sum(F.col("d") * F.col("r")).cast("long").alias("wr"),
+    )
+    return tot.select(
+        (F.col("n_total") * F.col("wr")
+         - F.col("r_total") * F.col("s1")).cast("long").alias("t_num"),
+        "r_total", "n_total", "s1", "s2",
+    )

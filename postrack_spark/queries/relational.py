@@ -3695,6 +3695,66 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_iceberg_rollback",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ev AS (SELECT * FROM base WHERE o_orderkey % 2 = 0)
+    SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS rows_current,
+           CAST((SELECT sum(cents) FROM ev) AS BIGINT) AS cents_current,
+           CAST((SELECT count(*) FROM base) AS BIGINT) AS rows_undone,
+           true AS metadata_only
+    FROM base LIMIT 1
+    """,
+)
+def source_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollback_to_snapshot — the Iceberg undo button next to Delta's
+    RESTORE (cdc_delta_restore_rollforward): a bad append is undone by
+    moving main back to its ancestor in ONE metadata-only commit
+    (metadata_only gates that the data directory is byte-identical
+    across the rollback), while the undone snapshot remains readable
+    by id (rows_undone re-reads it — append-only history keeps the
+    incident auditable). Ancestry is walked over parent-snapshot-id;
+    a non-ancestor target raises rather than teleporting main."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        read_iceberg,
+        rollback_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_rb_q_")
+    s1 = append_iceberg(base.filter(F.col("o_orderkey") % 2 == 0), table)
+    s2 = append_iceberg(base.filter(F.col("o_orderkey") % 2 == 1), table)
+
+    def _data_files():
+        d = _os.path.join(table, "data")
+        return sorted((f, _os.path.getsize(_os.path.join(d, f)))
+                      for f in _os.listdir(d))
+
+    files_before = _data_files()
+    rollback_iceberg(table, s1)
+    metadata_only = _data_files() == files_before
+    cur = read_iceberg(spark, table).agg(
+        F.count("*").cast("long").alias("rows_current"),
+        F.sum("cents").cast("long").alias("cents_current"))
+    undone = read_iceberg(spark, table, snapshot_id=s2).count()
+    return cur.select(
+        "rows_current", "cents_current",
+        F.lit(undone).cast("long").alias("rows_undone"),
+        F.lit(metadata_only).alias("metadata_only"),
+    )
+
+
+@query(
     "cdc_iceberg_wap_publish",
     oracle="""
     WITH base AS (
@@ -4305,6 +4365,57 @@ def sql_parameterized_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         " USING '1-URGENT'"
     )
     return ei.unionByName(named).orderBy("lane")
+
+
+@query(
+    "scalar_variant_json",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+    )
+    SELECT k % 8 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           true AS missing_all_null,
+           true AS schema_uniform
+    FROM e GROUP BY 1 ORDER BY 1
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the semi-structured type that replaces
+    string-JSON wrangling: events.props parses ONCE into a variant
+    (parse_json), fields extract with typed paths (variant_get),
+    absent paths return NULL through try_variant_get instead of
+    erroring (missing_all_null gates exactly that on every row), and
+    schema_of_variant proves the corpus uniform (schema_uniform gates
+    one distinct inferred shape). Unlike get_json_object's re-parse
+    per extraction, the variant encoding is a binary tree parsed once
+    per row — the 100 TB difference for multi-field extraction. The
+    oracle reaches the same rollup through DuckDB's JSON lane."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(F.parse_json("props").alias("v"))
+    proj = e.select(
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.does_not_exist', 'int')").alias("m"),
+        F.expr("schema_of_variant(v)").alias("sch"),
+    )
+    certs = proj.agg(
+        (F.count(F.col("m")) == 0).alias("missing_all_null"),
+        (F.countDistinct("sch") == 1).alias("schema_uniform"),
+    ).collect()[0]
+    return (
+        proj.groupBy(F.pmod(F.col("k"), F.lit(8)).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .select(
+            "bucket", "n", "sum_k",
+            F.lit(bool(certs["missing_all_null"])).alias("missing_all_null"),
+            F.lit(bool(certs["schema_uniform"])).alias("schema_uniform"),
+        )
+        .orderBy("bucket")
+    )
 
 
 @query(

@@ -6455,3 +6455,47 @@ def agg_somers_d_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)").alias("y"),
     )
     return somers_d(obs, "x", "y")
+
+
+@query(
+    "agg_cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+      SELECT l_linenumber AS d, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(r) AS BIGINT) AS r_total,
+             CAST(sum(d * n) AS BIGINT) AS s1,
+             CAST(sum(d * d * n) AS BIGINT) AS s2,
+             CAST(sum(d * r) AS BIGINT) AS wr
+      FROM g
+    )
+    SELECT CAST(n_total * wr - r_total * s1 AS BIGINT) AS t_num,
+           r_total, n_total, s1, s2
+    FROM tot
+    """,
+)
+def agg_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test — does the probability that a line
+    item is RETURNED trend with its position in the order
+    (l_linenumber 1..7, a genuinely ordered integer dose)? The 2 x k
+    chi-square would only say 'differs somewhere'; CA asks the sharper
+    monotone question with one degree of freedom. All five statistic
+    pieces are exact integers (operators/stats.cochran_armitage, dose
+    value as score; brute-force hypothesis model in
+    tests/test_stats_models.py); the normal deviate Z^2 =
+    (N-1)*t_num^2 / (R*(N-R)*(N*s2 - s1^2)) is a pure rational of the
+    output. One partial-agg groupBy over 600k rows at sf0.1, then a
+    1-row combine — no windows, no collect."""
+    from postrack_spark.operators.stats import cochran_armitage
+
+    t = load_tables(spark, sf_dir)
+    obs = t["lineitem"].select(
+        F.col("l_linenumber").alias("d"),
+        (F.col("l_returnflag") == "R").alias("s"),
+    )
+    return cochran_armitage(obs, "d", "s")

@@ -1436,6 +1436,46 @@ def fast_forward_iceberg(table: str, branch: str) -> int:
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
 
+def rollback_iceberg(table: str, snapshot_id: int) -> int:
+    """rollback_to_snapshot (spec maintenance action) — the Iceberg
+    twin of delta_log.restore_delta: move main back to an ANCESTOR
+    snapshot in one metadata-only commit. History is append-only —
+    the rolled-back snapshots stay time-travelable (the incident
+    remains auditable) until expire_snapshots, and the rollback
+    itself can be rolled forward again via fast_forward semantics.
+    Requires the target to be an ancestor of the current main head
+    (walked via parent-snapshot-id); anything else raises — use tags
+    or branches for non-linear jumps. Returns the new metadata
+    version."""
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        _snapshot(meta, snapshot_id)  # must exist
+        parents = {sn["snapshot-id"]: sn.get("parent-snapshot-id")
+                   for sn in meta["snapshots"]}
+        cur: int | None = meta["current-snapshot-id"]
+        while cur is not None and cur != snapshot_id:
+            cur = parents.get(cur)
+        if cur != snapshot_id:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of main "
+                f"{meta['current-snapshot-id']}: not a rollback")
+        if meta["current-snapshot-id"] == snapshot_id:
+            return meta["last-version"]
+        version = meta["last-version"] + 1
+        new_meta = dict(meta)
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-version"] = version
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _commit_metadata(table, version, new_meta)
+            return version
+        except IcebergCommitConflict:
+            continue
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
 def last_committed_batch_iceberg(table: str, app_id: str) -> int | None:
     """Highest streaming batch id committed for ``app_id``, read from
     snapshot SUMMARIES — the Iceberg idiom for exactly-once streaming

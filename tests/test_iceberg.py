@@ -1071,3 +1071,27 @@ def test_timestamp_as_of_resolution(spark):
         read_iceberg(spark, t, timestamp_ms=999_999)
     with pytest.raises(ValueError, match="exactly one"):
         read_iceberg(spark, t, snapshot_id=s2, timestamp_ms=1_500_000)
+
+
+def test_rollback_to_ancestor_and_refusals(spark):
+    """rollback_iceberg: main moves back to an ancestor in one
+    metadata-only commit; the undone snapshot stays readable by id
+    (append-only history); non-ancestors refuse."""
+    from postrack_spark.streaming.iceberg import rollback_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_rb_")
+    s1 = append_iceberg(_df(spark, 0, 3), t)
+    s2 = append_iceberg(_df(spark, 3, 6), t)
+    s3 = append_iceberg(_df(spark, 6, 9), t)
+    rollback_iceberg(t, s1)
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == [0, 1, 2]
+    # undone history still time-travels
+    assert sorted(r["k"] for r in read_iceberg(spark, t, snapshot_id=s3).collect()) == list(range(9))
+    # after rollback, s2/s3 are no longer ancestors of main
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rollback_iceberg(t, s3)
+    # appends continue from the rolled-back head
+    append_iceberg(_df(spark, 100, 102), t)
+    assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == [0, 1, 2, 100, 101]
+    with pytest.raises(FileNotFoundError, match="snapshot 999"):
+        rollback_iceberg(t, 999)

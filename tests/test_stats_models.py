@@ -382,3 +382,35 @@ def test_somers_d_matches_bruteforce(spark, pairs):
     assert (row["concordant"], row["discordant"]) == (c, d)
     assert (row["d_num"], row["d_den_x2"], row["n_total"]) == (num, den, n)
     assert abs(row["d_num"]) * 2 <= row["d_den_x2"] or row["d_den_x2"] == 0
+
+
+def _model_cochran_armitage(pairs):
+    """Brute-force CA pieces from (dose, success) pairs."""
+    n_total = len(pairs)
+    r_total = sum(s for _, s in pairs)
+    s1 = sum(d for d, _ in pairs)
+    s2 = sum(d * d for d, _ in pairs)
+    wr = sum(d * s for d, s in pairs)
+    return n_total * wr - r_total * s1, r_total, n_total, s1, s2
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 1)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cochran_armitage_matches_bruteforce(spark, pairs):
+    from postrack_spark.operators.stats import cochran_armitage
+
+    df = spark.createDataFrame(pairs, "d long, s long")
+    row = cochran_armitage(df, "d", "s").collect()[0]
+    t, r, n, s1, s2 = _model_cochran_armitage(pairs)
+    assert (row["t_num"], row["r_total"], row["n_total"],
+            row["s1"], row["s2"]) == (t, r, n, s1, s2)
