@@ -1652,6 +1652,8 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
         "partition-spec": [],
         "properties": {"delta.sync": "true"},
         "current-snapshot-id": snapshot_id,
+        # tags/branches made against earlier syncs survive re-sync
+        "refs": (current or {}).get("refs", {}),
         "snapshots": snapshots,
         "last-version": version,
     }
