@@ -1155,3 +1155,53 @@ def test_timestamp_as_of_resolution(spark):
     assert got == [0, 1, 2]
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, t, version=0, timestamp_ms=1_500_000)
+
+
+def test_restore_commit_documented_as_pre_cdf_history(spark):
+    """RESTORE commits add/remove actions WITHOUT change files — by
+    design its row-level delta is derivable from the two snapshots it
+    bridges, so read_changes_delta refuses to span it (the same
+    never-fabricate-history rule as pre-enable rewrites). Pinned here
+    so a future CDF-for-restore feature changes this test, not silently
+    the semantics."""
+    from postrack_spark.streaming.delta_log import (
+        enable_change_feed_delta,
+        read_changes_delta,
+        restore_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_rstcdf_")
+    write_delta(_df(spark, 0, 4), t)                 # v0
+    enable_change_feed_delta(t)                      # v1
+    write_delta(_df(spark, 4, 6), t)                 # v2
+    v_rst = restore_delta(t, 0)                      # v3: removes v2's files
+    assert v_rst == 3
+    # ranges that stop BEFORE the restore still read fine
+    ch = read_changes_delta(spark, t, 0, 2).collect()
+    assert sorted(r["k"] for r in ch) == list(range(6))
+    with pytest.raises(ValueError, match="without change files"):
+        read_changes_delta(spark, t, 0, v_rst)
+
+
+def test_clone_of_cdf_table_keeps_constraints_and_feed_property(spark):
+    """Shallow clone copies the source's schemaString but builds fresh
+    metadata: table CONFIGURATION (constraints, CDF flag) is
+    deliberately NOT inherited — the clone is a fork, not a replica;
+    pinned so inheritance becomes an explicit decision if wanted."""
+    from postrack_spark.streaming.delta_log import (
+        _replay,
+        add_check_constraint_delta,
+        clone_delta,
+        enable_change_feed_delta,
+    )
+
+    src = tempfile.mkdtemp(prefix="delta_clcfg_src_")
+    write_delta(_df(spark, 0, 4), src)
+    enable_change_feed_delta(src)
+    add_check_constraint_delta(spark, src, "nonneg", "v >= 0")
+    dst = tempfile.mkdtemp(prefix="delta_clcfg_dst_")
+    clone_delta(src, dst)
+    _l, _s, _v, _t, cfg = _replay(dst, None)
+    assert cfg == {}  # fork semantics: config starts clean
+    # and the clone accepts writes the source would reject
+    write_delta(spark.createDataFrame([(9, -9)], "k long, v long"), dst)

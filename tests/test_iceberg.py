@@ -1095,3 +1095,58 @@ def test_rollback_to_ancestor_and_refusals(spark):
     assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == [0, 1, 2, 100, 101]
     with pytest.raises(FileNotFoundError, match="snapshot 999"):
         rollback_iceberg(t, 999)
+
+
+def test_concurrent_append_during_equality_delete_retries_safely(
+        spark, monkeypatch):
+    """delete_keys_iceberg uses plain-append OCC (staged key bytes are
+    snapshot-independent): a concurrent append landing between its
+    read and commit must force a version rebase WITHOUT losing either
+    the appended rows or the delete."""
+    from postrack_spark.streaming import iceberg
+    from postrack_spark.streaming.iceberg import delete_keys_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_eqocc_")
+    append_iceberg(_kv(spark, [(i, f"v{i}", 1) for i in range(6)]), t,
+                   format_version=2)
+    orig = iceberg._commit_metadata
+    fired = {"done": False}
+
+    def inject(table_, version, meta):
+        if not fired["done"] and any(
+                s.get("summary", {}).get("operation") == "delete"
+                for s in meta.get("snapshots", [])[-1:]):
+            fired["done"] = True
+            append_iceberg(_kv(spark, [(99, "new", 2)]), t,
+                           format_version=2)
+        return orig(table_, version, meta)
+
+    monkeypatch.setattr(iceberg, "_commit_metadata", inject)
+    delete_keys_iceberg(spark, t, spark.createDataFrame([(2,)], "k bigint"))
+    assert fired["done"]
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == [0, 1, 3, 4, 5, 99]
+
+
+def test_iceberg_feed_raises_on_branch_histories(spark):
+    """The incremental feed assumes LINEAR main-line history: a
+    snapshot staged on an unpublished branch looks like a rewrite to
+    the set differ and must raise rather than leak unpublished data
+    into downstream consumers."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from postrack_spark.sources.iceberg_feed import register
+
+    t = tempfile.mkdtemp(prefix="ice_feedbr_")
+    append_iceberg(_df(spark, 0, 3), t)
+    append_iceberg(_df(spark, 3, 5), t, branch="staging")
+    append_iceberg(_df(spark, 5, 7), t)  # main moves past the branch
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="ice_feedbr_ckpt_")
+    q = (spark.readStream.format("iceberg_feed").option("path", t).load()
+         .writeStream.format("memory").queryName("feedbr_q")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    with _pytest.raises(StreamingQueryException, match="append-only"):
+        q.awaitTermination()
