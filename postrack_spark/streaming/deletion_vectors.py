@@ -235,7 +235,9 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
     compose and a re-matched already-deleted row adds nothing."""
     from postrack_spark.streaming.delta_log import (
         DeltaCommitConflict,
-        _snapshot_actions,
+        _cdf_enabled,
+        _replay,
+        _write_change_files,
         commit_delta,
         latest_version,
     )
@@ -243,7 +245,8 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
     inline_cap = (INLINE_DV_MAX_BYTES if inline_max_bytes is None
                   else inline_max_bytes)
     for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
-        acts, schema_string, read_v = _snapshot_actions(table, None)
+        live_map, schema_string, read_v, _t, config = _replay(table, None)
+        acts = list(live_map.items())
         adds = dict(acts)
         schema = StructType.fromJson(json.loads(schema_string))
         root = os.path.abspath(table)
@@ -354,8 +357,19 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
                 }
             add["dataChange"] = True
             new_adds.append({"add": add})
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(config):
+            # CHANGE FEED rows = the NEWLY deleted rows only: apply
+            # the matcher to the DV-FILTERED live view (old marks
+            # applied), so re-deleting an already-marked row emits
+            # nothing — matching n_new's new-minus-old accounting
+            visible = dv_filter(live, table, existing, schema)
+            cdc_actions = _write_change_files(
+                matcher(visible).withColumn(
+                    "_change_type", F.lit("delete")), table)
         try:
-            commit_delta(table, read_v + 1, removes + new_adds)
+            commit_delta(table, read_v + 1,
+                         removes + new_adds + cdc_actions)
             return read_v + 1, n_new, len(written)
         except DeltaCommitConflict:
             continue  # recompute matches + merged bitmaps from new snapshot

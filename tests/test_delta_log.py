@@ -1205,3 +1205,32 @@ def test_clone_of_cdf_table_keeps_constraints_and_feed_property(spark):
     assert cfg == {}  # fork semantics: config starts clean
     # and the clone accepts writes the source would reject
     write_delta(spark.createDataFrame([(9, -9)], "k long, v long"), dst)
+
+
+def test_change_feed_covers_dv_deletes_and_stacking(spark):
+    """MOR (deletion-vector) deletes participate in the change feed:
+    the marked rows emit as 'delete' change rows in the SAME commit,
+    and a STACKED delete re-matching already-marked rows emits only
+    the NEWLY deleted ones (the new-minus-old rule n_deleted already
+    follows). read_changes_delta then spans DV-delete commits instead
+    of refusing them."""
+    from postrack_spark.streaming.delta_log import (
+        enable_change_feed_delta,
+        read_changes_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = tempfile.mkdtemp(prefix="delta_cdfdv_")
+    write_delta(_df(spark, 0, 8).repartition(2), t)   # v0
+    enable_change_feed_delta(t)                        # v1
+    v_a, n_a, _ = delete_delta_dv(spark, t, "k >= 6")  # v2
+    assert n_a == 2
+    # overlapping predicate: k>=5 re-matches 6,7 (already marked)
+    v_b, n_b, _ = delete_delta_dv(spark, t, "k >= 5")  # v3
+    assert n_b == 1
+    ch = read_changes_delta(spark, t, 0, v_b).collect()
+    dels = sorted((r["_commit_version"], r["k"]) for r in ch
+                  if r["_change_type"] == "delete")
+    assert dels == [(v_a, 6), (v_a, 7), (v_b, 5)]
+    assert sorted(r["k"] for r in ch if r["_change_type"] == "insert") == list(range(8))
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(range(5))
