@@ -125,6 +125,19 @@ class IcebergFeedStreamReader(DataSourceStreamReader):
         os.replace(tmp, self._progress_path())
         meta = _current_metadata(self.table)
         sids = sorted(s["snapshot-id"] for s in meta["snapshots"])
+        # the checkpointed offset snapshot is the DIFF BASE for the
+        # first unconsumed snapshot: if snapshot expiry removed it,
+        # the differ would fall back to an empty (or far-older)
+        # predecessor and re-emit every carried-forward file as
+        # "added" — silent duplicates from a source that promises
+        # exactly-once tailing. Raise instead (ADVICE r6): the
+        # operator expired history past a live consumer's offset.
+        if start["sid"] > 0 and start["sid"] not in sids:
+            raise ValueError(
+                f"iceberg_feed: checkpointed offset snapshot "
+                f"{start['sid']} was expired from the table — cannot "
+                "establish the incremental diff base; re-seed the "
+                "consumer (expire_snapshots ran past a live offset)")
         parts: list[IcebergFilePartition] = []
         prev_data: set[str] | None = None
         prev_del: set[str] | None = None

@@ -837,7 +837,16 @@ def read_changes_delta(spark: SparkSession, table: str,
     inserts (append synthesis); a commit that rewrites data
     (dataChange=true removes) WITHOUT change files raises — history
     before enable_change_feed_delta cannot be reconstructed, and
-    guessing would fabricate rows."""
+    guessing would fabricate rows.
+
+    Contract notes for merge_delta commits: change rows are
+    CHANGED-ROWS-ONLY (a batch key whose table row won against a
+    stale image emits nothing — no no-op pre/post pairs), and because
+    merge RETAINS op='DELETE' tombstones as table rows, a tombstone
+    for a brand-new key surfaces as _change_type='insert' of that
+    op='DELETE' row and a tombstone superseding a live key as an
+    update to it — the feed mirrors the table's rows; consumers apply
+    the same op filter they apply to the table."""
     if to_version is None:
         to_version = latest_version(table)
     _l, schema_string, _v, _t, _cfg = _replay(table, None)
@@ -1059,8 +1068,9 @@ def restore_delta(table: str, version: int) -> int:
     restoring past a vacuum horizon raises instead of committing a
     snapshot with holes. Snapshot-pinned OCC like every COW op.
     Returns the committed version (read version if already equal)."""
-    target_acts, target_schema, _tv = _snapshot_actions(table, version)
-    target = dict(target_acts)
+    target_live, target_schema, _tv, _txns, target_config = _replay(
+        table, version)
+    target = dict(target_live)
     missing = [p for p in target
                if not os.path.exists(os.path.join(table, p))]
     for p, a in target.items():
@@ -1073,8 +1083,9 @@ def restore_delta(table: str, version: int) -> int:
             f"restore to version {version} needs vacuumed files: "
             f"{sorted(missing)[:5]}{'...' if len(missing) > 5 else ''}")
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
-        cur_acts, cur_schema, read_v = _snapshot_actions(table, None)
-        cur = dict(cur_acts)
+        cur_live, cur_schema, read_v, _ctxns, cur_config = _replay(
+            table, None)
+        cur = dict(cur_live)
         adds = [{"add": a} for p, a in sorted(target.items())
                 if cur.get(p) != a]
         removes = [{"remove": {
@@ -1082,13 +1093,18 @@ def restore_delta(table: str, version: int) -> int:
             "dataChange": True,
         }} for p in sorted(cur) if p not in target]
         actions: list[dict] = []
-        if target_schema != cur_schema:
+        # metaData restores the TARGET's schema AND configuration
+        # (delta-spark RESTORE semantics: the whole snapshot comes
+        # back, not just the file set). Emitting configuration:{}
+        # here used to silently erase CHECK constraints and the CDF
+        # flag across a schema-changing restore (ADVICE r6).
+        if target_schema != cur_schema or target_config != cur_config:
             actions.append({"metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": target_schema,
                 "partitionColumns": [],
-                "configuration": {},
+                "configuration": dict(target_config),
                 "createdTime": int(time.time() * 1000),
             }})
         actions += adds + removes
@@ -1169,12 +1185,31 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
                         if survivors is not None else None)
             if old_rows is not None:
                 old_keys = old_rows.select(key_col).distinct()
-                pre = old_rows.withColumn(
-                    "_change_type", F.lit("update_preimage"))
-                post = flat.join(F.broadcast(keyset), key_col, "left_semi"
-                                 ).join(F.broadcast(old_keys), key_col,
-                                        "left_semi").withColumn(
-                    "_change_type", F.lit("update_postimage"))
+                post_cand = flat.join(
+                    F.broadcast(keyset), key_col, "left_semi"
+                ).join(F.broadcast(old_keys), key_col, "left_semi")
+                # changed-rows-only (the delta-spark CDF contract,
+                # ADVICE r6): a key whose TABLE row won against a
+                # stale batch image is rewritten bytes, not a logical
+                # change — emitting pre+post for it would make the
+                # feed claim updates that never happened. A key is
+                # changed iff some old row differs from the winner
+                # (null-safe, all columns); multiple old rows
+                # collapsing into one winner count as changed.
+                all_cols = [key_col] + cols
+                eq = None
+                for c in all_cols:
+                    term = old_rows[c].eqNullSafe(post_cand[c])
+                    eq = term if eq is None else (eq & term)
+                changed_keys = (old_rows.join(F.broadcast(post_cand), eq,
+                                              "left_anti")
+                                .select(key_col).distinct())
+                pre = old_rows.join(
+                    F.broadcast(changed_keys), key_col, "left_semi"
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                post = post_cand.join(
+                    F.broadcast(changed_keys), key_col, "left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
                 ins = flat.join(F.broadcast(keyset), key_col, "left_semi"
                                 ).join(F.broadcast(old_keys), key_col,
                                        "left_anti").withColumn(

@@ -425,8 +425,14 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     spec: list[dict] = []
     manifest_schema = _MANIFEST_SCHEMA
     if partition_by:
-        spec, plan = _resolve_partition_spec(
-            _ice_schema(df.schema)["fields"], partition_by)
+        # source-ids resolve against the LIVE table schema when one
+        # exists (field-ids are forever and never track df column
+        # order); _ice_schema(df.schema) — ids by incoming column
+        # position — is only correct at table creation (ADVICE r6)
+        pre = _current_metadata(table)
+        schema_fields = (pre["schema"]["fields"] if pre is not None
+                         else _ice_schema(df.schema)["fields"])
+        spec, plan = _resolve_partition_spec(schema_fields, partition_by)
         manifest_schema = _manifest_schema_partitioned(spec, plan)
         entries = _stage_data_files_partitioned(df, table, plan)
     else:
@@ -848,10 +854,19 @@ def read_iceberg(spark: SparkSession, table: str,
     mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
     paths: list[tuple[str, int]] = []  # (rel path, data sequence number)
     total_files = 0
-    deletes: list[tuple[str, int]] = []
+    # position-delete FILES (never their contents): the driver keeps
+    # only O(delete files) metadata — rel path + manifest-recorded
+    # record_count — and the (file, pos) pairs are decoded
+    # executor-side in _pos_delete_frame below (the round-6
+    # distributed-WRITE fix's dual; a 1e8-position delete set must
+    # never materialize as a driver Python list)
+    pos_delete_files: list[str] = []
+    pos_delete_records = 0
     # equality deletes grouped by their key-column tuple: for each key
     # tuple the MAX delete sequence wins (a delete at seq 9 subsumes
-    # one at seq 5 — both drop files below 5; only <9 matters)
+    # one at seq 5 — both drop files below 5; only <9 matters).
+    # Equality deletes stay driver-side by design: they are O(keys)
+    # CDC batches, not O(matched rows).
     eq_deletes: dict[tuple[str, ...], dict[tuple, int]] = {}
     id_to_name = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     _col_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
@@ -863,8 +878,9 @@ def read_iceberg(spark: SparkSession, table: str,
                 if e["status"] not in (ADDED, EXISTING):
                     continue
                 dfile = e["data_file"]
-                rows, _s = read_avro(_read_file(table, dfile["file_path"]))
                 if dfile.get("content", FILE_POS_DELETES) == FILE_EQ_DELETES:
+                    rows, _s = read_avro(
+                        _read_file(table, dfile["file_path"]))
                     names = tuple(
                         id_to_name[i] for i in dfile["equality_ids"])
                     bucket = eq_deletes.setdefault(names, {})
@@ -873,7 +889,8 @@ def read_iceberg(spark: SparkSession, table: str,
                         if seq > bucket.get(key, -1):
                             bucket[key] = seq
                 else:
-                    deletes.extend((r["file_path"], r["pos"]) for r in rows)
+                    pos_delete_files.append(dfile["file_path"])
+                    pos_delete_records += int(dfile.get("record_count") or 0)
             continue
         for e in entries:
             if e["status"] in (ADDED, EXISTING):
@@ -895,7 +912,7 @@ def read_iceberg(spark: SparkSession, table: str,
         return spark.createDataFrame([], ddl)
     df = spark.read.schema(ddl).parquet(
         *[os.path.join(table, p) for p, _s in paths])
-    if not deletes and not eq_deletes:
+    if not pos_delete_files and not eq_deletes:
         return df
     cols = df.columns
     root = os.path.abspath(table)
@@ -904,9 +921,16 @@ def read_iceberg(spark: SparkSession, table: str,
         _rel_path_col(root).alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    if deletes:
-        ddf = spark.createDataFrame(deletes, "_fp string, _pos long")
-        tagged = tagged.join(F.broadcast(ddf), ["_fp", "_pos"], "left_anti")
+    if pos_delete_files:
+        ddf = _pos_delete_frame(spark, root, pos_delete_files)
+        # broadcast only when the manifests PROVE the delete side is
+        # small (record_count is required file metadata, so the
+        # decision is plan-time and O(files)); past the cap, leave the
+        # strategy to Spark/AQE — a 1e8-position delete set must not
+        # be forced through a broadcast build
+        if pos_delete_records <= _POS_DELETE_BROADCAST_MAX:
+            ddf = F.broadcast(ddf)
+        tagged = tagged.join(ddf, ["_fp", "_pos"], "left_anti")
     if eq_deletes:
         # rows need their file's data sequence to scope the deletes;
         # the (file -> seq) map is O(files) metadata, broadcast
@@ -931,6 +955,45 @@ def read_iceberg(spark: SparkSession, table: str,
                 cond = cond & tagged[n].eqNullSafe(kdf[f"_eq_{n}"])
             tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
     return tagged.select(*cols)
+
+
+# positions provably (manifest record_count) at or below this total
+# broadcast; above it Spark/AQE picks the join strategy. ~1M
+# (path, pos) rows is tens of MB — comfortably inside an executor
+# broadcast build; the 1e8 case the cap exists for is ~10 GB.
+_POS_DELETE_BROADCAST_MAX = 1_000_000
+
+
+def _pos_delete_frame(spark: SparkSession, root: str,
+                      rel_paths: list[str]) -> DataFrame:
+    """Distributed decode of position-delete Avro files: only the file
+    LIST (O(delete files) metadata) leaves the driver; each executor
+    partition opens and decodes its own files through avro_codec
+    inside mapInPandas (the source_avro_roundtrip pattern), so the
+    (file, pos) pairs themselves never exist driver-side. One
+    round-robin partition per delete file keeps the decode parallel —
+    a single-threaded driver loop over N delete Avros was the round-6
+    read-path bottleneck this replaces (VERDICT r6 #1)."""
+    files_df = spark.createDataFrame(
+        [(p,) for p in sorted(rel_paths)], "rel string"
+    ).repartition(min(len(rel_paths), 64))
+
+    def _decode(batches):
+        import os as _os
+
+        import pandas as _pd
+
+        for pdf in batches:
+            for rel in pdf["rel"]:
+                with open(_os.path.join(root, rel), "rb") as f:
+                    rows, _schema = read_avro(f.read())
+                if rows:
+                    yield _pd.DataFrame({
+                        "_fp": [r["file_path"] for r in rows],
+                        "_pos": [r["pos"] for r in rows],
+                    })
+
+    return files_df.mapInPandas(_decode, "_fp string, _pos long")
 
 
 def _rel_path_col(root: str):
@@ -1275,6 +1338,12 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
     writer's per-checkpoint buffer does."""
     from pyspark.sql import functions as F
 
+    # pin the batch ONCE (eager): the frame is otherwise evaluated
+    # three times (dup gate, data staging, eq-delete staging) and a
+    # nondeterministic input could pass the key-unique gate yet stage
+    # data rows and delete keys that disagree — two live rows per key
+    # at one sequence (ADVICE r6). O(batch) cost, the CDC write unit.
+    df = df.localCheckpoint(eager=True)
     dup = (df.groupBy(*key_cols).count().filter(F.col("count") > 1)
            .limit(1).collect())
     if dup:

@@ -1234,3 +1234,76 @@ def test_change_feed_covers_dv_deletes_and_stacking(spark):
     assert dels == [(v_a, 6), (v_a, 7), (v_b, 5)]
     assert sorted(r["k"] for r in ch if r["_change_type"] == "insert") == list(range(8))
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(range(5))
+
+
+def test_restore_across_schema_change_keeps_configuration(spark):
+    """ADVICE r6: restore across a schema evolution on a table carrying
+    CHECK constraints + the CDF flag must RESTORE the target version's
+    configuration, not erase it with configuration:{} — and a restore
+    back re-restores the evolved state's config verbatim."""
+    from postrack_spark.streaming.delta_log import (
+        _replay,
+        add_check_constraint_delta,
+        enable_change_feed_delta,
+        restore_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_rstcfg_")
+    write_delta(_df(spark, 0, 4), t)                          # v0
+    enable_change_feed_delta(t)                               # v1
+    add_check_constraint_delta(spark, t, "k_pos", "k >= 0")   # v2
+    _live, _s, v_pre, _txns, cfg_pre = _replay(t, None)
+    assert cfg_pre.get("delta.enableChangeDataFeed") == "true"
+    assert "delta.constraints.k_pos" in cfg_pre
+    # v3: schema evolution (new nullable column)
+    write_delta(
+        spark.range(4, 6).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            F.lit("x").alias("tag")),
+        t, merge_schema=True)
+    # restore to the pre-evolution version: schema rolls back AND the
+    # constraint/CDF configuration survives (it was live at v_pre)
+    restore_delta(t, v_pre)
+    _live2, schema2, _v2, _tx2, cfg_post = _replay(t, None)
+    assert "tag" not in schema2
+    assert cfg_post == cfg_pre
+    # the constraint still GATES writes after the restore
+    with pytest.raises(ValueError, match="k_pos"):
+        write_delta(spark.createDataFrame([(-1, 0)], "k bigint, v bigint"), t)
+    # restore forward to the evolved version: its config comes back too
+    _live3, _s3, _v3, _tx3, cfg_evolved = _replay(t, 3)
+    restore_delta(t, 3)
+    _live4, schema4, _v4, _tx4, cfg_now = _replay(t, None)
+    assert "tag" in schema4 and cfg_now == cfg_evolved
+
+
+def test_change_feed_merge_skips_no_op_updates(spark):
+    """ADVICE r6: a batch key whose TABLE row wins (stale image) is a
+    physical rewrite but NOT a logical change — the feed must emit
+    nothing for it (delta-spark's changed-rows-only CDF), while real
+    updates and inserts in the same commit still emit."""
+    from postrack_spark.streaming.delta_log import (
+        enable_change_feed_delta,
+        merge_delta,
+        read_changes_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cdfnop_")
+    write_delta(_df(spark, 0, 4), t)  # rows (k, v=2k)
+    enable_change_feed_delta(t)
+    # k=2: stale (v=1 < table's 4, table wins) — must emit NOTHING;
+    # k=1: winning update; k=9: brand-new insert
+    images = spark.createDataFrame(
+        [(2, 1), (1, 100), (9, 9)], "k long, v long")
+    v_m = merge_delta(spark, t, images, "k", "v")
+    ch = read_changes_delta(spark, t, v_m, v_m).collect()
+    got = sorted((r["_change_type"], r["k"], r["v"]) for r in ch)
+    assert got == [("insert", 9, 9),
+                   ("update_postimage", 1, 100),
+                   ("update_preimage", 1, 2)]
+    # the stale image still lost in the table itself
+    assert {r["k"]: r["v"] for r in read_delta(spark, t).collect()}[2] == 4
+    # an all-stale batch emits an EMPTY feed for its commit
+    v_n = merge_delta(spark, t, spark.createDataFrame(
+        [(3, 0)], "k long, v long"), "k", "v")
+    assert read_changes_delta(spark, t, v_n, v_n).count() == 0

@@ -1150,3 +1150,85 @@ def test_iceberg_feed_raises_on_branch_histories(spark):
          .trigger(availableNow=True).start())
     with _pytest.raises(StreamingQueryException, match="append-only"):
         q.awaitTermination()
+
+
+def test_position_delete_read_is_distributed_off_driver(spark, monkeypatch):
+    """VERDICT r6 #1 certificate: the MOR read must NEVER decode a
+    position-delete Avro on the driver. _read_file is patched in THIS
+    (driver) process only — Spark python workers are separate
+    processes that re-import the module unpatched — so any driver-side
+    open of a delete file trips the probe while the executor-side
+    mapInPandas decode sails through. Results stay exact, proving the
+    pairs were applied without ever existing driver-side."""
+    from postrack_spark.streaming import iceberg as ice
+
+    t = tempfile.mkdtemp(prefix="ice_dist_read_")
+    append_iceberg(_df(spark, 0, 40).repartition(4), t, format_version=2)
+    from postrack_spark.streaming.iceberg import delete_positions_iceberg
+    _sid, n = delete_positions_iceberg(spark, t, "k % 5 = 0")
+    assert n == 8
+
+    real = ice._read_file
+    driver_reads: list[str] = []
+
+    def probe(table, rel):
+        driver_reads.append(rel)
+        return real(table, rel)
+
+    monkeypatch.setattr(ice, "_read_file", probe)
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, t).collect())
+    assert got == [k for k in range(40) if k % 5 != 0]
+    # manifests and manifest lists ARE read driver-side (O(files)
+    # metadata); the delete Avro payloads must not be
+    delete_reads = [p for p in driver_reads if "delete-" in p]
+    assert delete_reads == [], f"driver decoded delete files: {delete_reads}"
+    assert any("snap-" in p for p in driver_reads)  # probe actually live
+
+
+def test_position_delete_read_unforced_broadcast_past_cap(spark, monkeypatch):
+    """Past _POS_DELETE_BROADCAST_MAX the reader must NOT force a
+    broadcast build (a 1e8-position delete set cannot broadcast);
+    results are identical either way. The cap is a plan-time decision
+    from manifest record_count metadata — no delete file is opened to
+    make it."""
+    from postrack_spark.plans.explain import explain_string
+    from postrack_spark.streaming import iceberg as ice
+    from postrack_spark.streaming.iceberg import delete_positions_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_nobc_")
+    append_iceberg(_df(spark, 0, 30).repartition(3), t, format_version=2)
+    delete_positions_iceberg(spark, t, "k % 3 = 0")
+    expected = [k for k in range(30) if k % 3 != 0]
+
+    small = ice.read_iceberg(spark, t)
+    assert "BroadcastHashJoin" in explain_string(small, "formatted")
+    assert sorted(r["k"] for r in small.collect()) == expected
+
+    monkeypatch.setattr(ice, "_POS_DELETE_BROADCAST_MAX", 0)
+    big = ice.read_iceberg(spark, t)
+    plan = explain_string(big, "formatted")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan  # strategy left to Spark/AQE
+    assert sorted(r["k"] for r in big.collect()) == expected
+
+
+def test_partition_spec_source_ids_from_table_schema(spark):
+    """ADVICE r6: the first partitioned write onto an EXISTING table
+    must resolve partition source-ids against the live table schema
+    (field-ids are forever), not the incoming df's column order —
+    a reordered df used to record the wrong source-id."""
+    from postrack_spark.streaming.iceberg import _current_metadata
+
+    t = tempfile.mkdtemp(prefix="ice_srcid_")
+    append_iceberg(_kv(spark, [(1, "a", 7)]), t)  # k=1, val=2, gen=3
+    # reordered columns: gen first — positional ids would say gen=1
+    df = spark.createDataFrame([(8, 2, "b")], "gen bigint, k bigint, val string")
+    append_iceberg(df.select("gen", "k", "val"), t,
+                   partition_by=[("gen", "identity")])
+    meta = _current_metadata(t)
+    (pf,) = meta["partition-spec"]
+    gen_id = next(f["id"] for f in meta["schema"]["fields"]
+                  if f["name"] == "gen")
+    assert pf["source-id"] == gen_id == 3
+    got = sorted((r["k"], r["gen"]) for r in read_iceberg(spark, t).collect())
+    assert got == [(1, 7), (2, 8)]

@@ -103,3 +103,25 @@ def test_schema_evolution_reads_null_for_old_files(spark):
     out = _drain(spark, t, ckpt)
     got = {r["k"]: r["channel"] for r in out}
     assert got[0] is None and got[3] == "web" and len(got) == 5
+
+
+def test_expired_offset_snapshot_raises_not_duplicates(spark):
+    """ADVICE r6: if expire_snapshots removes the checkpointed offset
+    snapshot, the resumed feed has no diff base — it must RAISE, not
+    re-emit every carried-forward file as freshly 'added'."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from postrack_spark.streaming.iceberg import expire_snapshots_iceberg
+
+    t = tempfile.mkdtemp(prefix="icefeed_x_")
+    ckpt = tempfile.mkdtemp(prefix="icefeed_xc_")
+    append_iceberg(_df(spark, 0, 4), t)
+    append_iceberg(_df(spark, 4, 6), t)
+    out1 = _drain(spark, t, ckpt)
+    assert sorted(r["k"] for r in out1) == list(range(6))
+    append_iceberg(_df(spark, 6, 8), t)
+    append_iceberg(_df(spark, 8, 9), t)
+    # expire everything but the current head — includes the offset
+    expire_snapshots_iceberg(t, retain_last=1)
+    with pytest.raises(StreamingQueryException, match="expired"):
+        _drain(spark, t, ckpt)
