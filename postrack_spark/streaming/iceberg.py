@@ -85,12 +85,24 @@ _SPARK_TO_ICE = {"long": "long", "bigint": "long", "int": "int",
 
 # data_file carries per-column lower/upper bounds (the spec's
 # field-ids 125/128) harvested from the parquet footer at write time —
-# the metadata readers use for min/max FILE SKIPPING. Simplification
-# stated honestly: the spec keys these maps by field-id with
-# single-value binary serialization; here they are keyed by COLUMN
-# NAME with decimal-string values (same pruning power, readable in
-# avro-java, no bespoke binary codec), and only int/float/string
-# columns participate.
+# the metadata readers use for min/max FILE SKIPPING. SPEC-SHAPED
+# since round 7: the maps are keyed by FIELD-ID with the spec's
+# single-value binary serialization (Appendix D: little-endian
+# fixed-width numerics, UTF-8 strings), encoded the way Avro encodes
+# non-string-keyed maps — an array of key/value records with
+# logicalType "map" (avro-java surfaces it as that array). Only
+# int/long/float/double/string columns participate (the footer
+# harvest skips other stat types — fail-open, those columns scan).
+
+
+def _bound_map_schema(rec_name: str, key_id: int, val_id: int) -> dict:
+    return {"type": "array", "logicalType": "map",
+            "items": {"type": "record", "name": rec_name, "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": "bytes", "field-id": val_id},
+            ]}}
+
+
 _MANIFEST_SCHEMA = {
     "type": "record", "name": "manifest_entry",
     "fields": [
@@ -104,12 +116,75 @@ _MANIFEST_SCHEMA = {
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
                 {"name": "lower_bounds", "field-id": 125,
-                 "type": {"type": "map", "values": "string"}},
+                 "type": _bound_map_schema("k126_v127", 126, 127)},
                 {"name": "upper_bounds", "field-id": 128,
-                 "type": {"type": "map", "values": "string"}},
+                 "type": _bound_map_schema("k129_v130", 129, 130)},
             ]}},
     ],
 }
+
+
+def _single_value_bin(ice_type: str, value) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D):
+    ints/longs/floats/doubles little-endian fixed width, strings
+    UTF-8. Returns None for types outside the harvest scope."""
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.pack("<i", int(value))
+    if ice_type == "long":
+        return _struct.pack("<q", int(value))
+    if ice_type == "float":
+        return _struct.pack("<f", float(value))
+    if ice_type == "double":
+        return _struct.pack("<d", float(value))
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    return None
+
+
+def _single_value_unbin(ice_type: str, b: bytes):
+    import struct as _struct
+
+    if ice_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8")
+    return None
+
+
+def _bind_bounds(entries: list[dict], schema_fields: list[dict]) -> None:
+    """Convert each staged entry's raw footer bounds (column-name ->
+    python value, stashed by the stage functions) into the spec's
+    field-id-keyed binary maps, under the RESOLVED table schema — the
+    binding happens at commit time because the name->field-id mapping
+    is the table's, not the incoming frame's. Idempotent across OCC
+    retries (re-derives from the stash every call)."""
+    fid = {f["name"]: (f["id"], f["type"]) for f in schema_fields}
+    for e in entries:
+        dfile = e["data_file"]
+        raw = dfile.get("_raw_bounds")
+        if raw is None:
+            dfile.setdefault("lower_bounds", [])
+            dfile.setdefault("upper_bounds", [])
+            continue
+        mins, maxs = raw
+        for name, out in (("lower_bounds", mins), ("upper_bounds", maxs)):
+            kvs = []
+            for col, v in sorted(out.items()):
+                if col not in fid:
+                    continue
+                i, t = fid[col]
+                b = _single_value_bin(t, v)
+                if b is not None:
+                    kvs.append({"key": i, "value": b})
+            dfile[name] = kvs
 
 _MANIFEST_LIST_SCHEMA = {
     "type": "record", "name": "manifest_file",
@@ -462,6 +537,9 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                 current["schema"], df, merge_schema)
         for e in entries:
             e["snapshot_id"] = snapshot_id
+        # bounds bind against the RESOLVED table schema (field-ids
+        # are the table's forever, not the incoming frame's order)
+        _bind_bounds(entries, table_schema["fields"])
 
         # 2. manifest for this snapshot (a lost race orphans it —
         # unreferenced, harmless)
@@ -652,7 +730,8 @@ def _stage_data_files_partitioned(df: DataFrame, table: str,
                         os.path.join(table, final)),
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(table, final)),
-                    "lower_bounds": lower, "upper_bounds": upper,
+                    "_raw_bounds": (lower, upper),
+                    "lower_bounds": [], "upper_bounds": [],
                     "partition": pvals,
                 }})
     shutil.rmtree(scratch, ignore_errors=True)
@@ -683,7 +762,8 @@ def _stage_data_files(df: DataFrame, table: str) -> list[dict]:
                 "record_count": _parquet_rows(os.path.join(table, final)),
                 "file_size_in_bytes": os.path.getsize(
                     os.path.join(table, final)),
-                "lower_bounds": lower, "upper_bounds": upper,
+                "_raw_bounds": (lower, upper),
+                "lower_bounds": [], "upper_bounds": [],
             }})
     shutil.rmtree(scratch, ignore_errors=True)
     return entries
@@ -721,8 +801,7 @@ def _footer_bounds(path: str) -> tuple[dict, dict]:
                 continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return ({k: str(v) for k, v in mins.items()},
-            {k: str(v) for k, v in maxs.items()})
+    return mins, maxs
 
 
 def _read_file(table: str, rel: str) -> bytes:
@@ -761,28 +840,32 @@ def _partition_pruned(data_file: dict, partition_filter: dict) -> bool:
     return False
 
 
-def _stats_pruned(data_file: dict, stats_filter: dict, types: dict) -> bool:
+def _stats_pruned(data_file: dict, stats_filter: dict,
+                  schema_fields: list[dict]) -> bool:
     """True when the file's recorded [lower, upper] bounds PROVE the
-    wanted range [lo, hi] cannot intersect it. Fail-open everywhere:
-    missing bounds, unknown columns, unparseable values all scan."""
+    wanted range [lo, hi] cannot intersect it. Bounds are the spec's
+    field-id-keyed single-value-binary maps (Avro array-of-kv-records
+    shape). Fail-open everywhere: missing bounds, unknown columns,
+    undecodable values all scan."""
     lower = data_file.get("lower_bounds")
     upper = data_file.get("upper_bounds")
-    if not isinstance(lower, dict) or not isinstance(upper, dict):
+    if not isinstance(lower, list) or not isinstance(upper, list):
         return False
+    lo_by_fid = {kv["key"]: kv["value"] for kv in lower}
+    hi_by_fid = {kv["key"]: kv["value"] for kv in upper}
+    meta_by_name = {f["name"]: (f["id"], f["type"]) for f in schema_fields}
     for col, (lo, hi) in stats_filter.items():
-        if col not in lower or col not in upper:
+        if col not in meta_by_name:
             continue
-        t = types.get(col)
+        i, t = meta_by_name[col]
+        if i not in lo_by_fid or i not in hi_by_fid:
+            continue
         try:
-            if t in ("int", "long"):
-                fmn, fmx = int(lower[col]), int(upper[col])
-            elif t in ("float", "double"):
-                fmn, fmx = float(lower[col]), float(upper[col])
-            elif t == "string":
-                fmn, fmx = lower[col], upper[col]
-            else:
-                continue
-        except ValueError:
+            fmn = _single_value_unbin(t, lo_by_fid[i])
+            fmx = _single_value_unbin(t, hi_by_fid[i])
+        except Exception:
+            continue
+        if fmn is None or fmx is None:
             continue
         if (hi is not None and fmn > hi) or (lo is not None and fmx < lo):
             return True
@@ -869,7 +952,6 @@ def read_iceberg(spark: SparkSession, table: str,
     # CDC batches, not O(matched rows).
     eq_deletes: dict[tuple[str, ...], dict[tuple, int]] = {}
     id_to_name = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
-    _col_types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
     for m in mlist:
         entries, _ = read_avro(_read_file(table, m["manifest_path"]))
         seq = m.get("sequence_number", 0)
@@ -899,7 +981,8 @@ def read_iceberg(spark: SparkSession, table: str,
                         e["data_file"], partition_filter):
                     continue
                 if stats_filter and _stats_pruned(
-                        e["data_file"], stats_filter, _col_types):
+                        e["data_file"], stats_filter,
+                        meta["schema"]["fields"]):
                     continue
                 paths.append((e["data_file"]["file_path"], seq))
     if scan_stats is not None:
@@ -1128,7 +1211,7 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
                 "file_path": r["file_path"], "file_format": "AVRO",
                 "record_count": r["record_count"],
                 "file_size_in_bytes": r["file_size_in_bytes"],
-                "lower_bounds": {}, "upper_bounds": {},
+                "lower_bounds": [], "upper_bounds": [],
             }} for r in written], _MANIFEST_SCHEMA, codec="deflate")
         with open(os.path.join(table, manifest_rel), "wb") as f:
             f.write(manifest_blob)
@@ -1369,6 +1452,7 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
     _evolve_ice_schema(meta0["schema"], df, False)
     eq_ids, file_schema = _eq_key_plan(meta0, key_cols)
     data_entries = _stage_data_files(df, table)
+    _bind_bounds(data_entries, meta0["schema"]["fields"])
     n_rows = sum(e["data_file"]["record_count"] for e in data_entries)
     eq_written = _stage_eq_delete_files(
         df.select(*key_cols), table, key_cols, file_schema)
@@ -1690,8 +1774,10 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
                 "record_count": _parquet_rows(os.path.join(table, p)),
                 "file_size_in_bytes": os.path.getsize(
                     os.path.join(table, p)),
-                "lower_bounds": lower, "upper_bounds": upper,
+                "_raw_bounds": (lower, upper),
+                "lower_bounds": [], "upper_bounds": [],
             }})
+    _bind_bounds(entries, _ice_schema(schema)["fields"])
     manifest_rel = os.path.join("metadata", f"manifest-{snapshot_id:08d}.avro")
     manifest_blob = write_avro(entries, _MANIFEST_SCHEMA, codec="deflate")
     with open(os.path.join(table, manifest_rel), "wb") as f:
