@@ -4035,6 +4035,90 @@ def source_iceberg_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "source_iceberg_partition_spec_evolution",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS evolved,
+           true AS pruned_both
+    FROM orders
+    WHERE year(o_orderdate) = 1994
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_iceberg_partition_spec_evolution(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION SPEC EVOLUTION (spec v2): half the orders
+    land under spec 0 = month(o_orderdate), the other half under an
+    EVOLVED spec 1 = bucket[8](o_custkey) — the real-world shape a
+    long-lived table reaches when its query pattern shifts (VERDICT
+    r6 next-round item 2). Each manifest records its own spec-id and
+    the reader prunes every file UNDER ITS OWN SPEC: a month filter
+    prunes spec-0 files from metadata while spec-1 files fail open
+    (and scan); a bucket filter does the reverse. The ``evolved``
+    certificate gates the metadata shape (two specs, default moved,
+    partition-field-ids unique across specs); ``pruned_both`` gates
+    0 < files_scanned < files_total for BOTH filter directions via
+    scan_stats. Row values are the oracle's 1994 rollup — pruning is
+    an optimization, the row filter still applies, and rows from
+    fail-open files of the other spec survive it correctly."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        append_iceberg,
+        bucket_transform,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_spev_q_")
+    append_iceberg(base.filter(F.col("o_orderkey") % 2 == 0), table,
+                   partition_by=[("o_orderdate", "month")])
+    append_iceberg(base.filter(F.col("o_orderkey") % 2 != 0), table,
+                   partition_by=[("o_custkey", "bucket[8]")])
+    meta = _current_metadata(table)
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    fids = [f["field-id"] for fl in specs.values() for f in fl]
+    evolved = (sorted(specs) == [0, 1]
+               and meta["default-spec-id"] == 1
+               and len(fids) == len(set(fids)))
+    months_1994 = [(1994 - 1970) * 12 + m for m in range(12)]
+    sa: dict = {}
+    by_month = read_iceberg(
+        spark, table,
+        partition_filter={"o_orderdate_month": months_1994},
+        scan_stats=sa)
+    sb: dict = {}
+    read_iceberg(
+        spark, table,
+        partition_filter={"o_custkey_bucket": bucket_transform(7, 8)},
+        scan_stats=sb)
+    pruned_both = (0 < sa["files_scanned"] < sa["files_total"]
+                   and 0 < sb["files_scanned"] < sb["files_total"])
+    return (
+        by_month
+        .filter(F.year("o_orderdate") == 1994)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("month", "n_orders", "cents",
+                F.lit(evolved).alias("evolved"),
+                F.lit(pruned_both).alias("pruned_both"))
+        .orderBy("month")
+    )
+
+
+@query(
     "cdc_iceberg_equality_upsert",
     oracle="""
     WITH base AS (

@@ -48,14 +48,17 @@ container; the honest-certification caveat mirrors operators/mp4.py):
   replacement rows at the SAME sequence in ONE snapshot — the new
   rows survive their own delete by construction, no ordering hack.
 
-Scope honestly stated: unpartitioned spec, manifests without column
-stats, v2 limited to deletes written by this module (foreign v2
-tables are out of scope); the position-delete
-writer is DISTRIBUTED — matches repartition by file_path and each
-executor partition writes its own delete Avro, so only O(delete files)
-metadata reaches the driver and a bulk 100 TB delete scales with the
-cluster, not the driver. Schema evolution is out of scope and a
-foreign table using it would not be readable here.
+Scope honestly stated: v2 is limited to deletes written by this
+module (foreign v2 tables are out of scope). Hidden partitioning with
+SPEC EVOLUTION (multiple specs, per-manifest spec-ids, per-spec
+pruning), add-column schema evolution with stable field-ids, and
+spec-shaped field-id-keyed binary column bounds are all in. The
+position-delete writer AND reader are DISTRIBUTED — writes
+repartition matches by file_path with each executor partition
+emitting its own delete Avro; reads decode the delete Avros inside
+mapInPandas over the file list — so only O(delete files) metadata
+ever reaches the driver in either direction and a bulk 100 TB delete
+scales with the cluster, not the driver.
 
 Scale: metadata is O(files) Avro records — the format's whole point is
 that snapshot resolution never lists directories; data stays in
@@ -498,6 +501,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     # version we end up committing at; losers of commit races reuse
     # them on the recompute pass)
     spec: list[dict] = []
+    staged_sid = 0
     manifest_schema = _MANIFEST_SCHEMA
     if partition_by:
         # source-ids resolve against the LIVE table schema when one
@@ -507,7 +511,12 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         pre = _current_metadata(table)
         schema_fields = (pre["schema"]["fields"] if pre is not None
                          else _ice_schema(df.schema)["fields"])
-        spec, plan = _resolve_partition_spec(schema_fields, partition_by)
+        proposed, plan = _resolve_partition_spec(schema_fields, partition_by)
+        # spec EVOLUTION: match-or-allocate against the table's specs
+        # (the staged manifest schema depends on the final field-ids,
+        # so resolution happens pre-staging; a concurrent spec change
+        # is re-checked inside the OCC loop)
+        staged_sid, spec, _specs_pre, _pid_pre = _assign_spec(pre, proposed)
         manifest_schema = _manifest_schema_partitioned(spec, plan)
         entries = _stage_data_files_partitioned(df, table, plan)
     else:
@@ -541,13 +550,28 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         # are the table's forever, not the incoming frame's order)
         _bind_bounds(entries, table_schema["fields"])
 
-        # 2. manifest for this snapshot (a lost race orphans it —
+        # 2. resolve this commit's partition spec against the CURRENT
+        # metadata (spec evolution: multiple specs coexist, each
+        # manifest records its own spec-id)
+        _cur_specs, cur_default = _specs(current)
+        if partition_by:
+            used_sid, spec_now, specs_final, last_pid = _assign_spec(
+                current, proposed)
+            if (used_sid != staged_sid
+                    or [f["field-id"] for f in spec_now]
+                    != [f["field-id"] for f in spec]):
+                # a concurrent writer changed the spec table under us:
+                # the staged manifest's partition field-ids are stale
+                raise IcebergCommitConflict(
+                    "concurrent partition-spec change — restage")
+            default_sid = used_sid
+        else:
+            used_sid, specs_final = _plain_spec_assignment(current)
+            last_pid = _last_partition_id(current, specs_final)
+            default_sid = cur_default if current is not None else 0
+
+        # 3. manifest for this snapshot (a lost race orphans it —
         # unreferenced, harmless)
-        if partition_by and current is not None and current.get(
-                "partition-spec") not in ([], spec):
-            raise NotImplementedError(
-                "partition spec evolution out of scope: table has "
-                f"{current.get('partition-spec')}")
         manifest_rel = os.path.join(
             "metadata", f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
         manifest_blob = write_avro(entries, manifest_schema, codec="deflate")
@@ -573,7 +597,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         new_entry = {
             "manifest_path": manifest_rel,
             "manifest_length": len(manifest_blob),
-            "partition_spec_id": 0,
+            "partition_spec_id": used_sid,
             "added_snapshot_id": snapshot_id,
         }
         if format_version == 2:
@@ -605,11 +629,13 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "last-updated-ms": now_ms,
             "last-column-id": last_col_id,
             "schema": table_schema,
-            # a plain append into a partitioned table keeps the spec
-            # (its own files just carry no tuple and are never pruned)
-            "partition-spec": (spec if partition_by
-                               else (current or {}).get(
-                                   "partition-spec", [])),
+            # spec v2 multi-spec keys + the legacy single-spec mirror
+            # (= the default spec's fields) for older readers
+            "partition-specs": [{"spec-id": s, "fields": fl}
+                                for s, fl in sorted(specs_final.items())],
+            "default-spec-id": default_sid,
+            "last-partition-id": last_pid,
+            "partition-spec": specs_final.get(default_sid, []),
             "properties": {},
             # a branch append NEVER moves main — preserve the previous
             # metadata's head verbatim (base_sid is the BRANCH base,
@@ -635,6 +661,96 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
 
 
 _PART_TO_AVRO = {"int": "int", "long": "long", "string": "string"}
+
+
+def _specs(meta: dict | None) -> tuple[dict[int, list[dict]], int]:
+    """Partition specs by spec-id plus the default spec-id, reading
+    both the spec-v2 multi-spec keys (``partition-specs`` +
+    ``default-spec-id``) and the legacy single ``partition-spec``
+    (implicitly spec 0)."""
+    if meta is None:
+        return {}, 0
+    if "partition-specs" in meta:
+        return ({s["spec-id"]: s["fields"] for s in meta["partition-specs"]},
+                meta.get("default-spec-id", 0))
+    return {0: meta.get("partition-spec", [])}, 0
+
+
+def _spec_semantics(fields: list[dict]) -> tuple:
+    return tuple((f["name"], f["transform"], f["source-id"])
+                 for f in fields)
+
+
+def _last_partition_id(meta: dict | None,
+                       specs: dict[int, list[dict]]) -> int:
+    known = [f["field-id"] for fl in specs.values() for f in fl]
+    recorded = (meta or {}).get("last-partition-id", 999)
+    return max([recorded, 999] + known)
+
+
+def _assign_spec(meta: dict | None, proposed: list[dict]
+                 ) -> tuple[int, list[dict], dict[int, list[dict]], int]:
+    """PARTITION SPEC EVOLUTION (spec v2): match ``proposed`` fields
+    (name/transform/source-id; field-ids tentative) against the
+    table's existing specs. An exact semantic match reuses that spec
+    verbatim — same spec-id, same field-ids. Otherwise a NEW spec-id
+    is allocated; its partition-field-ids REUSE the id of any existing
+    field with the same (source-id, transform) — the spec's rule that
+    an unchanged partition field keeps its id across spec versions, so
+    old manifests' tuples stay addressable — and fresh ids above
+    last-partition-id for genuinely new fields. Returns
+    (spec_id, fields, specs_by_id incl. the new one, last_partition_id).
+    """
+    specs, _default = _specs(meta)
+    if not specs and meta is None:
+        last = max([f["field-id"] for f in proposed], default=999)
+        return 0, proposed, {0: proposed}, last
+    for sid in sorted(specs):
+        if _spec_semantics(specs[sid]) == _spec_semantics(proposed):
+            return sid, specs[sid], specs, _last_partition_id(meta, specs)
+    last_pid = _last_partition_id(meta, specs)
+    by_src_transform = {}
+    for fl in specs.values():
+        for g in fl:
+            by_src_transform.setdefault(
+                (g["source-id"], g["transform"]), g["field-id"])
+    fields = []
+    for f in proposed:
+        fid = by_src_transform.get((f["source-id"], f["transform"]))
+        if fid is None:
+            last_pid += 1
+            fid = last_pid
+        fields.append({**f, "field-id": fid})
+    new_sid = max(specs, default=-1) + 1
+    return new_sid, fields, {**specs, new_sid: fields}, last_pid
+
+
+def _plain_spec_assignment(meta: dict | None
+                           ) -> tuple[int, dict[int, list[dict]]]:
+    """Spec id for an UNPARTITIONED manifest: reuse an existing
+    unpartitioned spec, else allocate one (without touching the
+    default) — plain appends into a partitioned table stay legal and
+    their manifests record a truthful spec."""
+    specs, _default = _specs(meta)
+    if not specs:
+        return 0, {0: []}
+    for sid in sorted(specs):
+        if not specs[sid]:
+            return sid, specs
+    new_sid = max(specs) + 1
+    return new_sid, {**specs, new_sid: []}
+
+
+def _delete_manifest_spec_id(meta: dict) -> int:
+    """Spec id recorded on DELETE manifests (which carry no partition
+    tuples here): an existing unpartitioned spec when the table has
+    one, else 0 — a documented simplification for partitioned-at-birth
+    tables; readers never partition-prune delete manifests."""
+    specs, _default = _specs(meta)
+    for sid in sorted(specs):
+        if not specs[sid]:
+            return sid
+    return 0
 
 
 def _resolve_partition_spec(schema_fields: list[dict],
@@ -824,6 +940,31 @@ _ICE_TO_SPARK = {"long": "bigint", "int": "int", "double": "double",
                  "timestamptz": "timestamp"}
 
 
+def _translate_partition_filter(partition_filter: dict,
+                                filter_fids: dict,
+                                spec_fields: list[dict]) -> dict:
+    """Re-key a partition_filter (names as of the DEFAULT spec) for a
+    manifest written under ``spec_fields`` (possibly another spec).
+    Matching is by partition FIELD-ID — two specs sharing a field-id
+    share (source column, transform) by construction, so the filter's
+    values mean the same thing for both — never by bare name, which
+    could collide across specs with different transforms. Filter
+    entries whose field-id is absent from this spec drop out: those
+    files fail open and scan."""
+    by_fid = {f["field-id"]: f["name"] for f in spec_fields}
+    names = {f["name"] for f in spec_fields}
+    out = {}
+    for name, allowed in partition_filter.items():
+        fid = filter_fids.get(name)
+        if fid is not None and fid in by_fid:
+            out[by_fid[fid]] = allowed
+        elif fid is None and name in names:
+            # name unknown to the default spec but present here: honor
+            # it by name (caller explicitly targeted this spec)
+            out[name] = allowed
+    return out
+
+
 def _partition_pruned(data_file: dict, partition_filter: dict) -> bool:
     """True when the file's recorded partition tuple PROVES it holds
     no matching rows. Files without a tuple (written before the spec,
@@ -952,9 +1093,24 @@ def read_iceberg(spark: SparkSession, table: str,
     # CDC batches, not O(matched rows).
     eq_deletes: dict[tuple[str, ...], dict[tuple, int]] = {}
     id_to_name = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    specs_r, default_sid_r = _specs(meta)
+    filter_fids: dict = {}
+    if partition_filter:
+        default_fields = specs_r.get(default_sid_r, [])
+        filter_fids = {
+            n: next((f["field-id"] for f in default_fields
+                     if f["name"] == n), None)
+            for n in partition_filter}
     for m in mlist:
         entries, _ = read_avro(_read_file(table, m["manifest_path"]))
         seq = m.get("sequence_number", 0)
+        m_filter = None
+        if partition_filter:
+            # each manifest prunes under ITS OWN spec (spec evolution:
+            # old- and new-spec files coexist in one snapshot)
+            m_filter = _translate_partition_filter(
+                partition_filter, filter_fids,
+                specs_r.get(m.get("partition_spec_id", 0), []))
         if m.get("content", DATA_CONTENT) == DELETE_CONTENT:
             for e in entries:
                 if e["status"] not in (ADDED, EXISTING):
@@ -977,8 +1133,8 @@ def read_iceberg(spark: SparkSession, table: str,
         for e in entries:
             if e["status"] in (ADDED, EXISTING):
                 total_files += 1
-                if partition_filter and _partition_pruned(
-                        e["data_file"], partition_filter):
+                if m_filter and _partition_pruned(
+                        e["data_file"], m_filter):
                     continue
                 if stats_filter and _stats_pruned(
                         e["data_file"], stats_filter,
@@ -1218,7 +1374,7 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
         new_mlist = mlist + [{
             "manifest_path": manifest_rel,
             "manifest_length": len(manifest_blob),
-            "partition_spec_id": 0,
+            "partition_spec_id": _delete_manifest_spec_id(meta),
             "added_snapshot_id": snapshot_id,
             "content": DELETE_CONTENT,
             "sequence_number": seq,
@@ -1375,7 +1531,8 @@ def delete_keys_iceberg(spark: SparkSession, table: str,
             f.write(blob)
         new_mlist = mlist + [{
             "manifest_path": manifest_rel, "manifest_length": len(blob),
-            "partition_spec_id": 0, "added_snapshot_id": snapshot_id,
+            "partition_spec_id": _delete_manifest_spec_id(meta),
+            "added_snapshot_id": snapshot_id,
             "content": DELETE_CONTENT, "sequence_number": seq,
         }]
         mlist_rel = os.path.join(
@@ -1476,7 +1633,8 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
             f.write(data_blob)
         new_mlist = mlist + [{
             "manifest_path": data_rel, "manifest_length": len(data_blob),
-            "partition_spec_id": 0, "added_snapshot_id": snapshot_id,
+            "partition_spec_id": _delete_manifest_spec_id(meta),
+            "added_snapshot_id": snapshot_id,
             "content": DATA_CONTENT, "sequence_number": seq,
         }]
         if eq_written:
@@ -1488,7 +1646,8 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
                 f.write(eq_blob)
             new_mlist.append({
                 "manifest_path": eq_rel, "manifest_length": len(eq_blob),
-                "partition_spec_id": 0, "added_snapshot_id": snapshot_id,
+                "partition_spec_id": _delete_manifest_spec_id(meta),
+                "added_snapshot_id": snapshot_id,
                 "content": DELETE_CONTENT, "sequence_number": seq,
             })
         mlist_rel = os.path.join(
