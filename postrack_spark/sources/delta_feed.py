@@ -53,12 +53,20 @@ def _commit_actions(table: str, version: int) -> list[dict]:
         return [json.loads(ln) for ln in f if ln.strip()]
 
 
-def _table_schema_json(table: str) -> str:
-    for v in _list_versions(table):
+def _table_meta(table: str) -> tuple[str, dict]:
+    """(schemaString, configuration) from the NEWEST metaData action —
+    the live schema (renames/evolution included), not the creation
+    one."""
+    for v in reversed(_list_versions(table)):
         for a in _commit_actions(table, v):
             if "metaData" in a:
-                return a["metaData"]["schemaString"]
+                md = a["metaData"]
+                return md["schemaString"], md.get("configuration") or {}
     raise FileNotFoundError(f"no metaData action in {table}")
+
+
+def _table_schema_json(table: str) -> str:
+    return _table_meta(table)[0]
 
 
 class DeltaFilePartition(InputPartition):
@@ -76,10 +84,20 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             raise ValueError("delta_feed needs a 'path' option")
         self.max_versions = int(options.get("maxversionspertrigger", 0))
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
-        self._fields = [
-            f["name"]
-            for f in json.loads(_table_schema_json(self.table))["fields"]
-        ]
+        schema_string, config = _table_meta(self.table)
+        fields = json.loads(schema_string)["fields"]
+        self._fields = [f["name"] for f in fields]
+        # parquet stores PHYSICAL names under column mapping; project
+        # each file through the indirection so pre-rename files keep
+        # resolving (delta_log._column_mapping's rule, inlined to keep
+        # the DataSource worker-importable without Spark-side deps)
+        if config.get("delta.columnMapping.mode") == "name":
+            self._phys = [
+                (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", f["name"])
+                for f in fields]
+        else:
+            self._phys = list(self._fields)
         # pacing high-water mark, seeded from the planning side file so
         # a resumed reader paces from where the last run left off (the
         # postgres_cdc _progress.json pattern — a fresh reader instance
@@ -150,7 +168,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         cols = [
             tbl.column(name).to_pylist()
             if name in tbl.column_names else [None] * n
-            for name in self._fields
+            for name in self._phys
         ]
         if not self.cdf:
             for row in zip(*cols):

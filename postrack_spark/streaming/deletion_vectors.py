@@ -236,7 +236,10 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
     from postrack_spark.streaming.delta_log import (
         DeltaCommitConflict,
         _cdf_enabled,
+        _column_mapping,
+        _physical_struct,
         _replay,
+        _to_physical,
         _write_change_files,
         commit_delta,
         latest_version,
@@ -252,13 +255,18 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
         root = os.path.abspath(table)
         if not acts:
             return latest_version(table) or 0, 0, 0
-        live = spark.read.schema(schema).parquet(
+        mapping = _column_mapping(schema_string, config)
+        phys = _physical_struct(schema, mapping)
+        live = spark.read.schema(phys).parquet(
             *[os.path.join(table, p) for p, _a in acts])
         # tag the scan's _metadata BEFORE the matcher runs: the
         # pseudo-column resolves only directly on the file scan, not
-        # on top of a join (the semi-join matcher path)
+        # on top of a join (the semi-join matcher path). Columns are
+        # projected to LOGICAL names in the same select (column
+        # mapping: the matcher's condition speaks logical names).
         tagged = live.select(
-            "*",
+            *[F.col(mapping.get(f.name, f.name) if mapping else f.name)
+              .alias(f.name) for f in schema.fields],
             F.col("_metadata.file_path").alias("_fp"),
             F.col("_metadata.row_index").alias("_ri"),
         )
@@ -363,10 +371,15 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
             # the matcher to the DV-FILTERED live view (old marks
             # applied), so re-deleting an already-marked row emits
             # nothing — matching n_new's new-minus-old accounting
-            visible = dv_filter(live, table, existing, schema)
+            visible = dv_filter(live, table, existing, phys)
+            if mapping:
+                visible = visible.select(
+                    *[F.col(mapping.get(f.name, f.name)).alias(f.name)
+                      for f in schema.fields])
             cdc_actions = _write_change_files(
-                matcher(visible).withColumn(
-                    "_change_type", F.lit("delete")), table)
+                _to_physical(
+                    matcher(visible).withColumn(
+                        "_change_type", F.lit("delete")), mapping), table)
         try:
             commit_delta(table, read_v + 1,
                          removes + new_adds + cdc_actions)

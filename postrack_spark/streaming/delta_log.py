@@ -225,15 +225,19 @@ def pruned_read_delta(spark: SparkSession, table: str, column: str,
     — callers add their own filter; pruning only removes files that
     cannot contain matches, so the result set is identical to a full
     read + filter (the zone-map contract)."""
-    paths, schema_string, _v = _snapshot_actions(table, None)
+    live, schema_string, _v, _txns, config = _replay(table, None)
+    paths = list(live.items())
     schema = StructType.fromJson(json.loads(schema_string))
+    mapping = _column_mapping(schema_string, config)
+    # add-action stats are keyed by the PHYSICAL parquet names
+    stats_col = mapping.get(column, column) if mapping else column
     keep = []
     for p, add in paths:
         st = add.get("stats")
         if st:
             s = json.loads(st)
-            mn = s.get("minValues", {}).get(column)
-            mx = s.get("maxValues", {}).get(column)
+            mn = s.get("minValues", {}).get(stats_col)
+            mx = s.get("maxValues", {}).get(stats_col)
             try:
                 if mn is not None and mx is not None and (mx < lo or mn > hi):
                     continue  # provably disjoint: skip
@@ -245,7 +249,8 @@ def pruned_read_delta(spark: SparkSession, table: str, column: str,
         keep.append(p)
     if not keep:
         return spark.createDataFrame([], schema), 0, len(paths)
-    df = spark.read.schema(schema).parquet(
+    phys = _physical_struct(schema, mapping)
+    df = spark.read.schema(phys).parquet(
         *[os.path.join(table, p) for p in keep])
     adds = dict(paths)
     kept_acts = [(p, adds[p]) for p in keep]
@@ -257,7 +262,10 @@ def pruned_read_delta(spark: SparkSession, table: str, column: str,
             load_dv_bytes,
         )
 
-        df = dv_filter(df, table, load_dv_bytes(table, kept_acts), schema)
+        df = dv_filter(df, table, load_dv_bytes(table, kept_acts), phys)
+    if mapping:
+        df = df.select(*[F.col(mapping.get(f.name, f.name)).alias(f.name)
+                         for f in schema.fields])
     return df, len(keep), len(paths)
 
 
@@ -508,20 +516,224 @@ def _reconcile_schema(schema_string: str, df: DataFrame,
     merged = StructType.fromJson(json.loads(schema_string))
     from pyspark.sql.types import StructField
 
+    new_config = dict(config)
+    next_id = int(config.get(_CM_MAXID, "0") or 0)
+    mapped = config.get(_CM_MODE) == "name"
     for f in df.schema.fields:
         if f.name in set(extra):
-            merged = merged.add(StructField(f.name, f.dataType, True))
+            md = None
+            if mapped:
+                # evolved columns on a column-mapping table get a
+                # fresh id and a uuid physical name (PROTOCOL.md:
+                # physical names never collide with any past logical
+                # name, so a later rename-to-this-name stays safe)
+                next_id += 1
+                md = {_CM_ID: next_id,
+                      _CM_PHYS: f"col-{uuid.uuid4().hex[:12]}"}
+            merged = merged.add(StructField(f.name, f.dataType, True,
+                                            metadata=md))
+    if mapped:
+        new_config[_CM_MAXID] = str(next_id)
     return {"metaData": {
         "id": str(uuid.uuid4()),
         "format": {"provider": "parquet", "options": {}},
         "schemaString": merged.json(),
         "partitionColumns": [],
-        "configuration": dict(config),
+        "configuration": new_config,
         "createdTime": int(time.time() * 1000),
     }}
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."
+
+# ---------------------------------------------------------------------------
+# COLUMN MAPPING (PROTOCOL.md "Column Mapping", mode 'name'): every
+# schema field carries metadata keys delta.columnMapping.id and
+# delta.columnMapping.physicalName; parquet files store PHYSICAL
+# names, so RENAME and DROP COLUMN are metadata-only commits — zero
+# data rewrite. On upgrade (enable_column_mapping_delta) physical
+# names equal the then-current logical names (existing parquet was
+# written with them — delta-spark's upgrade rule); columns added
+# after upgrade get uuid physical names. Readers scan under the
+# physical schema and project to logical names; writers map logical
+# frames to physical names at the staging boundary. Time travel uses
+# each version's OWN metaData, so pre-rename reads see pre-rename
+# names against the same bytes.
+
+_CM_MODE = "delta.columnMapping.mode"
+_CM_MAXID = "delta.columnMapping.maxColumnId"
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _column_mapping(schema_string: str, config: dict) -> dict | None:
+    """{logical name: physical parquet name}, or None when column
+    mapping is off."""
+    if (config or {}).get(_CM_MODE) != "name":
+        return None
+    fields = json.loads(schema_string)["fields"]
+    return {f["name"]: (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
+            for f in fields}
+
+
+def _physical_struct(schema: StructType, mapping: dict | None) -> StructType:
+    # always a FRESH StructType: StructType.add mutates in place, so
+    # returning the input when mapping is off would let callers'
+    # .add("_change_type") corrupt the caller's schema object
+    from pyspark.sql.types import StructField
+
+    m = mapping or {}
+    return StructType([
+        StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+        for f in schema.fields])
+
+
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Rename a logical frame's columns to physical names for staging
+    (columns outside the mapping — e.g. _change_type — pass through)."""
+    if not mapping:
+        return df
+    return df.select(*[F.col(c).alias(mapping.get(c, c))
+                       for c in df.columns])
+
+
+def _scan_logical(spark: SparkSession, table: str, rel_paths: list[str],
+                  schema_string: str, config: dict,
+                  extra_cols: list | None = None) -> DataFrame:
+    """Scan live parquet under the PHYSICAL schema and project to
+    logical names (identity when mapping is off). ``extra_cols``
+    (e.g. _metadata projections) are appended in the SAME select so
+    they resolve directly on the scan relation."""
+    schema = StructType.fromJson(json.loads(schema_string))
+    mapping = _column_mapping(schema_string, config)
+    phys = _physical_struct(schema, mapping)
+    df = spark.read.schema(phys).parquet(
+        *[os.path.join(table, p) for p in rel_paths])
+    cols = [F.col(mapping.get(f.name, f.name) if mapping else f.name)
+            .alias(f.name) for f in schema.fields]
+    return df.select(*(cols + list(extra_cols or [])))
+
+
+def _guard_constraint_refs(config: dict, column: str, op: str) -> None:
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(column)}\b")
+    for key in sorted(config):
+        if key.startswith(_CONSTRAINT_PREFIX) and pat.search(config[key]):
+            raise ValueError(
+                f"cannot {op} column {column!r}: CHECK constraint "
+                f"{key[len(_CONSTRAINT_PREFIX):]!r} references it "
+                f"({config[key]}) — drop the constraint first")
+
+
+def enable_column_mapping_delta(table: str) -> int:
+    """Upgrade the table to column mapping mode 'name' (metadata-only
+    commit; idempotent). Physical names are frozen at the CURRENT
+    logical names — exactly what the existing parquet contains — so
+    the upgrade rewrites nothing and every prior file stays readable.
+    Returns the committed (or current, when already enabled) version."""
+    for _ in range(10):
+        _l, schema_string, read_v, _t, config = _replay(table, None)
+        if config.get(_CM_MODE) == "name":
+            return read_v
+        sch = json.loads(schema_string)
+        for i, f in enumerate(sch["fields"], start=1):
+            md = dict(f.get("metadata") or {})
+            md[_CM_ID] = i
+            md[_CM_PHYS] = f["name"]
+            f["metadata"] = md
+        new_config = dict(config)
+        new_config[_CM_MODE] = "name"
+        new_config[_CM_MAXID] = str(len(sch["fields"]))
+        action = {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(sch, separators=(",", ":")),
+            "partitionColumns": [],
+            "configuration": new_config,
+            "createdTime": int(time.time() * 1000),
+        }}
+        try:
+            commit_delta(table, read_v + 1, [action])
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def rename_column_delta(table: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only under column mapping
+    (the physical name and id never change, so ZERO parquet is
+    rewritten and old change files keep resolving). Requires
+    enable_column_mapping_delta first; refuses name collisions and
+    columns referenced by CHECK constraints."""
+    for _ in range(10):
+        _l, schema_string, read_v, _t, config = _replay(table, None)
+        if config.get(_CM_MODE) != "name":
+            raise ValueError(
+                "rename needs column mapping: run "
+                "enable_column_mapping_delta first (renaming without a "
+                "physical-name indirection would orphan every data file)")
+        _guard_constraint_refs(config, old, "rename")
+        sch = json.loads(schema_string)
+        names = [f["name"] for f in sch["fields"]]
+        if old not in names:
+            raise KeyError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for f in sch["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        action = {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(sch, separators=(",", ":")),
+            "partitionColumns": [],
+            "configuration": dict(config),
+            "createdTime": int(time.time() * 1000),
+        }}
+        try:
+            commit_delta(table, read_v + 1, [action])
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def drop_column_delta(table: str, column: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only under column mapping:
+    the field leaves the schema, the physical bytes stay (readers
+    simply never project them; time travel to a pre-drop version
+    still sees the column). Refuses the last column and columns
+    referenced by CHECK constraints."""
+    for _ in range(10):
+        _l, schema_string, read_v, _t, config = _replay(table, None)
+        if config.get(_CM_MODE) != "name":
+            raise ValueError(
+                "drop needs column mapping: run "
+                "enable_column_mapping_delta first")
+        _guard_constraint_refs(config, column, "drop")
+        sch = json.loads(schema_string)
+        names = [f["name"] for f in sch["fields"]]
+        if column not in names:
+            raise KeyError(f"no column {column!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        sch["fields"] = [f for f in sch["fields"] if f["name"] != column]
+        action = {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(sch, separators=(",", ":")),
+            "partitionColumns": [],
+            "configuration": dict(config),
+            "createdTime": int(time.time() * 1000),
+        }}
+        try:
+            commit_delta(table, read_v + 1, [action])
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
 def _enforce_constraints(df: DataFrame, config: dict) -> None:
@@ -555,12 +767,19 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
     os.makedirs(table, exist_ok=True)
     gated_at: tuple | None = None
     evo_action: dict | None = None
+    staged_mapping: dict | None = None
     if latest_version(table) is not None:
         _l, schema_string, _v, _t, config = _replay(table, None)
         evo_action = _reconcile_schema(schema_string, df, merge_schema, config)
         _enforce_constraints(df, config)
         gated_at = (schema_string, tuple(sorted(config.items())))
-    adds = _write_data_files(df, table)
+        # parquet stores PHYSICAL names under column mapping; the
+        # effective mapping includes any evolution-assigned names
+        eff = evo_action["metaData"] if evo_action else None
+        staged_mapping = _column_mapping(
+            eff["schemaString"] if eff else schema_string,
+            eff["configuration"] if eff else config)
+    adds = _write_data_files(_to_physical(df, staged_mapping), table)
     for attempt in range(10):
         current = latest_version(table)
         version = 0 if current is None else current + 1
@@ -577,6 +796,16 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
                     schema_string, df, merge_schema, config)
                 _enforce_constraints(df, config)
                 gated_at = now
+                eff = evo_action["metaData"] if evo_action else None
+                if _column_mapping(
+                        eff["schemaString"] if eff else schema_string,
+                        eff["configuration"] if eff else config,
+                ) != staged_mapping:
+                    # staged parquet carries the OLD physical names —
+                    # committing it under the new mapping would orphan
+                    # or mislabel columns
+                    raise DeltaCommitConflict(
+                        "concurrent column-mapping change: restage")
             if evo_action is not None:
                 actions.append(evo_action)
         removes: list[dict] = []
@@ -685,20 +914,28 @@ def read_delta(spark: SparkSession, table: str,
         if version is not None:
             raise ValueError("pass version or timestamp_ms, not both")
         version = version_at_timestamp_delta(table, timestamp_ms)
-    acts, schema_string, _v = _snapshot_actions(table, version)
+    live, schema_string, _v, _txns, config = _replay(table, version)
+    acts = list(live.items())
     schema = StructType.fromJson(json.loads(schema_string))
     if not acts:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
+    mapping = _column_mapping(schema_string, config)
+    phys = _physical_struct(schema, mapping)
+    df = spark.read.schema(phys).parquet(
         *[os.path.join(table, p) for p, _a in acts])
-    if not any(a.get("deletionVector") for _p, a in acts):
-        return df
-    from postrack_spark.streaming.deletion_vectors import (
-        dv_filter,
-        load_dv_bytes,
-    )
+    if any(a.get("deletionVector") for _p, a in acts):
+        from postrack_spark.streaming.deletion_vectors import (
+            dv_filter,
+            load_dv_bytes,
+        )
 
-    return dv_filter(df, table, load_dv_bytes(table, acts), schema)
+        # the DV filter needs the scan's _metadata — apply it on the
+        # physical frame, project to logical names after
+        df = dv_filter(df, table, load_dv_bytes(table, acts), phys)
+    if not mapping:
+        return df
+    return df.select(*[F.col(mapping.get(f.name, f.name)).alias(f.name)
+                       for f in schema.fields])
 
 
 def foreach_batch_delta(table: str, mode: str = "append"):
@@ -712,6 +949,7 @@ def foreach_batch_delta(table: str, mode: str = "append"):
         if last is not None and batch_id <= last:
             return  # replay of an already-committed batch
         os.makedirs(table, exist_ok=True)
+        batch_mapping: dict | None = None
         if latest_version(table) is not None:
             # schema enforcement + CHECK constraints, like write_delta
             # (no evolution in the streaming hook — a drifting stream
@@ -719,7 +957,9 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             _l, schema_string, _v, _t, config = _replay(table, None)
             _reconcile_schema(schema_string, batch_df, False, config)
             _enforce_constraints(batch_df, config)
-        adds = _write_data_files(batch_df, table)
+            batch_mapping = _column_mapping(schema_string, config)
+        adds = _write_data_files(_to_physical(batch_df, batch_mapping),
+                                 table)
         for _ in range(10):
             current = latest_version(table)
             version = 0 if current is None else current + 1
@@ -853,6 +1093,13 @@ def read_changes_delta(spark: SparkSession, table: str,
     schema = StructType.fromJson(json.loads(schema_string))
     cdf_schema = StructType.fromJson(json.loads(schema_string)).add(
         "_change_type", "string")
+    # change files store PHYSICAL names under column mapping — the
+    # indirection is exactly what keeps pre-rename change files
+    # resolving after a rename (zero rewrite)
+    mapping = _column_mapping(schema_string, _cfg)
+    phys_cdf = _physical_struct(schema, mapping).add("_change_type", "string")
+    logical_cols = [F.col(mapping.get(f.name, f.name) if mapping else f.name)
+                    .alias(f.name) for f in schema.fields]
     pieces = []
     for v in range(from_version, to_version + 1):
         path = _log_path(table, v)
@@ -863,9 +1110,11 @@ def read_changes_delta(spark: SparkSession, table: str,
             actions = [json.loads(ln) for ln in f if ln.strip()]
         cdc = [a["cdc"] for a in actions if "cdc" in a]
         if cdc:
-            df = spark.read.schema(cdf_schema).parquet(
+            df = spark.read.schema(phys_cdf).parquet(
                 *[os.path.join(table, c["path"]) for c in cdc])
-            pieces.append(df.withColumn("_commit_version", F.lit(v)))
+            pieces.append(
+                df.select(*(logical_cols + [F.col("_change_type")]))
+                .withColumn("_commit_version", F.lit(v)))
             continue
         rewrites = [a for a in actions
                     if "remove" in a and a["remove"].get("dataChange", True)]
@@ -877,10 +1126,11 @@ def read_changes_delta(spark: SparkSession, table: str,
         adds = [a["add"]["path"] for a in actions
                 if "add" in a and a["add"].get("dataChange", True)]
         if adds:
-            df = spark.read.schema(schema).parquet(
+            df = spark.read.schema(_physical_struct(schema, mapping)).parquet(
                 *[os.path.join(table, p) for p in adds])
             pieces.append(
-                df.withColumn("_change_type", F.lit("insert"))
+                df.select(*logical_cols)
+                .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(v)))
     if not pieces:
         return spark.createDataFrame([], cdf_schema.add(
@@ -918,11 +1168,12 @@ def compact_delta(spark: SparkSession, table: str,
     predicates — the layout family's zone-map result delivered
     through the table format's own stats-skipping lane."""
     for _ in range(10):
-        _dv_acts, schema_string, read_v = _snapshot_actions(table, None)
+        live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         if not paths:
             return latest_version(table) or 0
-        df = read_delta(spark, table, version=read_v)
+        df = read_delta(spark, table, version=read_v)  # logical names
         if zorder_by is not None:
             from postrack_spark.sources.layout import zorder_repartition
 
@@ -931,7 +1182,8 @@ def compact_delta(spark: SparkSession, table: str,
                 num_partitions=target_files).drop("__z")
         else:
             df = df.coalesce(target_files)
-        adds = _write_data_files(df, table)
+        adds = _write_data_files(
+            _to_physical(df, _column_mapping(schema_string, config)), table)
         for a in adds:
             a["add"]["dataChange"] = False
         removes = [{"remove": {
@@ -1146,10 +1398,10 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
         live_map, schema_string, read_v, _t, config = _replay(table, None)
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
-        schema = StructType.fromJson(json.loads(schema_string))
-        full = [os.path.join(table, p) for p in paths]
-        live = spark.read.schema(schema).parquet(*full).withColumn(
-            "_fp", F.col("_metadata.file_path"))
+        mapping = _column_mapping(schema_string, config)
+        live = _scan_logical(
+            spark, table, paths, schema_string, config,
+            extra_cols=[F.col("_metadata.file_path").alias("_fp")])
         keys = images.select(key_col).distinct()
         affected_fps = [
             r["_fp"]
@@ -1163,15 +1415,15 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
         guard_no_dvs(_dv_acts, sorted(rel_affected), "merge_delta")
         survivors = None
         if rel_affected:
-            survivors = spark.read.schema(schema).parquet(
-                *[os.path.join(table, p) for p in sorted(rel_affected)])
+            survivors = _scan_logical(
+                spark, table, sorted(rel_affected), schema_string, config)
         merged = images if survivors is None else survivors.unionByName(images)
         cols = [c for c in merged.columns if c != key_col]
         winner = merged.groupBy(key_col).agg(
             F.max_by(F.struct(*cols), order_col).alias("_w"))
         flat = winner.select(key_col,
                              *[F.col(f"_w.{c}").alias(c) for c in cols])
-        adds = _write_data_files(flat, table)
+        adds = _write_data_files(_to_physical(flat, mapping), table)
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
             # change rows for the BATCH's keys only (unchanged keys in
@@ -1217,7 +1469,8 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
                 changes = pre.unionByName(post).unionByName(ins)
             else:
                 changes = flat.withColumn("_change_type", F.lit("insert"))
-            cdc_actions = _write_change_files(changes, table)
+            cdc_actions = _write_change_files(
+                _to_physical(changes, mapping), table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,
@@ -1256,10 +1509,10 @@ def delete_delta(spark: SparkSession, table: str,
         live_map, schema_string, read_v, _t, config = _replay(table, None)
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
-        schema = StructType.fromJson(json.loads(schema_string))
-        full = [os.path.join(table, p) for p in paths]
-        live = spark.read.schema(schema).parquet(*full).withColumn(
-            "_fp", F.col("_metadata.file_path"))
+        mapping = _column_mapping(schema_string, config)
+        live = _scan_logical(
+            spark, table, paths, schema_string, config,
+            extra_cols=[F.col("_metadata.file_path").alias("_fp")])
         cond = F.coalesce(F.expr(condition), F.lit(False))
         affected_fps = [
             r["_fp"]
@@ -1272,19 +1525,21 @@ def delete_delta(spark: SparkSession, table: str,
         guard_no_dvs(_dv_acts, rel_affected, "delete_delta")
         if not rel_affected:
             return latest_version(table) or 0, 0, len(paths)
-        affected_full = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in rel_affected])
+        affected_full = _scan_logical(
+            spark, table, list(rel_affected), schema_string, config)
         survivors = affected_full.filter(
             ~F.coalesce(F.expr(condition), F.lit(False)))
-        adds = _write_data_files(survivors, table)
+        adds = _write_data_files(_to_physical(survivors, mapping), table)
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
             # the CHANGE FEED rides in the SAME commit: the matched
             # rows, tagged 'delete', staged under _change_data/
             cdc_actions = _write_change_files(
-                affected_full.filter(
-                    F.coalesce(F.expr(condition), F.lit(False))
-                ).withColumn("_change_type", F.lit("delete")), table)
+                _to_physical(
+                    affected_full.filter(
+                        F.coalesce(F.expr(condition), F.lit(False))
+                    ).withColumn("_change_type", F.lit("delete")),
+                    mapping), table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,
@@ -1312,10 +1567,10 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
         live_map, schema_string, read_v, _t, config = _replay(table, None)
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
-        schema = StructType.fromJson(json.loads(schema_string))
-        full = [os.path.join(table, p) for p in paths]
-        live = spark.read.schema(schema).parquet(*full).withColumn(
-            "_fp", F.col("_metadata.file_path"))
+        mapping = _column_mapping(schema_string, config)
+        live = _scan_logical(
+            spark, table, paths, schema_string, config,
+            extra_cols=[F.col("_metadata.file_path").alias("_fp")])
         kdf = keys.select(key_col).distinct()
         affected_fps = [
             r["_fp"]
@@ -1329,15 +1584,18 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
         guard_no_dvs(_dv_acts, rel_affected, "delete_keys_delta")
         if not rel_affected:
             return latest_version(table) or 0, 0, len(paths)
-        affected_full = spark.read.schema(schema).parquet(
-            *[os.path.join(table, p) for p in rel_affected])
+        affected_full = _scan_logical(
+            spark, table, list(rel_affected), schema_string, config)
         survivors = affected_full.join(F.broadcast(kdf), key_col, "left_anti")
-        adds = _write_data_files(survivors, table)
+        adds = _write_data_files(_to_physical(survivors, mapping), table)
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
             cdc_actions = _write_change_files(
-                affected_full.join(F.broadcast(kdf), key_col, "left_semi")
-                .withColumn("_change_type", F.lit("delete")), table)
+                _to_physical(
+                    affected_full.join(F.broadcast(kdf), key_col,
+                                       "left_semi")
+                    .withColumn("_change_type", F.lit("delete")),
+                    mapping), table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,

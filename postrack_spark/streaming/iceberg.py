@@ -1903,10 +1903,18 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
     from pyspark.sql.types import StructType as _StructType
 
     from postrack_spark.streaming.delta_log import (
-        _snapshot_actions as _delta_snapshot_actions,
+        _replay as _delta_replay,
     )
 
-    acts, schema_string, _v = _delta_snapshot_actions(table, None)
+    acts_map, schema_string, _v, _txns, _dconfig = _delta_replay(table, None)
+    acts = list(acts_map.items())
+    if (_dconfig or {}).get("delta.columnMapping.mode") == "name":
+        # the sync points Iceberg metadata at the same parquet BYTES,
+        # but those store Delta's PHYSICAL column names while the
+        # Iceberg schema here would carry the logical ones — refuse
+        # rather than serve all-NULL columns (honest-seam rule)
+        raise NotImplementedError(
+            "UniForm sync of a column-mapping table is out of scope")
     if any(a.get("deletionVector") for _p, a in acts):
         # the sync points Iceberg metadata at the SAME parquet bytes;
         # a file carrying a Delta deletion vector has no Iceberg-side

@@ -1307,3 +1307,211 @@ def test_change_feed_merge_skips_no_op_updates(spark):
     v_n = merge_delta(spark, t, spark.createDataFrame(
         [(3, 0)], "k long, v long"), "k", "v")
     assert read_changes_delta(spark, t, v_n, v_n).count() == 0
+
+
+# ----------------------------------------------------- COLUMN MAPPING
+
+
+def test_column_mapping_rename_round_trip_zero_rewrite(spark):
+    """PROTOCOL.md column mapping (name mode): RENAME is metadata-only
+    — the old parquet is read through the physicalName indirection, no
+    data file is rewritten, and time travel to a pre-rename version
+    still shows the old name against the same bytes."""
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cm_")
+    write_delta(_df(spark, 0, 6).repartition(2), t)           # v0
+    files_before = sorted(f for f in os.listdir(t) if f.endswith(".parquet"))
+    enable_column_mapping_delta(t)                            # v1
+    v_rn = rename_column_delta(t, "v", "value")               # v2
+    files_after = sorted(f for f in os.listdir(t) if f.endswith(".parquet"))
+    assert files_before == files_after  # ZERO rewrite
+    got = read_delta(spark, t)
+    assert got.columns == ["k", "value"]
+    assert sorted((r["k"], r["value"]) for r in got.collect()) == [
+        (i, 2 * i) for i in range(6)]
+    # time travel: the pre-rename schema against the same bytes
+    old = read_delta(spark, t, version=0)
+    assert old.columns == ["k", "v"]
+    assert sorted(r["v"] for r in old.collect()) == [2 * i for i in range(6)]
+    # appends after the rename write PHYSICAL names: a fresh read and
+    # a pre-rename file read agree through the mapping
+    write_delta(spark.createDataFrame([(100, 200)], "k bigint, value bigint"), t)
+    assert sorted(r["value"] for r in read_delta(spark, t).collect()) == [
+        0, 2, 4, 6, 8, 10, 200]
+    # rename without mapping refuses; collision refuses
+    t2 = tempfile.mkdtemp(prefix="delta_cm2_")
+    write_delta(_df(spark, 0, 2), t2)
+    with pytest.raises(ValueError, match="column mapping"):
+        rename_column_delta(t2, "v", "w")
+    with pytest.raises(ValueError, match="already exists"):
+        enable_column_mapping_delta(t)
+        rename_column_delta(t, "k", "value")
+    assert v_rn == 2
+
+
+def test_column_mapping_drop_column_metadata_only(spark):
+    from postrack_spark.streaming.delta_log import (
+        drop_column_delta,
+        enable_column_mapping_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cmd_")
+    write_delta(_df(spark, 0, 4), t)
+    enable_column_mapping_delta(t)
+    files_before = sorted(f for f in os.listdir(t) if f.endswith(".parquet"))
+    drop_column_delta(t, "v")
+    assert sorted(f for f in os.listdir(t)
+                  if f.endswith(".parquet")) == files_before
+    got = read_delta(spark, t)
+    assert got.columns == ["k"]
+    # time travel pre-drop still sees the column
+    assert read_delta(spark, t, version=0).columns == ["k", "v"]
+    with pytest.raises(ValueError, match="only column"):
+        drop_column_delta(t, "k")
+    with pytest.raises(KeyError):
+        drop_column_delta(t, "nope")
+
+
+def test_column_mapping_survives_checkpoint_and_cleanup(spark):
+    """The mapping lives in schemaString field metadata + config —
+    both ride the parquet checkpoint, so a log-cleaned table still
+    reads renamed columns through old parquet."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cmcp_")
+    write_delta(_df(spark, 0, 5), t)
+    enable_column_mapping_delta(t)
+    rename_column_delta(t, "v", "val")
+    cp = checkpoint_delta(t)
+    write_delta(spark.createDataFrame([(9, 9)], "k bigint, val bigint"), t)
+    clean_log_delta(t)
+    got = read_delta(spark, t)
+    assert got.columns == ["k", "val"]
+    assert sorted(r["val"] for r in got.collect()) == [0, 2, 4, 6, 8, 9]
+    assert cp == 2
+
+
+def test_column_mapping_cdf_across_rename(spark):
+    """CDF interplay: change files written BEFORE a rename carry the
+    stable physical names, so reading changes across the rename keeps
+    resolving — and post-rename change rows use the same physical
+    column."""
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        enable_change_feed_delta,
+        enable_column_mapping_delta,
+        read_changes_delta,
+        rename_column_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cmcdf_")
+    write_delta(_df(spark, 0, 6), t)                       # v0
+    enable_change_feed_delta(t)                            # v1
+    enable_column_mapping_delta(t)                         # v2
+    v_d1, _, _ = delete_delta(spark, t, "k = 1")           # v3: pre-rename
+    rename_column_delta(t, "v", "val")                     # v4
+    v_d2, _, _ = delete_delta(spark, t, "k = 2")           # v5: post-rename
+    ch = read_changes_delta(spark, t, v_d1, v_d2).collect()
+    dels = sorted((r["k"], r["val"]) for r in ch
+                  if r["_change_type"] == "delete")
+    assert dels == [(1, 2), (2, 4)]  # both resolve through the mapping
+
+
+def test_column_mapping_dv_delete_and_read(spark):
+    """DV interplay: deletion vectors key rows by (file, position) —
+    orthogonal to names — and the DV read path scans physical names;
+    a rename between the DV delete and the read must not disturb
+    either."""
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = tempfile.mkdtemp(prefix="delta_cmdv_")
+    write_delta(_df(spark, 0, 8).repartition(2), t)
+    enable_column_mapping_delta(t)
+    rename_column_delta(t, "v", "val")
+    v_dv, n, _ = delete_delta_dv(spark, t, "val % 4 = 2")  # logical name
+    assert n == 4  # val = 2k, matches {2, 6, 10, 14}
+    got = read_delta(spark, t)
+    assert got.columns == ["k", "val"]
+    assert sorted(r["val"] for r in got.collect()) == [0, 4, 8, 12]
+    # rename AFTER the DV landed: bitmap still applies
+    rename_column_delta(t, "val", "v2")
+    assert sorted(r["v2"] for r in read_delta(spark, t).collect()) == [
+        0, 4, 8, 12]
+
+
+def test_column_mapping_cow_merge_and_evolution(spark):
+    """COW merge reads/writes through the mapping, and add-column
+    evolution on a mapped table assigns a uuid physical name + fresh
+    id (no collision with any past logical name)."""
+    from postrack_spark.streaming.delta_log import (
+        _replay,
+        enable_column_mapping_delta,
+        merge_delta,
+        rename_column_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cmmg_")
+    write_delta(_df(spark, 0, 4), t)
+    enable_column_mapping_delta(t)
+    rename_column_delta(t, "v", "score")
+    merge_delta(spark, t, spark.createDataFrame(
+        [(1, 100), (9, 9)], "k long, score long"), "k", "score")
+    got = {r["k"]: r["score"] for r in read_delta(spark, t).collect()}
+    assert got == {0: 0, 1: 100, 2: 4, 3: 6, 9: 9}
+    # evolution under mapping: new column gets uuid physical name
+    write_delta(spark.createDataFrame(
+        [(50, 50, "x")], "k long, score long, tag string"), t,
+        merge_schema=True)
+    _l, schema_string, _v, _t2, config = _replay(t, None)
+    import json as _json
+
+    fields = {f["name"]: f for f in _json.loads(schema_string)["fields"]}
+    md = fields["tag"]["metadata"]
+    assert md["delta.columnMapping.physicalName"].startswith("col-")
+    assert md["delta.columnMapping.id"] == 3
+    assert config["delta.columnMapping.maxColumnId"] == "3"
+    got2 = {r["k"]: r["tag"] for r in read_delta(spark, t).collect()}
+    assert got2[50] == "x" and got2[1] is None
+
+
+def test_column_mapping_delta_feed_reads_through_rename(spark):
+    """The streaming feed projects files through the physical-name
+    indirection and uses the NEWEST metaData (live schema)."""
+    from postrack_spark.sources.delta_feed import register
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cmfeed_")
+    write_delta(_df(spark, 0, 3), t)
+    enable_column_mapping_delta(t)
+    rename_column_delta(t, "v", "val")
+    write_delta(spark.createDataFrame([(7, 70)], "k bigint, val bigint"), t)
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="delta_cmfeed_ck_")
+    rows = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    q = (spark.readStream.format("delta_feed").option("path", t).load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sorted((r["k"], r["val"]) for r in rows) == [
+        (0, 0), (1, 2), (2, 4), (7, 70)]
