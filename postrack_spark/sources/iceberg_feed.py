@@ -9,13 +9,18 @@ no rescans, O(manifests) driver-side metadata per batch.
 
 Append-only is enforced by SET DIFFERENCE, not assumed: for every
 consumed snapshot the reader diffs the live data-file set against its
-predecessor — a file leaving the live set (compaction REPLACE,
-concurrent rewrite) or a new delete manifest (MOR position/equality
-delete) raises, because emitting around either would double-count or
-ghost rows. Row-level change feeds over deletes need per-row change
-files, out of scope (the honest-seam rule). Linear main-line history
-is assumed: snapshots staged on UNPUBLISHED branches look like
-rewrites to the differ and raise rather than leak unpublished data.
+predecessor. COMPACTION rides through: a snapshot whose summary
+operation is 'replace' (the spec's rewrite_data_files label,
+compact_iceberg stamps it) is a logical no-op — same rows in new
+files, all already delivered — so the feed emits nothing and moves
+its diff base forward, exactly how Delta consumers treat
+dataChange=false commits. An UNLABELED file retirement or a new
+delete manifest (MOR position/equality delete) still raises, because
+emitting around either would double-count or ghost rows. Row-level
+change feeds over deletes need per-row change files, out of scope
+(the honest-seam rule). Linear main-line history is assumed:
+snapshots staged on UNPUBLISHED branches look like rewrites to the
+differ and raise rather than leak unpublished data.
 
 Partitioning: one input partition per added file; workers read their
 file with pyarrow. Columns added by schema evolution read as NULL
@@ -138,6 +143,8 @@ class IcebergFeedStreamReader(DataSourceStreamReader):
                 f"{start['sid']} was expired from the table — cannot "
                 "establish the incremental diff base; re-seed the "
                 "consumer (expire_snapshots ran past a live offset)")
+        summaries = {s["snapshot-id"]: (s.get("summary") or {})
+                     for s in meta["snapshots"]}
         parts: list[IcebergFilePartition] = []
         prev_data: set[str] | None = None
         prev_del: set[str] | None = None
@@ -153,12 +160,24 @@ class IcebergFeedStreamReader(DataSourceStreamReader):
                     prev_data, prev_del = _snapshot_file_sets(
                         self.table, meta, sids[i - 1])
             data, dels = _snapshot_file_sets(self.table, meta, sid)
+            if summaries.get(sid, {}).get("operation") == "replace":
+                # COMPACTION (rewrite_data_files): the spec's 'replace'
+                # operation promises the same logical rows in new
+                # files — every row was already delivered from the
+                # files it rewrote, so the feed emits NOTHING and
+                # moves the diff base forward (the trust model is
+                # dataChange=false in Delta: a writer labeling a
+                # data-adding commit 'replace' violates its contract).
+                # Retired delete files are part of the same rewrite.
+                prev_data, prev_del = data, dels
+                continue
             removed = prev_data - data
             if removed:
                 raise ValueError(
                     f"iceberg_feed: snapshot {sid} retires data files "
                     f"{sorted(removed)[:3]} — this source is append-only "
-                    "(compaction/rewrite/branch histories out of scope)")
+                    "(rewrites must be 'replace' snapshots; branch "
+                    "histories out of scope)")
             if dels - prev_del:
                 raise ValueError(
                     f"iceberg_feed: snapshot {sid} adds MOR delete files "

@@ -1870,9 +1870,13 @@ def compact_iceberg(spark: SparkSession, table: str,
         # readers switch from (old data ⊖ deletes) to the rewritten set
         # at the atomic hint swap, never seeing duplicates
         try:
+            # summary operation "replace" is the spec's label for
+            # rewrite commits — downstream consumers (iceberg_feed)
+            # use it to ride through compaction as a logical no-op
             return append_iceberg(
                 df, table, format_version=fv, carry_forward=False,
-                expected_snapshot_id=meta["current-snapshot-id"])
+                expected_snapshot_id=meta["current-snapshot-id"],
+                summary_extra={"operation": "replace"})
         except IcebergCommitConflict:
             continue  # a failed attempt's staged files orphan, harmless
     raise IcebergCommitConflict(f"lost 10 compaction races on {table}")

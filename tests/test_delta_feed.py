@@ -149,3 +149,27 @@ def test_change_feed_stream_signed_fold_reconstructs_state(spark):
     gone = clean_log_delta(t)
     assert any(g.startswith("_change_data/") for g in gone)
     assert not _os.listdir(_os.path.join(t, "_change_data"))
+
+
+def test_delta_feed_rides_through_compaction(spark):
+    """compact_delta commits dataChange=false removes+adds — the feed
+    must treat the rewrite as a logical no-op (nothing re-emits) and
+    keep delivering post-compaction appends exactly once."""
+    from postrack_spark.streaming.delta_log import compact_delta
+
+    t = tempfile.mkdtemp(prefix="dfeed_cp_")
+    ckpt = tempfile.mkdtemp(prefix="dfeed_cpc_")
+    write_delta(_df(spark, 0, 4).repartition(2), t)
+    write_delta(_df(spark, 4, 6), t)
+    out1, _b1 = _drain(spark, t, "dfeedcp1", ckpt)
+    assert sorted(r["k"] for r in out1) == list(range(6))
+    compact_delta(spark, t, target_files=1)
+    out2, _b2 = _drain(spark, t, "dfeedcp2", ckpt)
+    assert out2 == []
+    write_delta(_df(spark, 6, 8), t)
+    out3, _b3 = _drain(spark, t, "dfeedcp3", ckpt)
+    assert sorted(r["k"] for r in out3) == [6, 7]
+    # fresh consumer: every row exactly once across the whole history
+    fresh, _bf = _drain(spark, t, "dfeedcpf",
+                        tempfile.mkdtemp(prefix="dfeed_cpf_"))
+    assert sorted(r["k"] for r in fresh) == list(range(8))

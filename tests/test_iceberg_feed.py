@@ -5,6 +5,7 @@ Iceberg twin of test_delta_feed.py."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -68,19 +69,58 @@ def test_snapshot_pacing_bounds_each_run(spark):
     assert sorted(r["k"] for r in seen) == list(range(9))
 
 
-def test_guard_rejects_compaction_and_mor_deletes(spark):
+def test_feed_rides_through_compaction_exactly_once(spark):
+    """VERDICT r6 item 5: a 'replace' snapshot (compact_iceberg) is a
+    logical no-op to the feed — data already delivered never re-emits,
+    the diff base moves to the compacted file set, and appends after
+    the compaction emit exactly their own rows."""
+    from postrack_spark.streaming.iceberg import compact_iceberg
+
+    t = tempfile.mkdtemp(prefix="icefeed_cp_")
+    ckpt = tempfile.mkdtemp(prefix="icefeed_cpc_")
+    append_iceberg(_df(spark, 0, 4).repartition(2), t, format_version=2)
+    append_iceberg(_df(spark, 4, 6), t, format_version=2)
+    out1 = _drain(spark, t, ckpt)
+    assert sorted(r["k"] for r in out1) == list(range(6))
+    compact_iceberg(spark, t, target_files=1)  # replace snapshot
+    out2 = _drain(spark, t, ckpt)
+    assert out2 == []  # NOTHING re-emits across the rewrite
+    append_iceberg(_df(spark, 6, 9), t, format_version=2)
+    out3 = _drain(spark, t, ckpt)
+    assert sorted(r["k"] for r in out3) == [6, 7, 8]
+    # a fresh consumer that starts mid-history still sees every row
+    # exactly once (compaction contributes nothing; the appends do)
+    ckpt2 = tempfile.mkdtemp(prefix="icefeed_cpc2_")
+    fresh = _drain(spark, t, ckpt2)
+    assert sorted(r["k"] for r in fresh) == list(range(9))
+
+
+def test_guard_rejects_unlabeled_rewrites_and_mor_deletes(spark):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    from postrack_spark.streaming.iceberg import (
-        compact_iceberg,
-        delete_positions_iceberg,
-    )
+    from postrack_spark.streaming.iceberg import delete_positions_iceberg
+
+    # an UNLABELED rewrite (no 'replace' summary) must still raise:
+    # simulate by compacting then patching the summary back to append
+    import json as _json
+
+    from postrack_spark.streaming.iceberg import compact_iceberg
 
     t = tempfile.mkdtemp(prefix="icefeed_g_")
     ckpt = tempfile.mkdtemp(prefix="icefeed_gc_")
     append_iceberg(_df(spark, 0, 4).repartition(2), t, format_version=2)
-    append_iceberg(_df(spark, 4, 6), t, format_version=2)
-    compact_iceberg(spark, t, target_files=1)  # REPLACE snapshot
+    sid = compact_iceberg(spark, t, target_files=1)
+    md = os.path.join(t, "metadata")
+    with open(os.path.join(md, "version-hint.text")) as f:
+        v = int(f.read())
+    mp = os.path.join(md, f"v{v}.metadata.json")
+    with open(mp) as f:
+        meta = _json.load(f)
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] == sid:
+            s["summary"]["operation"] = "append"
+    with open(mp, "w") as f:
+        _json.dump(meta, f)
     with pytest.raises(StreamingQueryException, match="append-only"):
         _drain(spark, t, ckpt)
     t2 = tempfile.mkdtemp(prefix="icefeed_g2_")
