@@ -3063,6 +3063,66 @@ def cdc_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_delta_partition_pruning",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS pruned
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TABLE PARTITIONING (protocol partitionColumns +
+    per-file partitionValues): the table partitions on a month column,
+    every add action records its partition tuple, and a month-range
+    read PRUNES FILES FROM THE LOG'S METADATA before any footer opens
+    — read_delta(partition_filter=, scan_stats=), the Delta twin of
+    the Iceberg hidden-partitioning lane (there the manifest walk
+    prunes; here the log replay does — both O(files), zero directory
+    listing, the shape that keeps a 100 TB scan from touching 99% of
+    its files). Pruning is an optimization: the row filter still
+    applies, and the ``pruned`` certificate gates
+    0 < files_scanned < files_total via scan_stats."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_part_q_")
+    write_delta(base, table, partition_by=["month"])
+    months = [f"1995-{m:02d}" for m in range(1, 13)]
+    stats: dict = {}
+    pruned = read_delta(spark, table,
+                        partition_filter={"month": months},
+                        scan_stats=stats)
+    cert = 0 < stats["files_scanned"] < stats["files_total"]
+    return (
+        pruned
+        .filter(F.year("o_orderdate") == 1995)
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("month", "n_orders", "cents", F.lit(cert).alias("pruned"))
+        .orderBy("month")
+    )
+
+
+@query(
     "cdc_delta_column_mapping",
     oracle="""
     SELECT CAST(o_custkey % 10 AS BIGINT) AS custmod,

@@ -137,15 +137,52 @@ def commit_delta(table: str, version: int, actions: list[dict]) -> None:
         os.fsync(f.fileno())
 
 
-def _metadata_action(df: DataFrame) -> dict:
+def _metadata_action(df: DataFrame,
+                     partition_columns: list[str] | None = None) -> dict:
     return {"metaData": {
         "id": str(uuid.uuid4()),
         "format": {"provider": "parquet", "options": {}},
         "schemaString": df.schema.json(),
-        "partitionColumns": [],
+        "partitionColumns": list(partition_columns or []),
         "configuration": {},
         "createdTime": int(time.time() * 1000),
     }}
+
+
+def _partition_columns(table: str, version: int | None = None) -> list[str]:
+    """partitionColumns from the newest metaData action at-or-below
+    ``version`` — resolved the way _replay resolves schema (checkpoint
+    seed + JSON tail), tracked separately so the widely-shared _replay
+    tuple shape stays put."""
+    newest = latest_version(table)
+    if newest is None:
+        return []
+    if version is None:
+        version = newest
+    cols: list[str] = []
+    start = 0
+    cp = _read_last_checkpoint(table)
+    if cp is not None and cp <= version:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(_checkpoint_path(table, cp), columns=["metaData"])
+        for row in t.to_pylist():
+            md = row.get("metaData")
+            if md is not None:
+                cols = list(md.get("partitionColumns") or [])
+        start = cp + 1
+    for v in range(start, version + 1):
+        p = _log_path(table, v)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                a = json.loads(ln)
+                if "metaData" in a:
+                    cols = list(a["metaData"].get("partitionColumns") or [])
+    return cols
 
 
 def _file_stats_json(path: str) -> str | None:
@@ -187,13 +224,64 @@ def _file_stats_json(path: str) -> str | None:
         return None
 
 
-def _write_data_files(df: DataFrame, table: str) -> list[dict]:
+def _write_data_files(df: DataFrame, table: str,
+                      partition_cols: list[str] | None = None) -> list[dict]:
     """Write the batch as parquet under a scratch name, move the parts
     into the table root, return their add actions (uncommitted until a
     log commit references them). Each add carries Delta's ``stats``
     JSON so readers can file-prune on predicates (data skipping — the
-    table-format sibling of the zone-map family, sources/layout.py)."""
+    table-format sibling of the zone-map family, sources/layout.py).
+
+    ``partition_cols`` records each file's ``partitionValues`` (the
+    protocol's string-valued map) and guarantees one partition tuple
+    per file. Simplification stated: partition columns stay IN the
+    parquet bytes (the staging duplicates them into throwaway hive
+    columns so the originals survive; delta-spark strips them, leaving
+    the log authoritative) and files lie FLAT under the table root —
+    the log, not the directory tree, is the source of truth either
+    way, and pruning runs on the O(files) partitionValues metadata."""
     scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
+    if partition_cols:
+        from urllib.parse import unquote
+
+        staging = [f"_pd{i}" for i in range(len(partition_cols))]
+        aug = df
+        for sc, c in zip(staging, partition_cols):
+            aug = aug.withColumn(sc, F.col(c).cast("string"))
+        (aug.repartition(*[F.col(c) for c in staging])
+         .write.partitionBy(*staging).mode("overwrite").parquet(scratch))
+        adds = []
+        for root_dir, _dirs, files in os.walk(scratch):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(root_dir, scratch)
+                raw = dict(seg.split("=", 1)
+                           for seg in rel.split(os.sep) if "=" in seg)
+                pvals: dict = {}
+                for sc, c in zip(staging, partition_cols):
+                    v = unquote(raw[sc])
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        raise NotImplementedError(
+                            "NULL partition values out of scope")
+                    pvals[c] = v
+                final = f"part-{uuid.uuid4().hex}.parquet"
+                os.replace(os.path.join(root_dir, fn),
+                           os.path.join(table, final))
+                add = {
+                    "path": final,
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(table, final)),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+                stats = _file_stats_json(os.path.join(table, final))
+                if stats is not None:
+                    add["stats"] = stats
+                adds.append({"add": add})
+        shutil.rmtree(scratch, ignore_errors=True)
+        adds.sort(key=lambda a: a["add"]["path"])
+        return adds
     df.write.mode("overwrite").parquet(scratch)
     adds = []
     for name in sorted(os.listdir(scratch)):
@@ -351,17 +439,19 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
     import pyarrow.parquet as pq
 
     live, schema_string, v, txns, config = _replay(table, version)
+    pcols = _partition_columns(table, v)
     rows: list[dict] = [
         {"protocol": dict(_PROTOCOL)},
         {"metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
-            "partitionColumns": [],
-            # CONFIG MUST RIDE ALONG: pyarrow silently drops dict keys
-            # absent from the declared schema (the documented
-            # checkpoint trap) — losing it here would erase CHECK
-            # constraints at clean_log_delta
+            # partitionColumns + CONFIG MUST RIDE ALONG: pyarrow
+            # silently drops dict keys absent from the declared schema
+            # (the documented checkpoint trap) — losing either here
+            # would erase CHECK constraints / table partitioning at
+            # clean_log_delta
+            "partitionColumns": pcols,
             "configuration": config,
             "createdTime": int(time.time() * 1000),
         }},
@@ -384,6 +474,7 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
                            ("version", pa.int64())])),
         ("add", pa.struct([
             ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
@@ -447,7 +538,8 @@ def _read_checkpoint_state(table: str, cp_version: int):
                     add["deletionVector"] = dv
                 else:
                     add.pop("deletionVector", None)
-            add["partitionValues"] = {}
+            # pyarrow maps round-trip as (key, value) tuple lists
+            add["partitionValues"] = dict(add.get("partitionValues") or [])
             live[add["path"]] = add
     return live, schema_string, txns, protocol, config
 
@@ -755,19 +847,29 @@ def _enforce_constraints(df: DataFrame, config: dict) -> None:
 
 
 def write_delta(df: DataFrame, table: str, mode: str = "append",
-                merge_schema: bool = False) -> int:
+                merge_schema: bool = False,
+                partition_by: list[str] | None = None) -> int:
     """Batch write; returns the committed version. ``overwrite``
     replaces the whole live set in one atomic commit. Writes are
     SCHEMA-ENFORCED against the table's current metaData (drift
     raises; ``merge_schema=True`` evolves by appending new nullable
     columns in the same commit) and validated against any CHECK
-    constraints in the table configuration."""
+    constraints in the table configuration.
+
+    ``partition_by`` on the CREATING write declares partitionColumns
+    (the protocol's table-level partitioning); every file's add action
+    then records its partitionValues and readers prune files from
+    O(files) metadata (read_delta's partition_filter). Later writes
+    inherit the table's partitioning automatically; passing a
+    CONFLICTING partition_by raises (repartitioning is a rewrite, not
+    a write option)."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
     os.makedirs(table, exist_ok=True)
     gated_at: tuple | None = None
     evo_action: dict | None = None
     staged_mapping: dict | None = None
+    pcols = list(partition_by or [])
     if latest_version(table) is not None:
         _l, schema_string, _v, _t, config = _replay(table, None)
         evo_action = _reconcile_schema(schema_string, df, merge_schema, config)
@@ -779,14 +881,29 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
         staged_mapping = _column_mapping(
             eff["schemaString"] if eff else schema_string,
             eff["configuration"] if eff else config)
-    adds = _write_data_files(_to_physical(df, staged_mapping), table)
+        table_pcols = _partition_columns(table)
+        if partition_by is not None and list(partition_by) != table_pcols:
+            raise ValueError(
+                f"table is partitioned by {table_pcols}, write asked "
+                f"{list(partition_by)} — repartitioning needs a rewrite")
+        pcols = table_pcols
+    if pcols:
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in the batch")
+        if staged_mapping:
+            raise NotImplementedError(
+                "partitioned writes on a column-mapping table are out "
+                "of scope (physical-name partition dirs)")
+    adds = _write_data_files(_to_physical(df, staged_mapping), table,
+                             partition_cols=pcols)
     for attempt in range(10):
         current = latest_version(table)
         version = 0 if current is None else current + 1
         actions: list[dict] = []
         if version == 0:
             actions.append({"protocol": dict(_PROTOCOL)})
-            actions.append(_metadata_action(df))
+            actions.append(_metadata_action(df, pcols))
         else:
             _l, schema_string, _v, _t, config = _replay(table, None)
             now = (schema_string, tuple(sorted(config.items())))
@@ -905,17 +1022,47 @@ def version_at_timestamp_delta(table: str, ts_ms: int) -> int:
 
 def read_delta(spark: SparkSession, table: str,
                version: int | None = None,
-               timestamp_ms: int | None = None) -> DataFrame:
+               timestamp_ms: int | None = None,
+               partition_filter: dict | None = None,
+               scan_stats: dict | None = None) -> DataFrame:
     """Snapshot read (latest, or time travel to ``version``). Live
     files carrying deletion vectors read through the DV filter
     (streaming/deletion_vectors.py) — marked rows drop at scan time;
-    DV-free snapshots keep the plain pushdown-friendly scan."""
+    DV-free snapshots keep the plain pushdown-friendly scan.
+
+    ``partition_filter`` ({partition column: value or list}) prunes
+    FILES from the log's partitionValues metadata before any footer
+    opens — the Delta twin of read_iceberg's hidden-partitioning
+    pruner. Values compare as the protocol's partition STRINGS
+    (str(v)); files without a recorded value fail open. Pruning is an
+    OPTIMIZATION — callers still apply the row filter. ``scan_stats``
+    (out-param) receives files_total / files_scanned so callers can
+    certify."""
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version or timestamp_ms, not both")
         version = version_at_timestamp_delta(table, timestamp_ms)
     live, schema_string, _v, _txns, config = _replay(table, version)
     acts = list(live.items())
+    if partition_filter:
+        kept = []
+        for p, a in acts:
+            pv = a.get("partitionValues") or {}
+            pruned = False
+            for col, allowed in partition_filter.items():
+                if col not in pv:
+                    continue  # fail open
+                vals = (allowed if isinstance(allowed, (list, tuple, set))
+                        else [allowed])
+                if pv[col] not in {str(v) for v in vals}:
+                    pruned = True
+                    break
+            if not pruned:
+                kept.append((p, a))
+        if scan_stats is not None:
+            scan_stats["files_total"] = len(acts)
+            scan_stats["files_scanned"] = len(kept)
+        acts = kept
     schema = StructType.fromJson(json.loads(schema_string))
     if not acts:
         return spark.createDataFrame([], schema)
@@ -950,6 +1097,7 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             return  # replay of an already-committed batch
         os.makedirs(table, exist_ok=True)
         batch_mapping: dict | None = None
+        batch_pcols: list[str] = []
         if latest_version(table) is not None:
             # schema enforcement + CHECK constraints, like write_delta
             # (no evolution in the streaming hook — a drifting stream
@@ -958,8 +1106,9 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             _reconcile_schema(schema_string, batch_df, False, config)
             _enforce_constraints(batch_df, config)
             batch_mapping = _column_mapping(schema_string, config)
+            batch_pcols = _partition_columns(table)
         adds = _write_data_files(_to_physical(batch_df, batch_mapping),
-                                 table)
+                                 table, partition_cols=batch_pcols)
         for _ in range(10):
             current = latest_version(table)
             version = 0 if current is None else current + 1
@@ -1183,7 +1332,8 @@ def compact_delta(spark: SparkSession, table: str,
         else:
             df = df.coalesce(target_files)
         adds = _write_data_files(
-            _to_physical(df, _column_mapping(schema_string, config)), table)
+            _to_physical(df, _column_mapping(schema_string, config)), table,
+            partition_cols=_partition_columns(table))
         for a in adds:
             a["add"]["dataChange"] = False
         removes = [{"remove": {
@@ -1355,7 +1505,7 @@ def restore_delta(table: str, version: int) -> int:
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": target_schema,
-                "partitionColumns": [],
+                "partitionColumns": _partition_columns(table, version),
                 "configuration": dict(target_config),
                 "createdTime": int(time.time() * 1000),
             }})
@@ -1423,7 +1573,8 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
             F.max_by(F.struct(*cols), order_col).alias("_w"))
         flat = winner.select(key_col,
                              *[F.col(f"_w.{c}").alias(c) for c in cols])
-        adds = _write_data_files(_to_physical(flat, mapping), table)
+        adds = _write_data_files(_to_physical(flat, mapping), table,
+                                 partition_cols=_partition_columns(table))
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
             # change rows for the BATCH's keys only (unchanged keys in
@@ -1529,7 +1680,8 @@ def delete_delta(spark: SparkSession, table: str,
             spark, table, list(rel_affected), schema_string, config)
         survivors = affected_full.filter(
             ~F.coalesce(F.expr(condition), F.lit(False)))
-        adds = _write_data_files(_to_physical(survivors, mapping), table)
+        adds = _write_data_files(_to_physical(survivors, mapping), table,
+                                 partition_cols=_partition_columns(table))
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
             # the CHANGE FEED rides in the SAME commit: the matched
@@ -1587,7 +1739,8 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
         affected_full = _scan_logical(
             spark, table, list(rel_affected), schema_string, config)
         survivors = affected_full.join(F.broadcast(kdf), key_col, "left_anti")
-        adds = _write_data_files(_to_physical(survivors, mapping), table)
+        adds = _write_data_files(_to_physical(survivors, mapping), table,
+                                 partition_cols=_partition_columns(table))
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
             cdc_actions = _write_change_files(

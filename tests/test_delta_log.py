@@ -530,8 +530,8 @@ def test_concurrent_delete_during_compaction_is_not_resurrected(spark, monkeypat
     orig = delta_log._write_data_files
     fired = {"done": False}
 
-    def inject(df, tbl):
-        adds = orig(df, tbl)
+    def inject(df, tbl, **kw):
+        adds = orig(df, tbl, **kw)
         if not fired["done"]:
             fired["done"] = True
             delete_delta(spark, table, "k < 25")  # concurrent writer wins
@@ -560,8 +560,8 @@ def test_concurrent_append_during_delete_survives(spark, monkeypatch):
     orig = delta_log._write_data_files
     fired = {"done": False}
 
-    def inject(df, tbl):
-        adds = orig(df, tbl)
+    def inject(df, tbl, **kw):
+        adds = orig(df, tbl, **kw)
         if not fired["done"]:
             fired["done"] = True
             write_delta(_df(spark, 100, 120), table)  # concurrent append
@@ -1515,3 +1515,96 @@ def test_column_mapping_delta_feed_reads_through_rename(spark):
     q.awaitTermination()
     assert sorted((r["k"], r["val"]) for r in rows) == [
         (0, 0), (1, 2), (2, 4), (7, 70)]
+
+
+# --------------------------------------------------- PARTITIONED TABLES
+
+
+def test_partitioned_write_prunes_from_metadata(spark):
+    """partitionColumns + per-add partitionValues: a partition_filter
+    read prunes FILES from the log's O(files) metadata (certified via
+    scan_stats) and returns exactly the rows a full scan + filter
+    would; unknown filter columns fail open."""
+    t = tempfile.mkdtemp(prefix="delta_part_")
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 2) for i in range(30)], "k long, g long, v long")
+    write_delta(df, t, partition_by=["g"])
+    stats: dict = {}
+    got = sorted(r["k"] for r in read_delta(
+        spark, t, partition_filter={"g": 1}, scan_stats=stats).collect()
+        if r["g"] == 1)
+    assert got == [k for k in range(30) if k % 3 == 1]
+    assert 0 < stats["files_scanned"] < stats["files_total"]
+    # list values + string coercion (protocol partition values are strings)
+    s2: dict = {}
+    got2 = read_delta(spark, t, partition_filter={"g": [0, 2]},
+                      scan_stats=s2)
+    assert sorted({r["g"] for r in got2.collect()}) == [0, 2]
+    # unknown column: fail open (everything scans)
+    s3: dict = {}
+    read_delta(spark, t, partition_filter={"nope": 1}, scan_stats=s3)
+    assert s3["files_scanned"] == s3["files_total"]
+
+
+def test_partitioned_table_inherits_and_refuses_conflicts(spark):
+    t = tempfile.mkdtemp(prefix="delta_parti_")
+    df = spark.createDataFrame([(1, 0, 2)], "k long, g long, v long")
+    write_delta(df, t, partition_by=["g"])
+    # a later write inherits the partitioning automatically
+    write_delta(spark.createDataFrame([(2, 1, 4)], "k long, g long, v long"), t)
+    s: dict = {}
+    got = read_delta(spark, t, partition_filter={"g": 1}, scan_stats=s)
+    assert [r["k"] for r in got.collect()] == [2]
+    assert s["files_scanned"] < s["files_total"]
+    with pytest.raises(ValueError, match="partitioned by"):
+        write_delta(df, t, partition_by=["k"])
+    with pytest.raises(ValueError, match="not in the batch"):
+        write_delta(df.drop("g"), tempfile.mkdtemp(prefix="delta_partx_"),
+                    partition_by=["g"])
+
+
+def test_partitioning_survives_checkpoint_and_cleanup(spark):
+    """partitionColumns ride the checkpoint metaData and
+    partitionValues ride the checkpoint add structs — post-cleanup
+    reads still prune and post-cleanup writes still partition."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_partcp_")
+    df = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(10)], "k long, g long, v long")
+    write_delta(df, t, partition_by=["g"])
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    s: dict = {}
+    got = read_delta(spark, t, partition_filter={"g": 0}, scan_stats=s)
+    assert sorted(r["k"] for r in got.collect()) == [0, 2, 4, 6, 8]
+    assert 0 < s["files_scanned"] < s["files_total"]
+    # a write after cleanup still inherits the partitioning
+    write_delta(spark.createDataFrame([(99, 0, 0)],
+                                      "k long, g long, v long"), t)
+    s2: dict = {}
+    got2 = read_delta(spark, t, partition_filter={"g": 0}, scan_stats=s2)
+    assert 99 in {r["k"] for r in got2.collect()}
+    assert s2["files_scanned"] < s2["files_total"]
+
+
+def test_partitioned_cow_delete_keeps_partition_values(spark):
+    """COW rewrites on a partitioned table restage partitioned: the
+    survivor files carry fresh partitionValues, so pruning keeps
+    working after the delete."""
+    from postrack_spark.streaming.delta_log import delete_delta
+
+    t = tempfile.mkdtemp(prefix="delta_partcow_")
+    df = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(12)], "k long, g long, v long")
+    write_delta(df, t, partition_by=["g"])
+    delete_delta(spark, t, "k < 4")
+    s: dict = {}
+    got = sorted(r["k"] for r in read_delta(
+        spark, t, partition_filter={"g": 0}, scan_stats=s).collect()
+        if r["g"] == 0)
+    assert got == [4, 6, 8, 10]
+    assert 0 < s["files_scanned"] < s["files_total"]
