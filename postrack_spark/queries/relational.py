@@ -4119,6 +4119,78 @@ def source_iceberg_partition_spec_evolution(
 
 
 @query(
+    "profile_iceberg_metadata_tables",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_appends,
+           CAST(1 AS BIGINT) AS n_deletes,
+           CAST(1 AS BIGINT) AS n_replaces,
+           true AS compacted,
+           true AS ancestry_linear,
+           CAST((SELECT count(*) FROM orders
+                 WHERE NOT (o_orderkey % 19 = 3)) AS BIGINT) AS live_rows
+    """,
+)
+def profile_iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg METADATA TABLES (the spec's inspection surface —
+    ``tbl.snapshots`` / ``tbl.files`` / ``tbl.history`` in
+    engine-integrated Iceberg): after a known lifecycle (2 appends,
+    1 MOR position delete, 1 compaction) the table's own metadata
+    answers operational questions as DataFrames built from O(files)
+    driver-side metadata with ZERO data scans — at 100 TB, 'how many
+    live files, how many rows, what happened when' must come from
+    metadata or it doesn't come at all. Snapshot operation counts,
+    live-file rollup (post-compaction file count bounded by the
+    compaction target), and a linear-ancestry certificate from the
+    history table all hash-gate; live_rows (from the files table's
+    record_count sums — never a scan) matches the oracle's recompute
+    over the raw data."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        compact_iceberg,
+        delete_positions_iceberg,
+        inspect_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = _tf.mkdtemp(prefix="ice_meta_q_")
+    append_iceberg(base.filter(F.col("o_orderkey") % 2 == 0)
+                   .repartition(3), t, format_version=2)
+    append_iceberg(base.filter(F.col("o_orderkey") % 2 != 0)
+                   .repartition(2), t, format_version=2)
+    delete_positions_iceberg(spark, t, "o_orderkey % 19 = 3")
+    compact_iceberg(spark, t, target_files=4)
+    snaps = inspect_iceberg(spark, t, "snapshots").groupBy().agg(
+        F.sum((F.col("operation") == "append").cast("long"))
+        .alias("n_appends"),
+        F.sum((F.col("operation") == "delete").cast("long"))
+        .alias("n_deletes"),
+        F.sum((F.col("operation") == "replace").cast("long"))
+        .alias("n_replaces"),
+    )
+    files = inspect_iceberg(spark, t, "files").filter(
+        F.col("content") == 0).groupBy().agg(
+        F.count("*").alias("n_files"),
+        F.sum("record_count").cast("long").alias("live_rows"),
+    )
+    hist = inspect_iceberg(spark, t, "history").groupBy().agg(
+        (F.sum(F.col("is_current_ancestor").cast("long"))
+         == F.count("*")).alias("ancestry_linear"))
+    return (
+        snaps.crossJoin(files).crossJoin(hist)
+        .select(
+            "n_appends", "n_deletes", "n_replaces",
+            F.col("n_files").between(1, 4).alias("compacted"),
+            "ancestry_linear", "live_rows",
+        )
+    )
+
+
+@query(
     "cdc_iceberg_equality_upsert",
     oracle="""
     WITH base AS (

@@ -3063,6 +3063,68 @@ def cdc_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_delta_history",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+      UNION ALL
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) + 1 FROM orders
+    ), live AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM u WHERE NOT (cents % 7 = 3)
+    )
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'WRITE', true, true),
+      (CAST(1 AS BIGINT), 'WRITE', false, true),
+      (CAST(2 AS BIGINT), 'MERGE_OR_OVERWRITE', false, true),
+      (CAST(3 AS BIGINT), 'OPTIMIZE', false, false)
+    ) AS t(version, operation, metadata_changed, data_change)
+    CROSS JOIN live ORDER BY version
+    """,
+)
+def profile_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the Delta log (delta_log.history_delta):
+    one row per commit, synthesized from the actions themselves —
+    operation class, action counts, dataChange flags, commit
+    timestamps — O(log) driver metadata, zero data IO (the audit
+    surface an operator reads before trusting a table). The lifecycle
+    here: create (WRITE + metaData), append (WRITE), predicate DELETE
+    (a COW rewrite: adds + dataChange removes), OPTIMIZE (adds +
+    removes, dataChange=false — the flag that tells every consumer,
+    including the change feed and the streaming source, that no
+    logical rows moved). live-row count rides along from the table
+    itself and matches the oracle's union-minus-deleted recompute."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        compact_delta,
+        delete_delta,
+        history_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    t = _tf.mkdtemp(prefix="delta_hist_q_")
+    write_delta(base.repartition(2), t)                          # v0
+    write_delta(base.select("o_orderkey",
+                            (F.col("cents") + 1).alias("cents")), t)  # v1
+    delete_delta(spark, t, "cents % 7 = 3")                      # v2
+    compact_delta(spark, t, target_files=2)                      # v3
+    live = read_delta(spark, t).groupBy().agg(
+        F.count("*").cast("long").alias("n"))
+    return (
+        history_delta(spark, t)
+        .select("version", "operation", "metadata_changed", "data_change")
+        .crossJoin(live)
+        .orderBy("version")
+    )
+
+
+@query(
     "source_delta_partition_pruning",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,

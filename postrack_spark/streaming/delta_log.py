@@ -1348,6 +1348,50 @@ def compact_delta(spark: SparkSession, table: str,
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
+def history_delta(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit still present in the JSON
+    log (commits cleaned below a checkpoint are gone — the protocol's
+    honest answer), synthesized from the actions themselves since this
+    writer emits no commitInfo: version, timestamp (commit-file mtime,
+    the TIMESTAMP AS OF rule), action counts, dataChange flags, and an
+    OPERATION inferred from the action shape (append / overwrite-or-
+    rewrite split by dataChange / delete / metadata / txn-only).
+    O(log) driver-side metadata, zero data IO."""
+    rows = []
+    for v in _list_versions(table):
+        with open(_log_path(table, v)) as f:
+            actions = [json.loads(ln) for ln in f if ln.strip()]
+        n_add = sum(1 for a in actions if "add" in a)
+        n_remove = sum(1 for a in actions if "remove" in a)
+        n_cdc = sum(1 for a in actions if "cdc" in a)
+        has_meta = any("metaData" in a for a in actions)
+        has_txn = any("txn" in a for a in actions)
+        data_change = any(
+            a.get("add", {}).get("dataChange", False)
+            or a.get("remove", {}).get("dataChange", False)
+            for a in actions)
+        if n_add and n_remove and not data_change:
+            op = "OPTIMIZE"
+        elif n_add and n_remove:
+            op = "MERGE_OR_OVERWRITE"
+        elif n_add:
+            op = "WRITE"
+        elif n_remove:
+            op = "DELETE"
+        elif has_meta:
+            op = "SET_METADATA"
+        else:
+            op = "TXN" if has_txn else "EMPTY"
+        rows.append((v, int(os.path.getmtime(_log_path(table, v)) * 1000),
+                     op, n_add, n_remove, n_cdc, has_meta, has_txn,
+                     data_change))
+    return spark.createDataFrame(
+        rows, "version long, timestamp_ms long, operation string,"
+              " n_add long, n_remove long, n_cdc long,"
+              " metadata_changed boolean, has_txn boolean,"
+              " data_change boolean")
+
+
 def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
     """Delete data files unreferenced by the last ``retain_versions``
     snapshots (the protocol's retention rule, version- rather than

@@ -1987,6 +1987,108 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
     return snapshot_id
 
 
+def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
+    """METADATA TABLES (the spec's inspection surface — what
+    ``SELECT * FROM tbl.snapshots`` serves in engine-integrated
+    Iceberg): expose the table's own metadata as DataFrames, built
+    from O(files) driver-side metadata — never a data scan.
+
+    kinds:
+      snapshots  — snapshot_id, parent_id, timestamp_ms, operation,
+                   manifest_list, sequence_number
+      history    — the main-line ancestry: made_current_at,
+                   snapshot_id, parent_id, is_current_ancestor
+      manifests  — path, length, partition_spec_id, content,
+                   sequence_number, added_snapshot_id
+      files      — live files at the CURRENT snapshot: file_path,
+                   content, record_count, file_size_in_bytes,
+                   sequence_number, partition (JSON string)
+      refs       — name, type, snapshot_id
+      partitions — live DATA rollup by partition tuple (JSON string):
+                   file_count, record_count
+    """
+    import json as _json
+
+    meta = _current_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    if kind == "snapshots":
+        rows = [(s["snapshot-id"], s.get("parent-snapshot-id"),
+                 s["timestamp-ms"],
+                 (s.get("summary") or {}).get("operation"),
+                 s["manifest-list"], s.get("sequence-number"))
+                for s in meta["snapshots"]]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, timestamp_ms long,"
+                  " operation string, manifest_list string,"
+                  " sequence_number long")
+    if kind == "history":
+        ancestors = set()
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        cur = meta["current-snapshot-id"]
+        while cur is not None and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        rows = [(s["timestamp-ms"], s["snapshot-id"],
+                 s.get("parent-snapshot-id"),
+                 s["snapshot-id"] in ancestors)
+                for s in meta["snapshots"]]
+        return spark.createDataFrame(
+            rows, "made_current_at long, snapshot_id long, parent_id long,"
+                  " is_current_ancestor boolean")
+    if kind == "refs":
+        rows = [(name, r.get("type"), r["snapshot-id"])
+                for name, r in sorted((meta.get("refs") or {}).items())]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long")
+    snap = _snapshot(meta, meta["current-snapshot-id"])
+    mlist, _s = read_avro(_read_file(table, snap["manifest-list"]))
+    if kind == "manifests":
+        rows = [(m["manifest_path"], m["manifest_length"],
+                 m.get("partition_spec_id", 0),
+                 m.get("content", DATA_CONTENT),
+                 m.get("sequence_number"), m.get("added_snapshot_id"))
+                for m in mlist]
+        return spark.createDataFrame(
+            rows, "path string, length long, partition_spec_id int,"
+                  " content int, sequence_number long,"
+                  " added_snapshot_id long")
+    if kind in ("files", "partitions"):
+        rows = []
+        for m in mlist:
+            entries, _e = read_avro(_read_file(table, m["manifest_path"]))
+            seq = m.get("sequence_number")
+            content = m.get("content", DATA_CONTENT)
+            for e in entries:
+                if e["status"] not in (ADDED, EXISTING):
+                    continue
+                d = e["data_file"]
+                part = d.get("partition")
+                rows.append((
+                    d["file_path"],
+                    content if content == DATA_CONTENT
+                    else d.get("content", FILE_POS_DELETES),
+                    d["record_count"], d["file_size_in_bytes"], seq,
+                    _json.dumps(part, sort_keys=True)
+                    if isinstance(part, dict) else None,
+                ))
+        files = spark.createDataFrame(
+            rows, "file_path string, content int, record_count long,"
+                  " file_size_in_bytes long, sequence_number long,"
+                  " partition string")
+        if kind == "files":
+            return files
+        from pyspark.sql import functions as F
+
+        return (files.filter(F.col("content") == DATA_CONTENT)
+                .groupBy("partition")
+                .agg(F.count("*").alias("file_count"),
+                     F.sum("record_count").alias("record_count")))
+    raise ValueError(
+        f"unknown inspection kind {kind!r} (snapshots|history|manifests|"
+        "files|refs|partitions)")
+
+
 def expire_snapshots_iceberg(table: str, retain_last: int = 1
                              ) -> tuple[int, list[str]]:
     """Snapshot expiry (the spec's expire_snapshots maintenance

@@ -1608,3 +1608,23 @@ def test_partitioned_cow_delete_keeps_partition_values(spark):
         if r["g"] == 0)
     assert got == [4, 6, 8, 10]
     assert 0 < s["files_scanned"] < s["files_total"]
+
+
+def test_history_delta_operation_classes(spark):
+    from postrack_spark.streaming.delta_log import (
+        compact_delta,
+        delete_delta,
+        enable_change_feed_delta,
+        history_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_hist_")
+    write_delta(_df(spark, 0, 8).repartition(2), t)    # v0 WRITE+meta
+    enable_change_feed_delta(t)                        # v1 SET_METADATA
+    delete_delta(spark, t, "k < 2")                    # v2 rewrite + cdc
+    compact_delta(spark, t, target_files=1)            # v3 OPTIMIZE
+    h = {r["version"]: r for r in history_delta(spark, t).collect()}
+    assert h[0]["operation"] == "WRITE" and h[0]["metadata_changed"]
+    assert h[1]["operation"] == "SET_METADATA"
+    assert h[2]["operation"] == "MERGE_OR_OVERWRITE" and h[2]["n_cdc"] > 0
+    assert h[3]["operation"] == "OPTIMIZE" and not h[3]["data_change"]

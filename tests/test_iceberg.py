@@ -1327,3 +1327,38 @@ def test_partition_spec_source_ids_from_table_schema(spark):
     assert pf["source-id"] == gen_id == 3
     got = sorted((r["k"], r["gen"]) for r in read_iceberg(spark, t).collect())
     assert got == [(1, 7), (2, 8)]
+
+
+def test_inspect_metadata_tables(spark):
+    """inspect_iceberg: snapshots/history/manifests/files/refs/
+    partitions as DataFrames from O(files) metadata."""
+    from postrack_spark.streaming.iceberg import (
+        inspect_iceberg,
+        tag_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_insp_")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], "k long, g long")
+    append_iceberg(df, t, partition_by=[("g", "identity")])
+    append_iceberg(spark.createDataFrame([(99, 0)], "k long, g long"), t)
+    tag_iceberg(t, "rel1")
+    snaps = inspect_iceberg(spark, t, "snapshots").collect()
+    assert len(snaps) == 2
+    assert all(r["operation"] == "append" for r in snaps)
+    hist = inspect_iceberg(spark, t, "history").collect()
+    assert all(r["is_current_ancestor"] for r in hist)
+    refs = inspect_iceberg(spark, t, "refs").collect()
+    assert [(r["name"], r["type"]) for r in refs] == [("rel1", "tag")]
+    mans = inspect_iceberg(spark, t, "manifests").collect()
+    # one manifest per commit: the partitioned write + the plain append
+    assert len(mans) == 2
+    assert sorted(m["partition_spec_id"] for m in mans) == [0, 1]
+    files = inspect_iceberg(spark, t, "files")
+    assert files.agg({"record_count": "sum"}).collect()[0][0] == 11
+    parts = {r["partition"]: r["record_count"]
+             for r in inspect_iceberg(spark, t, "partitions").collect()}
+    assert parts['{"g": 0}'] == 5 and parts['{"g": 1}'] == 5
+    assert parts[None] == 1  # the unpartitioned append
+    with pytest.raises(ValueError, match="unknown inspection"):
+        inspect_iceberg(spark, t, "nope")
