@@ -4680,6 +4680,59 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_recursive_cte_ancestors",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT o_custkey AS node FROM orders
+    ), anc AS (
+      SELECT node, node // 10 AS ancestor, 1 AS depth FROM nodes
+      UNION ALL
+      SELECT node, ancestor // 10, depth + 1 FROM anc WHERE ancestor > 0
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT ancestor) AS BIGINT) AS n_ancestors,
+           CAST(sum(ancestor) AS BIGINT) AS ancestor_sum
+    FROM anc GROUP BY depth ORDER BY depth
+    """,
+)
+def sql_recursive_cte_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4.x WITH RECURSIVE — SPARK-24497, the last
+    big ANSI-SQL hole): walk every customer key up its digit-strip
+    ancestor chain (parent = node DIV 10, a deterministic forest with
+    no cycles and depth = digit count) until the root, then roll up
+    pairs/distinct ancestors/ancestor sums PER DEPTH. The recursion is
+    value-generative — each step derives rows from the previous
+    iteration, the shape loops and window functions cannot express in
+    one statement — and both engines run the SAME recursive SQL, so
+    the gate certifies Spark's recursion semantics (iterate-until-
+    empty under UNION ALL) against DuckDB's. Integer division is on
+    positive operands only (custkey >= 1), the DIV-vs-// portability
+    rule. Catalyst plans the recursion as a UnionLoop; each iteration
+    is a normal distributed step — at 100 TB the anchor is one
+    distinct over the scan and every level shrinks by 10x."""
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:12]
+    load_tables(spark, sf_dir)["orders"].createOrReplaceTempView(
+        f"orders_rc_{sfx}")
+    return spark.sql(f"""
+        WITH RECURSIVE anc AS (
+          SELECT node, node DIV 10 AS ancestor, 1 AS depth
+          FROM (SELECT DISTINCT o_custkey AS node FROM orders_rc_{sfx})
+          UNION ALL
+          SELECT node, ancestor DIV 10, depth + 1 FROM anc
+          WHERE ancestor > 0
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT ancestor) AS BIGINT) AS n_ancestors,
+               CAST(sum(ancestor) AS BIGINT) AS ancestor_sum
+        FROM anc GROUP BY depth ORDER BY depth
+    """)
+
+
+@query(
     "sql_scripting_threshold_search",
     oracle="""
     WITH base AS (

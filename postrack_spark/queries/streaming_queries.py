@@ -3063,6 +3063,59 @@ def cdc_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_state_store_reader",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           true AS metadata_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE BATCH READER (Spark 4's ``statestore`` /
+    ``state-metadata`` formats — the streaming-state observability
+    surface): run a streaming aggregation to completion, then read
+    the checkpoint's OWN state store back as a DataFrame and prove it
+    holds exactly the aggregate the batch oracle computes — state is
+    data, not a black box (the debugging lane for 'why is my
+    streaming agg wrong': inspect keys/values per shuffle partition
+    without replaying the stream). metadata_ok gates the
+    state-metadata listing (one stateful operator, partitioned store,
+    batches recorded). At 100 TB of state this reads the store files
+    directly — no stream replay, no driver materialization beyond
+    this query's own rollup."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from postrack_spark.streaming.runner import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"))
+    ckpt = _tf.mkdtemp(prefix="ckpt_ssr_")
+    qname = f"ssr_{_uuid.uuid4().hex[:10]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(qname).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    metadata_ok = (len(md) == 1 and md[0]["numPartitions"] > 0
+                   and md[0]["maxBatchId"] >= 0
+                   and "stateStore" in md[0]["operatorName"])
+    flat = state.select(F.col("key.*"), F.col("value.*"))
+    val_col = flat.columns[-1]
+    return (
+        flat.select(
+            "event_type",
+            F.col(val_col).cast("long").alias("n_events"),
+            F.lit(metadata_ok).alias("metadata_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "profile_delta_history",
     oracle="""
     WITH u AS (
