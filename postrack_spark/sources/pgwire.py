@@ -280,6 +280,7 @@ def run_daemon_pgwire(host: str, port: int, user: str, database: str,
                       slot: str, out_dir: str, publication: str,
                       start_lsn: int = 0, proto_version: int = 1,
                       streaming: bool = False, two_phase: bool = False,
+                      messages: bool = False,
                       ack_interval_s: float = 5.0, max_frames: int = 4096,
                       max_bytes: int = 16 << 20, stop=lambda: False,
                       writer=None) -> None:
@@ -300,6 +301,8 @@ def run_daemon_pgwire(host: str, port: int, user: str, database: str,
     if two_phase:
         options["two_phase"] = "on"  # needs proto_version >= 3 + a
         # TWO_PHASE slot (api.Conn.add_slot(two_phase=True))
+    if messages:
+        options["messages"] = "on"  # pg_logical_emit_message 'M' frames
     repl.start_replication(slot, start_lsn + 1, options)
     if writer is None:
         writer = FrameFileWriter(out_dir, max_frames=max_frames,

@@ -607,6 +607,38 @@ def main() -> None:
         timings[f"iceberg_stats_skip_files_{FACTOR}x"] = (
             f"{sstats['files_scanned']}/{sstats['files_total']}")
 
+        # Delta PARTITION PRUNING at 10x (round 7): a month-partitioned
+        # table, one-month read planned from the log's partitionValues
+        # metadata vs the full scan — same rows, ~1/84th of the files
+        dpt = _tf.mkdtemp(prefix="stress_delta_part_")
+        part_base = shifted_union(
+            t["orders"], {"o_orderkey": 10_000_000, "o_custkey": 10_000_000}
+        ).select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        t0 = time.perf_counter()
+        write_delta(part_base, dpt, partition_by=["month"])
+        timings[f"delta_part_write_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        from postrack_spark.streaming.delta_log import read_delta as _rd2
+
+        pstats: dict = {}
+        t0 = time.perf_counter()
+        _rd2(spark, dpt, partition_filter={"month": "1994-06"},
+             scan_stats=pstats).write.format("noop").mode(
+            "overwrite").save()
+        timings[f"delta_part_pruned_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _rd2(spark, dpt).filter(F.col("month") == "1994-06").write.format(
+            "noop").mode("overwrite").save()
+        timings[f"delta_part_full_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        timings[f"delta_part_files_{FACTOR}x"] = (
+            f"{pstats['files_scanned']}/{pstats['files_total']}")
+
     # star_cc: round-count scaling vs graph DIAMETER — the reason the
     # large-star/small-star form exists. A path graph of n nodes has
     # diameter n-1: min-label propagation needs ~n rounds (each round

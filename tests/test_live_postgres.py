@@ -116,7 +116,8 @@ def _wait_confirmed_flush(ex, slot: str, target: int, timeout_s: float = 30.0) -
 
 def _run_capture(live_pg, slot: str, pub: str, out_dir: str, start_lsn: int,
                  until_lsn: int, proto_version: int = 1,
-                 streaming: bool = False, two_phase: bool = False) -> None:
+                 streaming: bool = False, two_phase: bool = False,
+                 messages: bool = False) -> None:
     """Run the pgwire daemon in a thread until the slot's confirmed
     flush covers until_lsn, then stop it."""
     from postrack_spark.sources.pgwire import run_daemon_pgwire
@@ -127,7 +128,8 @@ def _run_capture(live_pg, slot: str, pub: str, out_dir: str, start_lsn: int,
         kwargs=dict(
             **live_pg, slot=slot, out_dir=out_dir, publication=pub,
             start_lsn=start_lsn, proto_version=proto_version,
-            streaming=streaming, two_phase=two_phase, ack_interval_s=0.5,
+            streaming=streaming, two_phase=two_phase, messages=messages,
+            ack_interval_s=0.5,
             stop=lambda: stop["flag"],
         ),
         daemon=True,
@@ -798,6 +800,70 @@ def test_live_publication_row_filter_and_column_list(live_pg, spark):
                 if img:
                     assert "secret" not in img, img
                     assert set(img) <= {"id", "keep", "v"}
+        conn.drop_publication()
+        conn.drop_slot(slot)
+    finally:
+        ex.close()
+
+
+def test_live_logical_messages(live_pg, spark):
+    """NINTH live leg: pg_logical_emit_message through a real
+    walsender with the pgoutput 'messages' option — the server sends
+    'M' frames (transactional ones inside their transaction,
+    non-transactional ones immediately) and the decoder surfaces them
+    in DecoderState.messages with prefix/content/txid intact, while
+    ordinary row traffic in the same capture decodes unchanged. The
+    golden 'M'-frame tests pinned the byte layout; this pins the
+    SERVER's."""
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.sources.pgoutput import (
+        DecoderState,
+        decode_xlogdata_stream,
+    )
+    from postrack_spark.sources.postgres_cdc import read_frame_file
+
+    ex = _executor(live_pg)
+    slot, out_dir = "live_msg_slot", tempfile.mkdtemp(prefix="pglive_msg_")
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_msg")
+        ex.command("CREATE TABLE public.live_msg (id int primary key, v text)")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_publication(Table("public", "live_msg"))
+        pub = create_publication_id(slot)
+
+        # transactional message riding a real transaction's commit
+        ex.command(
+            "BEGIN;"
+            " INSERT INTO public.live_msg VALUES (1, 'a');"
+            " SELECT pg_logical_emit_message(true, 'postrack', 'tx-hello');"
+            " COMMIT;"
+        )
+        # non-transactional: delivered on its own, no commit needed
+        ex.command(
+            "SELECT pg_logical_emit_message(false, 'postrack', 'raw-ping')")
+        ex.command("INSERT INTO public.live_msg VALUES (2, 'b')")
+        target = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _run_capture(live_pg, slot, pub, out_dir, start_lsn=0,
+                     until_lsn=target, messages=True)
+
+        state = DecoderState()
+        rows = []
+        for name in sorted(os.listdir(out_dir)):
+            rows += decode_xlogdata_stream(
+                read_frame_file(os.path.join(out_dir, name)), state)
+        by_content = {bytes.fromhex(m["content"][2:]).decode(): m
+                      for m in state.messages if m["prefix"] == "postrack"}
+        assert set(by_content) == {"tx-hello", "raw-ping"}
+        assert by_content["tx-hello"]["transactional"] is True
+        assert by_content["raw-ping"]["transactional"] is False
+        # the transactional message carries its transaction's xid; row
+        # traffic in the same capture decoded unchanged
+        ids = {r["after"]["id"] for r in rows
+               if r["table"] == "live_msg" and r["op"] == "INSERT"}
+        assert ids == {"1", "2"}
+        tx_xids = {r["txid"] for r in rows if r["after"]["id"] == "1"}
+        assert by_content["tx-hello"]["txid"] in tx_xids
         conn.drop_publication()
         conn.drop_slot(slot)
     finally:
