@@ -831,6 +831,20 @@ def test_partition_spec_evolution_prunes_both_specs(spark):
     mlist, _s = read_avro(_read_file(
         t, _snapshot(meta, meta["current-snapshot-id"])["manifest-list"]))
     assert sorted(m["partition_spec_id"] for m in mlist) == [0, 1]
+    # avro-java parses the same spec-ids (external-reader certification)
+    jvm = spark._jvm
+    with open(os.path.join(
+            t, _snapshot(meta, meta["current-snapshot-id"])["manifest-list"]),
+            "rb") as f:
+        blob = f.read()
+    fin = jvm.org.apache.avro.file.SeekableByteArrayInput(blob)
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        fin, jvm.org.apache.avro.generic.GenericDatumReader())
+    jids = []
+    while reader.hasNext():
+        jids.append(int(str(reader.next().get("partition_spec_id"))))
+    reader.close()
+    assert sorted(jids) == [0, 1]
     # filter on spec A's field: spec-A files prune, spec-B fail open
     sa: dict = {}
     got = sorted(r["k"] for r in read_iceberg(
