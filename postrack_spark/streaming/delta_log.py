@@ -149,6 +149,24 @@ def _metadata_action(df: DataFrame,
     }}
 
 
+def _meta_action(schema_string: str, config: dict | None,
+                 pcols: list[str] | None) -> dict:
+    """metaData action for a METADATA-ONLY commit. Every such commit
+    must re-state the FULL table metadata — replay takes the newest
+    metaData action verbatim, so a property change that writes
+    partitionColumns=[] (or configuration={}) silently erases the
+    table's partitioning (or its CHECK constraints / CDF flag). All
+    metadata-only writers go through here so the carry is uniform."""
+    return {"metaData": {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": list(pcols or []),
+        "configuration": dict(config or {}),
+        "createdTime": int(time.time() * 1000),
+    }}
+
+
 def _partition_columns(table: str, version: int | None = None) -> list[str]:
     """partitionColumns from the newest metaData action at-or-below
     ``version`` — resolved the way _replay resolves schema (checkpoint
@@ -579,7 +597,8 @@ def _schema_pairs(schema_string: str) -> list[tuple[str, str]]:
 
 
 def _reconcile_schema(schema_string: str, df: DataFrame,
-                      merge_schema: bool, config: dict) -> dict | None:
+                      merge_schema: bool, config: dict,
+                      pcols: list[str] | None = None) -> dict | None:
     """Schema ENFORCEMENT + optional EVOLUTION (Delta's write contract):
     same column set -> no action; a type conflict or a missing column
     always raises; NEW columns raise unless ``merge_schema`` — then a
@@ -626,14 +645,7 @@ def _reconcile_schema(schema_string: str, df: DataFrame,
                                             metadata=md))
     if mapped:
         new_config[_CM_MAXID] = str(next_id)
-    return {"metaData": {
-        "id": str(uuid.uuid4()),
-        "format": {"provider": "parquet", "options": {}},
-        "schemaString": merged.json(),
-        "partitionColumns": [],
-        "configuration": new_config,
-        "createdTime": int(time.time() * 1000),
-    }}
+    return _meta_action(merged.json(), new_config, pcols)
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."
@@ -728,6 +740,12 @@ def enable_column_mapping_delta(table: str) -> int:
         _l, schema_string, read_v, _t, config = _replay(table, None)
         if config.get(_CM_MODE) == "name":
             return read_v
+        if _partition_columns(table, read_v):
+            raise NotImplementedError(
+                "column mapping on a PARTITIONED table is out of scope "
+                "(partitionValues are keyed by column name; renaming a "
+                "partition column would orphan them) — the same boundary "
+                "write_delta enforces from the other direction")
         sch = json.loads(schema_string)
         for i, f in enumerate(sch["fields"], start=1):
             md = dict(f.get("metadata") or {})
@@ -737,14 +755,8 @@ def enable_column_mapping_delta(table: str) -> int:
         new_config = dict(config)
         new_config[_CM_MODE] = "name"
         new_config[_CM_MAXID] = str(len(sch["fields"]))
-        action = {"metaData": {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(sch, separators=(",", ":")),
-            "partitionColumns": [],
-            "configuration": new_config,
-            "createdTime": int(time.time() * 1000),
-        }}
+        action = _meta_action(
+            json.dumps(sch, separators=(",", ":")), new_config, [])
         try:
             commit_delta(table, read_v + 1, [action])
             return read_v + 1
@@ -776,14 +788,9 @@ def rename_column_delta(table: str, old: str, new: str) -> int:
         for f in sch["fields"]:
             if f["name"] == old:
                 f["name"] = new
-        action = {"metaData": {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(sch, separators=(",", ":")),
-            "partitionColumns": [],
-            "configuration": dict(config),
-            "createdTime": int(time.time() * 1000),
-        }}
+        action = _meta_action(
+            json.dumps(sch, separators=(",", ":")), config,
+            _partition_columns(table, read_v))
         try:
             commit_delta(table, read_v + 1, [action])
             return read_v + 1
@@ -812,14 +819,9 @@ def drop_column_delta(table: str, column: str) -> int:
         if len(names) == 1:
             raise ValueError("cannot drop the only column")
         sch["fields"] = [f for f in sch["fields"] if f["name"] != column]
-        action = {"metaData": {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(sch, separators=(",", ":")),
-            "partitionColumns": [],
-            "configuration": dict(config),
-            "createdTime": int(time.time() * 1000),
-        }}
+        action = _meta_action(
+            json.dumps(sch, separators=(",", ":")), config,
+            _partition_columns(table, read_v))
         try:
             commit_delta(table, read_v + 1, [action])
             return read_v + 1
@@ -872,7 +874,9 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
     pcols = list(partition_by or [])
     if latest_version(table) is not None:
         _l, schema_string, _v, _t, config = _replay(table, None)
-        evo_action = _reconcile_schema(schema_string, df, merge_schema, config)
+        table_pcols = _partition_columns(table)
+        evo_action = _reconcile_schema(schema_string, df, merge_schema,
+                                       config, table_pcols)
         _enforce_constraints(df, config)
         gated_at = (schema_string, tuple(sorted(config.items())))
         # parquet stores PHYSICAL names under column mapping; the
@@ -881,7 +885,6 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
         staged_mapping = _column_mapping(
             eff["schemaString"] if eff else schema_string,
             eff["configuration"] if eff else config)
-        table_pcols = _partition_columns(table)
         if partition_by is not None and list(partition_by) != table_pcols:
             raise ValueError(
                 f"table is partitioned by {table_pcols}, write asked "
@@ -910,7 +913,8 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
             if now != gated_at:  # a concurrent commit moved the
                 # schema/constraints under us: re-gate against it
                 evo_action = _reconcile_schema(
-                    schema_string, df, merge_schema, config)
+                    schema_string, df, merge_schema, config,
+                    _partition_columns(table))
                 _enforce_constraints(df, config)
                 gated_at = now
                 eff = evo_action["metaData"] if evo_action else None
@@ -959,14 +963,8 @@ def add_check_constraint_delta(spark: SparkSession, table: str,
         _l, schema_string, read_v, _t, config = _replay(table, None)
         new_config = dict(config)
         new_config[_CONSTRAINT_PREFIX + name] = expr
-        action = {"metaData": {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": schema_string,
-            "partitionColumns": [],
-            "configuration": new_config,
-            "createdTime": int(time.time() * 1000),
-        }}
+        action = _meta_action(schema_string, new_config,
+                              _partition_columns(table, read_v))
         try:
             commit_delta(table, read_v + 1, [action])
             return read_v + 1
@@ -984,14 +982,8 @@ def drop_check_constraint_delta(table: str, name: str) -> int:
         if key not in config:
             raise KeyError(f"no CHECK constraint {name!r} on {table}")
         new_config = {k: v for k, v in config.items() if k != key}
-        action = {"metaData": {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": schema_string,
-            "partitionColumns": [],
-            "configuration": new_config,
-            "createdTime": int(time.time() * 1000),
-        }}
+        action = _meta_action(schema_string, new_config,
+                              _partition_columns(table, read_v))
         try:
             commit_delta(table, read_v + 1, [action])
             return read_v + 1
@@ -1160,14 +1152,8 @@ def set_table_property_delta(table: str, key: str, value: str | None) -> int:
         new_config = {k: v for k, v in config.items() if k != key}
         if value is not None:
             new_config[key] = value
-        action = {"metaData": {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": schema_string,
-            "partitionColumns": [],
-            "configuration": new_config,
-            "createdTime": int(time.time() * 1000),
-        }}
+        action = _meta_action(schema_string, new_config,
+                              _partition_columns(table, read_v))
         try:
             commit_delta(table, read_v + 1, [action])
             return read_v + 1
@@ -1464,21 +1450,19 @@ def clone_delta(src: str, dst: str, version: int | None = None) -> int:
     can remove files a shallow clone still references — clones are
     scoped to the source's retention window. Returns the clone's
     committed version (always 0)."""
-    acts, schema_string, _src_v = _snapshot_actions(src, version)
+    live, schema_string, src_v, _txns, src_config = _replay(src, version)
+    acts = list(live.items())
     if latest_version(dst) is not None:
         raise FileExistsError(f"{dst} is already a delta table")
     src_abs = os.path.abspath(src)
     os.makedirs(dst, exist_ok=True)
     actions: list[dict] = [
         {"protocol": dict(_PROTOCOL)},
-        {"metaData": {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": schema_string,
-            "partitionColumns": [],
-            "configuration": {},
-            "createdTime": int(time.time() * 1000),
-        }},
+        # CLONE carries table properties and partitioning (delta's
+        # rule) — without the configuration a clone of a column-mapped
+        # table would scan logical names against physical-named parquet
+        _meta_action(schema_string, src_config,
+                     _partition_columns(src, src_v)),
     ]
     for p, a in sorted(acts, key=lambda pa: pa[0]):
         add = dict(a)

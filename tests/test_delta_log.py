@@ -1610,6 +1610,88 @@ def test_partitioned_cow_delete_keeps_partition_values(spark):
     assert 0 < s["files_scanned"] < s["files_total"]
 
 
+def test_metadata_only_commits_keep_partitioning(spark):
+    """Property changes, CHECK constraints, and merge_schema evolution
+    are metadata-only commits that must RE-STATE partitionColumns —
+    the replay takes the newest metaData verbatim, so writing [] there
+    silently erased the table's partitioning (the bug this pins):
+    pruning died and the next explicit partition_by write raised a
+    bogus 'partitioned by []' conflict."""
+    from postrack_spark.streaming.delta_log import (
+        _partition_columns,
+        add_check_constraint_delta,
+        drop_check_constraint_delta,
+        enable_change_feed_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_partmeta_")
+    df = spark.createDataFrame(
+        [(i, i % 2, i) for i in range(10)], "k long, g long, v long")
+    write_delta(df, t, partition_by=["g"])
+    enable_change_feed_delta(t)
+    add_check_constraint_delta(spark, t, "k_nonneg", "k >= 0")
+    drop_check_constraint_delta(t, "k_nonneg")
+    write_delta(spark.createDataFrame([(50, 1, 1, 9)],
+                                      "k long, g long, v long, w long"),
+                t, merge_schema=True)
+    assert _partition_columns(t) == ["g"]
+    # pruning still works and an explicit same-partitioning write passes
+    s: dict = {}
+    got = read_delta(spark, t, partition_filter={"g": 1}, scan_stats=s)
+    assert 50 in {r["k"] for r in got.collect()}
+    assert s["files_scanned"] < s["files_total"]
+    write_delta(spark.createDataFrame([(51, 0, 0, 0)],
+                                      "k long, g long, v long, w long"),
+                t, partition_by=["g"])
+
+
+def test_clone_carries_configuration_and_partitioning(spark):
+    """CLONE carries table properties + partitionColumns (delta's
+    rule). Without the configuration, a clone of a column-mapped table
+    scans LOGICAL names against physical-named parquet and reads
+    nulls; without partitionColumns the clone forgets its pruning."""
+    from postrack_spark.streaming.delta_log import (
+        _partition_columns,
+        clone_delta,
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+
+    src = tempfile.mkdtemp(prefix="delta_clsrc_")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    write_delta(df, src)
+    enable_column_mapping_delta(src)
+    rename_column_delta(src, "v", "val")
+    dst = os.path.join(tempfile.mkdtemp(prefix="delta_cldst_"), "t")
+    clone_delta(src, dst)
+    got = {(r["k"], r["val"]) for r in read_delta(spark, dst).collect()}
+    assert got == {(1, 10), (2, 20)}
+    # partitioned source: the clone keeps pruning metadata
+    psrc = tempfile.mkdtemp(prefix="delta_clpsrc_")
+    pdf = spark.createDataFrame(
+        [(i, i % 2) for i in range(8)], "k long, g long")
+    write_delta(pdf, psrc, partition_by=["g"])
+    pdst = os.path.join(tempfile.mkdtemp(prefix="delta_clpdst_"), "t")
+    clone_delta(psrc, pdst)
+    assert _partition_columns(pdst) == ["g"]
+    s: dict = {}
+    got2 = read_delta(spark, pdst, partition_filter={"g": 0}, scan_stats=s)
+    assert sorted(r["k"] for r in got2.collect()) == [0, 2, 4, 6]
+    assert s["files_scanned"] < s["files_total"]
+
+
+def test_column_mapping_refuses_partitioned_tables(spark):
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cmpart_")
+    write_delta(spark.createDataFrame([(1, 0)], "k long, g long"), t,
+                partition_by=["g"])
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        enable_column_mapping_delta(t)
+
+
 def test_history_delta_operation_classes(spark):
     from postrack_spark.streaming.delta_log import (
         compact_delta,
