@@ -3309,6 +3309,133 @@ def cdc_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_delta_generated_columns",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS pruned
+    FROM orders
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta GENERATED COLUMNS (PROTOCOL.md writer feature: the
+    expression lives in field metadata as delta.generationExpression):
+    the table declares o_year = year(o_orderdate) ONCE at creation and
+    partitions on it; every writer afterwards just sends business
+    columns — the table computes the partition value, records it in
+    partitionValues, and validates any writer that does supply the
+    column (null-safe equality, the implicit-CHECK rule). This is the
+    100 TB ingestion shape: N independent pipelines write to one
+    partitioned table and NONE of them can mispartition it, because
+    the derivation is table metadata, not pipeline code. The ``pruned``
+    certificate gates that a year-range read pruned files from log
+    metadata alone (0 < files_scanned < files_total)."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_gen_q_")
+    # creating write declares the derivation; the second append proves
+    # later writers inherit it without knowing the expression
+    halves = base.withColumn("h", F.col("o_orderkey") % 2)
+    write_delta(halves.filter("h = 0").drop("h"), table,
+                generated={"o_year": "cast(year(o_orderdate) as bigint)"},
+                partition_by=["o_year"])
+    write_delta(halves.filter("h = 1").drop("h"), table)
+    stats: dict = {}
+    pruned = read_delta(spark, table,
+                        partition_filter={"o_year": [1995, 1996]},
+                        scan_stats=stats)
+    cert = 0 < stats["files_scanned"] < stats["files_total"]
+    return (
+        pruned
+        .filter(F.col("o_year").isin(1995, 1996))
+        .groupBy("o_year")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("o_year", "n_orders", "cents", F.lit(cert).alias("pruned"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "cdc_delta_ict_time_travel",
+    oracle="""
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS keymod,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS ict_resolved
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_delta_ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IN-COMMIT TIMESTAMPS (PROTOCOL.md writer feature): each
+    commit records its own monotonic timestamp in a commitInfo action,
+    and TIMESTAMP AS OF resolves from that — not from commit-file
+    mtimes, which storage migrations, backups, and bucket copies
+    rewrite wholesale. The lane proves the independence adversarially:
+    after enabling the feature and committing twice, it pushes EVERY
+    log file's mtime into the far future and still time-travels to the
+    middle state by in-commit timestamp (under the mtime rule that
+    read would raise 'precedes the first commit'). At 100 TB the
+    feature is what keeps years of TIMESTAMP AS OF audit queries
+    stable across a storage-level table move."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        _commit_info_ict,
+        _log_path,
+        enable_in_commit_timestamps_delta,
+        read_delta,
+        version_at_timestamp_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_ict_q_")
+    write_delta(base.filter("o_orderkey % 2 = 0"), table)   # v0
+    enable_in_commit_timestamps_delta(table)                 # v1
+    write_delta(base.filter("o_orderkey % 2 = 1"), table)   # v2
+    ict_v2 = _commit_info_ict(table, 2)
+    for v in range(3):                                       # mtime sabotage
+        _os.utime(_log_path(table, v), (2**31, 2**31))
+    cert = version_at_timestamp_delta(table, ict_v2 - 1) == 1
+    return (
+        read_delta(spark, table, timestamp_ms=ict_v2 - 1)
+        .groupBy((F.col("o_orderkey") % 4).cast("long").alias("keymod"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("keymod", "n_orders", "cents",
+                F.lit(cert).alias("ict_resolved"))
+        .orderBy("keymod")
+    )
+
+
+@query(
     "quality_delta_check_constraints",
     oracle="""
     WITH base AS (

@@ -121,10 +121,65 @@ def latest_version(table: str) -> int | None:
     return cp
 
 
+_ICT_KEY = "delta.enableInCommitTimestamps"
+
+
+def _commit_info_ict(table: str, version: int) -> int | None:
+    """inCommitTimestamp of ``version``'s commitInfo (the protocol
+    writes it as the FIRST action), or None."""
+    path = _log_path(table, version)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        first = f.readline()
+    try:
+        return (json.loads(first).get("commitInfo") or {}).get(
+            "inCommitTimestamp")
+    except (ValueError, AttributeError):
+        return None
+
+
+def _ict_for_commit(table: str, version: int, actions: list[dict]) -> int | None:
+    """IN-COMMIT TIMESTAMP for this commit (PROTOCOL.md "In-Commit
+    Timestamps"): monotonic max(prev ICT + 1, wall clock) once the
+    feature is on, else None. A metaData action in THIS commit decides
+    authoritatively (that's how enablement itself gets the first
+    stamp); otherwise the previous commit's commitInfo does; when the
+    previous JSON was cleaned below a checkpoint, the checkpoint's
+    configuration does (monotonicity across that boundary then rests
+    on the wall clock — delta-spark carries the last ICT in CRC
+    sidecars, out of scope here, stated honestly)."""
+    meta = next((a["metaData"] for a in actions if "metaData" in a), None)
+    prev_ict: int | None = None
+    if version > 0:
+        prev_ict = _commit_info_ict(table, version - 1)
+    if meta is not None:
+        on = (meta.get("configuration") or {}).get(_ICT_KEY) == "true"
+    elif prev_ict is not None:
+        on = True
+    else:
+        on = False
+        if version > 0 and not os.path.exists(_log_path(table, version - 1)):
+            cp = _read_last_checkpoint(table)
+            if cp is not None and cp < version:
+                _live, _s, _t, _p, cfg = _read_checkpoint_state(table, cp)
+                on = cfg.get(_ICT_KEY) == "true"
+    if not on:
+        return None
+    return max(int(time.time() * 1000), (prev_ict or 0) + 1)
+
+
 def commit_delta(table: str, version: int, actions: list[dict]) -> None:
     """Atomically create commit ``version`` (put-if-absent). Raises
-    DeltaCommitConflict when the version already exists."""
+    DeltaCommitConflict when the version already exists. When the
+    table has in-commit timestamps enabled, a commitInfo action
+    carrying the monotonic inCommitTimestamp is prepended — the
+    commit's PUBLIC timestamp, independent of file mtimes (which
+    storage migrations rewrite)."""
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    ict = _ict_for_commit(table, version, actions)
+    if ict is not None:
+        actions = [{"commitInfo": {"inCommitTimestamp": ict}}] + list(actions)
     payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
     path = _log_path(table, version)
     try:
@@ -138,11 +193,24 @@ def commit_delta(table: str, version: int, actions: list[dict]) -> None:
 
 
 def _metadata_action(df: DataFrame,
-                     partition_columns: list[str] | None = None) -> dict:
+                     partition_columns: list[str] | None = None,
+                     generated: dict[str, str] | None = None) -> dict:
+    schema_json = df.schema.json()
+    if generated:
+        # GENERATED COLUMNS (PROTOCOL.md "Generated Columns"): the
+        # expression lives in the field's metadata under
+        # delta.generationExpression — declared once at table creation
+        sch = json.loads(schema_json)
+        for f in sch["fields"]:
+            if f["name"] in generated:
+                md = dict(f.get("metadata") or {})
+                md[_GEN_KEY] = generated[f["name"]]
+                f["metadata"] = md
+        schema_json = json.dumps(sch, separators=(",", ":"))
     return {"metaData": {
         "id": str(uuid.uuid4()),
         "format": {"provider": "parquet", "options": {}},
-        "schemaString": df.schema.json(),
+        "schemaString": schema_json,
         "partitionColumns": list(partition_columns or []),
         "configuration": {},
         "createdTime": int(time.time() * 1000),
@@ -848,9 +916,40 @@ def _enforce_constraints(df: DataFrame, config: dict) -> None:
                 f" ({expr}) violated, e.g. by {bad[0].asDict()}")
 
 
+_GEN_KEY = "delta.generationExpression"
+
+
+def _generated_exprs(schema_string: str) -> dict[str, str]:
+    """{column: generation expression} from field metadata (empty when
+    the table has no generated columns)."""
+    fields = json.loads(schema_string)["fields"]
+    return {f["name"]: (f.get("metadata") or {})[_GEN_KEY]
+            for f in fields if _GEN_KEY in (f.get("metadata") or {})}
+
+
+def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+    """Delta's generated-column write contract: a generated column
+    MISSING from the batch is computed from its expression; one the
+    writer provided must MATCH it on every row (null-safe equality —
+    delta-spark enforces the same as an implicit CHECK), validated
+    with one limit(1) job per provided column."""
+    for name, expr in sorted(gen.items()):
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            bad = df.filter(
+                ~F.col(name).eqNullSafe(F.expr(expr))).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"generated column {name!r} must equal {expr},"
+                    f" violated e.g. by {bad[0].asDict()}")
+    return df
+
+
 def write_delta(df: DataFrame, table: str, mode: str = "append",
                 merge_schema: bool = False,
-                partition_by: list[str] | None = None) -> int:
+                partition_by: list[str] | None = None,
+                generated: dict[str, str] | None = None) -> int:
     """Batch write; returns the committed version. ``overwrite``
     replaces the whole live set in one atomic commit. Writes are
     SCHEMA-ENFORCED against the table's current metaData (drift
@@ -864,7 +963,16 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
     O(files) metadata (read_delta's partition_filter). Later writes
     inherit the table's partitioning automatically; passing a
     CONFLICTING partition_by raises (repartitioning is a rewrite, not
-    a write option)."""
+    a write option).
+
+    ``generated`` on the CREATING write declares GENERATED COLUMNS
+    ({name: SQL expression}, stored as delta.generationExpression
+    field metadata — the protocol's writer feature): every later
+    write computes a missing generated column from its expression and
+    VALIDATES one the writer provided (null-safe equality, delta's
+    implicit-CHECK rule). Generated columns may be partition columns
+    — the classic date-derived partitioning — and the expressions
+    ride schemaString through checkpoints untouched."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
     os.makedirs(table, exist_ok=True)
@@ -872,8 +980,15 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
     evo_action: dict | None = None
     staged_mapping: dict | None = None
     pcols = list(partition_by or [])
-    if latest_version(table) is not None:
+    creating = latest_version(table) is None
+    if not creating:
         _l, schema_string, _v, _t, config = _replay(table, None)
+        gen = _generated_exprs(schema_string)
+        if generated is not None and generated != gen:
+            raise ValueError(
+                "generated columns are declared at table creation "
+                f"(table has {gen}, write asked {generated})")
+        df = _apply_generated(df, gen)
         table_pcols = _partition_columns(table)
         evo_action = _reconcile_schema(schema_string, df, merge_schema,
                                        config, table_pcols)
@@ -890,6 +1005,10 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
                 f"table is partitioned by {table_pcols}, write asked "
                 f"{list(partition_by)} — repartitioning needs a rewrite")
         pcols = table_pcols
+    else:
+        # compute generated columns BEFORE the partition check: the
+        # classic declaration partitions by a column writers never send
+        df = _apply_generated(df, generated or {})
     if pcols:
         missing = [c for c in pcols if c not in df.columns]
         if missing:
@@ -906,12 +1025,19 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
         actions: list[dict] = []
         if version == 0:
             actions.append({"protocol": dict(_PROTOCOL)})
-            actions.append(_metadata_action(df, pcols))
+            actions.append(_metadata_action(df, pcols, generated))
         else:
             _l, schema_string, _v, _t, config = _replay(table, None)
             now = (schema_string, tuple(sorted(config.items())))
             if now != gated_at:  # a concurrent commit moved the
                 # schema/constraints under us: re-gate against it
+                if gated_at is not None and (
+                        _generated_exprs(schema_string)
+                        != _generated_exprs(gated_at[0])):
+                    # staged parquet was computed under the OLD
+                    # expressions — committing it would violate the new
+                    raise DeltaCommitConflict(
+                        "concurrent generated-column change: restage")
                 evo_action = _reconcile_schema(
                     schema_string, df, merge_schema, config,
                     _partition_columns(table))
@@ -992,19 +1118,50 @@ def drop_check_constraint_delta(table: str, name: str) -> int:
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
+def enable_in_commit_timestamps_delta(table: str) -> int:
+    """Turn on IN-COMMIT TIMESTAMPS (PROTOCOL.md writer feature):
+    from this version on every commit records its own monotonic
+    timestamp in a commitInfo action, and TIMESTAMP AS OF resolves
+    from that instead of commit-file mtimes — the timestamps become
+    part of the table's durable history, immune to storage-level
+    mtime churn (backup/restore, bucket migration). Idempotent;
+    returns the enabling (or current) version."""
+    for _ in range(10):
+        _l, schema_string, read_v, _t, config = _replay(table, None)
+        if config.get(_ICT_KEY) == "true":
+            return read_v
+        new_config = dict(config)
+        new_config[_ICT_KEY] = "true"
+        new_config["delta.inCommitTimestampEnablementVersion"] = str(
+            read_v + 1)
+        action = _meta_action(schema_string, new_config,
+                              _partition_columns(table, read_v))
+        try:
+            commit_delta(table, read_v + 1, [action])
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
 def version_at_timestamp_delta(table: str, ts_ms: int) -> int:
     """TIMESTAMP AS OF resolution: the newest version whose commit
-    file landed at or before ``ts_ms`` (delta-spark's rule — commit
-    file modification time is the commit's public timestamp). A
-    timestamp before the first commit raises; one after the last
-    resolves to the last (the protocol's clamp)."""
+    timestamp is at or before ``ts_ms``. A version's timestamp is its
+    commitInfo inCommitTimestamp when present (the protocol's rule
+    once the feature is enabled — versions before enablement keep
+    using mtimes, exactly delta-spark's mixed-history behavior), else
+    the commit file's modification time. A timestamp before the first
+    commit raises; one after the last resolves to the last (the
+    protocol's clamp)."""
     versions = _list_versions(table)
     if not versions:
         raise FileNotFoundError(f"no _delta_log under {table}")
     best = None
     for v in versions:
-        mtime_ms = int(os.path.getmtime(_log_path(table, v)) * 1000)
-        if mtime_ms <= ts_ms:
+        ts = _commit_info_ict(table, v)
+        if ts is None:
+            ts = int(os.path.getmtime(_log_path(table, v)) * 1000)
+        if ts <= ts_ms:
             best = v
     if best is None:
         raise ValueError(
@@ -1095,6 +1252,8 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             # (no evolution in the streaming hook — a drifting stream
             # should fail loudly, not mutate the table schema mid-run)
             _l, schema_string, _v, _t, config = _replay(table, None)
+            batch_df = _apply_generated(batch_df,
+                                        _generated_exprs(schema_string))
             _reconcile_schema(schema_string, batch_df, False, config)
             _enforce_constraints(batch_df, config)
             batch_mapping = _column_mapping(schema_string, config)
@@ -1337,9 +1496,10 @@ def compact_delta(spark: SparkSession, table: str,
 def history_delta(spark: SparkSession, table: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per commit still present in the JSON
     log (commits cleaned below a checkpoint are gone — the protocol's
-    honest answer), synthesized from the actions themselves since this
-    writer emits no commitInfo: version, timestamp (commit-file mtime,
-    the TIMESTAMP AS OF rule), action counts, dataChange flags, and an
+    honest answer), synthesized from the actions themselves: version,
+    timestamp (the commitInfo inCommitTimestamp when the table has the
+    feature on, else commit-file mtime — the TIMESTAMP AS OF rule),
+    action counts, dataChange flags, and an
     OPERATION inferred from the action shape (append / overwrite-or-
     rewrite split by dataChange / delete / metadata / txn-only).
     O(log) driver-side metadata, zero data IO."""
@@ -1368,7 +1528,10 @@ def history_delta(spark: SparkSession, table: str) -> DataFrame:
             op = "SET_METADATA"
         else:
             op = "TXN" if has_txn else "EMPTY"
-        rows.append((v, int(os.path.getmtime(_log_path(table, v)) * 1000),
+        ts = _commit_info_ict(table, v)
+        if ts is None:
+            ts = int(os.path.getmtime(_log_path(table, v)) * 1000)
+        rows.append((v, ts,
                      op, n_add, n_remove, n_cdc, has_meta, has_txn,
                      data_change))
     return spark.createDataFrame(
@@ -1572,6 +1735,10 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
     if latest_version(table) is None:
         write_delta(images, table, mode="append")
         return 0
+    _l0, schema0, _v0, _t0, _c0 = _replay(table, None)
+    # generated columns: compute-or-validate batch images like any
+    # other write (expressions are creation-frozen, so once is enough)
+    images = _apply_generated(images, _generated_exprs(schema0))
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
         live_map, schema_string, read_v, _t, config = _replay(table, None)
         _dv_acts = list(live_map.items())

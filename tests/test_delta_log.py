@@ -1692,6 +1692,143 @@ def test_column_mapping_refuses_partitioned_tables(spark):
         enable_column_mapping_delta(t)
 
 
+def test_generated_columns_computed_and_validated(spark):
+    """PROTOCOL.md generated columns: declared at creation via field
+    metadata (delta.generationExpression); later writes COMPUTE a
+    missing generated column and VALIDATE a provided one (null-safe
+    equality — a mismatch is rejected like a CHECK violation)."""
+    from postrack_spark.streaming.delta_log import _generated_exprs
+
+    t = tempfile.mkdtemp(prefix="delta_gen_")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    write_delta(df, t, generated={"v2": "v * 2"})
+    # the creating write computed the missing column + stored the expr
+    _live, schema_string, _v = __import__(
+        "postrack_spark.streaming.delta_log",
+        fromlist=["_snapshot"])._snapshot(t, None)
+    assert _generated_exprs(schema_string) == {"v2": "v * 2"}
+    got = {(r["k"], r["v2"]) for r in read_delta(spark, t).collect()}
+    assert got == {(1, 20), (2, 40)}
+    # append WITHOUT the column: computed
+    write_delta(spark.createDataFrame([(3, 30)], "k long, v long"), t)
+    got = {(r["k"], r["v2"]) for r in read_delta(spark, t).collect()}
+    assert got == {(1, 20), (2, 40), (3, 60)}
+    # append WITH a matching value: passes
+    write_delta(spark.createDataFrame([(4, 1, 2)], "k long, v long, v2 long"),
+                t)
+    # append WITH a mismatching value: rejected
+    with pytest.raises(ValueError, match="generated column"):
+        write_delta(
+            spark.createDataFrame([(5, 1, 3)], "k long, v long, v2 long"), t)
+    # re-declaring different expressions on an existing table: rejected
+    with pytest.raises(ValueError, match="declared at table creation"):
+        write_delta(spark.createDataFrame([(6, 1)], "k long, v long"), t,
+                    generated={"v2": "v * 3"})
+
+
+def test_generated_partition_column_prunes(spark):
+    """The classic use: partition by a DERIVED column writers never
+    supply — the generated expression computes it, partitionValues
+    record it, and reads prune from metadata. The declaration also
+    survives checkpoint + log cleanup (it rides schemaString)."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_genpart_")
+    df = spark.createDataFrame([(i, i % 3) for i in range(12)],
+                               "k long, g long")
+    write_delta(df, t, generated={"bucket": "cast(g % 2 as bigint)"},
+                partition_by=["bucket"])
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    write_delta(spark.createDataFrame([(100, 1)], "k long, g long"), t)
+    s: dict = {}
+    got = read_delta(spark, t, partition_filter={"bucket": 1}, scan_stats=s)
+    ks = sorted(r["k"] for r in got.collect())
+    assert ks == [1, 4, 7, 10, 100]  # (k % 3) % 2 == 1, plus the append
+    assert 0 < s["files_scanned"] < s["files_total"]
+
+
+def test_generated_columns_through_merge_and_stream(spark):
+    """merge_delta batch images and foreach_batch_delta batches get
+    the same compute-or-validate treatment as write_delta."""
+    from postrack_spark.streaming.delta_log import merge_delta
+
+    t = tempfile.mkdtemp(prefix="delta_genmerge_")
+    df = spark.createDataFrame([(1, 10, 0), (2, 20, 0)],
+                               "k long, v long, seq long")
+    write_delta(df, t, generated={"v2": "v * 2"})
+    merge_delta(spark,
+                t,
+                spark.createDataFrame([(2, 25, 1)], "k long, v long, seq long"),
+                "k", "seq")
+    got = {(r["k"], r["v2"]) for r in read_delta(spark, t).collect()}
+    assert got == {(1, 20), (2, 50)}
+    batch = spark.createDataFrame([(3, 30, 2)], "k long, v long, seq long")
+    foreach_batch_delta(t)(batch, 1)
+    got = {(r["k"], r["v2"]) for r in read_delta(spark, t).collect()}
+    assert got == {(1, 20), (2, 50), (3, 60)}
+
+
+def test_in_commit_timestamps_monotonic_and_authoritative(spark):
+    """In-commit timestamps (PROTOCOL.md): once enabled, every commit
+    carries a commitInfo.inCommitTimestamp that strictly increases
+    (max(prev+1, clock) — same-millisecond commits still order), and
+    TIMESTAMP AS OF resolves from IT, not file mtimes: backdating or
+    future-dating the log files' mtimes must not move resolution."""
+    import os as _os
+
+    from postrack_spark.streaming.delta_log import (
+        _commit_info_ict,
+        enable_in_commit_timestamps_delta,
+        read_delta,
+        version_at_timestamp_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_ict_")
+    write_delta(_df(spark, 0, 3), t)                       # v0: pre-feature
+    ev = enable_in_commit_timestamps_delta(t)              # v1: enables
+    assert ev == 1
+    assert enable_in_commit_timestamps_delta(t) == 1       # idempotent
+    write_delta(_df(spark, 3, 5), t)                       # v2
+    write_delta(_df(spark, 5, 6), t)                       # v3
+    assert _commit_info_ict(t, 0) is None
+    icts = [_commit_info_ict(t, v) for v in (1, 2, 3)]
+    assert all(i is not None for i in icts)
+    assert icts[0] < icts[1] < icts[2]
+    # mtime sabotage: push every log file's mtime into the far future —
+    # ICT versions must still resolve by their own timestamps
+    for v in range(4):
+        _os.utime(_log_path(t, v), (2**31, 2**31))
+    assert version_at_timestamp_delta(t, icts[1]) == 2
+    assert version_at_timestamp_delta(t, icts[1] - 1) == 1
+    assert version_at_timestamp_delta(t, icts[2] + 10_000) == 3  # clamp
+    got = read_delta(spark, t, timestamp_ms=icts[1])
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_in_commit_timestamps_survive_log_cleanup(spark):
+    """After checkpoint + clean_log removes the predecessor JSON, the
+    next commit still stamps (enablement is discovered from the
+    checkpoint's configuration — the documented fallback)."""
+    from postrack_spark.streaming.delta_log import (
+        _commit_info_ict,
+        checkpoint_delta,
+        clean_log_delta,
+        enable_in_commit_timestamps_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_ictcp_")
+    write_delta(_df(spark, 0, 3), t)
+    enable_in_commit_timestamps_delta(t)
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    v = write_delta(_df(spark, 3, 5), t)
+    assert _commit_info_ict(t, v) is not None
+
+
 def test_history_delta_operation_classes(spark):
     from postrack_spark.streaming.delta_log import (
         compact_delta,
