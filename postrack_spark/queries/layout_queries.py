@@ -531,3 +531,93 @@ def layout_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy("o_orderpriority")
         .withColumn("join_planned_shuffle_free", F.lit(shuffle_free))
     )
+
+
+from datetime import date as _date  # noqa: E402
+
+_D95_LO = (_date(1995, 1, 1) - _date(1970, 1, 1)).days
+_D95_HI = (_date(1995, 12, 31) - _date(1970, 1, 1)).days
+
+
+@query(
+    "layout_iceberg_sort_order",
+    oracle=f"""
+    WITH base AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS ship_day,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT CAST(ship_day % 12 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS pruned,
+           true AS order_declared
+    FROM base
+    WHERE ship_day BETWEEN {_D95_LO} AND {_D95_HI}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def layout_iceberg_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SORT ORDERS (spec 'Sort Orders'): the creating append
+    declares a write order on ship_day — rows range-partition across
+    files and sort within each (sortWithinPartitions; NO global
+    shuffle) — the order is table metadata (sort-orders /
+    default-sort-order-id) that a later PLAIN append inherits and
+    applies, and every data file's manifest entry records which order
+    produced it (sort_order_id, field-id 140). The payoff the lane
+    certifies: sorted files carry tight, mostly disjoint footer
+    bounds, so a one-year stats_filter range read prunes files from
+    O(files) manifest metadata (``pruned`` gates files_scanned <
+    files_total) — at 100 TB the difference between scanning a year
+    and scanning the decade. ``order_declared`` gates the metadata
+    shape: default order 1, and every live data file claims a sorted
+    layout."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        append_iceberg,
+        inspect_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["lineitem"].select(
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+         .alias("ship_day"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") % 2).alias("h"),
+    )
+    table = _tf.mkdtemp(prefix="ice_sort_q_")
+    append_iceberg(
+        base.filter("h = 0").drop("h").repartitionByRange(8, "ship_day"),
+        table, sort_by=["ship_day"])
+    # plain append: INHERITS the default write order
+    append_iceberg(
+        base.filter("h = 1").drop("h").repartitionByRange(4, "ship_day"),
+        table)
+    meta = _current_metadata(table)
+    files = inspect_iceberg(spark, table, "files")
+    order_declared = (
+        meta["default-sort-order-id"] == 1
+        and files.filter("sort_order_id <> 1").count() == 0)
+    stats: dict = {}
+    got = read_iceberg(spark, table,
+                       stats_filter={"ship_day": (_D95_LO, _D95_HI)},
+                       scan_stats=stats)
+    pruned = 0 < stats["files_scanned"] < stats["files_total"]
+    return (
+        got
+        .filter(F.col("ship_day").between(_D95_LO, _D95_HI))
+        .groupBy((F.col("ship_day") % 12).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("bucket", "n_items", "cents",
+                F.lit(pruned).alias("pruned"),
+                F.lit(order_declared).alias("order_declared"))
+        .orderBy("bucket")
+    )

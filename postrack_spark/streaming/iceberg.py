@@ -122,6 +122,11 @@ _MANIFEST_SCHEMA = {
                  "type": _bound_map_schema("k126_v127", 126, 127)},
                 {"name": "upper_bounds", "field-id": 128,
                  "type": _bound_map_schema("k129_v130", 129, 130)},
+                # spec field-id 140: which table sort order produced
+                # this file's row layout (0 = unsorted); REQUIRED here
+                # so every writer states it explicitly (the codec has
+                # no field defaults — the documented bounds-map rule)
+                {"name": "sort_order_id", "type": "int", "field-id": 140},
             ]}},
     ],
 }
@@ -469,7 +474,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                    summary_extra: dict | None = None,
                    partition_by: list[tuple[str, str]] | None = None,
                    merge_schema: bool = False,
-                   branch: str | None = None) -> int:
+                   branch: str | None = None,
+                   sort_by: list | None = None) -> int:
     """Append df as a new snapshot; returns the snapshot id.
     ``format_version=2`` writes the v2 sequence-number machinery and
     unlocks delete_positions_iceberg on the table.
@@ -491,7 +497,17 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     the ref moves to it, and main (current-snapshot-id) stays where
     it was — the staging half of the write-audit-publish pattern
     (``fast_forward_iceberg`` is the publish half). A first write to
-    an unknown branch name forks it from the current main head."""
+    an unknown branch name forks it from the current main head.
+    ``sort_by`` ([col] or [(col, "asc"|"desc")]) declares the table's
+    WRITE ORDER (spec sort orders): rows sort WITHIN each written file
+    — sortWithinPartitions, no global shuffle — the order is recorded
+    in table metadata and on each file's manifest entry
+    (sort_order_id), and later plain appends INHERIT and apply the
+    default order. Sorted files yield tight disjoint footer bounds,
+    which is what makes the existing min/max stats skipping
+    file-precise on range predicates at 100 TB."""
+    from pyspark.sql import functions as F
+
     if format_version not in (1, 2):
         raise ValueError("format_version must be 1 or 2")
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
@@ -503,24 +519,43 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     spec: list[dict] = []
     staged_sid = 0
     manifest_schema = _MANIFEST_SCHEMA
-    if partition_by:
-        # source-ids resolve against the LIVE table schema when one
-        # exists (field-ids are forever and never track df column
-        # order); _ice_schema(df.schema) — ids by incoming column
-        # position — is only correct at table creation (ADVICE r6)
-        pre = _current_metadata(table)
-        schema_fields = (pre["schema"]["fields"] if pre is not None
+    # source-ids resolve against the LIVE table schema when one
+    # exists (field-ids are forever and never track df column
+    # order); _ice_schema(df.schema) — ids by incoming column
+    # position — is only correct at table creation (ADVICE r6)
+    pre = _current_metadata(table)
+    schema_fields_pre = (pre["schema"]["fields"] if pre is not None
                          else _ice_schema(df.schema)["fields"])
-        proposed, plan = _resolve_partition_spec(schema_fields, partition_by)
+    if sort_by is not None:
+        sort_fields, sort_cols = _resolve_sort_fields(
+            schema_fields_pre, sort_by)
+        staged_oid, _orders_pre = _assign_sort_order(pre, sort_fields)
+    else:  # inherit the table's default write order
+        orders_pre, default_oid = _sort_orders(pre)
+        sort_fields = orders_pre.get(default_oid, [])
+        staged_oid = default_oid if sort_fields else 0
+        byid = {f["id"]: f["name"] for f in schema_fields_pre}
+        sort_cols = [(byid[sf["source-id"]], sf["direction"] == "asc")
+                     for sf in sort_fields]
+    if sort_cols:
+        df = df.sortWithinPartitions(*[
+            F.col(c).asc_nulls_first() if asc else F.col(c).desc_nulls_last()
+            for c, asc in sort_cols])
+    if partition_by:
+        proposed, plan = _resolve_partition_spec(
+            schema_fields_pre, partition_by)
         # spec EVOLUTION: match-or-allocate against the table's specs
         # (the staged manifest schema depends on the final field-ids,
         # so resolution happens pre-staging; a concurrent spec change
         # is re-checked inside the OCC loop)
         staged_sid, spec, _specs_pre, _pid_pre = _assign_spec(pre, proposed)
         manifest_schema = _manifest_schema_partitioned(spec, plan)
-        entries = _stage_data_files_partitioned(df, table, plan)
+        entries = _stage_data_files_partitioned(df, table, plan,
+                                                sort_cols=sort_cols)
     else:
         entries = _stage_data_files(df, table)
+    for e in entries:
+        e["data_file"]["sort_order_id"] = staged_oid
 
     for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
         current = _current_metadata(table)
@@ -569,6 +604,21 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             used_sid, specs_final = _plain_spec_assignment(current)
             last_pid = _last_partition_id(current, specs_final)
             default_sid = cur_default if current is not None else 0
+
+        # sort-order resolution against CURRENT metadata (orders are
+        # append-only, so an inherited order always survives; an
+        # explicit sort_by that lost an id race must restage — its
+        # manifest already embeds the staged order id)
+        if sort_by is not None:
+            used_oid, orders_final = _assign_sort_order(current, sort_fields)
+            if used_oid != staged_oid:
+                raise IcebergCommitConflict(
+                    "concurrent sort-order change — restage")
+            default_oid_final = used_oid
+        else:
+            orders_final, default_oid_final = _sort_orders(current)
+            if staged_oid not in orders_final:  # defensive: append-only
+                orders_final = {**orders_final, staged_oid: sort_fields}
 
         # 3. manifest for this snapshot (a lost race orphans it —
         # unreferenced, harmless)
@@ -636,6 +686,9 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "default-spec-id": default_sid,
             "last-partition-id": last_pid,
             "partition-spec": specs_final.get(default_sid, []),
+            "sort-orders": [{"order-id": o, "fields": fl}
+                            for o, fl in sorted(orders_final.items())],
+            "default-sort-order-id": default_oid_final,
             "properties": {},
             # a branch append NEVER moves main — preserve the previous
             # metadata's head verbatim (base_sid is the BRANCH base,
@@ -753,6 +806,67 @@ def _delete_manifest_spec_id(meta: dict) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# SORT ORDERS (spec "Sort Orders"): table metadata carries a list of
+# immutable sort orders ({order-id, fields: [{transform, source-id,
+# direction, null-order}]}) plus default-sort-order-id; each data
+# file's manifest entry records which order produced its row layout
+# (sort_order_id, field-id 140; 0 = unsorted). Semantics here:
+# ``append_iceberg(sort_by=...)`` sorts rows WITHIN each written file
+# (sortWithinPartitions — no global shuffle) and sets the table's
+# default write order, which later plain appends INHERIT and apply.
+# The payoff is bounds quality: sorted files have tight, mostly
+# disjoint min/max ranges, so the existing stats skipping prunes
+# range predicates file-precisely. Identity transforms only (stated).
+
+def _sort_orders(meta: dict | None) -> tuple[dict[int, list[dict]], int]:
+    """{order-id: fields} and the default order id; order 0 (the
+    spec's reserved 'unsorted') always exists."""
+    if meta is None or "sort-orders" not in meta:
+        return {0: []}, 0
+    return ({o["order-id"]: o["fields"] for o in meta["sort-orders"]},
+            meta.get("default-sort-order-id", 0))
+
+
+def _resolve_sort_fields(schema_fields: list[dict], sort_by):
+    """Normalize user sort_by (["col", ...] or [("col", "asc"|"desc"),
+    ...]) into spec sort fields + [(column, ascending)] apply plan.
+    Null ordering follows the engines' defaults: asc=nulls-first,
+    desc=nulls-last."""
+    by_name = {f["name"]: f for f in schema_fields}
+    fields: list[dict] = []
+    names: list[tuple[str, bool]] = []
+    for item in sort_by:
+        col, direction = (item, "asc") if isinstance(item, str) else item
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc: {direction!r}")
+        if col not in by_name:
+            raise KeyError(f"sort column {col!r} not in table schema "
+                           f"(have {sorted(by_name)})")
+        fields.append({
+            "transform": "identity",
+            "source-id": by_name[col]["id"],
+            "direction": direction,
+            "null-order": "nulls-first" if direction == "asc"
+                          else "nulls-last",
+        })
+        names.append((col, direction == "asc"))
+    return fields, names
+
+
+def _assign_sort_order(meta: dict | None,
+                       fields: list[dict]) -> tuple[int, dict[int, list[dict]]]:
+    """Match-or-allocate, the _assign_spec rule: an existing order with
+    identical semantics is reused verbatim (orders are immutable),
+    else the next order-id is allocated."""
+    orders, _default = _sort_orders(meta)
+    for oid in sorted(orders):
+        if orders[oid] == fields:
+            return oid, orders
+    oid = max(orders) + 1
+    return oid, {**orders, oid: fields}
+
+
 def _resolve_partition_spec(schema_fields: list[dict],
                             partition_by: list[tuple[str, str]]):
     """Build (spec descriptor for metadata.json, staging plan).
@@ -800,7 +914,9 @@ def _manifest_schema_partitioned(spec: list[dict],
 
 
 def _stage_data_files_partitioned(df: DataFrame, table: str,
-                                  plan: list[tuple]) -> list[dict]:
+                                  plan: list[tuple],
+                                  sort_cols: list[tuple[str, bool]]
+                                  | None = None) -> list[dict]:
     """Partitioned staging: derive the partition tuple per row (hidden
     partitioning — the USER never sees or maintains these columns),
     write one parquet tree partitioned by the tuple, and record each
@@ -817,7 +933,13 @@ def _stage_data_files_partitioned(df: DataFrame, table: str,
     for sc, (_pname, _ptype, colfn) in zip(staging_cols, plan):
         aug = aug.withColumn(sc, colfn())
     scratch = os.path.join(table, f"_staging_{uuid.uuid4().hex}")
-    (aug.repartition(*[F.col(c) for c in staging_cols])
+    shuffled = aug.repartition(*[F.col(c) for c in staging_cols])
+    if sort_cols:  # the table's write order, re-applied AFTER the
+        # partition shuffle (which would otherwise destroy it)
+        shuffled = shuffled.sortWithinPartitions(*[
+            F.col(c).asc_nulls_first() if asc else F.col(c).desc_nulls_last()
+            for c, asc in sort_cols])
+    (shuffled
      .write.partitionBy(*staging_cols).mode("overwrite").parquet(scratch))
     entries = []
     for root_dir, _dirs, files in os.walk(scratch):
@@ -848,6 +970,7 @@ def _stage_data_files_partitioned(df: DataFrame, table: str,
                         os.path.join(table, final)),
                     "_raw_bounds": (lower, upper),
                     "lower_bounds": [], "upper_bounds": [],
+                    "sort_order_id": 0,
                     "partition": pvals,
                 }})
     shutil.rmtree(scratch, ignore_errors=True)
@@ -880,6 +1003,7 @@ def _stage_data_files(df: DataFrame, table: str) -> list[dict]:
                     os.path.join(table, final)),
                 "_raw_bounds": (lower, upper),
                 "lower_bounds": [], "upper_bounds": [],
+                "sort_order_id": 0,
             }})
     shutil.rmtree(scratch, ignore_errors=True)
     return entries
@@ -1368,6 +1492,7 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
                 "record_count": r["record_count"],
                 "file_size_in_bytes": r["file_size_in_bytes"],
                 "lower_bounds": [], "upper_bounds": [],
+                "sort_order_id": 0,
             }} for r in written], _MANIFEST_SCHEMA, codec="deflate")
         with open(os.path.join(table, manifest_rel), "wb") as f:
             f.write(manifest_blob)
@@ -1947,6 +2072,7 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
                     os.path.join(table, p)),
                 "_raw_bounds": (lower, upper),
                 "lower_bounds": [], "upper_bounds": [],
+                "sort_order_id": 0,
             }})
     _bind_bounds(entries, _ice_schema(schema)["fields"])
     manifest_rel = os.path.join("metadata", f"manifest-{snapshot_id:08d}.avro")
@@ -2071,11 +2197,12 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
                     d["record_count"], d["file_size_in_bytes"], seq,
                     _json.dumps(part, sort_keys=True)
                     if isinstance(part, dict) else None,
+                    d.get("sort_order_id", 0),
                 ))
         files = spark.createDataFrame(
             rows, "file_path string, content int, record_count long,"
                   " file_size_in_bytes long, sequence_number long,"
-                  " partition string")
+                  " partition string, sort_order_id int")
         if kind == "files":
             return files
         from pyspark.sql import functions as F

@@ -1376,3 +1376,91 @@ def test_inspect_metadata_tables(spark):
     assert parts[None] == 1  # the unpartitioned append
     with pytest.raises(ValueError, match="unknown inspection"):
         inspect_iceberg(spark, t, "nope")
+
+
+def test_sort_order_declared_inherited_recorded(spark):
+    """Sort orders (spec 'Sort Orders'): sort_by on an append creates
+    order-id 1, sets it as the table default, sorts rows WITHIN each
+    written file, and stamps sort_order_id on every manifest entry;
+    a later PLAIN append inherits and applies the default order."""
+    import pyarrow.parquet as pq
+
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        _read_file,
+        _snapshot,
+    )
+    from postrack_spark.sources.avro_codec import read_avro
+
+    t = tempfile.mkdtemp(prefix="ice_sort_")
+    shuffled = _df(spark, 0, 200).orderBy(F.rand(7)).repartition(4)
+    append_iceberg(shuffled, t, sort_by=[("v", "desc")])
+    append_iceberg(_df(spark, 200, 300).orderBy(F.rand(9)).repartition(2), t)
+    meta = _current_metadata(t)
+    orders = {o["order-id"]: o["fields"] for o in meta["sort-orders"]}
+    assert orders[0] == []
+    assert orders[1] == [{"transform": "identity", "source-id": 2,
+                          "direction": "desc", "null-order": "nulls-last"}]
+    assert meta["default-sort-order-id"] == 1
+    # every data file: manifest claims order 1, and the bytes agree
+    snap = _snapshot(meta, meta["current-snapshot-id"])
+    mlist, _ = read_avro(_read_file(t, snap["manifest-list"]))
+    n_files = 0
+    for m in mlist:
+        entries, _s = read_avro(_read_file(t, m["manifest_path"]))
+        for e in entries:
+            d = e["data_file"]
+            assert d["sort_order_id"] == 1
+            vals = pq.read_table(
+                os.path.join(t, d["file_path"]), columns=["v"]
+            ).column("v").to_pylist()
+            assert vals == sorted(vals, reverse=True)
+            n_files += 1
+    assert n_files >= 3  # both appends, multiple partitions
+    # content is unchanged by the ordering
+    got = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert got == list(range(300))
+
+
+def test_sort_order_reuse_and_reallocation(spark):
+    """Orders are immutable and match-or-reuse (the _assign_spec
+    rule): the same sort_by reuses its id; a different one allocates
+    the next id and moves the default."""
+    from postrack_spark.streaming.iceberg import _current_metadata
+
+    t = tempfile.mkdtemp(prefix="ice_sort2_")
+    append_iceberg(_df(spark, 0, 10), t, sort_by=["v"])
+    append_iceberg(_df(spark, 10, 20), t, sort_by=["v"])
+    meta = _current_metadata(t)
+    assert [o["order-id"] for o in meta["sort-orders"]] == [0, 1]
+    append_iceberg(_df(spark, 20, 30), t, sort_by=[("k", "desc")])
+    meta = _current_metadata(t)
+    assert [o["order-id"] for o in meta["sort-orders"]] == [0, 1, 2]
+    assert meta["default-sort-order-id"] == 2
+    # unknown column refuses loudly
+    with pytest.raises(KeyError, match="sort column"):
+        append_iceberg(_df(spark, 30, 40), t, sort_by=["nope"])
+
+
+def test_sorted_files_tighten_stats_skipping(spark):
+    """The point of a write order at scale: sorted files have tight,
+    mostly disjoint min/max bounds, so a range stats_filter prunes
+    file-precisely; the same data written unsorted scans everything."""
+    base = _df(spark, 0, 4000).orderBy(F.rand(3)).repartition(8)
+    t_sorted = tempfile.mkdtemp(prefix="ice_ss_s_")
+    t_plain = tempfile.mkdtemp(prefix="ice_ss_p_")
+    # repartitionByRange gives files DISJOINT k ranges once sorted
+    append_iceberg(base.repartitionByRange(8, "k"), t_sorted, sort_by=["k"])
+    append_iceberg(base, t_plain)
+    f = {"k": (100, 140)}
+    s_sorted: dict = {}
+    s_plain: dict = {}
+    a = sorted(r["k"] for r in read_iceberg(
+        spark, t_sorted, stats_filter=f, scan_stats=s_sorted)
+        .filter("k between 100 and 140").collect())
+    b = sorted(r["k"] for r in read_iceberg(
+        spark, t_plain, stats_filter=f, scan_stats=s_plain)
+        .filter("k between 100 and 140").collect())
+    assert a == b == list(range(100, 141))
+    assert s_sorted["files_scanned"] <= 2
+    assert s_plain["files_scanned"] == s_plain["files_total"]
