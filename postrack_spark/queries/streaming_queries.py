@@ -3309,6 +3309,101 @@ def cdc_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_protobuf_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v100,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOBUF event-log source: events encode to canonical proto3
+    wire bytes (operators/protobuf.py — varint/zigzag/fixed64,
+    ascending field order, implicit-presence defaults omitted; the
+    byte layer is certified against protobuf-java's UnknownFieldSet
+    in tests/test_protobuf.py) in the standard writeDelimitedTo
+    framing, one self-contained .pbstream per partition via
+    mapInPandas; the decode side fans out over the FILE LIST and
+    parses distributed — no message ever visits the driver (the
+    pgoutput-roundtrip pattern). The oracle compares the decoded
+    rollup against the original table: any drift in either codec
+    direction breaks the hash."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.operators.protobuf import (
+        encode_delimited,
+        iter_delimited,
+    )
+    from postrack_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    outdir = _tf.mkdtemp(prefix="pbstream_q_")
+
+    def _encode(batches):
+        import pandas as _pd
+
+        rows = []
+        for pdf in batches:
+            rows.extend(zip(pdf["event_id"], pdf["user_id"],
+                            pdf["event_type"], pdf["value"], pdf["ts_us"]))
+        if not rows:
+            return
+        blob = encode_delimited(
+            (int(a), int(b), str(c), float(d), int(e))
+            for a, b, c, d, e in rows)
+        path = _os.path.join(outdir, f"part-{uuid.uuid4().hex}.pbstream")
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield _pd.DataFrame([{"path": path, "n_records": len(rows)}])
+
+    written = (ev.repartition(8, "event_id")
+               .mapInPandas(_encode, "path string, n_records long")
+               .collect())  # O(files) descriptor rows only
+    paths = [r["path"] for r in written]
+
+    def _decode(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                with open(p, "rb") as f:
+                    blob = f.read()
+                recs = list(iter_delimited(blob))
+                if recs:
+                    yield _pd.DataFrame(
+                        recs, columns=["event_id", "user_id", "event_type",
+                                       "value", "ts_us"])
+
+    decoded = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        .repartition(len(paths))
+        .mapInPandas(_decode, "event_id long, user_id long,"
+                              " event_type string, value double,"
+                              " ts_us long")
+    )
+    return (
+        decoded
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+             .cast("long").alias("v100"),
+            F.min("ts_us").cast("long").alias("first_us"),
+            F.max("ts_us").cast("long").alias("last_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "cdc_delta_generated_columns",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3431,6 +3526,78 @@ def cdc_delta_ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("keymod", "n_orders", "cents",
                 F.lit(cert).alias("ict_resolved"))
+        .orderBy("keymod")
+    )
+
+
+@query(
+    "cdc_delta_row_tracking",
+    oracle="""
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS keymod,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS ids_unique,
+           true AS ids_stable
+    FROM orders
+    WHERE o_orderkey % 10 <> 3
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING (PROTOCOL.md): stable 64-bit row ids —
+    baseRowId per file + physical position for fresh rows, high-water
+    mark in the delta.rowTracking domainMetadata, ids MATERIALIZED
+    into a hidden physical column when OPTIMIZE rewrites files. The
+    lane runs the full lifecycle: write, ENABLE (backfills live files
+    with ids, zero data IO), append (fresh ids above the mark),
+    deletion-vector delete (files never rewritten, so survivors keep
+    their ids for free — the MOR synergy the feature exists for),
+    then OPTIMIZE. Certificates the oracle can't see: ``ids_unique``
+    gates distinctness after the whole lifecycle; ``ids_stable``
+    gates that every surviving row carries the SAME id before and
+    after compaction — the property that makes row ids usable as CDC
+    join keys across table maintenance at 100 TB."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        compact_delta,
+        enable_row_tracking_delta,
+        read_delta_with_row_ids,
+        write_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_rt_q_")
+    write_delta(base.filter("o_orderkey % 2 = 0"), table)   # pre-feature
+    enable_row_tracking_delta(table)                         # backfill
+    write_delta(base.filter("o_orderkey % 2 = 1"), table)   # fresh ids
+    delete_delta_dv(spark, table, "o_orderkey % 10 = 3")    # ids survive
+    mid = read_delta_with_row_ids(spark, table).select(
+        "o_orderkey", F.col("_row_id").alias("_rid_before")).localCheckpoint()
+    compact_delta(spark, table, target_files=4)              # materializes
+    post = read_delta_with_row_ids(spark, table)
+    n = post.count()
+    ids_unique = post.select("_row_id").distinct().count() == n
+    ids_stable = (
+        post.join(mid, "o_orderkey")
+        .filter(F.col("_row_id") != F.col("_rid_before")).count() == 0
+        and mid.count() == n)
+    return (
+        post
+        .groupBy((F.col("o_orderkey") % 4).cast("long").alias("keymod"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("keymod", "n_orders", "cents",
+                F.lit(ids_unique).alias("ids_unique"),
+                F.lit(ids_stable).alias("ids_stable"))
         .orderBy("keymod")
     )
 

@@ -513,7 +513,7 @@ def _snapshot(table: str, version: int | None):
     return list(live), schema_string, v
 
 
-_CP_COLUMNS = ("protocol", "metaData", "txn", "add")
+_CP_COLUMNS = ("protocol", "metaData", "txn", "domainMetadata", "add")
 
 
 def checkpoint_delta(table: str, version: int | None = None) -> int:
@@ -544,6 +544,9 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
     ]
     rows += [{"txn": {"appId": a, "version": bv}}
              for a, bv in sorted(txns.items())]
+    rows += [{"domainMetadata": {"domain": d, "configuration": c,
+                                 "removed": False}}
+             for d, c in sorted(_domain_configs(table, v).items())]
     rows += [{"add": dict(add)} for _p, add in sorted(live.items())]
     schema = pa.schema([
         ("protocol", pa.struct([("minReaderVersion", pa.int32()),
@@ -558,6 +561,11 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
         ])),
         ("txn", pa.struct([("appId", pa.string()),
                            ("version", pa.int64())])),
+        ("domainMetadata", pa.struct([
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ])),
         ("add", pa.struct([
             ("path", pa.string()),
             ("partitionValues", pa.map_(pa.string(), pa.string())),
@@ -565,6 +573,11 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            # row tracking: these MUST ride the checkpoint (pyarrow
+            # silently drops dict keys absent from the declared schema
+            # — the documented DV trap) or ids are lost at clean_log
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
             ("deletionVector", pa.struct([
                 ("storageType", pa.string()),
                 ("pathOrInlineDv", pa.string()),
@@ -1062,8 +1075,14 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
                 "path": p, "deletionTimestamp": int(time.time() * 1000),
                 "dataChange": True,
             }} for p in paths]
+        rt_actions: list[dict] = []
+        if version > 0 and _rt_enabled(config):
+            # fresh rows get fresh ids: stamp per attempt (the high-
+            # water mark moves with concurrent commits)
+            rt_actions = _stamp_row_ids(table, adds, version)
         try:
-            commit_delta(table, version, actions + removes + adds)
+            commit_delta(table, version,
+                         actions + removes + adds + rt_actions)
             return version
         except DeltaCommitConflict:
             continue  # rebase: recompute version (and removes) and retry
@@ -1247,6 +1266,7 @@ def foreach_batch_delta(table: str, mode: str = "append"):
         os.makedirs(table, exist_ok=True)
         batch_mapping: dict | None = None
         batch_pcols: list[str] = []
+        rt_on = False
         if latest_version(table) is not None:
             # schema enforcement + CHECK constraints, like write_delta
             # (no evolution in the streaming hook — a drifting stream
@@ -1258,6 +1278,7 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             _enforce_constraints(batch_df, config)
             batch_mapping = _column_mapping(schema_string, config)
             batch_pcols = _partition_columns(table)
+            rt_on = _rt_enabled(config)
         adds = _write_data_files(_to_physical(batch_df, batch_mapping),
                                  table, partition_cols=batch_pcols)
         for _ in range(10):
@@ -1276,8 +1297,11 @@ def foreach_batch_delta(table: str, mode: str = "append"):
                     "deletionTimestamp": int(time.time() * 1000),
                     "dataChange": True,
                 }} for p in paths]
+            rt_actions = (_stamp_row_ids(table, adds, version)
+                          if rt_on and version > 0 else [])
             try:
-                commit_delta(table, version, actions + removes + adds)
+                commit_delta(table, version,
+                             actions + removes + adds + rt_actions)
                 return
             except DeltaCommitConflict:
                 continue
@@ -1467,7 +1491,17 @@ def compact_delta(spark: SparkSession, table: str,
         paths = [p for p, _a in _dv_acts]
         if not paths:
             return latest_version(table) or 0
-        df = read_delta(spark, table, version=read_v)  # logical names
+        rt = _rt_enabled(config)
+        if rt:
+            # OPTIMIZE must PRESERVE row ids: materialize each
+            # surviving row's id into the physical column (it lives in
+            # the parquet, never in the table schema; readers coalesce
+            # it ahead of baseRowId + row_index)
+            df = read_delta_with_row_ids(spark, table, version=read_v)
+            df = df.withColumnRenamed(
+                "_row_id", config.get(_RT_MAT_KEY, "_row_id"))
+        else:
+            df = read_delta(spark, table, version=read_v)  # logical names
         if zorder_by is not None:
             from postrack_spark.sources.layout import zorder_repartition
 
@@ -1485,8 +1519,9 @@ def compact_delta(spark: SparkSession, table: str,
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": False,
         }} for p in paths]
+        rt_actions = (_stamp_row_ids(table, adds, read_v + 1) if rt else [])
         try:
-            commit_delta(table, read_v + 1, removes + adds)
+            commit_delta(table, read_v + 1, removes + adds + rt_actions)
             return read_v + 1
         except DeltaCommitConflict:
             continue  # recompute from the new snapshot
@@ -1741,6 +1776,7 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
     images = _apply_generated(images, _generated_exprs(schema0))
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
         live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _guard_row_tracking(config, "a copy-on-write rewrite")
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         mapping = _column_mapping(schema_string, config)
@@ -1853,6 +1889,7 @@ def delete_delta(spark: SparkSession, table: str,
     bulk GDPR deletes (layout family)."""
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
         live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _guard_row_tracking(config, "a copy-on-write rewrite")
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         mapping = _column_mapping(schema_string, config)
@@ -1912,6 +1949,7 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
     non-matching key set commits nothing."""
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
         live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _guard_row_tracking(config, "a copy-on-write rewrite")
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         mapping = _column_mapping(schema_string, config)
@@ -2016,3 +2054,261 @@ def _append_txn(table: str, version: int, batch_id: int) -> None:
         except DeltaCommitConflict:
             continue
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+# ---------------------------------------------------------------------------
+# ROW TRACKING (PROTOCOL.md "Row Tracking"): every row gets a STABLE
+# 64-bit id. Fresh rows get "fresh" ids — the add action's baseRowId
+# plus the row's physical position in its file — with the table-wide
+# high-water mark carried in a domainMetadata action under the
+# delta.rowTracking domain (the protocol's own mechanism; replayed
+# newest-wins per domain and carried through checkpoints). Rewrites
+# that must PRESERVE ids (OPTIMIZE) materialize them into a physical
+# column (delta.rowTracking.materializedRowIdColumnName) that lives
+# in the parquet but never in the table schema; readers resolve
+# coalesce(materialized, baseRowId + row_index). Deletion-vector
+# deletes never rewrite files, so ids survive them for free — the
+# MOR synergy row tracking exists for. Copy-on-write merge/delete
+# are REFUSED on row-tracking tables (they would need per-survivor
+# materialization): use the DV path, then compact. At 100 TB the id
+# assignment is O(files) driver metadata (numRecords from the stats
+# already in each add action) and id resolution ships an O(files)
+# descriptor map with the scan task — no join, no shuffle.
+
+_RT_KEY = "delta.enableRowTracking"
+_RT_MAT_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_RT_DOMAIN = "delta.rowTracking"
+
+
+def _rt_enabled(config: dict) -> bool:
+    return str((config or {}).get(_RT_KEY, "")).lower() == "true"
+
+
+def _domain_configs(table: str, version: int | None = None) -> dict[str, str]:
+    """Newest non-removed domainMetadata configuration per domain at
+    ``version`` — checkpoint-seeded like _partition_columns (kept out
+    of _replay's widely-shared tuple on purpose)."""
+    newest = latest_version(table)
+    if newest is None:
+        return {}
+    if version is None:
+        version = newest
+    domains: dict[str, str] = {}
+    start = 0
+    cp = _read_last_checkpoint(table)
+    if cp is not None and cp <= version:
+        import pyarrow.parquet as pq
+
+        try:
+            t = pq.read_table(_checkpoint_path(table, cp),
+                              columns=["domainMetadata"])
+            rows = t.to_pylist()
+        except Exception:  # pre-domain checkpoints lack the column
+            rows = []
+        for row in rows:
+            dm = row.get("domainMetadata")
+            if dm and dm.get("domain"):
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration") or ""
+        start = cp + 1
+    for v in range(start, version + 1):
+        p = _log_path(table, v)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                dm = json.loads(ln).get("domainMetadata")
+                if dm and dm.get("domain"):
+                    if dm.get("removed"):
+                        domains.pop(dm["domain"], None)
+                    else:
+                        domains[dm["domain"]] = dm.get("configuration") or ""
+    return domains
+
+
+def _row_id_high_water_mark(table: str, version: int | None = None) -> int:
+    cfg = _domain_configs(table, version).get(_RT_DOMAIN)
+    if not cfg:
+        return -1
+    return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+
+
+def _add_num_records(table: str, add: dict) -> int:
+    st = add.get("stats")
+    if st:
+        try:
+            return int(json.loads(st)["numRecords"])
+        except (ValueError, KeyError, TypeError):
+            pass
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(table, add["path"])).metadata.num_rows
+
+
+def _stamp_row_ids(table: str, adds: list[dict],
+                   commit_version: int) -> list[dict]:
+    """Assign baseRowId + defaultRowCommitVersion to fresh add actions
+    and return the domainMetadata action advancing the high-water
+    mark. Called INSIDE OCC loops (the mark moves with concurrent
+    commits); idempotent — re-stamps from the current mark each
+    attempt."""
+    hwm = _row_id_high_water_mark(table)
+    for a in adds:
+        add = a["add"]
+        n = _add_num_records(table, add)
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = commit_version
+        hwm += n
+    return [{"domainMetadata": {
+        "domain": _RT_DOMAIN,
+        "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+        "removed": False,
+    }}]
+
+
+def _guard_row_tracking(config: dict, op: str) -> None:
+    if _rt_enabled(config):
+        raise NotImplementedError(
+            f"{op} on a row-tracking table is out of scope: a "
+            "copy-on-write rewrite would need to materialize the id of "
+            "every surviving row — use the deletion-vector path "
+            "(delete_delta_dv / delete_keys_delta_dv), which preserves "
+            "ids by never rewriting files, then compact_delta (which "
+            "materializes)")
+
+
+def enable_row_tracking_delta(table: str) -> int:
+    """Turn on ROW TRACKING: one commit that (1) sets the feature +
+    materialized-column-name properties, (2) BACKFILLS every live file
+    with a baseRowId (dataChange=false re-adds — zero data IO, the
+    protocol's backfill shape), and (3) records the row-id high-water
+    mark in the delta.rowTracking domainMetadata. Idempotent."""
+    for _ in range(10):
+        live, schema_string, read_v, _t, config = _replay(table, None)
+        if _rt_enabled(config):
+            return read_v
+        names = [f["name"] for f in json.loads(schema_string)["fields"]]
+        if "_row_id" in names:
+            raise ValueError(
+                "table already has a _row_id column — the materialized "
+                "row-id name would collide")
+        version = read_v + 1
+        new_config = dict(config)
+        new_config[_RT_KEY] = "true"
+        new_config[_RT_MAT_KEY] = "_row_id"
+        actions: list[dict] = [_meta_action(
+            schema_string, new_config, _partition_columns(table, read_v))]
+        hwm = -1
+        for p in sorted(live):
+            add = dict(live[p])
+            n = _add_num_records(table, add)
+            add["baseRowId"] = hwm + 1
+            add["defaultRowCommitVersion"] = version
+            add["dataChange"] = False
+            hwm += n
+            actions.append({"add": add})
+        actions.append({"domainMetadata": {
+            "domain": _RT_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }})
+        try:
+            commit_delta(table, version, actions)
+            return version
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def read_delta_with_row_ids(spark: SparkSession, table: str,
+                            version: int | None = None) -> DataFrame:
+    """Snapshot read plus a ``_row_id`` column:
+    coalesce(materialized id, baseRowId + physical row_index), with
+    deletion vectors applied in the same Arrow-batched pass (a DV'd
+    row disappears; every survivor keeps the id it was born with).
+    The per-file descriptor maps (baseRowId, DV payload) ship with
+    the task — O(files) metadata, no join."""
+    from pyspark.sql.types import LongType, StructField
+
+    from postrack_spark.streaming.deletion_vectors import (
+        RoaringArray64,
+        _local_path,
+        load_dv_bytes,
+    )
+
+    live, schema_string, _v, _t, config = _replay(table, version)
+    if not _rt_enabled(config):
+        raise ValueError(f"row tracking is not enabled on {table}")
+    acts = list(live.items())
+    schema = StructType.fromJson(json.loads(schema_string))
+    logical_out = StructType(
+        list(schema.fields) + [StructField("_row_id", LongType(), False)])
+    if not acts:
+        return spark.createDataFrame([], logical_out)
+    mat = config.get(_RT_MAT_KEY, "_row_id")
+    mapping = _column_mapping(schema_string, config)
+    phys = _physical_struct(schema, mapping)
+    scan_schema = StructType(
+        list(phys.fields) + [StructField(mat, LongType(), True)])
+    out_schema = StructType(
+        list(phys.fields) + [StructField("_row_id", LongType(), False)])
+    root = os.path.abspath(table)
+    base_map = {os.path.normpath(os.path.join(root, p)): a.get("baseRowId")
+                for p, a in acts}
+    dv_bytes = {os.path.normpath(os.path.join(root, k)): v
+                for k, v in load_dv_bytes(table, acts).items()}
+    df = spark.read.schema(scan_schema).parquet(
+        *[os.path.join(table, p) for p, _a in acts])
+    phys_cols = [f.name for f in phys.fields]
+    tagged = df.select(
+        *phys_cols,
+        F.col(mat).alias("_mat"),
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+
+    def fn(batches):
+        import pandas as _pd
+
+        cache: dict = {}
+        rels: dict[str, str] = {}
+        for pdf in batches:
+            keep: list[bool] = []
+            ids: list[int] = []
+            for m, fp, ri in zip(pdf["_mat"], pdf["_fp"], pdf["_ri"]):
+                rel = rels.get(fp)
+                if rel is None:
+                    rel = _local_path(fp)
+                    rels[fp] = rel
+                bm = cache.get(rel, False)
+                if bm is False:
+                    raw = dv_bytes.get(rel)
+                    bm = (RoaringArray64.deserialize(raw, 4)
+                          if raw is not None else None)
+                    cache[rel] = bm
+                if bm is not None and int(ri) in bm:
+                    keep.append(False)
+                    continue
+                keep.append(True)
+                if not _pd.isna(m):
+                    ids.append(int(m))
+                else:
+                    base = base_map.get(rel)
+                    if base is None:
+                        raise ValueError(
+                            f"row tracking: no baseRowId for {rel} "
+                            "(file added before enablement?)")
+                    ids.append(int(base) + int(ri))
+            out = pdf.loc[keep, phys_cols].copy()
+            out["_row_id"] = ids
+            yield out
+
+    got = tagged.mapInPandas(fn, out_schema)
+    cols = [F.col(mapping.get(f.name, f.name) if mapping else f.name)
+            .alias(f.name) for f in schema.fields]
+    return got.select(*(cols + [F.col("_row_id")]))

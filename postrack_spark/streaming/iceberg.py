@@ -689,7 +689,9 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "sort-orders": [{"order-id": o, "fields": fl}
                             for o, fl in sorted(orders_final.items())],
             "default-sort-order-id": default_oid_final,
-            "properties": {},
+            # properties CARRY (e.g. the UniForm sync marker) — an
+            # append must not erase table-level configuration
+            "properties": dict((current or {}).get("properties") or {}),
             # a branch append NEVER moves main — preserve the previous
             # metadata's head verbatim (base_sid is the BRANCH base,
             # which after the first branch commit is not main anymore)

@@ -1184,14 +1184,18 @@ def test_restore_commit_documented_as_pre_cdf_history(spark):
 
 
 def test_clone_of_cdf_table_keeps_constraints_and_feed_property(spark):
-    """Shallow clone copies the source's schemaString but builds fresh
-    metadata: table CONFIGURATION (constraints, CDF flag) is
-    deliberately NOT inherited — the clone is a fork, not a replica;
-    pinned so inheritance becomes an explicit decision if wanted."""
+    """Shallow clone CARRIES the source's table configuration —
+    constraints, the CDF flag, column-mapping keys — matching
+    delta-spark's CLONE (round 6 pinned the opposite 'fork' choice;
+    the column-mapping bug forced the revisit: without the config a
+    mapped clone scans logical names against physical-named parquet).
+    The tables still evolve independently — dropping a constraint on
+    the clone never touches the source."""
     from postrack_spark.streaming.delta_log import (
         _replay,
         add_check_constraint_delta,
         clone_delta,
+        drop_check_constraint_delta,
         enable_change_feed_delta,
     )
 
@@ -1202,9 +1206,16 @@ def test_clone_of_cdf_table_keeps_constraints_and_feed_property(spark):
     dst = tempfile.mkdtemp(prefix="delta_clcfg_dst_")
     clone_delta(src, dst)
     _l, _s, _v, _t, cfg = _replay(dst, None)
-    assert cfg == {}  # fork semantics: config starts clean
-    # and the clone accepts writes the source would reject
+    assert cfg == {"delta.enableChangeDataFeed": "true",
+                   "delta.constraints.nonneg": "v >= 0"}
+    # the carried constraint ENFORCES on the clone...
+    with pytest.raises(ValueError, match="nonneg"):
+        write_delta(spark.createDataFrame([(9, -9)], "k long, v long"), dst)
+    # ...and dropping it there is clone-local
+    drop_check_constraint_delta(dst, "nonneg")
     write_delta(spark.createDataFrame([(9, -9)], "k long, v long"), dst)
+    _l2, _s2, _v2, _t2, src_cfg = _replay(src, None)
+    assert "delta.constraints.nonneg" in src_cfg
 
 
 def test_change_feed_covers_dv_deletes_and_stacking(spark):
@@ -1847,3 +1858,77 @@ def test_history_delta_operation_classes(spark):
     assert h[1]["operation"] == "SET_METADATA"
     assert h[2]["operation"] == "MERGE_OR_OVERWRITE" and h[2]["n_cdc"] > 0
     assert h[3]["operation"] == "OPTIMIZE" and not h[3]["data_change"]
+
+
+def test_row_tracking_ids_dense_stable_and_checkpointed(spark):
+    """ROW TRACKING (PROTOCOL.md): enablement backfills live files
+    with baseRowId and records the high-water mark in the
+    delta.rowTracking domainMetadata; appends extend the id space
+    densely; DV deletes keep every survivor's id (files never
+    rewritten); OPTIMIZE preserves ids by materializing them; the
+    whole state survives checkpoint + log cleanup."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+        enable_row_tracking_delta,
+        read_delta_with_row_ids,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = tempfile.mkdtemp(prefix="delta_rt_")
+    write_delta(_df(spark, 0, 6), t)
+    write_delta(_df(spark, 6, 10), t)
+    v = enable_row_tracking_delta(t)
+    assert enable_row_tracking_delta(t) == v  # idempotent
+    got = read_delta_with_row_ids(spark, t)
+    ids = sorted(r["_row_id"] for r in got.collect())
+    assert ids == list(range(10))  # dense, unique, zero-based
+    # fresh rows continue above the high-water mark
+    write_delta(_df(spark, 10, 13), t)
+    got2 = {r["k"]: r["_row_id"] for r in
+            read_delta_with_row_ids(spark, t).collect()}
+    assert sorted(got2.values()) == list(range(13))
+    # DV delete: survivors keep their ids verbatim
+    delete_delta_dv(spark, t, "k in (2, 11)")
+    got3 = {r["k"]: r["_row_id"] for r in
+            read_delta_with_row_ids(spark, t).collect()}
+    assert set(got3) == set(range(13)) - {2, 11}
+    assert all(got3[k] == got2[k] for k in got3)
+    # OPTIMIZE: files rewritten, ids materialized and PRESERVED
+    compact_delta(spark, t, target_files=2)
+    got4 = {r["k"]: r["_row_id"] for r in
+            read_delta_with_row_ids(spark, t).collect()}
+    assert got4 == got3
+    # checkpoint + cleanup: domain watermark and add-level ids ride
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    got5 = {r["k"]: r["_row_id"] for r in
+            read_delta_with_row_ids(spark, t).collect()}
+    assert got5 == got3
+    write_delta(_df(spark, 13, 14), t)  # post-cleanup append still stamps
+    got6 = {r["k"]: r["_row_id"] for r in
+            read_delta_with_row_ids(spark, t).collect()}
+    assert got6[13] > max(got3.values())  # above the preserved mark
+    # plain reads are untouched by the machinery
+    assert read_delta(spark, t).columns == ["k", "v"]
+
+
+def test_row_tracking_refuses_cow_rewrites(spark):
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        enable_row_tracking_delta,
+        merge_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_rtcow_")
+    df = spark.createDataFrame([(1, 10, 0), (2, 20, 0)],
+                               "k long, v long, seq long")
+    write_delta(df, t)
+    enable_row_tracking_delta(t)
+    with pytest.raises(NotImplementedError, match="row-tracking"):
+        delete_delta(spark, t, "k = 1")
+    with pytest.raises(NotImplementedError, match="row-tracking"):
+        merge_delta(spark, t,
+                    spark.createDataFrame([(2, 25, 1)],
+                                          "k long, v long, seq long"),
+                    "k", "seq")
