@@ -3489,6 +3489,78 @@ def source_iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "source_iceberg_orphan_sweep",
+    oracle="""
+    SELECT CAST(o_orderkey % 5 AS BIGINT) AS keymod,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS debris_removed,
+           true AS young_spared
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_iceberg_orphan_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ORPHAN FILE SWEEP (the spec's remove_orphan_files
+    maintenance action — the half of storage reclamation
+    expire_snapshots deliberately leaves alone, since expiry only
+    deletes REFERENCED history): lost OCC races and crashed writers
+    leave staged parquet, manifests, and manifest lists that no
+    metadata version references; the sweep walks every retained
+    metadata version's reference closure (O(files) driver metadata)
+    and deletes the rest, sparing anything younger than min_age_s —
+    the guard that keeps a concurrent writer's moved-but-uncommitted
+    files safe (Iceberg's own default is 3 days). Certificates:
+    planted aged debris of all three classes is removed and a young
+    orphan survives; the rollup proving reads are untouched is the
+    oracle-gated result."""
+    import os as _os
+    import tempfile as _tf
+    import time as _time
+
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        read_iceberg,
+        remove_orphan_files_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_orphan_q_")
+    append_iceberg(base.filter("o_orderkey % 2 = 0"), table)
+    append_iceberg(base.filter("o_orderkey % 2 = 1"), table)
+    debris = ["data/orphan.parquet", "metadata/manifest-99990000-x.avro",
+              "metadata/snap-99990000-x.avro"]
+    old = _time.time() - 3600
+    for rel in debris:
+        p = _os.path.join(table, rel)
+        with open(p, "wb") as f:
+            f.write(b"debris")
+        _os.utime(p, (old, old))
+    with open(_os.path.join(table, "data/young.parquet"), "wb") as f:
+        f.write(b"in flight")
+    removed = remove_orphan_files_iceberg(table, min_age_s=60)
+    debris_removed = sorted(removed) == sorted(debris)
+    young_spared = _os.path.exists(
+        _os.path.join(table, "data/young.parquet"))
+    return (
+        read_iceberg(spark, table)
+        .groupBy((F.col("o_orderkey") % 5).cast("long").alias("keymod"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("keymod", "n_orders", "cents",
+                F.lit(debris_removed).alias("debris_removed"),
+                F.lit(young_spared).alias("young_spared"))
+        .orderBy("keymod")
+    )
+
+
+@query(
     "quality_observed_metrics",
     oracle="""
     SELECT l_returnflag,

@@ -2280,3 +2280,97 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1
     for rel in doomed:
         os.remove(os.path.join(table, rel))
     return version, doomed
+
+
+def remove_orphan_files_iceberg(table: str,
+                                min_age_s: float = 0.0) -> list[str]:
+    """ORPHAN FILE SWEEP (the spec's remove_orphan_files maintenance
+    action): delete files under ``data/`` and ``metadata/`` that no
+    retained metadata version references — the debris of lost OCC
+    races (staged data files, manifests, and manifest lists whose
+    commit never happened) and crashed writers, which expire_snapshots
+    deliberately never touches (it only deletes REFERENCED history).
+
+    Reference set: every ``v*.metadata.json`` still present, each of
+    its snapshots' manifest list -> manifests -> data/delete files
+    (dangling references from already-expired history are skipped).
+    The metadata jsons and hint file are never candidates.
+
+    ``min_age_s`` is the in-flight-writer guard and it matters: an
+    append MOVES staged files into ``data/`` BEFORE its metadata
+    commit, so a concurrent sweep with min_age_s=0 would eat a commit
+    in progress. Iceberg's own action defaults to 3 DAYS for exactly
+    this reason — production callers must pass an age comfortably
+    above their longest write. Leftover ``_staging_*`` scratch trees
+    older than the threshold are removed too. Returns deleted
+    table-relative paths.
+
+    Scale: one manifest walk per retained metadata version — O(files)
+    driver metadata, zero data IO, the same cost class as planning a
+    scan."""
+    meta_dir = _meta_dir(table)
+    if not os.path.isdir(meta_dir):
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    referenced: set[str] = set()
+    for name in sorted(os.listdir(meta_dir)):
+        if not (name.startswith("v") and name.endswith(".metadata.json")):
+            continue
+        try:
+            with open(os.path.join(meta_dir, name)) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for s in meta.get("snapshots") or []:
+            ml = s.get("manifest-list")
+            if not ml:
+                continue
+            referenced.add(ml)
+            try:
+                mlist, _ = read_avro(_read_file(table, ml))
+            except OSError:
+                continue  # expired history: reference gone with it
+            for m in mlist:
+                referenced.add(m["manifest_path"])
+                try:
+                    entries, _ = read_avro(
+                        _read_file(table, m["manifest_path"]))
+                except OSError:
+                    continue
+                for e in entries:
+                    referenced.add(e["data_file"]["file_path"])
+    cutoff = time.time() - min_age_s
+    removed: list[str] = []
+
+    def _old(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False
+
+    data_dir = os.path.join(table, "data")
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            rel = os.path.join("data", name)
+            full = os.path.join(table, rel)
+            if rel in referenced or not os.path.isfile(full):
+                continue
+            if _old(full):
+                os.remove(full)
+                removed.append(rel)
+    for name in sorted(os.listdir(meta_dir)):
+        if not name.endswith(".avro"):
+            continue  # metadata jsons + hint are never candidates
+        rel = os.path.join("metadata", name)
+        if rel in referenced:
+            continue
+        full = os.path.join(table, rel)
+        if _old(full):
+            os.remove(full)
+            removed.append(rel)
+    for name in sorted(os.listdir(table)):
+        if name.startswith("_staging_"):
+            full = os.path.join(table, name)
+            if os.path.isdir(full) and _old(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(name)
+    return removed

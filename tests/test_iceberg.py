@@ -1464,3 +1464,50 @@ def test_sorted_files_tighten_stats_skipping(spark):
     assert a == b == list(range(100, 141))
     assert s_sorted["files_scanned"] <= 2
     assert s_plain["files_scanned"] == s_plain["files_total"]
+
+
+def test_remove_orphan_files_sweep(spark):
+    """Orphan sweep: unreferenced debris (a lost OCC race's staged
+    data file, manifest, manifest list; a crashed writer's scratch
+    tree) is deleted; everything ANY metadata version references —
+    including v2 delete Avros and historical snapshots' files — is
+    kept; min_age_s spares young files (in-flight-writer guard); the
+    sweep is idempotent and reads are byte-identical after it."""
+    import time as _time
+
+    from postrack_spark.streaming.iceberg import (
+        delete_positions_iceberg,
+        remove_orphan_files_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_orphan_")
+    append_iceberg(_df(spark, 0, 8), t, format_version=2)
+    append_iceberg(_df(spark, 8, 12), t, format_version=2)
+    delete_positions_iceberg(spark, t, "k in (1, 9)")  # referenced delete avro
+    before = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    # plant debris
+    orphans = ["data/orphan.parquet",
+               "metadata/manifest-99999999-dead.avro",
+               "metadata/snap-99999999-dead.avro"]
+    for rel in orphans:
+        with open(os.path.join(t, rel), "wb") as f:
+            f.write(b"debris")
+    os.makedirs(os.path.join(t, "_staging_dead"))
+    with open(os.path.join(t, "_staging_dead", "x.parquet"), "wb") as f:
+        f.write(b"debris")
+    old = _time.time() - 3600
+    for rel in orphans + ["_staging_dead"]:
+        os.utime(os.path.join(t, rel), (old, old))
+    # a YOUNG orphan survives the age guard (commit-in-progress shape)
+    with open(os.path.join(t, "data/young.parquet"), "wb") as f:
+        f.write(b"in flight")
+    removed = remove_orphan_files_iceberg(t, min_age_s=60)
+    assert sorted(removed) == sorted(orphans + ["_staging_dead"])
+    assert os.path.exists(os.path.join(t, "data/young.parquet"))
+    assert remove_orphan_files_iceberg(t, min_age_s=60) == []  # idempotent
+    after = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert after == before == [k for k in range(12) if k not in (1, 9)]
+    # time travel to the first snapshot still resolves (its files are
+    # referenced by metadata history and were never candidates)
+    got = read_iceberg(spark, t, snapshot_id=1)
+    assert sorted(r["k"] for r in got.collect()) == list(range(8))
