@@ -3404,6 +3404,92 @@ def source_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_arrow_ipc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW IPC STREAM source/sink (the Feather-v2 wire format, the
+    lingua franca between Spark's own Arrow-batched Python workers,
+    pandas, DuckDB, and every Arrow-native tool): each partition
+    serializes to one self-contained .arrows file via pyarrow's IPC
+    writer inside mapInPandas — zero-copy from the worker's existing
+    Arrow batches — and the decode side fans out over the FILE LIST
+    (no row visits the driver). The oracle-gated rollup closes the
+    loop: any drift through the IPC boundary breaks the hash. At
+    100 TB this is the cheap interchange lane — IPC files are the
+    batches Spark already materializes for Python, written as-is."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    outdir = _tf.mkdtemp(prefix="arrow_ipc_q_")
+
+    def _encode(batches):
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.ipc as _ipc
+
+        path = _os.path.join(outdir, f"part-{uuid.uuid4().hex}.arrows")
+        writer = None
+        n = 0
+        for pdf in batches:
+            t = _pa.Table.from_pandas(pdf, preserve_index=False)
+            if writer is None:
+                writer = _ipc.new_stream(path, t.schema)
+            writer.write_table(t)
+            n += len(pdf)
+        if writer is None:
+            return
+        writer.close()
+        yield _pd.DataFrame([{"path": path, "n_records": n}])
+
+    written = (li.repartition(8, "l_returnflag", "qty")
+               .mapInPandas(_encode, "path string, n_records long")
+               .collect())  # O(files) descriptor rows only
+    paths = [r["path"] for r in written]
+
+    def _decode(batches):
+        import pyarrow.ipc as _ipc
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                with _ipc.open_stream(p) as reader:
+                    for batch in reader:
+                        yield batch.to_pandas()
+
+    decoded = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        .repartition(len(paths))
+        .mapInPandas(_decode,
+                     "l_returnflag string, cents long, qty long")
+    )
+    return (
+        decoded
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.sum("qty").cast("long").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "cdc_delta_generated_columns",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -868,3 +868,64 @@ def test_live_logical_messages(live_pg, spark):
         conn.drop_slot(slot)
     finally:
         ex.close()
+
+def test_live_truncate_and_mid_stream_schema_change(live_pg, spark):
+    """TENTH live leg: TRUNCATE decode and mid-stream schema evolution
+    through a real walsender. Publications publish truncate by default
+    (PG11+), so a TRUNCATE arrives as a 'T' frame and surfaces as a
+    TRUNCATE envelope for each relation; an ALTER TABLE ADD COLUMN
+    makes the server send a FRESH Relation message before the next
+    row, and the decoder picks up the widened schema mid-capture — the
+    golden mid-stream-evolution test pinned the bytes, this pins the
+    SERVER's."""
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.sources.pgoutput import (
+        DecoderState,
+        decode_xlogdata_stream,
+    )
+    from postrack_spark.sources.postgres_cdc import read_frame_file
+
+    ex = _executor(live_pg)
+    slot, out_dir = "live_trunc_slot", tempfile.mkdtemp(prefix="pglive_tr_")
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_tr")
+        ex.command("CREATE TABLE public.live_tr (id int primary key, v text)")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_publication(Table("public", "live_tr"))
+        pub = create_publication_id(slot)
+        assert ex.query(
+            "SELECT pubtruncate FROM pg_publication"
+            f" WHERE pubname = '{pub}'")[0][0] in (True, "t")
+
+        ex.command("INSERT INTO public.live_tr VALUES (1, 'a'), (2, 'b')")
+        ex.command("TRUNCATE public.live_tr")
+        ex.command("INSERT INTO public.live_tr VALUES (3, 'c')")
+        # mid-stream evolution: widen the relation, then write through it
+        ex.command("ALTER TABLE public.live_tr ADD COLUMN w int")
+        ex.command("INSERT INTO public.live_tr VALUES (4, 'd', 44)")
+        target = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _run_capture(live_pg, slot, pub, out_dir, start_lsn=0,
+                     until_lsn=target)
+
+        state = DecoderState()
+        rows = []
+        for name in sorted(os.listdir(out_dir)):
+            rows += decode_xlogdata_stream(
+                read_frame_file(os.path.join(out_dir, name)), state)
+        tr = [r for r in rows if r["table"] == "live_tr"]
+        ops = [(r["op"], (r["after"] or {}).get("id")) for r in tr]
+        assert ops == [("INSERT", "1"), ("INSERT", "2"),
+                       ("TRUNCATE", None),
+                       ("INSERT", "3"), ("INSERT", "4")]
+        # truncate envelope carries no images
+        t_env = tr[2]
+        assert t_env["after"] is None and t_env["before"] is None
+        # pre-evolution rows have the narrow schema, post-evolution the
+        # widened one with the value decoded
+        assert set(tr[1]["after"]) == {"id", "v"}
+        assert tr[4]["after"] == {"id": "4", "v": "d", "w": "44"}
+        conn.drop_publication()
+        conn.drop_slot(slot)
+    finally:
+        ex.close()
