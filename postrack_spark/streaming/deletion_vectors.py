@@ -249,6 +249,9 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
                   else inline_max_bytes)
     for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
         live_map, schema_string, read_v, _t, config = _replay(table, None)
+        from postrack_spark.streaming.delta_log import _guard_append_only
+
+        _guard_append_only(config, "a deletion-vector delete")
         acts = list(live_map.items())
         adds = dict(acts)
         schema = StructType.fromJson(json.loads(schema_string))

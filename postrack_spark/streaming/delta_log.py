@@ -1002,6 +1002,8 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
                 "generated columns are declared at table creation "
                 f"(table has {gen}, write asked {generated})")
         df = _apply_generated(df, gen)
+        if mode == "overwrite":
+            _guard_append_only(config, "mode='overwrite'")
         table_pcols = _partition_columns(table)
         evo_action = _reconcile_schema(schema_string, df, merge_schema,
                                        config, table_pcols)
@@ -1276,6 +1278,8 @@ def foreach_batch_delta(table: str, mode: str = "append"):
                                         _generated_exprs(schema_string))
             _reconcile_schema(schema_string, batch_df, False, config)
             _enforce_constraints(batch_df, config)
+            if mode == "overwrite":
+                _guard_append_only(config, "streaming mode='overwrite'")
             batch_mapping = _column_mapping(schema_string, config)
             batch_pcols = _partition_columns(table)
             rt_on = _rt_enabled(config)
@@ -1713,6 +1717,7 @@ def restore_delta(table: str, version: int) -> int:
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
         cur_live, cur_schema, read_v, _ctxns, cur_config = _replay(
             table, None)
+        _guard_append_only(cur_config, "restore_delta")
         cur = dict(cur_live)
         adds = [{"add": a} for p, a in sorted(target.items())
                 if cur.get(p) != a]
@@ -1776,6 +1781,7 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
     images = _apply_generated(images, _generated_exprs(schema0))
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
         live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _guard_append_only(config, "a row-deleting rewrite")
         _guard_row_tracking(config, "a copy-on-write rewrite")
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
@@ -1889,6 +1895,7 @@ def delete_delta(spark: SparkSession, table: str,
     bulk GDPR deletes (layout family)."""
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
         live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _guard_append_only(config, "a row-deleting rewrite")
         _guard_row_tracking(config, "a copy-on-write rewrite")
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
@@ -1949,6 +1956,7 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
     non-matching key set commits nothing."""
     for _ in range(10):  # snapshot-pinned OCC — see compact_delta
         live_map, schema_string, read_v, _t, config = _replay(table, None)
+        _guard_append_only(config, "a row-deleting rewrite")
         _guard_row_tracking(config, "a copy-on-write rewrite")
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
@@ -2169,6 +2177,21 @@ def _stamp_row_ids(table: str, adds: list[dict],
         "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
         "removed": False,
     }}]
+
+
+_APPEND_ONLY_KEY = "delta.appendOnly"
+
+
+def _guard_append_only(config: dict, op: str) -> None:
+    """delta.appendOnly=true (the protocol's table property): any
+    operation that would remove live data is refused — appends and
+    OPTIMIZE (dataChange=false rewrites) stay legal. The property an
+    audit-log or CDC-archive table sets so no pipeline can destroy
+    history."""
+    if str((config or {}).get(_APPEND_ONLY_KEY, "")).lower() == "true":
+        raise ValueError(
+            f"{op} is not allowed: table is delta.appendOnly=true "
+            "(unset the property first if this is intentional)")
 
 
 def _guard_row_tracking(config: dict, op: str) -> None:

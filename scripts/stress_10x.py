@@ -639,6 +639,94 @@ def main() -> None:
         timings[f"delta_part_files_{FACTOR}x"] = (
             f"{pstats['files_scanned']}/{pstats['files_total']}")
 
+    # sortskip: the WRITE-ORDER dividend at scale. The same rows land
+    # in two Iceberg tables — one with a declared sort order on the
+    # range-partitioned ship_day key (disjoint per-file bounds), one
+    # unsorted — and a one-year stats_filter read prunes files from
+    # manifest metadata alone. The claim measured: sorted scan touches
+    # O(selectivity) files; unsorted touches ALL of them.
+    if not skip("sortskip"):
+        import tempfile as _tf
+
+        from postrack_spark.streaming.iceberg import (
+            append_iceberg,
+            read_iceberg,
+        )
+
+        li10 = shifted_union(
+            t["lineitem"], {"l_orderkey": 10_000_000}
+        ).select(
+            F.datediff(F.col("l_shipdate").cast("date"),
+                       F.lit("1970-01-01").cast("date")).cast("long")
+             .alias("ship_day"),
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+             .alias("cents"),
+        )
+        t_sorted = _tf.mkdtemp(prefix="stress_ice_sorted_")
+        t_plain = _tf.mkdtemp(prefix="stress_ice_plain_")
+        t0 = time.perf_counter()
+        append_iceberg(li10.repartitionByRange(32, "ship_day"), t_sorted,
+                       sort_by=["ship_day"])
+        timings[f"iceberg_sorted_write_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        append_iceberg(li10.repartition(32), t_plain)
+        timings[f"iceberg_plain_write_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        flt = {"ship_day": (9131, 9495)}  # calendar 1995
+        for name, tbl in (("sorted", t_sorted), ("plain", t_plain)):
+            st2: dict = {}
+            t0 = time.perf_counter()
+            n = (read_iceberg(spark, tbl, stats_filter=flt, scan_stats=st2)
+                 .filter("ship_day between 9131 and 9495")
+                 .agg(F.sum("cents")).collect())
+            timings[f"iceberg_{name}_range_read_{FACTOR}x"] = round(
+                time.perf_counter() - t0, 3)
+            timings[f"iceberg_{name}_files_scanned_{FACTOR}x"] = (
+                f"{st2['files_scanned']}/{st2['files_total']}")
+            del n
+
+    # rowids: the id-resolution overhead at scale — read with stable
+    # row ids (mapInPandas coalesce of materialized/base+index, DV
+    # masks applied in the same pass) vs the plain pushdown scan.
+    if not skip("rowids"):
+        import tempfile as _tf
+
+        from postrack_spark.streaming.delta_log import (
+            enable_row_tracking_delta,
+            read_delta_with_row_ids,
+            write_delta,
+        )
+        from postrack_spark.streaming.deletion_vectors import (
+            delete_delta_dv,
+        )
+
+        base10r = shifted_union(
+            t["orders"], {"o_orderkey": 10_000_000, "o_custkey": 10_000_000}
+        ).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        rt_t = _tf.mkdtemp(prefix="stress_delta_rt_")
+        write_delta(base10r.repartitionByRange(32, "o_orderkey"), rt_t)
+        t0 = time.perf_counter()
+        enable_row_tracking_delta(rt_t)
+        timings[f"rowid_enable_backfill_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        delete_delta_dv(spark, rt_t, "o_orderkey % 1000 < 5")
+        t0 = time.perf_counter()
+        n_ids = read_delta_with_row_ids(spark, rt_t).select(
+            F.countDistinct("_row_id")).collect()[0][0]
+        timings[f"rowid_read_distinct_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        from postrack_spark.streaming.delta_log import read_delta
+
+        read_delta(spark, rt_t).agg(F.sum("cents")).collect()
+        timings[f"rowid_plain_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        timings[f"rowid_distinct_ids_{FACTOR}x"] = int(n_ids)
+
     # star_cc: round-count scaling vs graph DIAMETER — the reason the
     # large-star/small-star form exists. A path graph of n nodes has
     # diameter n-1: min-label propagation needs ~n rounds (each round

@@ -1932,3 +1932,40 @@ def test_row_tracking_refuses_cow_rewrites(spark):
                     spark.createDataFrame([(2, 25, 1)],
                                           "k long, v long, seq long"),
                     "k", "seq")
+
+
+def test_append_only_property_blocks_data_removal(spark):
+    """delta.appendOnly=true: deletes (COW and DV), merges,
+    overwrites, and restore are refused; appends and OPTIMIZE
+    (dataChange=false) stay legal — the audit-table contract."""
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        merge_delta,
+        restore_delta,
+        set_table_property_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = tempfile.mkdtemp(prefix="delta_ao_")
+    write_delta(_df(spark, 0, 5), t)
+    set_table_property_delta(t, "delta.appendOnly", "true")
+    write_delta(_df(spark, 5, 8), t)                      # appends legal
+    compact_delta(spark, t, target_files=1)               # OPTIMIZE legal
+    for blocked in (
+        lambda: delete_delta(spark, t, "k < 2"),
+        lambda: delete_delta_dv(spark, t, "k < 2"),
+        lambda: merge_delta(
+            spark, t,
+            spark.createDataFrame([(1, 9)], "k long, v long"), "k", "v"),
+        lambda: write_delta(_df(spark, 0, 1), t, mode="overwrite"),
+        lambda: restore_delta(t, 0),
+    ):
+        with pytest.raises(ValueError, match="appendOnly"):
+            blocked()
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(
+        range(8))
+    # unsetting the property re-enables removal
+    set_table_property_delta(t, "delta.appendOnly", None)
+    delete_delta(spark, t, "k = 0")
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(
+        range(1, 8))
