@@ -1666,6 +1666,12 @@ def clone_delta(src: str, dst: str, version: int | None = None) -> int:
         _meta_action(schema_string, src_config,
                      _partition_columns(src, src_v)),
     ]
+    # domain metadata rides too: without the delta.rowTracking high-
+    # water mark a clone of a row-tracking table would restart id
+    # assignment at 0 and collide with the cloned files' baseRowIds
+    actions += [{"domainMetadata": {
+        "domain": d, "configuration": c, "removed": False,
+    }} for d, c in sorted(_domain_configs(src, src_v).items())]
     for p, a in sorted(acts, key=lambda pa: pa[0]):
         add = dict(a)
         add["path"] = os.path.join(src_abs, p)

@@ -1969,3 +1969,25 @@ def test_append_only_property_blocks_data_removal(spark):
     delete_delta(spark, t, "k = 0")
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(
         range(1, 8))
+
+
+def test_clone_of_row_tracking_table_keeps_id_space(spark):
+    """A shallow clone of a row-tracking table carries the
+    delta.rowTracking domainMetadata: appends to the CLONE continue
+    ABOVE the source's high-water mark instead of colliding with the
+    cloned files' baseRowIds."""
+    from postrack_spark.streaming.delta_log import (
+        clone_delta,
+        enable_row_tracking_delta,
+        read_delta_with_row_ids,
+    )
+
+    src = tempfile.mkdtemp(prefix="delta_rtclone_src_")
+    write_delta(_df(spark, 0, 6), src)
+    enable_row_tracking_delta(src)
+    dst = os.path.join(tempfile.mkdtemp(prefix="delta_rtclone_dst_"), "t")
+    clone_delta(src, dst)
+    write_delta(_df(spark, 6, 9), dst)
+    ids = sorted(r["_row_id"] for r in
+                 read_delta_with_row_ids(spark, dst).collect())
+    assert ids == list(range(9))  # dense continuation, no collision
