@@ -2988,6 +2988,71 @@ def layout_delta_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "layout_delta_clustered_optimize",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS pruning_improved,
+           true AS rows_identical
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_orderkey BETWEEN 100000 AND 300000
+    """,
+)
+def layout_delta_clustered_optimize(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """DECLARED CLUSTERING (the liquid-clustering metadata shape):
+    the clustering columns are TABLE metadata — a delta.clustering
+    domainMetadata — and plain compact_delta(table) applies the
+    Z-order rewrite on them without the maintenance job stating any
+    layout at all. The sibling lane layout_delta_zorder_optimize
+    passes zorder_by explicitly; here the table owns the policy, so
+    at 100 TB every one of N independent OPTIMIZE jobs clusters it
+    the same (right) way. Certificates: the 2-D rectangle prunes
+    strictly fewer files after the declared-policy OPTIMIZE
+    (pruning_improved), and the rewrite changed layout, not data
+    (rows_identical)."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        compact_delta,
+        pruned_read_delta,
+        set_clustering_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_cluster_q_")
+    write_delta(base.repartition(16), table)  # scattered on purpose
+    set_clustering_delta(table, ("o_custkey", "o_orderkey"))
+    c_lo, c_hi, k_lo, k_hi = 100, 400, 100000, 300000
+
+    def _rect():
+        df, files_read, files_total = pruned_read_delta(
+            spark, table, "o_custkey", c_lo, c_hi)
+        agg = df.filter(
+            F.col("o_custkey").between(c_lo, c_hi)
+            & F.col("o_orderkey").between(k_lo, k_hi)
+        ).agg(F.count("*").cast("long").alias("n"),
+              F.sum("cents").cast("long").alias("c")).collect()[0]
+        return (agg["n"], agg["c"]), files_read, files_total
+
+    before_vals, files_before, _t0 = _rect()
+    compact_delta(spark, table, target_files=16)  # NO layout stated
+    after_vals, files_after, _t1 = _rect()
+    return spark.createDataFrame(
+        [(after_vals[0], after_vals[1],
+          files_after < files_before, before_vals == after_vals)],
+        "n_rows long, cents long, pruning_improved boolean,"
+        " rows_identical boolean")
+
+
+@query(
     "cdc_delta_schema_evolution",
     oracle="""
     WITH base AS (

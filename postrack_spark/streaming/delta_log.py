@@ -1506,11 +1506,16 @@ def compact_delta(spark: SparkSession, table: str,
                 "_row_id", config.get(_RT_MAT_KEY, "_row_id"))
         else:
             df = read_delta(spark, table, version=read_v)  # logical names
-        if zorder_by is not None:
+        zb = zorder_by
+        if zb is None:
+            declared = _clustering_columns(table, read_v)
+            if declared:  # the table's own layout policy drives OPTIMIZE
+                zb = (declared[0], declared[1])
+        if zb is not None:
             from postrack_spark.sources.layout import zorder_repartition
 
             df = zorder_repartition(
-                df, zorder_by[0], zorder_by[1],
+                df, zb[0], zb[1],
                 num_partitions=target_files).drop("__z")
         else:
             df = df.coalesce(target_files)
@@ -2341,3 +2346,57 @@ def read_delta_with_row_ids(spark: SparkSession, table: str,
     cols = [F.col(mapping.get(f.name, f.name) if mapping else f.name)
             .alias(f.name) for f in schema.fields]
     return got.select(*(cols + [F.col("_row_id")]))
+
+
+# ---------------------------------------------------------------------------
+# DECLARED CLUSTERING (the liquid-clustering metadata shape): the
+# table OWNS its layout policy — clustering columns live in a
+# delta.clustering domainMetadata, and OPTIMIZE applies the Z-order
+# rewrite on them without every maintenance pipeline re-stating the
+# layout. At 100 TB the point is organizational as much as physical:
+# N jobs call compact_delta(table) and none of them can cluster the
+# table the wrong way, because the policy is table metadata.
+
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def _clustering_columns(table: str,
+                        version: int | None = None) -> list[str] | None:
+    cfg = _domain_configs(table, version).get(_CLUSTERING_DOMAIN)
+    if not cfg:
+        return None
+    cols = [c[0] for c in json.loads(cfg).get("clusteringColumns", [])]
+    return cols or None
+
+
+def set_clustering_delta(table: str, columns) -> int:
+    """Declare the table's CLUSTERING COLUMNS (stored as the
+    protocol's delta.clustering domainMetadata, clusteringColumns as
+    an array of name paths). compact_delta then Z-orders on them by
+    default. Exactly two top-level columns here — the 2-D Morton plan
+    sources/layout.py implements; re-declare to change the policy."""
+    cols = list(columns)
+    if len(cols) != 2:
+        raise ValueError(
+            "declared clustering here is the 2-D Z-order plan: pass "
+            f"exactly two columns (got {cols})")
+    for _ in range(10):
+        _l, schema_string, read_v, _t, _cfg = _replay(table, None)
+        names = [f["name"] for f in json.loads(schema_string)["fields"]]
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise KeyError(
+                f"clustering columns {missing} not in schema {names}")
+        action = {"domainMetadata": {
+            "domain": _CLUSTERING_DOMAIN,
+            "configuration": json.dumps(
+                {"clusteringColumns": [[c] for c in cols]},
+                separators=(",", ":")),
+            "removed": False,
+        }}
+        try:
+            commit_delta(table, read_v + 1, [action])
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")

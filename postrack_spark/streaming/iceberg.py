@@ -378,7 +378,26 @@ def _commit_metadata(table: str, version: int, meta: dict) -> None:
     second of two racing commits silently overwrite the first, orphaning
     its files from the live view), then the version hint swings to it
     atomically. A loser gets IcebergCommitConflict and must RECOMPUTE
-    from the new current metadata, not retry stale state."""
+    from the new current metadata, not retry stale state.
+
+    Every commit also maintains the spec's ``metadata-log`` — the
+    lineage of previous metadata files with their timestamps (capped
+    at 100 entries, the write.metadata.previous-versions-max idiom) —
+    centralized HERE so every metadata writer gets it for free."""
+    if version > 0:
+        prev_name = f"v{version - 1}.metadata.json"
+        prev_path = os.path.join(_meta_dir(table), prev_name)
+        log = [e for e in (meta.get("metadata-log") or [])
+               if e.get("metadata-file") != prev_name]
+        if os.path.exists(prev_path):
+            try:
+                with open(prev_path) as f:
+                    prev_ts = json.load(f).get("last-updated-ms")
+            except (OSError, ValueError):
+                prev_ts = None
+            log.append({"timestamp-ms": prev_ts,
+                        "metadata-file": prev_name})
+        meta = {**meta, "metadata-log": log[-100:]}
     path = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
     try:
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)

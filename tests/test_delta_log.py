@@ -1991,3 +1991,36 @@ def test_clone_of_row_tracking_table_keeps_id_space(spark):
     ids = sorted(r["_row_id"] for r in
                  read_delta_with_row_ids(spark, dst).collect())
     assert ids == list(range(9))  # dense continuation, no collision
+
+
+def test_declared_clustering_drives_optimize(spark):
+    """set_clustering_delta stores the policy as delta.clustering
+    domainMetadata; a plain compact_delta Z-orders on it (explicit
+    zorder_by still overrides); the declaration survives checkpoint +
+    cleanup and is refused for unknown columns."""
+    from postrack_spark.streaming.delta_log import (
+        _clustering_columns,
+        checkpoint_delta,
+        clean_log_delta,
+        pruned_read_delta,
+        set_clustering_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_clus_")
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000, i) for i in range(4000)],
+        "k long, x long, v long")
+    write_delta(df.repartition(8), t)
+    with pytest.raises(KeyError, match="clustering columns"):
+        set_clustering_delta(t, ("x", "nope"))
+    set_clustering_delta(t, ("x", "k"))
+    assert _clustering_columns(t) == ["x", "k"]
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    assert _clustering_columns(t) == ["x", "k"]  # rides the checkpoint
+    _d0, before, _tot = pruned_read_delta(spark, t, "x", 100, 160)
+    compact_delta(spark, t, target_files=8)  # policy-driven Z-order
+    _d1, after, _tot1 = pruned_read_delta(spark, t, "x", 100, 160)
+    assert after < before
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == list(range(4000))

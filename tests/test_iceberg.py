@@ -1511,3 +1511,23 @@ def test_remove_orphan_files_sweep(spark):
     # referenced by metadata history and were never candidates)
     got = read_iceberg(spark, t, snapshot_id=1)
     assert sorted(r["k"] for r in got.collect()) == list(range(8))
+
+
+def test_metadata_log_lineage(spark):
+    """Every commit appends the previous metadata file to the spec's
+    metadata-log (capped lineage) — centralized in _commit_metadata so
+    appends, deletes, expiry, and refs all maintain it."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        delete_positions_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_mlog_")
+    append_iceberg(_df(spark, 0, 5), t, format_version=2)
+    append_iceberg(_df(spark, 5, 9), t, format_version=2)
+    delete_positions_iceberg(spark, t, "k = 1")
+    meta = _current_metadata(t)
+    files = [e["metadata-file"] for e in meta["metadata-log"]]
+    assert files == ["v0.metadata.json", "v1.metadata.json"]
+    assert all(isinstance(e.get("timestamp-ms"), int)
+               for e in meta["metadata-log"])
