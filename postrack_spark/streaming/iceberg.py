@@ -686,7 +686,16 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
             "parent-snapshot-id": base_sid,
             "manifest-list": mlist_rel,
-            "summary": {"operation": "append", **(summary_extra or {})},
+            # spec summary counts (what engines and inspect tooling
+            # read to answer "what did this commit do" without a
+            # manifest walk)
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(sum(
+                    e["data_file"]["record_count"] for e in entries)),
+                **(summary_extra or {}),
+            },
         }
         if format_version == 2:
             new_snap["sequence-number"] = seq
@@ -1536,7 +1545,11 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
             "parent-snapshot-id": meta["current-snapshot-id"],
             "manifest-list": mlist_rel, "sequence-number": seq,
-            "summary": {"operation": "delete"},
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": str(len(written)),
+                "added-position-deletes": str(n_deleted),
+            },
         }]
         new_meta["current-snapshot-id"] = snapshot_id
         new_meta["last-version"] = version
