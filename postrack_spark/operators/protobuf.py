@@ -108,9 +108,12 @@ def encode_event(event_id: int, user_id: int, event_type: str,
         out.append(_TAG_EVENT_TYPE)
         _put_varint(out, len(raw))
         out += raw
-    if value != 0.0:
+    raw_value = struct.pack("<d", float(value))
+    if raw_value != b"\x00" * 8:  # bit-level default check: -0.0 has a
+        # nonzero sign bit and MUST serialize (protobuf-java's
+        # doubleToRawLongBits rule; `value != 0.0` would drop it)
         out.append(_TAG_VALUE)
-        out += struct.pack("<d", float(value))
+        out += raw_value
     if ts_us != 0:
         out.append(_TAG_TS_US)
         _put_varint(out, _zigzag(int(ts_us)))

@@ -811,6 +811,23 @@ def _guard_constraint_refs(config: dict, column: str, op: str) -> None:
                 f"({config[key]}) — drop the constraint first")
 
 
+def _guard_generated_refs(schema_string: str, column: str, op: str) -> None:
+    """A generation expression referencing ``column`` blocks its
+    rename/drop — otherwise the stored expression would go unresolvable
+    and EVERY subsequent write fails with no way to clear the metadata
+    (the same rule CHECK constraints already enforce). Renaming or
+    dropping the generated column ITSELF is fine: its metadata moves
+    or leaves with the field."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(column)}\b")
+    for name, expr in sorted(_generated_exprs(schema_string).items()):
+        if name != column and pat.search(expr):
+            raise ValueError(
+                f"cannot {op} column {column!r}: generated column "
+                f"{name!r} derives from it ({expr})")
+
+
 def enable_column_mapping_delta(table: str) -> int:
     """Upgrade the table to column mapping mode 'name' (metadata-only
     commit; idempotent). Physical names are frozen at the CURRENT
@@ -860,6 +877,7 @@ def rename_column_delta(table: str, old: str, new: str) -> int:
                 "enable_column_mapping_delta first (renaming without a "
                 "physical-name indirection would orphan every data file)")
         _guard_constraint_refs(config, old, "rename")
+        _guard_generated_refs(schema_string, old, "rename")
         sch = json.loads(schema_string)
         names = [f["name"] for f in sch["fields"]]
         if old not in names:
@@ -893,6 +911,7 @@ def drop_column_delta(table: str, column: str) -> int:
                 "drop needs column mapping: run "
                 "enable_column_mapping_delta first")
         _guard_constraint_refs(config, column, "drop")
+        _guard_generated_refs(schema_string, column, "drop")
         sch = json.loads(schema_string)
         names = [f["name"] for f in sch["fields"]]
         if column not in names:
@@ -1057,6 +1076,10 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
                     schema_string, df, merge_schema, config,
                     _partition_columns(table))
                 _enforce_constraints(df, config)
+                if mode == "overwrite":
+                    # a concurrent appendOnly enablement must stop an
+                    # in-flight overwrite (the gates-re-run rule)
+                    _guard_append_only(config, "mode='overwrite'")
                 gated_at = now
                 eff = evo_action["metaData"] if evo_action else None
                 if _column_mapping(
@@ -1293,6 +1316,16 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             if version == 0:
                 actions = ([{"protocol": dict(_PROTOCOL)},
                             _metadata_action(batch_df)] + actions)
+            elif version > 0:
+                # re-gate the config-driven guards per attempt (the
+                # write_delta rule): a concurrent appendOnly or
+                # row-tracking enablement must be honored by the retry
+                # — stale rt_on would commit files WITHOUT baseRowId
+                # onto a row-tracking table
+                _l2, _s2, _v2, _t2, cfg_now = _replay(table, None)
+                if mode == "overwrite":
+                    _guard_append_only(cfg_now, "streaming mode='overwrite'")
+                rt_on = _rt_enabled(cfg_now)
             removes = []
             if mode == "overwrite" and version > 0:
                 paths, _, _ = _snapshot(table, None)
@@ -1572,7 +1605,8 @@ def history_delta(spark: SparkSession, table: str) -> DataFrame:
             op = "SET_METADATA"
         else:
             op = "TXN" if has_txn else "EMPTY"
-        ts = _commit_info_ict(table, v)
+        ts = next((a["commitInfo"].get("inCommitTimestamp")
+                   for a in actions if "commitInfo" in a), None)
         if ts is None:
             ts = int(os.path.getmtime(_log_path(table, v)) * 1000)
         rows.append((v, ts,

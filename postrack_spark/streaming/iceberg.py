@@ -556,7 +556,10 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         byid = {f["id"]: f["name"] for f in schema_fields_pre}
         sort_cols = [(byid[sf["source-id"]], sf["direction"] == "asc")
                      for sf in sort_fields]
-    if sort_cols:
+    if sort_cols and not partition_by:
+        # non-partitioned path sorts here; the partitioned path sorts
+        # AFTER its own partition shuffle (sorting now would be a full
+        # wasted pass — the repartition destroys the order)
         df = df.sortWithinPartitions(*[
             F.col(c).asc_nulls_first() if asc else F.col(c).desc_nulls_last()
             for c, asc in sort_cols])
@@ -717,9 +720,12 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "sort-orders": [{"order-id": o, "fields": fl}
                             for o, fl in sorted(orders_final.items())],
             "default-sort-order-id": default_oid_final,
-            # properties CARRY (e.g. the UniForm sync marker) — an
-            # append must not erase table-level configuration
+            # properties and the metadata-log lineage CARRY — an
+            # append must not erase table-level configuration, and
+            # _commit_metadata can only APPEND to a lineage the new
+            # metadata actually brought along
             "properties": dict((current or {}).get("properties") or {}),
+            "metadata-log": list((current or {}).get("metadata-log") or []),
             # a branch append NEVER moves main — preserve the previous
             # metadata's head verbatim (base_sid is the BRANCH base,
             # which after the first branch commit is not main anymore)
@@ -2137,6 +2143,7 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
         "schema": _ice_schema(schema),
         "partition-spec": [],
         "properties": {"delta.sync": "true"},
+        "metadata-log": list((current or {}).get("metadata-log") or []),
         "current-snapshot-id": snapshot_id,
         # tags/branches made against earlier syncs survive re-sync
         "refs": (current or {}).get("refs", {}),
@@ -2315,7 +2322,7 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1
 
 
 def remove_orphan_files_iceberg(table: str,
-                                min_age_s: float = 0.0) -> list[str]:
+                                min_age_s: float = 259_200.0) -> list[str]:
     """ORPHAN FILE SWEEP (the spec's remove_orphan_files maintenance
     action): delete files under ``data/`` and ``metadata/`` that no
     retained metadata version references — the debris of lost OCC
@@ -2330,12 +2337,12 @@ def remove_orphan_files_iceberg(table: str,
 
     ``min_age_s`` is the in-flight-writer guard and it matters: an
     append MOVES staged files into ``data/`` BEFORE its metadata
-    commit, so a concurrent sweep with min_age_s=0 would eat a commit
-    in progress. Iceberg's own action defaults to 3 DAYS for exactly
-    this reason — production callers must pass an age comfortably
-    above their longest write. Leftover ``_staging_*`` scratch trees
-    older than the threshold are removed too. Returns deleted
-    table-relative paths.
+    commit, so a sweep with a tiny age would eat a commit in
+    progress. The DEFAULT is therefore 3 days — Iceberg's own
+    remove_orphan_files default — and callers passing something
+    smaller must know their longest write. Leftover ``_staging_*``
+    scratch trees older than the threshold are removed too. Returns
+    deleted table-relative paths.
 
     Scale: one manifest walk per retained metadata version — O(files)
     driver metadata, zero data IO, the same cost class as planning a

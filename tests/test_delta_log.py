@@ -2024,3 +2024,82 @@ def test_declared_clustering_drives_optimize(spark):
     assert after < before
     got = sorted(r["k"] for r in read_delta(spark, t).collect())
     assert got == list(range(4000))
+
+
+def test_generated_refs_block_rename_and_drop(spark):
+    """Renaming or dropping the SOURCE column of a generated column is
+    refused (the stored expression would go unresolvable with no way
+    to clear it — the CHECK-constraint rule applied to generation
+    expressions); renaming the generated column itself is fine (its
+    metadata moves with the field)."""
+    from postrack_spark.streaming.delta_log import (
+        drop_column_delta,
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_genref_")
+    write_delta(spark.createDataFrame([(1, 10)], "k long, v long"), t,
+                generated={"v2": "v * 2"})
+    enable_column_mapping_delta(t)
+    with pytest.raises(ValueError, match="derives from it"):
+        rename_column_delta(t, "v", "w")
+    with pytest.raises(ValueError, match="derives from it"):
+        drop_column_delta(t, "v")
+    rename_column_delta(t, "v2", "v_doubled")  # the generated col itself
+    got = read_delta(spark, t).collect()[0]
+    assert got["v_doubled"] == 20
+
+
+def test_append_only_enablement_stops_inflight_overwrite(spark, monkeypatch):
+    """The OCC re-gate honors a CONCURRENT delta.appendOnly
+    enablement: an in-flight overwrite that loses its commit race to
+    the property change must raise on retry, not destroy the live set
+    of a now-append-only table."""
+    from postrack_spark.streaming import delta_log as dl
+
+    t = tempfile.mkdtemp(prefix="delta_aorace_")
+    write_delta(_df(spark, 0, 4), t)
+    real_commit = dl.commit_delta
+    state = {"fired": False}
+
+    def racing_commit(table, version, actions):
+        if not state["fired"] and any("remove" in a for a in actions):
+            state["fired"] = True
+            dl.set_table_property_delta(t, "delta.appendOnly", "true")
+            raise dl.DeltaCommitConflict("injected race")
+        return real_commit(table, version, actions)
+
+    monkeypatch.setattr(dl, "commit_delta", racing_commit)
+    with pytest.raises(ValueError, match="appendOnly"):
+        dl.write_delta(_df(spark, 4, 5), t, mode="overwrite")
+    monkeypatch.setattr(dl, "commit_delta", real_commit)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [
+        0, 1, 2, 3]  # live set untouched
+
+
+def test_foreach_batch_regates_row_tracking_on_retry(spark, monkeypatch):
+    """A streaming batch that loses its commit race to a concurrent
+    enable_row_tracking_delta must stamp baseRowId on retry — a stale
+    pre-loop rt_on would land id-less files on a row-tracking table
+    and poison every read_delta_with_row_ids after."""
+    from postrack_spark.streaming import delta_log as dl
+
+    t = tempfile.mkdtemp(prefix="delta_rtrace_")
+    write_delta(_df(spark, 0, 4), t)
+    real_commit = dl.commit_delta
+    state = {"fired": False}
+
+    def racing_commit(table, version, actions):
+        if not state["fired"] and any("txn" in a for a in actions):
+            state["fired"] = True
+            dl.enable_row_tracking_delta(t)
+            raise dl.DeltaCommitConflict("injected race")
+        return real_commit(table, version, actions)
+
+    monkeypatch.setattr(dl, "commit_delta", racing_commit)
+    dl.foreach_batch_delta(t)(_df(spark, 4, 7), 1)
+    monkeypatch.setattr(dl, "commit_delta", real_commit)
+    ids = sorted(r["_row_id"] for r in
+                 dl.read_delta_with_row_ids(spark, t).collect())
+    assert ids == list(range(7))  # batch files got ids on the retry

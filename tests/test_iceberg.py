@@ -1525,9 +1525,14 @@ def test_metadata_log_lineage(spark):
     t = tempfile.mkdtemp(prefix="ice_mlog_")
     append_iceberg(_df(spark, 0, 5), t, format_version=2)
     append_iceberg(_df(spark, 5, 9), t, format_version=2)
+    # a THIRD append pins accumulation: append rebuilds metadata from
+    # scratch and must CARRY the lineage (the bug: each append
+    # truncated metadata-log to a single entry)
+    append_iceberg(_df(spark, 9, 11), t, format_version=2)
     delete_positions_iceberg(spark, t, "k = 1")
     meta = _current_metadata(t)
     files = [e["metadata-file"] for e in meta["metadata-log"]]
-    assert files == ["v0.metadata.json", "v1.metadata.json"]
+    assert files == ["v0.metadata.json", "v1.metadata.json",
+                     "v2.metadata.json"]
     assert all(isinstance(e.get("timestamp-ms"), int)
                for e in meta["metadata-log"])
