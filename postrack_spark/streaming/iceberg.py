@@ -2171,6 +2171,8 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
                    content, record_count, file_size_in_bytes,
                    sequence_number, partition (JSON string)
       refs       — name, type, snapshot_id
+      metadata_log — timestamp_ms, metadata_file (the spec's lineage
+                   of previous metadata versions)
       partitions — live DATA rollup by partition tuple (JSON string):
                    file_count, record_count
     """
@@ -2208,6 +2210,11 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
                 for name, r in sorted((meta.get("refs") or {}).items())]
         return spark.createDataFrame(
             rows, "name string, type string, snapshot_id long")
+    if kind == "metadata_log":
+        rows = [(e.get("timestamp-ms"), e.get("metadata-file"))
+                for e in (meta.get("metadata-log") or [])]
+        return spark.createDataFrame(
+            rows, "timestamp_ms long, metadata_file string")
     snap = _snapshot(meta, meta["current-snapshot-id"])
     mlist, _s = read_avro(_read_file(table, snap["manifest-list"]))
     if kind == "manifests":
@@ -2253,7 +2260,8 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
                 .agg(F.count("*").alias("file_count"),
                      F.sum("record_count").alias("record_count")))
     raise ValueError(
-        f"unknown inspection kind {kind!r} (snapshots|history|manifests|"
+        f"unknown inspection kind {kind!r} (snapshots|history|metadata_log"
+        "|manifests|"
         "files|refs|partitions)")
 
 

@@ -1536,3 +1536,16 @@ def test_metadata_log_lineage(spark):
                      "v2.metadata.json"]
     assert all(isinstance(e.get("timestamp-ms"), int)
                for e in meta["metadata-log"])
+
+
+def test_inspect_metadata_log_kind(spark):
+    from postrack_spark.streaming.iceberg import inspect_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_mlogk_")
+    append_iceberg(_df(spark, 0, 3), t)
+    append_iceberg(_df(spark, 3, 5), t)
+    append_iceberg(_df(spark, 5, 6), t)
+    got = inspect_iceberg(spark, t, "metadata_log").collect()
+    assert [r["metadata_file"] for r in got] == [
+        "v0.metadata.json", "v1.metadata.json"]
+    assert all(r["timestamp_ms"] is not None for r in got)
