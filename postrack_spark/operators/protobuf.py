@@ -68,7 +68,11 @@ def _get_varint(data: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            # protobuf-java masks a varint to 64 bits regardless of the
+            # 10th byte's high bits — a non-canonical final byte > 1
+            # must not decode past int64 range (the unmasked value
+            # would overflow the declared long column downstream)
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
         if shift > 63:
             raise ValueError("protobuf: varint over 10 bytes")

@@ -1065,11 +1065,16 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
             now = (schema_string, tuple(sorted(config.items())))
             if now != gated_at:  # a concurrent commit moved the
                 # schema/constraints under us: re-gate against it
-                if gated_at is not None and (
-                        _generated_exprs(schema_string)
-                        != _generated_exprs(gated_at[0])):
-                    # staged parquet was computed under the OLD
-                    # expressions — committing it would violate the new
+                win_gen = _generated_exprs(schema_string)
+                staged_gen = (_generated_exprs(gated_at[0])
+                              if gated_at is not None else (generated or {}))
+                if win_gen != staged_gen:
+                    # staged parquet was computed/validated under OTHER
+                    # expressions (an existing-table write gated against
+                    # the old schema, or a CREATING write that lost the
+                    # v0 race to a winner declaring different generated
+                    # columns) — committing it would violate the live
+                    # declaration
                     raise DeltaCommitConflict(
                         "concurrent generated-column change: restage")
                 evo_action = _reconcile_schema(
@@ -1292,6 +1297,7 @@ def foreach_batch_delta(table: str, mode: str = "append"):
         batch_mapping: dict | None = None
         batch_pcols: list[str] = []
         rt_on = False
+        gated_at: tuple | None = None
         if latest_version(table) is not None:
             # schema enforcement + CHECK constraints, like write_delta
             # (no evolution in the streaming hook — a drifting stream
@@ -1306,6 +1312,7 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             batch_mapping = _column_mapping(schema_string, config)
             batch_pcols = _partition_columns(table)
             rt_on = _rt_enabled(config)
+            gated_at = (schema_string, tuple(sorted(config.items())))
         adds = _write_data_files(_to_physical(batch_df, batch_mapping),
                                  table, partition_cols=batch_pcols)
         for _ in range(10):
@@ -1322,7 +1329,31 @@ def foreach_batch_delta(table: str, mode: str = "append"):
                 # row-tracking enablement must be honored by the retry
                 # — stale rt_on would commit files WITHOUT baseRowId
                 # onto a row-tracking table
-                _l2, _s2, _v2, _t2, cfg_now = _replay(table, None)
+                _l2, s_now, _v2, _t2, cfg_now = _replay(table, None)
+                now = (s_now, tuple(sorted(cfg_now.items())))
+                if now != gated_at:
+                    # a concurrent commit moved the metadata — notably a
+                    # CREATING attempt that lost the v0 race must re-run
+                    # the FULL gate set against the winner's table, or
+                    # logical-named / unvalidated parquet would land on
+                    # a column-mapped / constrained / generated table
+                    # with no enforcement at all
+                    staged_gen = (_generated_exprs(gated_at[0])
+                                  if gated_at is not None else {})
+                    if _generated_exprs(s_now) != staged_gen:
+                        raise DeltaCommitConflict(
+                            "concurrent generated-column change: restage")
+                    _reconcile_schema(s_now, batch_df, False, cfg_now)
+                    _enforce_constraints(batch_df, cfg_now)
+                    if _column_mapping(s_now, cfg_now) != batch_mapping:
+                        raise DeltaCommitConflict(
+                            "concurrent column-mapping change: restage")
+                    if _partition_columns(table) != batch_pcols:
+                        # staged adds carry partitionValues for the OLD
+                        # layout (or none at all)
+                        raise DeltaCommitConflict(
+                            "concurrent partitioning change: restage")
+                    gated_at = now
                 if mode == "overwrite":
                     _guard_append_only(cfg_now, "streaming mode='overwrite'")
                 rt_on = _rt_enabled(cfg_now)
@@ -1587,7 +1618,11 @@ def history_delta(spark: SparkSession, table: str) -> DataFrame:
         n_add = sum(1 for a in actions if "add" in a)
         n_remove = sum(1 for a in actions if "remove" in a)
         n_cdc = sum(1 for a in actions if "cdc" in a)
-        has_meta = any("metaData" in a for a in actions)
+        # domainMetadata-only commits (set_clustering_delta, row-
+        # tracking hwm writers) are real metadata operations — classify
+        # them as SET_METADATA, not EMPTY
+        has_meta = any("metaData" in a or "domainMetadata" in a
+                       for a in actions)
         has_txn = any("txn" in a for a in actions)
         data_change = any(
             a.get("add", {}).get("dataChange", False)

@@ -2365,8 +2365,17 @@ def remove_orphan_files_iceberg(table: str,
         try:
             with open(os.path.join(meta_dir, name)) as f:
                 meta = json.load(f)
-        except (OSError, ValueError):
-            continue
+        except (OSError, ValueError) as exc:
+            # ABORT, never skip: a retained version that fails to parse
+            # (crash mid-write of the current metadata, disk fault) may
+            # be the ONLY reference to live data files — treating its
+            # references as orphans would delete the very files a
+            # recovery needs. The sweep is maintenance; refusing is
+            # always safe, reclaiming on partial knowledge never is.
+            raise RuntimeError(
+                f"orphan sweep aborted: retained metadata {name} is "
+                f"unreadable ({exc}); repair or remove it explicitly "
+                "before sweeping") from exc
         for s in meta.get("snapshots") or []:
             ml = s.get("manifest-list")
             if not ml:

@@ -2103,3 +2103,81 @@ def test_foreach_batch_regates_row_tracking_on_retry(spark, monkeypatch):
     ids = sorted(r["_row_id"] for r in
                  dl.read_delta_with_row_ids(spark, t).collect())
     assert ids == list(range(7))  # batch files got ids on the retry
+
+
+# ---------------------------------------- ADVICE r7 regression tests
+
+
+def test_foreach_batch_creating_lost_v0_race_regates(spark, monkeypatch):
+    """A streaming hook that saw NO table at gate time but lost the v0
+    race to a concurrent creator must re-run the FULL gate set against
+    the winner's metadata — pre-fix, the staged batch committed with
+    zero schema/constraint enforcement (ADVICE r7)."""
+    from postrack_spark.streaming import delta_log
+    from postrack_spark.streaming.delta_log import add_check_constraint_delta
+
+    table = tempfile.mkdtemp(prefix="delta_fb_race_")
+    orig = delta_log._write_data_files
+    fired = {"done": False}
+
+    def inject(df, tbl, **kw):
+        adds = orig(df, tbl, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            write_delta(_df(spark, 100, 110), table)  # winner creates v0
+            add_check_constraint_delta(spark, table, "k_floor", "k >= 50")
+        return adds
+
+    monkeypatch.setattr(delta_log, "_write_data_files", inject)
+    hook = foreach_batch_delta(table)
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        hook(_df(spark, 0, 10), 0)  # violates the winner's constraint
+    assert fired["done"]
+    # only the winner's commits exist; the ungated batch never landed
+    assert latest_version(table) == 1
+    got = sorted(r["k"] for r in read_delta(spark, table).collect())
+    assert got == list(range(100, 110))
+
+
+def test_write_creating_lost_v0_race_to_generated_table(spark, monkeypatch):
+    """A creating write that loses the v0 race to a winner DECLARING
+    generated columns must conflict (restage), never commit rows that
+    were staged without validating the winner's expressions
+    (ADVICE r7)."""
+    from postrack_spark.streaming import delta_log
+
+    table = tempfile.mkdtemp(prefix="delta_gen_race_")
+    orig = delta_log._write_data_files
+    fired = {"done": False}
+
+    def inject(df, tbl, **kw):
+        adds = orig(df, tbl, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            write_delta(_df(spark, 0, 5), table, generated={"v": "k * 2"})
+        return adds
+
+    monkeypatch.setattr(delta_log, "_write_data_files", inject)
+    bad = spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    with pytest.raises(DeltaCommitConflict, match="generated-column"):
+        write_delta(bad, table)
+    # nothing non-conforming landed
+    got = {r["k"]: r["v"] for r in read_delta(spark, table).collect()}
+    assert got == {k: k * 2 for k in range(5)}
+
+
+def test_history_classifies_domain_only_commit(spark):
+    """domainMetadata-only commits (declared clustering) are real
+    metadata operations — SET_METADATA, not EMPTY (ADVICE r7)."""
+    from postrack_spark.streaming.delta_log import (
+        history_delta,
+        set_clustering_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_hist_dom_")
+    write_delta(_df(spark, 0, 5), t)
+    v = set_clustering_delta(t, ["k", "v"])
+    ops = {r["version"]: r["operation"]
+           for r in history_delta(spark, t).collect()}
+    assert ops[v] == "SET_METADATA"

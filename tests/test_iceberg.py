@@ -1549,3 +1549,20 @@ def test_inspect_metadata_log_kind(spark):
     assert [r["metadata_file"] for r in got] == [
         "v0.metadata.json", "v1.metadata.json"]
     assert all(r["timestamp_ms"] is not None for r in got)
+
+
+def test_orphan_sweep_aborts_on_unreadable_metadata(spark):
+    """An unreadable retained v*.metadata.json may be the ONLY
+    reference to live files — the sweep must ABORT, not treat its
+    references as orphans (ADVICE r7)."""
+    from postrack_spark.streaming.iceberg import remove_orphan_files_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_orphan_abort_")
+    append_iceberg(_df(spark, 0, 5), t)
+    md = os.path.join(t, "metadata")
+    vfile = sorted(n for n in os.listdir(md)
+                   if n.startswith("v") and n.endswith(".metadata.json"))[0]
+    with open(os.path.join(md, vfile), "w") as f:
+        f.write("{ truncated")
+    with pytest.raises(RuntimeError, match="orphan sweep aborted"):
+        remove_orphan_files_iceberg(t, min_age_s=0.0)

@@ -123,3 +123,15 @@ def test_java_unknownfieldset_roundtrip(spark, case):
         varints = ufs.getField(1).getVarintList()
         raw = varints.get(0)
         assert raw & 0xFFFFFFFFFFFFFFFF == case[0] & 0xFFFFFFFFFFFFFFFF
+
+
+def test_varint_ten_byte_noncanonical_masks_to_64_bits():
+    """protobuf-java masks decoded varints to 64 bits; a 10th byte > 1
+    (non-canonical, adversarial input) must not decode past int64
+    range and overflow the declared long column (ADVICE r7)."""
+    from postrack_spark.operators.protobuf import _get_varint, _int64_value
+
+    raw, pos = _get_varint(bytes([0xFF] * 9 + [0x7F]), 0)
+    assert pos == 10
+    assert raw == (1 << 64) - 1  # masked, not 2**70 - 1
+    assert _int64_value(raw) == -1  # java two's-complement semantics
