@@ -4666,3 +4666,128 @@ def streaming_union_watermark_policy(spark: SparkSession, sf_dir: str) -> DataFr
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour"),
         F.col("count").cast("long").alias("n"),
     ).orderBy("event_type", "hour")
+
+
+_DS_PRUNE_ORACLE = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS pruned,
+           true AS parity
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ds_month_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postrack_spark.session import load_tables
+
+    return load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+
+_DS_MONTHS = [f"1995-{m:02d}" for m in range(1, 13)]
+
+
+def _ds_prune_certified(spark: SparkSession, fmt: str, table: str,
+                        lib_stats: dict) -> DataFrame:
+    """Shared SQL-lane half of the two DataSource pruning queries:
+    register a TEMPORARY VIEW over the table USING the named Python
+    source, aggregate through plain spark.sql with a pushed IN filter
+    on the month partition column, and certify (a) the planner pruned
+    (0 < scanned < total, from the scan_report side file the planner
+    writes) and (b) PARITY — the DataSource pruned exactly the file
+    set the library path pruned (lib_stats from
+    read_delta/read_iceberg scan_stats). The count() materializes the
+    plan so the report exists before the certificate reads it."""
+    import json as _json
+    import os as _os
+
+    from postrack_spark.sources.lakehouse_ds import (
+        register_lakehouse_sources,
+    )
+
+    register_lakehouse_sources(spark)
+    rep = _os.path.join(table, f"_scan_report_{uuid.uuid4().hex}.json")
+    view = f"lhds_{uuid.uuid4().hex}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} USING {fmt} "
+        f"OPTIONS (path '{table}', scan_report '{rep}')")
+    months = ", ".join(f"'{m}'" for m in _DS_MONTHS)
+    sql_df = spark.sql(f"""
+        SELECT month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM {view}
+        WHERE month IN ({months})
+        GROUP BY month ORDER BY month
+    """)
+    sql_df.count()  # plan once: partitions() writes the scan report
+    with open(rep) as f:
+        r = _json.load(f)
+    pruned = 0 < r["files_scanned"] < r["files_total"]
+    parity = (r["files_total"] == lib_stats["files_total"]
+              and r["files_scanned"] == lib_stats["files_scanned"])
+    return sql_df.select(
+        "month", "n_orders", "cents",
+        F.lit(pruned).alias("pruned"), F.lit(parity).alias("parity"))
+
+
+@query("sql_datasource_delta_pruning", oracle=_DS_PRUNE_ORACLE)
+def sql_datasource_delta_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH DataSource + SQL lane over a partitioned Delta table
+    (sources/lakehouse_ds.py pydelta; VERDICT r7 next-round item 1):
+    the table is written through the library (write_delta
+    partition_by=month), then read ENTIRELY through SQL —
+    CREATE TEMPORARY VIEW … USING pydelta + a plain GROUP BY with a
+    WHERE month IN (…) the Spark 4.1 pushFilters machinery hands to
+    the planner, which prunes files from the log's partitionValues
+    BEFORE any footer opens. Certificates: ``pruned`` gates
+    0 < files_scanned < files_total from the planner's scan report;
+    ``parity`` gates that the pruned file set EQUALS what the library
+    path (read_delta partition_filter= + scan_stats=) plans — the SQL
+    lane and the Python lane share one pruning semantics. At 100 TB
+    the lane matters because a user's first touch of a lakehouse
+    table is spark.sql, and a SQL lane that scanned all files while
+    the library pruned would be a silent 100× regression."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.delta_log import read_delta, write_delta
+
+    base = _ds_month_base(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="lhds_delta_q_")
+    write_delta(base, table, partition_by=["month"])
+    lib_stats: dict = {}
+    read_delta(spark, table, partition_filter={"month": _DS_MONTHS},
+               scan_stats=lib_stats)
+    return _ds_prune_certified(spark, "pydelta", table, lib_stats)
+
+
+@query("sql_datasource_iceberg_pruning", oracle=_DS_PRUNE_ORACLE)
+def sql_datasource_iceberg_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg half of the DataSource + SQL lane (pyiceberg):
+    identity-partitioned append through the library, read through
+    CREATE TEMPORARY VIEW … USING pyiceberg + plain SQL. The pushed
+    month IN (…) maps onto the DEFAULT spec's identity partition
+    field and prunes during plan_scan_iceberg's manifest walk — the
+    EXACT planner read_iceberg uses (shared by construction), which
+    the ``parity`` certificate gates against the library path's
+    scan_stats. Hidden-transform specs (bucket/year) keep pruning
+    through the library's partition_filter option; the SQL lane's
+    pushdown covers the identity case a SQL user actually writes."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import append_iceberg, read_iceberg
+
+    base = _ds_month_base(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="lhds_ice_q_")
+    append_iceberg(base, table, partition_by=[("month", "identity")])
+    lib_stats: dict = {}
+    read_iceberg(spark, table, partition_filter={"month": _DS_MONTHS},
+                 scan_stats=lib_stats)
+    return _ds_prune_certified(spark, "pyiceberg", table, lib_stats)

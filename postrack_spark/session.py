@@ -75,6 +75,11 @@ def configure_session(spark: SparkSession) -> None:
     # and identical to DuckDB's naive reading of the same values).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Python DataSource filter pushdown (Spark 4.1): required for the
+    # lakehouse batch DataSources (sources/lakehouse_ds.py) to receive
+    # pushFilters and file-prune from pushed predicates. Off by default
+    # upstream only because pre-4.1 readers never saw filters.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 # DataFrame handles per (session, sf_dir): building a scan DataFrame

@@ -1207,6 +1207,80 @@ def read_iceberg(spark: SparkSession, table: str,
     it."""
     from pyspark.sql import functions as F
 
+    plan = plan_scan_iceberg(
+        table, snapshot_id=snapshot_id, partition_filter=partition_filter,
+        stats_filter=stats_filter, scan_stats=scan_stats, ref=ref,
+        timestamp_ms=timestamp_ms)
+    meta = plan["meta"]
+    paths = plan["paths"]
+    pos_delete_files = plan["pos_delete_files"]
+    pos_delete_records = plan["pos_delete_records"]
+    eq_deletes = plan["eq_deletes"]
+    ddl = ", ".join(
+        f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+        for f in meta["schema"]["fields"])
+    if not paths:
+        return spark.createDataFrame([], ddl)
+    df = spark.read.schema(ddl).parquet(
+        *[os.path.join(table, p) for p, _s in paths])
+    if not pos_delete_files and not eq_deletes:
+        return df
+    cols = df.columns
+    root = os.path.abspath(table)
+    tagged = df.select(
+        *cols,
+        _rel_path_col(root).alias("_fp"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    if pos_delete_files:
+        ddf = _pos_delete_frame(spark, root, pos_delete_files)
+        # broadcast only when the manifests PROVE the delete side is
+        # small (record_count is required file metadata, so the
+        # decision is plan-time and O(files)); past the cap, leave the
+        # strategy to Spark/AQE — a 1e8-position delete set must not
+        # be forced through a broadcast build
+        if pos_delete_records <= _POS_DELETE_BROADCAST_MAX:
+            ddf = F.broadcast(ddf)
+        tagged = tagged.join(ddf, ["_fp", "_pos"], "left_anti")
+    if eq_deletes:
+        # rows need their file's data sequence to scope the deletes;
+        # the (file -> seq) map is O(files) metadata, broadcast
+        seq_df = spark.createDataFrame(
+            [(p, s) for p, s in paths], "_fp string, _dseq long")
+        # LEFT join: if _rel_path_col's prefix guard ever nulled a
+        # path, the row keeps a null _dseq and SURVIVES the scoped
+        # anti-joins below (fail-open beats silently dropping data)
+        tagged = tagged.join(F.broadcast(seq_df), "_fp", "left")
+        name_to_type = {f["name"]: _ICE_TO_SPARK[f["type"]]
+                        for f in meta["schema"]["fields"]}
+        for names, bucket in sorted(eq_deletes.items()):
+            kddl = ", ".join(
+                f"_eq_{n} {name_to_type[n]}" for n in names
+            ) + ", _eseq long"
+            kdf = spark.createDataFrame(
+                [tuple(k) + (s,) for k, s in sorted(bucket.items())], kddl)
+            cond = F.col("_dseq") < kdf["_eseq"]
+            for n in names:
+                # eqNullSafe: the spec matches NULL delete values to
+                # NULL data values (equality, not SQL three-valued =)
+                cond = cond & tagged[n].eqNullSafe(kdf[f"_eq_{n}"])
+            tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
+    return tagged.select(*cols)
+
+
+def plan_scan_iceberg(table: str,
+                      snapshot_id: int | None = None,
+                      partition_filter: dict | None = None,
+                      stats_filter: dict | None = None,
+                      scan_stats: dict | None = None,
+                      ref: str | None = None,
+                      timestamp_ms: int | None = None) -> dict:
+    """The manifest-walk PLANNING half of read_iceberg, shared verbatim
+    with the batch DataSource lane (sources/lakehouse_ds.py) so SQL
+    reads prune identically to library reads by construction. Returns
+    {meta, snapshot_id, paths: [(rel, data seq)], pos_delete_files,
+    pos_delete_records, eq_deletes: {key names: {key tuple: max seq}}}.
+    O(files) driver metadata; no data file is opened."""
     meta = _current_metadata(table)
     if meta is None:
         raise FileNotFoundError(f"no iceberg metadata under {table}")
@@ -1304,56 +1378,14 @@ def read_iceberg(spark: SparkSession, table: str,
     if scan_stats is not None:
         scan_stats["files_total"] = total_files
         scan_stats["files_scanned"] = len(paths)
-    ddl = ", ".join(
-        f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
-        for f in meta["schema"]["fields"])
-    if not paths:
-        return spark.createDataFrame([], ddl)
-    df = spark.read.schema(ddl).parquet(
-        *[os.path.join(table, p) for p, _s in paths])
-    if not pos_delete_files and not eq_deletes:
-        return df
-    cols = df.columns
-    root = os.path.abspath(table)
-    tagged = df.select(
-        *cols,
-        _rel_path_col(root).alias("_fp"),
-        F.col("_metadata.row_index").alias("_pos"),
-    )
-    if pos_delete_files:
-        ddf = _pos_delete_frame(spark, root, pos_delete_files)
-        # broadcast only when the manifests PROVE the delete side is
-        # small (record_count is required file metadata, so the
-        # decision is plan-time and O(files)); past the cap, leave the
-        # strategy to Spark/AQE — a 1e8-position delete set must not
-        # be forced through a broadcast build
-        if pos_delete_records <= _POS_DELETE_BROADCAST_MAX:
-            ddf = F.broadcast(ddf)
-        tagged = tagged.join(ddf, ["_fp", "_pos"], "left_anti")
-    if eq_deletes:
-        # rows need their file's data sequence to scope the deletes;
-        # the (file -> seq) map is O(files) metadata, broadcast
-        seq_df = spark.createDataFrame(
-            [(p, s) for p, s in paths], "_fp string, _dseq long")
-        # LEFT join: if _rel_path_col's prefix guard ever nulled a
-        # path, the row keeps a null _dseq and SURVIVES the scoped
-        # anti-joins below (fail-open beats silently dropping data)
-        tagged = tagged.join(F.broadcast(seq_df), "_fp", "left")
-        name_to_type = {f["name"]: _ICE_TO_SPARK[f["type"]]
-                        for f in meta["schema"]["fields"]}
-        for names, bucket in sorted(eq_deletes.items()):
-            kddl = ", ".join(
-                f"_eq_{n} {name_to_type[n]}" for n in names
-            ) + ", _eseq long"
-            kdf = spark.createDataFrame(
-                [tuple(k) + (s,) for k, s in sorted(bucket.items())], kddl)
-            cond = F.col("_dseq") < kdf["_eseq"]
-            for n in names:
-                # eqNullSafe: the spec matches NULL delete values to
-                # NULL data values (equality, not SQL three-valued =)
-                cond = cond & tagged[n].eqNullSafe(kdf[f"_eq_{n}"])
-            tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
-    return tagged.select(*cols)
+    return {
+        "meta": meta,
+        "snapshot_id": sid,
+        "paths": paths,
+        "pos_delete_files": pos_delete_files,
+        "pos_delete_records": pos_delete_records,
+        "eq_deletes": eq_deletes,
+    }
 
 
 # positions provably (manifest record_count) at or below this total

@@ -1,0 +1,192 @@
+"""Batch DataSource + SQL lane over the lakehouse tables
+(sources/lakehouse_ds.py): spark.read.format / CREATE TEMPORARY VIEW …
+USING / spark.sql must read exactly what the library paths
+(read_delta / read_iceberg) read — including column mapping, deletion
+vectors, MOR position + equality deletes, time travel — and pushed
+filters must file-prune with PARITY against the library pruners
+(scan_report vs scan_stats)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from postrack_spark.sources.lakehouse_ds import register_lakehouse_sources
+from postrack_spark.streaming.delta_log import read_delta, write_delta
+from postrack_spark.streaming.iceberg import append_iceberg, read_iceberg
+
+
+@pytest.fixture()
+def lh(spark):
+    register_lakehouse_sources(spark)
+    return spark
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        (F.col("id") % 4).cast("string").alias("g"))
+
+
+# ------------------------------------------------------------ pydelta
+
+
+def test_pydelta_roundtrip_and_sql_lane(lh):
+    t = tempfile.mkdtemp(prefix="lhds_d_")
+    write_delta(_df(lh, 0, 50).repartition(4), t)
+    df = lh.read.format("pydelta").load(t)
+    assert df.columns == ["k", "v", "g"]
+    assert sorted(r["k"] for r in df.collect()) == list(range(50))
+    # the SQL lane: USING resolves the registered Python source
+    lh.sql(f"CREATE OR REPLACE TEMPORARY VIEW lhd_v USING pydelta "
+           f"OPTIONS (path '{t}')")
+    got = lh.sql("SELECT g, CAST(sum(v) AS BIGINT) AS s FROM lhd_v "
+                 "GROUP BY g ORDER BY g").collect()
+    lib = (read_delta(lh, t).groupBy("g")
+           .agg(F.sum("v").cast("long").alias("s"))
+           .orderBy("g").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in lib]
+
+
+def test_pydelta_version_time_travel(lh):
+    t = tempfile.mkdtemp(prefix="lhds_dtt_")
+    write_delta(_df(lh, 0, 10), t)
+    write_delta(_df(lh, 10, 20), t)
+    v0 = lh.read.format("pydelta").option("version", "0").load(t)
+    assert sorted(r["k"] for r in v0.collect()) == list(range(10))
+
+
+def test_pydelta_partition_pruning_parity(lh):
+    t = tempfile.mkdtemp(prefix="lhds_dp_")
+    write_delta(_df(lh, 0, 200), t, partition_by=["g"])
+    rep = os.path.join(t, "scan_report.json")
+    ds = (lh.read.format("pydelta").option("scan_report", rep)
+          .load(t).filter("g = '1'"))
+    got = sorted(r["k"] for r in ds.collect())
+    stats: dict = {}
+    lib = read_delta(lh, t, partition_filter={"g": "1"}, scan_stats=stats)
+    assert got == sorted(r["k"] for r in lib.collect())
+    with open(rep) as f:
+        r = json.load(f)
+    # PARITY: the DataSource prunes exactly what the library prunes
+    assert r == {"files_total": stats["files_total"],
+                 "files_scanned": stats["files_scanned"]}
+    assert 0 < r["files_scanned"] < r["files_total"]
+
+
+def test_pydelta_stats_pruning_from_pushed_range(lh):
+    t = tempfile.mkdtemp(prefix="lhds_ds_")
+    # range-partitioned files give disjoint k bounds per file
+    write_delta(_df(lh, 0, 400).repartitionByRange(8, "k"), t)
+    rep = os.path.join(t, "scan_report.json")
+    ds = (lh.read.format("pydelta").option("scan_report", rep)
+          .load(t).filter("k >= 390"))
+    assert sorted(r["k"] for r in ds.collect()) == list(range(390, 400))
+    with open(rep) as f:
+        r = json.load(f)
+    assert 0 < r["files_scanned"] < r["files_total"]
+
+
+def test_pydelta_column_mapping_and_dv(lh):
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = tempfile.mkdtemp(prefix="lhds_dm_")
+    write_delta(_df(lh, 0, 40).repartition(2), t)
+    enable_column_mapping_delta(t)
+    rename_column_delta(t, "v", "val")
+    delete_delta_dv(lh, t, "k % 5 = 0")
+    df = lh.read.format("pydelta").load(t)
+    assert df.columns == ["k", "val", "g"]
+    got = sorted(r["k"] for r in df.collect())
+    assert got == [k for k in range(40) if k % 5 != 0]
+    # values project through the physical indirection
+    row = df.filter("k = 7").collect()[0]
+    assert row["val"] == 14
+
+
+def test_pydelta_schema_evolution_nulls_old_files(lh):
+    t = tempfile.mkdtemp(prefix="lhds_de_")
+    write_delta(_df(lh, 0, 10), t)
+    evolved = _df(lh, 10, 20).withColumn("extra", F.col("k") * 10)
+    write_delta(evolved, t, merge_schema=True)
+    df = lh.read.format("pydelta").load(t)
+    got = {r["k"]: r["extra"] for r in df.collect()}
+    assert got[5] is None and got[15] == 150
+
+
+# ---------------------------------------------------------- pyiceberg
+
+
+def test_pyiceberg_roundtrip_and_sql_lane(lh):
+    t = tempfile.mkdtemp(prefix="lhds_i_")
+    append_iceberg(_df(lh, 0, 30).repartition(3), t)
+    df = lh.read.format("pyiceberg").load(t)
+    assert sorted(r["k"] for r in df.collect()) == list(range(30))
+    lh.sql(f"CREATE OR REPLACE TEMPORARY VIEW lhi_v USING pyiceberg "
+           f"OPTIONS (path '{t}')")
+    got = lh.sql("SELECT CAST(sum(v) AS BIGINT) AS s FROM lhi_v").collect()
+    assert got[0]["s"] == sum(2 * k for k in range(30))
+
+
+def test_pyiceberg_snapshot_time_travel(lh):
+    t = tempfile.mkdtemp(prefix="lhds_itt_")
+    s1 = append_iceberg(_df(lh, 0, 10), t)
+    append_iceberg(_df(lh, 10, 20), t)
+    old = (lh.read.format("pyiceberg")
+           .option("snapshot_id", str(s1)).load(t))
+    assert sorted(r["k"] for r in old.collect()) == list(range(10))
+
+
+def test_pyiceberg_mor_position_and_equality_deletes(lh):
+    from postrack_spark.streaming.iceberg import (
+        delete_keys_iceberg,
+        delete_positions_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="lhds_im_")
+    append_iceberg(_df(lh, 0, 40).repartition(4), t, format_version=2)
+    delete_positions_iceberg(lh, t, "k % 10 = 3")
+    keys = lh.createDataFrame([(8,), (24,)], "k long")
+    delete_keys_iceberg(lh, t, keys)
+    ds = lh.read.format("pyiceberg").load(t)
+    lib = read_iceberg(lh, t)
+    want = sorted(r["k"] for r in lib.collect())
+    assert sorted(r["k"] for r in ds.collect()) == want
+    assert 3 not in want and 8 not in want and 24 not in want
+
+
+def test_pyiceberg_identity_partition_pushdown_parity(lh):
+    t = tempfile.mkdtemp(prefix="lhds_ip_")
+    append_iceberg(_df(lh, 0, 200), t, partition_by=[("g", "identity")])
+    rep = os.path.join(t, "scan_report.json")
+    ds = (lh.read.format("pyiceberg").option("scan_report", rep)
+          .load(t).filter("g = '2'"))
+    got = sorted(r["k"] for r in ds.collect())
+    stats: dict = {}
+    lib = read_iceberg(lh, t, partition_filter={"g": "2"}, scan_stats=stats)
+    assert got == sorted(r["k"] for r in lib.collect())
+    with open(rep) as f:
+        r = json.load(f)
+    assert r == {"files_total": stats["files_total"],
+                 "files_scanned": stats["files_scanned"]}
+    assert 0 < r["files_scanned"] < r["files_total"]
+
+
+def test_pyiceberg_stats_pruning_from_pushed_range(lh):
+    t = tempfile.mkdtemp(prefix="lhds_is_")
+    append_iceberg(_df(lh, 0, 400).repartitionByRange(8, "k"), t)
+    rep = os.path.join(t, "scan_report.json")
+    ds = (lh.read.format("pyiceberg").option("scan_report", rep)
+          .load(t).filter("k < 20"))
+    assert sorted(r["k"] for r in ds.collect()) == list(range(20))
+    with open(rep) as f:
+        r = json.load(f)
+    assert 0 < r["files_scanned"] < r["files_total"]
