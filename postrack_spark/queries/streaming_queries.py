@@ -4791,3 +4791,88 @@ def sql_datasource_iceberg_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     read_iceberg(spark, table, partition_filter={"month": _DS_MONTHS},
                  scan_stats=lib_stats)
     return _ds_prune_certified(spark, "pyiceberg", table, lib_stats)
+
+
+@query(
+    "cdc_delta_multipart_checkpoint",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS parts_on_disk,
+           true AS log_cleaned
+    FROM base
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_delta_multipart_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PART Delta checkpoint (protocol
+    %020d.checkpoint.%010d.%010d.parquet; VERDICT r7 next-round item
+    2): two appends build the table, checkpoint_delta(parts=3,
+    spark=…) writes the part set FROM A DISTRIBUTED FRAME — each
+    worker partition encodes and writes its own parquet parts, so no
+    single process ever holds the full action table in columnar form
+    (at 10⁵-10⁶ add actions with stats, the single-part driver pyarrow
+    table is the metadata ceiling this removes) — and the covered JSON
+    commits are cleaned, so the final rollup can only be right if
+    replay truly reassembles state from ALL parts (adds spread
+    round-robin; reading a subset would drop files — which is why an
+    incomplete part set raises rather than partially loads).
+    Certificates: parts_on_disk (exactly the declared 3-part set,
+    pointer ``parts`` field included), log_cleaned (no covered JSON
+    survives)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        _list_versions,
+        checkpoint_delta,
+        clean_log_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_mpcp_q_")
+    write_delta(base.filter(F.col("o_orderkey") % 2 == 1)
+                .repartitionByRange(4, "o_orderkey"), table)
+    write_delta(base.filter(F.col("o_orderkey") % 2 == 0)
+                .repartitionByRange(4, "o_orderkey"), table)
+    cp = checkpoint_delta(table, parts=3, spark=spark)
+    log = _os.path.join(table, "_delta_log")
+    part_names = sorted(n for n in _os.listdir(log)
+                        if ".checkpoint." in n and n.endswith(".parquet"))
+    with open(_os.path.join(log, "_last_checkpoint")) as f:
+        pointer = _json.load(f)
+    parts_on_disk = (
+        pointer.get("parts") == 3
+        and part_names == [f"{cp:020d}.checkpoint.{i:010d}.{3:010d}.parquet"
+                           for i in (1, 2, 3)])
+    clean_log_delta(table)
+    log_cleaned = all(v > cp for v in _list_versions(table))
+    return (
+        read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus", "n_orders", "cents",
+            F.lit(parts_on_disk).alias("parts_on_disk"),
+            F.lit(log_cleaned).alias("log_cleaned"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -89,6 +89,52 @@ def _checkpoint_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
 
 
+def _checkpoint_part_path(table: str, version: int,
+                          part: int, parts: int) -> str:
+    """Multi-part checkpoint file name (the protocol's
+    %020d.checkpoint.%010d.%010d.parquet scheme; part is 1-based)."""
+    return os.path.join(
+        table, _LOG_DIR,
+        f"{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet")
+
+
+def _checkpoint_files(table: str, version: int) -> list[str]:
+    """Resolve the checkpoint at ``version`` to its parquet file set:
+    the classic single-part file, or the complete multi-part set (the
+    _last_checkpoint ``parts`` field is advisory — the file names are
+    authoritative, per the protocol). An INCOMPLETE part set raises:
+    reading half a checkpoint would silently drop live files."""
+    single = _checkpoint_path(table, version)
+    if os.path.exists(single):
+        return [single]
+    log = os.path.join(table, _LOG_DIR)
+    prefix = f"{version:020d}.checkpoint."
+    found: dict[int, str] = {}
+    declared: set[int] = set()
+    for name in os.listdir(log) if os.path.isdir(log) else []:
+        if not (name.startswith(prefix) and name.endswith(".parquet")):
+            continue
+        bits = name[len(prefix):-len(".parquet")].split(".")
+        if len(bits) != 2 or not all(b.isdigit() for b in bits):
+            continue
+        found[int(bits[0])] = os.path.join(log, name)
+        declared.add(int(bits[1]))
+    if not found:
+        raise FileNotFoundError(
+            f"no checkpoint parquet for version {version} under {table}")
+    if len(declared) != 1:
+        raise ValueError(
+            f"conflicting multi-part checkpoint sets at {version}: "
+            f"declared part counts {sorted(declared)}")
+    n = declared.pop()
+    missing = sorted(set(range(1, n + 1)) - set(found))
+    if missing:
+        raise ValueError(
+            f"multi-part checkpoint {version} incomplete: missing parts "
+            f"{missing} of {n}")
+    return [found[i] for i in range(1, n + 1)]
+
+
 def _last_checkpoint_path(table: str) -> str:
     return os.path.join(table, _LOG_DIR, "_last_checkpoint")
 
@@ -251,11 +297,12 @@ def _partition_columns(table: str, version: int | None = None) -> list[str]:
     if cp is not None and cp <= version:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(_checkpoint_path(table, cp), columns=["metaData"])
-        for row in t.to_pylist():
-            md = row.get("metaData")
-            if md is not None:
-                cols = list(md.get("partitionColumns") or [])
+        for path in _checkpoint_files(table, cp):
+            t = pq.read_table(path, columns=["metaData"])
+            for row in t.to_pylist():
+                md = row.get("metaData")
+                if md is not None:
+                    cols = list(md.get("partitionColumns") or [])
         start = cp + 1
     for v in range(start, version + 1):
         p = _log_path(table, v)
@@ -516,11 +563,32 @@ def _snapshot(table: str, version: int | None):
 _CP_COLUMNS = ("protocol", "metaData", "txn", "domainMetadata", "add")
 
 
-def checkpoint_delta(table: str, version: int | None = None) -> int:
-    """Write a classic single-part parquet checkpoint of the snapshot
-    at ``version`` (default: latest) and point ``_last_checkpoint`` at
-    it. Driver-side pyarrow — the checkpoint is O(live files + txn
-    apps) metadata rows. Returns the checkpointed version."""
+def checkpoint_delta(table: str, version: int | None = None,
+                     parts: int | None = None, spark=None) -> int:
+    """Write a parquet checkpoint of the snapshot at ``version``
+    (default: latest) and point ``_last_checkpoint`` at it. Returns
+    the checkpointed version.
+
+    Default: the classic SINGLE-PART checkpoint, driver-side pyarrow —
+    O(live files + txn apps) metadata rows. ``parts=N`` (N>1) writes
+    the protocol's MULTI-PART checkpoint instead
+    (%020d.checkpoint.%010d.%010d.parquet): part 1 carries the
+    non-file actions (protocol/metaData/txn/domainMetadata), add
+    actions spread round-robin across all N parts, and the
+    ``_last_checkpoint`` pointer records the ``parts`` field. This is
+    the 100× metadata path (VERDICT r7 #2): at 10⁵-10⁶ add actions
+    with stats a single driver pyarrow table is the metadata ceiling —
+    with ``spark`` passed, the parts are WRITTEN DISTRIBUTED (each
+    worker partition encodes and writes its own part files through the
+    same declared arrow schema), so no single process ever holds the
+    whole action table in columnar form; without a session the parts
+    write sequentially driver-side (same layout, same readers).
+
+    Crash safety: every part lands tmp+rename, and the pointer swaps
+    LAST — a crash mid-write leaves orphan part files behind a pointer
+    that still names the previous checkpoint (harmless debris, never a
+    torn read; readers resolve the file set from the names and REFUSE
+    incomplete sets)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -587,19 +655,58 @@ def checkpoint_delta(table: str, version: int | None = None) -> int:
             ])),
         ])),
     ])
-    cols = {name: [r.get(name) for r in rows] for name in _CP_COLUMNS}
-    batch = pa.table(
-        {name: pa.array(cols[name], type=schema.field(name).type)
-         for name in _CP_COLUMNS},
-        schema=schema,
-    )
-    path = _checkpoint_path(table, v)
-    tmp = path + f".tmp.{uuid.uuid4().hex}"
-    pq.write_table(batch, tmp)
-    os.replace(tmp, path)
+    def _write_rows(part_rows: list[dict], path: str) -> None:
+        cols = {name: [r.get(name) for r in part_rows]
+                for name in _CP_COLUMNS}
+        batch = pa.table(
+            {name: pa.array(cols[name], type=schema.field(name).type)
+             for name in _CP_COLUMNS},
+            schema=schema,
+        )
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, path)
+
+    pointer: dict = {"version": v, "size": len(rows)}
+    if parts is not None and parts > 1:
+        n = int(parts)
+        # part 1: non-file actions + its share of adds; adds spread
+        # round-robin (the protocol lets actions land in any part)
+        n_head = len(rows) - len(live)
+        buckets: list[list[dict]] = [[] for _ in range(n)]
+        buckets[0].extend(rows[:n_head])
+        for i, r in enumerate(rows[n_head:]):
+            buckets[i % n].append(r)
+        targets = [(_checkpoint_part_path(table, v, i + 1, n), b)
+                   for i, b in enumerate(buckets)]
+        if spark is not None:
+            # distributed encode+write: ship (path, rows-as-json) one
+            # row per part; each worker partition encodes and writes
+            # its own parquet parts through the SAME declared schema
+            # (_write_rows and the schema ride the task closure)
+            payload = [(p, json.dumps(b)) for p, b in targets]
+            pdf = spark.createDataFrame(payload, "path string, body string")
+
+            def _emit(batches):
+                import pandas as _pd
+
+                for chunk in batches:
+                    for path, body in zip(chunk["path"], chunk["body"]):
+                        _write_rows(json.loads(body), path)
+                    yield _pd.DataFrame({"done": [len(chunk)]})
+
+            (pdf.repartition(n)
+             .mapInPandas(_emit, "done long")
+             .groupBy().sum("done").collect())
+        else:
+            for p, b in targets:
+                _write_rows(b, p)
+        pointer["parts"] = n
+    else:
+        _write_rows(rows, _checkpoint_path(table, v))
     lc_tmp = _last_checkpoint_path(table) + f".tmp.{uuid.uuid4().hex}"
     with open(lc_tmp, "w") as f:
-        json.dump({"version": v, "size": len(rows)}, f)
+        json.dump(pointer, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(lc_tmp, _last_checkpoint_path(table))
@@ -612,13 +719,15 @@ def _read_checkpoint_state(table: str, cp_version: int):
     configuration)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(_checkpoint_path(table, cp_version))
+    rows: list[dict] = []
+    for path in _checkpoint_files(table, cp_version):
+        rows.extend(pq.read_table(path).to_pylist())
     live: dict[str, dict] = {}
     schema_string: str | None = None
     txns: dict[str, int] = {}
     protocol: dict = dict(_PROTOCOL)
     config: dict[str, str] = {}
-    for row in t.to_pylist():
+    for row in rows:
         if row.get("protocol") is not None:
             protocol = {k: v for k, v in row["protocol"].items()
                         if v is not None}
@@ -2187,10 +2296,11 @@ def _domain_configs(table: str, version: int | None = None) -> dict[str, str]:
     if cp is not None and cp <= version:
         import pyarrow.parquet as pq
 
+        rows = []
         try:
-            t = pq.read_table(_checkpoint_path(table, cp),
-                              columns=["domainMetadata"])
-            rows = t.to_pylist()
+            for path in _checkpoint_files(table, cp):
+                rows.extend(pq.read_table(
+                    path, columns=["domainMetadata"]).to_pylist())
         except Exception:  # pre-domain checkpoints lack the column
             rows = []
         for row in rows:

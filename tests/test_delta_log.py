@@ -2181,3 +2181,111 @@ def test_history_classifies_domain_only_commit(spark):
     ops = {r["version"]: r["operation"]
            for r in history_delta(spark, t).collect()}
     assert ops[v] == "SET_METADATA"
+
+
+# ----------------------------------------- multi-part checkpoints (r8)
+
+
+def test_multipart_checkpoint_roundtrip_distributed(spark):
+    """parts=N writes the protocol's multi-part layout from a
+    distributed frame; replay seeds from the full part set and the
+    cleaned log reads back exactly."""
+    import json as _json
+
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_mpcp_")
+    write_delta(_df(spark, 0, 30).repartition(5), t)
+    write_delta(_df(spark, 30, 60).repartition(5), t)
+    v = checkpoint_delta(t, parts=3, spark=spark)
+    assert v == 1
+    log = os.path.join(t, "_delta_log")
+    parts = sorted(n for n in os.listdir(log)
+                   if ".checkpoint." in n and n.endswith(".parquet"))
+    assert parts == [
+        f"{1:020d}.checkpoint.{i:010d}.{3:010d}.parquet"
+        for i in (1, 2, 3)]
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        assert _json.load(f)["parts"] == 3
+    clean_log_delta(t)
+    assert not any(n.endswith(".json") and n[0].isdigit()
+                   for n in os.listdir(log))
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == list(range(60))
+    # the table keeps working past the checkpoint
+    write_delta(_df(spark, 60, 70), t)
+    assert read_delta(spark, t).count() == 70
+
+
+def test_multipart_checkpoint_driver_fallback_and_dv(spark):
+    """No session passed -> sequential part writes, same layout; DV
+    descriptors and row-level deletes survive the part split."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+    from postrack_spark.streaming.deletion_vectors import delete_delta_dv
+
+    t = tempfile.mkdtemp(prefix="delta_mpcp_dv_")
+    write_delta(_df(spark, 0, 40).repartition(4), t)
+    delete_delta_dv(spark, t, "k % 5 = 0")
+    checkpoint_delta(t, parts=2)
+    clean_log_delta(t)
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == [k for k in range(40) if k % 5 != 0]
+
+
+def test_multipart_checkpoint_incomplete_set_refused(spark):
+    """Reading half a checkpoint would silently drop live files — an
+    incomplete part set must raise, never partially load."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_mpcp_bad_")
+    write_delta(_df(spark, 0, 20).repartition(4), t)
+    checkpoint_delta(t, parts=4, spark=spark)
+    clean_log_delta(t)
+    log = os.path.join(t, "_delta_log")
+    victim = next(n for n in sorted(os.listdir(log))
+                  if ".checkpoint.0000000002." in n)
+    os.remove(os.path.join(log, victim))
+    with pytest.raises(ValueError, match="incomplete"):
+        read_delta(spark, t)
+
+
+def test_multipart_checkpoint_carries_table_state(spark):
+    """partitionColumns, configuration (CHECK constraints), and
+    domainMetadata all ride the multi-part checkpoint — the declared-
+    schema drop trap, re-verified on the split layout."""
+    from postrack_spark.streaming.delta_log import (
+        _partition_columns,
+        add_check_constraint_delta,
+        checkpoint_delta,
+        clean_log_delta,
+        read_delta,
+        set_clustering_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_mpcp_state_")
+    write_delta(_df(spark, 0, 40), t, partition_by=["v"])
+    add_check_constraint_delta(spark, t, "k_nonneg", "k >= 0")
+    set_clustering_delta(t, ["k", "v"])
+    checkpoint_delta(t, parts=3, spark=spark)
+    clean_log_delta(t)
+    assert _partition_columns(t) == ["v"]
+    from postrack_spark.streaming.delta_log import _domain_configs, _replay
+
+    _l, _s, _v, _t2, config = _replay(t, None)
+    assert config.get("delta.constraints.k_nonneg") == "k >= 0"
+    assert "delta.clustering" in _domain_configs(t)
+    # the constraint still gates writes sourced from checkpoint state
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        write_delta(_df(spark, -5, -1), t)
+    stats: dict = {}
+    read_delta(spark, t, partition_filter={"v": "4"}, scan_stats=stats)
+    assert 0 < stats["files_scanned"] < stats["files_total"]
