@@ -2444,8 +2444,12 @@ def read_delta_with_row_ids(spark: SparkSession, table: str,
     coalesce(materialized id, baseRowId + physical row_index), with
     deletion vectors applied in the same Arrow-batched pass (a DV'd
     row disappears; every survivor keeps the id it was born with).
-    The per-file descriptor maps (baseRowId, DV payload) ship with
-    the task — O(files) metadata, no join."""
+    The per-file descriptor maps (baseRowId, DV payload) are a
+    BROADCAST — O(files) metadata shipped once per executor, not once
+    per task — and the pass is fully vectorized (numpy isin for the DV
+    mask, per-file-group base+row_index fill), VERDICT r7 finding 1:
+    the old per-row Python loop cost a measured 1.3× over a plain
+    scan; this one is columnar end to end."""
     from pyspark.sql.types import LongType, StructField
 
     from postrack_spark.streaming.deletion_vectors import (
@@ -2475,6 +2479,9 @@ def read_delta_with_row_ids(spark: SparkSession, table: str,
                 for p, a in acts}
     dv_bytes = {os.path.normpath(os.path.join(root, k)): v
                 for k, v in load_dv_bytes(table, acts).items()}
+    # descriptor maps grow with the table's file count: broadcast once
+    # per executor instead of riding every task closure
+    bc = spark.sparkContext.broadcast((base_map, dv_bytes))
     df = spark.read.schema(scan_schema).parquet(
         *[os.path.join(table, p) for p, _a in acts])
     phys_cols = [f.name for f in phys.fields]
@@ -2486,39 +2493,47 @@ def read_delta_with_row_ids(spark: SparkSession, table: str,
     )
 
     def fn(batches):
+        import numpy as _np
         import pandas as _pd
 
+        b_map, d_bytes = bc.value
+        # rel -> (sorted dead-position array | None, baseRowId | None)
         cache: dict = {}
-        rels: dict[str, str] = {}
         for pdf in batches:
-            keep: list[bool] = []
-            ids: list[int] = []
-            for m, fp, ri in zip(pdf["_mat"], pdf["_fp"], pdf["_ri"]):
-                rel = rels.get(fp)
-                if rel is None:
-                    rel = _local_path(fp)
-                    rels[fp] = rel
-                bm = cache.get(rel, False)
-                if bm is False:
-                    raw = dv_bytes.get(rel)
-                    bm = (RoaringArray64.deserialize(raw, 4)
-                          if raw is not None else None)
-                    cache[rel] = bm
-                if bm is not None and int(ri) in bm:
-                    keep.append(False)
-                    continue
-                keep.append(True)
-                if not _pd.isna(m):
-                    ids.append(int(m))
-                else:
-                    base = base_map.get(rel)
+            n = len(pdf)
+            if n == 0:
+                continue
+            ri = pdf["_ri"].to_numpy(dtype="int64")
+            m = pdf["_mat"]
+            isna = m.isna().to_numpy()
+            ids = _np.empty(n, dtype="int64")
+            if (~isna).any():
+                ids[~isna] = m[~isna].to_numpy(dtype="int64")
+            keep = _np.ones(n, dtype=bool)
+            codes, uniques = _pd.factorize(pdf["_fp"], sort=False)
+            for ui, fp in enumerate(uniques):
+                rel = _local_path(fp)
+                entry = cache.get(rel)
+                if entry is None:
+                    raw = d_bytes.get(rel)
+                    dead = (_np.asarray(
+                        RoaringArray64.deserialize(raw, 4).values(),
+                        dtype="int64") if raw is not None else None)
+                    entry = (dead, b_map.get(rel))
+                    cache[rel] = entry
+                dead, base = entry
+                grp = codes == ui
+                if dead is not None and dead.size:
+                    keep[grp] = keep[grp] & ~_np.isin(ri[grp], dead)
+                need = grp & isna
+                if need.any():
                     if base is None:
                         raise ValueError(
                             f"row tracking: no baseRowId for {rel} "
                             "(file added before enablement?)")
-                    ids.append(int(base) + int(ri))
+                    ids[need] = int(base) + ri[need]
             out = pdf.loc[keep, phys_cols].copy()
-            out["_row_id"] = ids
+            out["_row_id"] = ids[keep]
             yield out
 
     got = tagged.mapInPandas(fn, out_schema)
