@@ -4876,3 +4876,98 @@ def cdc_delta_multipart_checkpoint(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "cdc_delta_id_mapping_uniform_sync",
+    oracle="""
+    SELECT CAST(o_custkey % 8 AS BIGINT) AS custmod,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS amount_cents,
+           true AS field_ids_stamped,
+           true AS ids_match,
+           true AS zero_rewrite
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_delta_id_mapping_uniform_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping mode 'id' + UniForm sync of a MAPPED table
+    (VERDICT r7 next-round item 4, both halves): an id-mode Delta
+    table (created empty, enabled, then written — delta-spark's
+    new-tables-only rule) stamps parquet.field.id into every data
+    file and reads resolve BY ID; after a rename (metadata-only), the
+    table syncs to Iceberg metadata whose field-ids EQUAL the
+    delta.columnMapping.id values — the two id systems meet — with
+    the physical parquet names riding schema.name-mapping.default,
+    and the final rollup reads THROUGH read_iceberg over the same
+    bytes under the renamed logical column. Certificates:
+    field_ids_stamped (a data file's parquet schema carries ids 1..n),
+    ids_match (iceberg schema ids == delta mapping ids),
+    zero_rewrite (the data file set is byte-identical across rename
+    AND sync — ALTER + format interop at zero data IO, the whole
+    point at 100 TB)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+        rename_column_delta,
+        write_delta,
+    )
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        read_iceberg,
+        sync_iceberg_from_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        (F.col("o_custkey") % 8).cast("long").alias("custmod"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_idmap_q_")
+    write_delta(base.limit(0), table)
+    enable_column_mapping_delta(table, mode="id")
+    write_delta(base.repartition(4), table)
+
+    def _files():
+        return sorted(
+            (f, _os.path.getsize(f))
+            for f in _glob.glob(_os.path.join(table, "part-*.parquet"))
+            if _pq.ParquetFile(f).metadata.num_rows > 0)
+
+    before = _files()
+    sch = _pq.ParquetFile(before[0][0]).schema_arrow
+    field_ids_stamped = (
+        all(n.startswith("col-") for n in sch.names)
+        and {dict(f.metadata or {}).get(b"PARQUET:field_id")
+             for f in sch} == {b"1", b"2"})
+    rename_column_delta(table, "cents", "amount_cents")
+    sync_iceberg_from_delta(spark, table)
+    meta = _current_metadata(table)
+    delta_ids = {"custmod": 1, "amount_cents": 2}
+    ids_match = (
+        {f["name"]: f["id"] for f in meta["schema"]["fields"]} == delta_ids
+        and "schema.name-mapping.default" in meta["properties"])
+    zero_rewrite = _files() == before
+    return (
+        read_iceberg(spark, table)
+        .groupBy("custmod")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("amount_cents").cast("long").alias("amount_cents"),
+        )
+        .select(
+            "custmod", "n_orders", "amount_cents",
+            F.lit(bool(field_ids_stamped)).alias("field_ids_stamped"),
+            F.lit(bool(ids_match)).alias("ids_match"),
+            F.lit(bool(zero_rewrite)).alias("zero_rewrite"),
+        )
+        .orderBy("custmod")
+    )

@@ -75,6 +75,13 @@ def configure_session(spark: SparkSession) -> None:
     # and identical to DuckDB's naive reading of the same values).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Parquet FIELD-ID resolution, both directions: Delta column
+    # mapping mode 'id' stamps parquet.field.id metadata at staging
+    # (write path) and builds scan schemas carrying the ids (read path
+    # matches columns by id, the mode's spec semantics). Both confs
+    # only act on schemas that actually carry the metadata.
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     # Python DataSource filter pushdown (Spark 4.1): required for the
     # lakehouse batch DataSources (sources/lakehouse_ds.py) to receive
     # pushFilters and file-prune from pushed predicates. Off by default

@@ -91,7 +91,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         # each file through the indirection so pre-rename files keep
         # resolving (delta_log._column_mapping's rule, inlined to keep
         # the DataSource worker-importable without Spark-side deps)
-        if config.get("delta.columnMapping.mode") == "name":
+        if config.get("delta.columnMapping.mode") in ("name", "id"):
             self._phys = [
                 (f.get("metadata") or {}).get(
                     "delta.columnMapping.physicalName", f["name"])

@@ -367,11 +367,12 @@ class IceFilePart(InputPartition):
     the per-process cache below deduplicates the pos-delete decode."""
 
     def __init__(self, rel: str, seq: int, out_names: list[str],
-                 type_names: list[str], pos_delete_files: tuple,
-                 eq_deletes: list):
+                 src_names: list[str], type_names: list[str],
+                 pos_delete_files: tuple, eq_deletes: list):
         self.rel = rel
         self.seq = seq
         self.out_names = out_names
+        self.src_names = src_names
         self.type_names = type_names
         self.pos_delete_files = pos_delete_files
         self.eq_deletes = eq_deletes
@@ -441,12 +442,18 @@ class PyIcebergReader(DataSourceReader):
                      "boolean": "boolean", "binary": "binary",
                      "date": "date", "timestamptz": "timestamp"}
         out_names = [f["name"] for f in fields]
+        # schema.name-mapping.default (UniForm-synced column-mapping
+        # tables): parquet stores the mapped physical names
+        from postrack_spark.streaming.iceberg import _name_mapping_property
+
+        nm = _name_mapping_property(plan["meta"]) or {}
+        src_names = [nm.get(f["id"], f["name"]) for f in fields]
         type_names = [ice_to_py[f["type"]] for f in fields]
         pos_delete_files = tuple(sorted(plan["pos_delete_files"]))
         eq_deletes = [
             (list(names), sorted(bucket.items()))
             for names, bucket in sorted(plan["eq_deletes"].items())]
-        return [IceFilePart(p, s, out_names, type_names,
+        return [IceFilePart(p, s, out_names, src_names, type_names,
                             pos_delete_files, eq_deletes)
                 for p, s in plan["paths"]]
 
@@ -475,7 +482,7 @@ class PyIcebergReader(DataSourceReader):
                 (key not in live for key in zip(*cols)),
                 dtype=bool, count=tbl.num_rows)
             tbl = tbl.filter(keep)
-        out = _project(tbl, partition.out_names, partition.out_names,
+        out = _project(tbl, partition.out_names, partition.src_names,
                        partition.type_names)
         yield from out.to_batches(max_chunksize=1 << 16)
 

@@ -236,6 +236,7 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
     from postrack_spark.streaming.delta_log import (
         DeltaCommitConflict,
         _cdf_enabled,
+        _cm_ids,
         _column_mapping,
         _physical_struct,
         _replay,
@@ -259,7 +260,8 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
         if not acts:
             return latest_version(table) or 0, 0, 0
         mapping = _column_mapping(schema_string, config)
-        phys = _physical_struct(schema, mapping)
+        cm_ids = _cm_ids(schema_string, config)
+        phys = _physical_struct(schema, mapping, cm_ids)
         live = spark.read.schema(phys).parquet(
             *[os.path.join(table, p) for p, _a in acts])
         # tag the scan's _metadata BEFORE the matcher runs: the
@@ -382,7 +384,8 @@ def _delete_dv(spark: SparkSession, table: str, matcher,
             cdc_actions = _write_change_files(
                 _to_physical(
                     matcher(visible).withColumn(
-                        "_change_type", F.lit("delete")), mapping), table)
+                        "_change_type", F.lit("delete")),
+                    mapping, cm_ids), table)
         try:
             commit_delta(table, read_v + 1,
                          removes + new_adds + cdc_actions)

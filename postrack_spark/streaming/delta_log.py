@@ -470,7 +470,8 @@ def pruned_read_delta(spark: SparkSession, table: str, column: str,
         keep.append(p)
     if not keep:
         return spark.createDataFrame([], schema), 0, len(paths)
-    phys = _physical_struct(schema, mapping)
+    phys = _physical_struct(schema, mapping,
+                            _cm_ids(schema_string, config))
     df = spark.read.schema(phys).parquet(
         *[os.path.join(table, p) for p in keep])
     adds = dict(paths)
@@ -819,7 +820,7 @@ def _reconcile_schema(schema_string: str, df: DataFrame,
 
     new_config = dict(config)
     next_id = int(config.get(_CM_MAXID, "0") or 0)
-    mapped = config.get(_CM_MODE) == "name"
+    mapped = config.get(_CM_MODE) in ("name", "id")
     for f in df.schema.fields:
         if f.name in set(extra):
             md = None
@@ -862,33 +863,65 @@ _CM_PHYS = "delta.columnMapping.physicalName"
 
 def _column_mapping(schema_string: str, config: dict) -> dict | None:
     """{logical name: physical parquet name}, or None when column
-    mapping is off."""
-    if (config or {}).get(_CM_MODE) != "name":
+    mapping is off. BOTH modes ('name' and 'id') maintain physical
+    names — id mode ADDITIONALLY stamps parquet field ids (below), the
+    spec's authoritative resolution key for that mode."""
+    if (config or {}).get(_CM_MODE) not in ("name", "id"):
         return None
     fields = json.loads(schema_string)["fields"]
     return {f["name"]: (f.get("metadata") or {}).get(_CM_PHYS, f["name"])
             for f in fields}
 
 
-def _physical_struct(schema: StructType, mapping: dict | None) -> StructType:
+_PQ_FIELD_ID = "parquet.field.id"
+
+
+def _cm_ids(schema_string: str, config: dict) -> dict | None:
+    """{logical name: delta.columnMapping.id} in id mode, else None.
+    The ids are written INTO the parquet schema (parquet.field.id
+    field metadata — Spark's fieldId write path) and reads resolve by
+    them (fieldId read path), so a renamed column keeps matching its
+    bytes by id even though no physical name appears anywhere in the
+    resolution — mode 'id' semantics per PROTOCOL.md."""
+    if (config or {}).get(_CM_MODE) != "id":
+        return None
+    fields = json.loads(schema_string)["fields"]
+    return {f["name"]: (f.get("metadata") or {}).get(_CM_ID)
+            for f in fields}
+
+
+def _physical_struct(schema: StructType, mapping: dict | None,
+                     ids: dict | None = None) -> StructType:
     # always a FRESH StructType: StructType.add mutates in place, so
     # returning the input when mapping is off would let callers'
     # .add("_change_type") corrupt the caller's schema object
     from pyspark.sql.types import StructField
 
     m = mapping or {}
+    i = ids or {}
     return StructType([
-        StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+        StructField(m.get(f.name, f.name), f.dataType, f.nullable,
+                    metadata=({_PQ_FIELD_ID: i[f.name]}
+                              if i.get(f.name) is not None else None))
         for f in schema.fields])
 
 
-def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+def _to_physical(df: DataFrame, mapping: dict | None,
+                 ids: dict | None = None) -> DataFrame:
     """Rename a logical frame's columns to physical names for staging
-    (columns outside the mapping — e.g. _change_type — pass through)."""
+    (columns outside the mapping — e.g. _change_type — pass through).
+    In id mode (``ids``) each mapped column also carries its
+    parquet.field.id metadata so the staged parquet files record the
+    spec's resolution ids."""
     if not mapping:
         return df
-    return df.select(*[F.col(c).alias(mapping.get(c, c))
-                       for c in df.columns])
+    i = ids or {}
+    return df.select(*[
+        F.col(c).alias(mapping.get(c, c),
+                       metadata={_PQ_FIELD_ID: i[c]})
+        if i.get(c) is not None
+        else F.col(c).alias(mapping.get(c, c))
+        for c in df.columns])
 
 
 def _scan_logical(spark: SparkSession, table: str, rel_paths: list[str],
@@ -900,7 +933,11 @@ def _scan_logical(spark: SparkSession, table: str, rel_paths: list[str],
     they resolve directly on the scan relation."""
     schema = StructType.fromJson(json.loads(schema_string))
     mapping = _column_mapping(schema_string, config)
-    phys = _physical_struct(schema, mapping)
+    # id mode: the scan schema carries parquet.field.id metadata, so
+    # with spark.sql.parquet.fieldId.read.enabled the parquet columns
+    # resolve BY ID (the mode's spec semantics); name resolution would
+    # also work here because physical names are maintained either way
+    phys = _physical_struct(schema, mapping, _cm_ids(schema_string, config))
     df = spark.read.schema(phys).parquet(
         *[os.path.join(table, p) for p in rel_paths])
     cols = [F.col(mapping.get(f.name, f.name) if mapping else f.name)
@@ -937,16 +974,49 @@ def _guard_generated_refs(schema_string: str, column: str, op: str) -> None:
                 f"{name!r} derives from it ({expr})")
 
 
-def enable_column_mapping_delta(table: str) -> int:
-    """Upgrade the table to column mapping mode 'name' (metadata-only
-    commit; idempotent). Physical names are frozen at the CURRENT
+def enable_column_mapping_delta(table: str, mode: str = "name") -> int:
+    """Upgrade the table to column mapping (metadata-only commit;
+    idempotent per mode). Returns the committed (or current, when
+    already enabled) version.
+
+    mode='name' (any table): physical names are frozen at the CURRENT
     logical names — exactly what the existing parquet contains — so
     the upgrade rewrites nothing and every prior file stays readable.
-    Returns the committed (or current, when already enabled) version."""
+
+    mode='id' (EMPTY tables only — delta-spark's new-tables-only rule,
+    enforced here as no-live-files): columns get uuid physical names
+    AND parquet field ids; every subsequent write stamps the ids into
+    its parquet schema (parquet.field.id) and reads resolve BY ID, the
+    mode's authoritative key. Existing data files could never satisfy
+    that contract (their parquet lacks ids), hence the restriction."""
+    if mode not in ("name", "id"):
+        raise ValueError("mode must be 'name' or 'id'")
     for _ in range(10):
-        _l, schema_string, read_v, _t, config = _replay(table, None)
-        if config.get(_CM_MODE) == "name":
+        live, schema_string, read_v, _t, config = _replay(table, None)
+        if config.get(_CM_MODE) == mode:
             return read_v
+        if config.get(_CM_MODE) is not None:
+            raise ValueError(
+                f"table already maps with mode {config[_CM_MODE]!r} — "
+                "mode changes are out of scope (they would re-key every "
+                "file's resolution)")
+        if mode == "id":
+            # a creating write may have staged zero-row part files —
+            # those never face id resolution (no column chunks); any
+            # file with ROWS (or without provable stats) blocks
+            def _rows(a: dict):
+                try:
+                    return json.loads(a.get("stats") or "")["numRecords"]
+                except (ValueError, KeyError):
+                    return None
+
+            if any(_rows(a) != 0 for a in live.values()):
+                raise NotImplementedError(
+                    "mode 'id' on a table with data is out of scope: "
+                    "existing parquet carries no field ids, so id "
+                    "resolution could never read it (delta-spark allows "
+                    "id mode on new tables only — create, enable, then "
+                    "write)")
         if _partition_columns(table, read_v):
             raise NotImplementedError(
                 "column mapping on a PARTITIONED table is out of scope "
@@ -957,15 +1027,24 @@ def enable_column_mapping_delta(table: str) -> int:
         for i, f in enumerate(sch["fields"], start=1):
             md = dict(f.get("metadata") or {})
             md[_CM_ID] = i
-            md[_CM_PHYS] = f["name"]
+            md[_CM_PHYS] = (f["name"] if mode == "name"
+                            else f"col-{uuid.uuid4().hex[:12]}")
             f["metadata"] = md
         new_config = dict(config)
-        new_config[_CM_MODE] = "name"
+        new_config[_CM_MODE] = mode
         new_config[_CM_MAXID] = str(len(sch["fields"]))
-        action = _meta_action(
-            json.dumps(sch, separators=(",", ":")), new_config, [])
+        actions = [_meta_action(
+            json.dumps(sch, separators=(",", ":")), new_config, [])]
+        if mode == "id":
+            # retire the proven-zero-row staging files in the SAME
+            # commit: they carry no field ids, and an id-resolving scan
+            # refuses id-less files rather than guessing by name
+            actions += [{"remove": {
+                "path": p, "deletionTimestamp": int(time.time() * 1000),
+                "dataChange": False,
+            }} for p in sorted(live)]
         try:
-            commit_delta(table, read_v + 1, [action])
+            commit_delta(table, read_v + 1, actions)
             return read_v + 1
         except DeltaCommitConflict:
             continue
@@ -980,11 +1059,11 @@ def rename_column_delta(table: str, old: str, new: str) -> int:
     columns referenced by CHECK constraints."""
     for _ in range(10):
         _l, schema_string, read_v, _t, config = _replay(table, None)
-        if config.get(_CM_MODE) != "name":
+        if config.get(_CM_MODE) not in ("name", "id"):
             raise ValueError(
                 "rename needs column mapping: run "
                 "enable_column_mapping_delta first (renaming without a "
-                "physical-name indirection would orphan every data file)")
+                "physical-name/id indirection would orphan every data file)")
         _guard_constraint_refs(config, old, "rename")
         _guard_generated_refs(schema_string, old, "rename")
         sch = json.loads(schema_string)
@@ -1015,7 +1094,7 @@ def drop_column_delta(table: str, column: str) -> int:
     referenced by CHECK constraints."""
     for _ in range(10):
         _l, schema_string, read_v, _t, config = _replay(table, None)
-        if config.get(_CM_MODE) != "name":
+        if config.get(_CM_MODE) not in ("name", "id"):
             raise ValueError(
                 "drop needs column mapping: run "
                 "enable_column_mapping_delta first")
@@ -1120,6 +1199,7 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
     gated_at: tuple | None = None
     evo_action: dict | None = None
     staged_mapping: dict | None = None
+    staged_ids: dict | None = None
     pcols = list(partition_by or [])
     creating = latest_version(table) is None
     if not creating:
@@ -1143,6 +1223,9 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
         staged_mapping = _column_mapping(
             eff["schemaString"] if eff else schema_string,
             eff["configuration"] if eff else config)
+        staged_ids = _cm_ids(
+            eff["schemaString"] if eff else schema_string,
+            eff["configuration"] if eff else config)
         if partition_by is not None and list(partition_by) != table_pcols:
             raise ValueError(
                 f"table is partitioned by {table_pcols}, write asked "
@@ -1160,7 +1243,8 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
             raise NotImplementedError(
                 "partitioned writes on a column-mapping table are out "
                 "of scope (physical-name partition dirs)")
-    adds = _write_data_files(_to_physical(df, staged_mapping), table,
+    adds = _write_data_files(_to_physical(df, staged_mapping,
+                                          staged_ids), table,
                              partition_cols=pcols)
     for attempt in range(10):
         current = latest_version(table)
@@ -1374,7 +1458,8 @@ def read_delta(spark: SparkSession, table: str,
     if not acts:
         return spark.createDataFrame([], schema)
     mapping = _column_mapping(schema_string, config)
-    phys = _physical_struct(schema, mapping)
+    phys = _physical_struct(schema, mapping,
+                            _cm_ids(schema_string, config))
     df = spark.read.schema(phys).parquet(
         *[os.path.join(table, p) for p, _a in acts])
     if any(a.get("deletionVector") for _p, a in acts):
@@ -1404,6 +1489,7 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             return  # replay of an already-committed batch
         os.makedirs(table, exist_ok=True)
         batch_mapping: dict | None = None
+        batch_ids: dict | None = None
         batch_pcols: list[str] = []
         rt_on = False
         gated_at: tuple | None = None
@@ -1419,11 +1505,13 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             if mode == "overwrite":
                 _guard_append_only(config, "streaming mode='overwrite'")
             batch_mapping = _column_mapping(schema_string, config)
+            batch_ids = _cm_ids(schema_string, config)
             batch_pcols = _partition_columns(table)
             rt_on = _rt_enabled(config)
             gated_at = (schema_string, tuple(sorted(config.items())))
-        adds = _write_data_files(_to_physical(batch_df, batch_mapping),
-                                 table, partition_cols=batch_pcols)
+        adds = _write_data_files(
+            _to_physical(batch_df, batch_mapping, batch_ids),
+            table, partition_cols=batch_pcols)
         for _ in range(10):
             current = latest_version(table)
             version = 0 if current is None else current + 1
@@ -1592,7 +1680,9 @@ def read_changes_delta(spark: SparkSession, table: str,
     # indirection is exactly what keeps pre-rename change files
     # resolving after a rename (zero rewrite)
     mapping = _column_mapping(schema_string, _cfg)
-    phys_cdf = _physical_struct(schema, mapping).add("_change_type", "string")
+    cm_ids = _cm_ids(schema_string, _cfg)
+    phys_cdf = _physical_struct(schema, mapping, cm_ids).add(
+        "_change_type", "string")
     logical_cols = [F.col(mapping.get(f.name, f.name) if mapping else f.name)
                     .alias(f.name) for f in schema.fields]
     pieces = []
@@ -1621,7 +1711,8 @@ def read_changes_delta(spark: SparkSession, table: str,
         adds = [a["add"]["path"] for a in actions
                 if "add" in a and a["add"].get("dataChange", True)]
         if adds:
-            df = spark.read.schema(_physical_struct(schema, mapping)).parquet(
+            df = spark.read.schema(
+                _physical_struct(schema, mapping, cm_ids)).parquet(
                 *[os.path.join(table, p) for p in adds])
             pieces.append(
                 df.select(*logical_cols)
@@ -1693,7 +1784,8 @@ def compact_delta(spark: SparkSession, table: str,
         else:
             df = df.coalesce(target_files)
         adds = _write_data_files(
-            _to_physical(df, _column_mapping(schema_string, config)), table,
+            _to_physical(df, _column_mapping(schema_string, config),
+                         _cm_ids(schema_string, config)), table,
             partition_cols=_partition_columns(table))
         for a in adds:
             a["add"]["dataChange"] = False
@@ -1975,6 +2067,7 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         mapping = _column_mapping(schema_string, config)
+        cm_ids = _cm_ids(schema_string, config)
         live = _scan_logical(
             spark, table, paths, schema_string, config,
             extra_cols=[F.col("_metadata.file_path").alias("_fp")])
@@ -1999,7 +2092,7 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
             F.max_by(F.struct(*cols), order_col).alias("_w"))
         flat = winner.select(key_col,
                              *[F.col(f"_w.{c}").alias(c) for c in cols])
-        adds = _write_data_files(_to_physical(flat, mapping), table,
+        adds = _write_data_files(_to_physical(flat, mapping, cm_ids), table,
                                  partition_cols=_partition_columns(table))
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
@@ -2047,7 +2140,7 @@ def merge_delta(spark: SparkSession, table: str, images: DataFrame,
             else:
                 changes = flat.withColumn("_change_type", F.lit("insert"))
             cdc_actions = _write_change_files(
-                _to_physical(changes, mapping), table)
+                _to_physical(changes, mapping, cm_ids), table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,
@@ -2089,6 +2182,7 @@ def delete_delta(spark: SparkSession, table: str,
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         mapping = _column_mapping(schema_string, config)
+        cm_ids = _cm_ids(schema_string, config)
         live = _scan_logical(
             spark, table, paths, schema_string, config,
             extra_cols=[F.col("_metadata.file_path").alias("_fp")])
@@ -2108,7 +2202,7 @@ def delete_delta(spark: SparkSession, table: str,
             spark, table, list(rel_affected), schema_string, config)
         survivors = affected_full.filter(
             ~F.coalesce(F.expr(condition), F.lit(False)))
-        adds = _write_data_files(_to_physical(survivors, mapping), table,
+        adds = _write_data_files(_to_physical(survivors, mapping, cm_ids), table,
                                  partition_cols=_partition_columns(table))
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
@@ -2119,7 +2213,7 @@ def delete_delta(spark: SparkSession, table: str,
                     affected_full.filter(
                         F.coalesce(F.expr(condition), F.lit(False))
                     ).withColumn("_change_type", F.lit("delete")),
-                    mapping), table)
+                    mapping, cm_ids), table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,
@@ -2150,6 +2244,7 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
         _dv_acts = list(live_map.items())
         paths = [p for p, _a in _dv_acts]
         mapping = _column_mapping(schema_string, config)
+        cm_ids = _cm_ids(schema_string, config)
         live = _scan_logical(
             spark, table, paths, schema_string, config,
             extra_cols=[F.col("_metadata.file_path").alias("_fp")])
@@ -2169,7 +2264,7 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
         affected_full = _scan_logical(
             spark, table, list(rel_affected), schema_string, config)
         survivors = affected_full.join(F.broadcast(kdf), key_col, "left_anti")
-        adds = _write_data_files(_to_physical(survivors, mapping), table,
+        adds = _write_data_files(_to_physical(survivors, mapping, cm_ids), table,
                                  partition_cols=_partition_columns(table))
         cdc_actions: list[dict] = []
         if _cdf_enabled(config):
@@ -2178,7 +2273,7 @@ def delete_keys_delta(spark: SparkSession, table: str, keys: DataFrame,
                     affected_full.join(F.broadcast(kdf), key_col,
                                        "left_semi")
                     .withColumn("_change_type", F.lit("delete")),
-                    mapping), table)
+                    mapping, cm_ids), table)
         removes = [{"remove": {
             "path": p, "deletionTimestamp": int(time.time() * 1000),
             "dataChange": True,
@@ -2469,7 +2564,8 @@ def read_delta_with_row_ids(spark: SparkSession, table: str,
         return spark.createDataFrame([], logical_out)
     mat = config.get(_RT_MAT_KEY, "_row_id")
     mapping = _column_mapping(schema_string, config)
-    phys = _physical_struct(schema, mapping)
+    phys = _physical_struct(schema, mapping,
+                            _cm_ids(schema_string, config))
     scan_schema = StructType(
         list(phys.fields) + [StructField(mat, LongType(), True)])
     out_schema = StructType(

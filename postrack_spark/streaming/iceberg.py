@@ -167,6 +167,22 @@ def _single_value_unbin(ice_type: str, b: bytes):
     return None
 
 
+def _name_mapping_property(meta: dict) -> dict | None:
+    """{field-id: first mapped parquet column name} from the table's
+    schema.name-mapping.default property (spec: the fallback
+    resolution for parquet files without field ids), or None. Fails
+    open (None) on malformed JSON — the scan then resolves by schema
+    names, exactly the no-property behavior."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return None
+    try:
+        return {e["field-id"]: e["names"][0] for e in json.loads(raw)
+                if e.get("names")}
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
 def _bind_bounds(entries: list[dict], schema_fields: list[dict]) -> None:
     """Convert each staged entry's raw footer bounds (column-name ->
     python value, stashed by the stage functions) into the spec's
@@ -1216,19 +1232,36 @@ def read_iceberg(spark: SparkSession, table: str,
     pos_delete_files = plan["pos_delete_files"]
     pos_delete_records = plan["pos_delete_records"]
     eq_deletes = plan["eq_deletes"]
+    fields = meta["schema"]["fields"]
     ddl = ", ".join(
-        f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
-        for f in meta["schema"]["fields"])
+        f"{f['name']} {_ICE_TO_SPARK[f['type']]}" for f in fields)
     if not paths:
         return spark.createDataFrame([], ddl)
-    df = spark.read.schema(ddl).parquet(
+    nm = _name_mapping_property(meta)
+    if nm:
+        # schema.name-mapping.default (spec): parquet columns resolve
+        # through the mapping's names — the lane that makes UniForm-
+        # synced column-mapping Delta tables readable (their parquet
+        # stores PHYSICAL names; the Iceberg schema carries logical)
+        scan_ddl = ", ".join(
+            f"`{nm.get(f['id'], f['name'])}` {_ICE_TO_SPARK[f['type']]}"
+            for f in fields)
+        sel = [F.col(nm.get(f["id"], f["name"])).alias(f["name"])
+               for f in fields]
+    else:
+        scan_ddl = ddl
+        sel = [F.col(f["name"]) for f in fields]
+    raw = spark.read.schema(scan_ddl).parquet(
         *[os.path.join(table, p) for p, _s in paths])
+    df = raw.select(*sel) if nm else raw
     if not pos_delete_files and not eq_deletes:
         return df
-    cols = df.columns
+    cols = [f["name"] for f in fields]
     root = os.path.abspath(table)
-    tagged = df.select(
-        *cols,
+    # _metadata must resolve on the SCAN relation, so project the
+    # logical aliases and the metadata columns in one select from raw
+    tagged = raw.select(
+        *sel,
         _rel_path_col(root).alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
@@ -2109,13 +2142,24 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
 
     acts_map, schema_string, _v, _txns, _dconfig = _delta_replay(table, None)
     acts = list(acts_map.items())
-    if (_dconfig or {}).get("delta.columnMapping.mode") == "name":
-        # the sync points Iceberg metadata at the same parquet BYTES,
-        # but those store Delta's PHYSICAL column names while the
-        # Iceberg schema here would carry the logical ones — refuse
-        # rather than serve all-NULL columns (honest-seam rule)
-        raise NotImplementedError(
-            "UniForm sync of a column-mapping table is out of scope")
+    # COLUMN-MAPPING tables sync by TRANSLATION (the r7 refusal
+    # lifted): the Iceberg schema carries the LOGICAL names keyed by
+    # the delta.columnMapping.id values as Iceberg field-ids — the two
+    # metadata systems are id-based on both sides — and the physical
+    # parquet names ride the spec's schema.name-mapping.default
+    # property, so readers resolve the physical columns by mapping
+    # (name mode: parquet has no field ids) or by parquet field id
+    # (id mode stamps them; ids EQUAL the mapping ids by construction)
+    _dfields = _json.loads(schema_string)["fields"]
+    _cm_mode = (_dconfig or {}).get("delta.columnMapping.mode")
+    cm_ids: dict[str, int] = {}
+    cm_phys: dict[str, str] = {}
+    if _cm_mode in ("name", "id"):
+        for f in _dfields:
+            md = f.get("metadata") or {}
+            cm_ids[f["name"]] = md["delta.columnMapping.id"]
+            cm_phys[f["name"]] = md.get(
+                "delta.columnMapping.physicalName", f["name"])
     if any(a.get("deletionVector") for _p, a in acts):
         # the sync points Iceberg metadata at the SAME parquet bytes;
         # a file carrying a Delta deletion vector has no Iceberg-side
@@ -2132,9 +2176,19 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
     version = 0 if current is None else current["last-version"] + 1
     snapshot_id = version + 1
 
+    ice_schema = _ice_schema(schema)
+    if cm_ids:
+        for f in ice_schema["fields"]:
+            f["id"] = cm_ids[f["name"]]
+    phys_to_logical = {v: k for k, v in cm_phys.items()}
     entries = []
     for p in sorted(paths):
         lower, upper = _footer_bounds(os.path.join(table, p))
+        if phys_to_logical:
+            # footer bounds are keyed by the parquet's PHYSICAL names;
+            # re-key to logical so _bind_bounds resolves field ids
+            lower = {phys_to_logical.get(k, k): v for k, v in lower.items()}
+            upper = {phys_to_logical.get(k, k): v for k, v in upper.items()}
         entries.append({
             "status": ADDED, "snapshot_id": snapshot_id,
             "data_file": {
@@ -2146,7 +2200,7 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
                 "lower_bounds": [], "upper_bounds": [],
                 "sort_order_id": 0,
             }})
-    _bind_bounds(entries, _ice_schema(schema)["fields"])
+    _bind_bounds(entries, ice_schema["fields"])
     manifest_rel = os.path.join("metadata", f"manifest-{snapshot_id:08d}.avro")
     manifest_blob = write_avro(entries, _MANIFEST_SCHEMA, codec="deflate")
     with open(os.path.join(table, manifest_rel), "wb") as f:
@@ -2166,15 +2220,26 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
         "manifest-list": mlist_rel,
         "summary": {"operation": "replace", "source": "delta-sync"},
     }]
+    # carry existing properties (the r7 property-erasure lesson), then
+    # re-derive the sync-owned keys from the CURRENT delta schema
+    properties = dict((current or {}).get("properties") or {})
+    properties["delta.sync"] = "true"
+    properties.pop("schema.name-mapping.default", None)
+    if cm_phys:
+        properties["schema.name-mapping.default"] = _json.dumps(
+            [{"field-id": cm_ids[n], "names": [cm_phys[n]]}
+             for n in sorted(cm_ids)],
+            separators=(",", ":"))
     meta = {
         "format-version": 1,
         "table-uuid": (current or {}).get("table-uuid", str(uuid.uuid4())),
         "location": os.path.abspath(table),
         "last-updated-ms": now_ms,
-        "last-column-id": len(schema.fields),
-        "schema": _ice_schema(schema),
+        "last-column-id": max([f["id"] for f in ice_schema["fields"]],
+                              default=len(schema.fields)),
+        "schema": ice_schema,
         "partition-spec": [],
-        "properties": {"delta.sync": "true"},
+        "properties": properties,
         "metadata-log": list((current or {}).get("metadata-log") or []),
         "current-snapshot-id": snapshot_id,
         # tags/branches made against earlier syncs survive re-sync

@@ -2289,3 +2289,70 @@ def test_multipart_checkpoint_carries_table_state(spark):
     stats: dict = {}
     read_delta(spark, t, partition_filter={"v": "4"}, scan_stats=stats)
     assert 0 < stats["files_scanned"] < stats["files_total"]
+
+
+# --------------------------------------- column mapping mode 'id' (r8)
+
+
+def test_column_mapping_id_mode_lifecycle(spark):
+    """mode 'id': writes stamp parquet.field.id into the data files,
+    reads resolve BY ID, rename/drop stay metadata-only, and the ids
+    survive a checkpoint + clean_log."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+        drop_column_delta,
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cmid_")
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta(empty, t)
+    enable_column_mapping_delta(t, mode="id")
+    write_delta(_df(spark, 0, 20).repartition(2), t)
+    # physical uuid names + parquet field ids present in the bytes
+    data = [f for f in glob.glob(t + "/part-*.parquet")
+            if pq.ParquetFile(f).metadata.num_rows > 0]
+    sch = pq.ParquetFile(data[0]).schema_arrow
+    assert all(n.startswith("col-") for n in sch.names)
+    ids = {dict(f.metadata or {}).get(b"PARQUET:field_id") for f in sch}
+    assert ids == {b"1", b"2"}
+    rename_column_delta(t, "v", "val")
+    got = {r["k"]: r["val"] for r in read_delta(spark, t).collect()}
+    assert got == {k: 2 * k for k in range(20)}
+    # post-rename writes keep stamping the SAME ids
+    write_delta(spark.range(20, 25).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")), t)
+    assert read_delta(spark, t).count() == 25
+    # checkpoint survival: schema metadata (ids + physical names) ride
+    checkpoint_delta(t, parts=2)
+    clean_log_delta(t)
+    got = {r["k"]: r["val"] for r in read_delta(spark, t).collect()}
+    assert got == {k: 2 * k for k in range(25)}
+    rename_column_delta(t, "val", "doubled")
+    assert read_delta(spark, t).columns == ["k", "doubled"]
+    drop_column_delta(t, "doubled")
+    assert read_delta(spark, t).columns == ["k"]
+
+
+def test_column_mapping_id_mode_refuses_table_with_data(spark):
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cmid_ref_")
+    write_delta(_df(spark, 0, 5), t)
+    with pytest.raises(NotImplementedError, match="id mode on new tables"):
+        enable_column_mapping_delta(t, mode="id")
+    # and a mode change on an already-mapped table refuses
+    t2 = tempfile.mkdtemp(prefix="delta_cmid_ref2_")
+    write_delta(_df(spark, 0, 5), t2)
+    enable_column_mapping_delta(t2)  # name mode
+    with pytest.raises(ValueError, match="already maps"):
+        enable_column_mapping_delta(t2, mode="id")

@@ -1566,3 +1566,71 @@ def test_orphan_sweep_aborts_on_unreadable_metadata(spark):
         f.write("{ truncated")
     with pytest.raises(RuntimeError, match="orphan sweep aborted"):
         remove_orphan_files_iceberg(t, min_age_s=0.0)
+
+
+# -------------------------------- UniForm sync of mapped tables (r8)
+
+
+def _mapped_delta(spark, mode):
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+        rename_column_delta,
+        write_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix=f"uniform_{mode}_")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    if mode == "id":
+        write_delta(df.limit(0), t)
+        enable_column_mapping_delta(t, mode="id")
+        write_delta(df.repartitionByRange(4, "k"), t)
+    else:
+        write_delta(df.repartitionByRange(4, "k"), t)
+        enable_column_mapping_delta(t)
+    rename_column_delta(t, "v", "val")
+    return t
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_uniform_sync_of_mapped_table(spark, mode):
+    """The r7 refusal lifted: a column-mapping Delta table syncs to
+    Iceberg metadata whose field-ids EQUAL the delta.columnMapping.id
+    values and whose schema.name-mapping.default property maps them to
+    the physical parquet names — read_iceberg resolves the physical
+    columns through the mapping and serves LOGICAL names, renamed
+    column included."""
+    from postrack_spark.streaming.iceberg import sync_iceberg_from_delta
+
+    t = _mapped_delta(spark, mode)
+    sync_iceberg_from_delta(spark, t)
+    meta = json.loads(open(os.path.join(
+        t, "metadata",
+        f"v{int(open(os.path.join(t, 'metadata', 'version-hint.text')).read())}"
+        ".metadata.json")).read())
+    assert [f["name"] for f in meta["schema"]["fields"]] == ["k", "val"]
+    assert [f["id"] for f in meta["schema"]["fields"]] == [1, 2]
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {e["field-id"] for e in nm} == {1, 2}
+    got = {r["k"]: r["val"] for r in read_iceberg(spark, t).collect()}
+    assert got == {k: 3 * k for k in range(40)}
+    # min/max skipping works through the physical->logical bound
+    # translation (range-partitioned files have disjoint k bounds)
+    stats: dict = {}
+    read_iceberg(spark, t, stats_filter={"k": (0, 5)}, scan_stats=stats)
+    assert 0 < stats["files_scanned"] < stats["files_total"]
+
+
+def test_uniform_synced_mapped_table_reads_via_datasource(spark):
+    from postrack_spark.sources.lakehouse_ds import (
+        register_lakehouse_sources,
+    )
+    from postrack_spark.streaming.iceberg import sync_iceberg_from_delta
+
+    register_lakehouse_sources(spark)
+    t = _mapped_delta(spark, "name")
+    sync_iceberg_from_delta(spark, t)
+    df = spark.read.format("pyiceberg").load(t)
+    assert df.columns == ["k", "val"]
+    got = {r["k"]: r["val"] for r in df.collect()}
+    assert got == {k: 3 * k for k in range(40)}
