@@ -4971,3 +4971,93 @@ def cdc_delta_id_mapping_uniform_sync(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("custmod")
     )
+
+
+@query(
+    "cdc_iceberg_v3_dv_delete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS one_dv_per_file,
+           true AS puffin_only,
+           true AS zero_rewrite
+    FROM base
+    WHERE o_orderkey % 10 NOT IN (3, 7)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_iceberg_v3_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 DELETION VECTORS (spec v3; VERDICT r7
+    next-round item 5): on a v3 table, DELETE writes roaring bitmaps
+    into PUFFIN files (streaming/puffin.py — deletion-vector-v1
+    blobs, the same magic+roaring serialization Delta's DV format
+    uses, which v3 adopted) instead of position-delete Avros; the
+    manifest carries the spec's addressing triplet
+    (referenced_data_file/content_offset/content_size_in_bytes) and
+    the reader decodes vectors EXECUTOR-SIDE into the same (file,
+    pos) anti-join the v2 path plans. Two overlapping deletes prove
+    the spec's merge invariant: the second UNIONS each file's
+    existing vector, so the snapshot holds at most ONE DV per data
+    file (one_dv_per_file gates it), re-marked rows count zero, and
+    no position-delete Avro ever appears (puffin_only). zero_rewrite
+    gates that the data parquet set is byte-identical through both
+    deletes — O(matches) bitmap bytes instead of a COW rewrite, the
+    100 TB scattered-delete economics."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        delete_positions_iceberg,
+        plan_scan_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_v3_q_")
+    append_iceberg(base.repartition(4), table, format_version=3)
+
+    def _data_files():
+        return sorted(
+            (f, _os.path.getsize(f))
+            for f in _glob.glob(_os.path.join(table, "data", "*.parquet")))
+
+    before = _data_files()
+    delete_positions_iceberg(spark, table, "o_orderkey % 10 = 3")
+    delete_positions_iceberg(spark, table, "o_orderkey % 10 IN (3, 7)")
+    plan = plan_scan_iceberg(table)
+    refs = [d["referenced"] for d in plan["dv_descriptors"]]
+    one_dv_per_file = len(refs) == len(set(refs)) and len(refs) > 0
+    data_dir = _os.listdir(_os.path.join(table, "data"))
+    puffin_only = (
+        not [f for f in data_dir if f.startswith("delete-")]
+        and [f for f in data_dir if f.endswith(".puffin")])
+    zero_rewrite = _data_files() == before
+    return (
+        read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus", "n_orders", "cents",
+            F.lit(bool(one_dv_per_file)).alias("one_dv_per_file"),
+            F.lit(bool(puffin_only)).alias("puffin_only"),
+            F.lit(bool(zero_rewrite)).alias("zero_rewrite"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -264,6 +264,33 @@ _EQ_MANIFEST_SCHEMA = {
     ],
 }
 
+# format-version 3 DELETION VECTOR manifests: the data_file points at
+# a PUFFIN file and carries the spec's DV addressing triplet —
+# referenced_data_file (143, which data file the vector masks),
+# content_offset (144) and content_size_in_bytes (145, the blob's
+# position inside the puffin). record_count = the vector's cardinality.
+_DV_MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": "long", "field-id": 1},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "referenced_data_file", "type": "string",
+                 "field-id": 143},
+                {"name": "content_offset", "type": "long", "field-id": 144},
+                {"name": "content_size_in_bytes", "type": "long",
+                 "field-id": 145},
+            ]}},
+    ],
+}
+
 ADDED, EXISTING = 1, 0
 DATA_CONTENT, DELETE_CONTENT = 0, 1
 # data_file.content values (field-id 134)
@@ -543,8 +570,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     file-precise on range predicates at 100 TB."""
     from pyspark.sql import functions as F
 
-    if format_version not in (1, 2):
-        raise ValueError("format_version must be 1 or 2")
+    if format_version not in (1, 2, 3):
+        raise ValueError("format_version must be 1, 2 or 3")
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     os.makedirs(_meta_dir(table), exist_ok=True)
 
@@ -688,13 +715,13 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "partition_spec_id": used_sid,
             "added_snapshot_id": snapshot_id,
         }
-        if format_version == 2:
+        if format_version >= 2:
             new_entry["content"] = DATA_CONTENT
             new_entry["sequence_number"] = seq
         mlist = prior + [new_entry]
         mlist_rel = os.path.join(
             "metadata", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
-        list_schema = (_MANIFEST_LIST_SCHEMA_V2 if format_version == 2
+        list_schema = (_MANIFEST_LIST_SCHEMA_V2 if format_version >= 2
                        else _MANIFEST_LIST_SCHEMA)
         with open(os.path.join(table, mlist_rel), "wb") as f:
             f.write(write_avro(mlist, list_schema, codec="deflate"))
@@ -716,7 +743,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                 **(summary_extra or {}),
             },
         }
-        if format_version == 2:
+        if format_version >= 2:
             new_snap["sequence-number"] = seq
         snapshots = (current["snapshots"] if current else []) + [new_snap]
         meta = {
@@ -753,7 +780,7 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "snapshots": snapshots,
             "last-version": version,
         }
-        if format_version == 2:
+        if format_version >= 2:
             meta["last-sequence-number"] = seq
         try:
             _commit_metadata(table, version, meta)
@@ -1231,6 +1258,7 @@ def read_iceberg(spark: SparkSession, table: str,
     paths = plan["paths"]
     pos_delete_files = plan["pos_delete_files"]
     pos_delete_records = plan["pos_delete_records"]
+    dv_descriptors = plan["dv_descriptors"]
     eq_deletes = plan["eq_deletes"]
     fields = meta["schema"]["fields"]
     ddl = ", ".join(
@@ -1254,7 +1282,7 @@ def read_iceberg(spark: SparkSession, table: str,
     raw = spark.read.schema(scan_ddl).parquet(
         *[os.path.join(table, p) for p, _s in paths])
     df = raw.select(*sel) if nm else raw
-    if not pos_delete_files and not eq_deletes:
+    if not pos_delete_files and not eq_deletes and not dv_descriptors:
         return df
     cols = [f["name"] for f in fields]
     root = os.path.abspath(table)
@@ -1265,8 +1293,15 @@ def read_iceberg(spark: SparkSession, table: str,
         _rel_path_col(root).alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    if pos_delete_files:
-        ddf = _pos_delete_frame(spark, root, pos_delete_files)
+    if pos_delete_files or dv_descriptors:
+        frames = []
+        if pos_delete_files:
+            frames.append(_pos_delete_frame(spark, root, pos_delete_files))
+        if dv_descriptors:
+            frames.append(_dv_delete_frame(spark, root, dv_descriptors))
+        ddf = frames[0]
+        for extra in frames[1:]:
+            ddf = ddf.unionByName(extra)
         # broadcast only when the manifests PROVE the delete side is
         # small (record_count is required file metadata, so the
         # decision is plan-time and O(files)); past the cap, leave the
@@ -1317,8 +1352,8 @@ def plan_scan_iceberg(table: str,
     meta = _current_metadata(table)
     if meta is None:
         raise FileNotFoundError(f"no iceberg metadata under {table}")
-    if meta["format-version"] not in (1, 2):
-        raise NotImplementedError("only format-version 1/2 readable here")
+    if meta["format-version"] not in (1, 2, 3):
+        raise NotImplementedError("only format-version 1/2/3 readable here")
     if timestamp_ms is not None:
         # TIMESTAMP AS OF (the spec's snapshot-log rule): newest
         # snapshot with timestamp-ms at or before the asked instant
@@ -1353,6 +1388,10 @@ def plan_scan_iceberg(table: str,
     # never materialize as a driver Python list)
     pos_delete_files: list[str] = []
     pos_delete_records = 0
+    # format-version 3 deletion vectors: O(DV) descriptors only —
+    # (puffin path, offset, length, referenced data file); bitmaps
+    # decode executor-side in _dv_delete_frame
+    dv_descriptors: list[dict] = []
     # equality deletes grouped by their key-column tuple: for each key
     # tuple the MAX delete sequence wins (a delete at seq 9 subsumes
     # one at seq 5 — both drop files below 5; only <9 matters).
@@ -1383,6 +1422,16 @@ def plan_scan_iceberg(table: str,
                 if e["status"] not in (ADDED, EXISTING):
                     continue
                 dfile = e["data_file"]
+                if dfile.get("file_format") == "PUFFIN":
+                    dv_descriptors.append({
+                        "path": dfile["file_path"],
+                        "offset": dfile["content_offset"],
+                        "length": dfile["content_size_in_bytes"],
+                        "referenced": dfile["referenced_data_file"],
+                    })
+                    pos_delete_records += int(
+                        dfile.get("record_count") or 0)
+                    continue
                 if dfile.get("content", FILE_POS_DELETES) == FILE_EQ_DELETES:
                     rows, _s = read_avro(
                         _read_file(table, dfile["file_path"]))
@@ -1417,6 +1466,7 @@ def plan_scan_iceberg(table: str,
         "paths": paths,
         "pos_delete_files": pos_delete_files,
         "pos_delete_records": pos_delete_records,
+        "dv_descriptors": dv_descriptors,
         "eq_deletes": eq_deletes,
     }
 
@@ -1482,6 +1532,233 @@ def _rel_path_col(root: str):
     ).otherwise(F.lit(None))
 
 
+def _dv_delete_frame(spark: SparkSession, root: str,
+                     descriptors: list[dict]) -> DataFrame:
+    """Distributed decode of format-version 3 Puffin DELETION VECTORS
+    into the same (_fp, _pos) anti-join shape _pos_delete_frame
+    produces: only the O(DV) descriptor rows leave the driver; each
+    executor partition decodes its blobs (offset/length addressing)
+    and emits the referenced data file's deleted positions."""
+    rows = [(d["path"], int(d["offset"]), int(d["length"]),
+             d["referenced"])
+            for d in sorted(descriptors,
+                            key=lambda d: (d["path"], d["offset"]))]
+    files_df = spark.createDataFrame(
+        rows, "path string, off long, ln long, ref string"
+    ).repartition(min(len(rows), 64))
+
+    def _decode(batches):
+        import os as _os
+
+        import pandas as _pd
+
+        from postrack_spark.streaming.puffin import decode_dv_blob
+
+        for pdf in batches:
+            for path, off, ln, ref in zip(pdf["path"], pdf["off"],
+                                          pdf["ln"], pdf["ref"]):
+                with open(_os.path.join(root, path), "rb") as f:
+                    data = f.read()
+                vals = decode_dv_blob(data, int(off), int(ln)).values()
+                if vals:
+                    yield _pd.DataFrame({"_fp": [ref] * len(vals),
+                                         "_pos": vals})
+
+    return files_df.mapInPandas(_decode, "_fp string, _pos long")
+
+
+def _delete_positions_v3(spark: SparkSession, table: str,
+                         condition: str) -> tuple[int, int]:
+    """Format-version 3 DELETE: Puffin DELETION VECTORS (spec v3 —
+    DVs REPLACE position-delete files; a v3 writer must not add new
+    position-delete files). Matching rows become per-data-file roaring
+    bitmaps, collocated one Puffin file per executor partition (the
+    spec's recommended layout), committed under ONE content=1 manifest
+    whose entries carry the DV addressing triplet
+    (referenced_data_file / content_offset / content_size_in_bytes).
+
+    Spec invariants maintained: at most ONE DV per data file per
+    snapshot — a re-delete UNIONS the file's existing vector
+    (executor-side decode+merge, like Delta's DV stacking) and the
+    new snapshot's manifest list DROPS prior DV manifests, carrying
+    their unaffected entries as EXISTING into the new manifest.
+    Returns (snapshot id, NEWLY deleted row count — re-marked rows
+    count zero, the Delta DV accounting rule).
+
+    Scale: the (file, pos) sets live only in executor bitmaps; the
+    driver sees O(DV files) descriptor rows. Snapshot-pinned OCC like
+    the v2 path: positions are a function of the snapshot scanned."""
+    from pyspark.sql import functions as F
+
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        snap = _snapshot(meta, meta["current-snapshot-id"])
+        mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
+        data_paths: list[str] = []
+        keep_mlist: list[dict] = []
+        existing_dvs: dict[str, dict] = {}
+        for m in mlist:
+            entries, _s = read_avro(_read_file(table, m["manifest_path"]))
+            if m.get("content", DATA_CONTENT) == DELETE_CONTENT:
+                dv_entries = [e for e in entries if e["data_file"].get(
+                    "file_format") == "PUFFIN"]
+                if dv_entries:
+                    # our DV manifests never mix entry kinds
+                    for e in dv_entries:
+                        existing_dvs[
+                            e["data_file"]["referenced_data_file"]] = e
+                    continue  # superseded: rewritten below
+                keep_mlist.append(m)  # equality-delete manifest
+                continue
+            keep_mlist.append(m)
+            data_paths += [e["data_file"]["file_path"] for e in entries
+                           if e["status"] in (ADDED, EXISTING)]
+        if not data_paths:
+            return meta["current-snapshot-id"], 0
+        ddl = ", ".join(f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+                        for f in meta["schema"]["fields"])
+        root = os.path.abspath(table)
+        df = spark.read.schema(ddl).parquet(
+            *[os.path.join(table, p) for p in data_paths])
+        matches = df.filter(
+            F.coalesce(F.expr(condition), F.lit(False))
+        ).select(
+            _rel_path_col(root).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        version = meta["last-version"] + 1
+        snapshot_id = version + 1
+        seq = meta["last-sequence-number"] + 1
+        dv_closure = {p: (e["data_file"]["file_path"],
+                          e["data_file"]["content_offset"],
+                          e["data_file"]["content_size_in_bytes"])
+                      for p, e in existing_dvs.items()}
+        table_abs = root
+
+        def _write_dv(batches):
+            import os as _os
+
+            import pandas as _pd
+
+            from postrack_spark.streaming.puffin import (
+                DV_BLOB_TYPE,
+                decode_dv_blob,
+                dv_blob,
+                write_puffin,
+            )
+            from postrack_spark.streaming.roaring import RoaringArray64
+
+            by_file: dict[str, list[int]] = {}
+            for pdf in batches:
+                for p, q in zip(pdf["file_path"], pdf["pos"]):
+                    by_file.setdefault(p, []).append(int(q))
+            if not by_file:
+                return
+            blobs, cards = [], []
+            for p in sorted(by_file):
+                rb = RoaringArray64(by_file[p])
+                old = dv_closure.get(p)
+                if old is not None:
+                    with open(_os.path.join(table_abs, old[0]), "rb") as f:
+                        data = f.read()
+                    for v in decode_dv_blob(data, old[1], old[2]).values():
+                        rb.add(v)
+                blobs.append((dv_blob(rb), {
+                    "type": DV_BLOB_TYPE, "fields": [],
+                    "snapshot-id": snapshot_id, "sequence-number": seq,
+                    "properties": {"referenced-data-file": p,
+                                   "cardinality": str(rb.cardinality())},
+                }))
+                cards.append((p, rb.cardinality()))
+            file_bytes, metas = write_puffin(blobs)
+            rel = _os.path.join("data", f"dv-{uuid.uuid4().hex}.puffin")
+            with open(_os.path.join(table_abs, rel), "wb") as f:
+                f.write(file_bytes)
+            yield _pd.DataFrame([{
+                "puffin": rel, "file_size": len(file_bytes),
+                "referenced": p, "offset": m["offset"],
+                "length": m["length"], "cardinality": c,
+            } for (p, c), m in zip(cards, metas)])
+
+        written = sorted(
+            matches.repartition(
+                max(1, len(data_paths)), "file_path").mapInPandas(
+                _write_dv,
+                "puffin string, file_size long, referenced string,"
+                " offset long, length long, cardinality long",
+            ).collect(),
+            key=lambda r: (r["puffin"], r["offset"]))
+        if not written:
+            return meta["current-snapshot-id"], 0
+        prev_cards = {p: e["data_file"]["record_count"]
+                      for p, e in existing_dvs.items()}
+        n_new = sum(r["cardinality"] - prev_cards.get(r["referenced"], 0)
+                    for r in written)
+        new_entries = [{"status": ADDED, "snapshot_id": snapshot_id,
+                        "data_file": {
+                            "file_path": r["puffin"],
+                            "file_format": "PUFFIN",
+                            "record_count": r["cardinality"],
+                            "file_size_in_bytes": r["file_size"],
+                            "content": FILE_POS_DELETES,
+                            "referenced_data_file": r["referenced"],
+                            "content_offset": r["offset"],
+                            "content_size_in_bytes": r["length"],
+                        }} for r in written]
+        affected = {r["referenced"] for r in written}
+        for p, e in sorted(existing_dvs.items()):
+            if p not in affected:
+                new_entries.append({"status": EXISTING,
+                                    "snapshot_id": e["snapshot_id"],
+                                    "data_file": dict(e["data_file"])})
+        manifest_rel = os.path.join(
+            "metadata",
+            f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        manifest_blob = write_avro(new_entries, _DV_MANIFEST_SCHEMA,
+                                   codec="deflate")
+        with open(os.path.join(table, manifest_rel), "wb") as f:
+            f.write(manifest_blob)
+        new_mlist = keep_mlist + [{
+            "manifest_path": manifest_rel,
+            "manifest_length": len(manifest_blob),
+            "partition_spec_id": _delete_manifest_spec_id(meta),
+            "added_snapshot_id": snapshot_id,
+            "content": DELETE_CONTENT,
+            "sequence_number": seq,
+        }]
+        mlist_rel = os.path.join(
+            "metadata", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        with open(os.path.join(table, mlist_rel), "wb") as f:
+            f.write(write_avro(new_mlist, _MANIFEST_LIST_SCHEMA_V2,
+                               codec="deflate"))
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["snapshots"] = meta["snapshots"] + [{
+            "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "manifest-list": mlist_rel, "sequence-number": seq,
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": str(len({r["puffin"]
+                                               for r in written})),
+                "added-dvs": str(len(written)),
+                "added-position-deletes": str(n_new),
+            },
+        }]
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-version"] = version
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        try:
+            _commit_metadata(table, version, new_meta)
+            return snapshot_id, n_new
+        except IcebergCommitConflict:
+            continue  # recompute positions from the new snapshot
+    raise IcebergCommitConflict(f"lost 10 delete races on {table}")
+
+
 def delete_positions_iceberg(spark: SparkSession, table: str,
                              condition: str) -> tuple[int, int]:
     """MERGE-ON-READ position delete (format-version 2 only): rows
@@ -1516,9 +1793,14 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
         meta = _current_metadata(table)
         if meta is None:
             raise FileNotFoundError(f"no iceberg metadata under {table}")
+        if meta["format-version"] == 3:
+            # v3 forbids NEW position-delete files: the same call
+            # writes Puffin DELETION VECTORS instead (the spec's
+            # successor representation)
+            return _delete_positions_v3(spark, table, condition)
         if meta["format-version"] != 2:
             raise NotImplementedError(
-                "position deletes need a format-version 2 table")
+                "position deletes need a format-version 2/3 table")
         snap = _snapshot(meta, meta["current-snapshot-id"])
         mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
         data_paths = []
@@ -1736,9 +2018,9 @@ def delete_keys_iceberg(spark: SparkSession, table: str,
     meta0 = _current_metadata(table)
     if meta0 is None:
         raise FileNotFoundError(f"no iceberg metadata under {table}")
-    if meta0["format-version"] != 2:
+    if meta0["format-version"] not in (2, 3):
         raise NotImplementedError(
-            "equality deletes need a format-version 2 table")
+            "equality deletes need a format-version 2/3 table")
     eq_ids, file_schema = _eq_key_plan(meta0, key_cols)
     written = _stage_eq_delete_files(keys, table, key_cols, file_schema)
     if not written:
@@ -1822,9 +2104,9 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
             "dedupe to latest-wins before upserting")
 
     meta0 = _current_metadata(table)
-    if meta0 is not None and meta0["format-version"] != 2:
+    if meta0 is not None and meta0["format-version"] not in (2, 3):
         raise NotImplementedError(
-            "upsert needs a format-version 2 table")
+            "upsert needs a format-version 2/3 table")
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     os.makedirs(_meta_dir(table), exist_ok=True)
     if meta0 is None:
