@@ -530,6 +530,35 @@ def _evolve_ice_schema(current_schema: dict, df: DataFrame,
     return {"type": "struct", "schema-id": 0, "fields": fields}, last_id
 
 
+def _fold_totals(parent_summary: dict | None, *, data_files: int = 0,
+                 records: int = 0, files_size: int = 0,
+                 delete_files: int = 0, pos_deletes: int = 0,
+                 eq_deletes: int = 0) -> dict:
+    """Spec total-* summary fields folded from the PARENT snapshot's
+    summary — O(1) per commit, never a manifest walk; a parent written
+    before these fields existed contributes 0 (stated honestly). The
+    spec's semantics: total-records counts DATA file rows (MOR deletes
+    do not decrement it — they increment total-position/equality-
+    deletes instead), and a REPLACE passes parent_summary=None to
+    restart the totals at its own numbers."""
+    def g(k: str) -> int:
+        try:
+            return int((parent_summary or {}).get(k, 0))
+        except (TypeError, ValueError):
+            return 0
+
+    return {
+        "total-data-files": str(g("total-data-files") + data_files),
+        "total-records": str(g("total-records") + records),
+        "total-files-size": str(g("total-files-size") + files_size),
+        "total-delete-files": str(g("total-delete-files") + delete_files),
+        "total-position-deletes": str(
+            g("total-position-deletes") + pos_deletes),
+        "total-equality-deletes": str(
+            g("total-equality-deletes") + eq_deletes),
+    }
+
+
 def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                    carry_forward: bool = True,
                    expected_snapshot_id: int | None = None,
@@ -728,6 +757,23 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
 
         # 4. new metadata.json via put-if-absent + hint swap
         now_ms = int(time.time() * 1000)
+        added_records = sum(e["data_file"]["record_count"]
+                            for e in entries)
+        added_size = sum(e["data_file"]["file_size_in_bytes"]
+                         for e in entries)
+        # spec TOTAL-* summary fields: running totals folded from the
+        # parent snapshot's summary (O(1) — never a manifest walk; a
+        # parent written before these fields existed contributes 0,
+        # stated honestly). A REPLACE (carry_forward=False) restarts
+        # the totals at this write's own numbers — the manifest list
+        # holds only this write.
+        base_summary: dict | None = None
+        if current is not None and carry_forward:
+            base_summary = (_snapshot(current, base_sid).get("summary")
+                            or {})
+        changed_parts = (len({tuple(sorted(
+            (e["data_file"].get("partition") or {}).items()))
+            for e in entries}) if entries else 0)
         new_snap = {
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
             "parent-snapshot-id": base_sid,
@@ -738,8 +784,12 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             "summary": {
                 "operation": "append",
                 "added-data-files": str(len(entries)),
-                "added-records": str(sum(
-                    e["data_file"]["record_count"] for e in entries)),
+                "added-records": str(added_records),
+                "added-files-size": str(added_size),
+                "changed-partition-count": str(changed_parts),
+                **_fold_totals(base_summary, data_files=len(entries),
+                               records=added_records,
+                               files_size=added_size),
                 **(summary_extra or {}),
             },
         }
@@ -1745,6 +1795,13 @@ def _delete_positions_v3(spark: SparkSession, table: str,
                                                for r in written})),
                 "added-dvs": str(len(written)),
                 "added-position-deletes": str(n_new),
+                # DV entries count as delete files; superseded vectors
+                # leave the totals as their merged replacements arrive
+                **_fold_totals(
+                    snap.get("summary"),
+                    delete_files=len(written) - sum(
+                        1 for p in affected if p in existing_dvs),
+                    pos_deletes=n_new),
             },
         }]
         new_meta["current-snapshot-id"] = snapshot_id
@@ -1902,6 +1959,9 @@ def delete_positions_iceberg(spark: SparkSession, table: str,
                 "operation": "delete",
                 "added-delete-files": str(len(written)),
                 "added-position-deletes": str(n_deleted),
+                **_fold_totals(snap.get("summary"),
+                               delete_files=len(written),
+                               pos_deletes=n_deleted),
             },
         }]
         new_meta["current-snapshot-id"] = snapshot_id
@@ -2058,7 +2118,14 @@ def delete_keys_iceberg(spark: SparkSession, table: str,
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
             "parent-snapshot-id": meta["current-snapshot-id"],
             "manifest-list": mlist_rel, "sequence-number": seq,
-            "summary": {"operation": "delete"},
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": str(len(written)),
+                "added-equality-deletes": str(n_keys),
+                **_fold_totals(snap.get("summary"),
+                               delete_files=len(written),
+                               eq_deletes=n_keys),
+            },
         }]
         new_meta["current-snapshot-id"] = snapshot_id
         new_meta["last-version"] = version
@@ -2173,7 +2240,23 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
             "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
             "parent-snapshot-id": meta["current-snapshot-id"],
             "manifest-list": mlist_rel, "sequence-number": seq,
-            "summary": {"operation": "overwrite", **(summary_extra or {})},
+            "summary": {
+                "operation": "overwrite",
+                "added-data-files": str(len(data_entries)),
+                "added-records": str(n_rows),
+                "added-delete-files": str(len(eq_written)),
+                "added-equality-deletes": str(sum(
+                    r["record_count"] for r in eq_written)),
+                **_fold_totals(
+                    snap.get("summary"),
+                    data_files=len(data_entries), records=n_rows,
+                    files_size=sum(e["data_file"]["file_size_in_bytes"]
+                                   for e in data_entries),
+                    delete_files=len(eq_written),
+                    eq_deletes=sum(r["record_count"]
+                                   for r in eq_written)),
+                **(summary_extra or {}),
+            },
         }]
         new_meta["current-snapshot-id"] = snapshot_id
         new_meta["last-version"] = version

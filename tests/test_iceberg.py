@@ -1769,3 +1769,37 @@ def test_v3_superseded_puffins_are_orphan_swept(spark):
     # (reachable only from the superseded snapshot)
     assert any(p.endswith(".puffin") for p in removed)
     assert sorted(r["k"] for r in read_iceberg(spark, t).collect()) == want
+
+
+def test_snapshot_summary_running_totals(spark):
+    """Spec total-* summary fields fold O(1) from the parent snapshot:
+    appends grow the data totals, MOR deletes grow the delete totals
+    without touching data totals, and a REPLACE (compaction) restarts
+    them at the rewrite's own numbers."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        compact_iceberg,
+        delete_positions_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_totals_")
+    append_iceberg(_df(spark, 0, 20).repartition(2), t, format_version=2)
+    append_iceberg(_df(spark, 20, 30).repartition(1), t, format_version=2)
+    delete_positions_iceberg(spark, t, "k % 10 = 3")
+    sums = {s["snapshot-id"]: s["summary"]
+            for s in _current_metadata(t)["snapshots"]}
+    ordered = [sums[s["snapshot-id"]] for s in
+               _current_metadata(t)["snapshots"]]
+    assert ordered[0]["total-records"] == "20"
+    assert ordered[1]["total-records"] == "30"
+    assert ordered[1]["total-data-files"] == "3"
+    assert ordered[2]["total-records"] == "30"  # MOR: data rows stay
+    assert ordered[2]["total-position-deletes"] == "3"
+    assert int(ordered[2]["total-delete-files"]) >= 1
+    assert int(ordered[1]["total-files-size"]) > int(
+        ordered[0]["total-files-size"])
+    compact_iceberg(spark, t, target_files=1)
+    last = _current_metadata(t)["snapshots"][-1]["summary"]
+    assert last["operation"] == "replace"
+    assert last["total-records"] == "27"  # rewrite excludes deleted
+    assert last["total-delete-files"] == "0"
