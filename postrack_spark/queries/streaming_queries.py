@@ -5061,3 +5061,40 @@ def cdc_iceberg_v3_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query("sql_datasource_delta_write_roundtrip", oracle=_DS_PRUNE_ORACLE)
+def sql_datasource_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the DataSource lane (round 8):
+    ``df.write.format("pydelta")`` appends into a partitioned Delta
+    table — workers stream their task's Arrow batches into staged
+    parquet (stats harvested in the same pass, partitionValues
+    recorded per file), the driver's commit() runs the library's OCC
+    commit — and the result reads back through the SQL view with the
+    same month-IN pushdown pruning as the library-written twin
+    (sql_datasource_delta_pruning shares the oracle: byte-identical
+    answers prove the two write lanes produce one table semantics).
+    The creating seed uses write_delta(partition_by=) because
+    partitioning is TABLE metadata declared at creation; the
+    DataSource append INHERITS it, exactly like write_delta does."""
+    import tempfile as _tf
+
+    from postrack_spark.streaming.delta_log import read_delta, write_delta
+
+    from postrack_spark.sources.lakehouse_ds import (
+        register_lakehouse_sources,
+    )
+
+    register_lakehouse_sources(spark)
+    base = _ds_month_base(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="lhds_dw_q_")
+    # creating seed declares the partitioning; the DataSource append
+    # carries the bulk of the rows through the Arrow write path
+    write_delta(base.filter(F.col("o_orderkey") % 7 == 0), table,
+                partition_by=["month"])
+    (base.filter(F.col("o_orderkey") % 7 != 0)
+     .write.format("pydelta").mode("append").save(table))
+    lib_stats: dict = {}
+    read_delta(spark, table, partition_filter={"month": _DS_MONTHS},
+               scan_stats=lib_stats)
+    return _ds_prune_certified(spark, "pydelta", table, lib_stats)

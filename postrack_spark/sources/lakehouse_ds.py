@@ -330,6 +330,9 @@ class PyDeltaDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return PyDeltaReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return PyDeltaWriter(self.options, schema, overwrite)
+
 
 # ----------------------------------------------------------- pyiceberg
 
@@ -510,6 +513,9 @@ class PyIcebergDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return PyIcebergReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return PyIcebergWriter(self.options, schema, overwrite)
+
 
 def register_lakehouse_sources(spark) -> None:
     """Idempotent registration of both batch sources (+ the pushdown
@@ -517,3 +523,306 @@ def register_lakehouse_sources(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PyDeltaDataSource)
     spark.dataSource.register(PyIcebergDataSource)
+
+
+# -------------------------------------------------------- write lanes
+#
+# df.write.format("pydelta").mode("append"|"overwrite").save(root) and
+# df.write.format("pyiceberg").mode("append").save(root): the batch
+# WRITE half of the lane. Workers stream their task's Arrow batches
+# into staged parquet files (stats/footer bounds harvested in the same
+# pass); the driver-side commit() assembles the metadata transaction
+# through the library's own commit machinery (commit_delta / the
+# append_iceberg staged-entries lane), so OCC, protocol actions, and
+# row-tracking stamping are shared, not re-implemented. A failed job
+# calls abort(), which deletes the staged files; files orphaned by a
+# crash between write and commit are invisible (never referenced) and
+# reclaimable by vacuum / the orphan sweep — the crash-window property
+# the library writers already pin.
+#
+# Honest seams (raise, never silently skip): tables with CHECK
+# constraints or generated columns need row-level gates the commit
+# hook cannot re-run post-staging — use write_delta; Iceberg writes
+# into partitioned specs / declared write orders need the DataFrame
+# lane's shuffle+sort. Column mapping (name AND id modes, field-id
+# stamping), partitioned DELTA tables, appendOnly, and row tracking
+# are fully supported.
+
+
+from dataclasses import dataclass, field as _dc_field
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class StagedFiles(WriterCommitMessage):
+    adds: list = _dc_field(default_factory=list)
+
+
+def _arrow_physical(tbl, mapping: dict | None, ids: dict | None):
+    """Rename an arrow table's columns to physical names and attach
+    parquet field ids (column mapping, both modes) — the worker-side
+    twin of delta_log._to_physical."""
+    import pyarrow as pa
+
+    if not mapping:
+        return tbl
+    fields = []
+    for f in tbl.schema:
+        meta = None
+        if ids and ids.get(f.name) is not None:
+            meta = {b"PARQUET:field_id": str(ids[f.name]).encode()}
+        fields.append(pa.field(mapping.get(f.name, f.name), f.type,
+                               f.nullable, metadata=meta))
+    return pa.Table.from_arrays(tbl.columns, schema=pa.schema(fields))
+
+
+class PyDeltaWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        from postrack_spark.streaming.delta_log import (
+            _cm_ids,
+            _column_mapping,
+            _generated_exprs,
+            _guard_append_only,
+            _partition_columns,
+            _replay,
+            latest_version,
+        )
+
+        self.table = options.get("path") or options.get("table")
+        if not self.table:
+            raise ValueError("pydelta needs a 'path' option")
+        self.schema = schema
+        self.overwrite = bool(overwrite)
+        self.pcols: list[str] = []
+        self.mapping: dict | None = None
+        self.ids: dict | None = None
+        self.gated_at: tuple | None = None
+        if latest_version(self.table) is not None:
+            _l, schema_string, _v, _t, config = _replay(self.table, None)
+            if _generated_exprs(schema_string) or any(
+                    k.startswith("delta.constraints.") for k in config):
+                raise NotImplementedError(
+                    "this table declares CHECK constraints or generated "
+                    "columns — row-level gates cannot re-run after "
+                    "staging; use write_delta")
+            if self.overwrite:
+                _guard_append_only(config, "mode='overwrite'")
+            want = [(f.name, f.dataType.simpleString()) for f in
+                    StructType.fromJson(
+                        json.loads(schema_string)).fields]
+            got = [(f.name, f.dataType.simpleString())
+                   for f in schema.fields]
+            if want != got:
+                raise ValueError(
+                    f"schema enforcement: table has {want}, write brings "
+                    f"{got} (no evolution in the DataSource lane — use "
+                    "write_delta(merge_schema=True))")
+            self.pcols = _partition_columns(self.table)
+            self.mapping = _column_mapping(schema_string, config)
+            self.ids = _cm_ids(schema_string, config)
+            self.gated_at = (schema_string, tuple(sorted(config.items())))
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+
+        import pyarrow.parquet as pq
+
+        from postrack_spark.streaming.delta_log import _file_stats_json
+
+        batches = list(iterator)
+        if not batches:
+            return StagedFiles([])
+        tbl = pa.Table.from_batches(batches)
+        groups: list[tuple[dict, object]] = []
+        if self.pcols:
+            # one file per partition tuple in this task (the library
+            # writer's repartition already clusters tuples; a stray
+            # multi-tuple task just writes several files)
+            import pandas as _pd
+
+            key_cols = [tbl.column(c) for c in self.pcols]
+            keys = _pd.DataFrame(
+                {c: col.to_pandas().astype(str)
+                 for c, col in zip(self.pcols, key_cols)})
+            codes, uniques = _pd.factorize(
+                _pd.Series(zip(*[keys[c] for c in self.pcols])))
+            import numpy as _np
+
+            for ui, tup in enumerate(uniques):
+                mask = _np.asarray(codes == ui)
+                groups.append((dict(zip(self.pcols, tup)),
+                               tbl.filter(mask)))
+        else:
+            groups.append(({}, tbl))
+        adds = []
+        for pvals, part in groups:
+            if any(v == "None" for v in pvals.values()):
+                raise NotImplementedError(
+                    "NULL partition values out of scope (the library "
+                    "writer's rule)")
+            name = f"part-{_uuid.uuid4().hex}.parquet"
+            path = os.path.join(self.table, name)
+            pq.write_table(_arrow_physical(part, self.mapping, self.ids),
+                           path)
+            add = {
+                "path": name,
+                "partitionValues": pvals,
+                "size": os.path.getsize(path),
+                "modificationTime": int(__import__("time").time() * 1000),
+                "dataChange": True,
+            }
+            stats = _file_stats_json(path)
+            if stats is not None:
+                add["stats"] = stats
+            adds.append(add)
+        return StagedFiles(adds)
+
+    def commit(self, messages) -> None:
+        import time as _time
+
+        from postrack_spark.streaming.delta_log import (
+            DeltaCommitConflict,
+            _PROTOCOL,
+            _meta_action,
+            _replay,
+            _rt_enabled,
+            _snapshot,
+            _stamp_row_ids,
+            commit_delta,
+            latest_version,
+        )
+
+        adds = [{"add": a} for m in messages if m is not None
+                for a in m.adds]
+        for _ in range(10):
+            current = latest_version(self.table)
+            version = 0 if current is None else current + 1
+            actions: list[dict] = []
+            rt_actions: list[dict] = []
+            removes: list[dict] = []
+            if version == 0:
+                actions.append({"protocol": dict(_PROTOCOL)})
+                actions.append(_meta_action(self.schema.json(), {}, []))
+            else:
+                _l, s_now, _v, _t, cfg_now = _replay(self.table, None)
+                now = (s_now, tuple(sorted(cfg_now.items())))
+                if now != self.gated_at:
+                    # staged parquet was gated (schema, mapping, ids,
+                    # partitioning) against OTHER metadata — a creating
+                    # writer that lost the v0 race, or a concurrent
+                    # ALTER. Rows cannot be re-gated post-staging, so
+                    # conflict instead of committing unvalidated bytes.
+                    raise DeltaCommitConflict(
+                        "concurrent metadata change under a DataSource "
+                        "write: rewrite the batch")
+                if self.overwrite and version > 0:
+                    paths, _s, _v2 = _snapshot(self.table, None)
+                    removes = [{"remove": {
+                        "path": p,
+                        "deletionTimestamp": int(_time.time() * 1000),
+                        "dataChange": True,
+                    }} for p in paths]
+                if _rt_enabled(cfg_now):
+                    rt_actions = _stamp_row_ids(
+                        self.table, adds, version)
+            try:
+                commit_delta(self.table, version,
+                             actions + removes + adds + rt_actions)
+                return
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"lost 10 commit races on {self.table}")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for a in m.adds:
+                try:
+                    os.remove(os.path.join(self.table, a["path"]))
+                except OSError:
+                    pass
+
+
+class PyIcebergWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        from postrack_spark.streaming.iceberg import (
+            _current_metadata,
+            _sort_orders,
+        )
+
+        self.table = options.get("path") or options.get("table")
+        if not self.table:
+            raise ValueError("pyiceberg needs a 'path' option")
+        if overwrite:
+            raise NotImplementedError(
+                "pyiceberg writes are append-only (Iceberg overwrite is "
+                "a snapshot-replace operation — use the library lane)")
+        self.schema = schema
+        meta = _current_metadata(self.table)
+        self.format_version = (meta["format-version"] if meta is not None
+                               else int(options.get("format_version", 1)))
+        if meta is not None:
+            orders, default_oid = _sort_orders(meta)
+            if orders.get(default_oid):
+                raise NotImplementedError(
+                    "table declares a default write order — staged "
+                    "DataSource files cannot be sorted post-hoc; use "
+                    "append_iceberg")
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from postrack_spark.streaming.iceberg import _footer_bounds
+
+        batches = list(iterator)
+        if not batches:
+            return StagedFiles([])
+        tbl = pa.Table.from_batches(batches)
+        os.makedirs(os.path.join(self.table, "data"), exist_ok=True)
+        rel = os.path.join("data", f"ds-{_uuid.uuid4().hex}.parquet")
+        path = os.path.join(self.table, rel)
+        pq.write_table(tbl, path)
+        lower, upper = _footer_bounds(path)
+        return StagedFiles([{
+            "file_path": rel,
+            "record_count": tbl.num_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+            "raw_bounds": (lower, upper),
+        }])
+
+    def commit(self, messages) -> None:
+        from postrack_spark.streaming.iceberg import ADDED, append_iceberg
+
+        entries = [{
+            "status": ADDED, "snapshot_id": 0,
+            "data_file": {
+                "file_path": d["file_path"], "file_format": "PARQUET",
+                "record_count": d["record_count"],
+                "file_size_in_bytes": d["file_size_in_bytes"],
+                "_raw_bounds": tuple(d["raw_bounds"]),
+                "lower_bounds": [], "upper_bounds": [],
+                "sort_order_id": 0,
+            }} for m in messages if m is not None for d in m.adds]
+        append_iceberg(None, self.table,
+                       format_version=self.format_version,
+                       staged_entries=entries, staged_schema=self.schema)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for d in m.adds:
+                try:
+                    os.remove(os.path.join(self.table, d["file_path"]))
+                except OSError:
+                    pass

@@ -484,7 +484,7 @@ def _ice_schema(schema: StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
-def _evolve_ice_schema(current_schema: dict, df: DataFrame,
+def _evolve_ice_schema(current_schema: dict, schema: StructType,
                        merge_schema: bool) -> tuple[dict, int]:
     """Schema ENFORCEMENT + optional EVOLUTION for Iceberg appends,
     with the property the format exists for: existing columns KEEP
@@ -496,7 +496,7 @@ def _evolve_ice_schema(current_schema: dict, df: DataFrame,
     cur_fields = current_schema["fields"]
     cur_d = {f["name"]: f for f in cur_fields}
     new_pairs = []
-    for f in df.schema.fields:
+    for f in schema.fields:
         st = f.dataType.simpleString()
         if st not in _SPARK_TO_ICE:
             raise NotImplementedError(f"iceberg mapping for spark type {st!r}")
@@ -566,7 +566,9 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                    partition_by: list[tuple[str, str]] | None = None,
                    merge_schema: bool = False,
                    branch: str | None = None,
-                   sort_by: list | None = None) -> int:
+                   sort_by: list | None = None,
+                   staged_entries: list[dict] | None = None,
+                   staged_schema: StructType | None = None) -> int:
     """Append df as a new snapshot; returns the snapshot id.
     ``format_version=2`` writes the v2 sequence-number machinery and
     unlocks delete_positions_iceberg on the table.
@@ -615,9 +617,30 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     # order); _ice_schema(df.schema) — ids by incoming column
     # position — is only correct at table creation (ADVICE r6)
     pre = _current_metadata(table)
+    in_schema = df.schema if staged_entries is None else staged_schema
     schema_fields_pre = (pre["schema"]["fields"] if pre is not None
-                         else _ice_schema(df.schema)["fields"])
-    if sort_by is not None:
+                         else _ice_schema(in_schema)["fields"])
+    if staged_entries is not None:
+        # PRE-STAGED lane (the pyiceberg DataSource writer): data
+        # files already live under data/ with harvested footer bounds;
+        # this call only runs the metadata commit. Write-order and
+        # partitioning cannot be honored post-hoc, so both refuse.
+        if partition_by or sort_by is not None:
+            raise NotImplementedError(
+                "staged appends are unpartitioned and unsorted — use "
+                "the DataFrame lane for partition_by/sort_by")
+        _orders_pre, _default_oid = _sort_orders(pre)
+        if _orders_pre.get(_default_oid):
+            raise NotImplementedError(
+                "table declares a default write order — staged files "
+                "cannot be sorted post-hoc; use the DataFrame lane")
+        entries = [dict(e) for e in staged_entries]
+        for e in entries:
+            e["data_file"] = dict(e["data_file"])
+            e["data_file"]["sort_order_id"] = 0
+        staged_oid = 0
+        sort_fields: list = []
+    elif sort_by is not None:
         sort_fields, sort_cols = _resolve_sort_fields(
             schema_fields_pre, sort_by)
         staged_oid, _orders_pre = _assign_sort_order(pre, sort_fields)
@@ -628,28 +651,32 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         byid = {f["id"]: f["name"] for f in schema_fields_pre}
         sort_cols = [(byid[sf["source-id"]], sf["direction"] == "asc")
                      for sf in sort_fields]
-    if sort_cols and not partition_by:
-        # non-partitioned path sorts here; the partitioned path sorts
-        # AFTER its own partition shuffle (sorting now would be a full
-        # wasted pass — the repartition destroys the order)
-        df = df.sortWithinPartitions(*[
-            F.col(c).asc_nulls_first() if asc else F.col(c).desc_nulls_last()
-            for c, asc in sort_cols])
-    if partition_by:
-        proposed, plan = _resolve_partition_spec(
-            schema_fields_pre, partition_by)
-        # spec EVOLUTION: match-or-allocate against the table's specs
-        # (the staged manifest schema depends on the final field-ids,
-        # so resolution happens pre-staging; a concurrent spec change
-        # is re-checked inside the OCC loop)
-        staged_sid, spec, _specs_pre, _pid_pre = _assign_spec(pre, proposed)
-        manifest_schema = _manifest_schema_partitioned(spec, plan)
-        entries = _stage_data_files_partitioned(df, table, plan,
-                                                sort_cols=sort_cols)
-    else:
-        entries = _stage_data_files(df, table)
-    for e in entries:
-        e["data_file"]["sort_order_id"] = staged_oid
+    if staged_entries is None:
+        if sort_cols and not partition_by:
+            # non-partitioned path sorts here; the partitioned path
+            # sorts AFTER its own partition shuffle (sorting now would
+            # be a full wasted pass — the repartition destroys the
+            # order)
+            df = df.sortWithinPartitions(*[
+                F.col(c).asc_nulls_first() if asc
+                else F.col(c).desc_nulls_last()
+                for c, asc in sort_cols])
+        if partition_by:
+            proposed, plan = _resolve_partition_spec(
+                schema_fields_pre, partition_by)
+            # spec EVOLUTION: match-or-allocate against the table's
+            # specs (the staged manifest schema depends on the final
+            # field-ids, so resolution happens pre-staging; a
+            # concurrent spec change is re-checked inside the OCC loop)
+            staged_sid, spec, _specs_pre, _pid_pre = _assign_spec(
+                pre, proposed)
+            manifest_schema = _manifest_schema_partitioned(spec, plan)
+            entries = _stage_data_files_partitioned(df, table, plan,
+                                                    sort_cols=sort_cols)
+        else:
+            entries = _stage_data_files(df, table)
+        for e in entries:
+            e["data_file"]["sort_order_id"] = staged_oid
 
     for _ in range(10):  # snapshot-pinned OCC (the delta_log rule)
         current = _current_metadata(table)
@@ -667,12 +694,12 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         snapshot_id = version + 1  # deterministic, monotone
         seq = ((current or {}).get("last-sequence-number", 0) or 0) + 1
         if current is None:
-            table_schema = _ice_schema(df.schema)
-            last_col_id = len(df.schema.fields)
+            table_schema = _ice_schema(in_schema)
+            last_col_id = len(in_schema.fields)
         else:
             # ENFORCED against the live schema; field-ids are forever
             table_schema, last_col_id = _evolve_ice_schema(
-                current["schema"], df, merge_schema)
+                current["schema"], in_schema, merge_schema)
         for e in entries:
             e["snapshot_id"] = snapshot_id
         # bounds bind against the RESOLVED table schema (field-ids
@@ -2185,7 +2212,7 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
 
     # upsert batches are schema-ENFORCED (no evolution in the CDC
     # write path — a drifting stream should fail loudly)
-    _evolve_ice_schema(meta0["schema"], df, False)
+    _evolve_ice_schema(meta0["schema"], df.schema, False)
     eq_ids, file_schema = _eq_key_plan(meta0, key_cols)
     data_entries = _stage_data_files(df, table)
     _bind_bounds(data_entries, meta0["schema"]["fields"])

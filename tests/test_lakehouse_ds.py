@@ -190,3 +190,125 @@ def test_pyiceberg_stats_pruning_from_pushed_range(lh):
     with open(rep) as f:
         r = json.load(f)
     assert 0 < r["files_scanned"] < r["files_total"]
+
+
+# ---------------------------------------------------------- write lanes
+
+
+def test_pydelta_write_create_append_overwrite(lh):
+    t = tempfile.mkdtemp(prefix="lhds_w_")
+    _df(lh, 0, 30).repartition(3).write.format("pydelta").mode(
+        "append").save(t)
+    assert read_delta(lh, t).count() == 30
+    _df(lh, 30, 40).write.format("pydelta").mode("append").save(t)
+    assert sorted(r["k"] for r in read_delta(lh, t).collect()) == list(
+        range(40))
+    _df(lh, 100, 103).write.format("pydelta").mode("overwrite").save(t)
+    assert sorted(r["k"] for r in read_delta(lh, t).collect()) == [
+        100, 101, 102]
+    # time travel still sees the pre-overwrite snapshot
+    assert read_delta(lh, t, version=1).count() == 40
+    # and the library writer composes on the same log
+    write_delta(_df(lh, 200, 205), t)
+    assert read_delta(lh, t).count() == 8
+
+
+def test_pydelta_write_partitioned_and_row_tracking(lh):
+    from postrack_spark.streaming.delta_log import (
+        enable_row_tracking_delta,
+        read_delta_with_row_ids,
+    )
+
+    t = tempfile.mkdtemp(prefix="lhds_wp_")
+    write_delta(_df(lh, 0, 40), t, partition_by=["g"])
+    _df(lh, 40, 80).write.format("pydelta").mode("append").save(t)
+    stats: dict = {}
+    got = read_delta(lh, t, partition_filter={"g": "1"}, scan_stats=stats)
+    assert sorted(r["k"] for r in got.collect()) == [
+        k for k in range(80) if k % 4 == 1]
+    assert 0 < stats["files_scanned"] < stats["files_total"]
+    t2 = tempfile.mkdtemp(prefix="lhds_wrt_")
+    write_delta(_df(lh, 0, 20), t2)
+    enable_row_tracking_delta(t2)
+    _df(lh, 20, 40).write.format("pydelta").mode("append").save(t2)
+    ids = read_delta_with_row_ids(lh, t2).select("_row_id")
+    assert ids.distinct().count() == 40  # fresh ids, no collisions
+
+
+def test_pydelta_write_honest_seams(lh):
+    from postrack_spark.streaming.delta_log import (
+        add_check_constraint_delta,
+        set_table_property_delta,
+    )
+    from pyspark.sql.utils import AnalysisException
+
+    t = tempfile.mkdtemp(prefix="lhds_ws_")
+    write_delta(_df(lh, 0, 10), t)
+    add_check_constraint_delta(lh, t, "k_pos", "k >= 0")
+    with pytest.raises(AnalysisException, match="use write_delta"):
+        _df(lh, 10, 20).write.format("pydelta").mode("append").save(t)
+    t2 = tempfile.mkdtemp(prefix="lhds_wa_")
+    write_delta(_df(lh, 0, 10), t2)
+    set_table_property_delta(t2, "delta.appendOnly", "true")
+    with pytest.raises(AnalysisException, match="appendOnly"):
+        _df(lh, 0, 5).write.format("pydelta").mode("overwrite").save(t2)
+    # schema drift refuses (no silent evolution)
+    with pytest.raises(AnalysisException, match="schema enforcement"):
+        (_df(lh, 0, 5).withColumn("extra", F.lit(1))
+         .write.format("pydelta").mode("append").save(t2))
+
+
+def test_pydelta_write_mapped_table_stamps_physical(lh):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from postrack_spark.streaming.delta_log import (
+        enable_column_mapping_delta,
+        rename_column_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="lhds_wm_")
+    write_delta(_df(lh, 0, 10).limit(0), t)
+    enable_column_mapping_delta(t, mode="id")
+    _df(lh, 0, 20).write.format("pydelta").mode("append").save(t)
+    rename_column_delta(t, "v", "val")
+    got = {r["k"]: r["val"] for r in read_delta(lh, t).collect()}
+    assert got == {k: 2 * k for k in range(20)}
+    data = [f for f in glob.glob(t + "/part-*.parquet")
+            if pq.ParquetFile(f).metadata.num_rows > 0]
+    sch = pq.ParquetFile(data[0]).schema_arrow
+    assert all(n.startswith("col-") for n in sch.names)
+    assert {dict(f.metadata or {}).get(b"PARQUET:field_id")
+            for f in sch} == {b"1", b"2", b"3"}
+
+
+def test_pyiceberg_write_append_and_refusals(lh):
+    from pyspark.sql.utils import AnalysisException
+
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        append_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="lhds_wi_")
+    _df(lh, 0, 30).repartition(2).write.format("pyiceberg").mode(
+        "append").save(t)
+    _df(lh, 30, 40).write.format("pyiceberg").mode("append").save(t)
+    assert sorted(r["k"] for r in read_iceberg(lh, t).collect()) == list(
+        range(40))
+    meta = _current_metadata(t)
+    assert len(meta["snapshots"]) == 2
+    # harvested bounds skip like library appends
+    stats: dict = {}
+    read_iceberg(lh, t, stats_filter={"k": (0, 1)}, scan_stats=stats)
+    assert 0 < stats["files_scanned"] < stats["files_total"]
+    # library appends compose on the same metadata
+    append_iceberg(_df(lh, 40, 45), t)
+    assert read_iceberg(lh, t).count() == 45
+    with pytest.raises(AnalysisException, match="append-only"):
+        _df(lh, 0, 5).write.format("pyiceberg").mode("overwrite").save(t)
+    t2 = tempfile.mkdtemp(prefix="lhds_wis_")
+    append_iceberg(_df(lh, 0, 10), t2, sort_by=["k"])
+    with pytest.raises(AnalysisException, match="write order"):
+        _df(lh, 10, 20).write.format("pyiceberg").mode("append").save(t2)
