@@ -733,6 +733,51 @@ def main() -> None:
     # moves the min one hop), star alternation needs O(log n). Measured
     # here as ROUND COUNTS on growing paths (time is secondary — the
     # structural claim is the flat round curve).
+    # dslane: the batch DataSource lane's read/write overhead vs the
+    # library paths at scale — the SQL lane is a Python/Arrow worker
+    # scan (one partition per file), the library read is a JVM parquet
+    # scan; quantifying the gap keeps the lane's cost honest.
+    if not skip("dslane"):
+        import tempfile as _tf
+
+        from postrack_spark.sources.lakehouse_ds import (
+            register_lakehouse_sources,
+        )
+        from postrack_spark.streaming.delta_log import (
+            read_delta as _rd,
+        )
+        from postrack_spark.streaming.delta_log import (
+            write_delta as _wd,
+        )
+
+        register_lakehouse_sources(spark)
+        base10d = shifted_union(
+            t["orders"], {"o_orderkey": 10_000_000, "o_custkey": 10_000_000}
+        ).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        ds_t = _tf.mkdtemp(prefix="stress_dslane_lib_")
+        t0 = time.perf_counter()
+        _wd(base10d.repartitionByRange(32, "o_orderkey"), ds_t)
+        timings[f"dslane_lib_write_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        ds_t2 = _tf.mkdtemp(prefix="stress_dslane_ds_")
+        t0 = time.perf_counter()
+        (base10d.repartitionByRange(32, "o_orderkey")
+         .write.format("pydelta").mode("append").save(ds_t2))
+        timings[f"dslane_ds_write_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _rd(spark, ds_t).agg(F.sum("cents")).collect()
+        timings[f"dslane_lib_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        (spark.read.format("pydelta").load(ds_t2)
+         .agg(F.sum("cents")).collect())
+        timings[f"dslane_ds_read_{FACTOR}x"] = round(
+            time.perf_counter() - t0, 3)
+
     if not skip("star_cc"):
         from postrack_spark.operators.dedup import (
             connected_components,
