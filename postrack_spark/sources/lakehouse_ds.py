@@ -342,8 +342,12 @@ class PyDeltaDataSource(DataSource):
 _POS_DELETE_CACHE: dict = {}
 
 
-def _pos_deletes_for(root: str, delete_files: tuple) -> dict:
-    key = (root, delete_files)
+def _pos_deletes_for(root: str, delete_files: tuple,
+                     dv_descriptors: tuple = ()) -> dict:
+    """Positions-to-drop per data file, merged from v2 position-delete
+    Avros AND v3 Puffin deletion-vector blobs (descriptor tuples of
+    (puffin path, offset, length, referenced file))."""
+    key = (root, delete_files, dv_descriptors)
     got = _POS_DELETE_CACHE.get(key)
     if got is not None:
         return got
@@ -357,6 +361,14 @@ def _pos_deletes_for(root: str, delete_files: tuple) -> dict:
             rows, _schema = read_avro(f.read())
         for r in rows:
             by_file.setdefault(r["file_path"], []).append(r["pos"])
+    if dv_descriptors:
+        from postrack_spark.streaming.puffin import decode_dv_blob
+
+        for path, off, ln, ref in dv_descriptors:
+            with open(os.path.join(root, path), "rb") as f:
+                data = f.read()
+            by_file.setdefault(ref, []).extend(
+                decode_dv_blob(data, int(off), int(ln)).values())
     out = {fp: np.unique(np.asarray(ps, dtype=np.int64))
            for fp, ps in by_file.items()}
     _POS_DELETE_CACHE[key] = out
@@ -371,7 +383,8 @@ class IceFilePart(InputPartition):
 
     def __init__(self, rel: str, seq: int, out_names: list[str],
                  src_names: list[str], type_names: list[str],
-                 pos_delete_files: tuple, eq_deletes: list):
+                 pos_delete_files: tuple, eq_deletes: list,
+                 dv_descriptors: tuple = ()):
         self.rel = rel
         self.seq = seq
         self.out_names = out_names
@@ -379,6 +392,7 @@ class IceFilePart(InputPartition):
         self.type_names = type_names
         self.pos_delete_files = pos_delete_files
         self.eq_deletes = eq_deletes
+        self.dv_descriptors = dv_descriptors
 
 
 class PyIcebergReader(DataSourceReader):
@@ -453,11 +467,14 @@ class PyIcebergReader(DataSourceReader):
         src_names = [nm.get(f["id"], f["name"]) for f in fields]
         type_names = [ice_to_py[f["type"]] for f in fields]
         pos_delete_files = tuple(sorted(plan["pos_delete_files"]))
+        dv_descriptors = tuple(sorted(
+            (d["path"], int(d["offset"]), int(d["length"]),
+             d["referenced"]) for d in plan["dv_descriptors"]))
         eq_deletes = [
             (list(names), sorted(bucket.items()))
             for names, bucket in sorted(plan["eq_deletes"].items())]
         return [IceFilePart(p, s, out_names, src_names, type_names,
-                            pos_delete_files, eq_deletes)
+                            pos_delete_files, eq_deletes, dv_descriptors)
                 for p, s in plan["paths"]]
 
     def read(self, partition: IceFilePart):
@@ -466,9 +483,10 @@ class PyIcebergReader(DataSourceReader):
 
         root = os.path.abspath(self.table)
         tbl = pq.read_table(os.path.join(root, partition.rel))
-        if partition.pos_delete_files:
-            dead = _pos_deletes_for(root, partition.pos_delete_files).get(
-                partition.rel)
+        if partition.pos_delete_files or partition.dv_descriptors:
+            dead = _pos_deletes_for(
+                root, partition.pos_delete_files,
+                partition.dv_descriptors).get(partition.rel)
             if dead is not None and len(dead):
                 mask = np.ones(tbl.num_rows, dtype=bool)
                 mask[dead[dead < tbl.num_rows]] = False

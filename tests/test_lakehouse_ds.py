@@ -312,3 +312,21 @@ def test_pyiceberg_write_append_and_refusals(lh):
     append_iceberg(_df(lh, 0, 10), t2, sort_by=["k"])
     with pytest.raises(AnalysisException, match="write order"):
         _df(lh, 10, 20).write.format("pyiceberg").mode("append").save(t2)
+
+
+def test_pyiceberg_v3_deletion_vectors_apply_via_datasource(lh):
+    """A v3 table's Puffin deletion vectors must mask rows in the SQL
+    lane exactly as in the library read — silently resurrecting
+    deleted rows would be the worst possible failure of the lane."""
+    from postrack_spark.streaming.iceberg import (
+        delete_positions_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="lhds_iv3_")
+    append_iceberg(_df(lh, 0, 40).repartition(4), t, format_version=3)
+    delete_positions_iceberg(lh, t, "k % 10 = 3")
+    ds = lh.read.format("pyiceberg").load(t)
+    lib = read_iceberg(lh, t)
+    want = sorted(r["k"] for r in lib.collect())
+    assert sorted(r["k"] for r in ds.collect()) == want
+    assert 3 not in want and 13 not in want
