@@ -5098,3 +5098,60 @@ def sql_datasource_delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> Da
     read_delta(spark, table, partition_filter={"month": _DS_MONTHS},
                scan_stats=lib_stats)
     return _ds_prune_certified(spark, "pydelta", table, lib_stats)
+
+
+@query(
+    "streaming_datasource_delta_sink",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_datasource_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WRITE through the DataSource lane (round 8):
+    ``events.writeStream.format("pydelta")`` — no foreachBatch hook,
+    the registered sink itself is the Delta writer. Workers stream
+    each micro-batch's Arrow batches into staged parquet; the commit
+    embeds the batch id in a protocol ``txn`` action (appId = table
+    path), so replayed batches delete their staged files and commit
+    nothing — the foreach_batch_delta idempotence rule, now behind
+    Spark's own sink API. The rollup over the snapshot read equals
+    the batch answer only if the sink was exactly-once, which is what
+    the hash gate certifies. Scale: identical to the foreachBatch
+    lane — O(commits) log metadata, distributed parquet both ways."""
+    import tempfile
+
+    from postrack_spark.session import fan_out
+    from postrack_spark.sources.lakehouse_ds import (
+        register_lakehouse_sources,
+    )
+    from postrack_spark.streaming.delta_log import read_delta
+    from postrack_spark.streaming.runner import events_stream
+
+    register_lakehouse_sources(spark)
+    table = tempfile.mkdtemp(prefix="ds_sink_q_")
+    ckpt = tempfile.mkdtemp(prefix="ds_sink_q_ckpt_")
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    q = (
+        ev.writeStream.format("pydelta")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = fan_out(read_delta(spark, table))
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -333,6 +333,9 @@ class PyDeltaDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return PyDeltaWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return PyDeltaStreamWriter(self.options, schema, overwrite)
+
 
 # ----------------------------------------------------------- pyiceberg
 
@@ -844,3 +847,73 @@ class PyIcebergWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self.table, d["file_path"]))
                 except OSError:
                     pass
+
+
+from pyspark.sql.datasource import DataSourceStreamArrowWriter  # noqa: E402
+
+
+class PyDeltaStreamWriter(PyDeltaWriter, DataSourceStreamArrowWriter):
+    """df.writeStream.format("pydelta").start(root): the streaming
+    sink half of the lane. Reuses the batch writer's staging
+    (Arrow-batched parquet + stats, mapping/field ids, partitioned
+    tables) and makes the commit EXACTLY-ONCE via the protocol's txn
+    action — the same appId/batch-id idempotence rule
+    foreach_batch_delta implements, so a replayed micro-batch whose
+    id is at or below the recorded one deletes its staged files and
+    commits nothing."""
+
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        if overwrite:
+            raise NotImplementedError(
+                "streaming pydelta writes are append-mode only "
+                "(complete-mode overwrites need the versioned-sink or "
+                "foreachBatch lanes)")
+        super().__init__(options, schema, overwrite=False)
+
+    def commit(self, messages, batchId: int) -> None:
+        from postrack_spark.streaming.delta_log import (
+            DeltaCommitConflict,
+            _PROTOCOL,
+            _meta_action,
+            _replay,
+            _rt_enabled,
+            _stamp_row_ids,
+            commit_delta,
+            last_txn_version,
+            latest_version,
+        )
+
+        last = last_txn_version(self.table)
+        if last is not None and batchId <= last:
+            self.abort(messages, batchId)  # replayed batch: no-op
+            return
+        adds = [{"add": a} for m in messages if m is not None
+                for a in m.adds]
+        txn = {"txn": {"appId": os.path.abspath(self.table),
+                       "version": batchId}}
+        for _ in range(10):
+            current = latest_version(self.table)
+            version = 0 if current is None else current + 1
+            actions: list[dict] = [txn]
+            rt_actions: list[dict] = []
+            if version == 0:
+                actions = [{"protocol": dict(_PROTOCOL)},
+                           _meta_action(self.schema.json(), {}, [])] + actions
+            else:
+                _l, s_now, _v, _t, cfg_now = _replay(self.table, None)
+                if (s_now, tuple(sorted(cfg_now.items()))) != self.gated_at:
+                    raise DeltaCommitConflict(
+                        "concurrent metadata change under a streaming "
+                        "DataSource write: restart the query")
+                if _rt_enabled(cfg_now):
+                    rt_actions = _stamp_row_ids(self.table, adds, version)
+            try:
+                commit_delta(self.table, version,
+                             actions + adds + rt_actions)
+                return
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"lost 10 commit races on {self.table}")
+
+    def abort(self, messages, batchId: int) -> None:
+        PyDeltaWriter.abort(self, messages)

@@ -330,3 +330,41 @@ def test_pyiceberg_v3_deletion_vectors_apply_via_datasource(lh):
     want = sorted(r["k"] for r in lib.collect())
     assert sorted(r["k"] for r in ds.collect()) == want
     assert 3 not in want and 13 not in want
+
+
+def test_pydelta_stream_writer_exactly_once(lh):
+    """writeStream.format('pydelta'): txn-action idempotence — a
+    restart from the same checkpoint (and a manual replay of an
+    already-committed batch id) commits nothing twice."""
+    from postrack_spark.streaming.delta_log import last_txn_version
+
+    src = tempfile.mkdtemp(prefix="lhds_sw_src_")
+    for i in range(3):
+        (_df(lh, i * 10, (i + 1) * 10).coalesce(1)
+         .write.mode("append").parquet(src))
+    t = tempfile.mkdtemp(prefix="lhds_sw_t_")
+    cp = tempfile.mkdtemp(prefix="lhds_sw_cp_")
+    schema = lh.read.parquet(src).schema
+
+    def run():
+        q = (lh.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(src)
+             .writeStream.format("pydelta").option("path", t)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run()
+    assert read_delta(lh, t).count() == 30
+    assert last_txn_version(t) is not None
+    run()  # restart on the same checkpoint: replay-safe
+    assert read_delta(lh, t).count() == 30
+    # no stray staged files survive the replayed batches
+    import glob
+
+    parts = glob.glob(os.path.join(t, "part-*.parquet"))
+    from postrack_spark.streaming.delta_log import _snapshot_actions
+
+    acts, _s, _v = _snapshot_actions(t, None)
+    referenced = {os.path.join(t, p) for p, _a in acts}
+    assert set(parts) == referenced
