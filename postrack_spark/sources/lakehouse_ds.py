@@ -537,6 +537,9 @@ class PyIcebergDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return PyIcebergWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return PyIcebergStreamWriter(self.options, schema, overwrite)
+
 
 def register_lakehouse_sources(spark) -> None:
     """Idempotent registration of both batch sources (+ the pushdown
@@ -917,3 +920,48 @@ class PyDeltaStreamWriter(PyDeltaWriter, DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         PyDeltaWriter.abort(self, messages)
+
+
+class PyIcebergStreamWriter(PyIcebergWriter, DataSourceStreamArrowWriter):
+    """df.writeStream.format("pyiceberg").start(root): append-only
+    streaming sink. Staging is the batch writer's; each micro-batch
+    commits ONE snapshot whose summary carries app-id/batch-id (the
+    Flink checkpoint idiom last_committed_batch_iceberg reads), so a
+    replayed batch deletes its staged files and commits nothing."""
+
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        if overwrite:
+            raise NotImplementedError(
+                "streaming pyiceberg writes are append-mode only")
+        super().__init__(options, schema, overwrite=False)
+
+    def commit(self, messages, batchId: int) -> None:
+        from postrack_spark.streaming.iceberg import (
+            ADDED,
+            append_iceberg,
+            last_committed_batch_iceberg,
+        )
+
+        app_id = os.path.abspath(self.table)
+        last = last_committed_batch_iceberg(self.table, app_id)
+        if last is not None and batchId <= last:
+            self.abort(messages, batchId)  # replayed batch: no-op
+            return
+        entries = [{
+            "status": ADDED, "snapshot_id": 0,
+            "data_file": {
+                "file_path": d["file_path"], "file_format": "PARQUET",
+                "record_count": d["record_count"],
+                "file_size_in_bytes": d["file_size_in_bytes"],
+                "_raw_bounds": tuple(d["raw_bounds"]),
+                "lower_bounds": [], "upper_bounds": [],
+                "sort_order_id": 0,
+            }} for m in messages if m is not None for d in m.adds]
+        append_iceberg(None, self.table,
+                       format_version=self.format_version,
+                       staged_entries=entries, staged_schema=self.schema,
+                       summary_extra={"app-id": app_id,
+                                      "batch-id": str(batchId)})
+
+    def abort(self, messages, batchId: int) -> None:
+        PyIcebergWriter.abort(self, messages)

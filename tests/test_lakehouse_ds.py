@@ -368,3 +368,33 @@ def test_pydelta_stream_writer_exactly_once(lh):
     acts, _s, _v = _snapshot_actions(t, None)
     referenced = {os.path.join(t, p) for p, _a in acts}
     assert set(parts) == referenced
+
+
+def test_pyiceberg_stream_writer_exactly_once(lh):
+    from postrack_spark.streaming.iceberg import _current_metadata
+
+    src = tempfile.mkdtemp(prefix="lhds_swi_src_")
+    for i in range(3):
+        (_df(lh, i * 10, (i + 1) * 10).coalesce(1)
+         .write.mode("append").parquet(src))
+    t = tempfile.mkdtemp(prefix="lhds_swi_t_")
+    cp = tempfile.mkdtemp(prefix="lhds_swi_cp_")
+    schema = lh.read.parquet(src).schema
+
+    def run():
+        q = (lh.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(src)
+             .writeStream.format("pyiceberg").option("path", t)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run()
+    assert read_iceberg(lh, t).count() == 30
+    n_snaps = len(_current_metadata(t)["snapshots"])
+    run()  # restart: replay-safe, no new snapshots
+    assert read_iceberg(lh, t).count() == 30
+    assert len(_current_metadata(t)["snapshots"]) == n_snaps
+    # summaries carry the replay-protection ids
+    assert any("batch-id" in (s.get("summary") or {})
+               for s in _current_metadata(t)["snapshots"])
