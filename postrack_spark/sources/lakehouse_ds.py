@@ -325,10 +325,26 @@ class PyDeltaDataSource(DataSource):
             version = version_at_timestamp_delta(table, int(ts))
         _l, schema_string, _v, _t, _c = _replay(
             table, int(version) if version is not None else None)
-        return StructType.fromJson(json.loads(schema_string))
+        base = StructType.fromJson(json.loads(schema_string))
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            # the STREAM read's CDF shape (sources/delta_feed.py)
+            from pyspark.sql.types import IntegerType, StringType
+
+            return base.add("_change_type", StringType()).add(
+                "_commit_version", IntegerType())
+        return base
 
     def reader(self, schema) -> DataSourceReader:
         return PyDeltaReader(self.options)
+
+    def streamReader(self, schema):
+        # readStream.format("pydelta"): the change-feed source
+        # (sources/delta_feed.py) behind the SAME format name — one
+        # name covers batch read, batch/stream write, and stream read,
+        # the delta-spark surface
+        from postrack_spark.sources.delta_feed import DeltaFeedStreamReader
+
+        return DeltaFeedStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool):
         return PyDeltaWriter(self.options, schema, overwrite)
@@ -533,6 +549,15 @@ class PyIcebergDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return PyIcebergReader(self.options)
+
+    def streamReader(self, schema):
+        # readStream.format("pyiceberg"): the incremental-append feed
+        # (sources/iceberg_feed.py) behind the same format name
+        from postrack_spark.sources.iceberg_feed import (
+            IcebergFeedStreamReader,
+        )
+
+        return IcebergFeedStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool):
         return PyIcebergWriter(self.options, schema, overwrite)

@@ -398,3 +398,30 @@ def test_pyiceberg_stream_writer_exactly_once(lh):
     # summaries carry the replay-protection ids
     assert any("batch-id" in (s.get("summary") or {})
                for s in _current_metadata(t)["snapshots"])
+
+
+def test_one_format_name_serves_stream_reads(lh):
+    """readStream.format('pydelta'/'pyiceberg') resolves to the
+    change-feed / incremental-append sources behind the SAME names the
+    batch lanes use — the delta-spark one-format surface."""
+    t = tempfile.mkdtemp(prefix="lhds_sr_d_")
+    write_delta(_df(lh, 0, 20), t)
+    write_delta(_df(lh, 20, 30), t)
+    cp = tempfile.mkdtemp(prefix="lhds_sr_cp_")
+    seen: list[int] = []
+    q = (lh.readStream.format("pydelta").option("path", t).load()
+         .writeStream.foreachBatch(lambda b, i: seen.append(b.count()))
+         .option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert sum(seen) == 30
+    t2 = tempfile.mkdtemp(prefix="lhds_sr_i_")
+    append_iceberg(_df(lh, 0, 15), t2)
+    cp2 = tempfile.mkdtemp(prefix="lhds_sr_cp2_")
+    seen2: list[int] = []
+    q2 = (lh.readStream.format("pyiceberg").option("path", t2).load()
+          .writeStream.foreachBatch(lambda b, i: seen2.append(b.count()))
+          .option("checkpointLocation", cp2)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    assert sum(seen2) == 15
