@@ -2674,12 +2674,14 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
         rows = [(s["snapshot-id"], s.get("parent-snapshot-id"),
                  s["timestamp-ms"],
                  (s.get("summary") or {}).get("operation"),
-                 s["manifest-list"], s.get("sequence-number"))
+                 s["manifest-list"], s.get("sequence-number"),
+                 _json.dumps(s.get("summary") or {}, sort_keys=True,
+                             separators=(",", ":")))
                 for s in meta["snapshots"]]
         return spark.createDataFrame(
             rows, "snapshot_id long, parent_id long, timestamp_ms long,"
                   " operation string, manifest_list string,"
-                  " sequence_number long")
+                  " sequence_number long, summary string")
     if kind == "history":
         ancestors = set()
         by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
