@@ -5155,3 +5155,93 @@ def streaming_datasource_delta_sink(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cdc_iceberg_v3_row_lineage",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS ids_dense,
+           true AS ids_stable,
+           true AS counter_advanced
+    FROM base
+    WHERE o_orderkey % 10 <> 3
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE (spec v3 — the second half of the v3
+    line, after deletion vectors): every data file's manifest entry
+    records first_row_id (field-id 142), assigned at commit from the
+    metadata's next-row-id counter and never reused, and
+    read_iceberg(with_row_ids=True) serves each row's STABLE id as
+    first_row_id + physical position — an O(files) broadcast map plus
+    arithmetic, the Delta row-tracking twin in id-space style.
+    Certificates the oracle can't see: ids_dense (two appends yield
+    exactly 0..N-1 across files), ids_stable (after a Puffin DV
+    delete, every surviving row keeps the id it was born with — the
+    property GDPR/lineage pipelines depend on), counter_advanced
+    (metadata next-row-id equals total rows ever appended). The
+    rollup itself reads through the id-serving scan, so the deletes
+    compose with the lineage join inside the hash gate."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        append_iceberg,
+        delete_positions_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_rl_q_")
+    append_iceberg(base.filter(F.col("o_orderkey") % 2 == 0)
+                   .repartition(3), table, format_version=3)
+    append_iceberg(base.filter(F.col("o_orderkey") % 2 != 0)
+                   .repartition(2), table, format_version=3)
+    n_total = _current_metadata(table)["next-row-id"]
+    before = read_iceberg(spark, table, with_row_ids=True)
+    pre = before.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("_row_id").alias("n_ids"),
+        F.min("_row_id").alias("lo"),
+        F.max("_row_id").alias("hi")).collect()[0]
+    ids_dense = (pre["n"] == pre["n_ids"] == n_total
+                 and pre["lo"] == 0 and pre["hi"] == n_total - 1)
+    delete_positions_iceberg(spark, table, "o_orderkey % 10 = 3")
+    after = read_iceberg(spark, table, with_row_ids=True)
+    # stability: the surviving (key, id) pairs are a SUBSET of the
+    # pre-delete pairs — one distributed anti-join, no collect
+    moved = (after.select("o_orderkey", "_row_id")
+             .join(before.select("o_orderkey", "_row_id"),
+                   ["o_orderkey", "_row_id"], "left_anti").count())
+    ids_stable = moved == 0
+    counter_advanced = (
+        _current_metadata(table)["next-row-id"] == n_total)
+    return (
+        after.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus", "n_orders", "cents",
+            F.lit(bool(ids_dense)).alias("ids_dense"),
+            F.lit(bool(ids_stable)).alias("ids_stable"),
+            F.lit(bool(counter_advanced)).alias("counter_advanced"),
+        )
+        .orderBy("o_orderstatus")
+    )

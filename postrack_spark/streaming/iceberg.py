@@ -264,6 +264,25 @@ _EQ_MANIFEST_SCHEMA = {
     ],
 }
 
+# format-version 3 DATA manifests additionally carry first_row_id
+# (spec field-id 142, ROW LINEAGE): the table-wide id of the file's
+# first row — every row's stable id is first_row_id + its position,
+# assigned once at commit from the metadata's next-row-id counter and
+# NEVER reused (the Delta row-tracking twin, id-space style).
+_MANIFEST_SCHEMA_V3 = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": "long", "field-id": 1},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2",
+            "fields": list(
+                _MANIFEST_SCHEMA["fields"][2]["type"]["fields"]) + [
+                {"name": "first_row_id", "type": "long", "field-id": 142},
+            ]}},
+    ],
+}
+
 # format-version 3 DELETION VECTOR manifests: the data_file points at
 # a PUFFIN file and carries the spec's DV addressing triplet —
 # referenced_data_file (143, which data file the vector masks),
@@ -611,7 +630,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     # them on the recompute pass)
     spec: list[dict] = []
     staged_sid = 0
-    manifest_schema = _MANIFEST_SCHEMA
+    manifest_schema = (_MANIFEST_SCHEMA_V3 if format_version == 3
+                       else _MANIFEST_SCHEMA)
     # source-ids resolve against the LIVE table schema when one
     # exists (field-ids are forever and never track df column
     # order); _ice_schema(df.schema) — ids by incoming column
@@ -670,7 +690,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             # concurrent spec change is re-checked inside the OCC loop)
             staged_sid, spec, _specs_pre, _pid_pre = _assign_spec(
                 pre, proposed)
-            manifest_schema = _manifest_schema_partitioned(spec, plan)
+            manifest_schema = _manifest_schema_partitioned(
+                spec, plan, base_schema=manifest_schema)
             entries = _stage_data_files_partitioned(df, table, plan,
                                                     sort_cols=sort_cols)
         else:
@@ -702,6 +723,20 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
                 current["schema"], in_schema, merge_schema)
         for e in entries:
             e["snapshot_id"] = snapshot_id
+        first_rid = None
+        next_rid = None
+        if format_version == 3:
+            # ROW LINEAGE (spec v3): every data file gets the table-
+            # wide id of its first row from the next-row-id counter;
+            # ids assign per OCC attempt (the counter moves with
+            # concurrent commits) and are NEVER reused. Rewrites
+            # (compaction) allocate fresh ids — the spec permits
+            # non-preserving writers; stated honestly.
+            next_rid = int((current or {}).get("next-row-id", 0) or 0)
+            first_rid = next_rid
+            for e in entries:
+                e["data_file"]["first_row_id"] = next_rid
+                next_rid += e["data_file"]["record_count"]
         # bounds bind against the RESOLVED table schema (field-ids
         # are the table's forever, not the incoming frame's order)
         _bind_bounds(entries, table_schema["fields"])
@@ -822,6 +857,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         }
         if format_version >= 2:
             new_snap["sequence-number"] = seq
+        if format_version == 3:
+            new_snap["first-row-id"] = first_rid
         snapshots = (current["snapshots"] if current else []) + [new_snap]
         meta = {
             "format-version": format_version,
@@ -859,6 +896,8 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
         }
         if format_version >= 2:
             meta["last-sequence-number"] = seq
+        if format_version == 3:
+            meta["next-row-id"] = next_rid
         try:
             _commit_metadata(table, version, meta)
             return snapshot_id
@@ -1047,7 +1086,8 @@ def _resolve_partition_spec(schema_fields: list[dict],
 
 
 def _manifest_schema_partitioned(spec: list[dict],
-                                 plan: list[tuple]) -> dict:
+                                 plan: list[tuple],
+                                 base_schema: dict | None = None) -> dict:
     """Manifest schema whose data_file carries the spec's ``partition``
     record (field-id 102; one field per partition field, typed by the
     transform's result type, ids from the 1000+ space)."""
@@ -1055,10 +1095,11 @@ def _manifest_schema_partitioned(spec: list[dict],
         {"name": s["name"], "type": _PART_TO_AVRO[ptype],
          "field-id": s["field-id"]}
         for s, (_n, ptype, _c) in zip(spec, plan)]
-    base = [dict(f) for f in _MANIFEST_SCHEMA["fields"]]
+    src = base_schema or _MANIFEST_SCHEMA
+    base = [dict(f) for f in src["fields"]]
     data_file = {
         "type": "record", "name": "r2",
-        "fields": list(_MANIFEST_SCHEMA["fields"][2]["type"]["fields"]) + [
+        "fields": list(src["fields"][2]["type"]["fields"]) + [
             {"name": "partition", "field-id": 102, "type": {
                 "type": "record", "name": "r102", "fields": part_fields}},
         ]}
@@ -1299,7 +1340,8 @@ def read_iceberg(spark: SparkSession, table: str,
                  stats_filter: dict | None = None,
                  scan_stats: dict | None = None,
                  ref: str | None = None,
-                 timestamp_ms: int | None = None) -> DataFrame:
+                 timestamp_ms: int | None = None,
+                 with_row_ids: bool = False) -> DataFrame:
     """Snapshot read (current, or time travel to ``snapshot_id``).
     On format-version 2 tables, position deletes apply as a broadcast
     anti-join on (file, row position) and EQUALITY deletes as
@@ -1356,10 +1398,19 @@ def read_iceberg(spark: SparkSession, table: str,
     else:
         scan_ddl = ddl
         sel = [F.col(f["name"]) for f in fields]
+    fr_ids = plan["first_row_ids"]
+    if with_row_ids and (
+            meta["format-version"] != 3
+            or {p for p, _s in paths} - set(fr_ids)):
+        raise ValueError(
+            "row lineage needs a format-version 3 table whose live "
+            "files all carry first_row_id (v3 ROW LINEAGE — the spec "
+            "assigns ids at commit; pre-lineage files have none)")
     raw = spark.read.schema(scan_ddl).parquet(
         *[os.path.join(table, p) for p, _s in paths])
     df = raw.select(*sel) if nm else raw
-    if not pos_delete_files and not eq_deletes and not dv_descriptors:
+    if (not pos_delete_files and not eq_deletes and not dv_descriptors
+            and not with_row_ids):
         return df
     cols = [f["name"] for f in fields]
     root = os.path.abspath(table)
@@ -1410,6 +1461,16 @@ def read_iceberg(spark: SparkSession, table: str,
                 # NULL data values (equality, not SQL three-valued =)
                 cond = cond & tagged[n].eqNullSafe(kdf[f"_eq_{n}"])
             tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
+    if with_row_ids:
+        # ROW LINEAGE read: _row_id = the file's first_row_id + the
+        # row's physical position — stable across MOR deletes (masked
+        # rows dropped above never renumber survivors) and O(files)
+        # broadcast metadata, the read_delta_with_row_ids twin
+        rid_df = spark.createDataFrame(
+            [(p, fr_ids[p]) for p, _s in paths], "_fp string, _frid long")
+        tagged = tagged.join(F.broadcast(rid_df), "_fp", "left")
+        return tagged.select(
+            *cols, (F.col("_frid") + F.col("_pos")).alias("_row_id"))
     return tagged.select(*cols)
 
 
@@ -1469,6 +1530,7 @@ def plan_scan_iceberg(table: str,
     # (puffin path, offset, length, referenced data file); bitmaps
     # decode executor-side in _dv_delete_frame
     dv_descriptors: list[dict] = []
+    first_row_ids: dict[str, int] = {}
     # equality deletes grouped by their key-column tuple: for each key
     # tuple the MAX delete sequence wins (a delete at seq 9 subsumes
     # one at seq 5 — both drop files below 5; only <9 matters).
@@ -1534,6 +1596,9 @@ def plan_scan_iceberg(table: str,
                         meta["schema"]["fields"]):
                     continue
                 paths.append((e["data_file"]["file_path"], seq))
+                if e["data_file"].get("first_row_id") is not None:
+                    first_row_ids[e["data_file"]["file_path"]] = (
+                        e["data_file"]["first_row_id"])
     if scan_stats is not None:
         scan_stats["files_total"] = total_files
         scan_stats["files_scanned"] = len(paths)
@@ -1545,6 +1610,7 @@ def plan_scan_iceberg(table: str,
         "pos_delete_records": pos_delete_records,
         "dv_descriptors": dv_descriptors,
         "eq_deletes": eq_deletes,
+        "first_row_ids": first_row_ids,
     }
 
 

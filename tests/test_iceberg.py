@@ -1803,3 +1803,49 @@ def test_snapshot_summary_running_totals(spark):
     assert last["operation"] == "replace"
     assert last["total-records"] == "27"  # rewrite excludes deleted
     assert last["total-delete-files"] == "0"
+
+
+def test_v3_row_lineage_dense_stable_and_refusals(spark):
+    """v3 ROW LINEAGE: appends assign first_row_id per data file from
+    the metadata's next-row-id counter; read_iceberg(with_row_ids=True)
+    derives _row_id = first_row_id + position — dense across appends,
+    STABLE under DV deletes (survivors never renumber), refused on
+    pre-v3 tables."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        delete_positions_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_rl_")
+    append_iceberg(_df(spark, 0, 20).repartition(3), t, format_version=3)
+    append_iceberg(_df(spark, 20, 30), t, format_version=3)
+    rows = {r["k"]: r["_row_id"] for r in
+            read_iceberg(spark, t, with_row_ids=True).collect()}
+    assert sorted(rows.values()) == list(range(30))
+    assert _current_metadata(t)["next-row-id"] == 30
+    snaps = _current_metadata(t)["snapshots"]
+    assert snaps[0]["first-row-id"] == 0
+    assert snaps[1]["first-row-id"] == 20
+    delete_positions_iceberg(spark, t, "k % 10 = 3")
+    after = {r["k"]: r["_row_id"] for r in
+             read_iceberg(spark, t, with_row_ids=True).collect()}
+    assert len(after) == 27
+    assert all(after[k] == rows[k] for k in after)
+    # pre-v3 tables have no lineage to serve
+    t2 = tempfile.mkdtemp(prefix="ice_rl2_")
+    append_iceberg(_df(spark, 0, 5), t2, format_version=2)
+    with pytest.raises(ValueError, match="row lineage"):
+        read_iceberg(spark, t2, with_row_ids=True)
+
+
+def test_v3_row_lineage_partitioned_append(spark):
+    """The partitioned manifest schema carries first_row_id too (the
+    v3 base schema threads through _manifest_schema_partitioned)."""
+    t = tempfile.mkdtemp(prefix="ice_rlp_")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("b"))
+    append_iceberg(df, t, format_version=3,
+                   partition_by=[("b", "identity")])
+    got = read_iceberg(spark, t, with_row_ids=True)
+    ids = [r["_row_id"] for r in got.collect()]
+    assert sorted(ids) == list(range(40))
