@@ -111,14 +111,25 @@ def _checkpoint_files(table: str, version: int) -> list[str]:
     prefix = f"{version:020d}.checkpoint."
     found: dict[int, str] = {}
     declared: set[int] = set()
+    v2: list[str] = []
     for name in os.listdir(log) if os.path.isdir(log) else []:
         if not (name.startswith(prefix) and name.endswith(".parquet")):
             continue
         bits = name[len(prefix):-len(".parquet")].split(".")
+        if len(bits) == 1 and bits[0] and not bits[0].isdigit():
+            # V2 spec checkpoint: %020d.checkpoint.<uniqueStr>.parquet
+            # — one top-level file (non-file actions + sidecarFile
+            # pointers); its add/remove actions live in _sidecars/
+            v2.append(os.path.join(log, name))
+            continue
         if len(bits) != 2 or not all(b.isdigit() for b in bits):
             continue
         found[int(bits[0])] = os.path.join(log, name)
         declared.add(int(bits[1]))
+    if v2:
+        # any complete v2 checkpoint serves; two racing writers both
+        # produce complete files — pick deterministically
+        return [sorted(v2)[0]]
     if not found:
         raise FileNotFoundError(
             f"no checkpoint parquet for version {version} under {table}")
@@ -565,7 +576,8 @@ _CP_COLUMNS = ("protocol", "metaData", "txn", "domainMetadata", "add")
 
 
 def checkpoint_delta(table: str, version: int | None = None,
-                     parts: int | None = None, spark=None) -> int:
+                     parts: int | None = None, spark=None,
+                     v2: bool = False) -> int:
     """Write a parquet checkpoint of the snapshot at ``version``
     (default: latest) and point ``_last_checkpoint`` at it. Returns
     the checkpointed version.
@@ -669,7 +681,61 @@ def checkpoint_delta(table: str, version: int | None = None,
         os.replace(tmp, path)
 
     pointer: dict = {"version": v, "size": len(rows)}
-    if parts is not None and parts > 1:
+    if v2:
+        # V2 SPEC CHECKPOINT (PROTOCOL.md "V2 spec checkpoints"): one
+        # uuid-named top-level file holding the non-file actions, a
+        # checkpointMetadata action, and sidecarFile pointers; the add
+        # actions land in _delta_log/_sidecars/ parquet files —
+        # written FIRST (tmp+rename each), so the top file only ever
+        # references complete sidecars and a crash mid-write leaves
+        # orphan sidecars behind the old pointer, never a torn read.
+        side_dir = os.path.join(table, _LOG_DIR, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        n_side = max(1, int(parts or 1))
+        n_head = len(rows) - len(live)
+        head_rows = rows[:n_head]
+        add_rows = rows[n_head:]
+        buckets = [add_rows[i::n_side] for i in range(n_side)]
+        side_schema = pa.schema([("add", schema.field("add").type)])
+        sidecar_actions: list[dict] = []
+        for bucket in buckets:
+            name = f"{uuid.uuid4().hex}.parquet"
+            sp = os.path.join(side_dir, name)
+            tmp = sp + f".tmp.{uuid.uuid4().hex}"
+            pq.write_table(pa.table(
+                {"add": pa.array([r.get("add") for r in bucket],
+                                 type=side_schema.field("add").type)},
+                schema=side_schema), tmp)
+            os.replace(tmp, sp)
+            sidecar_actions.append({"sidecarFile": {
+                "path": name,
+                "sizeInBytes": os.path.getsize(sp),
+                "modificationTime": int(time.time() * 1000),
+            }})
+        top_rows = ([{"checkpointMetadata": {"version": v}}]
+                    + head_rows + sidecar_actions)
+        top_cols = ("checkpointMetadata", "protocol", "metaData", "txn",
+                    "domainMetadata", "sidecarFile")
+        top_schema = pa.schema(
+            [("checkpointMetadata", pa.struct([("version", pa.int64())]))]
+            + [(c, schema.field(c).type) for c in _CP_COLUMNS
+               if c != "add"]
+            + [("sidecarFile", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]))])
+        top_path = os.path.join(
+            table, _LOG_DIR,
+            f"{v:020d}.checkpoint.{uuid.uuid4().hex}.parquet")
+        tmp = top_path + f".tmp.{uuid.uuid4().hex}"
+        pq.write_table(pa.table(
+            {c: pa.array([r.get(c) for r in top_rows],
+                         type=top_schema.field(c).type)
+             for c in top_cols},
+            schema=top_schema), tmp)
+        os.replace(tmp, top_path)
+    elif parts is not None and parts > 1:
         n = int(parts)
         # part 1: non-file actions + its share of adds; adds spread
         # round-robin (the protocol lets actions land in any part)
@@ -722,7 +788,16 @@ def _read_checkpoint_state(table: str, cp_version: int):
 
     rows: list[dict] = []
     for path in _checkpoint_files(table, cp_version):
-        rows.extend(pq.read_table(path).to_pylist())
+        for row in pq.read_table(path).to_pylist():
+            sf = row.get("sidecarFile") if isinstance(row, dict) else None
+            if sf is not None and sf.get("path"):
+                # V2 spec checkpoint: the sidecar (under
+                # _delta_log/_sidecars/) carries the file actions
+                side = os.path.join(table, _LOG_DIR, "_sidecars",
+                                    sf["path"])
+                rows.extend(pq.read_table(side).to_pylist())
+            else:
+                rows.append(row)
     live: dict[str, dict] = {}
     schema_string: str | None = None
     txns: dict[str, int] = {}

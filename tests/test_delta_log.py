@@ -2356,3 +2356,39 @@ def test_column_mapping_id_mode_refuses_table_with_data(spark):
     enable_column_mapping_delta(t2)  # name mode
     with pytest.raises(ValueError, match="already maps"):
         enable_column_mapping_delta(t2, mode="id")
+
+
+def test_v2_spec_checkpoint_roundtrip(spark):
+    """V2 spec checkpoints: a uuid-named top-level file (non-file
+    actions + checkpointMetadata + sidecarFile pointers) with the add
+    actions in _delta_log/_sidecars/ parquet — replay resolves the
+    layout, the cleaned log reads back exactly, and table state
+    (partitioning, constraints via config, domains) rides the top
+    file."""
+    from postrack_spark.streaming.delta_log import (
+        _partition_columns,
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_v2cp_")
+    write_delta(_df(spark, 0, 30).repartition(3), t, partition_by=["v"])
+    write_delta(_df(spark, 30, 50).repartition(2), t)
+    cp = checkpoint_delta(t, v2=True, parts=2)
+    log = os.path.join(t, "_delta_log")
+    tops = [n for n in os.listdir(log)
+            if n.startswith(f"{cp:020d}.checkpoint.")
+            and n.endswith(".parquet")]
+    assert len(tops) == 1 and len(tops[0].split(".")) == 4
+    sidecars = os.listdir(os.path.join(log, "_sidecars"))
+    assert len(sidecars) == 2
+    clean_log_delta(t)
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == list(range(50))
+    assert _partition_columns(t) == ["v"]
+    stats: dict = {}
+    read_delta(spark, t, partition_filter={"v": "4"}, scan_stats=stats)
+    assert 0 < stats["files_scanned"] < stats["files_total"]
+    # the table keeps working past the v2 checkpoint
+    write_delta(_df(spark, 50, 60), t)
+    assert read_delta(spark, t).count() == 60
