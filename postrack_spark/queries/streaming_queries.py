@@ -5245,3 +5245,34 @@ def cdc_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query("sql_datasource_iceberg_write_roundtrip", oracle=_DS_PRUNE_ORACLE)
+def sql_datasource_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg WRITE half of the DataSource lane:
+    ``df.write.format("pyiceberg")`` appends through append_iceberg's
+    staged-entries path (workers write parquet + harvest footer
+    bounds; the commit binds them to field-ids), and the month-IN SQL
+    read prunes from those harvested STATS BOUNDS — no partitioning
+    at all: the write was range-clustered on month, so the manifest
+    min/max alone prove most files empty (the pushed IN-set also
+    bounds a closed range for the stats pruner). parity gates the
+    pruned file set against read_iceberg(stats_filter=(min, max)) —
+    the library twin of the same closed-range proof."""
+    import tempfile as _tf
+
+    from postrack_spark.sources.lakehouse_ds import (
+        register_lakehouse_sources,
+    )
+    from postrack_spark.streaming.iceberg import read_iceberg
+
+    register_lakehouse_sources(spark)
+    base = _ds_month_base(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="lhds_iw_q_")
+    (base.repartitionByRange(8, "month")
+     .write.format("pyiceberg").mode("append").save(table))
+    lib_stats: dict = {}
+    read_iceberg(spark, table,
+                 stats_filter={"month": (_DS_MONTHS[0], _DS_MONTHS[-1])},
+                 scan_stats=lib_stats)
+    return _ds_prune_certified(spark, "pyiceberg", table, lib_stats)

@@ -146,6 +146,15 @@ def _collect_pushed(filters) -> tuple[dict, dict, set]:
                 b[1] = f.value if b[1] is None else min(b[1], f.value)
             elif isinstance(f, In):
                 eq.setdefault(col, []).extend(f.value)
+                vals = [v for v in f.value if v is not None]
+                if vals:
+                    # an IN-set also bounds a CLOSED range [min, max]
+                    # for stats pruning — conservative (files between
+                    # members still scan), sound (no member outside)
+                    b = rng.setdefault(col, [None, None])
+                    lo, hi = min(vals), max(vals)
+                    b[0] = lo if b[0] is None else max(b[0], lo)
+                    b[1] = hi if b[1] is None else min(b[1], hi)
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 if f.value is None:
                     continue
