@@ -929,3 +929,117 @@ def test_live_truncate_and_mid_stream_schema_change(live_pg, spark):
         conn.drop_slot(slot)
     finally:
         ex.close()
+
+
+def test_live_cdc_to_delta_lakehouse_capstone(live_pg, spark):
+    """ELEVENTH live leg (round 8) — Postgres to the LAKEHOUSE in one
+    pipeline with zero glue code: real walsender -> capture daemon ->
+    postgres_cdc stream source -> ``writeStream.format("pydelta")``
+    (the round-8 DataSource streaming sink; txn-action exactly-once)
+    -> Delta transaction log. The materialized latest-per-key fold
+    over read_delta equals the live table after two transaction waves
+    and a RESUMED drain, which can only hold if the sink committed
+    each micro-batch exactly once into the log."""
+    from pyspark.sql import functions as F
+
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.cdc.materialize import latest_per_key
+    from postrack_spark.sources.lakehouse_ds import (
+        register_lakehouse_sources,
+    )
+    from postrack_spark.sources.pgwire import run_daemon_pgwire
+    from postrack_spark.sources.postgres_cdc import register
+    from postrack_spark.streaming.delta_log import (
+        last_txn_version,
+        read_delta,
+    )
+
+    ex = _executor(live_pg)
+    slot = "live_lake_slot"
+    frames = tempfile.mkdtemp(prefix="pglive_lkf_")
+    ckpt = tempfile.mkdtemp(prefix="pglive_lkc_")
+    table = tempfile.mkdtemp(prefix="pglive_lkd_")
+    stop = {"flag": False}
+    t = None
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_lake")
+        ex.command(
+            "CREATE TABLE public.live_lake (id int primary key, qty int)")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_publication(Table("public", "live_lake"))
+        pub = create_publication_id(slot)
+        t = threading.Thread(
+            target=run_daemon_pgwire,
+            kwargs=dict(
+                **live_pg, slot=slot, out_dir=frames, publication=pub,
+                start_lsn=0, ack_interval_s=0.3, max_frames=8,
+                stop=lambda: stop["flag"],
+            ),
+            daemon=True,
+        )
+        t.start()
+
+        def drain() -> None:
+            register(spark)
+            register_lakehouse_sources(spark)
+            q = (
+                spark.readStream.format("postgres_cdc")
+                .option("capture_dir", frames)
+                .load()
+                .writeStream.format("pydelta")
+                .option("path", table)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        ex.command(
+            "INSERT INTO public.live_lake "
+            "SELECT i, i * 10 FROM generate_series(1, 30) g(i)")
+        ex.command("DELETE FROM public.live_lake WHERE id > 25")
+        t1 = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _wait_confirmed_flush(ex, slot, t1)
+        drain()
+        env1 = read_delta(spark, table).filter("`table` = 'live_lake'")
+        assert env1.count() == 35  # 30 inserts + 5 deletes
+        assert last_txn_version(table) is not None
+
+        ex.command(
+            "UPDATE public.live_lake SET qty = qty + 1 WHERE id <= 10")
+        ex.command("INSERT INTO public.live_lake VALUES (200, 0)")
+        t2 = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _wait_confirmed_flush(ex, slot, t2)
+        drain()  # resumed drain: checkpoint + txn actions, no replays
+        env = read_delta(spark, table).filter("`table` = 'live_lake'")
+        assert env.count() == 46  # exactly the 11 new envelopes
+
+        keyed = env.withColumn(
+            "pk", F.coalesce(F.col("after")["id"], F.col("before")["id"]))
+        state = (
+            latest_per_key(keyed, ["pk"])
+            .filter("op <> 'DELETE'")
+            .select(
+                F.col("pk").cast("int").alias("id"),
+                F.col("after")["qty"].cast("int").alias("qty"),
+            )
+        )
+        got = {(r["id"], r["qty"]) for r in state.collect()}
+        want = {
+            (int(i), int(q))
+            for i, q in ex.query("SELECT id, qty FROM public.live_lake")
+        }
+        assert got == want and len(want) == 26
+        conn.drop_publication()
+    finally:
+        stop["flag"] = True
+        if t is not None:
+            t.join(15)
+        try:
+            Conn("pgwire://local", executor=ex).drop_slot(slot)
+        except Exception:
+            pass
+        ex.close()
+        for d in (frames, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
