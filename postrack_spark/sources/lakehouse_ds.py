@@ -364,9 +364,12 @@ class PyDeltaDataSource(DataSource):
 
 # ----------------------------------------------------------- pyiceberg
 
-# per-process decode cache: (root, delete-file tuple) -> {data rel path
-# -> sorted np positions}. N data-file partitions on one executor
-# decode each delete Avro ONCE (the jpeg fixture-cache pattern).
+# per-process decode cache, BOUNDED: one entry per table root, keyed
+# by that root's LATEST-seen delete set — each new snapshot generation
+# replaces the previous entry instead of accumulating beside it (a
+# long-lived executor must not grow O(generations) position arrays).
+# N data-file partitions of one scan still decode each delete file
+# ONCE (the jpeg fixture-cache pattern).
 _POS_DELETE_CACHE: dict = {}
 
 
@@ -375,10 +378,10 @@ def _pos_deletes_for(root: str, delete_files: tuple,
     """Positions-to-drop per data file, merged from v2 position-delete
     Avros AND v3 Puffin deletion-vector blobs (descriptor tuples of
     (puffin path, offset, length, referenced file))."""
-    key = (root, delete_files, dv_descriptors)
-    got = _POS_DELETE_CACHE.get(key)
-    if got is not None:
-        return got
+    key = (delete_files, dv_descriptors)
+    cached = _POS_DELETE_CACHE.get(root)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     import numpy as np
 
     from postrack_spark.sources.avro_codec import read_avro
@@ -392,14 +395,19 @@ def _pos_deletes_for(root: str, delete_files: tuple,
     if dv_descriptors:
         from postrack_spark.streaming.puffin import decode_dv_blob
 
+        # many DVs collocate per Puffin: read each file's bytes once
+        by_path: dict = {}
         for path, off, ln, ref in dv_descriptors:
+            by_path.setdefault(path, []).append((int(off), int(ln), ref))
+        for path, blobs in by_path.items():
             with open(os.path.join(root, path), "rb") as f:
                 data = f.read()
-            by_file.setdefault(ref, []).extend(
-                decode_dv_blob(data, int(off), int(ln)).values())
+            for off, ln, ref in blobs:
+                by_file.setdefault(ref, []).extend(
+                    decode_dv_blob(data, off, ln).values())
     out = {fp: np.unique(np.asarray(ps, dtype=np.int64))
            for fp, ps in by_file.items()}
-    _POS_DELETE_CACHE[key] = out
+    _POS_DELETE_CACHE[root] = (key, out)
     return out
 
 
@@ -510,7 +518,13 @@ class PyIcebergReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         root = os.path.abspath(self.table)
-        tbl = pq.read_table(os.path.join(root, partition.rel))
+        pf = pq.ParquetFile(os.path.join(root, partition.rel))
+        have = set(pf.schema_arrow.names)
+        # request only the schema's columns the file HAS (column
+        # pruning at the parquet reader — evolved-away extras skipped;
+        # _project nulls missing ones), mirroring the pydelta reader
+        tbl = pf.read(columns=[c for c in partition.src_names
+                               if c in have])
         if partition.pos_delete_files or partition.dv_descriptors:
             dead = _pos_deletes_for(
                 root, partition.pos_delete_files,
@@ -522,15 +536,20 @@ class PyIcebergReader(DataSourceReader):
         for names, items in partition.eq_deletes:
             # sequence scoping: a delete at seq S hits files STRICTLY
             # below S (the library read's spec rule)
-            live = {tuple(k): s for k, s in items if partition.seq < s}
+            live = [tuple(k) for k, s in items if partition.seq < s]
             if not live:
                 continue
-            cols = [tbl.column(n).to_pylist() if n in tbl.column_names
-                    else [None] * tbl.num_rows for n in names]
-            keep = np.fromiter(
-                (key not in live for key in zip(*cols)),
-                dtype=bool, count=tbl.num_rows)
-            tbl = tbl.filter(keep)
+            import pandas as _pd
+
+            # vectorized membership: pandas MultiIndex isin, never a
+            # per-row Python loop (the module's Arrow-only rule)
+            cols = {n: (tbl.column(n).to_pandas()
+                        if n in tbl.column_names
+                        else _pd.Series([None] * tbl.num_rows))
+                    for n in names}
+            idx = _pd.MultiIndex.from_arrays([cols[n] for n in names])
+            keep = ~idx.isin(live)
+            tbl = tbl.filter(np.asarray(keep))
         out = _project(tbl, partition.out_names, partition.src_names,
                        partition.type_names)
         yield from out.to_batches(max_chunksize=1 << 16)

@@ -109,7 +109,7 @@ def _checkpoint_files(table: str, version: int) -> list[str]:
         return [single]
     log = os.path.join(table, _LOG_DIR)
     prefix = f"{version:020d}.checkpoint."
-    found: dict[int, str] = {}
+    found: dict[int, dict[int, str]] = {}  # parts-count -> part -> path
     declared: set[int] = set()
     v2: list[str] = []
     for name in os.listdir(log) if os.path.isdir(log) else []:
@@ -124,7 +124,8 @@ def _checkpoint_files(table: str, version: int) -> list[str]:
             continue
         if len(bits) != 2 or not all(b.isdigit() for b in bits):
             continue
-        found[int(bits[0])] = os.path.join(log, name)
+        found.setdefault(int(bits[1]), {})[int(bits[0])] = (
+            os.path.join(log, name))
         declared.add(int(bits[1]))
     if v2:
         # any complete v2 checkpoint serves; two racing writers both
@@ -133,17 +134,17 @@ def _checkpoint_files(table: str, version: int) -> list[str]:
     if not found:
         raise FileNotFoundError(
             f"no checkpoint parquet for version {version} under {table}")
-    if len(declared) != 1:
-        raise ValueError(
-            f"conflicting multi-part checkpoint sets at {version}: "
-            f"declared part counts {sorted(declared)}")
-    n = declared.pop()
-    missing = sorted(set(range(1, n + 1)) - set(found))
-    if missing:
-        raise ValueError(
-            f"multi-part checkpoint {version} incomplete: missing parts "
-            f"{missing} of {n}")
-    return [found[i] for i in range(1, n + 1)]
+    # multiple part-count sets can coexist (a maintenance re-run with a
+    # tuned parts setting checkpoints the same version twice) — every
+    # COMPLETE set describes the same snapshot, so serve any one,
+    # deterministically; only an all-incomplete state raises
+    for n in sorted(declared):
+        parts_map = found[n]
+        if not set(range(1, n + 1)) - set(parts_map):
+            return [parts_map[i] for i in range(1, n + 1)]
+    raise ValueError(
+        f"multi-part checkpoint {version} incomplete: no declared part "
+        f"count {sorted(declared)} has its full file set")
 
 
 def _last_checkpoint_path(table: str) -> str:
@@ -1364,6 +1365,14 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
                     # or mislabel columns
                     raise DeltaCommitConflict(
                         "concurrent column-mapping change: restage")
+                if _partition_columns(table) != pcols:
+                    # staged adds carry partitionValues for the OLD
+                    # layout (or none — a creating write that lost the
+                    # v0 race to a partitioned creator), so a
+                    # partition-filtered read would silently fail open
+                    # on every such file
+                    raise DeltaCommitConflict(
+                        "concurrent partitioning change: restage")
             if evo_action is not None:
                 actions.append(evo_action)
         removes: list[dict] = []
@@ -2608,6 +2617,14 @@ def enable_row_tracking_delta(table: str) -> int:
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
 
 
+# latest broadcast of (baseRowId map, DV payloads) per table root:
+# repeated id-resolving reads of one snapshot reuse ONE broadcast, and
+# a new snapshot REPLACES the entry (dropping our reference lets
+# Spark's context cleaner reclaim it once no DataFrame still holds it
+# — an eager destroy would break live frames' recompute).
+_RT_BC_CACHE: dict = {}
+
+
 def read_delta_with_row_ids(spark: SparkSession, table: str,
                             version: int | None = None) -> DataFrame:
     """Snapshot read plus a ``_row_id`` column:
@@ -2651,8 +2668,16 @@ def read_delta_with_row_ids(spark: SparkSession, table: str,
     dv_bytes = {os.path.normpath(os.path.join(root, k)): v
                 for k, v in load_dv_bytes(table, acts).items()}
     # descriptor maps grow with the table's file count: broadcast once
-    # per executor instead of riding every task closure
-    bc = spark.sparkContext.broadcast((base_map, dv_bytes))
+    # per executor instead of riding every task closure; cached per
+    # (session, resolved version) so repeated reads don't leak one
+    # broadcast per call
+    bc_key = (id(spark), _v, len(acts))
+    cached = _RT_BC_CACHE.get(root)
+    if cached is not None and cached[0] == bc_key:
+        bc = cached[1]
+    else:
+        bc = spark.sparkContext.broadcast((base_map, dv_bytes))
+        _RT_BC_CACHE[root] = (bc_key, bc)
     df = spark.read.schema(scan_schema).parquet(
         *[os.path.join(table, p) for p, _a in acts])
     phys_cols = [f.name for f in phys.fields]

@@ -1382,7 +1382,17 @@ def read_iceberg(spark: SparkSession, table: str,
     fields = meta["schema"]["fields"]
     ddl = ", ".join(
         f"{f['name']} {_ICE_TO_SPARK[f['type']]}" for f in fields)
+    if with_row_ids and meta["format-version"] != 3:
+        # validated BEFORE the empty-scan shortcut: an empty v1/v2
+        # table must refuse, not silently serve a lineage-less frame
+        raise ValueError(
+            "row lineage needs a format-version 3 table whose live "
+            "files all carry first_row_id (v3 ROW LINEAGE — the spec "
+            "assigns ids at commit; pre-lineage files have none)")
     if not paths:
+        if with_row_ids:
+            # empty scans keep the contract: the _row_id column exists
+            return spark.createDataFrame([], ddl + ", _row_id long")
         return spark.createDataFrame([], ddl)
     nm = _name_mapping_property(meta)
     if nm:
@@ -1399,13 +1409,11 @@ def read_iceberg(spark: SparkSession, table: str,
         scan_ddl = ddl
         sel = [F.col(f["name"]) for f in fields]
     fr_ids = plan["first_row_ids"]
-    if with_row_ids and (
-            meta["format-version"] != 3
-            or {p for p, _s in paths} - set(fr_ids)):
+    if with_row_ids and {p for p, _s in paths} - set(fr_ids):
         raise ValueError(
-            "row lineage needs a format-version 3 table whose live "
-            "files all carry first_row_id (v3 ROW LINEAGE — the spec "
-            "assigns ids at commit; pre-lineage files have none)")
+            "row lineage: live files without first_row_id in a "
+            "format-version 3 table (pre-lineage files — rewrite them "
+            "via compaction to assign ids)")
     raw = spark.read.schema(scan_ddl).parquet(
         *[os.path.join(table, p) for p, _s in paths])
     df = raw.select(*sel) if nm else raw
@@ -1698,14 +1706,21 @@ def _dv_delete_frame(spark: SparkSession, root: str,
         from postrack_spark.streaming.puffin import decode_dv_blob
 
         for pdf in batches:
+            # the writer deliberately collocates many DVs per Puffin —
+            # group by path so each file's bytes are read ONCE
+            by_path: dict = {}
             for path, off, ln, ref in zip(pdf["path"], pdf["off"],
                                           pdf["ln"], pdf["ref"]):
+                by_path.setdefault(path, []).append(
+                    (int(off), int(ln), ref))
+            for path, blobs in by_path.items():
                 with open(_os.path.join(root, path), "rb") as f:
                     data = f.read()
-                vals = decode_dv_blob(data, int(off), int(ln)).values()
-                if vals:
-                    yield _pd.DataFrame({"_fp": [ref] * len(vals),
-                                         "_pos": vals})
+                for off, ln, ref in blobs:
+                    vals = decode_dv_blob(data, off, ln).values()
+                    if vals:
+                        yield _pd.DataFrame({"_fp": [ref] * len(vals),
+                                             "_pos": vals})
 
     return files_df.mapInPandas(_decode, "_fp string, _pos long")
 
@@ -2294,13 +2309,27 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
         seq = meta["last-sequence-number"] + 1
         snap = _snapshot(meta, meta["current-snapshot-id"])
         mlist, _ = read_avro(_read_file(table, snap["manifest-list"]))
+        first_rid = None
+        next_rid = None
         for e in data_entries:
             e["snapshot_id"] = snapshot_id
+        if meta["format-version"] == 3:
+            # ROW LINEAGE rides the CDC write path too — an upsert
+            # that skipped id assignment would permanently disable
+            # with_row_ids reads on its own table (review r8)
+            next_rid = int(meta.get("next-row-id", 0) or 0)
+            first_rid = next_rid
+            for e in data_entries:
+                e["data_file"]["first_row_id"] = next_rid
+                next_rid += e["data_file"]["record_count"]
         data_rel = os.path.join(
             "metadata",
             f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
-        data_blob = write_avro(data_entries, _MANIFEST_SCHEMA,
-                               codec="deflate")
+        data_blob = write_avro(
+            data_entries,
+            _MANIFEST_SCHEMA_V3 if meta["format-version"] == 3
+            else _MANIFEST_SCHEMA,
+            codec="deflate")
         with open(os.path.join(table, data_rel), "wb") as f:
             f.write(data_blob)
         new_mlist = mlist + [{
@@ -2355,6 +2384,9 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
         new_meta["last-version"] = version
         new_meta["last-sequence-number"] = seq
         new_meta["last-updated-ms"] = now_ms
+        if meta["format-version"] == 3:
+            new_meta["next-row-id"] = next_rid
+            new_meta["snapshots"][-1]["first-row-id"] = first_rid
         try:
             _commit_metadata(table, version, new_meta)
             return snapshot_id, n_rows

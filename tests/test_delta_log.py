@@ -2392,3 +2392,49 @@ def test_v2_spec_checkpoint_roundtrip(spark):
     # the table keeps working past the v2 checkpoint
     write_delta(_df(spark, 50, 60), t)
     assert read_delta(spark, t).count() == 60
+
+
+def test_rechekpointing_with_different_parts_does_not_brick(spark):
+    """Re-running a maintenance checkpoint with a tuned parts setting
+    leaves two complete sets at one version — readers serve any
+    complete set instead of raising (review r8 finding 2)."""
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta,
+        clean_log_delta,
+    )
+
+    t = tempfile.mkdtemp(prefix="delta_cp_two_")
+    write_delta(_df(spark, 0, 40).repartition(4), t)
+    checkpoint_delta(t, parts=3, spark=spark)
+    checkpoint_delta(t, parts=2, spark=spark)
+    clean_log_delta(t)
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(
+        range(40))
+
+
+def test_creating_write_lost_v0_race_to_partitioned_creator(spark, monkeypatch):
+    """A creating write that loses the v0 race to a PARTITIONED
+    creator must conflict — its staged adds carry no partitionValues,
+    so committing them would silently un-prune every partition-
+    filtered read (review r8 finding 4)."""
+    from postrack_spark.streaming import delta_log
+
+    table = tempfile.mkdtemp(prefix="delta_pc_race_")
+    orig = delta_log._write_data_files
+    fired = {"done": False}
+
+    def inject(df, tbl, **kw):
+        adds = orig(df, tbl, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            write_delta(_df(spark, 100, 120), table, partition_by=["v"])
+        return adds
+
+    monkeypatch.setattr(delta_log, "_write_data_files", inject)
+    with pytest.raises(DeltaCommitConflict, match="partitioning"):
+        write_delta(_df(spark, 0, 10), table)
+    # the winner's partitioned table is intact and prunable
+    stats: dict = {}
+    read_delta(spark, table, partition_filter={"v": "200"},
+               scan_stats=stats)
+    assert 0 < stats["files_scanned"] < stats["files_total"]

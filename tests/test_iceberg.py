@@ -1849,3 +1849,36 @@ def test_v3_row_lineage_partitioned_append(spark):
     got = read_iceberg(spark, t, with_row_ids=True)
     ids = [r["_row_id"] for r in got.collect()]
     assert sorted(ids) == list(range(40))
+
+
+def test_v3_row_lineage_survives_upsert(spark):
+    """The CDC write path must keep assigning row ids on a v3 table —
+    an upsert that skipped them would permanently disable
+    with_row_ids reads (review r8 finding 1)."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        upsert_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_rlu_")
+    append_iceberg(_df(spark, 0, 20), t, format_version=3)
+    upsert_iceberg(_df(spark, 15, 25), t, ["k"])
+    got = read_iceberg(spark, t, with_row_ids=True)
+    rows = [(r["k"], r["_row_id"]) for r in got.collect()]
+    assert len(rows) == 25
+    assert len({i for _k, i in rows}) == 25  # ids unique
+    assert _current_metadata(t)["next-row-id"] == 30  # 20 + 10 staged
+
+
+def test_v3_row_lineage_empty_scan_keeps_contract(spark):
+    from postrack_spark.streaming.iceberg import delete_positions_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_rle_")
+    append_iceberg(_df(spark, 0, 5), t, format_version=3)
+    delete_positions_iceberg(spark, t, "k >= 0")  # everything
+    got = read_iceberg(spark, t, with_row_ids=True)
+    assert "_row_id" in got.columns
+    # a pruned-to-nothing scan keeps the column too
+    got2 = read_iceberg(spark, t, with_row_ids=True,
+                        stats_filter={"k": (1000, 2000)})
+    assert "_row_id" in got2.columns and got2.count() == 0
