@@ -586,3 +586,91 @@ def cochran_armitage(df: DataFrame, dose_col: str,
          - F.col("r_total") * F.col("s1")).cast("long").alias("t_num"),
         "r_total", "n_total", "s1", "s2",
     )
+
+
+def ks_two_sample(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov + Kuiper statistics, exact
+    integers: 1-row (grp_a, grp_b, n_a, n_b, d_plus_num, d_minus_num,
+    d_num, v_num). With cumulative counts cumA/cumB at each distinct
+    value, the ECDF gap F_A - F_B at that value is
+    (cumA*n_b - cumB*n_a) / (n_a*n_b); the returned numerators are
+    d_plus_num  = max(cumA*n_b - cumB*n_a)   (sup of F_A - F_B),
+    d_minus_num = max(cumB*n_a - cumA*n_b)   (sup of F_B - F_A),
+    d_num = max of the two (KS D numerator) and v_num = their sum
+    (Kuiper's V numerator) — all over the common denominator n_a*n_b,
+    so the gate never touches a float. Both sup terms are >= 0 because
+    the gap is 0 at the largest value. Empty samples yield NULL
+    numerators (the three-sided-answer rule).
+
+    Distributed shape: the two-sample-CDF pattern —
+    operators/ranking.prefix_sums_by_key carries BOTH cumulative lanes
+    over one range shuffle of the DISTINCT-value frame; totals combine
+    via a 1-row broadcast; no windows, no collect. Overflow headroom:
+    cum*n <= n_a*n_b, so the numerators stay in int64 for samples up
+    to ~3e9 rows each — beyond that coarsen the value grid first.
+    Group a is the lexicographically smaller label (deterministic
+    across engines), matching :func:`mann_whitney_u`.
+    """
+    from postrack_spark.operators.ranking import prefix_sums_by_key
+
+    c = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+    labels = c.agg(F.min("g").alias("grp_a"), F.max("g").alias("grp_b"))
+    cells = (
+        c.crossJoin(F.broadcast(labels))
+        .groupBy("v")
+        .agg(
+            F.first("grp_a").alias("grp_a"),
+            F.first("grp_b").alias("grp_b"),
+            F.count_if(F.col("g") == F.col("grp_a")).cast("long").alias("na_v"),
+            F.count_if(
+                (F.col("g") == F.col("grp_b")) & (F.col("grp_b") != F.col("grp_a"))
+            )
+            .cast("long")
+            .alias("nb_v"),
+        )
+    )
+    cum = prefix_sums_by_key(
+        cells, ["v"], {"cum_a": "na_v", "cum_b": "nb_v"}, inclusive=True
+    )
+    tot = cells.agg(
+        F.first("grp_a").alias("grp_a"),
+        F.first("grp_b").alias("grp_b"),
+        F.coalesce(F.sum("na_v"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("nb_v"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot.select("n_a", "n_b"))).select(
+        (F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        .cast("long")
+        .alias("gap")
+    )
+    sups = gaps.agg(
+        F.max("gap").cast("long").alias("d_plus_num"),
+        F.max(-F.col("gap")).cast("long").alias("d_minus_num"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(sups))  # 1-row x 1-row combine
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            F.when(F.col("n_a") * F.col("n_b") > 0, F.col("d_plus_num"))
+            .cast("long")
+            .alias("d_plus_num"),
+            F.when(F.col("n_a") * F.col("n_b") > 0, F.col("d_minus_num"))
+            .cast("long")
+            .alias("d_minus_num"),
+            F.when(
+                F.col("n_a") * F.col("n_b") > 0,
+                F.greatest(F.col("d_plus_num"), F.col("d_minus_num")),
+            )
+            .cast("long")
+            .alias("d_num"),
+            F.when(
+                F.col("n_a") * F.col("n_b") > 0,
+                F.col("d_plus_num") + F.col("d_minus_num"),
+            )
+            .cast("long")
+            .alias("v_num"),
+        )
+    )

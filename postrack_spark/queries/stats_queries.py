@@ -6499,3 +6499,166 @@ def agg_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").alias("s"),
     )
     return cochran_armitage(obs, "d", "s")
+
+
+@query(
+    "agg_ks_kuiper_two_sample",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    cells AS (
+      SELECT v,
+             CAST(count(*) FILTER (g = 'A') AS BIGINT) AS na_v,
+             CAST(count(*) FILTER (g = 'R') AS BIGINT) AS nb_v
+      FROM c GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(na_v) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+             CAST(sum(nb_v) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      FROM cells
+    ),
+    tot AS (
+      SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+             CAST(sum(nb_v) AS BIGINT) AS n_b
+      FROM cells
+    ),
+    sups AS (
+      SELECT CAST(max(cum_a * n_b - cum_b * n_a) AS BIGINT) AS d_plus_num,
+             CAST(max(cum_b * n_a - cum_a * n_b) AS BIGINT) AS d_minus_num
+      FROM cum CROSS JOIN tot
+    )
+    SELECT 'A' AS grp_a, 'R' AS grp_b, n_a, n_b, d_plus_num, d_minus_num,
+           CAST(greatest(d_plus_num, d_minus_num) AS BIGINT) AS d_num,
+           CAST(d_plus_num + d_minus_num AS BIGINT) AS v_num,
+           CAST(greatest(d_plus_num, d_minus_num) * 1000000
+                // (n_a * n_b) AS BIGINT) AS ks_d_ppm,
+           CAST((d_plus_num + d_minus_num) * 1000000
+                // (n_a * n_b) AS BIGINT) AS kuiper_v_ppm
+    FROM sups CROSS JOIN tot
+    """,
+)
+def agg_ks_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D and Kuiper V: do returned
+    line items ('A') price-distribute differently from return-refused
+    ones ('R')? The sup-of-ECDF-gap statistics come out as pure integer
+    numerators over the common denominator n_a*n_b
+    (operators/stats.ks_two_sample — hypothesis brute-force model in
+    tests/test_stats_models.py), emitted alongside truncated-ppm
+    renderings (positive quotients, so Spark DIV == DuckDB //). Unlike
+    quality_distribution_drift's 10-bucket L1 profile, this is the
+    EXACT sup over the full distinct-value ladder. Distributed shape:
+    both cumulative lanes ride ONE range shuffle of the distinct-value
+    frame (prefix_sums_by_key, the two-sample-CDF pattern), then 1-row
+    broadcast combines — no windows, no collect, KS at any scale is
+    one shuffle of the distinct grid."""
+    from postrack_spark.operators.stats import ks_two_sample
+
+    t = load_tables(spark, sf_dir)
+    obs = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        )
+    )
+    r = ks_two_sample(obs, "g", "v")
+    return r.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        "d_plus_num",
+        "d_minus_num",
+        "d_num",
+        "v_num",
+        F.expr("CAST(d_num * 1000000 DIV (n_a * n_b) AS BIGINT)").alias("ks_d_ppm"),
+        F.expr("CAST(v_num * 1000000 DIV (n_a * n_b) AS BIGINT)").alias(
+            "kuiper_v_ppm"
+        ),
+    )
+
+
+@query(
+    "events_daily_type_drift_tv",
+    oracle="""
+    WITH ev AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, event_type FROM events
+    ),
+    counts AS (
+      SELECT d, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    days AS (SELECT d, CAST(sum(n) AS BIGINT) AS dt FROM counts GROUP BY 1),
+    types AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS gcnt FROM ev GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS gt FROM types),
+    terms AS (
+      SELECT g.d, g.dt,
+             abs(coalesce(c.n, 0) * t.gt - g.gcnt * g.dt) AS term
+      FROM (SELECT d, dt, event_type, gcnt FROM days CROSS JOIN types) g
+      CROSS JOIN tot t
+      LEFT JOIN counts c ON c.d = g.d AND c.event_type = g.event_type
+    )
+    SELECT d AS day, CAST(dt AS BIGINT) AS n_day,
+           CAST(sum(term) AS BIGINT) AS tv_num,
+           CAST(sum(term) * 1000000
+                // (2 * dt * (SELECT gt FROM tot)) AS BIGINT) AS tv_ppm
+    FROM terms GROUP BY d, dt ORDER BY day
+    """,
+)
+def events_daily_type_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day total-variation distance between each day's event-type
+    mix and the global mix — the exact-rational drift monitor for a
+    categorical stream (which days saw an anomalous type blend?).
+    TV = (1/2)*sum_type |p_day - p_global| cross-multiplies to
+    sum|n*gt - gcnt*dt| over 2*dt*gt — pure int64 (types ~5, counts
+    bounded by row totals), so no logarithm, no float, and the gate
+    hash-matches. The day x type grid is 0-FILLED (a type absent on a
+    day still contributes its global mass) by crossJoining the
+    broadcast type frame — same grid discipline as the blocked-rank
+    ladder. Plan: two partial-agg groupBys over one scan, a broadcast
+    grid join, one per-day combine; grid size is days*types, never
+    data-sized."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type"
+    )
+    counts = ev.groupBy("d", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    days = counts.groupBy("d").agg(F.sum("n").cast("long").alias("dt"))
+    types = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("gcnt"))
+    tot = types.agg(F.sum("gcnt").cast("long").alias("gt"))
+    grid = days.crossJoin(F.broadcast(types))
+    terms = (
+        grid.crossJoin(F.broadcast(tot))
+        .join(counts, ["d", "event_type"], "left")
+        .select(
+            "d",
+            "dt",
+            "gt",
+            F.abs(
+                F.coalesce(F.col("n"), F.lit(0)) * F.col("gt")
+                - F.col("gcnt") * F.col("dt")
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("d", "dt", "gt")
+        .agg(F.sum("term").cast("long").alias("tv_num"))
+        .select(
+            F.col("d").alias("day"),
+            F.col("dt").alias("n_day"),
+            "tv_num",
+            F.expr("CAST(tv_num * 1000000 DIV (2 * dt * gt) AS BIGINT)").alias(
+                "tv_ppm"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -414,3 +414,54 @@ def test_cochran_armitage_matches_bruteforce(spark, pairs):
     t, r, n, s1, s2 = _model_cochran_armitage(pairs)
     assert (row["t_num"], row["r_total"], row["n_total"],
             row["s1"], row["s2"]) == (t, r, n, s1, s2)
+
+
+def _model_ks_two_sample(pairs):
+    """(group, value) pairs -> (grp_a, grp_b, n_a, n_b, d_plus, d_minus,
+    d_num, v_num) by brute-force ECDF enumeration."""
+    labels = sorted({g for g, _ in pairs})
+    ga = labels[0] if labels else None
+    gb = labels[-1] if labels else None
+    a = [v for g, v in pairs if g == ga]
+    b = [v for g, v in pairs if g == gb and gb != ga]
+    na, nb = len(a), len(b)
+    if na * nb == 0:
+        return ga, gb, na, nb, None, None, None, None
+    vals = sorted(set(a) | set(b))
+    gaps = []
+    for v in vals:
+        cum_a = sum(1 for x in a if x <= v)
+        cum_b = sum(1 for x in b if x <= v)
+        gaps.append(cum_a * nb - cum_b * na)
+    d_plus = max(gaps)
+    d_minus = max(-g for g in gaps)
+    return ga, gb, na, nb, d_plus, d_minus, max(d_plus, d_minus), d_plus + d_minus
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 8)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_ks_two_sample_matches_model(spark, pairs):
+    from postrack_spark.operators.stats import ks_two_sample
+
+    df = spark.createDataFrame(pairs, "g string, v long")
+    row = ks_two_sample(df, "g", "v").collect()[0]
+    ga, gb, na, nb, dp, dm, dn, vn = _model_ks_two_sample(pairs)
+    assert (row["grp_a"], row["grp_b"]) == (ga, gb)
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert (row["d_plus_num"], row["d_minus_num"]) == (dp, dm)
+    assert (row["d_num"], row["v_num"]) == (dn, vn)
+    if dn is not None:
+        # sup of |F_A - F_B| is bounded by 1, i.e. d_num <= n_a*n_b,
+        # and Kuiper's V is bounded by 2*D
+        assert 0 <= dn <= na * nb
+        assert dn <= vn <= 2 * dn
