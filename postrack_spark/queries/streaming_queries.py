@@ -5276,3 +5276,90 @@ def sql_datasource_iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> 
                  stats_filter={"month": (_DS_MONTHS[0], _DS_MONTHS[-1])},
                  scan_stats=lib_stats)
     return _ds_prune_certified(spark, "pyiceberg", table, lib_stats)
+
+
+@query(
+    "cdc_delta_log_compaction",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT * FROM base
+      WHERE o_orderkey % 3 <> 0 AND o_custkey NOT BETWEEN 40 AND 60
+      UNION ALL
+      SELECT * FROM base WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS compacted_lane_used
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta LOG COMPACTION lane (PROTOCOL.md "Log Compaction Files"):
+    two appends, a copy-on-write DELETE, and a final append build a
+    4-commit log; compact_log_delta writes
+    ``<0>.<3>.compacted.json`` — the reconciled range (last
+    add-or-remove per path, newest metaData) — and the query then
+    DELETES two raw JSON commits inside the range before reading, so
+    the rollup can only be right if replay actually consumes the
+    compacted file (the load-bearing certificate, not a smoke test).
+    The final append deliberately re-adds rows inside the deleted
+    custkey range: a reconciliation that mis-ordered the remove/add
+    fold would double-count or drop them. At 100 TB this is the
+    between-checkpoints metadata answer: checkpoints are O(live
+    files), compaction files are O(files touched in the range) — CDC
+    tables taking thousands of small commits a day stop paying one
+    open()+parse per commit at every snapshot resolution."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        _log_path,
+        compact_log_delta,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_logc_q_")
+    for m in (1, 2):
+        write_delta(base.filter(F.col("o_orderkey") % 3 == m), table)
+    delete_delta(spark, table, "o_custkey BETWEEN 40 AND 60")
+    write_delta(base.filter(F.col("o_orderkey") % 3 == 0), table)
+    out = compact_log_delta(table)
+    _os.remove(_log_path(table, 1))
+    _os.remove(_log_path(table, 2))
+    used = (
+        out is not None
+        and _os.path.exists(out)
+        and not _os.path.exists(_log_path(table, 1))
+    )
+    return (
+        read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "cents",
+            F.lit(used).alias("compacted_lane_used"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -161,6 +161,30 @@ def _list_versions(table: str) -> list[int]:
     )
 
 
+def _compacted_name(start: int, end: int) -> str:
+    return "%020d.%020d.compacted.json" % (start, end)
+
+
+def _compacted_ranges(table: str) -> dict[int, tuple[int, str]]:
+    """LOG COMPACTION files (PROTOCOL.md "Log Compaction Files",
+    ``<x>.<y>.compacted.json``): start version -> (largest covered end,
+    absolute path). Readers use these to replay a whole commit range
+    from one file; the raw JSON commits stay authoritative (compaction
+    never deletes them — checkpoints do, via clean_log_delta)."""
+    log = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log):
+        return {}
+    out: dict[int, tuple[int, str]] = {}
+    for f in os.listdir(log):
+        parts = f.split(".")
+        if (len(parts) == 4 and parts[2] == "compacted" and parts[3] == "json"
+                and parts[0].isdigit() and parts[1].isdigit()):
+            s, e = int(parts[0]), int(parts[1])
+            if s not in out or e > out[s][0]:
+                out[s] = (e, os.path.join(log, f))
+    return out
+
+
 def _read_last_checkpoint(table: str) -> int | None:
     """Version of the newest checkpoint per the ``_last_checkpoint``
     pointer (the protocol's discovery shortcut), or None."""
@@ -533,12 +557,19 @@ def _replay(table: str, version: int | None):
             table, cp)
         _gate_protocol(protocol)
         start = cp + 1
-    for v in range(start, version + 1):
-        if v not in have:
-            raise FileNotFoundError(
-                f"version {v} not in {table} log (requested {version};"
-                " cleaned below the checkpoint, or never committed)")
-        with open(_log_path(table, v)) as f:
+    comp = _compacted_ranges(table)
+    v = start
+    while v <= version:
+        c = comp.get(v)
+        if c is not None and c[0] <= version:
+            path, end_v = c[1], c[0]  # one file replays [v, end_v]
+        else:
+            if v not in have:
+                raise FileNotFoundError(
+                    f"version {v} not in {table} log (requested {version};"
+                    " cleaned below the checkpoint, or never committed)")
+            path, end_v = _log_path(table, v), v
+        with open(path) as f:
             for line in f:
                 if not line.strip():
                     continue
@@ -558,6 +589,7 @@ def _replay(table: str, version: int | None):
                     prev = txns.get(t["appId"])
                     txns[t["appId"]] = (t["version"] if prev is None
                                         else max(prev, t["version"]))
+        v = end_v + 1
     return live, schema_string, version, txns, config
 
 
@@ -855,7 +887,90 @@ def clean_log_delta(table: str) -> list[str]:
                             deleted.append(a["cdc"]["path"])
             os.remove(_log_path(table, v))
             deleted.append(os.path.basename(_log_path(table, v)))
+    # compaction files fully at-or-below the checkpoint can never be
+    # chosen by replay again (seeding starts at cp+1) — reclaim them
+    log = os.path.join(table, _LOG_DIR)
+    for f in list(os.listdir(log)):
+        parts = f.split(".")
+        if (len(parts) == 4 and parts[2] == "compacted" and parts[3] == "json"
+                and parts[0].isdigit() and parts[1].isdigit()
+                and int(parts[1]) <= cp):
+            os.remove(os.path.join(log, f))
+            deleted.append(f)
     return deleted
+
+
+def compact_log_delta(table: str, start: int | None = None,
+                      end: int | None = None) -> str | None:
+    """Write a LOG COMPACTION file ``<start>.<end>.compacted.json``
+    (PROTOCOL.md "Log Compaction Files"): the reconciled action set of
+    the commit range — last add-or-remove per file path, newest
+    protocol/metaData, max txn per appId, newest domainMetadata per
+    domain; commitInfo/cdc actions are dropped (CDF readers and ICT
+    resolution stay on the raw JSON commits, which compaction never
+    deletes). Replay (_replay) then consumes the whole range from ONE
+    file — the metadata answer between checkpoints: a checkpoint
+    rewrites ALL live adds (O(table files)); a compaction file is
+    O(files touched in the range), so frequent small commits (CDC
+    appends) stop costing replay one open()+parse per commit without
+    paying full-checkpoint writes. Defaults: start = checkpoint+1 (or
+    0), end = newest commit. Returns the written path, or None when
+    the range is empty/degenerate. Raises when a commit in the range
+    is missing (cannot compact over a hole)."""
+    cp = _read_last_checkpoint(table)
+    if start is None:
+        start = 0 if cp is None else cp + 1
+    if end is None:
+        newest = latest_version(table)
+        end = -1 if newest is None else newest
+    if end <= start:  # a 1-commit "range" saves nothing
+        return None
+    have = set(_list_versions(table))
+    protocol = None
+    meta = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    per_path: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        if v not in have:
+            raise FileNotFoundError(
+                f"cannot compact [{start},{end}] of {table}:"
+                f" version {v} missing")
+        with open(_log_path(table, v)) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                a = json.loads(ln)
+                if "protocol" in a:
+                    protocol = a
+                elif "metaData" in a:
+                    meta = a
+                elif "add" in a:
+                    per_path[a["add"]["path"]] = a
+                elif "remove" in a:
+                    per_path[a["remove"]["path"]] = a
+                elif "txn" in a:
+                    t = a["txn"]
+                    prev = txns.get(t["appId"])
+                    if prev is None or t["version"] >= prev["txn"]["version"]:
+                        txns[t["appId"]] = a
+                elif "domainMetadata" in a:
+                    dm = a["domainMetadata"]
+                    if dm.get("domain"):
+                        domains[dm["domain"]] = a
+    actions = ([protocol] if protocol else []) \
+        + ([meta] if meta else []) \
+        + list(txns.values()) + list(domains.values()) \
+        + list(per_path.values())
+    out = os.path.join(table, _LOG_DIR, _compacted_name(start, end))
+    tmp = out + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, out)  # idempotent content: last-writer-wins is fine
+    return out
 
 
 def _schema_pairs(schema_string: str) -> list[tuple[str, str]]:

@@ -2438,3 +2438,49 @@ def test_creating_write_lost_v0_race_to_partitioned_creator(spark, monkeypatch):
     read_delta(spark, table, partition_filter={"v": "200"},
                scan_stats=stats)
     assert 0 < stats["files_scanned"] < stats["files_total"]
+
+
+def test_log_compaction_replay_and_reclaim(spark):
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta, clean_log_delta, compact_log_delta)
+
+    t = tempfile.mkdtemp(prefix="delta_lc_")
+    write_delta(_df(spark, 0, 5), t)                      # v0
+    write_delta(_df(spark, 5, 8), t, mode="append")       # v1
+    write_delta(_df(spark, 100, 103), t, mode="overwrite")  # v2 (removes)
+    write_delta(_df(spark, 103, 105), t, mode="append")   # v3
+    before = sorted(r["k"] for r in read_delta(spark, t).collect())
+
+    out = compact_log_delta(t)
+    assert out is not None and out.endswith(
+        "00000000000000000000.00000000000000000003.compacted.json")
+    # parity: replay through the compacted file == raw-JSON replay
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == before
+    # time travel INSIDE the range still resolves via the raw JSONs
+    assert sorted(r["k"] for r in read_delta(spark, t, version=1).collect()) \
+        == list(range(8))
+
+    # the compacted file is actually load-bearing: punch a hole in the
+    # covered range and the latest snapshot must still resolve
+    os.remove(_log_path(t, 1))
+    os.remove(_log_path(t, 2))
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == before
+
+    # a checkpoint at-or-above the range end retires the compacted file
+    checkpoint_delta(t)
+    deleted = clean_log_delta(t)
+    assert os.path.basename(out) in deleted
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == before
+
+
+def test_log_compaction_refuses_holes_and_degenerate_ranges(spark):
+    from postrack_spark.streaming.delta_log import compact_log_delta
+
+    t = tempfile.mkdtemp(prefix="delta_lch_")
+    write_delta(_df(spark, 0, 3), t)
+    assert compact_log_delta(t) is None  # single-commit range: pointless
+    write_delta(_df(spark, 3, 6), t, mode="append")
+    write_delta(_df(spark, 6, 9), t, mode="append")
+    os.remove(_log_path(t, 1))
+    with pytest.raises(FileNotFoundError):
+        compact_log_delta(t, start=0, end=2)
