@@ -5363,3 +5363,90 @@ def cdc_delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_iceberg_rewrite_manifests",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS manifests_merged,
+           true AS replace_op
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def source_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg rewrite_manifests (metadata-only manifest compaction):
+    three appends and an equality delete build a 4-manifest snapshot;
+    the delete (sequence 3) hits a custkey slice of the FIRST append,
+    and the final append re-inserts exactly those rows (sequence 4).
+    rewrite_manifests_iceberg then merges the three data manifests
+    into one with per-entry EXPLICIT sequence numbers — the rollup
+    equals plain ``SELECT * FROM orders`` only if the merged manifest
+    preserves each file's original sequence: inheriting one manifest
+    seq would either resurrect the deleted rows (duplicates) or kill
+    the re-inserted ones (missing). Certificates ride along:
+    manifests_merged (fewer manifests after) and replace_op (the
+    snapshot is summary-labeled 'replace', so iceberg_feed rides
+    through it as a logical no-op). At 100 TB this keeps scan planning
+    O(merged manifests), not O(commits) — the Iceberg dual of Delta's
+    log compaction lane."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        _snapshot,
+        append_iceberg,
+        delete_keys_iceberg,
+        read_iceberg,
+        rewrite_manifests_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_rm_q_")
+    for m in (1, 2):
+        append_iceberg(
+            base.filter(F.col("o_orderkey") % 3 == m), table,
+            format_version=2)
+    hit = F.col("o_custkey").between(40, 60)
+    delete_keys_iceberg(
+        spark, table,
+        base.filter((F.col("o_orderkey") % 3 == 1) & hit)
+        .select("o_orderkey"))
+    append_iceberg(
+        base.filter(
+            (F.col("o_orderkey") % 3 == 0)
+            | ((F.col("o_orderkey") % 3 == 1) & hit)),
+        table, format_version=2)
+    sid, nb, na = rewrite_manifests_iceberg(table)
+    meta = _current_metadata(table)
+    replace_op = (
+        _snapshot(meta, sid)["summary"]["operation"] == "replace"
+        and meta["current-snapshot-id"] == sid
+    )
+    return (
+        read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "cents",
+            F.lit(na < nb).alias("manifests_merged"),
+            F.lit(replace_op).alias("replace_op"),
+        )
+        .orderBy("o_orderstatus")
+    )

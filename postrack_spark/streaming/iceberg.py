@@ -1568,6 +1568,11 @@ def plan_scan_iceberg(table: str,
             for e in entries:
                 if e["status"] not in (ADDED, EXISTING):
                     continue
+                # spec inheritance: an entry carries its own explicit
+                # sequence_number (rewritten manifests persist the
+                # original seq per entry) or inherits the manifest's
+                eseq = e.get("sequence_number")
+                eseq = seq if eseq is None else eseq
                 dfile = e["data_file"]
                 if dfile.get("file_format") == "PUFFIN":
                     dv_descriptors.append({
@@ -1587,14 +1592,16 @@ def plan_scan_iceberg(table: str,
                     bucket = eq_deletes.setdefault(names, {})
                     for r in rows:
                         key = tuple(r[n] for n in names)
-                        if seq > bucket.get(key, -1):
-                            bucket[key] = seq
+                        if eseq > bucket.get(key, -1):
+                            bucket[key] = eseq
                 else:
                     pos_delete_files.append(dfile["file_path"])
                     pos_delete_records += int(dfile.get("record_count") or 0)
             continue
         for e in entries:
             if e["status"] in (ADDED, EXISTING):
+                eseq = e.get("sequence_number")
+                eseq = seq if eseq is None else eseq
                 total_files += 1
                 if m_filter and _partition_pruned(
                         e["data_file"], m_filter):
@@ -1603,7 +1610,7 @@ def plan_scan_iceberg(table: str,
                         e["data_file"], stats_filter,
                         meta["schema"]["fields"]):
                     continue
-                paths.append((e["data_file"]["file_path"], seq))
+                paths.append((e["data_file"]["file_path"], eseq))
                 if e["data_file"].get("first_row_id") is not None:
                     first_row_ids[e["data_file"]["file_path"]] = (
                         e["data_file"]["first_row_id"])
@@ -2600,6 +2607,147 @@ def compact_iceberg(spark: SparkSession, table: str,
         except IcebergCommitConflict:
             continue  # a failed attempt's staged files orphan, harmless
     raise IcebergCommitConflict(f"lost 10 compaction races on {table}")
+
+
+def rewrite_manifests_iceberg(table: str) -> tuple[int, int, int]:
+    """METADATA-ONLY manifest compaction (the spec's rewrite_manifests
+    maintenance action): merge the current snapshot's small DATA
+    manifests into one manifest per (partition-spec, sequence-number,
+    writer-schema) group and commit a new snapshot — zero data files
+    touched, zero rows moved. Returns (snapshot id, manifests before,
+    manifests after); when nothing merges, returns the CURRENT
+    snapshot id with before == after and commits nothing.
+
+    Semantics preserved exactly:
+    - grouping never crosses a sequence number — the per-manifest
+      sequence number scopes position/equality deletes (strictly-< for
+      equality), so merging across seqs would re-scope deletes;
+    - grouping never crosses a partition spec id or a writer schema
+      (entries re-encode VERBATIM under the group's own writer schema,
+      carried by the Avro container header — bounds, partition tuples,
+      sort_order_id and v3 first_row_id all ride through untouched);
+    - merged entries are re-stamped status=EXISTING with their
+      ORIGINAL snapshot_id (the spec's rewrite rule); DELETED entries
+      drop; DELETE manifests (content=1) carry verbatim.
+    The snapshot's summary operation is "replace" (the spec label for
+    rewrites), which iceberg_feed already rides through as a logical
+    no-op. Superseded manifests stay referenced by older snapshots and
+    are reclaimed by expire_snapshots_iceberg's reachability closure.
+    At 100 TB this is what keeps scan PLANNING O(live files grouped),
+    not O(commits): a CDC table taking thousands of small appends
+    accumulates one tiny manifest per commit, and every read pays one
+    open()+Avro parse per manifest until this folds them."""
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        snap = _snapshot(meta, meta["current-snapshot-id"])
+        mlist, _ls = read_avro(_read_file(table, snap["manifest-list"]))
+        v2plus = meta["format-version"] >= 2
+        # bucket data manifests by the semantic group key
+        groups: dict[tuple, list[int]] = {}
+        loaded: dict[int, tuple[list[dict], dict]] = {}
+        for i, m in enumerate(mlist):
+            if m.get("content", DATA_CONTENT) != DATA_CONTENT:
+                continue
+            entries, wschema = read_avro(
+                _read_file(table, m["manifest_path"]))
+            loaded[i] = (entries, wschema)
+            key = (m["partition_spec_id"],
+                   json.dumps(wschema, sort_keys=True))
+            groups.setdefault(key, []).append(i)
+        merged_groups = {k: idxs for k, idxs in groups.items()
+                         if len(idxs) > 1}
+        if not merged_groups:
+            return meta["current-snapshot-id"], len(mlist), len(mlist)
+        version = meta["last-version"] + 1
+        snapshot_id = version + 1
+        first_of_group = {idxs[0]: k for k, idxs in merged_groups.items()}
+        absorbed = {i for idxs in merged_groups.values() for i in idxs}
+        new_mlist: list[dict] = []
+        written_rels: list[str] = []
+        for i, m in enumerate(mlist):
+            if i not in absorbed:
+                new_mlist.append(m)  # delete manifests + singletons
+                continue
+            k = first_of_group.get(i)
+            if k is None:
+                continue  # absorbed into an earlier member's merge
+            idxs = merged_groups[k]
+            entries = []
+            for j in idxs:
+                src_seq = mlist[j].get("sequence_number", 0)
+                for e in loaded[j][0]:
+                    if e["status"] not in (ADDED, EXISTING):
+                        continue
+                    ne = {**e, "status": EXISTING}
+                    # the spec's rewrite rule: persist the ORIGINAL
+                    # sequence number explicitly per entry (it can no
+                    # longer be inherited — members had different seqs)
+                    if ne.get("sequence_number") is None:
+                        ne["sequence_number"] = src_seq
+                    entries.append(ne)
+            wschema = loaded[idxs[0]][1]
+            names = [f["name"] for f in wschema["fields"]]
+            if "sequence_number" not in names:
+                wschema = {**wschema, "fields": (
+                    wschema["fields"][:2]
+                    + [{"name": "sequence_number", "type": "long",
+                        "field-id": 3}]
+                    + wschema["fields"][2:])}
+            blob = write_avro(entries, wschema, codec="deflate")
+            rel = os.path.join(
+                "metadata",
+                f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+            with open(os.path.join(table, rel), "wb") as f:
+                f.write(blob)
+            written_rels.append(rel)
+            entry = {
+                "manifest_path": rel, "manifest_length": len(blob),
+                "partition_spec_id": m["partition_spec_id"],
+                "added_snapshot_id": snapshot_id,
+            }
+            if v2plus:
+                entry["content"] = DATA_CONTENT
+                # every merged entry carries an EXPLICIT seq, so this
+                # inheritance default is dead; min() is the
+                # conservative value for any future manifest-level use
+                entry["sequence_number"] = min(
+                    mlist[j].get("sequence_number", 0) for j in idxs)
+            new_mlist.append(entry)
+        mlist_rel = os.path.join(
+            "metadata", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        with open(os.path.join(table, mlist_rel), "wb") as f:
+            f.write(write_avro(
+                new_mlist,
+                _MANIFEST_LIST_SCHEMA_V2 if v2plus else _MANIFEST_LIST_SCHEMA,
+                codec="deflate"))
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_snap = {
+            "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "manifest-list": mlist_rel,
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": str(len(absorbed)),
+                "manifests-created": str(len(written_rels)),
+                # data unchanged: totals carry forward from the parent
+                **_fold_totals(snap.get("summary")),
+            },
+        }
+        if v2plus:
+            new_snap["sequence-number"] = meta["last-sequence-number"]
+        new_meta["snapshots"] = meta["snapshots"] + [new_snap]
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-version"] = version
+        new_meta["last-updated-ms"] = now_ms
+        try:
+            _commit_metadata(table, version, new_meta)
+            return snapshot_id, len(mlist), len(new_mlist)
+        except IcebergCommitConflict:
+            continue  # losers orphan their rewritten manifests, harmless
+    raise IcebergCommitConflict(f"lost 10 rewrite races on {table}")
 
 
 def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:

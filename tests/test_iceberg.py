@@ -1882,3 +1882,52 @@ def test_v3_row_lineage_empty_scan_keeps_contract(spark):
     got2 = read_iceberg(spark, t, with_row_ids=True,
                         stats_filter={"k": (1000, 2000)})
     assert "_row_id" in got2.columns and got2.count() == 0
+
+
+def test_rewrite_manifests_merges_and_preserves_delete_scoping(spark):
+    """rewrite_manifests: metadata-only manifest merge. The certificate
+    is SEQUENCE preservation — an equality delete between two appends
+    must keep hitting exactly the pre-delete rows after the manifests
+    merge into one (per-entry explicit sequence numbers, the spec's
+    rewrite rule), and a post-delete re-insert of a deleted key must
+    keep surviving."""
+    from postrack_spark.streaming.iceberg import (
+        delete_keys_iceberg,
+        rewrite_manifests_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_rm_")
+    append_iceberg(_kv(spark, [(i, f"v{i}", 1) for i in range(6)]), t,
+                   format_version=2)                       # seq 1
+    append_iceberg(_kv(spark, [(i, f"w{i}", 2) for i in range(6, 10)]), t,
+                   format_version=2)                       # seq 2
+    delete_keys_iceberg(
+        spark, t, spark.createDataFrame([(3,), (7,)], "k bigint"))  # seq 3
+    append_iceberg(_kv(spark, [(3, "back", 9)]), t,
+                   format_version=2)                       # seq 4: re-insert
+    before = sorted((r["k"], r["val"]) for r in read_iceberg(spark, t).collect())
+    assert (3, "back") in before and (7, "w7") not in before
+
+    from postrack_spark.streaming.iceberg import _current_metadata, _snapshot
+    meta0 = _current_metadata(t)
+    parent_sid = meta0["current-snapshot-id"]
+    sid, nb, na = rewrite_manifests_iceberg(t)
+    assert sid != parent_sid and na < nb
+    # data unchanged through the merge — INCLUDING the delete scoping:
+    # a lost per-entry sequence would either resurrect k=7 or kill the
+    # re-inserted k=3
+    after = sorted((r["k"], r["val"]) for r in read_iceberg(spark, t).collect())
+    assert after == before
+    # zero data files touched; time travel to the parent still works
+    old = sorted(
+        (r["k"], r["val"])
+        for r in read_iceberg(spark, t, snapshot_id=parent_sid).collect())
+    assert old == before
+    # summary: replace op + carried totals; second rewrite is a no-op
+    meta1 = _current_metadata(t)
+    summ = _snapshot(meta1, sid)["summary"]
+    assert summ["operation"] == "replace"
+    assert summ["total-records"] == _snapshot(
+        meta0, parent_sid)["summary"]["total-records"]
+    sid2, b2, a2 = rewrite_manifests_iceberg(t)
+    assert sid2 == sid and b2 == a2
