@@ -226,6 +226,45 @@ class Conn:
         )
         self.executor.command(f"ALTER PUBLICATION {pub_q} SET (publish = '{publish}')")
 
+    def publication_schema_exists(self, publication_id: str, schema: str) -> bool:
+        """Catalog probe for a SCHEMA-level publication member (the
+        PG15 pg_publication_namespace catalog — the schema analogue of
+        pg_publication_tables)."""
+        rows = self.executor.query(
+            "SELECT TRUE FROM pg_publication_namespace pn "
+            "JOIN pg_publication p ON p.oid = pn.pnpubid "
+            "JOIN pg_namespace n ON n.oid = pn.pnnspid "
+            "WHERE p.pubname = %s AND n.nspname = %s",
+            (publication_id, schema),
+        )
+        return bool(rows)
+
+    def set_schema_publication(self, schema: str) -> None:
+        """Upsert a PG15 SCHEMA-level subscription: ``FOR TABLES IN
+        SCHEMA`` publishes every table in the schema — INCLUDING tables
+        created after the publication (the property table lists can't
+        give you; the reference, postrack.go:200-211, only supports
+        per-table clauses). Column lists and row filters don't apply
+        at schema scope (server rule), so there is no Table spec
+        here."""
+        pub = create_publication_id(self.slot)
+        publish = ", ".join(e.lower() for e in self.events if e != TRUNCATE) + (
+            ", truncate" if TRUNCATE in self.events else ""
+        )
+        if not self.publication_exists(pub):
+            self.executor.command(
+                f"CREATE PUBLICATION {_quote_ident(pub)} FOR TABLES IN SCHEMA "
+                f"{_quote_ident(schema)} WITH (publish = '{publish}')"
+            )
+            return
+        pub_q = _quote_ident(pub)
+        if not self.publication_schema_exists(pub, schema):
+            self.executor.command(
+                f"ALTER PUBLICATION {pub_q} ADD TABLES IN SCHEMA "
+                f"{_quote_ident(schema)}"
+            )
+        self.executor.command(f"ALTER PUBLICATION {pub_q} SET (publish = '{publish}')")
+
     def drop_publication(self) -> None:
         """Drops the whole publication (the reference's version takes a
         table arg it ignores — postrack.go:241-248; we drop the arg)."""

@@ -2403,13 +2403,16 @@ def upsert_iceberg(df: DataFrame, table: str, key_cols: list[str],
 
 
 def tag_iceberg(table: str, name: str,
-                snapshot_id: int | None = None) -> int:
+                snapshot_id: int | None = None,
+                max_ref_age_ms: int | None = None) -> int:
     """Create an immutable TAG ref (metadata-only commit): a named
-    time-travel anchor — ``read_iceberg(..., ref=name)`` forever
-    resolves to this snapshot, and expire_snapshots RETAINS tagged
-    snapshots past the retention window (a tag is a retention
-    promise). Re-tagging an existing name raises. Returns the tagged
-    snapshot id."""
+    time-travel anchor — ``read_iceberg(..., ref=name)`` resolves to
+    this snapshot, and expire_snapshots RETAINS tagged snapshots (a
+    tag is a retention promise) — until the optional
+    ``max_ref_age_ms`` ages the tag out (the spec's max-ref-age-ms
+    field), after which expiry drops the ref and its snapshot follows
+    the normal rules. Re-tagging an existing name raises. Returns the
+    tagged snapshot id."""
     for _ in range(10):
         meta = _current_metadata(table)
         if meta is None:
@@ -2420,15 +2423,63 @@ def tag_iceberg(table: str, name: str,
         sid = (snapshot_id if snapshot_id is not None
                else meta["current-snapshot-id"])
         _snapshot(meta, sid)  # must exist
+        ref = {"snapshot-id": sid, "type": "tag"}
+        if max_ref_age_ms is not None:
+            ref["max-ref-age-ms"] = int(max_ref_age_ms)
         version = meta["last-version"] + 1
         new_meta = dict(meta)
-        new_meta["refs"] = {**refs, name: {"snapshot-id": sid,
-                                           "type": "tag"}}
+        new_meta["refs"] = {**refs, name: ref}
         new_meta["last-version"] = version
         new_meta["last-updated-ms"] = int(time.time() * 1000)
         try:
             _commit_metadata(table, version, new_meta)
             return sid
+        except IcebergCommitConflict:
+            continue
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
+def set_ref_retention_iceberg(table: str, name: str,
+                              min_snapshots_to_keep: int | None = None,
+                              max_snapshot_age_ms: int | None = None,
+                              max_ref_age_ms: int | None = None) -> dict:
+    """Set the spec's retention fields on an existing ref
+    (metadata-only commit): ``min-snapshots-to-keep`` /
+    ``max-snapshot-age-ms`` govern how much of a BRANCH's ancestry
+    expire_snapshots protects (they are branch semantics — setting
+    them on a tag raises); ``max-ref-age-ms`` ages the ref itself out
+    on either kind. Passing None leaves a field unset/cleared.
+    Returns the updated ref record."""
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        refs = dict(meta.get("refs") or {})
+        if name not in refs:
+            raise KeyError(f"no ref {name!r} on table")
+        ref = {k: v for k, v in refs[name].items()
+               if k in ("snapshot-id", "type")}
+        if refs[name].get("type") != "branch" and (
+                min_snapshots_to_keep is not None
+                or max_snapshot_age_ms is not None):
+            raise ValueError(
+                "min-snapshots-to-keep / max-snapshot-age-ms are branch"
+                f" retention fields; {name!r} is a "
+                f"{refs[name].get('type')}")
+        if min_snapshots_to_keep is not None:
+            ref["min-snapshots-to-keep"] = int(min_snapshots_to_keep)
+        if max_snapshot_age_ms is not None:
+            ref["max-snapshot-age-ms"] = int(max_snapshot_age_ms)
+        if max_ref_age_ms is not None:
+            ref["max-ref-age-ms"] = int(max_ref_age_ms)
+        version = meta["last-version"] + 1
+        new_meta = dict(meta)
+        new_meta["refs"] = {**refs, name: ref}
+        new_meta["last-version"] = version
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _commit_metadata(table, version, new_meta)
+            return ref
         except IcebergCommitConflict:
             continue
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
@@ -3002,7 +3053,8 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
         "files|refs|partitions)")
 
 
-def expire_snapshots_iceberg(table: str, retain_last: int = 1
+def expire_snapshots_iceberg(table: str, retain_last: int = 1,
+                             now_ms: int | None = None
                              ) -> tuple[int, list[str]]:
     """Snapshot expiry (the spec's expire_snapshots maintenance
     action, version-based like delta_log.vacuum_delta for test
@@ -3014,25 +3066,64 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1
     prior manifests forward, so there expiry reclaims just the old
     snap-*.avro lists — stated honestly). Time travel to an expired
     id then raises, exactly like a cleaned Delta checkpoint prefix.
-    Returns (new metadata version, deleted relative paths)."""
+
+    PER-REF RETENTION POLICIES (the spec's ref fields) are honored:
+    - ``max-ref-age-ms``: a tag/branch older than this (age measured
+      from its referenced snapshot's timestamp-ms, the Iceberg
+      RemoveSnapshots rule) is DROPPED by this run — named refs stop
+      being forever-retention-promises once aged out;
+    - ``min-snapshots-to-keep`` (branches, default 1: the head) and
+      ``max-snapshot-age-ms`` (branches, default None: count-only):
+      the branch's parent-chain ancestors within either rule are
+      protected, so a branch keeps its own recent history even when
+      the global retain_last would drop it.
+    ``now_ms`` pins the clock for deterministic tests. Returns (new
+    metadata version, deleted relative paths)."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
     meta = _current_metadata(table)
     if meta is None:
         raise FileNotFoundError(f"no iceberg metadata under {table}")
     snaps = meta["snapshots"]
-    if len(snaps) <= retain_last:
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    by_id = {sn["snapshot-id"]: sn for sn in snaps}
+    refs = dict(meta.get("refs") or {})
+    live_refs: dict[str, dict] = {}
+    for name, r in refs.items():
+        mra = r.get("max-ref-age-ms")
+        sn = by_id.get(r["snapshot-id"])
+        if (mra is not None and sn is not None
+                and now - sn["timestamp-ms"] > int(mra)):
+            continue  # the ref itself aged out
+        live_refs[name] = r
+    refs_changed = set(live_refs) != set(refs)
+    if len(snaps) <= retain_last and not refs_changed:
         return meta["last-version"], []
-    # refs PROTECT their snapshots (a tag is a retention promise —
-    # the spec's rule; expiring a tagged snapshot would turn a named
-    # anchor into a dangling pointer)
-    protected = {r["snapshot-id"] for r in (meta.get("refs") or {}).values()}
+    # surviving refs PROTECT their snapshots (a tag is a retention
+    # promise — the spec's rule; expiring a tagged snapshot would turn
+    # a named anchor into a dangling pointer)
+    protected = {r["snapshot-id"] for r in live_refs.values()}
     protected.add(meta["current-snapshot-id"])
+    for r in live_refs.values():
+        if r.get("type") != "branch":
+            continue
+        keep_n = int(r.get("min-snapshots-to-keep", 1))
+        max_age = r.get("max-snapshot-age-ms")
+        cur, i = r["snapshot-id"], 0
+        while cur is not None and cur in by_id:
+            sn = by_id[cur]
+            within_age = (max_age is not None
+                          and now - sn["timestamp-ms"] <= int(max_age))
+            if i < keep_n or within_age:
+                protected.add(cur)
+            else:
+                break  # ancestors are older still: nothing below keeps
+            cur, i = sn.get("parent-snapshot-id"), i + 1
     kept = [sn for i, sn in enumerate(snaps)
             if i >= len(snaps) - retain_last
             or sn["snapshot-id"] in protected]
     expired = [sn for sn in snaps if sn not in kept]
-    if not expired:
+    if not expired and not refs_changed:
         return meta["last-version"], []
 
     def _reach(snapshots: list[dict]) -> tuple[set[str], set[str], set[str]]:
@@ -3054,6 +3145,7 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1
     version = meta["last-version"] + 1
     new_meta = dict(meta)
     new_meta["snapshots"] = kept
+    new_meta["refs"] = live_refs
     new_meta["last-version"] = version
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     # put-if-absent like every commit; expiry does not retry on

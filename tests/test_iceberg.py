@@ -1931,3 +1931,71 @@ def test_rewrite_manifests_merges_and_preserves_delete_scoping(spark):
         meta0, parent_sid)["summary"]["total-records"]
     sid2, b2, a2 = rewrite_manifests_iceberg(t)
     assert sid2 == sid and b2 == a2
+
+
+def test_ref_retention_policies_on_expire(spark):
+    """Per-ref retention (spec ref fields): a branch with
+    min-snapshots-to-keep protects its recent ancestry through a
+    global expire; a tag past max-ref-age-ms is dropped and its
+    snapshot follows the normal rules."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        expire_snapshots_iceberg,
+        set_ref_retention_iceberg,
+        tag_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_refret_")
+    append_iceberg(_df(spark, 0, 3), t, format_version=2)      # main v1
+    tag_iceberg(t, "short-lived", max_ref_age_ms=1000)
+    b1 = append_iceberg(_df(spark, 3, 5), t, format_version=2,
+                        branch="dev")                          # dev 1
+    b2 = append_iceberg(_df(spark, 5, 7), t, format_version=2,
+                        branch="dev")                          # dev 2
+    b3 = append_iceberg(_df(spark, 7, 9), t, format_version=2,
+                        branch="dev")                          # dev head
+    append_iceberg(_df(spark, 9, 12), t, format_version=2)     # main v2
+    ref = set_ref_retention_iceberg(t, "dev", min_snapshots_to_keep=2)
+    assert ref["min-snapshots-to-keep"] == 2
+    with pytest.raises(ValueError):
+        set_ref_retention_iceberg(t, "short-lived", min_snapshots_to_keep=2)
+
+    meta = _current_metadata(t)
+    head_ts = max(sn["timestamp-ms"] for sn in meta["snapshots"])
+    expire_snapshots_iceberg(t, retain_last=1, now_ms=head_ts + 10_000)
+    meta = _current_metadata(t)
+    kept = {sn["snapshot-id"] for sn in meta["snapshots"]}
+    # branch head + one ancestor protected; the oldest branch commit
+    # and the tag's snapshot expired (the tag aged out at +10 s)
+    assert b3 in kept and b2 in kept
+    assert b1 not in kept
+    assert "short-lived" not in (meta.get("refs") or {})
+    assert "dev" in meta["refs"]
+    # the surviving branch still reads correctly
+    got = sorted(r["k"] for r in read_iceberg(spark, t, ref="dev").collect())
+    assert got == list(range(9))
+    with pytest.raises((KeyError, FileNotFoundError)):
+        read_iceberg(spark, t, ref="short-lived").collect()
+
+
+def test_ref_retention_age_rule_keeps_young_ancestors(spark):
+    """max-snapshot-age-ms protects branch ancestors by age even past
+    min-snapshots-to-keep."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        expire_snapshots_iceberg,
+        set_ref_retention_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_refage_")
+    append_iceberg(_df(spark, 0, 2), t, format_version=2)
+    sids = [append_iceberg(_df(spark, 2 + i, 3 + i), t, format_version=2,
+                           branch="dev") for i in range(3)]
+    set_ref_retention_iceberg(
+        t, "dev", min_snapshots_to_keep=1,
+        max_snapshot_age_ms=10 * 365 * 24 * 3600 * 1000)
+    meta = _current_metadata(t)
+    head_ts = max(sn["timestamp-ms"] for sn in meta["snapshots"])
+    expire_snapshots_iceberg(t, retain_last=1, now_ms=head_ts + 1000)
+    kept = {sn["snapshot-id"] for sn in _current_metadata(t)["snapshots"]}
+    assert set(sids) <= kept  # every dev commit is young enough

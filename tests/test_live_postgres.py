@@ -1043,3 +1043,66 @@ def test_live_cdc_to_delta_lakehouse_capstone(live_pg, spark):
         ex.close()
         for d in (frames, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_live_schema_level_publication(live_pg, spark):
+    """TWELFTH live leg: PG15 ``FOR TABLES IN SCHEMA`` publications.
+    The schema-scope property a table list cannot give you: a table
+    created AFTER the publication exists is published automatically —
+    its rows must stream with zero DDL reconciliation. Two pre-existing
+    tables and one post-publication table all flow through one
+    capture; the pg_publication_namespaces catalog probe
+    (publication_schema_exists) and the set_schema_publication upsert
+    path (ALTER ... ADD TABLES IN SCHEMA) are exercised against the
+    real server."""
+    from postrack_spark.api import Conn, create_publication_id
+    from postrack_spark.sources.postgres_cdc import register
+
+    ex = _executor(live_pg)
+    slot, out_dir = "live_schpub_slot", tempfile.mkdtemp(prefix="pglive_sch_")
+    try:
+        ex.command("DROP SCHEMA IF EXISTS app CASCADE")
+        ex.command("CREATE SCHEMA app")
+        ex.command("CREATE TABLE app.t1 (id int primary key, v text)")
+        ex.command("CREATE TABLE app.t2 (id int primary key, n int)")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_schema_publication("app")
+        pub = create_publication_id(slot)
+        assert conn.publication_schema_exists(pub, "app")
+        assert not conn.publication_schema_exists(pub, "public")
+        # upsert path: second call must take the ALTER branch, not
+        # fail on CREATE of an existing publication
+        conn.set_schema_publication("app")
+
+        ex.command("INSERT INTO app.t1 VALUES (1, 'a'), (2, 'b')")
+        ex.command("INSERT INTO app.t2 VALUES (10, 100)")
+        # the schema-publication property: a table born AFTER the
+        # publication still publishes
+        ex.command("CREATE TABLE app.t3 (id int primary key, w text)")
+        ex.command("INSERT INTO app.t3 VALUES (7, 'late')")
+        ex.command("UPDATE app.t1 SET v = 'a2' WHERE id = 1")
+        target = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _run_capture(live_pg, slot, pub, out_dir, start_lsn=0,
+                     until_lsn=target)
+        register(spark)
+        env = (
+            spark.read.format("postgres_cdc")
+            .option("capture_dir", out_dir)
+            .load()
+            .filter("`schema` = 'app'")
+        )
+        rows = env.collect()
+        by_table = {}
+        for r in rows:
+            by_table.setdefault(r["table"], []).append(r)
+        assert sorted(by_table) == ["t1", "t2", "t3"]
+        assert sorted(r["after"]["id"] for r in by_table["t1"]
+                      if r["op"] == "INSERT") == ["1", "2"]
+        assert [r["after"]["w"] for r in by_table["t3"]] == ["late"]
+        assert [r["after"]["v"] for r in by_table["t1"]
+                if r["op"] == "UPDATE"] == ["a2"]
+        conn.drop_publication()
+        conn.drop_slot(slot)
+    finally:
+        ex.close()
