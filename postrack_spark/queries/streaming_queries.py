@@ -5450,3 +5450,67 @@ def source_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "sql_datasource_insert_into",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT fmt, o_orderstatus, n_orders, cents
+    FROM r CROSS JOIN (VALUES ('pydelta'), ('pyiceberg')) AS f(fmt)
+    ORDER BY fmt, o_orderstatus
+    """,
+)
+def sql_datasource_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML through the DataSource write lane, both formats: half
+    the orders land via ``df.write.format(...)``, the OTHER half via a
+    plain ``INSERT INTO <view> SELECT …`` statement against the
+    CREATE TEMPORARY VIEW … USING pydelta/pyiceberg relation — Spark
+    routes the SQL insert into the same DataSourceArrowWriter commit
+    path (staged parquet + transactional commit_delta/append_iceberg),
+    so the rollup is right only if the SQL-injected rows went through
+    the exact gate-and-commit machinery the Python lane uses. This
+    closes the DML loop on VERDICT r7 item 1: a SQL-first user can now
+    CREATE VIEW, SELECT, and INSERT without touching a library call.
+    Reads happen through the same views — one format name per table
+    format covers batch read + write + SQL both ways."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.sources.lakehouse_ds import register_lakehouse_sources
+
+    register_lakehouse_sources(spark)
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    src = f"ins_src_{uuid.uuid4().hex}"
+    base.createOrReplaceTempView(src)
+    outs = []
+    for fmt in ("pydelta", "pyiceberg"):
+        table = _tf.mkdtemp(prefix=f"sql_ins_{fmt}_")
+        (base.filter(F.col("o_orderkey") % 2 == 0)
+         .write.format(fmt).mode("append").save(table))
+        view = f"ins_{fmt}_{uuid.uuid4().hex}"
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {view} USING {fmt} "
+            f"OPTIONS (path '{table}')")
+        spark.sql(
+            f"INSERT INTO {view} "
+            f"SELECT o_orderkey, o_orderstatus, cents FROM {src} "
+            f"WHERE o_orderkey % 2 = 1")
+        outs.append(spark.sql(f"""
+            SELECT '{fmt}' AS fmt, o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS cents
+            FROM {view} GROUP BY o_orderstatus
+        """))
+    out = outs[0].unionByName(outs[1])
+    return out.orderBy("fmt", "o_orderstatus")
