@@ -5514,3 +5514,155 @@ def sql_datasource_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         """))
     out = outs[0].unionByName(outs[1])
     return out.orderBy("fmt", "o_orderstatus")
+
+
+@query(
+    "profile_iceberg_partition_stats",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           true AS files_positive,
+           true AS registered
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def profile_iceberg_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION STATISTICS file (the spec's per-partition
+    summary registered under metadata ``partition-statistics``): two
+    identity-partitioned appends build the table,
+    write_partition_stats_iceberg aggregates the manifests into one
+    parquet row per partition, and the query reads THE STATS FILE
+    (read_partition_stats_iceberg) — so n_rows per month matches the
+    raw data only if the manifest walk aggregated correctly.
+    Certificates: files_positive (every partition counts >= 1 data
+    file) and registered (the metadata entry points at the file read).
+    At 100 TB this file is what external planners read INSTEAD of
+    walking every manifest for partition-level stats — O(partitions)
+    in one seek."""
+    import os as _os
+    import tempfile as _tf
+
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        append_iceberg,
+        read_partition_stats_iceberg,
+        write_partition_stats_iceberg,
+    )
+
+    base = _ds_month_base(spark, sf_dir)
+    table = _tf.mkdtemp(prefix="ice_pstats_q_")
+    for m in (0, 1):
+        append_iceberg(
+            base.filter(F.col("o_orderkey") % 2 == m), table,
+            format_version=2, partition_by=[("month", "identity")])
+    rel = write_partition_stats_iceberg(table)
+    meta = _current_metadata(table)
+    registered = (
+        _os.path.exists(_os.path.join(table, rel))
+        and any(e.get("statistics-path") == rel
+                for e in meta.get("partition-statistics") or [])
+    )
+    stats = read_partition_stats_iceberg(spark, table)
+    return (
+        stats.groupBy(F.col("partition.month").alias("month"))
+        .agg(
+            F.sum("data_record_count").cast("long").alias("n_rows"),
+            F.min("data_file_count").alias("min_files"),
+        )
+        .select(
+            "month",
+            "n_rows",
+            (F.col("min_files") >= 1).alias("files_positive"),
+            F.lit(registered).alias("registered"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "cdc_delta_version_checksum",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey NOT BETWEEN 40 AND 60
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS crc_validated,
+           true AS tamper_detected
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VERSION CHECKSUM sidecars (`<v>.crc`, delta-spark's
+    VersionChecksum): after appends and a copy-on-write DELETE,
+    write_crc_delta records the snapshot digest {tableSizeBytes,
+    numFiles, ...} and validate_crc_delta recomputes it from replay —
+    the end-to-end guard that a log replay (checkpoint seed + JSON
+    tail + compaction files) reconstructed EXACTLY the state the
+    writer saw. Two certificates: crc_validated (the honest digest
+    round-trips) and tamper_detected (a digest whose numFiles is off
+    by one RAISES — the validation is the feature, not the file). At
+    100 TB the digest is O(1) to read and O(files) to verify — the
+    cheap invariant check a nightly maintenance job runs before
+    trusting a snapshot for compaction or clone."""
+    import json as _json
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        read_delta,
+        validate_crc_delta,
+        write_crc_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_crc_q_")
+    for m in (0, 1):
+        write_delta(base.filter(F.col("o_orderkey") % 2 == m), table)
+    delete_delta(spark, table, "o_custkey BETWEEN 40 AND 60")
+    path = write_crc_delta(table)
+    try:
+        validate_crc_delta(table)
+        crc_validated = True
+    except (ValueError, FileNotFoundError):
+        crc_validated = False
+    with open(path) as f:
+        crc = _json.load(f)
+    crc["numFiles"] += 1
+    with open(path, "w") as f:
+        _json.dump(crc, f)
+    try:
+        validate_crc_delta(table)
+        tamper_detected = False
+    except ValueError:
+        tamper_detected = True
+    return (
+        read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "cents",
+            F.lit(crc_validated).alias("crc_validated"),
+            F.lit(tamper_detected).alias("tamper_detected"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -888,13 +888,19 @@ def clean_log_delta(table: str) -> list[str]:
             os.remove(_log_path(table, v))
             deleted.append(os.path.basename(_log_path(table, v)))
     # compaction files fully at-or-below the checkpoint can never be
-    # chosen by replay again (seeding starts at cp+1) — reclaim them
+    # chosen by replay again (seeding starts at cp+1) — reclaim them,
+    # and version-checksum sidecars of cleaned commits go with them
     log = os.path.join(table, _LOG_DIR)
     for f in list(os.listdir(log)):
         parts = f.split(".")
         if (len(parts) == 4 and parts[2] == "compacted" and parts[3] == "json"
                 and parts[0].isdigit() and parts[1].isdigit()
                 and int(parts[1]) <= cp):
+            os.remove(os.path.join(log, f))
+            deleted.append(f)
+        elif (len(parts) == 2 and parts[1] == "crc" and parts[0].isdigit()
+                and int(parts[0]) < cp):  # the cp version itself stays
+            # readable through the checkpoint, so its digest stays too
             os.remove(os.path.join(log, f))
             deleted.append(f)
     return deleted
@@ -2905,3 +2911,64 @@ def set_clustering_delta(table: str, columns) -> int:
         except DeltaCommitConflict:
             continue
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def _crc_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, "%020d.crc" % version)
+
+
+def write_crc_delta(table: str, version: int | None = None) -> str:
+    """VERSION CHECKSUM file (`<version>.crc`, the delta-spark
+    VersionChecksum sidecar — public OSS surface): a JSON snapshot
+    digest {tableSizeBytes, numFiles, numMetadata, numProtocol,
+    inCommitTimestamp?} computed from replay at ``version`` (default
+    latest). Readers use it to cross-check snapshot reconstruction
+    (validate_crc_delta) — the cheap end-to-end guard against a torn
+    or mis-merged log replay. Computation is one O(files) metadata
+    replay; written atomically (tmp+rename; deterministic content, so
+    last-writer-wins is fine). Returns the written path."""
+    live, _schema, v, _txns, _cfg = _replay(table, version)
+    crc = {
+        "tableSizeBytes": sum(int(a.get("size") or 0) for a in live.values()),
+        "numFiles": len(live),
+        "numMetadata": 1,
+        "numProtocol": 1,
+    }
+    ict = _commit_info_ict(table, v)
+    if ict is not None:
+        crc["inCommitTimestamp"] = ict
+    path = _crc_path(table, v)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(crc, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def validate_crc_delta(table: str, version: int | None = None) -> dict:
+    """Recompute the snapshot digest at ``version`` and compare it to
+    the recorded ``.crc`` file. Returns the validated digest; raises
+    FileNotFoundError when no checksum was written for the version and
+    ValueError on any mismatch (a torn replay, a hand-edited log, or a
+    checksum from different state — the validation IS the feature)."""
+    live, _schema, v, _txns, _cfg = _replay(table, version)
+    with open(_crc_path(table, v)) as f:
+        recorded = json.load(f)
+    actual = {
+        "tableSizeBytes": sum(int(a.get("size") or 0) for a in live.values()),
+        "numFiles": len(live),
+    }
+    bad = [k for k, want in actual.items() if recorded.get(k) != want]
+    if bad:
+        raise ValueError(
+            f"version checksum mismatch at {table}@{v} on {bad}: "
+            f"recorded {[recorded.get(k) for k in bad]}, "
+            f"actual {[actual[k] for k in bad]}")
+    ict = _commit_info_ict(table, v)
+    if (ict is not None and "inCommitTimestamp" in recorded
+            and recorded["inCommitTimestamp"] != ict):
+        raise ValueError(
+            f"version checksum ICT mismatch at {table}@{v}")
+    return recorded

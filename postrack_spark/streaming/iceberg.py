@@ -883,6 +883,10 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
             # metadata actually brought along
             "properties": dict((current or {}).get("properties") or {}),
             "metadata-log": list((current or {}).get("metadata-log") or []),
+            # registered partition-statistics files carry too (their
+            # snapshots may still be live; expiry retires them)
+            "partition-statistics": list(
+                (current or {}).get("partition-statistics") or []),
             # a branch append NEVER moves main — preserve the previous
             # metadata's head verbatim (base_sid is the BRANCH base,
             # which after the first branch commit is not main anymore)
@@ -2930,6 +2934,8 @@ def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
         "partition-spec": [],
         "properties": properties,
         "metadata-log": list((current or {}).get("metadata-log") or []),
+        "partition-statistics": list(
+            (current or {}).get("partition-statistics") or []),
         "current-snapshot-id": snapshot_id,
         # tags/branches made against earlier syncs survive re-sync
         "refs": (current or {}).get("refs", {}),
@@ -3053,6 +3059,157 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
         "files|refs|partitions)")
 
 
+def write_partition_stats_iceberg(table: str) -> str:
+    """PARTITION STATISTICS file (the spec's "Partition statistics"
+    section): aggregate the current snapshot's data manifests into one
+    parquet row per (spec_id, partition tuple) — data_record_count,
+    data_file_count, total_data_file_size_in_bytes,
+    last_updated_snapshot_id/last_updated_at from the newest entry's
+    snapshot — and register it under the metadata's
+    ``partition-statistics`` list ({snapshot-id, statistics-path,
+    file-size-in-bytes}), replacing any prior entry for the same
+    snapshot. Delete-file attribution per partition and the
+    post-delete total_record_count are left NULL (our delete entries
+    carry no partition tuples — stated honestly; the spec marks those
+    fields optional). Entries without a partition tuple (plain appends
+    into a partitioned table) aggregate under an all-NULL tuple, the
+    spec's unified-tuple behavior. Raises on a table with no data
+    entries. The file is O(partitions) metadata — the planning-side
+    summary external engines read INSTEAD of walking every manifest,
+    which is the point at 100 TB: partition-level pruning stats in one
+    seek. Returns the statistics file's relative path."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        sid = meta["current-snapshot-id"]
+        snap = _snapshot(meta, sid)
+        ts_by_sid = {s["snapshot-id"]: s["timestamp-ms"]
+                     for s in meta["snapshots"]}
+        mlist, _ls = read_avro(_read_file(table, snap["manifest-list"]))
+        agg: dict[tuple, dict] = {}
+        keys: list[str] = []
+        for m in mlist:
+            if m.get("content", DATA_CONTENT) != DATA_CONTENT:
+                continue
+            entries, _e = read_avro(_read_file(table, m["manifest_path"]))
+            for e in entries:
+                if e["status"] not in (ADDED, EXISTING):
+                    continue
+                d = e["data_file"]
+                part = d.get("partition")
+                part = part if isinstance(part, dict) else {}
+                for k in part:
+                    if k not in keys:
+                        keys.append(k)
+                gk = (m["partition_spec_id"],
+                      json.dumps(part, sort_keys=True))
+                a = agg.setdefault(gk, {
+                    "partition": part, "spec_id": m["partition_spec_id"],
+                    "data_record_count": 0, "data_file_count": 0,
+                    "total_data_file_size_in_bytes": 0,
+                    "last_updated_snapshot_id": None})
+                a["data_record_count"] += int(d["record_count"])
+                a["data_file_count"] += 1
+                a["total_data_file_size_in_bytes"] += int(
+                    d["file_size_in_bytes"])
+                esid = e.get("snapshot_id")
+                if esid is not None and (
+                        a["last_updated_snapshot_id"] is None
+                        or esid > a["last_updated_snapshot_id"]):
+                    a["last_updated_snapshot_id"] = esid
+        if not agg:
+            raise ValueError(f"no data entries to profile in {table}")
+        part_fields = []
+        for k in keys:
+            vals = [a["partition"].get(k) for a in agg.values()]
+            t = (_pa.int64() if all(v is None or isinstance(v, int)
+                                    for v in vals) else _pa.string())
+            part_fields.append(_pa.field(k, t))
+        rows = []
+        for a in sorted(agg.values(),
+                        key=lambda x: (x["spec_id"],
+                                       json.dumps(x["partition"],
+                                                   sort_keys=True))):
+            lu = a["last_updated_snapshot_id"]
+            rows.append({
+                "partition": {k: a["partition"].get(k) for k in keys},
+                "spec_id": a["spec_id"],
+                "data_record_count": a["data_record_count"],
+                "data_file_count": a["data_file_count"],
+                "total_data_file_size_in_bytes":
+                    a["total_data_file_size_in_bytes"],
+                "position_delete_record_count": None,
+                "position_delete_file_count": None,
+                "equality_delete_record_count": None,
+                "equality_delete_file_count": None,
+                "total_record_count": None,
+                "last_updated_at": ts_by_sid.get(lu),
+                "last_updated_snapshot_id": lu,
+            })
+        schema = _pa.schema([
+            _pa.field("partition", _pa.struct(part_fields)),
+            _pa.field("spec_id", _pa.int32()),
+            _pa.field("data_record_count", _pa.int64()),
+            _pa.field("data_file_count", _pa.int32()),
+            _pa.field("total_data_file_size_in_bytes", _pa.int64()),
+            _pa.field("position_delete_record_count", _pa.int64()),
+            _pa.field("position_delete_file_count", _pa.int32()),
+            _pa.field("equality_delete_record_count", _pa.int64()),
+            _pa.field("equality_delete_file_count", _pa.int32()),
+            _pa.field("total_record_count", _pa.int64()),
+            _pa.field("last_updated_at", _pa.int64()),
+            _pa.field("last_updated_snapshot_id", _pa.int64()),
+        ])
+        rel = os.path.join(
+            "metadata",
+            f"partition-stats-{sid:08d}-{uuid.uuid4().hex[:8]}.parquet")
+        _pq.write_table(_pa.Table.from_pylist(rows, schema=schema),
+                        os.path.join(table, rel))
+        version = meta["last-version"] + 1
+        new_meta = dict(meta)
+        new_meta["partition-statistics"] = [
+            e for e in (meta.get("partition-statistics") or [])
+            if e.get("snapshot-id") != sid
+        ] + [{
+            "snapshot-id": sid, "statistics-path": rel,
+            "file-size-in-bytes": os.path.getsize(
+                os.path.join(table, rel)),
+        }]
+        new_meta["last-version"] = version
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _commit_metadata(table, version, new_meta)
+            return rel
+        except IcebergCommitConflict:
+            os.remove(os.path.join(table, rel))  # recompute vs winner
+            continue
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
+
+
+def read_partition_stats_iceberg(spark: SparkSession, table: str,
+                                 snapshot_id: int | None = None) -> DataFrame:
+    """Read the registered partition statistics file for a snapshot
+    (default: the newest registered) as a DataFrame — the consumer
+    side of write_partition_stats_iceberg. Raises KeyError when no
+    stats are registered for the requested snapshot."""
+    meta = _current_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    entries = meta.get("partition-statistics") or []
+    if snapshot_id is not None:
+        entries = [e for e in entries if e.get("snapshot-id") == snapshot_id]
+    if not entries:
+        raise KeyError(
+            f"no partition statistics registered for "
+            f"{'snapshot ' + str(snapshot_id) if snapshot_id else table}")
+    return spark.read.parquet(
+        os.path.join(table, entries[-1]["statistics-path"]))
+
+
 def expire_snapshots_iceberg(table: str, retain_last: int = 1,
                              now_ms: int | None = None
                              ) -> tuple[int, list[str]]:
@@ -3146,6 +3303,17 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1,
     new_meta = dict(meta)
     new_meta["snapshots"] = kept
     new_meta["refs"] = live_refs
+    # partition-statistics entries follow their snapshots out
+    kept_ids = {sn["snapshot-id"] for sn in kept}
+    stats_kept = [e for e in (meta.get("partition-statistics") or [])
+                  if e.get("snapshot-id") in kept_ids]
+    stats_dropped = [e["statistics-path"]
+                     for e in (meta.get("partition-statistics") or [])
+                     if e.get("snapshot-id") not in kept_ids
+                     and e.get("statistics-path")]
+    if meta.get("partition-statistics") is not None:
+        new_meta["partition-statistics"] = stats_kept
+    doomed = sorted(set(doomed) | set(stats_dropped))
     new_meta["last-version"] = version
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     # put-if-absent like every commit; expiry does not retry on
@@ -3205,6 +3373,9 @@ def remove_orphan_files_iceberg(table: str,
                 f"orphan sweep aborted: retained metadata {name} is "
                 f"unreadable ({exc}); repair or remove it explicitly "
                 "before sweeping") from exc
+        for st in meta.get("partition-statistics") or []:
+            if st.get("statistics-path"):
+                referenced.add(st["statistics-path"])
         for s in meta.get("snapshots") or []:
             ml = s.get("manifest-list")
             if not ml:

@@ -2484,3 +2484,34 @@ def test_log_compaction_refuses_holes_and_degenerate_ranges(spark):
     os.remove(_log_path(t, 1))
     with pytest.raises(FileNotFoundError):
         compact_log_delta(t, start=0, end=2)
+
+
+def test_version_checksum_validates_and_detects_corruption(spark):
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta, clean_log_delta, validate_crc_delta,
+        write_crc_delta)
+
+    t = tempfile.mkdtemp(prefix="delta_crc_")
+    write_delta(_df(spark, 0, 5), t)
+    write_delta(_df(spark, 5, 8), t, mode="append")
+    p0 = write_crc_delta(t, version=0)
+    p1 = write_crc_delta(t)
+    got = validate_crc_delta(t)
+    assert got["numFiles"] >= 2 and got["tableSizeBytes"] > 0
+    validate_crc_delta(t, version=0)
+    # tamper: a digest from DIFFERENT state must be rejected
+    with open(p1) as f:
+        crc = json.load(f)
+    crc["numFiles"] += 1
+    with open(p1, "w") as f:
+        json.dump(crc, f)
+    with pytest.raises(ValueError, match="numFiles"):
+        validate_crc_delta(t)
+    # cleanup: pre-checkpoint digests go with their commits; the
+    # checkpoint version's own digest stays readable
+    write_crc_delta(t)  # restore the good digest
+    checkpoint_delta(t)
+    deleted = clean_log_delta(t)
+    assert os.path.basename(p0) in deleted
+    assert os.path.exists(p1)
+    validate_crc_delta(t)  # replay-from-checkpoint digest still matches

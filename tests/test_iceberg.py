@@ -1999,3 +1999,48 @@ def test_ref_retention_age_rule_keeps_young_ancestors(spark):
     expire_snapshots_iceberg(t, retain_last=1, now_ms=head_ts + 1000)
     kept = {sn["snapshot-id"] for sn in _current_metadata(t)["snapshots"]}
     assert set(sids) <= kept  # every dev commit is young enough
+
+
+def test_partition_stats_file_roundtrip_and_lifecycle(spark):
+    """Partition statistics file: per-partition aggregates match the
+    data, the orphan sweep treats the registered file as referenced,
+    and expiry retires stats entries with their snapshots."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        expire_snapshots_iceberg,
+        read_partition_stats_iceberg,
+        remove_orphan_files_iceberg,
+        write_partition_stats_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_pstats_")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"x{i}") for i in range(30)], "k bigint, b bigint, s string")
+    append_iceberg(df, t, format_version=2, partition_by=[("b", "identity")])
+    append_iceberg(
+        spark.createDataFrame([(100, 0, "y")], "k bigint, b bigint, s string"),
+        t, format_version=2)  # plain append: NULL partition tuple row
+    rel = write_partition_stats_iceberg(t)
+    assert os.path.exists(os.path.join(t, rel))
+    stats_sid = _current_metadata(t)["current-snapshot-id"]
+
+    got = {(r["partition"]["b"], r["data_record_count"],
+            r["data_file_count"] >= 1)
+           for r in read_partition_stats_iceberg(spark, t).collect()}
+    assert (0, 10, True) in got and (1, 10, True) in got and (2, 10, True) in got
+    assert (None, 1, True) in got  # the un-tupled plain append
+    # registered file survives an aggressive orphan sweep
+    removed = remove_orphan_files_iceberg(t, min_age_s=0.0)
+    assert rel not in removed
+    assert os.path.exists(os.path.join(t, rel))
+    # stats follow their snapshot out at expiry
+    append_iceberg(
+        spark.createDataFrame([(101, 1, "z")], "k bigint, b bigint, s string"),
+        t, format_version=2)
+    expire_snapshots_iceberg(t, retain_last=1)
+    meta = _current_metadata(t)
+    assert all(e["snapshot-id"] != stats_sid
+               for e in meta.get("partition-statistics") or [])
+    assert not os.path.exists(os.path.join(t, rel))
+    with pytest.raises(KeyError):
+        read_partition_stats_iceberg(spark, t)
