@@ -6662,3 +6662,137 @@ def events_daily_type_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_qq_shift_deciles",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g,
+             o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    b AS (
+      SELECT g, v,
+             ntile(10) OVER (PARTITION BY g ORDER BY v, o_orderkey) AS decile
+      FROM c
+    ),
+    m AS (
+      SELECT g, CAST(decile AS INT) AS decile, CAST(max(v) AS BIGINT) AS mx
+      FROM b GROUP BY 1, 2
+    )
+    SELECT a.decile,
+           a.mx AS a_max_cents,
+           bb.mx AS b_max_cents,
+           CAST(bb.mx - a.mx AS BIGINT) AS shift_cents
+    FROM m a JOIN m bb ON a.decile = bb.decile
+    WHERE a.g = 'a' AND bb.g = 'b'
+    ORDER BY a.decile
+    """,
+)
+def agg_qq_shift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-resolution Q-Q shift profile — the location-scale
+    companion to agg_ks_kuiper_two_sample's single sup statistic:
+    WHERE in the distribution do URGENT and LOW order values diverge?
+    Each cohort's decile boundaries come from operators/ranking
+    .exact_ntile over a TOTAL order (cents, o_orderkey tie-break —
+    the prefix_sums rule), the per-decile max is an ordinary groupBy,
+    and the shift is pure integer cents. A constant shift across
+    deciles reads as a location difference; a growing one as a scale
+    difference — no distributional assumption anywhere. Plan: one
+    range shuffle per cohort (the ntile machinery), 10-row broadcast
+    join to pair deciles; nothing data-sized crosses the driver."""
+    from postrack_spark.operators.ranking import exact_ntile
+
+    t = load_tables(spark, sf_dir)
+    c = (
+        t["orders"]
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+            .otherwise("b")
+            .alias("g"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    parts = []
+    for g in ("a", "b"):
+        cohort = c.filter(F.col("g") == g)
+        with_bucket = exact_ntile(cohort, 10, ["v", "o_orderkey"], "decile")
+        parts.append(
+            with_bucket.groupBy("decile").agg(
+                F.max("v").cast("long").alias(f"{g}_max_cents")
+            )
+        )
+    return (
+        parts[0]
+        .join(F.broadcast(parts[1]), "decile")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "a_max_cents",
+            "b_max_cents",
+            (F.col("b_max_cents") - F.col("a_max_cents"))
+            .cast("long")
+            .alias("shift_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "events_daily_type_simpson",
+    oracle="""
+    WITH counts AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    per_day AS (
+      SELECT d,
+             CAST(sum(n) AS BIGINT) AS n_day,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS pair_num
+      FROM counts GROUP BY 1
+    )
+    SELECT d AS day, n_day,
+           CAST(CASE WHEN n_day < 2 THEN NULL
+                     ELSE pair_num * 1000000 // (n_day * (n_day - 1))
+                END AS BIGINT) AS simpson_ppm
+    FROM per_day ORDER BY day
+    """,
+)
+def events_daily_type_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Simpson concentration index of the event-type mix —
+    the probability two events drawn from the same day (without
+    replacement) share a type: sum n_i(n_i-1) / (N(N-1)), an exact
+    integer rational (1 - Simpson is the Gini-Simpson DIVERSITY; high
+    ppm days are type-monocultures worth alerting on, the categorical
+    twin of events_daily_type_drift_tv's distance-to-global monitor).
+    Degenerate days (N < 2) answer NULL, the three-sided rule. Plan:
+    one partial-agg groupBy per (day, type), one per-day combine —
+    two map-side-combined shuffles over one scan, nothing else."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["events"]
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type")
+        .groupBy("d", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_day = counts.groupBy("d").agg(
+        F.sum("n").cast("long").alias("n_day"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("pair_num"),
+    )
+    return per_day.select(
+        F.col("d").alias("day"),
+        "n_day",
+        F.when(
+            F.col("n_day") >= 2,
+            F.expr(
+                "CAST(pair_num * 1000000 DIV (n_day * (n_day - 1)) AS BIGINT)"
+            ),
+        )
+        .cast("long")
+        .alias("simpson_ppm"),
+    ).orderBy("day")
