@@ -5666,3 +5666,184 @@ def cdc_delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "cdc_delta_default_columns",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'store' ELSE 'web' END
+               AS channel,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM tagged GROUP BY channel ORDER BY channel
+    """,
+)
+def cdc_delta_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DEFAULT COLUMNS (PROTOCOL.md "Default value expressions",
+    CURRENT_DEFAULT field metadata): the creating write declares
+    ``channel`` defaulting to 'store' and OMITS the column entirely —
+    the writer fills it; a second append PROVIDES channel='web', which
+    wins untouched (a default is a fill-in, not a constraint — the
+    contract difference from generated columns, which validate). The
+    by-channel rollup is right only if both the fill and the
+    provided-wins paths landed correct values through the gate-and-
+    commit machinery. Declarations ride schemaString (checkpoint-safe)
+    and rename/drop of a column referenced by a default expression is
+    refused — the same unresolvable-metadata hazard rule as generated
+    columns and CHECK constraints."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import read_delta, write_delta
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_dflt_q_")
+    write_delta(
+        base.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderkey"),
+        table, defaults={"channel": "'store'"})
+    write_delta(
+        base.filter(F.col("o_orderkey") % 2 == 1)
+        .select("cents", F.lit("web").alias("channel")),
+        table, mode="append")
+    return (
+        read_delta(spark, table)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "cdc_delta_identity_columns",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT n_rows,
+           n_rows AS n_distinct_rid,
+           CAST(100 AS BIGINT) AS min_rid,
+           CAST(100 + 3 * (n_rows - 1) AS BIGINT) AS max_rid
+    FROM n
+    """,
+)
+def cdc_delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IDENTITY columns (PROTOCOL.md "Identity Columns",
+    delta.identity.* field metadata): the creating write declares
+    ``rid`` GENERATED ALWAYS (start=100, step=3) and two appends land
+    all orders WITHOUT ever providing the column — the writer assigns
+    dense values from the table-tracked high-water mark, bumped in the
+    SAME commit that lands the rows. The rollup (count, distinct
+    count, min, max) equals the closed form 100..100+3(n-1) only if
+    (a) every row got a value, (b) no two commits collided (the
+    hwm-OCC rule: a racer that moved the mark forces a restage), and
+    (c) the second append resumed EXACTLY where the first stopped.
+    Values are assigned via the distributed global row number — no
+    driver loop, no collect; the hwm metadata ride-along is O(1) per
+    commit."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import read_delta, write_delta
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_idy_q_")
+    write_delta(base.filter(F.col("o_orderkey") % 2 == 0), table,
+                identity={"rid": {"start": 100, "step": 3}})
+    write_delta(base.filter(F.col("o_orderkey") % 2 == 1), table,
+                mode="append")
+    return read_delta(spark, table).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("rid").cast("long").alias("n_distinct_rid"),
+        F.min("rid").cast("long").alias("min_rid"),
+        F.max("rid").cast("long").alias("max_rid"),
+    )
+
+
+@query(
+    "source_iceberg_rewrite_pos_deletes",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS merged,
+           true AS replace_op
+    FROM orders
+    WHERE o_custkey NOT BETWEEN 10 AND 25
+      AND o_custkey NOT BETWEEN 40 AND 55
+      AND o_custkey NOT BETWEEN 70 AND 85
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def source_iceberg_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg rewrite_position_delete_files: three separate MOR
+    deletes each write their own position-delete Avros + manifests;
+    the rewrite merges them into ONE deduplicated sorted delete file
+    under one manifest, superseding the three — and the rollup equals
+    the three-slice-filtered orders only if the merged (file, pos) set
+    is exactly the union of the originals (a dropped pair resurrects a
+    row; a mangled one kills a live row). Decode and rewrite run
+    distributed (_pos_delete_frame + per-target mapInPandas writer);
+    certificates: merged (fewer delete files after) and replace_op
+    (feed rides through). The day-2 MOR economics at 100 TB: deletes
+    stay O(matches) when they happen, and the per-read cost of N tiny
+    delete-file opens is repaid here, once, without touching data
+    files (compact_iceberg's full rewrite is the heavier tool)."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        _snapshot,
+        append_iceberg,
+        delete_positions_iceberg,
+        read_iceberg,
+        rewrite_position_deletes_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_rpd_q_")
+    append_iceberg(base.repartition(4), table, format_version=2)
+    for lo, hi in ((10, 25), (40, 55), (70, 85)):
+        delete_positions_iceberg(
+            spark, table, f"o_custkey BETWEEN {lo} AND {hi}")
+    sid, nb, na = rewrite_position_deletes_iceberg(spark, table)
+    meta = _current_metadata(table)
+    replace_op = (
+        _snapshot(meta, sid)["summary"]["operation"] == "replace"
+        and meta["current-snapshot-id"] == sid
+    )
+    return (
+        read_iceberg(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "cents",
+            F.lit(na < nb).alias("merged"),
+            F.lit(replace_op).alias("replace_op"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -276,17 +276,32 @@ def commit_delta(table: str, version: int, actions: list[dict]) -> None:
 
 def _metadata_action(df: DataFrame,
                      partition_columns: list[str] | None = None,
-                     generated: dict[str, str] | None = None) -> dict:
+                     generated: dict[str, str] | None = None,
+                     defaults: dict[str, str] | None = None,
+                     identity: dict[str, dict] | None = None) -> dict:
     schema_json = df.schema.json()
-    if generated:
-        # GENERATED COLUMNS (PROTOCOL.md "Generated Columns"): the
-        # expression lives in the field's metadata under
-        # delta.generationExpression — declared once at table creation
+    if generated or defaults or identity:
+        # GENERATED COLUMNS (PROTOCOL.md "Generated Columns") live in
+        # field metadata under delta.generationExpression; DEFAULT
+        # columns (PROTOCOL.md "Default value expressions") under
+        # CURRENT_DEFAULT — both declared once at table creation
         sch = json.loads(schema_json)
         for f in sch["fields"]:
-            if f["name"] in generated:
+            if f["name"] in (generated or {}):
                 md = dict(f.get("metadata") or {})
                 md[_GEN_KEY] = generated[f["name"]]
+                f["metadata"] = md
+            if f["name"] in (defaults or {}):
+                md = dict(f.get("metadata") or {})
+                md[_DEFAULT_KEY] = defaults[f["name"]]
+                f["metadata"] = md
+            if f["name"] in (identity or {}):
+                # IDENTITY (PROTOCOL.md "Identity Columns"): start/step
+                # at creation; the high-water mark is bumped per commit
+                md = dict(f.get("metadata") or {})
+                md[_ID_START] = int(identity[f["name"]]["start"])
+                md[_ID_STEP] = int(identity[f["name"]]["step"])
+                md[_ID_ALLOW] = False
                 f["metadata"] = md
         schema_json = json.dumps(sch, separators=(",", ":"))
     return {"metaData": {
@@ -1169,6 +1184,14 @@ def _guard_generated_refs(schema_string: str, column: str, op: str) -> None:
             raise ValueError(
                 f"cannot {op} column {column!r}: generated column "
                 f"{name!r} derives from it ({expr})")
+    # default-value expressions are the same hazard class: a stored
+    # CURRENT_DEFAULT referencing a renamed/dropped column would make
+    # every subsequent defaulted write unresolvable
+    for name, expr in sorted(_default_exprs(schema_string).items()):
+        if name != column and pat.search(expr):
+            raise ValueError(
+                f"cannot {op} column {column!r}: default of column "
+                f"{name!r} references it ({expr})")
 
 
 def enable_column_mapping_delta(table: str, mode: str = "name") -> int:
@@ -1344,6 +1367,106 @@ def _generated_exprs(schema_string: str) -> dict[str, str]:
             for f in fields if _GEN_KEY in (f.get("metadata") or {})}
 
 
+_DEFAULT_KEY = "CURRENT_DEFAULT"
+
+# IDENTITY columns (PROTOCOL.md "Identity Columns"): delta-spark's
+# public field-metadata keys. GENERATED ALWAYS semantics — explicit
+# inserts refused (allowExplicitInsert=false is the only mode here).
+_ID_START = "delta.identity.start"
+_ID_STEP = "delta.identity.step"
+_ID_HWM = "delta.identity.highWaterMark"
+_ID_ALLOW = "delta.identity.allowExplicitInsert"
+
+
+def _identity_specs(schema_string: str) -> dict[str, dict]:
+    """{column: {start, step, hwm?}} from field metadata."""
+    out: dict[str, dict] = {}
+    for f in json.loads(schema_string)["fields"]:
+        md = f.get("metadata") or {}
+        if _ID_START in md:
+            sp = {"start": int(md[_ID_START]), "step": int(md[_ID_STEP])}
+            if _ID_HWM in md:
+                sp["hwm"] = int(md[_ID_HWM])
+            out[f["name"]] = sp
+    return out
+
+
+def _apply_identity(df: DataFrame,
+                    specs: dict[str, dict]) -> tuple[DataFrame, dict]:
+    """Assign identity values: hwm+step, hwm+2*step, … (start-based on
+    a fresh table). Returns (df with identity columns, {col: new hwm}).
+    Values are dense within one write — assignment order rides a
+    monotonically_increasing_id made total by global_row_number's
+    eager pin, so the staged files see ONE stable assignment; across
+    concurrent writers uniqueness comes from the high-water-mark OCC
+    conflict (a racer that moved the hwm forces a restage). Explicit
+    values for an identity column are refused (GENERATED ALWAYS)."""
+    if not specs:
+        return df, {}
+    provided = [c for c in specs if c in df.columns]
+    if provided:
+        raise ValueError(
+            f"identity columns {provided} are GENERATED ALWAYS — "
+            "writers cannot provide values")
+    from postrack_spark.operators.ranking import global_row_number
+
+    df = df.withColumn("__id_mid", F.monotonically_increasing_id())
+    df = global_row_number(df, ["__id_mid"], rank_col="__id_rn")
+    n = df.count()  # frame is pinned: one cheap metadata-ish action
+    new_hwms: dict[str, int] = {}
+    for name, sp in sorted(specs.items()):
+        base = sp["hwm"] + sp["step"] if "hwm" in sp else sp["start"]
+        df = df.withColumn(
+            name,
+            (F.lit(base) + (F.col("__id_rn") - 1) * F.lit(sp["step"]))
+            .cast("long"))
+        if n > 0:
+            new_hwms[name] = base + sp["step"] * (n - 1)
+    return df.drop("__id_mid", "__id_rn"), new_hwms
+
+
+def _identity_bump_schema(schema_string: str, new_hwms: dict) -> str:
+    """schemaString with each identity column's highWaterMark moved to
+    its new value."""
+    sch = json.loads(schema_string)
+    for f in sch["fields"]:
+        if f["name"] in new_hwms:
+            md = dict(f.get("metadata") or {})
+            md[_ID_HWM] = new_hwms[f["name"]]
+            f["metadata"] = md
+    return json.dumps(sch, separators=(",", ":"))
+
+
+def _default_exprs(schema_string: str) -> dict[str, str]:
+    """{column: default-value expression} from field metadata (the
+    protocol's Default Columns writer feature: CURRENT_DEFAULT)."""
+    fields = json.loads(schema_string)["fields"]
+    return {f["name"]: (f.get("metadata") or {})[_DEFAULT_KEY]
+            for f in fields if _DEFAULT_KEY in (f.get("metadata") or {})}
+
+
+def _apply_defaults(df: DataFrame, dflt: dict[str, str],
+                    schema_string: str | None = None) -> DataFrame:
+    """Default Columns write contract (PROTOCOL.md "Default value
+    expressions"): a defaulted column MISSING from the batch is filled
+    from its expression, cast to the table's declared type; a provided
+    column WINS untouched — unlike generated columns there is no
+    equality validation, the default is a fill-in, not a constraint."""
+    if not dflt:
+        return df
+    types = {}
+    if schema_string:
+        sch = StructType.fromJson(json.loads(schema_string))
+        types = {f.name: f.dataType for f in sch.fields}
+    for name, expr in sorted(dflt.items()):
+        if name not in df.columns:
+            col = F.expr(expr)
+            if name in types:
+                col = col.cast(types[name])
+            df = df.withColumn(name, col)
+    return df
+
+
 def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
     """Delta's generated-column write contract: a generated column
     MISSING from the batch is computed from its expression; one the
@@ -1366,7 +1489,9 @@ def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
 def write_delta(df: DataFrame, table: str, mode: str = "append",
                 merge_schema: bool = False,
                 partition_by: list[str] | None = None,
-                generated: dict[str, str] | None = None) -> int:
+                generated: dict[str, str] | None = None,
+                defaults: dict[str, str] | None = None,
+                identity: dict[str, dict] | None = None) -> int:
     """Batch write; returns the committed version. ``overwrite``
     replaces the whole live set in one atomic commit. Writes are
     SCHEMA-ENFORCED against the table's current metaData (drift
@@ -1407,6 +1532,20 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
                 "generated columns are declared at table creation "
                 f"(table has {gen}, write asked {generated})")
         df = _apply_generated(df, gen)
+        dflt = _default_exprs(schema_string)
+        if defaults is not None and defaults != dflt:
+            raise ValueError(
+                "column defaults are declared at table creation "
+                f"(table has {dflt}, write asked {defaults})")
+        df = _apply_defaults(df, dflt, schema_string)
+        ids_spec = _identity_specs(schema_string)
+        if identity is not None and identity != {
+                k: {kk: vv for kk, vv in v.items() if kk != "hwm"}
+                for k, v in ids_spec.items()}:
+            raise ValueError(
+                "identity columns are declared at table creation "
+                f"(table has {ids_spec}, write asked {identity})")
+        df, id_hwms = _apply_identity(df, ids_spec)
         if mode == "overwrite":
             _guard_append_only(config, "mode='overwrite'")
         table_pcols = _partition_columns(table)
@@ -1432,6 +1571,13 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
         # compute generated columns BEFORE the partition check: the
         # classic declaration partitions by a column writers never send
         df = _apply_generated(df, generated or {})
+        df = _apply_defaults(df, defaults or {})
+        for name, sp in (identity or {}).items():
+            if set(sp) != {"start", "step"} or int(sp["step"]) == 0:
+                raise ValueError(
+                    f"identity spec for {name!r} must be "
+                    "{'start': int, 'step': nonzero int}")
+        df, id_hwms = _apply_identity(df, identity or {})
     if pcols:
         missing = [c for c in pcols if c not in df.columns]
         if missing:
@@ -1449,12 +1595,37 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
         actions: list[dict] = []
         if version == 0:
             actions.append({"protocol": dict(_PROTOCOL)})
-            actions.append(_metadata_action(df, pcols, generated))
+            act0 = _metadata_action(df, pcols, generated, defaults,
+                                    identity)
+            if id_hwms:
+                act0["metaData"]["schemaString"] = _identity_bump_schema(
+                    act0["metaData"]["schemaString"], id_hwms)
+            actions.append(act0)
         else:
             _l, schema_string, _v, _t, config = _replay(table, None)
             now = (schema_string, tuple(sorted(config.items())))
             if now != gated_at:  # a concurrent commit moved the
                 # schema/constraints under us: re-gate against it
+                win_ids = _identity_specs(schema_string)
+                staged_ids_spec = (_identity_specs(gated_at[0])
+                                   if gated_at is not None else {})
+                if win_ids != staged_ids_spec or (
+                        gated_at is None and (identity or win_ids)):
+                    # staged identity values were assigned under a
+                    # DIFFERENT high-water mark (or a creating write
+                    # lost the v0 race around an identity table) —
+                    # committing them could collide; restage
+                    raise DeltaCommitConflict(
+                        "concurrent identity change: restage")
+                win_dflt = _default_exprs(schema_string)
+                staged_dflt = (_default_exprs(gated_at[0])
+                               if gated_at is not None else (defaults or {}))
+                if win_dflt != staged_dflt:
+                    # staged parquet was filled under OTHER defaults —
+                    # notably a winner declaring a NEW defaulted column
+                    # the staged files simply lack
+                    raise DeltaCommitConflict(
+                        "concurrent default-column change: restage")
                 win_gen = _generated_exprs(schema_string)
                 staged_gen = (_generated_exprs(gated_at[0])
                               if gated_at is not None else (generated or {}))
@@ -1494,8 +1665,22 @@ def write_delta(df: DataFrame, table: str, mode: str = "append",
                     # on every such file
                     raise DeltaCommitConflict(
                         "concurrent partitioning change: restage")
-            if evo_action is not None:
-                actions.append(evo_action)
+            meta_act = evo_action
+            if id_hwms:
+                # bump the identity high-water marks in the SAME commit
+                # that lands the assigned values (one metaData action,
+                # full re-statement — the _meta_action rule)
+                s_base = (meta_act["metaData"]["schemaString"]
+                          if meta_act else schema_string)
+                bumped = _identity_bump_schema(s_base, id_hwms)
+                if meta_act:
+                    meta_act = {"metaData": {**meta_act["metaData"],
+                                             "schemaString": bumped}}
+                else:
+                    meta_act = _meta_action(bumped, config,
+                                            _partition_columns(table))
+            if meta_act is not None:
+                actions.append(meta_act)
         removes: list[dict] = []
         if mode == "overwrite" and version > 0:
             paths, _, _ = _snapshot(table, None)
@@ -1703,8 +1888,16 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             # (no evolution in the streaming hook — a drifting stream
             # should fail loudly, not mutate the table schema mid-run)
             _l, schema_string, _v, _t, config = _replay(table, None)
+            if _identity_specs(schema_string):
+                raise NotImplementedError(
+                    "identity tables need write_delta (per-commit "
+                    "high-water-mark allocation); the streaming hook "
+                    "refuses rather than committing colliding ids")
             batch_df = _apply_generated(batch_df,
                                         _generated_exprs(schema_string))
+            batch_df = _apply_defaults(batch_df,
+                                       _default_exprs(schema_string),
+                                       schema_string)
             _reconcile_schema(schema_string, batch_df, False, config)
             _enforce_constraints(batch_df, config)
             if mode == "overwrite":
@@ -1745,6 +1938,15 @@ def foreach_batch_delta(table: str, mode: str = "append"):
                     if _generated_exprs(s_now) != staged_gen:
                         raise DeltaCommitConflict(
                             "concurrent generated-column change: restage")
+                    staged_dflt = (_default_exprs(gated_at[0])
+                                   if gated_at is not None else {})
+                    if _default_exprs(s_now) != staged_dflt:
+                        raise DeltaCommitConflict(
+                            "concurrent default-column change: restage")
+                    if _identity_specs(s_now):
+                        raise NotImplementedError(
+                            "a concurrent writer made this an identity "
+                            "table; the streaming hook refuses")
                     _reconcile_schema(s_now, batch_df, False, cfg_now)
                     _enforce_constraints(batch_df, cfg_now)
                     if _column_mapping(s_now, cfg_now) != batch_mapping:

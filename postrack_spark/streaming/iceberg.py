@@ -2805,6 +2805,145 @@ def rewrite_manifests_iceberg(table: str) -> tuple[int, int, int]:
     raise IcebergCommitConflict(f"lost 10 rewrite races on {table}")
 
 
+def rewrite_position_deletes_iceberg(spark: SparkSession, table: str,
+                                     target_files: int = 1
+                                     ) -> tuple[int, int, int]:
+    """The spec's rewrite_position_delete_files maintenance action:
+    merge the current snapshot's position-delete AVRO files into
+    ``target_files`` consolidated files (deduplicated, sorted) under
+    ONE fresh content=1 manifest, superseding the manifests that held
+    only the merged files — a day of per-commit MOR deletes stops
+    costing the reader one Avro open+decode per delete file. Data
+    manifests, equality-delete manifests, v3 Puffin DV manifests, and
+    any MIXED manifest carry verbatim (our writers never mix; fail
+    untouched, never wrong). Decode and rewrite are DISTRIBUTED — the
+    (file, pos) pairs ride _pos_delete_frame's executor decode and a
+    per-target-file mapInPandas writer; only O(delete files) metadata
+    rows reach the driver. The snapshot is summary-labeled 'replace'
+    (no logical data change; iceberg_feed rides through). Returns
+    (snapshot id, delete files before, delete files after); a no-op
+    when already at-or-below target returns the current snapshot
+    unchanged."""
+    import pandas as _pd  # noqa: F401 — worker annotation resolution
+
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        snap = _snapshot(meta, meta["current-snapshot-id"])
+        mlist, _ls = read_avro(_read_file(table, snap["manifest-list"]))
+        superseded: set[int] = set()
+        pos_files: list[dict] = []
+        max_seq = 0
+        for i, m in enumerate(mlist):
+            if m.get("content", DATA_CONTENT) != DELETE_CONTENT:
+                continue
+            entries, _e = read_avro(_read_file(table, m["manifest_path"]))
+            live = [e for e in entries if e["status"] in (ADDED, EXISTING)]
+            plain = [
+                e for e in live
+                if e["data_file"].get("file_format") != "PUFFIN"
+                and e["data_file"].get(
+                    "content", FILE_POS_DELETES) == FILE_POS_DELETES]
+            if plain and len(plain) == len(live):
+                superseded.add(i)
+                pos_files.extend(e["data_file"] for e in plain)
+                max_seq = max(max_seq, m.get("sequence_number", 0))
+        if len(pos_files) <= target_files:
+            return (meta["current-snapshot-id"],
+                    len(pos_files), len(pos_files))
+        pairs = _pos_delete_frame(
+            spark, table, [d["file_path"] for d in pos_files]
+        ).toDF("file_path", "pos").dropDuplicates(["file_path", "pos"])
+        table_abs = table
+
+        def _write_merged(batches):
+            rows: list[tuple[str, int]] = []
+            for pdf in batches:
+                rows.extend(
+                    (p, int(q)) for p, q in zip(pdf["file_path"], pdf["pos"]))
+            if not rows:
+                return
+            rows.sort()
+            blob = write_avro(
+                [{"file_path": p, "pos": q} for p, q in rows],
+                _POS_DELETE_SCHEMA, codec="deflate")
+            rel = os.path.join("data", f"delete-{uuid.uuid4().hex}.avro")
+            with open(os.path.join(table_abs, rel), "wb") as f:
+                f.write(blob)
+            import pandas as pd2
+            yield pd2.DataFrame([{
+                "file_path": rel, "record_count": len(rows),
+                "file_size_in_bytes": len(blob)}])
+
+        written = sorted(
+            pairs.repartition(max(1, target_files), "file_path")
+            .mapInPandas(
+                _write_merged,
+                "file_path string, record_count long,"
+                " file_size_in_bytes long").collect(),
+            key=lambda r: r["file_path"])
+        version = meta["last-version"] + 1
+        snapshot_id = version + 1
+        manifest_rel = os.path.join(
+            "metadata",
+            f"manifest-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        manifest_blob = write_avro([{
+            "status": ADDED, "snapshot_id": snapshot_id,
+            "data_file": {
+                "file_path": r["file_path"], "file_format": "AVRO",
+                "record_count": r["record_count"],
+                "file_size_in_bytes": r["file_size_in_bytes"],
+                "lower_bounds": [], "upper_bounds": [],
+                "sort_order_id": 0,
+            }} for r in written], _MANIFEST_SCHEMA, codec="deflate")
+        with open(os.path.join(table, manifest_rel), "wb") as f:
+            f.write(manifest_blob)
+        new_mlist = [m for i, m in enumerate(mlist)
+                     if i not in superseded] + [{
+                         "manifest_path": manifest_rel,
+                         "manifest_length": len(manifest_blob),
+                         "partition_spec_id": _delete_manifest_spec_id(meta),
+                         "added_snapshot_id": snapshot_id,
+                         "content": DELETE_CONTENT,
+                         "sequence_number": max_seq,
+                     }]
+        mlist_rel = os.path.join(
+            "metadata", f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.avro")
+        with open(os.path.join(table, mlist_rel), "wb") as f:
+            f.write(write_avro(new_mlist, _MANIFEST_LIST_SCHEMA_V2,
+                               codec="deflate"))
+        now_ms = int(time.time() * 1000)
+        n_recs = sum(r["record_count"] for r in written)
+        new_meta = dict(meta)
+        new_meta["snapshots"] = meta["snapshots"] + [{
+            "snapshot-id": snapshot_id, "timestamp-ms": now_ms,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "manifest-list": mlist_rel,
+            "sequence-number": meta["last-sequence-number"],
+            "summary": {
+                "operation": "replace",
+                "rewritten-delete-files": str(len(pos_files)),
+                "added-delete-files": str(len(written)),
+                **_fold_totals(
+                    snap.get("summary"),
+                    delete_files=len(written) - len(pos_files),
+                    pos_deletes=n_recs - sum(
+                        int(d.get("record_count") or 0)
+                        for d in pos_files)),
+            },
+        }]
+        new_meta["current-snapshot-id"] = snapshot_id
+        new_meta["last-version"] = version
+        new_meta["last-updated-ms"] = now_ms
+        try:
+            _commit_metadata(table, version, new_meta)
+            return snapshot_id, len(pos_files), len(written)
+        except IcebergCommitConflict:
+            continue  # losers orphan their merged files, harmless
+    raise IcebergCommitConflict(f"lost 10 rewrite races on {table}")
+
+
 def sync_iceberg_from_delta(spark: SparkSession, table: str) -> int:
     """Zero-copy Delta -> Iceberg metadata sync (the Delta UniForm /
     Apache XTable concept, both public): generate an Iceberg-v1

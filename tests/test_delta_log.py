@@ -2515,3 +2515,106 @@ def test_version_checksum_validates_and_detects_corruption(spark):
     assert os.path.basename(p0) in deleted
     assert os.path.exists(p1)
     validate_crc_delta(t)  # replay-from-checkpoint digest still matches
+
+
+def test_default_columns_fill_and_gate(spark):
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta, clean_log_delta, drop_column_delta)
+
+    t = tempfile.mkdtemp(prefix="delta_dflt_")
+    base = spark.range(0, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("eu").alias("region"))
+    # 'score' is declared-with-default but absent from the creating
+    # batch: filled at creation; 'region' present: provided wins
+    write_delta(base, t, defaults={"region": "'unknown'", "score": "7"})
+    got = {r["k"]: (r["region"], r["score"])
+           for r in read_delta(spark, t).collect()}
+    assert got[0] == ("eu", 7)
+    # later write omitting BOTH defaulted columns: filled
+    write_delta(
+        spark.range(10, 12).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v")),
+        t, mode="append")
+    got = {r["k"]: (r["region"], r["score"])
+           for r in read_delta(spark, t).collect()}
+    assert got[10] == ("unknown", 7)
+    # provided value wins over the default
+    write_delta(
+        spark.range(20, 21).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v"),
+                                   F.lit("us").alias("region"),
+                                   F.lit(99).cast("int").alias("score")),
+        t, mode="append")
+    assert {r["region"] for r in read_delta(spark, t).collect()} \
+        == {"eu", "unknown", "us"}
+    # re-declaration raises (creation-only, the generated-columns rule)
+    with pytest.raises(ValueError, match="declared at table creation"):
+        write_delta(base, t, mode="append", defaults={"region": "'x'"})
+    # declarations survive the checkpoint (they ride schemaString)
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    write_delta(
+        spark.range(30, 31).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v")),
+        t, mode="append")
+    got = {r["k"]: (r["region"], r["score"])
+           for r in read_delta(spark, t).collect()}
+    assert got[30] == ("unknown", 7)
+    # the streaming hook fills too (call the foreachBatch fn directly)
+    fb = foreach_batch_delta(t, mode="append")
+    fb(spark.range(40, 41).select(F.col("id").alias("k"),
+                                  (F.col("id") * 2).alias("v")), 0)
+    got = {r["k"]: (r["region"], r["score"])
+           for r in read_delta(spark, t).collect()}
+    assert got[40] == ("unknown", 7)
+
+
+def test_default_expr_reference_blocks_drop(spark):
+    from postrack_spark.streaming.delta_log import drop_column_delta
+
+    from postrack_spark.streaming.delta_log import enable_column_mapping_delta
+
+    t = tempfile.mkdtemp(prefix="delta_dfltref_")
+    write_delta(
+        spark.range(0, 3).select(F.col("id").alias("k"),
+                                 (F.col("id") * 2).alias("v")),
+        t, defaults={"twice": "v * 2"})
+    enable_column_mapping_delta(t)
+    with pytest.raises(ValueError, match="default of column"):
+        drop_column_delta(t, "v")
+
+
+def test_identity_columns_assign_and_advance(spark):
+    from postrack_spark.streaming.delta_log import (
+        checkpoint_delta, clean_log_delta)
+
+    t = tempfile.mkdtemp(prefix="delta_idy_")
+    write_delta(_df(spark, 0, 6), t, identity={"rid": {"start": 10, "step": 5}})
+    rids = sorted(r["rid"] for r in read_delta(spark, t).collect())
+    assert rids == [10, 15, 20, 25, 30, 35]
+    # the high-water mark advances commit over commit: no collisions
+    write_delta(_df(spark, 6, 9), t, mode="append")
+    rids = sorted(r["rid"] for r in read_delta(spark, t).collect())
+    assert len(rids) == 9 and len(set(rids)) == 9
+    assert rids[:6] == [10, 15, 20, 25, 30, 35] and rids[6] == 40
+    # GENERATED ALWAYS: explicit values refused
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(
+            _df(spark, 100, 101).withColumn("rid", F.lit(1)), t,
+            mode="append")
+    # creation-only declaration
+    with pytest.raises(ValueError, match="declared at table creation"):
+        write_delta(_df(spark, 100, 101), t, mode="append",
+                    identity={"rid": {"start": 1, "step": 1}})
+    # the streaming hook refuses identity tables (hwm allocation)
+    from postrack_spark.streaming.delta_log import foreach_batch_delta as _fb
+    with pytest.raises(NotImplementedError, match="identity"):
+        _fb(t)(_df(spark, 200, 201), 0)
+    # declarations + hwm ride the checkpoint
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    write_delta(_df(spark, 9, 10), t, mode="append")
+    rids = sorted(r["rid"] for r in read_delta(spark, t).collect())
+    assert len(rids) == 10 and len(set(rids)) == 10
+    assert max(rids) == 10 + 5 * 9

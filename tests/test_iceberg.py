@@ -2044,3 +2044,39 @@ def test_partition_stats_file_roundtrip_and_lifecycle(spark):
     assert not os.path.exists(os.path.join(t, rel))
     with pytest.raises(KeyError):
         read_partition_stats_iceberg(spark, t)
+
+
+def test_rewrite_position_deletes_merges_files(spark):
+    """rewrite_position_delete_files: three MOR deletes' worth of
+    delete Avros merge into one file/one manifest; the visible row set
+    is unchanged and time travel to the pre-rewrite snapshot still
+    resolves."""
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata,
+        _snapshot as _snap_of,
+        delete_positions_iceberg,
+        rewrite_position_deletes_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_rpd_")
+    append_iceberg(_df(spark, 0, 12).repartition(4), t, format_version=2)
+    for lo, hi in ((0, 2), (4, 6), (8, 10)):
+        delete_positions_iceberg(
+            spark, t, f"k >= {lo} AND k < {hi}")
+    before = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert before == [2, 3, 6, 7, 10, 11]
+    pre_sid = _current_metadata(t)["current-snapshot-id"]
+
+    sid, nb, na = rewrite_position_deletes_iceberg(spark, t)
+    assert nb > 1 and na == 1 and sid != pre_sid
+    after = sorted(r["k"] for r in read_iceberg(spark, t).collect())
+    assert after == before
+    old = sorted(
+        r["k"] for r in read_iceberg(spark, t, snapshot_id=pre_sid).collect())
+    assert old == before
+    meta = _current_metadata(t)
+    summ = _snap_of(meta, sid)["summary"]
+    assert summ["operation"] == "replace"
+    # idempotent: second run is a no-op at target
+    sid2, b2, a2 = rewrite_position_deletes_iceberg(spark, t)
+    assert sid2 == sid and b2 == a2 == 1
