@@ -5847,3 +5847,78 @@ def source_iceberg_rewrite_pos_deletes(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_iceberg_v3_default_values",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre' ELSE 'post' END
+               AS segment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           true AS lanes_agree
+    FROM tagged GROUP BY segment ORDER BY segment
+    """,
+)
+def source_iceberg_v3_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DEFAULT VALUES (spec "Default values"): half the
+    orders land BEFORE ``segment`` exists; add_column_iceberg then
+    declares it with initial-default 'pre' (what reads return for
+    pre-add rows) and write-default 'post' (what fills writers that
+    omit it); the second half appends WITHOUT the column. The
+    by-segment rollup is exactly the orderkey-parity split only if
+    both defaults resolved per the spec — and the certificate
+    lanes_agree gates that the pyiceberg DataSource (SQL lane) returns
+    the SAME multiset as the library read, because a default
+    representation wired into one lane only silently serves NULLs in
+    the other (the N9 both-lanes rule). Fill routing is plan-time
+    metadata: pre-add files are recognized by data sequence, so the
+    scan adds one broadcast O(files) flag join, nothing per-row in
+    Python."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.sources.lakehouse_ds import register_lakehouse_sources
+    from postrack_spark.streaming.iceberg import (
+        add_column_iceberg,
+        append_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_v3d_q_")
+    append_iceberg(base.filter(F.col("o_orderkey") % 2 == 0), table,
+                   format_version=3)
+    add_column_iceberg(table, "segment", "string",
+                       initial_default="pre", write_default="post")
+    append_iceberg(base.filter(F.col("o_orderkey") % 2 == 1), table,
+                   format_version=3)
+    lib = read_iceberg(spark, table).groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    register_lakehouse_sources(spark)
+    ds = (
+        spark.read.format("pyiceberg").load(table)
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    lanes_agree = (
+        lib.exceptAll(ds).limit(1).count() == 0
+        and ds.exceptAll(lib).limit(1).count() == 0
+    )
+    return lib.select(
+        "segment", "n_orders", "cents",
+        F.lit(lanes_agree).alias("lanes_agree"),
+    ).orderBy("segment")

@@ -420,7 +420,7 @@ class IceFilePart(InputPartition):
     def __init__(self, rel: str, seq: int, out_names: list[str],
                  src_names: list[str], type_names: list[str],
                  pos_delete_files: tuple, eq_deletes: list,
-                 dv_descriptors: tuple = ()):
+                 dv_descriptors: tuple = (), init_fills: tuple = ()):
         self.rel = rel
         self.seq = seq
         self.out_names = out_names
@@ -429,6 +429,7 @@ class IceFilePart(InputPartition):
         self.pos_delete_files = pos_delete_files
         self.eq_deletes = eq_deletes
         self.dv_descriptors = dv_descriptors
+        self.init_fills = init_fills
 
 
 class PyIcebergReader(DataSourceReader):
@@ -509,8 +510,18 @@ class PyIcebergReader(DataSourceReader):
         eq_deletes = [
             (list(names), sorted(bucket.items()))
             for names, bucket in sorted(plan["eq_deletes"].items())]
+        # v3 initial-default fills: per-file, plan-time metadata (the
+        # library read's rule — wired into BOTH lanes, the N9 lesson)
+        init_by_file: dict = {}
+        for f in fields:
+            if "initial-default" in f and f.get("_added_at_seq") is not None:
+                for p, s in plan["paths"]:
+                    if s <= f["_added_at_seq"]:
+                        init_by_file.setdefault(p, []).append(
+                            (f["name"], f["initial-default"]))
         return [IceFilePart(p, s, out_names, src_names, type_names,
-                            pos_delete_files, eq_deletes, dv_descriptors)
+                            pos_delete_files, eq_deletes, dv_descriptors,
+                            tuple(init_by_file.get(p, ())))
                 for p, s in plan["paths"]]
 
     def read(self, partition: IceFilePart):
@@ -552,6 +563,12 @@ class PyIcebergReader(DataSourceReader):
             tbl = tbl.filter(np.asarray(keep))
         out = _project(tbl, partition.out_names, partition.src_names,
                        partition.type_names)
+        for name, val in getattr(partition, "init_fills", ()) or ():
+            import pyarrow as pa
+            i = out.column_names.index(name)
+            fld = out.schema.field(i)
+            out = out.set_column(
+                i, fld, pa.array([val] * out.num_rows, type=fld.type))
         yield from out.to_batches(max_chunksize=1 << 16)
 
 

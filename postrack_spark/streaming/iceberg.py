@@ -637,6 +637,17 @@ def append_iceberg(df: DataFrame, table: str, format_version: int = 1,
     # order); _ice_schema(df.schema) — ids by incoming column
     # position — is only correct at table creation (ADVICE r6)
     pre = _current_metadata(table)
+    if pre is not None and staged_entries is None:
+        # v3 DEFAULT VALUES (spec "Default values"): a column with a
+        # write-default fills when the writer omits it — the fill
+        # happens BEFORE schema enforcement, so enforcement still
+        # rejects genuinely-missing non-defaulted columns
+        for f in pre["schema"]["fields"]:
+            if "write-default" in f and f["name"] not in df.columns:
+                df = df.withColumn(
+                    f["name"],
+                    F.lit(f["write-default"]).cast(
+                        _ICE_TO_SPARK[f["type"]]))
     in_schema = df.schema if staged_entries is None else staged_schema
     schema_fields_pre = (pre["schema"]["fields"] if pre is not None
                          else _ice_schema(in_schema)["fields"])
@@ -1412,6 +1423,17 @@ def read_iceberg(spark: SparkSession, table: str,
     else:
         scan_ddl = ddl
         sel = [F.col(f["name"]) for f in fields]
+    # v3 DEFAULT VALUES (spec "Default values"): initial-default
+    # fills a column for files written BEFORE it existed — those files
+    # have data sequence at or below the add-time boundary the column
+    # records, so the pre set is pure plan metadata
+    init_fill: dict[str, tuple] = {}
+    for f in fields:
+        if "initial-default" in f and f.get("_added_at_seq") is not None:
+            pre_files = {p for p, s in paths if s <= f["_added_at_seq"]}
+            if pre_files:
+                init_fill[f["name"]] = (
+                    pre_files, f["initial-default"], f["type"])
     fr_ids = plan["first_row_ids"]
     if with_row_ids and {p for p, _s in paths} - set(fr_ids):
         raise ValueError(
@@ -1422,7 +1444,7 @@ def read_iceberg(spark: SparkSession, table: str,
         *[os.path.join(table, p) for p, _s in paths])
     df = raw.select(*sel) if nm else raw
     if (not pos_delete_files and not eq_deletes and not dv_descriptors
-            and not with_row_ids):
+            and not with_row_ids and not init_fill):
         return df
     cols = [f["name"] for f in fields]
     root = os.path.abspath(table)
@@ -1473,6 +1495,18 @@ def read_iceberg(spark: SparkSession, table: str,
                 # NULL data values (equality, not SQL three-valued =)
                 cond = cond & tagged[n].eqNullSafe(kdf[f"_eq_{n}"])
             tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
+    for name in sorted(init_fill):
+        pre_files, val, ice_t = init_fill[name]
+        flag = f"_init_{name}"
+        pre_df = spark.createDataFrame(
+            [(p,) for p in sorted(pre_files)], "_fp string"
+        ).withColumn(flag, F.lit(True))
+        tagged = tagged.join(F.broadcast(pre_df), "_fp", "left")
+        tagged = tagged.withColumn(
+            name,
+            F.when(F.col(flag).isNotNull(),
+                   F.lit(val).cast(_ICE_TO_SPARK[ice_t]))
+            .otherwise(F.col(name)))
     if with_row_ids:
         # ROW LINEAGE read: _row_id = the file's first_row_id + the
         # row's physical position — stable across MOR deletes (masked
@@ -2803,6 +2837,54 @@ def rewrite_manifests_iceberg(table: str) -> tuple[int, int, int]:
         except IcebergCommitConflict:
             continue  # losers orphan their rewritten manifests, harmless
     raise IcebergCommitConflict(f"lost 10 rewrite races on {table}")
+
+
+def add_column_iceberg(table: str, name: str, ice_type: str,
+                       initial_default=None, write_default=None) -> int:
+    """v3 SCHEMA EVOLUTION with DEFAULT VALUES (spec "Default
+    values"): add an optional column in a metadata-only commit.
+    ``write_default`` fills the column when later writers omit it;
+    ``initial_default`` is the value READS return for rows written
+    before the column existed (spec: fixed at add time, never
+    changed). The pre-existing file set is recovered from data
+    sequences — the column records the table's last-sequence-number at
+    add time (a documented internal attribute; files at or below it
+    predate the column by construction, because schema enforcement
+    makes every later write carry it). format-version 3 only, the
+    spec's home for default values. Returns the metadata version."""
+    if ice_type not in _ICE_TO_SPARK:
+        raise NotImplementedError(f"iceberg type {ice_type!r}")
+    for _ in range(10):
+        meta = _current_metadata(table)
+        if meta is None:
+            raise FileNotFoundError(f"no iceberg metadata under {table}")
+        if meta["format-version"] != 3:
+            raise ValueError(
+                "default values are a format-version 3 feature "
+                f"(table is v{meta['format-version']})")
+        if any(f["name"] == name for f in meta["schema"]["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        fid = meta.get("last-column-id", 0) + 1
+        field = {"id": fid, "name": name, "type": ice_type,
+                 "required": False}
+        if initial_default is not None:
+            field["initial-default"] = initial_default
+            field["_added_at_seq"] = meta.get("last-sequence-number", 0)
+        if write_default is not None:
+            field["write-default"] = write_default
+        version = meta["last-version"] + 1
+        new_meta = dict(meta)
+        new_meta["schema"] = {**meta["schema"],
+                              "fields": meta["schema"]["fields"] + [field]}
+        new_meta["last-column-id"] = fid
+        new_meta["last-version"] = version
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        try:
+            _commit_metadata(table, version, new_meta)
+            return version
+        except IcebergCommitConflict:
+            continue
+    raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
 
 def rewrite_position_deletes_iceberg(spark: SparkSession, table: str,

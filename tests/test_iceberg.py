@@ -2080,3 +2080,40 @@ def test_rewrite_position_deletes_merges_files(spark):
     # idempotent: second run is a no-op at target
     sid2, b2, a2 = rewrite_position_deletes_iceberg(spark, t)
     assert sid2 == sid and b2 == a2 == 1
+
+
+def test_v3_default_values_both_lanes(spark):
+    """v3 default values: initial-default serves for pre-add files,
+    write-default fills omitting writers, explicit values win — and
+    the library read and the pyiceberg DataSource agree (the
+    both-lanes rule), including under a v3 DV delete."""
+    from postrack_spark.sources.lakehouse_ds import (
+        register_lakehouse_sources,
+    )
+    from postrack_spark.streaming.iceberg import (
+        add_column_iceberg,
+        delete_positions_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_v3dflt_")
+    append_iceberg(_df(spark, 0, 4), t, format_version=3)
+    add_column_iceberg(t, "tier", "string",
+                       initial_default="legacy", write_default="std")
+    append_iceberg(_df(spark, 4, 6), t, format_version=3)  # omits tier
+    append_iceberg(_df(spark, 6, 7).withColumn("tier", F.lit("gold")),
+                   t, format_version=3)
+    delete_positions_iceberg(spark, t, "k = 1")  # v3 Puffin DV
+
+    expect = {0: "legacy", 2: "legacy", 3: "legacy",
+              4: "std", 5: "std", 6: "gold"}
+    lib = {r["k"]: r["tier"] for r in read_iceberg(spark, t).collect()}
+    assert lib == expect
+    register_lakehouse_sources(spark)
+    ds = {r["k"]: r["tier"]
+          for r in spark.read.format("pyiceberg").load(t).collect()}
+    assert ds == expect
+    # the declaration is v3-only
+    t1 = tempfile.mkdtemp(prefix="ice_v2dflt_")
+    append_iceberg(_df(spark, 0, 2), t1, format_version=2)
+    with pytest.raises(ValueError, match="format-version 3"):
+        add_column_iceberg(t1, "x", "long", initial_default=0)
