@@ -6796,3 +6796,126 @@ def events_daily_type_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simpson_ppm"),
     ).orderBy("day")
+
+
+@query(
+    "events_capture_recapture_users",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(min(epoch_us(ts)) AS BIGINT) // 1000000
+              + CAST(max(epoch_us(ts)) AS BIGINT) // 1000000) // 2 AS mid_s
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id,
+             max(CASE WHEN CAST(epoch_us(ts) AS BIGINT) // 1000000 <= mid_s
+                      THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN CAST(epoch_us(ts) AS BIGINT) // 1000000 > mid_s
+                      THEN 1 ELSE 0 END) AS h2
+      FROM events CROSS JOIN bounds GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(sum(h1) AS BIGINT) AS n1,
+             CAST(sum(h2) AS BIGINT) AS n2,
+             CAST(sum(h1 * h2) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM marked
+    )
+    SELECT n1, n2, m, observed,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+             AS chapman_estimate
+    FROM cells
+    """,
+)
+def events_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture with the Chapman correction
+    — how many users exist in TOTAL, including the ones we never saw?
+    The first half of the observation window "marks" users, the second
+    "recaptures": estimate = (n1+1)(n2+1)/(m+1) - 1, a pure integer
+    rational (the +1s also kill the m=0 degeneracy — no three-sided
+    answer needed). The classic ecology estimator, here sizing a
+    user population from two sampling occasions; compare observed to
+    the estimate for coverage. Timestamp seconds go through
+    epoch_us // 1e6 on both engines (the cast-rounding trap). Plan:
+    one per-user groupBy then a 1-row combine — two map-side-combined
+    shuffles over one scan."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("s"),
+    )
+    bounds = ev.agg(((F.min("s") + F.max("s")) / 2).cast("long").alias("mid_s"))
+    marked = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("s") <= F.col("mid_s"), 1).otherwise(0))
+            .alias("h1"),
+            F.max(F.when(F.col("s") > F.col("mid_s"), 1).otherwise(0))
+            .alias("h2"),
+        )
+    )
+    cells = marked.agg(
+        F.sum("h1").cast("long").alias("n1"),
+        F.sum("h2").cast("long").alias("n2"),
+        F.sum(F.col("h1") * F.col("h2")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("observed"),
+    )
+    return cells.select(
+        "n1",
+        "n2",
+        "m",
+        "observed",
+        F.expr(
+            "CAST((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 AS BIGINT)"
+        ).alias("chapman_estimate"),
+    )
+
+
+@query(
+    "events_chao1_user_richness",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    fof AS (
+      SELECT CAST(count(*) AS BIGINT) AS s_obs,
+             CAST(count(*) FILTER (n = 1) AS BIGINT) AS f1,
+             CAST(count(*) FILTER (n = 2) AS BIGINT) AS f2
+      FROM per_user
+    )
+    SELECT s_obs, f1, f2,
+           CAST((s_obs * 2 * (f2 + 1) + f1 * (f1 - 1)) * 1000
+                // (2 * (f2 + 1)) AS BIGINT) AS chao1_milli
+    FROM fof
+    """,
+)
+def events_chao1_user_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate (bias-corrected form) over the
+    user population: S_chao1 = S_obs + f1(f1-1) / (2(f2+1)), where f1
+    and f2 are the singleton and doubleton counts of the per-user
+    event frequency distribution — the unseen-species estimator
+    behind "how many users have we NOT seen yet", the abundance twin
+    of the two-occasion capture-recapture query. The corrected form's
+    (f2+1) kills the f2=0 degeneracy, and everything cross-multiplies
+    to exact int64 (emitted in thousandths). Plan: per-user count,
+    frequency-of-frequencies combine — two tiny shuffles, no windows."""
+    t = load_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    fof = per_user.agg(
+        F.count("*").cast("long").alias("s_obs"),
+        F.count_if(F.col("n") == 1).cast("long").alias("f1"),
+        F.count_if(F.col("n") == 2).cast("long").alias("f2"),
+    )
+    return fof.select(
+        "s_obs",
+        "f1",
+        "f2",
+        F.expr(
+            "CAST((s_obs * 2 * (f2 + 1) + f1 * (f1 - 1)) * 1000"
+            " DIV (2 * (f2 + 1)) AS BIGINT)"
+        ).alias("chao1_milli"),
+    )

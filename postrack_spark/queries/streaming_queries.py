@@ -5922,3 +5922,89 @@ def source_iceberg_v3_default_values(spark: SparkSession, sf_dir: str) -> DataFr
         "segment", "n_orders", "cents",
         F.lit(lanes_agree).alias("lanes_agree"),
     ).orderBy("segment")
+
+
+@query(
+    "cdc_delta_table_features",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS features_survive_checkpoint,
+           true AS unknown_feature_refused
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def cdc_delta_table_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TABLE FEATURES protocol (PROTOCOL.md "Table Features"):
+    the table upgrades to minReaderVersion 3 / minWriterVersion 7 with
+    explicit readerFeatures/writerFeatures — the representation every
+    modern delta-spark table actually carries — then checkpoints and
+    CLEANS its JSON log, so the rollup reads through a
+    checkpoint-seeded replay whose gate must re-derive the feature
+    set from the checkpoint's protocol column (the declared-schema
+    trap: an undeclared feature-list column silently downgrades the
+    gate). Certificates: features_survive_checkpoint (the resolved
+    protocol still lists the declared features after clean_log) and
+    unknown_feature_refused (a hand-committed protocol requiring a
+    feature this engine lacks makes the read RAISE — the spec's
+    unknown-reader-feature rule, the difference between refusing and
+    silently returning wrong rows)."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        _current_protocol,
+        checkpoint_delta,
+        clean_log_delta,
+        commit_delta,
+        latest_version,
+        read_delta,
+        upgrade_protocol_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_tf_q_")
+    write_delta(base, table)
+    upgrade_protocol_delta(
+        table, reader_features=("columnMapping", "deletionVectors"),
+        writer_features=("checkConstraints",))
+    checkpoint_delta(table)
+    clean_log_delta(table)
+    p = _current_protocol(table)
+    survived = (
+        p.get("minReaderVersion") == 3
+        and {"columnMapping", "deletionVectors"}
+        <= set(p.get("readerFeatures") or [])
+    )
+    out = (
+        read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    rows = out.collect()  # materialize BEFORE the poisoning commit
+    commit_delta(table, latest_version(table) + 1, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["futureMagic"], "writerFeatures": []}}])
+    try:
+        read_delta(spark, table).collect()
+        refused = False
+    except ValueError:
+        refused = True
+    return spark.createDataFrame(
+        [(r["o_orderstatus"], r["n_orders"], r["cents"], survived, refused)
+         for r in rows],
+        "o_orderstatus string, n_orders long, cents long,"
+        " features_survive_checkpoint boolean,"
+        " unknown_feature_refused boolean",
+    ).orderBy("o_orderstatus")

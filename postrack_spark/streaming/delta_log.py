@@ -542,10 +542,43 @@ def pruned_read_delta(spark: SparkSession, table: str, column: str,
     return df, len(keep), len(paths)
 
 
+# TABLE FEATURES (PROTOCOL.md "Table Features"): reader features this
+# engine actually implements — a minReaderVersion-3 table listing only
+# these is readable; ANY unknown feature refuses (the spec's rule: an
+# unrecognized reader feature means silently-wrong results, never a
+# best-effort read). vacuumProtocolCheck requires no reader behavior.
+_READER_FEATURES_SUPPORTED = {
+    "columnMapping", "deletionVectors", "v2Checkpoint",
+    "vacuumProtocolCheck",
+}
+# writer features with an implementation here (for upgrade validation
+# — declaring a feature no writer in this engine honors would be a lie)
+_WRITER_FEATURES_SUPPORTED = {
+    "appendOnly", "checkConstraints", "generatedColumns",
+    "allowColumnDefaults", "identityColumns", "changeDataFeed",
+    "columnMapping", "deletionVectors", "rowTracking",
+    "inCommitTimestamp", "domainMetadata", "v2Checkpoint",
+    "vacuumProtocolCheck", "invariants",
+}
+
+
 def _gate_protocol(p: dict) -> None:
-    if p.get("minReaderVersion", 1) > 1:
-        raise ValueError(
-            f"table requires reader features beyond protocol 1: {p}")
+    """READ gate. Protocol 1 is the legacy floor; 2 adds column
+    mapping (implemented here); 3 switches to explicit readerFeatures,
+    accepted iff every listed feature is implemented. Unknown writer
+    features never block a READ (the spec's asymmetry)."""
+    mrv = p.get("minReaderVersion", 1)
+    if mrv <= 2:
+        return
+    if mrv == 3:
+        unknown = set(p.get("readerFeatures") or []) \
+            - _READER_FEATURES_SUPPORTED
+        if unknown:
+            raise ValueError(
+                f"table requires unsupported reader features "
+                f"{sorted(unknown)}")
+        return
+    raise ValueError(f"unknown minReaderVersion {mrv}: {p}")
 
 
 def _replay(table: str, version: int | None):
@@ -656,7 +689,10 @@ def checkpoint_delta(table: str, version: int | None = None,
     live, schema_string, v, txns, config = _replay(table, version)
     pcols = _partition_columns(table, v)
     rows: list[dict] = [
-        {"protocol": dict(_PROTOCOL)},
+        # the TABLE'S protocol, not the legacy pin: a features-shaped
+        # protocol (minReaderVersion 3 + feature lists) must survive
+        # checkpoint + clean_log or the read gate under-enforces
+        {"protocol": _current_protocol(table, v)},
         {"metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
@@ -678,8 +714,14 @@ def checkpoint_delta(table: str, version: int | None = None,
              for d, c in sorted(_domain_configs(table, v).items())]
     rows += [{"add": dict(add)} for _p, add in sorted(live.items())]
     schema = pa.schema([
+        # readerFeatures/writerFeatures MUST be declared or pyarrow
+        # silently drops them (the checkpoint declared-schema trap) —
+        # a features-protocol table would lose its feature lists at
+        # clean_log and the read gate would under-enforce
         ("protocol", pa.struct([("minReaderVersion", pa.int32()),
-                                ("minWriterVersion", pa.int32())])),
+                                ("minWriterVersion", pa.int32()),
+                                ("readerFeatures", pa.list_(pa.string())),
+                                ("writerFeatures", pa.list_(pa.string()))])),
         ("metaData", pa.struct([
             ("id", pa.string()),
             ("format", pa.struct([("provider", pa.string())])),
@@ -2341,7 +2383,9 @@ def clone_delta(src: str, dst: str, version: int | None = None) -> int:
     src_abs = os.path.abspath(src)
     os.makedirs(dst, exist_ok=True)
     actions: list[dict] = [
-        {"protocol": dict(_PROTOCOL)},
+        # the SOURCE's protocol carries (a features-protocol table's
+        # clone needs the same reader gate)
+        {"protocol": _current_protocol(src, src_v)},
         # CLONE carries table properties and partitioning (delta's
         # rule) — without the configuration a clone of a column-mapped
         # table would scan logical names against physical-named parquet
@@ -3174,3 +3218,82 @@ def validate_crc_delta(table: str, version: int | None = None) -> dict:
         raise ValueError(
             f"version checksum ICT mismatch at {table}@{v}")
     return recorded
+
+
+def _current_protocol(table: str, version: int | None = None) -> dict:
+    """Newest protocol action at-or-below ``version`` — resolved the
+    _partition_columns way (checkpoint seed + JSON tail; the widely-
+    shared _replay tuple stays put)."""
+    newest = latest_version(table)
+    if newest is None:
+        return dict(_PROTOCOL)
+    if version is None:
+        version = newest
+    proto = dict(_PROTOCOL)
+    start = 0
+    cp = _read_last_checkpoint(table)
+    if cp is not None and cp <= version:
+        import pyarrow.parquet as pq
+
+        for path in _checkpoint_files(table, cp):
+            t = pq.read_table(path, columns=["protocol"])
+            for row in t.to_pylist():
+                pr = row.get("protocol")
+                if pr is not None and pr.get("minReaderVersion") is not None:
+                    proto = {k: v for k, v in pr.items() if v is not None}
+        start = cp + 1
+    for v in range(start, version + 1):
+        p = _log_path(table, v)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                a = json.loads(ln)
+                if "protocol" in a:
+                    proto = a["protocol"]
+    return proto
+
+
+def upgrade_protocol_delta(table: str,
+                           reader_features: tuple = (),
+                           writer_features: tuple = ()) -> int:
+    """PROTOCOL UPGRADE to table features (PROTOCOL.md "Table
+    Features"): commit a protocol action carrying minReaderVersion 3 /
+    minWriterVersion 7 with explicit readerFeatures/writerFeatures —
+    the representation every modern delta-spark table uses. Existing
+    declared features are MERGED (upgrades only ever add); legacy
+    version-implied features are preserved by the version floor.
+    Declaring a reader feature this engine cannot read, or a writer
+    feature nothing here implements, raises — a protocol that lies
+    about its own engine is worse than a legacy one. Returns the
+    committed version."""
+    bad_r = set(reader_features) - _READER_FEATURES_SUPPORTED
+    if bad_r:
+        raise ValueError(
+            f"cannot declare reader features {sorted(bad_r)}: this "
+            "engine could not read its own table back")
+    bad_w = set(writer_features) - _WRITER_FEATURES_SUPPORTED
+    if bad_w:
+        raise ValueError(
+            f"cannot declare writer features {sorted(bad_w)}: no "
+            "writer here implements them")
+    for _ in range(10):
+        _l, schema_string, read_v, _t, config = _replay(table, None)
+        cur = _current_protocol(table, read_v)
+        rf = sorted(set(cur.get("readerFeatures") or [])
+                    | set(reader_features))
+        wf = sorted(set(cur.get("writerFeatures") or [])
+                    | set(writer_features) | set(rf))
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": rf, "writerFeatures": wf}
+        actions = [{"protocol": proto},
+                   _meta_action(schema_string, config,
+                                _partition_columns(table, read_v))]
+        try:
+            commit_delta(table, read_v + 1, actions)
+            return read_v + 1
+        except DeltaCommitConflict:
+            continue
+    raise DeltaCommitConflict(f"lost 10 commit races on {table}")

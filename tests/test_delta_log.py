@@ -140,10 +140,16 @@ def test_streaming_end_to_end_through_real_foreachbatch(spark, sf_dir):
 def test_protocol_feature_gate(spark):
     t = tempfile.mkdtemp(prefix="delta_p_")
     write_delta(_df(spark, 0, 2), t)
-    # a table demanding reader features we don't implement must refuse
+    # a KNOWN reader feature (deletionVectors is implemented here)
+    # passes the features gate...
     with open(_log_path(t, 1), "w") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 3,
                                          "readerFeatures": ["deletionVectors"]}}) + "\n")
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 1]
+    # ...a feature we don't implement must refuse (the spec's rule)
+    with open(_log_path(t, 1), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3,
+                                         "readerFeatures": ["typeWidening"]}}) + "\n")
     with pytest.raises(ValueError, match="reader features"):
         read_delta(spark, t)
 
@@ -2618,3 +2624,40 @@ def test_identity_columns_assign_and_advance(spark):
     rids = sorted(r["rid"] for r in read_delta(spark, t).collect())
     assert len(rids) == 10 and len(set(rids)) == 10
     assert max(rids) == 10 + 5 * 9
+
+
+def test_table_features_protocol_roundtrip(spark):
+    from postrack_spark.streaming.delta_log import (
+        _current_protocol, checkpoint_delta, clean_log_delta,
+        commit_delta, upgrade_protocol_delta)
+
+    t = tempfile.mkdtemp(prefix="delta_tf_")
+    write_delta(_df(spark, 0, 4), t)
+    upgrade_protocol_delta(t, reader_features=("columnMapping",),
+                           writer_features=("checkConstraints",))
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 1, 2, 3]
+    p = _current_protocol(t)
+    assert p["minReaderVersion"] == 3 and "columnMapping" in p["readerFeatures"]
+    assert "checkConstraints" in p["writerFeatures"]
+    # upgrades merge, never drop
+    upgrade_protocol_delta(t, reader_features=("deletionVectors",))
+    p = _current_protocol(t)
+    assert {"columnMapping", "deletionVectors"} <= set(p["readerFeatures"])
+    # feature lists survive the checkpoint (the declared-schema trap)
+    checkpoint_delta(t)
+    clean_log_delta(t)
+    p = _current_protocol(t)
+    assert {"columnMapping", "deletionVectors"} <= set(p["readerFeatures"])
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == [0, 1, 2, 3]
+    # an unknown REQUIRED reader feature refuses the read (spec rule)
+    v = write_delta(_df(spark, 4, 5), t, mode="append")
+    commit_delta(t, v + 1, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["futureMagic"], "writerFeatures": []}}])
+    with pytest.raises(ValueError, match="futureMagic"):
+        read_delta(spark, t).collect()
+    # declaring features we can't honor raises
+    t2 = tempfile.mkdtemp(prefix="delta_tf2_")
+    write_delta(_df(spark, 0, 2), t2)
+    with pytest.raises(ValueError, match="could not read"):
+        upgrade_protocol_delta(t2, reader_features=("futureMagic",))
