@@ -6008,3 +6008,64 @@ def cdc_delta_table_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         " features_survive_checkpoint boolean,"
         " unknown_feature_refused boolean",
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "profile_delta_detail",
+    oracle="""
+    SELECT 'delta' AS format,
+           'month' AS partition_col,
+           true AS files_positive,
+           true AS size_positive,
+           3 AS reader_version,
+           true AS has_mapping_feature,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    """,
+)
+def profile_delta_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE DETAIL for the Delta log (delta_log.detail_delta): the
+    one-row operational card — format/id/location, created/modified
+    times (ICT-aware), partition + declared-clustering columns, live
+    file count and bytes, table properties, and the RESOLVED protocol
+    including table-feature lists. Synthesized from O(files) replay
+    metadata, zero data IO. The query partitions orders by month,
+    upgrades to a features protocol, and gates the stable facts: the
+    partition column round-trips, file/size counts are live-positive,
+    and the protocol card shows minReaderVersion 3 with the declared
+    feature — alongside the table's row count read back through
+    read_delta (detail and data must describe the SAME snapshot)."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.delta_log import (
+        detail_delta,
+        read_delta,
+        upgrade_protocol_delta,
+        write_delta,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="delta_detail_q_")
+    write_delta(base, table, partition_by=["month"])
+    upgrade_protocol_delta(table, reader_features=("columnMapping",))
+    d = detail_delta(spark, table).collect()[0]
+    n = read_delta(spark, table).count()
+    return spark.createDataFrame(
+        [(
+            d["format"],
+            (d["partitionColumns"] or [None])[0],
+            d["numFiles"] >= 1,
+            d["sizeInBytes"] > 0,
+            d["minReaderVersion"],
+            "columnMapping" in (d["readerFeatures"] or []),
+            n,
+        )],
+        "format string, partition_col string, files_positive boolean,"
+        " size_positive boolean, reader_version int,"
+        " has_mapping_feature boolean, n_rows long",
+    )

@@ -280,7 +280,7 @@ def run_daemon_pgwire(host: str, port: int, user: str, database: str,
                       slot: str, out_dir: str, publication: str,
                       start_lsn: int = 0, proto_version: int = 1,
                       streaming: bool = False, two_phase: bool = False,
-                      messages: bool = False,
+                      messages: bool = False, binary: bool = False,
                       ack_interval_s: float = 5.0, max_frames: int = 4096,
                       max_bytes: int = 16 << 20, stop=lambda: False,
                       writer=None) -> None:
@@ -303,6 +303,11 @@ def run_daemon_pgwire(host: str, port: int, user: str, database: str,
         # TWO_PHASE slot (api.Conn.add_slot(two_phase=True))
     if messages:
         options["messages"] = "on"  # pg_logical_emit_message 'M' frames
+    if binary:
+        # pgoutput's binary mode (PG14+): types with binary send
+        # functions arrive as 'b' TupleData columns; the decoder
+        # surfaces them in bytea text form ("\\x<hex>"), lossless
+        options["binary"] = "on"
     repl.start_replication(slot, start_lsn + 1, options)
     if writer is None:
         writer = FrameFileWriter(out_dir, max_frames=max_frames,

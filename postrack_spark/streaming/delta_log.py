@@ -3297,3 +3297,93 @@ def upgrade_protocol_delta(table: str,
         except DeltaCommitConflict:
             continue
     raise DeltaCommitConflict(f"lost 10 commit races on {table}")
+
+
+def detail_delta(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE DETAIL (delta-spark's table-detail surface) as a
+    1-row DataFrame synthesized from replay + the resolved protocol:
+    format, id (newest metaData id), location, createdTime (v0
+    metaData), lastModified (newest commit's ICT or mtime),
+    partitionColumns, clusteringColumns (declared-clustering domain),
+    numFiles, sizeInBytes, properties, minReaderVersion/
+    minWriterVersion (+ feature lists when the table runs on table
+    features). O(files) metadata, no data IO — the operational
+    at-a-glance card every maintenance job checks first."""
+    live, schema_string, v, _txns, config = _replay(table, None)
+    proto = _current_protocol(table, v)
+    created = None
+    p0 = _log_path(table, 0)
+    if os.path.exists(p0):
+        with open(p0) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                a = json.loads(ln)
+                if "metaData" in a:
+                    created = a["metaData"].get("createdTime")
+    meta_id = None
+    # newest metaData id rides _replay's schema fold only as the
+    # string; re-resolve it the _partition_columns way
+    start, cp = 0, _read_last_checkpoint(table)
+    if cp is not None:
+        import pyarrow.parquet as pq
+
+        for path in _checkpoint_files(table, cp):
+            for row in pq.read_table(path, columns=["metaData"]).to_pylist():
+                md = row.get("metaData")
+                if md is not None and md.get("id"):
+                    meta_id = md["id"]
+        start = cp + 1
+    for vv in range(start, v + 1):
+        p = _log_path(table, vv)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                a = json.loads(ln)
+                if "metaData" in a and a["metaData"].get("id"):
+                    meta_id = a["metaData"]["id"]
+    last_mod = _commit_info_ict(table, v)
+    if last_mod is None:
+        try:
+            last_mod = int(os.path.getmtime(_log_path(table, v)) * 1000)
+        except OSError:
+            last_mod = None
+    clustering = None
+    try:
+        dom = _domain_configs(table, v).get("delta.clustering")
+        if dom:
+            clustering = list(json.loads(dom).get("clusteringColumns") or [])
+    except (ValueError, AttributeError):
+        clustering = None
+    row = {
+        "format": "delta",
+        "id": meta_id,
+        "location": os.path.abspath(table),
+        "createdAt": created,
+        "lastModified": last_mod,
+        "partitionColumns": _partition_columns(table, v),
+        "clusteringColumns": clustering or [],
+        "numFiles": len(live),
+        "sizeInBytes": sum(int(a.get("size") or 0) for a in live.values()),
+        "properties": dict(config),
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        "readerFeatures": sorted(proto.get("readerFeatures") or []),
+        "writerFeatures": sorted(proto.get("writerFeatures") or []),
+    }
+    return spark.createDataFrame(
+        [(row["format"], row["id"], row["location"], row["createdAt"],
+          row["lastModified"], row["partitionColumns"],
+          row["clusteringColumns"], row["numFiles"], row["sizeInBytes"],
+          row["properties"], row["minReaderVersion"],
+          row["minWriterVersion"], row["readerFeatures"],
+          row["writerFeatures"])],
+        "format string, id string, location string, createdAt long,"
+        " lastModified long, partitionColumns array<string>,"
+        " clusteringColumns array<string>, numFiles long,"
+        " sizeInBytes long, properties map<string,string>,"
+        " minReaderVersion int, minWriterVersion int,"
+        " readerFeatures array<string>, writerFeatures array<string>")

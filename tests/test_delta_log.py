@@ -2661,3 +2661,21 @@ def test_table_features_protocol_roundtrip(spark):
     write_delta(_df(spark, 0, 2), t2)
     with pytest.raises(ValueError, match="could not read"):
         upgrade_protocol_delta(t2, reader_features=("futureMagic",))
+
+
+def test_describe_detail_surface(spark):
+    from postrack_spark.streaming.delta_log import (
+        detail_delta, upgrade_protocol_delta)
+
+    t = tempfile.mkdtemp(prefix="delta_detail_")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p"))
+    write_delta(df, t, partition_by=["p"])
+    upgrade_protocol_delta(t, reader_features=("columnMapping",))
+    d = detail_delta(spark, t).collect()[0]
+    assert d["format"] == "delta" and d["id"]
+    assert d["partitionColumns"] == ["p"]
+    assert d["numFiles"] >= 1 and d["sizeInBytes"] > 0
+    assert d["minReaderVersion"] == 3
+    assert "columnMapping" in d["readerFeatures"]
+    assert d["createdAt"] is not None and d["lastModified"] is not None

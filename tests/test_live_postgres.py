@@ -117,7 +117,7 @@ def _wait_confirmed_flush(ex, slot: str, target: int, timeout_s: float = 30.0) -
 def _run_capture(live_pg, slot: str, pub: str, out_dir: str, start_lsn: int,
                  until_lsn: int, proto_version: int = 1,
                  streaming: bool = False, two_phase: bool = False,
-                 messages: bool = False) -> None:
+                 messages: bool = False, binary: bool = False) -> None:
     """Run the pgwire daemon in a thread until the slot's confirmed
     flush covers until_lsn, then stop it."""
     from postrack_spark.sources.pgwire import run_daemon_pgwire
@@ -129,6 +129,7 @@ def _run_capture(live_pg, slot: str, pub: str, out_dir: str, start_lsn: int,
             **live_pg, slot=slot, out_dir=out_dir, publication=pub,
             start_lsn=start_lsn, proto_version=proto_version,
             streaming=streaming, two_phase=two_phase, messages=messages,
+            binary=binary,
             ack_interval_s=0.5,
             stop=lambda: stop["flag"],
         ),
@@ -1102,6 +1103,54 @@ def test_live_schema_level_publication(live_pg, spark):
         assert [r["after"]["w"] for r in by_table["t3"]] == ["late"]
         assert [r["after"]["v"] for r in by_table["t1"]
                 if r["op"] == "UPDATE"] == ["a2"]
+        conn.drop_publication()
+        conn.drop_slot(slot)
+    finally:
+        ex.close()
+
+
+def test_live_binary_mode_tuples(live_pg, spark):
+    """THIRTEENTH live leg: pgoutput ``binary 'on'`` (PG14+). The
+    server sends 'b' TupleData columns (network-order binary send
+    format) for every type with a binary send function; the decoder
+    surfaces them losslessly in bytea text form. The leg pins the
+    exact wire representations: int4 as 4-byte big-endian, text as its
+    UTF-8 bytes, bytea identical to what text mode would hex-encode —
+    proving the 'b' column lane against a real walsender, not a
+    synthetic frame."""
+    from postrack_spark.api import Conn, Table, create_publication_id
+    from postrack_spark.sources.postgres_cdc import register
+
+    ex = _executor(live_pg)
+    slot, out_dir = "live_bin_slot", tempfile.mkdtemp(prefix="pglive_bin_")
+    try:
+        ex.command("DROP TABLE IF EXISTS public.live_bin")
+        ex.command(
+            "CREATE TABLE public.live_bin "
+            "(id int primary key, label text, payload bytea)")
+        conn = Conn("pgwire://local", executor=ex)
+        conn.set_slot(slot)
+        conn.set_publication(Table("public", "live_bin"))
+        pub = create_publication_id(slot)
+        ex.command(
+            "INSERT INTO public.live_bin VALUES "
+            "(7, 'abc', '\\x0102ff'::bytea)")
+        target = _parse_lsn(ex.query("SELECT pg_current_wal_lsn()")[0][0])
+        _run_capture(live_pg, slot, pub, out_dir, start_lsn=0,
+                     until_lsn=target, binary=True)
+        register(spark)
+        rows = (
+            spark.read.format("postgres_cdc")
+            .option("capture_dir", out_dir)
+            .load()
+            .filter("`table` = 'live_bin'")
+            .collect()
+        )
+        assert len(rows) == 1
+        after = rows[0]["after"]
+        assert after["id"] == "\\x00000007"      # int4 binary send: BE
+        assert after["label"] == "\\x616263"     # text binary send: UTF-8
+        assert after["payload"] == "\\x0102ff"   # bytea: raw bytes
         conn.drop_publication()
         conn.drop_slot(slot)
     finally:
