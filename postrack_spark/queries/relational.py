@@ -4869,3 +4869,149 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {var}")
         spark.conf.set("spark.sql.scripting.enabled", old_scripting)
+
+
+@query(
+    "privacy_t_closeness_report",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS seg, r.r_name AS region,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM cust),
+    banded AS (
+      SELECT region, seg,
+             least(9, CAST((cents - lo) * 10 // (hi - lo + 1) AS BIGINT))
+               AS band
+      FROM cust CROSS JOIN bounds
+    ),
+    bins AS (SELECT CAST(range AS BIGINT) AS band FROM range(10)),
+    gl AS (
+      SELECT b.band, CAST(count(x.band) AS BIGINT) AS g
+      FROM bins b LEFT JOIN banded x ON x.band = b.band GROUP BY b.band
+    ),
+    gtot AS (SELECT CAST(sum(g) AS BIGINT) AS gt FROM gl),
+    classes AS (SELECT DISTINCT region, seg FROM banded),
+    cl AS (
+      SELECT c.region, c.seg, b.band,
+             CAST(count(x.band) AS BIGINT) AS n
+      FROM classes c CROSS JOIN bins b
+      LEFT JOIN banded x
+        ON x.region = c.region AND x.seg = c.seg AND x.band = b.band
+      GROUP BY c.region, c.seg, b.band
+    ),
+    ctot AS (
+      SELECT region, seg, CAST(sum(n) AS BIGINT) AS nc
+      FROM cl GROUP BY region, seg
+    ),
+    cums AS (
+      SELECT cl.region, cl.seg, cl.band,
+             CAST((SELECT sum(c2.n) FROM cl c2
+                   WHERE c2.region = cl.region AND c2.seg = cl.seg
+                     AND c2.band <= cl.band) AS BIGINT) AS cum_n,
+             CAST((SELECT sum(g2.g) FROM gl g2
+                   WHERE g2.band <= cl.band) AS BIGINT) AS cum_g
+      FROM cl
+    )
+    SELECT c.region, c.seg, t.nc AS class_size,
+           CAST(sum(abs(c.cum_n * g.gt - c.cum_g * t.nc)) * 1000000
+                // (9 * t.nc * g.gt) AS BIGINT) AS t_closeness_ppm
+    FROM cums c
+    JOIN ctot t ON t.region = c.region AND t.seg = c.seg
+    CROSS JOIN gtot g
+    WHERE c.band < 9
+    GROUP BY c.region, c.seg, t.nc, g.gt
+    ORDER BY c.region, c.seg
+    """,
+)
+def privacy_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the release gate k-anonymity and
+    l-diversity cannot give you: per equivalence class (region x
+    market segment), the EARTH MOVER'S DISTANCE between the class's
+    ordered sensitive-attribute distribution (account balance in 10
+    equal-width bands) and the GLOBAL one, EMD = mean over the 9
+    interior prefixes of |CumP - CumQ|. Cross-multiplying the two
+    cumulative fractions onto the common denominator nc*gt keeps
+    everything int64 (pp-million output, positive quotients). A class
+    whose ppm is high leaks balance information even when k and l
+    hold — the skewness attack t-closeness exists to catch. Plan: one
+    banding pass, the 10-bin x class grid via broadcast crossJoins,
+    prefix sums via a 10x10 broadcast self-join (bin count constant —
+    nothing here is data-sized except the one groupBy)."""
+    t = load_tables(spark, sf_dir)
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    bounds = cust.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    banded = cust.crossJoin(F.broadcast(bounds)).select(
+        "region",
+        "seg",
+        F.least(
+            F.lit(9), F.expr("CAST((cents - lo) * 10 DIV (hi - lo + 1) AS BIGINT)")
+        ).alias("band"),
+    )
+    bins = spark.range(10).select(F.col("id").cast("long").alias("band"))
+    gl = (
+        bins.join(banded.groupBy("band").agg(
+            F.count("*").cast("long").alias("g0")), "band", "left")
+        .select("band", F.coalesce(F.col("g0"), F.lit(0)).alias("g"))
+    )
+    gtot = gl.agg(F.sum("g").cast("long").alias("gt"))
+    cls_counts = banded.groupBy("region", "seg", "band").agg(
+        F.count("*").cast("long").alias("n0"))
+    classes = cls_counts.select("region", "seg").distinct()
+    cl = (
+        classes.crossJoin(F.broadcast(bins))
+        .join(cls_counts, ["region", "seg", "band"], "left")
+        .select("region", "seg", "band",
+                F.coalesce(F.col("n0"), F.lit(0)).alias("n"))
+    )
+    ctot = cl.groupBy("region", "seg").agg(F.sum("n").cast("long").alias("nc"))
+    b2 = bins.select(F.col("band").alias("band2"))
+    cum_n = (
+        cl.join(F.broadcast(b2), F.col("band2") >= F.col("band"))
+        .groupBy("region", "seg", F.col("band2").alias("band"))
+        .agg(F.sum("n").cast("long").alias("cum_n"))
+    )
+    cum_g = (
+        gl.join(F.broadcast(b2), F.col("band2") >= F.col("band"))
+        .groupBy(F.col("band2").alias("band"))
+        .agg(F.sum("g").cast("long").alias("cum_g"))
+    )
+    return (
+        cum_n.join(F.broadcast(cum_g), "band")
+        .join(ctot, ["region", "seg"])
+        .crossJoin(F.broadcast(gtot))
+        .filter(F.col("band") < 9)
+        .groupBy("region", "seg", "nc", "gt")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_n") * F.col("gt") - F.col("cum_g") * F.col("nc"))
+            ).alias("s")
+        )
+        .select(
+            "region",
+            "seg",
+            F.col("nc").alias("class_size"),
+            F.expr("CAST(s * 1000000 DIV (9 * nc * gt) AS BIGINT)").alias(
+                "t_closeness_ppm"
+            ),
+        )
+        .orderBy("region", "seg")
+    )

@@ -6919,3 +6919,103 @@ def events_chao1_user_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * (f2 + 1)) AS BIGINT)"
         ).alias("chao1_milli"),
     )
+
+
+@query(
+    "events_mad_robust_zscores",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    r1 AS (
+      SELECT c, row_number() OVER (ORDER BY c, d) AS r FROM daily
+    ),
+    med AS (
+      SELECT CAST(sum(c * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                               THEN 2 ELSE 1 END) AS BIGINT) AS med_x2
+      FROM r1, p WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    dev AS (
+      SELECT d, c, abs(2 * c - med_x2) AS dv FROM daily, med
+    ),
+    r2 AS (
+      SELECT dv, row_number() OVER (ORDER BY dv, d) AS r FROM dev
+    ),
+    mad AS (
+      SELECT CAST(sum(dv * CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                THEN 2 ELSE 1 END) AS BIGINT) AS mad_x4
+      FROM r2, p WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    )
+    SELECT d AS day, c AS n_events,
+           CAST(dv AS BIGINT) AS dev_x2,
+           CAST(CASE WHEN mad_x4 = 0 THEN NULL
+                     ELSE dv * 200 // mad_x4 END AS BIGINT)
+             AS robust_z_pp100,
+           (mad_x4 > 0 AND dv * 2 > 3 * mad_x4) AS is_anomaly
+    FROM dev, mad ORDER BY day
+    """,
+)
+def events_mad_robust_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-day anomaly scores: each day's event count scored by
+    its deviation from the MEDIAN of daily counts in units of the MAD
+    — the outlier detector that, unlike mean/stddev z-scores, is not
+    itself corrupted by the outliers it hunts. Exact end to end: the
+    median and MAD come from the agg_exact_mad double-rank-selection
+    pattern (2x and 4x integer carriers), the score is the
+    cross-multiplied pp100 quotient, and the 3-MAD flag compares
+    dv*2 > 3*mad_x4 with zero floats. All days are emitted (scores,
+    not just alarms — a vacuously-empty anomaly list would be a weak
+    gate); a zero MAD (over half the days identical) answers NULL
+    scores, the three-sided rule. Plan: daily groupBy, two distributed
+    rank selections over the O(days) frame, broadcast scalar joins."""
+    from postrack_spark.operators.ranking import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nf = daily.agg(F.count("*").cast("long").alias("n"))
+
+    def middle_sum(df, value_col, tie_col, out_name):
+        ranked = global_row_number(
+            df, [F.asc(value_col), F.asc(tie_col)], rank_col="__r"
+        )
+        k1 = F.floor((F.col("n") + 1) / 2).cast("long")
+        k2 = F.floor((F.col("n") + 2) / 2).cast("long")
+        return (
+            ranked.crossJoin(F.broadcast(nf))
+            .filter((F.col("__r") == k1) | (F.col("__r") == k2))
+            .agg(
+                F.sum(F.col(value_col) * F.when(k1 == k2, 2).otherwise(1))
+                .cast("long")
+                .alias(out_name)
+            )
+        )
+
+    med = middle_sum(daily, "c", "d", "med_x2")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "d", "c", F.abs(2 * F.col("c") - F.col("med_x2")).alias("dv")
+    )
+    mad = middle_sum(dev, "dv", "d", "mad_x4")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("d").alias("day"),
+            F.col("c").alias("n_events"),
+            F.col("dv").cast("long").alias("dev_x2"),
+            F.when(
+                F.col("mad_x4") > 0,
+                F.expr("CAST(dv * 200 DIV mad_x4 AS BIGINT)"),
+            )
+            .cast("long")
+            .alias("robust_z_pp100"),
+            ((F.col("mad_x4") > 0) & (F.col("dv") * 2 > 3 * F.col("mad_x4")))
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
