@@ -5015,3 +5015,77 @@ def privacy_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "seg")
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(max(epoch_us(o_orderdate::TIMESTAMP)) AS BIGINT)
+               // 86400000000 AS last_day,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_q,
+             ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+             ntile(5) OVER (ORDER BY cents, o_custkey) AS m_q
+      FROM per_cust
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the retention-marketing workhorse: every
+    customer scored 1-5 on Recency (last order day), Frequency (order
+    count) and Monetary (lifetime cents), each quintile an EXACT
+    position-based ntile over a total order (value + custkey
+    tie-break), then the 125-cell segment census. Three
+    operators/ranking.exact_ntile passes (one range shuffle each, zero
+    WindowExec) — the distributed form of the three ORDER BYs no
+    single machine could sort at 100 TB. Recency uses the last order
+    DATE in whole days via epoch_us // 86400e6 on both engines (the
+    cast-rounding trap); higher quintile = more recent / more
+    frequent / more valuable, so segment (5,5,5) is the champions
+    cell."""
+    from postrack_spark.operators.ranking import exact_ntile
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").cast("long").alias("o_custkey"))
+        .agg(
+            F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+            .alias("last_us"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "o_custkey",
+            F.floor(F.col("last_us") / F.lit(86400000000))
+            .cast("long")
+            .alias("last_day"),
+            "freq",
+            "cents",
+        )
+    )
+    scored = exact_ntile(per_cust, 5, ["last_day", "o_custkey"], "r_q")
+    scored = exact_ntile(scored, 5, ["freq", "o_custkey"], "f_q")
+    scored = exact_ntile(scored, 5, ["cents", "o_custkey"], "m_q")
+    return (
+        scored.groupBy(
+            F.col("r_q").cast("int").alias("r_q"),
+            F.col("f_q").cast("int").alias("f_q"),
+            F.col("m_q").cast("int").alias("m_q"),
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )

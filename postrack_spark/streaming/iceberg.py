@@ -3188,12 +3188,51 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
                    of previous metadata versions)
       partitions — live DATA rollup by partition tuple (JSON string):
                    file_count, record_count
+      detail     — 1-row operational card (the detail_delta twin):
+                   format_version, table_uuid, location, current
+                   snapshot, snapshot/spec/sort counts, the summary
+                   total-* numbers, properties JSON
     """
     import json as _json
 
     meta = _current_metadata(table)
     if meta is None:
         raise FileNotFoundError(f"no iceberg metadata under {table}")
+    if kind == "detail":
+        snap = None
+        if meta.get("current-snapshot-id") is not None:
+            try:
+                snap = _snapshot(meta, meta["current-snapshot-id"])
+            except FileNotFoundError:
+                snap = None
+        summ = (snap or {}).get("summary") or {}
+
+        def _tot(k2: str):
+            try:
+                return int(summ.get(k2))
+            except (TypeError, ValueError):
+                return None
+
+        row = (
+            meta["format-version"], meta.get("table-uuid"),
+            meta.get("location"), meta.get("current-snapshot-id"),
+            len(meta.get("snapshots") or []),
+            len(meta.get("partition-specs")
+                or ([meta.get("partition-spec")]
+                    if meta.get("partition-spec") else [])),
+            len(meta.get("sort-orders") or []),
+            _tot("total-data-files"), _tot("total-records"),
+            _tot("total-files-size"), _tot("total-delete-files"),
+            _json.dumps(meta.get("properties") or {}, sort_keys=True,
+                        separators=(",", ":")),
+        )
+        return spark.createDataFrame(
+            [row],
+            "format_version int, table_uuid string, location string,"
+            " current_snapshot_id long, n_snapshots int, n_specs int,"
+            " n_sort_orders int, total_data_files long,"
+            " total_records long, total_files_size long,"
+            " total_delete_files long, properties string")
     if kind == "snapshots":
         rows = [(s["snapshot-id"], s.get("parent-snapshot-id"),
                  s["timestamp-ms"],
@@ -3277,7 +3316,7 @@ def inspect_iceberg(spark: SparkSession, table: str, kind: str) -> DataFrame:
     raise ValueError(
         f"unknown inspection kind {kind!r} (snapshots|history|metadata_log"
         "|manifests|"
-        "files|refs|partitions)")
+        "files|refs|partitions|detail)")
 
 
 def write_partition_stats_iceberg(table: str) -> str:

@@ -2117,3 +2117,15 @@ def test_v3_default_values_both_lanes(spark):
     append_iceberg(_df(spark, 0, 2), t1, format_version=2)
     with pytest.raises(ValueError, match="format-version 3"):
         add_column_iceberg(t1, "x", "long", initial_default=0)
+
+
+def test_inspect_detail_card(spark):
+    from postrack_spark.streaming.iceberg import inspect_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_detail_")
+    append_iceberg(_df(spark, 0, 5), t, format_version=2)
+    append_iceberg(_df(spark, 5, 8), t, format_version=2)
+    r = inspect_iceberg(spark, t, "detail").collect()[0]
+    assert r["format_version"] == 2 and r["table_uuid"]
+    assert r["n_snapshots"] == 2 and r["current_snapshot_id"] is not None
+    assert r["total_records"] == 8 and r["total_data_files"] >= 2
