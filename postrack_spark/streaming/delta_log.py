@@ -1909,11 +1909,21 @@ def read_delta(spark: SparkSession, table: str,
                        for f in schema.fields])
 
 
-def foreach_batch_delta(table: str, mode: str = "append"):
+def foreach_batch_delta(table: str, mode: str = "append",
+                        log_compaction_every: int | None = None):
     """foreachBatch hook: exactly-once via Delta's own idempotence rule
     — the commit embeds the batch id in a ``txn`` action (appId =
     table path), and a replayed batch whose id is <= the recorded one
-    is a no-op (the streaming-sink contract delta-spark implements)."""
+    is a no-op (the streaming-sink contract delta-spark implements).
+
+    ``log_compaction_every=N`` enables COORDINATED LOG COMPACTION
+    (delta-spark's every-10-commits idiom): after a commit lands
+    version v with (v+1) % N == 0, the hook writes the
+    ``<v-N+1>.<v>.compacted.json`` range — so a long-running CDC
+    stream keeps snapshot resolution O(checkpoint + N-bounded tail
+    files) without ever pausing for a full checkpoint. Compaction is
+    best-effort maintenance: a racing writer breaking the range is
+    ignored (the raw commits stay authoritative)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         last = last_txn_version(table)
@@ -2016,6 +2026,16 @@ def foreach_batch_delta(table: str, mode: str = "append"):
             try:
                 commit_delta(table, version,
                              actions + removes + adds + rt_actions)
+                if (log_compaction_every
+                        and (version + 1) % log_compaction_every == 0):
+                    start = version - log_compaction_every + 1
+                    if start >= 0:
+                        try:
+                            compact_log_delta(table, start=start,
+                                              end=version)
+                        except (FileNotFoundError, OSError):
+                            pass  # a cleaned/racing range: maintenance
+                            # is best-effort, commits stay authoritative
                 return
             except DeltaCommitConflict:
                 continue

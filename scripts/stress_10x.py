@@ -811,6 +811,39 @@ def main() -> None:
                     time.perf_counter() - t0, 3)
                 timings[f"propagation_path{n}_rounds"] = stp["rounds"]
 
+    # logcompact: the metadata-replay dividend — a CDC-shaped log of
+    # 20*FACTOR tiny commits resolved raw (one open+parse per commit)
+    # vs through compaction files (one per 10-commit range). Measures
+    # DRIVER metadata time (_snapshot_actions), the quantity log
+    # compaction exists to bound between checkpoints.
+    if not skip("logcompact"):
+        import tempfile as _tf
+
+        from postrack_spark.streaming.delta_log import (
+            _snapshot_actions,
+            compact_log_delta,
+            write_delta as _wd2,
+        )
+
+        lc_t = _tf.mkdtemp(prefix="stress_logcompact_")
+        n_commits = 20 * FACTOR
+        one = spark.range(0, 32).selectExpr("id as k", "id * 2 as v")
+        for i in range(n_commits):
+            _wd2(one, lc_t, mode="append")
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _snapshot_actions(lc_t, None)
+        timings[f"logcompact_raw_replay_{n_commits}c_x5"] = round(
+            time.perf_counter() - t0, 3)
+        for s in range(0, n_commits, 10):
+            compact_log_delta(lc_t, start=s,
+                              end=min(s + 9, n_commits - 1))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _snapshot_actions(lc_t, None)
+        timings[f"logcompact_compacted_replay_{n_commits}c_x5"] = round(
+            time.perf_counter() - t0, 3)
+
     print(json.dumps({"metric": f"stress_{FACTOR}x_wall", "unit": "sec",
                       "base_sf_dir": sf_dir, "copies": FACTOR,
                       "timings": timings}))

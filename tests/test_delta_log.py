@@ -2679,3 +2679,26 @@ def test_describe_detail_surface(spark):
     assert d["minReaderVersion"] == 3
     assert "columnMapping" in d["readerFeatures"]
     assert d["createdAt"] is not None and d["lastModified"] is not None
+
+
+def test_foreach_coordinated_log_compaction(spark):
+    from postrack_spark.streaming.delta_log import foreach_batch_delta
+
+    t = tempfile.mkdtemp(prefix="delta_autolc_")
+    fb = foreach_batch_delta(t, log_compaction_every=3)
+    for i in range(7):
+        fb(_df(spark, i * 2, i * 2 + 2), i)
+    log = os.path.join(t, "_delta_log")
+    comp = sorted(f for f in os.listdir(log) if f.endswith(".compacted.json"))
+    # commits 0..6 -> compactions after v2 and v5: [0,2] and [3,5]
+    assert comp == [
+        "00000000000000000000.00000000000000000002.compacted.json",
+        "00000000000000000003.00000000000000000005.compacted.json",
+    ]
+    # replay still correct through the compacted ranges
+    got = sorted(r["k"] for r in read_delta(spark, t).collect())
+    assert got == list(range(14))
+    # and actually load-bearing: remove raw commits inside both ranges
+    for v in (1, 4):
+        os.remove(_log_path(t, v))
+    assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(range(14))
