@@ -6069,3 +6069,73 @@ def profile_delta_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         " size_positive boolean, reader_version int,"
         " has_mapping_feature boolean, n_rows long",
     )
+
+
+@query(
+    "sql_datasource_cdf_read",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey NOT BETWEEN 40 AND 60
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sql_datasource_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CHANGE DATA FEED through the SQL lane:
+    ``CREATE TEMPORARY VIEW … USING pydelta OPTIONS (readChangeFeed
+    'true', startingVersion '0')`` then a plain spark.sql SIGNED FOLD
+    over the change stream (insert/update_postimage +,
+    delete/update_preimage -) — which reconstructs the final table
+    state exactly iff the DataSource serves the same per-commit
+    change semantics as read_changes_delta (change files verbatim,
+    append synthesis for plain adds, refusal on pre-enable rewrites).
+    The fold-equals-state identity is the CDF contract itself, so the
+    oracle is just the final filtered rollup. SQL users get
+    table_changes()-style history without a library call — offsets
+    are commit versions, partitions are one per change file."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.sources.lakehouse_ds import register_lakehouse_sources
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        enable_change_feed_delta,
+        write_delta,
+    )
+
+    register_lakehouse_sources(spark)
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ds_cdf_q_")
+    write_delta(base.filter(F.col("o_orderkey") % 2 == 0), table)
+    enable_change_feed_delta(table)
+    write_delta(base.filter(F.col("o_orderkey") % 2 == 1), table,
+                mode="append")
+    delete_delta(spark, table, "o_custkey BETWEEN 40 AND 60")
+    view = f"cdf_{uuid.uuid4().hex}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} USING pydelta "
+        f"OPTIONS (path '{table}', readChangeFeed 'true',"
+        f" startingVersion '0')")
+    return spark.sql(f"""
+        SELECT o_orderstatus,
+               CAST(sum(CASE WHEN _change_type IN
+                               ('insert', 'update_postimage')
+                             THEN 1 ELSE -1 END) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN _change_type IN
+                               ('insert', 'update_postimage')
+                             THEN cents ELSE -cents END) AS BIGINT) AS cents
+        FROM {view}
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)

@@ -209,6 +209,22 @@ class DeltaFilePart(InputPartition):
         self.type_names = type_names
 
 
+class DeltaCdfPart(InputPartition):
+    """One CHANGE-DATA-FEED piece: a commit's change file (kind
+    'cdc', parquet carries _change_type) or an append-synthesis add
+    file (kind 'insert'). Same pickling rule as DeltaFilePart."""
+
+    def __init__(self, version: int, kind: str, rel: str,
+                 src_names: list[str], out_names: list[str],
+                 type_names: list[str]):
+        self.version = version
+        self.kind = kind
+        self.rel = rel
+        self.src_names = src_names
+        self.out_names = out_names
+        self.type_names = type_names
+
+
 class PyDeltaReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.table = options.get("path") or options.get("table")
@@ -232,6 +248,8 @@ class PyDeltaReader(DataSourceReader):
         )
         from postrack_spark.streaming.deletion_vectors import load_dv_bytes
 
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return self._cdf_partitions()
         version = self.options.get("version")
         ts = self.options.get("timestamp_ms")
         if ts is not None:
@@ -257,6 +275,84 @@ class PyDeltaReader(DataSourceReader):
         return [DeltaFilePart(p, dv_bytes.get(p),
                               src_names, out_names, type_names)
                 for p, _a in kept]
+
+    def _cdf_partitions(self):
+        """Batch CDF planning — the SQL-lane twin of
+        read_changes_delta, same per-commit rules: a commit WITH cdc
+        actions contributes exactly its change files; one without
+        contributes dataChange adds as synthesized inserts; a
+        dataChange rewrite without change files raises (pre-enable
+        history is not reconstructible)."""
+        import json as _json
+
+        from postrack_spark.streaming.delta_log import (
+            _column_mapping,
+            _log_path,
+            _replay,
+            latest_version,
+        )
+
+        if self.options.get("startingversion") is None:
+            raise ValueError(
+                "readChangeFeed needs option('startingVersion', ...)")
+        from_v = int(self.options["startingversion"])
+        to_v = (int(self.options["endingversion"])
+                if self.options.get("endingversion") is not None
+                else latest_version(self.table))
+        _l, schema_string, _v, _t, config = _replay(self.table, None)
+        mapping = _column_mapping(schema_string, config) or {}
+        fields = _json.loads(schema_string)["fields"]
+        out_names = [f["name"] for f in fields]
+        src_names = [mapping.get(f["name"], f["name"]) for f in fields]
+        type_names = [f["type"] for f in fields]
+        parts: list[DeltaCdfPart] = []
+        for v in range(from_v, to_v + 1):
+            path = _log_path(self.table, v)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"commit {v} not in log (cleaned below a checkpoint?)")
+            with open(path) as f:
+                actions = [_json.loads(ln) for ln in f if ln.strip()]
+            cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
+            if cdc:
+                parts.extend(DeltaCdfPart(v, "cdc", p, src_names,
+                                          out_names, type_names)
+                             for p in cdc)
+                continue
+            if any("remove" in a and a["remove"].get("dataChange", True)
+                   for a in actions):
+                raise ValueError(
+                    f"commit {v} rewrites data without change files — "
+                    "enable_change_feed_delta before row-rewriting ops")
+            parts.extend(
+                DeltaCdfPart(v, "insert", a["add"]["path"], src_names,
+                             out_names, type_names)
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True))
+        return parts
+
+    def _read_cdf(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(os.path.join(self.table, partition.rel))
+        have = set(pf.schema_arrow.names)
+        want = [c for c in partition.src_names if c in have]
+        if partition.kind == "cdc" and "_change_type" in have:
+            want = want + ["_change_type"]
+        tbl = pf.read(columns=want)
+        out = _project(tbl, partition.out_names, partition.src_names,
+                       partition.type_names)
+        n = out.num_rows
+        if partition.kind == "cdc" and "_change_type" in tbl.column_names:
+            ct = tbl.column("_change_type").cast(pa.string())
+        else:
+            ct = pa.array(["insert"] * n, type=pa.string())
+        out = out.append_column("_change_type", ct)
+        out = out.append_column(
+            "_commit_version",
+            pa.array([partition.version] * n, type=pa.int32()))
+        yield from out.to_batches(max_chunksize=1 << 16)
 
     @staticmethod
     def _pruned(add: dict, pcols: set, eq: dict, rng: dict,
@@ -291,12 +387,15 @@ class PyDeltaReader(DataSourceReader):
                 return True  # provably all-NULL file
         return False
 
-    def read(self, partition: DeltaFilePart):
+    def read(self, partition):
         import numpy as np
         import pyarrow.parquet as pq
 
         from postrack_spark.streaming.roaring import RoaringArray64
 
+        if isinstance(partition, DeltaCdfPart):
+            yield from self._read_cdf(partition)
+            return
         pf = pq.ParquetFile(os.path.join(self.table, partition.rel))
         have = set(pf.schema_arrow.names)
         # request only the columns the file HAS (column pruning at the

@@ -425,3 +425,54 @@ def test_one_format_name_serves_stream_reads(lh):
           .trigger(availableNow=True).start())
     q2.awaitTermination(180)
     assert sum(seen2) == 15
+
+
+def test_batch_cdf_read_through_datasource(spark):
+    """spark.read.format('pydelta').option('readChangeFeed', 'true'):
+    the SQL-lane batch CDF read equals read_changes_delta row for row
+    — change files, append synthesis, and the pre-enable refusal."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from postrack_spark.sources.lakehouse_ds import register_lakehouse_sources
+    from postrack_spark.streaming.delta_log import (
+        delete_delta,
+        enable_change_feed_delta,
+        read_changes_delta,
+        write_delta,
+    )
+
+    register_lakehouse_sources(spark)
+    t = tempfile.mkdtemp(prefix="ds_cdf_")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_delta(df, t)                                     # v0
+    enable_change_feed_delta(t)                            # v1
+    write_delta(spark.range(8, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        t, mode="append")                                  # v2
+    delete_delta(spark, t, "k < 2")                        # v3 (change files)
+
+    lib = read_changes_delta(spark, t, 0)
+    ds = (spark.read.format("pydelta")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0").load(t))
+    key = lambda r: (r["_commit_version"], r["_change_type"], r["k"])  # noqa: E731
+    assert sorted(map(key, lib.collect())) == sorted(map(key, ds.collect()))
+    # range option works
+    ds23 = (spark.read.format("pydelta")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "2")
+            .option("endingVersion", "2").load(t))
+    assert {r["_commit_version"] for r in ds23.collect()} == {2}
+    assert {r["_change_type"] for r in ds23.collect()} == {"insert"}
+    # pre-enable rewrites refuse through the SQL lane too
+    t2 = tempfile.mkdtemp(prefix="ds_cdf2_")
+    write_delta(df, t2)
+    delete_delta(spark, t2, "k < 2")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="change files"):
+        (spark.read.format("pydelta")
+         .option("readChangeFeed", "true")
+         .option("startingVersion", "0").load(t2).collect())
