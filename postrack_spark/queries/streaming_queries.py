@@ -6139,3 +6139,68 @@ def sql_datasource_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """)
+
+
+@query(
+    "source_iceberg_changelog_fold",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey NOT BETWEEN 40 AND 60
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def source_iceberg_changelog_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG SCAN (changelog_iceberg — the
+    create_changelog_view concept): two appends, a MOR position
+    delete of a custkey slice, and a data-free compaction build the
+    history; the query reads the CHANGELOG (insert/delete rows per
+    snapshot, 'replace' compaction skipped) and reconstructs the
+    final by-status rollup with a SIGNED FOLD — +count/+cents on
+    inserts, - on deletes. Fold == final state is the changelog
+    contract itself: a missed delete leaves ghost revenue, a
+    double-counted re-add inflates it, and an emission from the
+    compaction snapshot would double everything. The Iceberg twin of
+    the Delta CDF lane; deletes materialize from the referenced
+    parent files only (pairs exceptAll diff — O(changed rows), not
+    O(table))."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        changelog_iceberg,
+        compact_iceberg,
+        delete_positions_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_cl_q_")
+    for m in (0, 1):
+        append_iceberg(
+            base.filter(F.col("o_orderkey") % 2 == m), table,
+            format_version=2)
+    delete_positions_iceberg(spark, table, "o_custkey BETWEEN 40 AND 60")
+    compact_iceberg(spark, table, target_files=4)
+    cl = changelog_iceberg(spark, table)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    return (
+        cl.groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).cast("long").alias("n_orders"),
+            F.sum(sign * F.col("cents")).cast("long").alias("cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    )

@@ -2887,6 +2887,170 @@ def add_column_iceberg(table: str, name: str, ice_type: str,
     raise IcebergCommitConflict(f"lost 10 commit races on {table}")
 
 
+def changelog_iceberg(spark: SparkSession, table: str,
+                      from_snapshot_id: int | None = None,
+                      to_snapshot_id: int | None = None) -> DataFrame:
+    """CHANGELOG SCAN (the Iceberg create_changelog_view concept): the
+    row-level changes between two snapshots on the main ancestry line
+    as (table columns, _change_type 'insert'/'delete', _snapshot_id).
+    ``from_snapshot_id`` is EXCLUSIVE (None = from table creation),
+    ``to_snapshot_id`` inclusive (None = current). Per snapshot, by
+    its summary operation:
+
+    - append    -> data files new vs the parent read as inserts;
+    - delete    -> the (file, position) pairs NEW at this snapshot
+      (pos-delete Avros and v3 DVs both; superseding re-delete DVs
+      diff via exceptAll, so re-deletes emit only the newly-dead
+      rows) joined back to the parent-visible raw files, and
+      equality keys whose scope sequence moved joined semi against
+      the parent snapshot read — both emitted as deletes;
+    - overwrite (single-snapshot upsert) -> its eq-delete side as
+      deletes plus its data files as inserts;
+    - replace (compaction / manifest or delete rewrites / sync) ->
+      no logical change, skipped.
+
+    A signed fold of the changelog therefore reconstructs any
+    aggregate of the final state from the starting one — the Iceberg
+    twin of read_changes_delta. Cost: O(files changed per snapshot)
+    planning; the delete materialization reads only the referenced
+    parent files (plus, for equality deletes, one MOR-filtered parent
+    read per upsert snapshot — bounded by the keys' broadcast
+    semi-join). Name-mapped (UniForm-synced) tables are out of scope
+    (their history is all 'replace' sync points anyway)."""
+    from pyspark.sql import functions as F
+
+    meta = _current_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no iceberg metadata under {table}")
+    if _name_mapping_property(meta):
+        raise NotImplementedError(
+            "changelog over name-mapped (synced) tables out of scope")
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    to_sid = (to_snapshot_id if to_snapshot_id is not None
+              else meta["current-snapshot-id"])
+    chain: list[dict] = []
+    cur = to_sid
+    while cur is not None and cur != from_snapshot_id:
+        sn = by_id.get(cur)
+        if sn is None:
+            raise ValueError(
+                f"snapshot {cur} not in table history (expired?)")
+        chain.append(sn)
+        cur = sn.get("parent-snapshot-id")
+    if from_snapshot_id is not None and cur != from_snapshot_id:
+        raise ValueError(
+            f"{from_snapshot_id} is not an ancestor of {to_sid}")
+    chain.reverse()
+    fields = meta["schema"]["fields"]
+    cols = [f["name"] for f in fields]
+    ddl = ", ".join(
+        f"{f['name']} {_ICE_TO_SPARK[f['type']]}" for f in fields)
+    out_ddl = ddl + ", _change_type string, _snapshot_id long"
+    name_to_type = {f["name"]: _ICE_TO_SPARK[f["type"]] for f in fields}
+    root = os.path.abspath(table)
+    plans: dict[int, dict] = {}
+
+    def plan_of(sid: int) -> dict:
+        if sid not in plans:
+            plans[sid] = plan_scan_iceberg(table, snapshot_id=sid)
+        return plans[sid]
+
+    def pairs_frame(plan: dict | None):
+        if plan is None:
+            return None
+        fr = []
+        if plan["pos_delete_files"]:
+            fr.append(_pos_delete_frame(
+                spark, root, plan["pos_delete_files"]))
+        if plan["dv_descriptors"]:
+            fr.append(_dv_delete_frame(
+                spark, root, plan["dv_descriptors"]))
+        if not fr:
+            return None
+        out = fr[0]
+        for x in fr[1:]:
+            out = out.unionByName(x)
+        return out
+
+    frames: list[DataFrame] = []
+    for sn in chain:
+        sid = sn["snapshot-id"]
+        op = (sn.get("summary") or {}).get("operation")
+        parent = sn.get("parent-snapshot-id")
+        p_plan = plan_of(parent) if parent is not None else None
+        s_plan = plan_of(sid)
+        if op == "replace":
+            continue
+        parent_paths = {p for p, _s in (p_plan["paths"] if p_plan else [])}
+        added = [p for p, _s in s_plan["paths"] if p not in parent_paths]
+        if op == "append":
+            if added:
+                df = spark.read.schema(ddl).parquet(
+                    *[os.path.join(table, p) for p in added])
+                frames.append(
+                    df.select(*cols)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_snapshot_id", F.lit(sid)))
+            continue
+        if op not in ("delete", "overwrite"):
+            raise NotImplementedError(
+                f"changelog over snapshot operation {op!r}")
+        sp = pairs_frame(s_plan)
+        pp = pairs_frame(p_plan)
+        if sp is not None:
+            delta_pairs = sp if pp is None else sp.exceptAll(pp)
+            ref_files = [p for p, _s in (p_plan["paths"] if p_plan
+                                         else s_plan["paths"])]
+            if ref_files:
+                tagged = spark.read.schema(ddl).parquet(
+                    *[os.path.join(table, p) for p in ref_files]
+                ).select(
+                    *cols,
+                    _rel_path_col(root).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
+                frames.append(
+                    tagged.join(delta_pairs, ["_fp", "_pos"], "left_semi")
+                    .select(*cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_snapshot_id", F.lit(sid)))
+        s_eq = s_plan["eq_deletes"]
+        p_eq = p_plan["eq_deletes"] if p_plan else {}
+        for names, bucket in sorted(s_eq.items()):
+            pbucket = p_eq.get(names, {})
+            new_keys = sorted(
+                k for k, sq in bucket.items()
+                if sq > pbucket.get(k, -1))
+            if not new_keys or parent is None:
+                continue
+            kddl = ", ".join(
+                f"_eq_{n} {name_to_type[n]}" for n in names)
+            kdf = spark.createDataFrame(
+                [tuple(k) for k in new_keys], kddl)
+            parent_vis = read_iceberg(spark, table, snapshot_id=parent)
+            cond = F.lit(True)
+            for n in names:
+                cond = cond & parent_vis[n].eqNullSafe(kdf[f"_eq_{n}"])
+            frames.append(
+                parent_vis.join(F.broadcast(kdf), cond, "left_semi")
+                .select(*cols)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_snapshot_id", F.lit(sid)))
+        if op == "overwrite" and added:
+            df = spark.read.schema(ddl).parquet(
+                *[os.path.join(table, p) for p in added])
+            frames.append(
+                df.select(*cols)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_snapshot_id", F.lit(sid)))
+    if not frames:
+        return spark.createDataFrame([], out_ddl)
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def rewrite_position_deletes_iceberg(spark: SparkSession, table: str,
                                      target_files: int = 1
                                      ) -> tuple[int, int, int]:

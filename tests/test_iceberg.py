@@ -2129,3 +2129,49 @@ def test_inspect_detail_card(spark):
     assert r["format_version"] == 2 and r["table_uuid"]
     assert r["n_snapshots"] == 2 and r["current_snapshot_id"] is not None
     assert r["total_records"] == 8 and r["total_data_files"] >= 2
+
+
+def test_changelog_scan_signed_fold_reconstructs_state(spark):
+    """changelog_iceberg: appends, a MOR position delete, an equality
+    upsert, and a compaction — the signed fold of the emitted changes
+    equals the final state, and 'replace' snapshots emit nothing."""
+    from postrack_spark.streaming.iceberg import (
+        changelog_iceberg,
+        compact_iceberg,
+        delete_positions_iceberg,
+        upsert_iceberg,
+    )
+
+    t = tempfile.mkdtemp(prefix="ice_cl_")
+    s1 = append_iceberg(
+        _kv(spark, [(i, f"v{i}", 1) for i in range(6)]), t,
+        format_version=2)
+    append_iceberg(
+        _kv(spark, [(i, f"w{i}", 2) for i in range(6, 9)]), t,
+        format_version=2)
+    delete_positions_iceberg(spark, t, "k IN (1, 7)")
+    upsert_iceberg(
+        _kv(spark, [(2, "upd", 9), (20, "new", 9)]), t, ["k"])
+    compact_iceberg(spark, t)
+
+    cl = changelog_iceberg(spark, t).collect()
+    state: dict = {}
+    for r in sorted(cl, key=lambda r: r["_snapshot_id"]):
+        key = r["k"]
+        if r["_change_type"] == "insert":
+            state[key] = r["val"]
+        else:
+            # delete must name the CURRENT image of the key
+            assert state.get(key) == r["val"], (key, r["val"], state.get(key))
+            del state[key]
+    final = {r["k"]: r["val"] for r in read_iceberg(spark, t).collect()}
+    assert state == final
+    # compaction contributed nothing
+    from postrack_spark.streaming.iceberg import _current_metadata
+    meta = _current_metadata(t)
+    comp_sid = meta["current-snapshot-id"]
+    assert all(r["_snapshot_id"] != comp_sid for r in cl)
+    # from-exclusive bound: starting AFTER the first append drops its
+    # inserts
+    cl2 = changelog_iceberg(spark, t, from_snapshot_id=s1)
+    assert all(r["_snapshot_id"] != s1 for r in cl2.collect())
