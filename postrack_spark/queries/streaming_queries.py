@@ -6204,3 +6204,63 @@ def source_iceberg_changelog_fold(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("n_orders") > 0)
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "layout_iceberg_zorder_optimize",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           true AS pruned
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 300
+      AND CAST(round(o_totalprice * 100) AS BIGINT)
+            BETWEEN 5000000 AND 15000000
+    """,
+)
+def layout_iceberg_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg OPTIMIZE ZORDER (compact_iceberg zorder_by=): the
+    orders land key-shuffled (worst-case layout for range reads), the
+    Z-order rewrite range-partitions on the Morton interleave of
+    (custkey, cents), and a 2-D rectangle read then prunes files from
+    the MANIFEST bounds alone (stats_filter + scan_stats certificate:
+    files_scanned < files_total) while the row filter keeps the
+    rollup exact. The Delta compact_delta(zorder_by=) twin through
+    Iceberg's field-id bounds — at 100 TB the difference between a
+    rectangle query opening every footer and opening the Z-curve's
+    corner."""
+    import tempfile as _tf
+
+    from postrack_spark.session import load_tables
+    from postrack_spark.streaming.iceberg import (
+        append_iceberg,
+        compact_iceberg,
+        read_iceberg,
+    )
+
+    base = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    table = _tf.mkdtemp(prefix="ice_zord_q_")
+    append_iceberg(base.repartition(8, "o_orderkey"), table,
+                   format_version=2)
+    compact_iceberg(spark, table, target_files=16,
+                    zorder_by=("o_custkey", "cents"))
+    stats: dict = {}
+    got = read_iceberg(
+        spark, table,
+        stats_filter={"o_custkey": (100, 300),
+                      "cents": (5_000_000, 15_000_000)},
+        scan_stats=stats,
+    ).filter(
+        F.col("o_custkey").between(100, 300)
+        & F.col("cents").between(5_000_000, 15_000_000)
+    )
+    pruned = 0 < stats["files_scanned"] < stats["files_total"]
+    return got.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    ).select("n_orders", "cents", F.lit(pruned).alias("pruned"))

@@ -2658,7 +2658,8 @@ def foreach_batch_iceberg_upsert(table: str, key_cols: list[str],
 
 
 def compact_iceberg(spark: SparkSession, table: str,
-                    target_files: int = 1) -> int:
+                    target_files: int = 1,
+                    zorder_by: tuple[str, str] | None = None) -> int:
     """MOR compaction (the spec's rewrite_data_files action): read the
     current snapshot WITH deletes applied, rewrite it as
     ``target_files`` fresh parquet files, and commit a snapshot whose
@@ -2667,7 +2668,15 @@ def compact_iceberg(spark: SparkSession, table: str,
     (history keeps them for time travel until expire_snapshots). This
     is the deferred rewrite MOR trades for: deletes stay O(matches)
     day to day, and the anti-join cost is repaid once, here. Returns
-    the new snapshot id."""
+    the new snapshot id.
+
+    ``zorder_by=(x, y)`` makes this the rewrite_data_files ZORDER
+    strategy: rows range-partition on the Morton interleave
+    (sources/layout.zorder_repartition), so each output file's
+    harvested footer bounds become a tight rectangle in BOTH columns
+    and stats_filter reads prune most files for 2-D range predicates
+    — Delta's compact_delta(zorder_by=) twin, delivered through the
+    manifests' field-id bounds."""
     for _ in range(10):  # REPLACE-shape OCC: re-read AND re-stage on
         # conflict. The staged rewrite is a function of the snapshot it
         # read; reusing it after a concurrent commit would resurrect a
@@ -2680,8 +2689,15 @@ def compact_iceberg(spark: SparkSession, table: str,
             raise FileNotFoundError(f"no iceberg metadata under {table}")
         fv = meta["format-version"]
         df = read_iceberg(
-            spark, table, snapshot_id=meta["current-snapshot-id"]
-        ).coalesce(target_files)
+            spark, table, snapshot_id=meta["current-snapshot-id"])
+        if zorder_by is not None:
+            from postrack_spark.sources.layout import zorder_repartition
+
+            df = zorder_repartition(df, zorder_by[0], zorder_by[1],
+                                    num_partitions=target_files)
+            df = df.drop("__z")
+        else:
+            df = df.coalesce(target_files)
         # one ordinary commit whose manifest list holds only this write —
         # readers switch from (old data ⊖ deletes) to the rewritten set
         # at the atomic hint swap, never seeing duplicates
