@@ -966,3 +966,139 @@ def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("comp_size", "n_components", F.lit(True).alias("converged"))
         .orderBy("comp_size")
     )
+
+
+_PPR_ORACLE = """
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM po a JOIN po b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+    bidir AS (SELECT pa AS src, pb AS dst FROM edges
+              UNION ALL SELECT pb, pa FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM bidir GROUP BY src),
+    start AS (SELECT src AS s FROM deg ORDER BY d DESC, src LIMIT 1),
+    r0 AS (
+      SELECT src AS node, d,
+             CAST(CASE WHEN src = (SELECT s FROM start)
+                       THEN 1000000 ELSE 0 END AS BIGINT) AS r
+      FROM deg
+    ),
+    c1 AS (
+      SELECT b.dst AS node, CAST(sum(r.r // r.d) AS BIGINT) AS s
+      FROM r0 r JOIN bidir b ON b.src = r.node GROUP BY b.dst
+    ),
+    r1 AS (
+      SELECT r0.node, r0.d,
+             CAST(CASE WHEN r0.node = (SELECT s FROM start)
+                       THEN 150000 ELSE 0 END
+                  + (850 * coalesce(c1.s, 0)) // 1000 AS BIGINT) AS r
+      FROM r0 LEFT JOIN c1 ON c1.node = r0.node
+    ),
+    c2 AS (
+      SELECT b.dst AS node, CAST(sum(r.r // r.d) AS BIGINT) AS s
+      FROM r1 r JOIN bidir b ON b.src = r.node GROUP BY b.dst
+    ),
+    r2 AS (
+      SELECT r1.node, r1.d,
+             CAST(CASE WHEN r1.node = (SELECT s FROM start)
+                       THEN 150000 ELSE 0 END
+                  + (850 * coalesce(c2.s, 0)) // 1000 AS BIGINT) AS r
+      FROM r1 LEFT JOIN c2 ON c2.node = r1.node
+    ),
+    c3 AS (
+      SELECT b.dst AS node, CAST(sum(r.r // r.d) AS BIGINT) AS s
+      FROM r2 r JOIN bidir b ON b.src = r.node GROUP BY b.dst
+    ),
+    r3 AS (
+      SELECT r2.node, r2.d,
+             CAST(CASE WHEN r2.node = (SELECT s FROM start)
+                       THEN 150000 ELSE 0 END
+                  + (850 * coalesce(c3.s, 0)) // 1000 AS BIGINT) AS r
+      FROM r2 LEFT JOIN c3 ON c3.node = r2.node
+    ),
+    c4 AS (
+      SELECT b.dst AS node, CAST(sum(r.r // r.d) AS BIGINT) AS s
+      FROM r3 r JOIN bidir b ON b.src = r.node GROUP BY b.dst
+    ),
+    r4 AS (
+      SELECT r3.node,
+             CAST(CASE WHEN r3.node = (SELECT s FROM start)
+                       THEN 150000 ELSE 0 END
+                  + (850 * coalesce(c4.s, 0)) // 1000 AS BIGINT) AS r
+      FROM r3 LEFT JOIN c4 ON c4.node = r3.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS ppr_micros
+    FROM r4 WHERE r > 0
+    ORDER BY ppr_micros DESC, node LIMIT 10
+"""
+
+
+@query("graph_personalized_pagerank", oracle=_PPR_ORACLE)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from the hub (highest-degree node, src
+    tie-break) of the co-purchase graph: all restart mass returns to
+    the source, so the ranking answers "which parts sit closest to
+    THIS part's neighborhood" — the recommendation/similarity variant
+    of the global walk (graph_pagerank_top10). Same fixed-point
+    discipline: micro-rank integers, integer division per step, 4
+    unrolled iterations — the oracle runs the identical recurrence as
+    chained CTEs, so an iterative personalized walk is hash-exact
+    cross-engine. Mass leaks at rank-0 fringe nodes by design
+    (positive ranks only emitted). Plan: per-iteration one
+    co-partitioned join + one aggregation; lineage truncated per step
+    (localCheckpoint) so iteration N never replays 1..N-1."""
+    e = _edges(spark, sf_dir).select("pa", "pb")
+    bidir = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .cache()
+    )
+    deg = bidir.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("d")).cache()
+    start = deg.orderBy(F.desc("d"), "src").limit(1).select(
+        F.col("src").alias("s_node"))
+    ranks = (
+        deg.crossJoin(F.broadcast(start))
+        .select(
+            F.col("src").alias("node"),
+            "d",
+            F.when(F.col("src") == F.col("s_node"), F.lit(1000000))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("r"),
+            "s_node",
+        )
+    )
+    for _ in range(4):
+        contrib = (
+            ranks.join(bidir.select(F.col("src").alias("node"), "dst"),
+                       "node")
+            .select("dst", F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                "d",
+                (
+                    F.when(F.col("node") == F.col("s_node"), F.lit(150000))
+                    .otherwise(F.lit(0))
+                    + F.expr("(850 * coalesce(s, 0)) DIV 1000")
+                )
+                .cast("bigint")
+                .alias("r"),
+                "s_node",
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.filter(F.col("r") > 0)
+        .select("node", F.col("r").alias("ppr_micros"))
+        .orderBy(F.col("ppr_micros").desc(), "node")
+        .limit(10)
+    )
