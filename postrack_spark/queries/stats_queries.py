@@ -7019,3 +7019,105 @@ def events_mad_robust_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_two_proportion_ztest",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id,
+             CAST(('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+                  AS BIGINT) AS grp,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(count(*) FILTER (grp = 0) AS BIGINT) AS n1,
+             CAST(sum(conv) FILTER (grp = 0) AS BIGINT) AS x1,
+             CAST(count(*) FILTER (grp = 1) AS BIGINT) AS n2,
+             CAST(sum(conv) FILTER (grp = 1) AS BIGINT) AS x2
+      FROM marked
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(x1 * n2 - x2 * n1 AS BIGINT) AS diff,
+           CAST(CASE WHEN (x1 + x2) = 0 OR (x1 + x2) = (n1 + n2)
+                          OR n1 = 0 OR n2 = 0 THEN NULL
+                     ELSE floor(1000000.0
+                          * CAST(x1 * n2 - x2 * n1 AS DOUBLE)
+                          * CAST(x1 * n2 - x2 * n1 AS DOUBLE)
+                          * CAST(n1 + n2 AS DOUBLE)
+                          / (CAST(x1 + x2 AS DOUBLE)
+                             * CAST(n1 + n2 - x1 - x2 AS DOUBLE)
+                             * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                END AS BIGINT) AS z2_ppm
+    FROM cells
+    """,
+)
+def events_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on per-user conversion (did the user ever
+    purchase?) between a deterministic md5 half-split of users — the
+    A/B primitive under every experimentation platform. The pooled
+    statistic z² = (p1-p2)² / (p̂(1-p̂)(1/n1+1/n2)) cross-multiplies
+    to the PURE INTEGER rational (x1·n2 - x2·n1)²(n1+n2) /
+    ((x1+x2)(N-x1-x2)·n1·n2) — the signed diff carrier stays int64
+    (|diff| <= n1*n2) and the ppm statistic assembles in ONE
+    identically-shaped IEEE double expression floored (the Welch
+    rule — the all-integer form overflows past ~1e5 users); degenerate margins (all-convert / none-convert /
+    empty arm) answer NULL, the three-sided rule. Engine-portable
+    hashing is md5 (never murmur3). One per-user groupBy, one 1-row
+    combine."""
+    t = load_tables(spark, sf_dir)
+    marked = (
+        t["events"]
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16, 10,
+                ).cast("long") % 2
+            ).alias("grp"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            .alias("p"),
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.max("p").alias("conv"))
+    )
+    cells = marked.agg(
+        F.count_if(F.col("grp") == 0).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    return cells.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr("CAST(x1 * n2 - x2 * n1 AS BIGINT)").alias("diff"),
+        F.when(
+            (F.col("x1") + F.col("x2") > 0)
+            & (F.col("x1") + F.col("x2") < F.col("n1") + F.col("n2"))
+            & (F.col("n1") > 0)
+            & (F.col("n2") > 0),
+            # ONE identically-shaped IEEE double expression floored —
+            # the events_ab_welch_ttest rule; the all-int64 form of
+            # diff²*(n1+n2)*1e6 runs out of headroom past ~1e5 users
+            F.expr(
+                "CAST(floor(1000000.0"
+                " * CAST(x1 * n2 - x2 * n1 AS DOUBLE)"
+                " * CAST(x1 * n2 - x2 * n1 AS DOUBLE)"
+                " * CAST(n1 + n2 AS DOUBLE)"
+                " / (CAST(x1 + x2 AS DOUBLE)"
+                "    * CAST(n1 + n2 - x1 - x2 AS DOUBLE)"
+                "    * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+                " AS BIGINT)"
+            ),
+        )
+        .cast("long")
+        .alias("z2_ppm"),
+    )
