@@ -643,6 +643,14 @@ class PyIcebergReader(DataSourceReader):
                 mask = np.ones(tbl.num_rows, dtype=bool)
                 mask[dead[dead < tbl.num_rows]] = False
                 tbl = tbl.filter(mask)
+        # v3 initial-default fill BEFORE the eq-delete filter: a
+        # delete keyed on a defaulted column must match the effective
+        # value, not a NULL (review finding; mirrors the library lane)
+        for name, val in getattr(partition, "init_fills", ()) or ():
+            if name not in tbl.column_names:
+                import pyarrow as _pa
+                tbl = tbl.append_column(
+                    name, _pa.array([val] * tbl.num_rows))
         for names, items in partition.eq_deletes:
             # sequence scoping: a delete at seq S hits files STRICTLY
             # below S (the library read's spec rule)
@@ -795,6 +803,8 @@ class PyDeltaWriter(DataSourceArrowWriter):
         self.ids: dict | None = None
         self.gated_at: tuple | None = None
         if latest_version(self.table) is not None:
+            from postrack_spark.streaming.delta_log import _identity_specs
+
             _l, schema_string, _v, _t, config = _replay(self.table, None)
             if _generated_exprs(schema_string) or any(
                     k.startswith("delta.constraints.") for k in config):
@@ -802,6 +812,16 @@ class PyDeltaWriter(DataSourceArrowWriter):
                     "this table declares CHECK constraints or generated "
                     "columns — row-level gates cannot re-run after "
                     "staging; use write_delta")
+            if _identity_specs(schema_string):
+                # GENERATED ALWAYS: schema enforcement would force the
+                # writer to PROVIDE identity values (exactly what the
+                # contract forbids) and the commit would never bump the
+                # high-water mark — later write_delta appends would
+                # assign colliding ids
+                raise NotImplementedError(
+                    "this table declares identity columns — value "
+                    "allocation needs write_delta's high-water-mark "
+                    "commit; the DataSource lane refuses")
             if self.overwrite:
                 _guard_append_only(config, "mode='overwrite'")
             want = [(f.name, f.dataType.simpleString()) for f in

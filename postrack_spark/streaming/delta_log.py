@@ -185,6 +185,52 @@ def _compacted_ranges(table: str) -> dict[int, tuple[int, str]]:
     return out
 
 
+def _covering_compacted(comp: dict, v: int,
+                        version: int) -> tuple[int, str] | None:
+    """Largest compacted range containing ``v`` and ending at or below
+    ``version``, as (end, path) — the lookup every log walker uses for
+    a missing raw commit."""
+    best: tuple[int, str] | None = None
+    for s, (e, path) in comp.items():
+        if s <= v <= e <= version and (best is None or e > best[0]):
+            best = (e, path)
+    return best
+
+
+def _tail_actions(table: str, start: int, version: int):
+    """Yield log actions for versions [start, version]: raw commits
+    preferred, COMPACTION files consumed for missing raw commits (any
+    covering range — re-folding versions already seen raw is safe for
+    every last-action-wins consumer: the compacted file holds the
+    range's NET state). Versions with neither are skipped, matching
+    the historical tolerant behavior of the column-pruned walkers
+    (_partition_columns and friends); _replay keeps its own stricter
+    loop because snapshot resolution must RAISE on unresolvable
+    holes. This helper is THE one place tail-walking understands
+    compaction — keep new metadata readers on it (the five-copies
+    review finding)."""
+    comp = _compacted_ranges(table)
+    v = start
+    while v <= version:
+        p = _log_path(table, v)
+        if os.path.exists(p):
+            with open(p) as f:
+                for ln in f:
+                    if ln.strip():
+                        yield json.loads(ln)
+            v += 1
+            continue
+        best = _covering_compacted(comp, v, version)
+        if best is not None:
+            with open(best[1]) as f:
+                for ln in f:
+                    if ln.strip():
+                        yield json.loads(ln)
+            v = best[0] + 1
+            continue
+        v += 1
+
+
 def _read_last_checkpoint(table: str) -> int | None:
     """Version of the newest checkpoint per the ``_last_checkpoint``
     pointer (the protocol's discovery shortcut), or None."""
@@ -355,17 +401,9 @@ def _partition_columns(table: str, version: int | None = None) -> list[str]:
                 if md is not None:
                     cols = list(md.get("partitionColumns") or [])
         start = cp + 1
-    for v in range(start, version + 1):
-        p = _log_path(table, v)
-        if not os.path.exists(p):
-            continue
-        with open(p) as f:
-            for ln in f:
-                if not ln.strip():
-                    continue
-                a = json.loads(ln)
-                if "metaData" in a:
-                    cols = list(a["metaData"].get("partitionColumns") or [])
+    for a in _tail_actions(table, start, version):
+        if "metaData" in a:
+            cols = list(a["metaData"].get("partitionColumns") or [])
     return cols
 
 
@@ -611,12 +649,17 @@ def _replay(table: str, version: int | None):
         c = comp.get(v)
         if c is not None and c[0] <= version:
             path, end_v = c[1], c[0]  # one file replays [v, end_v]
+        elif v in have:
+            path, end_v = _log_path(table, v), v
         else:
-            if v not in have:
+            best = _covering_compacted(comp, v, version)
+            if best is None:
                 raise FileNotFoundError(
                     f"version {v} not in {table} log (requested {version};"
                     " cleaned below the checkpoint, or never committed)")
-            path, end_v = _log_path(table, v), v
+            # a hole mid-range: re-folding the covering range's net
+            # state after its earlier raw commits is order-safe
+            end_v, path = best
         with open(path) as f:
             for line in f:
                 if not line.strip():
@@ -2877,20 +2920,13 @@ def _domain_configs(table: str, version: int | None = None) -> dict[str, str]:
                 else:
                     domains[dm["domain"]] = dm.get("configuration") or ""
         start = cp + 1
-    for v in range(start, version + 1):
-        p = _log_path(table, v)
-        if not os.path.exists(p):
-            continue
-        with open(p) as f:
-            for ln in f:
-                if not ln.strip():
-                    continue
-                dm = json.loads(ln).get("domainMetadata")
-                if dm and dm.get("domain"):
-                    if dm.get("removed"):
-                        domains.pop(dm["domain"], None)
-                    else:
-                        domains[dm["domain"]] = dm.get("configuration") or ""
+    for a in _tail_actions(table, start, version):
+        dm = a.get("domainMetadata")
+        if dm and dm.get("domain"):
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration") or ""
     return domains
 
 
@@ -3262,17 +3298,9 @@ def _current_protocol(table: str, version: int | None = None) -> dict:
                 if pr is not None and pr.get("minReaderVersion") is not None:
                     proto = {k: v for k, v in pr.items() if v is not None}
         start = cp + 1
-    for v in range(start, version + 1):
-        p = _log_path(table, v)
-        if not os.path.exists(p):
-            continue
-        with open(p) as f:
-            for ln in f:
-                if not ln.strip():
-                    continue
-                a = json.loads(ln)
-                if "protocol" in a:
-                    proto = a["protocol"]
+    for a in _tail_actions(table, start, version):
+        if "protocol" in a:
+            proto = a["protocol"]
     return proto
 
 
@@ -3354,17 +3382,9 @@ def detail_delta(spark: SparkSession, table: str) -> DataFrame:
                 if md is not None and md.get("id"):
                     meta_id = md["id"]
         start = cp + 1
-    for vv in range(start, v + 1):
-        p = _log_path(table, vv)
-        if not os.path.exists(p):
-            continue
-        with open(p) as f:
-            for ln in f:
-                if not ln.strip():
-                    continue
-                a = json.loads(ln)
-                if "metaData" in a and a["metaData"].get("id"):
-                    meta_id = a["metaData"]["id"]
+    for a in _tail_actions(table, start, v):
+        if "metaData" in a and a["metaData"].get("id"):
+            meta_id = a["metaData"]["id"]
     last_mod = _commit_info_ict(table, v)
     if last_mod is None:
         try:

@@ -1455,6 +1455,22 @@ def read_iceberg(spark: SparkSession, table: str,
         _rel_path_col(root).alias("_fp"),
         F.col("_metadata.row_index").alias("_pos"),
     )
+    # v3 initial-default fill happens BEFORE the delete anti-joins:
+    # an equality delete keyed on a defaulted column must see the
+    # spec-effective value, not the scan's NULL (review finding —
+    # filling after the joins makes deletes miss pre-add rows)
+    for name in sorted(init_fill):
+        pre_files, val, ice_t = init_fill[name]
+        flag = f"_init_{name}"
+        pre_df = spark.createDataFrame(
+            [(p,) for p in sorted(pre_files)], "_fp string"
+        ).withColumn(flag, F.lit(True))
+        tagged = tagged.join(F.broadcast(pre_df), "_fp", "left")
+        tagged = tagged.withColumn(
+            name,
+            F.when(F.col(flag).isNotNull(),
+                   F.lit(val).cast(_ICE_TO_SPARK[ice_t]))
+            .otherwise(F.col(name)))
     if pos_delete_files or dv_descriptors:
         frames = []
         if pos_delete_files:
@@ -1495,18 +1511,6 @@ def read_iceberg(spark: SparkSession, table: str,
                 # NULL data values (equality, not SQL three-valued =)
                 cond = cond & tagged[n].eqNullSafe(kdf[f"_eq_{n}"])
             tagged = tagged.join(F.broadcast(kdf), cond, "left_anti")
-    for name in sorted(init_fill):
-        pre_files, val, ice_t = init_fill[name]
-        flag = f"_init_{name}"
-        pre_df = spark.createDataFrame(
-            [(p,) for p in sorted(pre_files)], "_fp string"
-        ).withColumn(flag, F.lit(True))
-        tagged = tagged.join(F.broadcast(pre_df), "_fp", "left")
-        tagged = tagged.withColumn(
-            name,
-            F.when(F.col(flag).isNotNull(),
-                   F.lit(val).cast(_ICE_TO_SPARK[ice_t]))
-            .otherwise(F.col(name)))
     if with_row_ids:
         # ROW LINEAGE read: _row_id = the file's first_row_id + the
         # row's physical position — stable across MOR deletes (masked
@@ -2480,14 +2484,23 @@ def tag_iceberg(table: str, name: str,
 def set_ref_retention_iceberg(table: str, name: str,
                               min_snapshots_to_keep: int | None = None,
                               max_snapshot_age_ms: int | None = None,
-                              max_ref_age_ms: int | None = None) -> dict:
+                              max_ref_age_ms: int | None = None,
+                              clear: tuple = ()) -> dict:
     """Set the spec's retention fields on an existing ref
     (metadata-only commit): ``min-snapshots-to-keep`` /
     ``max-snapshot-age-ms`` govern how much of a BRANCH's ancestry
     expire_snapshots protects (they are branch semantics — setting
     them on a tag raises); ``max-ref-age-ms`` ages the ref itself out
-    on either kind. Passing None leaves a field unset/cleared.
-    Returns the updated ref record."""
+    on either kind. Passing None PRESERVES a field already set
+    (partial updates are the semantics every caller assumes — a call
+    adding an age cap must not silently drop a min-snapshots promise);
+    list field names in ``clear`` to remove them explicitly. Returns
+    the updated ref record."""
+    clearable = {"min-snapshots-to-keep", "max-snapshot-age-ms",
+                 "max-ref-age-ms"}
+    bad_clear = set(clear) - clearable
+    if bad_clear:
+        raise ValueError(f"cannot clear {sorted(bad_clear)}")
     for _ in range(10):
         meta = _current_metadata(table)
         if meta is None:
@@ -2495,8 +2508,7 @@ def set_ref_retention_iceberg(table: str, name: str,
         refs = dict(meta.get("refs") or {})
         if name not in refs:
             raise KeyError(f"no ref {name!r} on table")
-        ref = {k: v for k, v in refs[name].items()
-               if k in ("snapshot-id", "type")}
+        ref = {k: v for k, v in refs[name].items() if k not in clear}
         if refs[name].get("type") != "branch" and (
                 min_snapshots_to_keep is not None
                 or max_snapshot_age_ms is not None):
@@ -2724,9 +2736,12 @@ def rewrite_manifests_iceberg(table: str) -> tuple[int, int, int]:
     snapshot id with before == after and commits nothing.
 
     Semantics preserved exactly:
-    - grouping never crosses a sequence number — the per-manifest
-      sequence number scopes position/equality deletes (strictly-< for
-      equality), so merging across seqs would re-scope deletes;
+    - groups DO merge across sequence numbers, and that is safe for
+      one reason only: every merged entry persists its ORIGINAL
+      sequence number explicitly (per-entry field-id 3) and both read
+      lanes honor entry-over-manifest inheritance — do NOT "simplify"
+      the per-entry stamping away; the delete scoping (strictly-< for
+      equality) rides on it;
     - grouping never crosses a partition spec id or a writer schema
       (entries re-encode VERBATIM under the group's own writer schema,
       carried by the Avro container header — bounds, partition tuples,

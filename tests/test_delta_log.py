@@ -2702,3 +2702,53 @@ def test_foreach_coordinated_log_compaction(spark):
     for v in (1, 4):
         os.remove(_log_path(t, v))
     assert sorted(r["k"] for r in read_delta(spark, t).collect()) == list(range(14))
+
+
+def test_compacted_ranges_serve_sibling_metadata_walkers(spark):
+    """Review-finding regression: deleting raw commits inside a
+    compacted range must not blind the column-pruned walkers —
+    partitioning, domain metadata, and the protocol all resolve
+    through the compacted file, and the NEXT write still inherits the
+    partitioning (a blinded walker would commit partitionValues-less
+    adds and corrupt the table layout for good)."""
+    from postrack_spark.streaming.delta_log import (
+        _current_protocol, _domain_configs, _partition_columns,
+        compact_log_delta, read_delta, set_clustering_delta,
+        upgrade_protocol_delta)
+
+    t = tempfile.mkdtemp(prefix="delta_lcwalk_")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p"))
+    write_delta(df, t, partition_by=["p"])                       # v0
+    set_clustering_delta(t, ["k", "p"])                               # v1
+    upgrade_protocol_delta(t, reader_features=("columnMapping",))  # v2
+    write_delta(
+        spark.range(8, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p")),
+        t, mode="append")                                        # v3
+    compact_log_delta(t)                                         # [0,3]
+    for v in (0, 1, 2):
+        os.remove(_log_path(t, v))
+    assert _partition_columns(t) == ["p"]
+    assert "delta.clustering" in _domain_configs(t)
+    assert "columnMapping" in (
+        _current_protocol(t).get("readerFeatures") or [])
+    # a mid-range hole (raw 3 kept, 0-2 gone) resolves via the
+    # covering range and the next write INHERITS partitioning
+    write_delta(
+        spark.range(20, 22).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p")),
+        t, mode="append")
+    import json as _json
+    newest = max(
+        int(f[:-5]) for f in os.listdir(os.path.join(t, "_delta_log"))
+        if f.endswith(".json") and f[:-5].isdigit())
+    with open(_log_path(t, newest)) as f:
+        adds = [_json.loads(ln)["add"] for ln in f
+                if ln.strip() and "add" in _json.loads(ln)]
+    assert adds and all(a.get("partitionValues") for a in adds)
+    got = sorted(r["k"] for r in read_delta(
+        spark, t, partition_filter={"p": ["0"]}).collect())
+    assert got == [0, 2, 4, 6, 8, 20]

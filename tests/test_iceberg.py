@@ -2112,6 +2112,20 @@ def test_v3_default_values_both_lanes(spark):
     ds = {r["k"]: r["tier"]
           for r in spark.read.format("pyiceberg").load(t).collect()}
     assert ds == expect
+    # REVIEW-FINDING regression: an equality delete KEYED ON the
+    # defaulted column must see the effective value — pre-add rows
+    # whose spec value is 'legacy' die; filling after the anti-join
+    # would let them survive (and the DataSource must agree)
+    from postrack_spark.streaming.iceberg import delete_keys_iceberg
+
+    delete_keys_iceberg(
+        spark, t, spark.createDataFrame([("legacy",)], "tier string"))
+    expect2 = {4: "std", 5: "std", 6: "gold"}
+    lib2 = {r["k"]: r["tier"] for r in read_iceberg(spark, t).collect()}
+    assert lib2 == expect2
+    ds2 = {r["k"]: r["tier"]
+           for r in spark.read.format("pyiceberg").load(t).collect()}
+    assert ds2 == expect2
     # the declaration is v3-only
     t1 = tempfile.mkdtemp(prefix="ice_v2dflt_")
     append_iceberg(_df(spark, 0, 2), t1, format_version=2)
@@ -2203,3 +2217,23 @@ def test_compact_zorder_tightens_stats_pruning(spark):
     assert post["files_scanned"] < post["files_total"]
     assert (post["files_scanned"] / post["files_total"]) < (
         pre["files_scanned"] / max(1, pre["files_total"]))
+
+
+def test_ref_retention_partial_update_preserves_fields(spark):
+    """Review-finding regression: adding one retention field must not
+    drop another; explicit clears go through ``clear``."""
+    from postrack_spark.streaming.iceberg import set_ref_retention_iceberg
+
+    t = tempfile.mkdtemp(prefix="ice_refpart_")
+    append_iceberg(_df(spark, 0, 2), t, format_version=2)
+    append_iceberg(_df(spark, 2, 4), t, format_version=2, branch="dev")
+    set_ref_retention_iceberg(t, "dev", min_snapshots_to_keep=10)
+    ref = set_ref_retention_iceberg(t, "dev", max_ref_age_ms=5000)
+    assert ref["min-snapshots-to-keep"] == 10  # preserved
+    assert ref["max-ref-age-ms"] == 5000
+    ref = set_ref_retention_iceberg(t, "dev",
+                                    clear=("min-snapshots-to-keep",))
+    assert "min-snapshots-to-keep" not in ref
+    assert ref["max-ref-age-ms"] == 5000
+    with pytest.raises(ValueError, match="cannot clear"):
+        set_ref_retention_iceberg(t, "dev", clear=("type",))

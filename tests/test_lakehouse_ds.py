@@ -476,3 +476,28 @@ def test_batch_cdf_read_through_datasource(spark):
         (spark.read.format("pydelta")
          .option("readChangeFeed", "true")
          .option("startingVersion", "0").load(t2).collect())
+
+
+def test_datasource_write_refuses_identity_tables(spark):
+    """GENERATED ALWAYS cannot survive the DataSource lane: schema
+    enforcement would force explicit identity values and the commit
+    would never bump the high-water mark — the lane refuses (review
+    finding: the SQL INSERT INTO path must not bypass write_delta's
+    identity contract)."""
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from postrack_spark.sources.lakehouse_ds import register_lakehouse_sources
+    from postrack_spark.streaming.delta_log import write_delta
+
+    register_lakehouse_sources(spark)
+    t = tempfile.mkdtemp(prefix="ds_idy_")
+    write_delta(
+        spark.range(0, 3).select(F.col("id").alias("k")),
+        t, identity={"rid": {"start": 1, "step": 1}})
+    with _pytest.raises(Exception, match="identity"):
+        (spark.range(3, 5).select(F.col("id").alias("k"),
+                                  (F.col("id") + 10).alias("rid"))
+         .write.format("pydelta").mode("append").save(t))
