@@ -2367,10 +2367,15 @@ def history_delta(spark: SparkSession, table: str) -> DataFrame:
               " data_change boolean")
 
 
-def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
+def vacuum_delta(table: str, retain_versions: int = 2,
+                 dry_run: bool = False) -> list[str]:
     """Delete data files unreferenced by the last ``retain_versions``
     snapshots (the protocol's retention rule, version- rather than
-    clock-based for determinism in tests). Returns deleted paths."""
+    clock-based for determinism in tests). ``dry_run=True`` returns
+    the would-delete list WITHOUT removing anything — delta-spark's
+    VACUUM DRY RUN, the answer every operator wants before the first
+    real vacuum of a production table. Returns (would-be) deleted
+    paths."""
     versions = _list_versions(table)
     cp = _read_last_checkpoint(table)
     if cp is not None:
@@ -2389,7 +2394,8 @@ def vacuum_delta(table: str, retain_versions: int = 2) -> list[str]:
         is_data = name.endswith(".parquet")
         is_dv = name.startswith("dv-") and name.endswith(".bin")
         if (is_data or is_dv) and name not in referenced:
-            os.remove(os.path.join(table, name))
+            if not dry_run:
+                os.remove(os.path.join(table, name))
             deleted.append(name)
     return deleted
 

@@ -3666,7 +3666,8 @@ def read_partition_stats_iceberg(spark: SparkSession, table: str,
 
 
 def expire_snapshots_iceberg(table: str, retain_last: int = 1,
-                             now_ms: int | None = None
+                             now_ms: int | None = None,
+                             older_than_ms: int | None = None
                              ) -> tuple[int, list[str]]:
     """Snapshot expiry (the spec's expire_snapshots maintenance
     action, version-based like delta_log.vacuum_delta for test
@@ -3689,8 +3690,11 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1,
       the branch's parent-chain ancestors within either rule are
       protected, so a branch keeps its own recent history even when
       the global retain_last would drop it.
-    ``now_ms`` pins the clock for deterministic tests. Returns (new
-    metadata version, deleted relative paths)."""
+    ``now_ms`` pins the clock for deterministic tests;
+    ``older_than_ms`` adds the spec API's age cutoff (snapshots at or
+    after the instant are kept regardless of retain_last — the
+    expire_snapshots(older_than=) shape). Returns (new metadata
+    version, deleted relative paths)."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
     meta = _current_metadata(table)
@@ -3733,7 +3737,9 @@ def expire_snapshots_iceberg(table: str, retain_last: int = 1,
             cur, i = sn.get("parent-snapshot-id"), i + 1
     kept = [sn for i, sn in enumerate(snaps)
             if i >= len(snaps) - retain_last
-            or sn["snapshot-id"] in protected]
+            or sn["snapshot-id"] in protected
+            or (older_than_ms is not None
+                and sn["timestamp-ms"] >= older_than_ms)]
     expired = [sn for sn in snaps if sn not in kept]
     if not expired and not refs_changed:
         return meta["last-version"], []

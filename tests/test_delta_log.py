@@ -2752,3 +2752,21 @@ def test_compacted_ranges_serve_sibling_metadata_walkers(spark):
     got = sorted(r["k"] for r in read_delta(
         spark, t, partition_filter={"p": ["0"]}).collect())
     assert got == [0, 2, 4, 6, 8, 20]
+
+
+def test_vacuum_dry_run_deletes_nothing(spark):
+    t = tempfile.mkdtemp(prefix="delta_vdr_")
+    write_delta(_df(spark, 0, 4), t)
+    write_delta(_df(spark, 100, 103), t, mode="overwrite")
+    write_delta(_df(spark, 200, 203), t, mode="overwrite")
+    would = vacuum_delta(t, retain_versions=1, dry_run=True)
+    assert would  # the overwritten files are reclaimable
+    for name in would:
+        assert os.path.exists(os.path.join(t, name))
+    # time travel still works after a dry run
+    assert sorted(r["k"] for r in read_delta(spark, t, version=0).collect()) \
+        == [0, 1, 2, 3]
+    real = vacuum_delta(t, retain_versions=1)
+    assert sorted(real) == sorted(would)
+    for name in real:
+        assert not os.path.exists(os.path.join(t, name))

@@ -2237,3 +2237,20 @@ def test_ref_retention_partial_update_preserves_fields(spark):
     assert ref["max-ref-age-ms"] == 5000
     with pytest.raises(ValueError, match="cannot clear"):
         set_ref_retention_iceberg(t, "dev", clear=("type",))
+
+
+def test_expire_older_than_keeps_recent_history(spark):
+    from postrack_spark.streaming.iceberg import (
+        _current_metadata, expire_snapshots_iceberg)
+
+    t = tempfile.mkdtemp(prefix="ice_exot_")
+    for i in range(4):
+        append_iceberg(_df(spark, i * 2, i * 2 + 2), t, format_version=2)
+    meta = _current_metadata(t)
+    # cutoff between snapshot 2 and 3: the last two stay by AGE even
+    # with retain_last=1
+    ts = sorted(s["timestamp-ms"] for s in meta["snapshots"])
+    cutoff = ts[2]
+    expire_snapshots_iceberg(t, retain_last=1, older_than_ms=cutoff)
+    kept = [s["timestamp-ms"] for s in _current_metadata(t)["snapshots"]]
+    assert all(x >= cutoff for x in kept) and len(kept) >= 2
