@@ -2336,3 +2336,68 @@ def events_permutation_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_triples"))
         .orderBy("pattern")
     )
+
+
+@query(
+    "events_longest_daily_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM grp GROUP BY user_id, island
+    ),
+    longest AS (
+      SELECT user_id, CAST(max(len) AS BIGINT) AS longest
+      FROM streaks GROUP BY user_id
+    )
+    SELECT longest AS streak_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY longest ORDER BY streak_days
+    """,
+)
+def events_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, histogrammed —
+    the engagement metric behind every retention dashboard, and the
+    canonical GAPS-AND-ISLANDS shape: distinct active days minus the
+    per-user row_number collapse each unbroken run to one island key,
+    runs group-count, users take their max. Whole days come from
+    epoch_us // 86400e6 on both engines (the cast-rounding trap); the
+    window partitions BY USER (never unpartitioned — the plan-audit
+    rule), so the shape is two key-local shuffles and scales with
+    users, not days."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    days = (
+        t["events"]
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / F.lit(86400000000))
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest")
+    )
+    return (
+        longest.groupBy(F.col("longest").alias("streak_days"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )
