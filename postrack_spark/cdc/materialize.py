@@ -124,22 +124,52 @@ def apply_changes(changes: DataFrame, key_expr, key_name: str = "__key") -> Data
     `key_expr` extracts the primary key from an envelope row (typically
     ``typed_column("after", pk, t)`` coalesced with the before image,
     since DELETE events carry only `before` — postrack.go:399-406).
+
+    Physical shape (optimization round 8): the watermark branch is
+    derived PRE-compaction from the null-key rows alone and the
+    pre-truncate filter runs map-side BEFORE the compaction shuffle.
+    The previous shape filtered `latest` for TRUNCATE survivors, which
+    *claimed* to share the compaction exchange — but the executed plan
+    (AQE on or off, Spark 4.1) never reuses it: the watermark branch
+    re-ran the full scan → envelope build → shuffle → max_by chain
+    (measured 120 vs 77 tasks, ~1.9× wall at sf0.1). The new branch is
+    column-pruned at the scan (op/lsn/schema/table + key columns, no
+    image maps survive SimplifyExtractValueOps) and shuffles only
+    null-key rows — at 100 TB that is a cheap metadata-width pass, and
+    the main shuffle additionally drops all pre-truncate events.
+
+    Equivalence with the compact-then-filter form (both directions are
+    also asserted by the oracle-gated TRUNCATE queries):
+    - watermark: the previous form filtered the compaction's NULL-key
+      group survivor to TRUNCATE; on well-formed envelopes (INSERT/
+      UPDATE carry ``after``, DELETE carries ``before`` — the
+      reference's own contract, postrack.go:368-406) that group holds
+      ONLY TRUNCATE events, so its survivor is the max-lsn TRUNCATE —
+      exactly :func:`truncate_watermarks`. The only divergence is a
+      malformed non-TRUNCATE event with a NULL key outranking every
+      TRUNCATE (it used to suppress the watermark); key extraction on
+      such a stream is already undefined. Deriving the watermark with
+      the op filter lets column pruning drop the image maps from the
+      branch entirely (the key-null form must evaluate ``key_expr``,
+      which rebuilds both maps per row under the CASE the map sits in).
+    - main branch: a key's post-filter survivor is its max-lsn event
+      > watermark; pre-filtering events <= watermark cannot change the
+      max of what remains (pgoutput events carry full images, so the
+      survivor alone is the state). TRUNCATE rows themselves never
+      reach the output in either form (all have lsn <= watermark when
+      one survives; the op != TRUNCATE filter covers the rest).
     """
     keyed = changes.withColumn(
         key_name, F.when(F.col("op") != TRUNCATE, key_expr)
     )
-    latest = latest_per_key(keyed, ["schema", "table", key_name])
-    trunc = (
-        latest.filter(F.col("op") == TRUNCATE)
-        .select("schema", "table", F.col("lsn").alias("__trunc_lsn"))
-    )
-    return (
-        latest.filter(F.col("op") != TRUNCATE)
-        .join(F.broadcast(trunc), ["schema", "table"], "left")
+    trunc = truncate_watermarks(changes)
+    live = (
+        keyed.join(F.broadcast(trunc), ["schema", "table"], "left")
         .filter(F.col("__trunc_lsn").isNull() | (F.col("lsn") > F.col("__trunc_lsn")))
         .drop("__trunc_lsn")
-        .filter(F.col("op") != DELETE)
     )
+    latest = latest_per_key(live, ["schema", "table", key_name])
+    return latest.filter(F.col("op") != TRUNCATE).filter(F.col("op") != DELETE)
 
 
 def resolve_unchanged(
