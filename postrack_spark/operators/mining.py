@@ -25,14 +25,23 @@ def largest_remainder_allocation(
     run as broadcast tiny self-joins — no window, no collect. The +1
     winners are the largest remainders with (remainder DESC, key) as a
     total tie-break, so the allocation is deterministic."""
-    w = weights.select(F.col(key_col).alias("k"), F.col(weight_col).alias("w"))
+    from postrack_spark.session import pin_small
+
+    # `w` feeds the total AND the quota projection; `base` feeds the
+    # deficit, the remainder-rank self-join AND the final select. Both
+    # are bounded per-key frames (the operator's input contract), and
+    # without a pin every consumer re-runs the caller's full upstream
+    # chain (measured: sample_temperature_mixture scanned documents 8x).
+    w = pin_small(
+        "lra_w", weights.select(F.col(key_col).alias("k"), F.col(weight_col).alias("w"))
+    )
     tot = w.agg(F.sum("w").cast("long").alias("t"))
-    base = w.crossJoin(F.broadcast(tot)).select(
+    base = pin_small("lra_base", w.crossJoin(F.broadcast(tot)).select(
         "k",
         "w",
         F.expr(f"CAST({budget} * w DIV t AS BIGINT)").alias("fl"),
         F.expr(f"CAST(({budget} * w) % t AS BIGINT)").alias("rem"),
-    )
+    ))
     deficit = base.agg((F.lit(budget) - F.sum("fl")).cast("long").alias("deficit"))
     other = base.select(F.col("k").alias("k2"), F.col("rem").alias("rem2"))
     # rank-by-count on the bounded frame: rn = 1 + #{j sorting strictly

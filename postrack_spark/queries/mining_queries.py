@@ -64,25 +64,52 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfied by orders of magnitude since w counts co-occurrences of
     ONE pair. The rule table is thresholded-small, so it broadcasts
     into the per-item count relation (the catalog-sized side never
-    shuffles); top-50 by lift plans as TakeOrderedAndProject."""
-    po = (
-        load_tables(spark, sf_dir)["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    n_orders = po.agg(
+    shuffles); top-50 by lift plans as TakeOrderedAndProject.
+
+    Physical shape (optimization round 8): per-item counts and the
+    order count are computed as direct distinct aggregates over the
+    2-column lineitem projection (the previous shared `po.distinct()`
+    frame was never actually shared — each consumer re-ran the scan +
+    distinct shuffle), and BOTH rule-endpoint lookups resolve in ONE
+    probe of `cnt`: each rule explodes into two (role, part) lookup
+    rows, the tiny lookup side broadcasts into a single `cnt` pass,
+    and a candidate-sized groupBy pivots the roles back into
+    cnt_ante/cnt_cons. This removes a full recomputation of `cnt`
+    (the old second join broadcast the CATALOG-sized count relation —
+    a scale smell at 100 TB, where the candidate side is the small
+    one)."""
+    li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
+    n_orders = li.agg(
         F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
     )
-    cnt = po.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    cnt = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("c")
+    )
     edges = _edges(spark, sf_dir)
     rules = edges.select(
         F.col("pa").alias("ante"), F.col("pb").alias("cons"), "w"
     ).unionAll(edges.select(F.col("pb").alias("ante"), F.col("pa").alias("cons"), "w"))
+    lookups = rules.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("role"), F.col("ante").alias("part"),
+                    F.col("ante"), F.col("cons"), F.col("w"),
+                ),
+                F.struct(
+                    F.lit("c").alias("role"), F.col("cons").alias("part"),
+                    F.col("ante"), F.col("cons"), F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     joined = (
-        cnt.join(F.broadcast(rules), cnt["l_partkey"] == rules["ante"])
-        .select("ante", "cons", "w", F.col("c").alias("cnt_ante"))
-        .join(F.broadcast(cnt.withColumnRenamed("c", "cnt_cons")),
-              F.col("l_partkey") == F.col("cons"))
+        cnt.join(F.broadcast(lookups), cnt["l_partkey"] == lookups["part"])
+        .groupBy("ante", "cons", "w")
+        .agg(
+            F.max(F.when(F.col("role") == "a", F.col("c"))).alias("cnt_ante"),
+            F.max(F.when(F.col("role") == "c", F.col("c"))).alias("cnt_cons"),
+        )
         .crossJoin(F.broadcast(n_orders))
     )
     return (

@@ -598,13 +598,19 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible in the output. Plan: one hash agg over documents to the
     O(languages) frame; everything after runs on bounded frames with
     broadcast combines — no unpartitioned window, no Python."""
+    from postrack_spark.session import pin_small
+
     docs = load_tables(spark, sf_dir)["documents"]
-    perlang = (
+    # O(languages) frame with three consumers (total, proportional
+    # share, apportionment input) — pinned so the documents scan + agg
+    # runs once, not once per consumer (measured: 8 scans before).
+    perlang = pin_small(
+        "tempmix_perlang",
         docs.groupBy("lang")
         .agg(F.sum("n_chars").cast("long").alias("chars"))
         .withColumn(
             "w", F.expr("CAST(floor(sqrt(chars * 100)) AS BIGINT)")
-        )
+        ),
     )
     tot = perlang.agg(F.sum("chars").cast("long").alias("tc"))
     prop = perlang.crossJoin(F.broadcast(tot)).select(

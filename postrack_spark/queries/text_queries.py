@@ -2101,8 +2101,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("dl"),
         F.explode(F.split(F.col("text"), " ")).alias("term"),
     ).filter(F.col("term").isin(_BM25_ALL))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf"), F.max("dl").cast("long").alias("dl")
+    from postrack_spark.session import pin_small
+
+    # tf is O(query-vocabulary matches) — bounded by the fixed term
+    # list — and feeds both the document-frequency aggregate and the
+    # scorer; pinned so the corpus scan + explode runs once.
+    tf = pin_small(
+        "bm25_tf",
+        toks.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("tf"), F.max("dl").cast("long").alias("dl")
+        ),
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("dfreq"))
     stats = docs.agg(

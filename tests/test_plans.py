@@ -364,11 +364,13 @@ def test_skyline_no_window_no_selfjoin(spark, qs):
 
 
 def test_assoc_rules_broadcast_rules_side(spark, qs):
-    # thresholded rule table broadcasts into the per-item counts; the
-    # catalog-sized count relation must never shuffle for the join,
-    # and top-50 must not plan a global sort (TakeOrderedAndProject).
+    # the thresholded rule-endpoint lookups broadcast into ONE probe of
+    # the per-item counts (optimization r8: the old second join
+    # broadcast the CATALOG-sized count relation); the catalog-sized
+    # side must never shuffle for the join and top-50 must not plan a
+    # global sort (TakeOrderedAndProject).
     feats = assert_plan(_df(qs, "assoc_basket_rules", spark),
-                        windows=0, python_evals=0, min_broadcast_joins=2)
+                        windows=0, python_evals=0, min_broadcast_joins=1)
     assert feats["sortmerge_joins"] == 0
 
 
