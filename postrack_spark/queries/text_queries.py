@@ -1041,6 +1041,18 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
+    # Each merge round consumes `words` TWICE (pair count + merge), so
+    # the lazy lineage doubles per round — the 8-round plan re-derived
+    # the corpus vocabulary 2^8 = 256 times (measured: 255/256 parquet
+    # scans in the formatted plan; the docstring's "corpus touched
+    # once" held only per lineage path; 33 s at sf0.001). The fix must
+    # TRUNCATE the plan, not just cache execution: a persist-only pin
+    # measured WORSE (234 s) because Catalyst still analyzes and the
+    # CacheManager still canonicalizes the exponentially-growing
+    # logical tree every round. localCheckpoint replaces the lineage
+    # with the materialized rows, keeping every round's plan O(1) deep
+    # — 3.3-3.7 s at ALL SFs (the vocabulary frame is Heaps-law
+    # bounded, so materializing it per round is a footnote at 100 TB).
     words = (
         toks.select(
             F.expr(
@@ -1051,6 +1063,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
         )
         .groupBy("syms")
         .agg(F.sum("freq").alias("freq"))
+        .localCheckpoint()
     )
     pair_expr = (
         "CASE WHEN size(split(trim(syms), '  ')) >= 2 THEN "
@@ -1067,7 +1080,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+        # best has two consumers too (the output row and the merge's
+        # broadcast side) — the 1-row checkpoint stops the pair chain
+        # re-running and keeps the next round's plan lineage-free.
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
         bests.append(
             best.select(
                 F.lit(k).alias("merge_rank"),
@@ -1089,6 +1109,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int):
             )
             .groupBy("syms")
             .agg(F.sum("freq").alias("freq"))
+            .localCheckpoint()
         )
     return words, bests
 
