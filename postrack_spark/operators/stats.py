@@ -18,6 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from postrack_spark.session import pin_small
+
+# Optimization round 8: every operator below reduces the data to a
+# bounded frame (distinct-value cells, per-day counts, contingency
+# tables) and then consumes that frame from several plan branches.
+# Spark recomputes a shared subtree once PER CONSUMER (exchange reuse
+# does not fire for these shapes — see session.pin_small), so e.g.
+# agg_runs_test re-ran the events scan + daily aggregate 16 times.
+# pin_small persists the bounded frame lazily: one InMemoryRelation
+# for all branches, one pass over the data, identical results.
+
 
 def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Kruskal-Wallis H over integer values: 1-row DataFrame with
@@ -27,8 +38,13 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     from postrack_spark.operators.ranking import prefix_sum_by_key
 
     c = df.select(F.col(group_col).alias("prio"), F.col(value_col).alias("cents"))
-    cells = c.groupBy("prio", "cents").agg(F.count("*").cast("long").alias("n_pc"))
-    vals = cells.groupBy("cents").agg(F.sum("n_pc").cast("long").alias("cnt"))
+    cells = pin_small(
+        "kw_cells",
+        c.groupBy("prio", "cents").agg(F.count("*").cast("long").alias("n_pc")),
+    )
+    vals = pin_small(
+        "kw_vals", cells.groupBy("cents").agg(F.sum("n_pc").cast("long").alias("cnt"))
+    )
     mid = prefix_sum_by_key(vals, ["cents"], "cnt", "cumb", inclusive=False).select(
         "cents",
         "cnt",
@@ -86,10 +102,13 @@ def mann_kendall(df: DataFrame, key_col: str, time_col: str, value_col: str) -> 
     (key, n_days, s_stat, varnum18, z_ppm) per key. The pair frame
     must be bounded per key (calendar-bounded in the query usage); the
     right side broadcasts. See events_mann_kendall_trend."""
-    daily = df.select(
-        F.col(key_col).alias("event_type"),
-        F.col(time_col).alias("d"),
-        F.col(value_col).cast("long").alias("c"),
+    daily = pin_small(
+        "mk_daily",
+        df.select(
+            F.col(key_col).alias("event_type"),
+            F.col(time_col).alias("d"),
+            F.col(value_col).cast("long").alias("c"),
+        ),
     )
     a = daily.select("event_type", F.col("d").alias("da"), F.col("c").alias("ca"))
     b = daily.select(
@@ -151,7 +170,10 @@ def runs_test(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
     count is an adjacency self-join on the rank index (window-free).
     The frame must be bounded (calendar-bounded in query usage) — the
     rank/adjacency self-joins broadcast. See agg_runs_test."""
-    daily = df.select(F.col(time_col).alias("d"), F.col(value_col).cast("long").alias("c"))
+    daily = pin_small(
+        "rt_daily",
+        df.select(F.col(time_col).alias("d"), F.col(value_col).cast("long").alias("c")),
+    )
     h = daily.select(F.col("d").alias("hd"), F.col("c").alias("hc"))
     pre = (
         daily.join(
@@ -173,8 +195,11 @@ def runs_test(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
         .filter(F.col("kv") == F.expr("(n + 1) DIV 2"))
         .select(F.col("c").alias("m"))
     )
-    signs = kidx.crossJoin(F.broadcast(med)).select(
-        "k", F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("above")
+    signs = pin_small(
+        "rt_signs",
+        kidx.crossJoin(F.broadcast(med)).select(
+            "k", F.when(F.col("c") > F.col("m"), 1).otherwise(0).alias("above")
+        ),
     )
     b = signs.select((F.col("k") - 1).alias("k"), F.col("above").alias("nxt"))
     trans = signs.join(b, "k").agg(
@@ -240,8 +265,12 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     from postrack_spark.operators.ranking import prefix_sum_by_key
 
     c = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
-    cells = c.groupBy("g", "v").agg(F.count("*").cast("long").alias("n_gv"))
-    vals = cells.groupBy("v").agg(F.sum("n_gv").cast("long").alias("cnt"))
+    cells = pin_small(
+        "mwu_cells", c.groupBy("g", "v").agg(F.count("*").cast("long").alias("n_gv"))
+    )
+    vals = pin_small(
+        "mwu_vals", cells.groupBy("v").agg(F.sum("n_gv").cast("long").alias("cnt"))
+    )
     mid = prefix_sum_by_key(vals, ["v"], "cnt", "cumb", inclusive=False).select(
         "v",
         "cnt",
@@ -249,13 +278,14 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .cast("long")
         .alias("mr2"),
     )
-    grp = (
+    grp = pin_small(
+        "mwu_grp",
         cells.join(mid.select("v", "mr2"), "v")
         .groupBy("g")
         .agg(
             F.sum(F.col("n_gv") * F.col("mr2")).cast("long").alias("r2"),
             F.sum("n_gv").cast("long").alias("n_g"),
-        )
+        ),
     )
     labels = grp.agg(F.min("g").alias("grp_a"), F.max("g").alias("grp_b"),
                      F.count("*").cast("long").alias("n_groups"))
@@ -304,13 +334,16 @@ def jonckheere_trend(df: DataFrame, group_col: str, group_order: list,
         .groupBy("g", "v")
         .agg(F.count("*").cast("long").alias("n"))
     )
-    mat = cells.groupBy("v").agg(
-        *[
-            F.sum(F.when(F.col("g") == p, F.col("n")).otherwise(0))
-            .cast("long")
-            .alias(f"n{i}")
-            for i, p in enumerate(group_order, start=1)
-        ]
+    mat = pin_small(
+        "jt_mat",
+        cells.groupBy("v").agg(
+            *[
+                F.sum(F.when(F.col("g") == p, F.col("n")).otherwise(0))
+                .cast("long")
+                .alias(f"n{i}")
+                for i, p in enumerate(group_order, start=1)
+            ]
+        ),
     )
     cum = prefix_sums_by_key(
         mat, ["v"], {f"c{i}": f"n{i}" for i in range(1, k + 1)},
@@ -460,23 +493,28 @@ def ansari_bradley(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     from postrack_spark.operators.ranking import prefix_sum_by_key
 
     c = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
-    cells = c.groupBy("g", "v").agg(F.count("*").cast("long").alias("n_gv"))
+    cells = pin_small(
+        "ab_cells", c.groupBy("g", "v").agg(F.count("*").cast("long").alias("n_gv"))
+    )
     vals = cells.groupBy("v").agg(F.sum("n_gv").cast("long").alias("cnt"))
-    mid = prefix_sum_by_key(vals, ["v"], "cnt", "cumb", inclusive=False).select(
-        "v",
-        "cnt",
-        (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1))
-        .cast("long")
-        .alias("mr2"),
+    mid = pin_small(
+        "ab_mid",
+        prefix_sum_by_key(vals, ["v"], "cnt", "cumb", inclusive=False).select(
+            "v",
+            "cnt",
+            (F.lit(2) * F.col("cumb") + F.col("cnt") + F.lit(1))
+            .cast("long")
+            .alias("mr2"),
+        ),
     )
     tot = mid.agg(F.sum("cnt").cast("long").alias("n_total"))
-    scored = mid.crossJoin(F.broadcast(tot)).select(
+    scored = pin_small("ab_scored", mid.crossJoin(F.broadcast(tot)).select(
         "v", "cnt", "n_total",
         F.least(
             F.col("mr2"),
             F.lit(2) * (F.col("n_total") + 1) - F.col("mr2"),
         ).cast("long").alias("s2"),
-    )
+    ))
     grp = (
         cells.join(scored.select("v", "s2"), "v")
         .groupBy("g")
@@ -519,10 +557,11 @@ def somers_d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     one broadcast self-join of the cell table, never a row-level
     pair join (the n^2 trap). Gamma's (C-D)/(C+D) reads off the same
     row."""
-    cells = (
+    cells = pin_small(
+        "sd_cells",
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .groupBy("x", "y")
-        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.count("*").cast("long").alias("n")),
     )
     a = cells.alias("a")
     b = cells.alias("b")
@@ -614,20 +653,34 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     from postrack_spark.operators.ranking import prefix_sums_by_key
 
     c = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
-    labels = c.agg(F.min("g").alias("grp_a"), F.max("g").alias("grp_b"))
-    cells = (
-        c.crossJoin(F.broadcast(labels))
+    # One row-level pass: reduce to (g, v) cells first, then derive the
+    # labels from the bounded cell frame (the old shape aggregated the
+    # raw rows once for the labels and again for the cells — two scans
+    # of the data for one reduction).
+    gv = pin_small(
+        "ks_gv",
+        c.groupBy("g", "v").agg(F.count("*").cast("long").alias("n_gv")),
+    )
+    labels = gv.agg(F.min("g").alias("grp_a"), F.max("g").alias("grp_b"))
+    cells = pin_small(
+        "ks_cells",
+        gv.crossJoin(F.broadcast(labels))
         .groupBy("v")
         .agg(
             F.first("grp_a").alias("grp_a"),
             F.first("grp_b").alias("grp_b"),
-            F.count_if(F.col("g") == F.col("grp_a")).cast("long").alias("na_v"),
-            F.count_if(
-                (F.col("g") == F.col("grp_b")) & (F.col("grp_b") != F.col("grp_a"))
+            F.sum(F.when(F.col("g") == F.col("grp_a"), F.col("n_gv")).otherwise(0))
+            .cast("long")
+            .alias("na_v"),
+            F.sum(
+                F.when(
+                    (F.col("g") == F.col("grp_b")) & (F.col("grp_b") != F.col("grp_a")),
+                    F.col("n_gv"),
+                ).otherwise(0)
             )
             .cast("long")
             .alias("nb_v"),
-        )
+        ),
     )
     cum = prefix_sums_by_key(
         cells, ["v"], {"cum_a": "na_v", "cum_b": "nb_v"}, inclusive=True
