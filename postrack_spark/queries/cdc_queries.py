@@ -524,10 +524,20 @@ def cdc_sequence_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed_column("after", "o_orderkey", "long"),
         typed_column("before", "o_orderkey", "long"),
     )
-    ev = ch.select(key.alias("k"), "lsn", "op")
-    per_key = ev.groupBy("k").agg(
-        F.min("lsn").alias("min_lsn"),
-        F.min(F.when(F.col("op") == "DELETE", F.col("lsn"))).alias("del_lsn"),
+    from postrack_spark.session import pin_small
+
+    # five integrity probes consume the same 3-column event projection
+    # and three consume the per-key bounds; without pins each probe
+    # re-ran the envelope generation chain (measured 7 scans before).
+    # ev is data-sized but 3 narrow columns — one materialization vs
+    # four re-derivations of the exploded envelope stream.
+    ev = pin_small("seqint_ev", ch.select(key.alias("k"), "lsn", "op"))
+    per_key = pin_small(
+        "seqint_perkey",
+        ev.groupBy("k").agg(
+            F.min("lsn").alias("min_lsn"),
+            F.min(F.when(F.col("op") == "DELETE", F.col("lsn"))).alias("del_lsn"),
+        ),
     )
     firsts = ev.join(
         per_key.select("k", "min_lsn"),

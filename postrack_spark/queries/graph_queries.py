@@ -47,6 +47,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same pattern as the LSH bucket pair generator). Co-occurrence
     is per distinct (order, part) — duplicate lines of the same part
     don't inflate weights."""
+    from postrack_spark.session import pin_small
+
     li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
     per_order = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     pairs = per_order.select(
@@ -59,10 +61,15 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.pa", "p.pb")
-    return (
+    # The thresholded edge list is small by construction (module
+    # docstring) and every graph/mining consumer references it from
+    # several branches — pinned here so the lineitem scan + two
+    # aggregations run once per query, not once per branch.
+    return pin_small(
+        "copurchase_edges",
         pairs.groupBy("pa", "pb")
         .agg(F.count("*").cast("bigint").alias("w"))
-        .filter(F.col("w") >= 2)
+        .filter(F.col("w") >= 2),
     )
 
 
@@ -120,7 +127,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerates each triangle exactly once (a < b < c). The edge list is
     support-thresholded first (see module docstring), which is what
     keeps Σdeg² — the join's blow-up term — bounded at scale."""
-    e = _edges(spark, sf_dir).select("pa", "pb").cache()
+    e = _edges(spark, sf_dir).select("pa", "pb")
     nodes = (
         e.select(F.col("pa").alias("x"))
         .unionAll(e.select(F.col("pb").alias("x")))
@@ -190,13 +197,22 @@ def graph_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape); localCheckpoint truncates lineage so iteration N does not
     replay 1..N-1. The support threshold bounds the edge list (module
     docstring)."""
+    from postrack_spark.session import pin_small
+
     e = _edges(spark, sf_dir).select("pa", "pb")
-    bidir = (
+    # pin_small, not .cache(): a bare cache() is never unpersisted and
+    # the CacheManager matches canonicalized plans, so repeated
+    # invocations (bench passes, sweeps) silently reused the previous
+    # run's materialized result — cross-invocation result sharing the
+    # bench must not have. The pin re-persists fresh lineage per call.
+    bidir = pin_small(
+        "pr_bidir",
         e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .cache()
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))),
     )
-    deg = bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("deg")).cache()
+    deg = pin_small(
+        "pr_deg", bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    )
     ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(5):
         contrib = (
@@ -401,9 +417,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     floor division agrees across engines for positive operands — and
     the top-20 plans as TakeOrderedAndProject with a total tie-break
     (score, x, y)."""
+    from postrack_spark.session import pin_small
+
     edges = _edges(spark, sf_dir)
-    und = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
-        edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    und = pin_small(
+        "jlp_und",
+        edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
+            edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+        ),
     )
     deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
     e1 = und.select(F.col("a").alias("m"), F.col("b").alias("x"))
@@ -480,9 +501,14 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join broadcastable. The only floating point is the final
     correctly-rounded sqrt/divide floored to ppm on identical
     integers (the events_acf_lags rule)."""
+    from postrack_spark.session import pin_small
+
     edges = _edges(spark, sf_dir)
-    und = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
-        edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    und = pin_small(
+        "assort_und",
+        edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
+            edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+        ),
     )
     deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
     da = deg.select(F.col("a").alias("ja"), F.col("d").alias("x"))
@@ -542,7 +568,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ d(d-1)/2 over one degree aggregate. Reported in integer pp10k
     (floor division); the same support-threshold argument keeps every
     join broadcastable at any SF."""
-    e = _edges(spark, sf_dir).select("pa", "pb").cache()
+    # the redundant .cache() here leaked across invocations (never
+    # unpersisted); _edges is already pinned inside the helper.
+    e = _edges(spark, sf_dir).select("pa", "pb")
     e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
     e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
@@ -603,7 +631,9 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     each triangle once), then each triangle credits its three corners
     via a 3-way union and the head is a TakeOrderedAndProject. The
     threshold bounds Σdeg² exactly as the count query documents."""
-    e = _edges(spark, sf_dir).select("pa", "pb").cache()
+    # the redundant .cache() here leaked across invocations (never
+    # unpersisted); _edges is already pinned inside the helper.
+    e = _edges(spark, sf_dir).select("pa", "pb")
     e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = e.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
     e3 = e.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
@@ -747,9 +777,14 @@ def graph_resource_allocation_index(spark: SparkSession, sf_dir: str) -> DataFra
     only below ppm. Existing edges anti-join out against the broadcast
     thresholded edge list; top-20 plans as TakeOrderedAndProject under
     the total tie-break (score, x, y)."""
+    from postrack_spark.session import pin_small
+
     edges = _edges(spark, sf_dir)
-    und = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
-        edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+    und = pin_small(
+        "ra_und",
+        edges.select(F.col("pa").alias("a"), F.col("pb").alias("b")).unionAll(
+            edges.select(F.col("pb").alias("a"), F.col("pa").alias("b"))
+        ),
     )
     deg = und.groupBy("a").agg(F.count("*").cast("long").alias("d"))
     e1 = und.select(F.col("a").alias("m"), F.col("b").alias("x"))
@@ -1050,14 +1085,20 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (positive ranks only emitted). Plan: per-iteration one
     co-partitioned join + one aggregation; lineage truncated per step
     (localCheckpoint) so iteration N never replays 1..N-1."""
+    from postrack_spark.session import pin_small
+
     e = _edges(spark, sf_dir).select("pa", "pb")
-    bidir = (
+    # pin_small, not .cache(): see graph_pagerank_top10 — a bare
+    # cache() leaks across invocations and silently reuses results.
+    bidir = pin_small(
+        "ppr_bidir",
         e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .cache()
+        .unionAll(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))),
     )
-    deg = bidir.groupBy("src").agg(
-        F.count("*").cast("bigint").alias("d")).cache()
+    deg = pin_small(
+        "ppr_deg",
+        bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("d")),
+    )
     start = deg.orderBy(F.desc("d"), "src").limit(1).select(
         F.col("src").alias("s_node"))
     ranks = (

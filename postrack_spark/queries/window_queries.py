@@ -605,7 +605,11 @@ def agg_exact_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     ranked = global_row_number(v, [F.asc("cents"), F.asc("o_orderkey")], "rn")
-    total = v.groupBy().agg(F.count("*").alias("n"))
+    # n = max(rn) by construction (row_number over a total order is
+    # 1..n): deriving the count from the already-materialized ranked
+    # frame drops the second orders scan the count aggregate ran
+    # (2 parquet scans in the executed plan -> 1).
+    total = ranked.groupBy().agg(F.max("rn").alias("n"))
     j = ranked.join(F.broadcast(total))
 
     def interp(k: int):
