@@ -89,7 +89,15 @@ def skyline_min_max_bounded(
     self-join + one broadcast probe — never the quadratic NOT-EXISTS
     self-join, never a window. Comparisons are exact row values, so
     tie/strictness semantics match the textbook definition."""
-    per_val = df.groupBy(maximize_col).agg(F.min(minimize_col).alias("__mn"))
+    from postrack_spark.session import pin_small
+
+    # the domain-sized per-value frame feeds both suffix-join sides —
+    # pinned so the input scan + groupBy runs once per action (the
+    # final dominance probe scans the input once more by necessity).
+    per_val = pin_small(
+        "skyline_per_val",
+        df.groupBy(maximize_col).agg(F.min(minimize_col).alias("__mn")),
+    )
     a = per_val.select(F.col(maximize_col).alias("__s"))
     b = per_val.select(F.col(maximize_col).alias("__s2"), "__mn")
     suffix = (

@@ -1216,9 +1216,20 @@ def cdc_forget_keys_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed_column("after", "o_orderkey", "long"),
         typed_column("before", "o_orderkey", "long"),
     )
+    from postrack_spark.session import pin_small
+
     head = ch.agg(F.max("lsn").cast("long").alias("head_lsn"))
-    # current live state; purge membership is a pure key predicate
-    live = apply_changes(ch, key, key_name="o_orderkey")
+    # current live state; purge membership is a pure key predicate.
+    # live is the O(keys) compacted frame and feeds THREE branches
+    # (audit count, synthetic deletes, and nothing downstream re-needs
+    # the raw stream for them) — pinned so the scan -> envelope ->
+    # compaction chain runs once for the purge-list side (7 orders
+    # scans before, 5 after; the augmented replay keeps its own raw
+    # passes by design — deletion must be DATA through the same
+    # machinery, see the docstring).
+    live = pin_small(
+        "fkp_live", apply_changes(ch, key, key_name="o_orderkey")
+    )
     purged = live.filter(F.col("o_orderkey") % 7 == 0)
     n_purged = purged.agg(F.count("*").cast("long").alias("n_purged"))
     # deletion requests as DATA: synthetic DELETE envelopes past head

@@ -233,12 +233,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (source, chunk) buckets instead of the quadratic
     same-source pair scan, then the hamming predicate verifies. Same
     output as all-pairs; the oracle computes the quadratic form."""
+    from postrack_spark.session import pin_small
+
     t = load_tables(spark, sf_dir)
     docs = fan_out(t["documents"])
     sh = simhash_bits(docs, "doc_id", "text", n_bits=16).join(
         docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
     )
-    blocks = simhash_chunk_blocks(sh, n_bits=16, radius=2)
+    # both candidate-join sides read blocks; unpinned, each side re-ran
+    # the simhash bit aggregation over the corpus (4 document scans
+    # before, 2 after). O(docs x 3 chunks), narrow.
+    blocks = pin_small("simhash_blocks", simhash_chunk_blocks(sh, n_bits=16, radius=2))
     a = blocks.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"),
         "source", "chunk_id", "chunk_val",

@@ -817,10 +817,18 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem is solved on the (day, user) DEDUPED table — a range join
     over ~days×7 rows — never with a distinct-over-window on the raw
     stream (unbounded state at volume)."""
+    from postrack_spark.session import pin_small
+
     t = load_tables(spark, sf_dir)
-    daily = t["events"].select(
-        F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct()
+    # the deduped (day, user) frame feeds four branches (day list, DAU,
+    # WAU range join, final) — pinned so the events scan + distinct
+    # runs once per action (4 scans before).
+    daily = pin_small(
+        "dauwau_daily",
+        t["events"].select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).distinct(),
+    )
     days = daily.select("day").distinct()
     dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
     wau = (
@@ -996,8 +1004,14 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Scale: the self-join runs on the DEDUPED (user, type)
     relation — O(users·types), not O(events²); singles and the user
     total are broadcast back onto the 10-row pair table."""
+    from postrack_spark.session import pin_small
+
     t = load_tables(spark, sf_dir)
-    ut = t["events"].select("user_id", "event_type").distinct()
+    # the deduped (user, type) relation feeds four branches (total,
+    # singles, both self-join sides) — pinned: one events scan, not 5.
+    ut = pin_small(
+        "affinity_ut", t["events"].select("user_id", "event_type").distinct()
+    )
     tot = ut.agg(F.countDistinct("user_id").cast("bigint").alias("u"))
     singles = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
@@ -1602,11 +1616,16 @@ def events_chi2_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells map-side; marginals and the grand total are aggregates OF THE
     CELLS (three tiny frames, broadcast back); nothing after the first
     fold touches corpus-sized data."""
+    from postrack_spark.session import pin_small
+
     ev = load_tables(spark, sf_dir)["events"]
-    o = (
+    # the O(types x segments) cell table feeds four branches (both
+    # margins, the total, the term scan) — pinned: one events scan.
+    o = pin_small(
+        "chi2_cells",
         ev.select("event_type", (F.col("user_id") % 5).alias("seg"))
         .groupBy("event_type", "seg")
-        .agg(F.count("*").cast("long").alias("obs"))
+        .agg(F.count("*").cast("long").alias("obs")),
     )
     r = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("rtot"))
     c = o.groupBy("seg").agg(F.sum("obs").cast("long").alias("ctot"))

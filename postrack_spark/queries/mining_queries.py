@@ -499,28 +499,36 @@ def inventory_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 9-cell matrix is the output."""
     from postrack_spark.operators.ranking import prefix_sums_by_key
 
+    from postrack_spark.session import pin_small
+
     li = load_tables(spark, sf_dir)["lineitem"]
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-        .cast("long")
-        .alias("cents")
+    # rev feeds the prefix sum AND the grand total; wq feeds the
+    # moments AND the week span (every lineitem row lands in wq, so
+    # count_distinct(wk) over wq equals the span over the raw scan) —
+    # both pinned: two lineitem scans instead of four.
+    rev = pin_small(
+        "axz_rev",
+        li.groupBy("l_partkey").agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        ),
     )
-    wq = (
+    wq = pin_small(
+        "axz_wq",
         li.select(
             "l_partkey",
             F.expr("unix_micros(l_shipdate) div 604800000000").alias("wk"),
             F.col("l_quantity").cast("long").alias("q"),
         )
         .groupBy("l_partkey", "wk")
-        .agg(F.sum("q").cast("long").alias("q"))
+        .agg(F.sum("q").cast("long").alias("q")),
     )
     mom = wq.groupBy("l_partkey").agg(
         F.sum("q").cast("long").alias("s"),
         F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
     )
-    wspan = li.select(
-        F.expr("unix_micros(l_shipdate) div 604800000000").alias("wk")
-    ).agg(F.count_distinct("wk").cast("long").alias("w"))
+    wspan = wq.agg(F.count_distinct("wk").cast("long").alias("w"))
     cum = prefix_sums_by_key(
         rev,
         [F.desc("cents"), F.asc("l_partkey")],
@@ -611,9 +619,16 @@ def quality_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9), F.expr("CAST((cents - lo) * 10 DIV (hi - lo + 1) AS BIGINT)")
         ).alias("bucket"),
     )
-    counts = bucketed.groupBy("bucket").agg(
-        F.count_if(F.col("grp") == 0).cast("long").alias("n_a"),
-        F.count_if(F.col("grp") == 1).cast("long").alias("n_b"),
+    from postrack_spark.session import pin_small
+
+    # the 10-row bin table feeds the totals AND the final select —
+    # pinned so the two fact passes (bounds + bucketing) run once.
+    counts = pin_small(
+        "drift_counts",
+        bucketed.groupBy("bucket").agg(
+            F.count_if(F.col("grp") == 0).cast("long").alias("n_a"),
+            F.count_if(F.col("grp") == 1).cast("long").alias("n_b"),
+        ),
     )
     tot = counts.agg(
         F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")

@@ -193,12 +193,20 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT over two customer-key sets."""
+    from postrack_spark.session import pin_small
+
     t = load_tables(spark, sf_dir)
-    buyers = (
-        t["orders"].filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey")).distinct()
+    # both key sets feed all three set operations — pinned so each
+    # table scans once per action, not three times.
+    buyers = pin_small(
+        "setops_buyers",
+        t["orders"].filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey")).distinct(),
     )
-    auto = t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
-        F.col("c_custkey").alias("custkey")
+    auto = pin_small(
+        "setops_auto",
+        t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+            F.col("c_custkey").alias("custkey")
+        ),
     )
     rows = [
         ("union", buyers.union(auto).distinct()),
@@ -1663,11 +1671,15 @@ def agg_exact_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     per operators/ranking.py); the selected middle ranks come from a
     broadcast count scalar; integer cents end to end."""
     from postrack_spark.operators.ranking import global_row_number
+    from postrack_spark.session import pin_small
 
-    per_cust = (
+    # the per-customer aggregate feeds three branches (count, median
+    # rank chain, deviation) — pinned: one orders scan, not 3.
+    per_cust = pin_small(
+        "mad_per_cust",
         load_tables(spark, sf_dir)["orders"]
         .groupBy(F.col("o_custkey").cast("long").alias("o_custkey"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")),
     )
     nf = per_cust.agg(F.count("*").cast("long").alias("n"))
 
@@ -2640,6 +2652,12 @@ def rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
+    from postrack_spark.session import pin_small
+
+    # the (region, nation) frame feeds the region totals, the grand
+    # total AND the final join — pinned so the fact aggregation chain
+    # runs once per action (3 scans of every input before).
+    rev = pin_small("sop_rev", rev)
     reg = rev.groupBy("r_name").agg(F.sum("cents").cast("long").alias("rcents"))
     tot = rev.agg(F.sum("cents").cast("long").alias("t"))
     return (
@@ -4526,14 +4544,21 @@ def profile_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             return round(mins[name] * 100), round(maxs[name] * 100)
         return int(mins[name]), int(maxs[name])
 
+    from postrack_spark.session import pin_small
+
     t = load_tables(spark, sf_dir)["orders"]
-    data = t.agg(
-        F.min("o_orderkey").cast("long").alias("min_ok"),
-        F.max("o_orderkey").cast("long").alias("max_ok"),
-        F.min("o_custkey").cast("long").alias("min_ck"),
-        F.max("o_custkey").cast("long").alias("max_ck"),
-        F.round(F.min("o_totalprice") * 100).cast("long").alias("min_tp"),
-        F.round(F.max("o_totalprice") * 100).cast("long").alias("max_tp"),
+    # the 1-row min/max frame feeds one branch per audited column —
+    # pinned so the orders scan runs once per action, not 3 times.
+    data = pin_small(
+        "footer_data",
+        t.agg(
+            F.min("o_orderkey").cast("long").alias("min_ok"),
+            F.max("o_orderkey").cast("long").alias("max_ok"),
+            F.min("o_custkey").cast("long").alias("min_ck"),
+            F.max("o_custkey").cast("long").alias("max_ck"),
+            F.round(F.min("o_totalprice") * 100).cast("long").alias("min_tp"),
+            F.round(F.max("o_totalprice") * 100).cast("long").alias("max_tp"),
+        ),
     )
     rows = []
     for col, lo, hi in (("o_custkey", "min_ck", "max_ck"),

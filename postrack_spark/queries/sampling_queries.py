@@ -15,9 +15,7 @@ from pyspark.sql import functions as F
 
 from postrack_spark.operators.dedup import (
     doc_shingles,
-    jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
 )
 from postrack_spark.operators.sampling import hash_sample, hash_split
 from postrack_spark.queries.dedup_queries import _BANDS_SQL, _SHINGLES_CTE, _SIG_CTE
@@ -128,11 +126,28 @@ def dedup_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFra
     machinery; the split label joins on afterwards, so candidate
     generation cost is shared with ordinary dedup, and the pair filter
     (split_a <> split_b) is the only addition."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    from postrack_spark.functions.text import minhash_expr
+    from postrack_spark.operators.dedup import jaccard_pairs_from_arrays
+    from postrack_spark.session import fan_out, pin_small
+
+    docs = fan_out(load_tables(spark, sf_dir)["documents"])
     shingles = doc_shingles(docs, "doc_id", "text", k=3)
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    # the dedup_minhash_lsh fused shape: ONE aggregation computes the
+    # 16 signature lanes AND the exact shingle set per doc, pinned, so
+    # the shingle explode runs once instead of twice (signature build +
+    # jaccard verify each re-ran it: 4 document scans before, 1 after).
+    per_doc = pin_small(
+        "xsplit_perdoc",
+        shingles.groupBy("doc").agg(
+            F.collect_set("tok").alias("toks"),
+            *[F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(16)],
+        ),
+    )
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
-    verified = jaccard_pairs(shingles, pairs=cand, threshold=0.5)
+    verified = jaccard_pairs_from_arrays(
+        per_doc.select("doc", "toks"), cand, threshold=0.5
+    )
     splits = hash_split(
         docs.select(F.col("doc_id").alias("doc")), "doc", test_rate=0.1
     ).select("doc", "split")

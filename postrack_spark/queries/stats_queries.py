@@ -747,16 +747,23 @@ def text_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postrack_spark.functions.text import tokens
     from postrack_spark.session import fan_out
 
+    from postrack_spark.session import pin_small
+
     docs = fan_out(load_tables(spark, sf_dir)["documents"])
-    freq = (
+    # the vocabulary-bounded wordcount feeds the rank histogram AND the
+    # totals, and the <=6-row histogram feeds its own shifted copy —
+    # pinned: one corpus explode, not 3.
+    freq = pin_small(
+        "gt_freq",
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
-        .agg(F.count("*").cast("long").alias("f"))
+        .agg(F.count("*").cast("long").alias("f")),
     )
-    nr = (
+    nr = pin_small(
+        "gt_nr",
         freq.filter(F.col("f") <= 6)
         .groupBy(F.col("f").alias("r"))
-        .agg(F.count("*").cast("long").alias("n_r"))
+        .agg(F.count("*").cast("long").alias("n_r")),
     )
     tot = freq.agg(
         F.sum("f").cast("long").alias("n_tokens"),
@@ -2018,15 +2025,22 @@ def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Timestamps are epoch-micros integers throughout. Scale: two
     user-keyed shuffle joins on pre-filtered event subsets, then
     three 1-row combines."""
+    from postrack_spark.session import pin_small
+
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
     )
-    v = (
+    # each per-stage frame feeds the next stage AND its own count —
+    # pinned (the events_ordered_funnel pattern): 6 events scans -> 3
+    # (one pushdown-filtered scan per stage).
+    v = pin_small(
+        "tw_funnel_v",
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("us").alias("v_us"))
+        .agg(F.min("us").alias("v_us")),
     )
-    c = (
+    c = pin_small(
+        "tw_funnel_c",
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(
@@ -2034,7 +2048,7 @@ def events_funnel_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("us") <= F.col("v_us") + F.lit(86400000000))
         )
         .groupBy("user_id")
-        .agg(F.min("us").alias("c_us"))
+        .agg(F.min("us").alias("c_us")),
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2646,14 +2660,19 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), the pick is orderBy().limit(1) with earliest-day
     tie-break, and everything is integer dollars. One data-sized
     aggregate; days-sized everything else."""
-    daily = (
+    from postrack_spark.session import pin_small
+
+    # days-sized frame with three consumers (prefix-max self-join both
+    # sides, the count) — pinned: one orders scan, not 3.
+    daily = pin_small(
+        "mdd_daily",
         load_tables(spark, sf_dir)["orders"]
         .select(
             F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .groupBy("d")
-        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y"))
+        .agg(F.expr("CAST(sum(cents) DIV 100 AS BIGINT)").alias("y")),
     )
     h = daily.select(F.col("d").alias("hd"), F.col("y").alias("hy"))
     rm = (
@@ -3914,8 +3933,16 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10000) by convention. This is the query that would have caught a
     too-tight blocking key before it silently dropped recall at
     100 TB."""
-    d = load_tables(spark, sf_dir)["documents"].select(
-        "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("fp")
+    from postrack_spark.session import pin_small
+
+    # d feeds five branches (count, both join sides twice) and its md5
+    # fingerprint is the expensive per-row compute — pinned so the text
+    # hashes once per action (5 scans before, 1 after).
+    d = pin_small(
+        "bq_d",
+        load_tables(spark, sf_dir)["documents"].select(
+            "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("fp")
+        ),
     )
     n = d.agg(F.count("*").cast("long").alias("n"))
     b = d.select(
@@ -4998,14 +5025,20 @@ def cochran_q_from_pairs(pu: DataFrame) -> DataFrame:
     success-pair relation — shared by the batch query and
     streaming_cochran_state (whose multiplicity view makes DISTINCT
     streamable: fold counts, read rows with c > 0)."""
+    from postrack_spark.session import pin_small
+
     k = len(_EV_TYPES)
+    # pu feeds both margin aggregates and the 1-row m frame feeds the
+    # numerator AND the final combine — pinned so the pair relation
+    # computes once per action (3 scans before, 1 after).
+    pu = pin_small("cochran_pu", pu)
     rows_tot = pu.groupBy("user_id").agg(F.count("*").cast("long").alias("r"))
     cols_tot = pu.groupBy("event_type").agg(F.count("*").cast("long").alias("c"))
-    m = rows_tot.agg(
+    m = pin_small("cochran_m", rows_tot.agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum(F.col("r") * F.col("r")).cast("long").alias("s_rowsq"),
         F.sum("r").cast("long").alias("n_succ"),
-    ).select("n_users", F.lit(k).cast("long").alias("k"), "n_succ", "s_rowsq")
+    ).select("n_users", F.lit(k).cast("long").alias("k"), "n_succ", "s_rowsq"))
     numer = (
         cols_tot.crossJoin(F.broadcast(m))
         .select(
@@ -5634,9 +5667,18 @@ def agg_misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST(floor(sqrt(CAST(o_orderkey % 10000 AS DOUBLE))) AS BIGINT)"
         ).alias("key")
     )
+    from postrack_spark.session import pin_small
+
     cand = misra_gries_candidates(base, "key", k)
-    exact = base.groupBy("key").agg(F.count("*").cast("long").alias("true_n"))
-    n = base.agg(F.count("*").cast("long").alias("n"))
+    # exact key counts feed the heavy-set filter AND the total (n =
+    # Σ true_n, exact by construction) — pinned so only the sketch pass
+    # and one exact pass scan orders (3 scans before, 2 after; the
+    # sketch MUST see the raw row stream, so its scan stays).
+    exact = pin_small(
+        "mg_exact",
+        base.groupBy("key").agg(F.count("*").cast("long").alias("true_n")),
+    )
+    n = exact.agg(F.sum("true_n").cast("long").alias("n"))
     heavy = (
         exact.crossJoin(F.broadcast(n))
         .filter(F.col("true_n") > F.expr("n DIV 65"))
@@ -5985,14 +6027,19 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     ranked = global_row_number(base, [F.asc("cents"), F.asc("o_orderkey")], "rn")
-    tot = base.agg(F.count("*").cast("long").alias("n"))
+    # ranked is materialized by the ranking operator's determinism pin
+    # and carries every base column, so the count (n = max rn, exact by
+    # construction of row_number over a total order) and the
+    # classification pass both read it instead of re-running the orders
+    # scan (4 scans before, 1 after).
+    tot = ranked.agg(F.max("rn").cast("long").alias("n"))
     med = (
         ranked.crossJoin(F.broadcast(tot))
         .filter(F.expr("rn = (n + 1) DIV 2"))
         .select(F.col("cents").alias("med"))
     )
     cells = (
-        base.crossJoin(F.broadcast(med))
+        ranked.crossJoin(F.broadcast(med))
         .groupBy("p")
         .agg(
             F.sum(F.when(F.col("cents") > F.col("med"), 1).otherwise(0))
@@ -6089,6 +6136,11 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "d")
         .agg(F.count("*").cast("long").alias("c"))
     )
+    from postrack_spark.session import pin_small
+
+    # O(types x days) frame with four consumers (moments, both lag-join
+    # sides, the denominator) — pinned: one events scan, not 4.
+    daily = pin_small("dw_daily", daily)
     m = daily.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("s")
     )
@@ -6225,10 +6277,18 @@ def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g", F.col("cents").alias("m"))
     dev = base.join(F.broadcast(med), "g").select(
         "g", F.expr("abs(cents - m) DIV 100").alias("z"))
-    grp = dev.groupBy("g").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("z").cast("long").alias("s"),
-        F.sum(F.col("z") * F.col("z")).cast("long").alias("ss"),
+    from postrack_spark.session import pin_small
+
+    # the 5-row per-group sufficient-statistic frame feeds the grand
+    # total AND the final select — pinned so the rank+deviation chain
+    # (two orders scans) runs once per action (4 scans before, 2 after).
+    grp = pin_small(
+        "bf_grp",
+        dev.groupBy("g").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("z").cast("long").alias("s"),
+            F.sum(F.col("z") * F.col("z")).cast("long").alias("ss"),
+        ),
     )
     tot = grp.agg(
         F.count("*").cast("long").alias("k"),
@@ -6695,11 +6755,21 @@ def events_daily_type_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].select(
         F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type"
     )
-    counts = ev.groupBy("d", "event_type").agg(
-        F.count("*").cast("long").alias("n")
+    from postrack_spark.session import pin_small
+
+    # the day x type count grid is the sufficient statistic: the day
+    # totals, the global type mix (its day margin) and the term join
+    # all derive from this one pinned frame — one events scan, not 4.
+    counts = pin_small(
+        "tv_counts",
+        ev.groupBy("d", "event_type").agg(
+            F.count("*").cast("long").alias("n")
+        ),
     )
     days = counts.groupBy("d").agg(F.sum("n").cast("long").alias("dt"))
-    types = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("gcnt"))
+    types = counts.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("gcnt")
+    )
     tot = types.agg(F.sum("gcnt").cast("long").alias("gt"))
     grid = days.crossJoin(F.broadcast(types))
     terms = (
@@ -7038,12 +7108,17 @@ def events_mad_robust_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank selections over the O(days) frame, broadcast scalar joins."""
     from postrack_spark.operators.ranking import global_row_number
 
+    from postrack_spark.session import pin_small
+
     t = load_tables(spark, sf_dir)
-    daily = (
+    # days-sized frames, each with 2-3 consumers (count, rank chain,
+    # deviation/final) — pinned: one events scan, not 3.
+    daily = pin_small(
+        "madz_daily",
         t["events"]
         .select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .groupBy("d")
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.count("*").cast("long").alias("c")),
     )
     nf = daily.agg(F.count("*").cast("long").alias("n"))
 
@@ -7064,8 +7139,11 @@ def events_mad_robust_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = middle_sum(daily, "c", "d", "med_x2")
-    dev = daily.crossJoin(F.broadcast(med)).select(
-        "d", "c", F.abs(2 * F.col("c") - F.col("med_x2")).alias("dv")
+    dev = pin_small(
+        "madz_dev",
+        daily.crossJoin(F.broadcast(med)).select(
+            "d", "c", F.abs(2 * F.col("c") - F.col("med_x2")).alias("dv")
+        ),
     )
     mad = middle_sum(dev, "dv", "d", "mad_x4")
     return (

@@ -1217,16 +1217,24 @@ def text_corpus_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank INSIDE the 20 survivors is a 20x20 broadcast self-comparison
     (count of strictly-better rows + 1) — deterministic because the
     (n DESC, tok ASC) order is total. Zero WindowExec in the plan."""
+    from postrack_spark.session import pin_small
+
     t = load_tables(spark, sf_dir)
     toks = fan_out(t["documents"]).select(F.explode(F.split("text", " ")).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # the vocabulary-bounded count frame feeds the corpus total AND the
+    # top-20 pick, and the 20-row top frame feeds both sides of the
+    # rank self-comparison — pinned: one corpus explode, not 4.
+    counts = pin_small(
+        "ctf_counts", toks.groupBy("tok").agg(F.count("*").alias("n"))
+    )
     total = counts.groupBy().agg(F.sum("n").alias("__total"))
-    top = (
+    top = pin_small(
+        "ctf_top",
         counts.crossJoin(F.broadcast(total))  # 1-row summary combine
         .withColumn("share", F.round(F.col("n") / F.col("__total"), 6))
         .drop("__total")
         .orderBy(F.desc("n"), F.asc("tok"))
-        .limit(20)
+        .limit(20),
     )
     better = (F.col("b.n") > F.col("a.n")) | (
         (F.col("b.n") == F.col("a.n")) & (F.col("b.tok") < F.col("a.tok"))
@@ -1754,12 +1762,15 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
-    df = toks.groupBy("tok").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
-    )
+    # df as a per-token window count OVER tf (tf has exactly one row
+    # per (doc, tok), so count(*) per tok = distinct docs): one corpus
+    # explode + one extra token-keyed exchange instead of a SECOND
+    # full explode pass + a vocab join (3 document scans before, 2
+    # after — the remaining two are the tf explode and the 1-row N).
+    w_tok = Window.partitionBy("tok")
     n = t["documents"].groupBy().agg(F.count("*").cast("bigint").alias("n_docs"))
     scored = (
-        tf.join(df, "tok")
+        tf.withColumn("df", F.count("*").over(w_tok).cast("bigint"))
         .crossJoin(F.broadcast(n))  # 1-row corpus size
         .withColumn(
             "score_micro",
@@ -1833,23 +1844,33 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is orderBy().limit() = TakeOrderedAndProject. Headroom: the
     numerator needs ~63 bits when L*tf ~ 1e14; shrink the micro factor
     for larger corpora."""
+    from postrack_spark.session import pin_small
+
     t = load_tables(spark, sf_dir)
     terms = ["fast", "value", "error"]
     docs = fan_out(t["documents"])
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
         F.col("tok").isin(terms)
     )
-    dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    dl = pin_small(
+        "bm25r_dl",
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+        ),
     )
-    corpus = docs.groupBy().agg(
+    corpus = dl.groupBy().agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_len"),
+        F.sum("dl").cast("bigint").alias("total_len"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
-    df = toks.groupBy("tok").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
+    # tf is bounded by the 3-term query vocabulary; df derives from it
+    # (one row per (doc, tok) means count(*) per tok = distinct docs),
+    # and dl feeds both the score join and the corpus stats — pinned:
+    # 2 document scans instead of 4.
+    tf = pin_small(
+        "bm25r_tf",
+        toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf")),
     )
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "tok")
         .join(dl, "doc_id")
@@ -2366,14 +2387,23 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_both*N*1e4 < 9.2e18, i.e. fine while n_both*N < 9e14 — at
     web scale, cap the vocabulary or coarsen to pp1000. Top-20 plans
     as TakeOrderedAndProject."""
+    from postrack_spark.session import pin_small
+
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = (
+    # toks feeds three branches (df counts, vocab filter, corpus size)
+    # and vocab feeds three (the filter + both lift margins) — pinned:
+    # one corpus explode instead of five. toks is data-sized but two
+    # narrow columns; one materialization beats four re-derivations.
+    toks = pin_small(
+        "cooc_toks",
         docs.select(F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
-        .distinct()
+        .distinct(),
     )
     dfreq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
-    vocab = dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(50)
+    vocab = pin_small(
+        "cooc_vocab", dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(50)
+    )
     vt = toks.join(F.broadcast(vocab.select("tok")), "tok")
     n = toks.select("doc").distinct().agg(F.count("*").cast("long").alias("n_docs"))
     per_doc = vt.groupBy("doc").agg(F.collect_set("tok").alias("ts"))
