@@ -67,11 +67,20 @@ def ivf_assign(
     sims = df.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim", cosine(as_double_array(vec_col), F.col("centroid"))
     )
-    # deterministic tie-break: higher sim wins, then lower label
-    best = sims.groupBy(id_col).agg(
-        F.max_by("label", F.struct(F.col("__sim"), (-F.col("label")).alias("nl"))).alias(out_col)
-    )
-    return df.join(best, id_col)
+    # deterministic tie-break: higher sim wins, then lower label.
+    # The input's own columns ride through the aggregate via first()
+    # — every row of an id group carries IDENTICAL df columns (the
+    # crossJoin only varies the centroid side), so first() is
+    # value-deterministic — instead of re-joining df on the id, which
+    # re-derived (and re-scanned) the whole input subtree a second
+    # time per call (2 corpus passes per assignment before, 1 after).
+    carried = [c for c in df.columns if c != id_col]
+    return sims.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carried],
+        F.max_by(
+            "label", F.struct(F.col("__sim"), (-F.col("label")).alias("nl"))
+        ).alias(out_col),
+    ).select(id_col, *carried, out_col)
 
 
 def kmeans_lloyd(
