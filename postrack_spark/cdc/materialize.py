@@ -112,14 +112,11 @@ def apply_changes(changes: DataFrame, key_expr, key_name: str = "__key") -> Data
     2. drop keys whose surviving event is at or before the table's
        last TRUNCATE, and keys whose final event is DELETE
 
-    Compact-then-truncate-filter is equivalent to filtering pre-TRUNCATE
-    events first (pgoutput events carry full row images, so a key's
-    state is its latest event alone: if that event postdates the
-    truncate the key was re-created and survives; if not, the key was
-    wiped) — and it reads the stream ONCE: the watermark branch derives
-    from the same compaction shuffle, which Spark's ReuseExchange shares,
-    instead of re-scanning the source (the previous shape's second scan
-    + shuffle was the dominant cost at volume).
+    Filtering pre-TRUNCATE events BEFORE compaction is equivalent to
+    compacting first and filtering after (pgoutput events carry full
+    row images, so a key's state is its latest event alone: if that
+    event postdates the truncate the key was re-created and survives;
+    if not, the key was wiped).
 
     `key_expr` extracts the primary key from an envelope row (typically
     ``typed_column("after", pk, t)`` coalesced with the before image,

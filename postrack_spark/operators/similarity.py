@@ -63,7 +63,13 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid: broadcast codebook,
     argmax via max_by — a single aggregation, no window, no extra
-    shuffle beyond the groupBy on the id."""
+    shuffle beyond the groupBy on the id.
+
+    CONTRACT: ``id_col`` must be unique in ``df`` (it is an id). The
+    input's other columns ride through the aggregate via first(),
+    which is value-deterministic only because an id group's rows are
+    identical copies produced by the centroid crossJoin; duplicate ids
+    with differing payloads would collapse nondeterministically."""
     sims = df.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim", cosine(as_double_array(vec_col), F.col("centroid"))
     )

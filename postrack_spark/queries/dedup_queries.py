@@ -22,25 +22,18 @@ from postrack_spark.operators.dedup import (
     simhash_chunk_blocks,
 )
 from postrack_spark.queries.registry import query
-from postrack_spark.session import fan_out, load_tables
+from postrack_spark.session import fan_out, load_tables, pin_small
 
 # The MinHash pipeline references the shingle relation from two subtrees
-# (signature build and Jaccard verify); persisting it makes the explode
+# (signature build and Jaccard verify); pinning it makes the explode
 # compute once per action instead of twice — the same call a 100 TB run
-# would make (the shingle scan is the dominant cost there). One pinned
-# DF per name: a repeat call unpersists the previous lineage so repeated
-# bench/test invocations don't accumulate cached copies.
-_PINNED: dict = {}
-
-
-def _pin(name: str, df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    old = _PINNED.pop(name, None)
-    if old is not None:
-        old.unpersist()
-    _PINNED[name] = df.persist(StorageLevel.MEMORY_AND_DISK)
-    return _PINNED[name]
+# would make (the shingle scan is the dominant cost there). The module
+# used to carry its own _pin registry predating session.pin_small; both
+# were byte-identical, and two disjoint registries meant double
+# bookkeeping for the same cached plans — all pins now route through
+# the one session registry (which also bounds total resident pins and
+# survives session restarts).
+_pin = pin_small
 
 
 @query(

@@ -142,8 +142,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 # name -> persisted DataFrame. pin_small unpersists the previous pin of
 # the same name so repeated query invocations (bench passes, sweeps)
-# never accumulate cached relations.
-_PINNED_SMALL: dict[str, DataFrame] = {}
+# never accumulate cached relations; the LRU cap below bounds how many
+# DISTINCT pins a long-running process (a full registry sweep) can hold
+# at once.
+_PINNED_SMALL: "dict[str, DataFrame]" = {}
+_PINNED_ORDER: list[str] = []
+# No single query pins more than ~5 frames; 16 keeps every pin of the
+# current query (and usually the previous one) resident while a
+# 500-query sweep steadily releases older queries' pins instead of
+# accumulating hundreds of cached relations for process lifetime.
+_PINNED_MAX = 16
+
+
+def _unpersist_quietly(df: DataFrame) -> None:
+    # The registry is module-global: a pin can outlive the session that
+    # created it (session restarted between query constructions).
+    # Unpersisting through a stopped SparkContext raises from py4j;
+    # dropping the bookkeeping entry is all that matters then.
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001 — stopped/replaced session
+        pass
 
 
 def pin_small(name: str, df: DataFrame) -> DataFrame:
@@ -164,14 +183,29 @@ def pin_small(name: str, df: DataFrame) -> DataFrame:
     (per-language/per-day/per-key-threshold aggregates, candidate
     lists), never a relation that grows with the input — at 100 TB the
     pin must stay a footnote. Each invocation re-persists fresh lineage
-    (results are never shared across runs; the registry exists only to
-    unpersist the previous run's pin)."""
+    (results are never shared across RE-invocations of the same query:
+    the re-pin unpersists the previous entry — including any canonical
+    CacheManager alias — before persisting fresh). Known, accepted
+    subtlety: two DIFFERENT pins whose plans are canonically identical
+    (e.g. two queries deriving the same per-day aggregate) alias ONE
+    CacheManager entry within a process, so the second persist is a
+    no-op and an eviction under either name un-materializes both; this
+    only ever costs a recompute, never a stale result, because every
+    invocation re-registers its own fresh lineage."""
     from pyspark import StorageLevel
 
     old = _PINNED_SMALL.pop(name, None)
     if old is not None:
-        old.unpersist()
+        _unpersist_quietly(old)
+    if name in _PINNED_ORDER:
+        _PINNED_ORDER.remove(name)
+    while len(_PINNED_ORDER) >= _PINNED_MAX:
+        evicted = _PINNED_ORDER.pop(0)
+        dropped = _PINNED_SMALL.pop(evicted, None)
+        if dropped is not None:
+            _unpersist_quietly(dropped)
     _PINNED_SMALL[name] = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED_ORDER.append(name)
     return _PINNED_SMALL[name]
 
 
