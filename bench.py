@@ -122,6 +122,16 @@ def main() -> None:
                 "queries_best": best,
                 "r1_comparable_subtotal_best": round(sum(best[n] for n in r1_names), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Scaling observability (additions only — every earlier
+                # key is unchanged): the driver benches at several core
+                # counts; echoing the session's actual master string and
+                # scheduler parallelism makes "honored but
+                # overhead-bound" distinguishable from "ignored" in the
+                # bench line itself.
+                "cpus_env": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "cpus_effective": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
                 "pgoutput_decode_events_per_sec_1thread": _decode_rate(),
             }
         )

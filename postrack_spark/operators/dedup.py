@@ -222,6 +222,20 @@ def jaccard_pairs_from_arrays(
     return _verify_pairs(sets_, pairs, None, threshold)
 
 
+def jaccard_all_pairs_from_arrays(arrays_df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """ALL-pairs exact Jaccard (inverted-index join) from a (doc, toks
+    array) input: the exploded (doc, tok) relation is re-derived by
+    exploding the arrays — when `arrays_df` is a materialized per-doc
+    frame that is a cheap re-slice, not a re-tokenization of the corpus
+    — and set sizes come from size(toks) instead of a second count
+    aggregate. Same output contract as :func:`jaccard_pairs` with
+    pairs=None. Evaluation-tier only: the all-pairs co-token join is
+    the thing LSH exists to avoid at scale."""
+    sets_ = arrays_df.select("doc", "toks", F.size("toks").alias("n_tok"))
+    toks = arrays_df.select("doc", F.explode("toks").alias("tok"))
+    return _verify_pairs(sets_, None, toks, threshold)
+
+
 def _verify_pairs(
     sets_: DataFrame, pairs: DataFrame | None, tokens_df: DataFrame | None, threshold: float
 ) -> DataFrame:

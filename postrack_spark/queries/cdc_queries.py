@@ -53,8 +53,10 @@ _CHANGES_CTE = """
     """,
 )
 def cdc_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Envelope integrity: per-op counts and LSN ranges over the stream."""
-    ch = orders_changes(spark, sf_dir)
+    """Envelope integrity: per-op counts and LSN ranges over the stream.
+    Consumes only (op, lsn, txid) — the capture-side column list keeps
+    the images at the replica identity so the scan reads one column."""
+    ch = orders_changes(spark, sf_dir, columns=["o_orderkey"])
     return (
         ch.groupBy("op")
         .agg(
@@ -464,8 +466,10 @@ def cdc_op_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-integrity analytics: the op-transition matrix per key
     (INSERT must start every key's history, DELETE must be terminal,
     UPDATE follows INSERT/UPDATE) — the validation view a CDC consumer
-    runs to detect capture gaps. One lag window per key."""
-    ch = orders_changes(spark, sf_dir)
+    runs to detect capture gaps. One lag window per key. Consumes only
+    (key, lsn, op) — capture-side column list, so images never carry
+    the five unread columns through the window shuffle."""
+    ch = orders_changes(spark, sf_dir, columns=["o_orderkey"])
     key = F.coalesce(
         typed_column("after", "o_orderkey", "long"),
         typed_column("before", "o_orderkey", "long"),
@@ -517,56 +521,63 @@ def cdc_sequence_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     captured stream (and the oracle recomputes them from the scripted
     generation rules, so a decode or replay bug that forges ops or
     reorders LSNs fails the hash gate, not just an eyeball check).
-    Plan: one per-key aggregate + two broadcast-key probes + one LSN
-    duplicate count — all O(events) shuffles on the key/lsn."""
-    ch = orders_changes(spark, sf_dir)
+    Plan: one key-partitioned window + per-key aggregate sharing its
+    exchange (folds keys/events/first-op/after-delete counters in a
+    single pass, nothing pinned) + one lsn-pruned duplicate count."""
+    # capture-side column list (the WithSelector twin, cf.
+    # cdc_latest_per_key_materialize): this query consumes only
+    # (key, lsn, op), so the envelope images are never built wider than
+    # the replica identity — the main pass scans one parquet column
+    # instead of six (before: full-width ReadSchema; Catalyst cannot
+    # prune through the conditional map constructors).
+    ch = orders_changes(spark, sf_dir, columns=["o_orderkey"])
     key = F.coalesce(
         typed_column("after", "o_orderkey", "long"),
         typed_column("before", "o_orderkey", "long"),
     )
-    from postrack_spark.session import pin_small
-
-    # five integrity probes consume the same 3-column event projection
-    # and three consume the per-key bounds; without pins each probe
-    # re-ran the envelope generation chain (measured 7 scans before).
-    # ev is data-sized but 3 narrow columns — one materialization vs
-    # four re-derivations of the exploded envelope stream.
-    ev = pin_small("seqint_ev", ch.select(key.alias("k"), "lsn", "op"))
-    per_key = pin_small(
-        "seqint_perkey",
-        ev.groupBy("k").agg(
-            F.min("lsn").alias("min_lsn"),
-            F.min(F.when(F.col("op") == "DELETE", F.col("lsn"))).alias("del_lsn"),
-        ),
+    # No pins (the previous shape pinned the full 3-column event stream
+    # — an O(input) materialization forbidden by pin_small's contract).
+    # The four per-key probes instead fold in ONE pass: a key-partitioned
+    # window attaches each key's min lsn / first DELETE lsn to every
+    # event, the per-key groupBy REUSES the window's partitioning (no
+    # second exchange — guide §2.4), and a single global aggregate folds
+    # the four counters. Duplicate-LSN detection needs an lsn-keyed
+    # shuffle, so it stays a second pass — column-pruned to the lsn
+    # alone (no envelope map is ever built on that branch).
+    ev = ch.select(key.alias("k"), "lsn", "op")
+    w = Window.partitionBy("k")
+    ev2 = ev.select(
+        "k",
+        "lsn",
+        "op",
+        F.min("lsn").over(w).alias("min_lsn"),
+        F.min(F.when(F.col("op") == "DELETE", F.col("lsn"))).over(w).alias("del_lsn"),
     )
-    firsts = ev.join(
-        per_key.select("k", "min_lsn"),
-        (ev.k == per_key.k) & (ev.lsn == per_key.min_lsn),
-    ).select(ev.op)
-    n_keys = per_key.agg(F.count("*").cast("long").alias("n_keys"))
-    n_events = ev.agg(F.count("*").cast("long").alias("n_events"))
-    fni = firsts.agg(
-        F.sum(F.when(F.col("op") != "INSERT", 1).otherwise(0))
-        .cast("long")
-        .alias("first_not_insert")
+    per_key_stats = ev2.groupBy("k").agg(
+        F.count("*").alias("n_ev"),
+        F.sum(
+            F.when((F.col("lsn") == F.col("min_lsn")) & (F.col("op") != "INSERT"), 1)
+            .otherwise(0)
+        ).alias("n_first_not_insert"),
+        F.sum(
+            F.when(F.col("del_lsn").isNotNull() & (F.col("lsn") > F.col("del_lsn")), 1)
+            .otherwise(0)
+        ).alias("n_after_delete"),
     )
-    oad = (
-        ev.join(per_key.select("k", "del_lsn"), "k")
-        .filter(F.col("del_lsn").isNotNull() & (F.col("lsn") > F.col("del_lsn")))
-        .agg(F.count("*").cast("long").alias("ops_after_delete"))
+    main = per_key_stats.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum("n_first_not_insert").cast("long").alias("first_not_insert"),
+        F.sum("n_after_delete").cast("long").alias("ops_after_delete"),
     )
     dups = (
-        ev.groupBy("lsn")
+        ch.select("lsn")
+        .groupBy("lsn")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") > 1)
         .agg(F.count("*").cast("long").alias("dup_lsns"))
     )
-    return (
-        n_keys.crossJoin(F.broadcast(n_events))  # 1-row combines
-        .crossJoin(F.broadcast(fni))
-        .crossJoin(F.broadcast(oad))
-        .crossJoin(F.broadcast(dups))
-    )
+    return main.crossJoin(F.broadcast(dups))  # 1-row combine
 
 
 @query(
@@ -1220,20 +1231,23 @@ def cdc_forget_keys_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     head = ch.agg(F.max("lsn").cast("long").alias("head_lsn"))
     # current live state; purge membership is a pure key predicate.
-    # live is the O(keys) compacted frame and feeds THREE branches
-    # (audit count, synthetic deletes, and nothing downstream re-needs
-    # the raw stream for them) — pinned so the scan -> envelope ->
-    # compaction chain runs once for the purge-list side (7 orders
-    # scans before, 5 after; the augmented replay keeps its own raw
-    # passes by design — deletion must be DATA through the same
-    # machinery, see the docstring).
-    live = pin_small(
-        "fkp_live", apply_changes(ch, key, key_name="o_orderkey")
+    live = apply_changes(ch, key, key_name="o_orderkey")
+    # The multi-consumer frame (audit count + synthetic deletes) is the
+    # purged KEY LIST — O(|deletion requests|), the quantity the
+    # forget_keys operator already documents as small — NOT the full
+    # compacted table this query used to pin (an O(keys) MEMORY_AND_DISK
+    # materialization that violated pin_small's bounded-frame contract
+    # at 100 TB). The synthetic DELETE's before image carries exactly
+    # the replica identity (the key): that is all replay needs to
+    # tombstone — a DELETE's image never reaches the output (the
+    # surviving op != DELETE filter), so the purged state is unchanged.
+    purged_keys = pin_small(
+        "fkp_purged_keys",
+        live.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
     )
-    purged = live.filter(F.col("o_orderkey") % 7 == 0)
-    n_purged = purged.agg(F.count("*").cast("long").alias("n_purged"))
+    n_purged = purged_keys.agg(F.count("*").cast("long").alias("n_purged"))
     # deletion requests as DATA: synthetic DELETE envelopes past head
-    del_events = purged.crossJoin(F.broadcast(head)).select(
+    del_events = purged_keys.crossJoin(F.broadcast(head)).select(
         (F.col("head_lsn") + F.col("o_orderkey") + 1).cast("long").alias("lsn"),
         F.lit(None).cast("long").alias("txid"),
         F.lit(None).cast("timestamp").alias("commit_ts"),
@@ -1241,7 +1255,9 @@ def cdc_forget_keys_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("orders").alias("table"),
         F.lit("DELETE").alias("op"),
         null_map().alias("after"),
-        F.col("after").alias("before"),
+        F.create_map(
+            F.lit("o_orderkey"), F.col("o_orderkey").cast("string")
+        ).alias("before"),
     )
     purged_state = apply_changes(
         ch.unionByName(del_events), key, key_name="o_orderkey"

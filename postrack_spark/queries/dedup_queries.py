@@ -16,7 +16,6 @@ from postrack_spark.operators.dedup import (
     hamming,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
     normalized_duplicates,
     simhash_bits,
     simhash_chunk_blocks,
@@ -24,16 +23,52 @@ from postrack_spark.operators.dedup import (
 from postrack_spark.queries.registry import query
 from postrack_spark.session import fan_out, load_tables, pin_small
 
-# The MinHash pipeline references the shingle relation from two subtrees
-# (signature build and Jaccard verify); pinning it makes the explode
-# compute once per action instead of twice — the same call a 100 TB run
-# would make (the shingle scan is the dominant cost there). The module
-# used to carry its own _pin registry predating session.pin_small; both
-# were byte-identical, and two disjoint registries meant double
-# bookkeeping for the same cached plans — all pins now route through
-# the one session registry (which also bounds total resident pins and
-# survives session restarts).
+# The MinHash pipeline references the per-doc frame from two subtrees
+# (LSH banding and Jaccard verify); pinning it makes the shingle explode
+# + fused aggregation compute once per action instead of twice — the
+# same call a 100 TB run would make (the shingle scan is the dominant
+# cost there). The module used to carry its own _pin registry predating
+# session.pin_small; both were byte-identical, and two disjoint
+# registries meant double bookkeeping for the same cached plans — all
+# pins now route through the one session registry (which also bounds
+# total resident pins and survives session restarts).
 _pin = pin_small
+
+
+def _minhash_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused per-doc MinHash frame every shingle-LSH query consumes:
+    ONE aggregation over ONE shingle explode computes the 16 signature
+    lanes AND the exact shingle set per doc, pinned under ONE shared
+    name.
+
+    Two contracts live here (optimization rounds 8-9):
+    - Pin the BOUNDED per-doc reduction (|docs| rows), never the
+      corpus-sized shingle explode: four sibling queries used to pin
+      the raw (doc, shingle) relation, which wins at sf0.1 but at
+      100 TB means materializing a corpus-scale frame to executor
+      disks — slower and capacity-infeasible vs recomputing a
+      codegen'd explode. Deriving the LSH candidates from h0..h15 and
+      the exact verify from the toks arrays keeps one corpus pass with
+      an O(docs) materialization.
+    - ONE pin name for the one shared frame: per-query names
+      ('clusters_shingles', 'funnel_shingles', ...) built canonically
+      identical plans that aliased a single CacheManager entry anyway
+      (the later persists were no-ops reading the earlier query's
+      materialization) — the shared name makes the reuse explicit and
+      re-invocation semantics exact (fresh lineage per call).
+    """
+    from postrack_spark.functions.text import minhash_expr
+
+    t = load_tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    shingles = doc_shingles(docs, "doc_id", "text", k=3)
+    return _pin(
+        "minhash_perdoc",
+        shingles.groupBy("doc").agg(
+            F.collect_set("tok").alias("toks"),
+            *[F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(16)],
+        ),
+    )
 
 
 @query(
@@ -158,25 +193,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep signatures discriminative on small vocabularies — the unigram
     variant measured 11.1M candidate pairs / 320 s at sf0.1; this one
     1.5k pairs. Bucket cap 100 drops degenerate near-constant text."""
-    from postrack_spark.functions.text import minhash_expr
     from postrack_spark.operators.dedup import jaccard_pairs_from_arrays
 
-    t = load_tables(spark, sf_dir)
-    docs = fan_out(t["documents"])
-    shingles = doc_shingles(docs, "doc_id", "text", k=3)
     # ONE aggregation computes the 16 signature lanes AND the exact
     # shingle set per doc — the signature build and the Jaccard verify
     # previously each shuffled the full shingle relation; fusing them
     # halves the passes over the widest intermediate (the dominant cost
     # at 100 TB, where the shingle relation is corpus-sized). The
     # persisted per-doc frame is |docs| rows, not |shingles|.
-    per_doc = _pin(
-        "minhash_perdoc",
-        shingles.groupBy("doc").agg(
-            F.collect_set("tok").alias("toks"),
-            *[F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(16)],
-        ),
-    )
+    per_doc = _minhash_perdoc(spark, sf_dir)
     sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
     verified = jaccard_pairs_from_arrays(per_doc.select("doc", "toks"), cand, threshold=0.5)
@@ -357,14 +382,20 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive. The cluster id IS the min member doc_id (canonical
     representative). The oracle computes the same closure with a
     recursive CTE."""
-    from postrack_spark.operators.dedup import connected_components
+    from postrack_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_from_arrays,
+    )
 
-    t = load_tables(spark, sf_dir)
-    docs = fan_out(t["documents"])
-    shingles = _pin("clusters_shingles", doc_shingles(docs, "doc_id", "text", k=3))
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    # bounded per-doc pin, not the corpus-sized shingle explode — see
+    # _minhash_perdoc (the signature build and the exact verify both
+    # read the fused O(docs) frame; one shingle pass per action).
+    per_doc = _minhash_perdoc(spark, sf_dir)
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
-    pairs = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_from_arrays(
+        per_doc.select("doc", "toks"), cand, threshold=0.5
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     return (
         comp.groupBy("cluster")
@@ -483,14 +514,21 @@ def dedup_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster count — the summary a training-data pipeline reports after
     each dedup tier. Composes exact fingerprinting, shingle MinHash+LSH
     and connected components over one shared shingle scan."""
-    from postrack_spark.operators.dedup import connected_components
+    from postrack_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_from_arrays,
+    )
 
     t = load_tables(spark, sf_dir)
     docs = fan_out(t["documents"])
-    shingles = _pin("funnel_shingles", doc_shingles(docs, "doc_id", "text", k=3))
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    # bounded per-doc pin, not the corpus-sized shingle explode — see
+    # _minhash_perdoc.
+    per_doc = _minhash_perdoc(spark, sf_dir)
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
-    pairs = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_from_arrays(
+        per_doc.select("doc", "toks"), cand, threshold=0.5
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     summary = comp.agg(
         F.count("*").alias("n_neardup_docs"),
@@ -544,12 +582,18 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry (16 hashes × 8 bands of 2 ⇒ P(candidate|J=0.5)≈0.90).
     Evaluation-only: the exact all-pairs join is the thing LSH exists
     to avoid at scale, run here to certify the approximation."""
-    t = load_tables(spark, sf_dir)
-    docs = fan_out(t["documents"])
-    shingles = _pin("recall_shingles", doc_shingles(docs, "doc_id", "text", k=3))
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    from postrack_spark.operators.dedup import jaccard_all_pairs_from_arrays
+
+    # bounded per-doc pin, not the corpus-sized shingle explode — see
+    # _minhash_perdoc. The ground-truth inverted-index join re-derives
+    # its (doc, tok) rows by EXPLODING the pinned arrays (a re-slice of
+    # the materialized frame, not a second corpus tokenization).
+    per_doc = _minhash_perdoc(spark, sf_dir)
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
-    exact = jaccard_pairs(shingles, pairs=None, threshold=0.5).select("doc_a", "doc_b")
+    exact = jaccard_all_pairs_from_arrays(
+        per_doc.select("doc", "toks"), threshold=0.5
+    ).select("doc_a", "doc_b")
     recalled = exact.join(cand, ["doc_a", "doc_b"])
     return (
         exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
@@ -683,14 +727,21 @@ def pipeline_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     components and the chunk-count rule over ONE shared shingle scan;
     every stage is the same operator the standalone queries certify."""
     from postrack_spark.functions.text import quality_score
-    from postrack_spark.operators.dedup import connected_components
+    from postrack_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_from_arrays,
+    )
 
     t = load_tables(spark, sf_dir)
     docs = fan_out(t["documents"])
-    shingles = _pin("mixture_shingles", doc_shingles(docs, "doc_id", "text", k=3))
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    # bounded per-doc pin, not the corpus-sized shingle explode — see
+    # _minhash_perdoc.
+    per_doc = _minhash_perdoc(spark, sf_dir)
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
-    pairs = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select("doc_a", "doc_b")
+    pairs = jaccard_pairs_from_arrays(
+        per_doc.select("doc", "toks"), cand, threshold=0.5
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     gated = (
         docs.select(
@@ -841,19 +892,11 @@ def dedup_lsh_band_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement that justified the main query's 8x2 choice; at 100 TB
     the knob trades shuffle volume (candidates) against recall, and the
     sweep runs on one shared signature build (the expensive pass)."""
-    from postrack_spark.functions.text import minhash_expr
     from postrack_spark.operators.dedup import jaccard_pairs_from_arrays
 
-    t = load_tables(spark, sf_dir)
-    docs = fan_out(t["documents"])
-    shingles = doc_shingles(docs, "doc_id", "text", k=3)
-    per_doc = _pin(
-        "geometry_perdoc",
-        shingles.groupBy("doc").agg(
-            F.collect_set("tok").alias("toks"),
-            *[F.min(minhash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(16)],
-        ),
-    )
+    # shared per-doc pin (was a plan-identical private 'geometry_perdoc'
+    # pin that aliased the same CacheManager entry) — see _minhash_perdoc.
+    per_doc = _minhash_perdoc(spark, sf_dir)
     sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     sets_ = per_doc.select("doc", "toks")
 
@@ -987,16 +1030,18 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra pair-set groupBy over their outputs. doc_id and vec_id share
     the entity id space by fixture construction (TESTDATA.md)."""
     from postrack_spark.functions.vector import as_double_array, cosine
+    from postrack_spark.operators.dedup import jaccard_pairs_from_arrays
     from postrack_spark.session import fan_out
 
     t = load_tables(spark, sf_dir)
-    docs = fan_out(t["documents"])
-    shingles = doc_shingles(docs, "doc_id", "text", k=3)
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=16, tokens_df=shingles)
+    # shared bounded per-doc pin (the banding and the verify used to
+    # re-run the shingle chain once each) — see _minhash_perdoc.
+    per_doc = _minhash_perdoc(spark, sf_dir)
+    sigs = per_doc.select("doc", *[f"h{i}" for i in range(16)])
     cand = lsh_candidate_pairs(sigs, n_hashes=16, band_size=2, max_bucket_size=100)
-    lex = jaccard_pairs(shingles, pairs=cand, threshold=0.5).select(
-        "doc_a", "doc_b", F.lit(1).alias("is_lex"), F.lit(0).alias("is_sem")
-    )
+    lex = jaccard_pairs_from_arrays(
+        per_doc.select("doc", "toks"), cand, threshold=0.5
+    ).select("doc_a", "doc_b", F.lit(1).alias("is_lex"), F.lit(0).alias("is_sem"))
     e = fan_out(t["embeddings"]).select(
         "vec_id", "label", as_double_array("embedding").alias("v")
     )

@@ -2390,22 +2390,31 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postrack_spark.session import pin_small
 
     docs = load_tables(spark, sf_dir)["documents"]
-    # toks feeds three branches (df counts, vocab filter, corpus size)
-    # and vocab feeds three (the filter + both lift margins) — pinned:
-    # one corpus explode instead of five. toks is data-sized but two
-    # narrow columns; one materialization beats four re-derivations.
-    toks = pin_small(
-        "cooc_toks",
-        docs.select(F.col("doc_id").alias("doc"), F.explode(tokens(F.col("text"))).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct(),
+    # The multi-consumer frame is the BOUNDED per-doc token-set
+    # reduction (|docs| rows — the dedup minhash_perdoc shape), not the
+    # corpus-sized (doc, tok) explode this query used to pin (an
+    # O(input) materialization that violates pin_small's contract at
+    # 100 TB). Three branches read it: df counts and the vocab-filtered
+    # pair expansion re-EXPLODE the pinned arrays (a re-slice of the
+    # materialized frame, not a second corpus tokenization), and the
+    # corpus size is a row count over docs with a non-empty set.
+    per_doc_toks = pin_small(
+        "cooc_perdoc",
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.array_remove(F.array_distinct(tokens(F.col("text"))), "").alias("ts_all"),
+        ),
     )
+    toks = per_doc_toks.select("doc", F.explode("ts_all").alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     vocab = pin_small(
         "cooc_vocab", dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(50)
     )
     vt = toks.join(F.broadcast(vocab.select("tok")), "tok")
-    n = toks.select("doc").distinct().agg(F.count("*").cast("long").alias("n_docs"))
+    n = (
+        per_doc_toks.filter(F.size("ts_all") > 0)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
     per_doc = vt.groupBy("doc").agg(F.collect_set("tok").alias("ts"))
     pairs = (
         per_doc.select(

@@ -147,6 +147,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # at once.
 _PINNED_SMALL: "dict[str, DataFrame]" = {}
 _PINNED_ORDER: list[str] = []
+# Registry mutations are guarded: query construction can run on several
+# driver threads at once (a streaming foreachBatch hook assembling
+# frames on the micro-batch thread while the main thread builds another
+# query), and an unguarded remove/pop pair can either raise ValueError
+# mid-build or leak a persisted frame with no registry entry. The
+# persist/unpersist calls themselves stay outside the critical section
+# (they are py4j round-trips; holding the lock across them would
+# serialize all query construction on the slowest one).
+import threading as _threading  # noqa: E402 — stdlib, trivial import
+
+_PIN_LOCK = _threading.Lock()
 # No single query pins more than ~5 frames; 16 keeps every pin of the
 # current query (and usually the previous one) resident while a
 # 500-query sweep steadily releases older queries' pins instead of
@@ -194,19 +205,40 @@ def pin_small(name: str, df: DataFrame) -> DataFrame:
     invocation re-registers its own fresh lineage."""
     from pyspark import StorageLevel
 
-    old = _PINNED_SMALL.pop(name, None)
+    # The OLD entry must be unpersisted BEFORE the fresh persist: a
+    # re-invocation's plan is canonically identical to its predecessor,
+    # so persisting first would alias the old CacheManager entry and the
+    # subsequent unpersist would drop both (the pin would never
+    # materialize). Eviction victims, by contrast, are released after
+    # the insert — different names, and the cross-name canonical-alias
+    # case only ever costs a recompute (docstring).
+    with _PIN_LOCK:
+        old = _PINNED_SMALL.pop(name, None)
+        if name in _PINNED_ORDER:
+            _PINNED_ORDER.remove(name)
     if old is not None:
         _unpersist_quietly(old)
-    if name in _PINNED_ORDER:
-        _PINNED_ORDER.remove(name)
-    while len(_PINNED_ORDER) >= _PINNED_MAX:
-        evicted = _PINNED_ORDER.pop(0)
-        dropped = _PINNED_SMALL.pop(evicted, None)
-        if dropped is not None:
-            _unpersist_quietly(dropped)
-    _PINNED_SMALL[name] = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PINNED_ORDER.append(name)
-    return _PINNED_SMALL[name]
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    to_release: list[DataFrame] = []
+    with _PIN_LOCK:
+        # another thread may have pinned the same name between the two
+        # critical sections — displace its entry (latest wins) so the
+        # order list never holds duplicates and nothing leaks.
+        raced = _PINNED_SMALL.pop(name, None)
+        if raced is not None and raced is not pinned:
+            to_release.append(raced)
+        if name in _PINNED_ORDER:
+            _PINNED_ORDER.remove(name)
+        while len(_PINNED_ORDER) >= _PINNED_MAX:
+            evicted = _PINNED_ORDER.pop(0)
+            dropped = _PINNED_SMALL.pop(evicted, None)
+            if dropped is not None:
+                to_release.append(dropped)
+        _PINNED_SMALL[name] = pinned
+        _PINNED_ORDER.append(name)
+    for released in to_release:
+        _unpersist_quietly(released)
+    return pinned
 
 
 def enable_runtime_filters(spark: SparkSession, application_side_min: str = "10GB") -> None:

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for headline (or named) queries into
-plans/r08/<name>_<tag>.txt — the optimization round's plan evidence.
+plans/<round>/<name>_<tag>.txt — the optimization round's plan evidence.
 
 Usage: python scripts/capture_plans.py <tag> [name ...]
 With no names: the bench HEADLINE set. Plans are captured at
-$SPARK_GRAFT_SF_DIR (default sf0.1) — the benched scale.
+$SPARK_GRAFT_SF_DIR (default sf0.1) — the benched scale. The round
+directory defaults to r09 (override with $PLANS_ROUND).
 """
 
 from __future__ import annotations
@@ -26,7 +27,11 @@ def main() -> None:
 
         names = list(bench.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r09"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")
     specs = load_all()

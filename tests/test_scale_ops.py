@@ -462,3 +462,57 @@ def test_star_cc_matches_propagation_on_dedup_pair_graph(spark):
     star = {r["doc"]: r["cluster"]
             for r in connected_components_star(pairs).collect()}
     assert star == base
+
+
+def test_pin_small_concurrent_registry_safe(spark, sf_dir):
+    """pin_small's registry is mutated from several driver threads at
+    once in real runs (foreachBatch hooks building frames while the main
+    thread constructs a query). Hammer it from 8 threads with colliding
+    and distinct names past the LRU cap: no ValueError from racing
+    remove/pop, and the registry stays internally consistent (order list
+    matches the dict, size within the cap)."""
+    import threading
+
+    from postrack_spark import session as S
+
+    t = load_tables(spark, sf_dir)
+    errors: list[BaseException] = []
+
+    def worker(tid: int) -> None:
+        try:
+            for i in range(30):
+                # half the names collide across threads, half are unique
+                name = f"pin_race_{i % 4}" if i % 2 == 0 else f"pin_race_{tid}_{i}"
+                S.pin_small(name, t["nation"].select("n_nationkey"))
+        except BaseException as ex:  # noqa: BLE001 — collect to re-raise
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    with S._PIN_LOCK:
+        assert len(S._PINNED_ORDER) <= S._PINNED_MAX
+        assert sorted(S._PINNED_ORDER) == sorted(S._PINNED_SMALL.keys())
+
+
+def test_ivf_assign_unique_id_contract(spark):
+    """ivf_assign carries the input's payload columns through the
+    aggregate via first() — value-deterministic ONLY because ids are
+    unique (the docstring contract). Pin the contract: on a unique-id
+    input the output has exactly one row per input row with the payload
+    intact, i.e. the first()-carry is equivalent to the re-join shape it
+    replaced."""
+    from postrack_spark.operators.similarity import ivf_assign
+
+    rows = [(i, [float(i % 3), 1.0], f"p{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, v array<double>, payload string")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, centroid array<double>"
+    )
+    out = ivf_assign(df, cents, "id", "v", out_col="bucket")
+    got = {(r["id"], r["payload"]) for r in out.collect()}
+    assert got == {(i, f"p{i}") for i in range(12)}  # 1 row/id, payload carried
+    assert out.count() == df.count() == df.select("id").distinct().count()
