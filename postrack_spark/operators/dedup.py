@@ -171,23 +171,25 @@ def lsh_candidate_pairs(
     # whole shingle->signature chain upstream — 3 fewer scans and 2
     # fewer shuffle joins. The per-bucket pair explosion is quadratic
     # but bounded by max_bucket_size (<= cap^2/2 array-local structs).
+    # Expansion is posexplode + explode(slice(...)) — codegen'd
+    # Generate operators, not interpreted transform/filter lambdas
+    # (the graph _edges measurement: 1.5x at sf0.1). Identical pair
+    # set: {(i, j): i < j} covers each unordered element pair once and
+    # least/greatest normalizes, so collect_list order is irrelevant.
     bucketed = (
         buckets.groupBy("band", "bh")
         .agg(F.collect_list("doc").alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size))
     )
     return (
-        bucketed.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(docs, (a, i) ->"
-                    " filter(transform(docs, (b, j) ->"
-                    " IF(j > i, struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b),"
-                    " NULL)), p -> p IS NOT NULL)))"
-                )
-            ).alias("p")
+        bucketed.select(F.posexplode("docs").alias("i", "a"), "docs")
+        .select(
+            "a",
+            F.explode(F.expr("slice(docs, i + 2, size(docs) - i - 1)")).alias("b"),
         )
-        .select("p.doc_a", "p.doc_b")
+        .select(
+            F.least("a", "b").alias("doc_a"), F.greatest("a", "b").alias("doc_b")
+        )
         .distinct()
     )
 

@@ -46,21 +46,27 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg-friendly shuffles and the pair expansion is array-local
     (the same pattern as the LSH bucket pair generator). Co-occurrence
     is per distinct (order, part) — duplicate lines of the same part
-    don't inflate weights."""
+    don't inflate weights.
+
+    Pair expansion is posexplode + explode(slice(...)) — two codegen'd
+    Generate operators — not a nested transform/filter lambda chain:
+    higher-order-function lambdas evaluate INTERPRETED per element
+    (guide §4's boundary cost inside the JVM), and the codegen shape
+    measured 1.5x faster at sf0.1 (0.98 s vs 1.51 s edge build) and
+    ~10% faster at 10x replication (1.55 vs 1.69 s warm). Identical
+    pair multiset: for any array order, {(i, j): i < j} covers each
+    unordered element pair exactly once and least/greatest normalizes
+    the orientation, so collect_set's nondeterministic order never
+    reaches the output."""
     from postrack_spark.session import pin_small
 
     li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_partkey")
     per_order = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    pairs = per_order.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (a, i) ->"
-                " filter(transform(ps, (b, j) ->"
-                " IF(j > i, struct(least(a, b) AS pa, greatest(a, b) AS pb),"
-                " NULL)), p -> p IS NOT NULL)))"
-            )
-        ).alias("p")
-    ).select("p.pa", "p.pb")
+    pairs = (
+        per_order.select(F.posexplode("ps").alias("i", "a"), "ps")
+        .select("a", F.explode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias("b"))
+        .select(F.least("a", "b").alias("pa"), F.greatest("a", "b").alias("pb"))
+    )
     # The thresholded edge list is small by construction (module
     # docstring) and every graph/mining consumer references it from
     # several branches — pinned here so the lineitem scan + two

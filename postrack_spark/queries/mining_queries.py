@@ -756,18 +756,31 @@ def assoc_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     baskets = ev.distinct().groupBy("user_id", "d").agg(
         F.sort_array(F.collect_set("event_type")).alias("ps"))
-    triples = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (a, i) ->"
-                " flatten(transform(ps, (b, j) ->"
-                " filter(transform(ps, (c, k) ->"
-                " IF(j > i AND k > j,"
-                " struct(a AS ta, b AS tb, c AS tc), NULL)),"
-                " p -> p IS NOT NULL)))))"
-            )
-        ).alias("t")
-    ).select("t.ta", "t.tb", "t.tc")
+    # C(n,3) expansion as three chained codegen'd Generate operators
+    # (posexplode + two slice-explodes), not the nested interpreted
+    # transform/filter lambdas (the graph _edges measurement, one level
+    # deeper). ps is sorted, so index order i < j < k IS ta < tb < tc.
+    # The middle posexplode index j2 is 0-based within the slice, so
+    # the original index j = i + 1 + j2 and the k-suffix starts at
+    # 1-based position j + 2 = i + j2 + 3.
+    triples = (
+        baskets.select(F.posexplode("ps").alias("i", "ta"), "ps")
+        .select(
+            "ta",
+            F.posexplode(F.expr("slice(ps, i + 2, size(ps) - i - 1)")).alias(
+                "j2", "tb"
+            ),
+            "ps",
+            "i",
+        )
+        .select(
+            "ta",
+            "tb",
+            F.explode(
+                F.expr("slice(ps, i + j2 + 3, size(ps) - i - j2 - 2)")
+            ).alias("tc"),
+        )
+    )
     return (
         triples.groupBy("ta", "tb", "tc")
         .agg(F.count("*").cast("long").alias("support"))

@@ -2416,18 +2416,15 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
     per_doc = vt.groupBy("doc").agg(F.collect_set("tok").alias("ts"))
+    # pair expansion via codegen'd posexplode + slice-explode, not
+    # interpreted transform/filter lambdas (the graph _edges
+    # measurement); least/greatest normalizes collect_set's order.
     pairs = (
-        per_doc.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ts, (a, i) ->"
-                    " filter(transform(ts, (b, j) ->"
-                    " IF(j > i, struct(least(a, b) AS ta, greatest(a, b) AS tb),"
-                    " NULL)), p -> p IS NOT NULL)))"
-                )
-            ).alias("p")
+        per_doc.select(F.posexplode("ts").alias("i", "a"), "ts")
+        .select(
+            "a", F.explode(F.expr("slice(ts, i + 2, size(ts) - i - 1)")).alias("b")
         )
-        .select("p.ta", "p.tb")
+        .select(F.least("a", "b").alias("ta"), F.greatest("a", "b").alias("tb"))
         .groupBy("ta", "tb")
         .agg(F.count("*").cast("long").alias("n_both"))
     )
